@@ -1,0 +1,306 @@
+"""Deduplication family over the ``documents`` table.
+
+First-class LLM-training-data operators (SURVEY.md §2.E), mirroring
+the reference's URL-normalized merge/dedup
+(``datasets/noticias_agricolas/merge.py:10-64``) and extending it to
+content-level exact and near-duplicate detection at corpus scale.
+
+Scale design: no operator here materializes the O(n²) pair space.
+- exact: hash-groupBy (one shuffle on a 32-byte key).
+- ngram-jaccard: shingle explode → shared-shingle equi-join →
+  per-pair common counts; frequent-shingle skew is bounded because
+  shingle cardinality grows with corpus size (AQE skew-join splits the
+  hot buckets). Verification runs only on candidate pairs.
+- minhash-LSH: candidates only from band-bucket equi-joins — the
+  canonical 100 TB path.
+- simhash: hamming-band buckets, same shape.
+
+Hashes are md5-derived everywhere so an external engine (the DuckDB
+oracle) can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from forest_open_data_pipelines_spark.functions.columns import ratio
+from forest_open_data_pipelines_spark.operators.textops import clean_text
+
+# 60-bit integer from the first 15 hex chars of md5 — portable across
+# engines (fits signed 64-bit everywhere).
+def _md5_int(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (no explode —
+    stays one row per doc until a join needs otherwise)."""
+    toks = F.split(F.lower(clean_text(text)), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def dedup_exact(documents: DataFrame) -> DataFrame:
+    """Exact dedup by normalized-content fingerprint: one row per
+    fingerprint with the canonical (min) doc id and group size.
+
+    Reference: merge.py:18-64 dedups listings by normalized URL key and
+    keeps min rank; same shape with the content hash as the key.
+    """
+    norm = F.lower(clean_text(F.col("text")))
+    return (
+        documents.select(F.md5(norm).alias("content_fingerprint"), "doc_id")
+        .groupBy("content_fingerprint")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_docs"))
+        .orderBy("content_fingerprint")
+    )
+
+
+def dedup_ngram_jaccard(
+    documents: DataFrame, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold.
+
+    Candidate pairs come from a shared-shingle equi-join (never a cross
+    join); Jaccard = common / (|A| + |B| - common) via per-pair counts.
+    """
+    sh = documents.select(
+        "doc_id", _shingles(F.col("text"), n).alias("shingles")
+    ).select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    pairs = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("common"))
+    )
+    jaccard = F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.select(
+            "doc_a", "doc_b", ratio(jaccard).alias("jaccard")
+        )
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame, num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of
+    md5_int(shingle ∥ '#' ∥ i). Computed with array lambdas — one row
+    per doc, no explode, map-side only."""
+    sh = _shingles(F.col("text"), n)
+    sigs = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: _md5_int(F.concat(s, F.lit(f"#{i}"))))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return documents.select("doc_id", sigs.alias("signature"))
+
+
+def dedup_minhash(
+    documents: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
+
+    bands×rows = num_hashes; a pair is a candidate iff some band of the
+    signature matches exactly (equi-join on (band_id, band_hash) — the
+    only shuffle that scales with corpus size). Candidates are then
+    verified with exact shingle Jaccard, so the output is a strict
+    subset of ``dedup_ngram_jaccard`` at the same threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(documents, num_hashes, n).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_id"),
+                        F.md5(
+                            F.array_join(
+                                F.transform(
+                                    F.slice(
+                                        "signature", band * rows_per_band + 1, rows_per_band
+                                    ),
+                                    lambda x: x.cast("string"),
+                                ),
+                                ",",
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for band in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["band_id", "band_hash"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = documents.select("doc_id", _shingles(F.col("text"), n).alias("shingles"))
+    verified = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            ratio(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.orderBy("doc_a", "doc_b")
+
+
+def simhash_signatures(documents: DataFrame, bits: int = 32, n: int = 3) -> DataFrame:
+    """Per-doc SimHash over distinct word-n-gram shingles: bit j is the
+    sign of Σ_shingles (±1 depending on bit j of md5_int(shingle)).
+
+    Shingles (not unigrams) are the features: the synthetic corpus
+    shares one small vocabulary, so unigram token sets are near-equal
+    across unrelated docs and only order-sensitive features
+    discriminate."""
+    hashes = F.transform(_shingles(F.col("text"), n), _md5_int)
+    bit_terms = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << j),
+        ).otherwise(0)
+        for j in range(bits)
+    ]
+    sim = bit_terms[0]
+    for t in bit_terms[1:]:
+        sim = sim + t
+    return documents.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash(
+    documents: DataFrame, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share one of two 16-bit
+    half-signature buckets (any pair with hamming ≤ 1 per half — i.e.
+    every pair with total hamming ≤ max_hamming has a clean half when
+    max_hamming < 2·halves — is caught), verified by full hamming
+    distance ≤ max_hamming."""
+    sigs = simhash_signatures(documents, bits)
+    half = bits // 2
+    bucketed = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("part"), (F.col("simhash") % (1 << half)).alias("key")),
+                F.struct(
+                    F.lit(1).alias("part"),
+                    (F.col("simhash") / (1 << half)).cast("long").alias("key"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.part", "b.key")
+    x, y = bucketed.alias("x"), bucketed.alias("y")
+    hamming = F.bit_count(
+        F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    )
+    return (
+        x.join(y, ["part", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def dedup_embedding(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold).
+
+    Exact pair scan — correct baseline for the oracle; the scale path
+    is the LSH-bucketed variant in ``similarity.ann_topk_lsh`` which
+    replaces the pair join with bucket equi-joins.
+    """
+    norm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+    )
+    e = embeddings.select("vec_id", "embedding", norm.alias("norm"))
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with("a.embedding", "b.embedding", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = ratio(dot / (F.col("a.norm") * F.col("b.norm")))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+def url_merge(events: DataFrame) -> DataFrame:
+    """URL-normalized listing merge (merge.py:10-64) mapped onto the
+    events table: each event is a 'listing row' whose URL derives from
+    (user_id, props.k); dedup by the normalized key keeping the min
+    rank, the ordered distinct category set, and the group size."""
+    url = F.concat(
+        F.lit("HTTPS://Example.COM/u/"),
+        F.col("user_id").cast("string"),
+        F.lit("/item/"),
+        F.get_json_object("props", "$.k"),
+        F.lit("/"),
+    )
+    # normalize_url_key: lowercase scheme+host, strip trailing slash.
+    key = F.regexp_replace(F.lower(url), "/+$", "")
+    return (
+        events.select(key.alias("url_key"), "event_type", "event_id")
+        .groupBy("url_key")
+        .agg(
+            F.min("event_id").alias("rank"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+                "categories"
+            ),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy("url_key")
+    )

@@ -1,0 +1,81 @@
+"""Event sessionization and windowed aggregation (batch side).
+
+The reference's freshness watcher reasons about inter-observation gaps
+(``freshness/watch.py``, ``classifier.py``); sessionization is the same
+gap logic promoted to a first-class operator, and the tumbling-window
+aggregation is the batch twin of the Structured Streaming job in
+``streaming/windowed.py`` (identical semantics, verified against the
+same oracle).
+
+Scale: one shuffle on user_id, windows within partitions, aggregate
+down — no global ordering of raw events anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from forest_open_data_pipelines_spark.functions.columns import money, ratio
+
+SESSION_GAP_MINUTES = 30
+
+
+def events_sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES) -> DataFrame:
+    """Per-user 30-min-gap sessions: session bounds, event count, value sum."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_flag = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) > gap_us, 1
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = with_flag.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new_session").over(w_cum).alias("session_seq"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            money(F.sum("value")).alias("total_value"),
+            ratio(
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(60.0 * 1_000_000)
+            ).alias("duration_minutes"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def events_windowed(events: DataFrame) -> DataFrame:
+    """Tumbling 1-day windows per event_type (batch parity query for
+    the streaming job — same grouping the streaming test asserts)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n_events"), money(F.sum("value")).alias("total_value"))
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("day", "event_type")
+    )

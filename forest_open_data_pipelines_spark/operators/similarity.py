@@ -1,0 +1,156 @@
+"""Approximate-nearest-neighbor similarity search over embeddings.
+
+SURVEY.md §2.F. Two tiers:
+- ``ann_topk_bruteforce``: exact cosine top-k of every query vector —
+  the correctness baseline (oracle-checkable). The query set is tiny
+  and broadcast, so the plan is a single scan of the candidate side:
+  this is exactly how a 100 TB "score every document against K probes"
+  job should look (no shuffle of the big side at all; top-k via
+  per-partition partial ranking then a small final sort).
+- ``ann_topk_lsh``: deterministic random-hyperplane LSH — candidates
+  only from matching signature buckets, trading recall for a
+  bucket-bounded join. Recall vs the baseline is asserted in tests.
+
+Vector math uses Catalyst array lambdas (zip_with/aggregate), not
+Python UDFs — it compiles to JVM codegen.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from forest_open_data_pipelines_spark.functions.columns import ratio
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+
+
+def ann_topk_bruteforce(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k: queries = vec_id < n_queries, candidates =
+    all other vectors. Ranking on the rounded similarity with vec_id
+    tie-break keeps the result deterministic across engines."""
+    queries = F.broadcast(
+        embeddings.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    )
+    cand = embeddings.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    cos = ratio(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+    )
+    scored = (
+        cand.join(queries)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes derived from md5 of
+    (plane, dim) — reproducible on any engine/runtime, no RNG state."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane{p}#{i}".encode()).hexdigest()
+            row.append((int(h[:15], 16) % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature(emb: Column, planes: list[list[float]]) -> Column:
+    """Bit-packed sign signature of the projections onto the planes."""
+    sig = F.lit(0)
+    for j, plane in enumerate(planes):
+        proj = _dot(emb, F.array(*[F.lit(w) for w in plane]))
+        sig = sig + F.when(proj > 0, F.lit(1 << j)).otherwise(0)
+    return sig
+
+
+def ann_topk_lsh(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """LSH-bucketed top-k: score only candidates whose signature equals
+    the query's signature in at least one of two plane half-bands.
+
+    The candidate side is joined on the band key (equi-join on a
+    bounded-cardinality bucket id) instead of broadcast-scoring
+    everything — the shape that survives when both sides are huge.
+    """
+    planes = _hyperplanes(dim, n_planes)
+    half = n_planes // 2
+    lo, hi = planes[:half], planes[half:]
+
+    def banded(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.col(emb_col),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("band"), lsh_signature(F.col(emb_col), lo).alias("key")),
+                    F.struct(F.lit(1).alias("band"), lsh_signature(F.col(emb_col), hi).alias("key")),
+                )
+            ).alias("b"),
+        ).select(id_col, emb_col, "b.band", "b.key")
+
+    queries = F.broadcast(
+        banded(
+            embeddings.where(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            ),
+            "query_id",
+            "q_emb",
+        )
+    )
+    cands = banded(
+        embeddings.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")),
+        "cand_id",
+        "c_emb",
+    )
+    cos = ratio(
+        _dot(F.col("q_emb"), F.col("c_emb"))
+        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+    )
+    scored = (
+        cands.join(queries, ["band", "key"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -1,0 +1,148 @@
+"""Text analysis operators over the ``documents`` table.
+
+Spark-first re-expression of the reference's text layer
+(``datasets/noticias_agricolas/text_cleanup.py``,
+``article_parser.py``) plus the LLM-training-data text ops
+(language-ID, quality scoring, token counting, fingerprinting).
+
+Everything here is pure Catalyst expressions (regexp/array/lambda
+built-ins) — no Python UDFs — so the whole pipeline stays inside
+whole-stage codegen and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from forest_open_data_pipelines_spark.functions.columns import ratio
+
+# Boilerplate/CTA prefixes, mirroring text_cleanup.py:10-14 (_CTA_LINE).
+CTA_PATTERN = (
+    "(?i)^(receba|cadastre|whatsapp|newsletter|"
+    "clique aqui para receber|siga nosso canal|termo de privacidade)\\b"
+)
+
+# Small deterministic stopword/marker lists for quality + language-ID.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "es"),
+    "fr": ("le", "la", "et", "est"),
+    "de": ("der", "die", "und", "ist"),
+    "zh": ("de5", "shi4", "le5", "he2"),  # romanized placeholders
+}
+
+
+def clean_text(text: Column) -> Column:
+    """Whitespace-normalized text (text_cleanup.py:16-19,
+    ``normalize_paragraph_text``): NBSP → space, collapse runs of
+    spaces/tabs/CRs, trim."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(text, " ", " "), "[ \\t\\r\\f]+", " ")
+    )
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(clean_text(text), " ")
+
+
+def text_cleanup(documents: DataFrame) -> DataFrame:
+    """Normalize text, flag CTA/boilerplate lines, and emit the
+    'first useful paragraph' length signal (text_cleanup.py:22-43)."""
+    cleaned = clean_text(F.col("text"))
+    return documents.select(
+        "doc_id",
+        cleaned.alias("clean_text"),
+        F.length(cleaned).alias("clean_chars"),
+        cleaned.rlike(CTA_PATTERN).alias("is_boilerplate"),
+        (F.length(cleaned) >= 40).alias("is_useful_paragraph"),
+    ).orderBy("doc_id")
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """Whitespace + wordpiece-ish regex token counts per document."""
+    toks = _tokens(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(
+            F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")
+        ).alias("n_subword_tokens"),
+    ).orderBy("doc_id")
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    """Per-document quality metrics and a composite score.
+
+    Length/punctuation/stopword-ratio heuristics in the spirit of the
+    reference's 'useful paragraph' filters, extended to the standard
+    LLM-corpus quality signals.
+    """
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    n_stop = F.expr(
+        f"size(filter(split(trim(regexp_replace(regexp_replace(text, ' ', ' '), "
+        f"'[ \\\\t\\\\r\\\\f]+', ' ')), ' '), x -> lower(x) in ({stop_list})))"
+    )
+    n_punct = F.length(F.col("text")) - F.length(
+        F.regexp_replace(F.col("text"), "[^A-Za-z0-9 ]", "")
+    )
+    stop_ratio = n_stop.cast("double") / n_tokens
+    punct_ratio = n_punct.cast("double") / F.length(F.col("text"))
+    score = (
+        F.least(n_tokens.cast("double") / 100.0, F.lit(1.0)) * 0.4
+        + (1.0 - punct_ratio) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        ratio(stop_ratio).alias("stopword_ratio"),
+        ratio(punct_ratio).alias("punct_ratio"),
+        ratio(score).alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled ``lang``.
+
+    Deterministic argmax over per-language marker-token hit counts
+    (ties → 'en'); emits the prediction and whether it matches the
+    label so accuracy rolls up with one aggregation downstream.
+    """
+    scores = []
+    for code, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        scores.append(
+            F.expr(
+                f"size(filter(split(lower(text), ' '), x -> x in ({lst})))"
+            ).alias(f"score_{code}")
+        )
+    scored = documents.select("doc_id", "lang", *scores)
+    best = F.greatest(*[F.col(f"score_{c}") for c in LANG_MARKERS])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for code in LANG_MARKERS:  # dict order fixed → deterministic tie-break
+        pred = pred.when(F.col(f"score_{code}") == best, F.lit(code))
+    return scored.select(
+        "doc_id",
+        "lang",
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("is_correct"),
+    ).orderBy("doc_id")
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Deterministic content fingerprints: md5 of normalized text
+    (order-sensitive) and md5 of the sorted distinct token bag
+    (order-insensitive), the two keys exact/near dedup hangs off."""
+    cleaned = F.lower(clean_text(F.col("text")))
+    bag = F.array_join(F.array_sort(F.array_distinct(F.split(cleaned, " "))), " ")
+    return documents.select(
+        "doc_id",
+        F.md5(cleaned).alias("content_fingerprint"),
+        F.md5(bag).alias("bag_fingerprint"),
+    ).orderBy("doc_id")

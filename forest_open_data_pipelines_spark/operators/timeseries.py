@@ -1,0 +1,345 @@
+"""Time-series report engine.
+
+Spark-first re-expression of the reference's report builders
+(``reports/builders/bdqueimadas_overview.py`` and
+``bdqueimadas_incremental.py``): monthly/annual detection series at
+national, state (≈ nation) and biome (≈ region) grain, top-N tables
+with year-over-year comparison, rolling-12-month windows, YTD and
+month-of-year comparisons.
+
+Mapping onto the driver testdata: ``orders`` rows ≈ fire detections,
+``o_orderdate`` ≈ detection timestamp, ``nation`` ≈ state/UF,
+``region`` ≈ biome, ``o_totalprice`` ≈ an additive measure (FRP-like).
+
+Scale notes (100 TB):
+- The fact scan aggregates FIRST (map-side partial sums on
+  (period[, dim]) — thousands of groups max), so every window/topN
+  below operates on a tiny post-aggregation frame. No window function
+  ever runs over raw fact rows.
+- nation/region are broadcast; the orders⋈customer join shuffles on
+  the key with AQE handling skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from forest_open_data_pipelines_spark.functions.columns import (
+    money,
+    period_month,
+    ratio,
+    safe_pct_change,
+)
+
+
+def orders_enriched(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region with broadcast dims.
+
+    Reference: bdqueimadas_incremental.py enriches each detection row
+    with state and biome columns before aggregating; here the dims are
+    relational and the small sides (nation, region — fixed cardinality
+    even at 100 TB) are explicitly broadcast. customer is a real join
+    (shuffle) because it scales with the fact data.
+    """
+    dims = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(dims, customer.c_nationkey == dims.n_nationkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "n_name",
+            "r_name",
+        )
+    )
+
+
+def _series(df: DataFrame, keys: list[Column | str], order: list[str]) -> DataFrame:
+    return (
+        df.groupBy(*keys)
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .orderBy(*order)
+    )
+
+
+def monthly_series(enriched: DataFrame) -> DataFrame:
+    """National monthly series (monthly_all_df analog,
+    bdqueimadas_incremental.py consolidate step)."""
+    return _series(
+        enriched.select(period_month(F.col("o_orderdate")).alias("period"), "o_totalprice"),
+        ["period"],
+        ["period"],
+    )
+
+
+def monthly_by_region(enriched: DataFrame) -> DataFrame:
+    """Monthly-by-biome analog (monthly_by_biome_df)."""
+    return _series(
+        enriched.select(
+            period_month(F.col("o_orderdate")).alias("period"), "r_name", "o_totalprice"
+        ),
+        ["period", "r_name"],
+        ["period", "r_name"],
+    )
+
+
+def annual_series(enriched: DataFrame) -> DataFrame:
+    """Annual totals (annual_all_df)."""
+    return _series(
+        enriched.select(F.year("o_orderdate").alias("year"), "o_totalprice"),
+        ["year"],
+        ["year"],
+    )
+
+
+def annual_by_region(enriched: DataFrame) -> DataFrame:
+    return _series(
+        enriched.select(F.year("o_orderdate").alias("year"), "r_name", "o_totalprice"),
+        ["year", "r_name"],
+        ["year", "r_name"],
+    )
+
+
+def nation_year_matrix(enriched: DataFrame) -> DataFrame:
+    """state×year matrix (state_year_all_df)."""
+    return _series(
+        enriched.select(F.year("o_orderdate").alias("year"), "n_name", "o_totalprice"),
+        ["n_name", "year"],
+        ["n_name", "year"],
+    )
+
+
+def nation_month_matrix(enriched: DataFrame) -> DataFrame:
+    """state×month matrix (state_month_all_df)."""
+    return _series(
+        enriched.select(
+            period_month(F.col("o_orderdate")).alias("period"), "n_name", "o_totalprice"
+        ),
+        ["n_name", "period"],
+        ["n_name", "period"],
+    )
+
+
+def _yoy_top(
+    enriched: DataFrame, dim: str, limit: int
+) -> DataFrame:
+    """Top-N groups by latest-year volume with previous-year comparison.
+
+    Reference: bdqueimadas_overview.py:922-970 (``_build_top_states_table``)
+    and :972-1020 (``_build_top_biomes_context``): take latest/previous
+    year present in the annual series, rank groups by current-year
+    total, attach previous-year total and pct change.
+    """
+    by_year = enriched.groupBy(dim, F.year("o_orderdate").alias("year")).agg(
+        F.count("*").alias("n")
+    )
+    # Tiny frame from here on (|dims| × |years|); the max-year scalar is
+    # attached via a broadcast cross join so the plan stays fully
+    # declarative (no driver collect).
+    latest = by_year.agg(F.max("year").alias("latest_year"))
+    pivoted = (
+        by_year.join(F.broadcast(latest))
+        .groupBy(dim, "latest_year")
+        .agg(
+            F.sum(F.when(F.col("year") == F.col("latest_year"), F.col("n"))).alias(
+                "current_year_total"
+            ),
+            F.sum(F.when(F.col("year") == F.col("latest_year") - 1, F.col("n"))).alias(
+                "previous_year_total"
+            ),
+        )
+        .select(
+            F.col(dim),
+            F.col("latest_year"),
+            F.coalesce("current_year_total", F.lit(0)).alias("current_year_total"),
+            F.coalesce("previous_year_total", F.lit(0)).alias("previous_year_total"),
+        )
+    )
+    return (
+        pivoted.withColumn(
+            "pct_change",
+            safe_pct_change(F.col("current_year_total"), F.col("previous_year_total")),
+        )
+        .orderBy(F.desc("current_year_total"), F.col(dim))
+        .limit(limit)
+    )
+
+
+def top_nations_yoy(enriched: DataFrame, limit: int = 10) -> DataFrame:
+    return _yoy_top(enriched, "n_name", limit)
+
+
+def top_regions_yoy(enriched: DataFrame, limit: int = 5) -> DataFrame:
+    return _yoy_top(enriched, "r_name", limit)
+
+
+def rolling_12m(monthly: DataFrame) -> DataFrame:
+    """Rolling 12-month totals with the prior-12-month window and pct
+    change, per period.
+
+    Reference: bdqueimadas_overview.py:1821-1859
+    (``_compute_rolling_12m_metrics``) computes recent/prior 12-row
+    windows over the national monthly series. The series is tiny
+    (#months) post-aggregation, so an unpartitioned ordered window is
+    safe on any cluster; per-group variants would add partitionBy.
+    """
+    w_recent = Window.orderBy("period").rowsBetween(-11, 0)
+    w_prior = Window.orderBy("period").rowsBetween(-23, -12)
+    return monthly.select(
+        "period",
+        F.sum("n_orders").over(w_recent).alias("recent_12m_total"),
+        F.sum("n_orders").over(w_prior).alias("prior_12m_total"),
+        (F.count("n_orders").over(w_prior) == 12).alias("has_full_prior_window"),
+        safe_pct_change(
+            F.sum("n_orders").over(w_recent).cast("double"),
+            F.sum("n_orders").over(w_prior).cast("double"),
+        ).alias("pct_change"),
+    ).orderBy("period")
+
+
+def ytd_comparison(monthly: DataFrame, avg_window: int = 5) -> DataFrame:
+    """Single-row YTD report for the latest period.
+
+    Reference: bdqueimadas_overview.py:301-332 — YTD of the latest year
+    through the last closed month, vs previous-year YTD over the same
+    months, vs the N-year historical average of that YTD (years with a
+    positive YTD only).
+    """
+    m = monthly.select(
+        F.col("period"),
+        F.col("n_orders").cast("double").alias("value"),
+        F.substring("period", 1, 4).cast("int").alias("year"),
+        F.substring("period", 6, 2).cast("int").alias("month"),
+    )
+    latest = m.agg(
+        F.max("period").alias("latest_period"),
+    ).select(
+        "latest_period",
+        F.substring("latest_period", 1, 4).cast("int").alias("latest_year"),
+        F.substring("latest_period", 6, 2).cast("int").alias("latest_month"),
+    )
+    with_latest = m.join(F.broadcast(latest)).where(F.col("month") <= F.col("latest_month"))
+    per_year_ytd = with_latest.groupBy(
+        "latest_period", "latest_year", "latest_month", "year"
+    ).agg(F.sum("value").alias("ytd"))
+    return per_year_ytd.groupBy("latest_period", "latest_year", "latest_month").agg(
+        F.sum(F.when(F.col("year") == F.col("latest_year"), F.col("ytd"))).alias(
+            "ytd_current_year"
+        ),
+        F.sum(F.when(F.col("year") == F.col("latest_year") - 1, F.col("ytd"))).alias(
+            "ytd_previous_year"
+        ),
+        ratio(
+            F.avg(
+                F.when(
+                    (F.col("year") >= F.col("latest_year") - avg_window)
+                    & (F.col("year") < F.col("latest_year"))
+                    & (F.col("ytd") > 0),
+                    F.col("ytd"),
+                )
+            )
+        ).alias("ytd_5yr_avg"),
+    ).select(
+        "latest_period",
+        "ytd_current_year",
+        "ytd_previous_year",
+        safe_pct_change(F.col("ytd_current_year"), F.col("ytd_previous_year")).alias(
+            "ytd_pct_change"
+        ),
+        "ytd_5yr_avg",
+        safe_pct_change(F.col("ytd_current_year"), F.col("ytd_5yr_avg")).alias(
+            "ytd_vs_5yr_avg_pct"
+        ),
+    )
+
+
+def same_month_prev_year(nation_month: DataFrame, limit: int = 10) -> DataFrame:
+    """Per nation: latest-month total vs same month of previous year.
+
+    Reference: bdqueimadas_overview.py:1432-1452
+    (``_build_top_states_month_comparison``) + :1360-1366
+    (``_month_same_month_prev_year_periods``).
+    """
+    latest = nation_month.agg(F.max("period").alias("cur_period")).select(
+        "cur_period",
+        F.concat(
+            (F.substring("cur_period", 1, 4).cast("int") - 1).cast("string"),
+            F.substring("cur_period", 5, 3),
+        ).alias("prev_period"),
+    )
+    joined = nation_month.join(F.broadcast(latest)).where(
+        (F.col("period") == F.col("cur_period"))
+        | (F.col("period") == F.col("prev_period"))
+    )
+    agg = joined.groupBy("n_name", "cur_period", "prev_period").agg(
+        F.sum(F.when(F.col("period") == F.col("cur_period"), F.col("n_orders")))
+        .alias("cur"),
+        F.sum(F.when(F.col("period") == F.col("prev_period"), F.col("n_orders")))
+        .alias("prev"),
+    )
+    return (
+        agg.select(
+            "n_name",
+            F.col("cur_period").alias("period"),
+            F.coalesce("cur", F.lit(0)).alias("current_month_total"),
+            F.coalesce("prev", F.lit(0)).alias("previous_month_total"),
+        )
+        .withColumn(
+            "pct_change",
+            safe_pct_change(F.col("current_month_total"), F.col("previous_month_total")),
+        )
+        .orderBy(F.desc("current_month_total"), "n_name")
+        .limit(limit)
+    )
+
+
+def month_year_comparison(monthly: DataFrame, avg_window: int = 5) -> DataFrame:
+    """Month-of-year grid: latest-year value, previous-year value, and
+    historical average per calendar month.
+
+    Reference: bdqueimadas_overview.py:1943-2039
+    (``_build_monthly_year_comparison_records``).
+    """
+    m = monthly.select(
+        F.col("n_orders").cast("double").alias("value"),
+        F.substring("period", 1, 4).cast("int").alias("year"),
+        F.substring("period", 6, 2).cast("int").alias("month"),
+    )
+    latest = m.agg(F.max(F.col("year") * 100 + F.col("month")).alias("yy")).select(
+        (F.col("yy") / 100).cast("int").alias("latest_year")
+    )
+    return (
+        m.join(F.broadcast(latest))
+        .groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("year") == F.col("latest_year"), F.col("value"))).alias(
+                "latest_year_value"
+            ),
+            F.sum(
+                F.when(F.col("year") == F.col("latest_year") - 1, F.col("value"))
+            ).alias("previous_year_value"),
+            ratio(
+                F.avg(
+                    F.when(
+                        (F.col("year") >= F.col("latest_year") - avg_window)
+                        & (F.col("year") < F.col("latest_year")),
+                        F.col("value"),
+                    )
+                )
+            ).alias("historical_avg"),
+        )
+        .orderBy("month")
+    )

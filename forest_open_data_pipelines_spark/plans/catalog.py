@@ -1,0 +1,125 @@
+"""Query catalog: SURVEY.md §2 inventory → named (spark, sf_dir) →
+DataFrame callables. This is the single registry behind
+``__spark_entry__.queries()``, bench.py, and the tests."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from forest_open_data_pipelines_spark.operators import (
+    dedup,
+    freshness,
+    multimodal,
+    profiling,
+    relational,
+    sessionize,
+    similarity,
+    textops,
+    timeseries,
+)
+from forest_open_data_pipelines_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return timeseries.orders_enriched(
+        *_t(spark, sf_dir, "orders", "customer", "nation", "region")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # A. report time-series engine
+    "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
+    "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
+    "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
+    "annual_by_region": lambda s, d: timeseries.annual_by_region(_enriched(s, d)),
+    "nation_year_matrix": lambda s, d: timeseries.nation_year_matrix(_enriched(s, d)),
+    "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
+    "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
+    "top_regions_yoy": lambda s, d: timeseries.top_regions_yoy(_enriched(s, d)),
+    "rolling_12m": lambda s, d: timeseries.rolling_12m(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "ytd_comparison": lambda s, d: timeseries.ytd_comparison(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
+        timeseries.nation_month_matrix(_enriched(s, d))
+    ),
+    "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    # B. profiling / audit / catalog
+    "profile_columns": lambda s, d: profiling.profile_columns(
+        load_table(s, d, "lineitem")
+    ),
+    "catalog_summary": lambda s, d: profiling.catalog_summary(
+        load_table(s, d, "documents")
+    ),
+    "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
+    # C. freshness
+    "freshness_cadence": lambda s, d: freshness.freshness_cadence(
+        load_table(s, d, "events")
+    ),
+    "freshness_latest": lambda s, d: freshness.freshness_latest(
+        load_table(s, d, "events")
+    ),
+    # D. text analysis
+    "text_cleanup": lambda s, d: textops.text_cleanup(load_table(s, d, "documents")),
+    "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
+    "text_quality": lambda s, d: textops.text_quality(load_table(s, d, "documents")),
+    "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
+    "doc_fingerprint": lambda s, d: textops.doc_fingerprint(
+        load_table(s, d, "documents")
+    ),
+    "url_merge": lambda s, d: dedup.url_merge(load_table(s, d, "events")),
+    # E. dedup
+    "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
+    "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(
+        load_table(s, d, "documents")
+    ),
+    "dedup_minhash": lambda s, d: dedup.dedup_minhash(load_table(s, d, "documents")),
+    "dedup_simhash": lambda s, d: dedup.dedup_simhash(load_table(s, d, "documents")),
+    "dedup_embedding": lambda s, d: dedup.dedup_embedding(
+        load_table(s, d, "embeddings")
+    ),
+    # F. similarity search
+    "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
+        load_table(s, d, "embeddings")
+    ),
+    "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(
+        load_table(s, d, "embeddings")
+    ),
+    # G. relational breadth
+    "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(
+        load_table(s, d, "lineitem")
+    ),
+    "q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(
+        *_t(s, d, "customer", "orders", "lineitem")
+    ),
+    "q5_region_volume": lambda s, d: relational.q5_region_volume(
+        *_t(s, d, "region", "nation", "customer", "orders", "lineitem", "supplier")
+    ),
+    "top_customers": lambda s, d: relational.top_customers(
+        *_t(s, d, "customer", "orders", "nation")
+    ),
+    "events_sessionize": lambda s, d: sessionize.events_sessionize(
+        load_table(s, d, "events")
+    ),
+    "events_windowed": lambda s, d: sessionize.events_windowed(
+        load_table(s, d, "events")
+    ),
+    # H. multimodal plumbing
+    "multimodal_features": lambda s, d: multimodal.multimodal_features(
+        load_table(s, d, "documents")
+    ),
+}
+
+
+def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return QUERIES[name](spark, sf_dir)
