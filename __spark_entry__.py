@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()``
+exposes the SURVEY.md §2 inventory (one callable per operator);
+``oracle_sql()`` gives the DuckDB-dialect twin of every
+SQL-expressible query with identical aliases, rounding, and
+tie-breaks. Hash-dependent operators (minhash/simhash/LSH) use
+md5-derived integers specifically so the oracle can reproduce them
+bit-for-bit; their SQL is generated programmatically below from the
+same parameters as the Spark operators.
 """
 
 from __future__ import annotations
@@ -13,26 +16,636 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from forest_open_data_pipelines_spark.operators.textops import EN_STOPWORDS, LANG_MARKERS
+from forest_open_data_pipelines_spark.plans.catalog import QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: top nations by latest-year order volume with YoY
+    comparison (the reference's headline top-states fire table)."""
+    return QUERIES["top_nations_yoy"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return dict(QUERIES)
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect)
+# --------------------------------------------------------------------------
+
+# orders ⋈ customer ⋈ nation ⋈ region (the enriched fact view).
+ENRICHED = """
+enriched AS (
+  SELECT o_orderkey, o_orderdate, o_totalprice, n_name, r_name
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+)
+"""
+
+MONTHLY = """
+monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS period,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+  FROM enriched GROUP BY 1
+)
+"""
+
+# Whitespace-normalized document text (textops.clean_text twin).
+CLEAN = (
+    "trim(regexp_replace(replace(text, chr(160), ' '), "
+    "'[ \\t\\r\\f]+', ' ', 'g'))"
+)
+LCLEAN = f"lower({CLEAN})"
+
+# Word-3-gram distinct shingles of the lowercased clean text.
+SHINGLES = f"""
+shingled AS (
+  SELECT doc_id, list_distinct(
+    CASE WHEN len(t) >= 3
+         THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)]
+         ELSE [list_aggregate(t, 'string_agg', ' ')]
+    END) AS shingles
+  FROM (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents)
+)
+"""
+
+_MD5_INT = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _yoy_sql(dim: str, limit: int) -> str:
+    return f"""
+WITH {ENRICHED},
+by_year AS (
+  SELECT {dim}, year(o_orderdate)::INTEGER AS year, count(*) AS n
+  FROM enriched GROUP BY 1, 2
+),
+latest AS (SELECT max(year) AS latest_year FROM by_year)
+SELECT {dim},
+       latest_year,
+       coalesce(sum(n) FILTER (WHERE year = latest_year), 0)::BIGINT AS current_year_total,
+       coalesce(sum(n) FILTER (WHERE year = latest_year - 1), 0)::BIGINT AS previous_year_total,
+       round(CASE WHEN coalesce(sum(n) FILTER (WHERE year = latest_year - 1), 0) <> 0
+             THEN (coalesce(sum(n) FILTER (WHERE year = latest_year), 0)
+                   - coalesce(sum(n) FILTER (WHERE year = latest_year - 1), 0))
+                  / coalesce(sum(n) FILTER (WHERE year = latest_year - 1), 0)::DOUBLE * 100.0
+             END, 6) AS pct_change
+FROM by_year, latest
+GROUP BY {dim}, latest_year
+ORDER BY current_year_total DESC, {dim}
+LIMIT {limit}
+"""
+
+
+def _profile_columns_sql() -> str:
+    numeric = [
+        "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax",
+    ]
+    other = ["l_returnflag", "l_linestatus", "l_shipdate"]
+    parts = []
+    for c in numeric:
+        parts.append(
+            f"SELECT '{c}' AS column_name, count({c}) AS non_null_count, "
+            f"(count(*) - count({c}))::BIGINT AS null_count, "
+            f"count(DISTINCT {c}) AS distinct_count, "
+            f"min({c})::DOUBLE AS min_value, max({c})::DOUBLE AS max_value, "
+            f"round(avg({c}), 6) AS mean_value FROM lineitem"
+        )
+    for c in other:
+        parts.append(
+            f"SELECT '{c}' AS column_name, count({c}) AS non_null_count, "
+            f"(count(*) - count({c}))::BIGINT AS null_count, "
+            f"count(DISTINCT {c}) AS distinct_count, "
+            f"CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value, "
+            f"CAST(NULL AS DOUBLE) AS mean_value FROM lineitem"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    rows = num_hashes // bands
+    h = _MD5_INT.format(expr="s || '#' || i::VARCHAR")
+    band_exprs = ", ".join(
+        "STRUCT_PACK(band_id := {b}, band_hash := md5(list_aggregate("
+        "[sig[j]::VARCHAR for j in range({lo}, {hi})], 'string_agg', ',')))".format(
+            b=b, lo=b * rows + 1, hi=(b + 1) * rows + 1
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {SHINGLES},
+sigs AS (
+  SELECT doc_id, shingles,
+         [list_min([{h} for s in shingles]) for i in range(0, {num_hashes})] AS sig
+  FROM shingled
+),
+banded AS (
+  SELECT doc_id, shingles, unnest([{band_exprs}], recursive := true)
+  FROM sigs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+  FROM cand
+  JOIN shingled a ON a.doc_id = doc_a
+  JOIN shingled b ON b.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
+    half = bits // 2
+    h = _MD5_INT.format(expr="s")
+    return f"""
+WITH {SHINGLES},
+sigs AS (
+  SELECT doc_id,
+         (SELECT coalesce(sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << j) ELSE 0 END), 0)
+          FROM (
+            SELECT j, list_sum([CASE WHEN (({h}) & (1::BIGINT << j)) > 0
+                                     THEN 1 ELSE -1 END for s in shingles]) AS bitsum
+            FROM range(0, {bits}) r(j)
+          )
+         )::BIGINT AS simhash
+  FROM shingled
+),
+bucketed AS (
+  SELECT doc_id, simhash, 0 AS part, (simhash % (1::BIGINT << {half})) AS key FROM sigs
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS part, (simhash // (1::BIGINT << {half})) AS key FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
+  FROM bucketed x JOIN bucketed y
+    ON x.part = y.part AND x.key = y.key AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _lsh_plane_sql(p: int, emb: str, dim: int = 64) -> str:
+    w = _MD5_INT.format(expr=f"'plane{p}#' || i::VARCHAR")
+    return (
+        f"list_sum([{emb}[i+1]::DOUBLE * ((({w}) % 2001 - 1000) / 1000.0) "
+        f"for i in range(0, {dim})])"
+    )
+
+
+def _lsh_sig_sql(planes: list[int], emb: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN ({_lsh_plane_sql(p, emb)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, p in enumerate(planes)
+    )
+    return f"({terms})"
+
+
+def _ann_lsh_sql(n_queries: int = 8, k: int = 10, n_planes: int = 8) -> str:
+    half = n_planes // 2
+    lo = _lsh_sig_sql(list(range(half)), "embedding")
+    hi = _lsh_sig_sql(list(range(half, n_planes)), "embedding")
+    return f"""
+WITH banded AS (
+  SELECT vec_id, embedding, 0 AS band, {lo} AS key FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding, 1 AS band, {hi} AS key FROM embeddings
+),
+scored AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6)
+           AS cosine
+  FROM banded q JOIN banded c ON q.band = c.band AND q.key = c.key
+  WHERE q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, cand_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id)::INTEGER AS rank
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank
+"""
+
+
+def _stop_list() -> str:
+    return ", ".join(f"'{w}'" for w in EN_STOPWORDS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    clean = CLEAN
+    lclean = LCLEAN
+    toks = f"string_split({clean}, ' ')"
+    gap_us = 30 * 60 * 1_000_000
+    lang_scores = {
+        code: (
+            f"len(list_filter(string_split(lower(text), ' '), "
+            f"x -> x IN ({', '.join(repr(w) for w in markers)})))"
+        )
+        for code, markers in LANG_MARKERS.items()
+    }
+    best = "greatest(" + ", ".join(f"s_{c}" for c in LANG_MARKERS) + ")"
+    pred_cases = " ".join(
+        f"WHEN s_{c} = {best} THEN '{c}'" for c in LANG_MARKERS
+    )
+    return {
+        # A. time-series engine ------------------------------------------------
+        "monthly_series": f"WITH {ENRICHED}, {MONTHLY} SELECT * FROM monthly ORDER BY period",
+        "monthly_by_region": f"""
+WITH {ENRICHED}
+SELECT strftime(o_orderdate, '%Y-%m') AS period, r_name,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM enriched GROUP BY 1, 2 ORDER BY 1, 2""",
+        "annual_series": f"""
+WITH {ENRICHED}
+SELECT year(o_orderdate)::INTEGER AS year, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM enriched GROUP BY 1 ORDER BY 1""",
+        "annual_by_region": f"""
+WITH {ENRICHED}
+SELECT year(o_orderdate)::INTEGER AS year, r_name, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM enriched GROUP BY 1, 2 ORDER BY 1, 2""",
+        "nation_year_matrix": f"""
+WITH {ENRICHED}
+SELECT n_name, year(o_orderdate)::INTEGER AS year, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM enriched GROUP BY 1, 2 ORDER BY 1, 2""",
+        "nation_month_matrix": f"""
+WITH {ENRICHED}
+SELECT n_name, strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM enriched GROUP BY 1, 2 ORDER BY 1, 2""",
+        "top_nations_yoy": _yoy_sql("n_name", 10),
+        "top_regions_yoy": _yoy_sql("r_name", 5),
+        "rolling_12m": f"""
+WITH {ENRICHED}, {MONTHLY}
+SELECT period,
+       sum(n_orders) OVER (ORDER BY period ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)::BIGINT
+         AS recent_12m_total,
+       (sum(n_orders) OVER (ORDER BY period ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING))::BIGINT
+         AS prior_12m_total,
+       (count(n_orders) OVER (ORDER BY period ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING) = 12)
+         AS has_full_prior_window,
+       round(CASE WHEN sum(n_orders) OVER (ORDER BY period ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING) <> 0
+             THEN (sum(n_orders) OVER (ORDER BY period ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                   - sum(n_orders) OVER (ORDER BY period ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING))::DOUBLE
+                  / sum(n_orders) OVER (ORDER BY period ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING) * 100.0
+             END, 6) AS pct_change
+FROM monthly ORDER BY period""",
+        "ytd_comparison": f"""
+WITH {ENRICHED}, {MONTHLY},
+m AS (
+  SELECT period, n_orders::DOUBLE AS value,
+         substr(period, 1, 4)::INTEGER AS year, substr(period, 6, 2)::INTEGER AS month
+  FROM monthly
+),
+latest AS (
+  SELECT max(period) AS latest_period,
+         substr(max(period), 1, 4)::INTEGER AS latest_year,
+         substr(max(period), 6, 2)::INTEGER AS latest_month
+  FROM m
+),
+per_year AS (
+  SELECT latest_period, latest_year, latest_month, year, sum(value) AS ytd
+  FROM m, latest WHERE month <= latest_month GROUP BY 1, 2, 3, 4
+),
+agg AS (
+  SELECT latest_period,
+         sum(ytd) FILTER (WHERE year = latest_year) AS ytd_current_year,
+         sum(ytd) FILTER (WHERE year = latest_year - 1) AS ytd_previous_year,
+         round(avg(ytd) FILTER (WHERE year >= latest_year - 5 AND year < latest_year AND ytd > 0), 6)
+           AS ytd_5yr_avg
+  FROM per_year GROUP BY latest_period, latest_year, latest_month
+)
+SELECT latest_period, ytd_current_year, ytd_previous_year,
+       round(CASE WHEN ytd_previous_year IS NOT NULL AND ytd_previous_year <> 0
+             THEN (ytd_current_year - ytd_previous_year) / ytd_previous_year * 100.0 END, 6)
+         AS ytd_pct_change,
+       ytd_5yr_avg,
+       round(CASE WHEN ytd_5yr_avg IS NOT NULL AND ytd_5yr_avg <> 0
+             THEN (ytd_current_year - ytd_5yr_avg) / ytd_5yr_avg * 100.0 END, 6)
+         AS ytd_vs_5yr_avg_pct
+FROM agg""",
+        "same_month_prev_year": f"""
+WITH {ENRICHED},
+nm AS (
+  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n_orders
+  FROM enriched GROUP BY 1, 2
+),
+latest AS (
+  SELECT max(period) AS cur_period,
+         (substr(max(period), 1, 4)::INTEGER - 1)::VARCHAR || substr(max(period), 5, 3)
+           AS prev_period
+  FROM nm
+),
+agg AS (
+  SELECT n_name, cur_period, prev_period,
+         sum(n_orders) FILTER (WHERE period = cur_period) AS cur,
+         sum(n_orders) FILTER (WHERE period = prev_period) AS prev
+  FROM nm, latest
+  WHERE period = cur_period OR period = prev_period
+  GROUP BY 1, 2, 3
+)
+SELECT n_name, cur_period AS period,
+       coalesce(cur, 0)::BIGINT AS current_month_total,
+       coalesce(prev, 0)::BIGINT AS previous_month_total,
+       round(CASE WHEN coalesce(prev, 0) <> 0
+             THEN (coalesce(cur, 0) - coalesce(prev, 0))::DOUBLE / coalesce(prev, 0) * 100.0
+             END, 6) AS pct_change
+FROM agg ORDER BY current_month_total DESC, n_name LIMIT 10""",
+        "month_year_comparison": f"""
+WITH {ENRICHED}, {MONTHLY},
+m AS (
+  SELECT n_orders::DOUBLE AS value,
+         substr(period, 1, 4)::INTEGER AS year, substr(period, 6, 2)::INTEGER AS month
+  FROM monthly
+),
+latest AS (SELECT (max(year * 100 + month) // 100)::INTEGER AS latest_year FROM m)
+SELECT month,
+       sum(value) FILTER (WHERE year = latest_year) AS latest_year_value,
+       sum(value) FILTER (WHERE year = latest_year - 1) AS previous_year_value,
+       round(avg(value) FILTER (WHERE year >= latest_year - 5 AND year < latest_year), 6)
+         AS historical_avg
+FROM m, latest GROUP BY month ORDER BY month""",
+        # B. profiling / audit / catalog --------------------------------------
+        "profile_columns": f"SELECT * FROM ({_profile_columns_sql()}) ORDER BY column_name",
+        "catalog_summary": """
+SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       sum(n_chars)::BIGINT AS total_chars, round(avg(n_chars), 6) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY source ORDER BY source""",
+        "schema_audit": """
+WITH sigs AS (
+  SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS signature,
+         count(*) AS n_docs
+  FROM documents GROUP BY source
+),
+modal AS (
+  SELECT signature AS modal_signature FROM sigs
+  GROUP BY signature ORDER BY count(*) DESC, signature LIMIT 1
+)
+SELECT source, n_docs, signature, modal_signature,
+       (signature <> modal_signature) AS diverges
+FROM sigs, modal ORDER BY source""",
+        # C. freshness ---------------------------------------------------------
+        "freshness_cadence": f"""
+WITH iv AS (
+  SELECT user_id, ts,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+           / 86400000000.0 AS interval_days
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         count(*) AS observations,
+         count(*) FILTER (WHERE interval_days > 0) AS changes,
+         median(interval_days) FILTER (WHERE interval_days > 0) AS med,
+         stddev_pop(interval_days) FILTER (WHERE interval_days > 0) AS sd,
+         avg(interval_days) FILTER (WHERE interval_days > 0) AS mean_interval,
+         max(ts) AS last_observed_at
+  FROM iv GROUP BY user_id
+),
+cvd AS (
+  SELECT *, CASE WHEN changes >= 2 AND mean_interval <> 0 THEN sd / mean_interval END AS cv
+  FROM per_user
+)
+SELECT user_id, observations, changes,
+       round(med, 6) AS median_interval_days,
+       round(cv, 6) AS cv,
+       CASE WHEN observations >= 6 AND changes < 2 THEN 'ad_hoc'
+            WHEN changes < 3 THEN 'insufficient_data'
+            WHEN cv > 0.75 THEN 'irregular'
+            WHEN observations >= 30 AND med <= 1.5 THEN 'daily'
+            WHEN observations >= 8 AND med >= 5 AND med <= 10 THEN 'weekly'
+            WHEN med >= 25 AND med <= 35 THEN 'monthly'
+            ELSE 'irregular' END AS suggested_cadence,
+       CASE WHEN changes < 3 OR observations < 6 THEN 'low'
+            WHEN observations >= 30 AND (cv IS NULL OR cv <= 0.25) THEN 'high'
+            WHEN cv IS NULL OR cv <= 0.75 THEN 'medium'
+            ELSE 'low' END AS confidence,
+       last_observed_at
+FROM cvd ORDER BY user_id""",
+        "freshness_latest": """
+WITH per_user AS (
+  SELECT user_id, max(ts) AS last_observed_at, count(*) AS observations
+  FROM events GROUP BY user_id
+),
+latest AS (SELECT max(last_observed_at) AS as_of FROM per_user)
+SELECT user_id, observations, last_observed_at,
+       round((epoch_us(as_of) - epoch_us(last_observed_at)) / 86400000000.0, 6)
+         AS staleness_days
+FROM per_user, latest ORDER BY user_id""",
+        # D. text analysis -----------------------------------------------------
+        "text_cleanup": f"""
+SELECT doc_id, {clean} AS clean_text, length({clean})::INTEGER AS clean_chars,
+       regexp_matches({clean},
+         '(?i)^(receba|cadastre|whatsapp|newsletter|clique aqui para receber|siga nosso canal|termo de privacidade)\\b')
+         AS is_boilerplate,
+       (length({clean}) >= 40) AS is_useful_paragraph
+FROM documents ORDER BY doc_id""",
+        "token_count": f"""
+SELECT doc_id,
+       len({toks})::INTEGER AS n_tokens,
+       len(list_distinct({toks}))::INTEGER AS n_distinct_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::INTEGER
+         AS n_subword_tokens
+FROM documents ORDER BY doc_id""",
+        "text_quality": f"""
+WITH base AS (
+  SELECT doc_id, text,
+         len({toks})::INTEGER AS n_tokens,
+         len(list_filter({toks}, x -> lower(x) IN ({_stop_list()}))) AS n_stop,
+         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) AS n_punct
+  FROM documents
+),
+r AS (
+  SELECT doc_id, length(text)::INTEGER AS n_chars, n_tokens,
+         n_stop::DOUBLE / n_tokens AS stop_ratio,
+         n_punct::DOUBLE / length(text) AS punct_ratio
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(punct_ratio, 6) AS punct_ratio,
+       round(least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
+             + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score
+FROM r ORDER BY doc_id""",
+        "lang_id": f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {', '.join(f'{expr} AS s_{code}' for code, expr in lang_scores.items())}
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang,
+         CASE WHEN {best} <= 0 THEN 'unknown' {pred_cases} END AS predicted_lang
+  FROM scored
+)
+SELECT doc_id, lang, predicted_lang, (predicted_lang = lang) AS is_correct
+FROM p ORDER BY doc_id""",
+        "doc_fingerprint": f"""
+SELECT doc_id,
+       md5({lclean}) AS content_fingerprint,
+       md5(list_aggregate(list_sort(list_distinct(string_split({lclean}, ' '))),
+           'string_agg', ' ')) AS bag_fingerprint
+FROM documents ORDER BY doc_id""",
+        "url_merge": """
+WITH keyed AS (
+  SELECT regexp_replace(
+           lower('HTTPS://Example.COM/u/' || user_id::VARCHAR || '/item/'
+                 || json_extract_string(props, '$.k') || '/'),
+           '/+$', '') AS url_key,
+         event_type, event_id
+  FROM events
+)
+SELECT url_key, min(event_id) AS rank,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS categories,
+       count(*) AS n_rows
+FROM keyed GROUP BY url_key ORDER BY url_key""",
+        # E. dedup -------------------------------------------------------------
+        "dedup_exact": f"""
+SELECT md5({lclean}) AS content_fingerprint,
+       min(doc_id) AS canonical_doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
+        "dedup_ngram_jaccard": f"""
+WITH {SHINGLES},
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM shingled),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS common
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (n_a + n_b - common), 6) AS jaccard
+FROM pairs
+WHERE round(common::DOUBLE / (n_a + n_b - common), 6) >= 0.8
+ORDER BY doc_a, doc_b""",
+        "dedup_minhash": _minhash_sql(),
+        "dedup_simhash": _simhash_sql(),
+        "dedup_embedding": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)
+         AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)
+      >= 0.45
+ORDER BY vec_a, vec_b""",
+        # F. similarity search -------------------------------------------------
+        "ann_topk_bruteforce": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb)) * sqrt(list_dot_product(c.emb, c.emb))), 6)
+           AS cosine
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+)
+SELECT query_id, cand_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id)::INTEGER AS rank
+FROM scored
+QUALIFY rank <= 10
+ORDER BY query_id, rank""",
+        "ann_topk_lsh": _ann_lsh_sql(),
+        # G. relational breadth ------------------------------------------------
+        "q1_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""",
+        "q3_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10""",
+        "q5_region_volume": """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND s_nationkey = c_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name""",
+        "top_customers": """
+WITH per_cust AS (
+  SELECT c_custkey, c_name, n_name,
+         round(sum(o_totalprice), 2) AS lifetime_value,
+         count(*) AS n_orders
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2, 3
+)
+SELECT c_custkey, c_name, n_name, lifetime_value, n_orders,
+       row_number() OVER (PARTITION BY n_name ORDER BY lifetime_value DESC, c_custkey)::INTEGER
+         AS rank_in_nation
+FROM per_cust
+ORDER BY lifetime_value DESC, c_custkey
+LIMIT 20""",
+        "events_sessionize": f"""
+WITH flagged AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN (epoch_us(ts) - epoch_us(lag(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))) > {gap_us}
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 6) AS duration_minutes
+FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+        "events_windowed": """
+SELECT date_trunc('day', ts)::DATE AS day, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+        # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
+    }

@@ -46,9 +46,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # same truncation DuckDB applies when it reads nanos).
     ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
     if ts_field is not None and ts_field.dataType.typeName() == "long":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        # integer division — double division loses precision at
+        # nanosecond epoch magnitudes (~1.7e18 > 2^53)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
