@@ -213,15 +213,17 @@ def _lsh_sig_sql(planes: list[int], emb: str) -> str:
     return f"({terms})"
 
 
-def _ann_lsh_sql(n_queries: int = 8, k: int = 10, n_planes: int = 8) -> str:
-    half = n_planes // 2
-    lo = _lsh_sig_sql(list(range(half)), "embedding")
-    hi = _lsh_sig_sql(list(range(half, n_planes)), "embedding")
+def _ann_lsh_sql(n_queries: int = 8, k: int = 10, n_planes: int = 8, bands: int = 4) -> str:
+    per_band = n_planes // bands
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, embedding, {b} AS band, "
+        f"{_lsh_sig_sql(list(range(b * per_band, (b + 1) * per_band)), 'embedding')} AS key "
+        f"FROM embeddings"
+        for b in range(bands)
+    )
     return f"""
 WITH banded AS (
-  SELECT vec_id, embedding, 0 AS band, {lo} AS key FROM embeddings
-  UNION ALL
-  SELECT vec_id, embedding, 1 AS band, {hi} AS key FROM embeddings
+{band_selects}
 ),
 scored AS (
   SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id,

@@ -97,18 +97,22 @@ def ann_topk_lsh(
     n_queries: int = 8,
     k: int = 10,
     n_planes: int = 8,
+    bands: int = 4,
     dim: int = 64,
 ) -> DataFrame:
     """LSH-bucketed top-k: score only candidates whose signature equals
-    the query's signature in at least one of two plane half-bands.
+    the query's in at least one plane band (OR-of-ANDs amplification:
+    more bands → higher recall, more planes per band → smaller
+    buckets; tune bands/planes to the corpus size instead of scanning
+    everything).
 
     The candidate side is joined on the band key (equi-join on a
     bounded-cardinality bucket id) instead of broadcast-scoring
     everything — the shape that survives when both sides are huge.
     """
     planes = _hyperplanes(dim, n_planes)
-    half = n_planes // 2
-    lo, hi = planes[:half], planes[half:]
+    per_band = n_planes // bands
+    groups = [planes[b * per_band : (b + 1) * per_band] for b in range(bands)]
 
     def banded(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
         return df.select(
@@ -116,8 +120,13 @@ def ann_topk_lsh(
             F.col(emb_col),
             F.explode(
                 F.array(
-                    F.struct(F.lit(0).alias("band"), lsh_signature(F.col(emb_col), lo).alias("key")),
-                    F.struct(F.lit(1).alias("band"), lsh_signature(F.col(emb_col), hi).alias("key")),
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            lsh_signature(F.col(emb_col), grp).alias("key"),
+                        )
+                        for b, grp in enumerate(groups)
+                    ]
                 )
             ).alias("b"),
         ).select(id_col, emb_col, "b.band", "b.key")

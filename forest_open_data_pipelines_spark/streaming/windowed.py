@@ -40,8 +40,19 @@ def stream_events_from_parquet(
     in tests via maxFilesPerTrigger)."""
     if schema is None:
         schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (
+    # The streaming file source requires a directory path; stream the
+    # table directory and glob-filter to the events file(s).
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
+    # Same TIMESTAMP(NANOS) handling as the batch source layer
+    # (sources/tables.py): nanos surface as long → µs timestamp.
+    ts_field = next((f for f in stream.schema.fields if f.name == "ts"), None)
+    if ts_field is not None and ts_field.dataType.typeName() == "long":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream

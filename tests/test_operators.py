@@ -1,0 +1,142 @@
+"""Semantic invariants per operator family (beyond oracle parity)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from forest_open_data_pipelines_spark.operators import (
+    dedup,
+    freshness,
+    multimodal,
+    relational,
+    sessionize,
+    similarity,
+    timeseries,
+)
+from forest_open_data_pipelines_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+
+def _enriched(spark):
+    return timeseries.orders_enriched(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "nation"),
+        load_table(spark, SF_DIR, "region"),
+    )
+
+
+def test_enrichment_preserves_fact_rows(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    assert _enriched(spark).count() == orders.count()
+
+
+def test_monthly_series_sums_to_total(spark):
+    e = _enriched(spark)
+    monthly = timeseries.monthly_series(e)
+    assert monthly.agg(F.sum("n_orders")).first()[0] == e.count()
+
+
+def test_rolling_12m_first_window_has_no_prior(spark):
+    rows = timeseries.rolling_12m(
+        timeseries.monthly_series(_enriched(spark))
+    ).collect()
+    assert rows[0]["prior_12m_total"] is None
+    assert not rows[0]["has_full_prior_window"]
+    full = [r for r in rows if r["has_full_prior_window"]]
+    assert full, "expected at least one full prior window"
+    # recent window of the 12th-from-start period equals the sum of the
+    # first 12 monthly values
+    monthly = timeseries.monthly_series(_enriched(spark)).collect()
+    assert rows[11]["recent_12m_total"] == sum(m["n_orders"] for m in monthly[:12])
+
+
+def test_top_nations_sorted_and_bounded(spark):
+    rows = timeseries.top_nations_yoy(_enriched(spark)).collect()
+    assert len(rows) == 10
+    vals = [r["current_year_total"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_q1_group_count(spark):
+    rows = relational.q1_pricing_summary(load_table(spark, SF_DIR, "lineitem")).collect()
+    assert len(rows) <= 6 and len(rows) > 0
+    for r in rows:
+        assert r["sum_disc_price"] <= r["sum_base_price"]
+
+
+def test_freshness_cadence_thresholds(spark):
+    rows = freshness.freshness_cadence(load_table(spark, SF_DIR, "events")).collect()
+    assert rows
+    for r in rows:
+        assert r["suggested_cadence"] in {
+            "daily", "weekly", "monthly", "irregular", "ad_hoc", "insufficient_data",
+        }
+        assert r["confidence"] in {"low", "medium", "high"}
+        if r["changes"] < 3 or r["observations"] < 6:
+            assert r["confidence"] == "low"
+
+
+def test_sessionize_counts_events(spark):
+    events = load_table(spark, SF_DIR, "events")
+    sessions = sessionize.events_sessionize(events)
+    assert sessions.agg(F.sum("n_events")).first()[0] == events.count()
+    assert sessions.where(F.col("duration_minutes") < 0).count() == 0
+
+
+def test_dedup_minhash_subset_of_exact_jaccard(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_ngram_jaccard(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash(docs, threshold=0.8).collect()
+    }
+    assert lsh <= exact
+    # recall of the LSH candidate generation at these parameters
+    assert len(lsh) >= 0.8 * len(exact)
+
+
+def test_dedup_exact_partitions_corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    groups = dedup.dedup_exact(docs)
+    assert groups.agg(F.sum("n_docs")).first()[0] == docs.count()
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    brute = similarity.ann_topk_bruteforce(emb, n_queries=4, k=5).collect()
+    lsh = similarity.ann_topk_lsh(emb, n_queries=4, k=5).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    lsh_sets = {}
+    for r in lsh:
+        lsh_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(brute_sets[q] & lsh_sets.get(q, set())) / len(brute_sets[q])
+        for q in brute_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_multimodal_plumbing(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = multimodal.multimodal_features(docs)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    by_id = {r["media_id"]: r for r in rows}
+    sample = docs.orderBy("doc_id").first()
+    got = by_id[sample["doc_id"]]
+    assert got["n_bytes"] == len(sample["text"].encode("utf-8"))
+    assert got["media_type"] == "text/fake"
+    assert 0.0 <= got["byte_entropy_proxy"] <= 1.0
+
+
+def test_multimodal_real_decoder_is_stubbed():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"xx", "image/png")
