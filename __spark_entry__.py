@@ -127,8 +127,17 @@ def _profile_columns_sql() -> str:
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
     rows = num_hashes // bands
-    h = _MD5_INT.format(expr="s || '#' || i::VARCHAR")
+    base = _MD5_INT.format(expr="s") + f" % {MINHASH_P}"
+    mins = ", ".join(
+        f"list_min([({a} * x + {b}) % {MINHASH_P} for x in bases])"
+        for a, b in minhash_coeffs(num_hashes)
+    )
     band_exprs = ", ".join(
         "STRUCT_PACK(band_id := {b}, band_hash := md5(list_aggregate("
         "[sig[j]::VARCHAR for j in range({lo}, {hi})], 'string_agg', ',')))".format(
@@ -138,10 +147,11 @@ def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -
     )
     return f"""
 WITH {SHINGLES},
+based AS (
+  SELECT doc_id, shingles, [{base} for s in shingles] AS bases FROM shingled
+),
 sigs AS (
-  SELECT doc_id, shingles,
-         [list_min([{h} for s in shingles]) for i in range(0, {num_hashes})] AS sig
-  FROM shingled
+  SELECT doc_id, shingles, [{mins}] AS sig FROM based
 ),
 banded AS (
   SELECT doc_id, shingles, unnest([{band_exprs}], recursive := true)

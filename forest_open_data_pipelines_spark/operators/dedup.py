@@ -33,6 +33,28 @@ def _md5_int(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# MinHash universe: affine hashes (a_i·x + b_i) mod MINHASH_P over a
+# 31-bit md5-derived base value per shingle. One md5 per shingle total
+# (not per hash function); products stay < 2^62 so the arithmetic is
+# exact in int64 on any engine.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (prime)
+
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs derived from md5 — identical for
+    the Spark operator and the generated oracle SQL."""
+    import hashlib
+
+    coeffs = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:15], 16) % (
+            MINHASH_P - 1
+        ) + 1
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:15], 16) % MINHASH_P
+        coeffs.append((a, b))
+    return coeffs
+
+
 def _shingles(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array column (no explode —
     stays one row per doc until a join needs otherwise)."""
@@ -99,18 +121,25 @@ def minhash_signatures(
     documents: DataFrame, num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
     """MinHash signatures: sig[i] = min over shingles of
-    md5_int(shingle ∥ '#' ∥ i). Computed with array lambdas — one row
-    per doc, no explode, map-side only."""
-    sh = _shingles(F.col("text"), n)
+    (a_i·base(s) + b_i) mod p, base(s) = md5_int(s) mod p.
+
+    One md5 per shingle (the bases column), then num_hashes cheap
+    affine passes over the in-memory array — computed with array
+    lambdas, one row per doc, no explode, map-side only."""
+    bases = F.transform(
+        _shingles(F.col("text"), n), lambda s: _md5_int(s) % MINHASH_P
+    )
+    with_bases = documents.select("doc_id", bases.alias("bases"))
+    def _affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
     sigs = F.array(
         *[
-            F.array_min(
-                F.transform(sh, lambda s: _md5_int(F.concat(s, F.lit(f"#{i}"))))
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
+            F.array_min(F.transform(F.col("bases"), _affine(a, b)))
+            for a, b in minhash_coeffs(num_hashes)
         ]
     )
-    return documents.select("doc_id", sigs.alias("signature"))
+    return with_bases.select("doc_id", sigs.alias("signature"))
 
 
 def dedup_minhash(
