@@ -392,6 +392,41 @@ SELECT month,
        round(avg(value) FILTER (WHERE year >= latest_year - 5 AND year < latest_year), 6)
          AS historical_avg
 FROM m, latest GROUP BY month ORDER BY month""",
+        "research_trends": """
+WITH per_year AS (
+  SELECT o_orderpriority AS source, year(o_orderdate)::INTEGER AS year,
+         count(*) AS n_pubs
+  FROM orders GROUP BY 1, 2
+)
+SELECT source, year, n_pubs,
+       round((n_pubs - lag(n_pubs) OVER (PARTITION BY source ORDER BY year))::DOUBLE
+             / lag(n_pubs) OVER (PARTITION BY source ORDER BY year) * 100.0, 6)
+         AS yoy_pct,
+       round(n_pubs::DOUBLE / sum(n_pubs) OVER (PARTITION BY source) * 100.0, 6)
+         AS share_pct
+FROM per_year ORDER BY source, year""",
+        "monthly_chart_spec": f"""
+WITH {ENRICHED}, {MONTHLY},
+m AS (
+  SELECT n_orders::DOUBLE AS value,
+         substr(period, 1, 4)::INTEGER AS year, substr(period, 6, 2)::INTEGER AS month
+  FROM monthly
+),
+latest AS (SELECT max(year) AS latest_year FROM m),
+g AS (
+  SELECT month,
+         sum(value) FILTER (WHERE year = latest_year) AS current_value,
+         sum(value) FILTER (WHERE year = latest_year - 1) AS previous_value
+  FROM m, latest WHERE year >= latest_year - 1 GROUP BY month
+)
+SELECT month,
+       ['Jan','Fev','Mar','Abr','Mai','Jun','Jul','Ago','Set','Out','Nov','Dez'][month]
+         AS month_label,
+       current_value, previous_value,
+       round(CASE WHEN previous_value IS NOT NULL AND previous_value <> 0
+                  THEN (current_value - previous_value) / previous_value * 100.0 END, 6)
+         AS pct_change
+FROM g ORDER BY month""",
         # B. profiling / audit / catalog --------------------------------------
         "profile_columns": f"SELECT * FROM ({_profile_columns_sql()}) ORDER BY column_name",
         "catalog_summary": """

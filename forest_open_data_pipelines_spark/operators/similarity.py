@@ -45,15 +45,20 @@ def ann_topk_bruteforce(
     tie-break keeps the result deterministic across engines."""
     queries = F.broadcast(
         embeddings.where(F.col("vec_id") < n_queries).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_norm"),
         )
     )
+    # Norm computed BEFORE the join: one pass per candidate row, carried
+    # through the n_queries-way fan-out instead of recomputed per pair.
     cand = embeddings.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
     )
     cos = ratio(
-        _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     )
     scored = (
         cand.join(queries)
@@ -114,10 +119,14 @@ def ann_topk_lsh(
     per_band = n_planes // bands
     groups = [planes[b * per_band : (b + 1) * per_band] for b in range(bands)]
 
-    def banded(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    def banded(df: DataFrame, id_col: str, emb_col: str, norm_col: str) -> DataFrame:
+        # Norm + band signatures in one projection over the scan; the
+        # explode fans out AFTER the per-row math so each plane
+        # projection is computed once per vector, not once per band row.
         return df.select(
             F.col(id_col),
             F.col(emb_col),
+            _norm(F.col(emb_col)).alias(norm_col),
             F.explode(
                 F.array(
                     *[
@@ -129,7 +138,7 @@ def ann_topk_lsh(
                     ]
                 )
             ).alias("b"),
-        ).select(id_col, emb_col, "b.band", "b.key")
+        ).select(id_col, emb_col, norm_col, "b.band", "b.key")
 
     queries = F.broadcast(
         banded(
@@ -138,16 +147,17 @@ def ann_topk_lsh(
             ),
             "query_id",
             "q_emb",
+            "q_norm",
         )
     )
     cands = banded(
         embeddings.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")),
         "cand_id",
         "c_emb",
+        "c_norm",
     )
     cos = ratio(
-        _dot(F.col("q_emb"), F.col("c_emb"))
-        / (_norm(F.col("q_emb")) * _norm(F.col("c_emb")))
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     )
     scored = (
         cands.join(queries, ["band", "key"])

@@ -1,0 +1,103 @@
+"""Social/publication trend analytics.
+
+Spark-first re-expression of the reference's social deck compute:
+- ``social/research_trends/pipeline.py`` — per-year publication counts
+  per source with growth metrics (the chart/deck rendering around it is
+  presentation, not compute, and is out of scope).
+- ``social/bdqueimadas_monthly_chart.py`` — current-year monthly series
+  vs prior year with localized month labels (the chart-spec records).
+
+Mapping onto the driver testdata: ``orders`` ≈ publications,
+``o_orderpriority`` ≈ publication source, year(o_orderdate) ≈
+publication year.
+
+Scale notes: both operators aggregate the fact table FIRST (map-side
+partial counts on a few hundred (source, year) / (month) groups); the
+window functions run on the tiny post-aggregation frame only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from forest_open_data_pipelines_spark.functions.columns import (
+    ratio,
+    safe_pct_change,
+)
+
+# Reference: social/bdqueimadas_monthly_chart.py MONTH_LABELS_PT.
+MONTH_LABELS_PT = (
+    "Jan", "Fev", "Mar", "Abr", "Mai", "Jun",
+    "Jul", "Ago", "Set", "Out", "Nov", "Dez",
+)
+
+
+def research_trends(orders: DataFrame) -> DataFrame:
+    """Per-source, per-year publication counts with growth metrics.
+
+    Reference: social/research_trends/pipeline.py aggregates works into
+    per-year counts (Counter over publication_year) and the charts
+    module derives growth between consecutive years; here the same
+    series carries year-over-year pct change and each year's share of
+    its source's total.
+    """
+    per_year = orders.groupBy(
+        F.col("o_orderpriority").alias("source"),
+        F.year("o_orderdate").alias("year"),
+    ).agg(F.count("*").alias("n_pubs"))
+    w = Window.partitionBy("source").orderBy("year")
+    totals = Window.partitionBy("source")
+    prev = F.lag("n_pubs").over(w)
+    return per_year.select(
+        "source",
+        "year",
+        "n_pubs",
+        safe_pct_change(F.col("n_pubs").cast("double"), prev.cast("double")).alias(
+            "yoy_pct"
+        ),
+        ratio(F.col("n_pubs") / F.sum("n_pubs").over(totals) * 100.0).alias(
+            "share_pct"
+        ),
+    ).orderBy("source", "year")
+
+
+def monthly_chart_spec(monthly: DataFrame) -> DataFrame:
+    """Chart-spec records: per calendar month of the latest year —
+    localized label, current value, prior-year value, pct change.
+
+    Reference: social/bdqueimadas_monthly_chart.py builds chart_spec
+    rows for 'ano civil atual vs ano anterior' with MONTH_LABELS_PT;
+    input is the (tiny) national monthly series, so the self-comparison
+    is a broadcast of one scalar latest-year row.
+    """
+    m = monthly.select(
+        F.col("n_orders").cast("double").alias("value"),
+        F.substring("period", 1, 4).cast("int").alias("year"),
+        F.substring("period", 6, 2).cast("int").alias("month"),
+    )
+    latest = m.agg(F.max("year").alias("latest_year"))
+    labels = F.array(*[F.lit(x) for x in MONTH_LABELS_PT])
+    return (
+        m.join(F.broadcast(latest))
+        .where(F.col("year") >= F.col("latest_year") - 1)
+        .groupBy("month")
+        .agg(
+            F.sum(F.when(F.col("year") == F.col("latest_year"), F.col("value"))).alias(
+                "current_value"
+            ),
+            F.sum(
+                F.when(F.col("year") == F.col("latest_year") - 1, F.col("value"))
+            ).alias("previous_value"),
+        )
+        .select(
+            "month",
+            F.element_at(labels, F.col("month")).alias("month_label"),
+            "current_value",
+            "previous_value",
+            safe_pct_change(F.col("current_value"), F.col("previous_value")).alias(
+                "pct_change"
+            ),
+        )
+        .orderBy("month")
+    )

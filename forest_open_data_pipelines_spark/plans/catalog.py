@@ -16,6 +16,7 @@ from forest_open_data_pipelines_spark.operators import (
     relational,
     sessionize,
     similarity,
+    social,
     textops,
     timeseries,
 )
@@ -24,6 +25,12 @@ from forest_open_data_pipelines_spark.sources import load_table
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return [load_table(spark, sf_dir, n) for n in names]
+
+
+def _profile_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from forest_open_data_pipelines_spark.sources.formats import profile_files
+
+    return profile_files(spark, f"{sf_dir.rstrip('/')}/*.parquet")
 
 
 def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,6 +61,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
         timeseries.monthly_series(_enriched(s, d))
     ),
+    "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
+    "monthly_chart_spec": lambda s, d: social.monthly_chart_spec(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
     # B. profiling / audit / catalog
     "profile_columns": lambda s, d: profiling.profile_columns(
         load_table(s, d, "lineitem")
@@ -62,6 +73,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
+    "profile_files": lambda s, d: _profile_files(s, d),
     # C. freshness
     "freshness_cadence": lambda s, d: freshness.freshness_cadence(
         load_table(s, d, "events")

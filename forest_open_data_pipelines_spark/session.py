@@ -38,5 +38,17 @@ def get_spark(app_name: str = "forest-open-data-pipelines-spark") -> SparkSessio
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Incremental per-year cache refresh (sinks.write_incremental_by_year)
+        # must replace only the partitions present in the write.
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Managed-table storage (bucketed tables) out of the repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/spark-graft-derby",
+        )
     )
     return builder.getOrCreate()

@@ -1,0 +1,76 @@
+"""Parquet sinks: partitioned, incremental-by-year, and bucketed.
+
+Spark-first re-expression of the reference's report cache layer
+(``reports/builders/bdqueimadas_incremental.py``): it maintains
+per-year payload caches and refreshes only the years whose source
+files changed. Here that becomes partitioned parquet with DYNAMIC
+partition overwrite — rewriting one year's partition never touches the
+others — plus bucketed tables for shuffle-free repeated joins.
+
+Scale notes (100 TB):
+- Partition by coarse keys (year, date) only — high-cardinality
+  partition columns create millions of tiny files.
+- Dynamic partition overwrite is the idempotent incremental refresh:
+  re-running a year replaces exactly that year.
+- Bucketing pre-shuffles ONCE at write time; every later join/agg on
+  the bucket key skips its exchange. The classic trade for fact tables
+  joined repeatedly on the same key (orderkey, custkey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet write; readers get partition pruning on the
+    partition columns (PartitionFilters in the scan, zero I/O for
+    filtered-out partitions)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_incremental_by_year(
+    df: DataFrame,
+    path: str,
+    date_col: str,
+    years: list[int] | None = None,
+) -> None:
+    """Incremental per-year cache refresh (bdqueimadas_incremental.py's
+    per-year payloads): writes year partitions; with ``years`` given,
+    only those years are recomputed and — under dynamic partition
+    overwrite (set in the session) — only those partitions are
+    replaced. Idempotent: re-running a year is a no-op rewrite."""
+    out = df.withColumn("year", F.year(F.col(date_col)))
+    if years is not None:
+        out = out.where(F.col("year").isin(years))
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("year")
+        .parquet(path)
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed + sorted table: co-locates rows by hash(bucket key) at
+    write time so subsequent equi-joins/aggregations on that key run
+    without an Exchange. Requires saveAsTable (bucket metadata lives in
+    the catalog, not the files); pass ``path`` for an external location
+    (e.g. per-test temp dirs) instead of the warehouse."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    writer = writer.sortBy(sort_col or bucket_col)
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.format("parquet").saveAsTable(table_name)

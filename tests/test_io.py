@@ -1,0 +1,166 @@
+"""Sources (formats, detection) and sinks (partitioned, incremental,
+bucketed) — round-trip and plan-shape tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from forest_open_data_pipelines_spark.sinks import (
+    write_bucketed_table,
+    write_incremental_by_year,
+    write_partitioned,
+)
+from forest_open_data_pipelines_spark.sources import load_table
+from forest_open_data_pipelines_spark.sources.formats import (
+    detect_delimiter,
+    format_from_filename,
+    profile_files,
+    profile_table_files,
+    read_delimited,
+    read_json_lines,
+)
+
+
+# ── format / delimiter detection (profiling.py parity) ─────────────────
+
+
+def test_format_from_filename():
+    assert format_from_filename("a/b/focos_2024.csv") == "csv"
+    assert format_from_filename("x.tar.GZ") == "gz"
+    assert format_from_filename("noext") == "unknown"
+
+
+@pytest.mark.parametrize(
+    ("sample", "suffix", "expected"),
+    [
+        ("a;b;c\n1;2;3\n4;5;6", "csv", ";"),
+        ("a,b,c\n1,2,3\n4,5,6", "csv", ","),
+        ("a|b|c\n1|2|3\n4|5|6", "csv", "|"),
+        ("a\tb\n1\t2", "tsv", "\t"),
+        # sniffer failure → count heuristic
+        ("x;y;;", "csv", ";"),
+    ],
+)
+def test_detect_delimiter(sample, suffix, expected):
+    assert detect_delimiter(sample, suffix) == expected
+
+
+# ── delimited / json round-trips ───────────────────────────────────────
+
+
+def _orders_subset(spark):
+    return (
+        load_table(spark, SF_DIR, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def test_read_delimited_roundtrip(spark, tmp_path):
+    src = _orders_subset(spark)
+    path = str(tmp_path / "orders_csv")
+    src.write.option("header", True).option("sep", ";").csv(path)
+    back = read_delimited(spark, path, schema=src.schema)
+    assert back.count() == src.count()
+    assert [f.name for f in back.schema.fields] == [f.name for f in src.schema.fields]
+    assert (
+        back.agg(F.sum("o_totalprice")).collect()[0][0]
+        == pytest.approx(src.agg(F.sum("o_totalprice")).collect()[0][0])
+    )
+
+
+def test_read_json_lines_roundtrip(spark, tmp_path):
+    src = _orders_subset(spark)
+    path = str(tmp_path / "orders_json")
+    src.write.json(path)
+    back = read_json_lines(spark, path, schema=src.schema)
+    assert back.count() == src.count()
+    assert (
+        back.agg(F.sum("o_totalprice")).collect()[0][0]
+        == pytest.approx(src.agg(F.sum("o_totalprice")).collect()[0][0])
+    )
+
+
+def test_profile_files(spark):
+    prof = profile_files(spark, f"{SF_DIR}/*.parquet").collect()
+    names = [r.file_name for r in prof]
+    assert "lineitem.parquet" in names and "orders.parquet" in names
+    for r in prof:
+        assert r.format == "parquet"
+        assert r.size_bytes > 0
+        assert len(r.sha256) == 64
+
+
+def test_profile_table_files(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    prof = profile_table_files(orders).collect()
+    assert sum(r.n_rows for r in prof) == orders.count()
+
+
+# ── sinks ──────────────────────────────────────────────────────────────
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_part")
+    write_partitioned(orders, path, ["year"])
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    pruned = back.where(F.col("year") == 1996)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan
+    assert pruned.count() == orders.where(F.col("year") == 1996).count()
+
+
+def test_write_incremental_by_year_replaces_only_written_year(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    path = str(tmp_path / "orders_incr")
+    write_incremental_by_year(orders, path, "o_orderdate")
+    full = spark.read.parquet(path)
+    total = full.count()
+    y1996 = full.where(F.col("year") == 1996).count()
+
+    # Rewrite ONLY 1996 with a filtered subset — other years untouched.
+    half_1996 = orders.where(
+        (F.year("o_orderdate") == 1996) & (F.col("o_orderkey") % 2 == 0)
+    )
+    write_incremental_by_year(half_1996, path, "o_orderdate", years=[1996])
+    after = spark.read.parquet(path)
+    assert after.where(F.col("year") != 1996).count() == total - y1996
+    assert after.where(F.col("year") == 1996).count() == half_1996.count()
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    orders = load_table(spark, SF_DIR, "orders")
+    lineitem = load_table(spark, SF_DIR, "lineitem")
+    write_bucketed_table(
+        orders, "orders_b", "o_orderkey", 8, path=str(tmp_path / "orders_b")
+    )
+    write_bucketed_table(
+        lineitem.select("l_orderkey", "l_quantity"),
+        "lineitem_b",
+        "l_orderkey",
+        8,
+        path=str(tmp_path / "lineitem_b"),
+    )
+    ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey).where(
+        F.col("l_quantity").isNotNull()
+    )
+    # Force a sort-merge path so bucket co-location is what avoids the
+    # exchanges (a broadcast join would hide it at this tiny SF).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    assert joined.count() == orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).count()
