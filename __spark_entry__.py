@@ -611,6 +611,52 @@ FROM scored
 QUALIFY rank <= 10
 ORDER BY query_id, rank""",
         "ann_topk_lsh": _ann_lsh_sql(),
+        "ann_topk_ivf": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+params AS (SELECT greatest(1, ceil(count(*) / 16.0)::BIGINT) AS stride FROM e),
+cent AS (
+  SELECT vec_id AS cell_id, emb AS cent_emb FROM e, params WHERE vec_id % stride = 0
+),
+dists AS (
+  SELECT e.vec_id, e.emb, c.cell_id,
+         list_dot_product(e.emb, c.cent_emb)
+           / (sqrt(list_dot_product(e.emb, e.emb))
+              * sqrt(list_dot_product(c.cent_emb, c.cent_emb))) AS cell_cos
+  FROM e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, emb, cell_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id)
+           AS cell_rank
+  FROM dists
+),
+cands AS (SELECT vec_id AS cand_id, emb AS c_emb, cell_id FROM assign WHERE cell_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, cell_id
+  FROM assign WHERE vec_id < 8 AND cell_rank <= 2
+),
+scored AS (
+  SELECT DISTINCT query_id, cand_id,
+         round(list_dot_product(q_emb, c_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb))
+                  * sqrt(list_dot_product(c_emb, c_emb))), 6) AS cosine
+  FROM probes JOIN cands USING (cell_id)
+  WHERE cand_id <> query_id
+)
+SELECT query_id, cand_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id)::INTEGER
+         AS rank
+FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""",
+        # K. skew mitigation — salted/two-phase results must equal the
+        # plain join/agg the oracle computes.
+        "skew_two_phase_agg": """
+SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS total_value,
+       max(value) AS max_value, min(value) AS min_value
+FROM events GROUP BY event_type ORDER BY event_type""",
+        "skew_salted_join_agg": """
+SELECT c_nationkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey""",
         # G. relational breadth ------------------------------------------------
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -173,3 +173,81 @@ def ann_topk_lsh(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def ann_topk_ivf(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-flat top-k: partition vectors into cells around deterministic
+    seed centroids; score queries only against vectors in their
+    ``n_probe`` nearest cells.
+
+    Centroids are the vectors at a fixed id stride (≈``n_cells`` seeds,
+    no k-means training — deterministic and oracle-reproducible). The
+    centroid table is tiny and broadcast; assignment is one scan of the
+    embedding table (cross join with ~16 rows → argmin via window).
+    At 100 TB this is the inverted-file layout: the expensive top-k scan
+    touches ``n_probe/n_cells`` of the data instead of all of it, and
+    the cell map is exactly what a bucketed/partitioned-by-cell write
+    would persist for reuse.
+    """
+    from pyspark.sql import Window
+
+    total = embeddings.count()  # metadata-scale action: sizes the stride
+    stride = max(1, -(-total // n_cells))  # ceil
+    cent = F.broadcast(
+        embeddings.where(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("cell_id"),
+            F.col("embedding").alias("cent_emb"),
+            _norm(F.col("embedding")).alias("cent_norm"),
+        )
+    )
+    e = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    )
+    cell_cos = _dot(F.col("embedding"), F.col("cent_emb")) / (
+        F.col("v_norm") * F.col("cent_norm")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("cell_cos"), F.col("cell_id")
+    )
+    assign = (
+        e.join(cent)
+        .select("vec_id", "embedding", "v_norm", "cell_id", cell_cos.alias("cell_cos"))
+        .withColumn("cell_rank", F.row_number().over(w_assign))
+    )
+    cands = assign.where(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("v_norm").alias("c_norm"),
+        "cell_id",
+    )
+    probes = assign.where(
+        (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= n_probe)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("v_norm").alias("q_norm"),
+        "cell_id",
+    )
+    cos = ratio(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    )
+    scored = (
+        cands.join(F.broadcast(probes), "cell_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .distinct()
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -33,6 +33,55 @@ def _profile_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile_files(spark, f"{sf_dir.rstrip('/')}/*.parquet")
 
 
+def _skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.functions.skew import two_phase_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        two_phase_agg(
+            events,
+            key="event_type",
+            salt_from="event_id",
+            aggs={
+                "n_events": (F.count("*"), "sum"),
+                "total_value": (F.sum("value"), "sum"),
+                "max_value": (F.max("value"), "max"),
+                "min_value": (F.min("value"), "min"),
+            },
+        )
+        .select(
+            "event_type",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "max_value",
+            "min_value",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.functions.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return (
+        salted_join(orders, customer, key="o_custkey", salt_from="o_orderkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
 def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries.orders_enriched(
         *_t(spark, sf_dir, "orders", "customer", "nation", "region")
@@ -107,6 +156,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(
         load_table(s, d, "embeddings")
     ),
+    "ann_topk_ivf": lambda s, d: similarity.ann_topk_ivf(
+        load_table(s, d, "embeddings")
+    ),
     # G. relational breadth
     "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(
         load_table(s, d, "lineitem")
@@ -126,6 +178,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_windowed": lambda s, d: sessionize.events_windowed(
         load_table(s, d, "events")
     ),
+    # K. skew mitigation (semantics checked against plain join/agg oracle)
+    "skew_two_phase_agg": lambda s, d: _skew_two_phase(s, d),
+    "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # H. multimodal plumbing
     "multimodal_features": lambda s, d: multimodal.multimodal_features(
         load_table(s, d, "documents")

@@ -140,3 +140,29 @@ def test_multimodal_real_decoder_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         multimodal.decode_real(b"xx", "image/png")
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with n_probe=2 of ~16 cells: scoring ~1/8 of the corpus must
+    still recover a reasonable share of the exact top-k."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    brute = similarity.ann_topk_bruteforce(emb, n_queries=4, k=5).collect()
+    ivf = similarity.ann_topk_ivf(emb, n_queries=4, k=5).collect()
+    brute_sets: dict[int, set[int]] = {}
+    for r in brute:
+        brute_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    ivf_sets: dict[int, set[int]] = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["cand_id"])
+    recalls = [
+        len(brute_sets[q] & ivf_sets.get(q, set())) / len(brute_sets[q])
+        for q in brute_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    # every IVF hit is a true cosine (subset property: scores must agree
+    # with the bruteforce score for the same pair)
+    brute_scores = {(r["query_id"], r["cand_id"]): r["cosine"] for r in brute}
+    for r in ivf:
+        key = (r["query_id"], r["cand_id"])
+        if key in brute_scores:
+            assert r["cosine"] == brute_scores[key], key

@@ -1,0 +1,87 @@
+"""Plan-shape regression tests: the physical plans Catalyst picks for
+the headline queries must keep the properties the 100 TB design relies
+on — filter pushdown into the parquet scan, column pruning, broadcast
+joins for dims, and no Python row evaluation outside the multimodal
+stubs. A refactor that silently loses one of these still returns
+correct rows at test SF but regresses 100× at scale."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+from forest_open_data_pipelines_spark.plans.catalog import QUERIES
+
+
+def _plan(spark, name: str) -> str:
+    return (
+        QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def _read_schemas(plan: str) -> list[str]:
+    return re.findall(r"ReadSchema: struct<([^>]*)", plan)
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    (schema,) = _read_schemas(plan)
+    # 7 needed columns, not the full 16-column lineitem
+    assert "l_comment" not in schema and "l_orderkey" not in schema
+
+
+def test_q5_dims_broadcast_not_shuffled(spark):
+    plan = _plan(spark, "q5_region_volume")
+    assert "EqualTo(r_name,ASIA)" in plan  # region filter pushed
+    assert plan.count("BroadcastHashJoin") >= 3
+    # region/nation scans read only join/filter columns
+    assert any(s.strip() == "r_regionkey:int,r_name:string" for s in _read_schemas(plan))
+
+
+def test_timeseries_enrichment_broadcasts_dims(spark):
+    plan = _plan(spark, "monthly_by_region")
+    assert "BroadcastHashJoin" in plan
+    # orders scan reads only the 3 needed columns
+    assert any(
+        set(s.split(",")) <= {"o_custkey:bigint", "o_totalprice:double", "o_orderdate:timestamp_ntz"}
+        and "o_custkey:bigint" in s
+        for s in _read_schemas(plan)
+    )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_volume",
+        "top_customers",
+        "monthly_by_region",
+        "rolling_12m",
+        "freshness_cadence",
+        "events_sessionize",
+        "text_quality",
+        "dedup_exact",
+        "dedup_minhash",
+        "ann_topk_bruteforce",
+        "ann_topk_lsh",
+    ],
+)
+def test_no_python_row_eval_in_hot_paths(spark, name):
+    """Everything except the multimodal stubs must stay JVM-side:
+    no BatchEvalPython (row-at-a-time UDF), no ArrowEvalPython."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+def test_ann_bruteforce_broadcasts_queries_no_shuffle_of_candidates(spark):
+    plan = _plan(spark, "ann_topk_bruteforce")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the candidate side must NOT be exchanged before the join
+    join_idx = plan.find("Broadcast")
+    assert "Exchange hashpartitioning(cand_id" not in plan[:join_idx]
