@@ -21,6 +21,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     LongType,
     StringType,
@@ -78,6 +79,7 @@ def extract_features(media: DataFrame) -> DataFrame:
     mapInPandas (deterministic fake decoder)."""
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
@@ -85,10 +87,10 @@ def extract_features(media: DataFrame) -> DataFrame:
             for media_id, payload, meta in zip(
                 pdf["media_id"], pdf["payload"], pdf["meta"]
             ):
-                data = bytes(payload)
-                n = len(data)
-                mean = float(sum(data)) / n if n else None
-                distinct = len(set(data))
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = int(data.size)
+                mean = float(data.mean()) if n else None
+                distinct = int(np.unique(data).size)
                 rows.append(
                     {
                         "media_id": int(media_id),
@@ -106,3 +108,97 @@ def extract_features(media: DataFrame) -> DataFrame:
 def multimodal_features(documents: DataFrame) -> DataFrame:
     """End-to-end plumbing query: documents → media table → features."""
     return extract_features(as_media_table(documents)).orderBy("media_id")
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), False),
+        StructField("height", LongType(), False),
+        StructField("resized", BinaryType(), False),
+        StructField("checksum", DoubleType(), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", LongType(), False),
+        StructField("frame_bytes", LongType(), False),
+        StructField("frame_mean", DoubleType(), True),
+    ]
+)
+
+
+def resize_media(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """Deterministic fake resize: payload bytes nearest-neighbor-sampled
+    onto a width×height grid (a real implementation swaps the sampling
+    line for PIL/ffmpeg — see ``decode_real``). Shows the 1→1 binary-in
+    binary-out mapInPandas shape with typed output dims."""
+
+    def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        target = width * height
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if data.size == 0:
+                    out = np.zeros(target, dtype=np.uint8)
+                else:
+                    # nearest-neighbor index map — the deterministic
+                    # stand-in for a real interpolation kernel
+                    idx = (np.arange(target) * data.size) // target
+                    out = data[idx]
+                rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "width": width,
+                        "height": height,
+                        "resized": out.tobytes(),
+                        "checksum": round(float(out.mean()), 6),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataFrame:
+    """Frame sampling: treat the payload as a sequence of fixed-size
+    frames and emit every ``every_n``-th one — the 1→N fan-out shape
+    (video → sampled frames) where the expansion happens inside the
+    Arrow batch, before anything shuffles."""
+
+    def _frames(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = max(1, -(-data.size // frame_size)) if data.size else 0
+                for fi in range(0, n_frames, every_n):
+                    chunk = data[fi * frame_size : (fi + 1) * frame_size]
+                    rows.append(
+                        {
+                            "media_id": int(media_id),
+                            "frame_index": fi,
+                            "frame_bytes": int(chunk.size),
+                            "frame_mean": round(float(chunk.mean()), 6)
+                            if chunk.size
+                            else None,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def multimodal_frames(documents: DataFrame) -> DataFrame:
+    """End-to-end frame-sampling query: documents → media → sampled
+    frames (1→N inside Arrow batches)."""
+    return sample_frames(as_media_table(documents)).orderBy("media_id", "frame_index")

@@ -185,6 +185,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": lambda s, d: multimodal.multimodal_features(
         load_table(s, d, "documents")
     ),
+    "multimodal_frames": lambda s, d: multimodal.multimodal_frames(
+        load_table(s, d, "documents")
+    ),
 }
 
 

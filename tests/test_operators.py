@@ -166,3 +166,34 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
         key = (r["query_id"], r["cand_id"])
         if key in brute_scores:
             assert r["cosine"] == brute_scores[key], key
+
+
+def test_multimodal_resize_and_frames(spark):
+    """Resize: fixed output dims and byte count; frames: 1→N fan-out
+    with deterministic stride and exact reconstruction of frame sizes."""
+    from forest_open_data_pipelines_spark.operators import multimodal as mm
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    media = mm.as_media_table(docs)
+
+    resized = mm.resize_media(media, width=8, height=8).collect()
+    assert len(resized) == 50
+    for r in resized:
+        assert r["width"] == 8 and r["height"] == 8
+        assert len(r["resized"]) == 64
+        assert 0.0 <= r["checksum"] <= 255.0
+
+    frames = mm.sample_frames(media, frame_size=64, every_n=4).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["media_id"], []).append(r)
+    src = {r["media_id"]: r["payload"] for r in media.collect()}
+    assert set(by_doc) == set(src)
+    for mid, rows in by_doc.items():
+        n = len(bytes(src[mid]))
+        n_frames = max(1, -(-n // 64)) if n else 0
+        expected = list(range(0, n_frames, 4))
+        assert [r["frame_index"] for r in sorted(rows, key=lambda x: x["frame_index"])] == expected
+        for r in rows:
+            lo = r["frame_index"] * 64
+            assert r["frame_bytes"] == min(64, n - lo)
