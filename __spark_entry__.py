@@ -434,6 +434,38 @@ SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
        sum(n_chars)::BIGINT AS total_chars, round(avg(n_chars), 6) AS avg_chars,
        min(n_chars) AS min_chars, max(n_chars) AS max_chars
 FROM documents GROUP BY source ORDER BY source""",
+        "type_inference": r"""
+WITH stacked AS (
+  SELECT 'o_orderkey' AS column_name, o_orderkey::VARCHAR AS value FROM orders
+  UNION ALL SELECT 'o_totalprice', o_totalprice::VARCHAR FROM orders
+  UNION ALL SELECT 'o_orderdate', o_orderdate::VARCHAR FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus::VARCHAR FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+),
+t AS (SELECT column_name, trim(value) AS v FROM stacked),
+agg AS (
+  SELECT column_name,
+         count(*) FILTER (WHERE v IS NOT NULL AND v <> '') AS n_values,
+         count(*) FILTER (WHERE v IS NOT NULL AND v <> ''
+                          AND regexp_full_match(v, '-?\d+(\.\d+)?([eE][+-]?\d+)?')) AS n_num,
+         count(*) FILTER (WHERE v IS NOT NULL AND v <> ''
+                          AND regexp_full_match(v, '-?\d+')) AS n_int,
+         count(*) FILTER (WHERE v IS NOT NULL AND v <> ''
+                          AND regexp_full_match(v, '\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?)?')) AS n_date,
+         count(DISTINCT v) FILTER (WHERE v IS NOT NULL AND v <> '') AS n_distinct
+  FROM t GROUP BY column_name
+)
+SELECT column_name, n_values, n_distinct,
+       round(n_num::DOUBLE / n_values, 6) AS numeric_ratio,
+       round(n_date::DOUBLE / n_values, 6) AS datetime_ratio,
+       CASE WHEN n_values = 0 THEN 'empty'
+            WHEN n_num::DOUBLE / n_values >= 0.95
+                 AND n_int::DOUBLE / n_values >= 0.95 THEN 'int'
+            WHEN n_num::DOUBLE / n_values >= 0.95 THEN 'float'
+            WHEN n_date::DOUBLE / n_values >= 0.8 THEN 'datetime'
+            WHEN n_distinct <= 5 AND n_values >= 10 THEN 'categorical'
+            ELSE 'string' END AS inferred_kind
+FROM agg ORDER BY column_name""",
         "schema_audit": """
 WITH sigs AS (
   SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS signature,

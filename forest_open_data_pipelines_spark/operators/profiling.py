@@ -120,3 +120,76 @@ def schema_audit(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Type-inference thresholds — audits/utils.py:126-150 infer_series_kind.
+NUMERIC_RE = r"^-?\d+(\.\d+)?([eE][+-]?\d+)?$"
+INT_RE = r"^-?\d+$"
+DATETIME_RE = r"^\d{4}-\d{2}-\d{2}([ T]\d{2}:\d{2}:\d{2}(\.\d+)?)?$"
+
+
+def infer_types(strings: DataFrame) -> DataFrame:
+    """Per-column type inference over an all-string two-column frame
+    ``(column_name, value)``.
+
+    Mirrors audits/utils.py ``infer_series_kind``: trim, drop empties;
+    numeric ratio ≥ .95 → int (int ratio ≥ .95) else float; datetime
+    ratio ≥ .8 → datetime; ≤5 distinct with ≥10 values → categorical;
+    else string. The pandas to_numeric/to_datetime parsers are replaced
+    by explicit regexes so any engine (and the SQL oracle) classifies
+    identically.
+
+    One scan → stack → partial-agg on a handful of column_name keys;
+    regex matching is JVM-side codegen, no Python.
+    """
+    v = F.trim(F.col("value"))
+    usable = v.isNotNull() & (v != "")
+    agg = (
+        strings.groupBy("column_name")
+        .agg(
+            F.sum(F.when(usable, 1).otherwise(0)).alias("n_values"),
+            F.sum(F.when(usable & v.rlike(NUMERIC_RE), 1).otherwise(0)).alias("n_num"),
+            F.sum(F.when(usable & v.rlike(INT_RE), 1).otherwise(0)).alias("n_int"),
+            F.sum(F.when(usable & v.rlike(DATETIME_RE), 1).otherwise(0)).alias(
+                "n_date"
+            ),
+            F.count_distinct(F.when(usable, v)).alias("n_distinct"),
+        )
+    )
+    n = F.col("n_values")
+    kind = (
+        F.when(n == 0, "empty")
+        .when(
+            (F.col("n_num") / n >= 0.95) & (F.col("n_int") / n >= 0.95), "int"
+        )
+        .when(F.col("n_num") / n >= 0.95, "float")
+        .when(F.col("n_date") / n >= 0.8, "datetime")
+        .when((F.col("n_distinct") <= 5) & (n >= 10), "categorical")
+        .otherwise("string")
+    )
+    return agg.select(
+        "column_name",
+        "n_values",
+        "n_distinct",
+        ratio(F.col("n_num") / n).alias("numeric_ratio"),
+        ratio(F.col("n_date") / n).alias("datetime_ratio"),
+        kind.alias("inferred_kind"),
+    ).orderBy("column_name")
+
+
+def type_inference(orders: DataFrame) -> DataFrame:
+    """Audit query: infer kinds of orders columns rendered as strings —
+    the 'this CSV column is really an int/date/category' audit the
+    reference runs on synced resources."""
+    stacked = orders.select(
+        F.expr(
+            "stack(5, "
+            "'o_orderkey', cast(o_orderkey AS string), "
+            "'o_totalprice', cast(o_totalprice AS string), "
+            "'o_orderdate', cast(o_orderdate AS string), "
+            "'o_orderstatus', cast(o_orderstatus AS string), "
+            "'o_orderpriority', cast(o_orderpriority AS string)"
+            ") AS (column_name, value)"
+        )
+    )
+    return infer_types(stacked)

@@ -123,6 +123,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
     "profile_files": lambda s, d: _profile_files(s, d),
+    "type_inference": lambda s, d: profiling.type_inference(
+        load_table(s, d, "orders")
+    ),
     # C. freshness
     "freshness_cadence": lambda s, d: freshness.freshness_cadence(
         load_table(s, d, "events")

@@ -100,3 +100,57 @@ def test_cadence_monitor_matches_batch(spark, tmp_path):
         else:
             assert g["cv"] == pytest.approx(b["cv"], abs=2e-6), uid
         assert g["last_observed_at"] == b["last_observed_at"], uid
+
+
+def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
+    """Streaming sessions: once the stream drains, the emitted (closed)
+    sessions must equal the batch result minus each user's final
+    session (which is still open — no later event ever closes it)."""
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        events_sessionize,
+    )
+    from forest_open_data_pipelines_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    stream = stream_events_from_parquet(spark, SF_DIR)
+    query = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            (r["user_id"], r["session_seq"]): (
+                r["session_start"],
+                r["session_end"],
+                r["n_events"],
+                r["total_value"],
+                r["duration_minutes"],
+            )
+            for r in spark.sql("SELECT * FROM sessions_test").collect()
+        }
+    finally:
+        query.stop()
+
+    batch_rows = events_sessionize(load_table(spark, SF_DIR, "events")).collect()
+    last_seq = {}
+    for r in batch_rows:
+        last_seq[r["user_id"]] = max(last_seq.get(r["user_id"], -1), r["session_seq"])
+    expected = {
+        (r["user_id"], r["session_seq"]): (
+            r["session_start"],
+            r["session_end"],
+            r["n_events"],
+            r["total_value"],
+            r["duration_minutes"],
+        )
+        for r in batch_rows
+        if r["session_seq"] != last_seq[r["user_id"]]
+    }
+    assert len(got) == len(expected)
+    assert got == expected
