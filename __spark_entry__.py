@@ -392,6 +392,17 @@ SELECT month,
        round(avg(value) FILTER (WHERE year >= latest_year - 5 AND year < latest_year), 6)
          AS historical_avg
 FROM m, latest GROUP BY month ORDER BY month""",
+        "top_nations_with_other": f"""
+WITH {ENRICHED},
+per_cat AS (SELECT n_name AS label, count(*) AS value FROM enriched GROUP BY 1),
+ranked AS (
+  SELECT label, value,
+         row_number() OVER (ORDER BY value DESC, label) AS rank
+  FROM per_cat
+)
+SELECT CASE WHEN rank <= 4 THEN label ELSE 'Outros' END AS label,
+       sum(value)::BIGINT AS value
+FROM ranked GROUP BY 1""",
         "research_trends": """
 WITH per_year AS (
   SELECT o_orderpriority AS source, year(o_orderdate)::INTEGER AS year,

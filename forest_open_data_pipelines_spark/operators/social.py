@@ -101,3 +101,33 @@ def monthly_chart_spec(monthly: DataFrame) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+def top_n_with_other(
+    enriched: DataFrame, dim: str = "n_name", top_n: int = 4
+) -> DataFrame:
+    """Top-N categories by count with the remainder collapsed into an
+    'Outros' bucket.
+
+    Reference: social/bdqueimadas_daily/pipeline.py ``top_n_with_other``
+    (state/biome rank cards). Aggregate-first: the rank and the Outros
+    collapse both run on the tiny per-category frame, never raw rows.
+    'Outros' sorts last regardless of size (chart convention), matching
+    the reference's append-at-end behavior.
+    """
+    per_cat = enriched.groupBy(F.col(dim).alias("label")).agg(
+        F.count("*").alias("value")
+    )
+    w = Window.orderBy(F.desc("value"), "label")
+    ranked = per_cat.withColumn("rank", F.row_number().over(w))
+    return (
+        ranked.select(
+            F.when(F.col("rank") <= top_n, F.col("label"))
+            .otherwise(F.lit("Outros"))
+            .alias("label"),
+            "value",
+        )
+        .groupBy("label")
+        .agg(F.sum("value").alias("value"))
+        .orderBy(F.when(F.col("label") == "Outros", 1).otherwise(0), F.desc("value"), "label")
+    )

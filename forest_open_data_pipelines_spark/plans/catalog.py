@@ -114,6 +114,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_chart_spec": lambda s, d: social.monthly_chart_spec(
         timeseries.monthly_series(_enriched(s, d))
     ),
+    "top_nations_with_other": lambda s, d: social.top_n_with_other(
+        _enriched(s, d)
+    ),
     # B. profiling / audit / catalog
     "profile_columns": lambda s, d: profiling.profile_columns(
         load_table(s, d, "lineitem")
