@@ -114,6 +114,11 @@ def ann_topk_lsh(
     The candidate side is joined on the band key (equi-join on a
     bounded-cardinality bucket id) instead of broadcast-scoring
     everything — the shape that survives when both sides are huge.
+
+    Candidate (query, cand) id pairs are deduplicated BEFORE scoring:
+    a pair matching in k of the bands would otherwise pay its 64-dim
+    dot product k times. Ids dedup in a tiny shuffle; embeddings join
+    back once per unique pair.
     """
     planes = _hyperplanes(dim, n_planes)
     per_band = n_planes // bands
@@ -140,7 +145,7 @@ def ann_topk_lsh(
             ).alias("b"),
         ).select(id_col, emb_col, norm_col, "b.band", "b.key")
 
-    queries = F.broadcast(
+    q_banded = F.broadcast(
         banded(
             embeddings.where(F.col("vec_id") < n_queries).select(
                 F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
@@ -148,22 +153,39 @@ def ann_topk_lsh(
             "query_id",
             "q_emb",
             "q_norm",
-        )
+        ).select("query_id", "band", "key")
     )
-    cands = banded(
+    c_banded = banded(
         embeddings.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")),
         "cand_id",
         "c_emb",
         "c_norm",
+    ).select("cand_id", "band", "key")
+    pairs = (
+        c_banded.join(q_banded, ["band", "key"])
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    q_emb = F.broadcast(
+        embeddings.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    c_emb = embeddings.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
     )
     cos = ratio(
         _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     )
     scored = (
-        cands.join(queries, ["band", "key"])
-        .where(F.col("cand_id") != F.col("query_id"))
+        pairs.join(c_emb, "cand_id")
+        .join(q_emb, "query_id")
         .select("query_id", "cand_id", cos.alias("cosine"))
-        .distinct()
     )
     from pyspark.sql import Window
 
