@@ -590,7 +590,12 @@ FROM p ORDER BY doc_id""",
 SELECT doc_id,
        md5({lclean}) AS content_fingerprint,
        md5(list_aggregate(list_sort(list_distinct(string_split({lclean}, ' '))),
-           'string_agg', ' ')) AS bag_fingerprint
+           'string_agg', ' ')) AS bag_fingerprint,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           [{_MD5_INT.format(expr='t')} % 2147483647
+            for t in string_split({lclean}, ' ')]),
+         (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_hash
 FROM documents ORDER BY doc_id""",
         "url_merge": """
 WITH keyed AS (

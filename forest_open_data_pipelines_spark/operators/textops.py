@@ -135,14 +135,39 @@ def lang_id(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# Polynomial rolling-hash parameters: base/modulus chosen so
+# acc*B + h stays within int64 (M < 2^31, B small, h < M).
+ROLLING_B = 1_000_003
+ROLLING_M = 2_147_483_647
+
+
 def doc_fingerprint(documents: DataFrame) -> DataFrame:
-    """Deterministic content fingerprints: md5 of normalized text
-    (order-sensitive) and md5 of the sorted distinct token bag
-    (order-insensitive), the two keys exact/near dedup hangs off."""
+    """Deterministic content fingerprints:
+    - md5 of normalized text (exact, order-sensitive),
+    - md5 of the sorted distinct token bag (order-insensitive),
+    - Rabin-Karp polynomial rolling hash over the token sequence
+      (order-sensitive, incrementally updatable — the fingerprint a
+      streaming ingester can maintain without re-reading the document).
+    Computed in one projection over a materialized token column (HOF
+    lambdas re-evaluate inlined expressions per element otherwise)."""
     cleaned = F.lower(clean_text(F.col("text")))
-    bag = F.array_join(F.array_sort(F.array_distinct(F.split(cleaned, " "))), " ")
-    return documents.select(
+    toks = documents.select("doc_id", cleaned.alias("cleaned")).select(
+        "doc_id", "cleaned", F.split("cleaned", " ").alias("toks")
+    )
+    bag = F.array_join(F.array_sort(F.array_distinct(F.col("toks"))), " ")
+    token_h = F.transform(
+        F.col("toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        % ROLLING_M,
+    )
+    rolling = F.aggregate(
+        token_h,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * ROLLING_B + h) % ROLLING_M,
+    )
+    return toks.select(
         "doc_id",
-        F.md5(cleaned).alias("content_fingerprint"),
+        F.md5("cleaned").alias("content_fingerprint"),
         F.md5(bag).alias("bag_fingerprint"),
+        rolling.alias("rolling_hash"),
     ).orderBy("doc_id")

@@ -1,0 +1,68 @@
+"""Property-based tests (hypothesis) for the pure deterministic
+helpers that both the Spark operators and the generated oracle SQL
+depend on — these must hold for ANY input, not just the testdata."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from forest_open_data_pipelines_spark.operators.dedup import (
+    MINHASH_P,
+    minhash_coeffs,
+)
+from forest_open_data_pipelines_spark.sources.formats import (
+    detect_delimiter,
+    format_from_filename,
+)
+from forest_open_data_pipelines_spark.streaming.sessions import _round_half_up
+
+
+@given(st.integers(min_value=1, max_value=64))
+def test_minhash_coeffs_in_field_and_stable(n):
+    coeffs = minhash_coeffs(n)
+    assert len(coeffs) == n
+    for a, b in coeffs:
+        # a must be a unit (non-zero) so the affine map is a bijection
+        # over Z_p — otherwise a hash collapses everything to b.
+        assert 1 <= a < MINHASH_P
+        assert 0 <= b < MINHASH_P
+    # prefix-stability: extending the family never changes earlier coeffs
+    assert minhash_coeffs(max(1, n - 1)) == coeffs[: max(1, n - 1)]
+    # exact int64 safety: worst-case a*x+b stays under 2^63
+    x_max = MINHASH_P - 1
+    assert (MINHASH_P - 1) * x_max + (MINHASH_P - 1) < 2**63
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6), min_size=2, max_size=6),
+        min_size=2,
+        max_size=8,
+    ),
+    st.sampled_from([";", ",", "|", "\t"]),
+)
+def test_detect_delimiter_roundtrip(rows, delim):
+    """A clean table rendered with delimiter D sniffs back to D."""
+    sample = "\n".join(delim.join(cells) for cells in rows)
+    # csv.Sniffer needs consistent column counts; enforce
+    width = len(rows[0])
+    sample = "\n".join(delim.join((cells + ["x"] * width)[:width]) for cells in rows)
+    assert detect_delimiter(sample, "csv") == delim
+
+
+@given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), st.integers(2, 6))
+@settings(max_examples=200)
+def test_round_half_up_matches_decimal_semantics(v, dp):
+    r = _round_half_up(v, dp)
+    assert abs(r - v) <= 0.5 * 10**-dp + 1e-12
+    # idempotent
+    assert _round_half_up(r, dp) == r
+
+
+@given(st.text(alphabet="abcXYZ019._-/", min_size=1, max_size=30))
+def test_format_from_filename_total(name):
+    fmt = format_from_filename(name)
+    assert fmt  # never empty
+    assert fmt == fmt.lower()
+    assert "/" not in fmt

@@ -154,3 +154,77 @@ def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     }
     assert len(got) == len(expected)
     assert got == expected
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Three micro-batches: (A) days 1-5 advance the watermark to day 3;
+    (B) a day-1 straggler (beyond watermark → dropped) plus a day-3
+    straggler (within watermark → absorbed into the open window);
+    (C) a day-8 event advances the watermark so windows 3-5 finalize.
+    The emitted day-3 window must include B's straggler; day 1 must have
+    emitted exactly once with A's count only."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import Row
+
+    from forest_open_data_pipelines_spark.streaming.windowed import (
+        windowed_counts_stream,
+    )
+
+    def ev(eid, day, hour=0):
+        return Row(
+            event_id=eid,
+            ts=dt.datetime(2024, 3, day, hour),
+            user_id=1,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    batch_a = [ev(i, d) for i, d in enumerate([1, 1, 2, 3, 4, 5])]
+    batch_b = [ev(100, 1, 6), ev(101, 3, 12)]  # beyond-wm, within-wm
+    batch_c = [ev(200, 8)]
+
+    schema = spark.createDataFrame(batch_a).schema
+
+    def write_batch(rows, name, mtime):
+        p = str(src / name)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p)
+        for f in os.listdir(p):
+            os.utime(os.path.join(p, f), (mtime, mtime))
+
+    write_batch(batch_a, "a.parquet", 1_000_000)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*.parquet"))
+    )
+    query = (
+        windowed_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        write_batch(batch_b, "b.parquet", 2_000_000)
+        query.processAllAvailable()
+        write_batch(batch_c, "c.parquet", 3_000_000)
+        query.processAllAvailable()
+        rows = {
+            str(r["day"]): r["n_events"]
+            for r in spark.sql("SELECT * FROM wm_test WHERE event_type='click'").collect()
+        }
+    finally:
+        query.stop()
+
+    assert rows["2024-03-01"] == 2  # A only — B's day-1 straggler dropped
+    assert rows["2024-03-03"] == 2  # A's event + B's within-watermark straggler
+    assert rows["2024-03-04"] == 1 and rows["2024-03-05"] == 1
