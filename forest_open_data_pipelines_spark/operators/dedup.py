@@ -95,6 +95,29 @@ def _shingles(text: Column, n: int = 3) -> Column:
     return _shingles_from_tokens(toks, n)
 
 
+def hashed_shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, hashes) — distinct 60-bit md5 ints of the word n-grams.
+
+    Hash-then-distinct: the n-gram strings are hashed BEFORE
+    deduplication so array_distinct compares longs, not strings —
+    ~4× cheaper than ``shingle_table`` + hashing, with the identical
+    value set up to md5 collisions (~|grams|²/2⁶⁰ per doc). Every dedup
+    operator consumes hashes, never the strings, so this is the shared
+    entry point."""
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    tok_df = documents.select("doc_id", toks.alias("toks"))
+    t = F.col("toks")
+    sz = F.size(t)
+    m = sz - (n - 1)
+    acc = F.slice(t, n, m)
+    for i in range(n - 2, -1, -1):
+        acc = F.zip_with(F.slice(t, i + 1, m), acc, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.when(sz >= n, acc).otherwise(F.array(F.array_join(t, " ")))
+    return tok_df.select(
+        "doc_id", F.array_distinct(F.transform(grams, _md5_int)).alias("hashes")
+    )
+
+
 def dedup_exact(documents: DataFrame) -> DataFrame:
     """Exact dedup by normalized-content fingerprint: one row per
     fingerprint with the canonical (min) doc id and group size.
@@ -122,10 +145,10 @@ def dedup_ngram_jaccard(
     8-byte shuffle key instead of a ~20-byte one, same pairs up to md5
     collisions.
     """
-    sh = shingle_table(documents, n).select(
+    sh = hashed_shingle_table(documents, n).select(
         "doc_id",
-        F.size("shingles").alias("n_sh"),
-        F.explode(F.transform("shingles", _md5_int)).alias("s"),
+        F.size("hashes").alias("n_sh"),
+        F.explode("hashes").alias("s"),
     )
     a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
@@ -158,8 +181,8 @@ def minhash_signatures(
     One md5 per shingle (the bases column), then num_hashes cheap
     affine passes over the in-memory array — computed with array
     lambdas, one row per doc, no explode, map-side only."""
-    bases = F.transform(F.col("shingles"), lambda s: _md5_int(s) % MINHASH_P)
-    with_bases = shingle_table(documents, n).select("doc_id", bases.alias("bases"))
+    bases = F.transform(F.col("hashes"), lambda h: h % MINHASH_P)
+    with_bases = hashed_shingle_table(documents, n).select("doc_id", bases.alias("bases"))
 
     def _affine(a: int, b: int):
         return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
@@ -201,11 +224,7 @@ def dedup_minhash(
     from pyspark import StorageLevel
 
     rows_per_band = num_hashes // bands
-    sh = (
-        shingle_table(documents, n)
-        .select("doc_id", F.transform("shingles", _md5_int).alias("hashes"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    sh = hashed_shingle_table(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
     bases = F.transform(F.col("hashes"), lambda h: h % MINHASH_P)
 
     def _affine(a: int, b: int):
@@ -280,9 +299,7 @@ def simhash_signatures(documents: DataFrame, bits: int = 32, n: int = 3) -> Data
     shares one small vocabulary, so unigram token sets are near-equal
     across unrelated docs and only order-sensitive features
     discriminate."""
-    hashed = shingle_table(documents, n).select(
-        "doc_id", F.transform("shingles", _md5_int).alias("hashes")
-    )
+    hashed = hashed_shingle_table(documents, n)
     hashes = F.col("hashes")
     bit_terms = [
         F.when(
