@@ -784,6 +784,56 @@ SELECT user_id, session_seq,
        round(sum(value), 2) AS total_value,
        round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 6) AS duration_minutes
 FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+        "region_nation_rollup": f"""
+WITH {ENRICHED}
+SELECT coalesce(r_name, 'ALL') AS region_name,
+       coalesce(n_name, 'ALL') AS nation_name,
+       GROUPING(r_name, n_name)::INTEGER AS grouping_level,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM enriched
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY grouping_level, region_name, nation_name""",
+        "customers_without_orders": """
+SELECT n_name, count(*) AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY n_name ORDER BY n_name""",
+        "nations_trade_volume": """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate)::INTEGER AS ship_year,
+       round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE sn.n_name <> cn.n_name
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+        "promo_revenue_share": """
+SELECT strftime(l_shipdate, '%Y-%m') AS period,
+       round(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END), 2)
+         AS promo_revenue,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) END), 0)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share_pct
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY 1""",
+        "order_priority_percentiles": """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90
+FROM orders GROUP BY 1 ORDER BY 1""",
         "events_windowed": """
 SELECT date_trunc('day', ts)::DATE AS day, event_type,
        count(*) AS n_events, round(sum(value), 2) AS total_value

@@ -26,6 +26,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
+    "nations_trade_volume",
+    "region_nation_rollup",
     "top_customers",
     "monthly_by_region",
     "top_nations_yoy",

@@ -122,6 +122,165 @@ def q5_region_volume(
     )
 
 
+def region_nation_rollup(enriched: DataFrame) -> DataFrame:
+    """Hierarchical rollup: (region, nation) → (region) → grand total.
+
+    The reference materializes the state×year and biome matrices as
+    separate passes (bdqueimadas_incremental.py consolidate step); a
+    ROLLUP computes every level in ONE scan with map-side partial
+    aggregation — at 100 TB this replaces three full passes with one.
+    ``grouping_id`` disambiguates levels (0 = leaf, 1 = region
+    subtotal, 3 = grand total); NULL group keys are labeled 'ALL' so
+    output ordering is engine-independent.
+    """
+    return (
+        enriched.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("grouping_level"),
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "grouping_level",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("grouping_level", "region_name", "nation_name")
+    )
+
+
+def customers_without_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    since: str = "1998-01-01",
+) -> DataFrame:
+    """Customers with no orders since a cutoff, rolled up per nation
+    (anti-join; churn-style report).
+
+    LEFT ANTI join keeps the plan a single shuffle on custkey (orders
+    side is filtered — pushed to the scan — and projected to the key
+    column only before the join, so the shuffle moves 8 bytes/row, not
+    the fact row); nation is broadcast.
+    """
+    no_orders = customer.join(
+        orders.where(F.col("o_orderdate") >= F.lit(since).cast("timestamp")).select(
+            "o_custkey"
+        ),
+        customer.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        no_orders.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            ratio(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def nations_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q7-style cross-nation trade: revenue shipped from the
+    supplier's nation to a DIFFERENT customer nation, per ship year.
+
+    Fact-side joins (lineitem⋈orders⋈customer⋈supplier) shuffle on
+    their keys with AQE; the nation dim is broadcast twice under two
+    aliases — the fact side is never reshuffled for dimension lookups.
+    """
+    # DECIMAL(18,4) summation is exact and order-independent, and the
+    # 2dp rounding happens while still in decimal — with double sums,
+    # groups landing exactly on a .xx5 boundary round differently per
+    # engine depending on the binary double below the boundary.
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    supp_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    cust_nation = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("s_nationkey") == F.col("sn_key"))
+        .join(cust_nation, F.col("c_nationkey") == F.col("cn_key"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q14-style promo revenue share per month.
+
+    The ship-date filter pushes to the lineitem scan; part⋈lineitem
+    shuffles on partkey (part scales with SF, so it is NOT broadcast —
+    AQE may still choose broadcast at small scale, which is the right
+    call there too).
+    """
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev)
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("period"))
+        .agg(
+            money(F.sum(promo)).alias("promo_revenue"),
+            money(F.sum(rev)).alias("total_revenue"),
+            ratio(F.coalesce(F.sum(promo), F.lit(0.0)) * 100.0 / F.sum(rev)).alias(
+                "promo_share_pct"
+            ),
+        )
+        .orderBy("period")
+    )
+
+
+def order_priority_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact continuous percentiles (p25/p50/p75/p90) of order value
+    per priority class.
+
+    Uses the built-in exact ``percentile`` aggregate (JVM-side,
+    partial-aggregation-capable); 5 groups means the per-group state
+    stays tiny even at 100 TB. For billion-row groups switch to
+    ``percentile_approx`` — kept exact here so the DuckDB oracle
+    (``quantile_cont``) matches bit-for-bit after 2dp rounding.
+    """
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.percentile("o_totalprice", 0.25)).alias("p25"),
+            money(F.percentile("o_totalprice", 0.5)).alias("p50"),
+            money(F.percentile("o_totalprice", 0.75)).alias("p75"),
+            money(F.percentile("o_totalprice", 0.9)).alias("p90"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def top_customers(
     customer: DataFrame,
     orders: DataFrame,

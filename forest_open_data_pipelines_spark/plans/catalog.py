@@ -178,6 +178,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers": lambda s, d: relational.top_customers(
         *_t(s, d, "customer", "orders", "nation")
     ),
+    "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
+        _enriched(s, d)
+    ),
+    "customers_without_orders": lambda s, d: relational.customers_without_orders(
+        *_t(s, d, "customer", "orders", "nation")
+    ),
+    "nations_trade_volume": lambda s, d: relational.nations_trade_volume(
+        *_t(s, d, "lineitem", "orders", "customer", "supplier", "nation")
+    ),
+    "promo_revenue_share": lambda s, d: relational.promo_revenue_share(
+        *_t(s, d, "lineitem", "part")
+    ),
+    "order_priority_percentiles": lambda s, d: relational.order_priority_percentiles(
+        load_table(s, d, "orders")
+    ),
     "events_sessionize": lambda s, d: sessionize.events_sessionize(
         load_table(s, d, "events")
     ),

@@ -197,3 +197,51 @@ def test_multimodal_resize_and_frames(spark):
         for r in rows:
             lo = r["frame_index"] * 64
             assert r["frame_bytes"] == min(64, n - lo)
+
+
+def test_rollup_levels_are_consistent(spark):
+    """Leaf rows sum to region subtotals, subtotals to the grand total."""
+    r = relational.region_nation_rollup(_enriched(spark)).collect()
+    leaves = [x for x in r if x.grouping_level == 0]
+    subtotals = {x.region_name: x.n_orders for x in r if x.grouping_level == 1}
+    grand = [x for x in r if x.grouping_level == 3]
+    assert len(grand) == 1
+    assert grand[0].n_orders == sum(x.n_orders for x in leaves)
+    for region, total in subtotals.items():
+        assert total == sum(x.n_orders for x in leaves if x.region_name == region)
+
+
+def test_customers_without_orders_is_complement(spark):
+    """Anti-join count + active-customer count == all customers."""
+    customer = load_table(spark, SF_DIR, "customer")
+    orders = load_table(spark, SF_DIR, "orders")
+    nation = load_table(spark, SF_DIR, "nation")
+    inactive = relational.customers_without_orders(customer, orders, nation)
+    n_inactive = inactive.agg(F.coalesce(F.sum("n_customers"), F.lit(0))).first()[0]
+    active = (
+        orders.where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert n_inactive + active == customer.count()
+
+
+def test_trade_volume_excludes_domestic(spark):
+    df = relational.nations_trade_volume(
+        load_table(spark, SF_DIR, "lineitem"),
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "supplier"),
+        load_table(spark, SF_DIR, "nation"),
+    )
+    assert df.where(F.col("supp_nation") == F.col("cust_nation")).count() == 0
+
+
+def test_percentiles_are_monotone(spark):
+    rows = relational.order_priority_percentiles(
+        load_table(spark, SF_DIR, "orders")
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.p25 <= r.p50 <= r.p75 <= r.p90
