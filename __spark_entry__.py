@@ -784,6 +784,19 @@ SELECT user_id, session_seq,
        round(sum(value), 2) AS total_value,
        round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 6) AS duration_minutes
 FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
+        "events_asof_attribution": """
+SELECT p.user_id,
+       p.event_id AS purchase_event_id,
+       p.ts AS purchase_ts,
+       p.value AS purchase_value,
+       c.event_id AS click_event_id,
+       c.ts AS click_ts,
+       c.value AS click_value,
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0, 6) AS minutes_since_click
+FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.user_id, purchase_ts, purchase_event_id""",
         "region_nation_rollup": f"""
 WITH {ENRICHED}
 SELECT coalesce(r_name, 'ALL') AS region_name,

@@ -9,6 +9,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from forest_open_data_pipelines_spark.operators import (
+    asof,
     dedup,
     freshness,
     multimodal,
@@ -197,6 +198,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")
     ),
     "events_windowed": lambda s, d: sessionize.events_windowed(
+        load_table(s, d, "events")
+    ),
+    "events_asof_attribution": lambda s, d: asof.events_asof_attribution(
         load_table(s, d, "events")
     ),
     # K. skew mitigation (semantics checked against plain join/agg oracle)

@@ -245,3 +245,20 @@ def test_percentiles_are_monotone(spark):
     assert rows
     for r in rows:
         assert r.p25 <= r.p50 <= r.p75 <= r.p90
+
+
+def test_asof_join_semantics(spark):
+    """Every purchase keeps its row; matched click is the latest <= ts."""
+    from forest_open_data_pipelines_spark.operators import asof
+
+    events = load_table(spark, SF_DIR, "events")
+    out = asof.events_asof_attribution(events)
+    n_purchases = events.where(F.col("event_type") == "purchase").count()
+    rows = out.collect()
+    assert len(rows) == n_purchases
+    assert all(
+        r.click_ts is None or r.click_ts <= r.purchase_ts for r in rows
+    )
+    assert all(
+        r.minutes_since_click is None or r.minutes_since_click >= 0 for r in rows
+    )
