@@ -797,6 +797,17 @@ FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purcha
 ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY p.user_id, purchase_ts, purchase_event_id""",
+        "clicks_before_purchase": """
+SELECT p.user_id, p.event_id AS purchase_event_id, p.ts AS purchase_ts,
+       count(c.event_id) AS n_clicks,
+       round(coalesce(sum(c.value), 0), 6) AS click_value
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts > p.ts - INTERVAL 30 MINUTE
+ AND c.ts <= p.ts
+GROUP BY 1, 2, 3
+ORDER BY 1, 3, 2""",
         "region_nation_rollup": f"""
 WITH {ENRICHED}
 SELECT coalesce(r_name, 'ALL') AS region_name,

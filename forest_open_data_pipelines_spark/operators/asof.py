@@ -74,6 +74,79 @@ def asof_join(
     )
 
 
+def range_window_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_seconds: int,
+    ts: str = "ts",
+    right_prefix: str = "w_",
+) -> DataFrame:
+    """Left range join: pair each left row with every right row of the
+    same key inside ``(left.ts - window, left.ts]`` (left rows with no
+    match keep one all-NULL right payload).
+
+    Scalable shape: both sides are bucketed into ``window_seconds``
+    epochs and the left side probes its own and the previous bucket —
+    the equi-join on (key, bucket) is what shuffles, and Catalyst keeps
+    the range predicate as a join filter on that hash join. A right row
+    is at most ``window`` older than its match, so two probe buckets
+    are always sufficient; no time-range cross join ever forms.
+    """
+    bucket = lambda c: (F.unix_micros(F.col(c)) / (window_seconds * 1_000_000)).cast(
+        "long"
+    )  # noqa: E731
+    rcols = [c for c in right.columns if c != key]
+    r2 = right.select(
+        F.col(key).alias("_rkey"),
+        bucket(ts).alias("_rbucket"),
+        *[F.col(c).alias(right_prefix + c) for c in rcols],
+    )
+    probes = left.withColumn("_probe", F.explode(F.array(F.lit(0), F.lit(1)))).withColumn(
+        "_lbucket", bucket(ts) - F.col("_probe")
+    )
+    rts = F.col(right_prefix + ts)
+    cond = (
+        (probes[key] == r2["_rkey"])
+        & (F.col("_lbucket") == r2["_rbucket"])
+        & (rts > F.col(ts) - F.expr(f"INTERVAL {window_seconds} SECOND"))
+        & (rts <= F.col(ts))
+    )
+    return probes.join(r2, cond, "left").drop("_probe", "_lbucket", "_rkey", "_rbucket")
+
+
+def clicks_before_purchase(events: DataFrame, window_minutes: int = 30) -> DataFrame:
+    """Per purchase: count and value of the same user's clicks in the
+    preceding ``window_minutes`` (range-join twin of the as-of
+    attribution above).
+
+    The two probe rows per purchase collapse in the final groupBy;
+    ``count(click col)`` ignores the NULL rows unmatched probes
+    produce, so purchases with no nearby click report 0.
+    """
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    joined = range_window_join(
+        purchases, clicks, key="user_id", window_seconds=window_minutes * 60
+    )
+    return (
+        joined.groupBy(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .agg(
+            F.count("w_event_id").alias("n_clicks"),
+            F.round(F.coalesce(F.sum("w_value"), F.lit(0.0)), 6).alias("click_value"),
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_event_id")
+    )
+
+
 def events_asof_attribution(events: DataFrame) -> DataFrame:
     """Last-touch attribution: for each purchase event, the latest
     preceding click of the same user, with the gap in minutes.

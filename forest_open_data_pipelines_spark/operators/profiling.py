@@ -71,6 +71,54 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
     return wide.selectExpr(stack).orderBy("column_name")
 
 
+def profile_columns_approx(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Sketch-based profile: HLL++ approximate distinct counts and
+    approximate percentiles (p50/p95) per column.
+
+    This is the 100 TB profiling path: ``countDistinct`` needs a full
+    shuffle of every distinct value, while ``approx_count_distinct``
+    (HyperLogLog++, rsd 1%) and ``percentile_approx`` keep fixed-size
+    mergeable sketches per partition — one map-side pass, O(columns)
+    driver result. Accuracy bounds are asserted against the exact
+    profile in tests/test_operators.py; no SQL oracle (sketch internals
+    are engine-specific), so the driver applies the rows-only check.
+    """
+    cols = columns or df.columns
+    numeric = {
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in {"integer", "long", "double", "float", "decimal"}
+    }
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd=0.01).alias(f"{c}__ad")
+        )
+        if c in numeric:
+            aggs += [
+                F.percentile_approx(F.col(c), 0.5, 10_000)
+                .cast("double")
+                .alias(f"{c}__p50"),
+                F.percentile_approx(F.col(c), 0.95, 10_000)
+                .cast("double")
+                .alias(f"{c}__p95"),
+            ]
+    wide = df.agg(*aggs)
+    parts = []
+    for c in cols:
+        if c in numeric:
+            parts.append(f"'{c}', `{c}__ad`, `{c}__p50`, `{c}__p95`")
+        else:
+            parts.append(
+                f"'{c}', `{c}__ad`, cast(null as double), cast(null as double)"
+            )
+    stack = (
+        f"stack({len(cols)}, {', '.join(parts)}) as "
+        "(column_name, approx_distinct, approx_p50, approx_p95)"
+    )
+    return wide.selectExpr(stack).orderBy("column_name")
+
+
 def catalog_summary(documents: DataFrame) -> DataFrame:
     """Per-source catalog rollup (catalog/build.py analog): item count,
     distinct languages, size stats."""

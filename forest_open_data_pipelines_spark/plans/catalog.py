@@ -127,6 +127,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
     "profile_files": lambda s, d: _profile_files(s, d),
+    "profile_columns_approx": lambda s, d: profiling.profile_columns_approx(
+        load_table(s, d, "lineitem")
+    ),
     "type_inference": lambda s, d: profiling.type_inference(
         load_table(s, d, "orders")
     ),
@@ -201,6 +204,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")
     ),
     "events_asof_attribution": lambda s, d: asof.events_asof_attribution(
+        load_table(s, d, "events")
+    ),
+    "clicks_before_purchase": lambda s, d: asof.clicks_before_purchase(
         load_table(s, d, "events")
     ),
     # K. skew mitigation (semantics checked against plain join/agg oracle)

@@ -262,3 +262,25 @@ def test_asof_join_semantics(spark):
     assert all(
         r.minutes_since_click is None or r.minutes_since_click >= 0 for r in rows
     )
+
+
+def test_approx_profile_error_bounds(spark):
+    """HLL distinct within 5% of exact; approx percentiles inside
+    [min, max] and ordered."""
+    from forest_open_data_pipelines_spark.operators import profiling
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.column_name: r for r in profiling.profile_columns(li).collect()
+    }
+    approx = {
+        r.column_name: r for r in profiling.profile_columns_approx(li).collect()
+    }
+    assert set(exact) == set(approx)
+    for name, a in approx.items():
+        e = exact[name]
+        assert abs(a.approx_distinct - e.distinct_count) <= max(
+            1, 0.05 * e.distinct_count
+        )
+        if a.approx_p50 is not None:
+            assert e.min_value <= a.approx_p50 <= a.approx_p95 <= e.max_value

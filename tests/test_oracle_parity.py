@@ -65,4 +65,11 @@ def test_query_matches_oracle(name, spark, oracle_con):
 
 def test_every_query_has_oracle_or_is_whitelisted():
     rows_only = set(QUERIES) - set(ORACLES)
-    assert rows_only == {"multimodal_features", "multimodal_frames", "profile_files"}, rows_only
+    assert rows_only == {
+        "multimodal_features",
+        "multimodal_frames",
+        "profile_files",
+        # sketch internals (HLL++, KLL) are engine-specific; accuracy is
+        # bounded against the exact profile in test_operators.py instead.
+        "profile_columns_approx",
+    }, rows_only
