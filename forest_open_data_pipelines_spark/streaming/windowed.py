@@ -34,18 +34,18 @@ def windowed_counts_stream(events_stream: DataFrame, watermark: str = "2 days") 
 
 
 def stream_events_from_parquet(
-    spark: SparkSession, sf_dir: str, schema=None
+    spark: SparkSession, sf_dir: str, schema=None, glob: str = "events.parquet"
 ) -> DataFrame:
     """readStream over the events parquet (one file = one micro-batch
     in tests via maxFilesPerTrigger)."""
     if schema is None:
-        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        schema = spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
     # The streaming file source requires a directory path; stream the
     # table directory and glob-filter to the events file(s).
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     # Same TIMESTAMP(NANOS) handling as the batch source layer

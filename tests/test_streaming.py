@@ -228,3 +228,39 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert rows["2024-03-01"] == 2  # A only — B's day-1 straggler dropped
     assert rows["2024-03-03"] == 2  # A's event + B's within-watermark straggler
     assert rows["2024-03-04"] == 1 and rows["2024-03-05"] == 1
+
+
+def test_stream_dedup_drops_replayed_batch(spark, tmp_path):
+    """Replay the same events file twice as two micro-batches: the
+    deduped stream must emit each event_id exactly once."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.streaming.dedup import dedup_stream
+    from forest_open_data_pipelines_spark.streaming.windowed import (
+        stream_events_from_parquet,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "batch1.parquet")
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "batch2.parquet")
+    stream = stream_events_from_parquet(spark, str(src), glob="*.parquet")
+    deduped = dedup_stream(stream)
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        ids = [
+            r.event_id
+            for r in spark.sql("SELECT event_id FROM dedup_stream_test").collect()
+        ]
+    finally:
+        query.stop()
+    n_unique = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
+    assert len(ids) == n_unique
+    assert len(set(ids)) == len(ids)
