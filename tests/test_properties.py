@@ -54,8 +54,13 @@ def test_detect_delimiter_roundtrip(rows, delim):
 @given(st.floats(min_value=-1e9, max_value=1e9, allow_nan=False), st.integers(2, 6))
 @settings(max_examples=200)
 def test_round_half_up_matches_decimal_semantics(v, dp):
+    import math
+
     r = _round_half_up(v, dp)
-    assert abs(r - v) <= 0.5 * 10**-dp + 1e-12
+    # Half-step plus a few ulp: at |v| ~ 1e9 the rounded decimal is not
+    # representable and both v and r carry O(ulp) representation error,
+    # so the distance can legitimately exceed the pure half-step.
+    assert abs(r - v) <= 0.5 * 10**-dp + 8 * math.ulp(max(abs(v), 1.0))
     # idempotent
     assert _round_half_up(r, dp) == r
 
