@@ -85,3 +85,45 @@ def test_ann_bruteforce_broadcasts_queries_no_shuffle_of_candidates(spark):
     # the candidate side must NOT be exchanged before the join
     join_idx = plan.find("Broadcast")
     assert "Exchange hashpartitioning(cand_id" not in plan[:join_idx]
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    """The as-of join must stay a keyed-window plan: no broadcast
+    nested loop / cartesian range join, and the only wide exchanges
+    hash-partition on the join key."""
+    plan = _plan(spark, "events_asof_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan  # it is not a join at all
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_range_window_join_is_equi_join(spark):
+    """The range join must execute as a hash/merge equi-join on
+    (key, bucket) with the time predicate as a join filter — never a
+    nested-loop range join."""
+    plan = _plan(spark, "clicks_before_purchase")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_rollup_single_scan(spark):
+    """ROLLUP computes every level from ONE orders scan (the reference
+    makes one pass per matrix)."""
+    plan = _plan(spark, "region_nation_rollup")
+    orders_scans = [s for s in _read_schemas(plan) if "o_custkey" in s]
+    assert len(orders_scans) == 1
+    # and the scan is pruned to exactly the join key + measure
+    assert orders_scans[0].strip() == "o_custkey:bigint,o_totalprice:double"
+
+
+def test_anti_join_projects_key_only(spark):
+    """The anti-join's orders side must shuffle only the key column."""
+    plan = _plan(spark, "customers_without_orders")
+    orders_scans = [s for s in _read_schemas(plan) if "o_custkey" in s]
+    assert orders_scans, "orders scan missing"
+    for s in orders_scans:
+        cols = {c.split(":")[0] for c in s.split(",")}
+        assert cols <= {"o_custkey", "o_orderdate"}, cols
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # cutoff pushed to scan
