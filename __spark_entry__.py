@@ -438,6 +438,33 @@ SELECT month,
                   THEN (current_value - previous_value) / previous_value * 100.0 END, 6)
          AS pct_change
 FROM g ORDER BY month""",
+        "series_alignment_metrics": """
+WITH daily AS (
+  SELECT date_trunc('day', ts)::DATE AS day, event_type, sum(value) AS v
+  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2
+),
+aligned AS (
+  SELECT day,
+         sum(v) FILTER (WHERE event_type = 'click') AS a_value,
+         sum(v) FILTER (WHERE event_type = 'view') AS b_value
+  FROM daily GROUP BY day
+  HAVING a_value > 0 AND b_value > 0
+),
+with_prev AS (
+  SELECT day, a_value, b_value,
+         lag(a_value) OVER (ORDER BY day) AS prev_a,
+         lag(b_value) OVER (ORDER BY day) AS prev_b
+  FROM aligned
+),
+latest AS (SELECT max(day) AS latest_day FROM with_prev)
+SELECT day,
+       round(a_value, 6) AS a_value,
+       round(b_value, 6) AS b_value,
+       round(CASE WHEN prev_a IS NOT NULL AND prev_a <> 0
+             THEN (a_value - prev_a) / prev_a * 100.0 END, 6) AS a_delta_pct,
+       round(CASE WHEN prev_b IS NOT NULL AND prev_b <> 0
+             THEN (b_value - prev_b) / prev_b * 100.0 END, 6) AS b_delta_pct
+FROM with_prev, latest WHERE day = latest_day""",
         # B. profiling / audit / catalog --------------------------------------
         "profile_columns": f"SELECT * FROM ({_profile_columns_sql()}) ORDER BY column_name",
         "catalog_summary": """

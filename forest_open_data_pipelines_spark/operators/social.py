@@ -131,3 +131,57 @@ def top_n_with_other(
         .agg(F.sum("value").alias("value"))
         .orderBy(F.when(F.col("label") == "Outros", 1).otherwise(0), F.desc("value"), "label")
     )
+
+
+def series_alignment_metrics(
+    events: DataFrame, type_a: str = "click", type_b: str = "view"
+) -> DataFrame:
+    """Latest common positive period of two daily series with
+    period-over-period deltas for each.
+
+    Reference: ``social/anp_producao/pipeline.py:293-326``
+    (``latest_common_positive_metrics``) aligns the petroleum and gas
+    national series, keeps periods where BOTH are positive, and reports
+    the latest period's values with deltas vs the previous common
+    period. Same shape here over two event-type daily value series.
+
+    Scale: the fact scan collapses to (day, type) partial sums first;
+    the alignment, lag and argmax all run on the tiny post-agg frame
+    (an unpartitioned window over ~#days rows — driver-safe, documented
+    as post-aggregation like rolling_12m).
+    """
+    daily = (
+        events.where(F.col("event_type").isin(type_a, type_b))
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(F.sum("value").alias("v"))
+    )
+    both = (
+        daily.groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("event_type") == type_a, F.col("v"))).alias("a_value"),
+            F.sum(F.when(F.col("event_type") == type_b, F.col("v"))).alias("b_value"),
+        )
+        .where((F.col("a_value") > 0) & (F.col("b_value") > 0))
+    )
+    w = Window.orderBy("day")
+    with_prev = both.select(
+        "day",
+        "a_value",
+        "b_value",
+        F.lag("a_value").over(w).alias("prev_a"),
+        F.lag("b_value").over(w).alias("prev_b"),
+    )
+    latest = with_prev.agg(F.max("day").alias("latest_day"))
+    return (
+        with_prev.join(F.broadcast(latest), F.col("day") == F.col("latest_day"))
+        .select(
+            "day",
+            ratio(F.col("a_value")).alias("a_value"),
+            ratio(F.col("b_value")).alias("b_value"),
+            safe_pct_change(F.col("a_value"), F.col("prev_a")).alias("a_delta_pct"),
+            safe_pct_change(F.col("b_value"), F.col("prev_b")).alias("b_delta_pct"),
+        )
+    )

@@ -118,6 +118,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_nations_with_other": lambda s, d: social.top_n_with_other(
         _enriched(s, d)
     ),
+    "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
+        load_table(s, d, "events")
+    ),
     # B. profiling / audit / catalog
     "profile_columns": lambda s, d: profiling.profile_columns(
         load_table(s, d, "lineitem")
