@@ -845,6 +845,24 @@ SELECT coalesce(r_name, 'ALL') AS region_name,
 FROM enriched
 GROUP BY ROLLUP (r_name, n_name)
 ORDER BY grouping_level, region_name, nation_name""",
+        "region_nation_cube": f"""
+WITH {ENRICHED}
+SELECT coalesce(r_name, 'ALL') AS region_name,
+       coalesce(n_name, 'ALL') AS nation_name,
+       GROUPING(r_name, n_name)::INTEGER AS grouping_level,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM enriched
+GROUP BY CUBE (r_name, n_name)
+ORDER BY grouping_level, region_name, nation_name""",
+        "part_brand_stats": """
+SELECT p_brand, count(*) AS n_parts,
+       count(DISTINCT p_type) AS n_types,
+       count(DISTINCT p_size) AS n_sizes,
+       round(min(p_retailprice), 2) AS min_price,
+       round(max(p_retailprice), 2) AS max_price,
+       round(avg(p_retailprice), 6) AS avg_price
+FROM part GROUP BY p_brand ORDER BY p_brand""",
         "customers_without_orders": """
 SELECT n_name, count(*) AS n_customers,
        round(avg(c_acctbal), 6) AS avg_acctbal

@@ -151,6 +151,49 @@ def region_nation_rollup(enriched: DataFrame) -> DataFrame:
     )
 
 
+def region_nation_cube(enriched: DataFrame) -> DataFrame:
+    """CUBE over (region, nation): all four grouping sets — leaf,
+    per-region, per-nation, grand total — in one scan.
+
+    Complements ``region_nation_rollup``: the cube additionally yields
+    the per-nation-across-regions margin (grouping_level 2), which the
+    reference would compute as yet another full pass.
+    """
+    return (
+        enriched.cube("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("grouping_level"),
+            F.count("*").alias("n_orders"),
+            money(F.sum("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "grouping_level",
+            "n_orders",
+            "total_price",
+        )
+        .orderBy("grouping_level", "region_name", "nation_name")
+    )
+
+
+def part_brand_stats(part: DataFrame) -> DataFrame:
+    """Per-brand part-catalog rollup: counts, distinct types/sizes,
+    retail price stats (catalog_summary analog on the part dimension)."""
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_type").alias("n_types"),
+            F.countDistinct("p_size").alias("n_sizes"),
+            money(F.min("p_retailprice")).alias("min_price"),
+            money(F.max("p_retailprice")).alias("max_price"),
+            ratio(F.avg("p_retailprice")).alias("avg_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
 def customers_without_orders(
     customer: DataFrame,
     orders: DataFrame,

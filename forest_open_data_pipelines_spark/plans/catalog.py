@@ -188,6 +188,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
         _enriched(s, d)
     ),
+    "region_nation_cube": lambda s, d: relational.region_nation_cube(
+        _enriched(s, d)
+    ),
+    "part_brand_stats": lambda s, d: relational.part_brand_stats(
+        load_table(s, d, "part")
+    ),
     "customers_without_orders": lambda s, d: relational.customers_without_orders(
         *_t(s, d, "customer", "orders", "nation")
     ),
