@@ -39,6 +39,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which vanilla
+    # Spark rejects (PARQUET_TYPE_ILLEGAL). The legacy conf is
+    # runtime-settable, so set it here rather than relying on the
+    # session builder — queries must work on any caller's session.
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf on some deployments; reader may still cope
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     # The events file stores ts as TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long of
