@@ -17,8 +17,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def asof_join(
@@ -38,40 +39,60 @@ def asof_join(
     """
     rcols = [c for c in right.columns if c not in (key, ts)]
     lcols = [c for c in left.columns if c not in (key, ts)]
+    # Carry the entire right payload as ONE struct so every field comes
+    # from the SAME matched row. Per-column last(ignorenulls) would fill
+    # a NULL field of the latest right row from an older row — diverging
+    # from DuckDB ASOF, which returns the matched row's NULLs as-is.
+    pay_fields = [*rcols, ts]
+    pay_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in pay_fields]
+    )
     l2 = left.select(
         key,
         F.col(ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *lcols,
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c)
-            for c in rcols
-        ],
-        F.lit(None).cast(right.schema[ts].dataType).alias(right_prefix + ts),
+        F.lit(None).cast(pay_type).alias("_rpay"),
     )
     r2 = right.select(
         key,
         F.col(ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(right_prefix + c) for c in rcols],
-        F.col(ts).alias(right_prefix + ts),
+        F.struct(*[F.col(c).alias(c) for c in pay_fields]).alias("_rpay"),
     )
     w = (
         Window.partitionBy(key)
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(right_prefix + c, ignorenulls=True).over(w).alias(right_prefix + c)
-        for c in [*rcols, ts]
-    ]
+    carried = F.last("_rpay", ignorenulls=True).over(w).alias("_rpay")
     return (
         l2.unionByName(r2)
-        .select(key, F.col("_ts").alias(ts), "_side", *lcols, *carried)
+        .select(key, F.col("_ts").alias(ts), "_side", *lcols, carried)
         .where(F.col("_side") == 1)
-        .drop("_side")
+        .select(
+            key,
+            ts,
+            *lcols,
+            *[F.col("_rpay")[c].alias(right_prefix + c) for c in pay_fields],
+        )
     )
+
+
+def _floor_bucket(ts: str, window_seconds: int) -> Column:
+    """Epoch bucket id via true integer FLOOR division.
+
+    Double division + cast('long') truncates toward zero, so pre-1970
+    (negative ``unix_micros``) timestamps would land one bucket too
+    high and silently miss matches. Subtracting the non-negative
+    remainder first makes the quotient exact (and the final division
+    lossless — the quotient is far below 2^53).
+    """
+    b = window_seconds * 1_000_000
+    micros = F.unix_micros(F.col(ts))
+    rem = ((micros % b) + b) % b  # non-negative remainder
+    return ((micros - rem) / F.lit(b)).cast("long")
 
 
 def range_window_join(
@@ -83,8 +104,8 @@ def range_window_join(
     right_prefix: str = "w_",
 ) -> DataFrame:
     """Left range join: pair each left row with every right row of the
-    same key inside ``(left.ts - window, left.ts]`` (left rows with no
-    match keep one all-NULL right payload).
+    same key inside ``(left.ts - window, left.ts]``; left rows with no
+    match keep exactly one all-NULL right payload row.
 
     Scalable shape: both sides are bucketed into ``window_seconds``
     epochs and the left side probes its own and the previous bucket —
@@ -92,27 +113,54 @@ def range_window_join(
     the range predicate as a join filter on that hash join. A right row
     is at most ``window`` older than its match, so two probe buckets
     are always sufficient; no time-range cross join ever forms.
+
+    Matched pairs come from an INNER join on the probe rows (so the
+    two probes per left row can never surface as phantom all-NULL
+    rows); unmatched left rows are recovered with a LEFT ANTI join on
+    the same key + range condition and appended once each with a NULL
+    payload.
     """
-    bucket = lambda c: (F.unix_micros(F.col(c)) / (window_seconds * 1_000_000)).cast(
-        "long"
-    )  # noqa: E731
+    bucket = _floor_bucket(ts, window_seconds)
     rcols = [c for c in right.columns if c != key]
     r2 = right.select(
         F.col(key).alias("_rkey"),
-        bucket(ts).alias("_rbucket"),
+        _floor_bucket(ts, window_seconds).alias("_rbucket"),
         *[F.col(c).alias(right_prefix + c) for c in rcols],
     )
     probes = left.withColumn("_probe", F.explode(F.array(F.lit(0), F.lit(1)))).withColumn(
-        "_lbucket", bucket(ts) - F.col("_probe")
+        "_lbucket", bucket - F.col("_probe")
     )
     rts = F.col(right_prefix + ts)
-    cond = (
-        (probes[key] == r2["_rkey"])
-        & (F.col("_lbucket") == r2["_rbucket"])
-        & (rts > F.col(ts) - F.expr(f"INTERVAL {window_seconds} SECOND"))
-        & (rts <= F.col(ts))
+    in_range = (rts > F.col(ts) - F.expr(f"INTERVAL {window_seconds} SECOND")) & (
+        rts <= F.col(ts)
     )
-    return probes.join(r2, cond, "left").drop("_probe", "_lbucket", "_rkey", "_rbucket")
+    matched = (
+        probes.join(
+            r2,
+            (probes[key] == r2["_rkey"])
+            & (F.col("_lbucket") == r2["_rbucket"])
+            & in_range,
+            "inner",
+        )
+        .drop("_probe", "_lbucket", "_rkey", "_rbucket")
+    )
+    # Left rows with no match anywhere in the two candidate buckets:
+    # anti join hashes on the key equality; bucket + range ride along
+    # as the join condition. Each such left row survives exactly once.
+    unmatched = left.join(
+        r2,
+        (left[key] == r2["_rkey"])
+        & ((bucket == r2["_rbucket"]) | (bucket - 1 == r2["_rbucket"]))
+        & in_range,
+        "left_anti",
+    ).select(
+        "*",
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c)
+            for c in rcols
+        ],
+    )
+    return matched.unionByName(unmatched)
 
 
 def clicks_before_purchase(events: DataFrame, window_minutes: int = 30) -> DataFrame:
@@ -120,9 +168,8 @@ def clicks_before_purchase(events: DataFrame, window_minutes: int = 30) -> DataF
     preceding ``window_minutes`` (range-join twin of the as-of
     attribution above).
 
-    The two probe rows per purchase collapse in the final groupBy;
-    ``count(click col)`` ignores the NULL rows unmatched probes
-    produce, so purchases with no nearby click report 0.
+    ``count(click col)`` ignores the single NULL row an unmatched
+    purchase carries, so purchases with no nearby click report 0.
     """
     purchases = events.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id"

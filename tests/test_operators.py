@@ -284,3 +284,67 @@ def test_approx_profile_error_bounds(spark):
         )
         if a.approx_p50 is not None:
             assert e.min_value <= a.approx_p50 <= a.approx_p95 <= e.max_value
+
+
+def test_asof_join_null_payload_comes_from_matched_row(spark):
+    """If the latest preceding right row has a NULL payload field, the
+    output must keep that NULL — not backfill it from an older right
+    row (DuckDB ASOF semantics: the whole matched row, NULLs included)."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators import asof
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "L")], "k int, ts timestamp, lpay string"
+    )
+    right = spark.createDataFrame(
+        [(1, t(1), "old", 5.0), (1, t(5), None, None)],
+        "k int, ts timestamp, tag string, v double",
+    )
+    row = asof.asof_join(left, right, key="k").collect()[0]
+    assert row.asof_ts == t(5)  # latest preceding row matched
+    assert row.asof_tag is None and row.asof_v is None  # its NULLs kept
+
+
+def test_range_window_join_no_phantom_rows(spark):
+    """Direct consumers get exactly the matched pairs plus ONE all-NULL
+    row per unmatched left row — never a phantom NULL row alongside a
+    match, never a duplicated unmatched row."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators import asof
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(30), "matched"), (2, t(30), "unmatched")],
+        "k int, ts timestamp, side string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(25), 100)],
+        "k int, ts timestamp, rid int",
+    )
+    out = asof.range_window_join(left, right, key="k", window_seconds=10)
+    rows = sorted(out.collect(), key=lambda r: r.k)
+    assert len(rows) == 2
+    assert rows[0].side == "matched" and rows[0].w_rid == 100
+    assert rows[1].side == "unmatched" and rows[1].w_rid is None
+
+
+def test_range_window_join_pre_epoch_timestamps(spark):
+    """Bucket ids floor (not truncate toward zero), so pre-1970
+    timestamps still match within the window."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, datetime(1969, 12, 31, 23, 59, 58))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(1969, 12, 31, 23, 59, 55), 7)],
+        "k int, ts timestamp, rid int",
+    )
+    out = asof.range_window_join(left, right, key="k", window_seconds=10)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].w_rid == 7
