@@ -176,7 +176,13 @@ ORDER BY doc_a, doc_b
 
 
 def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
-    half = bits // 2
+    """GROUND-TRUTH oracle: all-pairs hamming filter (no bucketing).
+
+    Deliberately NOT a mirror of the Spark operator's pigeonhole-block
+    LSH — an oracle that replicates the candidate generation would be
+    tautological and blind to recall holes. All-pairs is exact and fine
+    at sf0.01 in DuckDB; the Spark side's block scheme has provable
+    full recall (max_hamming+1 disjoint blocks), so the two agree."""
     h = _MD5_INT.format(expr="s")
     return f"""
 WITH {SHINGLES},
@@ -190,19 +196,11 @@ sigs AS (
           )
          )::BIGINT AS simhash
   FROM shingled
-),
-bucketed AS (
-  SELECT doc_id, simhash, 0 AS part, (simhash % (1::BIGINT << {half})) AS key FROM sigs
-  UNION ALL
-  SELECT doc_id, simhash, 1 AS part, (simhash // (1::BIGINT << {half})) AS key FROM sigs
-),
-pairs AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
-         bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
-  FROM bucketed x JOIN bucketed y
-    ON x.part = y.part AND x.key = y.key AND x.doc_id < y.doc_id
 )
-SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= {max_hamming}
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
 ORDER BY doc_a, doc_b
 """
 

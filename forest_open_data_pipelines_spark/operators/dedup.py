@@ -320,32 +320,39 @@ def simhash_signatures(documents: DataFrame, bits: int = 32, n: int = 3) -> Data
     return hashed.select("doc_id", sim.alias("simhash"))
 
 
-def dedup_simhash(
-    documents: DataFrame, bits: int = 32, max_hamming: int = 3
-) -> DataFrame:
-    """SimHash near-dup pairs: candidates share one of two 16-bit
-    half-signature buckets (any pair with hamming ≤ 1 per half — i.e.
-    every pair with total hamming ≤ max_hamming has a clean half when
-    max_hamming < 2·halves — is caught), verified by full hamming
-    distance ≤ max_hamming.
+def simhash_pairs(sigs: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """Hamming-≤``max_hamming`` pairs from a (doc_id, simhash) table.
 
-    Signatures are persisted across the bucket self-join — one long per
-    doc, trivially cacheable, and it stops the 32-bit-aggregation
-    signature pipeline from running once per join side."""
-    from pyspark import StorageLevel
+    Candidates share one of ``max_hamming + 1`` signature blocks: by
+    pigeonhole, ≤ max_hamming differing bits spread over max_hamming+1
+    disjoint blocks always leave at least one block identical, so the
+    block equi-join has **perfect recall** (two half buckets — the naive
+    choice — only guarantee hamming ≤ 1 and silently miss e.g. a 2+1
+    bit split). Every candidate is then verified by full bit_count(xor).
 
-    sigs = simhash_signatures(documents, bits).persist(StorageLevel.MEMORY_AND_DISK)
-    half = bits // 2
+    At corpus scale the knob is signature width: wider ``bits`` (64)
+    gives wider blocks → exponentially smaller buckets → fewer candidate
+    pairs per block, at the cost of more sign-aggregations per doc.
+    """
+    n_blocks = max_hamming + 1
+    if bits % n_blocks:
+        raise ValueError(f"bits={bits} must be divisible by {n_blocks} blocks")
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
     bucketed = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("part"), (F.col("simhash") % (1 << half)).alias("key")),
-                F.struct(
-                    F.lit(1).alias("part"),
-                    (F.col("simhash") / (1 << half)).cast("long").alias("key"),
-                ),
+                *[
+                    F.struct(
+                        F.lit(j).alias("part"),
+                        F.shiftright(F.col("simhash"), j * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for j in range(n_blocks)
+                ]
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.part", "b.key")
@@ -365,6 +372,21 @@ def dedup_simhash(
         .where(F.col("hamming") <= max_hamming)
         .orderBy("doc_a", "doc_b")
     )
+
+
+def dedup_simhash(
+    documents: DataFrame, bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole block LSH (see
+    ``simhash_pairs`` for the recall guarantee).
+
+    Signatures are persisted across the bucket self-join — one long per
+    doc, trivially cacheable, and it stops the 32-bit-aggregation
+    signature pipeline from running once per join side."""
+    from pyspark import StorageLevel
+
+    sigs = simhash_signatures(documents, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    return simhash_pairs(sigs, bits, max_hamming)
 
 
 def dedup_embedding(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:

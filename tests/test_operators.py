@@ -348,3 +348,18 @@ def test_range_window_join_pre_epoch_timestamps(spark):
     out = asof.range_window_join(left, right, key="k", window_seconds=10)
     rows = out.collect()
     assert len(rows) == 1 and rows[0].w_rid == 7
+
+
+def test_simhash_blocks_catch_cross_half_hamming3(spark):
+    """Pigeonhole block LSH has full recall at max_hamming=3: a pair
+    differing in bits 0, 15, 31 (2 bits in the low half + 1 in the
+    high half) has NO clean 16-bit half — the old two-half bucketing
+    missed it — but block 2 (bits 16-23) is clean, so it's found."""
+    sig_a = 0
+    sig_b = (1 << 0) | (1 << 15) | (1 << 31)
+    sigs = spark.createDataFrame(
+        [(1, sig_a), (2, sig_b)], "doc_id int, simhash long"
+    )
+    rows = dedup.simhash_pairs(sigs, bits=32, max_hamming=3).collect()
+    assert len(rows) == 1
+    assert (rows[0].doc_a, rows[0].doc_b, rows[0].hamming) == (1, 2, 3)
