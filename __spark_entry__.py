@@ -686,9 +686,8 @@ ORDER BY query_id, rank""",
         "ann_topk_lsh": _ann_lsh_sql(),
         "ann_topk_ivf": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-params AS (SELECT greatest(1, ceil(count(*) / 16.0)::BIGINT) AS stride FROM e),
 cent AS (
-  SELECT vec_id AS cell_id, emb AS cent_emb FROM e, params WHERE vec_id % stride = 0
+  SELECT vec_id AS cell_id, emb AS cent_emb FROM e WHERE vec_id < 16
 ),
 dists AS (
   SELECT e.vec_id, e.emb, c.cell_id,

@@ -208,66 +208,93 @@ def ann_topk_ivf(
     seed centroids; score queries only against vectors in their
     ``n_probe`` nearest cells.
 
-    Centroids are the vectors at a fixed id stride (≈``n_cells`` seeds,
-    no k-means training — deterministic and oracle-reproducible). The
-    centroid table is tiny and broadcast; assignment is one scan of the
-    embedding table (cross join with ~16 rows → argmin via window).
-    At 100 TB this is the inverted-file layout: the expensive top-k scan
-    touches ``n_probe/n_cells`` of the data instead of all of it, and
-    the cell map is exactly what a bucketed/partitioned-by-cell write
-    would persist for reuse.
+    Centroids are the first ``n_cells`` vectors (no k-means training —
+    deterministic and oracle-reproducible) and are loaded ONCE at plan
+    build as the IVF "trained model" — the standard index-metadata step;
+    the bounded ``collect`` here is n_cells rows, not a data-scale
+    action, and there is no ``count()`` in the query path.
+
+    Cell assignment is a pure projection: each row computes its cosine
+    against the centroid array literal and takes the argmax with
+    ``array_max`` — NO join fan-out, NO shuffle between the scan and the
+    assignment (the earlier shape, a 16× broadcast-join explosion argmin'd
+    through a ``row_number`` window, re-shuffled the fanned table on
+    vec_id). At 100 TB this is the inverted-file layout: the expensive
+    top-k scan touches ``n_probe/n_cells`` of the data instead of all of
+    it, and the cell map is exactly what a bucketed/partitioned-by-cell
+    write would persist for reuse.
     """
+    import math
+
     from pyspark.sql import Window
 
-    total = embeddings.count()  # metadata-scale action: sizes the stride
-    stride = max(1, -(-total // n_cells))  # ceil
-    cent = F.broadcast(
-        embeddings.where(F.col("vec_id") % stride == 0).select(
-            F.col("vec_id").alias("cell_id"),
-            F.col("embedding").alias("cent_emb"),
-            _norm(F.col("embedding")).alias("cent_norm"),
-        )
+    cent_rows = sorted(
+        embeddings.where(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cell_id"),
+                F.array(*[F.lit(float(x)) for x in r.embedding]).alias("cent_emb"),
+                F.lit(
+                    math.sqrt(sum(float(x) * float(x) for x in r.embedding))
+                ).alias("cent_norm"),
+            )
+            for r in cent_rows
+        ]
+    )
+    # Per-row scored cells: struct order (cell_cos, -cell_id) makes
+    # lexicographic max = highest cosine, ties to the LOWEST cell id —
+    # the same tie-break the window argmin used.
+    cell_scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (
+                _dot(F.col("embedding"), c["cent_emb"])
+                / (F.col("v_norm") * c["cent_norm"])
+            ).alias("cell_cos"),
+            (-c["cell_id"]).alias("neg_cell_id"),
+        ),
     )
     e = embeddings.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
     )
-    cell_cos = _dot(F.col("embedding"), F.col("cent_emb")) / (
-        F.col("v_norm") * F.col("cent_norm")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("cell_cos"), F.col("cell_id")
-    )
-    assign = (
-        e.join(cent)
-        .select("vec_id", "embedding", "v_norm", "cell_id", cell_cos.alias("cell_cos"))
-        .withColumn("cell_rank", F.row_number().over(w_assign))
-    )
-    cands = assign.where(F.col("cell_rank") == 1).select(
+    cands = e.select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         F.col("v_norm").alias("c_norm"),
-        "cell_id",
+        (-F.array_max(cell_scored)["neg_cell_id"]).alias("cell_id"),
     )
-    probes = assign.where(
-        (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= n_probe)
-    ).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("v_norm").alias("q_norm"),
-        "cell_id",
+    # Queries probe their n_probe best cells: sort ascending, reverse →
+    # descending by (cell_cos, neg_cell_id) = cos desc, cell_id asc.
+    top_cells = F.slice(F.reverse(F.array_sort(cell_scored)), 1, n_probe)
+    probes = (
+        e.where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("v_norm").alias("q_norm"),
+            F.explode(top_cells).alias("pc"),
+        )
+        .select(
+            "query_id", "q_emb", "q_norm", (-F.col("pc.neg_cell_id")).alias("cell_id")
+        )
     )
     cos = ratio(
         _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     )
+    # Each candidate lives in exactly one cell and a query's probe cells
+    # are distinct, so (query_id, cand_id) pairs are already unique —
+    # no distinct() shuffle needed before ranking.
     scored = (
         cands.join(F.broadcast(probes), "cell_id")
         .where(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cos.alias("cosine"))
-        .distinct()
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("cand_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

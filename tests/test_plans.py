@@ -127,3 +127,15 @@ def test_anti_join_projects_key_only(spark):
         cols = {c.split(":")[0] for c in s.split(",")}
         assert cols <= {"o_custkey", "o_orderdate"}, cols
     assert "GreaterThanOrEqual(o_orderdate" in plan  # cutoff pushed to scan
+
+
+def test_ivf_assignment_is_projection_no_fanout_shuffle(spark):
+    """IVF cell assignment must be a pure projection against the
+    centroid array literal: no Exchange between the embeddings scan and
+    the cell assignment (the only hash exchange allowed is the final
+    per-query top-k window), and no 16x join fan-out argmin."""
+    plan = _plan(spark, "ann_topk_ivf")
+    hash_parts = re.findall(r"hashpartitioning\((\w+)", plan)
+    assert hash_parts and set(hash_parts) == {"query_id"}, hash_parts
+    # assignment must not ride a row_number window on vec_id
+    assert "hashpartitioning(vec_id" not in plan
