@@ -221,6 +221,39 @@ def _lsh_sig_sql(planes: list[int], emb: str) -> str:
     return f"({terms})"
 
 
+def _dedup_embedding_lsh_sql(threshold: float = 0.45, n_planes: int = 8, bands: int = 4) -> str:
+    """LSH-bucketed embedding dedup twin: same deterministic hyperplane
+    band signatures as the Spark operator (the banding IS the operator's
+    semantics; recall vs the exact all-pairs variant is pytest-asserted)."""
+    per_band = n_planes // bands
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, "
+        f"{_lsh_sig_sql(list(range(b * per_band, (b + 1) * per_band)), 'embedding')} AS key "
+        f"FROM embeddings"
+        for b in range(bands)
+    )
+    return f"""
+WITH banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+  SELECT vec_a, vec_b,
+         round(list_dot_product(a.emb, b.emb)
+               / (sqrt(list_dot_product(a.emb, a.emb))
+                  * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+  FROM cand JOIN e a ON a.vec_id = vec_a JOIN e b ON b.vec_id = vec_b
+)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+ORDER BY vec_a, vec_b
+"""
+
+
 def _ann_lsh_sql(n_queries: int = 8, k: int = 10, n_planes: int = 8, bands: int = 4) -> str:
     per_band = n_planes // bands
     band_selects = "\n  UNION ALL\n".join(
@@ -667,6 +700,7 @@ WHERE round(list_dot_product(a.emb, b.emb)
             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6)
       >= 0.45
 ORDER BY vec_a, vec_b""",
+        "dedup_embedding_lsh": _dedup_embedding_lsh_sql(),
         # F. similarity search -------------------------------------------------
         "ann_topk_bruteforce": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -419,6 +419,100 @@ def dedup_embedding(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame
     )
 
 
+def dedup_embedding_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_planes: int = 8,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Production-scale embedding near-dup pairs: hyperplane-LSH bucket
+    candidates + exact cosine verification.
+
+    This is the 100 TB path ``dedup_embedding`` (all-pairs, the oracle
+    baseline) cannot take: candidate pairs come only from band-bucket
+    equi-joins over the same deterministic hyperplane signatures
+    ``similarity.ann_topk_lsh`` uses (OR-of-ANDs amplification — more
+    bands raise recall, more planes per band shrink buckets), so the
+    pair space never goes cartesian. Output is a subset of
+    ``dedup_embedding`` at the same threshold; recall vs the exact
+    variant is asserted in tests.
+
+    The banded signature table is persisted across its self-join —
+    otherwise the 8 plane projections per vector run once per join side.
+    """
+    from pyspark import StorageLevel
+
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_signature,
+    )
+
+    planes = _hyperplanes(dim, n_planes)
+    per_band = n_planes // bands
+    groups = [planes[b * per_band : (b + 1) * per_band] for b in range(bands)]
+    norm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+    )
+    e = embeddings.select("vec_id", "embedding", norm.alias("norm")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    banded = (
+        e.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            lsh_signature(F.col("embedding"), grp).alias("key"),
+                        )
+                        for b, grp in enumerate(groups)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("vec_id", "b.band", "b.key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    cand = (
+        x.join(y, ["band", "key"])
+        .where(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda p, q: p.cast("double") * q),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = ratio(dot / (F.col("norm_a") * F.col("norm_b")))
+    return (
+        cand.join(
+            e.select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("emb_a"),
+                F.col("norm").alias("norm_a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            e.select(
+                F.col("vec_id").alias("vec_b"),
+                F.col("embedding").alias("emb_b"),
+                F.col("norm").alias("norm_b"),
+            ),
+            "vec_b",
+        )
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def url_merge(events: DataFrame) -> DataFrame:
     """URL-normalized listing merge (merge.py:10-64) mapped onto the
     events table: each event is a 'listing row' whose URL derives from

@@ -162,6 +162,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_embedding": lambda s, d: dedup.dedup_embedding(
         load_table(s, d, "embeddings")
     ),
+    "dedup_embedding_lsh": lambda s, d: dedup.dedup_embedding_lsh(
+        load_table(s, d, "embeddings")
+    ),
     # F. similarity search
     "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
         load_table(s, d, "embeddings")

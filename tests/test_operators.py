@@ -363,3 +363,23 @@ def test_simhash_blocks_catch_cross_half_hamming3(spark):
     rows = dedup.simhash_pairs(sigs, bits=32, max_hamming=3).collect()
     assert len(rows) == 1
     assert (rows[0].doc_a, rows[0].doc_b, rows[0].hamming) == (1, 2, 3)
+
+
+def test_dedup_embedding_lsh_subset_and_recall(spark):
+    """LSH-bucketed embedding dedup: strict subset of the exact
+    all-pairs variant with identical cosines, and decent recall at
+    these band parameters."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    exact = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.dedup_embedding(emb).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.dedup_embedding_lsh(emb).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for pair, cos in lsh.items():
+        assert cos == exact[pair]
+    if exact:
+        assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
