@@ -166,6 +166,18 @@ def resize_media(media: DataFrame, width: int = 16, height: int = 16) -> DataFra
     return media.mapInPandas(_resize, RESIZED_SCHEMA)
 
 
+def multimodal_resize(documents: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
+    """End-to-end resize query: documents → media table → resized dims +
+    checksum. The binary output column is dropped from the query result
+    so the driver's rows-only collect stays light; the bytes themselves
+    are covered by tests/test_multimodal.py."""
+    return (
+        resize_media(as_media_table(documents), width=width, height=height)
+        .select("media_id", "width", "height", "checksum")
+        .orderBy("media_id")
+    )
+
+
 def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 4) -> DataFrame:
     """Frame sampling: treat the payload as a sequence of fixed-size
     frames and emit every ``every_n``-th one — the 1→N fan-out shape

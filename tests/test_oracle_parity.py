@@ -68,6 +68,7 @@ def test_every_query_has_oracle_or_is_whitelisted():
     assert rows_only == {
         "multimodal_features",
         "multimodal_frames",
+        "resize_media",
         "profile_files",
         # sketch internals (HLL++, KLL) are engine-specific; accuracy is
         # bounded against the exact profile in test_operators.py instead.
