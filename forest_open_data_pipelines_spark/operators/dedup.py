@@ -27,6 +27,33 @@ from pyspark.sql import functions as F
 from forest_open_data_pipelines_spark.functions.columns import ratio
 from forest_open_data_pipelines_spark.operators.textops import clean_text
 
+# LSH operators persist their signature tables across self-joins. The
+# returned results are lazy, so the operators themselves cannot
+# unpersist; instead every persist is tracked here (strong refs — the
+# JVM cache outlives the Python wrapper) and callers that run many
+# queries in one session (bench.py, the driver) reclaim blocks via
+# release_persisted() after materializing results.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every signature table persisted by dedup operators in
+    this session; returns how many were released. Safe to call after
+    results are collected/written."""
+    n = 0
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+        n += 1
+    return n
+
 # 60-bit integer from the first 15 hex chars of md5 — portable across
 # engines (fits signed 64-bit everywhere).
 def _md5_int(col: Column) -> Column:
@@ -221,10 +248,8 @@ def dedup_minhash(
     is the standard materialize-the-signature-table step of every LSH
     dedup pipeline.
     """
-    from pyspark import StorageLevel
-
     rows_per_band = num_hashes // bands
-    sh = hashed_shingle_table(documents, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = _persist(hashed_shingle_table(documents, n))
     bases = F.transform(F.col("hashes"), lambda h: h % MINHASH_P)
 
     def _affine(a: int, b: int):
@@ -263,9 +288,8 @@ def dedup_minhash(
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    sigs = _persist(sigs)
     cand = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["band_id", "band_hash"])
@@ -383,9 +407,7 @@ def dedup_simhash(
     Signatures are persisted across the bucket self-join — one long per
     doc, trivially cacheable, and it stops the 32-bit-aggregation
     signature pipeline from running once per join side."""
-    from pyspark import StorageLevel
-
-    sigs = simhash_signatures(documents, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _persist(simhash_signatures(documents, bits))
     return simhash_pairs(sigs, bits, max_hamming)
 
 
@@ -439,10 +461,9 @@ def dedup_embedding_lsh(
     variant is asserted in tests.
 
     The banded signature table is persisted across its self-join —
-    otherwise the 8 plane projections per vector run once per join side.
+    otherwise the 8 plane projections per vector run once per join side
+    (cache lifecycle: ``release_persisted``).
     """
-    from pyspark import StorageLevel
-
     from forest_open_data_pipelines_spark.operators.similarity import (
         _hyperplanes,
         lsh_signature,
@@ -454,9 +475,7 @@ def dedup_embedding_lsh(
     norm = F.sqrt(
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
     )
-    e = embeddings.select("vec_id", "embedding", norm.alias("norm")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    e = _persist(embeddings.select("vec_id", "embedding", norm.alias("norm")))
     banded = (
         e.select(
             "vec_id",
@@ -473,8 +492,8 @@ def dedup_embedding_lsh(
             ).alias("b"),
         )
         .select("vec_id", "b.band", "b.key")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    banded = _persist(banded)
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(y, ["band", "key"])

@@ -234,6 +234,15 @@ def ann_topk_ivf(
         .collect(),
         key=lambda r: r.vec_id,
     )
+    if not cent_rows:
+        # A non-contiguous vec_id space would otherwise degenerate the
+        # centroid literal, NULL every cell assignment, and silently
+        # return zero rows.
+        raise ValueError(
+            f"ann_topk_ivf: no rows with vec_id < n_cells={n_cells}; "
+            "seed centroids require vec_ids starting at 0 (got none). "
+            "Re-key the table or train centroids explicitly."
+        )
     cent_arr = F.array(
         *[
             F.struct(

@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 TABLES = (
     "region",
@@ -43,10 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Spark rejects (PARQUET_TYPE_ILLEGAL). The legacy conf is
     # runtime-settable, so set it here rather than relying on the
     # session builder — queries must work on any caller's session.
+    # NOTE: this is a lasting session-level setting (scans are lazy, so
+    # restoring it after read.parquet() would break later jobs on the
+    # returned DataFrame); it only affects how nanos columns surface.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # read-only conf on some deployments; reader may still cope
+    except AnalysisException:
+        pass  # conf marked non-modifiable on this deployment
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     # The events file stores ts as TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long of
@@ -54,10 +58,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # same truncation DuckDB applies when it reads nanos).
     ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
     if ts_field is not None and ts_field.dataType.typeName() == "long":
-        # integer division — double division loses precision at
-        # nanosecond epoch magnitudes (~1.7e18 > 2^53)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn("ts", nanos_to_micros_ts(F.col("ts")))
     return df
+
+
+def nanos_to_micros_ts(nanos: F.Column) -> F.Column:
+    """Nanosecond long → microsecond timestamp with true floor semantics.
+
+    `div` truncates toward zero, which would round pre-epoch (negative)
+    nanos UP by 1µs; subtract the non-negative remainder first (same
+    scheme as asof._floor_bucket) so the result matches DuckDB's
+    flooring. Stays integer throughout — double division loses precision
+    at nanosecond epoch magnitudes (~1.7e18 > 2^53).
+    """
+    rem = (nanos % 1000 + 1000) % 1000
+    # decimal division (exact — (nanos - rem) is a multiple of 1000);
+    # Column `/` would go through double and lose ulps at ~1.7e18.
+    micros = ((nanos - rem).cast("decimal(38,0)") / 1000).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

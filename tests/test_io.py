@@ -164,3 +164,18 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
     assert joined.count() == orders.join(
         lineitem, orders.o_orderkey == lineitem.l_orderkey
     ).count()
+
+
+def test_nanos_to_micros_ts_floors_pre_epoch(spark):
+    from datetime import datetime, timezone
+
+    from forest_open_data_pipelines_spark.sources.tables import nanos_to_micros_ts
+
+    nanos = [-1500, -1000, -999, -1, 0, 1, 999, 1000, 1500, 1_700_000_000_123_456_789]
+    df = spark.createDataFrame([(n,) for n in nanos], "ts long").select(
+        nanos_to_micros_ts(F.col("ts")).alias("ts")
+    )
+    got = [r.ts.replace(tzinfo=timezone.utc).timestamp() for r in df.collect()]
+    # floor(n / 1000) micros, as a float epoch-seconds check
+    expect_micros = [-2, -1, -1, -1, 0, 0, 0, 1, 1, 1_700_000_000_123_456]
+    assert got == [m / 1e6 for m in expect_micros]

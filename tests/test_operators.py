@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.operators import (
@@ -383,3 +385,21 @@ def test_dedup_embedding_lsh_subset_and_recall(spark):
         assert cos == exact[pair]
     if exact:
         assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
+
+
+def test_ann_topk_ivf_rejects_missing_seed_centroids(spark):
+    from forest_open_data_pipelines_spark.operators.similarity import ann_topk_ivf
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    with pytest.raises(ValueError, match="no rows with vec_id"):
+        ann_topk_ivf(shifted)
+
+
+def test_dedup_release_persisted_unpersists_signature_tables(spark):
+    from forest_open_data_pipelines_spark.operators import dedup
+
+    dedup.release_persisted()  # drain whatever earlier tests left behind
+    docs = load_table(spark, SF_DIR, "documents")
+    dedup.dedup_minhash(docs).count()
+    assert dedup.release_persisted() >= 2  # shingle table + banded sigs
