@@ -5,6 +5,11 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
+Each query runs REPS times; the reported per-query number is the MIN
+(steady-state engine cost — the statistic least polluted by GC pauses,
+JIT, and OS noise), with medians alongside so a swing between rounds is
+attributable to a plan change rather than single-run variance.
+
 Timing counts full query execution (plan + shuffle + collect-to-count)
 but not Spark session startup — startup is fixed overhead that
 amortizes to zero on a real cluster run.
@@ -14,13 +19,17 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from forest_open_data_pipelines_spark.operators.dedup import release_persisted
 from forest_open_data_pipelines_spark.plans.catalog import QUERIES
 from forest_open_data_pipelines_spark.session import get_spark
+
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -34,12 +43,16 @@ HEADLINE = [
     "rolling_12m",
     "freshness_cadence",
     "events_sessionize",
+    "events_asof_attribution",
+    "clicks_before_purchase",
     "text_quality",
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_embedding_lsh",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
+    "ann_topk_ivf",
 ]
 
 
@@ -54,21 +67,36 @@ def main() -> None:
     # throughput with the reference).
     QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    mins: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
-        start = time.perf_counter()
-        n = QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 4)
-        print(f"# {name}: {timings[name]:.3f}s rows={n}", file=sys.stderr)
+        samples: list[float] = []
+        rows = 0
+        for _ in range(REPS):
+            start = time.perf_counter()
+            rows = QUERIES[name](spark, sf_dir).count()
+            samples.append(time.perf_counter() - start)
+            # drop LSH signature caches so reps (and later queries)
+            # measure cold plans, not leftover cached blocks
+            release_persisted()
+        mins[name] = round(min(samples), 4)
+        medians[name] = round(statistics.median(samples), 4)
+        print(
+            f"# {name}: min={mins[name]:.3f}s median={medians[name]:.3f}s "
+            f"rows={rows} samples={[round(s, 3) for s in samples]}",
+            file=sys.stderr,
+        )
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(mins.values()), 4)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": mins,
+                "queries_median": medians,
+                "reps": REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
