@@ -409,6 +409,49 @@ SELECT n_name, cur_period AS period,
              THEN (coalesce(cur, 0) - coalesce(prev, 0))::DOUBLE / coalesce(prev, 0) * 100.0
              END, 6) AS pct_change
 FROM agg ORDER BY current_month_total DESC, n_name LIMIT 10""",
+        "state_biome_monthly_series": f"""
+WITH {ENRICHED},
+base AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS period, r_name AS biome, n_name AS state
+  FROM enriched
+)
+SELECT period,
+       substr(period, 1, 4)::INTEGER AS year,
+       coalesce(biome, 'ALL') AS biome,
+       coalesce(state, 'ALL') AS state,
+       count(*) AS value
+FROM base
+GROUP BY GROUPING SETS ((period), (period, biome), (period, state), (period, biome, state))
+ORDER BY period, coalesce(biome, 'ALL'), coalesce(state, 'ALL')""",
+        "top_biomes_month_comparison": f"""
+WITH {ENRICHED},
+mbr AS (
+  SELECT r_name, strftime(o_orderdate, '%Y-%m') AS period, count(*) AS n_orders
+  FROM enriched GROUP BY 1, 2
+),
+latest AS (
+  SELECT max(period) AS cur_period,
+         (substr(max(period), 1, 4)::INTEGER - 1)::VARCHAR || substr(max(period), 5, 3)
+           AS prev_period
+  FROM mbr
+),
+agg AS (
+  SELECT r_name, cur_period, prev_period,
+         sum(n_orders) FILTER (WHERE period = cur_period) AS cur,
+         sum(n_orders) FILTER (WHERE period = prev_period) AS prev
+  FROM mbr, latest
+  WHERE period = cur_period OR period = prev_period
+  GROUP BY 1, 2, 3
+)
+SELECT r_name AS biome, cur_period AS period,
+       coalesce(cur, 0)::BIGINT AS current_month_total,
+       coalesce(prev, 0)::BIGINT AS previous_month_total,
+       (coalesce(cur, 0) - coalesce(prev, 0))::BIGINT AS absolute_change,
+       round(CASE WHEN coalesce(prev, 0) <> 0
+             THEN (coalesce(cur, 0) - coalesce(prev, 0))::DOUBLE / coalesce(prev, 0) * 100.0
+             END, 6) AS pct_change
+FROM agg
+ORDER BY current_month_total DESC, previous_month_total DESC, biome LIMIT 5""",
         "month_year_comparison": f"""
 WITH {ENRICHED}, {MONTHLY},
 m AS (

@@ -306,6 +306,96 @@ def same_month_prev_year(nation_month: DataFrame, limit: int = 10) -> DataFrame:
     )
 
 
+def state_biome_monthly_series(enriched: DataFrame) -> DataFrame:
+    """Combined monthly series at every (state, biome) grain in ONE scan:
+    (ALL, ALL) national, (biome, ALL), (ALL, state), (biome, state).
+
+    Reference: bdqueimadas_overview.py:1538
+    (``_build_state_biome_monthly_series_records``) upserts four
+    separately-built pandas frames into one (period, biome, state) map;
+    here the four grains are one GROUPING SETS aggregation, so the fact
+    table is read once and partial aggregation is map-side combined for
+    all grains together. NULL grouping keys are coalesced to the
+    reference's 'ALL' sentinel (ALL_BIOMES_VALUE) before ordering —
+    Spark and DuckDB order NULLs differently, 'ALL' sorts identically.
+    """
+    base = enriched.select(
+        period_month(F.col("o_orderdate")).alias("period"),
+        F.col("r_name").alias("biome"),
+        F.col("n_name").alias("state"),
+    )
+    return (
+        base.groupingSets(
+            [
+                ["period"],
+                ["period", "biome"],
+                ["period", "state"],
+                ["period", "biome", "state"],
+            ],
+            "period",
+            "biome",
+            "state",
+        )
+        .agg(F.count("*").alias("value"))
+        .select(
+            "period",
+            F.substring("period", 1, 4).cast("int").alias("year"),
+            F.coalesce("biome", F.lit("ALL")).alias("biome"),
+            F.coalesce("state", F.lit("ALL")).alias("state"),
+            "value",
+        )
+        .orderBy("period", "biome", "state")
+    )
+
+
+def top_biomes_month_comparison(monthly_by_region: DataFrame, limit: int = 5) -> DataFrame:
+    """Per biome: latest-month total vs same month of the previous year,
+    with absolute and pct change, ranked by volume.
+
+    Reference: bdqueimadas_overview.py:1454-1521
+    (``_build_top_biomes_month_comparison`` / ``_build_top_biomes_month_merged``
+    with the outer merge's 0-fill, plus ``_sort_top_biomes_month``'s
+    volume ordering: current desc, previous desc).
+    """
+    latest = monthly_by_region.agg(F.max("period").alias("cur_period")).select(
+        "cur_period",
+        F.concat(
+            (F.substring("cur_period", 1, 4).cast("int") - 1).cast("string"),
+            F.substring("cur_period", 5, 3),
+        ).alias("prev_period"),
+    )
+    joined = monthly_by_region.join(F.broadcast(latest)).where(
+        (F.col("period") == F.col("cur_period"))
+        | (F.col("period") == F.col("prev_period"))
+    )
+    agg = joined.groupBy("r_name", "cur_period", "prev_period").agg(
+        F.sum(F.when(F.col("period") == F.col("cur_period"), F.col("n_orders")))
+        .alias("cur"),
+        F.sum(F.when(F.col("period") == F.col("prev_period"), F.col("n_orders")))
+        .alias("prev"),
+    )
+    return (
+        agg.select(
+            F.col("r_name").alias("biome"),
+            F.col("cur_period").alias("period"),
+            F.coalesce("cur", F.lit(0)).alias("current_month_total"),
+            F.coalesce("prev", F.lit(0)).alias("previous_month_total"),
+        )
+        .withColumn(
+            "absolute_change",
+            F.col("current_month_total") - F.col("previous_month_total"),
+        )
+        .withColumn(
+            "pct_change",
+            safe_pct_change(F.col("current_month_total"), F.col("previous_month_total")),
+        )
+        .orderBy(
+            F.desc("current_month_total"), F.desc("previous_month_total"), "biome"
+        )
+        .limit(limit)
+    )
+
+
 def month_year_comparison(monthly: DataFrame, avg_window: int = 5) -> DataFrame:
     """Month-of-year grid: latest-year value, previous-year value, and
     historical average per calendar month.

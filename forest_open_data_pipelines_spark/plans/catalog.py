@@ -143,6 +143,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
         timeseries.nation_month_matrix(_enriched(s, d))
     ),
+    "state_biome_monthly_series": lambda s, d: timeseries.state_biome_monthly_series(
+        _enriched(s, d)
+    ),
+    "top_biomes_month_comparison": lambda s, d: timeseries.top_biomes_month_comparison(
+        timeseries.monthly_by_region(_enriched(s, d))
+    ),
     "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
         timeseries.monthly_series(_enriched(s, d))
     ),
@@ -159,9 +165,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
     "profile_files": lambda s, d: _profile_files(s, d),
-    "profile_columns_approx": lambda s, d: profiling.profile_columns_approx(
-        load_table(s, d, "lineitem")
-    ),
     "type_inference": lambda s, d: profiling.type_inference(
         load_table(s, d, "orders")
     ),
@@ -233,6 +236,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green entry down here to stay within DRIVER_CHECK_CAP.
     # ------------------------------------------------------------------
     "annual_by_region": lambda s, d: timeseries.annual_by_region(_enriched(s, d)),
+    # rows-only sketch profile; accuracy bounds vs the exact profile are
+    # pytest-asserted, so its driver row carried the least information
+    "profile_columns_approx": lambda s, d: profiling.profile_columns_approx(
+        load_table(s, d, "lineitem")
+    ),
     "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
     "top_regions_yoy": lambda s, d: timeseries.top_regions_yoy(_enriched(s, d)),
     "monthly_chart_spec": lambda s, d: social.monthly_chart_spec(

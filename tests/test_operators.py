@@ -403,3 +403,50 @@ def test_dedup_release_persisted_unpersists_signature_tables(spark):
     docs = load_table(spark, SF_DIR, "documents")
     dedup.dedup_minhash(docs).count()
     assert dedup.release_persisted() >= 2  # shingle table + banded sigs
+
+
+def test_state_biome_monthly_series_grains_consistent(spark):
+    enriched = timeseries.orders_enriched(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "nation"),
+        load_table(spark, SF_DIR, "region"),
+    )
+    combined = timeseries.state_biome_monthly_series(enriched)
+    national = {
+        r.period: r.n_orders for r in timeseries.monthly_series(enriched).collect()
+    }
+    all_rows = combined.where(
+        (F.col("biome") == "ALL") & (F.col("state") == "ALL")
+    ).collect()
+    assert {r.period: r.value for r in all_rows} == national
+    # every grain sums to the same grand total
+    by_grain = (
+        combined.groupBy((F.col("biome") == "ALL"), (F.col("state") == "ALL"))
+        .agg(F.sum("value").alias("t"))
+        .collect()
+    )
+    totals = {tuple(r[:2]): r.t for r in by_grain}
+    assert len(set(totals.values())) == 1
+
+
+def test_top_biomes_month_comparison_matches_series(spark):
+    enriched = timeseries.orders_enriched(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "nation"),
+        load_table(spark, SF_DIR, "region"),
+    )
+    mbr = timeseries.monthly_by_region(enriched)
+    out = timeseries.top_biomes_month_comparison(mbr).collect()
+    assert out, "expected at least one biome row"
+    latest = mbr.agg(F.max("period")).first()[0]
+    cur = {
+        r.r_name: r.n_orders for r in mbr.where(F.col("period") == latest).collect()
+    }
+    for row in out:
+        assert row.period == latest
+        assert row.current_month_total == cur.get(row.biome, 0)
+        assert row.absolute_change == row.current_month_total - row.previous_month_total
+        if row.previous_month_total == 0:
+            assert row.pct_change is None
