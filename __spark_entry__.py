@@ -75,6 +75,27 @@ shingled AS (
 
 _MD5_INT = "('0x' || substr(md5({expr}), 1, 15))::BIGINT"
 
+# html.py twins: strip tags → NBSP → collapse ws → trim, and the CTA
+# paragraph filter (RE2-compatible — same pattern Spark runs).
+_CTA_RE = (
+    r"(?i)^(receba|cadastre|whatsapp|newsletter|"
+    r"clique aqui para receber|siga nosso canal|termo de privacidade)\b"
+)
+
+
+def _html_clean(expr: str) -> str:
+    return (
+        "trim(regexp_replace(replace(regexp_replace(" + expr + ", "
+        "'(?s)<[^>]*>', ' ', 'g'), chr(160), ' '), '[ \\t\\r\\f\\v]+', ' ', 'g'))"
+    )
+
+
+_HTML_TITLE = _html_clean("regexp_extract(html, '(?is)<h1[^>]*>(.*?)</h1>', 1)")
+_HTML_LEAD = _html_clean(
+    "regexp_extract(html, '(?is)<div class=\"lead\"[^>]*>(.*?)</div>', 1)"
+)
+_HTML_PARA = _html_clean("x")
+
 
 def _yoy_sql(dim: str, limit: int) -> str:
     return f"""
@@ -647,6 +668,46 @@ SELECT doc_id, {clean} AS clean_text, length({clean})::INTEGER AS clean_chars,
          AS is_boilerplate,
        (length({clean}) >= 40) AS is_useful_paragraph
 FROM documents ORDER BY doc_id""",
+        "html_extract": f"""
+WITH page AS (
+  SELECT doc_id,
+    '<html><head><title>feed</title><style>p {{ margin: 0 }}</style></head><body>'
+    || '<h1 class="page-title"> ' || source || ' article ' || doc_id::VARCHAR || ' </h1>'
+    || '<div class="datas">01/01/2024 10:30</div>'
+    || '<div class="lead">' || substr(text, 1, 60) || '</div>'
+    || '<script type="text/javascript">var ads = "x < y";</script>'
+    || '<div class="materia"><p>' || replace(text, ' the ', '</p><p>')
+    || '</p><p>Receba nossa newsletter diaria</p>'
+    || '<p>WhatsApp: siga nosso canal</p></div>'
+    || '</body></html>' AS html
+  FROM documents
+),
+nos AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(html,
+      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS html
+  FROM page
+),
+paras AS (
+  SELECT doc_id,
+    {_HTML_TITLE} AS title,
+    nullif({_HTML_LEAD}, '') AS lead,
+    list_filter(
+      list_transform(
+        regexp_extract_all(
+          regexp_extract(html, '(?is)<div class="materia"[^>]*>(.*?)</div>', 1),
+          '(?is)<p[^>]*>(.*?)</p>', 1),
+        x -> {_HTML_PARA}),
+      x -> x <> '' AND NOT regexp_matches(x, '{_CTA_RE}')) AS ps
+  FROM nos
+)
+SELECT doc_id, title, lead,
+       substr(array_to_string(ps, chr(10) || chr(10)), 1, 400) AS body_prefix,
+       len(ps)::BIGINT AS n_paragraphs,
+       coalesce(list_filter(ps, x -> length(x) >= 40)[1],
+                list_filter(ps, x -> length(x) >= 15)[1]) AS first_paragraph
+FROM paras ORDER BY doc_id""",
         "token_count": f"""
 SELECT doc_id,
        len({toks})::INTEGER AS n_tokens,

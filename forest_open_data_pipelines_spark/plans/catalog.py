@@ -12,6 +12,7 @@ from forest_open_data_pipelines_spark.operators import (
     asof,
     dedup,
     freshness,
+    html,
     multimodal,
     profiling,
     relational,
@@ -131,7 +132,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # A. report time-series engine
     "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
     "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
-    "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
     "nation_year_matrix": lambda s, d: timeseries.nation_year_matrix(_enriched(s, d)),
     "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
     "rolling_12m": lambda s, d: timeseries.rolling_12m(
@@ -177,6 +177,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # D. text analysis
     "text_cleanup": lambda s, d: textops.text_cleanup(load_table(s, d, "documents")),
+    "html_extract": lambda s, d: html.html_extract(load_table(s, d, "documents")),
     "text_quality": lambda s, d: textops.text_quality(load_table(s, d, "documents")),
     "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
     "url_merge": lambda s, d: dedup.url_merge(load_table(s, d, "events")),
@@ -235,6 +236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # driver-checked queries ABOVE this line and move another redundant
     # green entry down here to stay within DRIVER_CHECK_CAP.
     # ------------------------------------------------------------------
+    "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
     "annual_by_region": lambda s, d: timeseries.annual_by_region(_enriched(s, d)),
     # rows-only sketch profile; accuracy bounds vs the exact profile are
     # pytest-asserted, so its driver row carried the least information
@@ -267,7 +269,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # First name past the driver window; everything from here on is parked.
-PARKED_FROM = "annual_by_region"
+PARKED_FROM = "annual_series"
 
 
 def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

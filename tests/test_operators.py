@@ -450,3 +450,48 @@ def test_top_biomes_month_comparison_matches_series(spark):
         assert row.absolute_change == row.current_month_total - row.previous_month_total
         if row.previous_month_total == 0:
             assert row.pct_change is None
+
+
+def test_extract_article_on_crafted_html(spark):
+    from forest_open_data_pipelines_spark.operators.html import extract_article
+
+    full = """
+    <html><head><style>h1 { color: red }</style></head><body>
+    <h1 class="page-title">  Safra de <b>soja</b>&#65;
+        bate recorde </h1>
+    <div class="datas">12/03/2024 08:15</div>
+    <div class="lead">Producao cresce  10%\tno ano</div>
+    <script>document.write("<p>fake paragraph</p>");</script>
+    <div class="materia">
+      <p>A colheita <a href="/x">avancou</a> para 95% da area plantada no centro-oeste.</p>
+      <p>RECEBA nossa newsletter com as principais noticias.</p>
+      <p>   </p>
+      <p>Precos firmes.</p>
+    </div>
+    <div class="tags"><ul><li><a>soja</a></li></ul></div>
+    </body></html>"""
+    no_materia = "<html><body><h1>t</h1><p>stray paragraph</p></body></html>"
+    df = spark.createDataFrame(
+        [(1, full), (2, no_materia)], ["doc_id", "html"]
+    )
+    rows = {r.doc_id: r for r in extract_article(df).collect()}
+
+    art = rows[1]
+    # inner tags stripped, entities left alone (reference strips tags, not entities)
+    assert art.title == "Safra de soja &#65; bate recorde"
+    assert art.lead == "Producao cresce 10% no ano"
+    # script-injected <p> never leaks in; CTA + empty paragraphs dropped
+    assert art.n_paragraphs == 2
+    assert art.body.split("\n\n") == [
+        "A colheita avancou para 95% da area plantada no centro-oeste.",
+        "Precos firmes.",
+    ]
+    # >=40-char block wins over the short one
+    assert art.first_paragraph.startswith("A colheita")
+
+    bare = rows[2]
+    assert bare.title == "t"
+    assert bare.lead is None
+    assert bare.n_paragraphs == 0  # <p> outside div.materia is not body
+    assert bare.body == ""
+    assert bare.first_paragraph is None
