@@ -179,3 +179,90 @@ def test_nanos_to_micros_ts_floors_pre_epoch(spark):
     # floor(n / 1000) micros, as a float epoch-seconds check
     expect_micros = [-2, -1, -1, -1, 0, 0, 0, 1, 1, 1_700_000_000_123_456]
     assert got == [m / 1e6 for m in expect_micros]
+
+
+def _write_zip(path, member_rows, encoding="utf-8", delimiter=";", extra_members=()):
+    import zipfile
+
+    with zipfile.ZipFile(path, "w") as zf:
+        for name, text in extra_members:
+            zf.writestr(name, text)
+        header, *rows = member_rows
+        body = "\n".join(delimiter.join(r) for r in [header, *rows])
+        zf.writestr("data/detections_2024.csv", body.encode(encoding))
+
+
+def test_read_zipped_csv_matches_plain_reader(spark, tmp_path):
+    from forest_open_data_pipelines_spark.sources.archives import read_zipped_csv
+
+    rows = [
+        ["uf", "bioma", "focos"],
+        ["São Paulo", "Mata Atlântica", "12"],
+        ["Pará", "Amazônia", "340"],
+    ]
+    _write_zip(
+        tmp_path / "a.zip",
+        rows,
+        encoding="latin-1",
+        delimiter=";",
+        extra_members=[
+            ("readme.json", "{}"),  # non-CSV member must be skipped
+            ("zz_later.csv", "x;y\n1;2"),  # sorts AFTER data/, not picked
+        ],
+    )
+    plain = tmp_path / "plain.csv"
+    plain.write_text("\n".join(";".join(r) for r in rows), encoding="utf-8")
+
+    got = (
+        read_zipped_csv(spark, str(tmp_path / "*.zip"), ["uf", "bioma", "focos"])
+        .orderBy("uf")
+        .collect()
+    )
+    expect = (
+        spark.read.option("header", True)
+        .option("sep", ";")
+        .csv(str(plain))
+        .orderBy("uf")
+        .collect()
+    )
+    assert [(r.uf, r.bioma, r.focos) for r in got] == [
+        (r.uf, r.bioma, r.focos) for r in expect
+    ]
+    assert all(r._archive == "a.zip" for r in got)
+
+
+def test_read_zipped_csv_missing_column_yields_nulls(spark, tmp_path):
+    from forest_open_data_pipelines_spark.sources.archives import read_zipped_csv
+
+    _write_zip(tmp_path / "b.zip", [["uf", "focos"], ["BA", "7"]])
+    got = read_zipped_csv(
+        spark, str(tmp_path / "*.zip"), ["uf", "bioma", "focos"]
+    ).collect()
+    assert len(got) == 1 and got[0].bioma is None and got[0].focos == "7"
+
+
+def test_profile_archives_detection(spark, tmp_path):
+    from forest_open_data_pipelines_spark.sources.archives import profile_archives
+
+    _write_zip(tmp_path / "semi.zip", [["a", "b"], ["1", "2"], ["3", "4"]])
+    _write_zip(
+        tmp_path / "comma.zip",
+        [["x", "y", "z"], ["1", "2", "3"]],
+        delimiter=",",
+    )
+    rows = {r.archive: r for r in profile_archives(spark, str(tmp_path / "*.zip")).collect()}
+    assert rows["semi.zip"].delimiter == ";"
+    assert rows["semi.zip"].n_rows == 2
+    assert rows["comma.zip"].delimiter == ","
+    assert rows["comma.zip"].columns == "x,y,z"
+    assert rows["semi.zip"].member == "data/detections_2024.csv"
+
+
+def test_pick_archive_member_rules():
+    from forest_open_data_pipelines_spark.sources.archives import pick_archive_member
+
+    assert (
+        pick_archive_member(["dir/", "b.TXT", "a.csv", "notes.json"]) == "a.csv"
+    )
+    with pytest.raises(FileNotFoundError):
+        pick_archive_member(["only.json", "dir/"])
