@@ -3,6 +3,8 @@ equal the batch twin (``events_windowed``) once the stream drains."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import pytest
 
 from forest_open_data_pipelines_spark.operators.sessionize import events_windowed
@@ -264,3 +266,48 @@ def test_stream_dedup_drops_replayed_batch(spark, tmp_path):
     n_unique = load_table(spark, SF_DIR, "events").select("event_id").distinct().count()
     assert len(ids) == n_unique
     assert len(set(ids)) == len(ids)
+
+
+def test_content_stream_dedup_matches_dedup_exact_fingerprints(spark, tmp_path):
+    """Replay the documents file twice: the content-fingerprint stream
+    must emit exactly one row per batch dedup_exact fingerprint."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.dedup import dedup_exact
+    from forest_open_data_pipelines_spark.streaming.dedup import dedup_content_stream
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch2.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        # documents carry no event time; derive a deterministic one so
+        # the watermark has a column to bound state by (offset past the
+        # epoch — a row AT the initial watermark counts as late)
+        .withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1))
+    )
+    query = (
+        dedup_content_stream(stream)
+        .writeStream.format("memory")
+        .queryName("content_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_content_dedup"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = [
+            r.content_fingerprint
+            for r in spark.sql(
+                "SELECT content_fingerprint FROM content_dedup_test"
+            ).collect()
+        ]
+    finally:
+        query.stop()
+    batch_fps = {r.content_fingerprint for r in dedup_exact(docs).collect()}
+    assert len(emitted) == len(set(emitted)), "stream emitted a duplicate fingerprint"
+    assert set(emitted) == batch_fps
