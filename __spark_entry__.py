@@ -511,6 +511,35 @@ SELECT source, year, n_pubs,
        round(n_pubs::DOUBLE / sum(n_pubs) OVER (PARTITION BY source) * 100.0, 6)
          AS share_pct
 FROM per_year ORDER BY source, year""",
+        "research_trends_rollup": """
+WITH base AS (
+  SELECT 'cust-' || o_custkey::VARCHAR AS institution,
+         o_orderpriority AS concept,
+         o_orderstatus AS venue
+  FROM orders
+),
+g AS (
+  SELECT institution, concept, venue, count(*) AS n_pubs,
+         grouping(institution) AS g_inst, grouping(concept) AS g_concept
+  FROM base
+  GROUP BY GROUPING SETS ((institution), (concept), (venue))
+),
+lab AS (
+  SELECT CASE WHEN g_inst = 0 THEN 'institution'
+              WHEN g_concept = 0 THEN 'concept'
+              ELSE 'venue' END AS dimension,
+         coalesce(institution, concept, venue) AS label,
+         n_pubs
+  FROM g
+),
+r AS (
+  SELECT dimension, label, n_pubs,
+         row_number() OVER (PARTITION BY dimension ORDER BY n_pubs DESC, label)::INTEGER
+           AS rank
+  FROM lab
+)
+SELECT dimension, label, n_pubs, rank
+FROM r WHERE rank <= 10 ORDER BY dimension, rank""",
         "monthly_chart_spec": f"""
 WITH {ENRICHED}, {MONTHLY},
 m AS (

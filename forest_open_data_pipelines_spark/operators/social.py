@@ -62,6 +62,55 @@ def research_trends(orders: DataFrame) -> DataFrame:
     ).orderBy("source", "year")
 
 
+def research_trends_rollup(orders: DataFrame, limit: int = 10) -> DataFrame:
+    """Top-N rollups across the institution/concept/venue dimensions in
+    ONE scan.
+
+    Reference: social/research_trends/pipeline.py:238-271 + 280-330
+    (``_aggregate``) walks every work three times building
+    ``top_institutions`` / ``top_concepts`` / ``top_venues`` Counters;
+    here the three dimension counts are a single GROUPING SETS
+    aggregation (mapping: customer ≈ institution, o_orderpriority ≈
+    concept, o_orderstatus ≈ venue), then a per-dimension window rank
+    keeps the top ``limit``. The window runs on the tiny post-agg frame
+    (|custs|+|priorities|+|statuses| rows), never the fact table.
+    """
+    base = orders.select(
+        F.concat(F.lit("cust-"), F.col("o_custkey").cast("string")).alias(
+            "institution"
+        ),
+        F.col("o_orderpriority").alias("concept"),
+        F.col("o_orderstatus").alias("venue"),
+    )
+    g = (
+        base.groupingSets(
+            [["institution"], ["concept"], ["venue"]],
+            "institution",
+            "concept",
+            "venue",
+        )
+        .agg(
+            F.count("*").alias("n_pubs"),
+            F.grouping("institution").alias("g_inst"),
+            F.grouping("concept").alias("g_concept"),
+        )
+        .select(
+            F.when(F.col("g_inst") == 0, F.lit("institution"))
+            .when(F.col("g_concept") == 0, F.lit("concept"))
+            .otherwise(F.lit("venue"))
+            .alias("dimension"),
+            F.coalesce("institution", "concept", "venue").alias("label"),
+            "n_pubs",
+        )
+    )
+    w = Window.partitionBy("dimension").orderBy(F.desc("n_pubs"), "label")
+    return (
+        g.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= limit)
+        .orderBy("dimension", "rank")
+    )
+
+
 def monthly_chart_spec(monthly: DataFrame) -> DataFrame:
     """Chart-spec records: per calendar month of the latest year —
     localized label, current value, prior-year value, pct change.

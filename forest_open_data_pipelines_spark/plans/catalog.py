@@ -153,8 +153,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         timeseries.monthly_series(_enriched(s, d))
     ),
     "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
-    "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
-        load_table(s, d, "events")
+    "research_trends_rollup": lambda s, d: social.research_trends_rollup(
+        load_table(s, d, "orders")
     ),
     # B. profiling / audit / catalog
     "profile_columns": lambda s, d: profiling.profile_columns(
@@ -237,6 +237,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green entry down here to stay within DRIVER_CHECK_CAP.
     # ------------------------------------------------------------------
     "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
+    "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
+        load_table(s, d, "events")
+    ),
     "annual_by_region": lambda s, d: timeseries.annual_by_region(_enriched(s, d)),
     # rows-only sketch profile; accuracy bounds vs the exact profile are
     # pytest-asserted, so its driver row carried the least information
