@@ -788,6 +788,11 @@ SELECT doc_id,
             for t in string_split({lclean}, ' ')]),
          (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rolling_hash
 FROM documents ORDER BY doc_id""",
+        "pt_date_parse": """
+SELECT o_orderkey,
+       o_orderdate::TIMESTAMP + INTERVAL 10 HOUR + INTERVAL 30 MINUTE AS published_ts,
+       o_orderdate::DATE AS published_date
+FROM orders ORDER BY o_orderkey""",
         "url_merge": """
 WITH keyed AS (
   SELECT regexp_replace(

@@ -171,3 +171,40 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(bag).alias("bag_fingerprint"),
         rolling.alias("rolling_hash"),
     ).orderBy("doc_id")
+
+
+def pt_date_parse(orders: DataFrame) -> DataFrame:
+    """Round-trip PT date parsing over deterministically rendered
+    strings: each order date is formatted as the reference's two raw
+    shapes — 'Publicado em DD/MM/YYYY HH:MM' (article header) and
+    '12 de março de 2024' (long form) — then parsed back with the pure
+    Catalyst parsers in functions/dates.py. The oracle states the
+    expected values directly from o_orderdate, so the parse is checked
+    against an independent derivation, not its own inverse.
+
+    Reference: datasets/noticias_agricolas/dates.py:1-57.
+    """
+    from forest_open_data_pipelines_spark.functions.dates import (
+        PT_MONTH_NAMES,
+        parse_published_line,
+        parse_pt_long_date,
+    )
+
+    months = F.array(*[F.lit(m) for m in PT_MONTH_NAMES])
+    raw_pub = F.concat(
+        F.lit("Publicado em "),
+        F.date_format("o_orderdate", "dd/MM/yyyy"),
+        F.lit(" 10:30"),
+    )
+    raw_long = F.concat(
+        F.dayofmonth("o_orderdate").cast("string"),
+        F.lit(" de "),
+        F.element_at(months, F.month("o_orderdate")),
+        F.lit(" de "),
+        F.year("o_orderdate").cast("string"),
+    )
+    return orders.select(
+        "o_orderkey",
+        parse_published_line(raw_pub).alias("published_ts"),
+        parse_pt_long_date(raw_long).alias("published_date"),
+    ).orderBy("o_orderkey")

@@ -172,14 +172,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freshness_cadence": lambda s, d: freshness.freshness_cadence(
         load_table(s, d, "events")
     ),
-    "freshness_latest": lambda s, d: freshness.freshness_latest(
-        load_table(s, d, "events")
-    ),
     # D. text analysis
     "text_cleanup": lambda s, d: textops.text_cleanup(load_table(s, d, "documents")),
     "html_extract": lambda s, d: html.html_extract(load_table(s, d, "documents")),
     "text_quality": lambda s, d: textops.text_quality(load_table(s, d, "documents")),
     "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
+    "pt_date_parse": lambda s, d: textops.pt_date_parse(load_table(s, d, "orders")),
     "url_merge": lambda s, d: dedup.url_merge(load_table(s, d, "events")),
     # E. dedup
     "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
@@ -238,6 +236,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
     "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
+        load_table(s, d, "events")
+    ),
+    # rank-per-user subset of the freshness_cadence grouping path
+    "freshness_latest": lambda s, d: freshness.freshness_latest(
         load_table(s, d, "events")
     ),
     "annual_by_region": lambda s, d: timeseries.annual_by_region(_enriched(s, d)),

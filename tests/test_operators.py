@@ -495,3 +495,49 @@ def test_extract_article_on_crafted_html(spark):
     assert bare.n_paragraphs == 0  # <p> outside div.materia is not body
     assert bare.body == ""
     assert bare.first_paragraph is None
+
+
+def test_pt_date_parsers_on_crafted_strings(spark):
+    from forest_open_data_pipelines_spark.functions.dates import (
+        combine_listing_datetime,
+        parse_published_line,
+        parse_pt_long_date,
+        to_iso8601_z,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("Publicado em 15/03/2024 10:30", "12 de março de 2024", "15/03/2024", "08:05"),
+            ("  Publicado   em 7/1/2023 8:05 ", "7 de janeiro de 2023", "7/1/2023", "8:05"),
+            ("Publicado em 31/02/2024 10:30", "31 de fevereiro de 2024", "31/02/2024", "10:30"),
+            ("sem data aqui", "12 de framboesa de 2024", "not-a-date", "xx:yy"),
+        ],
+        ["datas", "longform", "ldate", "ltime"],
+    )
+    rows = df.select(
+        parse_published_line(F.col("datas")).alias("pub"),
+        parse_pt_long_date(F.col("longform")).alias("long"),
+        combine_listing_datetime(F.col("ldate"), F.col("ltime")).alias("combined"),
+    ).collect()
+    from datetime import date, datetime
+
+    assert rows[0].pub == datetime(2024, 3, 15, 10, 30)
+    assert rows[0].long == date(2024, 3, 12)
+    assert rows[0].combined == datetime(2024, 3, 15, 8, 5)
+    assert rows[1].pub == datetime(2023, 1, 7, 8, 5)
+    assert rows[1].long == date(2023, 1, 7)
+    # impossible dates and garbage → NULL, never an exception
+    assert rows[2].pub is None and rows[2].long is None and rows[2].combined is None
+    assert rows[3].pub is None and rows[3].long is None and rows[3].combined is None
+
+    # tz conversion honors historical Brazilian DST (UTC-2 in Jan 2018,
+    # UTC-3 after DST was abolished in 2019)
+    iso = (
+        spark.createDataFrame(
+            [("2018-01-15 10:00:00",), ("2024-01-15 10:00:00",)], ["t"]
+        )
+        .select(to_iso8601_z(F.col("t").cast("timestamp")).alias("z"))
+        .collect()
+    )
+    assert iso[0].z == "2018-01-15T12:00:00Z"
+    assert iso[1].z == "2024-01-15T13:00:00Z"
