@@ -74,33 +74,60 @@ def as_media_table(documents: DataFrame) -> DataFrame:
     )
 
 
+def _flatten_payloads(payloads):
+    """One contiguous uint8 buffer + per-row (offsets, lengths) — the
+    ragged-array layout every batch kernel here indexes into, so the
+    numpy work is a handful of whole-batch array ops instead of a
+    Python loop over rows."""
+    import numpy as np
+
+    raw = [bytes(p) for p in payloads]
+    lengths = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    data = (
+        np.frombuffer(b"".join(raw), dtype=np.uint8)
+        if offsets[-1]
+        else np.empty(0, dtype=np.uint8)
+    )
+    return data, offsets, lengths
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payloads via
-    mapInPandas (deterministic fake decoder)."""
+    mapInPandas (deterministic fake decoder), numpy-vectorized across
+    the whole batch."""
 
     def _extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for media_id, payload, meta in zip(
-                pdf["media_id"], pdf["payload"], pdf["meta"]
-            ):
-                data = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n = int(data.size)
-                mean = float(data.mean()) if n else None
-                distinct = int(np.unique(data).size)
-                rows.append(
-                    {
-                        "media_id": int(media_id),
-                        "media_type": meta["media_type"],
-                        "n_bytes": n,
-                        "byte_mean": round(mean, 6) if mean is not None else None,
-                        "byte_entropy_proxy": round(distinct / 256.0, 6),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            if pdf.empty:
+                continue
+            data, offsets, lengths = _flatten_payloads(pdf["payload"])
+            # per-row byte sums as cumsum differences — exact for
+            # zero-length segments, unlike np.add.reduceat
+            csum = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+            sums = csum[offsets[1:]] - csum[offsets[:-1]]
+            mean = np.where(lengths > 0, sums / np.maximum(lengths, 1), np.nan)
+            # distinct bytes per row: unique (row, byte) pairs bucketed
+            # back onto rows — no per-row np.unique calls
+            row_of = np.repeat(np.arange(len(lengths)), lengths)
+            pairs = np.unique(row_of.astype(np.int64) * 256 + data)
+            distinct = np.bincount(pairs >> 8, minlength=len(lengths))
+            # nullable Float64 so empty payloads surface as NULL (a bare
+            # float64 NaN would reach Spark as NaN, not null)
+            byte_mean = pd.array(np.round(mean, 6), dtype="Float64")
+            byte_mean[lengths == 0] = pd.NA
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "n_bytes": lengths.astype("int64"),
+                    "byte_mean": byte_mean,
+                    "byte_entropy_proxy": np.round(distinct / 256.0, 6),
+                }
+            )
 
     return media.mapInPandas(_extract, FEATURE_SCHEMA)
 
@@ -142,26 +169,31 @@ def resize_media(media: DataFrame, width: int = 16, height: int = 16) -> DataFra
 
         target = width * height
         for pdf in batches:
-            rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = np.frombuffer(bytes(payload), dtype=np.uint8)
-                if data.size == 0:
-                    out = np.zeros(target, dtype=np.uint8)
-                else:
-                    # nearest-neighbor index map — the deterministic
-                    # stand-in for a real interpolation kernel
-                    idx = (np.arange(target) * data.size) // target
-                    out = data[idx]
-                rows.append(
-                    {
-                        "media_id": int(media_id),
-                        "width": width,
-                        "height": height,
-                        "resized": out.tobytes(),
-                        "checksum": round(float(out.mean()), 6),
-                    }
-                )
-            yield pd.DataFrame(rows)
+            if pdf.empty:
+                continue
+            data, offsets, lengths = _flatten_payloads(pdf["payload"])
+            # nearest-neighbor index map for ALL rows at once — the
+            # deterministic stand-in for a real interpolation kernel:
+            # (n_rows, target) gather into the flat buffer
+            grid = np.arange(target, dtype=np.int64)
+            if data.size:
+                idx = offsets[:-1, None] + (grid[None, :] * lengths[:, None]) // target
+                out = np.where(
+                    lengths[:, None] > 0,
+                    data[np.minimum(idx, data.size - 1)],
+                    np.uint8(0),
+                ).astype(np.uint8)
+            else:  # every payload in the batch is empty
+                out = np.zeros((len(lengths), target), dtype=np.uint8)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "width": np.int64(width),
+                    "height": np.int64(height),
+                    "resized": [row.tobytes() for row in out],
+                    "checksum": np.round(out.mean(axis=1), 6),
+                }
+            )
 
     return media.mapInPandas(_resize, RESIZED_SCHEMA)
 
@@ -189,23 +221,34 @@ def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 4) -> D
         import pandas as pd
 
         for pdf in batches:
-            rows = []
-            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
-                data = np.frombuffer(bytes(payload), dtype=np.uint8)
-                n_frames = max(1, -(-data.size // frame_size)) if data.size else 0
-                for fi in range(0, n_frames, every_n):
-                    chunk = data[fi * frame_size : (fi + 1) * frame_size]
-                    rows.append(
-                        {
-                            "media_id": int(media_id),
-                            "frame_index": fi,
-                            "frame_bytes": int(chunk.size),
-                            "frame_mean": round(float(chunk.mean()), 6)
-                            if chunk.size
-                            else None,
-                        }
-                    )
-            yield pd.DataFrame(rows)
+            if pdf.empty:
+                continue
+            data, offsets, lengths = _flatten_payloads(pdf["payload"])
+            n_frames = np.where(lengths > 0, -(-lengths // frame_size), 0)
+            n_sampled = -(-n_frames // every_n)  # frames 0, every_n, ...
+            total = int(n_sampled.sum())
+            if total == 0:
+                continue
+            # flatten the 1→N fan-out: one row index + within-row frame
+            # counter per emitted frame, all derived with repeat/arange
+            row_of = np.repeat(np.arange(len(lengths)), n_sampled)
+            within = np.arange(total) - np.repeat(
+                np.cumsum(n_sampled) - n_sampled, n_sampled
+            )
+            frame_index = within * every_n
+            start = offsets[row_of] + frame_index * frame_size
+            end = np.minimum(start + frame_size, offsets[row_of] + lengths[row_of])
+            frame_bytes = end - start
+            csum = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+            frame_mean = (csum[end] - csum[start]) / np.maximum(frame_bytes, 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy()[row_of].astype("int64"),
+                    "frame_index": frame_index.astype("int64"),
+                    "frame_bytes": frame_bytes.astype("int64"),
+                    "frame_mean": np.round(frame_mean, 6),
+                }
+            )
 
     return media.mapInPandas(_frames, FRAME_SCHEMA)
 

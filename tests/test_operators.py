@@ -541,3 +541,33 @@ def test_pt_date_parsers_on_crafted_strings(spark):
     )
     assert iso[0].z == "2018-01-15T12:00:00Z"
     assert iso[1].z == "2024-01-15T13:00:00Z"
+
+
+def test_multimodal_batch_kernels_handle_empty_payloads(spark):
+    from forest_open_data_pipelines_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b""), {"media_type": "t", "declared_size": 0, "origin": "s"}),
+            (2, bytearray(bytes(range(10))), {"media_type": "t", "declared_size": 10, "origin": "s"}),
+        ],
+        "media_id long, payload binary, meta struct<media_type:string,declared_size:long,origin:string>",
+    )
+    feats = {r.media_id: r for r in mm.extract_features(media).collect()}
+    assert feats[1].n_bytes == 0
+    assert feats[1].byte_mean is None
+    assert feats[1].byte_entropy_proxy == 0.0
+    assert feats[2].n_bytes == 10
+    assert feats[2].byte_mean == 4.5
+    assert feats[2].byte_entropy_proxy == round(10 / 256.0, 6)
+
+    rs = {r.media_id: r for r in mm.resize_media(media, width=2, height=2).collect()}
+    assert rs[1].resized == bytes(4) and rs[1].checksum == 0.0
+    assert rs[2].resized == bytes([0, 2, 5, 7]) and rs[2].checksum == 3.5
+
+    fr = mm.sample_frames(media, frame_size=4, every_n=2).collect()
+    got = {(r.media_id, r.frame_index): (r.frame_bytes, r.frame_mean) for r in fr}
+    # media 1 emits nothing; media 2 has frames 0,1,2 → sampled 0 and 2
+    assert set(got) == {(2, 0), (2, 2)}
+    assert got[(2, 0)] == (4, round((0 + 1 + 2 + 3) / 4, 6))
+    assert got[(2, 2)] == (2, round((8 + 9) / 2, 6))
