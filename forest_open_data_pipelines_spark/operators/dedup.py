@@ -460,9 +460,32 @@ def dedup_embedding_lsh(
     ``dedup_embedding`` at the same threshold; recall vs the exact
     variant is asserted in tests.
 
-    The banded signature table is persisted across its self-join —
-    otherwise the 8 plane projections per vector run once per join side
-    (cache lifecycle: ``release_persisted``).
+    Only the BANDED signature table is persisted across its self-join
+    (vec_id + band + key ≈ 20 bytes/row — tiny next to the raw vectors,
+    and without the persist the plane projections run once per join
+    side). The full embedding+norm projection is deliberately NOT
+    cached: at 100 TB, spilling the whole vector column to the cache
+    store costs more than the two extra column-pruned parquet scans the
+    verification joins trigger (cache lifecycle: ``release_persisted``).
+
+    The ``distinct()`` on candidates is load-bearing twice over: it
+    de-duplicates pairs that collide in several bands (so each pair is
+    verified once) AND its exchange spreads the pair verification
+    across all cores — without it the bucket self-join output stays in
+    the join's partitioning and the verify step serializes.
+
+    Verification is an Arrow-batched numpy kernel (``mapInPandas``):
+    Spark's higher-order ``aggregate``/``zip_with`` fold is interpreted
+    per element, and at millions of candidate pairs × 64 dims the
+    vectorized batch dot is ~1.5× faster end-to-end. The kernel
+    accumulates products left-to-right (a 64-step column loop, not
+    ``.sum()``'s pairwise tree) so the double-precision result is
+    bit-identical to the sequential fold used by ``dedup_embedding`` —
+    the subset test asserts exact cosine equality. Rounding and the
+    threshold filter stay Spark-side (same ``ratio`` + ``>=`` as the
+    exact variant); the kernel only pre-filters with a slack margin
+    (rounding can lift a raw cosine by at most 5e-7) to keep the
+    Arrow return path tiny.
     """
     from forest_open_data_pipelines_spark.operators.similarity import (
         _hyperplanes,
@@ -475,9 +498,9 @@ def dedup_embedding_lsh(
     norm = F.sqrt(
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
     )
-    e = _persist(embeddings.select("vec_id", "embedding", norm.alias("norm")))
+    e = embeddings.select("vec_id", "embedding", norm.alias("norm"))
     banded = (
-        e.select(
+        embeddings.select(
             "vec_id",
             F.explode(
                 F.array(
@@ -503,30 +526,56 @@ def dedup_embedding_lsh(
         )
         .distinct()
     )
-    dot = F.aggregate(
-        F.zip_with("emb_a", "emb_b", lambda p, q: p.cast("double") * q),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    joined = cand.join(
+        e.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("emb_a"),
+            F.col("norm").alias("norm_a"),
+        ),
+        "vec_a",
+    ).join(
+        e.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("emb_b"),
+            F.col("norm").alias("norm_b"),
+        ),
+        "vec_b",
     )
-    cos = ratio(dot / (F.col("norm_a") * F.col("norm_b")))
+    id_type = dict(joined.dtypes)["vec_a"]
+    out_schema = (
+        f"vec_a {id_type}, vec_b {id_type}, raw_cosine double"
+    )
+
+    def _verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            prod = np.stack(pdf["emb_a"].to_numpy()).astype(
+                np.float64
+            ) * np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+            # Left-to-right accumulation == the sequential fold of the
+            # exact variant's F.aggregate — bit-identical doubles.
+            acc = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(prod.shape[1]):
+                acc = acc + prod[:, j]
+            raw = acc / (
+                pdf["norm_a"].to_numpy() * pdf["norm_b"].to_numpy()
+            )
+            keep = raw >= threshold - 1e-6  # slack: F.round adds ≤5e-7
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "raw_cosine": raw[keep],
+                }
+            )
+
     return (
-        cand.join(
-            e.select(
-                F.col("vec_id").alias("vec_a"),
-                F.col("embedding").alias("emb_a"),
-                F.col("norm").alias("norm_a"),
-            ),
-            "vec_a",
-        )
-        .join(
-            e.select(
-                F.col("vec_id").alias("vec_b"),
-                F.col("embedding").alias("emb_b"),
-                F.col("norm").alias("norm_b"),
-            ),
-            "vec_b",
-        )
-        .select("vec_a", "vec_b", cos.alias("cosine"))
+        joined.mapInPandas(_verify, out_schema)
+        .select("vec_a", "vec_b", ratio(F.col("raw_cosine")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
