@@ -266,3 +266,126 @@ def test_pick_archive_member_rules():
     )
     with pytest.raises(FileNotFoundError):
         pick_archive_member(["only.json", "dir/"])
+
+
+# ── xlsx ingestion (profiling.py:300-318 parity, stdlib parser) ────────
+
+
+def _write_xlsx(path, sheets, shared=None):
+    """Minimal OOXML workbook. ``sheets`` = [(name, rows)] in TAB order;
+    sheet XML filenames are deliberately REVERSED vs tab order so
+    first-sheet resolution must go through workbook.xml + rels, not
+    filename sort. ``shared`` strings are referenced as ("s", idx);
+    plain tuples ("n"|"str"|"b"|"inline", text) pick the cell type."""
+    import zipfile
+
+    n = len(sheets)
+
+    def cell(ref, kind, text):
+        if kind == "inline":
+            return f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>'
+        if kind == "s":
+            return f'<c r="{ref}" t="s"><v>{text}</v></c>'
+        if kind == "b":
+            return f'<c r="{ref}" t="b"><v>{text}</v></c>'
+        if kind == "str":
+            return f'<c r="{ref}" t="str"><v>{text}</v></c>'
+        return f'<c r="{ref}"><v>{text}</v></c>'
+
+    def sheet_xml(rows):
+        body = []
+        for i, row in enumerate(rows, start=1):
+            cells = "".join(
+                cell(f"{chr(ord('A') + j)}{i}", kind, text)
+                for j, (kind, text) in enumerate(row)
+                if kind is not None
+            )
+            body.append(f"<row r=\"{i}\">{cells}</row>")
+        ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        return (
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            + "".join(body)
+            + "</sheetData></worksheet>"
+        )
+
+    mns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    sheet_tags = "".join(
+        f'<sheet name="{name}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        for i, (name, _) in enumerate(sheets)
+    )
+    workbook = (
+        f'<workbook xmlns="{mns}" xmlns:r="{rns}">'
+        f"<sheets>{sheet_tags}</sheets></workbook>"
+    )
+    # tab i -> file sheet{n-i}.xml (reversed on purpose)
+    rels = "".join(
+        f'<Relationship Id="rId{i + 1}" Type="{rns}/worksheet" '
+        f'Target="worksheets/sheet{n - i}.xml"/>'
+        for i in range(n)
+    )
+    rels_xml = f'<Relationships xmlns="{pns}">{rels}</Relationships>'
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels_xml)
+        if shared is not None:
+            sst = "".join(f"<si><t>{s}</t></si>" for s in shared)
+            zf.writestr(
+                "xl/sharedStrings.xml", f'<sst xmlns="{mns}">{sst}</sst>'
+            )
+        for i, (_, rows) in enumerate(sheets):
+            zf.writestr(f"xl/worksheets/sheet{n - i}.xml", sheet_xml(rows))
+
+
+def test_read_excel_first_sheet_types_and_contract(spark, tmp_path):
+    from forest_open_data_pipelines_spark.sources.excel import read_excel
+
+    _write_xlsx(
+        tmp_path / "wb.xlsx",
+        sheets=[
+            (
+                "main",
+                [
+                    [("s", "0"), ("s", "1"), ("inline", "flag")],
+                    [("s", "2"), ("n", "340"), ("b", "1")],
+                    [("inline", "Cerrado"), ("n", "12.5"), ("b", "0")],
+                    # sparse row: bioma missing entirely
+                    [("s", "3"), (None, None), ("b", "1")],
+                ],
+            ),
+            ("ignored", [[("inline", "WRONG")]]),
+        ],
+        shared=["bioma", "focos", "Amazônia", "Pantanal"],
+    )
+    got = read_excel(
+        spark, str(tmp_path / "*.xlsx"), ["bioma", "focos", "flag", "extra"]
+    ).orderBy("bioma").collect()
+    assert [(r.bioma, r.focos, r.flag, r.extra) for r in got] == [
+        ("Amazônia", "340", "TRUE", None),
+        ("Cerrado", "12.5", "FALSE", None),
+        ("Pantanal", None, "TRUE", None),
+    ]
+    assert all(r._workbook == "wb.xlsx" for r in got)
+
+
+def test_profile_excel_shapes(spark, tmp_path):
+    from forest_open_data_pipelines_spark.sources.excel import profile_excel
+
+    _write_xlsx(
+        tmp_path / "one.xlsx",
+        sheets=[("s", [[("inline", "a"), ("inline", "b")], [("n", "1"), ("n", "2")]])],
+    )
+    _write_xlsx(
+        tmp_path / "two.xlsx",
+        sheets=[("s", [[("inline", "x")], [("n", "1")], [("n", "2")]])],
+    )
+    rows = {
+        r.workbook: r
+        for r in profile_excel(spark, str(tmp_path / "*.xlsx")).collect()
+    }
+    assert rows["one.xlsx"].row_count == 1
+    assert rows["one.xlsx"].column_count == 2
+    assert rows["one.xlsx"].columns == "a,b"
+    assert rows["two.xlsx"].row_count == 2
+    assert rows["two.xlsx"].columns == "x"
