@@ -403,6 +403,66 @@ SELECT latest_period, ytd_current_year, ytd_previous_year,
              THEN (ytd_current_year - ytd_5yr_avg) / ytd_5yr_avg * 100.0 END, 6)
          AS ytd_vs_5yr_avg_pct
 FROM agg""",
+        "highlights": f"""
+WITH {ENRICHED}, {MONTHLY},
+m AS (
+  SELECT period, n_orders::BIGINT AS value,
+         substr(period, 1, 4)::INTEGER AS year,
+         row_number() OVER (ORDER BY period) AS rn
+  FROM monthly
+),
+base AS (
+  SELECT max(period) AS latest_period, max(year) AS latest_year,
+         min(year) AS first_year, sum(value)::BIGINT AS total_rows_processed,
+         count(DISTINCT year)::BIGINT AS file_count_used, count(*) AS n_periods
+  FROM m
+),
+scal AS (
+  SELECT latest_period, latest_year, first_year, total_rows_processed,
+         file_count_used, n_periods,
+         sum(value) FILTER (WHERE year = latest_year)::BIGINT AS current_year_total,
+         max(year) FILTER (WHERE year < latest_year) AS previous_year,
+         sum(value) FILTER (WHERE rn > n_periods - 12)::BIGINT AS recent_12m_total,
+         sum(value) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)::BIGINT
+           AS prior_12m_sum,
+         count(*) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)
+           AS prior_12m_n
+  FROM m, base
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+fin AS (
+  SELECT s.*,
+         coalesce(sum(m.value) FILTER (WHERE m.year = s.previous_year), 0)::BIGINT
+           AS previous_year_total,
+         CASE WHEN s.prior_12m_n = 12 THEN s.prior_12m_sum ELSE 0 END::BIGINT
+           AS prior_12m_total
+  FROM m, scal s
+  GROUP BY ALL
+)
+SELECT 1 AS pos, 'current_year_total' AS id, current_year_total::VARCHAR AS value,
+       CASE WHEN previous_year IS NOT NULL THEN previous_year_total END AS comparison_value,
+       round(CASE WHEN previous_year IS NOT NULL AND previous_year_total <> 0
+             THEN (current_year_total - previous_year_total)::DOUBLE
+                  / previous_year_total * 100.0 END, 6) AS pct_change
+FROM fin
+UNION ALL
+SELECT 2, 'recent_12m_total', recent_12m_total::VARCHAR, prior_12m_total,
+       round(CASE WHEN prior_12m_total <> 0
+             THEN (recent_12m_total - prior_12m_total)::DOUBLE
+                  / prior_12m_total * 100.0 END, 6)
+FROM fin
+UNION ALL
+SELECT 3, 'coverage_year_range',
+       first_year::VARCHAR || '-' || latest_year::VARCHAR, NULL::BIGINT, NULL::DOUBLE
+FROM fin
+UNION ALL
+SELECT 4, 'total_rows_processed', total_rows_processed::VARCHAR,
+       file_count_used, NULL::DOUBLE
+FROM fin
+UNION ALL
+SELECT 5, 'latest_period', latest_period, NULL::BIGINT, NULL::DOUBLE
+FROM fin
+ORDER BY pos""",
         "same_month_prev_year": f"""
 WITH {ENRICHED},
 nm AS (

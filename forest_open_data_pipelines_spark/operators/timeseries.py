@@ -396,6 +396,141 @@ def top_biomes_month_comparison(monthly_by_region: DataFrame, limit: int = 5) ->
     )
 
 
+def highlights(monthly: DataFrame) -> DataFrame:
+    """Headline metric selection: the five (id, value, comparison,
+    pct_change) rows of the report's highlight strip.
+
+    Reference: bdqueimadas_overview.py:1022-1075 (``_build_highlights``)
+    with its input derivation — current/previous annual totals
+    :259-267 (previous year = latest year strictly before the newest
+    with data, :907-910 ``_find_previous_year``; total 0 when absent),
+    rolling 12-row windows :1821-1859 (``_compute_rolling_12m_metrics``:
+    prior total only counts when the prior window has all 12 rows, else
+    coerced to 0 at :281), coverage/latest-period bookkeeping :259-262.
+    ``value`` is a string column because the reference mixes counts with
+    labels ('2024-05', '1992-1998') in one strip; ``pct_change`` is the
+    shared ``_safe_pct_change`` (null on zero base).
+
+    Scale: all arithmetic happens on the post-aggregation monthly frame
+    (#months rows), so the unpartitioned ``row_number`` window and the
+    two broadcast scalar joins are safe at any fact-table size — the
+    same argument as ``rolling_12m``.
+    """
+    w = Window.orderBy("period")
+    m = monthly.select(
+        "period",
+        F.col("n_orders").cast("bigint").alias("value"),
+        F.substring("period", 1, 4).cast("int").alias("year"),
+    ).select("*", F.row_number().over(w).alias("rn"))
+    base = m.agg(
+        F.max("period").alias("latest_period"),
+        F.max("year").alias("latest_year"),
+        F.min("year").alias("first_year"),
+        F.sum("value").alias("total_rows_processed"),
+        F.countDistinct("year").alias("file_count_used"),
+        F.count("*").alias("n_periods"),
+    )
+    base_cols = [
+        "latest_period",
+        "latest_year",
+        "first_year",
+        "total_rows_processed",
+        "file_count_used",
+        "n_periods",
+    ]
+    in_recent = F.col("rn") > F.col("n_periods") - 12
+    in_prior = (F.col("rn") > F.col("n_periods") - 24) & ~in_recent
+    scal = (
+        m.join(F.broadcast(base))
+        .groupBy(*base_cols)
+        .agg(
+            F.sum(F.when(F.col("year") == F.col("latest_year"), F.col("value"))).alias(
+                "current_year_total"
+            ),
+            F.max(F.when(F.col("year") < F.col("latest_year"), F.col("year"))).alias(
+                "previous_year"
+            ),
+            F.sum(F.when(in_recent, F.col("value"))).alias("recent_12m_total"),
+            F.sum(F.when(in_prior, F.col("value"))).alias("prior_12m_sum"),
+            F.count(F.when(in_prior, F.lit(1))).alias("prior_12m_n"),
+        )
+    )
+    # previous_year is data-dependent, so its annual total needs a second
+    # (equally tiny) conditional-aggregation pass.
+    final = (
+        m.join(F.broadcast(scal))
+        .groupBy(*base_cols, *scal.columns[len(base_cols) :])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("year") == F.col("previous_year"), F.col("value"))
+                ),
+                F.lit(0),
+            ).alias("previous_year_total")
+        )
+    )
+    prior_total = F.when(F.col("prior_12m_n") == 12, F.col("prior_12m_sum")).otherwise(
+        F.lit(0)
+    )
+    has_prev = F.col("previous_year").isNotNull()
+    nolong = F.lit(None).cast("bigint")
+    nopct = F.lit(None).cast("double")
+
+    def _row(pos, hid, value, comparison, pct):
+        return F.struct(
+            F.lit(pos).alias("pos"),
+            F.lit(hid).alias("id"),
+            value.cast("string").alias("value"),
+            comparison.cast("bigint").alias("comparison_value"),
+            pct.cast("double").alias("pct_change"),
+        )
+
+    rows = F.array(
+        _row(
+            1,
+            "current_year_total",
+            F.col("current_year_total"),
+            F.when(has_prev, F.col("previous_year_total")),
+            F.when(
+                has_prev,
+                safe_pct_change(
+                    F.col("current_year_total").cast("double"),
+                    F.col("previous_year_total").cast("double"),
+                ),
+            ),
+        ),
+        _row(
+            2,
+            "recent_12m_total",
+            F.col("recent_12m_total"),
+            prior_total,
+            safe_pct_change(
+                F.col("recent_12m_total").cast("double"), prior_total.cast("double")
+            ),
+        ),
+        _row(
+            3,
+            "coverage_year_range",
+            F.concat_ws("-", "first_year", "latest_year"),
+            nolong,
+            nopct,
+        ),
+        _row(
+            4,
+            "total_rows_processed",
+            F.col("total_rows_processed"),
+            F.col("file_count_used"),
+            nopct,
+        ),
+        _row(5, "latest_period", F.col("latest_period"), nolong, nopct),
+    )
+    return (
+        final.select(F.explode(rows).alias("h"))
+        .select("h.pos", "h.id", "h.value", "h.comparison_value", "h.pct_change")
+        .orderBy("pos")
+    )
+
+
 def month_year_comparison(monthly: DataFrame, avg_window: int = 5) -> DataFrame:
     """Month-of-year grid: latest-year value, previous-year value, and
     historical average per calendar month.

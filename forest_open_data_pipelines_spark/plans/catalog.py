@@ -131,13 +131,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # A. report time-series engine
     "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
-    "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
     "nation_year_matrix": lambda s, d: timeseries.nation_year_matrix(_enriched(s, d)),
     "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
     "rolling_12m": lambda s, d: timeseries.rolling_12m(
         timeseries.monthly_series(_enriched(s, d))
     ),
     "ytd_comparison": lambda s, d: timeseries.ytd_comparison(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "highlights": lambda s, d: timeseries.highlights(
         timeseries.monthly_series(_enriched(s, d))
     ),
     "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
@@ -235,6 +237,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green entry down here to stay within DRIVER_CHECK_CAP.
     # ------------------------------------------------------------------
     "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
+    # (period, biome) slice of the checked state_biome_monthly_series
+    # grouping-sets superset
+    "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
     "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
         load_table(s, d, "events")
     ),

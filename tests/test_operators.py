@@ -53,6 +53,67 @@ def test_rolling_12m_first_window_has_no_prior(spark):
     assert rows[11]["recent_12m_total"] == sum(m["n_orders"] for m in monthly[:12])
 
 
+def _monthly_frame(spark, pairs):
+    return spark.createDataFrame(
+        [(p, int(v)) for p, v in pairs], "period string, n_orders long"
+    )
+
+
+def test_highlights_full_history(spark):
+    # 2022-01..2023-12: 24 months, value = 10 for 2022, 20 for 2023.
+    pairs = [(f"2022-{m:02d}", 10) for m in range(1, 13)] + [
+        (f"2023-{m:02d}", 20) for m in range(1, 13)
+    ]
+    rows = {
+        r["id"]: r
+        for r in timeseries.highlights(_monthly_frame(spark, pairs)).collect()
+    }
+    cur = rows["current_year_total"]
+    assert (cur["value"], cur["comparison_value"]) == ("240", 120)
+    assert cur["pct_change"] == 100.0
+    r12 = rows["recent_12m_total"]
+    assert (r12["value"], r12["comparison_value"], r12["pct_change"]) == (
+        "240",
+        120,
+        100.0,
+    )
+    assert rows["coverage_year_range"]["value"] == "2022-2023"
+    tot = rows["total_rows_processed"]
+    assert (tot["value"], tot["comparison_value"]) == ("360", 2)
+    assert rows["latest_period"]["value"] == "2023-12"
+
+
+def test_highlights_no_previous_year_and_short_prior_window(spark):
+    # single partial year: no previous year, prior 12m window incomplete
+    pairs = [(f"2024-{m:02d}", 5) for m in range(1, 7)]
+    rows = {
+        r["id"]: r
+        for r in timeseries.highlights(_monthly_frame(spark, pairs)).collect()
+    }
+    cur = rows["current_year_total"]
+    assert cur["value"] == "30"
+    assert cur["comparison_value"] is None and cur["pct_change"] is None
+    r12 = rows["recent_12m_total"]
+    # incomplete prior window coerces to 0 (overview.py:281) -> pct null
+    assert (r12["value"], r12["comparison_value"], r12["pct_change"]) == (
+        "30",
+        0,
+        None,
+    )
+    assert rows["coverage_year_range"]["value"] == "2024-2024"
+
+
+def test_highlights_previous_year_is_latest_prior_with_data(spark):
+    # gap year: 2020 data then 2023 — previous year must be 2020, not 2022
+    pairs = [("2020-05", 7), ("2023-03", 9)]
+    rows = {
+        r["id"]: r
+        for r in timeseries.highlights(_monthly_frame(spark, pairs)).collect()
+    }
+    cur = rows["current_year_total"]
+    assert (cur["value"], cur["comparison_value"]) == ("9", 7)
+
+
 def test_top_nations_sorted_and_bounded(spark):
     rows = timeseries.top_nations_yoy(_enriched(spark)).collect()
     assert len(rows) == 10
