@@ -16,7 +16,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from forest_open_data_pipelines_spark.operators.textops import EN_STOPWORDS, LANG_MARKERS
+from forest_open_data_pipelines_spark.operators.textops import (
+    EN_STOPWORDS,
+    LANG_MARKERS,
+    PT_ACCENT_REPLACEMENTS,
+)
 from forest_open_data_pipelines_spark.plans.catalog import QUERIES
 
 
@@ -306,6 +310,31 @@ ORDER BY query_id, rank
 
 def _stop_list() -> str:
     return ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def _social_text_normalize_sql() -> str:
+    """normalize_visible_text twin, generated from the SAME accent map
+    the Spark operator chains (textops.PT_ACCENT_REPLACEMENTS). RE2 has
+    no \\p{{Cs}} class; well-formed UTF-8 has no lone surrogates, so
+    dropping it from the oracle pattern cannot change the output."""
+    expr = (
+        "'\U0001f525 Analise diaria – regiao: ' || '12.5% ' || " + CLEAN
+    )
+    expr = (
+        r"regexp_replace(" + expr + r", "
+        r"'[\p{So}\p{Sk}\x{1F300}-\x{1FAFF}]', '', 'g')"
+    )
+    expr = r"trim(regexp_replace(" + expr + r", '\s{2,}', ' ', 'g'))"
+    for src, dst in PT_ACCENT_REPLACEMENTS:
+        expr = (
+            "regexp_replace(" + expr + ", '(?i)\\b" + src + "\\b', '"
+            + dst + "', 'g')"
+        )
+    expr = r"regexp_replace(" + expr + r", '\s*[–—]\s*', ': ', 'g')"
+    expr = r"regexp_replace(" + expr + r", '(\d+)\.(\d+)%', '\1,\2%', 'g')"
+    return (
+        "SELECT doc_id, " + expr + " AS normalized FROM documents ORDER BY doc_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -600,6 +629,56 @@ r AS (
 )
 SELECT dimension, label, n_pubs, rank
 FROM r WHERE rank <= 10 ORDER BY dimension, rank""",
+        "daily_series": """
+WITH span AS (SELECT min(ts::DATE) AS d0, max(ts::DATE) AS d1 FROM events),
+spine AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS date FROM span
+),
+counts AS (
+  SELECT ts::DATE AS date, count(*) AS value
+  FROM events WHERE trim(event_type) = 'purchase' GROUP BY 1
+)
+SELECT spine.date, coalesce(counts.value, 0)::BIGINT AS value
+FROM spine LEFT JOIN counts USING (date)
+ORDER BY date""",
+        "nation_share_latest": f"""
+WITH {ENRICHED},
+nm AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS period, n_name, o_totalprice
+  FROM enriched
+),
+latest AS (SELECT max(period) AS latest_period FROM nm),
+per_nation AS (
+  SELECT n_name, period, round(sum(o_totalprice), 2) AS value
+  FROM nm, latest WHERE period = latest_period
+  GROUP BY 1, 2
+  HAVING round(sum(o_totalprice), 2) > 0
+)
+SELECT n_name, period, value,
+       round(value / sum(value) OVER () * 100.0, 2) AS share_pct
+FROM per_nation
+ORDER BY value DESC, n_name LIMIT 8""",
+        "nation_series_with_other": f"""
+WITH {ENRICHED},
+nm AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS month, n_name,
+         round(sum(o_totalprice), 2) AS value
+  FROM enriched GROUP BY 1, 2
+),
+latest AS (SELECT max(month) AS latest_month FROM nm),
+top AS (
+  SELECT n_name FROM (
+    SELECT n_name, row_number() OVER (ORDER BY value DESC, n_name) AS rank
+    FROM nm, latest WHERE month = latest_month AND value > 0
+  ) WHERE rank <= 8
+)
+SELECT strftime(month, '%Y-%m') AS period,
+       CASE WHEN n_name IN (SELECT n_name FROM top) THEN n_name
+            ELSE 'OUTROS' END AS series,
+       round(sum(value), 2) AS value
+FROM nm, latest
+WHERE month >= latest_month - INTERVAL 5 MONTH
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "monthly_chart_spec": f"""
 WITH {ENRICHED}, {MONTHLY},
 m AS (
@@ -853,6 +932,23 @@ SELECT o_orderkey,
        o_orderdate::TIMESTAMP + INTERVAL 10 HOUR + INTERVAL 30 MINUTE AS published_ts,
        o_orderdate::DATE AS published_date
 FROM orders ORDER BY o_orderkey""",
+        "pt_numeric_parse": """
+WITH r AS (
+  SELECT o_orderkey, o_totalprice,
+         (round(o_totalprice, 2) * 100)::BIGINT AS cents
+  FROM orders
+)
+SELECT o_orderkey,
+       CASE o_orderkey % 3
+         WHEN 0 THEN replace(format('{:,}', cents // 100), ',', '.')
+                     || ',' || lpad((cents % 100)::VARCHAR, 2, '0')
+         WHEN 1 THEN (cents // 100)::VARCHAR
+                     || '.' || lpad((cents % 100)::VARCHAR, 2, '0')
+         ELSE 'n/d' END AS raw,
+       CASE WHEN o_orderkey % 3 = 2 THEN NULL
+            ELSE round(o_totalprice, 2) END AS parsed
+FROM r ORDER BY o_orderkey""",
+        "social_text_normalize": _social_text_normalize_sql(),
         "url_merge": """
 WITH keyed AS (
   SELECT regexp_replace(

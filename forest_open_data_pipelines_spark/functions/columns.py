@@ -49,3 +49,21 @@ def money(col: Column) -> Column:
 
 def ratio(col: Column) -> Column:
     return F.round(col, RATIO_DP)
+
+
+def parse_pt_numeric(text: Column) -> Column:
+    """Locale-tolerant numeric parse: strings containing a comma are
+    read as pt-BR ('1.234,56' — dots are thousand separators, comma is
+    the decimal mark); otherwise as plain en numerics. Unparseable
+    input yields null, never an error.
+
+    Reference: social/anp_producao/pipeline.py:241-246
+    (``_parse_numeric``) — the comma test decides per value, not per
+    column, because ANP files mix both renderings.
+    """
+    trimmed = F.trim(text)
+    normalized = F.when(
+        trimmed.contains(","),
+        F.replace(F.replace(trimmed, F.lit("."), F.lit("")), F.lit(","), F.lit(".")),
+    ).otherwise(trimmed)
+    return normalized.try_cast("double")

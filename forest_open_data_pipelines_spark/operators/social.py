@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import (
+    money,
+    period_month,
     ratio,
     safe_pct_change,
 )
@@ -233,4 +235,123 @@ def series_alignment_metrics(
             safe_pct_change(F.col("a_value"), F.col("prev_a")).alias("a_delta_pct"),
             safe_pct_change(F.col("b_value"), F.col("prev_b")).alias("b_delta_pct"),
         )
+    )
+
+
+def daily_series(events: DataFrame, ref_type: str = "purchase") -> DataFrame:
+    """Zero-filled daily count series for one reference event type.
+
+    Reference: social/bdqueimadas_daily/pipeline.py
+    ``filter_reference_satellite`` (:399-406 — keep only the reference
+    satellite's rows, trimmed string equality) + ``build_daily_counts``
+    (:409-418 — one row per resource date with 0 when that day's file
+    contributed no rows). The calendar spine comes from the FULL event
+    span (the resource list analog), not the filtered subset — days
+    where the reference type never fired must appear as zeros.
+
+    Scale: counts collapse map-side to one row per day before any join;
+    the spine is a ``sequence`` explode of a two-scalar aggregate. Both
+    sides of the final join are calendar-sized, so the join is a
+    broadcast regardless of fact-table size.
+    """
+    span = events.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    spine = span.select(F.explode(F.sequence("d0", "d1")).alias("date"))
+    counts = (
+        events.where(F.trim(F.col("event_type")) == ref_type)
+        .groupBy(F.to_date("ts").alias("date"))
+        .agg(F.count("*").alias("value"))
+    )
+    return (
+        spine.join(F.broadcast(counts), "date", "left")
+        .select("date", F.coalesce("value", F.lit(0)).alias("value"))
+        .orderBy("date")
+    )
+
+
+def nation_share_latest(enriched: DataFrame, limit: int = 8) -> DataFrame:
+    """Per-nation share of the national total at the latest month:
+    positive totals only, share in percent, top ``limit`` by volume.
+
+    Reference: social/anp_producao/pipeline.py:347-367
+    (``state_share_rows``) — latest-period per-UF sums, drop
+    non-positive, share_pct = value / total * 100 rounded to 2, head(8).
+    ``n_name`` is the deterministic tie-break the reference's stable
+    sort gets implicitly.
+
+    Scale: the month filter collapses the fact scan to one latest-month
+    aggregate (map-side partials per nation — bounded cardinality); the
+    total is a window over that tiny frame.
+    """
+    nm = enriched.select(
+        period_month(F.col("o_orderdate")).alias("period"),
+        "n_name",
+        "o_totalprice",
+    )
+    latest = nm.agg(F.max("period").alias("latest_period"))
+    per_nation = (
+        nm.join(F.broadcast(latest), nm.period == F.col("latest_period"))
+        .groupBy("n_name", "period")
+        .agg(money(F.sum("o_totalprice")).alias("value"))
+        .where(F.col("value") > 0)
+    )
+    total = F.sum("value").over(Window.partitionBy())
+    return (
+        per_nation.select(
+            "n_name",
+            "period",
+            "value",
+            F.round(F.col("value") / total * 100.0, 2).alias("share_pct"),
+        )
+        .orderBy(F.desc("value"), "n_name")
+        .limit(limit)
+    )
+
+
+def nation_series_with_other(
+    enriched: DataFrame, recent_months: int = 6, top_n: int = 8
+) -> DataFrame:
+    """Monthly per-nation series over the recent window with every
+    nation outside the latest month's top-N collapsed into 'OUTROS'.
+
+    Reference: social/anp_producao/pipeline.py:328-345
+    (``state_series_with_other``) — the top-N cohort is FIXED at the
+    latest period (positive values only), then applied across the whole
+    recent window, so a state that dropped out of the top recently
+    still charts as itself, exactly like the reference's stacked-area
+    input. Window start = latest - (recent_months - 1) months.
+
+    Scale: one aggregate collapses the fact table to (month, nation)
+    partials; cohort selection and the OUTROS re-grouping run on that
+    tiny frame only.
+    """
+    nm = enriched.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+        "n_name",
+    ).agg(money(F.sum("o_totalprice")).alias("value"))
+    latest = nm.agg(F.max("month").alias("latest_month"))
+    w = Window.orderBy(F.desc("value"), "n_name")
+    top = (
+        nm.join(F.broadcast(latest), nm.month == F.col("latest_month"))
+        .where(F.col("value") > 0)
+        .select("n_name", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= top_n)
+        .select("n_name", F.lit(True).alias("is_top"))
+    )
+    recent = nm.join(F.broadcast(latest)).where(
+        F.col("month") >= F.add_months(F.col("latest_month"), -(recent_months - 1))
+    )
+    return (
+        recent.join(F.broadcast(top), "n_name", "left")
+        .select(
+            F.date_format("month", "yyyy-MM").alias("period"),
+            F.when(F.col("is_top"), F.col("n_name"))
+            .otherwise(F.lit("OUTROS"))
+            .alias("series"),
+            "value",
+        )
+        .groupBy("period", "series")
+        .agg(money(F.sum("value")).alias("value"))
+        .orderBy("period", "series")
     )

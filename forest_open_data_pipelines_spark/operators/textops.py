@@ -208,3 +208,106 @@ def pt_date_parse(orders: DataFrame) -> DataFrame:
         parse_published_line(raw_pub).alias("published_ts"),
         parse_pt_long_date(raw_long).alias("published_date"),
     ).orderBy("o_orderkey")
+
+
+def pt_numeric_parse(orders: DataFrame) -> DataFrame:
+    """Round-trip pt-BR/en numeric parsing over deterministically
+    rendered strings: each order's total is rendered as the pt-BR shape
+    ('1.234,56'), the en shape ('1234.56'), or the ANP files' 'n/d'
+    placeholder (cycling on o_orderkey % 3), then parsed back with the
+    pure-Catalyst ``parse_pt_numeric``. The oracle states the expected
+    doubles directly from o_totalprice, so the parse is checked against
+    an independent derivation.
+
+    Reference: social/anp_producao/pipeline.py:241-246
+    (``_parse_numeric``: per-value comma test, null on unparseable).
+    """
+    from forest_open_data_pipelines_spark.functions.columns import (
+        parse_pt_numeric,
+    )
+
+    # format_number gives '1,234.56'; swapping separators yields pt-BR.
+    rendered_pt = F.translate(F.format_number(F.col("o_totalprice"), 2), ",.", ".,")
+    rendered_en = F.format_number(F.col("o_totalprice"), 2).cast("string")
+    rendered_en = F.replace(rendered_en, F.lit(","), F.lit(""))
+    raw = (
+        F.when(F.col("o_orderkey") % 3 == 0, rendered_pt)
+        .when(F.col("o_orderkey") % 3 == 1, rendered_en)
+        .otherwise(F.lit("n/d"))
+    )
+    return orders.select(
+        "o_orderkey",
+        raw.alias("raw"),
+        parse_pt_numeric(raw).alias("parsed"),
+    ).orderBy("o_orderkey")
+
+
+# normalize_visible_text accent restorations (pipeline.py:475-492),
+# applied longest-key-first exactly like the reference's sorted loop.
+PT_ACCENT_REPLACEMENTS = (
+    ("bioma nao identificado", "bioma não identificado"),
+    ("estado nao identificado", "estado não identificado"),
+    ("concentracao", "concentração"),
+    ("analises", "análises"),
+    ("graficos", "gráficos"),
+    ("proximos", "próximos"),
+    ("analise", "análise"),
+    ("satelite", "satélite"),
+    ("grafico", "gráfico"),
+    ("periodo", "período"),
+    ("diario", "diário"),
+    ("minimo", "mínimo"),
+    ("regiao", "região"),
+    ("area", "área"),
+    ("nao", "não"),
+    ("ate", "até"),
+)
+
+
+def social_text_normalize(documents: DataFrame) -> DataFrame:
+    """Visible-text normalization for social publishing, as pure JVM
+    regexp expressions over deterministically decorated document text.
+
+    Reference: social/bdqueimadas_daily/pipeline.py:495-522 —
+    ``strip_emojis`` (drop So/Sk/Cs + U+1F300-1FAFF, collapse runs of
+    whitespace, trim), ``restore_pt_br_accents`` (fixed longest-first
+    word-boundary map, case-insensitive, lowercase replacements), then
+    ``normalize_visible_text``'s en/em-dash → ': ' and decimal-percent
+    dot → comma rewrites. The reference's final digit-grouping step
+    (12345 focos → 12.345 focos) needs lookahead RE2 lacks, so it lives
+    in ``group_pt_digits`` below with pytest coverage instead of an
+    oracle twin.
+
+    Each document's text is prefixed with a deterministic emoji/dash/pct
+    decoration so the rewrites demonstrably fire on every row.
+    """
+    decorated = F.concat(
+        F.lit("🔥 Analise diaria – regiao: "),
+        F.lit("12.5% "),
+        clean_text(F.col("text")),
+    )
+    out = F.regexp_replace(
+        decorated, r"[\p{So}\p{Sk}\p{Cs}\x{1F300}-\x{1FAFF}]", ""
+    )
+    out = F.trim(F.regexp_replace(out, r"\s{2,}", " "))
+    for src, dst in PT_ACCENT_REPLACEMENTS:
+        out = F.regexp_replace(out, r"(?i)\b" + src + r"\b", dst)
+    out = F.regexp_replace(out, r"\s*[–—]\s*", ": ")
+    out = F.regexp_replace(out, r"(\d+)\.(\d+)%", r"$1,$2%")
+    return documents.select("doc_id", out.alias("normalized")).orderBy("doc_id")
+
+
+def group_pt_digits(text: Column) -> Column:
+    """pt-BR thousands grouping for counts before 'focos'/'registros'
+    (normalize_visible_text's ``repl_count``, pipeline.py:519-522).
+    Lookahead-anchored single-dot insertion, iterated to fixpoint —
+    each pass adds one grouping dot, so ceil(log1000(max)) passes cover
+    any count; 5 passes = numbers through 10^15."""
+    out = text
+    for _ in range(5):
+        out = F.regexp_replace(
+            out,
+            r"(\d+)(\d{3})(?=(?:\.\d{3})*\s+(?:focos|registros)\b)",
+            r"$1.$2",
+        )
+    return out

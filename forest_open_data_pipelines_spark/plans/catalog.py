@@ -131,7 +131,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # A. report time-series engine
     "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
-    "nation_year_matrix": lambda s, d: timeseries.nation_year_matrix(_enriched(s, d)),
     "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
     "rolling_12m": lambda s, d: timeseries.rolling_12m(
         timeseries.monthly_series(_enriched(s, d))
@@ -142,9 +141,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "highlights": lambda s, d: timeseries.highlights(
         timeseries.monthly_series(_enriched(s, d))
     ),
-    "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
-        timeseries.nation_month_matrix(_enriched(s, d))
-    ),
     "state_biome_monthly_series": lambda s, d: timeseries.state_biome_monthly_series(
         _enriched(s, d)
     ),
@@ -154,9 +150,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
         timeseries.monthly_series(_enriched(s, d))
     ),
-    "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
     "research_trends_rollup": lambda s, d: social.research_trends_rollup(
         load_table(s, d, "orders")
+    ),
+    "daily_series": lambda s, d: social.daily_series(load_table(s, d, "events")),
+    "nation_share_latest": lambda s, d: social.nation_share_latest(_enriched(s, d)),
+    "nation_series_with_other": lambda s, d: social.nation_series_with_other(
+        _enriched(s, d)
     ),
     # B. profiling / audit / catalog
     "profile_columns": lambda s, d: profiling.profile_columns(
@@ -180,6 +180,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": lambda s, d: textops.text_quality(load_table(s, d, "documents")),
     "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
     "pt_date_parse": lambda s, d: textops.pt_date_parse(load_table(s, d, "orders")),
+    "pt_numeric_parse": lambda s, d: textops.pt_numeric_parse(
+        load_table(s, d, "orders")
+    ),
+    "social_text_normalize": lambda s, d: textops.social_text_normalize(
+        load_table(s, d, "documents")
+    ),
     "url_merge": lambda s, d: dedup.url_merge(load_table(s, d, "events")),
     # E. dedup
     "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
@@ -214,17 +220,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_customers": lambda s, d: relational.top_customers(
         *_t(s, d, "customer", "orders", "nation")
     ),
-    "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
-        _enriched(s, d)
-    ),
     "customers_without_orders": lambda s, d: relational.customers_without_orders(
         *_t(s, d, "customer", "orders", "nation")
     ),
     "nations_trade_volume": lambda s, d: relational.nations_trade_volume(
         *_t(s, d, "lineitem", "orders", "customer", "supplier", "nation")
-    ),
-    "promo_revenue_share": lambda s, d: relational.promo_revenue_share(
-        *_t(s, d, "lineitem", "part")
     ),
     "order_priority_percentiles": lambda s, d: relational.order_priority_percentiles(
         load_table(s, d, "orders")
@@ -240,6 +240,27 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # (period, biome) slice of the checked state_biome_monthly_series
     # grouping-sets superset
     "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
+    # (year, nation) grain sibling of the parked nation_month_matrix and
+    # the checked state_biome grouping-sets family
+    "nation_year_matrix": lambda s, d: timeseries.nation_year_matrix(_enriched(s, d)),
+    # same latest-vs-same-month shape as the checked
+    # top_biomes_month_comparison, on the nation grain
+    "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
+        timeseries.nation_month_matrix(_enriched(s, d))
+    ),
+    # source x year slice of the checked research_trends_rollup
+    # grouping-sets superset
+    "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
+    # ROLLUP sibling of the parked region_nation_cube; grouping-sets
+    # coverage stays via state_biome_monthly_series + research_trends_rollup
+    "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
+        _enriched(s, d)
+    ),
+    # conditional-aggregate share; the pattern stays checked via
+    # nations_trade_volume and q1_pricing_summary
+    "promo_revenue_share": lambda s, d: relational.promo_revenue_share(
+        *_t(s, d, "lineitem", "part")
+    ),
     "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
         load_table(s, d, "events")
     ),

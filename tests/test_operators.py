@@ -632,3 +632,104 @@ def test_multimodal_batch_kernels_handle_empty_payloads(spark):
     assert set(got) == {(2, 0), (2, 2)}
     assert got[(2, 0)] == (4, round((0 + 1 + 2 + 3) / 4, 6))
     assert got[(2, 2)] == (2, round((8 + 9) / 2, 6))
+
+
+# ── social-pipeline analogs (daily series, shares, OUTROS cohort) ──────
+
+
+def test_daily_series_zero_fills_gap_days(spark):
+    from forest_open_data_pipelines_spark.operators import social
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-03-01 10:00:00", "purchase"),
+            (2, "2024-03-01 11:00:00", " purchase "),  # trimmed match
+            (3, "2024-03-03 09:00:00", "purchase"),
+            (4, "2024-03-04 09:00:00", "click"),  # extends span, not counted
+        ],
+        "event_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = [(str(r.date), r.value) for r in social.daily_series(ev).collect()]
+    assert rows == [
+        ("2024-03-01", 2),
+        ("2024-03-02", 0),
+        ("2024-03-03", 1),
+        ("2024-03-04", 0),
+    ]
+
+
+def _mini_enriched(spark, rows):
+    return spark.createDataFrame(
+        rows, "o_orderdate date, n_name string, o_totalprice double"
+    ).withColumn("o_orderdate", F.col("o_orderdate"))
+
+
+def test_nation_series_with_other_cohort_fixed_at_latest(spark):
+    from datetime import date
+
+    from forest_open_data_pipelines_spark.operators import social
+
+    rows = [
+        # March (latest): A big, B small-positive, C zero-sum absent
+        (date(2024, 3, 5), "A", 100.0),
+        (date(2024, 3, 5), "B", 1.0),
+        # February: C dominates but is NOT in the latest top cohort
+        (date(2024, 2, 5), "C", 500.0),
+        (date(2024, 2, 5), "A", 10.0),
+    ]
+    got = {
+        (r.period, r.series): r.value
+        for r in social.nation_series_with_other(
+            _mini_enriched(spark, rows), recent_months=6, top_n=1
+        ).collect()
+    }
+    # top_n=1 at latest month -> only A is named; B and C fold to OUTROS
+    assert got == {
+        ("2024-03", "A"): 100.0,
+        ("2024-03", "OUTROS"): 1.0,
+        ("2024-02", "A"): 10.0,
+        ("2024-02", "OUTROS"): 500.0,
+    }
+
+
+def test_nation_share_latest_positive_only_and_shares(spark):
+    from datetime import date
+
+    from forest_open_data_pipelines_spark.operators import social
+
+    rows = [
+        (date(2024, 3, 1), "A", 75.0),
+        (date(2024, 3, 1), "B", 25.0),
+        (date(2024, 3, 1), "Z", -5.0),  # non-positive: excluded from total
+        (date(2024, 1, 1), "C", 999.0),  # earlier period: ignored
+    ]
+    got = [
+        (r.n_name, r.value, r.share_pct)
+        for r in social.nation_share_latest(_mini_enriched(spark, rows)).collect()
+    ]
+    assert got == [("A", 75.0, 75.0), ("B", 25.0, 25.0)]
+
+
+def test_parse_pt_numeric_crafted(spark):
+    from forest_open_data_pipelines_spark.functions.columns import parse_pt_numeric
+
+    df = spark.createDataFrame(
+        [("1.234,56",), ("1234.56",), (" 12,5 ",), ("n/d",), ("1.234",), ("",)],
+        "raw string",
+    )
+    got = [r.v for r in df.select(parse_pt_numeric(F.col("raw")).alias("v")).collect()]
+    # '1.234' has no comma -> en reading 1.234, exactly like the
+    # reference's per-value comma test
+    assert got == [1234.56, 1234.56, 12.5, None, 1.234, None]
+
+
+def test_group_pt_digits_contextual(spark):
+    from forest_open_data_pipelines_spark.operators.textops import group_pt_digits
+
+    df = spark.createDataFrame(
+        [("ha 12345 focos, 1234567 registros, 123 focos e 99999 carros",)],
+        "t string",
+    )
+    got = df.select(group_pt_digits(F.col("t")).alias("g")).collect()[0].g
+    # grouping applies ONLY before focos/registros (pipeline.py:519-522)
+    assert got == "ha 12.345 focos, 1.234.567 registros, 123 focos e 99999 carros"
