@@ -876,6 +876,165 @@ SELECT doc_id, title, lead,
        coalesce(list_filter(ps, x -> length(x) >= 40)[1],
                 list_filter(ps, x -> length(x) >= 15)[1]) AS first_paragraph
 FROM paras ORDER BY doc_id""",
+        "html_list_parse": f"""
+WITH d AS (
+  SELECT doc_id, text, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+li AS (
+  SELECT source, rn,
+    '<li class="horizontal com-hora">' ||
+    CASE WHEN doc_id % 11 = 0 THEN t
+         ELSE '<a href="/noticias/' || source || '/' || doc_id::VARCHAR
+              || '.htm">' || t || h || '</a>'
+    END || '</li>' AS li
+  FROM (
+    SELECT doc_id, source, rn,
+      CASE WHEN doc_id % 7 = 0 THEN ''
+           ELSE '<h2>' || substr(text, 1, 50) || '</h2>' END AS t,
+      CASE WHEN doc_id % 5 = 0 THEN ''
+           ELSE '<span class="hora">' || lpad((doc_id % 24)::VARCHAR, 2, '0')
+                || ':' || lpad((doc_id % 60)::VARCHAR, 2, '0')
+                || '</span>' END AS h
+    FROM d WHERE rn <= 8
+  )
+),
+pages AS (
+  SELECT source,
+    '<h3>15/03/2024</h3>'
+    || coalesce(string_agg(li, '' ORDER BY rn) FILTER (WHERE rn <= 4), '')
+    || '<h3>14/03/2024</h3>'
+    || coalesce(string_agg(li, '' ORDER BY rn) FILTER (WHERE rn > 4), '')
+      AS page
+  FROM li GROUP BY source
+),
+exploded AS (
+  SELECT source, page,
+         regexp_extract_all(page,
+           '(?is)<li class="horizontal com-hora">.*?</li>') AS lis
+  FROM pages
+),
+items AS (
+  SELECT source, page, i + 1 AS rnk, lis[i + 1] AS li
+  FROM exploded, range(5) t(i)
+  WHERE len(lis) > i
+),
+parsed AS (
+  SELECT source, rnk, li,
+         regexp_extract(li, 'href="([^"]*)"', 1) AS href,
+         regexp_extract_all(substr(page, 1, strpos(page, li) - 1),
+                            '(?is)<h3[^>]*>(.*?)</h3>', 1) AS h3s,
+         regexp_extract(li, '(?is)<span class="hora">(.*?)</span>', 1)
+           AS time_raw
+  FROM items
+)
+SELECT source AS category_slug, upper(source) AS category_label,
+       rnk::INTEGER AS rank_within_category,
+       'https://www.noticiasagricolas.com.br' || href AS url,
+       {_html_clean("regexp_extract(li, '(?is)<h2[^>]*>(.*?)</h2>', 1)")}
+         AS title,
+       coalesce(h3s[len(h3s)], '') AS listing_date,
+       coalesce(nullif(time_raw, ''), '00:00') AS listing_time
+FROM parsed WHERE href <> ''
+ORDER BY category_slug, rank_within_category""",
+        "dir_listing_files": f"""
+WITH d AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+rowt AS (
+  SELECT source, rn,
+         CASE WHEN doc_id % 10 = 3 THEN r1 || r1 ELSE r1 END AS r1
+  FROM (
+    SELECT doc_id, source, rn,
+      '<tr><td><a href="' || href || '">' || label
+      || '</a></td><td class="date">2024-03-'
+      || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+      || ' 10:' || lpad((doc_id % 60)::VARCHAR, 2, '0')
+      || '</td><td class="size">' || (doc_id % 900 + 1)::VARCHAR
+      || 'K</td></tr>' AS r1
+    FROM (
+      SELECT doc_id, source, rn,
+        CASE WHEN sfx = '' THEN 'area_' || doc_id::VARCHAR
+             ELSE 'focos_' || doc_id::VARCHAR || sfx END AS href,
+        CASE WHEN doc_id % 9 = 0 THEN '/'
+             ELSE 'Focos ' || doc_id::VARCHAR || sfx END AS label
+      FROM (
+        SELECT doc_id, source, rn,
+          ['.csv', '.zip', '.pdf', '.txt', '.kml', '.json', '.html',
+           ''][(doc_id % 8 + 1)] AS sfx
+        FROM d WHERE rn <= 10
+      )
+    )
+  )
+),
+pages AS (
+  SELECT source,
+    '<tr><td><a href="../">Parent Directory</a></td>'
+    || '<td class="date">-</td><td class="size">-</td></tr>'
+    || '<tr><td><a href="?C=N;O=D">Name</a></td>'
+    || '<td class="date">-</td><td class="size">-</td></tr>'
+    || '<tr><td><a href="?C=M;O=A">Last modified</a></td>'
+    || '<td class="date">-</td><td class="size">-</td></tr>'
+    || '<tr><td><a href="mailto:admin@example.test">contact</a></td>'
+    || '<td class="date">-</td><td class="size">-</td></tr>'
+    || '<tr><td><a href="#top">top</a></td>'
+    || '<td class="date">-</td><td class="size">-</td></tr>'
+    || '<tr><td><a href="sub/">sub/</a></td>'
+    || '<td class="date">2024-03-01 09:00</td><td class="size">-</td></tr>'
+    || string_agg(r1, '' ORDER BY rn) AS page
+  FROM rowt GROUP BY source
+),
+anchors AS (
+  SELECT source, unnest(regexp_extract_all(page, '(?is)<tr>.*?</tr>')) AS rowx
+  FROM pages
+),
+ext AS (
+  SELECT source, rowx,
+         regexp_extract(rowx, 'href="([^"]*)"', 1) AS href,
+         {_html_clean("regexp_extract(rowx, '(?is)<a[^>]*>(.*?)</a>', 1)")}
+           AS label,
+         regexp_extract(rowx, '(?is)<td class="date">(.*?)</td>', 1) AS date_raw,
+         regexp_extract(rowx, '(?is)<td class="size">(.*?)</td>', 1) AS size_label
+  FROM anchors
+),
+kept AS (
+  SELECT * FROM ext
+  WHERE href <> '' AND href NOT IN ('../', '..', '/')
+    AND NOT starts_with(lower(href), '#')
+    AND NOT starts_with(lower(href), 'mailto:')
+    AND NOT starts_with(lower(href), 'javascript:')
+    AND NOT contains(lower(label), 'parent directory')
+    AND NOT regexp_matches(href, '^[^?]*\\?[CO]=')
+),
+named AS (
+  SELECT source, label, date_raw, size_label,
+         regexp_replace('https://dataserver.example/coids/' || source || '/'
+                        || href, '[?#].*$', '') AS url,
+         ends_with(href, '/') AS slash_dir
+  FROM kept
+),
+typed AS (
+  SELECT source, label, date_raw, size_label, url, slash_dir,
+         regexp_extract(regexp_replace(url, '/+$', ''), '([^/]+)$', 1)
+           AS filename
+  FROM named
+)
+SELECT DISTINCT source,
+       CASE WHEN label NOT IN ('', '/', 'Name') THEN label
+            ELSE filename END AS name,
+       url,
+       lower(regexp_extract(filename, '(\\.[A-Za-z0-9]+)$', 1)) AS suffix,
+       size_label,
+       try_strptime(date_raw, '%Y-%m-%d %H:%M') AS last_modified
+FROM typed
+WHERE NOT (slash_dir
+           OR lower(regexp_extract(filename, '(\\.[A-Za-z0-9]+)$', 1)) = '')
+  AND lower(regexp_extract(filename, '(\\.[A-Za-z0-9]+)$', 1)) IN
+      ('.csv', '.zip', '.pdf', '.txt', '.kml', '.kmz', '.json', '.geojson')
+ORDER BY url""",
         "token_count": f"""
 SELECT doc_id,
        len({toks})::INTEGER AS n_tokens,

@@ -20,7 +20,7 @@ inline flags ``(?is)`` and lazy ``.*?`` only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # CTA/boilerplate paragraph filter — text_cleanup.py:9-13 (_CTA_LINE),
@@ -136,3 +136,271 @@ def html_extract(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Category list-page parsing (list_parser.py twin)
+# ---------------------------------------------------------------------------
+
+LIST_BASE_URL = "https://www.noticiasagricolas.com.br"
+LIST_LIMIT = 5  # parse_category_list_html(limit=5)
+
+_LI_BLOCK = r'(?is)<li class="horizontal com-hora">.*?</li>'
+_H3_BLOCK = r"(?is)<h3[^>]*>(.*?)</h3>"
+_HREF = r'(?is)href="([^"]*)"'
+_H2 = r"(?is)<h2[^>]*>(.*?)</h2>"
+_HORA = r'(?is)<span class="hora">(.*?)</span>'
+
+
+def _two(expr: Column) -> Column:
+    return F.lpad(expr.cast("string"), 2, "0")
+
+
+def wrap_documents_as_category_lists(documents: DataFrame) -> DataFrame:
+    """Deterministically render documents as category list pages (one page
+    per ``source``): two ``<h3>DD/MM/YYYY</h3>`` date headers, four
+    ``li.horizontal.com-hora`` items under each, in doc_id order.
+
+    Degradations exercised (mirroring what the reference's parser guards
+    against, ``list_parser.py:28-41``): doc_id % 7 == 0 has no ``<h2>``
+    (title falls back to ''), % 5 == 0 has no ``span.hora`` (time falls
+    back to '00:00'), % 11 == 0 has no ``<a href>`` at all (item is
+    skipped but still consumes its rank). The DuckDB oracle performs the
+    identical construction, so the wrap→parse round trip is checkable.
+    """
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = documents.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 8)
+    title_html = F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("<h2>"), F.substring("text", 1, 50), F.lit("</h2>"))
+    )
+    hora_html = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+        F.concat(
+            F.lit('<span class="hora">'),
+            _two(F.col("doc_id") % 24),
+            F.lit(":"),
+            _two(F.col("doc_id") % 60),
+            F.lit("</span>"),
+        )
+    )
+    a_html = F.when(F.col("doc_id") % 11 == 0, title_html).otherwise(
+        F.concat(
+            F.lit('<a href="/noticias/'),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit('.htm">'),
+            title_html,
+            hora_html,
+            F.lit("</a>"),
+        )
+    )
+    li = F.concat(F.lit('<li class="horizontal com-hora">'), a_html, F.lit("</li>"))
+    d = d.select("source", "rn", li.alias("li"))
+
+    def _block(limit_lo: int, limit_hi: int) -> Column:
+        items = F.array_sort(
+            F.collect_list(
+                F.when(
+                    (F.col("rn") > limit_lo) & (F.col("rn") <= limit_hi),
+                    F.struct(F.col("rn"), F.col("li")),
+                )
+            )
+        )
+        return F.array_join(F.transform(items, lambda x: x.li), "")
+
+    return d.groupBy("source").agg(
+        F.concat(
+            F.lit("<h3>15/03/2024</h3>"),
+            _block(0, 4),
+            F.lit("<h3>14/03/2024</h3>"),
+            _block(4, 8),
+        ).alias("page")
+    )
+
+
+def parse_category_list(pages: DataFrame) -> DataFrame:
+    """Parse category list pages into ranked NewsListItem rows
+    (``list_parser.py:11-53``): first ``LIST_LIMIT`` li.horizontal.com-hora
+    items, rank positional (items without a link keep consuming ranks),
+    title from the ``h2`` inside the anchor, time from ``span.hora`` with
+    '00:00' fallback, and the date from the nearest *preceding* ``h3``.
+
+    The nearest-preceding lookup is pure Catalyst: each li is located in
+    the page with ``instr`` (unique — the href carries doc_id), and the
+    last ``<h3>`` match in the preceding prefix is taken. No lookbehind,
+    so the same pattern runs under RE2 in the DuckDB oracle.
+    """
+    lis = F.regexp_extract_all(
+        F.col("page"), F.lit(_LI_BLOCK), F.lit(0)
+    )
+    items = pages.select(
+        "source", "page", F.posexplode(lis).alias("pos", "li")
+    ).filter(F.col("pos") < LIST_LIMIT)
+    href = F.regexp_extract("li", _HREF, 1)
+    prefix = F.expr("substring(page, 1, instr(page, li) - 1)")
+    dates = F.regexp_extract_all(prefix, F.lit(_H3_BLOCK), F.lit(1))
+    time_raw = F.regexp_extract("li", _HORA, 1)
+    return (
+        items.withColumn("href", href)
+        .filter(F.col("href") != "")
+        .select(
+            F.col("source").alias("category_slug"),
+            F.upper("source").alias("category_label"),
+            (F.col("pos") + 1).cast("int").alias("rank_within_category"),
+            F.concat(F.lit(LIST_BASE_URL), F.col("href")).alias("url"),
+            _clean_fragment(F.regexp_extract("li", _H2, 1)).alias("title"),
+            F.coalesce(F.get(dates, F.size(dates) - 1), F.lit("")).alias(
+                "listing_date"
+            ),
+            F.coalesce(F.nullif(time_raw, F.lit("")), F.lit("00:00")).alias(
+                "listing_time"
+            ),
+        )
+    )
+
+
+def html_list_parse(documents: DataFrame) -> DataFrame:
+    """Catalog query: wrap documents as category list pages, parse items."""
+    return parse_category_list(wrap_documents_as_category_lists(documents)).orderBy(
+        "category_slug", "rank_within_category"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Apache-style directory-listing parsing (coids_directory.py twin)
+# ---------------------------------------------------------------------------
+
+DIR_BASE_URL = "https://dataserver.example/coids"
+# coids_directory.py:14-23 DOWNLOAD_SUFFIXES
+DOWNLOAD_SUFFIXES = (
+    ".csv", ".zip", ".pdf", ".txt", ".kml", ".kmz", ".json", ".geojson",
+)
+_SUFFIX_CYCLE = (".csv", ".zip", ".pdf", ".txt", ".kml", ".json", ".html", "")
+
+_TR_BLOCK = r"(?is)<tr>.*?</tr>"
+_A_LABEL = r"(?is)<a[^>]*>(.*?)</a>"
+_TD_DATE = r'(?is)<td class="date">(.*?)</td>'
+_TD_SIZE = r'(?is)<td class="size">(.*?)</td>'
+
+
+def wrap_documents_as_dir_index(documents: DataFrame) -> DataFrame:
+    """Render documents as Apache-fancy-index pages (one per ``source``):
+    a boilerplate block (parent-dir link, ``?C=N;O=D`` sort links, mailto,
+    fragment anchor — everything ``_keep_href`` must drop,
+    ``coids_directory.py:130-142``) followed by one ``<tr>`` per doc with
+    href, label, date cell, and size cell. Suffixes cycle through
+    ``_SUFFIX_CYCLE`` so the allowlist filter, the ``.html`` rejection,
+    and the suffix-less directory branch are all exercised; doc_id % 9 == 0
+    gets a ``/`` label (name falls back to the filename,
+    ``_entry_name``), and doc_id % 10 == 3 is emitted twice (URL dedupe).
+    """
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = documents.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _SUFFIX_CYCLE]), (F.col("doc_id") % 8 + 1).cast("int")
+    )
+    stem = F.concat(F.lit("focos_"), F.col("doc_id").cast("string"))
+    href = F.when(suffix == "", F.concat(F.lit("area_"), F.col("doc_id").cast("string"))).otherwise(
+        F.concat(stem, suffix)
+    )
+    label = F.when(F.col("doc_id") % 9 == 0, F.lit("/")).otherwise(
+        F.concat(F.lit("Focos "), F.col("doc_id").cast("string"), suffix)
+    )
+    row = F.concat(
+        F.lit('<tr><td><a href="'),
+        href,
+        F.lit('">'),
+        label,
+        F.lit('</a></td><td class="date">2024-03-'),
+        _two(F.col("doc_id") % 28 + 1),
+        F.lit(" 10:"),
+        _two(F.col("doc_id") % 60),
+        F.lit('</td><td class="size">'),
+        (F.col("doc_id") % 900 + 1).cast("string"),
+        F.lit("K</td></tr>"),
+    )
+    row = F.when(F.col("doc_id") % 10 == 3, F.concat(row, row)).otherwise(row)
+    d = d.select("source", "rn", row.alias("row"))
+    boilerplate = (
+        '<tr><td><a href="../">Parent Directory</a></td>'
+        '<td class="date">-</td><td class="size">-</td></tr>'
+        '<tr><td><a href="?C=N;O=D">Name</a></td>'
+        '<td class="date">-</td><td class="size">-</td></tr>'
+        '<tr><td><a href="?C=M;O=A">Last modified</a></td>'
+        '<td class="date">-</td><td class="size">-</td></tr>'
+        '<tr><td><a href="mailto:admin@example.test">contact</a></td>'
+        '<td class="date">-</td><td class="size">-</td></tr>'
+        '<tr><td><a href="#top">top</a></td>'
+        '<td class="date">-</td><td class="size">-</td></tr>'
+        '<tr><td><a href="sub/">sub/</a></td>'
+        '<td class="date">2024-03-01 09:00</td><td class="size">-</td></tr>'
+    )
+    rows = F.array_sort(F.collect_list(F.struct(F.col("rn"), F.col("row"))))
+    return d.groupBy("source").agg(
+        F.concat(
+            F.lit(boilerplate),
+            F.array_join(F.transform(rows, lambda x: x.row), ""),
+        ).alias("page")
+    )
+
+
+def parse_dir_listing(pages: DataFrame) -> DataFrame:
+    """Parse directory-index pages into downloadable-file entries
+    (``coids_directory.py:54-109``): keep anchors surviving ``_keep_href``
+    (no parent/sort/mailto/fragment links), resolve against the page base
+    URL, strip query+fragment (``_normalized_url``), classify directories
+    (trailing slash or suffix-less path, ``_is_dir_href``), name from the
+    label with filename fallback (``_entry_name``), keep files whose
+    suffix is in ``DOWNLOAD_SUFFIXES``, dedupe by URL, sort by URL
+    (``discover_files``). Size/date labels come from the entry's own row
+    cells (``_metadata_near_label``'s nearby-lines window, row-scoped).
+    """
+    rows = F.regexp_extract_all(F.col("page"), F.lit(_TR_BLOCK), F.lit(0))
+    r = pages.select("source", F.explode(rows).alias("row"))
+    href = F.regexp_extract("row", _HREF, 1)
+    label = _clean_fragment(F.regexp_extract("row", _A_LABEL, 1))
+    r = r.select("source", "row", href.alias("href"), label.alias("label"))
+    low = F.lower("href")
+    keep = (
+        (F.col("href") != "")
+        & ~F.col("href").isin("../", "..", "/")
+        & ~low.startswith("#")
+        & ~low.startswith("mailto:")
+        & ~low.startswith("javascript:")
+        & ~F.lower("label").contains("parent directory")
+        # sort-only query links (?C=..;O=..) — query-key-subset check
+        # specialized to the href shapes this index emits
+        & ~F.col("href").rlike(r"^[^?]*\?[CO]=")
+    )
+    url = F.concat(
+        F.lit(DIR_BASE_URL), F.lit("/"), F.col("source"), F.lit("/"), F.col("href")
+    )
+    url = F.regexp_replace(url, r"[?#].*$", "")
+    filename = F.regexp_extract(F.regexp_replace(url, "/+$", ""), r"([^/]+)$", 1)
+    suffix = F.lower(F.regexp_extract(filename, r"(\.[A-Za-z0-9]+)$", 1))
+    is_dir = F.col("href").endswith("/") | (suffix == "")
+    date_raw = F.regexp_extract("row", _TD_DATE, 1)
+    return (
+        r.filter(keep)
+        .select(
+            "source",
+            F.when(~F.col("label").isin("", "/", "Name"), F.col("label"))
+            .otherwise(filename)
+            .alias("name"),
+            url.alias("url"),
+            suffix.alias("suffix"),
+            F.regexp_extract("row", _TD_SIZE, 1).alias("size_label"),
+            F.try_to_timestamp(date_raw, F.lit("yyyy-MM-dd HH:mm")).alias(
+                "last_modified"
+            ),
+            is_dir.alias("is_dir"),
+        )
+        .filter(~F.col("is_dir") & suffix.isin(*DOWNLOAD_SUFFIXES))
+        .drop("is_dir")
+        .distinct()
+    )
+
+
+def dir_listing_files(documents: DataFrame) -> DataFrame:
+    """Catalog query: wrap documents as directory indexes, discover files."""
+    return parse_dir_listing(wrap_documents_as_dir_index(documents)).orderBy("url")

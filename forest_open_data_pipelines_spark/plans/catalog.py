@@ -135,9 +135,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_12m": lambda s, d: timeseries.rolling_12m(
         timeseries.monthly_series(_enriched(s, d))
     ),
-    "ytd_comparison": lambda s, d: timeseries.ytd_comparison(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
     "highlights": lambda s, d: timeseries.highlights(
         timeseries.monthly_series(_enriched(s, d))
     ),
@@ -146,9 +143,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "top_biomes_month_comparison": lambda s, d: timeseries.top_biomes_month_comparison(
         timeseries.monthly_by_region(_enriched(s, d))
-    ),
-    "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
-        timeseries.monthly_series(_enriched(s, d))
     ),
     "research_trends_rollup": lambda s, d: social.research_trends_rollup(
         load_table(s, d, "orders")
@@ -177,6 +171,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # D. text analysis
     "text_cleanup": lambda s, d: textops.text_cleanup(load_table(s, d, "documents")),
     "html_extract": lambda s, d: html.html_extract(load_table(s, d, "documents")),
+    "html_list_parse": lambda s, d: html.html_list_parse(
+        load_table(s, d, "documents")
+    ),
+    "dir_listing_files": lambda s, d: html.dir_listing_files(
+        load_table(s, d, "documents")
+    ),
     "text_quality": lambda s, d: textops.text_quality(load_table(s, d, "documents")),
     "lang_id": lambda s, d: textops.lang_id(load_table(s, d, "documents")),
     "pt_date_parse": lambda s, d: textops.pt_date_parse(load_table(s, d, "orders")),
@@ -237,6 +237,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # green entry down here to stay within DRIVER_CHECK_CAP.
     # ------------------------------------------------------------------
     "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
+    # monthly-window siblings of the checked rolling_12m / highlights /
+    # top_biomes_month_comparison family (same monthly_series input and
+    # window-function code path)
+    "ytd_comparison": lambda s, d: timeseries.ytd_comparison(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
     # (period, biome) slice of the checked state_biome_monthly_series
     # grouping-sets superset
     "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),

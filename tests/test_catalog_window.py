@@ -27,6 +27,9 @@ MUST_BE_IN_WINDOW = {
     "multimodal_features",
     "multimodal_frames",
     "resize_media",
+    # round-3 additions that need their first driver row
+    "html_list_parse",
+    "dir_listing_files",
 }
 
 

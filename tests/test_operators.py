@@ -733,3 +733,73 @@ def test_group_pt_digits_contextual(spark):
     got = df.select(group_pt_digits(F.col("t")).alias("g")).collect()[0].g
     # grouping applies ONLY before focos/registros (pipeline.py:519-522)
     assert got == "ha 12.345 focos, 1.234.567 registros, 123 focos e 99999 carros"
+
+
+def _docs_df(spark, doc_ids, source="cat"):
+    return spark.createDataFrame(
+        [(i, f"word{i} text body content for doc {i}", "en", source, 30)
+         for i in doc_ids],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def test_html_list_parse_rank_date_and_fallbacks(spark):
+    from forest_open_data_pipelines_spark.operators.html import html_list_parse
+
+    # In doc_id order the ranks are: 0→1, 1→2, 2→3, 5→4, 7→5, 9→6, ...
+    # doc 0: %11==0 → no link (skipped, rank consumed); doc 5: %5==0 →
+    # no hora; doc 7: %7==0 → no h2.
+    out = html_list_parse(
+        _docs_df(spark, [0, 1, 2, 5, 7, 9, 13, 17])
+    ).collect()
+    by_rank = {r.rank_within_category: r for r in out}
+
+    # rank 1 (doc 0) dropped but its rank is consumed; limit=5 keeps
+    # ranks 2..5 only
+    assert sorted(by_rank) == [2, 3, 4, 5]
+    # ranks 2-4 sit under the first h3, rank 5 under the second
+    assert by_rank[2].listing_date == "15/03/2024"
+    assert by_rank[4].listing_date == "15/03/2024"
+    assert by_rank[5].listing_date == "14/03/2024"
+    # doc 1 → rank 2: full item
+    assert by_rank[2].url.endswith("/noticias/cat/1.htm")
+    assert by_rank[2].title.startswith("word1 text")
+    assert by_rank[2].listing_time == "01:01"
+    # doc 5 → rank 4: hora missing → 00:00
+    assert by_rank[4].url.endswith("/5.htm")
+    assert by_rank[4].listing_time == "00:00"
+    # doc 7 → rank 5: h2 missing → title ''
+    assert by_rank[5].title == ""
+    assert by_rank[5].listing_time == "07:07"
+    assert by_rank[2].category_label == "CAT"
+
+
+def test_dir_listing_files_filters_and_dedupe(spark):
+    from forest_open_data_pipelines_spark.operators.html import (
+        DOWNLOAD_SUFFIXES,
+        dir_listing_files,
+    )
+
+    # suffix cycle by doc_id % 8: 0→.csv 1→.zip 2→.pdf 3→.txt 4→.kml
+    # 5→.json 6→.html 7→'' (dir). doc 18 (%9==0) → '/' label → filename
+    # fallback; doc 13 (%10==3) emitted twice → deduped; doc 6 → .html
+    # rejected; doc 7 → suffix-less dir rejected.
+    out = dir_listing_files(_docs_df(spark, [18, 1, 2, 13, 4, 5, 6, 7])).collect()
+    by_url = {r.url: r for r in out}
+
+    urls = sorted(by_url)
+    # 6 survivors: .html and dir dropped, boilerplate rows all dropped,
+    # duplicate collapsed to one row
+    assert len(out) == 6
+    assert all("focos_" in u for u in urls)
+    assert not any(u.endswith((".html", "/")) for u in urls)
+    assert not any("sub" in u or "C=N" in u or "mailto" in u for u in urls)
+    dup = by_url["https://dataserver.example/coids/cat/focos_13.json"]
+    assert dup.size_label == "14K"
+    # '/' label falls back to the filename
+    f18 = by_url["https://dataserver.example/coids/cat/focos_18.pdf"]
+    assert f18.name == "focos_18.pdf"
+    # normal label preserved
+    assert by_url["https://dataserver.example/coids/cat/focos_1.zip"].name == "Focos 1.zip"
+    assert all(r.suffix in DOWNLOAD_SUFFIXES for r in out)
+    assert all(r.last_modified is not None for r in out)
