@@ -94,6 +94,19 @@ def _html_clean(expr: str) -> str:
     )
 
 
+def _truncwords_sql(expr: str) -> str:
+    """catalog/build.py:152-157 ``_truncate_words`` at 260 chars: word-
+    boundary back-off with the 48-char floor (manifests.truncate_words
+    twin). ``expr`` must already be whitespace-collapsed."""
+    hard = f"substr({expr}, 1, 260)"
+    head = f"trim(regexp_replace({hard}, ' [^ ]*$', ''))"
+    return (
+        f"CASE WHEN length({expr}) <= 260 THEN {expr} "
+        f"WHEN length({head}) >= 48 THEN {head} "
+        f"ELSE trim({hard}) END"
+    )
+
+
 _HTML_TITLE = _html_clean("regexp_extract(html, '(?is)<h1[^>]*>(.*?)</h1>', 1)")
 _HTML_LEAD = _html_clean(
     "regexp_extract(html, '(?is)<div class=\"lead\"[^>]*>(.*?)</div>', 1)"
@@ -1035,6 +1048,98 @@ WHERE NOT (slash_dir
   AND lower(regexp_extract(filename, '(\\.[A-Za-z0-9]+)$', 1)) IN
       ('.csv', '.zip', '.pdf', '.txt', '.kml', '.kmz', '.json', '.geojson')
 ORDER BY url""",
+        "feed_validate": """
+WITH d AS (
+  SELECT doc_id, text, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+items AS (
+  SELECT source AS feed, rn - 1 AS idx,
+    CASE WHEN doc_id % 17 = 0 THEN ''
+         WHEN doc_id % 19 = 0 THEN '   '
+         ELSE substr(text, 1, 40) END AS title,
+    CASE WHEN doc_id % 23 = 0 THEN ''
+         ELSE 'https://site/n/' || doc_id::VARCHAR END AS url,
+    CASE WHEN doc_id % 29 = 0 THEN '' ELSE source END AS category_slug,
+    CASE WHEN doc_id % 31 = 0 THEN ''
+         ELSE '2024-03-15T10:30:00Z' END AS published_at
+  FROM d WHERE rn <= 25
+),
+errs AS (
+  SELECT feed, idx,
+    list_filter([
+      CASE WHEN trim(title) = '' THEN 'title vazio' END,
+      CASE WHEN trim(url) = '' THEN 'url vazio' END,
+      CASE WHEN trim(category_slug) = '' THEN 'category_slug vazio' END,
+      CASE WHEN trim(published_at) = '' THEN 'published_at vazio' END
+    ], x -> x IS NOT NULL) AS e
+  FROM items
+),
+count_reasons AS (
+  SELECT feed, 0::BIGINT AS seq,
+         'quantidade de itens (' || count(*)::VARCHAR
+         || ') abaixo do mínimo configurado (24)' AS reason
+  FROM items GROUP BY feed HAVING count(*) < 24
+),
+item_reasons AS (
+  SELECT feed, (idx + 1)::BIGINT AS seq,
+         'item[' || idx::VARCHAR || ']: ' || array_to_string(e, '; ') AS reason
+  FROM errs WHERE len(e) > 0
+)
+SELECT * FROM count_reasons
+UNION ALL SELECT * FROM item_reasons
+ORDER BY feed, seq""",
+        "manifest_status": """
+WITH items AS (
+  SELECT source AS dataset_id,
+    CASE WHEN doc_id % 83 = 0 THEN 'partial'
+         WHEN doc_id % 97 = 0 THEN 'failed'
+         WHEN doc_id % 89 = 0 THEN 'skipped'
+         ELSE 'ok' END AS profile_status,
+    CASE WHEN doc_id % 3 <> 0
+         THEN 'https://a/' || doc_id::VARCHAR END AS source_url,
+    CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+         THEN 'https://p/' || doc_id::VARCHAR END AS public_url
+  FROM documents
+),
+v AS (
+  SELECT dataset_id,
+    CASE WHEN source_url IS NOT NULL THEN 'source_url'
+         WHEN public_url IS NOT NULL THEN 'public_url'
+         ELSE 'url' END AS resolved_via,
+    (profile_status IN ('partial', 'failed', 'skipped')) AS inc
+  FROM items
+)
+SELECT dataset_id, '2.0' AS schema_version, count(*) AS n_items,
+       sum(inc::BIGINT)::BIGINT AS n_incomplete,
+       sum((resolved_via = 'source_url')::BIGINT)::BIGINT AS n_via_source_url,
+       sum((resolved_via = 'public_url')::BIGINT)::BIGINT AS n_via_public_url,
+       sum((resolved_via = 'url')::BIGINT)::BIGINT AS n_via_url,
+       CASE WHEN sum(inc::BIGINT) > 0 THEN 'success_partial_fallback'
+            ELSE 'success' END AS generation_status
+FROM v GROUP BY dataset_id ORDER BY dataset_id""",
+        "catalog_cards": f"""
+WITH base AS (
+  SELECT doc_id,
+    trim(regexp_replace(text, '\\s+', ' ', 'g')) AS pt,
+    CASE WHEN doc_id % 3 = 0
+         THEN trim(regexp_replace(upper(substr(text, 1, 200)), '\\s+', ' ', 'g'))
+    END AS en
+  FROM documents
+),
+loc AS (
+  SELECT doc_id, pt,
+    coalesce(nullif(pt, ''), nullif(en, '')) AS lpt,
+    coalesce(nullif(en, ''), nullif(pt, '')) AS len2
+  FROM base
+)
+SELECT doc_id,
+       {_truncwords_sql('lpt')} AS excerpt,
+       {_truncwords_sql('len2')} AS excerpt_en,
+       length({_truncwords_sql('lpt')})::INTEGER AS excerpt_chars,
+       (length(pt) > 260) AS was_truncated
+FROM loc ORDER BY doc_id""",
         "token_count": f"""
 SELECT doc_id,
        len({toks})::INTEGER AS n_tokens,

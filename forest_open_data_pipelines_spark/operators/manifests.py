@@ -1,0 +1,260 @@
+"""Feed validation, manifest status rollup, and catalog card shaping.
+
+Spark twins of the reference's publish-gate layer:
+
+- ``datasets/noticias_agricolas/validation.py:7-39`` — per-item field
+  checks (``validate_feed_item``) and the stable-publish gate
+  (``validate_feed_for_stable_publish``: min-item count + per-item
+  error reasons, in index order).
+- ``manifests/build_manifest.py:77-100`` — item ``source_url``
+  normalization fallback chain (source_url → public_url → url) and
+  ``_status_from_items`` (any partial/failed/skipped item downgrades a
+  'success' run to 'success_partial_fallback').
+- ``catalog/build.py:145-167`` — ``_clean_text`` (``\\s+`` collapse),
+  ``_truncate_words`` (word-boundary truncation with a 48-char floor),
+  and ``_localized_text`` (locale pick with pt fallback), applied to
+  card excerpts at ``MAX_REPORT_EXCERPT_CHARS``.
+
+The reference validates python dicts in a driver loop; here each gate
+is a pure Catalyst expression over one pass of the items table — the
+validation of a 100 TB feed is a projection plus one groupBy on the
+feed key, nothing collects to the driver.
+
+Feed items and card sources are derived deterministically from the
+``documents`` table (field degradations keyed on ``doc_id`` residues)
+so the DuckDB oracle can perform the identical construction and the
+whole derive→validate round trip is value-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MIN_FEED_ITEMS = 24  # validate_feed_for_stable_publish(min_items=...)
+MAX_REPORT_EXCERPT_CHARS = 260  # catalog/build.py:23
+MIN_TRUNCATED_HEAD_CHARS = 48  # catalog/build.py:157
+INCOMPLETE_STATUSES = ("partial", "failed", "skipped")  # build_manifest.py:97
+
+
+# ---------------------------------------------------------------------------
+# Feed validation (validation.py twin)
+# ---------------------------------------------------------------------------
+
+
+def feed_items_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive a feed-items table (feed = source, ≤25 items each, in
+    doc_id order) with deterministic field degradations: doc_id % 17
+    blanks the title, % 19 makes it whitespace-only (strip() must catch
+    it), % 23 blanks the url, % 29 blanks the category_slug, % 31 blanks
+    published_at."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = documents.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 25)
+    return d.select(
+        F.col("source").alias("feed"),
+        (F.col("rn") - 1).alias("idx"),
+        F.when(F.col("doc_id") % 17 == 0, F.lit(""))
+        .when(F.col("doc_id") % 19 == 0, F.lit("   "))
+        .otherwise(F.substring("text", 1, 40))
+        .alias("title"),
+        F.when(F.col("doc_id") % 23 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("https://site/n/"), F.col("doc_id").cast("string"))
+        )
+        .alias("url"),
+        F.when(F.col("doc_id") % 29 == 0, F.lit("")).otherwise(F.col("source")).alias(
+            "category_slug"
+        ),
+        F.when(F.col("doc_id") % 31 == 0, F.lit("")).otherwise(
+            F.lit("2024-03-15T10:30:00Z")
+        )
+        .alias("published_at"),
+    )
+
+
+def item_errors(items: DataFrame) -> DataFrame:
+    """``validate_feed_item`` twin: append one error per blank (after
+    strip) required field, in the reference's fixed check order."""
+    errs = F.filter(
+        F.array(
+            F.when(F.trim("title") == "", F.lit("title vazio")),
+            F.when(F.trim("url") == "", F.lit("url vazio")),
+            F.when(F.trim("category_slug") == "", F.lit("category_slug vazio")),
+            F.when(F.trim("published_at") == "", F.lit("published_at vazio")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return items.withColumn("errs", errs)
+
+
+def feed_publish_reasons(
+    items: DataFrame, min_items: int = MIN_FEED_ITEMS
+) -> DataFrame:
+    """``validate_feed_for_stable_publish`` twin: per feed, a min-count
+    reason (seq 0) followed by one ``item[i]: ...`` reason per invalid
+    item, in item order. An empty result for a feed means publish-OK."""
+    with_errs = item_errors(items)
+    count_reasons = (
+        items.groupBy("feed")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") < min_items)
+        .select(
+            "feed",
+            F.lit(0).cast("long").alias("seq"),
+            F.concat(
+                F.lit("quantidade de itens ("),
+                F.col("n").cast("string"),
+                F.lit(f") abaixo do mínimo configurado ({min_items})"),
+            ).alias("reason"),
+        )
+    )
+    item_reasons = with_errs.filter(F.size("errs") > 0).select(
+        "feed",
+        (F.col("idx") + 1).cast("long").alias("seq"),
+        F.concat(
+            F.lit("item["),
+            F.col("idx").cast("string"),
+            F.lit("]: "),
+            F.array_join("errs", "; "),
+        ).alias("reason"),
+    )
+    return count_reasons.unionByName(item_reasons)
+
+
+def feed_validate(documents: DataFrame) -> DataFrame:
+    """Catalog query: derive feed items from documents, emit publish-block
+    reasons per feed."""
+    return feed_publish_reasons(feed_items_from_documents(documents)).orderBy(
+        "feed", "seq"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Manifest status rollup (build_manifest.py twin)
+# ---------------------------------------------------------------------------
+
+
+def manifest_items_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive manifest items (dataset = source): profile_status is 'ok'
+    except sparse residue classes (% 83 partial, % 97 failed, % 89
+    skipped), and the source_url arrives through the legacy fallback
+    chain — % 3 == 0 rows lack source_url, half of those carry
+    public_url, the rest only url (``_normalize_item``)."""
+    legacy = F.col("doc_id") % 3 == 0
+    return documents.select(
+        F.col("source").alias("dataset_id"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 83 == 0, F.lit("partial"))
+        .when(F.col("doc_id") % 97 == 0, F.lit("failed"))
+        .when(F.col("doc_id") % 89 == 0, F.lit("skipped"))
+        .otherwise(F.lit("ok"))
+        .alias("profile_status"),
+        F.when(~legacy, F.concat(F.lit("https://a/"), F.col("doc_id").cast("string")))
+        .alias("source_url"),
+        F.when(
+            legacy & (F.col("doc_id") % 2 == 0),
+            F.concat(F.lit("https://p/"), F.col("doc_id").cast("string")),
+        ).alias("public_url"),
+        F.concat(F.lit("https://u/"), F.col("doc_id").cast("string")).alias("url"),
+    )
+
+
+def manifest_status(documents: DataFrame) -> DataFrame:
+    """Catalog query: per-dataset manifest envelope fields — resolved
+    source_url provenance counts (the ``_normalize_item`` fallback chain)
+    and ``_status_from_items``: any incomplete item downgrades the run
+    to 'success_partial_fallback'."""
+    items = manifest_items_from_documents(documents)
+    resolved_via = (
+        F.when(F.col("source_url").isNotNull(), F.lit("source_url"))
+        .when(F.col("public_url").isNotNull(), F.lit("public_url"))
+        .otherwise(F.lit("url"))
+    )
+    incomplete = F.col("profile_status").isin(*INCOMPLETE_STATUSES)
+    return (
+        items.withColumn("resolved_via", resolved_via)
+        .groupBy("dataset_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(incomplete.cast("long")).alias("n_incomplete"),
+            F.sum((F.col("resolved_via") == "source_url").cast("long")).alias(
+                "n_via_source_url"
+            ),
+            F.sum((F.col("resolved_via") == "public_url").cast("long")).alias(
+                "n_via_public_url"
+            ),
+            F.sum((F.col("resolved_via") == "url").cast("long")).alias("n_via_url"),
+        )
+        .select(
+            "dataset_id",
+            F.lit("2.0").alias("schema_version"),
+            "n_items",
+            "n_incomplete",
+            "n_via_source_url",
+            "n_via_public_url",
+            "n_via_url",
+            F.when(
+                F.col("n_incomplete") > 0, F.lit("success_partial_fallback")
+            )
+            .otherwise(F.lit("success"))
+            .alias("generation_status"),
+        )
+        .orderBy("dataset_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Catalog card excerpt shaping (catalog/build.py twin)
+# ---------------------------------------------------------------------------
+
+
+def card_clean(text: Column) -> Column:
+    """``_clean_text`` twin: collapse every whitespace run (incl.
+    newlines — the card layer uses ``\\s+``, wider than the paragraph
+    normalizer) and trim."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def truncate_words(text: Column, max_chars: int = MAX_REPORT_EXCERPT_CHARS) -> Column:
+    """``_truncate_words`` twin: keep short text as-is; otherwise cut at
+    ``max_chars``, back off to the last word boundary, and fall back to
+    the hard cut when the boundary-trimmed head drops under 48 chars."""
+    clean = card_clean(text)
+    hard = F.substring(clean, 1, max_chars)
+    head = F.trim(F.regexp_replace(hard, r" [^ ]*$", ""))
+    return (
+        F.when(F.length(clean) <= max_chars, clean)
+        .when(F.length(head) >= MIN_TRUNCATED_HEAD_CHARS, head)
+        .otherwise(F.trim(hard))
+    )
+
+
+def localized_text(pt: Column, en: Column, locale: str) -> Column:
+    """``_localized_text`` twin for a {pt, en} value: preferred locale
+    first, then pt, then en (blank counts as absent)."""
+    pt_c, en_c = card_clean(pt), card_clean(en)
+    preferred = en_c if locale == "en" else pt_c
+    return F.coalesce(
+        F.nullif(preferred, F.lit("")),
+        F.nullif(pt_c, F.lit("")),
+        F.nullif(en_c, F.lit("")),
+    )
+
+
+def catalog_cards(documents: DataFrame) -> DataFrame:
+    """Catalog query: shape report-card excerpts from documents. The pt
+    overview is the document text; an en variant exists only for
+    doc_id % 3 == 0 (uppercased 200-char head), so the en excerpt
+    exercises the locale fallback chain."""
+    pt = F.col("text")
+    en = F.when(
+        F.col("doc_id") % 3 == 0, F.upper(F.substring("text", 1, 200))
+    ).otherwise(F.lit(None))
+    excerpt_pt = truncate_words(localized_text(pt, en, "pt"))
+    excerpt_en = truncate_words(localized_text(pt, en, "en"))
+    return documents.select(
+        "doc_id",
+        excerpt_pt.alias("excerpt"),
+        excerpt_en.alias("excerpt_en"),
+        F.length(excerpt_pt).alias("excerpt_chars"),
+        (F.length(card_clean(pt)) > MAX_REPORT_EXCERPT_CHARS).alias("was_truncated"),
+    ).orderBy("doc_id")

@@ -13,6 +13,7 @@ from forest_open_data_pipelines_spark.operators import (
     dedup,
     freshness,
     html,
+    manifests,
     multimodal,
     profiling,
     relational,
@@ -159,7 +160,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_summary": lambda s, d: profiling.catalog_summary(
         load_table(s, d, "documents")
     ),
-    "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
     "profile_files": lambda s, d: _profile_files(s, d),
     "type_inference": lambda s, d: profiling.type_inference(
         load_table(s, d, "orders")
@@ -187,6 +187,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "url_merge": lambda s, d: dedup.url_merge(load_table(s, d, "events")),
+    # M. publish gates / catalog shaping (validation.py, build_manifest.py,
+    # catalog/build.py twins)
+    "feed_validate": lambda s, d: manifests.feed_validate(
+        load_table(s, d, "documents")
+    ),
+    "manifest_status": lambda s, d: manifests.manifest_status(
+        load_table(s, d, "documents")
+    ),
+    "catalog_cards": lambda s, d: manifests.catalog_cards(
+        load_table(s, d, "documents")
+    ),
     # E. dedup
     "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
     "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(
@@ -198,9 +209,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "embeddings")
     ),
     # F. similarity search
-    "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
-        load_table(s, d, "embeddings")
-    ),
     "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(
         load_table(s, d, "embeddings")
     ),
@@ -216,9 +224,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "q5_region_volume": lambda s, d: relational.q5_region_volume(
         *_t(s, d, "region", "nation", "customer", "orders", "lineitem", "supplier")
-    ),
-    "top_customers": lambda s, d: relational.top_customers(
-        *_t(s, d, "customer", "orders", "nation")
     ),
     "customers_without_orders": lambda s, d: relational.customers_without_orders(
         *_t(s, d, "customer", "orders", "nation")
@@ -245,6 +250,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
         timeseries.monthly_series(_enriched(s, d))
+    ),
+    # column-profiling sibling of the checked catalog_summary /
+    # profile_columns pair (same documents scan + agg path)
+    "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
+    # join-shape sibling of the checked q3/nations_trade_volume family
+    "top_customers": lambda s, d: relational.top_customers(
+        *_t(s, d, "customer", "orders", "nation")
+    ),
+    # exact all-pairs baseline — kept as the documented oracle twin of
+    # the checked ann_topk_lsh / ann_topk_ivf scale paths
+    "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
+        load_table(s, d, "embeddings")
     ),
     # (period, biome) slice of the checked state_biome_monthly_series
     # grouping-sets superset

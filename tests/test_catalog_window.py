@@ -30,6 +30,9 @@ MUST_BE_IN_WINDOW = {
     # round-3 additions that need their first driver row
     "html_list_parse",
     "dir_listing_files",
+    "feed_validate",
+    "manifest_status",
+    "catalog_cards",
 }
 
 

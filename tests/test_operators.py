@@ -803,3 +803,97 @@ def test_dir_listing_files_filters_and_dedupe(spark):
     assert by_url["https://dataserver.example/coids/cat/focos_1.zip"].name == "Focos 1.zip"
     assert all(r.suffix in DOWNLOAD_SUFFIXES for r in out)
     assert all(r.last_modified is not None for r in out)
+
+
+def test_feed_validate_reasons_and_min_items_gate(spark):
+    from forest_open_data_pipelines_spark.operators.manifests import feed_validate
+
+    # 3 items in the feed → count reason (3 < 24) at seq 0; doc 17 blank
+    # title; doc 19 whitespace-only title (strip() must catch); doc 23
+    # blank url. doc 1: fully valid → no reason row.
+    out = feed_validate(_docs_df(spark, [1, 17, 19, 23])).collect()
+    reasons = [(r.seq, r.reason) for r in out]
+    assert reasons == [
+        (0, "quantidade de itens (4) abaixo do mínimo configurado (24)"),
+        (2, "item[1]: title vazio"),
+        (3, "item[2]: title vazio"),
+        (4, "item[3]: url vazio"),
+    ]
+
+
+def test_feed_validate_error_order_matches_reference(spark):
+    from forest_open_data_pipelines_spark.operators.manifests import (
+        feed_items_from_documents,
+        item_errors,
+    )
+
+    # doc 0 hits every residue → all four errors, in the reference's
+    # fixed check order (validation.py:10-18)
+    items = item_errors(feed_items_from_documents(_docs_df(spark, [0])))
+    errs = items.collect()[0].errs
+    assert errs == [
+        "title vazio",
+        "url vazio",
+        "category_slug vazio",
+        "published_at vazio",
+    ]
+
+
+def test_manifest_status_downgrade_and_url_fallback(spark):
+    from forest_open_data_pipelines_spark.operators.manifests import manifest_status
+
+    # clean dataset: docs 1, 3, 6 (no status residue hits) → success;
+    # doc 1 has source_url, doc 6 (legacy, even) only public_url,
+    # doc 3 (legacy, odd) only url — one hit per fallback branch
+    clean = _docs_df(spark, [1, 3, 6], source="dsA")
+    # dirty dataset: doc 83 → 'partial' → success_partial_fallback
+    dirty = _docs_df(spark, [83, 85], source="dsB")
+    out = {r.dataset_id: r for r in manifest_status(clean.union(dirty)).collect()}
+
+    assert out["dsA"].generation_status == "success"
+    assert out["dsA"].n_incomplete == 0
+    assert out["dsB"].generation_status == "success_partial_fallback"
+    assert out["dsB"].n_incomplete == 1
+    assert out["dsA"].n_via_source_url == 1
+    assert out["dsA"].n_via_public_url == 1
+    assert out["dsA"].n_via_url == 1
+    assert out["dsB"].n_via_source_url == 2
+    assert all(r.schema_version == "2.0" for r in out.values())
+
+
+def test_truncate_words_boundary_and_floor(spark):
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.operators.manifests import truncate_words
+
+    short = "short  text\twith   runs"
+    # 300 chars of 10-char words → cut at 260 lands mid-word, backs off
+    # to the last full word (<=260, ends on a word)
+    wordy = " ".join(["abcdefghij"] * 28)  # 28*11-1 = 307 chars
+    # one giant token: no space in the 260-prefix → head == hard cut
+    giant = "x" * 300
+    # a long first token followed by words: back-off would leave <48
+    # chars → hard-cut fallback (catalog/build.py:157)
+    floor = "y" * 40 + " " + "z" * 300
+    df = spark.createDataFrame(
+        [(1, short), (2, wordy), (3, giant), (4, floor)], ["i", "t"]
+    )
+    rows = {
+        r.i: r.out
+        for r in df.select("i", truncate_words(F.col("t")).alias("out")).collect()
+    }
+    assert rows[1] == "short text with runs"  # ws-collapsed, untouched
+    assert len(rows[2]) == 252 and rows[2].endswith("abcdefghij")
+    assert rows[3] == "x" * 260
+    # back-off head would be the 40-char 'y' run (<48) → keep hard cut
+    assert rows[4] == ("y" * 40 + " " + "z" * 219)
+
+
+def test_catalog_cards_locale_fallback(spark):
+    from forest_open_data_pipelines_spark.operators.manifests import catalog_cards
+
+    out = {r.doc_id: r for r in catalog_cards(_docs_df(spark, [3, 4])).collect()}
+    # doc 3 (%3==0) has an en variant → uppercased excerpt_en
+    assert out[3].excerpt_en == out[3].excerpt.upper()
+    # doc 4 has no en variant → excerpt_en falls back to pt
+    assert out[4].excerpt_en == out[4].excerpt
