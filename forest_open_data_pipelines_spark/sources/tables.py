@@ -59,6 +59,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ts_field = next((f for f in df.schema.fields if f.name == "ts"), None)
     if ts_field is not None and ts_field.dataType.typeName() == "long":
         df = df.withColumn("ts", nanos_to_micros_ts(F.col("ts")))
+    elif ts_field is not None and ts_field.dataType.typeName() == "timestamp_ntz":
+        # timestamp[us] parquet surfaces as TIMESTAMP_NTZ, which the
+        # epoch helpers (unix_micros) reject. The session timezone is
+        # pinned to UTC (session.py), so the NTZ→LTZ cast is a pure
+        # retag — same instant, same wall-clock — and downstream window
+        # arithmetic works unchanged.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

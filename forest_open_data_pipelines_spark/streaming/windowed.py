@@ -55,4 +55,8 @@ def stream_events_from_parquet(
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
+    elif ts_field is not None and ts_field.dataType.typeName() == "timestamp_ntz":
+        # timestamp[us] parquet surfaces as TIMESTAMP_NTZ; watermarks
+        # require TIMESTAMP. Session tz is UTC so the cast is a retag.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
