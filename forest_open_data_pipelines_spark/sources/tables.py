@@ -61,12 +61,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", nanos_to_micros_ts(F.col("ts")))
     elif ts_field is not None and ts_field.dataType.typeName() == "timestamp_ntz":
         # timestamp[us] parquet surfaces as TIMESTAMP_NTZ, which the
-        # epoch helpers (unix_micros) reject. The session timezone is
-        # pinned to UTC (session.py), so the NTZ→LTZ cast is a pure
-        # retag — same instant, same wall-clock — and downstream window
-        # arithmetic works unchanged.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # epoch helpers (unix_micros) reject. The NTZ wall-clock IS the
+        # UTC instant, so retag it timezone-independently: a bare
+        # NTZ→LTZ cast reinterprets the wall-clock in the session zone,
+        # which shifts the epoch instant on non-UTC sessions;
+        # from_utc_timestamp undoes that session-zone interpretation so
+        # the result is the same instant on any caller session.
+        df = df.withColumn("ts", ntz_as_utc_instant(spark, F.col("ts")))
     return df
+
+
+def ntz_as_utc_instant(spark: SparkSession, ntz: F.Column) -> F.Column:
+    """Retag a TIMESTAMP_NTZ column (wall-clock == UTC) as TIMESTAMP.
+
+    ``cast('timestamp')`` yields the instant whose *session-zone*
+    wall-clock equals the NTZ value; ``from_utc_timestamp`` then shifts
+    by the session-zone offset so the UTC wall-clock equals the NTZ
+    value — i.e. the instant the parquet writer meant. On a UTC session
+    the shift is zero and this degenerates to the plain cast.
+    """
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    cast = ntz.cast("timestamp")
+    if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        return cast
+    return F.from_utc_timestamp(cast, tz)
 
 
 def nanos_to_micros_ts(nanos: F.Column) -> F.Column:

@@ -57,6 +57,12 @@ def stream_events_from_parquet(
         )
     elif ts_field is not None and ts_field.dataType.typeName() == "timestamp_ntz":
         # timestamp[us] parquet surfaces as TIMESTAMP_NTZ; watermarks
-        # require TIMESTAMP. Session tz is UTC so the cast is a retag.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        # require TIMESTAMP. Retag timezone-independently (see
+        # sources/tables.py ntz_as_utc_instant): a bare cast would
+        # shift the instant on non-UTC caller sessions.
+        from forest_open_data_pipelines_spark.sources.tables import (
+            ntz_as_utc_instant,
+        )
+
+        stream = stream.withColumn("ts", ntz_as_utc_instant(spark, F.col("ts")))
     return stream

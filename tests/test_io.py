@@ -389,3 +389,43 @@ def test_profile_excel_shapes(spark, tmp_path):
     assert rows["one.xlsx"].columns == "a,b"
     assert rows["two.xlsx"].row_count == 2
     assert rows["two.xlsx"].columns == "x"
+
+
+def test_ntz_retag_is_timezone_independent(spark, tmp_path):
+    """ADVICE r3: the NTZ→LTZ retag must yield the same epoch instant on
+    any caller session timezone, not just UTC."""
+    from datetime import datetime, timezone
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from forest_open_data_pipelines_spark.sources.tables import load_table
+
+    # timestamp[us] parquet (no tz) surfaces in Spark as TIMESTAMP_NTZ.
+    wall = datetime(2024, 6, 1, 12, 0, 0)
+    want = wall.replace(tzinfo=timezone.utc).timestamp()
+    tdir = tmp_path / "sfntz"
+    tdir.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "ts": pa.array([wall], pa.timestamp("us")),
+            }
+        ),
+        tdir / "events.parquet",
+    )
+
+    def instant(session):
+        df = load_table(session, str(tdir), "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp"
+        [row] = df.select(F.unix_micros("ts").alias("us")).collect()
+        return row.us / 1e6
+
+    assert instant(spark) == want  # UTC session: plain retag
+    offset_session = spark.newSession()
+    offset_session.conf.set("spark.sql.session.timeZone", "America/Sao_Paulo")
+    try:
+        assert instant(offset_session) == want  # non-UTC session: same instant
+    finally:
+        offset_session.conf.set("spark.sql.session.timeZone", "UTC")
