@@ -350,6 +350,143 @@ def _social_text_normalize_sql() -> str:
     )
 
 
+def _region_rank_sql() -> str:
+    """DuckDB twin of social.region_rank: identical estado-variant
+    derivation, translate-based accent strip, UF∪name lookup table,
+    'Não identificada' fallback, count-desc/label rank."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        _ACCENTED,
+        _PLAIN,
+        ESTADO_VARIANTS,
+        STATE_REGION_BY_NAME,
+        STATE_REGION_BY_UF,
+        UNIDENTIFIED_REGION,
+    )
+
+    lookup = {**STATE_REGION_BY_UF, **STATE_REGION_BY_NAME}
+    lookup_rows = ", ".join(f"('{k}', '{v}')" for k, v in sorted(lookup.items()))
+    variants = ", ".join("'" + v.replace("'", "''") + "'" for v in ESTADO_VARIANTS)
+    return f"""
+WITH detections AS (
+  SELECT ([{variants}])[(event_id % {len(ESTADO_VARIANTS)})::INT + 1] AS estado
+  FROM events
+), lookup(k, region) AS (VALUES {lookup_rows}),
+labeled AS (
+  SELECT coalesce(region, '{UNIDENTIFIED_REGION}') AS label
+  FROM detections LEFT JOIN lookup
+    ON regexp_replace(trim(upper(translate(estado, '{_ACCENTED}', '{_PLAIN}'))),
+                      '\\s+', ' ', 'g') = k
+)
+SELECT label, count(*) AS value,
+       row_number() OVER (ORDER BY count(*) DESC, label) AS rank
+FROM labeled GROUP BY label ORDER BY rank"""
+
+
+def _painel_pdf_links_sql() -> str:
+    """DuckDB twin of html.painel_pdf_links: identical href-variant
+    derivation, urljoin specialization, query-strip filename, and the
+    reference's RE_PAINEL_PDF groups (1 = month, 2 = year)."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        PAINEL_BASE_URL,
+        PAINEL_HOST,
+    )
+
+    pat = r"(?i)Painel_Qmd_(0[1-9]|1[0-2])_((?:19|20)\d{2})\.pdf$"
+    month = f"regexp_extract(filename, '{pat}', 1)"
+    year = f"regexp_extract(filename, '{pat}', 2)"
+    return f"""
+WITH anchors AS (
+  SELECT doc_id,
+    ([ 'Painel_Qmd_' || mm || '_' || yyyy || '.pdf',
+       yyyy || '/Painel_Qmd_' || mm || '_' || yyyy || '.pdf',
+       '/queimadas/portal/Painel_Qmd_' || mm || '_' || yyyy || '.PDF',
+       'https://mirror.example/painel/Painel_qmd_' || mm || '_' || yyyy || '.pdf',
+       'Painel_Qmd_13_' || yyyy || '.pdf',
+       yyyy || '/',
+       'relatorio_anual.pdf',
+       'Painel_Qmd_' || mm || '_' || yyyy || '.pdf?download=1'
+     ])[(doc_id % 8)::INT + 1] AS href
+  FROM (SELECT doc_id, lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS mm,
+               (doc_id % 6 + 2019)::VARCHAR AS yyyy FROM documents)
+), resolved AS (
+  SELECT CASE WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+              WHEN href LIKE '/%' THEN '{PAINEL_HOST}' || href
+              ELSE '{PAINEL_BASE_URL}' || href END AS url
+  FROM anchors
+), named AS (
+  SELECT url,
+    regexp_extract(regexp_replace(url, '[?#].*$', ''), '([^/]+)$', 1) AS filename
+  FROM resolved
+)
+SELECT DISTINCT {year} || '-' || {month} AS period,
+       {year} AS year, {month} AS month, filename, url
+FROM named WHERE {month} != ''
+ORDER BY url"""
+
+
+def _abstract_reconstruct_sql() -> str:
+    """DuckDB twin of social.abstract_reconstruct: tokens deduped to
+    first occurrence (min position), rebuilt in that order — the
+    insertion-order walk of the Spark side's map_from_entries — then the
+    any-of topical substring filter."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        ABSTRACT_TOPIC_TERMS,
+    )
+
+    terms = ", ".join(f"'{t}'" for t in ABSTRACT_TOPIC_TERMS)
+    return f"""
+WITH cleaned AS (
+  SELECT doc_id,
+         'Work ' || doc_id || ': ' || substr({CLEAN}, 1, 40) AS title,
+         string_split({LCLEAN}, ' ') AS toks
+  FROM documents
+), exploded AS (
+  SELECT doc_id, unnest(list_transform(toks, (t, i) -> {{'tok': t, 'i': i}})) AS e
+  FROM cleaned
+), pos AS (
+  SELECT doc_id, e.tok AS tok, min(e.i) AS first_pos
+  FROM exploded GROUP BY doc_id, e.tok
+), rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY first_pos) AS abstract,
+         count(*) AS n_index_terms
+  FROM pos GROUP BY doc_id
+), joined AS (
+  SELECT c.doc_id, c.title, r.abstract, r.n_index_terms,
+         array_to_string(list_filter([{terms}],
+            t -> contains(lower(c.title || ' ' || r.abstract), t)), ',') AS matched_terms
+  FROM cleaned c JOIN rebuilt r USING (doc_id)
+)
+SELECT doc_id, title, abstract, n_index_terms, matched_terms
+FROM joined WHERE matched_terms != '' ORDER BY doc_id"""
+
+
+MENSAL_AUGMENTED_SQL = """
+WITH enriched AS (
+  SELECT o_orderdate, o_totalprice, n_name
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+matrix AS (
+  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS period,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+  FROM enriched GROUP BY 1, 2
+),
+mensal AS (
+  SELECT n_name, count(*) AS n_orders, round(sum(value), 2) AS total_price
+  FROM events JOIN customer ON user_id = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1
+),
+cur AS (SELECT max(period) AS cur_period FROM matrix),
+feed AS (SELECT count(*) AS n_mensal FROM mensal)
+SELECT n_name, period, n_orders, total_price
+FROM matrix, cur, feed WHERE period != cur_period OR n_mensal = 0
+UNION ALL
+SELECT n_name, cur_period AS period, n_orders, total_price
+FROM mensal, cur, feed WHERE n_mensal > 0
+ORDER BY n_name, period"""
+
+
 def oracle_sql() -> dict[str, str]:
     clean = CLEAN
     lclean = LCLEAN
@@ -1496,5 +1633,10 @@ FROM orders GROUP BY 1 ORDER BY 1""",
 SELECT date_trunc('day', ts)::DATE AS day, event_type,
        count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+        # round-4 additions --------------------------------------------------
+        "region_rank": _region_rank_sql(),
+        "nation_month_matrix_augmented": MENSAL_AUGMENTED_SQL,
+        "painel_pdf_links": _painel_pdf_links_sql(),
+        "abstract_reconstruct": _abstract_reconstruct_sql(),
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }

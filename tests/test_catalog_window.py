@@ -15,24 +15,41 @@ from forest_open_data_pipelines_spark.plans.catalog import (
     QUERIES,
 )
 
-# Entries that were never driver-checked in rounds 1-2 and must stay
-# inside the window until they have green rows on record.
+# Entries that need a driver row THIS round and must stay inside the
+# window: the round-4 additions (first row ever) plus the entries
+# rotated back in from the parked tail (r3 judge item 1 — their last
+# driver rows date from r1/r2).
 MUST_BE_IN_WINDOW = {
-    "events_sessionize",
-    "events_windowed",
-    "events_asof_attribution",
-    "clicks_before_purchase",
-    "skew_two_phase_agg",
-    "skew_salted_join_agg",
-    "multimodal_features",
-    "multimodal_frames",
-    "resize_media",
-    # round-3 additions that need their first driver row
-    "html_list_parse",
-    "dir_listing_files",
-    "feed_validate",
-    "manifest_status",
-    "catalog_cards",
+    # round-4 additions
+    "region_rank",
+    "nation_month_matrix_augmented",
+    "painel_pdf_links",
+    "abstract_reconstruct",
+    # rotated in from the parked tail
+    "annual_series",
+    "annual_by_region",
+    "ytd_comparison",
+    "month_year_comparison",
+    "schema_audit",
+    "top_customers",
+    "ann_topk_bruteforce",
+    "monthly_by_region",
+    "nation_year_matrix",
+    "nation_month_matrix",
+    "same_month_prev_year",
+    "research_trends",
+    "region_nation_rollup",
+    "region_nation_cube",
+    "promo_revenue_share",
+    "series_alignment_metrics",
+    "freshness_latest",
+    "top_regions_yoy",
+    "monthly_chart_spec",
+    "top_nations_with_other",
+    "token_count",
+    "doc_fingerprint",
+    "part_brand_stats",
+    "dedup_embedding",
 }
 
 

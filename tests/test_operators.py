@@ -897,3 +897,145 @@ def test_catalog_cards_locale_fallback(spark):
     assert out[3].excerpt_en == out[3].excerpt.upper()
     # doc 4 has no en variant → excerpt_en falls back to pt
     assert out[4].excerpt_en == out[4].excerpt
+
+
+# ── Round-4 operators ───────────────────────────────────────────────────────
+
+
+def test_region_rank_normalization_and_fallback(spark):
+    from forest_open_data_pipelines_spark.operators.social import region_rank
+
+    det = spark.createDataFrame(
+        [
+            (1, "São Paulo"),      # accented name → Sudeste
+            (2, "sao paulo"),      # accentless lower → Sudeste
+            (3, "SP"),             # UF → Sudeste
+            (4, "  MINAS GERAIS  "),  # padding → Sudeste
+            (5, "Mato  Grosso do   Sul"),  # internal runs → Centro-Oeste
+            (6, "PARÁ"),           # upper accented → Norte
+            (7, ""),               # empty → fallback
+            (8, "Atlantis"),       # unknown → fallback
+            (9, None),             # null → fallback
+        ],
+        ["detection_id", "estado"],
+    )
+    rows = {r.label: (r.value, r.rank) for r in region_rank(det).collect()}
+    assert rows["Sudeste"] == (4, 1)
+    assert rows["Não identificada"] == (3, 2)
+    assert rows["Centro-Oeste"][0] == 1 and rows["Norte"][0] == 1
+    # tie at value=1 → label-ordered ranks (Centro-Oeste before Norte)
+    assert rows["Centro-Oeste"][1] < rows["Norte"][1]
+
+
+def test_region_rank_lookups_cover_all_27_states(spark):
+    from forest_open_data_pipelines_spark.operators.social import (
+        STATE_REGION_BY_NAME,
+        STATE_REGION_BY_UF,
+        region_rank,
+    )
+
+    assert len(STATE_REGION_BY_UF) == 27 and len(STATE_REGION_BY_NAME) == 27
+    det = spark.createDataFrame(
+        [(i, uf) for i, uf in enumerate(STATE_REGION_BY_UF)], ["detection_id", "estado"]
+    )
+    out = region_rank(det)
+    assert out.where("label = 'Não identificada'").count() == 0
+    assert sum(r.value for r in out.collect()) == 27
+
+
+def test_augment_with_mensal_replaces_current_period(spark):
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        augment_with_mensal,
+    )
+
+    matrix = spark.createDataFrame(
+        [
+            ("A", "2024-01", 5, 10.0),
+            ("A", "2024-02", 7, 14.0),
+            ("B", "2024-02", 3, 6.0),
+            ("C", "2024-01", 1, 2.0),
+        ],
+        ["n_name", "period", "n_orders", "total_price"],
+    )
+    mensal = spark.createDataFrame(
+        [("A", 9, 90.0), ("C", 4, 40.0)], ["n_name", "n_orders", "total_price"]
+    )
+    got = {
+        (r.n_name, r.period): (r.n_orders, r.total_price)
+        for r in augment_with_mensal(matrix, mensal, "n_name").collect()
+    }
+    # current period (2024-02) rows REPLACED by the feed: B vanishes,
+    # A overridden, C appears; prior periods untouched.
+    assert got == {
+        ("A", "2024-01"): (5, 10.0),
+        ("A", "2024-02"): (9, 90.0),
+        ("C", "2024-01"): (1, 2.0),
+        ("C", "2024-02"): (4, 40.0),
+    }
+
+
+def test_augment_with_mensal_empty_feed_passthrough(spark):
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        augment_with_mensal,
+    )
+
+    matrix = spark.createDataFrame(
+        [("A", "2024-02", 7, 14.0), ("B", "2024-01", 3, 6.0)],
+        ["n_name", "period", "n_orders", "total_price"],
+    )
+    empty = spark.createDataFrame([], "n_name string, n_orders long, total_price double")
+    got = sorted(
+        tuple(r) for r in augment_with_mensal(matrix, empty, "n_name").collect()
+    )
+    assert got == [("A", "2024-02", 7, 14.0), ("B", "2024-01", 3, 6.0)]
+
+
+def test_painel_pdf_links_branches(spark):
+    from forest_open_data_pipelines_spark.operators.html import (
+        parse_painel_pdf_links,
+    )
+
+    anchors = spark.createDataFrame(
+        [
+            ("Painel_Qmd_03_2024.pdf",),            # relative
+            ("2023/Painel_Qmd_12_2023.pdf",),        # year-dir relative
+            ("/portal/Painel_Qmd_01_2020.PDF",),     # root-relative, upper ext
+            ("https://mirror.example/Painel_qmd_07_2021.pdf",),  # absolute
+            ("Painel_Qmd_05_2022.pdf?download=1",),  # query stripped for name
+            ("Painel_Qmd_13_2024.pdf",),             # invalid month → dropped
+            ("2024/",),                              # year dir → dropped
+            ("relatorio.pdf",),                      # non-matching → dropped
+            ("Painel_Qmd_03_2024.pdf",),             # duplicate URL → deduped
+        ],
+        ["href"],
+    )
+    out = parse_painel_pdf_links(anchors)
+    rows = {r.filename: r for r in out.collect()}
+    assert out.count() == 5
+    assert rows["Painel_Qmd_03_2024.pdf"].period == "2024-03"
+    assert rows["Painel_Qmd_01_2020.PDF"].url.startswith(
+        "https://dataserver.example/portal/"
+    )
+    assert rows["Painel_qmd_07_2021.pdf"].url.startswith("https://mirror.example/")
+    assert rows["Painel_Qmd_05_2022.pdf"].url.endswith("?download=1")
+    assert rows["Painel_Qmd_05_2022.pdf"].month == "05"
+
+
+def test_abstract_reconstruct_first_occurrence_order(spark):
+    from forest_open_data_pipelines_spark.operators.social import (
+        abstract_reconstruct,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "beta alpha beta dup alpha", "en", "s", 25),
+            (2, "gamma gamma gamma", "en", "s", 17),  # no term → dropped
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = abstract_reconstruct(docs).collect()
+    assert [r.doc_id for r in out] == [1]
+    # duplicates collapse, first-occurrence order preserved
+    assert out[0].abstract == "beta alpha dup"
+    assert out[0].n_index_terms == 3
+    assert out[0].matched_terms == "dup"
