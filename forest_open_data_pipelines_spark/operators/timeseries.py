@@ -231,7 +231,15 @@ def ytd_comparison(monthly: DataFrame, avg_window: int = 5) -> DataFrame:
         F.substring("latest_period", 1, 4).cast("int").alias("latest_year"),
         F.substring("latest_period", 6, 2).cast("int").alias("latest_month"),
     )
-    with_latest = m.join(F.broadcast(latest)).where(F.col("month") <= F.col("latest_month"))
+    # latest LEFT-joins the (post-aggregation, tiny) monthly frame so an
+    # EMPTY series still yields the one-row fallback shape (all-null
+    # metrics) instead of zero rows — the reference hard-errors upstream
+    # on an empty consolidated series (bdqueimadas_overview.py:136) and
+    # renders `_build_fallback_analysis` text instead; returning the
+    # well-formed null row is the relational analog of that fallback.
+    with_latest = latest.join(
+        F.broadcast(m), F.col("month") <= F.col("latest_month"), "left"
+    )
     per_year_ytd = with_latest.groupBy(
         "latest_period", "latest_year", "latest_month", "year"
     ).agg(F.sum("value").alias("ytd"))
@@ -426,7 +434,7 @@ def highlights(monthly: DataFrame) -> DataFrame:
         F.max("period").alias("latest_period"),
         F.max("year").alias("latest_year"),
         F.min("year").alias("first_year"),
-        F.sum("value").alias("total_rows_processed"),
+        F.coalesce(F.sum("value"), F.lit(0)).alias("total_rows_processed"),
         F.countDistinct("year").alias("file_count_used"),
         F.count("*").alias("n_periods"),
     )
@@ -440,17 +448,26 @@ def highlights(monthly: DataFrame) -> DataFrame:
     ]
     in_recent = F.col("rn") > F.col("n_periods") - 12
     in_prior = (F.col("rn") > F.col("n_periods") - 24) & ~in_recent
+    # base (always exactly one row) LEFT-joins the tiny monthly frame so
+    # an EMPTY series still produces the five-row strip with zeroed
+    # totals — the relational analog of the reference's fallback
+    # rendering (the reference hard-errors upstream at
+    # bdqueimadas_overview.py:136; `_build_fallback_analysis` is what
+    # its reports show when comparisons cannot be formed).
     scal = (
-        m.join(F.broadcast(base))
+        base.join(F.broadcast(m), F.lit(True), "left")
         .groupBy(*base_cols)
         .agg(
-            F.sum(F.when(F.col("year") == F.col("latest_year"), F.col("value"))).alias(
-                "current_year_total"
-            ),
+            F.coalesce(
+                F.sum(F.when(F.col("year") == F.col("latest_year"), F.col("value"))),
+                F.lit(0),
+            ).alias("current_year_total"),
             F.max(F.when(F.col("year") < F.col("latest_year"), F.col("year"))).alias(
                 "previous_year"
             ),
-            F.sum(F.when(in_recent, F.col("value"))).alias("recent_12m_total"),
+            F.coalesce(
+                F.sum(F.when(in_recent, F.col("value"))), F.lit(0)
+            ).alias("recent_12m_total"),
             F.sum(F.when(in_prior, F.col("value"))).alias("prior_12m_sum"),
             F.count(F.when(in_prior, F.lit(1))).alias("prior_12m_n"),
         )
@@ -458,7 +475,7 @@ def highlights(monthly: DataFrame) -> DataFrame:
     # previous_year is data-dependent, so its annual total needs a second
     # (equally tiny) conditional-aggregation pass.
     final = (
-        m.join(F.broadcast(scal))
+        scal.join(F.broadcast(m), F.lit(True), "left")
         .groupBy(*base_cols, *scal.columns[len(base_cols) :])
         .agg(
             F.coalesce(

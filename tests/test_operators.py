@@ -1039,3 +1039,52 @@ def test_abstract_reconstruct_first_occurrence_order(spark):
     assert out[0].abstract == "beta alpha dup"
     assert out[0].n_index_terms == 3
     assert out[0].matched_terms == "dup"
+
+
+def test_empty_series_contract(spark):
+    """r3 ADVICE item 5: highlights / ytd_comparison / rolling_12m must
+    degrade gracefully on an EMPTY monthly series (the reference
+    hard-errors upstream and renders _build_fallback_analysis text;
+    bdqueimadas_overview.py:136,1078)."""
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        highlights,
+        rolling_12m,
+        ytd_comparison,
+    )
+
+    empty = spark.createDataFrame(
+        [], "period string, n_orders long, total_price double"
+    )
+
+    # rolling_12m: empty well-formed frame, schema intact
+    r = rolling_12m(empty)
+    assert r.count() == 0
+    assert r.columns == [
+        "period",
+        "recent_12m_total",
+        "prior_12m_total",
+        "has_full_prior_window",
+        "pct_change",
+    ]
+
+    # ytd_comparison: the one-row fallback shape, all metrics null
+    y = ytd_comparison(empty).collect()
+    assert len(y) == 1
+    assert y[0].latest_period is None
+    assert y[0].ytd_current_year is None and y[0].ytd_pct_change is None
+
+    # highlights: the full five-row strip with zeroed totals
+    h = {r.id: r for r in highlights(empty).collect()}
+    assert list(h) == [
+        "current_year_total",
+        "recent_12m_total",
+        "coverage_year_range",
+        "total_rows_processed",
+        "latest_period",
+    ]
+    assert h["current_year_total"].value == "0"
+    assert h["current_year_total"].comparison_value is None  # no previous year
+    assert h["recent_12m_total"].value == "0"
+    assert h["recent_12m_total"].comparison_value == 0  # coerced prior window
+    assert h["total_rows_processed"].value == "0"
+    assert h["latest_period"].value is None
