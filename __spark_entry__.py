@@ -350,6 +350,41 @@ def _social_text_normalize_sql() -> str:
     )
 
 
+def _ngram_jaccard_sql() -> str:
+    """DuckDB twin of dedup.dedup_ngram_jaccard with the hot-shingle
+    document-frequency stop-list: identical greatest(2, max_df·n_docs)
+    cap on candidate generation, exact Jaccard verify over the FULL
+    shingle sets (so cap semantics match the Spark side exactly)."""
+    from forest_open_data_pipelines_spark.operators.dedup import NGRAM_MAX_DF
+
+    return f"""
+WITH {SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+nd AS (SELECT count(*) AS n_docs FROM shingled),
+cold AS (
+  SELECT s FROM ex, nd GROUP BY s, n_docs
+  HAVING count(*) <= greatest(2.0, {NGRAM_MAX_DF} * n_docs)
+),
+colded AS (SELECT doc_id, s FROM ex JOIN cold USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM colded a JOIN colded b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.shingles, y.shingles)) AS common,
+         len(x.shingles) AS n_a, len(y.shingles) AS n_b
+  FROM cand
+  JOIN shingled x ON x.doc_id = cand.doc_a
+  JOIN shingled y ON y.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / (n_a + n_b - common), 6) AS jaccard
+FROM pairs
+WHERE round(common::DOUBLE / (n_a + n_b - common), 6) >= 0.8
+ORDER BY doc_a, doc_b"""
+
+
 def _region_rank_sql() -> str:
     """DuckDB twin of social.region_rank: identical estado-variant
     derivation, translate-based accent strip, UF∪name lookup table,
@@ -1368,20 +1403,7 @@ FROM keyed GROUP BY url_key ORDER BY url_key""",
 SELECT md5({lclean}) AS content_fingerprint,
        min(doc_id) AS canonical_doc_id, count(*) AS n_docs
 FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
-        "dedup_ngram_jaccard": f"""
-WITH {SHINGLES},
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS s FROM shingled),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS n_a, b.n_sh AS n_b,
-         count(*) AS common
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2, 3, 4
-)
-SELECT doc_a, doc_b,
-       round(common::DOUBLE / (n_a + n_b - common), 6) AS jaccard
-FROM pairs
-WHERE round(common::DOUBLE / (n_a + n_b - common), 6) >= 0.8
-ORDER BY doc_a, doc_b""",
+        "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": """
