@@ -259,10 +259,17 @@ def _lsh_sig_sql(planes: list[int], emb: str) -> str:
     return f"({terms})"
 
 
-def _dedup_embedding_lsh_sql(threshold: float = 0.45, n_planes: int = 8, bands: int = 4) -> str:
+def _dedup_embedding_lsh_sql(threshold: float = 0.45, n_planes: int | None = None, bands: int | None = None) -> str:
     """LSH-bucketed embedding dedup twin: same deterministic hyperplane
     band signatures as the Spark operator (the banding IS the operator's
     semantics; recall vs the exact all-pairs variant is pytest-asserted)."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_PLANES,
+    )
+
+    n_planes = EMB_LSH_PLANES if n_planes is None else n_planes
+    bands = EMB_LSH_BANDS if bands is None else bands
     per_band = n_planes // bands
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, {b} AS band, "
@@ -292,7 +299,14 @@ ORDER BY vec_a, vec_b
 """
 
 
-def _ann_lsh_sql(n_queries: int = 8, k: int = 10, n_planes: int = 8, bands: int = 4) -> str:
+def _ann_lsh_sql(n_queries: int = 8, k: int = 10, n_planes: int | None = None, bands: int | None = None) -> str:
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        ANN_LSH_BANDS,
+        ANN_LSH_PLANES,
+    )
+
+    n_planes = ANN_LSH_PLANES if n_planes is None else n_planes
+    bands = ANN_LSH_BANDS if bands is None else bands
     per_band = n_planes // bands
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, embedding, {b} AS band, "

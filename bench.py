@@ -49,10 +49,16 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
     "dedup_embedding_lsh",
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    # round-4 operators
+    "region_rank",
+    "nation_month_matrix_augmented",
+    "painel_pdf_links",
+    "abstract_reconstruct",
 ]
 
 

@@ -475,11 +475,21 @@ def dedup_embedding(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame
     )
 
 
+# Embedding-LSH band geometry: 4 planes per band, 8-band OR. Tuned on
+# the synthetic corpus (true-dup cosines sit at 0.45-0.60, hostile to
+# hyperplane LSH): recall vs the exact all-pairs variant is 7/7 at
+# sf0.001 and 111/144 at sf0.1, with the candidate set cut ~40% vs the
+# r3 (8,4) geometry (1.36M -> 0.82M pairs at sf0.1). Shared with the
+# DuckDB oracle generator in __spark_entry__.py.
+EMB_LSH_PLANES = 32
+EMB_LSH_BANDS = 8
+
+
 def dedup_embedding_lsh(
     embeddings: DataFrame,
     threshold: float = 0.45,
-    n_planes: int = 8,
-    bands: int = 4,
+    n_planes: int = EMB_LSH_PLANES,
+    bands: int = EMB_LSH_BANDS,
     dim: int = 64,
 ) -> DataFrame:
     """Production-scale embedding near-dup pairs: hyperplane-LSH bucket
@@ -487,70 +497,48 @@ def dedup_embedding_lsh(
 
     This is the 100 TB path ``dedup_embedding`` (all-pairs, the oracle
     baseline) cannot take: candidate pairs come only from band-bucket
-    equi-joins over the same deterministic hyperplane signatures
-    ``similarity.ann_topk_lsh`` uses (OR-of-ANDs amplification — more
-    bands raise recall, more planes per band shrink buckets), so the
-    pair space never goes cartesian. Output is a subset of
-    ``dedup_embedding`` at the same threshold; recall vs the exact
-    variant is asserted in tests.
+    equi-joins over deterministic hyperplane signatures (OR-of-ANDs
+    amplification — more bands raise recall, more planes per band
+    shrink buckets), so the pair space never goes cartesian. Output is
+    a subset of ``dedup_embedding`` at the same threshold with
+    bit-identical cosines; recall vs the exact variant is asserted in
+    tests.
 
-    Only the BANDED signature table is persisted across its self-join
-    (vec_id + band + key ≈ 20 bytes/row — tiny next to the raw vectors,
-    and without the persist the plane projections run once per join
-    side). The full embedding+norm projection is deliberately NOT
-    cached: at 100 TB, spilling the whole vector column to the cache
-    store costs more than the two extra column-pruned parquet scans the
-    verification joins trigger (cache lifecycle: ``release_persisted``).
+    Signatures come from ``similarity.banded_signatures`` — ONE
+    Arrow-batched numpy pass whose sequential-across-dims accumulation
+    makes every band key bit-identical to the Catalyst fold and the
+    DuckDB oracle (r4: the per-plane interpreted fold was the dominant
+    cost of the r3 shape once the band count grew). Only the banded
+    signature table is persisted across its self-join (vec_id + band +
+    key ≈ 20 bytes/row — tiny next to the raw vectors; without the
+    persist the signature kernel runs once per join side).
 
-    The ``distinct()`` on candidates is load-bearing twice over: it
-    de-duplicates pairs that collide in several bands (so each pair is
-    verified once) AND its exchange spreads the pair verification
-    across all cores — without it the bucket self-join output stays in
-    the join's partitioning and the verify step serializes.
+    The ``distinct()`` on candidates de-duplicates pairs that collide
+    in several bands (each pair verified once) and its exchange spreads
+    verification across cores.
 
-    Verification is an Arrow-batched numpy kernel (``mapInPandas``):
-    Spark's higher-order ``aggregate``/``zip_with`` fold is interpreted
-    per element, and at millions of candidate pairs × 64 dims the
-    vectorized batch dot is ~1.5× faster end-to-end. The kernel
-    accumulates products left-to-right (a 64-step column loop, not
-    ``.sum()``'s pairwise tree) so the double-precision result is
-    bit-identical to the sequential fold used by ``dedup_embedding`` —
-    the subset test asserts exact cosine equality. Rounding and the
-    threshold filter stay Spark-side (same ``ratio`` + ``>=`` as the
-    exact variant); the kernel only pre-filters with a slack margin
-    (rounding can lift a raw cosine by at most 5e-7) to keep the
-    Arrow return path tiny.
+    Verification re-attaches the vectors by id and computes the exact
+    cosine with the SAME Catalyst fold expressions as
+    ``dedup_embedding`` — bit-identical doubles by construction, and
+    no Arrow round-trip of 64-dim arrays per candidate pair (measured
+    faster than the r3 numpy verify kernel at sf0.1: the Arrow
+    serialization of ~0.8M embedding pairs cost more than the
+    interpreted fold). The embedding side is NOT hint-broadcast: the
+    optimizer broadcasts it while it fits (it does at bench scale) and
+    degrades to a shuffle join at corpus scale where a forced broadcast
+    would OOM the driver.
     """
     from forest_open_data_pipelines_spark.operators.similarity import (
-        _hyperplanes,
-        lsh_signature,
+        banded_signatures,
     )
 
-    planes = _hyperplanes(dim, n_planes)
-    per_band = n_planes // bands
-    groups = [planes[b * per_band : (b + 1) * per_band] for b in range(bands)]
     norm = F.sqrt(
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
     )
     e = embeddings.select("vec_id", "embedding", norm.alias("norm"))
-    banded = (
-        embeddings.select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            lsh_signature(F.col("embedding"), grp).alias("key"),
-                        )
-                        for b, grp in enumerate(groups)
-                    ]
-                )
-            ).alias("b"),
-        )
-        .select("vec_id", "b.band", "b.key")
+    banded = _persist(
+        banded_signatures(embeddings, "vec_id", "embedding", n_planes, bands, dim)
     )
-    banded = _persist(banded)
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(y, ["band", "key"])
@@ -575,41 +563,14 @@ def dedup_embedding_lsh(
         ),
         "vec_b",
     )
-    id_type = dict(joined.dtypes)["vec_a"]
-    out_schema = (
-        f"vec_a {id_type}, vec_b {id_type}, raw_cosine double"
+    dot = F.aggregate(
+        F.zip_with("emb_a", "emb_b", lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
-
-    def _verify(batches):
-        import numpy as np
-        import pandas as pd
-
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            prod = np.stack(pdf["emb_a"].to_numpy()).astype(
-                np.float64
-            ) * np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
-            # Left-to-right accumulation == the sequential fold of the
-            # exact variant's F.aggregate — bit-identical doubles.
-            acc = np.zeros(len(pdf), dtype=np.float64)
-            for j in range(prod.shape[1]):
-                acc = acc + prod[:, j]
-            raw = acc / (
-                pdf["norm_a"].to_numpy() * pdf["norm_b"].to_numpy()
-            )
-            keep = raw >= threshold - 1e-6  # slack: F.round adds ≤5e-7
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "raw_cosine": raw[keep],
-                }
-            )
-
+    cos = ratio(dot / (F.col("norm_a") * F.col("norm_b")))
     return (
-        joined.mapInPandas(_verify, out_schema)
-        .select("vec_a", "vec_b", ratio(F.col("raw_cosine")).alias("cosine"))
+        joined.select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= threshold)
         .orderBy("vec_a", "vec_b")
     )
