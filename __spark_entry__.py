@@ -364,6 +364,72 @@ def _social_text_normalize_sql() -> str:
     )
 
 
+def _ann_ivf_sql(
+    n_queries: int = 8,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    dim: int = 64,
+    kmeans_iters: int = 0,
+) -> str:
+    """DuckDB twin of similarity.ann_topk_ivf with the k-means-trained
+    coarse quantizer: the same fixed IVF_KMEANS_ITERS Lloyd passes
+    (cosine assignment with lowest-cell-id tie-break, per-dimension
+    means rounded to 6 decimals, empty cells keep the prior centroid),
+    then the probe/score/rank pipeline."""
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    iters = []
+    for i in range(1, kmeans_iters + 1):
+        prev, cur = f"cent{i - 1}", f"cent{i}"
+        iters.append(f"""
+a{i} AS (
+  SELECT vec_id, emb, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {cos("emb", "cent")} DESC, cell_id) AS rnk
+  FROM e CROSS JOIN {prev}
+),
+m{i} AS (
+  SELECT cell_id, r.j AS pos, round(avg(emb[r.j + 1]), 6) AS m
+  FROM (SELECT * FROM a{i} WHERE rnk = 1) x, range({dim}) r(j)
+  GROUP BY cell_id, r.j
+),
+v{i} AS (SELECT cell_id, list(m ORDER BY pos) AS cent FROM m{i} GROUP BY cell_id),
+{cur} AS (
+  SELECT p.cell_id, coalesce(v.cent, p.cent) AS cent
+  FROM {prev} p LEFT JOIN v{i} v USING (cell_id)
+)""")
+    final = f"cent{kmeans_iters}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent0 AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < {n_cells}){"," + ",".join(iters) + "," if iters else ","}
+assign AS (
+  SELECT vec_id, emb, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY {cos("emb", "cent")} DESC, cell_id) AS cell_rank
+  FROM e CROSS JOIN {final}
+),
+cands AS (SELECT vec_id AS cand_id, emb AS c_emb, cell_id FROM assign WHERE cell_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, cell_id
+  FROM assign WHERE vec_id < {n_queries} AND cell_rank <= {n_probe}
+),
+scored AS (
+  SELECT DISTINCT query_id, cand_id,
+         round({cos("q_emb", "c_emb")}, 6) AS cosine
+  FROM probes JOIN cands USING (cell_id)
+  WHERE cand_id <> query_id
+)
+SELECT query_id, cand_id, cosine,
+       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id)::INTEGER
+         AS rank
+FROM scored QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
 def _ngram_jaccard_sql() -> str:
     """DuckDB twin of dedup.dedup_ngram_jaccard with the hot-shingle
     document-frequency stop-list: identical greatest(2, max_df·n_docs)
@@ -537,6 +603,10 @@ ORDER BY n_name, period"""
 
 
 def oracle_sql() -> dict[str, str]:
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        IVF_KMEANS_ITERS as _IVF_ITERS,
+    )
+
     clean = CLEAN
     lclean = LCLEAN
     toks = f"string_split({clean}, ' ')"
@@ -1449,41 +1519,8 @@ FROM scored
 QUALIFY rank <= 10
 ORDER BY query_id, rank""",
         "ann_topk_lsh": _ann_lsh_sql(),
-        "ann_topk_ivf": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-cent AS (
-  SELECT vec_id AS cell_id, emb AS cent_emb FROM e WHERE vec_id < 16
-),
-dists AS (
-  SELECT e.vec_id, e.emb, c.cell_id,
-         list_dot_product(e.emb, c.cent_emb)
-           / (sqrt(list_dot_product(e.emb, e.emb))
-              * sqrt(list_dot_product(c.cent_emb, c.cent_emb))) AS cell_cos
-  FROM e CROSS JOIN cent c
-),
-assign AS (
-  SELECT vec_id, emb, cell_id,
-         row_number() OVER (PARTITION BY vec_id ORDER BY cell_cos DESC, cell_id)
-           AS cell_rank
-  FROM dists
-),
-cands AS (SELECT vec_id AS cand_id, emb AS c_emb, cell_id FROM assign WHERE cell_rank = 1),
-probes AS (
-  SELECT vec_id AS query_id, emb AS q_emb, cell_id
-  FROM assign WHERE vec_id < 8 AND cell_rank <= 2
-),
-scored AS (
-  SELECT DISTINCT query_id, cand_id,
-         round(list_dot_product(q_emb, c_emb)
-               / (sqrt(list_dot_product(q_emb, q_emb))
-                  * sqrt(list_dot_product(c_emb, c_emb))), 6) AS cosine
-  FROM probes JOIN cands USING (cell_id)
-  WHERE cand_id <> query_id
-)
-SELECT query_id, cand_id, cosine,
-       row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, cand_id)::INTEGER
-         AS rank
-FROM scored QUALIFY rank <= 10 ORDER BY query_id, rank""",
+        "ann_topk_ivf": _ann_ivf_sql(),
+        "ann_topk_ivf_trained": _ann_ivf_sql(kmeans_iters=_IVF_ITERS),
         # K. skew mitigation — salted/two-phase results must equal the
         # plain join/agg the oracle computes.
         "skew_two_phase_agg": """
