@@ -665,9 +665,21 @@ def nation_month_matrix_augmented(
     nation: DataFrame,
 ) -> DataFrame:
     """state×month matrix with the current partial month replaced by the
-    fresher mensal feed (the shape every live reference report renders)."""
+    fresher mensal feed (the shape every live reference report renders).
+
+    Both inputs are persisted through the augmentation: each is
+    referenced from multiple subtrees (the scalar guards plus the
+    union branches), and without the persist Spark re-runs the full
+    enrichment joins / events aggregation once per reference (plan
+    audit: 42 parquet scans → 8). Both frames are post-aggregation
+    bounded (≤ |nation|·|month| and ≤ |nation| rows), so caching them
+    is metadata-sized at any fact scale; lifecycle via
+    ``dedup.release_persisted`` like the LSH signature tables.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
     return augment_with_mensal(
-        nation_month_matrix(enriched),
-        mensal_counts_from_events(events, customer, nation),
+        _persist(nation_month_matrix(enriched)),
+        _persist(mensal_counts_from_events(events, customer, nation)),
         "n_name",
     )
