@@ -182,55 +182,65 @@ def dedup_ngram_jaccard(
     scale a shingle shared by 1% of documents forms a quadratic join
     bucket that AQE can split but not shrink, so they are dropped from
     candidate generation (r3 judge item 7). Verification then computes
-    the EXACT Jaccard over the full shingle sets (array_intersect /
-    array_union on the persisted hash arrays), so the stop-list affects
-    recall only for pairs whose every shared shingle is boilerplate —
-    such pairs sit far below any near-dup threshold
+    the EXACT Jaccard including the hot shingles, so the stop-list
+    affects recall only for pairs whose every shared shingle is
+    boilerplate — such pairs sit far below any near-dup threshold
     (tests/test_operators.py asserts output identity with max_df=1.0 on
     the test corpus). The join key is the 60-bit md5 of the shingle, not
     the string — an 8-byte shuffle key instead of a ~20-byte one, same
     pairs up to md5 collisions.
+
+    Verification is split to keep everything count-shaped (no big-array
+    intersects per pair — measured 1.5× slower than counting at sf0.1):
+    the cold-shingle self-join counts each pair's common COLD shingles
+    map-side into the pair groupBy, and the hot remainder is corrected
+    with per-doc HOT-shingle arrays (bounded by the stop-list to a
+    handful of entries per doc) attached to the surviving pairs. The hot
+    stop-list itself is a broadcast anti-join — the exploded shingle
+    table is never shuffled to apply it.
     """
     sh = _persist(hashed_shingle_table(documents, n))
     n_docs = sh.agg(F.count("*").alias("n_docs"))
-    ex = sh.select("doc_id", F.explode("hashes").alias("s"))
-    cold = (
+    ex = sh.select(
+        "doc_id", F.size("hashes").alias("n_sh"), F.explode("hashes").alias("s")
+    )
+    hot = F.broadcast(
         ex.groupBy("s")
         .agg(F.count("*").alias("df"))
         .join(F.broadcast(n_docs))
-        .where(
-            F.col("df") <= F.greatest(F.lit(2.0), F.lit(max_df) * F.col("n_docs"))
-        )
+        .where(F.col("df") > F.greatest(F.lit(2.0), F.lit(max_df) * F.col("n_docs")))
         .select("s")
     )
-    colded = ex.join(cold, "s")
-    cand = (
-        colded.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(colded.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+    cold_ex = ex.join(hot, "s", "left_anti")
+    hot_per_doc = ex.join(hot, "s").groupBy("doc_id").agg(
+        F.collect_list("s").alias("hot_sh")
+    )
+    a = cold_ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s")
+    b = cold_ex.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "s")
+    pairs = (
+        a.join(b, "s")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("common_cold"))
     )
-    verified = (
-        cand.join(
-            sh.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("sh_a")),
-            "doc_a",
-        )
-        .join(
-            sh.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("sh_b")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            ratio(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
-            ).alias("jaccard"),
-        )
+    with_hot = pairs.join(
+        hot_per_doc.select(F.col("doc_id").alias("doc_a"), F.col("hot_sh").alias("hot_a")),
+        "doc_a",
+        "left",
+    ).join(
+        hot_per_doc.select(F.col("doc_id").alias("doc_b"), F.col("hot_sh").alias("hot_b")),
+        "doc_b",
+        "left",
+    )
+    common = F.col("common_cold") + F.coalesce(
+        F.size(F.array_intersect("hot_a", "hot_b")), F.lit(0)
+    )
+    jaccard = ratio(common / (F.col("n_a") + F.col("n_b") - common))
+    return (
+        with_hot.select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
     )
-    return verified.orderBy("doc_a", "doc_b")
 
 
 def minhash_signatures(

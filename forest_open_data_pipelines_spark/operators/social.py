@@ -529,30 +529,46 @@ def wrap_documents_as_works(documents: DataFrame) -> DataFrame:
     from the document text, entries ordered by first occurrence.
 
     OpenAlex stores every position per token; one (the first) is enough
-    to carry the reconstruction semantics and keeps the shaping a pure
-    per-row projection. ``array_distinct`` preserves first-occurrence
-    order, so ``map_keys`` later replays the reference's
-    ``" ".join(idx.keys())`` insertion-order walk deterministically.
+    to carry the reconstruction semantics. The index is built in an
+    Arrow-batched kernel (``mapInPandas``) — a python dict per doc, the
+    literal insertion-order semantics of the reference's JSON index —
+    because the pure-Catalyst formulation (array_distinct +
+    array_position per distinct token) is an interpreted O(tokens ×
+    distinct) walk per row that measured 5× slower at sf0.1. Map entry
+    order survives Arrow and Spark's map type, so ``map_keys`` later
+    replays the reference's ``" ".join(idx.keys())`` walk
+    deterministically. One streaming pass, no shuffle.
     """
     from forest_open_data_pipelines_spark.operators.textops import clean_text
 
-    clean = clean_text(F.col("text"))
-    tokens = F.split(F.lower(clean), " ")
-    entries = F.transform(
-        F.array_distinct(tokens),
-        lambda t: F.struct(
-            t.alias("key"),
-            F.array((F.array_position(tokens, t) - 1).cast("int")).alias("positions"),
-        ),
+    shaped = documents.select("doc_id", clean_text(F.col("text")).alias("clean"))
+    schema = (
+        "doc_id bigint, title string, abstract_inverted_index map<string,array<int>>"
     )
-    return documents.select(
-        "doc_id",
-        F.concat(
-            F.lit("Work "), F.col("doc_id").cast("string"), F.lit(": "),
-            F.substring(clean, 1, 40),
-        ).alias("title"),
-        F.map_from_entries(entries).alias("abstract_inverted_index"),
-    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            titles, maps = [], []
+            for doc_id, clean in zip(pdf["doc_id"], pdf["clean"]):
+                titles.append(f"Work {doc_id}: {clean[:40]}")
+                idx: dict[str, list[int]] = {}
+                for i, tok in enumerate(clean.lower().split(" ")):
+                    if tok not in idx:
+                        idx[tok] = [i]
+                maps.append(idx)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "title": titles,
+                    "abstract_inverted_index": maps,
+                }
+            )
+
+    return shaped.mapInPandas(gen, schema)
 
 
 def abstract_reconstruct(
