@@ -139,3 +139,33 @@ def test_ivf_assignment_is_projection_no_fanout_shuffle(spark):
     assert hash_parts and set(hash_parts) == {"query_id"}, hash_parts
     # assignment must not ride a row_number window on vec_id
     assert "hashpartitioning(vec_id" not in plan
+
+
+def test_region_rank_lookup_is_projection_no_join(spark):
+    """The 54-key state→região lookup must stay an in-codegen literal
+    map (pure projection), never a dim-table join: the only join-free
+    shuffle is the ≤6-key region aggregate + rank window."""
+    plan = _plan(spark, "region_rank")
+    assert "Join" not in plan
+    (schema,) = _read_schemas(plan)
+    assert schema == "event_id:bigint"  # full column pruning
+
+
+def test_painel_links_prunes_to_doc_id_no_join(spark):
+    plan = _plan(spark, "painel_pdf_links")
+    assert "Join" not in plan  # regexp parse is a pure projection
+    (schema,) = _read_schemas(plan)
+    assert schema == "doc_id:bigint"
+
+
+def test_mensal_augmentation_reuses_cached_inputs(spark):
+    """The matrix and mensal frames feed the guards AND the union
+    branches; both must come from the cache, not re-run enrichment
+    joins per reference (r4 plan audit: 42 scans without the persist)."""
+    from forest_open_data_pipelines_spark.operators.dedup import release_persisted
+
+    try:
+        plan = _plan(spark, "nation_month_matrix_augmented")
+        assert plan.count("InMemoryTableScan") >= 4
+    finally:
+        release_persisted()
