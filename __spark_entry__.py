@@ -489,8 +489,8 @@ WITH detections AS (
 labeled AS (
   SELECT coalesce(region, '{UNIDENTIFIED_REGION}') AS label
   FROM detections LEFT JOIN lookup
-    ON regexp_replace(trim(upper(translate(estado, '{_ACCENTED}', '{_PLAIN}'))),
-                      '\\s+', ' ', 'g') = k
+    ON trim(regexp_replace(upper(translate(estado, '{_ACCENTED}', '{_PLAIN}')),
+                           '\\s+', ' ', 'g')) = k
 )
 SELECT label, count(*) AS value,
        row_number() OVER (ORDER BY count(*) DESC, label) AS rank

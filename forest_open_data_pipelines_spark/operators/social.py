@@ -459,10 +459,14 @@ def normalize_state_label(col: Column) -> Column:
     """NFKD accent-strip → UPPER → trim → collapse internal whitespace.
 
     Reference: social/bdqueimadas_daily/pipeline.py:449-454
-    (``normalize_state_name``). Pure Catalyst projection.
+    (``normalize_state_name``). Pure Catalyst projection. Collapse
+    BEFORE trim: ``F.trim`` strips spaces only, so a trailing tab
+    would otherwise survive the collapse as a trailing space
+    (property-tested against the reference's unicodedata
+    normalization in tests/test_properties.py).
     """
     stripped = F.translate(col, _ACCENTED, _PLAIN)
-    return F.regexp_replace(F.trim(F.upper(stripped)), r"\s+", " ")
+    return F.trim(F.regexp_replace(F.upper(stripped), r"\s+", " "))
 
 
 def wrap_events_as_fire_detections(events: DataFrame) -> DataFrame:

@@ -71,3 +71,61 @@ def test_format_from_filename_total(name):
     assert fmt  # never empty
     assert fmt == fmt.lower()
     assert "/" not in fmt
+
+
+# ── region_rank state-label normalization ───────────────────────────────────
+
+_STATE_BASES = [
+    "São Paulo", "Pará", "Ceará", "Goiás", "Espírito Santo", "Paraná",
+    "Piauí", "Rondônia", "Amapá", "Maranhão", "Paraíba", "Mato Grosso do Sul",
+    "Rio Grande do Norte", "Distrito Federal", "SP", "MG", "to", "df", "",
+    "Atlantis",
+]
+
+
+def _normalize_reference(value: str) -> str:
+    """The reference's normalize_state_name
+    (social/bdqueimadas_daily/pipeline.py:449-454), verbatim."""
+    import unicodedata
+
+    text = unicodedata.normalize("NFKD", str(value))
+    text = "".join(ch for ch in text if not unicodedata.combining(ch))
+    return " ".join(text.upper().strip().split())
+
+
+@given(
+    base=st.sampled_from(_STATE_BASES),
+    prefix_ws=st.text(alphabet=" \t", max_size=3),
+    suffix_ws=st.text(alphabet=" \t", max_size=3),
+    case=st.sampled_from(["as-is", "upper", "lower", "title"]),
+    inner_pad=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_normalize_state_label_matches_reference_nfkd(
+    spark, base, prefix_ws, suffix_ws, case, inner_pad
+):
+    """The Catalyst translate-based normalization must agree with the
+    reference's unicodedata NFKD strip over the state-label alphabet
+    (every accented character Brazilian state names can carry, any
+    case, padded or run-together whitespace)."""
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.operators.social import (
+        normalize_state_label,
+    )
+
+    label = {
+        "as-is": base,
+        "upper": base.upper(),
+        "lower": base.lower(),
+        "title": base.title(),
+    }[case]
+    if inner_pad:
+        label = label.replace(" ", "   ")
+    label = prefix_ws + label + suffix_ws
+    [row] = (
+        spark.createDataFrame([(label,)], ["estado"])
+        .select(normalize_state_label(F.col("estado")).alias("norm"))
+        .collect()
+    )
+    assert row.norm == _normalize_reference(label)
