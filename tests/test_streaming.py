@@ -311,3 +311,78 @@ def test_content_stream_dedup_matches_dedup_exact_fingerprints(spark, tmp_path):
     batch_fps = {r.content_fingerprint for r in dedup_exact(docs).collect()}
     assert len(emitted) == len(set(emitted)), "stream emitted a duplicate fingerprint"
     assert set(emitted) == batch_fps
+
+
+def test_region_counts_stream_matches_batch(spark, tmp_path):
+    """Streaming região rollup: after the stream drains, per-day região
+    counts must equal the batch derivation, and the day-summed totals
+    must reproduce the batch region_rank card exactly."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        region_rank,
+        wrap_events_as_fire_detections,
+    )
+    from forest_open_data_pipelines_spark.streaming.regions import (
+        region_counts_stream,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    # derive (ts, estado) on the stream with the SAME variant expression
+    # the batch shaping uses (pure expressions are stream-safe)
+    from forest_open_data_pipelines_spark.operators.social import ESTADO_VARIANTS
+
+    idx = (F.col("event_id") % len(ESTADO_VARIANTS)).cast("int")
+    variants = F.array(*[F.lit(v) for v in ESTADO_VARIANTS])
+    det_stream = stream_events_from_parquet(spark, SF_DIR).select(
+        "ts", F.element_at(variants, idx + 1).alias("estado")
+    )
+    query = (
+        region_counts_stream(det_stream)
+        .writeStream.format("memory")
+        .queryName("region_counts_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_regions"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            (str(r["day"]), r["label"]): r["value"]
+            for r in spark.sql("SELECT * FROM region_counts_test").collect()
+        }
+    finally:
+        query.stop()
+
+    # batch twin: same estado derivation + día grouping
+    det_batch = wrap_events_as_fire_detections(events).join(
+        events.select(F.col("event_id").alias("detection_id"), "ts"),
+        "detection_id",
+    )
+    from forest_open_data_pipelines_spark.operators.social import (
+        STATE_REGION_BY_NAME,
+        STATE_REGION_BY_UF,
+        UNIDENTIFIED_REGION,
+        normalize_state_label,
+    )
+
+    lookup = {**STATE_REGION_BY_UF, **STATE_REGION_BY_NAME}
+    mapping = F.create_map(*[F.lit(x) for kv in sorted(lookup.items()) for x in kv])
+    region = F.coalesce(
+        mapping[normalize_state_label(F.col("estado"))], F.lit(UNIDENTIFIED_REGION)
+    )
+    batch = {
+        (str(r["day"]), r["label"]): r["value"]
+        for r in det_batch.select(F.to_date("ts").alias("day"), region.alias("label"))
+        .groupBy("day", "label")
+        .agg(F.count("*").alias("value"))
+        .collect()
+    }
+    assert got == batch
+
+    # summed over days the stream reproduces the batch card exactly
+    summed = {}
+    for (_, label), v in got.items():
+        summed[label] = summed.get(label, 0) + v
+    card = {r.label: r.value for r in region_rank(
+        wrap_events_as_fire_detections(events)
+    ).collect()}
+    assert summed == card
