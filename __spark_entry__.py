@@ -602,6 +602,35 @@ FROM mensal, cur, feed WHERE n_mensal > 0
 ORDER BY n_name, period"""
 
 
+MENSAL_BY_REGION_AUGMENTED_SQL = """
+WITH enriched AS (
+  SELECT o_orderdate, o_totalprice, r_name
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+matrix AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS period, r_name,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+  FROM enriched GROUP BY 1, 2
+),
+mensal AS (
+  SELECT r_name, count(*) AS n_orders, round(sum(value), 2) AS total_price
+  FROM events JOIN customer ON user_id = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1
+),
+cur AS (SELECT max(period) AS cur_period FROM matrix),
+feed AS (SELECT count(*) AS n_mensal FROM mensal)
+SELECT period, r_name, n_orders, total_price
+FROM matrix, cur, feed WHERE period != cur_period OR n_mensal = 0
+UNION ALL
+SELECT cur_period AS period, r_name, n_orders, total_price
+FROM mensal, cur, feed WHERE n_mensal > 0
+ORDER BY r_name, period"""
+
+
 def oracle_sql() -> dict[str, str]:
     from forest_open_data_pipelines_spark.operators.similarity import (
         IVF_KMEANS_ITERS as _IVF_ITERS,
@@ -1709,6 +1738,7 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
         # round-4 additions --------------------------------------------------
         "region_rank": _region_rank_sql(),
         "nation_month_matrix_augmented": MENSAL_AUGMENTED_SQL,
+        "monthly_by_region_augmented": MENSAL_BY_REGION_AUGMENTED_SQL,
         "painel_pdf_links": _painel_pdf_links_sql(),
         "abstract_reconstruct": _abstract_reconstruct_sql(),
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.

@@ -683,3 +683,44 @@ def nation_month_matrix_augmented(
         _persist(mensal_counts_from_events(events, customer, nation)),
         "n_name",
     )
+
+
+def mensal_counts_from_events_by_region(
+    events: DataFrame, customer: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """By-biome shape of the fresher mensal feed (events enriched to the
+    region grain; see ``mensal_counts_from_events``)."""
+    dims = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("n_nationkey", "r_name")
+    )
+    return (
+        events.join(customer, events.user_id == customer.c_custkey)
+        .join(dims, customer.c_nationkey == dims.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("value")).alias("total_price"),
+        )
+    )
+
+
+def monthly_by_region_augmented(
+    enriched: DataFrame,
+    events: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """monthly-by-biome matrix with the current partial month replaced
+    by the fresher mensal feed — the by-biome sibling of
+    ``nation_month_matrix_augmented``
+    (bdqueimadas_overview.py:1400-1430
+    ``_augment_monthly_by_biome_with_mensal``)."""
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    return augment_with_mensal(
+        _persist(monthly_by_region(enriched)),
+        _persist(mensal_counts_from_events_by_region(events, customer, nation, region)),
+        "r_name",
+    )

@@ -316,6 +316,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "embeddings"),
         kmeans_iters=similarity.IVF_KMEANS_ITERS,
     ),
+    # by-biome sibling of the checked nation_month_matrix_augmented
+    # (same augment_with_mensal code path, region grain)
+    "monthly_by_region_augmented": lambda s, d: (
+        timeseries.monthly_by_region_augmented(
+            _enriched(s, d), *_t(s, d, "events", "customer", "nation", "region")
+        )
+    ),
 }
 
 # First name past the driver window; everything from here on is parked.
