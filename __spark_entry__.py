@@ -539,6 +539,58 @@ FROM named WHERE {month} != ''
 ORDER BY url"""
 
 
+def _anp_resource_urls_sql() -> str:
+    """DuckDB twin of html.anp_resource_urls: identical per-source
+    anchor derivation (each doc is one href, page position == rn), the
+    same unescape / malformed-prefix / ppgn-el / metadados rules, token
+    matching in ANP_RESOURCE_TOKENS order, last occurrence per key."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        ANP_HOST,
+        ANP_RESOURCE_TOKENS,
+    )
+
+    toks = ", ".join(f"({i}, '{t}')" for i, (_, t) in enumerate(ANP_RESOURCE_TOKENS))
+    key_case = " ".join(
+        f"WHEN contains(lower(url), '{t}') THEN '{k}'" for k, t in ANP_RESOURCE_TOKENS
+    )
+    h = ANP_HOST
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+lim AS (SELECT doc_id, source, rn FROM ranked WHERE rn <= 12),
+toks(i, tok) AS (VALUES {toks}),
+anchors AS (
+  SELECT l.source, l.rn,
+    CASE (l.doc_id % 12)
+      WHEN 7 THEN '{h}/' || t.tok || '.csv&amp;v=2'
+      WHEN 8 THEN 'http://=' || '{h}/' || t.tok || '-' || l.doc_id || '.csv'
+      WHEN 9 THEN '{h}/metadados/' || t.tok || '.pdf'
+      WHEN 10 THEN 'https://other.example/focos.csv'
+      WHEN 11 THEN '{h}/' || t.tok || '-' || l.doc_id || '.csv?rev=2'
+      ELSE '{h}/' || t.tok || '-' || l.doc_id || '.csv'
+    END AS href
+  FROM lim l JOIN toks t ON (l.doc_id % {len(ANP_RESOURCE_TOKENS)}) = t.i
+),
+parsed AS (
+  SELECT source, rn,
+    regexp_replace(replace(href, '&amp;', '&'), '^https?://=(https://)', '\\1') AS url
+  FROM anchors
+),
+kept AS (
+  SELECT source, rn, url, CASE {key_case} END AS key
+  FROM parsed
+  WHERE contains(lower(url), 'ppgn-el') AND NOT contains(lower(url), 'metadados')
+)
+SELECT source, key, url FROM (
+  SELECT source, key, url,
+         row_number() OVER (PARTITION BY source, key ORDER BY rn DESC) AS rk
+  FROM kept WHERE key IS NOT NULL
+) WHERE rk = 1 ORDER BY source, key"""
+
+
 def _abstract_reconstruct_sql() -> str:
     """DuckDB twin of social.abstract_reconstruct: tokens deduped to
     first occurrence (min position), rebuilt in that order — the
@@ -1741,5 +1793,6 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
         "monthly_by_region_augmented": MENSAL_BY_REGION_AUGMENTED_SQL,
         "painel_pdf_links": _painel_pdf_links_sql(),
         "abstract_reconstruct": _abstract_reconstruct_sql(),
+        "anp_resource_urls": _anp_resource_urls_sql(),
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }

@@ -493,3 +493,91 @@ def parse_painel_pdf_links(anchors: DataFrame) -> DataFrame:
 def painel_pdf_links(documents: DataFrame) -> DataFrame:
     """Catalog query: wrap documents as Painel-Fogo anchors, parse links."""
     return parse_painel_pdf_links(wrap_documents_as_painel_index(documents))
+
+
+# ── ANP landing-page resource-URL discovery ─────────────────────────────────
+
+# Reference: social/anp_producao/pipeline.py:108-166 RESOURCE_DEFS —
+# required-parity (key, match_token) pairs; every key has exactly one
+# token and tokens are mutually exclusive substrings.
+ANP_RESOURCE_TOKENS = (
+    ("petroleo_m3", "producao-petroleo"),
+    ("lgn_m3", "producao-lgn"),
+    ("gas_natural_1000m3", "producao-gas-natural"),
+    ("reinjecao_1000m3", "reinjecao-gn"),
+    ("queima_perda_1000m3", "queima-e-perda"),
+    ("consumo_proprio_1000m3", "consumo-proprio"),
+    ("gn_disponivel_1000m3", "gn-disponivel"),
+)
+ANP_HOST = "https://dados.example/ppgn-el/ativos"
+
+
+def wrap_documents_as_anp_landing(documents: DataFrame) -> DataFrame:
+    """Render documents as ANP landing pages (one per ``source``): one
+    anchor per doc cycling through the parser's branches — each resource
+    token, an html-escaped query URL (&amp;), the malformed
+    'http://=https://' prefix the real landing page ships, a metadados
+    link (excluded), an off-site link (no ppgn-el), and a duplicate
+    resource link later in the page (last occurrence wins)."""
+    w = Window.partitionBy("source").orderBy("doc_id")
+    d = documents.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 12)
+    tok = F.element_at(
+        F.array(*[F.lit(t) for _, t in ANP_RESOURCE_TOKENS]),
+        (F.col("doc_id") % len(ANP_RESOURCE_TOKENS) + 1).cast("int"),
+    )
+    base = F.concat(F.lit(ANP_HOST), F.lit("/"), tok, F.lit("-"), F.col("doc_id").cast("string"), F.lit(".csv"))
+    kind = F.col("doc_id") % 12
+    href = (
+        F.when(kind == 7, F.concat(F.lit(ANP_HOST), F.lit("/"), tok, F.lit(".csv&amp;v=2")))
+        .when(kind == 8, F.concat(F.lit("http://="), base))
+        .when(kind == 9, F.concat(F.lit(ANP_HOST), F.lit("/metadados/"), tok, F.lit(".pdf")))
+        .when(kind == 10, F.lit("https://other.example/focos.csv"))
+        .when(kind == 11, F.concat(base, F.lit("?rev=2")))  # later dup wins
+        .otherwise(base)
+    )
+    row = F.concat(F.lit('<li><a href="'), href, F.lit('">'), tok, F.lit("</a></li>"))
+    rows = F.array_sort(F.collect_list(F.struct(F.col("rn"), F.col("row"))))
+    return (
+        d.select("source", "rn", row.alias("row"))
+        .groupBy("source")
+        .agg(F.array_join(F.transform(rows, lambda x: x.row), "").alias("page"))
+    )
+
+
+def parse_anp_resource_urls(pages: DataFrame) -> DataFrame:
+    """(source, key, url) — the resource-URL discovery of
+    social/anp_producao/pipeline.py:168-188
+    (``normalize_source_url`` + ``discover_resource_urls_from_html``):
+    href scrape, HTML entity unescape (the entity set the landing page
+    emits: &amp;), the 'http(s)://=https://' malformed-prefix fix, keep
+    only ppgn-el non-metadados links, token-match to resource keys,
+    LAST occurrence per key wins (dict-assignment order in the
+    reference). Pure Catalyst regexps; the only shuffle is the per-key
+    last-wins aggregate.
+    """
+    hrefs = F.regexp_extract_all(F.col("page"), F.lit(r'(?i)href=["\']([^"\']+)["\']'), F.lit(1))
+    r = pages.select("source", F.posexplode(hrefs).alias("pos", "raw"))
+    url = F.regexp_replace(F.col("raw"), "&amp;", "&")
+    url = F.regexp_replace(url, r"^https?://=(https://)", r"$1")
+    low = F.lower(url)
+    keep = low.contains("ppgn-el") & ~low.contains("metadados")
+    key = F.coalesce(
+        *[F.when(low.contains(t), F.lit(k)) for k, t in ANP_RESOURCE_TOKENS]
+    )
+    scored = (
+        r.select("source", "pos", url.alias("url"), key.alias("key"))
+        .where(keep & F.col("key").isNotNull())
+    )
+    w = Window.partitionBy("source", "key").orderBy(F.desc("pos"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("source", "key", "url")
+        .orderBy("source", "key")
+    )
+
+
+def anp_resource_urls(documents: DataFrame) -> DataFrame:
+    """Catalog query: wrap documents as ANP landing pages, discover the
+    per-resource download URLs."""
+    return parse_anp_resource_urls(wrap_documents_as_anp_landing(documents))

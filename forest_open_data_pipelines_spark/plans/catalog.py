@@ -323,6 +323,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             _enriched(s, d), *_t(s, d, "events", "customer", "nation", "region")
         )
     ),
+    # Catalyst-regexp sibling of the checked painel_pdf_links /
+    # dir_listing_files parsers (anp_producao resource-URL discovery)
+    "anp_resource_urls": lambda s, d: html.anp_resource_urls(
+        load_table(s, d, "documents")
+    ),
 }
 
 # First name past the driver window; everything from here on is parked.

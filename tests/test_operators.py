@@ -1143,3 +1143,34 @@ def test_ann_ivf_trained_centroids_recall(spark):
         ts.setdefault(r.query_id, set()).add(r.cand_id)
     recalls = [len(bs[q] & ts.get(q, set())) / len(bs[q]) for q in bs]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_anp_resource_urls_parser_branches(spark):
+    from forest_open_data_pipelines_spark.operators.html import (
+        parse_anp_resource_urls,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "p1",
+                '<a href="https://x/ppgn-el/producao-petroleo-a.csv">1</a>'
+                # html-escaped query survives unescaped lookup, & restored
+                '<a href="https://x/ppgn-el/producao-lgn.csv&amp;v=2">2</a>'
+                # malformed prefix fixed
+                '<a href="http://=https://x/ppgn-el/reinjecao-gn.csv">3</a>'
+                # metadados excluded
+                '<a href="https://x/ppgn-el/metadados/producao-petroleo.pdf">4</a>'
+                # off-site (no ppgn-el) excluded
+                '<a href="https://other/producao-petroleo.csv">5</a>'
+                # later duplicate wins
+                '<a href="https://x/ppgn-el/producao-petroleo-b.csv">6</a>',
+            )
+        ],
+        ["source", "page"],
+    )
+    rows = {r.key: r.url for r in parse_anp_resource_urls(pages).collect()}
+    assert rows["petroleo_m3"].endswith("producao-petroleo-b.csv")  # last wins
+    assert rows["lgn_m3"] == "https://x/ppgn-el/producao-lgn.csv&v=2"
+    assert rows["reinjecao_1000m3"] == "https://x/ppgn-el/reinjecao-gn.csv"
+    assert len(rows) == 3
