@@ -539,6 +539,47 @@ FROM named WHERE {month} != ''
 ORDER BY url"""
 
 
+def _sanitize_slide_text_sql() -> str:
+    """DuckDB twin of textops.sanitize_slide_text: identical decoration,
+    unicode space/hyphen folds, unit rewrite, whitespace collapse, and
+    the reference's clip → sentence-boundary backoff (0-based rfind ≥
+    max//2) → punctuation-strip + '.' fallback."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        SLIDE_DASH_CHARS,
+        SLIDE_DECORATION,
+        SLIDE_MAX_CHARS,
+        SLIDE_SPACE_CHARS,
+    )
+
+    mx = SLIDE_MAX_CHARS
+    deco = SLIDE_DECORATION.replace("'", "''")
+    return f"""
+WITH folded AS (
+  SELECT doc_id,
+    trim(regexp_replace(
+      regexp_replace(
+        translate(translate('{deco}' || text,
+                            '{SLIDE_SPACE_CHARS}', '    '),
+                  '{SLIDE_DASH_CHARS}', '-----'),
+        '1000 ?m3', 'mil m3', 'g'),
+      '\\s+', ' ', 'g')) AS v
+  FROM documents
+), clipped AS (
+  SELECT doc_id, v, rtrim(substr(v, 1, {mx}), ' ') AS clip FROM folded
+), pos AS (
+  SELECT doc_id, v, clip,
+    CASE WHEN strpos(clip, '.') > 0
+         THEN len(clip) - strpos(reverse(clip), '.') + 1 ELSE 0 END AS lp
+  FROM clipped
+)
+SELECT doc_id,
+  CASE WHEN len(v) <= {mx} THEN v
+       WHEN lp - 1 >= {mx // 2} THEN substr(clip, 1, lp)
+       ELSE regexp_replace(clip, '[ ,.;:]+$', '') || '.'
+  END AS slide_text
+FROM pos ORDER BY doc_id"""
+
+
 def _anp_resource_urls_sql() -> str:
     """DuckDB twin of html.anp_resource_urls: identical per-source
     anchor derivation (each doc is one href, page position == rn), the
@@ -1794,5 +1835,6 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
         "painel_pdf_links": _painel_pdf_links_sql(),
         "abstract_reconstruct": _abstract_reconstruct_sql(),
         "anp_resource_urls": _anp_resource_urls_sql(),
+        "sanitize_slide_text": _sanitize_slide_text_sql(),
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }

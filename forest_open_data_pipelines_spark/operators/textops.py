@@ -311,3 +311,57 @@ def group_pt_digits(text: Column) -> Column:
             r"$1.$2",
         )
     return out
+
+
+# ── Slide-text sanitization (anp_producao social deck) ──────────────────────
+
+# Reference: social/anp_producao/pipeline.py:455-479
+# (``sanitize_slide_text``): unicode space/hyphen folding table —
+# required-parity constants.
+SLIDE_SPACE_CHARS = "    "
+SLIDE_DASH_CHARS = "‐‑‒–—"
+SLIDE_MAX_CHARS = 320
+# deterministic decoration prepended by the catalog query so every
+# folding rule fires (NBSP, em-dash, '1000 m3'); shared with the oracle
+SLIDE_DECORATION = "Produção de gas—total 1000 m3: "
+
+
+def sanitize_slide_text_col(text: Column, max_chars: int = SLIDE_MAX_CHARS) -> Column:
+    """``sanitize_slide_text`` twin as pure Catalyst expressions:
+    fold exotic unicode spaces → ' ' and hyphens → '-', rewrite
+    '1000m3'/'1000 m3' → 'mil m3', collapse whitespace, trim; if the
+    result exceeds ``max_chars``, clip and back off to the last '.'
+    when it lies in the second half, else strip trailing punctuation
+    and close with '.'.
+    """
+    v = F.translate(text, SLIDE_SPACE_CHARS, "    ")
+    v = F.translate(v, SLIDE_DASH_CHARS, "-----")
+    v = F.regexp_replace(v, "1000 ?m3", "mil m3")
+    v = F.trim(F.regexp_replace(v, r"\s+", " "))
+    clipped = F.rtrim(F.substring(v, 1, max_chars))
+    # last '.' position in the clipped prefix (0 when absent)
+    last_period = F.when(
+        F.instr(clipped, ".") > 0,
+        F.length(clipped) - F.instr(F.reverse(clipped), ".") + 1,
+    ).otherwise(F.lit(0))
+    # reference compares the 0-based rfind index; last_period is 1-based
+    truncated = F.when(
+        last_period - 1 >= max_chars // 2, F.substring(clipped, 1, last_period)
+    ).otherwise(
+        F.concat(F.regexp_replace(clipped, r"[ ,.;:]+$", ""), F.lit("."))
+    )
+    return F.when(F.length(v) <= max_chars, v).otherwise(truncated)
+
+
+def sanitize_slide_text(documents: DataFrame) -> DataFrame:
+    """Catalog query: sanitize deck slide text per document. Each text
+    is prefixed with a deterministic decoration (NBSP/thin-space runs,
+    an em-dash, a '1000 m3' unit) so every folding rule demonstrably
+    fires; long documents exercise both truncation branches."""
+    decorated = F.concat(
+        F.lit(SLIDE_DECORATION),
+        F.col("text"),
+    )
+    return documents.select(
+        "doc_id", sanitize_slide_text_col(decorated).alias("slide_text")
+    ).orderBy("doc_id")

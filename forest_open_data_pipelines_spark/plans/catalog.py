@@ -328,6 +328,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anp_resource_urls": lambda s, d: html.anp_resource_urls(
         load_table(s, d, "documents")
     ),
+    # text-normalization sibling of the checked social_text_normalize /
+    # catalog_cards truncation family (anp_producao slide sanitizer)
+    "sanitize_slide_text": lambda s, d: textops.sanitize_slide_text(
+        load_table(s, d, "documents")
+    ),
 }
 
 # First name past the driver window; everything from here on is parked.

@@ -1174,3 +1174,52 @@ def test_anp_resource_urls_parser_branches(spark):
     assert rows["lgn_m3"] == "https://x/ppgn-el/producao-lgn.csv&v=2"
     assert rows["reinjecao_1000m3"] == "https://x/ppgn-el/reinjecao-gn.csv"
     assert len(rows) == 3
+
+
+def test_sanitize_slide_text_matches_reference_impl(spark):
+    """Column twin vs the reference's sanitize_slide_text
+    (social/anp_producao/pipeline.py:455-479), run verbatim on the same
+    inputs — folding table, unit rewrite, clip + sentence backoff."""
+    import re as _re
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        sanitize_slide_text_col,
+    )
+
+    def reference(text, max_chars=320):
+        value = str(text or "")
+        replacements = {
+            " ": " ", " ": " ", " ": " ", " ": " ",
+            "‐": "-", "‑": "-", "‒": "-", "–": "-",
+            "—": "-",
+        }
+        for old, new in replacements.items():
+            value = value.replace(old, new)
+        value = value.replace("1000m3", "mil m3").replace("1000 m3", "mil m3")
+        value = _re.sub(r"\s+", " ", value).strip()
+        if len(value) <= max_chars:
+            return value
+        clipped = value[:max_chars].rstrip()
+        last_period = clipped.rfind(".")
+        if last_period >= max_chars // 2:
+            return clipped[: last_period + 1]
+        return clipped.rstrip(" ,.;:") + "."
+
+    cases = [
+        "Produção de gas—total 1000 m3 e 1000m3.",
+        "curta.",
+        "a" * 400,  # no '.' → punctuation-strip + '.'
+        ("x" * 150 + ". ") + "y" * 400,  # '.' past max//2 → backoff
+        ("x" * 10 + ". ") + "y" * 400,   # '.' before max//2 → fallback
+        "fim com pontuacao" + "z" * 310 + " ,.;:",
+        "",
+    ]
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], ["i", "t"])
+    got = {
+        r.i: r.out
+        for r in df.select(
+            "i", sanitize_slide_text_col(F.col("t")).alias("out")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == reference(c), (i, got[i], reference(c))
