@@ -103,7 +103,25 @@ def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 DRIVER_CHECK_CAP = 50
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # ── Round-4 additions: first driver rows needed ─────────────────
+    # ── Round-5 rotations (judge r4 item 1): the four entries added
+    # parked in r4 — pytest-parity only until now — get their first
+    # driver-scale rows this round ──────────────────────────────────
+    "sanitize_slide_text": lambda s, d: textops.sanitize_slide_text(
+        load_table(s, d, "documents")
+    ),
+    "anp_resource_urls": lambda s, d: html.anp_resource_urls(
+        load_table(s, d, "documents")
+    ),
+    "monthly_by_region_augmented": lambda s, d: (
+        timeseries.monthly_by_region_augmented(
+            _enriched(s, d), *_t(s, d, "events", "customer", "nation", "region")
+        )
+    ),
+    "ann_topk_ivf_trained": lambda s, d: similarity.ann_topk_ivf(
+        load_table(s, d, "embeddings"),
+        kmeans_iters=similarity.IVF_KMEANS_ITERS,
+    ),
+    # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
     ),
@@ -163,16 +181,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "top_nations_with_other": lambda s, d: social.top_n_with_other(
         _enriched(s, d)
-    ),
-    "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
-    "doc_fingerprint": lambda s, d: textops.doc_fingerprint(
-        load_table(s, d, "documents")
-    ),
-    "part_brand_stats": lambda s, d: relational.part_brand_stats(
-        load_table(s, d, "part")
-    ),
-    "dedup_embedding": lambda s, d: dedup.dedup_embedding(
-        load_table(s, d, "embeddings")
     ),
     # ── Holdovers: entries whose code paths changed this round (tz
     # retag, empty-series contract, hot-shingle cap, LSH/IVF perf) or
@@ -241,6 +249,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     "skew_two_phase_agg": lambda s, d: _skew_two_phase(s, d),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
+    # parked r5 (r4-green driver rows on record) to make room for the
+    # four first-driver-row rotations above
+    "token_count": lambda s, d: textops.token_count(load_table(s, d, "documents")),
+    "doc_fingerprint": lambda s, d: textops.doc_fingerprint(
+        load_table(s, d, "documents")
+    ),
+    "part_brand_stats": lambda s, d: relational.part_brand_stats(
+        load_table(s, d, "part")
+    ),
+    "dedup_embedding": lambda s, d: dedup.dedup_embedding(
+        load_table(s, d, "embeddings")
+    ),
     # rows-only multimodal plumbing (r3 no_oracle rows on record)
     "multimodal_features": lambda s, d: multimodal.multimodal_features(
         load_table(s, d, "documents")
@@ -306,32 +326,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "profile_columns_approx": lambda s, d: profiling.profile_columns_approx(
         load_table(s, d, "lineitem")
-    ),
-    # k-means-trained coarse-quantizer variant of the checked
-    # ann_topk_ivf (r3 judge item 9); parked because training on every
-    # invocation is bench-hostile and recall does not improve on the
-    # synthetic corpus — parity with its own oracle twin is still
-    # asserted by test_oracle_parity each session.
-    "ann_topk_ivf_trained": lambda s, d: similarity.ann_topk_ivf(
-        load_table(s, d, "embeddings"),
-        kmeans_iters=similarity.IVF_KMEANS_ITERS,
-    ),
-    # by-biome sibling of the checked nation_month_matrix_augmented
-    # (same augment_with_mensal code path, region grain)
-    "monthly_by_region_augmented": lambda s, d: (
-        timeseries.monthly_by_region_augmented(
-            _enriched(s, d), *_t(s, d, "events", "customer", "nation", "region")
-        )
-    ),
-    # Catalyst-regexp sibling of the checked painel_pdf_links /
-    # dir_listing_files parsers (anp_producao resource-URL discovery)
-    "anp_resource_urls": lambda s, d: html.anp_resource_urls(
-        load_table(s, d, "documents")
-    ),
-    # text-normalization sibling of the checked social_text_normalize /
-    # catalog_cards truncation family (anp_producao slide sanitizer)
-    "sanitize_slide_text": lambda s, d: textops.sanitize_slide_text(
-        load_table(s, d, "documents")
     ),
 }
 
