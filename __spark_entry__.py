@@ -376,12 +376,18 @@ def _ann_ivf_sql(
     coarse quantizer: the same fixed IVF_KMEANS_ITERS Lloyd passes
     (cosine assignment with lowest-cell-id tie-break, per-dimension
     means rounded to 6 decimals, empty cells keep the prior centroid),
-    then the probe/score/rank pipeline."""
+    then the probe/score/rank pipeline. Cell-assignment cosines round
+    to 9 dp before the argmax on both engines (ADVICE r4: an unrounded
+    ~1e-16 near-tie between the Catalyst fold and list_dot_product
+    would flip an assignment and cascade through training)."""
     def cos(a: str, b: str) -> str:
         return (
             f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
             f" * sqrt(list_dot_product({b}, {b})))"
         )
+
+    def acos(a: str, b: str) -> str:
+        return f"round({cos(a, b)}, 9)"
 
     iters = []
     for i in range(1, kmeans_iters + 1):
@@ -390,7 +396,7 @@ def _ann_ivf_sql(
 a{i} AS (
   SELECT vec_id, emb, cell_id,
          row_number() OVER (PARTITION BY vec_id
-                            ORDER BY {cos("emb", "cent")} DESC, cell_id) AS rnk
+                            ORDER BY {acos("emb", "cent")} DESC, cell_id) AS rnk
   FROM e CROSS JOIN {prev}
 ),
 m{i} AS (
@@ -410,7 +416,7 @@ cent0 AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < {n_cells})
 assign AS (
   SELECT vec_id, emb, cell_id,
          row_number() OVER (PARTITION BY vec_id
-                            ORDER BY {cos("emb", "cent")} DESC, cell_id) AS cell_rank
+                            ORDER BY {acos("emb", "cent")} DESC, cell_id) AS cell_rank
   FROM e CROSS JOIN {final}
 ),
 cands AS (SELECT vec_id AS cand_id, emb AS c_emb, cell_id FROM assign WHERE cell_rank = 1),
@@ -470,11 +476,11 @@ def _region_rank_sql() -> str:
     derivation, translate-based accent strip, UF∪name lookup table,
     'Não identificada' fallback, count-desc/label rank."""
     from forest_open_data_pipelines_spark.operators.social import (
-        _ACCENTED,
-        _PLAIN,
         ESTADO_VARIANTS,
         STATE_REGION_BY_NAME,
         STATE_REGION_BY_UF,
+        STATE_TRANSLATE_DST,
+        STATE_TRANSLATE_SRC,
         UNIDENTIFIED_REGION,
     )
 
@@ -489,7 +495,7 @@ WITH detections AS (
 labeled AS (
   SELECT coalesce(region, '{UNIDENTIFIED_REGION}') AS label
   FROM detections LEFT JOIN lookup
-    ON trim(regexp_replace(upper(translate(estado, '{_ACCENTED}', '{_PLAIN}')),
+    ON trim(regexp_replace(upper(translate(estado, '{STATE_TRANSLATE_SRC}', '{STATE_TRANSLATE_DST}')),
                            '\\s+', ' ', 'g')) = k
 )
 SELECT label, count(*) AS value,

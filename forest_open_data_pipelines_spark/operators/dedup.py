@@ -232,8 +232,13 @@ def dedup_ngram_jaccard(
         "doc_b",
         "left",
     )
-    common = F.col("common_cold") + F.coalesce(
-        F.size(F.array_intersect("hot_a", "hot_b")), F.lit(0)
+    # Coalesce the ARRAYS (not the size): under legacy ANSI-off sessions
+    # size(NULL) is -1, not NULL, so coalescing the size would silently
+    # undercount common by 1 for pairs where one side has no hot
+    # shingles (ADVICE r4). Empty-array fallback is mode-independent.
+    empty = F.array().cast("array<long>")
+    common = F.col("common_cold") + F.size(
+        F.array_intersect(F.coalesce("hot_a", empty), F.coalesce("hot_b", empty))
     )
     jaccard = ratio(common / (F.col("n_a") + F.col("n_b") - common))
     return (

@@ -465,6 +465,17 @@ def parse_painel_pdf_links(anchors: DataFrame) -> DataFrame:
     emits (absolute, root-relative, relative); duplicate URLs collapse
     (the reference's per-year walk revisits anchors). Pure Catalyst
     regexps — no UDFs, no shuffle except the final dedupe.
+
+    Deliberate specialization vs the reference (ADVICE r4): the
+    reference derives the filename via ``Path(unquote(urlparse(url)
+    .path)).name`` — i.e. it percent-DECODES first — while this parser
+    reads the filename straight off the query-stripped URL. A
+    percent-encoded href (``Painel_Qmd_03%5F2024.pdf``) would therefore
+    not match RE_PAINEL_PDF here. INPE's Apache autoindex emits plain
+    hrefs (the '_' in these filenames is never escaped in the wild),
+    so the decode step is dead weight in the hot path; if an encoded
+    listing ever appears, insert ``F.url_decode(path)`` before the
+    filename extract and mirror ``url_decode`` in the oracle SQL.
     """
     href = F.col("href")
     url = (

@@ -274,13 +274,23 @@ def _centroid_literal(centroids: list[tuple[int, list[float]]]):
 def _cell_scored(cent_arr):
     """Per-row (cell_cos, -cell_id) structs vs every centroid: the
     lexicographic array_max is argmax-by-cosine with ties to the LOWEST
-    cell id — the same tie-break a row_number window would give."""
+    cell id — the same tie-break a row_number window would give.
+
+    The assignment cosine is rounded to 9 decimals BEFORE the argmax on
+    both engines (the DuckDB twin rounds identically): Catalyst's
+    sequential fold and DuckDB's list_dot_product can differ by ~1e-16,
+    and an unrounded near-tie would flip a cell assignment — which in
+    the trained path cascades into divergent centroids (ADVICE r4).
+    9 dp sits far below any real cosine gap and far above the
+    engine-order ulp drift, the same rationale as the 6-dp mean
+    rounding in ``train_ivf_centroids``."""
     return F.transform(
         cent_arr,
         lambda c: F.struct(
-            (
+            F.round(
                 _dot(F.col("embedding"), c["cent_emb"])
-                / (F.col("v_norm") * c["cent_norm"])
+                / (F.col("v_norm") * c["cent_norm"]),
+                9,
             ).alias("cell_cos"),
             (-c["cell_id"]).alias("neg_cell_id"),
         ),

@@ -430,6 +430,23 @@ UNIDENTIFIED_REGION = "Não identificada"
 _ACCENTED = "ÁÂÃÀÄÉÊËÈÍÎÏÌÓÔÕÖÒÚÛÜÙÇáâãàäéêëèíîïìóôõöòúûüùç"
 _PLAIN = "AAAAAEEEEIIIIOOOOOUUUUCaaaaaeeeeiiiiooooouuuuc"
 
+# Whitespace Python's str.split() folds but ASCII-only regex \s (Java
+# and RE2 alike) does not: C1/NEL, NBSP-family, ogham, en/em/thin/hair
+# spaces, line/paragraph separators, ideographic space, and the \x1c-\x1f
+# separators (ADVICE r4 — NBSP-padded labels previously fell through to
+# 'Não identificada'). Each folds to a plain space BEFORE the \s+
+# collapse, keeping normalization inside one whole-stage-codegen
+# translate on both engines.
+_UNICODE_SPACES = (
+    "\x1c\x1d\x1e\x1f\x85\xa0\u1680"
+    "\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a"
+    "\u2028\u2029\u202f\u205f\u3000"
+)
+# Single source→dest translate pair shared verbatim by the Catalyst
+# operator and the generated DuckDB oracle (__spark_entry__).
+STATE_TRANSLATE_SRC = _ACCENTED + _UNICODE_SPACES
+STATE_TRANSLATE_DST = _PLAIN + " " * len(_UNICODE_SPACES)
+
 # Messy estado-label variants used to DERIVE a detections frame from the
 # events table: UF codes in both cases, full names accented/unaccented/
 # lower/padded/double-spaced, plus the reference's two unmatchable
@@ -439,7 +456,7 @@ ESTADO_VARIANTS = (
     "São Paulo",
     "SP",
     "sao paulo",
-    "  MINAS GERAIS  ",
+    "\xa0MINAS\xa0 GERAIS  ",
     "mg",
     "Pará",
     "PARÁ",
@@ -461,11 +478,13 @@ def normalize_state_label(col: Column) -> Column:
     Reference: social/bdqueimadas_daily/pipeline.py:449-454
     (``normalize_state_name``). Pure Catalyst projection. Collapse
     BEFORE trim: ``F.trim`` strips spaces only, so a trailing tab
-    would otherwise survive the collapse as a trailing space
+    would otherwise survive the collapse as a trailing space. Unicode
+    whitespace (NBSP, thin space, …) folds to ' ' in the translate
+    step because regex ``\\s`` is ASCII-only on both engines
     (property-tested against the reference's unicodedata
-    normalization in tests/test_properties.py).
+    normalization in tests/test_properties.py, NBSP in the alphabet).
     """
-    stripped = F.translate(col, _ACCENTED, _PLAIN)
+    stripped = F.translate(col, STATE_TRANSLATE_SRC, STATE_TRANSLATE_DST)
     return F.trim(F.regexp_replace(F.upper(stripped), r"\s+", " "))
 
 

@@ -79,6 +79,19 @@ def ntz_as_utc_instant(spark: SparkSession, ntz: F.Column) -> F.Column:
     by the session-zone offset so the UTC wall-clock equals the NTZ
     value — i.e. the instant the parquet writer meant. On a UTC session
     the shift is zero and this degenerates to the plain cast.
+
+    DST-boundary caveat (ADVICE r4): the cast applies the offset in
+    force at the session-zone WALL-CLOCK while ``from_utc_timestamp``
+    applies the offset at the shifted INSTANT; for NTZ values falling
+    inside a non-UTC session zone's DST transition window (the skipped
+    or repeated hour) those two offsets differ and the retag is off by
+    the DST delta (or ambiguous). Sessions built by ``get_spark`` pin
+    ``spark.sql.session.timeZone=UTC``, which short-circuits above —
+    only foreign non-UTC sessions reading timestamps that land in
+    their own zone's transition hour are exposed. An offset-free
+    arithmetic path would need ``unix_micros`` on NTZ, which Spark
+    rejects; accepting the documented edge keeps the retag a pure
+    in-codegen expression.
     """
     tz = spark.conf.get("spark.sql.session.timeZone")
     cast = ntz.cast("timestamp")

@@ -95,8 +95,8 @@ def _normalize_reference(value: str) -> str:
 
 @given(
     base=st.sampled_from(_STATE_BASES),
-    prefix_ws=st.text(alphabet=" \t", max_size=3),
-    suffix_ws=st.text(alphabet=" \t", max_size=3),
+    prefix_ws=st.text(alphabet=" \t\xa0 　", max_size=3),
+    suffix_ws=st.text(alphabet=" \t\xa0 　", max_size=3),
     case=st.sampled_from(["as-is", "upper", "lower", "title"]),
     inner_pad=st.booleans(),
 )
