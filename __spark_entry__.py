@@ -243,6 +243,54 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _simhash64_sql(max_hamming: int = 3) -> str:
+    """GROUND-TRUTH oracle for the 64-bit simhash variant: all-pairs
+    hamming filter (no bucketing — same rationale as ``_simhash_sql``).
+    Bit j < 32 tests bit j of md5(s); bit j ≥ 32 tests bit j-32 of the
+    independent md5('#' || s) stream. Signature-bit values come from a
+    VALUES table of precomputed decimal literals because DuckDB's
+    ``1::BIGINT << 63`` raises Out of Range — bit 63 is the min-long
+    two's-complement literal, exactly the signed value Spark sums."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        _simhash_bit_value,
+    )
+
+    h1 = _MD5_INT.format(expr="s")
+    h2 = _MD5_INT.format(expr="'#' || s")
+    def lit(v: int) -> str:
+        # min long must be written value-safe: '-9223372036854775808'
+        # parses as unary-minus applied AFTER the (overflowing) cast
+        return f"({v + 1}::BIGINT - 1)" if v == -(1 << 63) else f"{v}::BIGINT"
+
+    rows = ", ".join(
+        f"({j}, {lit(_simhash_bit_value(j))}, "
+        f"{1 << (j if j < 32 else j - 32)}::BIGINT, {str(j >= 32).lower()})"
+        for j in range(64)
+    )
+    return f"""
+WITH {SHINGLES},
+bits(j, bitval, checkmask, use2) AS (VALUES {rows}),
+sigs AS (
+  SELECT doc_id,
+         (SELECT coalesce(sum(CASE WHEN bitsum > 0 THEN bitval ELSE 0 END), 0)
+          FROM (
+            SELECT bitval,
+                   list_sum([CASE WHEN (((CASE WHEN use2 THEN {h2} ELSE {h1} END)
+                                         & checkmask)) > 0
+                                  THEN 1 ELSE -1 END for s in shingles]) AS bitsum
+            FROM bits
+          )
+         )::BIGINT AS simhash
+  FROM shingled
+)
+SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
+FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+WHERE bit_count(xor(x.simhash, y.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
 def _lsh_plane_sql(p: int, emb: str, dim: int = 64) -> str:
     w = _MD5_INT.format(expr=f"'plane{p}#' || i::VARCHAR")
     return (
@@ -1618,6 +1666,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
+        "dedup_simhash64": _simhash64_sql(),
         "dedup_embedding": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

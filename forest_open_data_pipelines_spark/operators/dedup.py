@@ -364,6 +364,88 @@ def dedup_minhash(
     return verified.orderBy("doc_a", "doc_b")
 
 
+def dual_hashed_shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, hashes, hashes2) — TWO independent 60-bit hash streams
+    per distinct shingle, position-aligned (h2 = md5 of the
+    '#'-prefixed gram).
+
+    One 60-bit md5 cannot feed 64 independent signature bits (bits
+    60-63 would be constant zero), so the 64-bit simhash draws bits
+    0-31 from h1 and bits 32-63 from h2. Distinct runs on the GRAM
+    strings (not the hashes) so the two streams stay aligned; same
+    value set as ``hashed_shingle_table`` up to md5 collisions."""
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    tok_df = documents.select("doc_id", toks.alias("toks"))
+    t = F.col("toks")
+    sz = F.size(t)
+    m = sz - (n - 1)
+    acc = F.slice(t, n, m)
+    for i in range(n - 2, -1, -1):
+        acc = F.zip_with(F.slice(t, i + 1, m), acc, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.array_distinct(
+        F.when(sz >= n, acc).otherwise(F.array(F.array_join(t, " ")))
+    )
+    return tok_df.select("doc_id", grams.alias("grams")).select(
+        "doc_id",
+        F.transform(F.col("grams"), _md5_int).alias("hashes"),
+        F.transform(
+            F.col("grams"), lambda g: _md5_int(F.concat(F.lit("#"), g))
+        ).alias("hashes2"),
+    )
+
+
+def _simhash_bit_value(j: int) -> int:
+    """Signed-64 value of signature bit ``j``. Bit 63 is the sign bit:
+    the Python literal ``1 << 63`` does not fit a signed long, so the
+    two's-complement value (min long) is used — summing it with the
+    non-negative bits 0-62 (≤ 2^63-1) never overflows even under ANSI
+    arithmetic, and XOR/bit_count are sign-agnostic. The DuckDB twin
+    interpolates the identical decimal literals (its ``1::BIGINT <<
+    63`` raises Out of Range, so the oracle ships a VALUES table)."""
+    return (1 << j) if j < 63 else -(1 << 63)
+
+
+def simhash_signatures64(documents: DataFrame, n: int = 3) -> DataFrame:
+    """64-bit SimHash signatures — the corpus-scale widening of
+    ``simhash_signatures`` (wider blocks → exponentially smaller
+    pigeonhole buckets; see ``simhash_pairs``).
+
+    Bit j < 32 is the sign of Σ ±1 by bit j of h1; bit j ≥ 32 uses bit
+    j-32 of the independent h2 stream (``dual_hashed_shingle_table``).
+    The signature lands in one signed long; bit 63 set ⇒ negative
+    signature (tests assert the sign bit is actually exercised)."""
+    dual = dual_hashed_shingle_table(documents, n)
+
+    def _sign_sum(arr, bit: int):
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << bit)) > 0, 1).otherwise(-1),
+        )
+
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        src = F.col("hashes") if j < 32 else F.col("hashes2")
+        term = F.when(
+            _sign_sum(src, j if j < 32 else j - 32) > 0,
+            F.lit(_simhash_bit_value(j)),
+        ).otherwise(F.lit(0).cast("long"))
+        sim = sim + term
+    return dual.select("doc_id", sim.alias("simhash"))
+
+
+def dedup_simhash64(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """64-bit SimHash near-dup pairs — the documented corpus-scale knob
+    of ``dedup_simhash`` (dedup.py 32-bit docstring): same pigeonhole
+    block LSH with perfect recall, but 16-bit blocks (4 blocks ×
+    16 bits), so bucket-collision probability per block drops from
+    ~2^-8 to ~2^-16 and candidate pairs shrink accordingly at corpus
+    scale. Signatures persist across the self-join as one long/doc."""
+    sigs = _persist(simhash_signatures64(documents))
+    return simhash_pairs(sigs, 64, max_hamming)
+
+
 def simhash_signatures(documents: DataFrame, bits: int = 32, n: int = 3) -> DataFrame:
     """Per-doc SimHash over distinct word-n-gram shingles: bit j is the
     sign of Σ_shingles (±1 depending on bit j of md5_int(shingle)).

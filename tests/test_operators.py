@@ -428,6 +428,52 @@ def test_simhash_blocks_catch_cross_half_hamming3(spark):
     assert (rows[0].doc_a, rows[0].doc_b, rows[0].hamming) == (1, 2, 3)
 
 
+def test_simhash64_blocks_catch_spread_hamming3(spark):
+    """64-bit pigeonhole recall, including the SIGN bit: a pair
+    differing in bits 0, 30 and 63 (blocks 0, 1 and 3 dirty) shares
+    only block 2 (bits 32-47); bit 63 makes one signature negative, so
+    arithmetic shiftright + mask must bucket it identically to a
+    logical shift for that shared block to match."""
+    sig_a = 0
+    sig_b = (1 << 0) | (1 << 30) | dedup._simhash_bit_value(63)
+    sigs = spark.createDataFrame(
+        [(1, sig_a), (2, sig_b)], "doc_id int, simhash long"
+    )
+    rows = dedup.simhash_pairs(sigs, bits=64, max_hamming=3).collect()
+    assert len(rows) == 1
+    assert (rows[0].doc_a, rows[0].doc_b, rows[0].hamming) == (1, 2, 3)
+
+
+def test_simhash64_sign_bit_exercised_and_recall_exact(spark):
+    """The 64-bit signatures actually use the top bits (some signature
+    is negative ⇒ bit 63 fired, and high-half bits vary across docs —
+    a constant-zero top half would mean the second hash stream is
+    dead), and the block-LSH pair set equals a brute-force all-pairs
+    hamming filter over the same signatures (perfect recall)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sig_rows = dedup.simhash_signatures64(docs).collect()
+    sigs = {r.doc_id: r.simhash for r in sig_rows}
+    assert any(s < 0 for s in sigs.values()), "bit 63 never set"
+    high_halves = {(s >> 32) & 0xFFFFFFFF for s in sigs.values()}
+    assert len(high_halves) > 1, "high 32 bits constant — h2 stream dead"
+    def ham(a: int, b: int) -> int:
+        # mask to 64 bits: xor of sigs with differing sign bits is
+        # negative in Python and bin() would count magnitude bits
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    expected = sorted(
+        (a, b, ham(sigs[a], sigs[b]))
+        for a in sigs
+        for b in sigs
+        if a < b and ham(sigs[a], sigs[b]) <= 3
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in dedup.dedup_simhash64(docs).collect()
+    )
+    assert got == expected
+
+
 def test_dedup_embedding_lsh_subset_and_recall(spark):
     """LSH-bucketed embedding dedup: strict subset of the exact
     all-pairs variant with identical cosines, and decent recall at
