@@ -243,6 +243,61 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _payload_merge_sql(by_region: bool = False) -> str:
+    """DuckDB twin of social.payload_merge_dedupe (and its by-region
+    sibling): identical three-way payload fan-out (own file, perturbed
+    duplicate copy, previous-year spillover), inferred-year trim
+    (national path only — the reference trims monthly_all, not
+    monthly_by_biome), keep-first rank dedupe in file order."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        PAYLOAD_COPY_PERTURBATION as PERT,
+    )
+
+    if by_region:
+        base = """
+byregion AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS period, r_name, count(*) AS n_orders
+  FROM enriched GROUP BY 1, 2
+),
+base AS (
+  SELECT period, substr(period, 1, 4)::INT AS year,
+         CASE WHEN substr(period, 6, 2)::INT % 2 = 0 THEN lower(r_name)
+              ELSE '  ' || r_name || ' ' END AS biome,
+         n_orders::BIGINT AS value
+  FROM byregion
+)"""
+        carry, trim, match = (
+            "biome, ",
+            "",
+            "WHERE trim(upper(biome)) = 'AMERICA'",
+        )
+        prelude = f"WITH {ENRICHED}, {base}"
+    else:
+        base = """
+base AS (
+  SELECT period, substr(period, 1, 4)::INT AS year, n_orders::BIGINT AS value
+  FROM monthly
+)"""
+        carry, trim, match = "", "WHERE year = inferred_year", ""
+        prelude = f"WITH {ENRICHED}, {MONTHLY}, {base}"
+    return f"""
+{prelude},
+payloads AS (
+  SELECT period, year, {carry}year * 2 AS file_rank, year AS inferred_year, value
+  FROM base
+  UNION ALL
+  SELECT period, year, {carry}year * 2 + 1, year, value + {PERT} FROM base
+  UNION ALL
+  SELECT period, year, {carry}(year - 1) * 2, year - 1, value FROM base
+),
+deduped AS (
+  SELECT period, year, value,
+         row_number() OVER (PARTITION BY period, year ORDER BY file_rank) AS rn
+  FROM payloads {match or trim}
+)
+SELECT period, year, value FROM deduped WHERE rn = 1 ORDER BY period, year"""
+
+
 def _simhash64_sql(max_hamming: int = 3) -> str:
     """GROUND-TRUTH oracle for the 64-bit simhash variant: all-pairs
     hamming filter (no bucketing — same rationale as ``_simhash_sql``).
@@ -1667,6 +1722,8 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),
+        "payload_merge_dedupe": _payload_merge_sql(),
+        "payload_merge_dedupe_by_region": _payload_merge_sql(by_region=True),
         "dedup_embedding": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -628,3 +628,124 @@ def abstract_reconstruct(
         .where(F.col("matched_terms") != "")
         .orderBy("doc_id")
     )
+
+
+# ── Chart payload merge/trim family (bdqueimadas_monthly_chart) ─────────────
+
+# Perturbation added to values in the duplicate "copy" payloads so
+# keep-first semantics are observable (a copy winning the dedupe would
+# shift every downstream value by this amount). Shared with the oracle.
+PAYLOAD_COPY_PERTURBATION = 1000
+
+
+def wrap_monthly_as_year_payloads(
+    monthly: DataFrame, region_col: str | None = None
+) -> DataFrame:
+    """Derive per-year "payload file" rows from a monthly series — the
+    shape ``_collect_year_payloads`` hands to the merge/trim steps
+    (bdqueimadas_monthly_chart.py:204-239), reproduced deterministically
+    so the DuckDB oracle derives the identical frame.
+
+    Each (period, value) row fans out to three payload entries:
+
+    1. its own year's file (``file_rank = 2·year``) — the clean row;
+    2. a duplicate copy of that file (``file_rank = 2·year + 1``) with
+       the value perturbed — the "two ZIPs for the same year" situation
+       the reference's keep-first dedupe exists for;
+    3. a spillover entry in the PREVIOUS year's file
+       (``file_rank = 2·(year-1)``, ``inferred_year = year - 1``) —
+       the cross-year rows ``_trim_payload_monthly_to_inferred_year``
+       discards because the aggregate's calendar year does not match
+       the file's inferred year.
+
+    ``file_rank`` encodes ``_select_zip_files``' sorted filename order.
+    With ``region_col`` the biome label is carried through with messy
+    case/padding variants (even months lower-cased, odd months padded)
+    to exercise the reference's ``strip().upper()`` match.
+    """
+    year = F.substring("period", 1, 4).cast("int")
+    value = F.col("n_orders").cast("long")
+    fields: list[Column] = []
+    if region_col is not None:
+        month = F.substring("period", 6, 2).cast("int")
+        biome = F.when(
+            month % 2 == 0, F.lower(F.col(region_col))
+        ).otherwise(F.concat(F.lit("  "), F.col(region_col), F.lit(" ")))
+        fields = [biome.alias("biome")]
+
+    def entry(rank: Column, inferred: Column, v: Column) -> Column:
+        return F.struct(
+            rank.cast("int").alias("file_rank"),
+            inferred.cast("int").alias("inferred_year"),
+            v.alias("value"),
+        )
+
+    entries = F.array(
+        entry(year * 2, year, value),
+        entry(year * 2 + 1, year, value + PAYLOAD_COPY_PERTURBATION),
+        entry((year - 1) * 2, year - 1, value),
+    )
+    return monthly.select(
+        "period", year.alias("year"), *fields, F.explode(entries).alias("e")
+    ).select(
+        "period",
+        "year",
+        *(["biome"] if region_col is not None else []),
+        F.col("e.file_rank").alias("file_rank"),
+        F.col("e.inferred_year").alias("inferred_year"),
+        F.col("e.value").alias("value"),
+    )
+
+
+def payload_merge_dedupe(monthly: DataFrame) -> DataFrame:
+    """Merge per-year payloads into the national monthly series:
+    inferred-year trim, then per-(period, year) keep-FIRST dedupe in
+    file order.
+
+    Reference: bdqueimadas_monthly_chart.py:143-179
+    (``_trim_payload_monthly_to_inferred_year`` — drop rows whose
+    calendar year differs from the file's inferred year — then
+    ``_monthly_all_payloads_to_df_dedupe`` — concat payloads,
+    ``drop_duplicates(subset=['period','year'], keep='first')`` in
+    ``_select_zip_files`` order, sort by period). The reconstructed
+    output must equal the clean input series — duplicates carry a
+    perturbed value precisely so a keep-last or unordered dedupe fails
+    the oracle.
+
+    Scale: trim is a pushed-down filter on the exploded payload frame;
+    keep-first is a rank window PARTITIONED by (period, year) — tiny
+    per-key groups, one shuffle on the dedupe key, never a global sort.
+    """
+    p = wrap_monthly_as_year_payloads(monthly)
+    w = Window.partitionBy("period", "year").orderBy("file_rank")
+    return (
+        p.where(F.col("year") == F.col("inferred_year"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("period", "year", "value")
+        .orderBy("period", "year")
+    )
+
+
+def payload_merge_dedupe_by_region(
+    monthly_by_region: DataFrame, target: str = "AMERICA"
+) -> DataFrame:
+    """By-biome sibling of ``payload_merge_dedupe``: biome-filtered
+    merge WITHOUT the year trim.
+
+    Reference: bdqueimadas_monthly_chart.py:182-201
+    (``_monthly_by_biome_payloads_to_df_dedupe``): rows match the
+    target on ``str(biome).strip().upper()``; the trim step does NOT
+    apply (it touches ``monthly_all`` only), so cross-year spillover
+    rows survive to the dedupe, where keep-first in file order picks
+    the earliest occurrence per (period, year).
+    """
+    p = wrap_monthly_as_year_payloads(monthly_by_region, region_col="r_name")
+    matched = p.where(F.trim(F.upper(F.col("biome"))) == target.strip().upper())
+    w = Window.partitionBy("period", "year").orderBy("file_rank")
+    return (
+        matched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("period", "year", "value")
+        .orderBy("period", "year")
+    )

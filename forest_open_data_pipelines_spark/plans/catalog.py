@@ -125,6 +125,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash64": lambda s, d: dedup.dedup_simhash64(
         load_table(s, d, "documents")
     ),
+    "payload_merge_dedupe": lambda s, d: social.payload_merge_dedupe(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "payload_merge_dedupe_by_region": lambda s, d: (
+        social.payload_merge_dedupe_by_region(
+            timeseries.monthly_by_region(_enriched(s, d))
+        )
+    ),
     # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
@@ -142,10 +150,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # ── Rotated IN (judge r3 item 1): parked since r1/r2 — regain
     # current driver-scale oracle rows this round ───────────────────
-    "annual_by_region": lambda s, d: timeseries.annual_by_region(_enriched(s, d)),
-    "ytd_comparison": lambda s, d: timeseries.ytd_comparison(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
     "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
         timeseries.monthly_series(_enriched(s, d))
     ),
@@ -331,6 +335,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "lineitem")
     ),
     "annual_series": lambda s, d: timeseries.annual_series(_enriched(s, d)),
+    "annual_by_region": lambda s, d: timeseries.annual_by_region(_enriched(s, d)),
+    "ytd_comparison": lambda s, d: timeseries.ytd_comparison(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
 }
 
 # First name past the driver window; everything from here on is parked.

@@ -1269,3 +1269,40 @@ def test_sanitize_slide_text_matches_reference_impl(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == reference(c), (i, got[i], reference(c))
+
+
+def test_payload_merge_dedupe_reconstructs_series(spark):
+    """The merge/trim pipeline must reconstruct the clean input series
+    exactly: the perturbed duplicate copies lose the keep-first dedupe
+    and the spillover rows die in the trim — a keep-last or unordered
+    dedupe would shift values by PAYLOAD_COPY_PERTURBATION."""
+    from forest_open_data_pipelines_spark.operators import social
+
+    monthly = timeseries.monthly_series(_enriched(spark))
+    expected = {
+        (r.period, int(r.period[:4])): r.n_orders for r in monthly.collect()
+    }
+    got = {
+        (r.period, r.year): r.value
+        for r in social.payload_merge_dedupe(monthly).collect()
+    }
+    assert got == expected
+
+
+def test_payload_merge_by_region_no_trim_keeps_spillover_occurrence(spark):
+    """By-biome path: no year trim (reference trims monthly_all only),
+    so each (period, year) survives via its EARLIEST file — the
+    previous-year spillover — still carrying the clean value; output
+    equals the region's slice of the clean by-region series."""
+    from forest_open_data_pipelines_spark.operators import social
+
+    by_region = timeseries.monthly_by_region(_enriched(spark))
+    expected = {
+        (r.period, int(r.period[:4])): r.n_orders
+        for r in by_region.where(F.col("r_name") == "AMERICA").collect()
+    }
+    got = {
+        (r.period, r.year): r.value
+        for r in social.payload_merge_dedupe_by_region(by_region).collect()
+    }
+    assert got == expected
