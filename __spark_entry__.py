@@ -243,6 +243,71 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _chart_spec_scoped_sql() -> str:
+    """DuckDB twin of social.monthly_chart_spec_scoped: one GROUPING
+    SETS aggregation for the national + per-region grains, latest
+    (year, month) reference point, 48-row scope×month spine, NULL
+    current values past the last closed month."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        CAROUSEL_SCOPES,
+        MONTH_LABELS_PT,
+        NATIONAL_SLUG,
+        _scope_label_pt,
+        _scope_slug,
+    )
+
+    scope_rows = ", ".join(
+        f"('{_scope_slug(s)}', '{_scope_label_pt(s)}', "
+        f"'{NATIONAL_SLUG if s is None else s}')"
+        for s in CAROUSEL_SCOPES
+    )
+    wanted = ", ".join(
+        f"'{NATIONAL_SLUG if s is None else s}'" for s in CAROUSEL_SCOPES
+    )
+    labels = "[" + ", ".join(f"'{x}'" for x in MONTH_LABELS_PT) + "]"
+    return f"""
+WITH {ENRICHED},
+agg AS (
+  SELECT CASE WHEN GROUPING(r_name) = 1 THEN '{NATIONAL_SLUG}' ELSE r_name END AS scope,
+         year(o_orderdate)::INT AS year, month(o_orderdate)::INT AS month,
+         count(*) AS n
+  FROM enriched
+  GROUP BY GROUPING SETS ((year, month), (r_name, year, month))
+),
+wanted AS (SELECT * FROM agg WHERE scope IN ({wanted})),
+ref AS (
+  SELECT year AS current_year, month - 1 AS last_closed
+  FROM wanted WHERE scope = '{NATIONAL_SLUG}'
+  ORDER BY year DESC, month DESC LIMIT 1
+),
+piv AS (
+  SELECT scope, month,
+         sum(CASE WHEN year = current_year THEN n END) AS cur,
+         sum(CASE WHEN year = current_year - 1 THEN n END) AS prev,
+         avg(CASE WHEN year BETWEEN current_year - 5 AND current_year - 1
+                  THEN n END) AS avg5
+  FROM wanted, ref GROUP BY scope, month
+),
+scopes(scope_slug, scope_label, scope) AS (VALUES {scope_rows}),
+spine AS (
+  SELECT scope_slug, scope_label, scope, r.j::INT AS month,
+         current_year, last_closed
+  FROM scopes, range(1, 13) r(j), ref
+)
+SELECT scope_slug, scope_label, month,
+       {labels}[month] AS month_label,
+       CASE WHEN month <= last_closed THEN coalesce(cur, 0)::BIGINT END
+         AS current_value,
+       coalesce(prev, 0)::BIGINT AS previous_value,
+       round(coalesce(avg5, 0.0), 6) AS avg_5y,
+       last_closed::INT AS last_closed_month,
+       CASE WHEN last_closed BETWEEN 1 AND 12
+            THEN {labels}[last_closed] || ' ' || current_year::VARCHAR
+            ELSE current_year::VARCHAR END AS published_at_label
+FROM spine LEFT JOIN piv USING (scope, month)
+ORDER BY scope_slug, month"""
+
+
 def _payload_merge_sql(by_region: bool = False) -> str:
     """DuckDB twin of social.payload_merge_dedupe (and its by-region
     sibling): identical three-way payload fan-out (own file, perturbed
@@ -1724,6 +1789,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "dedup_simhash64": _simhash64_sql(),
         "payload_merge_dedupe": _payload_merge_sql(),
         "payload_merge_dedupe_by_region": _payload_merge_sql(by_region=True),
+        "monthly_chart_spec_scoped": _chart_spec_scoped_sql(),
         "dedup_embedding": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -749,3 +749,155 @@ def payload_merge_dedupe_by_region(
         .select("period", "year", "value")
         .orderBy("period", "year")
     )
+
+
+# ── Carousel-scoped chart specs (bdqueimadas_monthly_chart carousel) ────────
+
+# Reference: bdqueimadas_monthly_chart.py:64-78 BDQUEIMADAS_CAROUSEL_SCOPES
+# (None = national + three biomes) and :116-141 carousel_scope_to_slug /
+# carousel_biome_label_pt. Region ≈ biome in the testdata mapping; the
+# label table is the BIOME_LABELS pt-localization analog.
+CAROUSEL_SCOPES: tuple[str | None, ...] = (None, "AMERICA", "ASIA", "EUROPE")
+NATIONAL_SLUG = "nacional"
+NATIONAL_LABEL_PT = "Brasil"
+REGION_LABEL_PT = {"AMERICA": "América", "ASIA": "Ásia", "EUROPE": "Europa"}
+
+
+def _scope_slug(scope: str | None) -> str:
+    """carousel_scope_to_slug semantics: fixed national slug, else the
+    lower-cased space→dash filename slug."""
+    if scope is None:
+        return NATIONAL_SLUG
+    return scope.lower().replace(" ", "-")
+
+
+def _scope_label_pt(scope: str | None) -> str:
+    """carousel_biome_label_pt semantics: 'Brasil' for the national
+    scope, the pt label table when known, else the scope itself."""
+    if scope is None:
+        return NATIONAL_LABEL_PT
+    return REGION_LABEL_PT.get(scope, scope)
+
+
+def monthly_chart_spec_scoped(enriched: DataFrame) -> DataFrame:
+    """Carousel chart-spec rows for every scope in ONE fact scan: per
+    (scope_slug, month 1..12) the current-year value (NULL past the
+    last closed month), previous-year value (0-filled), 5-year monthly
+    average (0.0-filled), PT labels, and the published-at label.
+
+    Reference: bdqueimadas_monthly_chart.py ``compute_chart_spec``
+    (:312-418) run once per carousel scope over per-scope filtered
+    frames; here the national + per-region grains come from one
+    GROUPING SETS aggregation (grouping(r_name) distinguishes the
+    national rows) instead of per-scope passes. Reference-date
+    semantics: the reference passes a wall-clock ``reference_date``
+    and raises when a closed month is missing from the mensal feed —
+    here the reference point is the latest (year, month) WITH data, so
+    last_closed = that month - 1 (the ``reference_date.year != year``
+    branches of ``last_closed_month_for_calendar_year`` are moot by
+    construction) and missing closed months 0-fill like the previous
+    series, since a DataFrame op cannot raise per-row.
+
+    Scale: the fact table collapses map-side to ≤ (regions+1)·months
+    aggregate rows; the scalar reference point, the 48-row spine and
+    the pivot all run on that tiny frame (broadcast joins only).
+    """
+    base = enriched.select(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        "r_name",
+    )
+    scope = F.when(F.grouping("r_name") == 1, F.lit(NATIONAL_SLUG)).otherwise(
+        F.col("r_name")
+    )
+    wanted = [NATIONAL_SLUG] + [s for s in CAROUSEL_SCOPES if s is not None]
+    agg = (
+        base.groupingSets(
+            [["year", "month"], ["r_name", "year", "month"]],
+            "r_name",
+            "year",
+            "month",
+        )
+        .agg(F.count("*").alias("n"), scope.alias("scope"))
+        .where(F.col("scope").isin(wanted))
+        .select("scope", "year", "month", "n")
+    )
+    ref = (
+        agg.where(F.col("scope") == NATIONAL_SLUG)
+        .agg(F.max(F.struct("year", "month")).alias("mx"))
+        .select(
+            F.col("mx.year").alias("current_year"),
+            (F.col("mx.month") - 1).alias("last_closed"),
+        )
+    )
+    pivot = (
+        agg.join(F.broadcast(ref))
+        .groupBy("scope", "month")
+        .agg(
+            F.sum(
+                F.when(F.col("year") == F.col("current_year"), F.col("n"))
+            ).alias("cur"),
+            F.sum(
+                F.when(F.col("year") == F.col("current_year") - 1, F.col("n"))
+            ).alias("prev"),
+            F.avg(
+                F.when(
+                    (F.col("year") >= F.col("current_year") - 5)
+                    & (F.col("year") <= F.col("current_year") - 1),
+                    F.col("n"),
+                )
+            ).alias("avg5"),
+        )
+    )
+    scopes_arr = F.array(
+        *[
+            F.struct(
+                F.lit(_scope_slug(s)).alias("scope_slug"),
+                F.lit(_scope_label_pt(s)).alias("scope_label"),
+                F.lit(NATIONAL_SLUG if s is None else s).alias("scope"),
+            )
+            for s in CAROUSEL_SCOPES
+        ]
+    )
+    labels = F.array(*[F.lit(x) for x in MONTH_LABELS_PT])
+    spine = (
+        ref.select(
+            "current_year",
+            "last_closed",
+            F.explode(scopes_arr).alias("sc"),
+        )
+        .select(
+            "current_year",
+            "last_closed",
+            "sc.scope_slug",
+            "sc.scope_label",
+            "sc.scope",
+            F.explode(F.sequence(F.lit(1), F.lit(12))).alias("month"),
+        )
+    )
+    published = F.when(
+        F.col("last_closed").between(1, 12),
+        F.concat(
+            F.element_at(labels, F.col("last_closed")),
+            F.lit(" "),
+            F.col("current_year").cast("string"),
+        ),
+    ).otherwise(F.col("current_year").cast("string"))
+    return (
+        spine.join(F.broadcast(pivot), ["scope", "month"], "left")
+        .select(
+            "scope_slug",
+            "scope_label",
+            "month",
+            F.element_at(labels, F.col("month")).alias("month_label"),
+            F.when(
+                F.col("month") <= F.col("last_closed"),
+                F.coalesce(F.col("cur"), F.lit(0)).cast("long"),
+            ).alias("current_value"),
+            F.coalesce(F.col("prev"), F.lit(0)).cast("long").alias("previous_value"),
+            F.round(F.coalesce(F.col("avg5"), F.lit(0.0)), 6).alias("avg_5y"),
+            F.col("last_closed").alias("last_closed_month"),
+            published.alias("published_at_label"),
+        )
+        .orderBy("scope_slug", "month")
+    )

@@ -133,6 +133,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             timeseries.monthly_by_region(_enriched(s, d))
         )
     ),
+    "monthly_chart_spec_scoped": lambda s, d: social.monthly_chart_spec_scoped(
+        _enriched(s, d)
+    ),
     # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
@@ -153,7 +156,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
         timeseries.monthly_series(_enriched(s, d))
     ),
-    "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
     "top_customers": lambda s, d: relational.top_customers(
         *_t(s, d, "customer", "orders", "nation")
     ),
@@ -339,6 +341,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ytd_comparison": lambda s, d: timeseries.ytd_comparison(
         timeseries.monthly_series(_enriched(s, d))
     ),
+    "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
 }
 
 # First name past the driver window; everything from here on is parked.

@@ -1306,3 +1306,31 @@ def test_payload_merge_by_region_no_trim_keeps_spillover_occurrence(spark):
         for r in social.payload_merge_dedupe_by_region(by_region).collect()
     }
     assert got == expected
+
+
+def test_monthly_chart_spec_scoped_shape(spark):
+    """Every carousel scope emits exactly months 1..12; current values
+    exist exactly through the last closed month; the national scope's
+    current series dominates any single region's (it sums all regions,
+    carousel or not)."""
+    from forest_open_data_pipelines_spark.operators import social
+
+    rows = social.monthly_chart_spec_scoped(_enriched(spark)).collect()
+    by_scope: dict = {}
+    for r in rows:
+        by_scope.setdefault(r.scope_slug, []).append(r)
+    assert set(by_scope) == {"nacional", "america", "asia", "europe"}
+    for scope, rs in by_scope.items():
+        assert [r.month for r in sorted(rs, key=lambda r: r.month)] == list(
+            range(1, 13)
+        )
+        for r in rs:
+            lc = r.last_closed_month
+            assert (r.current_value is None) == (r.month > lc)
+            assert r.previous_value >= 0 and r.avg_5y >= 0.0
+            assert r.month_label == social.MONTH_LABELS_PT[r.month - 1]
+    nat = {r.month: r for r in by_scope["nacional"]}
+    for scope in ("america", "asia", "europe"):
+        for r in by_scope[scope]:
+            if r.current_value is not None:
+                assert r.current_value <= nat[r.month].current_value
