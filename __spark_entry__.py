@@ -243,6 +243,139 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _anp_panel_payloads_sql() -> str:
+    """DuckDB twin of social.anp_panel_payloads: identical monthly
+    both-positive metric derivation (round-2 before every ratio),
+    latest-month per-nation shares, and the fallback-text string
+    assembly (printf of pre-rounded 1-dp values — pre-rounding keeps
+    C printf and the Java formatter off tie inputs)."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        ANP_GAS_PRIORITY,
+        ANP_PANEL_TITLES,
+        ANP_PETRO_PRIORITY,
+        MONTH_LABELS_PT,
+    )
+
+    labels = "[" + ", ".join(f"'{x}'" for x in MONTH_LABELS_PT) + "]"
+
+    def pct(new: str, old: str) -> str:
+        return (
+            f"CASE WHEN {old} = 0 THEN NULL "
+            f"ELSE round(({new} / {old} - 1.0) * 100.0, 2) END"
+        )
+
+    def fp(col: str) -> str:
+        r = f"round({col}, 1)"
+        return (
+            f"CASE WHEN {col} IS NULL THEN 'n/d' "
+            f"WHEN {r} = 0 THEN '+0.0%' "
+            f"WHEN {r} > 0 THEN '+' || printf('%.1f', {r}) || '%' "
+            f"ELSE printf('%.1f', {r}) || '%' END"
+        )
+
+    def compact(col: str, unit: str) -> str:
+        return f"printf('%.1f', round({col} / 1000000.0, 1)) || ' {unit}'"
+
+    def share_ctes(prio: str, pre: str) -> str:
+        return f"""
+sh_{pre} AS (
+  SELECT n_name, round(sum(o_totalprice), 2) AS value
+  FROM enriched, latest
+  WHERE o_orderpriority = '{prio}'
+    AND date_trunc('month', o_orderdate)::DATE = latest_period
+  GROUP BY n_name HAVING round(sum(o_totalprice), 2) > 0
+),
+ranked_{pre} AS (
+  SELECT n_name, round(value / sum(value) OVER () * 100.0, 2) AS share,
+         row_number() OVER (ORDER BY value DESC, n_name) AS rank
+  FROM sh_{pre}
+),
+sum_{pre} AS (
+  SELECT count(*) AS {pre}_n,
+         max(CASE WHEN rank = 1 THEN n_name END) AS {pre}_uf1,
+         max(CASE WHEN rank = 1 THEN share END) AS {pre}_p1,
+         max(CASE WHEN rank = 2 THEN n_name END) AS {pre}_uf2,
+         max(CASE WHEN rank = 2 THEN share END) AS {pre}_p2
+  FROM ranked_{pre}
+)"""
+
+    def uft(pre: str) -> str:
+        p1 = f"printf('%.1f', round({pre}_p1, 1))"
+        p2 = f"printf('%.1f', round({pre}_p2, 1))"
+        return (
+            f"CASE WHEN {pre}_n >= 2 THEN {pre}_uf1 || ' lidera o recorte com ' "
+            f"|| {p1} || '% do total. ' || {pre}_uf2 "
+            f"|| ' aparece em seguida, com ' || {p2} "
+            f"|| '%. A produção segue concentrada, com baixa dispersão "
+            f"entre os demais estados.' "
+            f"WHEN {pre}_n = 1 THEN {pre}_uf1 || ' concentra ' || {p1} "
+            f"|| '% do total no último mês disponível.' "
+            f"ELSE 'Sem dados estaduais positivos no último mês comum da série.' "
+            f"END"
+        )
+
+    national = (
+        f"'Em ' || {labels}[month(period)] || ' ' || year(period)::VARCHAR "
+        f"|| ', petróleo somou ' || {compact('a', 'mi m3')} "
+        f"|| ' (' || {fp('a_mom')} || ' MoM, ' || {fp('a_yoy')} "
+        f"|| ' YoY). Gás natural atingiu ' || {compact('b', 'bi m3')} "
+        f"|| ' (' || {fp('b_mom')} || ' MoM, ' || {fp('b_yoy')} || ' YoY).'"
+    )
+    t = ANP_PANEL_TITLES
+    return f"""
+WITH enriched AS (
+  SELECT o_orderdate, o_orderpriority, o_totalprice, n_name
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+),
+m AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS period,
+         round(sum(CASE WHEN o_orderpriority = '{ANP_PETRO_PRIORITY}'
+                        THEN o_totalprice END), 2) AS a,
+         round(sum(CASE WHEN o_orderpriority = '{ANP_GAS_PRIORITY}'
+                        THEN o_totalprice END), 2) AS b
+  FROM enriched GROUP BY 1
+),
+pos AS (SELECT * FROM m WHERE a > 0 AND b > 0),
+combo AS (
+  SELECT period, a, b,
+         lag(period) OVER (ORDER BY period) AS previous_period,
+         lag(a) OVER (ORDER BY period) AS prev_a,
+         lag(b) OVER (ORDER BY period) AS prev_b
+  FROM pos
+),
+latest AS (SELECT max(period) AS latest_period FROM combo),
+cur AS (SELECT combo.* FROM combo, latest WHERE period = latest_period),
+metrics AS (
+  SELECT cur.period, cur.previous_period, y.period AS yoy_period,
+         cur.a, cur.b,
+         {pct('cur.a', 'cur.prev_a')} AS a_mom,
+         {pct('cur.b', 'cur.prev_b')} AS b_mom,
+         {pct('cur.a', 'y.a')} AS a_yoy,
+         {pct('cur.b', 'y.b')} AS b_yoy
+  FROM cur JOIN pos y ON (cur.period - INTERVAL 12 MONTH)::DATE = y.period
+),{share_ctes(ANP_PETRO_PRIORITY, 'pa')},{share_ctes(ANP_GAS_PRIORITY, 'ga')},
+base AS (SELECT * FROM metrics, sum_pa, sum_ga)
+SELECT panel, title,
+       strftime(period, '%Y-%m-%d') AS latest_period,
+       strftime(previous_period, '%Y-%m-%d') AS previous_period,
+       strftime(yoy_period, '%Y-%m-%d') AS yoy_period,
+       fallback_text
+FROM (
+  SELECT 'national' AS panel, '{t["national"]}' AS title,
+         period, previous_period, yoy_period, {national} AS fallback_text
+  FROM base
+  UNION ALL
+  SELECT 'petroleo_uf', '{t["petroleo_uf"]}',
+         period, previous_period, yoy_period, {uft('pa')} FROM base
+  UNION ALL
+  SELECT 'gas_uf', '{t["gas_uf"]}',
+         period, previous_period, yoy_period, {uft('ga')} FROM base
+)
+ORDER BY panel"""
+
+
 def _chart_spec_scoped_sql() -> str:
     """DuckDB twin of social.monthly_chart_spec_scoped: one GROUPING
     SETS aggregation for the national + per-region grains, latest
@@ -1790,6 +1923,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "payload_merge_dedupe": _payload_merge_sql(),
         "payload_merge_dedupe_by_region": _payload_merge_sql(by_region=True),
         "monthly_chart_spec_scoped": _chart_spec_scoped_sql(),
+        "anp_panel_payloads": _anp_panel_payloads_sql(),
         "dedup_embedding": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

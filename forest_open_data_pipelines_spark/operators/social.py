@@ -901,3 +901,266 @@ def monthly_chart_spec_scoped(enriched: DataFrame) -> DataFrame:
         )
         .orderBy("scope_slug", "month")
     )
+
+
+# ── ANP panel payloads + deterministic fallback text ────────────────────────
+
+ANP_PANEL_TITLES = {
+    "national": "Produção nacional",
+    "petroleo_uf": "Petróleo por estado",
+    "gas_uf": "Gás natural por estado",
+}
+ANP_PETRO_PRIORITY = "1-URGENT"
+ANP_GAS_PRIORITY = "2-HIGH"
+
+
+def _fmt1(x: Column) -> Column:
+    """'%.1f' of a value PRE-ROUNDED to 1 dp — pre-rounding keeps the
+    Java formatter (HALF_UP) and C printf (half-even) off tie inputs,
+    so both engines print identical strings."""
+    return F.format_string("%.1f", x)
+
+
+def _fmt_pct(p: Column) -> Column:
+    """``_format_pct`` twin (anp_producao/pipeline.py:369-372):
+    'n/d' for NULL, else sign-prefixed '%+.1f%%'. Deviation: a pct in
+    (-0.05, 0) renders '+0.0%' here (SQL -0.0 == 0), where Python's
+    '%+.1f' of the same value gives '-0.0%'."""
+    r = F.round(p, 1)
+    return (
+        F.when(p.isNull(), F.lit("n/d"))
+        .when(r == 0, F.lit("+0.0%"))
+        .when(r > 0, F.concat(F.lit("+"), _fmt1(r), F.lit("%")))
+        .otherwise(F.concat(_fmt1(r), F.lit("%")))
+    )
+
+
+def _fmt_month_pt(d: Column) -> Column:
+    """``_format_month`` twin: 'Abr 2026'."""
+    labels = F.array(*[F.lit(x) for x in MONTH_LABELS_PT])
+    return F.concat(
+        F.element_at(labels, F.month(d)), F.lit(" "), F.year(d).cast("string")
+    )
+
+
+def _compact_value(v: Column, kind: str) -> Column:
+    """``_compact_value`` twin: value/1e6 at 1 dp with the mi/bi m3
+    unit suffix."""
+    unit = " mi m3" if kind == "petroleo" else " bi m3"
+    return F.concat(_fmt1(F.round(v / 1_000_000.0, 1)), F.lit(unit))
+
+
+def _pct_delta(new: Column, old: Column) -> Column:
+    """``pct_delta`` twin: round((new/old - 1)·100, 2), NULL on old=0."""
+    return F.when(old == 0, F.lit(None).cast("double")).otherwise(
+        F.round((new / old - 1.0) * 100.0, 2)
+    )
+
+
+def anp_panel_payloads(
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    petro_priority: str = ANP_PETRO_PRIORITY,
+    gas_priority: str = ANP_GAS_PRIORITY,
+) -> DataFrame:
+    """The three ANP social-deck panel payload rows with deterministic
+    fallback text — (panel, title, latest/previous/yoy periods,
+    fallback_text).
+
+    Reference: social/anp_producao/pipeline.py:385-453
+    (``build_panel_payloads`` + ``fallback_text`` with the
+    :369-383 formatting helpers): the national panel renders the
+    latest-common-month metric sentence (compact values, MoM/YoY pct),
+    the two per-UF panels render the leader/runner-up share sentences
+    with the reference's 0/1/≥2-state branches. Metric semantics are
+    ``latest_common_positive_metrics`` (:293-319) at the monthly grain:
+    months where BOTH series are positive, MoM vs the previous common
+    month, YoY vs the month 12 back — which must exist: the reference
+    raises otherwise, here the inner join yields zero rows (the
+    DataFrame analog of refusing to publish).
+
+    Mapping: petróleo ≈ '1-URGENT' order revenue, gás ≈ '2-HIGH',
+    UF ≈ nation. All money values pass through round-2 BEFORE any
+    ratio so both engines derive pcts from identical doubles.
+
+    Scale: one fact scan collapses to (month × 2) partial sums plus
+    one latest-month per-nation aggregate per product; every
+    subsequent join is a broadcast of a 1-row frame. The customer →
+    nation dimension joins broadcast (the standard enrichment shape);
+    ``orders_enriched`` is not reused because the panel needs
+    ``o_orderpriority``, which that projection prunes.
+    """
+    enriched = (
+        orders.select("o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    price = F.col("o_totalprice")
+    m = (
+        enriched.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("period")
+        )
+        .agg(
+            money(
+                F.sum(F.when(F.col("o_orderpriority") == petro_priority, price))
+            ).alias("a"),
+            money(
+                F.sum(F.when(F.col("o_orderpriority") == gas_priority, price))
+            ).alias("b"),
+        )
+        .where((F.col("a") > 0) & (F.col("b") > 0))
+    )
+    w = Window.orderBy("period")
+    combo = m.select(
+        "period",
+        "a",
+        "b",
+        F.lag("period").over(w).alias("previous_period"),
+        F.lag("a").over(w).alias("prev_a"),
+        F.lag("b").over(w).alias("prev_b"),
+    )
+    latest = combo.agg(F.max("period").alias("latest_period"))
+    cur = combo.join(F.broadcast(latest), F.col("period") == F.col("latest_period"))
+    yoy = m.select(
+        F.col("period").alias("yoy_period"),
+        F.col("a").alias("yoy_a"),
+        F.col("b").alias("yoy_b"),
+    )
+    metrics = cur.join(
+        F.broadcast(yoy),
+        F.add_months(F.col("period"), -12) == F.col("yoy_period"),
+    ).select(
+        "period",
+        "previous_period",
+        "yoy_period",
+        "a",
+        "b",
+        _pct_delta(F.col("a"), F.col("prev_a")).alias("a_mom"),
+        _pct_delta(F.col("b"), F.col("prev_b")).alias("b_mom"),
+        _pct_delta(F.col("a"), F.col("yoy_a")).alias("a_yoy"),
+        _pct_delta(F.col("b"), F.col("yoy_b")).alias("b_yoy"),
+    )
+
+    def shares(prio: str, prefix: str) -> DataFrame:
+        per = (
+            enriched.where(F.col("o_orderpriority") == prio)
+            .join(F.broadcast(latest))
+            .where(
+                F.date_trunc("month", F.col("o_orderdate")).cast("date")
+                == F.col("latest_period")
+            )
+            .groupBy("n_name")
+            .agg(money(F.sum(price)).alias("value"))
+            .where(F.col("value") > 0)
+        )
+        total = F.sum("value").over(Window.partitionBy())
+        rw = Window.orderBy(F.desc("value"), "n_name")
+        ranked = per.select(
+            "n_name",
+            F.round(F.col("value") / total * 100.0, 2).alias("share"),
+            F.row_number().over(rw).alias("rank"),
+        )
+        return ranked.agg(
+            F.count("*").alias(f"{prefix}_n"),
+            F.max(F.when(F.col("rank") == 1, F.col("n_name"))).alias(f"{prefix}_uf1"),
+            F.max(F.when(F.col("rank") == 1, F.col("share"))).alias(f"{prefix}_p1"),
+            F.max(F.when(F.col("rank") == 2, F.col("n_name"))).alias(f"{prefix}_uf2"),
+            F.max(F.when(F.col("rank") == 2, F.col("share"))).alias(f"{prefix}_p2"),
+        )
+
+    national_text = F.concat(
+        F.lit("Em "),
+        _fmt_month_pt(F.col("period")),
+        F.lit(", petróleo somou "),
+        _compact_value(F.col("a"), "petroleo"),
+        F.lit(" ("),
+        _fmt_pct(F.col("a_mom")),
+        F.lit(" MoM, "),
+        _fmt_pct(F.col("a_yoy")),
+        F.lit(" YoY). Gás natural atingiu "),
+        _compact_value(F.col("b"), "gas"),
+        F.lit(" ("),
+        _fmt_pct(F.col("b_mom")),
+        F.lit(" MoM, "),
+        _fmt_pct(F.col("b_yoy")),
+        F.lit(" YoY)."),
+    )
+
+    def uf_text(prefix: str) -> Column:
+        n = F.col(f"{prefix}_n")
+        uf1, p1 = F.col(f"{prefix}_uf1"), F.round(F.col(f"{prefix}_p1"), 1)
+        uf2, p2 = F.col(f"{prefix}_uf2"), F.round(F.col(f"{prefix}_p2"), 1)
+        return (
+            F.when(
+                n >= 2,
+                F.concat(
+                    uf1,
+                    F.lit(" lidera o recorte com "),
+                    _fmt1(p1),
+                    F.lit("% do total. "),
+                    uf2,
+                    F.lit(" aparece em seguida, com "),
+                    _fmt1(p2),
+                    F.lit(
+                        "%. A produção segue concentrada, com baixa dispersão "
+                        "entre os demais estados."
+                    ),
+                ),
+            )
+            .when(
+                n == 1,
+                F.concat(
+                    uf1,
+                    F.lit(" concentra "),
+                    _fmt1(p1),
+                    F.lit("% do total no último mês disponível."),
+                ),
+            )
+            .otherwise(
+                F.lit("Sem dados estaduais positivos no último mês comum da série.")
+            )
+        )
+
+    panels = F.array(
+        F.struct(
+            F.lit("national").alias("panel"),
+            F.lit(ANP_PANEL_TITLES["national"]).alias("title"),
+            national_text.alias("fallback_text"),
+        ),
+        F.struct(
+            F.lit("petroleo_uf").alias("panel"),
+            F.lit(ANP_PANEL_TITLES["petroleo_uf"]).alias("title"),
+            uf_text("pa").alias("fallback_text"),
+        ),
+        F.struct(
+            F.lit("gas_uf").alias("panel"),
+            F.lit(ANP_PANEL_TITLES["gas_uf"]).alias("title"),
+            uf_text("ga").alias("fallback_text"),
+        ),
+    )
+    return (
+        metrics.join(F.broadcast(shares(petro_priority, "pa")))
+        .join(F.broadcast(shares(gas_priority, "ga")))
+        .select(
+            F.explode(panels).alias("p"),
+            F.date_format("period", "yyyy-MM-dd").alias("latest_period"),
+            F.date_format("previous_period", "yyyy-MM-dd").alias("previous_period"),
+            F.date_format("yoy_period", "yyyy-MM-dd").alias("yoy_period"),
+        )
+        .select(
+            F.col("p.panel").alias("panel"),
+            F.col("p.title").alias("title"),
+            "latest_period",
+            "previous_period",
+            "yoy_period",
+            F.col("p.fallback_text").alias("fallback_text"),
+        )
+        .orderBy("panel")
+    )

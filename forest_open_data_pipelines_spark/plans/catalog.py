@@ -136,6 +136,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_chart_spec_scoped": lambda s, d: social.monthly_chart_spec_scoped(
         _enriched(s, d)
     ),
+    "anp_panel_payloads": lambda s, d: social.anp_panel_payloads(
+        *_t(s, d, "orders", "customer", "nation")
+    ),
     # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
@@ -155,9 +158,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # current driver-scale oracle rows this round ───────────────────
     "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
         timeseries.monthly_series(_enriched(s, d))
-    ),
-    "top_customers": lambda s, d: relational.top_customers(
-        *_t(s, d, "customer", "orders", "nation")
     ),
     "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
         load_table(s, d, "embeddings")
@@ -342,6 +342,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         timeseries.monthly_series(_enriched(s, d))
     ),
     "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
+    "top_customers": lambda s, d: relational.top_customers(
+        *_t(s, d, "customer", "orders", "nation")
+    ),
 }
 
 # First name past the driver window; everything from here on is parked.

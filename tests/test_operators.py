@@ -1334,3 +1334,38 @@ def test_monthly_chart_spec_scoped_shape(spark):
         for r in by_scope[scope]:
             if r.current_value is not None:
                 assert r.current_value <= nat[r.month].current_value
+
+
+def test_anp_panel_payloads_texts(spark):
+    """Three panels with the reference's sentence shapes; the national
+    sentence carries compact values + signed pcts, and every fallback
+    text is already sanitize_slide_text-clean (the reference pipes
+    these strings through the sanitizer before the deck)."""
+    import re
+
+    from forest_open_data_pipelines_spark.operators import social, textops
+
+    df = social.anp_panel_payloads(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "nation"),
+    )
+    rows = {r.panel: r for r in df.collect()}
+    assert set(rows) == {"national", "petroleo_uf", "gas_uf"}
+    nat = rows["national"].fallback_text
+    assert re.fullmatch(
+        r"Em [A-Z][a-z]{2} \d{4}, petróleo somou -?\d+\.\d mi m3 "
+        r"\((\+|-)\d+\.\d% MoM, (\+|-)\d+\.\d% YoY\)\. "
+        r"Gás natural atingiu -?\d+\.\d bi m3 "
+        r"\((\+|-)\d+\.\d% MoM, (\+|-)\d+\.\d% YoY\)\.",
+        nat,
+    ), nat
+    for p in ("petroleo_uf", "gas_uf"):
+        assert re.search(r"\d+\.\d% do total", rows[p].fallback_text)
+    sanitized = df.select(
+        "panel",
+        textops.sanitize_slide_text_col(F.col("fallback_text")).alias("s"),
+        "fallback_text",
+    ).collect()
+    for r in sanitized:
+        assert r.s == r.fallback_text
