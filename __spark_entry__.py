@@ -1924,6 +1924,38 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "payload_merge_dedupe_by_region": _payload_merge_sql(by_region=True),
         "monthly_chart_spec_scoped": _chart_spec_scoped_sql(),
         "anp_panel_payloads": _anp_panel_payloads_sql(),
+        "annual_reference_extract": f"""
+WITH {ENRICHED},
+annual AS (
+  SELECT year(o_orderdate)::INT AS year, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+  FROM enriched GROUP BY 1
+),
+named AS (
+  SELECT 'focos_br_ref_' || year::VARCHAR || '.zip' AS zip_name,
+         n_orders, total_price
+  FROM annual
+  UNION ALL
+  SELECT 'focos_br_ref_total.zip', NULL, NULL
+),
+cand AS (
+  SELECT zip_name,
+         nullif(regexp_extract(zip_name, '((?:19|20)\\d{{2}})', 1), '')::INT AS year,
+         n_orders, total_price
+  FROM named
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY year DESC) AS rnk
+  FROM cand WHERE year IS NOT NULL
+),
+sel AS (
+  SELECT zip_name, year, n_orders, total_price FROM ranked WHERE rnk <= 5
+  UNION ALL
+  SELECT zip_name, year, n_orders, total_price FROM cand WHERE year IS NULL
+)
+SELECT zip_name, regexp_replace(zip_name, '\\.zip$', '.csv') AS csv_name,
+       year, n_orders, total_price
+FROM sel ORDER BY zip_name""",
         "dedup_embedding": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -724,3 +724,73 @@ def monthly_by_region_augmented(
         _persist(mensal_counts_from_events_by_region(events, customer, nation, region)),
         "r_name",
     )
+
+
+# ── Annual reference CSV extraction mapping ─────────────────────────────────
+
+ANNUAL_REF_YEARLESS_ZIP = "focos_br_ref_total.zip"
+ANNUAL_REF_RECENT_YEARS = 5
+
+
+def annual_reference_extract(
+    annual: DataFrame, recent_years: int | None = ANNUAL_REF_RECENT_YEARS
+) -> DataFrame:
+    """Zip→extracted-CSV mapping for the annual reference files, joined
+    to the annual series totals.
+
+    Reference: bdqueimadas_monthly_chart.py:242-268
+    (``extract_annual_reference_csvs``): select the reference ZIPs via
+    ``_select_zip_files`` (bdqueimadas_overview.py:838-860 — year
+    parsed from the filename with RE_YEAR, year-bearing files sorted
+    year-DESC and capped at ``recent_years``, yearless files always
+    appended, final list re-sorted by name) and map each
+    ``focos_br_ref_*.zip`` to its ``<stem>.csv`` extraction target.
+    The filesystem copy itself is I/O (covered by the zipped-CSV
+    source, sources/archives.py); the compute re-expressed here is the
+    selection + naming, joined to each year's annual totals. The
+    zip names derive from the annual series' years plus one fixed
+    yearless file (exercising the ``without_years`` append path —
+    NULL year, NULL totals), and the year is re-parsed from the name
+    with the RE_YEAR pattern exactly as the reference does.
+
+    Scale: runs entirely on the post-aggregation annual frame (one row
+    per year) — the rank window orders ≤ #years rows.
+    """
+    named = annual.select(
+        F.concat(
+            F.lit("focos_br_ref_"), F.col("year").cast("string"), F.lit(".zip")
+        ).alias("zip_name"),
+        F.col("n_orders"),
+        F.col("total_price"),
+    )
+    yearless = annual.groupBy().agg(F.count("*").alias("_n")).select(
+        F.lit(ANNUAL_REF_YEARLESS_ZIP).alias("zip_name"),
+        F.lit(None).cast("long").alias("n_orders"),
+        F.lit(None).cast("double").alias("total_price"),
+    )
+    cand = named.unionByName(yearless).select(
+        "zip_name",
+        F.nullif(
+            F.regexp_extract("zip_name", r"((?:19|20)\d{2})", 1), F.lit("")
+        )
+        .cast("int")
+        .alias("year"),
+        "n_orders",
+        "total_price",
+    )
+    with_years = cand.where(F.col("year").isNotNull())
+    if recent_years is not None:
+        w = Window.orderBy(F.desc("year"))
+        with_years = (
+            with_years.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= recent_years)
+            .drop("rnk")
+        )
+    selected = with_years.unionByName(cand.where(F.col("year").isNull()))
+    return selected.select(
+        "zip_name",
+        F.regexp_replace("zip_name", r"\.zip$", ".csv").alias("csv_name"),
+        "year",
+        "n_orders",
+        "total_price",
+    ).orderBy("zip_name")

@@ -139,6 +139,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anp_panel_payloads": lambda s, d: social.anp_panel_payloads(
         *_t(s, d, "orders", "customer", "nation")
     ),
+    "annual_reference_extract": lambda s, d: timeseries.annual_reference_extract(
+        timeseries.annual_series(_enriched(s, d))
+    ),
     # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
@@ -156,9 +159,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # ── Rotated IN (judge r3 item 1): parked since r1/r2 — regain
     # current driver-scale oracle rows this round ───────────────────
-    "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
     "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
         load_table(s, d, "embeddings")
     ),
@@ -344,6 +344,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_audit": lambda s, d: profiling.schema_audit(load_table(s, d, "documents")),
     "top_customers": lambda s, d: relational.top_customers(
         *_t(s, d, "customer", "orders", "nation")
+    ),
+    "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
+        timeseries.monthly_series(_enriched(s, d))
     ),
 }
 
