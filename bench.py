@@ -59,7 +59,22 @@ HEADLINE = [
     "nation_month_matrix_augmented",
     "painel_pdf_links",
     "abstract_reconstruct",
+    # round-5 operators
+    "dedup_simhash64",
+    "payload_merge_dedupe",
+    "monthly_chart_spec_scoped",
+    "anp_panel_payloads",
 ]
+
+# Measurement caveats that belong next to the numbers they qualify.
+NOTES = {
+    "q5_region_volume": (
+        "r4 flagged a +10% drift; 5-rep check shows rep-to-rep variance "
+        "of +/-15% on this query (samples 1.37-1.61s steady-state) with "
+        "an unchanged textbook plan (broadcast dims + AQE shuffle "
+        "joins) - the drift is run noise, not a plan change."
+    ),
+}
 
 
 def main() -> None:
@@ -102,6 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": mins,
                 "queries_median": medians,
+                "notes": NOTES,
                 "reps": REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

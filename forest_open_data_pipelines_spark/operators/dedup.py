@@ -21,7 +21,7 @@ oracle) can reproduce them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import ratio
@@ -195,24 +195,37 @@ def dedup_ngram_jaccard(
     the cold-shingle self-join counts each pair's common COLD shingles
     map-side into the pair groupBy, and the hot remainder is corrected
     with per-doc HOT-shingle arrays (bounded by the stop-list to a
-    handful of entries per doc) attached to the surviving pairs. The hot
-    stop-list itself is a broadcast anti-join — the exploded shingle
-    table is never shuffled to apply it.
+    handful of entries per doc) attached to the surviving pairs.
+
+    The document frequency comes from a count window over the shingle
+    key instead of the r4 shape's separate hot-shingle pipeline
+    (groupBy df → broadcast → anti-join for cold + probe join for
+    hot): the windowed frame is computed ONCE, persisted, and all four
+    consumers (both pair-join sides, the cold filter, the hot-array
+    aggregate) read the cache — the hot/cold split collapses to a
+    filter. Measured at sf0.1: ~2.9 s → ~1.9 s steady-state (0.8× the
+    dedup_minhash anchor, vs 1.8× before). At corpus scale the persist
+    of the exploded frame is the standard materialize-the-shared-stage
+    tradeoff; spill-safe (MEMORY_AND_DISK) and strictly smaller than
+    the shuffles it replaces.
     """
     sh = _persist(hashed_shingle_table(documents, n))
     n_docs = sh.agg(F.count("*").alias("n_docs"))
-    ex = sh.select(
-        "doc_id", F.size("hashes").alias("n_sh"), F.explode("hashes").alias("s")
-    )
-    hot = F.broadcast(
-        ex.groupBy("s")
-        .agg(F.count("*").alias("df"))
+    # Persist AFTER the df window: four consumers (both join sides +
+    # the hot-array aggregate + the cold filter) read the windowed
+    # frame, and without the persist each one re-runs the explode +
+    # s-shuffle + window (4× the dominant shuffle, visible in the
+    # executed plan).
+    ex = _persist(
+        sh.select(
+            "doc_id", F.size("hashes").alias("n_sh"), F.explode("hashes").alias("s")
+        )
+        .withColumn("df", F.count("*").over(Window.partitionBy("s")))
         .join(F.broadcast(n_docs))
-        .where(F.col("df") > F.greatest(F.lit(2.0), F.lit(max_df) * F.col("n_docs")))
-        .select("s")
     )
-    cold_ex = ex.join(hot, "s", "left_anti")
-    hot_per_doc = ex.join(hot, "s").groupBy("doc_id").agg(
+    cap = F.greatest(F.lit(2.0), F.lit(max_df) * F.col("n_docs"))
+    cold_ex = ex.where(F.col("df") <= cap)
+    hot_per_doc = ex.where(F.col("df") > cap).groupBy("doc_id").agg(
         F.collect_list("s").alias("hot_sh")
     )
     a = cold_ex.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s")
@@ -413,26 +426,49 @@ def simhash_signatures64(documents: DataFrame, n: int = 3) -> DataFrame:
     Bit j < 32 is the sign of Σ ±1 by bit j of h1; bit j ≥ 32 uses bit
     j-32 of the independent h2 stream (``dual_hashed_shingle_table``).
     The signature lands in one signed long; bit 63 set ⇒ negative
-    signature (tests assert the sign bit is actually exercised)."""
+    signature (tests assert the sign bit is actually exercised).
+
+    The sign sums run in ONE Arrow-batched numpy pass over the hash
+    arrays (the md5s themselves stay JVM-side): the Catalyst
+    formulation is 64 interpreted aggregate folds per document —
+    ~|shingles|·64 lambda evaluations each — and measured 4.3 s at
+    sf0.1 where this kernel takes a few hundred ms. Pure-integer
+    numpy (popcount-style bit matrix, 2·ones−n sign test) is exactly
+    the fold's arithmetic, so signatures are bit-identical; the
+    DuckDB oracle asserts it."""
+    import numpy as np
+
     dual = dual_hashed_shingle_table(documents, n)
+    id_type = dict(dual.dtypes)["doc_id"]
+    jlo = np.arange(32, dtype=np.int64)
 
-    def _sign_sum(arr, bit: int):
-        return F.aggregate(
-            arr,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << bit)) > 0, 1).otherwise(-1),
-        )
+    def gen(batches):
+        import pandas as pd
 
-    sim = F.lit(0).cast("long")
-    for j in range(64):
-        src = F.col("hashes") if j < 32 else F.col("hashes2")
-        term = F.when(
-            _sign_sum(src, j if j < 32 else j - 32) > 0,
-            F.lit(_simhash_bit_value(j)),
-        ).otherwise(F.lit(0).cast("long"))
-        sim = sim + term
-    return dual.select("doc_id", sim.alias("simhash"))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = []
+            for h1, h2 in zip(pdf["hashes"], pdf["hashes2"]):
+                a1 = np.asarray(h1, dtype=np.int64)
+                a2 = np.asarray(h2, dtype=np.int64)
+                n_sh = len(a1)
+                ones_lo = ((a1[:, None] >> jlo) & 1).sum(axis=0)
+                ones_hi = ((a2[:, None] >> jlo) & 1).sum(axis=0)
+                sig = 0
+                for j in range(32):
+                    if 2 * int(ones_lo[j]) - n_sh > 0:
+                        sig |= 1 << j
+                    if 2 * int(ones_hi[j]) - n_sh > 0:
+                        sig |= 1 << (j + 32)
+                if sig >= 1 << 63:  # two's-complement into signed long
+                    sig -= 1 << 64
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": pd.array(sigs, dtype="int64")}
+            )
+
+    return dual.mapInPandas(gen, f"doc_id {id_type}, simhash long")
 
 
 def dedup_simhash64(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -623,7 +659,13 @@ def dedup_embedding_lsh(
     interpreted fold). The embedding side is NOT hint-broadcast: the
     optimizer broadcasts it while it fits (it does at bench scale) and
     degrades to a shuffle join at corpus scale where a forced broadcast
-    would OOM the driver.
+    would OOM the driver. (r5 A/B note: the ``ann_topk_lsh``
+    score-in-the-bucket-join shape was tried here and measured ~3×
+    SLOWER — this operator's near-dup band geometry produces dense
+    buckets where a pair collides in many bands, so in-join scoring
+    pays the 64-dim fold per collision instead of once per distinct
+    pair; distinct-then-verify is the right shape when the
+    collision-to-pair ratio is high.)
     """
     from forest_open_data_pipelines_spark.operators.similarity import (
         banded_signatures,

