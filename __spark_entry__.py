@@ -243,6 +243,56 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _mensal_links_sql() -> str:
+    """DuckDB twin of html.mensal_links: identical anchor derivation,
+    raw-href filename (queries NOT stripped), RE_MENSAL parse, urljoin
+    specialization, keep-LAST-per-yyyymm dedupe, yyyymm sort."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        MENSAL_BASE_URL,
+        PAINEL_HOST,
+        RE_MENSAL,
+    )
+
+    return f"""
+WITH seeds AS (
+  SELECT doc_id, (doc_id % 6 + 2019)::VARCHAR AS yyyy,
+         (doc_id % 6 + 2019)::VARCHAR || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS ym
+  FROM documents
+),
+anchors AS (
+  SELECT doc_id,
+    ([ 'focos_mensal_br_' || ym || '.csv',
+       'focos_mensal_br_' || ym || '.zip',
+       '/queimadas/focos/mensal/focos_mensal_br_' || ym || '.CSV',
+       'https://mirror.example/mensal/FOCOS_MENSAL_BR_' || ym || '.csv',
+       'focos_mensal_br_' || ym || '.txt',
+       'focos_mensal_br_' || ym || '.csv?download=1',
+       'focos_mensal_br_' || yyyy || '13.csv'
+     ])[(doc_id % 7)::INT + 1] AS href
+  FROM seeds
+),
+named AS (
+  SELECT doc_id, href, string_split(href, '/')[-1] AS fname FROM anchors
+),
+matched AS (
+  SELECT doc_id,
+         nullif(regexp_extract(fname, '{RE_MENSAL}', 1), '')::INT AS yyyymm,
+         fname AS filename,
+         CASE WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+              WHEN starts_with(href, '/') THEN '{PAINEL_HOST}' || href
+              ELSE '{MENSAL_BASE_URL}' || href END AS url
+  FROM named
+  WHERE nullif(regexp_extract(fname, '{RE_MENSAL}', 1), '') IS NOT NULL
+),
+deduped AS (
+  SELECT *, row_number() OVER (PARTITION BY yyyymm ORDER BY doc_id DESC) AS rn
+  FROM matched
+)
+SELECT yyyymm, (yyyymm // 100)::INT AS year, (yyyymm % 100)::INT AS month,
+       filename, url
+FROM deduped WHERE rn = 1 ORDER BY yyyymm"""
+
+
 def _anp_panel_payloads_sql() -> str:
     """DuckDB twin of social.anp_panel_payloads: identical monthly
     both-positive metric derivation (round-2 before every ratio),
@@ -1924,6 +1974,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "payload_merge_dedupe_by_region": _payload_merge_sql(by_region=True),
         "monthly_chart_spec_scoped": _chart_spec_scoped_sql(),
         "anp_panel_payloads": _anp_panel_payloads_sql(),
+        "mensal_links": _mensal_links_sql(),
         "annual_reference_extract": f"""
 WITH {ENRICHED},
 annual AS (

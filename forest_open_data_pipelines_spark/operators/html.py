@@ -592,3 +592,110 @@ def anp_resource_urls(documents: DataFrame) -> DataFrame:
     """Catalog query: wrap documents as ANP landing pages, discover the
     per-resource download URLs."""
     return parse_anp_resource_urls(wrap_documents_as_anp_landing(documents))
+
+
+# ── INPE mensal listing parser (focos_mensal_br_YYYYMM) ─────────────────────
+
+MENSAL_BASE_URL = "https://dataserver.example/queimadas/focos/csv/mensal/Brasil/"
+
+# Reference: datasets/inpe/bdqueimadas_mensal_listing.py:15 RE_MENSAL —
+# required-parity regex ((?i) replaces re.IGNORECASE; groups: 1 =
+# yyyymm, 2 = extension). Note \d{6} carries NO month validation: the
+# reference accepts focos_mensal_br_202113.csv with yyyymm=202113, and
+# so does this parser (a derivation variant pins that behavior).
+RE_MENSAL = r"(?i)focos_mensal_br_(\d{6})\.(csv|zip)$"
+
+_MENSAL_HREF_KINDS = 7
+
+
+def wrap_documents_as_mensal_listing(documents: DataFrame) -> DataFrame:
+    """Render documents as (doc_id, href) anchors of the INPE mensal
+    directory listing. Variants cycled by doc_id so every parser
+    branch fires: relative csv, relative zip, root-relative with
+    uppercase extension, absolute mirror with uppercase name
+    ((?i) path), a non-matching extension, a query-string link (the
+    reference does NOT strip queries — ``href.split('/')[-1]`` keeps
+    ``?download=1`` and the ``$``-anchored regex rejects it), and a
+    month-13 yyyymm (accepted — no month validation). Many doc_ids
+    share a yyyymm, so the keep-last-occurrence dedupe is exercised
+    with observable (filename, url) differences."""
+    yyyymm = F.concat(
+        (F.col("doc_id") % 6 + 2019).cast("string"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+    )
+    name_csv = F.concat(F.lit("focos_mensal_br_"), yyyymm, F.lit(".csv"))
+    name_zip = F.concat(F.lit("focos_mensal_br_"), yyyymm, F.lit(".zip"))
+    href13 = F.concat(
+        F.lit("focos_mensal_br_"),
+        (F.col("doc_id") % 6 + 2019).cast("string"),
+        F.lit("13.csv"),
+    )
+    kinds = F.array(
+        name_csv,
+        name_zip,
+        F.concat(F.lit("/queimadas/focos/mensal/focos_mensal_br_"), yyyymm, F.lit(".CSV")),
+        F.concat(F.lit("https://mirror.example/mensal/FOCOS_MENSAL_BR_"), yyyymm, F.lit(".csv")),
+        F.concat(F.lit("focos_mensal_br_"), yyyymm, F.lit(".txt")),
+        F.concat(name_csv, F.lit("?download=1")),
+        href13,
+    )
+    return documents.select(
+        "doc_id",
+        F.element_at(kinds, (F.col("doc_id") % _MENSAL_HREF_KINDS + 1).cast("int")).alias(
+            "href"
+        ),
+    )
+
+
+def parse_mensal_links(anchors: DataFrame) -> DataFrame:
+    """(yyyymm, year, month, filename, url) per mensal listing anchor.
+
+    Reference: datasets/inpe/bdqueimadas_mensal_listing.py:22-48
+    (``extract_mensal_links`` + ``yyyymm_to_month``): filename =
+    ``href.split('/')[-1]`` (raw href — queries are NOT stripped,
+    unlike the painel parser), RE_MENSAL match, absolute url via
+    urljoin (specialized to absolute / root-relative / relative), and
+    the dict-overwrite dedupe keeps the LAST occurrence per yyyymm in
+    anchor order; output sorted by yyyymm. ``year``/``month`` carry
+    the ``t[0] // 100`` / ``yyyymm_to_month`` arithmetic.
+
+    Scale: pure Catalyst regexps; the keep-last dedupe is a rank
+    window partitioned by yyyymm (bounded keys), the only shuffle.
+    """
+    href = F.col("href")
+    filename = F.element_at(F.split(href, "/"), -1)
+    yyyymm_s = F.regexp_extract(filename, RE_MENSAL, 1)
+    url = (
+        F.when(href.rlike(r"^[a-z][a-z0-9+.-]*://"), href)
+        .when(href.startswith("/"), F.concat(F.lit(PAINEL_HOST), href))
+        .otherwise(F.concat(F.lit(MENSAL_BASE_URL), href))
+    )
+    matched = anchors.select(
+        "doc_id",
+        yyyymm_s.cast("int").alias("yyyymm"),
+        filename.alias("filename"),
+        url.alias("url"),
+    ).where(yyyymm_s != "")
+    w = Window.partitionBy("yyyymm").orderBy(F.desc("doc_id"))
+    return (
+        matched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "yyyymm",
+            (F.col("yyyymm") / 100).cast("int").alias("year"),
+            (F.col("yyyymm") % 100).cast("int").alias("month"),
+            "filename",
+            "url",
+        )
+        .orderBy("yyyymm")
+    )
+
+
+def mensal_links(documents: DataFrame, year: int | None = None) -> DataFrame:
+    """Catalog query: wrap documents as mensal listing anchors, parse
+    links; ``year`` applies ``filter_by_calendar_year`` (t[0] // 100 ==
+    year, bdqueimadas_mensal_listing.py:40-44)."""
+    out = parse_mensal_links(wrap_documents_as_mensal_listing(documents))
+    if year is not None:
+        out = out.where(F.col("year") == year)
+    return out

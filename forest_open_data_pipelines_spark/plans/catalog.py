@@ -142,6 +142,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "annual_reference_extract": lambda s, d: timeseries.annual_reference_extract(
         timeseries.annual_series(_enriched(s, d))
     ),
+    "mensal_links": lambda s, d: html.mensal_links(load_table(s, d, "documents")),
     # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
@@ -168,7 +169,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
         timeseries.nation_month_matrix(_enriched(s, d))
     ),
-    "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
     "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
         _enriched(s, d)
     ),
@@ -348,6 +348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "month_year_comparison": lambda s, d: timeseries.month_year_comparison(
         timeseries.monthly_series(_enriched(s, d))
     ),
+    "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
 }
 
 # First name past the driver window; everything from here on is parked.

@@ -1385,3 +1385,38 @@ def test_ivf_centroid_cache_train_once(spark):
         emb, iters=similarity.IVF_KMEANS_ITERS
     )
     assert retrained == first and retrained is not first
+
+
+def test_mensal_links_keep_last_and_query_rejection(spark):
+    """Keep-LAST semantics: each yyyymm's surviving (filename, url)
+    belongs to the HIGHEST doc_id with a matching anchor (the
+    reference's dict-overwrite in anchor order); query-string and
+    .txt anchors never survive; month-13 yyyymms are accepted."""
+    from forest_open_data_pipelines_spark.operators import html
+
+    docs = load_table(spark, SF_DIR, "documents")
+    anchors = {
+        r.doc_id: r.href
+        for r in html.wrap_documents_as_mensal_listing(docs).collect()
+    }
+    import re
+
+    expected: dict = {}
+    for doc_id in sorted(anchors):  # anchor order == doc order
+        fname = anchors[doc_id].split("/")[-1]
+        m = re.search(r"focos_mensal_br_(\d{6})\.(csv|zip)$", fname, re.I)
+        if m:
+            expected[int(m.group(1))] = fname
+    rows = html.mensal_links(docs).collect()
+    got = {r.yyyymm: r.filename for r in rows}
+    assert got == expected
+    assert all("?" not in r.url and not r.url.endswith(".txt") for r in rows)
+    assert any(r.month == 13 for r in rows)
+    for r in rows:
+        assert (r.year, r.month) == (r.yyyymm // 100, r.yyyymm % 100)
+    # calendar-year filter (filter_by_calendar_year twin)
+    y = rows[0].year
+    filtered = html.mensal_links(docs, year=y).collect()
+    assert {r.yyyymm for r in filtered} == {
+        k for k in expected if k // 100 == y
+    }
