@@ -243,6 +243,39 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _govbr_freshness_sql() -> str:
+    """DuckDB twin of freshness.govbr_freshness_labels with the
+    expectations DERIVED INDEPENDENTLY from the doc_id arithmetic (no
+    regex re-run): labels, wall-clock timestamps and precisions are
+    stated directly per page kind, so the Spark regex pipeline is
+    checked against a closed-form derivation."""
+    return """
+WITH seeds AS (
+  SELECT doc_id,
+         (doc_id % 27 + 1)::VARCHAR AS d, (doc_id % 27 + 2)::VARCHAR AS d2,
+         (doc_id % 12 + 1)::VARCHAR AS m, (doc_id % 4 + 2020)::VARCHAR AS y,
+         (doc_id % 23)::VARCHAR AS hh, lpad((doc_id % 60)::VARCHAR, 2, '0') AS mi,
+         (doc_id % 5)::INT AS kind
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN kind = 0 THEN d || '/' || m || '/' || y || ' ' || hh || 'h' || mi
+       WHEN kind IN (1, 4) THEN d || '/' || m || '/' || y END AS published_label,
+  CASE WHEN kind IN (0, 2) THEN d2 || '/' || m || '/' || y || ' ' || hh || 'h' || mi
+       WHEN kind = 4 THEN d2 || '/' || m || '/' || y END AS modified_label,
+  CASE WHEN kind = 0 THEN make_timestamp(y::INT, m::INT, d::INT, hh::INT, mi::INT, 0)
+       WHEN kind IN (1, 4) THEN make_timestamp(y::INT, m::INT, d::INT, 0, 0, 0)
+  END AS published_at,
+  CASE WHEN kind = 0 THEN 'datetime' WHEN kind IN (1, 4) THEN 'date'
+  END AS published_precision,
+  CASE WHEN kind IN (0, 2) THEN make_timestamp(y::INT, m::INT, d2::INT, hh::INT, mi::INT, 0)
+       WHEN kind = 4 THEN make_timestamp(y::INT, m::INT, d2::INT, 0, 0, 0)
+  END AS modified_at,
+  CASE WHEN kind IN (0, 2) THEN 'datetime' WHEN kind = 4 THEN 'date'
+  END AS modified_precision
+FROM seeds ORDER BY doc_id"""
+
+
 def _mensal_links_sql() -> str:
     """DuckDB twin of html.mensal_links: identical anchor derivation,
     raw-href filename (queries NOT stripped), RE_MENSAL parse, urljoin
@@ -1975,6 +2008,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "monthly_chart_spec_scoped": _chart_spec_scoped_sql(),
         "anp_panel_payloads": _anp_panel_payloads_sql(),
         "mensal_links": _mensal_links_sql(),
+        "govbr_freshness_labels": _govbr_freshness_sql(),
         "annual_reference_extract": f"""
 WITH {ENRICHED},
 annual AS (

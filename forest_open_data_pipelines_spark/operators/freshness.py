@@ -124,3 +124,123 @@ def freshness_latest(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ── gov.br page freshness labels (ANP landing pages) ────────────────────────
+
+# Reference: datasets/anp/govbr.py:49-61 — required-parity regexes
+# ((?i) replaces re.IGNORECASE; all RE2-compatible, shared with the
+# DuckDB oracle).
+GOVBR_DATE_LABEL_RE = (
+    r"([0-9]{1,2})/([0-9]{1,2})/([0-9]{4})(?:\s+([0-9]{1,2})h([0-9]{2}))?"
+)
+GOVBR_PUBLISHED_RE = (
+    r"(?i)publicado em\s+"
+    r"([0-9]{1,2}/[0-9]{1,2}/[0-9]{4}(?:\s+[0-9]{1,2}h[0-9]{2})?)"
+)
+GOVBR_UPDATED_RE = (
+    r"(?i)atualizado em\s+"
+    r"([0-9]{1,2}/[0-9]{1,2}/[0-9]{4}(?:\s+[0-9]{1,2}h[0-9]{2})?)"
+)
+
+_GOVBR_PAGE_KINDS = 5
+
+
+def wrap_documents_as_govbr_pages(documents: DataFrame) -> DataFrame:
+    """Render documents as gov.br page text with Publicado/Atualizado
+    labels cycled by doc_id: both with HhMM times, published-only
+    date-precision, modified-only with time, neither, and both
+    date-only — every branch of the label extractor and both
+    precisions fire. Date parts derive from doc_id (day ≤ 27, so
+    every rendered date is valid — invalid-date NULLs are
+    pt_date_parse's domain)."""
+    d = (F.col("doc_id") % 27 + 1).cast("string")
+    d2 = (F.col("doc_id") % 27 + 2).cast("string")
+    m = (F.col("doc_id") % 12 + 1).cast("string")
+    y = (F.col("doc_id") % 4 + 2020).cast("string")
+    hhmm = F.concat(
+        (F.col("doc_id") % 23).cast("string"),
+        F.lit("h"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+    )
+    pub_dt = F.concat(F.lit("Publicado em "), d, F.lit("/"), m, F.lit("/"), y, F.lit(" "), hhmm)
+    pub_d = F.concat(F.lit("Publicado em "), d, F.lit("/"), m, F.lit("/"), y)
+    upd_dt = F.concat(F.lit("Atualizado em "), d2, F.lit("/"), m, F.lit("/"), y, F.lit(" "), hhmm)
+    upd_d = F.concat(F.lit("Atualizado em "), d2, F.lit("/"), m, F.lit("/"), y)
+    kinds = F.array(
+        F.concat(F.lit("Conteúdo da página. "), pub_dt, F.lit(" "), upd_dt, F.lit(" rodapé")),
+        F.concat(F.lit("Sobre o painel: "), pub_d, F.lit(" — dados ANP")),
+        F.concat(F.lit("Série histórica. "), upd_dt),
+        F.lit("Página sem datas de publicação no corpo."),
+        F.concat(pub_d, F.lit(" "), upd_d),
+    )
+    return documents.select(
+        "doc_id",
+        F.element_at(
+            kinds, (F.col("doc_id") % _GOVBR_PAGE_KINDS + 1).cast("int")
+        ).alias("page_text"),
+    )
+
+
+def _govbr_signal(label):
+    """``parse_govbr_freshness_label`` twin (govbr.py:160-184): label →
+    (wall-clock timestamp, precision). The reference attaches the
+    America/Sao_Paulo tzinfo to the WALL-CLOCK digits it parsed; the
+    timestamp column carries those digits naively (the tz attach is a
+    metadata tag, not an arithmetic conversion — ``to_iso8601_z`` in
+    functions/dates.py is the conversion step when a pipeline wants
+    UTC)."""
+    part = lambda g: F.nullif(  # noqa: E731
+        F.regexp_extract(label, GOVBR_DATE_LABEL_RE, g), F.lit("")
+    ).cast("int")
+    ts = F.try_make_timestamp(
+        part(3), part(2), part(1), F.coalesce(part(4), F.lit(0)),
+        F.coalesce(part(5), F.lit(0)), F.lit(0),
+    )
+    precision = F.when(
+        part(4).isNotNull() & part(5).isNotNull(), F.lit("datetime")
+    ).otherwise(F.lit("date"))
+    return (
+        F.when(label.isNotNull(), ts),
+        F.when(label.isNotNull(), precision),
+    )
+
+
+def govbr_freshness_labels(documents: DataFrame) -> DataFrame:
+    """Published/modified freshness signals per gov.br page.
+
+    Reference: datasets/anp/govbr.py:160-217
+    (``extract_page_freshness_labels`` text-fallback path — the
+    PUBLISHED_RE / UPDATED_RE searches over the article text — and
+    ``parse_govbr_freshness_label``: GOVBR_DATE_LABEL_RE digits →
+    timestamp with 'datetime' precision when the HhMM part is present,
+    'date' otherwise; absent labels yield no signal). The span-based
+    extraction path is DOM plumbing around the same regexes; the
+    labels here come straight from the rendered page text.
+
+    Scale: pure Catalyst regexps over the document scan — no UDF, no
+    shuffle except the final sort.
+    """
+    pages = wrap_documents_as_govbr_pages(documents)
+    published = F.nullif(
+        F.regexp_extract("page_text", GOVBR_PUBLISHED_RE, 1), F.lit("")
+    )
+    modified = F.nullif(
+        F.regexp_extract("page_text", GOVBR_UPDATED_RE, 1), F.lit("")
+    )
+    labeled = pages.select(
+        "doc_id",
+        published.alias("published_label"),
+        modified.alias("modified_label"),
+    )
+    pub_ts, pub_prec = _govbr_signal(F.col("published_label"))
+    mod_ts, mod_prec = _govbr_signal(F.col("modified_label"))
+    return labeled.select(
+        "doc_id",
+        "published_label",
+        "modified_label",
+        pub_ts.alias("published_at"),
+        pub_prec.alias("published_precision"),
+        mod_ts.alias("modified_at"),
+        mod_prec.alias("modified_precision"),
+    ).orderBy("doc_id")
