@@ -213,6 +213,32 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _ngram_exact_sql(threshold: float = 0.8) -> str:
+    """GROUND-TRUTH oracle for dedup_ngram_ppjoin: stop-list-free
+    all-shared-shingle candidates + exact Jaccard. Deliberately NOT a
+    mirror of the prefix filter — an oracle replicating the candidate
+    scheme would be blind to prefix-recall holes; the ppjoin theorem
+    says the outputs must coincide, and this checks exactly that."""
+    return f"""
+WITH {SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+               / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
+           AS jaccard
+  FROM cand
+  JOIN shingled x ON x.doc_id = cand.doc_a
+  JOIN shingled y ON y.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
 def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
     """GROUND-TRUTH oracle: all-pairs hamming filter (no bucketing).
 
@@ -2009,6 +2035,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "anp_panel_payloads": _anp_panel_payloads_sql(),
         "mensal_links": _mensal_links_sql(),
         "govbr_freshness_labels": _govbr_freshness_sql(),
+        "dedup_ngram_ppjoin": _ngram_exact_sql(),
         "annual_reference_extract": f"""
 WITH {ENRICHED},
 annual AS (

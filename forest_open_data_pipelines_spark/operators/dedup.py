@@ -741,3 +741,99 @@ def url_merge(events: DataFrame) -> DataFrame:
         )
         .orderBy("url_key")
     )
+
+
+def dedup_ngram_ppjoin(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold via
+    PREFIX FILTERING (the ppjoin candidate scheme) — the exact
+    corpus-scale alternative to ``dedup_ngram_jaccard``'s stop-list.
+
+    Prefix-filter principle (Chaudhuri et al. SSJoin / Xiao et al.
+    PPJoin, both published): order every document's shingles by a
+    GLOBAL total order (ascending document frequency, ties by hash —
+    rarest first) and keep only each document's first
+    ``⌊(1-τ)·n⌋ + 1`` shingles as its *prefix*. If J(A,B) ≥ τ, A and B
+    must share at least one shingle lying in BOTH prefixes — so the
+    prefix-prefix equi-join has perfect recall by construction, while
+    joining on only ~(1-τ) of each document's shingles (and the rarest
+    ones at that — frequency-ascending order puts boilerplate LAST,
+    exactly the rows the stop-list variant had to discard). A length
+    filter (τ·|A| ≤ |B| ≤ |A|/τ, also exact) prunes the join output
+    before verification.
+
+    Verification is the exact per-pair Jaccard over the full hash
+    arrays (the candidate set is small enough that the count-shaped
+    split of ``dedup_ngram_jaccard`` buys nothing here). Output equals
+    the uncapped exact pair set — the oracle is a stop-list-free twin,
+    and tests assert equality with ``dedup_ngram_jaccard`` on corpora
+    where the stop-list is inert.
+
+    Scale: one shuffle of the exploded table by shingle (df window) +
+    one by doc (prefix rank window), then an equi-join on prefix
+    shingles only. At 100 TB the prefix join's candidate volume is the
+    ppjoin bound — orders of magnitude below the all-shared-shingle
+    join — and every step is windows/joins Catalyst handles with AQE.
+    """
+    sh = _persist(hashed_shingle_table(documents, n))
+    ex = sh.select(
+        "doc_id", F.size("hashes").alias("n_sh"), F.explode("hashes").alias("s")
+    ).withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    order_w = Window.partitionBy("doc_id").orderBy("df", "s")
+    # p = n − ⌈τ·n⌉ + 1, computed on a 6-dp-rounded product: raw FP
+    # gives (1−0.8)·n = 0.19999…96·n, whose floor is one SHORT for n
+    # divisible by 5 — a one-shingle-too-small prefix is a recall hole
+    # (found as a missing pair at sf0.1; the rounding restores the
+    # exact rational before the ceil).
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 6)).cast("int")
+        + 1
+    )
+    prefix = (
+        ex.withColumn("pos", F.row_number().over(order_w))
+        .where(F.col("pos") <= prefix_len)
+        .select("doc_id", "n_sh", "s")
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    cand = (
+        a.join(b, "s")
+        .where(
+            # length filter on 6-dp-rounded products (same FP edge as
+            # the prefix: 0.8·15 = 12.000…02 would wrongly prune an
+            # exactly-τ containment pair)
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.round(F.col("n_b") * F.lit(threshold), 6) <= F.col("n_a"))
+            & (F.round(F.col("n_a") * F.lit(threshold), 6) <= F.col("n_b"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh.select(F.col("doc_id").alias("doc_a"), F.col("hashes").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), F.col("hashes").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            ratio(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.orderBy("doc_a", "doc_b")

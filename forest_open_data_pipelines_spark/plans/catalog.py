@@ -146,6 +146,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "govbr_freshness_labels": lambda s, d: freshness.govbr_freshness_labels(
         load_table(s, d, "documents")
     ),
+    "dedup_ngram_ppjoin": lambda s, d: dedup.dedup_ngram_ppjoin(
+        load_table(s, d, "documents")
+    ),
     # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
@@ -166,7 +169,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
         load_table(s, d, "embeddings")
     ),
-    "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
     "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
     "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
         timeseries.nation_month_matrix(_enriched(s, d))
@@ -352,6 +354,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
     "nation_year_matrix": lambda s, d: timeseries.nation_year_matrix(_enriched(s, d)),
+    "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
 }
 
 # First name past the driver window; everything from here on is parked.

@@ -1420,3 +1420,32 @@ def test_mensal_links_keep_last_and_query_rejection(spark):
     assert {r.yyyymm for r in filtered} == {
         k for k in expected if k // 100 == y
     }
+
+
+def test_ppjoin_equals_stoplist_ngram_and_finds_planted_pair(spark):
+    """Prefix filtering is exact: ppjoin's output must equal the
+    stop-list variant's on this corpus (where the cap is inert), and a
+    planted pair differing only in its LAST frequency-ordered shingle
+    (outside the Jaccard-τ prefix of neither doc... i.e. still inside
+    both prefixes by the theorem) must be found."""
+    docs = load_table(spark, SF_DIR, "documents")
+    pp = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_ppjoin(docs).collect()
+    }
+    base = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_ngram_jaccard(docs).collect()
+    }
+    assert pp == base
+    # planted near-identical pair: 20-word doc, one word changed at the
+    # end → shingle overlap 17/21 ≈ 0.81 ≥ 0.8
+    words = [f"w{i}" for i in range(20)]
+    t1 = " ".join(words)
+    t2 = " ".join(words[:-1] + ["zz"])
+    planted = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, "totally different text entirely here")],
+        "doc_id long, text string",
+    )
+    rows = dedup.dedup_ngram_ppjoin(planted).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
