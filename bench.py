@@ -64,6 +64,10 @@ HEADLINE = [
     "payload_merge_dedupe",
     "monthly_chart_spec_scoped",
     "anp_panel_payloads",
+    "dedup_ngram_ppjoin",
+    "corpus_curation",
+    "mensal_links",
+    "govbr_freshness_labels",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

@@ -169,3 +169,62 @@ def test_mensal_augmentation_reuses_cached_inputs(spark):
         assert plan.count("InMemoryTableScan") >= 4
     finally:
         release_persisted()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "payload_merge_dedupe",
+        "monthly_chart_spec_scoped",
+        "anp_panel_payloads",
+        "annual_reference_extract",
+        "mensal_links",
+        "govbr_freshness_labels",
+        "dedup_ngram_ppjoin",
+        "corpus_curation",
+        "dedup_ngram_jaccard",
+    ],
+)
+def test_round5_ops_no_python_row_eval(spark, name):
+    """Round-5 operators stay JVM-side (the one sanctioned Python
+    stage is simhash64's Arrow kernel, excluded here)."""
+    from forest_open_data_pipelines_spark.operators.dedup import release_persisted
+
+    try:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+    finally:
+        release_persisted()
+
+
+def test_mensal_links_and_govbr_are_pure_projections(spark):
+    """Both listing/label parsers prune to doc_id and never join; the
+    only shuffle is mensal's keep-last rank window (yyyymm keys)."""
+    for name in ("mensal_links", "govbr_freshness_labels"):
+        plan = _plan(spark, name)
+        assert "Join" not in plan, name
+        (schema,) = _read_schemas(plan)
+        assert schema == "doc_id:bigint", (name, schema)
+
+
+def test_chart_spec_scoped_single_fact_aggregation(spark):
+    """The carousel spec derives every scope from ONE grouping-sets
+    aggregate of the fact scan per consumer branch — the expand node
+    appears, and no per-scope filter stack of separate scans."""
+    plan = _plan(spark, "monthly_chart_spec_scoped")
+    assert "Expand" in plan  # grouping sets
+    orders_scans = [s for s in _read_schemas(plan) if "o_custkey" in s]
+    # ref scalar + pivot branches may rescan, but never once per scope
+    assert 0 < len(orders_scans) <= 3, orders_scans
+
+
+def test_ppjoin_prefix_join_no_cartesian(spark):
+    from forest_open_data_pipelines_spark.operators.dedup import release_persisted
+
+    try:
+        plan = _plan(spark, "dedup_ngram_ppjoin")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        release_persisted()
