@@ -73,13 +73,11 @@ def token_count(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def text_quality(documents: DataFrame) -> DataFrame:
-    """Per-document quality metrics and a composite score.
-
-    Length/punctuation/stopword-ratio heuristics in the spirit of the
-    reference's 'useful paragraph' filters, extended to the standard
-    LLM-corpus quality signals.
-    """
+def quality_metric_cols() -> tuple[Column, Column, Column, Column]:
+    """(n_tokens, stop_ratio, punct_ratio, score) expressions over the
+    ``text`` column — the single source of truth for the quality gate,
+    shared by batch ``text_quality``, ``curation.corpus_curation`` and
+    the streaming curation gate (pure projections, stream-safe)."""
     toks = _tokens(F.col("text"))
     n_tokens = F.size(toks)
     stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
@@ -97,6 +95,35 @@ def text_quality(documents: DataFrame) -> DataFrame:
         + (1.0 - punct_ratio) * 0.3
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
     )
+    return n_tokens, stop_ratio, punct_ratio, score
+
+
+def predicted_lang_col() -> Column:
+    """Single-expression language prediction over ``text`` — the
+    stream-safe form of ``lang_id``'s two-step select (identical
+    values; codegen CSE collapses the repeated score expressions).
+    Ties break in LANG_MARKERS order, matching ``lang_id``."""
+    score_exprs = {}
+    for code, markers in LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        score_exprs[code] = F.expr(
+            f"size(filter(split(lower(text), ' '), x -> x in ({lst})))"
+        )
+    best = F.greatest(*score_exprs.values())
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for code in LANG_MARKERS:
+        pred = pred.when(score_exprs[code] == best, F.lit(code))
+    return pred
+
+
+def text_quality(documents: DataFrame) -> DataFrame:
+    """Per-document quality metrics and a composite score.
+
+    Length/punctuation/stopword-ratio heuristics in the spirit of the
+    reference's 'useful paragraph' filters, extended to the standard
+    LLM-corpus quality signals.
+    """
+    n_tokens, stop_ratio, punct_ratio, score = quality_metric_cols()
     return documents.select(
         "doc_id",
         F.length("text").alias("n_chars"),

@@ -386,3 +386,60 @@ def test_region_counts_stream_matches_batch(spark, tmp_path):
         wrap_events_as_fire_detections(events)
     ).collect()}
     assert summed == card
+
+
+def test_curation_gate_stream_matches_batch_stages(spark, tmp_path):
+    """Replay the documents file twice: the gate stream must emit
+    exactly one record per content fingerprint the BATCH pipeline
+    classifies past the quality and lang stages (statuses kept /
+    exact_dup / near_dup all share a gate-passing fingerprint), and
+    every emitted record itself passes both gates."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        CURATION_MIN_QUALITY,
+        CURATION_MIN_TOKENS,
+        corpus_curation,
+    )
+    from forest_open_data_pipelines_spark.streaming.curation import (
+        curation_gate_stream,
+    )
+
+    src = tmp_path / "cur_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch2.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1))
+    )
+    query = (
+        curation_gate_stream(stream)
+        .writeStream.format("memory")
+        .queryName("curation_gate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_curation_gate"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM curation_gate_test").collect()
+    finally:
+        query.stop()
+    assert emitted, "gate stream emitted nothing"
+    fps = [r.content_fingerprint for r in emitted]
+    assert len(fps) == len(set(fps)), "duplicate fingerprint emitted"
+    for r in emitted:
+        assert r.n_tokens >= CURATION_MIN_TOKENS
+        assert r.quality_score >= CURATION_MIN_QUALITY
+        assert r.predicted_lang != "unknown"
+    batch = corpus_curation(docs, load_table(spark, SF_DIR, "embeddings")).collect()
+    gate_passing = {
+        r.content_fingerprint
+        for r in batch
+        if r.status not in ("quality", "lang")
+    }
+    assert set(fps) == gate_passing
