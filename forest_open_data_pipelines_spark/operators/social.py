@@ -811,7 +811,14 @@ def monthly_chart_spec_scoped(enriched: DataFrame) -> DataFrame:
         F.col("r_name")
     )
     wanted = [NATIONAL_SLUG] + [s for s in CAROUSEL_SCOPES if s is not None]
-    agg = (
+    # Persisted (≤ (scopes+1)·months·years rows): the reference-point,
+    # pivot and spine branches all consume this aggregate — without the
+    # persist each branch re-runs the fact scan + grouping-sets expand
+    # (released via dedup.release_persisted like the other cached
+    # intermediates).
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    agg = _persist(
         base.groupingSets(
             [["year", "month"], ["r_name", "year", "month"]],
             "r_name",
