@@ -1055,32 +1055,50 @@ def anp_panel_payloads(
         _pct_delta(F.col("b"), F.col("yoy_b")).alias("b_yoy"),
     )
 
-    def shares(prio: str, prefix: str) -> DataFrame:
-        per = (
-            enriched.where(F.col("o_orderpriority") == prio)
-            .join(F.broadcast(latest))
-            .where(
-                F.date_trunc("month", F.col("o_orderdate")).cast("date")
-                == F.col("latest_period")
-            )
-            .groupBy("n_name")
-            .agg(money(F.sum(price)).alias("value"))
-            .where(F.col("value") > 0)
+    # Both products' share tables come from ONE latest-month aggregate
+    # (grouped by priority) — a per-product filter chain would scan the
+    # fact table twice for identical partial sums.
+    per = (
+        enriched.where(F.col("o_orderpriority").isin(petro_priority, gas_priority))
+        .join(F.broadcast(latest))
+        .where(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date")
+            == F.col("latest_period")
         )
-        total = F.sum("value").over(Window.partitionBy())
-        rw = Window.orderBy(F.desc("value"), "n_name")
-        ranked = per.select(
-            "n_name",
-            F.round(F.col("value") / total * 100.0, 2).alias("share"),
-            F.row_number().over(rw).alias("rank"),
-        )
-        return ranked.agg(
-            F.count("*").alias(f"{prefix}_n"),
-            F.max(F.when(F.col("rank") == 1, F.col("n_name"))).alias(f"{prefix}_uf1"),
-            F.max(F.when(F.col("rank") == 1, F.col("share"))).alias(f"{prefix}_p1"),
-            F.max(F.when(F.col("rank") == 2, F.col("n_name"))).alias(f"{prefix}_uf2"),
-            F.max(F.when(F.col("rank") == 2, F.col("share"))).alias(f"{prefix}_p2"),
-        )
+        .groupBy("o_orderpriority", "n_name")
+        .agg(money(F.sum(price)).alias("value"))
+        .where(F.col("value") > 0)
+    )
+    total = F.sum("value").over(Window.partitionBy("o_orderpriority"))
+    rw = Window.partitionBy("o_orderpriority").orderBy(F.desc("value"), "n_name")
+    ranked = per.select(
+        "o_orderpriority",
+        "n_name",
+        F.round(F.col("value") / total * 100.0, 2).alias("share"),
+        F.row_number().over(rw).alias("rank"),
+    )
+
+    def _agg_shares(prio: str, prefix: str) -> list[Column]:
+        p = F.col("o_orderpriority") == prio
+        return [
+            F.sum(F.when(p, 1).otherwise(0)).alias(f"{prefix}_n"),
+            F.max(F.when(p & (F.col("rank") == 1), F.col("n_name"))).alias(
+                f"{prefix}_uf1"
+            ),
+            F.max(F.when(p & (F.col("rank") == 1), F.col("share"))).alias(
+                f"{prefix}_p1"
+            ),
+            F.max(F.when(p & (F.col("rank") == 2), F.col("n_name"))).alias(
+                f"{prefix}_uf2"
+            ),
+            F.max(F.when(p & (F.col("rank") == 2), F.col("share"))).alias(
+                f"{prefix}_p2"
+            ),
+        ]
+
+    share_summary = ranked.agg(
+        *_agg_shares(petro_priority, "pa"), *_agg_shares(gas_priority, "ga")
+    )
 
     national_text = F.concat(
         F.lit("Em "),
@@ -1153,8 +1171,7 @@ def anp_panel_payloads(
         ),
     )
     return (
-        metrics.join(F.broadcast(shares(petro_priority, "pa")))
-        .join(F.broadcast(shares(gas_priority, "ga")))
+        metrics.join(F.broadcast(share_summary))
         .select(
             F.explode(panels).alias("p"),
             F.date_format("period", "yyyy-MM-dd").alias("latest_period"),
