@@ -193,12 +193,19 @@ def test_watermark_drops_late_data(spark, tmp_path):
     schema = spark.createDataFrame(batch_a).schema
 
     def write_batch(rows, name, mtime):
-        p = str(src / name)
+        # Stage OUTSIDE the watched glob, rewind mtimes, then rename
+        # into place: writing in-place raced the FileStreamSource —
+        # if it listed the fresh file before the utime, the rewound
+        # mtime made the file "older than maxFileAge" and it was
+        # silently ignored (flaked under CPU contention).
+        staging = str(tmp_path / f"staging_{name}")
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(
             "overwrite"
-        ).parquet(p)
-        for f in os.listdir(p):
-            os.utime(os.path.join(p, f), (mtime, mtime))
+        ).parquet(staging)
+        for f in os.listdir(staging):
+            os.utime(os.path.join(staging, f), (mtime, mtime))
+        os.utime(staging, (mtime, mtime))
+        os.rename(staging, str(src / name))
 
     write_batch(batch_a, "a.parquet", 1_000_000)
     stream = (
