@@ -269,6 +269,60 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _govbr_resource_classify_sql() -> str:
+    """DuckDB twin of html.govbr_resource_classify with per-variant
+    expectations stated in CLOSED FORM (suffix, kind, period, direct,
+    metadata-sort hit) — PERIOD_RE's lookaround guards don't exist in
+    RE2, so the oracle never runs the regexes; only the single
+    manifest pick is computed structurally (rank window over the PDF
+    candidates), mirroring split_manifest_resources."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        _GOVBR_RESOURCE_KINDS,
+        GOVBR_RESOURCE_VARIANTS,
+    )
+
+    # (suffix, kind, period, direct, meta_sort_hit) per variant —
+    # derived by hand from the reference semantics; a classification
+    # change on the Spark side must break the hash compare.
+    expect = [
+        ("Dados mensais", ".csv", "data", "2021", True, False),
+        ("Metadados", ".pdf", "metadata", "current", True, True),
+        ("Documentos", ".pdf", "documentation", "current", True, False),
+        ("Dados", ".zip", "data", "2020-06", True, False),
+        ("", ".html", "data", "current", False, False),
+        ("Metadados", ".xlsx", "metadata", "current", True, True),
+        ("", ".txt", "data", "2019-12", True, False),
+        ("Sobre", ".pdf", "metadata", "current", True, True),
+    ]
+    rows = ", ".join(
+        f"({i}, '{GOVBR_RESOURCE_VARIANTS[i][0]}', '{sec}', '{suf}', '{kind}', "
+        f"'{per}', {str(direct).lower()}, {str(hit).lower()})"
+        for i, (sec, suf, kind, per, direct, hit) in enumerate(expect)
+    )
+    return f"""
+WITH variants(v, filename, section, suffix, kind, period, direct_download,
+              meta_hit) AS (VALUES {rows}),
+classified AS (
+  SELECT doc_id, filename, section, suffix, kind, period, direct_download,
+         meta_hit
+  FROM documents
+  JOIN variants ON v = (doc_id % {_GOVBR_RESOURCE_KINDS})::INT
+),
+picked AS (
+  SELECT doc_id AS picked_doc_id
+  FROM classified
+  WHERE suffix = '.pdf' AND kind IN ('metadata', 'documentation')
+  ORDER BY CASE WHEN meta_hit THEN 0 ELSE 1 END, filename, doc_id
+  LIMIT 1
+)
+SELECT doc_id, filename, section, suffix, kind, period, direct_download,
+       CASE WHEN doc_id = (SELECT picked_doc_id FROM picked)
+              THEN 'metadata_file'
+            WHEN kind IN ('metadata', 'documentation') THEN 'documentation'
+            ELSE 'data' END AS manifest_role
+FROM classified ORDER BY doc_id"""
+
+
 def _curation_sql(tq_sql: str, li_sql: str) -> str:
     """DuckDB twin of curation.corpus_curation, composed from the
     text_quality and lang_id oracle entries verbatim (wrapped as
@@ -2087,6 +2141,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "mensal_links": _mensal_links_sql(),
         "govbr_freshness_labels": _govbr_freshness_sql(),
         "dedup_ngram_ppjoin": _ngram_exact_sql(),
+        "govbr_resource_classify": _govbr_resource_classify_sql(),
         "annual_reference_extract": f"""
 WITH {ENRICHED},
 annual AS (

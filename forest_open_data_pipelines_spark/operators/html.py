@@ -699,3 +699,148 @@ def mensal_links(documents: DataFrame, year: int | None = None) -> DataFrame:
     if year is not None:
         out = out.where(F.col("year") == year)
     return out
+
+
+# ── gov.br resource classification + manifest split ─────────────────────────
+
+# Reference: datasets/anp/govbr.py:29-48 — required-parity constants.
+GOVBR_DOWNLOAD_SUFFIXES = (
+    ".csv", ".zip", ".xls", ".xlsx", ".json", ".xml", ".txt", ".pdf",
+    ".doc", ".docx", ".ods", ".odt", ".shp", ".geojson", ".gpkg", ".kml",
+)
+GOVBR_DATA_SUFFIXES = tuple(s for s in GOVBR_DOWNLOAD_SUFFIXES if s != ".pdf")
+GOVBR_METADATA_RE = r"(?i)(meta|metadado|metadados|dicionario|dicionário|layout|readme)"
+# (?<!\d)/(?!\d) guards need Java regex (RE2 lacks lookaround) — the
+# oracle therefore derives period expectations in closed form.
+GOVBR_PERIOD_RE = r"(?<!\d)((?:19|20)\d{2})(?:[-_]?([01]\d))?(?!\d)"
+
+_GOVBR_RESOURCE_KINDS = 8
+
+GOVBR_RESOURCE_VARIANTS = (
+    ("producao_petroleo_2021.csv", "Produção de petróleo 2021", "Dados mensais"),
+    ("dicionario_dados.pdf", "Dicionário de dados", "Metadados"),
+    ("relatorio_anual.pdf", "Relatório anual", "Documentos"),
+    ("serie_2020_06.zip", "Série histórica 2020_06", "Dados"),
+    ("consulta.html", "Página de consulta", ""),
+    ("metadados_layout.xlsx", "Layout", "Metadados"),
+    ("notas_2019-12.txt", "Notas 2019-12", ""),
+    ("README.pdf", "readme", "Sobre"),
+)
+
+
+def wrap_documents_as_govbr_resources(documents: DataFrame) -> DataFrame:
+    """Render documents as extracted resource-link rows (filename,
+    label, section) cycled by doc_id — every classification branch
+    fires: metadata hits in filename and in label (accented and
+    case-insensitive), data suffixes, a non-metadata PDF, an unknown
+    suffix, and YYYY / YYYY_MM / YYYY-MM / absent periods."""
+    fn = F.array(*[F.lit(v[0]) for v in GOVBR_RESOURCE_VARIANTS])
+    lb = F.array(*[F.lit(v[1]) for v in GOVBR_RESOURCE_VARIANTS])
+    sec = F.array(*[F.lit(v[2]) for v in GOVBR_RESOURCE_VARIANTS])
+    idx = (F.col("doc_id") % _GOVBR_RESOURCE_KINDS + 1).cast("int")
+    return documents.select(
+        "doc_id",
+        F.element_at(fn, idx).alias("filename"),
+        F.element_at(lb, idx).alias("label"),
+        F.element_at(sec, idx).alias("section"),
+    )
+
+
+def _govbr_suffix(filename) -> "Column":
+    """``_suffix`` twin (govbr.py:256-261): longest known download
+    suffix by endswith, else the plain path suffix."""
+    lower = F.lower(filename)
+    out = F.regexp_extract(lower, r"(\.[^.]*)$", 1)
+    for ext in sorted(GOVBR_DOWNLOAD_SUFFIXES, key=len):
+        out = F.when(lower.endswith(ext), F.lit(ext)).otherwise(out)
+    return out
+
+
+def govbr_resource_classify(documents: DataFrame) -> DataFrame:
+    """Classify gov.br resource links and assign manifest roles.
+
+    Reference: datasets/anp/govbr.py:345-442 —
+    ``_period_from_text`` (PERIOD_RE over filename+label+section:
+    'YYYY', 'YYYY-MM' (folding '_' to '-'), else 'current'),
+    ``_resource_kind`` (METADATA_RE over filename+label → metadata;
+    data suffix → data; .pdf → documentation; else data),
+    ``_suffix`` longest-match, direct_download = known suffix, and
+    ``split_manifest_resources`` + ``_metadata_sort_key``: ONE
+    metadata_file — the first PDF with kind metadata/documentation
+    ordered by (metadata-regex miss, filename) — then every other
+    metadata/documentation resource is 'documentation' and the rest
+    'data'. The pick's tie-break across identical filenames is doc_id
+    (the reference sorts a per-page list where ties can't arise).
+
+    Scale: classification is a pure projection; the single manifest
+    pick is a rank window over the (tiny) PDF-candidate subset only.
+    """
+    r = wrap_documents_as_govbr_resources(documents)
+    target = F.concat(F.col("filename"), F.lit(" "), F.col("label"))
+    meta_hit = target.rlike(GOVBR_METADATA_RE)
+    suffix = _govbr_suffix(F.col("filename"))
+    kind = (
+        F.when(meta_hit, F.lit("metadata"))
+        .when(suffix.isin(*GOVBR_DATA_SUFFIXES), F.lit("data"))
+        .when(suffix == ".pdf", F.lit("documentation"))
+        .otherwise(F.lit("data"))
+    )
+    period_text = F.concat_ws(" ", "filename", "label", "section")
+    yr = F.regexp_extract(period_text, GOVBR_PERIOD_RE, 1)
+    mo = F.regexp_extract(period_text, GOVBR_PERIOD_RE, 2)
+    period = (
+        F.when(yr == "", F.lit("current"))
+        .when(mo == "", yr)
+        .otherwise(F.concat(yr, F.lit("-"), mo))
+    )
+    title = F.when(F.col("label") != "", F.col("label")).otherwise(F.col("filename"))
+    classified = r.select(
+        "doc_id",
+        "filename",
+        "label",
+        "section",
+        suffix.alias("suffix"),
+        kind.alias("kind"),
+        period.alias("period"),
+        suffix.isin(*GOVBR_DOWNLOAD_SUFFIXES).alias("direct_download"),
+        F.lower(F.concat(F.col("filename"), F.lit(" "), title))
+        .rlike(GOVBR_METADATA_RE)
+        .alias("_meta_sort_hit"),
+    )
+    is_candidate = (F.col("suffix") == ".pdf") & F.col("kind").isin(
+        "metadata", "documentation"
+    )
+    pick_w = Window.orderBy(
+        F.when(F.col("_meta_sort_hit"), 0).otherwise(1), "filename", "doc_id"
+    )
+    picked = (
+        classified.where(is_candidate)
+        .withColumn("rn", F.row_number().over(pick_w))
+        .where(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("picked_doc_id"))
+    )
+    role = (
+        F.when(F.col("picked_doc_id").isNotNull(), F.lit("metadata_file"))
+        .when(
+            F.col("kind").isin("metadata", "documentation"), F.lit("documentation")
+        )
+        .otherwise(F.lit("data"))
+    )
+    return (
+        classified.join(
+            F.broadcast(picked),
+            classified.doc_id == F.col("picked_doc_id"),
+            "left",
+        )
+        .select(
+            "doc_id",
+            "filename",
+            "section",
+            "suffix",
+            "kind",
+            "period",
+            "direct_download",
+            role.alias("manifest_role"),
+        )
+        .orderBy("doc_id")
+    )

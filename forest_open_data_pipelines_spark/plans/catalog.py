@@ -153,6 +153,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "govbr_resource_classify": lambda s, d: html.govbr_resource_classify(
+        load_table(s, d, "documents")
+    ),
     # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
@@ -175,9 +178,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
     "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
-        _enriched(s, d)
-    ),
-    "region_nation_cube": lambda s, d: relational.region_nation_cube(
         _enriched(s, d)
     ),
     "promo_revenue_share": lambda s, d: relational.promo_revenue_share(
@@ -358,6 +358,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_by_region": lambda s, d: timeseries.monthly_by_region(_enriched(s, d)),
     "same_month_prev_year": lambda s, d: timeseries.same_month_prev_year(
         timeseries.nation_month_matrix(_enriched(s, d))
+    ),
+    "region_nation_cube": lambda s, d: relational.region_nation_cube(
+        _enriched(s, d)
     ),
 }
 

@@ -1505,3 +1505,26 @@ def test_corpus_curation_statuses_cover_corpus(spark):
     assert "kept" in statuses and statuses <= {
         "kept", "quality", "lang", "exact_dup", "near_dup"
     }
+
+
+def test_govbr_resource_classify_pick_and_kinds(spark):
+    """Exactly ONE metadata_file across the corpus — the README.pdf
+    row with the smallest doc_id (metadata-hit PDFs sort before the
+    non-hit relatorio PDF, 'R' < 'd' binary order, doc_id tie-break);
+    every metadata/documentation kind otherwise maps to the
+    documentation role and periods fold '_' to '-'."""
+    from forest_open_data_pipelines_spark.operators import html as h
+
+    rows = h.govbr_resource_classify(load_table(spark, SF_DIR, "documents")).collect()
+    picks = [r for r in rows if r.manifest_role == "metadata_file"]
+    assert len(picks) == 1
+    assert picks[0].filename == "README.pdf" and picks[0].doc_id == 7
+    for r in rows:
+        if r.manifest_role == "documentation":
+            assert r.kind in ("metadata", "documentation")
+        if r.kind == "data":
+            assert r.manifest_role == "data"
+        if r.filename == "serie_2020_06.zip":
+            assert r.period == "2020-06"
+        if r.filename == "consulta.html":
+            assert r.suffix == ".html" and not r.direct_download
