@@ -269,6 +269,61 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _cvm_latest_zips_sql() -> str:
+    """DuckDB twin of html.cvm_latest_zips: identical url derivation,
+    last-path-segment name (query intact), RE_ZIP period parse,
+    (period DESC, url) stable cut, last-meta-in-sorted-order pick."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        _CVM_URL_KINDS,
+        CVM_BASE_URL,
+        CVM_LATEST_MONTHS,
+    )
+
+    re_zip = r"(?i)inf_diario_fi_(\d{6})\.zip$"
+    return f"""
+WITH seeds AS (
+  SELECT doc_id, (doc_id % 6 + 2019)::VARCHAR
+           || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS ym
+  FROM documents
+),
+urls AS (
+  SELECT DISTINCT
+    (['{CVM_BASE_URL}inf_diario_fi_' || ym || '.zip',
+      '{CVM_BASE_URL}INF_DIARIO_FI_' || ym || '.ZIP',
+      '{CVM_BASE_URL}meta_inf_diario_fi.txt',
+      '{CVM_BASE_URL}relatorio_' || ym || '.pdf',
+      '{CVM_BASE_URL}inf_diario_fi_' || ym || '.zip?download=1'
+     ])[(doc_id % {_CVM_URL_KINDS})::INT + 1] AS url
+  FROM seeds
+),
+named AS (SELECT url, string_split(url, '/')[-1] AS name FROM urls),
+classified AS (
+  SELECT url,
+         (lower(name) LIKE '%.txt'
+          AND contains(lower(name), 'meta_inf_diario_fi')) AS is_meta,
+         nullif(regexp_extract(name, '{re_zip}', 1), '') AS ym
+  FROM named
+),
+zips AS (
+  SELECT url, substr(ym, 1, 4) || '-' || substr(ym, 5, 2) AS period
+  FROM classified WHERE NOT is_meta AND ym IS NOT NULL
+),
+kept AS (
+  SELECT 'zip' AS kind, period, url,
+         row_number() OVER (ORDER BY period DESC, url) AS rn
+  FROM zips
+),
+meta AS (
+  SELECT 'meta' AS kind, NULL::VARCHAR AS period, url,
+         row_number() OVER (ORDER BY url DESC) AS rn
+  FROM classified WHERE is_meta
+)
+SELECT kind, period, url FROM kept WHERE rn <= {CVM_LATEST_MONTHS}
+UNION ALL
+SELECT kind, period, url FROM meta WHERE rn = 1
+ORDER BY kind, period DESC NULLS LAST, url"""
+
+
 def _govbr_resource_classify_sql() -> str:
     """DuckDB twin of html.govbr_resource_classify with per-variant
     expectations stated in CLOSED FORM (suffix, kind, period, direct,
@@ -2142,6 +2197,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "govbr_freshness_labels": _govbr_freshness_sql(),
         "dedup_ngram_ppjoin": _ngram_exact_sql(),
         "govbr_resource_classify": _govbr_resource_classify_sql(),
+        "cvm_latest_zips": _cvm_latest_zips_sql(),
         "annual_reference_extract": f"""
 WITH {ENRICHED},
 annual AS (

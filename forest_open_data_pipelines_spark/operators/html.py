@@ -844,3 +844,90 @@ def govbr_resource_classify(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ── CVM dataset resource selection (inf_diario latest months) ───────────────
+
+CVM_BASE_URL = "https://data.example/cvm/"
+# Reference: datasets/cvm/fi_inf_diario.py:16 — required-parity regex.
+RE_CVM_ZIP = r"(?i)inf_diario_fi_(\d{6})\.zip$"
+CVM_LATEST_MONTHS = 6
+
+_CVM_URL_KINDS = 5
+
+
+def wrap_documents_as_cvm_urls(documents: DataFrame) -> DataFrame:
+    """Render documents as CKAN resource URLs cycled by doc_id: a
+    lowercase monthly zip, an UPPERCASE variant ((?i) path), the meta
+    .txt, a non-matching pdf, and a query-string zip (the reference's
+    ``u.split('/')[-1]`` keeps the query, so ``.zip$`` rejects it)."""
+    yyyymm = F.concat(
+        (F.col("doc_id") % 6 + 2019).cast("string"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+    )
+    kinds = F.array(
+        F.concat(F.lit(CVM_BASE_URL), F.lit("inf_diario_fi_"), yyyymm, F.lit(".zip")),
+        F.concat(F.lit(CVM_BASE_URL), F.lit("INF_DIARIO_FI_"), yyyymm, F.lit(".ZIP")),
+        F.concat(F.lit(CVM_BASE_URL), F.lit("meta_inf_diario_fi.txt")),
+        F.concat(F.lit(CVM_BASE_URL), F.lit("relatorio_"), yyyymm, F.lit(".pdf")),
+        F.concat(
+            F.lit(CVM_BASE_URL), F.lit("inf_diario_fi_"), yyyymm,
+            F.lit(".zip?download=1"),
+        ),
+    )
+    return documents.select(
+        F.element_at(kinds, (F.col("doc_id") % _CVM_URL_KINDS + 1).cast("int")).alias(
+            "url"
+        )
+    )
+
+
+def cvm_latest_zips(
+    documents: DataFrame, latest_months: int = CVM_LATEST_MONTHS
+) -> DataFrame:
+    """Latest-N monthly zips + the meta file from a CKAN resource list.
+
+    Reference: datasets/cvm/fi_inf_diario.py:73-110
+    (``extract_resource_urls`` dedupes + sorts the urls;
+    ``pick_latest_zip_urls`` walks them keeping the LAST
+    meta_inf_diario_fi .txt seen, parses RE_ZIP periods from the last
+    path segment — query strings intact, so ``?download`` links are
+    rejected — then sorts (period DESC, stable) and cuts to
+    ``latest_months``). The stable cut within equal periods preserves
+    the sorted-url order, reproduced here as (period DESC, url ASC)
+    rank. Output: 'zip' rows (period, url) inside the cut plus one
+    'meta' row (NULL period).
+
+    Scale: url classification is a projection off the scan; the rank
+    runs over ≤ #distinct-period·variants rows after a distinct.
+    """
+    urls = wrap_documents_as_cvm_urls(documents).distinct()
+    name = F.element_at(F.split(F.col("url"), "/"), -1)
+    yyyymm = F.regexp_extract(name, RE_CVM_ZIP, 1)
+    period = F.concat(
+        F.substring(yyyymm, 1, 4), F.lit("-"), F.substring(yyyymm, 5, 2)
+    )
+    is_meta = F.lower(name).endswith(".txt") & F.lower(name).contains(
+        "meta_inf_diario_fi"
+    )
+    classified = urls.select(
+        "url",
+        is_meta.alias("is_meta"),
+        F.when(yyyymm != "", period).alias("period"),
+    )
+    zips = classified.where(~F.col("is_meta") & F.col("period").isNotNull())
+    w = Window.orderBy(F.desc("period"), "url")
+    kept = (
+        zips.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= latest_months)
+        .select(F.lit("zip").alias("kind"), "period", "url")
+    )
+    # the reference keeps the LAST matching meta url in sorted order
+    meta_w = Window.orderBy(F.desc("url"))
+    meta = (
+        classified.where(F.col("is_meta"))
+        .withColumn("rn", F.row_number().over(meta_w))
+        .where(F.col("rn") == 1)
+        .select(F.lit("meta").alias("kind"), F.lit(None).cast("string").alias("period"), "url")
+    )
+    return kept.unionByName(meta).orderBy("kind", F.desc_nulls_last("period"), "url")

@@ -156,6 +156,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "govbr_resource_classify": lambda s, d: html.govbr_resource_classify(
         load_table(s, d, "documents")
     ),
+    "cvm_latest_zips": lambda s, d: html.cvm_latest_zips(
+        load_table(s, d, "documents")
+    ),
     # ── Round-4 additions: r4-green, held another round ─────────────
     "region_rank": lambda s, d: social.region_rank(
         social.wrap_events_as_fire_detections(load_table(s, d, "events"))
@@ -179,9 +182,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
     "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
         _enriched(s, d)
-    ),
-    "promo_revenue_share": lambda s, d: relational.promo_revenue_share(
-        *_t(s, d, "lineitem", "part")
     ),
     "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
         load_table(s, d, "events")
@@ -361,6 +361,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "region_nation_cube": lambda s, d: relational.region_nation_cube(
         _enriched(s, d)
+    ),
+    "promo_revenue_share": lambda s, d: relational.promo_revenue_share(
+        *_t(s, d, "lineitem", "part")
     ),
 }
 
