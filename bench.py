@@ -68,6 +68,8 @@ HEADLINE = [
     "corpus_curation",
     "mensal_links",
     "govbr_freshness_labels",
+    "govbr_resource_classify",
+    "cvm_latest_zips",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.
