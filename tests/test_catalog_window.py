@@ -17,13 +17,26 @@ from forest_open_data_pipelines_spark.plans.catalog import (
 
 # Entries that need a driver row THIS round and must stay inside the
 # window: the four r4-parked entries getting their FIRST driver rows
-# (judge r4 item 1) plus this round's new operators.
+# (judge r4 item 1) plus every round-5 operator (also first rows).
 MUST_BE_IN_WINDOW = {
     # first driver rows ever (added parked in r4)
     "sanitize_slide_text",
     "anp_resource_urls",
     "monthly_by_region_augmented",
     "ann_topk_ivf_trained",
+    # round-5 operators (first driver rows)
+    "dedup_simhash64",
+    "payload_merge_dedupe",
+    "payload_merge_dedupe_by_region",
+    "monthly_chart_spec_scoped",
+    "anp_panel_payloads",
+    "annual_reference_extract",
+    "mensal_links",
+    "govbr_freshness_labels",
+    "dedup_ngram_ppjoin",
+    "corpus_curation",
+    "govbr_resource_classify",
+    "cvm_latest_zips",
 }
 
 
