@@ -793,7 +793,9 @@ def dedup_ngram_ppjoin(
         - F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 6)).cast("int")
         + 1
     )
-    prefix = (
+    # Persisted: both equi-join sides consume the prefix — without it
+    # each side re-runs the explode + df window + rank window.
+    prefix = _persist(
         ex.withColumn("pos", F.row_number().over(order_w))
         .where(F.col("pos") <= prefix_len)
         .select("doc_id", "n_sh", "s")
