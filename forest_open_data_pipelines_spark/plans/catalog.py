@@ -153,6 +153,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "dedup_clusters": lambda s, d: dedup.dedup_clusters(
+        load_table(s, d, "documents")
+    ),
     "govbr_resource_classify": lambda s, d: html.govbr_resource_classify(
         load_table(s, d, "documents")
     ),
@@ -189,7 +192,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freshness_latest": lambda s, d: freshness.freshness_latest(
         load_table(s, d, "events")
     ),
-    "top_regions_yoy": lambda s, d: timeseries.top_regions_yoy(_enriched(s, d)),
     "monthly_chart_spec": lambda s, d: social.monthly_chart_spec(
         timeseries.monthly_series(_enriched(s, d))
     ),
@@ -262,6 +264,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # within DRIVER_CHECK_CAP.
     # ------------------------------------------------------------------
     "skew_two_phase_agg": lambda s, d: _skew_two_phase(s, d),
+    # parked late-r5 (r4-green driver rows on record) to make room for
+    # the second round-5 tranche (dedup_clusters, quality_repetition,
+    # pack_sequences, ckan_resource_select, supranational_items)
+    "top_regions_yoy": lambda s, d: timeseries.top_regions_yoy(_enriched(s, d)),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the
     # four first-driver-row rotations above

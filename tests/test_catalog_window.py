@@ -34,6 +34,7 @@ MUST_BE_IN_WINDOW = {
     "mensal_links",
     "govbr_freshness_labels",
     "dedup_ngram_ppjoin",
+    "dedup_clusters",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

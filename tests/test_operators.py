@@ -1528,3 +1528,62 @@ def test_govbr_resource_classify_pick_and_kinds(spark):
             assert r.period == "2020-06"
         if r.filename == "consulta.html":
             assert r.suffix == ".html" and not r.direct_download
+
+
+# ── dedup_clusters / connected_components ───────────────────────────────────
+
+
+def test_connected_components_chain_and_singletons(spark):
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 13)], ["doc_id"])
+    # chain 1-2-3-4-5 (depth forces >1 pointer-jump pass), star 7-{8,9},
+    # pair 10-11; 6 and 12 are singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8), (7, 9), (10, 11)],
+        ["doc_a", "doc_b"],
+    )
+    labels = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(nodes, pairs).collect()
+    }
+    assert labels == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        6: 6,
+        7: 7, 8: 7, 9: 7,
+        10: 10, 11: 10,
+        12: 12,
+    }
+
+
+def test_dedup_clusters_partitions_and_closes_pairs(spark, sf_dir):
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_ngram_jaccard,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup_clusters(docs).collect()
+    n_docs = docs.count()
+    # exactly one row per document
+    assert len(out) == n_docs
+    assert len({r["doc_id"] for r in out}) == n_docs
+    by_doc = {r["doc_id"]: r for r in out}
+    # cluster id is the component min and the canonical flag marks it
+    for r in out:
+        assert r["cluster_id"] <= r["doc_id"]
+        assert r["is_canonical"] == (r["doc_id"] == r["cluster_id"])
+    # every near-dup pair is closed into one cluster
+    for p in dedup_ngram_jaccard(docs).collect():
+        assert (
+            by_doc[p["doc_a"]]["cluster_id"] == by_doc[p["doc_b"]]["cluster_id"]
+        )
+    # cluster_size agrees with the actual partition
+    from collections import Counter
+
+    sizes = Counter(r["cluster_id"] for r in out)
+    for r in out:
+        assert r["cluster_size"] == sizes[r["cluster_id"]]
