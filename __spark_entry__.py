@@ -239,6 +239,53 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def _quality_repetition_sql() -> str:
+    """quality_repetition oracle: the same tagged gram streams built
+    with DuckDB list comprehensions instead of Catalyst transform();
+    the pass gate compares the ROUNDED ratios on both engines."""
+    return f"""
+WITH tok AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, 1 AS k, unnest(t) AS g FROM tok
+  UNION ALL
+  SELECT doc_id, 2 AS k,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                     ELSE [] END) AS g
+  FROM tok
+  UNION ALL
+  SELECT doc_id, 3 AS k,
+         unnest(CASE WHEN len(t) >= 3
+                     THEN [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                           for i in range(1, len(t) - 1)]
+                     ELSE [] END) AS g
+  FROM tok
+),
+counts AS (SELECT doc_id, k, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+per_k AS (
+  SELECT doc_id, k, max(c) AS max_c, count(*) AS n_distinct, sum(c) AS total
+  FROM counts GROUP BY 1, 2
+),
+m AS (
+  SELECT doc_id,
+    max(CASE WHEN k = 1 THEN total END)::BIGINT AS n_tokens,
+    round(max(CASE WHEN k = 1 THEN n_distinct END)::DOUBLE
+          / max(CASE WHEN k = 1 THEN total END), 6) AS distinct_ratio,
+    round(max(CASE WHEN k = 1 THEN max_c END)::DOUBLE
+          / max(CASE WHEN k = 1 THEN total END), 6) AS top_unigram_frac,
+    round(max(CASE WHEN k = 2 THEN max_c END)::DOUBLE
+          / max(CASE WHEN k = 2 THEN total END), 6) AS top_bigram_frac,
+    round(1 - max(CASE WHEN k = 3 THEN n_distinct END)::DOUBLE
+          / max(CASE WHEN k = 3 THEN total END), 6) AS dup_trigram_frac
+  FROM per_k GROUP BY doc_id
+)
+SELECT *,
+       (distinct_ratio >= 0.35 AND top_unigram_frac <= 0.12
+        AND coalesce(top_bigram_frac, 0) <= 0.08
+        AND coalesce(dup_trigram_frac, 0) <= 0.25) AS passes_repetition
+FROM m ORDER BY doc_id"""
+
+
 def _clusters_sql(threshold: float = 0.8) -> str:
     """dedup_clusters oracle: transitive closure (WITH RECURSIVE
     min-label reachability) over the stop-list-free exact near-dup
@@ -2238,6 +2285,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "govbr_freshness_labels": _govbr_freshness_sql(),
         "dedup_ngram_ppjoin": _ngram_exact_sql(),
         "dedup_clusters": _clusters_sql(),
+        "quality_repetition": _quality_repetition_sql(),
         "govbr_resource_classify": _govbr_resource_classify_sql(),
         "cvm_latest_zips": _cvm_latest_zips_sql(),
         "annual_reference_extract": f"""

@@ -392,3 +392,75 @@ def sanitize_slide_text(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", sanitize_slide_text_col(decorated).alias("slide_text")
     ).orderBy("doc_id")
+
+
+def quality_repetition(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition/diversity signals per document — the
+    corpus-curation filters that catch boilerplate and degenerate
+    generation loops (Rae et al. 2021 §A1.1 'repetition' filters,
+    public-paper semantics; no reference counterpart — first-class
+    LLM-training-data operator per the build brief).
+
+    Metrics over the lowercased whitespace-normalized token stream:
+      - n_tokens, distinct_ratio (type-token ratio)
+      - top_unigram_frac / top_bigram_frac — fraction of the gram
+        stream taken by the single most frequent uni/bigram
+      - dup_trigram_frac — fraction of trigram OCCURRENCES that are
+        repeats (1 − distinct/total)
+      - passes_repetition — the composite gate on the rounded ratios
+
+    Scale: ONE pass builds all three gram streams in-codegen (tagged
+    structs concatenated per row, a single explode — no per-k scans),
+    then two map-side-combinable aggregations (gram counts →
+    per-(doc,k) stats) and a conditional-agg fold to one row per doc.
+    Gram cardinality is O(total tokens); the groupBy keys are
+    (doc_id, k, gram) so hot boilerplate grams do NOT concentrate —
+    every key includes doc_id.
+    """
+    lower_toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    base = documents.select("doc_id", lower_toks.alias("t"))
+    uni = "transform(t, x -> struct(1 as k, x as g))"
+    bi = (
+        "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+        "i -> struct(2 as k, concat(t[i-1], ' ', t[i]) as g)) "
+        "ELSE array() END"
+    )
+    tri = (
+        "CASE WHEN size(t) >= 3 THEN transform(sequence(2, size(t) - 1), "
+        "i -> struct(3 as k, concat(t[i-2], ' ', t[i-1], ' ', t[i]) as g)) "
+        "ELSE array() END"
+    )
+    grams = base.select(
+        "doc_id",
+        F.explode(F.expr(f"concat({uni}, {bi}, {tri})")).alias("e"),
+    ).select("doc_id", F.col("e.k").alias("k"), F.col("e.g").alias("g"))
+    per_k = (
+        grams.groupBy("doc_id", "k", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.max("c").alias("max_c"),
+            F.count("*").alias("n_distinct"),
+            F.sum("c").alias("total"),
+        )
+    )
+
+    def _k(expr: Column, k: int) -> Column:
+        return F.max(F.when(F.col("k") == k, expr))
+
+    out = per_k.groupBy("doc_id").agg(
+        _k(F.col("total"), 1).alias("n_tokens"),
+        ratio(_k(F.col("n_distinct") / F.col("total"), 1)).alias("distinct_ratio"),
+        ratio(_k(F.col("max_c") / F.col("total"), 1)).alias("top_unigram_frac"),
+        ratio(_k(F.col("max_c") / F.col("total"), 2)).alias("top_bigram_frac"),
+        ratio(_k(1 - F.col("n_distinct") / F.col("total"), 3)).alias(
+            "dup_trigram_frac"
+        ),
+    )
+    passes = (
+        (F.col("distinct_ratio") >= 0.35)
+        & (F.col("top_unigram_frac") <= 0.12)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.08)
+        & (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) <= 0.25)
+    )
+    return out.withColumn("passes_repetition", passes).orderBy("doc_id")

@@ -153,6 +153,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "quality_repetition": lambda s, d: textops.quality_repetition(
+        load_table(s, d, "documents")
+    ),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(
         load_table(s, d, "documents")
     ),
@@ -191,9 +194,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "freshness_latest": lambda s, d: freshness.freshness_latest(
         load_table(s, d, "events")
-    ),
-    "monthly_chart_spec": lambda s, d: social.monthly_chart_spec(
-        timeseries.monthly_series(_enriched(s, d))
     ),
     "top_nations_with_other": lambda s, d: social.top_n_with_other(
         _enriched(s, d)
@@ -268,6 +268,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the second round-5 tranche (dedup_clusters, quality_repetition,
     # pack_sequences, ckan_resource_select, supranational_items)
     "top_regions_yoy": lambda s, d: timeseries.top_regions_yoy(_enriched(s, d)),
+    "monthly_chart_spec": lambda s, d: social.monthly_chart_spec(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the
     # four first-driver-row rotations above

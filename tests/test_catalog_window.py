@@ -35,6 +35,7 @@ MUST_BE_IN_WINDOW = {
     "govbr_freshness_labels",
     "dedup_ngram_ppjoin",
     "dedup_clusters",
+    "quality_repetition",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

@@ -1587,3 +1587,37 @@ def test_dedup_clusters_partitions_and_closes_pairs(spark, sf_dir):
     sizes = Counter(r["cluster_id"] for r in out)
     for r in out:
         assert r["cluster_size"] == sizes[r["cluster_id"]]
+
+
+def test_quality_repetition_degenerate_and_short_docs(spark):
+    from forest_open_data_pipelines_spark.operators.textops import (
+        quality_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 49 + "spam", "en", "s", 0),  # 50× one token
+            (2, "one two", "en", "s", 0),  # no trigram stream
+            (3, "only", "en", "s", 0),  # single token: no bi/trigram
+            (4, " ".join(f"w{i}" for i in range(40)), "en", "s", 0),  # diverse
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in quality_repetition(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 50
+    assert r1["distinct_ratio"] == round(1 / 50, 6)
+    assert r1["top_unigram_frac"] == 1.0
+    assert r1["top_bigram_frac"] == 1.0
+    assert r1["dup_trigram_frac"] == round(1 - 1 / 48, 6)
+    assert not r1["passes_repetition"]
+    r2 = rows[2]
+    assert r2["n_tokens"] == 2 and r2["dup_trigram_frac"] is None
+    assert r2["top_bigram_frac"] == 1.0
+    r3 = rows[3]
+    assert r3["top_bigram_frac"] is None and r3["dup_trigram_frac"] is None
+    assert r3["distinct_ratio"] == 1.0
+    r4 = rows[4]
+    assert r4["distinct_ratio"] == 1.0
+    assert r4["dup_trigram_frac"] == 0.0
+    assert r4["passes_repetition"]
