@@ -239,6 +239,34 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def _pack_sequences_sql(budget: int = 256) -> str:
+    """pack_sequences oracle: the greedy per-stream walk expressed as a
+    DuckDB recursive CTE that advances every source's stream one row
+    per iteration (breadth across sources, depth = max docs/source) —
+    a declarative twin that cannot share a state bug with the Arrow
+    kernel."""
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id,
+         len(string_split({CLEAN}, ' '))::BIGINT AS n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk(source, rn, doc_id, n_tokens, seq_id, off) AS (
+  SELECT source, rn, doc_id, n_tokens, 0::BIGINT, 0::BIGINT
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN w.off + w.n_tokens + d.n_tokens <= {budget}
+              THEN w.seq_id ELSE w.seq_id + 1 END,
+         CASE WHEN w.off + w.n_tokens + d.n_tokens <= {budget}
+              THEN w.off + w.n_tokens ELSE 0::BIGINT END
+  FROM walk w JOIN d ON d.source = w.source AND d.rn = w.rn + 1
+)
+SELECT source, doc_id, n_tokens, seq_id, off AS offset_in_seq
+FROM walk ORDER BY doc_id"""
+
+
 def _quality_repetition_sql() -> str:
     """quality_repetition oracle: the same tagged gram streams built
     with DuckDB list comprehensions instead of Catalyst transform();
@@ -2286,6 +2314,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "dedup_ngram_ppjoin": _ngram_exact_sql(),
         "dedup_clusters": _clusters_sql(),
         "quality_repetition": _quality_repetition_sql(),
+        "pack_sequences": _pack_sequences_sql(),
         "govbr_resource_classify": _govbr_resource_classify_sql(),
         "cvm_latest_zips": _cvm_latest_zips_sql(),
         "annual_reference_extract": f"""

@@ -16,6 +16,7 @@ from forest_open_data_pipelines_spark.operators import (
     html,
     manifests,
     multimodal,
+    packing,
     profiling,
     relational,
     sessionize,
@@ -153,6 +154,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "pack_sequences": lambda s, d: packing.pack_sequences(
+        load_table(s, d, "documents")
+    ),
     "quality_repetition": lambda s, d: textops.quality_repetition(
         load_table(s, d, "documents")
     ),
@@ -190,9 +194,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _enriched(s, d)
     ),
     "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
-        load_table(s, d, "events")
-    ),
-    "freshness_latest": lambda s, d: freshness.freshness_latest(
         load_table(s, d, "events")
     ),
     "top_nations_with_other": lambda s, d: social.top_n_with_other(
@@ -270,6 +271,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_regions_yoy": lambda s, d: timeseries.top_regions_yoy(_enriched(s, d)),
     "monthly_chart_spec": lambda s, d: social.monthly_chart_spec(
         timeseries.monthly_series(_enriched(s, d))
+    ),
+    "freshness_latest": lambda s, d: freshness.freshness_latest(
+        load_table(s, d, "events")
     ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the

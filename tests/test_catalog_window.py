@@ -36,6 +36,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_ngram_ppjoin",
     "dedup_clusters",
     "quality_repetition",
+    "pack_sequences",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

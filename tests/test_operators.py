@@ -1621,3 +1621,65 @@ def test_quality_repetition_degenerate_and_short_docs(spark):
     assert r4["distinct_ratio"] == 1.0
     assert r4["dup_trigram_frac"] == 0.0
     assert r4["passes_repetition"]
+
+
+def test_pack_sequences_invariants_and_shards(spark, sf_dir):
+    from forest_open_data_pipelines_spark.operators.packing import pack_sequences
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 256
+    rows = pack_sequences(docs, budget=budget).collect()
+    assert len(rows) == docs.count()  # every doc packed exactly once
+    # per-(source, seq) fills respect the budget; offsets are the
+    # running fill; greedy: a doc opens a new seq only when it would
+    # not fit the previous one
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        streams[r["source"]].append(r)
+    for src, rs in streams.items():
+        fill = defaultdict(int)
+        prev_seq = 0
+        for r in rs:
+            assert r["offset_in_seq"] == fill[r["seq_id"]]
+            fill[r["seq_id"]] += r["n_tokens"]
+            if r["seq_id"] != prev_seq:
+                assert r["seq_id"] == prev_seq + 1  # seqs open in order
+                # it genuinely did not fit the previous sequence
+                assert fill[prev_seq] + r["n_tokens"] > budget
+                prev_seq = r["seq_id"]
+        assert all(
+            v <= budget or len([r for r in rs if r["seq_id"] == k]) == 1
+            for k, v in fill.items()
+        )
+    # sharded variant (the corpus-scale path): same invariants per
+    # (source, shard) stream, every doc still packed exactly once
+    sharded = pack_sequences(docs, budget=budget, n_shards=4).collect()
+    assert len(sharded) == len(rows)
+    by_stream = defaultdict(list)
+    for r in sorted(sharded, key=lambda r: r["doc_id"]):
+        by_stream[(r["source"], r["doc_id"] % 4)].append(r)
+    for rs in by_stream.values():
+        fill = defaultdict(int)
+        for r in rs:
+            assert r["offset_in_seq"] == fill[r["seq_id"]]
+            fill[r["seq_id"]] += r["n_tokens"]
+
+
+def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
+    from forest_open_data_pipelines_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a " * 9 + "a", "en", "s", 0),  # 10 tokens
+            (2, "b " * 39 + "b", "en", "s", 0),  # 40 > budget
+            (3, "c " * 4 + "c", "en", "s", 0),  # 5 tokens
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in pack_sequences(docs, budget=16).collect()}
+    assert (rows[1]["seq_id"], rows[1]["offset_in_seq"]) == (0, 0)
+    assert (rows[2]["seq_id"], rows[2]["offset_in_seq"]) == (1, 0)  # overflows alone
+    assert (rows[3]["seq_id"], rows[3]["offset_in_seq"]) == (2, 0)
