@@ -239,6 +239,59 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def _ckan_resource_select_sql(latest: int = 6) -> str:
+    """ckan_resource_select oracle in CLOSED FORM from the wrapper's
+    doc_id arithmetic (kinds 0/1/4/6 are data, 2 is the metadata
+    dictionary, 3/5/7 are dropped by host/exclude/include): RE2 has no
+    lookarounds, so the oracle states what DEFAULT_PERIOD_RE and
+    _safe_filename must produce instead of re-running them — the same
+    approach govbr_resource_classify uses."""
+    return f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 8 AS k,
+         (doc_id % 6 + 2019)::VARCHAR AS yyyy,
+         lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS mm
+  FROM documents
+),
+rows_ AS (
+  SELECT doc_id,
+    CASE WHEN k = 2 THEN 'meta' ELSE 'data' END AS kind,
+    CASE k
+      WHEN 0 THEN 'inf_diario_fi_' || yyyy || mm || '.zip'
+      WHEN 1 THEN 'inf_anual_' || yyyy || '.zip'
+      WHEN 2 THEN 'dicionario_inf_diario.txt'
+      WHEN 4 THEN 'Relat_rio_Inf_' || yyyy || mm || '.csv'
+      WHEN 6 THEN 'inf_geral.csv' END AS filename,
+    CASE k
+      WHEN 0 THEN yyyy || '-' || mm
+      WHEN 1 THEN yyyy
+      WHEN 2 THEN 'current'
+      WHEN 4 THEN yyyy || '-' || mm
+      WHEN 6 THEN '2024-03-15' END AS period,
+    CASE k
+      WHEN 0 THEN 'https://dados.cvm.gov.br/data/inf_diario_fi_' || yyyy || mm || '.zip'
+      WHEN 1 THEN 'https://dados.cvm.gov.br/data/inf_anual_' || yyyy || '.zip'
+      WHEN 2 THEN 'https://dados.cvm.gov.br/meta/dicionario_inf_diario.txt'
+      WHEN 4 THEN 'https://www.gov.br/view'
+      WHEN 6 THEN 'https://dados.cvm.gov.br/data/inf_geral.csv' END AS url
+  FROM base WHERE k IN (0, 1, 2, 4, 6)
+),
+data_ AS (
+  SELECT 'data' AS kind,
+         row_number() OVER (ORDER BY period DESC, filename DESC, doc_id)
+           AS sel_rank,
+         period, filename, url, doc_id
+  FROM rows_ WHERE kind = 'data'
+  QUALIFY sel_rank <= {latest}
+),
+meta_ AS (
+  SELECT 'meta' AS kind, row_number() OVER (ORDER BY doc_id) AS sel_rank,
+         period, filename, url, doc_id
+  FROM rows_ WHERE kind = 'meta'
+)
+SELECT * FROM data_ UNION ALL SELECT * FROM meta_ ORDER BY kind, sel_rank"""
+
+
 def _pack_sequences_sql(budget: int = 256) -> str:
     """pack_sequences oracle: the greedy per-stream walk expressed as a
     DuckDB recursive CTE that advances every source's stream one row
@@ -2315,6 +2368,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "dedup_clusters": _clusters_sql(),
         "quality_repetition": _quality_repetition_sql(),
         "pack_sequences": _pack_sequences_sql(),
+        "ckan_resource_select": _ckan_resource_select_sql(),
         "govbr_resource_classify": _govbr_resource_classify_sql(),
         "cvm_latest_zips": _cvm_latest_zips_sql(),
         "annual_reference_extract": f"""

@@ -931,3 +931,190 @@ def cvm_latest_zips(
         .select(F.lit("meta").alias("kind"), F.lit(None).cast("string").alias("period"), "url")
     )
     return kept.unionByName(meta).orderBy("kind", F.desc_nulls_last("period"), "url")
+
+
+# ── Generic CVM CKAN dataset resource selection ─────────────────────────────
+
+CKAN_ALLOWED_HOSTS = ("dados.cvm.gov.br", "www.gov.br", "portaldatransparencia.gov.br")
+# Reference: datasets/cvm/ckan_dataset.py:21-22 — required-parity regexes.
+CKAN_METADATA_HINT_RE = r"(?i)(meta|metadado|dicionario|dicionário|layout|readme)"
+CKAN_PERIOD_RE = r"(?<!\d)((?:19|20)\d{2})(?:[-_]?([01]\d))?(?!\d)"
+# The fixed DatasetCfg this operator instantiates (the reference loads
+# per-dataset YAML; the classification math is identical for any cfg).
+CKAN_INCLUDE_RE = r"(?i)inf_"
+CKAN_EXCLUDE_RE = r"(?i)backup"
+CKAN_LATEST = 6
+
+_CKAN_KINDS = 8
+_CKAN_BAD_NAMES = ("view", "baixar", "consulta")
+
+
+def wrap_documents_as_ckan_resources(documents: DataFrame) -> DataFrame:
+    """Render documents as CKAN resource records cycled by doc_id,
+    exercising every branch of the reference's selection: a monthly
+    zip, an annual zip, the metadata dictionary, a disallowed host, a
+    '/view' URL whose filename falls back to _safe_filename(name,
+    format), an include-hit zip excluded by pattern, a period-less csv
+    dated by last_modified, and an include-miss csv."""
+    yyyy = (F.col("doc_id") % 6 + 2019).cast("string")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    ym = F.concat(yyyy, mm)
+    base = "https://dados.cvm.gov.br/data/"
+    rows = F.array(
+        F.struct(
+            F.concat(F.lit(base), F.lit("inf_diario_fi_"), ym, F.lit(".zip")).alias("url"),
+            F.concat(F.lit("Informe diário "), ym).alias("name"),
+            F.lit("").alias("description"),
+            F.lit("zip").alias("format"),
+            F.lit("").alias("last_modified"),
+        ),
+        F.struct(
+            F.concat(F.lit(base), F.lit("inf_anual_"), yyyy, F.lit(".zip")).alias("url"),
+            F.concat(F.lit("Informe anual "), yyyy).alias("name"),
+            F.lit("").alias("description"),
+            F.lit("zip").alias("format"),
+            F.lit("").alias("last_modified"),
+        ),
+        F.struct(
+            F.lit("https://dados.cvm.gov.br/meta/dicionario_inf_diario.txt").alias("url"),
+            F.lit("Dicionário de dados").alias("name"),
+            F.lit("Layout do arquivo").alias("description"),
+            F.lit("txt").alias("format"),
+            F.lit("").alias("last_modified"),
+        ),
+        F.struct(
+            F.concat(F.lit("https://evil.example/inf_diario_fi_"), ym, F.lit(".zip")).alias("url"),
+            F.lit("Fora do domínio").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("zip").alias("format"),
+            F.lit("").alias("last_modified"),
+        ),
+        F.struct(
+            F.lit("https://www.gov.br/view").alias("url"),
+            F.concat(F.lit("Relatório Inf "), ym).alias("name"),
+            F.lit("").alias("description"),
+            F.lit("csv").alias("format"),
+            F.lit("").alias("last_modified"),
+        ),
+        F.struct(
+            F.concat(F.lit(base), F.lit("inf_diario_fi_"), ym, F.lit("_backup.zip")).alias("url"),
+            F.lit("Backup").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("zip").alias("format"),
+            F.lit("").alias("last_modified"),
+        ),
+        F.struct(
+            F.concat(F.lit(base), F.lit("inf_geral.csv")).alias("url"),
+            F.lit("Informe geral").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("csv").alias("format"),
+            F.lit("2024-03-15T10:00:00").alias("last_modified"),
+        ),
+        F.struct(
+            F.concat(F.lit(base), F.lit("outros_dados.csv")).alias("url"),
+            F.lit("Outros dados").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("csv").alias("format"),
+            F.lit("").alias("last_modified"),
+        ),
+    )
+    picked = F.element_at(rows, (F.col("doc_id") % _CKAN_KINDS + 1).cast("int"))
+    return documents.select("doc_id", picked.alias("r")).select("doc_id", "r.*")
+
+
+def ckan_resource_select(
+    documents: DataFrame, latest: int = CKAN_LATEST
+) -> DataFrame:
+    """Generic CVM CKAN dataset resource selection.
+
+    Reference: datasets/cvm/ckan_dataset.py:185-277 —
+    ``is_allowed_download_url`` (http/https + host allowlist),
+    ``filename_from_resource`` (URL path basename if it has an
+    extension and is not view/baixar/consulta, else
+    ``_safe_filename(name or path or 'download', format)`` — the
+    ``[^A-Za-z0-9._-]+ → _`` fold with '._-' strip and format-suffix
+    append), ``resource_allowed`` (include/exclude regex over filename
+    OR the filename+name+description+format target),
+    ``is_metadata_resource`` (METADATA_HINT_RE over
+    filename+name+description), ``period_from_resource``
+    (DEFAULT_PERIOD_RE 'YYYY[-_]?MM' with digit-boundary lookarounds
+    over filename+name, else a date-shaped last_modified prefix, else
+    'current'), and ``select_resources`` (data sorted (period,
+    filename) DESC — Python stable sort, so ties keep list order =
+    doc_id — cut to the latest-N, metadata appended after).
+
+    Output: one row per SELECTED resource: kind ('data'|'meta'),
+    sel_rank within its kind, period, filename, url, doc_id.
+
+    Scale: pure projection + one rank window over the (bounded)
+    allowed subset; no joins. The lookaround regex runs JVM-side; the
+    DuckDB oracle states the expectations in closed form from the
+    wrapper's doc_id arithmetic (RE2 has no lookarounds — same
+    approach as govbr_resource_classify).
+    """
+    r = wrap_documents_as_ckan_resources(documents)
+    scheme_host = F.regexp_extract(F.col("url"), r"^(https?)://([^/]+)", 2)
+    allowed_host = (F.col("url") != "") & F.lower(scheme_host).isin(
+        *CKAN_ALLOWED_HOSTS
+    )
+    path = F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]+", "")
+    path_name = F.element_at(F.split(path, "/"), -1)
+    keep_path_name = (
+        (path_name != "")
+        & ~F.lower(path_name).isin(*_CKAN_BAD_NAMES)
+        & path_name.contains(".")
+    )
+    fallback = F.when(F.col("name") != "", F.col("name")).otherwise(
+        F.when(path_name != "", path_name).otherwise(F.lit("download"))
+    )
+    safe = F.regexp_replace(
+        F.regexp_replace(F.trim(fallback), r"[^A-Za-z0-9._-]+", "_"),
+        r"^[._-]+|[._-]+$",
+        "",
+    )
+    safe = F.when(safe == "", F.lit("download")).otherwise(safe)
+    fmt = F.lower(F.trim(F.col("format")))
+    safe = F.when(
+        (fmt != "") & ~F.lower(safe).endswith(F.concat(F.lit("."), fmt)),
+        F.concat(safe, F.lit("."), fmt),
+    ).otherwise(safe)
+    filename = F.when(keep_path_name, path_name).otherwise(safe)
+    target = F.concat_ws(" ", filename, "name", "description", "format")
+    include_ok = filename.rlike(CKAN_INCLUDE_RE) | target.rlike(CKAN_INCLUDE_RE)
+    exclude_hit = filename.rlike(CKAN_EXCLUDE_RE) | target.rlike(CKAN_EXCLUDE_RE)
+    is_meta = F.concat_ws(" ", filename, "name", "description").rlike(
+        CKAN_METADATA_HINT_RE
+    )
+    period_target = F.concat_ws(" ", filename, "name")
+    yr = F.regexp_extract(period_target, CKAN_PERIOD_RE, 1)
+    mo = F.regexp_extract(period_target, CKAN_PERIOD_RE, 2)
+    modified = F.col("last_modified")
+    period = (
+        F.when((yr != "") & (mo != ""), F.concat(yr, F.lit("-"), mo))
+        .when(yr != "", yr)
+        .when(
+            modified.rlike(r"^\d{4}-\d{2}-\d{2}"), F.substring(modified, 1, 10)
+        )
+        .otherwise(F.lit("current"))
+    )
+    classified = r.where(allowed_host & include_ok & ~exclude_hit).select(
+        "doc_id",
+        F.col("url"),
+        filename.alias("filename"),
+        period.alias("period"),
+        is_meta.alias("is_meta"),
+    )
+    data_w = Window.orderBy(F.desc("period"), F.desc("filename"), "doc_id")
+    data = (
+        classified.where(~F.col("is_meta"))
+        .withColumn("sel_rank", F.row_number().over(data_w))
+        .where(F.col("sel_rank") <= latest)
+        .select(F.lit("data").alias("kind"), "sel_rank", "period", "filename", "url", "doc_id")
+    )
+    meta_w = Window.orderBy("doc_id")
+    meta = (
+        classified.where(F.col("is_meta"))
+        .withColumn("sel_rank", F.row_number().over(meta_w))
+        .select(F.lit("meta").alias("kind"), "sel_rank", "period", "filename", "url", "doc_id")
+    )
+    return data.unionByName(meta).orderBy("kind", "sel_rank")

@@ -154,6 +154,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "ckan_resource_select": lambda s, d: html.ckan_resource_select(
+        load_table(s, d, "documents")
+    ),
     "pack_sequences": lambda s, d: packing.pack_sequences(
         load_table(s, d, "documents")
     ),
@@ -192,9 +195,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
     "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
         _enriched(s, d)
-    ),
-    "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
-        load_table(s, d, "events")
     ),
     "top_nations_with_other": lambda s, d: social.top_n_with_other(
         _enriched(s, d)
@@ -273,6 +273,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         timeseries.monthly_series(_enriched(s, d))
     ),
     "freshness_latest": lambda s, d: freshness.freshness_latest(
+        load_table(s, d, "events")
+    ),
+    "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
         load_table(s, d, "events")
     ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),

@@ -37,6 +37,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_clusters",
     "quality_repetition",
     "pack_sequences",
+    "ckan_resource_select",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

@@ -1683,3 +1683,82 @@ def test_pack_sequences_oversized_doc_gets_own_sequence(spark):
     assert (rows[1]["seq_id"], rows[1]["offset_in_seq"]) == (0, 0)
     assert (rows[2]["seq_id"], rows[2]["offset_in_seq"]) == (1, 0)  # overflows alone
     assert (rows[3]["seq_id"], rows[3]["offset_in_seq"]) == (2, 0)
+
+
+def test_ckan_resource_select_matches_reference_semantics(spark, sf_dir):
+    """In-test stdlib twin of datasets/cvm/ckan_dataset.py:185-277
+    (urlparse/Path-based, independent of the Catalyst expressions)
+    applied to the same wrapped resources must produce the identical
+    selection."""
+    import re
+    from pathlib import Path
+    from urllib.parse import unquote, urlparse
+
+    from forest_open_data_pipelines_spark.operators.html import (
+        CKAN_LATEST,
+        ckan_resource_select,
+        wrap_documents_as_ckan_resources,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    resources = [
+        r.asDict()
+        for r in wrap_documents_as_ckan_resources(docs).orderBy("doc_id").collect()
+    ]
+
+    allowed_hosts = {"dados.cvm.gov.br", "www.gov.br", "portaldatransparencia.gov.br"}
+    meta_re = re.compile(r"(meta|metadado|dicionario|dicionário|layout|readme)", re.I)
+    period_re = re.compile(r"(?<!\d)((?:19|20)\d{2})(?:[-_]?([01]\d))?(?!\d)")
+
+    def fname(res):
+        name = Path(unquote(urlparse(res["url"]).path)).name
+        if name and name.lower() not in {"view", "baixar", "consulta"} and "." in name:
+            return name
+        fallback = res["name"] or name or "download"
+        fmt = res["format"].strip().lower()
+        out = re.sub(r"[^A-Za-z0-9._-]+", "_", fallback.strip()).strip("._-") or "download"
+        if fmt and not out.lower().endswith(f".{fmt}"):
+            out = f"{out}.{fmt}"
+        return out
+
+    def allowed(res):
+        p = urlparse(res["url"])
+        if p.scheme not in {"http", "https"} or p.netloc.lower() not in allowed_hosts:
+            return False
+        f = fname(res)
+        target = " ".join([f, res["name"], res["description"], res["format"]])
+        if not (re.search("inf_", f, re.I) or re.search("inf_", target, re.I)):
+            return False
+        if re.search("backup", f, re.I) or re.search("backup", target, re.I):
+            return False
+        return True
+
+    def period(res):
+        target = " ".join([fname(res), res["name"]])
+        m = period_re.search(target)
+        if m:
+            y, mo = m.groups()
+            return f"{y}-{mo}" if mo else y
+        mod = res["last_modified"].strip()
+        if len(mod) >= 10 and re.match(r"\d{4}-\d{2}-\d{2}", mod):
+            return mod[:10]
+        return "current"
+
+    kept = [r for r in resources if allowed(r)]
+    meta = [r for r in kept if meta_re.search(" ".join([fname(r), r["name"], r["description"]]))]
+    data = [r for r in kept if r not in meta]
+    data.sort(key=lambda r: (period(r), fname(r)), reverse=True)
+    data = data[:CKAN_LATEST]
+    expected = [
+        ("data", i + 1, period(r), fname(r), r["url"], r["doc_id"])
+        for i, r in enumerate(data)
+    ] + [
+        ("meta", i + 1, period(r), fname(r), r["url"], r["doc_id"])
+        for i, r in enumerate(meta)
+    ]
+    got = [
+        (r["kind"], r["sel_rank"], r["period"], r["filename"], r["url"], r["doc_id"])
+        for r in ckan_resource_select(docs).collect()
+    ]
+    assert got == expected
