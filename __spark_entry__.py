@@ -239,6 +239,53 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def _supranational_items_sql() -> str:
+    """supranational_items oracle in closed form from the wrapper's
+    doc_id arithmetic (kinds 0-8 map 1:1 to policy branches); RE2 has
+    no lookarounds, so period expectations are stated, not re-derived."""
+    return """
+WITH base AS (
+  SELECT doc_id, doc_id % 9 AS k,
+         (doc_id % 6 + 2019)::VARCHAR AS yyyy,
+         lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS mm
+  FROM documents
+)
+SELECT doc_id,
+  CASE k
+    WHEN 0 THEN 'https://data.worldbank.org/bulk/WDI_' || yyyy || '.csv'
+    WHEN 1 THEN 'https://files.fao.org/prod/QCL_' || yyyy || mm || '.csv.gz'
+    WHEN 2 THEN 'https://data.worldbank.org/download/wdi-extra-' || yyyy
+    WHEN 3 THEN 'https://data.worldbank.org/bulk/WDI_old_' || yyyy || '.csv'
+    WHEN 4 THEN 'https://data.worldbank.org/vis?id=' || doc_id::VARCHAR
+    WHEN 5 THEN 'http://data.worldbank.org/bulk/WDI_' || yyyy || '.csv'
+    WHEN 6 THEN 'https://example.org/data_' || yyyy || '.csv'
+    WHEN 7 THEN 'https://files.fao.org/prod/archive_' || yyyy || '.csv'
+    WHEN 8 THEN 'https://data.worldbank.org/download/wdi-notes' END AS url,
+  CASE k
+    WHEN 0 THEN 'accepted' WHEN 1 THEN 'accepted' WHEN 2 THEN 'accepted'
+    WHEN 3 THEN 'inactive'
+    WHEN 4 THEN 'url_policy' WHEN 5 THEN 'url_policy' WHEN 6 THEN 'url_policy'
+    WHEN 7 THEN 'exclude_hit'
+    WHEN 8 THEN 'format_gate' END AS reason,
+  CASE k
+    WHEN 0 THEN 'WDI_' || yyyy || '.csv'
+    WHEN 1 THEN 'QCL_' || yyyy || mm || '.csv.gz'
+    WHEN 2 THEN 'wdi-extra-' || yyyy END AS filename,
+  CASE k
+    WHEN 0 THEN 'WDI ' || yyyy
+    WHEN 1 THEN 'QCL bulk'
+    WHEN 2 THEN 'WDI extra' END AS title,
+  CASE k
+    WHEN 0 THEN yyyy
+    WHEN 1 THEN yyyy || '-' || mm
+    WHEN 2 THEN yyyy END AS period,
+  CASE k
+    WHEN 0 THEN 'csv'
+    WHEN 1 THEN 'csv.gz'
+    WHEN 2 THEN 'unknown' END AS format
+FROM base ORDER BY doc_id"""
+
+
 def _ckan_resource_select_sql(latest: int = 6) -> str:
     """ckan_resource_select oracle in CLOSED FORM from the wrapper's
     doc_id arithmetic (kinds 0/1/4/6 are data, 2 is the metadata
@@ -2369,6 +2416,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "quality_repetition": _quality_repetition_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "ckan_resource_select": _ckan_resource_select_sql(),
+        "supranational_items": _supranational_items_sql(),
         "govbr_resource_classify": _govbr_resource_classify_sql(),
         "cvm_latest_zips": _cvm_latest_zips_sql(),
         "annual_reference_extract": f"""

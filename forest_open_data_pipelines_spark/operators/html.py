@@ -1118,3 +1118,195 @@ def ckan_resource_select(
         .select(F.lit("meta").alias("kind"), "sel_rank", "period", "filename", "url", "doc_id")
     )
     return data.unionByName(meta).orderBy("kind", "sel_rank")
+
+
+# ── Supranational URL-only CKAN resource policy ─────────────────────────────
+
+SUPRA_ALLOWED_HOSTS = ("data.worldbank.org", "files.fao.org")
+# Reference: datasets/supranational/runner.py:41-67 — parity constants.
+SUPRA_FILE_SUFFIX_RE = r"\.(csv|gz|geojson|json|kml|rds|tif|tiff|xls|xlsx|xml|zip)$"
+SUPRA_FILE_FORMATS = (
+    "CSV", "GEOJSON", "JSON", "KML", "RDS", "TIF", "TIFF", "XLS", "XLSX", "ZIP",
+)
+SUPRA_BLOCKED_MARKERS = (
+    "datastore_search", "/api/3/action/datastore", "/vis?", "preview",
+    "map_key", "token=", "signature=",
+)
+SUPRA_EXCLUDE_RE = r"(?i)archive"
+SUPRA_PERIOD_RE = r"(?<!\d)((?:19|20)\d{2})(?:[-_]?([01]\d))?(?!\d)"
+
+_SUPRA_KINDS = 9
+
+
+def wrap_documents_as_supra_resources(documents: DataFrame) -> DataFrame:
+    """Render documents as supranational CKAN resources cycled by
+    doc_id, one kind per policy branch: suffix-accepted csv, the
+    .csv.gz special case, a /download/ endpoint with CKAN format, an
+    inactive resource, a blocked-marker URL, an http URL, a foreign
+    host, an exclude-pattern hit, and a /download/ endpoint whose
+    format is not a file format (the format-gate failure)."""
+    yyyy = (F.col("doc_id") % 6 + 2019).cast("string")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    wb = "https://data.worldbank.org"
+    fao = "https://files.fao.org"
+    rows = F.array(
+        F.struct(
+            F.lit("active").alias("state"),
+            F.concat(F.lit(f"{wb}/bulk/WDI_"), yyyy, F.lit(".csv")).alias("url"),
+            F.concat(F.lit("WDI "), yyyy).alias("name"),
+            F.lit("World Development Indicators bulk").alias("description"),
+            F.lit("CSV").alias("format"),
+        ),
+        F.struct(
+            F.lit("active").alias("state"),
+            F.concat(F.lit(f"{fao}/prod/QCL_"), yyyy, mm, F.lit(".csv.gz")).alias("url"),
+            F.lit("QCL bulk").alias("name"),
+            F.lit("Crops and livestock products").alias("description"),
+            F.lit("CSV").alias("format"),
+        ),
+        F.struct(
+            F.lit("active").alias("state"),
+            F.concat(F.lit(f"{wb}/download/wdi-extra-"), yyyy).alias("url"),
+            F.lit("WDI extra").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("ZIP").alias("format"),
+        ),
+        F.struct(
+            F.lit("deleted").alias("state"),
+            F.concat(F.lit(f"{wb}/bulk/WDI_old_"), yyyy, F.lit(".csv")).alias("url"),
+            F.lit("WDI old").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("CSV").alias("format"),
+        ),
+        F.struct(
+            F.lit("active").alias("state"),
+            F.concat(F.lit(f"{wb}/vis?id="), F.col("doc_id").cast("string")).alias("url"),
+            F.lit("Visualização").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("CSV").alias("format"),
+        ),
+        F.struct(
+            F.lit("active").alias("state"),
+            F.concat(F.lit("http://data.worldbank.org/bulk/WDI_"), yyyy, F.lit(".csv")).alias("url"),
+            F.lit("WDI http").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("CSV").alias("format"),
+        ),
+        F.struct(
+            F.lit("active").alias("state"),
+            F.concat(F.lit("https://example.org/data_"), yyyy, F.lit(".csv")).alias("url"),
+            F.lit("Foreign host").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("CSV").alias("format"),
+        ),
+        F.struct(
+            F.lit("active").alias("state"),
+            F.concat(F.lit(f"{fao}/prod/archive_"), yyyy, F.lit(".csv")).alias("url"),
+            F.lit("Arquivo histórico").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("CSV").alias("format"),
+        ),
+        F.struct(
+            F.lit("active").alias("state"),
+            F.lit(f"{wb}/download/wdi-notes").alias("url"),
+            F.lit("WDI notes").alias("name"),
+            F.lit("").alias("description"),
+            F.lit("HTML").alias("format"),
+        ),
+    )
+    picked = F.element_at(rows, (F.col("doc_id") % _SUPRA_KINDS + 1).cast("int"))
+    return documents.select("doc_id", picked.alias("r")).select("doc_id", "r.*")
+
+
+def supranational_items(documents: DataFrame) -> DataFrame:
+    """Supranational URL-only CKAN policy classification + item rows.
+
+    Reference: datasets/supranational/runner.py:396-421
+    ``_ckan_resource_allowed`` (active state → ``_url_allowed`` with
+    allow_download_endpoint — https, host allowlist, blocked-marker
+    substring scan on the lowered URL, then /download/ path OR file
+    suffix — → format gate (suffix OR /download/ + CKAN format in
+    FILE_FORMATS) → include/exclude regex over the
+    filename+name+description+format target), and :332-346
+    ``_items_from_ckan`` item shaping (title = name or filename,
+    filename = ``filename_from_url`` basename, period =
+    ``_period_from_text(name + ' ' + url)`` with the 'Atual'
+    fallback, format = ``_format_from_filename`` with the '.csv.gz'
+    special case and 'unknown' for suffix-less names, :491-518).
+
+    One row per resource with the FIRST failing policy stage as
+    ``reason`` ('inactive', 'url_policy', 'format_gate',
+    'exclude_hit') or 'accepted' with the item fields populated
+    (blocked rows carry NULL item fields — the reference only counts
+    them as omitted).
+
+    Scale: pure projection, no joins/windows; the lookaround period
+    regex runs JVM-side and the DuckDB oracle states expectations in
+    closed form from the wrapper arithmetic.
+    """
+    r = wrap_documents_as_supra_resources(documents)
+    url_l = F.lower(F.col("url"))
+    scheme = F.regexp_extract(F.col("url"), r"^([a-z]+)://", 1)
+    host = F.lower(F.regexp_extract(F.col("url"), r"^[a-z]+://([^/]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]+", ""), r"[?#].*$", ""
+    )
+    marker_hit = F.lit(False)
+    for m in SUPRA_BLOCKED_MARKERS:
+        marker_hit = marker_hit | url_l.contains(m)
+    suffix_ok = F.lower(path).rlike(SUPRA_FILE_SUFFIX_RE)
+    download_ep = F.lower(path).contains("/download/")
+    url_ok = (
+        (scheme == "https")
+        & (host != "")
+        & host.isin(*SUPRA_ALLOWED_HOSTS)
+        & ~marker_hit
+        & (download_ep | suffix_ok)
+    )
+    fmt_ckan = F.upper(F.trim(F.col("format")))
+    format_ok = suffix_ok | (
+        url_l.contains("/download/") & fmt_ckan.isin(*SUPRA_FILE_FORMATS)
+    )
+    filename = F.element_at(F.split(path, "/"), -1)
+    filename = F.when(filename == "", F.lit("download")).otherwise(filename)
+    target = F.concat_ws(" ", filename, "name", "description", "format")
+    exclude_hit = target.rlike(SUPRA_EXCLUDE_RE)
+    reason = (
+        F.when(F.lower(F.col("state")) != "active", F.lit("inactive"))
+        .when(~url_ok, F.lit("url_policy"))
+        .when(~format_ok, F.lit("format_gate"))
+        .when(exclude_hit, F.lit("exclude_hit"))
+        .otherwise(F.lit("accepted"))
+    )
+    period_target = F.concat_ws(" ", "name", "url")
+    yr = F.regexp_extract(period_target, SUPRA_PERIOD_RE, 1)
+    mo = F.regexp_extract(period_target, SUPRA_PERIOD_RE, 2)
+    period = (
+        F.when((yr != "") & (mo != ""), F.concat(yr, F.lit("-"), mo))
+        .when(yr != "", yr)
+        .otherwise(F.lit("Atual"))
+    )
+    fmt_file = F.when(
+        F.lower(filename).endswith(".csv.gz"), F.lit("csv.gz")
+    ).otherwise(
+        F.when(
+            F.lower(filename).rlike(r"\.[a-z0-9]+$"),
+            F.regexp_extract(F.lower(filename), r"\.([a-z0-9]+)$", 1),
+        ).otherwise(F.lit("unknown"))
+    )
+    title = F.when(F.col("name") != "", F.col("name")).otherwise(filename)
+    acc = F.col("reason") == "accepted"
+    ns = F.lit(None).cast("string")
+    return (
+        r.withColumn("reason", reason)
+        .select(
+            "doc_id",
+            "url",
+            "reason",
+            F.when(acc, filename).otherwise(ns).alias("filename"),
+            F.when(acc, title).otherwise(ns).alias("title"),
+            F.when(acc, period).otherwise(ns).alias("period"),
+            F.when(acc, fmt_file).otherwise(ns).alias("format"),
+        )
+        .orderBy("doc_id")
+    )

@@ -154,6 +154,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "supranational_items": lambda s, d: html.supranational_items(
+        load_table(s, d, "documents")
+    ),
     "ckan_resource_select": lambda s, d: html.ckan_resource_select(
         load_table(s, d, "documents")
     ),
@@ -194,9 +197,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
     "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
-        _enriched(s, d)
-    ),
-    "top_nations_with_other": lambda s, d: social.top_n_with_other(
         _enriched(s, d)
     ),
     # ── Holdovers: entries whose code paths changed this round (tz
@@ -277,6 +277,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "series_alignment_metrics": lambda s, d: social.series_alignment_metrics(
         load_table(s, d, "events")
+    ),
+    "top_nations_with_other": lambda s, d: social.top_n_with_other(
+        _enriched(s, d)
     ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the

@@ -38,6 +38,7 @@ MUST_BE_IN_WINDOW = {
     "quality_repetition",
     "pack_sequences",
     "ckan_resource_select",
+    "supranational_items",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

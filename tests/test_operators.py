@@ -1762,3 +1762,91 @@ def test_ckan_resource_select_matches_reference_semantics(spark, sf_dir):
         for r in ckan_resource_select(docs).collect()
     ]
     assert got == expected
+
+
+def test_supranational_items_matches_reference_semantics(spark, sf_dir):
+    """In-test stdlib twin of datasets/supranational/runner.py:396-518
+    (_ckan_resource_allowed / _url_allowed / filename_from_url /
+    _period_from_text / _format_from_filename, with
+    allow_download_endpoint=True) applied to the same wrapped
+    resources must classify identically."""
+    import re
+    from pathlib import Path
+    from urllib.parse import unquote, urlparse
+
+    from forest_open_data_pipelines_spark.operators.html import (
+        supranational_items,
+        wrap_documents_as_supra_resources,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    suffixes = (".csv", ".csv.gz", ".gz", ".geojson", ".json", ".kml",
+                ".rds", ".tif", ".tiff", ".xls", ".xlsx", ".xml", ".zip")
+    formats = {"CSV", "GEOJSON", "JSON", "KML", "RDS", "TIF", "TIFF",
+               "XLS", "XLSX", "ZIP"}
+    markers = ("datastore_search", "/api/3/action/datastore", "/vis?",
+               "preview", "map_key", "token=", "signature=")
+    hosts = {"data.worldbank.org", "files.fao.org"}
+
+    def suffix_ok(url):
+        path = unquote(urlparse(url).path).lower()
+        return any(path.endswith(s) for s in suffixes)
+
+    def url_ok(url):
+        p = urlparse(url)
+        host = p.netloc.lower()
+        if p.scheme != "https" or not host or host not in hosts:
+            return False
+        if any(m in url.lower() for m in markers):
+            return False
+        if "/download/" in p.path.lower():
+            return True
+        return suffix_ok(url)
+
+    def fname(url):
+        return Path(unquote(urlparse(url).path)).name or "download"
+
+    def period(text):
+        m = re.search(r"(?<!\d)((?:19|20)\d{2})(?:[-_]?([01]\d))?(?!\d)", text)
+        if not m:
+            return "Atual"
+        y, mo = m.groups()
+        return f"{y}-{mo}" if mo else y
+
+    def fformat(filename):
+        if filename.lower().endswith(".csv.gz"):
+            return "csv.gz"
+        return Path(filename).suffix.lower().lstrip(".") or "unknown"
+
+    def classify(res):
+        if (res["state"] or "active").lower() != "active":
+            return "inactive"
+        url = res["url"].strip()
+        if not url or not url_ok(url):
+            return "url_policy"
+        fmt = res["format"].strip().upper()
+        if not (suffix_ok(url) or ("/download/" in url.lower() and fmt in formats)):
+            return "format_gate"
+        target = " ".join(
+            [fname(url), res["name"], res["description"], res["format"]]
+        )
+        if re.search("archive", target, re.I):
+            return "exclude_hit"
+        return "accepted"
+
+    docs = load_table(spark, sf_dir, "documents")
+    resources = {
+        r["doc_id"]: r.asDict()
+        for r in wrap_documents_as_supra_resources(docs).collect()
+    }
+    for row in supranational_items(docs).collect():
+        res = resources[row["doc_id"]]
+        assert row["reason"] == classify(res), res
+        if row["reason"] == "accepted":
+            f = fname(res["url"])
+            assert row["filename"] == f
+            assert row["title"] == (res["name"] or f)
+            assert row["period"] == period(" ".join([res["name"], res["url"]]))
+            assert row["format"] == fformat(f)
+        else:
+            assert row["filename"] is None and row["period"] is None
