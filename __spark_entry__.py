@@ -981,6 +981,66 @@ deduped AS (
 SELECT period, year, value FROM deduped WHERE rn = 1 ORDER BY period, year"""
 
 
+def _payload_merge_scoped_sql() -> str:
+    """payload_merge_dedupe_scoped oracle: the national merge (with
+    trim) unioned with every carousel biome's merge, dedupe partitioned
+    by (scope, period, year)."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        PAYLOAD_COPY_PERTURBATION as PERT,
+    )
+
+    return f"""
+WITH {ENRICHED}, {MONTHLY},
+basenat AS (
+  SELECT period, substr(period, 1, 4)::INT AS year, n_orders::BIGINT AS value
+  FROM monthly
+),
+paynat AS (
+  SELECT period, year, year * 2 AS file_rank, year AS inferred_year, value
+  FROM basenat
+  UNION ALL
+  SELECT period, year, year * 2 + 1, year, value + {PERT} FROM basenat
+  UNION ALL
+  SELECT period, year, (year - 1) * 2, year - 1, value FROM basenat
+),
+nat AS (
+  SELECT 'nacional' AS scope_slug, period, year, value,
+         row_number() OVER (PARTITION BY period, year ORDER BY file_rank) AS rn
+  FROM paynat WHERE year = inferred_year
+),
+byregion AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS period, r_name, count(*) AS n_orders
+  FROM enriched GROUP BY 1, 2
+),
+basereg AS (
+  SELECT period, substr(period, 1, 4)::INT AS year,
+         CASE WHEN substr(period, 6, 2)::INT % 2 = 0 THEN lower(r_name)
+              ELSE '  ' || r_name || ' ' END AS biome,
+         n_orders::BIGINT AS value
+  FROM byregion
+),
+payreg AS (
+  SELECT period, year, biome, year * 2 AS file_rank, value FROM basereg
+  UNION ALL
+  SELECT period, year, biome, year * 2 + 1, value + {PERT} FROM basereg
+  UNION ALL
+  SELECT period, year, biome, (year - 1) * 2, value FROM basereg
+),
+reg AS (
+  SELECT replace(lower(trim(upper(biome))), ' ', '-') AS scope_slug,
+         period, year, value,
+         row_number() OVER (
+           PARTITION BY trim(upper(biome)), period, year ORDER BY file_rank
+         ) AS rn
+  FROM payreg
+  WHERE trim(upper(biome)) IN ('AMERICA', 'ASIA', 'EUROPE')
+)
+SELECT scope_slug, period, year, value FROM nat WHERE rn = 1
+UNION ALL
+SELECT scope_slug, period, year, value FROM reg WHERE rn = 1
+ORDER BY scope_slug, period, year"""
+
+
 def _simhash64_sql(max_hamming: int = 3) -> str:
     """GROUND-TRUTH oracle for the 64-bit simhash variant: all-pairs
     hamming filter (no bucketing — same rationale as ``_simhash_sql``).
@@ -2417,6 +2477,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "pack_sequences": _pack_sequences_sql(),
         "ckan_resource_select": _ckan_resource_select_sql(),
         "supranational_items": _supranational_items_sql(),
+        "payload_merge_dedupe_scoped": _payload_merge_scoped_sql(),
         "govbr_resource_classify": _govbr_resource_classify_sql(),
         "cvm_latest_zips": _cvm_latest_zips_sql(),
         "annual_reference_extract": f"""

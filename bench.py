@@ -70,6 +70,12 @@ HEADLINE = [
     "govbr_freshness_labels",
     "govbr_resource_classify",
     "cvm_latest_zips",
+    # round-5 second tranche
+    "dedup_clusters",
+    "quality_repetition",
+    "pack_sequences",
+    "ckan_resource_select",
+    "supranational_items",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

@@ -1188,3 +1188,35 @@ def anp_panel_payloads(
         )
         .orderBy("panel")
     )
+
+
+def payload_merge_dedupe_scoped(
+    monthly: DataFrame, monthly_by_region: DataFrame
+) -> DataFrame:
+    """Every carousel scope's payload merge in ONE pass: the national
+    merge (inferred-year trim + keep-first dedupe) unioned with ALL
+    carousel biomes' merges from a single windowed pass over the
+    by-region payload frame — where the reference rebuilds the frame
+    once per scope (``_monthly_by_biome_payloads_to_df_dedupe`` called
+    per carousel entry, bdqueimadas_monthly_chart.py:182-201 with the
+    scope loop at :312).
+
+    Scale: the by-region side is one shuffle on (scope, period, year)
+    covering every biome at once; adding scopes adds rows to the same
+    window, not passes over the fact table.
+    """
+    nat = payload_merge_dedupe(monthly).select(
+        F.lit(NATIONAL_SLUG).alias("scope_slug"), "period", "year", "value"
+    )
+    p = wrap_monthly_as_year_payloads(monthly_by_region, region_col="r_name")
+    scopes = [s for s in CAROUSEL_SCOPES if s is not None]
+    norm = F.trim(F.upper(F.col("biome")))
+    matched = p.withColumn("scope", norm).where(F.col("scope").isin(*scopes))
+    w = Window.partitionBy("scope", "period", "year").orderBy("file_rank")
+    slug = F.replace(F.lower(F.col("scope")), F.lit(" "), F.lit("-"))
+    reg = (
+        matched.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(slug.alias("scope_slug"), "period", "year", "value")
+    )
+    return nat.unionByName(reg).orderBy("scope_slug", "period", "year")

@@ -154,6 +154,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "payload_merge_dedupe_scoped": lambda s, d: social.payload_merge_dedupe_scoped(
+        timeseries.monthly_series(_enriched(s, d)),
+        timeseries.monthly_by_region(_enriched(s, d)),
+    ),
     "supranational_items": lambda s, d: html.supranational_items(
         load_table(s, d, "documents")
     ),
@@ -195,7 +199,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
         load_table(s, d, "embeddings")
     ),
-    "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
     "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
         _enriched(s, d)
     ),
@@ -281,6 +284,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_nations_with_other": lambda s, d: social.top_n_with_other(
         _enriched(s, d)
     ),
+    "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the
     # four first-driver-row rotations above

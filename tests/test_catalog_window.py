@@ -39,6 +39,7 @@ MUST_BE_IN_WINDOW = {
     "pack_sequences",
     "ckan_resource_select",
     "supranational_items",
+    "payload_merge_dedupe_scoped",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

@@ -1850,3 +1850,45 @@ def test_supranational_items_matches_reference_semantics(spark, sf_dir):
             assert row["format"] == fformat(f)
         else:
             assert row["filename"] is None and row["period"] is None
+
+
+def test_payload_merge_scoped_consistent_with_single_scope_ops(spark, sf_dir):
+    """The one-pass scoped merge must agree scope-by-scope with the
+    single-scope operators."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        payload_merge_dedupe,
+        payload_merge_dedupe_by_region,
+        payload_merge_dedupe_scoped,
+    )
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        monthly_by_region,
+        monthly_series,
+        orders_enriched,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    enriched = orders_enriched(
+        *(
+            load_table(spark, sf_dir, t)
+            for t in ("orders", "customer", "nation", "region")
+        )
+    )
+    monthly = monthly_series(enriched)
+    by_region = monthly_by_region(enriched)
+    scoped = payload_merge_dedupe_scoped(monthly, by_region).collect()
+    by_scope = {}
+    for r in scoped:
+        by_scope.setdefault(r["scope_slug"], []).append(
+            (r["period"], r["year"], r["value"])
+        )
+    nat = [
+        (r["period"], r["year"], r["value"])
+        for r in payload_merge_dedupe(monthly).collect()
+    ]
+    assert by_scope["nacional"] == nat
+    america = [
+        (r["period"], r["year"], r["value"])
+        for r in payload_merge_dedupe_by_region(by_region, target="AMERICA").collect()
+    ]
+    assert by_scope["america"] == america
+    assert set(by_scope) == {"nacional", "america", "asia", "europe"}

@@ -228,3 +228,56 @@ def test_ppjoin_prefix_join_no_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         release_persisted()
+
+
+@pytest.mark.parametrize(
+    "name", ["quality_repetition", "ckan_resource_select", "supranational_items"]
+)
+def test_round5b_ops_no_python_row_eval(spark, name):
+    """Second round-5 tranche stays JVM-side (pack_sequences' Arrow
+    kernel and dedup_clusters' checkpointed loop are the sanctioned
+    Python/driver stages, covered by their own shape tests)."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan, name
+    assert "ArrowEvalPython" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["ckan_resource_select", "supranational_items"])
+def test_resource_classifiers_prune_to_doc_id_no_join(spark, name):
+    """Both resource classifiers are pure projections off the doc_id
+    column (+ one bounded rank window for the CKAN cut): no joins, and
+    the scan must prune every other documents column."""
+    plan = _plan(spark, name)
+    assert "Join" not in plan
+    for s in _read_schemas(plan):
+        assert s == "doc_id:bigint", s
+
+
+def test_pack_sequences_single_shuffle_one_arrow_kernel(spark):
+    """Packing is ONE shuffle on the stream key into ONE Arrow
+    applyInPandas kernel — no extra exchanges, no row-at-a-time UDF."""
+    plan = _plan(spark, "pack_sequences")
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    # exactly one hash exchange (the groupBy source); the trailing
+    # rangepartitioning belongs to the presentation orderBy
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_dedup_clusters_output_reads_checkpoint_not_replay(spark, sf_dir):
+    """The returned plan must read the final labels from the
+    checkpointed RDD (Scan ExistingRDD), not replay the iterative
+    label-propagation join tree."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_clusters,
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    try:
+        df = dedup_clusters(load_table(spark, sf_dir, "documents"))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan
+        assert "hashes" not in plan  # the shingle pipeline is fully absent
+    finally:
+        release_persisted()
