@@ -2478,6 +2478,27 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "ckan_resource_select": _ckan_resource_select_sql(),
         "supranational_items": _supranational_items_sql(),
         "payload_merge_dedupe_scoped": _payload_merge_scoped_sql(),
+        "customer_order_distribution": """
+WITH per_cust AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC""",
+        "order_priority_semijoin": """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "govbr_resource_classify": _govbr_resource_classify_sql(),
         "cvm_latest_zips": _cvm_latest_zips_sql(),
         "annual_reference_extract": f"""

@@ -76,6 +76,9 @@ HEADLINE = [
     "pack_sequences",
     "ckan_resource_select",
     "supranational_items",
+    "payload_merge_dedupe_scoped",
+    "customer_order_distribution",
+    "order_priority_semijoin",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

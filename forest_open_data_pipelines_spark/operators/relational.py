@@ -349,3 +349,59 @@ def top_customers(
         .orderBy(F.desc("lifetime_value"), "c_custkey")
         .limit(limit)
     )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of customers by order count,
+    zero-order customers included, counting only orders whose priority
+    is specified.
+
+    Scale: the left join shuffles both sides on custkey (AQE-planned);
+    the per-customer count is map-side-combinable and the final
+    distribution agg runs over ≤ max-order-count rows.
+    """
+    o = orders.where(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        customer.select("c_custkey")
+        .join(o, customer["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def order_priority_semijoin(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q4 shape adapted to the testdata columns: orders per
+    priority within a date window having at least one RETURNED line
+    shipped after the order date — expressed as a LEFT SEMI join (one
+    probe, no fan-out-then-distinct; the returnflag and date filters
+    push into the scans).
+    """
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    )
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_shipdate"
+    )
+    sj = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        sj.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

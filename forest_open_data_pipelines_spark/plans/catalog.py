@@ -154,6 +154,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "customer_order_distribution": lambda s, d: (
+        relational.customer_order_distribution(
+            *_t(s, d, "customer", "orders")
+        )
+    ),
+    "order_priority_semijoin": lambda s, d: relational.order_priority_semijoin(
+        *_t(s, d, "orders", "lineitem")
+    ),
     "payload_merge_dedupe_scoped": lambda s, d: social.payload_merge_dedupe_scoped(
         timeseries.monthly_series(_enriched(s, d)),
         timeseries.monthly_by_region(_enriched(s, d)),
@@ -219,9 +227,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessionize": lambda s, d: sessionize.events_sessionize(
         load_table(s, d, "events")
     ),
-    "events_windowed": lambda s, d: sessionize.events_windowed(
-        load_table(s, d, "events")
-    ),
     "events_asof_attribution": lambda s, d: asof.events_asof_attribution(
         load_table(s, d, "events")
     ),
@@ -231,7 +236,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freshness_cadence": lambda s, d: freshness.freshness_cadence(
         load_table(s, d, "events")
     ),
-    "daily_series": lambda s, d: social.daily_series(load_table(s, d, "events")),
     "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
     "dedup_minhash": lambda s, d: dedup.dedup_minhash(load_table(s, d, "documents")),
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(load_table(s, d, "documents")),
@@ -285,6 +289,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         _enriched(s, d)
     ),
     "nation_month_matrix": lambda s, d: timeseries.nation_month_matrix(_enriched(s, d)),
+    "events_windowed": lambda s, d: sessionize.events_windowed(
+        load_table(s, d, "events")
+    ),
+    "daily_series": lambda s, d: social.daily_series(load_table(s, d, "events")),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the
     # four first-driver-row rotations above

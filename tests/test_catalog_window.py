@@ -40,6 +40,8 @@ MUST_BE_IN_WINDOW = {
     "ckan_resource_select",
     "supranational_items",
     "payload_merge_dedupe_scoped",
+    "customer_order_distribution",
+    "order_priority_semijoin",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

@@ -281,3 +281,22 @@ def test_dedup_clusters_output_reads_checkpoint_not_replay(spark, sf_dir):
         assert "hashes" not in plan  # the shingle pipeline is fully absent
     finally:
         release_persisted()
+
+
+def test_order_priority_semijoin_is_left_semi_with_pushed_filters(spark):
+    plan = _plan(spark, "order_priority_semijoin")
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan  # semi join, not fan-out + distinct
+    assert "EqualTo(l_returnflag,R)" in plan.replace(" ", "") or (
+        "l_returnflag" in plan and "PushedFilters" in plan
+    )
+
+
+def test_customer_order_distribution_prunes_and_single_scan_each(spark):
+    plan = _plan(spark, "customer_order_distribution")
+    cust_scans = [s for s in _read_schemas(plan) if "c_custkey" in s]
+    order_scans = [s for s in _read_schemas(plan) if "o_custkey" in s]
+    assert len(cust_scans) == 1 and cust_scans[0].strip() == "c_custkey:bigint"
+    assert len(order_scans) == 1
+    cols = {c.split(":")[0] for c in order_scans[0].split(",")}
+    assert cols == {"o_custkey", "o_orderkey", "o_orderpriority"}
