@@ -239,6 +239,52 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def _mma_manifest_items_sql() -> str:
+    """mma_manifest_items oracle in closed form from the wrapper's
+    doc_id arithmetic: kinds 0/1/2/3/5 pass the host gate (4 foreign,
+    6 empty URL); periods follow the reference's fallback chain and the
+    dictionary pick is the min doc_id of kind 2."""
+    return """
+WITH base AS (
+  SELECT doc_id, doc_id % 7 AS k,
+         (doc_id % 6 + 2019)::VARCHAR AS yyyy,
+         lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS mm
+  FROM documents
+),
+items AS (
+  SELECT doc_id,
+    CASE k
+      WHEN 0 THEN yyyy || '-' || mm || '-15'
+      WHEN 1 THEN yyyy || '-07-01'
+      WHEN 2 THEN '2018-01-01'
+      WHEN 3 THEN '2022-11-05'
+      WHEN 5 THEN yyyy || '-06-15' END AS period,
+    CASE k
+      WHEN 0 THEN 'cnuc_' || yyyy || '_' || mm || '.csv'
+      WHEN 1 THEN 'cadastro_' || yyyy || '.csv'
+      WHEN 2 THEN 'dicionario_de_dados_unidades_de_conservacao.pdf'
+      WHEN 3 THEN 'dicionario_shapefile.pdf'
+      WHEN 5 THEN 'cnuc_' || yyyy || '.zip' END AS filename,
+    CASE k
+      WHEN 0 THEN 'CNUC ' || yyyy
+      WHEN 1 THEN 'Cadastro ' || yyyy
+      WHEN 2 THEN 'Dicionário de dados — Unidades de Conservação'
+      WHEN 3 THEN 'Dicionário shapefile conservação'
+      WHEN 5 THEN 'CNUC anual ' || yyyy END AS title,
+    CASE k
+      WHEN 0 THEN 'https://dados.mma.gov.br/dataset/cnuc/cnuc_' || yyyy || '_' || mm || '.csv'
+      WHEN 1 THEN 'https://www.dados.mma.gov.br/dataset/cnuc/cadastro_' || yyyy || '.csv'
+      WHEN 2 THEN 'https://dados.mma.gov.br/docs/dicionario_de_dados_unidades_de_conservacao.pdf'
+      WHEN 3 THEN 'https://dados.mma.gov.br/docs/dicionario_shapefile.pdf'
+      WHEN 5 THEN 'https://dados.mma.gov.br/dataset/cnuc_' || yyyy || '.zip' END AS url,
+    doc_id = (SELECT min(doc_id) FROM base WHERE k = 2) AS is_dict_pick
+  FROM base WHERE k IN (0, 1, 2, 3, 5)
+)
+SELECT row_number() OVER (ORDER BY period DESC, doc_id) AS rank,
+       period, filename, title, url, doc_id, is_dict_pick
+FROM items ORDER BY rank"""
+
+
 def _supranational_items_sql() -> str:
     """supranational_items oracle in closed form from the wrapper's
     doc_id arithmetic (kinds 0-8 map 1:1 to policy branches); RE2 has
@@ -2477,6 +2523,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "pack_sequences": _pack_sequences_sql(),
         "ckan_resource_select": _ckan_resource_select_sql(),
         "supranational_items": _supranational_items_sql(),
+        "mma_manifest_items": _mma_manifest_items_sql(),
         "payload_merge_dedupe_scoped": _payload_merge_scoped_sql(),
         "customer_order_distribution": """
 WITH per_cust AS (

@@ -79,6 +79,7 @@ HEADLINE = [
     "payload_merge_dedupe_scoped",
     "customer_order_distribution",
     "order_priority_semijoin",
+    "mma_manifest_items",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

@@ -1310,3 +1310,158 @@ def supranational_items(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ── MMA CNUC CKAN manifest items ────────────────────────────────────────────
+
+MMA_ALLOWED_NETLOC = "dados.mma.gov.br"
+
+_MMA_KINDS = 7
+
+
+def wrap_documents_as_mma_resources(documents: DataFrame) -> DataFrame:
+    """Render documents as MMA CNUC CKAN resources cycled by doc_id:
+    a month-stamped csv (filename period), a www-host csv dated by
+    last_modified, the tabular dictionary PDF (the pick target), a
+    shapefile dictionary PDF dated by created, a foreign-host row, a
+    year-only zip, and an empty-URL row."""
+    yyyy = (F.col("doc_id") % 6 + 2019).cast("string")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    base = "https://dados.mma.gov.br"
+    rows = F.array(
+        F.struct(
+            F.concat(F.lit(f"{base}/dataset/cnuc/cnuc_"), yyyy, F.lit("_"), mm, F.lit(".csv")).alias("url"),
+            F.concat(F.lit("CNUC "), yyyy).alias("name"),
+            F.lit("CSV").alias("format"),
+            F.lit("").alias("last_modified"),
+            F.lit("").alias("created"),
+        ),
+        F.struct(
+            F.concat(F.lit("https://www.dados.mma.gov.br/dataset/cnuc/cadastro_"), yyyy, F.lit(".csv")).alias("url"),
+            F.concat(F.lit("Cadastro "), yyyy).alias("name"),
+            F.lit("CSV").alias("format"),
+            F.concat(yyyy, F.lit("-07-01T12:00:00")).alias("last_modified"),
+            F.lit("").alias("created"),
+        ),
+        F.struct(
+            F.lit(f"{base}/docs/dicionario_de_dados_unidades_de_conservacao.pdf").alias("url"),
+            F.lit("Dicionário de dados — Unidades de Conservação").alias("name"),
+            F.lit("PDF").alias("format"),
+            F.lit("").alias("last_modified"),
+            F.lit("").alias("created"),
+        ),
+        F.struct(
+            F.lit(f"{base}/docs/dicionario_shapefile.pdf").alias("url"),
+            F.lit("Dicionário shapefile conservação").alias("name"),
+            F.lit("PDF").alias("format"),
+            F.lit("").alias("last_modified"),
+            F.lit("2022-11-05T09:00:00").alias("created"),
+        ),
+        F.struct(
+            F.lit("https://example.org/cnuc.csv").alias("url"),
+            F.lit("Fora do domínio").alias("name"),
+            F.lit("CSV").alias("format"),
+            F.lit("").alias("last_modified"),
+            F.lit("").alias("created"),
+        ),
+        F.struct(
+            F.concat(F.lit(f"{base}/dataset/cnuc_"), yyyy, F.lit(".zip")).alias("url"),
+            F.concat(F.lit("CNUC anual "), yyyy).alias("name"),
+            F.lit("ZIP").alias("format"),
+            F.lit("").alias("last_modified"),
+            F.lit("").alias("created"),
+        ),
+        F.struct(
+            F.lit("").alias("url"),
+            F.lit("Sem URL").alias("name"),
+            F.lit("CSV").alias("format"),
+            F.lit("").alias("last_modified"),
+            F.lit("").alias("created"),
+        ),
+    )
+    picked = F.element_at(rows, (F.col("doc_id") % _MMA_KINDS + 1).cast("int"))
+    return documents.select("doc_id", picked.alias("r")).select("doc_id", "r.*")
+
+
+def mma_manifest_items(documents: DataFrame) -> DataFrame:
+    """MMA CNUC manifest items + the tabular-dictionary PDF pick.
+
+    Reference: datasets/mma/cnuc_unidades_conservacao.py:46-56
+    (``_netloc_key`` www-strip + ``is_allowed_download_url``), :71-88
+    (``period_from_resource``: date-shaped last_modified→created
+    prefix, else filename 'YYYY[-_]MM' → 'YYYY-MM-15', else year →
+    'YYYY-06-15', else the '2018-01-01' floor), :90-103
+    (``pick_tabular_dictionary_pdf``: FIRST PDF in list order whose
+    name is not shapefile-flavored and contains 'dicion'+'conserva'),
+    and :105-133 (``build_manifest_items``: URL-gated items, basename
+    filename with 'download' fallback, name-or-filename title, period
+    DESC stable sort — ties keep list order, reproduced as doc_id).
+
+    Scale: pure projection + one rank window; the pick is a min-doc_id
+    window over the (tiny) PDF candidate subset.
+    """
+    r = wrap_documents_as_mma_resources(documents)
+    host = F.lower(F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1))
+    netloc_key = F.regexp_replace(host, r"^www\.", "")
+    allowed = (F.col("url") != "") & (netloc_key == MMA_ALLOWED_NETLOC)
+    path = F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]+", "")
+    filename = F.element_at(F.split(path, "/"), -1)
+    filename = F.when(filename == "", F.lit("download")).otherwise(filename)
+    fn_ym_y = F.regexp_extract(filename, r"(20\d{2})[-_](\d{2})", 1)
+    fn_ym_m = F.regexp_extract(filename, r"(20\d{2})[-_](\d{2})", 2)
+    fn_y = F.regexp_extract(filename, r"(20\d{2})", 1)
+    date_re = r"^\d{4}-\d{2}-\d{2}"
+    lm = F.trim(F.col("last_modified"))
+    cr = F.trim(F.col("created"))
+    period = (
+        F.when(lm.rlike(date_re), F.substring(lm, 1, 10))
+        .when(cr.rlike(date_re), F.substring(cr, 1, 10))
+        .when(fn_ym_y != "", F.concat(fn_ym_y, F.lit("-"), fn_ym_m, F.lit("-15")))
+        .when(fn_y != "", F.concat(fn_y, F.lit("-06-15")))
+        .otherwise(F.lit("2018-01-01"))
+    )
+    name_l = F.lower(F.col("name"))
+    dict_candidate = (
+        (F.upper(F.col("format")) == "PDF")
+        & ~name_l.contains("shapefile")
+        & name_l.contains("dicion")
+        & name_l.contains("conserva")
+    )
+    pick_w = Window.orderBy("doc_id")
+    classified = r.select(
+        "doc_id",
+        "url",
+        "name",
+        filename.alias("filename"),
+        period.alias("period"),
+        allowed.alias("allowed"),
+        dict_candidate.alias("dict_candidate"),
+    )
+    picked = (
+        classified.where(F.col("dict_candidate"))
+        .withColumn("rn", F.row_number().over(pick_w))
+        .where(F.col("rn") == 1)
+        .select(F.col("doc_id").alias("picked_doc_id"))
+    )
+    title = F.when(F.trim(F.col("name")) != "", F.trim(F.col("name"))).otherwise(
+        F.col("filename")
+    )
+    items = classified.where(F.col("allowed"))
+    rank_w = Window.orderBy(F.desc("period"), "doc_id")
+    return (
+        items.join(
+            F.broadcast(picked),
+            items["doc_id"] == F.col("picked_doc_id"),
+            "left",
+        )
+        .select(
+            F.row_number().over(rank_w).alias("rank"),
+            "period",
+            "filename",
+            title.alias("title"),
+            "url",
+            "doc_id",
+            F.col("picked_doc_id").isNotNull().alias("is_dict_pick"),
+        )
+        .orderBy("rank")
+    )

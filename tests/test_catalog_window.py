@@ -42,6 +42,7 @@ MUST_BE_IN_WINDOW = {
     "payload_merge_dedupe_scoped",
     "customer_order_distribution",
     "order_priority_semijoin",
+    "mma_manifest_items",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

@@ -1892,3 +1892,81 @@ def test_payload_merge_scoped_consistent_with_single_scope_ops(spark, sf_dir):
     ]
     assert by_scope["america"] == america
     assert set(by_scope) == {"nacional", "america", "asia", "europe"}
+
+
+def test_mma_manifest_items_matches_reference_semantics(spark, sf_dir):
+    """In-test stdlib twin of datasets/mma/cnuc_unidades_conservacao.py
+    :46-133 (netloc-key host gate, period fallback chain, dictionary
+    pick, period-DESC stable sort)."""
+    import re
+    from pathlib import Path
+    from urllib.parse import unquote, urlparse
+
+    from forest_open_data_pipelines_spark.operators.html import (
+        mma_manifest_items,
+        wrap_documents_as_mma_resources,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    resources = [
+        r.asDict()
+        for r in wrap_documents_as_mma_resources(docs).orderBy("doc_id").collect()
+    ]
+
+    def netloc_key(netloc):
+        n = netloc.lower()
+        return n[4:] if n.startswith("www.") else n
+
+    def allowed(url):
+        p = urlparse(url)
+        return p.scheme in ("http", "https") and netloc_key(p.netloc) == "dados.mma.gov.br"
+
+    def period(res):
+        for key in ("last_modified", "created"):
+            raw = res[key]
+            m = re.match(r"^(\d{4}-\d{2}-\d{2})", raw.strip())
+            if m:
+                return m.group(1)
+        fn = Path(unquote(urlparse(res["url"]).path)).name
+        ym = re.search(r"(20\d{2})[-_](\d{2})", fn)
+        if ym:
+            return f"{ym.group(1)}-{ym.group(2)}-15"
+        y = re.search(r"(20\d{2})", fn)
+        if y:
+            return f"{y.group(1)}-06-15"
+        return "2018-01-01"
+
+    pick = None
+    for res in resources:
+        if res["format"].upper() != "PDF":
+            continue
+        if "shapefile" in res["name"].lower():
+            continue
+        if "dicion" in res["name"].lower() and "conserva" in res["name"].lower():
+            pick = res["doc_id"]
+            break
+
+    items = []
+    for res in resources:
+        url = res["url"].strip()
+        if not url or not allowed(url):
+            continue
+        fn = Path(unquote(urlparse(url).path)).name or "download"
+        items.append(
+            {
+                "doc_id": res["doc_id"],
+                "period": period(res),
+                "filename": fn,
+                "title": res["name"].strip() or fn,
+                "url": url,
+            }
+        )
+    items.sort(key=lambda it: it["period"], reverse=True)  # stable: doc_id ties
+    got = mma_manifest_items(docs).collect()
+    assert len(got) == len(items)
+    for rank0, (g, e) in enumerate(zip(got, items)):
+        assert g["rank"] == rank0 + 1
+        for k in ("doc_id", "period", "filename", "title", "url"):
+            assert g[k] == e[k], (rank0, k)
+        assert g["is_dict_pick"] == (e["doc_id"] == pick)
