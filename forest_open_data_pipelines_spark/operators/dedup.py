@@ -846,6 +846,7 @@ def dedup_clusters(
     n: int = 3,
     threshold: float = 0.8,
     max_iters: int = 20,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph: one row
     per document with its cluster id (the component's min doc_id), the
@@ -876,11 +877,13 @@ def dedup_clusters(
     by AQE). The per-pass count() is an aggregate action, not a
     driver-side data collect.
     """
-    pairs = _persist(
-        dedup_ngram_jaccard(documents, n=n, threshold=threshold).select(
-            "doc_a", "doc_b"
-        )
-    )
+    if pairs is None:
+        # default pair source: exact ngram-jaccard (deterministic,
+        # oracle-paired); pass dedup_minhash(...) / simhash / embedding
+        # pairs instead for the approximate corpus-scale generators —
+        # the closure is agnostic to where edges came from.
+        pairs = dedup_ngram_jaccard(documents, n=n, threshold=threshold)
+    pairs = _persist(pairs.select("doc_a", "doc_b"))
     nodes = documents.select("doc_id")
     labels = connected_components(nodes, pairs, max_iters=max_iters)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))

@@ -1970,3 +1970,22 @@ def test_mma_manifest_items_matches_reference_semantics(spark, sf_dir):
         for k in ("doc_id", "period", "filename", "title", "url"):
             assert g[k] == e[k], (rank0, k)
         assert g["is_dict_pick"] == (e["doc_id"] == pick)
+
+
+def test_dedup_clusters_accepts_minhash_pair_source(spark, sf_dir):
+    """The closure must be pair-source agnostic: clusters built from
+    MinHash-LSH pairs (the corpus-scale generator) still partition the
+    corpus and close every input pair."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_minhash,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh_pairs = dedup_minhash(docs).select("doc_a", "doc_b")
+    out = dedup_clusters(docs, pairs=mh_pairs).collect()
+    assert len(out) == docs.count()
+    by_doc = {r["doc_id"]: r["cluster_id"] for r in out}
+    for p in dedup_minhash(docs).collect():
+        assert by_doc[p["doc_a"]] == by_doc[p["doc_b"]]
