@@ -464,3 +464,61 @@ def quality_repetition(documents: DataFrame) -> DataFrame:
         & (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) <= 0.25)
     )
     return out.withColumn("passes_repetition", passes).orderBy("doc_id")
+
+
+def repetition_row_metrics(documents: DataFrame) -> DataFrame:
+    """Per-ROW repetition metrics — the stream-safe projection twin of
+    ``quality_repetition``'s aggregation path. Same column names, same
+    rounded values (parity asserted in tests): the counts fold
+    in-codegen over the token array (O(distinct × tokens) per row), so
+    an unbounded stream can gate on repetition with ZERO state — where
+    the batch path trades per-row CPU for map-side-combinable shuffles
+    over the exploded gram stream. Use the batch operator for corpus
+    analytics; use this projection in streaming gates and row-local
+    filters."""
+    t = F.split(F.lower(clean_text(F.col("text"))), " ")
+    uniq = F.array_distinct(t)
+    top_uni = F.array_max(
+        F.transform(uniq, lambda x: F.size(F.filter(t, lambda y: y == x)))
+    )
+    staged = documents.withColumn("tb", t).select(
+        "doc_id",
+        "tb",
+        F.size("tb").cast("long").alias("n_tokens"),
+        ratio(F.size(uniq) / F.size(t)).alias("distinct_ratio"),
+        ratio(top_uni / F.size(t)).alias("top_unigram_frac"),
+    )
+    bi = F.when(
+        F.size("tb") >= 2,
+        F.expr("transform(sequence(1, size(tb) - 1), i -> concat(tb[i-1], ' ', tb[i]))"),
+    )
+    tri = F.when(
+        F.size("tb") >= 3,
+        F.expr(
+            "transform(sequence(2, size(tb) - 1),"
+            " i -> concat(tb[i-2], ' ', tb[i-1], ' ', tb[i]))"
+        ),
+    )
+    with_grams = staged.withColumn("bi", bi).withColumn("tri", tri)
+    top_bi = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("bi")),
+            lambda x: F.size(F.filter(F.col("bi"), lambda y: y == x)),
+        )
+    )
+    dup_tri = 1 - F.size(F.array_distinct(F.col("tri"))) / F.size(F.col("tri"))
+    out = with_grams.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "top_unigram_frac",
+        ratio(top_bi / F.size("bi")).alias("top_bigram_frac"),
+        ratio(dup_tri).alias("dup_trigram_frac"),
+    )
+    passes = (
+        (F.col("distinct_ratio") >= 0.35)
+        & (F.col("top_unigram_frac") <= 0.12)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.08)
+        & (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) <= 0.25)
+    )
+    return out.withColumn("passes_repetition", passes)
