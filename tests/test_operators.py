@@ -1989,3 +1989,18 @@ def test_dedup_clusters_accepts_minhash_pair_source(spark, sf_dir):
     by_doc = {r["doc_id"]: r["cluster_id"] for r in out}
     for p in dedup_minhash(docs).collect():
         assert by_doc[p["doc_a"]] == by_doc[p["doc_b"]]
+
+
+def test_repetition_row_metrics_matches_batch_aggregation(spark, sf_dir):
+    """The per-row projection twin must equal the batch aggregation
+    path value-for-value (same rounding, same null shape)."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        quality_repetition,
+        repetition_row_metrics,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = sorted(tuple(r) for r in quality_repetition(docs).collect())
+    row = sorted(tuple(r) for r in repetition_row_metrics(docs).collect())
+    assert batch == row

@@ -450,3 +450,40 @@ def test_curation_gate_stream_matches_batch_stages(spark, tmp_path):
         if r.status not in ("quality", "lang")
     }
     assert set(fps) == gate_passing
+
+
+def test_repetition_gate_streams_stateless(spark, tmp_path):
+    """repetition_row_metrics is a pure projection, so it must run on
+    an unbounded stream with no state store and emit exactly the batch
+    operator's rows."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        quality_repetition,
+        repetition_row_metrics,
+    )
+
+    src = tmp_path / "rep_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        repetition_row_metrics(stream)
+        .writeStream.format("memory")
+        .queryName("repetition_gate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_repetition"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM repetition_gate_test").collect()
+    finally:
+        query.stop()
+    batch = sorted(tuple(r) for r in quality_repetition(docs).collect())
+    assert sorted(tuple(r) for r in emitted) == batch
