@@ -239,6 +239,91 @@ SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
+def _coids_entry_periods_sql() -> str:
+    """coids_entry_periods oracle: the wrapper's entry synthesis is
+    restated from the doc_id arithmetic, but the period logic itself —
+    every regex (RE2-compatible) and the strptime chain — runs for
+    real on DuckDB, mirroring entry_period/parse_last_modified."""
+    return r"""
+WITH base AS (
+  SELECT doc_id,
+         (doc_id % 6 + 2019)::VARCHAR AS yyyy,
+         lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS mm,
+         lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') AS dd,
+         lpad((doc_id % 24)::VARCHAR, 2, '0') AS hh,
+         lpad((doc_id % 60)::VARCHAR, 2, '0') AS mi,
+         ['SP', 'mg', 'BA', 'rj'][(doc_id % 4 + 1)::INT] AS uf,
+         (doc_id % 6 + 1)::INT AS nk,
+         (doc_id % 6 + 1)::INT AS lk
+  FROM documents
+),
+entries AS (
+  SELECT doc_id, nk, lk, uf, yyyy,
+    CASE nk
+      WHEN 1 THEN 'focos_br_' || yyyy || '.zip'
+      WHEN 2 THEN 'focos_mensal_' || yyyy || mm || '.zip'
+      WHEN 3 THEN 'focos_diario_' || yyyy || mm || dd || '.csv'
+      WHEN 4 THEN 'focos_10min_' || yyyy || mm || dd || '_' || hh || mi || '.csv'
+      WHEN 5 THEN 'documento_tecnico.pdf'
+      WHEN 6 THEN 'focos_' || yyyy || '.zip' END AS filename,
+    CASE lk
+      WHEN 1 THEN ''
+      WHEN 2 THEN yyyy || '-' || mm || '-10 12:34'
+      WHEN 3 THEN yyyy || '-' || mm || '-10 12:34:56'
+      WHEN 4 THEN '10/' || mm || '/' || yyyy || ' 08:15:30'
+      WHEN 5 THEN '10/' || mm || '/' || yyyy || ' 08:15'
+      WHEN 6 THEN 'ontem às 10h' END AS label
+  FROM base
+),
+withurl AS (
+  SELECT *,
+    CASE WHEN nk = 6
+         THEN 'https://dataserver.example/queimadas/EstadosBr_sat_ref/'
+              || uf || '/focos_' || yyyy || '.zip'
+         ELSE 'https://dataserver.example/queimadas/' || filename END AS url
+  FROM entries
+),
+p AS (
+  SELECT doc_id, filename, url, label,
+    regexp_replace(filename, '\.[^.]*$', '') AS stem,
+    regexp_extract(filename, '((?:19|20)\d{2})', 1) AS y,
+    regexp_extract(filename, '((?:19|20)\d{2})(0[1-9]|1[0-2])', 1) AS ym_y,
+    regexp_extract(filename, '((?:19|20)\d{2})(0[1-9]|1[0-2])', 2) AS ym_m,
+    regexp_extract(filename,
+      '((?:19|20)\d{2})(0[1-9]|1[0-2])(0[1-9]|[12]\d|3[01])', 1) AS d_y,
+    regexp_extract(filename,
+      '((?:19|20)\d{2})(0[1-9]|1[0-2])(0[1-9]|[12]\d|3[01])', 2) AS d_m,
+    regexp_extract(filename,
+      '((?:19|20)\d{2})(0[1-9]|1[0-2])(0[1-9]|[12]\d|3[01])', 3) AS d_d,
+    regexp_extract(filename, '((?:19|20)\d{6})_([0-2]\d[0-5]\d)', 1) AS t_date,
+    regexp_extract(filename, '((?:19|20)\d{6})_([0-2]\d[0-5]\d)', 2) AS t_hour,
+    upper(regexp_extract(url, '(?i)/EstadosBr_sat_ref/([A-Z]{2})/', 1)) AS st,
+    coalesce(
+      try_strptime(trim(label), '%Y-%m-%d %H:%M'),
+      try_strptime(trim(label), '%Y-%m-%d %H:%M:%S'),
+      try_strptime(trim(label), '%d/%m/%Y %H:%M:%S'),
+      try_strptime(trim(label), '%d/%m/%Y %H:%M')
+    ) AS parsed
+  FROM withurl
+)
+SELECT doc_id, filename,
+  CASE WHEN y <> '' THEN y ELSE stem END AS period_annual,
+  CASE WHEN ym_y <> '' THEN ym_y || '-' || ym_m ELSE stem END AS period_monthly,
+  CASE WHEN d_y <> '' THEN d_y || '-' || d_m || '-' || d_d
+       ELSE stem END AS period_daily,
+  CASE WHEN t_date <> ''
+       THEN substr(t_date, 1, 4) || '-' || substr(t_date, 5, 2) || '-'
+            || substr(t_date, 7, 2) || ' ' || t_hour
+       WHEN d_y <> '' THEN d_y || '-' || d_m || '-' || d_d
+       ELSE stem END AS period_ten_min,
+  CASE WHEN st <> ''
+       THEN st || '/' || (CASE WHEN y <> '' THEN y ELSE stem END)
+       ELSE (CASE WHEN y <> '' THEN y ELSE stem END) END AS period_annual_state,
+  CASE WHEN parsed IS NOT NULL THEN strftime(parsed, '%Y-%m-%d %H:%M:%S')
+       ELSE stem END AS period_modified
+FROM p ORDER BY doc_id"""
+
+
 def _mma_manifest_items_sql() -> str:
     """mma_manifest_items oracle in closed form from the wrapper's
     doc_id arithmetic: kinds 0/1/2/3/5 pass the host gate (4 foreign,
@@ -2524,6 +2609,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "ckan_resource_select": _ckan_resource_select_sql(),
         "supranational_items": _supranational_items_sql(),
         "mma_manifest_items": _mma_manifest_items_sql(),
+        "coids_entry_periods": _coids_entry_periods_sql(),
         "payload_merge_dedupe_scoped": _payload_merge_scoped_sql(),
         "customer_order_distribution": """
 WITH per_cust AS (

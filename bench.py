@@ -80,10 +80,18 @@ HEADLINE = [
     "customer_order_distribution",
     "order_priority_semijoin",
     "mma_manifest_items",
+    "coids_entry_periods",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.
 NOTES = {
+    "dedup_clusters": (
+        "includes re-running the full ngram-jaccard pair generation "
+        "(~2s, already benched separately) plus ~3 label-propagation "
+        "passes; each pass is one job over the O(n_docs) labels table, "
+        "so the per-pass cost is fixed overhead at this SF and "
+        "amortizes at corpus scale."
+    ),
     "q5_region_volume": (
         "r4 flagged a +10% drift; 5-rep check shows rep-to-rep variance "
         "of +/-15% on this query (samples 1.37-1.61s steady-state) with "

@@ -948,7 +948,9 @@ def connected_components(
         jumped = stepped.join(parents, stepped["label"] == parents["p_id"]).select(
             "doc_id", F.col("p_label").alias("label")
         )
-        new_labels = jumped.localCheckpoint()
+        # lazy: the changed-count action below materializes the
+        # checkpoint — one job per pass instead of two
+        new_labels = jumped.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

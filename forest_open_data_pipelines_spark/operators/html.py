@@ -1488,3 +1488,149 @@ def mma_manifest_items(documents: DataFrame) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ── INPE COIDS directory entry period strategies ────────────────────────────
+
+# Reference: datasets/inpe/bdqueimadas_focos_coids.py:15-21 — parity regexes.
+COIDS_RE_YEAR = r"((?:19|20)\d{2})"
+COIDS_RE_YYYYMM = r"((?:19|20)\d{2})(0[1-9]|1[0-2])"
+COIDS_RE_YYYYMMDD = r"((?:19|20)\d{2})(0[1-9]|1[0-2])(0[1-9]|[12]\d|3[01])"
+COIDS_RE_10MIN = r"((?:19|20)\d{6})_([0-2]\d[0-5]\d)"
+COIDS_RE_STATE = r"(?i)/EstadosBr_sat_ref/([A-Z]{2})/"
+
+_COIDS_NAME_KINDS = 6
+_COIDS_LABEL_KINDS = 6
+
+
+def wrap_documents_as_coids_entries(documents: DataFrame) -> DataFrame:
+    """Render documents as COIDS directory entries cycled by doc_id:
+    filenames exercising each period regex (annual, monthly, daily,
+    ten-min, no-digit fallback, state-segment URL) crossed with
+    last-modified labels covering all four accepted formats, the empty
+    label, and an unparseable one."""
+    yyyy = (F.col("doc_id") % 6 + 2019).cast("string")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    hh = F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0")
+    mi = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+    uf = F.element_at(
+        F.array(F.lit("SP"), F.lit("mg"), F.lit("BA"), F.lit("rj")),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    nk = (F.col("doc_id") % _COIDS_NAME_KINDS + 1).cast("int")
+    filename = F.element_at(
+        F.array(
+            F.concat(F.lit("focos_br_"), yyyy, F.lit(".zip")),
+            F.concat(F.lit("focos_mensal_"), yyyy, mm, F.lit(".zip")),
+            F.concat(F.lit("focos_diario_"), yyyy, mm, dd, F.lit(".csv")),
+            F.concat(
+                F.lit("focos_10min_"), yyyy, mm, dd, F.lit("_"), hh, mi,
+                F.lit(".csv"),
+            ),
+            F.lit("documento_tecnico.pdf"),
+            F.concat(F.lit("focos_"), yyyy, F.lit(".zip")),
+        ),
+        nk,
+    )
+    url = F.when(
+        nk == 6,
+        F.concat(
+            F.lit("https://dataserver.example/queimadas/EstadosBr_sat_ref/"),
+            uf,
+            F.lit("/focos_"),
+            yyyy,
+            F.lit(".zip"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("https://dataserver.example/queimadas/"), filename)
+    )
+    label = F.element_at(
+        F.array(
+            F.lit(""),
+            F.concat(yyyy, F.lit("-"), mm, F.lit("-10 12:34")),
+            F.concat(yyyy, F.lit("-"), mm, F.lit("-10 12:34:56")),
+            F.concat(F.lit("10/"), mm, F.lit("/"), yyyy, F.lit(" 08:15:30")),
+            F.concat(F.lit("10/"), mm, F.lit("/"), yyyy, F.lit(" 08:15")),
+            F.lit("ontem às 10h"),
+        ),
+        (F.col("doc_id") % _COIDS_LABEL_KINDS + 1).cast("int"),
+    )
+    return documents.select(
+        "doc_id",
+        filename.alias("filename"),
+        url.alias("url"),
+        label.alias("last_modified_label"),
+    )
+
+
+def coids_entry_periods(documents: DataFrame) -> DataFrame:
+    """INPE COIDS period strategies, every strategy per entry.
+
+    Reference: datasets/inpe/bdqueimadas_focos_coids.py:145-201
+    ``entry_period`` — annual (first (19|20)dd year in the filename,
+    else the Path stem), monthly (YYYYMM → 'YYYY-MM'), daily
+    (YYYYMMDD → 'YYYY-MM-DD'), ten_min (8-digit date + '_' + HHMM →
+    'YYYY-MM-DD HHMM', falling back to the daily parse then the
+    stem), annual_state ('UF/year' when the URL carries the
+    case-insensitive /EstadosBr_sat_ref/<uf>/ segment), and
+    modified_or_name (``parse_last_modified``'s four strptime formats
+    in order, formatted '%Y-%m-%d %H:%M:%S', else the stem;
+    coids_directory.py:112-127). One output row carries ALL six
+    strategies — the reference picks one per dataset config, so the
+    row is the whole strategy table for that entry.
+
+    Every regex here is RE2-compatible and the label parse is a
+    try_to_timestamp chain, so the DuckDB oracle runs the IDENTICAL
+    logic (no closed-form needed). Pure projection — no joins, no
+    shuffles beyond the presentation sort.
+    """
+    r = wrap_documents_as_coids_entries(documents)
+    stem = F.regexp_replace(F.col("filename"), r"\.[^.]*$", "")
+    y = F.regexp_extract(F.col("filename"), COIDS_RE_YEAR, 1)
+    annual = F.when(y != "", y).otherwise(stem)
+    ym_y = F.regexp_extract(F.col("filename"), COIDS_RE_YYYYMM, 1)
+    ym_m = F.regexp_extract(F.col("filename"), COIDS_RE_YYYYMM, 2)
+    monthly = F.when(
+        ym_y != "", F.concat(ym_y, F.lit("-"), ym_m)
+    ).otherwise(stem)
+    d_y = F.regexp_extract(F.col("filename"), COIDS_RE_YYYYMMDD, 1)
+    d_m = F.regexp_extract(F.col("filename"), COIDS_RE_YYYYMMDD, 2)
+    d_d = F.regexp_extract(F.col("filename"), COIDS_RE_YYYYMMDD, 3)
+    daily = F.when(
+        d_y != "", F.concat(d_y, F.lit("-"), d_m, F.lit("-"), d_d)
+    ).otherwise(stem)
+    t_date = F.regexp_extract(F.col("filename"), COIDS_RE_10MIN, 1)
+    t_hour = F.regexp_extract(F.col("filename"), COIDS_RE_10MIN, 2)
+    ten_min = F.when(
+        t_date != "",
+        F.concat(
+            F.substring(t_date, 1, 4), F.lit("-"),
+            F.substring(t_date, 5, 2), F.lit("-"),
+            F.substring(t_date, 7, 2), F.lit(" "), t_hour,
+        ),
+    ).otherwise(daily)
+    state = F.upper(F.regexp_extract(F.col("url"), COIDS_RE_STATE, 1))
+    annual_state = F.when(
+        state != "", F.concat(state, F.lit("/"), annual)
+    ).otherwise(annual)
+    label = F.trim(F.col("last_modified_label"))
+    parsed = F.coalesce(
+        F.try_to_timestamp(label, F.lit("yyyy-MM-dd HH:mm")),
+        F.try_to_timestamp(label, F.lit("yyyy-MM-dd HH:mm:ss")),
+        F.try_to_timestamp(label, F.lit("dd/MM/yyyy HH:mm:ss")),
+        F.try_to_timestamp(label, F.lit("dd/MM/yyyy HH:mm")),
+    )
+    modified = F.when(
+        parsed.isNotNull(), F.date_format(parsed, "yyyy-MM-dd HH:mm:ss")
+    ).otherwise(stem)
+    return r.select(
+        "doc_id",
+        "filename",
+        annual.alias("period_annual"),
+        monthly.alias("period_monthly"),
+        daily.alias("period_daily"),
+        ten_min.alias("period_ten_min"),
+        annual_state.alias("period_annual_state"),
+        modified.alias("period_modified"),
+    ).orderBy("doc_id")

@@ -154,6 +154,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "coids_entry_periods": lambda s, d: html.coids_entry_periods(
+        load_table(s, d, "documents")
+    ),
     "mma_manifest_items": lambda s, d: html.mma_manifest_items(
         load_table(s, d, "documents")
     ),
@@ -238,7 +241,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
     "dedup_minhash": lambda s, d: dedup.dedup_minhash(load_table(s, d, "documents")),
-    "dedup_simhash": lambda s, d: dedup.dedup_simhash(load_table(s, d, "documents")),
     "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(
         load_table(s, d, "documents")
     ),
@@ -296,6 +298,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "abstract_reconstruct": lambda s, d: social.abstract_reconstruct(
         load_table(s, d, "documents")
     ),
+    "dedup_simhash": lambda s, d: dedup.dedup_simhash(load_table(s, d, "documents")),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the
     # four first-driver-row rotations above

@@ -43,6 +43,7 @@ MUST_BE_IN_WINDOW = {
     "customer_order_distribution",
     "order_priority_semijoin",
     "mma_manifest_items",
+    "coids_entry_periods",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",
