@@ -2611,6 +2611,40 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "mma_manifest_items": _mma_manifest_items_sql(),
         "coids_entry_periods": _coids_entry_periods_sql(),
         "payload_merge_dedupe_scoped": _payload_merge_scoped_sql(),
+        "disjunctive_promo_revenue": """
+WITH j AS (
+  SELECT CASE
+           WHEN p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+                AND l.l_quantity BETWEEN 1 AND 11 THEN 'Brand#1'
+           WHEN p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+                AND l.l_quantity BETWEEN 10 AND 20 THEN 'Brand#2'
+           WHEN p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+                AND l.l_quantity BETWEEN 20 AND 30 THEN 'Brand#3'
+         END AS brand_clause,
+         l.l_extendedprice * (1 - l.l_discount) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT brand_clause, round(sum(rev), 2) AS revenue, count(*) AS n_lines
+FROM j WHERE brand_clause IS NOT NULL
+GROUP BY brand_clause ORDER BY brand_clause""",
+        "returned_item_ranking": """
+WITH rev AS (
+  SELECT o.o_custkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE l.l_returnflag = 'R'
+    AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1996-07-01'
+  GROUP BY o.o_custkey
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY revenue DESC, c.c_custkey) AS rank,
+         c.c_custkey, c.c_name, n.n_name, revenue
+  FROM rev
+  JOIN customer c ON rev.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT * FROM ranked WHERE rank <= 20 ORDER BY rank""",
         "customer_order_distribution": """
 WITH per_cust AS (
   SELECT c.c_custkey, count(o.o_orderkey) AS c_count

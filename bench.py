@@ -81,6 +81,8 @@ HEADLINE = [
     "order_priority_semijoin",
     "mma_manifest_items",
     "coids_entry_periods",
+    "disjunctive_promo_revenue",
+    "returned_item_ranking",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

@@ -405,3 +405,106 @@ def order_priority_semijoin(
         .agg(F.count("*").alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+def disjunctive_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR-of-ANDs of (brand,
+    size-range, quantity-range) clauses over lineitem⋈part — the
+    classic disjunctive-predicate plan test. The join stays an
+    equi-join on partkey with the disjunction as a post-join filter;
+    the common sub-predicates (quantity ceiling, size floor) are
+    written factored so Catalyst pushes them into BOTH scans, which
+    is exactly what survives at 100× scale (a naive per-branch union
+    would scan lineitem three times).
+
+    Output: one row per matched brand clause with revenue
+    (sum l_extendedprice·(1−l_discount), 2dp).
+    """
+    li = lineitem.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = part.select("p_partkey", "p_brand", "p_size")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
+    clause = (
+        F.when(
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11),
+            F.lit("Brand#1"),
+        )
+        .when(
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20),
+            F.lit("Brand#2"),
+        )
+        .when(
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30),
+            F.lit("Brand#3"),
+        )
+    )
+    return (
+        j.where(
+            # factored common bounds reach both scans as pushed filters
+            F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 30)
+            & clause.isNotNull()
+        )
+        .groupBy(clause.alias("brand_clause"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("brand_clause")
+    )
+
+
+def returned_item_ranking(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-07-01",
+    top_n: int = 20,
+) -> DataFrame:
+    """TPC-H Q10 shape: top-N customers by revenue lost to returned
+    items in a half-year window. customer⋈nation broadcast; the
+    orders window filter and the returnflag filter push into the fact
+    scans; rank window with c_custkey tie-break for determinism.
+    """
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    c = customer.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+    ).select("c_custkey", "c_name", "n_name")
+    ranked = (
+        rev.join(c, rev["o_custkey"] == c["c_custkey"])
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("revenue"), "c_custkey")
+            ),
+        )
+        .where(F.col("rank") <= top_n)
+    )
+    return ranked.select(
+        "rank", "c_custkey", "c_name", "n_name", "revenue"
+    ).orderBy("rank")

@@ -154,6 +154,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "disjunctive_promo_revenue": lambda s, d: relational.disjunctive_promo_revenue(
+        *_t(s, d, "lineitem", "part")
+    ),
+    "returned_item_ranking": lambda s, d: relational.returned_item_ranking(
+        *_t(s, d, "customer", "orders", "lineitem", "nation")
+    ),
     "coids_entry_periods": lambda s, d: html.coids_entry_periods(
         load_table(s, d, "documents")
     ),
@@ -194,16 +200,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     # ── Round-4 additions: r4-green, held another round ─────────────
-    "region_rank": lambda s, d: social.region_rank(
-        social.wrap_events_as_fire_detections(load_table(s, d, "events"))
-    ),
     "nation_month_matrix_augmented": lambda s, d: (
         timeseries.nation_month_matrix_augmented(
             _enriched(s, d), *_t(s, d, "events", "customer", "nation")
         )
-    ),
-    "painel_pdf_links": lambda s, d: html.painel_pdf_links(
-        load_table(s, d, "documents")
     ),
     # ── Rotated IN (judge r3 item 1): parked since r1/r2 — regain
     # current driver-scale oracle rows this round ───────────────────
@@ -299,6 +299,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "dedup_simhash": lambda s, d: dedup.dedup_simhash(load_table(s, d, "documents")),
+    "region_rank": lambda s, d: social.region_rank(
+        social.wrap_events_as_fire_detections(load_table(s, d, "events"))
+    ),
+    "painel_pdf_links": lambda s, d: html.painel_pdf_links(
+        load_table(s, d, "documents")
+    ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the
     # four first-driver-row rotations above

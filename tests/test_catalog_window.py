@@ -44,6 +44,8 @@ MUST_BE_IN_WINDOW = {
     "order_priority_semijoin",
     "mma_manifest_items",
     "coids_entry_periods",
+    "disjunctive_promo_revenue",
+    "returned_item_ranking",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

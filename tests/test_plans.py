@@ -300,3 +300,25 @@ def test_customer_order_distribution_prunes_and_single_scan_each(spark):
     assert len(order_scans) == 1
     cols = {c.split(":")[0] for c in order_scans[0].split(",")}
     assert cols == {"o_custkey", "o_orderkey", "o_orderpriority"}
+
+
+def test_disjunctive_revenue_pushes_factored_bounds_single_scan(spark):
+    """The OR-of-ANDs must stay ONE equi-join (no per-branch union):
+    one lineitem scan, one part scan, and the factored common bounds
+    pushed into both."""
+    plan = _plan(spark, "disjunctive_promo_revenue")
+    li_scans = [s for s in _read_schemas(plan) if "l_quantity" in s]
+    p_scans = [s for s in _read_schemas(plan) if "p_size" in s]
+    assert len(li_scans) == 1 and len(p_scans) == 1
+    flat = plan.replace(" ", "")
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in flat
+    assert "LessThanOrEqual(l_quantity,30.0)" in flat
+    assert "LessThanOrEqual(p_size,15)" in flat
+
+
+def test_returned_item_ranking_broadcasts_nation_pushes_filters(spark):
+    plan = _plan(spark, "returned_item_ranking")
+    assert "BroadcastHashJoin" in plan
+    flat = plan.replace(" ", "")
+    assert "EqualTo(l_returnflag,R)" in flat
+    assert "IsNotNull(o_orderdate)" in flat or "o_orderdate" in flat
