@@ -66,3 +66,45 @@ def stream_events_from_parquet(
 
         stream = stream.withColumn("ts", ntz_as_utc_instant(spark, F.col("ts")))
     return stream
+
+
+def stream_to_incremental_year_cache(
+    events_stream, path: str, checkpoint: str, date_col: str = "ts"
+):
+    """Bridge an unbounded event stream into the per-year incremental
+    parquet cache (the reference's ``bdqueimadas_incremental.py``
+    per-year payload refresh, fed continuously instead of per sync
+    run): each micro-batch rewrites ONLY the year partitions it
+    touches, via ``foreachBatch`` + dynamic partition overwrite.
+
+    Per micro-batch: compute the distinct years present (bounded —
+    a batch spans few years), then delegate to the batch writer
+    ``write_incremental_by_year`` with exactly those years. Restarts
+    replay from the checkpoint; the per-year rewrite is idempotent, so
+    at-least-once delivery converges to the batch result.
+
+    NOTE: dynamic overwrite replaces each touched year partition with
+    the BATCH's rows for that year — correct for the reference's
+    payload-cache semantics where a refresh re-derives a whole year
+    from upstream; for append-style feeds use write_partitioned with
+    mode='append' instead.
+    """
+    from forest_open_data_pipelines_spark.sinks.writers import (
+        write_incremental_by_year,
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        years = [
+            r["y"]
+            for r in batch_df.select(
+                F.year(F.col(date_col)).alias("y")
+            ).distinct().collect()
+        ]
+        if years:
+            write_incremental_by_year(batch_df, path, date_col, years=years)
+
+    return (
+        events_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )

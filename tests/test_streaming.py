@@ -487,3 +487,51 @@ def test_repetition_gate_streams_stateless(spark, tmp_path):
         query.stop()
     batch = sorted(tuple(r) for r in quality_repetition(docs).collect())
     assert sorted(tuple(r) for r in emitted) == batch
+
+
+def test_stream_to_incremental_year_cache(spark, tmp_path):
+    """Streaming the events feed through the foreachBatch bridge must
+    leave the SAME per-year parquet cache the batch writer produces,
+    and a replayed batch (restart) must converge, not duplicate."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.sinks.writers import (
+        write_incremental_by_year,
+    )
+    from forest_open_data_pipelines_spark.streaming.windowed import (
+        stream_to_incremental_year_cache,
+    )
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "batch1.parquet")
+    events = load_table(spark, SF_DIR, "events")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = tmp_path / "inc_cache"
+    q = stream_to_incremental_year_cache(
+        stream, str(out), str(tmp_path / "ckpt_inc")
+    ).start()
+    try:
+        q.processAllAvailable()
+        # replay: same file again — per-year rewrite must be idempotent
+        shutil.copy(f"{SF_DIR}/events.parquet", src / "batch2.parquet")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_out = tmp_path / "inc_cache_batch"
+    write_incremental_by_year(events, str(batch_out), "ts")
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(str(out)).drop("year").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(batch_out)).drop("year").collect()
+    )
+    assert got == want
+    # and the cache is year-partitioned (pruning-ready)
+    assert any(p.name.startswith("year=") for p in out.iterdir())
