@@ -498,6 +498,45 @@ SELECT source, doc_id, n_tokens, seq_id, off AS offset_in_seq
 FROM walk ORDER BY doc_id"""
 
 
+def _canonical_corpus_sql(threshold: float = 0.8) -> str:
+    """dedup_canonical_corpus oracle: the clusters closure filtered to
+    canonical rows, joined back to the documents attributes."""
+    return f"""
+WITH RECURSIVE {SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN shingled x ON x.doc_id = cand.doc_a
+  JOIN shingled y ON y.doc_id = cand.doc_b
+  WHERE round(len(list_intersect(x.shingles, y.shingles))::DOUBLE
+              / len(list_distinct(list_concat(x.shingles, y.shingles))), 6)
+        >= {threshold}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+lab AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, s.cluster_size
+FROM lab l
+JOIN sz s USING (cluster_id)
+JOIN documents d ON d.doc_id = l.doc_id
+WHERE l.doc_id = l.cluster_id
+ORDER BY d.doc_id"""
+
+
 def _quality_repetition_sql() -> str:
     """quality_repetition oracle: the same tagged gram streams built
     with DuckDB list comprehensions instead of Catalyst transform();
@@ -2605,6 +2644,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "dedup_ngram_ppjoin": _ngram_exact_sql(),
         "dedup_clusters": _clusters_sql(),
         "quality_repetition": _quality_repetition_sql(),
+        "dedup_canonical_corpus": _canonical_corpus_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "ckan_resource_select": _ckan_resource_select_sql(),
         "supranational_items": _supranational_items_sql(),

@@ -83,10 +83,18 @@ HEADLINE = [
     "coids_entry_periods",
     "disjunctive_promo_revenue",
     "returned_item_ranking",
+    "dedup_canonical_corpus",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.
 NOTES = {
+    "_machine_variance": (
+        "Absolute floors drift ~1.2-1.4x between sessions on this VM "
+        "(q1_pricing_summary min observed 0.47-1.25s across four runs "
+        "of identical code on 2026-08-14, two of them back-to-back); "
+        "compare queries within one artifact, or ratios across "
+        "artifacts, not absolute seconds across sessions."
+    ),
     "dedup_clusters": (
         "includes re-running the full ngram-jaccard pair generation "
         "(~2s, already benched separately) plus ~3 label-propagation "

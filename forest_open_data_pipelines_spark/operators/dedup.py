@@ -961,3 +961,30 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def dedup_canonical_corpus(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """The cleaned corpus: one row per near-dup CLUSTER, carrying the
+    canonical (min-id) document's attributes and the cluster size —
+    the final keep-one materialization a dedup pipeline feeds to
+    training (pairs → components → canonical pick → filtered corpus).
+
+    Downstream of ``dedup_clusters``; the join back to ``documents``
+    is an equi-join on doc_id (broadcastable labels side at this
+    scale; at corpus scale both sides shuffle on doc_id — the natural
+    partitioning both already have).
+    """
+    clusters = dedup_clusters(documents, n=n, threshold=threshold)
+    keep = clusters.where(F.col("is_canonical")).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    return (
+        documents.select("doc_id", "lang", "source", "n_chars")
+        .join(keep, "doc_id")
+        .select("doc_id", "lang", "source", "n_chars", "cluster_size")
+        .orderBy("doc_id")
+    )

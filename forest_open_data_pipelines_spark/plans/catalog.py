@@ -190,6 +190,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_repetition": lambda s, d: textops.quality_repetition(
         load_table(s, d, "documents")
     ),
+    "dedup_canonical_corpus": lambda s, d: dedup.dedup_canonical_corpus(
+        load_table(s, d, "documents")
+    ),
     "dedup_clusters": lambda s, d: dedup.dedup_clusters(
         load_table(s, d, "documents")
     ),
@@ -231,9 +234,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")
     ),
     "events_asof_attribution": lambda s, d: asof.events_asof_attribution(
-        load_table(s, d, "events")
-    ),
-    "clicks_before_purchase": lambda s, d: asof.clicks_before_purchase(
         load_table(s, d, "events")
     ),
     "freshness_cadence": lambda s, d: freshness.freshness_cadence(
@@ -304,6 +304,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "painel_pdf_links": lambda s, d: html.painel_pdf_links(
         load_table(s, d, "documents")
+    ),
+    "clicks_before_purchase": lambda s, d: asof.clicks_before_purchase(
+        load_table(s, d, "events")
     ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the

@@ -46,6 +46,7 @@ MUST_BE_IN_WINDOW = {
     "coids_entry_periods",
     "disjunctive_promo_revenue",
     "returned_item_ranking",
+    "dedup_canonical_corpus",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

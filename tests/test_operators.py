@@ -2004,3 +2004,21 @@ def test_repetition_row_metrics_matches_batch_aggregation(spark, sf_dir):
     batch = sorted(tuple(r) for r in quality_repetition(docs).collect())
     row = sorted(tuple(r) for r in repetition_row_metrics(docs).collect())
     assert batch == row
+
+
+def test_dedup_canonical_corpus_is_clusters_keep_one(spark, sf_dir):
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_canonical_corpus,
+        dedup_clusters,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = {r["doc_id"]: r for r in dedup_clusters(docs).collect()}
+    kept = dedup_canonical_corpus(docs).collect()
+    canonical_ids = {d for d, r in clusters.items() if r["is_canonical"]}
+    assert {r["doc_id"] for r in kept} == canonical_ids
+    for r in kept:
+        assert r["cluster_size"] == clusters[r["doc_id"]]["cluster_size"]
+    # kept + dropped partitions the corpus
+    assert len(kept) == len({r["cluster_id"] for r in clusters.values()})
