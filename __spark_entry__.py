@@ -2645,6 +2645,30 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "dedup_clusters": _clusters_sql(),
         "quality_repetition": _quality_repetition_sql(),
         "dedup_canonical_corpus": _canonical_corpus_sql(),
+        "bpe_merge_candidates": f"""
+WITH words AS (
+  SELECT unnest(string_split({LCLEAN}, ' ')) AS w FROM documents
+),
+wc AS (SELECT w, count(*) AS n FROM words GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, n
+  FROM (SELECT w, n, unnest(range(1, len(w))) AS i FROM wc)
+),
+agg AS (SELECT pair, sum(n)::BIGINT AS freq FROM pairs GROUP BY pair)
+SELECT row_number() OVER (ORDER BY freq DESC, pair) AS rank, pair, freq
+FROM agg QUALIFY rank <= 20 ORDER BY rank""",
+        "join_key_skew_report": """
+WITH counts AS (
+  SELECT o_custkey AS key_value, count(*) AS n_rows FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT sum(n_rows)::BIGINT AS total_rows, count(*) AS n_keys FROM counts
+)
+SELECT row_number() OVER (ORDER BY n_rows DESC, key_value) AS rank,
+       key_value::VARCHAR AS key_value, n_rows,
+       round(n_rows::DOUBLE / total_rows, 6) AS share,
+       round(n_rows::DOUBLE * n_keys / total_rows, 6) AS skew_ratio
+FROM counts, tot QUALIFY rank <= 10 ORDER BY rank""",
         "pack_sequences": _pack_sequences_sql(),
         "ckan_resource_select": _ckan_resource_select_sql(),
         "supranational_items": _supranational_items_sql(),

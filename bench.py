@@ -84,6 +84,8 @@ HEADLINE = [
     "disjunctive_promo_revenue",
     "returned_item_ranking",
     "dedup_canonical_corpus",
+    "bpe_merge_candidates",
+    "join_key_skew_report",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

@@ -15,7 +15,7 @@ Spark-first analog of the reference's profiling and audit layers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import ratio
@@ -241,3 +241,41 @@ def type_inference(orders: DataFrame) -> DataFrame:
         )
     )
     return infer_types(stacked)
+
+
+def join_key_skew_report(
+    fact: DataFrame, key: str, top_k: int = 10
+) -> DataFrame:
+    """Heavy-hitter report for a join/aggregation key: the top-K keys
+    by row count with their share of the table and their ratio to the
+    mean per-key count — the diagnostic that decides whether a key
+    needs salting (``functions/skew.py``) or AQE skew-join handling
+    before a 100 TB run.
+
+    One map-side-combinable groupBy; the global totals ride along via
+    a broadcast single-row aggregate, and the top-K rank runs over the
+    (bounded) per-key counts.
+    """
+    counts = fact.groupBy(F.col(key).alias("key_value")).agg(
+        F.count("*").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("n_rows"), "key_value")
+    return (
+        counts.join(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "rank",
+            F.col("key_value").cast("string").alias("key_value"),
+            "n_rows",
+            ratio(F.col("n_rows") / F.col("total_rows")).alias("share"),
+            ratio(
+                F.col("n_rows") * F.col("n_keys") / F.col("total_rows")
+            ).alias("skew_ratio"),
+        )
+        .orderBy("rank")
+    )

@@ -12,7 +12,7 @@ whole-stage codegen and scales linearly with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import ratio
@@ -522,3 +522,34 @@ def repetition_row_metrics(documents: DataFrame) -> DataFrame:
         & (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) <= 0.25)
     )
     return out.withColumn("passes_repetition", passes)
+
+
+def bpe_merge_candidates(documents: DataFrame, top_k: int = 20) -> DataFrame:
+    """One BPE training step over the corpus: the top-K adjacent
+    character pairs by corpus frequency — the statistic a byte-pair
+    tokenizer trainer computes per merge round (public algorithm,
+    Sennrich et al. 2016; first-class LLM-training-data operator).
+
+    Scale shape: word counts FIRST (explode tokens → groupBy word,
+    map-side combinable, output bounded by vocabulary size), then the
+    character pairs explode off the DISTINCT-word table weighted by
+    the word counts — pair counting costs O(vocab · word_len), not
+    O(corpus tokens). The final top-K is a rank over the (tiny,
+    ≤ alphabet²) pair-frequency table.
+    """
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    words = documents.select(F.explode(toks).alias("w"))
+    wc = words.groupBy("w").agg(F.count("*").alias("n"))
+    pair_arr = F.expr(
+        "CASE WHEN length(w) >= 2 THEN transform(sequence(1, length(w) - 1),"
+        " i -> substring(w, i, 2)) ELSE array() END"
+    )
+    pairs = wc.select(F.explode(pair_arr).alias("pair"), "n")
+    agg = pairs.groupBy("pair").agg(F.sum("n").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), "pair")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("rank", "pair", "freq")
+        .orderBy("rank")
+    )

@@ -190,6 +190,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_repetition": lambda s, d: textops.quality_repetition(
         load_table(s, d, "documents")
     ),
+    "bpe_merge_candidates": lambda s, d: textops.bpe_merge_candidates(
+        load_table(s, d, "documents")
+    ),
+    "join_key_skew_report": lambda s, d: profiling.join_key_skew_report(
+        load_table(s, d, "orders"), key="o_custkey"
+    ),
     "dedup_canonical_corpus": lambda s, d: dedup.dedup_canonical_corpus(
         load_table(s, d, "documents")
     ),
@@ -210,9 +216,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     # ── Rotated IN (judge r3 item 1): parked since r1/r2 — regain
     # current driver-scale oracle rows this round ───────────────────
-    "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
-        load_table(s, d, "embeddings")
-    ),
     "region_nation_rollup": lambda s, d: relational.region_nation_rollup(
         _enriched(s, d)
     ),
@@ -234,9 +237,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "events")
     ),
     "events_asof_attribution": lambda s, d: asof.events_asof_attribution(
-        load_table(s, d, "events")
-    ),
-    "freshness_cadence": lambda s, d: freshness.freshness_cadence(
         load_table(s, d, "events")
     ),
     "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
@@ -306,6 +306,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "clicks_before_purchase": lambda s, d: asof.clicks_before_purchase(
+        load_table(s, d, "events")
+    ),
+    "ann_topk_bruteforce": lambda s, d: similarity.ann_topk_bruteforce(
+        load_table(s, d, "embeddings")
+    ),
+    "freshness_cadence": lambda s, d: freshness.freshness_cadence(
         load_table(s, d, "events")
     ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),

@@ -47,6 +47,8 @@ MUST_BE_IN_WINDOW = {
     "disjunctive_promo_revenue",
     "returned_item_ranking",
     "dedup_canonical_corpus",
+    "bpe_merge_candidates",
+    "join_key_skew_report",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

@@ -2022,3 +2022,33 @@ def test_dedup_canonical_corpus_is_clusters_keep_one(spark, sf_dir):
         assert r["cluster_size"] == clusters[r["doc_id"]]["cluster_size"]
     # kept + dropped partitions the corpus
     assert len(kept) == len({r["cluster_id"] for r in clusters.values()})
+
+
+def test_bpe_merge_candidates_hand_check(spark):
+    from forest_open_data_pipelines_spark.operators.textops import (
+        bpe_merge_candidates,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab ab", "en", "s", 0), (2, "ab x", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    # word counts: aab×2, ab×2, x×1 → pairs: aa:2 (from aab), ab:2+2=4
+    rows = {r["pair"]: (r["rank"], r["freq"]) for r in bpe_merge_candidates(docs).collect()}
+    assert rows == {"ab": (1, 4), "aa": (2, 2)}
+
+
+def test_join_key_skew_report_flags_heavy_key(spark):
+    from forest_open_data_pipelines_spark.operators.profiling import (
+        join_key_skew_report,
+    )
+
+    rows = [(i, 7) for i in range(90)] + [(1000 + i, i % 10 + 100) for i in range(10)]
+    df = spark.createDataFrame(rows, ["row_id", "k"])
+    out = join_key_skew_report(df, key="k", top_k=3).collect()
+    top = out[0]
+    assert top["key_value"] == "7" and top["n_rows"] == 90
+    assert top["share"] == 0.9
+    # 11 distinct keys, mean ≈ 9.09 rows → skew_ratio = 90·11/100
+    assert top["skew_ratio"] == round(90 * 11 / 100, 6)
+    assert out[1]["n_rows"] == 1 and out[1]["rank"] == 2
