@@ -2657,6 +2657,45 @@ pairs AS (
 agg AS (SELECT pair, sum(n)::BIGINT AS freq FROM pairs GROUP BY pair)
 SELECT row_number() OVER (ORDER BY freq DESC, pair) AS rank, pair, freq
 FROM agg QUALIFY rank <= 20 ORDER BY rank""",
+        "event_funnel": """
+WITH stepped AS (
+  SELECT user_id,
+    min(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id)
+      AS tv,
+    ts, event_type
+  FROM events
+),
+stepped2 AS (
+  SELECT user_id, tv,
+    min(CASE WHEN event_type = 'click' AND ts > tv THEN ts END)
+      OVER (PARTITION BY user_id) AS tc,
+    ts, event_type
+  FROM stepped
+),
+stepped3 AS (
+  SELECT user_id, tv, tc,
+    min(CASE WHEN event_type = 'purchase' AND ts > tc THEN ts END)
+      OVER (PARTITION BY user_id) AS tp
+  FROM stepped2
+),
+per_user AS (
+  SELECT user_id, max(tv) AS tv, max(tc) AS tc, max(tp) AS tp
+  FROM stepped3 GROUP BY user_id
+),
+totals AS (
+  SELECT count(*) AS n_users, count(tv) AS n_view,
+         count(tc) AS n_click, count(tp) AS n_purchase
+  FROM per_user
+)
+SELECT 1 AS step, 'view' AS step_name, n_view AS users,
+       round(n_view::DOUBLE / n_users, 6) AS conversion FROM totals
+UNION ALL
+SELECT 2, 'click_after_view', n_click,
+       round(n_click::DOUBLE / nullif(n_view, 0), 6) FROM totals
+UNION ALL
+SELECT 3, 'purchase_after_click', n_purchase,
+       round(n_purchase::DOUBLE / nullif(n_click, 0), 6) FROM totals
+ORDER BY step""",
         "join_key_skew_report": """
 WITH counts AS (
   SELECT o_custkey AS key_value, count(*) AS n_rows FROM orders GROUP BY 1

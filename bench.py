@@ -86,6 +86,7 @@ HEADLINE = [
     "dedup_canonical_corpus",
     "bpe_merge_candidates",
     "join_key_skew_report",
+    "event_funnel",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

@@ -79,3 +79,55 @@ def events_windowed(events: DataFrame) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def event_funnel(events: DataFrame) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase per user:
+    a user advances a step only with an event strictly AFTER the
+    previous step's earliest qualifying event (min-timestamp chain,
+    the standard funnel semantics).
+
+    One shuffle: all three step timestamps are windowed mins over the
+    same user partition (Catalyst stacks the three Window operators on
+    a single exchange), then a global 3-row aggregate. Output one row
+    per step with user counts and conversion from the previous step.
+    """
+    w = Window.partitionBy("user_id")
+    is_ = lambda t: F.col("event_type") == t  # noqa: E731
+    e = (
+        events.withColumn(
+            "tv", F.min(F.when(is_("view"), F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(is_("click") & (F.col("ts") > F.col("tv")), F.col("ts"))
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    is_("purchase") & (F.col("ts") > F.col("tc")), F.col("ts")
+                )
+            ).over(w),
+        )
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp")
+    )
+    totals = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("tv").alias("n_view"),
+        F.count("tc").alias("n_click"),
+        F.count("tp").alias("n_purchase"),
+    )
+    stacked = totals.selectExpr(
+        "stack(3, "
+        "1, 'view', n_view, round(n_view / n_users, 6), "
+        "2, 'click_after_view', n_click, round(n_click / nullif(n_view, 0), 6), "
+        "3, 'purchase_after_click', n_purchase, "
+        "round(n_purchase / nullif(n_click, 0), 6)"
+        ") AS (step, step_name, users, conversion)"
+    )
+    return stacked.orderBy("step")

@@ -190,6 +190,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_repetition": lambda s, d: textops.quality_repetition(
         load_table(s, d, "documents")
     ),
+    "event_funnel": lambda s, d: sessionize.event_funnel(
+        load_table(s, d, "events")
+    ),
     "bpe_merge_candidates": lambda s, d: textops.bpe_merge_candidates(
         load_table(s, d, "documents")
     ),
@@ -229,9 +232,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "highlights": lambda s, d: timeseries.highlights(
         timeseries.monthly_series(_enriched(s, d))
-    ),
-    "state_biome_monthly_series": lambda s, d: timeseries.state_biome_monthly_series(
-        _enriched(s, d)
     ),
     "events_sessionize": lambda s, d: sessionize.events_sessionize(
         load_table(s, d, "events")
@@ -313,6 +313,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "freshness_cadence": lambda s, d: freshness.freshness_cadence(
         load_table(s, d, "events")
+    ),
+    "state_biome_monthly_series": lambda s, d: timeseries.state_biome_monthly_series(
+        _enriched(s, d)
     ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the

@@ -49,6 +49,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_canonical_corpus",
     "bpe_merge_candidates",
     "join_key_skew_report",
+    "event_funnel",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

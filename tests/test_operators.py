@@ -2052,3 +2052,36 @@ def test_join_key_skew_report_flags_heavy_key(spark):
     # 11 distinct keys, mean ≈ 9.09 rows → skew_ratio = 90·11/100
     assert top["skew_ratio"] == round(90 * 11 / 100, 6)
     assert out[1]["n_rows"] == 1 and out[1]["rank"] == 2
+
+
+def test_event_funnel_hand_check(spark):
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.sessionize import event_funnel
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel
+        (1, t(1), 1, "view", 0.0, "{}"),
+        (2, t(2), 1, "click", 0.0, "{}"),
+        (3, t(3), 1, "purchase", 0.0, "{}"),
+        # user 2: click BEFORE view — doesn't count, purchase without
+        # qualifying click — doesn't count
+        (4, t(1), 2, "click", 0.0, "{}"),
+        (5, t(2), 2, "view", 0.0, "{}"),
+        (6, t(3), 2, "purchase", 0.0, "{}"),
+        # user 3: view+click, no purchase
+        (7, t(1), 3, "view", 0.0, "{}"),
+        (8, t(2), 3, "click", 0.0, "{}"),
+        # user 4: never views
+        (9, t(1), 4, "signup", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r["step_name"]: r for r in event_funnel(df).collect()}
+    assert out["view"]["users"] == 3 and out["view"]["conversion"] == 0.75
+    assert out["click_after_view"]["users"] == 2
+    assert out["click_after_view"]["conversion"] == round(2 / 3, 6)
+    assert out["purchase_after_click"]["users"] == 1
+    assert out["purchase_after_click"]["conversion"] == 0.5
