@@ -2657,6 +2657,40 @@ pairs AS (
 agg AS (SELECT pair, sum(n)::BIGINT AS freq FROM pairs GROUP BY pair)
 SELECT row_number() OVER (ORDER BY freq DESC, pair) AS rank, pair, freq
 FROM agg QUALIFY rank <= 20 ORDER BY rank""",
+        "lang_id_ngram": f"""
+WITH tri AS (
+  SELECT doc_id, lang, unnest(list_distinct(
+    CASE WHEN len(c) >= 3 THEN [substr(c, i, 3) for i in range(1, len(c) - 1)]
+         ELSE [c] END)) AS tri
+  FROM (SELECT doc_id, lang, {LCLEAN} AS c FROM documents)
+),
+prof AS (
+  SELECT plang, tri FROM (
+    SELECT lang AS plang, tri,
+           row_number() OVER (
+             PARTITION BY lang ORDER BY count(*) DESC, tri) AS rn
+    FROM tri GROUP BY lang, tri
+  ) WHERE rn <= 20
+),
+hits AS (
+  SELECT t.doc_id, p.plang, count(*) AS n_hits
+  FROM tri t JOIN prof p ON t.tri = p.tri
+  GROUP BY t.doc_id, p.plang
+),
+best AS (
+  SELECT doc_id, plang, n_hits FROM (
+    SELECT doc_id, plang, n_hits,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY n_hits DESC, plang) AS rn
+    FROM hits
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, d.lang,
+       coalesce(b.plang, 'unknown') AS predicted_lang,
+       coalesce(b.n_hits, 0)::BIGINT AS n_hits,
+       coalesce(b.plang, 'unknown') = d.lang AS is_correct
+FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+ORDER BY d.doc_id""",
         "event_funnel": """
 WITH stepped AS (
   SELECT user_id,

@@ -87,6 +87,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "join_key_skew_report",
     "event_funnel",
+    "lang_id_ngram",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

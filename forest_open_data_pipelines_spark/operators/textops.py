@@ -553,3 +553,64 @@ def bpe_merge_candidates(documents: DataFrame, top_k: int = 20) -> DataFrame:
         .select("rank", "pair", "freq")
         .orderBy("rank")
     )
+
+
+def lang_id_ngram(documents: DataFrame, top_n: int = 20) -> DataFrame:
+    """Char-trigram profile language ID (Cavnar & Trenkle 1994 n-gram
+    text categorization — public algorithm): per-language profiles are
+    TRAINED from the labeled corpus itself (top-N trigrams per lang by
+    document frequency, self-inclusive), then every document is scored
+    by how many of its distinct trigrams hit each profile; prediction
+    is the argmax with a (hits DESC, lang ASC) deterministic
+    tie-break, 'unknown' when nothing hits.
+
+    Scale: the doc→trigram explode is computed ONCE and persisted for
+    both passes (profile build + scoring); profiles are ≤ langs·top_n
+    rows and BROADCAST to the scoring join, so the only wide shuffles
+    are the two map-side-combinable counts. Upgrade path at corpus
+    scale: train on a sample, same plan.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    cleaned = F.lower(clean_text(F.col("text")))
+    tri = F.expr(
+        "CASE WHEN length(c) >= 3 THEN transform(sequence(1, length(c) - 2),"
+        " i -> substring(c, i, 3)) ELSE array(c) END"
+    )
+    doc_tri = _persist(
+        documents.select("doc_id", "lang", cleaned.alias("c"))
+        .select("doc_id", "lang", F.explode(F.array_distinct(tri)).alias("tri"))
+    )
+    prof_w = Window.partitionBy("plang").orderBy(F.desc("df"), "tri")
+    profiles = (
+        doc_tri.groupBy(F.col("lang").alias("plang"), "tri")
+        .agg(F.count("*").alias("df"))
+        .withColumn("rn", F.row_number().over(prof_w))
+        .where(F.col("rn") <= top_n)
+        .select("plang", "tri")
+    )
+    hits = (
+        doc_tri.join(F.broadcast(profiles), "tri")
+        .groupBy("doc_id", "plang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    best_w = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), "plang")
+    best = (
+        hits.withColumn("rn", F.row_number().over(best_w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "plang", "n_hits")
+    )
+    labeled = documents.select("doc_id", "lang")
+    return (
+        labeled.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("plang", F.lit("unknown")).alias("predicted_lang"),
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("plang", F.lit("unknown")) == F.col("lang")).alias(
+                "is_correct"
+            ),
+        )
+        .orderBy("doc_id")
+    )

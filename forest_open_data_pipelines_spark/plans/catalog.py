@@ -190,6 +190,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_repetition": lambda s, d: textops.quality_repetition(
         load_table(s, d, "documents")
     ),
+    "lang_id_ngram": lambda s, d: textops.lang_id_ngram(
+        load_table(s, d, "documents")
+    ),
     "event_funnel": lambda s, d: sessionize.event_funnel(
         load_table(s, d, "events")
     ),
@@ -227,9 +230,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # that anchor the flagship/bench set ────────────────────────────
     "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
     "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
-    "rolling_12m": lambda s, d: timeseries.rolling_12m(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
     "highlights": lambda s, d: timeseries.highlights(
         timeseries.monthly_series(_enriched(s, d))
     ),
@@ -316,6 +316,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "state_biome_monthly_series": lambda s, d: timeseries.state_biome_monthly_series(
         _enriched(s, d)
+    ),
+    "rolling_12m": lambda s, d: timeseries.rolling_12m(
+        timeseries.monthly_series(_enriched(s, d))
     ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the

@@ -50,6 +50,7 @@ MUST_BE_IN_WINDOW = {
     "bpe_merge_candidates",
     "join_key_skew_report",
     "event_funnel",
+    "lang_id_ngram",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

@@ -2085,3 +2085,29 @@ def test_event_funnel_hand_check(spark):
     assert out["click_after_view"]["conversion"] == round(2 / 3, 6)
     assert out["purchase_after_click"]["users"] == 1
     assert out["purchase_after_click"]["conversion"] == 0.5
+
+
+def test_lang_id_ngram_separable_corpus(spark):
+    """On a corpus whose languages use disjoint alphabets the trigram
+    profiles must classify every doc correctly; short (<3 char) docs
+    fall back to the whole-string 'trigram'."""
+    from forest_open_data_pipelines_spark.operators.textops import lang_id_ngram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaab aaba abaa baaa", "aa", "s", 0),
+            (2, "aab aab baba abab", "aa", "s", 0),
+            (3, "zzzy zzyz yzzz", "zz", "s", 0),
+            (4, "zyzy yzyz zzzz", "zz", "s", 0),
+            # <3 chars → whole-string gram; training is self-inclusive,
+            # so its own gram lands in the 'aa' profile → 1 hit
+            (5, "xy", "aa", "s", 0),
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = {r["doc_id"]: r for r in lang_id_ngram(docs).collect()}
+    for d in (1, 2):
+        assert rows[d]["predicted_lang"] == "aa" and rows[d]["is_correct"]
+    for d in (3, 4):
+        assert rows[d]["predicted_lang"] == "zz" and rows[d]["is_correct"]
+    assert rows[5]["predicted_lang"] == "aa" and rows[5]["n_hits"] == 1
