@@ -322,3 +322,32 @@ def test_returned_item_ranking_broadcasts_nation_pushes_filters(spark):
     flat = plan.replace(" ", "")
     assert "EqualTo(l_returnflag,R)" in flat
     assert "IsNotNull(o_orderdate)" in flat or "o_orderdate" in flat
+
+
+def test_event_funnel_single_user_exchange(spark):
+    """All three step mins must ride ONE user-partition exchange
+    (stacked Window operators), not one shuffle per step."""
+    plan = _plan(spark, "event_funnel")
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_lang_id_ngram_profiles_broadcast(spark):
+    """The profile side of the scoring join is ≤ langs·top_n rows and
+    must broadcast — the doc-trigram stream never shuffles on tri."""
+    from forest_open_data_pipelines_spark.operators.dedup import release_persisted
+
+    try:
+        plan = _plan(spark, "lang_id_ngram")
+        assert "BroadcastHashJoin" in plan
+        assert "Exchange hashpartitioning(tri" not in plan
+    finally:
+        release_persisted()
+
+
+def test_bpe_pairs_explode_off_distinct_words(spark):
+    """Pair counting must run off the word-count table (bounded by
+    vocabulary), i.e. exactly two wide aggregations: words and pairs."""
+    plan = _plan(spark, "bpe_merge_candidates")
+    assert len(re.findall(r"Exchange hashpartitioning\(w[#,]", plan)) == 1
+    assert len(re.findall(r"Exchange hashpartitioning\(pair", plan)) == 1
