@@ -2657,6 +2657,29 @@ pairs AS (
 agg AS (SELECT pair, sum(n)::BIGINT AS freq FROM pairs GROUP BY pair)
 SELECT row_number() OVER (ORDER BY freq DESC, pair) AS rank, pair, freq
 FROM agg QUALIFY rank <= 20 ORDER BY rank""",
+        "embedding_label_stats": """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+ex AS (
+  SELECT label, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM e
+),
+cent AS (
+  SELECT label, pos, round(avg(v), 6) AS c FROM ex GROUP BY 1, 2
+),
+cl AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+scored AS (
+  SELECT e.label,
+         round(sqrt(list_dot_product(cl.centroid, cl.centroid)), 6)
+           AS centroid_norm,
+         round(list_dot_product(e.emb, cl.centroid)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(cl.centroid, cl.centroid))), 6)
+           AS cos
+  FROM e JOIN cl USING (label)
+)
+SELECT label, count(*) AS n_vecs, centroid_norm,
+       round(avg(cos), 6) AS avg_cos_to_centroid,
+       min(cos) AS min_cos, max(cos) AS max_cos
+FROM scored GROUP BY label, centroid_norm ORDER BY label""",
         "lang_id_ngram": f"""
 WITH tri AS (
   SELECT doc_id, lang, unnest(list_distinct(

@@ -88,6 +88,7 @@ HEADLINE = [
     "join_key_skew_report",
     "event_funnel",
     "lang_id_ngram",
+    "embedding_label_stats",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

@@ -478,3 +478,65 @@ def ann_topk_ivf(
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_label_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding geometry report: the 6-dp-rounded centroid's
+    norm and the distribution (avg/min/max) of each member's cosine to
+    its label centroid — the cluster-cohesion diagnostic an embedding
+    pipeline runs before trusting labels for curriculum or dedup
+    decisions.
+
+    Scale: the centroid build is a posexplode → (label, dim) avg —
+    map-side combinable, output bounded by labels×dims; the per-vector
+    scoring joins the BROADCAST centroid table and folds the cosine
+    in-codegen (same zip_with/aggregate shape as dedup_embedding, so
+    the DuckDB twin's list_dot_product agrees at 6 dp). Per-dim
+    centroid means are rounded to 6 dp on both engines BEFORE the
+    cosine so the fold inputs are bit-identical.
+    """
+    ex = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    cnorm = F.sqrt(
+        F.aggregate("centroid", F.lit(0.0), lambda a, x: a + x * x)
+    )
+    joined = embeddings.join(F.broadcast(cent_arr), "label")
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "centroid", lambda x, y: x.cast("double") * y
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    vnorm = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x
+        )
+    )
+    cos = ratio(dot / (vnorm * cnorm))
+    scored = joined.select(
+        "label", cos.alias("cos"), F.round(cnorm, 6).alias("centroid_norm")
+    )
+    return (
+        scored.groupBy("label", "centroid_norm")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("avg_cos_to_centroid"),
+            F.min("cos").alias("min_cos"),
+            F.max("cos").alias("max_cos"),
+        )
+        .select(
+            "label", "n_vecs", "centroid_norm",
+            "avg_cos_to_centroid", "min_cos", "max_cos",
+        )
+        .orderBy("label")
+    )

@@ -190,6 +190,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_repetition": lambda s, d: textops.quality_repetition(
         load_table(s, d, "documents")
     ),
+    "embedding_label_stats": lambda s, d: similarity.embedding_label_stats(
+        load_table(s, d, "embeddings")
+    ),
     "lang_id_ngram": lambda s, d: textops.lang_id_ngram(
         load_table(s, d, "documents")
     ),
@@ -229,7 +232,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # retag, empty-series contract, hot-shingle cap, LSH/IVF perf) or
     # that anchor the flagship/bench set ────────────────────────────
     "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
-    "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
     "highlights": lambda s, d: timeseries.highlights(
         timeseries.monthly_series(_enriched(s, d))
     ),
@@ -320,6 +322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rolling_12m": lambda s, d: timeseries.rolling_12m(
         timeseries.monthly_series(_enriched(s, d))
     ),
+    "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the
     # four first-driver-row rotations above

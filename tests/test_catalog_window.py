@@ -51,6 +51,7 @@ MUST_BE_IN_WINDOW = {
     "join_key_skew_report",
     "event_funnel",
     "lang_id_ngram",
+    "embedding_label_stats",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",
