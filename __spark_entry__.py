@@ -2657,6 +2657,26 @@ pairs AS (
 agg AS (SELECT pair, sum(n)::BIGINT AS freq FROM pairs GROUP BY pair)
 SELECT row_number() OVER (ORDER BY freq DESC, pair) AS rank, pair, freq
 FROM agg QUALIFY rank <= 20 ORDER BY rank""",
+        "dedup_method_eval": f"""
+WITH truth AS (SELECT doc_a, doc_b FROM ({_ngram_jaccard_sql()})),
+mh AS (SELECT doc_a, doc_b FROM ({_minhash_sql()})),
+sh AS (SELECT doc_a, doc_b FROM ({_simhash_sql()})),
+t AS (SELECT count(*) AS n_truth FROM truth),
+stats AS (
+  SELECT 'minhash' AS method,
+         (SELECT count(*) FROM mh) AS n_pairs,
+         (SELECT n_truth FROM t) AS n_truth,
+         (SELECT count(*) FROM mh JOIN truth USING (doc_a, doc_b)) AS n_hit
+  UNION ALL
+  SELECT 'simhash',
+         (SELECT count(*) FROM sh),
+         (SELECT n_truth FROM t),
+         (SELECT count(*) FROM sh JOIN truth USING (doc_a, doc_b))
+)
+SELECT method, n_pairs, n_truth, n_hit,
+       round(n_hit::DOUBLE / nullif(n_pairs, 0), 6) AS precision,
+       round(n_hit::DOUBLE / nullif(n_truth, 0), 6) AS recall
+FROM stats ORDER BY method""",
         "embedding_label_stats": """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
 ex AS (

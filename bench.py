@@ -89,6 +89,7 @@ HEADLINE = [
     "event_funnel",
     "lang_id_ngram",
     "embedding_label_stats",
+    "dedup_method_eval",
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.

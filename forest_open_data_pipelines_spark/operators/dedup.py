@@ -988,3 +988,44 @@ def dedup_canonical_corpus(
         .select("doc_id", "lang", "source", "n_chars", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+def dedup_method_eval(documents: DataFrame) -> DataFrame:
+    """Evaluation harness as a query: precision/recall of the
+    approximate near-dup detectors (MinHash-LSH, SimHash) against the
+    exact ngram-Jaccard pair set — the measurement that justifies
+    shipping an approximate method at corpus scale, run as a single
+    catalog entry instead of a notebook.
+
+    All three pair sets are persisted once; the hit counts are
+    equi-joins on (doc_a, doc_b) and the final table is two
+    single-row aggregates unioned — no O(n²) anything beyond what the
+    detectors themselves do.
+    """
+    truth = _persist(dedup_ngram_jaccard(documents).select("doc_a", "doc_b"))
+    methods = {
+        "minhash": dedup_minhash(documents).select("doc_a", "doc_b"),
+        "simhash": dedup_simhash(documents).select("doc_a", "doc_b"),
+    }
+    outs = []
+    for name, m in methods.items():
+        m = _persist(m)
+        inter = m.join(truth, ["doc_a", "doc_b"]).agg(
+            F.count("*").alias("n_hit")
+        )
+        outs.append(
+            m.agg(F.count("*").alias("n_pairs"))
+            .join(truth.agg(F.count("*").alias("n_truth")))
+            .join(inter)
+            .select(
+                F.lit(name).alias("method"),
+                "n_pairs",
+                "n_truth",
+                "n_hit",
+                F.expr("round(n_hit / nullif(n_pairs, 0), 6)").alias(
+                    "precision"
+                ),
+                F.expr("round(n_hit / nullif(n_truth, 0), 6)").alias("recall"),
+            )
+        )
+    return outs[0].unionByName(outs[1]).orderBy("method")

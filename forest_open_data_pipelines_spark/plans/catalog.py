@@ -190,6 +190,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_repetition": lambda s, d: textops.quality_repetition(
         load_table(s, d, "documents")
     ),
+    "dedup_method_eval": lambda s, d: dedup.dedup_method_eval(
+        load_table(s, d, "documents")
+    ),
     "embedding_label_stats": lambda s, d: similarity.embedding_label_stats(
         load_table(s, d, "embeddings")
     ),
@@ -234,9 +237,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
     "highlights": lambda s, d: timeseries.highlights(
         timeseries.monthly_series(_enriched(s, d))
-    ),
-    "events_sessionize": lambda s, d: sessionize.events_sessionize(
-        load_table(s, d, "events")
     ),
     "events_asof_attribution": lambda s, d: asof.events_asof_attribution(
         load_table(s, d, "events")
@@ -323,6 +323,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         timeseries.monthly_series(_enriched(s, d))
     ),
     "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
+    "events_sessionize": lambda s, d: sessionize.events_sessionize(
+        load_table(s, d, "events")
+    ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the
     # four first-driver-row rotations above

@@ -52,6 +52,7 @@ MUST_BE_IN_WINDOW = {
     "event_funnel",
     "lang_id_ngram",
     "embedding_label_stats",
+    "dedup_method_eval",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",
