@@ -535,3 +535,82 @@ def test_stream_to_incremental_year_cache(spark, tmp_path):
     assert got == want
     # and the cache is year-partitioned (pruning-ready)
     assert any(p.name.startswith("year=") for p in out.iterdir())
+
+
+def test_funnel_stream_matches_batch_chain(spark, tmp_path):
+    """Drained per-user funnel state must equal the batch operator's
+    min-timestamp chain, and a full replay (at-least-once) must leave
+    it unchanged."""
+    import shutil
+
+    from pyspark.sql import Window
+    from forest_open_data_pipelines_spark.streaming.funnel import funnel_stream
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "batch1.parquet")
+    events = load_table(spark, SF_DIR, "events")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        funnel_stream(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        shutil.copy(f"{SF_DIR}/events.parquet", src / "batch2.parquet")  # replay
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM funnel_stream_test"
+        ).collect()
+    finally:
+        q.stop()
+    # last emitted row per user is the final state
+    latest = {}
+    for r in rows:
+        latest[r["user_id"]] = r  # memory sink appends in batch order
+    # batch chain
+    w = Window.partitionBy("user_id")
+    e = (
+        events.withColumn(
+            "tv", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("tv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("tc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    batch = {
+        r["user_id"]: r
+        for r in e.groupBy("user_id")
+        .agg(F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp"))
+        .collect()
+    }
+    assert set(latest) == set(batch)
+    for uid, b in batch.items():
+        s = latest[uid]
+        assert s["t_view"] == b["tv"], uid
+        assert s["t_click"] == b["tc"], uid
+        assert s["t_purchase"] == b["tp"], uid
