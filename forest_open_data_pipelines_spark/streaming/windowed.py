@@ -108,3 +108,36 @@ def stream_to_incremental_year_cache(
         .option("checkpointLocation", checkpoint)
         .outputMode("append")
     )
+
+
+def windowed_counts_by_nation(
+    events_stream: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment + windowed aggregation: the event
+    stream joins the STATIC customer→nation dimensions (broadcast — a
+    stream-static equi-join never shuffles the stream side for a
+    broadcastable dim) and counts per (window, nation) under a
+    watermark. The canonical 'enrich the firehose with reference data'
+    job; batch parity asserted in tests.
+    """
+    dims = customer.select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    ).join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("user_id", "n_name")
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .join(F.broadcast(dims), "user_id")
+        .groupBy(F.window("ts", window).alias("w"), "n_name")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_name",
+            "n_events",
+        )
+    )
