@@ -2111,3 +2111,53 @@ def test_lang_id_ngram_separable_corpus(spark):
     for d in (3, 4):
         assert rows[d]["predicted_lang"] == "zz" and rows[d]["is_correct"]
     assert rows[5]["predicted_lang"] == "aa" and rows[5]["n_hits"] == 1
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random edge lists: the Spark doubling loop must produce
+    exactly the union-find min-label components."""
+    import random
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = rng.randint(5, 30)
+        m = rng.randint(0, 2 * n)
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in range(n)}
+        # union-find roots are not guaranteed min under this merge rule
+        # alone; normalize per component
+        comp: dict[int, list[int]] = {}
+        for x, r in want.items():
+            comp.setdefault(r, []).append(x)
+        want = {x: min(members) for r, members in comp.items() for x in members}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        pairs = (
+            spark.createDataFrame(edges, ["doc_a", "doc_b"])
+            if edges
+            else spark.createDataFrame([], "doc_a long, doc_b long")
+        )
+        got = {
+            r["doc_id"]: r["label"]
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == want, f"trial {trial}"

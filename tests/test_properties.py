@@ -129,3 +129,43 @@ def test_normalize_state_label_matches_reference_nfkd(
         .collect()
     )
     assert row.norm == _normalize_reference(label)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=300), min_size=1, max_size=60),
+    st.integers(min_value=16, max_value=256),
+)
+@settings(max_examples=200)
+def test_pack_group_kernel_greedy_invariants(sizes, budget):
+    """The packing kernel must satisfy, for ANY size sequence: every
+    item placed once in order; offsets are running fills; a new
+    sequence opens iff the item would overflow the open one; only
+    single-item sequences may exceed the budget."""
+    import pandas as pd
+
+    from forest_open_data_pipelines_spark.operators.packing import _pack_group
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["s"] * len(sizes),
+            "doc_id": range(len(sizes)),
+            "n_tokens": sizes,
+        }
+    )
+    out = _pack_group(pdf.copy(), budget)
+    assert list(out["doc_id"]) == list(range(len(sizes)))  # order kept
+    fill: dict[int, int] = {}
+    prev_seq = 0
+    for _, r in out.iterrows():
+        s = r["seq_id"]
+        assert r["offset_in_seq"] == fill.get(s, 0)
+        if s != prev_seq:
+            assert s == prev_seq + 1
+            assert fill[prev_seq] + r["n_tokens"] > budget  # genuinely full
+            prev_seq = s
+        fill[s] = fill.get(s, 0) + r["n_tokens"]
+    for s, f in fill.items():
+        n_items = (out["seq_id"] == s).sum()
+        assert f <= budget or n_items == 1
+
+
