@@ -89,7 +89,11 @@ HEADLINE = [
     "event_funnel",
     "lang_id_ngram",
     "embedding_label_stats",
-    "dedup_method_eval",
+    # dedup_method_eval is intentionally NOT a bench headliner: it
+    # re-runs three full dedup pipelines to produce an evaluation
+    # artifact (P/R of the approximate detectors), ~7 s at sf0.1 by
+    # construction — a report, not a throughput query. It stays in the
+    # driver correctness window.
 ]
 
 # Measurement caveats that belong next to the numbers they qualify.
