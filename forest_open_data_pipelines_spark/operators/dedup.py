@@ -878,11 +878,17 @@ def dedup_clusters(
     driver-side data collect.
     """
     if pairs is None:
-        # default pair source: exact ngram-jaccard (deterministic,
-        # oracle-paired); pass dedup_minhash(...) / simhash / embedding
-        # pairs instead for the approximate corpus-scale generators —
-        # the closure is agnostic to where edges came from.
-        pairs = dedup_ngram_jaccard(documents, n=n, threshold=threshold)
+        # Default pair source: the prefix-filtered (ppjoin) EXACT
+        # near-dup join — provably the same pair set as
+        # dedup_ngram_jaccard (equality asserted in tests), but the
+        # duplicate-heavy scaling probe (tools/scale_probe.py, 8× sf0.1
+        # = 40k docs / 140k true pairs) measured it 12× faster: the
+        # count-verify scheme's shared-shingle pair groupBy is bound by
+        # pairs×shared-shingles, while the prefix filter touches each
+        # candidate once. Pass dedup_minhash(...) / simhash / embedding
+        # pairs for the approximate generators — the closure is
+        # agnostic to where edges came from.
+        pairs = dedup_ngram_ppjoin(documents, n=n, threshold=threshold)
     pairs = _persist(pairs.select("doc_a", "doc_b"))
     nodes = documents.select("doc_id")
     labels = connected_components(nodes, pairs, max_iters=max_iters)

@@ -1,0 +1,113 @@
+"""Scaling probe: replicate the sf0.1 documents table with per-replica
+token ROTATION and measure the dedup hot paths at 1/2/4/8×.
+
+NOTE on the corpus shape this builds: rotating a ~56-token document by
+k keeps all but ~n interior word-trigrams, so each replica is a
+NEAR-DUPLICATE of its original — the probe is a duplicate-heavy
+corpus stress test (true pairs grow ~quadratically in replicas per
+original group), i.e. exactly the workload a dedup pass exists for
+and its worst case. Findings recorded in SURVEY §3 (2026-08-14 run):
+the prefix-filtered ppjoin scheme stays near-linear (x8 ratio 2.35)
+where the count-verify scheme degrades with true-pair mass (x8 ratio
+20.3) — which is why dedup_clusters defaults to ppjoin pairs.
+
+Usage: python tools/scale_probe.py [max_replicas] [ops...]
+Writes scaled parquet under /tmp/scale_probe/ and prints one line per
+(op, scale) with wall-clock seconds; paste the summary into SURVEY §3.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from forest_open_data_pipelines_spark.operators import dedup
+from forest_open_data_pipelines_spark.session import get_spark
+from forest_open_data_pipelines_spark.sources import load_table
+
+BASE_SF = "/root/testdata/sf0.1"
+OUT = "/tmp/scale_probe"
+
+OPS = {
+    "dedup_exact": lambda d: dedup.dedup_exact(d),
+    "dedup_minhash": lambda d: dedup.dedup_minhash(d),
+    "dedup_ngram_jaccard": lambda d: dedup.dedup_ngram_jaccard(d),
+    "dedup_ngram_ppjoin": lambda d: dedup.dedup_ngram_ppjoin(d),
+    "dedup_simhash64": lambda d: dedup.dedup_simhash64(d),
+    "dedup_clusters": lambda d: dedup.dedup_clusters(d),
+}
+
+
+def build_scaled(spark, replicas: int) -> str:
+    path = f"{OUT}/docs_x{replicas}.parquet"
+    if os.path.exists(path):
+        return path
+    docs = load_table(spark, BASE_SF, "documents")
+    n = docs.count()
+    parts = []
+    for k in range(replicas):
+        toks = F.split("text", " ")
+        rot = F.when(
+            F.size(toks) > k,
+            F.array_join(
+                F.concat(
+                    F.slice(toks, k + 1, F.size(toks) - k), F.slice(toks, 1, k)
+                ),
+                " ",
+            ),
+        ).otherwise(F.col("text"))
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * n).alias("doc_id"),
+                rot.alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    max_replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    ops = sys.argv[2:] or list(OPS)
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    scales = [1, 2, 4, 8]
+    scales = [s for s in scales if s <= max_replicas]
+    results: dict[str, list[tuple[int, float, int]]] = {o: [] for o in ops}
+    for s in scales:
+        path = build_scaled(spark, s)
+        docs = spark.read.parquet(path)
+        n_docs = docs.count()
+        for op in ops:
+            fn = OPS[op]
+            fn(docs).count()  # warm plan/codegen for this scale
+            dedup.release_persisted()
+            t0 = time.perf_counter()
+            rows = fn(docs).count()
+            dt = time.perf_counter() - t0
+            dedup.release_persisted()
+            results[op].append((n_docs, dt, rows))
+            print(f"{op} x{s} docs={n_docs} rows={rows} {dt:.2f}s", flush=True)
+    print("\n# scaling summary (time ratio vs doc ratio)")
+    for op, rs in results.items():
+        if len(rs) >= 2:
+            n0, t0_, _ = rs[0]
+            line = " ".join(
+                f"x{n // n0}:{t / t0_:.2f}" for n, t, _ in rs
+            )
+            print(f"{op}: {line}")
+
+
+if __name__ == "__main__":
+    main()
