@@ -109,5 +109,71 @@ def main() -> None:
             print(f"{op}: {line}")
 
 
+
+
+# ── ANN scaling (embeddings replicated with a per-replica dimension nudge) ──
+
+def build_scaled_embeddings(spark, replicas: int) -> str:
+    path = f"{OUT}/emb_x{replicas}.parquet"
+    if os.path.exists(path):
+        return path
+    emb = load_table(spark, BASE_SF, "embeddings")
+    n = emb.count()
+    parts = []
+    for k in range(replicas):
+        nudged = F.transform(
+            "embedding",
+            lambda x, i: (x + F.when(i == k % 64, F.lit(0.05 * k)).otherwise(0.0)).cast("float"),
+        )
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + k * n).alias("vec_id"),
+                nudged.alias("embedding"),
+                "label",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def ann_main(max_replicas: int) -> None:
+    from forest_open_data_pipelines_spark.operators import similarity
+
+    spark = get_spark("scale-probe-ann")
+    spark.sparkContext.setLogLevel("ERROR")
+    ops = {
+        "ann_topk_lsh": lambda e: similarity.ann_topk_lsh(e),
+        "ann_topk_ivf": lambda e: similarity.ann_topk_ivf(e),
+        "dedup_embedding_lsh": lambda e: dedup.dedup_embedding_lsh(e),
+    }
+    results = {o: [] for o in ops}
+    for s in [1, 2, 4, 8]:
+        if s > max_replicas:
+            break
+        path = build_scaled_embeddings(spark, s)
+        emb = spark.read.parquet(path)
+        n_vecs = emb.count()
+        for op, fn in ops.items():
+            fn(emb).count()
+            dedup.release_persisted()
+            t0 = time.perf_counter()
+            rows = fn(emb).count()
+            dt = time.perf_counter() - t0
+            dedup.release_persisted()
+            results[op].append((n_vecs, dt, rows))
+            print(f"{op} x{s} vecs={n_vecs} rows={rows} {dt:.2f}s", flush=True)
+    print("\n# ann scaling summary")
+    for op, rs in results.items():
+        if len(rs) >= 2:
+            n0, t0_, _ = rs[0]
+            print(f"{op}: " + " ".join(f"x{n // n0}:{t / t0_:.2f}" for n, t, _ in rs))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "ann":
+        ann_main(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    else:
+        main()
