@@ -2697,7 +2697,7 @@ scored AS (
   FROM e JOIN cl USING (label)
 )
 SELECT label, count(*) AS n_vecs, centroid_norm,
-       round(avg(cos), 6) AS avg_cos_to_centroid,
+       round(avg(round(cos * 1e6))) / 1e6 AS avg_cos_to_centroid,
        min(cos) AS min_cos, max(cos) AS max_cos
 FROM scored GROUP BY label, centroid_norm ORDER BY label""",
         "lang_id_ngram": f"""

@@ -526,11 +526,20 @@ def embedding_label_stats(embeddings: DataFrame) -> DataFrame:
     scored = joined.select(
         "label", cos.alias("cos"), F.round(cnorm, 6).alias("centroid_norm")
     )
+    # Average via integer micro-cosines: the per-row cos values are
+    # cross-engine identical (6-dp rounded), but avg() of raw doubles
+    # re-introduces summation-order ulp drift and the sf0.01 label-0
+    # mean lands EXACTLY on a 1e-6 rounding boundary (measured margin
+    # 0.0000) — a latent hash flip. round(cos·1e6) is an exact integer
+    # per row, its sum/count is the same IEEE op sequence on both
+    # engines, and the final integer round leaves no fractional
+    # boundary behind.
+    micro = F.round(F.col("cos") * 1e6, 0)
     return (
         scored.groupBy("label", "centroid_norm")
         .agg(
             F.count("*").alias("n_vecs"),
-            F.round(F.avg("cos"), 6).alias("avg_cos_to_centroid"),
+            (F.round(F.avg(micro), 0) / 1e6).alias("avg_cos_to_centroid"),
             F.min("cos").alias("min_cos"),
             F.max("cos").alias("max_cos"),
         )
