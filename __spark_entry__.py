@@ -2700,6 +2700,30 @@ SELECT label, count(*) AS n_vecs, centroid_norm,
        round(avg(round(cos * 1e6))) / 1e6 AS avg_cos_to_centroid,
        min(cos) AS min_cos, max(cos) AS max_cos
 FROM scored GROUP BY label, centroid_norm ORDER BY label""",
+        "user_retention_cohorts": """
+WITH e AS (
+  SELECT user_id, date_trunc('week', ts) AS wk,
+         min(date_trunc('week', ts)) OVER (PARTITION BY user_id) AS cohort_ts
+  FROM events
+),
+active AS (
+  SELECT DISTINCT cohort_ts::DATE AS cohort_week,
+         ((epoch(wk) - epoch(cohort_ts)) / 604800)::INT AS week_offset,
+         user_id
+  FROM e
+),
+counts AS (
+  SELECT cohort_week, week_offset, count(*) AS n_active
+  FROM active GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_week, n_active AS cohort_size
+  FROM counts WHERE week_offset = 0
+)
+SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+       round(c.n_active::DOUBLE / s.cohort_size, 6) AS retention
+FROM counts c JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset""",
         "lang_id_ngram": f"""
 WITH tri AS (
   SELECT doc_id, lang, unnest(list_distinct(

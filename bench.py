@@ -87,6 +87,7 @@ HEADLINE = [
     "bpe_merge_candidates",
     "join_key_skew_report",
     "event_funnel",
+    "user_retention_cohorts",
     "lang_id_ngram",
     "embedding_label_stats",
     # dedup_method_eval is intentionally NOT a bench headliner: it

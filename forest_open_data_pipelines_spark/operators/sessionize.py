@@ -131,3 +131,52 @@ def event_funnel(events: DataFrame) -> DataFrame:
         ") AS (step, step_name, users, conversion)"
     )
     return stacked.orderBy("step")
+
+
+def user_retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention matrix: users cohorted by first-seen week,
+    counted as active in each subsequent week-offset, with retention
+    as a share of cohort size — the standard growth-analytics rollup.
+
+    Week arithmetic is epoch-based ((ts_epoch − cohort_epoch) ÷ 604800
+    floor) so both engines derive identical offsets regardless of
+    their date_trunc conventions; the cohort week itself is the
+    ISO-Monday date_trunc both engines share.
+
+    Scale: one shuffle to get per-user first-seen (min over user),
+    then a distinct + count per (cohort, offset) — all map-side
+    combinable; the matrix is bounded by weeks².
+    """
+    w = Window.partitionBy("user_id")
+    e = events.withColumn("cohort_ts", F.min(F.date_trunc("week", "ts")).over(w))
+    off = (
+        (F.unix_timestamp(F.date_trunc("week", "ts")) - F.unix_timestamp("cohort_ts"))
+        / 604800
+    ).cast("int")
+    active = (
+        e.select(
+            F.col("cohort_ts").cast("date").alias("cohort_week"),
+            off.alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
+    sizes = (
+        active.where(F.col("week_offset") == 0)
+        .select("cohort_week", F.col("n_active").alias("cohort_size"))
+    )
+    return (
+        active.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

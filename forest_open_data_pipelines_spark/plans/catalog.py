@@ -199,6 +199,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_ngram": lambda s, d: textops.lang_id_ngram(
         load_table(s, d, "documents")
     ),
+    "user_retention_cohorts": lambda s, d: sessionize.user_retention_cohorts(
+        load_table(s, d, "events")
+    ),
     "event_funnel": lambda s, d: sessionize.event_funnel(
         load_table(s, d, "events")
     ),
@@ -235,9 +238,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # retag, empty-series contract, hot-shingle cap, LSH/IVF perf) or
     # that anchor the flagship/bench set ────────────────────────────
     "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
-    "highlights": lambda s, d: timeseries.highlights(
-        timeseries.monthly_series(_enriched(s, d))
-    ),
     "events_asof_attribution": lambda s, d: asof.events_asof_attribution(
         load_table(s, d, "events")
     ),
@@ -325,6 +325,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_nations_yoy": lambda s, d: timeseries.top_nations_yoy(_enriched(s, d)),
     "events_sessionize": lambda s, d: sessionize.events_sessionize(
         load_table(s, d, "events")
+    ),
+    "highlights": lambda s, d: timeseries.highlights(
+        timeseries.monthly_series(_enriched(s, d))
     ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the

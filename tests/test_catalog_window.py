@@ -53,6 +53,7 @@ MUST_BE_IN_WINDOW = {
     "lang_id_ngram",
     "embedding_label_stats",
     "dedup_method_eval",
+    "user_retention_cohorts",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",

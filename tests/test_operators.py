@@ -2161,3 +2161,33 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             for r in connected_components(nodes, pairs).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_user_retention_cohorts_hand_check(spark):
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        user_retention_cohorts,
+    )
+
+    # week of 2024-01-01 (Mon): users 1,2 start; user 1 returns week+1,
+    # user 2 returns week+2; user 3 starts week+1 only
+    rows = [
+        (1, datetime(2024, 1, 2), 1, "view", 0.0, "{}"),
+        (2, datetime(2024, 1, 3), 2, "view", 0.0, "{}"),
+        (3, datetime(2024, 1, 9), 1, "click", 0.0, "{}"),
+        (4, datetime(2024, 1, 16), 2, "view", 0.0, "{}"),
+        (5, datetime(2024, 1, 10), 3, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {
+        (str(r["cohort_week"]), r["week_offset"]): (r["n_active"], r["cohort_size"], r["retention"])
+        for r in user_retention_cohorts(df).collect()
+    }
+    assert out[("2024-01-01", 0)] == (2, 2, 1.0)
+    assert out[("2024-01-01", 1)] == (1, 2, 0.5)
+    assert out[("2024-01-01", 2)] == (1, 2, 0.5)
+    assert out[("2024-01-08", 0)] == (1, 1, 1.0)
+    assert len(out) == 4
