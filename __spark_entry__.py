@@ -3133,4 +3133,20 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     # corpus_curation composes the text_quality / lang_id twins above —
     # built after the dict so the stage CTEs reuse those entries verbatim.
     out["corpus_curation"] = _curation_sql(out["text_quality"], out["lang_id"])
+    # session_duration_stats composes the sessionize twin the same way.
+    out["session_duration_stats"] = f"""
+WITH s AS (SELECT * FROM ({out["events_sessionize"]})),
+d AS (
+  SELECT (epoch_us(session_end) - epoch_us(session_start)) AS dur_us, n_events
+  FROM s
+)
+SELECT count(*) AS n_sessions,
+       round(sum(dur_us) / count(*) / 60000000.0, 6) AS avg_minutes,
+       round(quantile_cont(dur_us, 0.5) / 60000000.0, 6) AS p50_minutes,
+       round(quantile_cont(dur_us, 0.9) / 60000000.0, 6) AS p90_minutes,
+       round(sum(n_events)::DOUBLE / count(*), 6) AS avg_events,
+       max(n_events) AS max_events,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS singleton_share
+FROM d"""
     return out

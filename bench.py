@@ -88,6 +88,7 @@ HEADLINE = [
     "join_key_skew_report",
     "event_funnel",
     "user_retention_cohorts",
+    "session_duration_stats",
     "lang_id_ngram",
     "embedding_label_stats",
     # dedup_method_eval is intentionally NOT a bench headliner: it

@@ -180,3 +180,39 @@ def user_retention_cohorts(events: DataFrame) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+def session_duration_stats(events: DataFrame) -> DataFrame:
+    """One-row session-length distribution off the sessionizer:
+    session count, average/median/p90 duration (minutes), events per
+    session, and the share of single-event sessions.
+
+    All aggregates run over EXACT integers (microsecond durations,
+    event counts): the averages are single int-sum/int-count
+    divisions and the percentiles interpolate over the same sorted
+    integer sequence on both engines, so no summation-order rounding
+    boundary exists (the embedding_label_stats lesson applied at
+    design time).
+    """
+    s = events_sessionize(events)
+    dur_us = F.unix_micros("session_end") - F.unix_micros("session_start")
+    d = s.select(dur_us.alias("dur_us"), "n_events")
+    return d.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.sum("dur_us") / F.count("*") / 60000000.0, 6).alias(
+            "avg_minutes"
+        ),
+        F.round(F.expr("percentile(dur_us, 0.5)") / 60000000.0, 6).alias(
+            "p50_minutes"
+        ),
+        F.round(F.expr("percentile(dur_us, 0.9)") / 60000000.0, 6).alias(
+            "p90_minutes"
+        ),
+        F.round(F.sum("n_events") / F.count("*"), 6).alias("avg_events"),
+        F.max("n_events").alias("max_events"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("singleton_share"),
+    )

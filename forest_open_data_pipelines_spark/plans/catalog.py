@@ -199,6 +199,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_id_ngram": lambda s, d: textops.lang_id_ngram(
         load_table(s, d, "documents")
     ),
+    "session_duration_stats": lambda s, d: sessionize.session_duration_stats(
+        load_table(s, d, "events")
+    ),
     "user_retention_cohorts": lambda s, d: sessionize.user_retention_cohorts(
         load_table(s, d, "events")
     ),
@@ -238,9 +241,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # retag, empty-series contract, hot-shingle cap, LSH/IVF perf) or
     # that anchor the flagship/bench set ────────────────────────────
     "monthly_series": lambda s, d: timeseries.monthly_series(_enriched(s, d)),
-    "events_asof_attribution": lambda s, d: asof.events_asof_attribution(
-        load_table(s, d, "events")
-    ),
     "dedup_exact": lambda s, d: dedup.dedup_exact(load_table(s, d, "documents")),
     "dedup_minhash": lambda s, d: dedup.dedup_minhash(load_table(s, d, "documents")),
     "dedup_ngram_jaccard": lambda s, d: dedup.dedup_ngram_jaccard(
@@ -328,6 +328,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "highlights": lambda s, d: timeseries.highlights(
         timeseries.monthly_series(_enriched(s, d))
+    ),
+    "events_asof_attribution": lambda s, d: asof.events_asof_attribution(
+        load_table(s, d, "events")
     ),
     "skew_salted_join_agg": lambda s, d: _skew_salted(s, d),
     # parked r5 (r4-green driver rows on record) to make room for the

@@ -54,6 +54,7 @@ MUST_BE_IN_WINDOW = {
     "embedding_label_stats",
     "dedup_method_eval",
     "user_retention_cohorts",
+    "session_duration_stats",
     "corpus_curation",
     "govbr_resource_classify",
     "cvm_latest_zips",
