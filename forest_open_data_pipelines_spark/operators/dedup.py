@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import ratio
 from forest_open_data_pipelines_spark.operators.textops import clean_text
+from forest_open_data_pipelines_spark.sources.tables import spread
 
 # LSH operators persist their signature tables across self-joins. The
 # returned results are lazy, so the operators themselves cannot
@@ -116,7 +117,7 @@ def shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
     CollapseProject keeps the boundary and the regexes run once per row
     instead of once per shingle."""
     toks = F.split(F.lower(clean_text(F.col("text"))), " ")
-    return documents.select("doc_id", toks.alias("toks")).select(
+    return spread(documents).select("doc_id", toks.alias("toks")).select(
         "doc_id", _shingles_from_tokens(F.col("toks"), n).alias("shingles")
     )
 
@@ -138,7 +139,7 @@ def hashed_shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
     operator consumes hashes, never the strings, so this is the shared
     entry point."""
     toks = F.split(F.lower(clean_text(F.col("text"))), " ")
-    tok_df = documents.select("doc_id", toks.alias("toks"))
+    tok_df = spread(documents).select("doc_id", toks.alias("toks"))
     t = F.col("toks")
     sz = F.size(t)
     m = sz - (n - 1)
@@ -388,7 +389,7 @@ def dual_hashed_shingle_table(documents: DataFrame, n: int = 3) -> DataFrame:
     strings (not the hashes) so the two streams stay aligned; same
     value set as ``hashed_shingle_table`` up to md5 collisions."""
     toks = F.split(F.lower(clean_text(F.col("text"))), " ")
-    tok_df = documents.select("doc_id", toks.alias("toks"))
+    tok_df = spread(documents).select("doc_id", toks.alias("toks"))
     t = F.col("toks")
     sz = F.size(t)
     m = sz - (n - 1)

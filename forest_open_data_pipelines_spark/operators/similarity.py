@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import ratio
+from forest_open_data_pipelines_spark.sources.tables import spread
 
 
 def _dot(a, b) -> Column:
@@ -52,7 +53,7 @@ def ann_topk_bruteforce(
     )
     # Norm computed BEFORE the join: one pass per candidate row, carried
     # through the n_queries-way fan-out instead of recomputed per pair.
-    cand = embeddings.select(
+    cand = spread(embeddings).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_emb"),
         _norm(F.col("embedding")).alias("c_norm"),
@@ -170,7 +171,10 @@ def banded_signatures(
                 out["nrm"] = np.repeat(np.sqrt(nrm), bands)
             yield pd.DataFrame(out)
 
-    return df.select(id_col, emb_col).mapInPandas(gen, schema)
+    # spread() fans a single-split source across cores so the Arrow
+    # kernel runs one worker per core instead of one sequential stream
+    # (no-op on multi-split production scans).
+    return spread(df.select(id_col, emb_col)).mapInPandas(gen, schema)
 
 
 def ann_topk_lsh(
@@ -437,7 +441,9 @@ def ann_topk_ivf(
 
     centroids = train_ivf_centroids(embeddings, n_cells, kmeans_iters)
     cell_scored = _cell_scored(_centroid_literal(centroids))
-    e = embeddings.select(
+    # spread(): the per-row n_cells·dim assignment fold is the heavy
+    # part of this plan — fan single-split sources across cores.
+    e = spread(embeddings).select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
     )
     cands = e.select(

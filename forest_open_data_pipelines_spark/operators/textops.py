@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import ratio
+from forest_open_data_pipelines_spark.sources.tables import spread
 
 # Boilerplate/CTA prefixes, mirroring text_cleanup.py:10-14 (_CTA_LINE).
 CTA_PATTERN = (
@@ -418,7 +419,7 @@ def quality_repetition(documents: DataFrame) -> DataFrame:
     every key includes doc_id.
     """
     lower_toks = F.split(F.lower(clean_text(F.col("text"))), " ")
-    base = documents.select("doc_id", lower_toks.alias("t"))
+    base = spread(documents).select("doc_id", lower_toks.alias("t"))
     uni = "transform(t, x -> struct(1 as k, x as g))"
     bi = (
         "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
@@ -538,7 +539,7 @@ def bpe_merge_candidates(documents: DataFrame, top_k: int = 20) -> DataFrame:
     ≤ alphabet²) pair-frequency table.
     """
     toks = F.split(F.lower(clean_text(F.col("text"))), " ")
-    words = documents.select(F.explode(toks).alias("w"))
+    words = spread(documents).select(F.explode(toks).alias("w"))
     wc = words.groupBy("w").agg(F.count("*").alias("n"))
     pair_arr = F.expr(
         "CASE WHEN length(w) >= 2 THEN transform(sequence(1, length(w) - 1),"
@@ -555,6 +556,23 @@ def bpe_merge_candidates(documents: DataFrame, top_k: int = 20) -> DataFrame:
     )
 
 
+#: Above this many trained languages the literal-profile scoring
+#: expression would bloat the plan (the ckan_resource_select lesson:
+#: Catalyst re-inlines big literal trees at every reference), so
+#: ``lang_id_ngram`` falls back to the broadcast-join scoring path.
+LANG_ID_LITERAL_MAX_LANGS = 32
+
+
+def _lang_id_trigrams() -> tuple[Column, Column]:
+    """(cleaned-text col aliased ``c``, distinct-trigram array off ``c``)."""
+    cleaned = F.lower(clean_text(F.col("text")))
+    tri = F.expr(
+        "CASE WHEN length(c) >= 3 THEN transform(sequence(1, length(c) - 2),"
+        " i -> substring(c, i, 3)) ELSE array(c) END"
+    )
+    return cleaned, F.array_distinct(tri)
+
+
 def lang_id_ngram(documents: DataFrame, top_n: int = 20) -> DataFrame:
     """Char-trigram profile language ID (Cavnar & Trenkle 1994 n-gram
     text categorization — public algorithm): per-language profiles are
@@ -564,22 +582,22 @@ def lang_id_ngram(documents: DataFrame, top_n: int = 20) -> DataFrame:
     is the argmax with a (hits DESC, lang ASC) deterministic
     tie-break, 'unknown' when nothing hits.
 
-    Scale: the doc→trigram explode is computed ONCE and persisted for
-    both passes (profile build + scoring); profiles are ≤ langs·top_n
-    rows and BROADCAST to the scoring join, so the only wide shuffles
-    are the two map-side-combinable counts. Upgrade path at corpus
-    scale: train on a sample, same plan.
+    Scale: profiles are ≤ langs·top_n rows, so they are built with ONE
+    explode→count job and collected (the bounded-collect pattern shared
+    with the IVF centroids). Scoring then never touches a join or a
+    shuffle: each doc's distinct-trigram array is intersected with the
+    per-language literal profile arrays entirely inside codegen, and the
+    argmax is a fold over ≤ |langs| struct literals. Past
+    ``LANG_ID_LITERAL_MAX_LANGS`` trained languages the literal tree
+    would bloat the plan, so scoring falls back to a broadcast join
+    against the profile table with the same semantics. Upgrade path at
+    corpus scale: train on a sample, same plan either way.
     """
-    from forest_open_data_pipelines_spark.operators.dedup import _persist
-
-    cleaned = F.lower(clean_text(F.col("text")))
-    tri = F.expr(
-        "CASE WHEN length(c) >= 3 THEN transform(sequence(1, length(c) - 2),"
-        " i -> substring(c, i, 3)) ELSE array(c) END"
-    )
-    doc_tri = _persist(
+    cleaned, tris = _lang_id_trigrams()
+    documents = spread(documents)
+    doc_tri = (
         documents.select("doc_id", "lang", cleaned.alias("c"))
-        .select("doc_id", "lang", F.explode(F.array_distinct(tri)).alias("tri"))
+        .select("doc_id", "lang", F.explode(tris).alias("tri"))
     )
     prof_w = Window.partitionBy("plang").orderBy(F.desc("df"), "tri")
     profiles = (
@@ -588,6 +606,63 @@ def lang_id_ngram(documents: DataFrame, top_n: int = 20) -> DataFrame:
         .withColumn("rn", F.row_number().over(prof_w))
         .where(F.col("rn") <= top_n)
         .select("plang", "tri")
+    )
+    prof_rows = profiles.collect()
+    by_lang: dict[str, list[str]] = {}
+    for r in prof_rows:
+        by_lang.setdefault(r["plang"], []).append(r["tri"])
+    langs = sorted(by_lang)
+
+    if len(langs) > LANG_ID_LITERAL_MAX_LANGS:
+        return _lang_id_ngram_join(documents, profiles)
+
+    # Literal scoring: rank encodes the lang-ASC tie-break (higher rank
+    # = earlier lang), so array_max's lexicographic struct compare
+    # yields (n_hits DESC, lang ASC) in one codegen expression.
+    scored = documents.select("doc_id", "lang", cleaned.alias("c")).select(
+        "doc_id", "lang", tris.alias("tris")
+    )
+    candidates = [
+        F.struct(
+            F.size(
+                F.array_intersect(
+                    F.col("tris"), F.array(*[F.lit(t) for t in by_lang[lang]])
+                )
+            ).alias("h"),
+            F.lit(len(langs) - i).alias("rank"),
+            F.lit(lang).alias("plang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*candidates)) if candidates else None
+    if best is None:
+        return documents.select(
+            "doc_id",
+            "lang",
+            F.lit("unknown").alias("predicted_lang"),
+            F.lit(0).cast("long").alias("n_hits"),
+            (F.lit("unknown") == F.col("lang")).alias("is_correct"),
+        ).orderBy("doc_id")
+    predicted = F.when(best["h"] <= 0, F.lit("unknown")).otherwise(best["plang"])
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            predicted.alias("predicted_lang"),
+            F.greatest(best["h"], F.lit(0)).cast("long").alias("n_hits"),
+            (predicted == F.col("lang")).alias("is_correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_id_ngram_join(documents: DataFrame, profiles: DataFrame) -> DataFrame:
+    """Broadcast-join scoring fallback for many-language corpora (same
+    semantics as the literal path; one extra shuffle on (doc_id, plang))."""
+    cleaned, tris = _lang_id_trigrams()
+    doc_tri = (
+        documents.select("doc_id", "lang", cleaned.alias("c"))
+        .select("doc_id", "lang", F.explode(tris).alias("tri"))
     )
     hits = (
         doc_tri.join(F.broadcast(profiles), "tri")

@@ -71,6 +71,45 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, max_target: int | None = None) -> DataFrame:
+    """Fan a narrow source across all cores before per-row-heavy work.
+
+    Small local parquet files arrive as ONE split (single row group), so
+    the scan stage — where Catalyst evaluates every expensive per-row
+    expression that sits before the first exchange (shingle hashing,
+    signature folds, trigram explodes, cosine assignment) — runs on a
+    single core of the 32 available. A RoundRobin repartition up to the
+    cluster's default parallelism moves that work onto every core for
+    the cost of shuffling the raw rows — bytes that are tiny exactly
+    when the guard fires. On production inputs (100 TB → thousands of
+    splits) the scan already has >= defaultParallelism partitions and
+    this is a NO-OP, so plans keep their scale shape.
+
+    Determinism note: callers only follow this with per-row expressions
+    and exact-integer or per-row-fold aggregations, so results are
+    partitioning-independent (no cross-row float accumulation order is
+    exposed).
+    """
+    if not SPREAD_ENABLED:
+        return df
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if max_target is not None:
+        target = min(target, max_target)
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - e.g. streaming frames
+        return df
+    if current >= target:
+        return df
+    return df.repartition(target)
+
+
+#: A/B escape hatch (and test hook): disables the scan fan-out in
+#: ``spread`` process-wide.
+SPREAD_ENABLED = os.environ.get("SPARK_GRAFT_NO_SPREAD", "") == ""
+
+
 def ntz_as_utc_instant(spark: SparkSession, ntz: F.Column) -> F.Column:
     """Retag a TIMESTAMP_NTZ column (wall-clock == UTC) as TIMESTAMP.
 

@@ -332,17 +332,14 @@ def test_event_funnel_single_user_exchange(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_lang_id_ngram_profiles_broadcast(spark):
-    """The profile side of the scoring join is ≤ langs·top_n rows and
-    must broadcast — the doc-trigram stream never shuffles on tri."""
-    from forest_open_data_pipelines_spark.operators.dedup import release_persisted
-
-    try:
-        plan = _plan(spark, "lang_id_ngram")
-        assert "BroadcastHashJoin" in plan
-        assert "Exchange hashpartitioning(tri" not in plan
-    finally:
-        release_persisted()
+def test_lang_id_ngram_scoring_joinless(spark):
+    """Profiles are a bounded collect (≤ langs·top_n rows); scoring must
+    be a single-scan codegen array_intersect fold — no join, no wide
+    shuffle anywhere in the served plan."""
+    plan = _plan(spark, "lang_id_ngram")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_bpe_pairs_explode_off_distinct_words(spark):
