@@ -1746,6 +1746,154 @@ FROM mensal, cur, feed WHERE n_mensal > 0
 ORDER BY r_name, period"""
 
 
+def _pii_scrub_sql() -> str:
+    """DuckDB twin of curation.pii_scrub: identical RE2∩Java pattern
+    strings, counts on the original text, sequential email→IP→phone
+    redaction."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{PII_EMAIL_RE}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text, '{PII_IP_RE}'))::BIGINT AS n_ips,
+         len(regexp_extract_all(text, '{PII_PHONE_RE}'))::BIGINT AS n_phones,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+           '{PII_IP_RE}', '[IP]', 'g'),
+           '{PII_PHONE_RE}', '[PHONE]', 'g') AS redacted_text
+  FROM documents
+)
+SELECT doc_id, n_emails, n_ips, n_phones, redacted_text,
+       (n_emails + n_ips + n_phones) = 0 AS pii_free
+FROM base ORDER BY doc_id"""
+
+
+def _decontaminate_sql() -> str:
+    """DuckDB twin of curation.decontaminate_ngram: same 8-gram set
+    with the whole-text fallback for short docs (gram STRINGS here,
+    60-bit md5 ints on the Spark side — identical value sets up to md5
+    collisions, the dedup-family convention)."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        DECONTAM_BENCH_MOD as MOD,
+        DECONTAM_NGRAM as N,
+    )
+
+    terms = " || ' ' || ".join(f"t[i+{k}]" for k in range(N))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= {N}
+         THEN [{terms} for i in range(1, len(t) - {N - 2})]
+         ELSE [list_aggregate(t, 'string_agg', ' ')] END)) AS s
+  FROM toks
+),
+bench AS (SELECT DISTINCT s FROM g WHERE doc_id % {MOD} = 0),
+corpus AS (SELECT doc_id, s FROM g WHERE doc_id % {MOD} <> 0)
+SELECT c.doc_id, count(*) AS n_grams, count(b.s) AS n_shared,
+       count(b.s) > 0 AS contaminated
+FROM corpus c LEFT JOIN bench b ON c.s = b.s
+GROUP BY c.doc_id ORDER BY c.doc_id"""
+
+
+def _chunk_dedup_sql() -> str:
+    """DuckDB twin of curation.chunk_dedup: same non-overlapping token
+    chunks, keep-first by (doc_id, idx) per chunk (string key here,
+    md5-int key on the Spark side), same rebuild with '' for fully
+    dropped docs."""
+    from forest_open_data_pipelines_spark.operators.curation import CHUNK_TOKENS as C
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
+ch AS (
+  SELECT doc_id, i - 1 AS idx,
+         list_aggregate(list_slice(t, (i-1)*{C} + 1, least(i*{C}, len(t))),
+                        'string_agg', ' ') AS chunk_text
+  FROM (SELECT doc_id, t,
+               unnest(range(1, ((len(t) + {C} - 1) // {C}) + 1)) AS i
+        FROM toks)
+),
+ranked AS (
+  SELECT doc_id, idx, chunk_text,
+         row_number() OVER (PARTITION BY chunk_text ORDER BY doc_id, idx) AS rn
+  FROM ch
+)
+SELECT doc_id, count(*) AS n_chunks,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped,
+       coalesce(string_agg(chunk_text, ' ' ORDER BY idx) FILTER (WHERE rn = 1),
+                '') AS kept_text
+FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _mixture_sql_parts() -> tuple[str, str]:
+    """(weights VALUES rows, shared per-lang/total/alloc CTE prefix) for
+    the two mixture oracles — mirrors curation._mixture_rates."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        MIXTURE_BUDGET_FRAC,
+        MIXTURE_WEIGHTS,
+    )
+
+    w_rows = ", ".join(
+        f"('{lang}', {wgt})" for lang, wgt in sorted(MIXTURE_WEIGHTS.items())
+    )
+    prefix = f"""
+per_lang AS (
+  SELECT lang, count(*) AS n_docs,
+         sum(len(string_split({LCLEAN}, ' ')))::BIGINT AS n_tokens
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM per_lang),
+w(lang, weight) AS (VALUES {w_rows}),
+alloc AS (
+  SELECT p.lang, coalesce(w.weight, 0.0)::DOUBLE AS weight, n_docs, n_tokens,
+         floor(floor(total_tokens * {MIXTURE_BUDGET_FRAC})
+               * coalesce(w.weight, 0.0)::DOUBLE)::BIGINT AS target_tokens
+  FROM per_lang p CROSS JOIN tot LEFT JOIN w ON p.lang = w.lang
+)"""
+    return w_rows, prefix
+
+
+def _mixture_plan_sql() -> str:
+    """DuckDB twin of curation.dataset_mixture_plan (integer token
+    arithmetic, 6-dp capped rate)."""
+    _, prefix = _mixture_sql_parts()
+    return f"""
+WITH {prefix},
+r AS (
+  SELECT lang, weight, n_docs, n_tokens, target_tokens,
+         least(1.0, round(target_tokens::DOUBLE / n_tokens, 6)) AS sampling_rate
+  FROM alloc
+)
+SELECT lang, weight, n_docs, n_tokens, target_tokens, sampling_rate,
+       floor(n_tokens * sampling_rate)::BIGINT AS projected_tokens
+FROM r ORDER BY lang"""
+
+
+def _stratified_sample_sql() -> str:
+    """DuckDB twin of curation.stratified_sample: md5-derived u in
+    millionths, EXACT integer keep predicate (u·n_tokens <
+    target·10⁶) — no float boundary anywhere."""
+    _, prefix = _mixture_sql_parts()
+    return f"""
+WITH {prefix},
+drawn AS (
+  SELECT doc_id, lang, source,
+         ({_MD5_INT.format(expr="'strat-' || doc_id")}) % 1000000
+           AS sample_u_micro
+  FROM documents
+)
+SELECT doc_id, d.lang, source, sample_u_micro
+FROM drawn d JOIN alloc r ON d.lang = r.lang
+WHERE sample_u_micro * r.n_tokens < r.target_tokens * 1000000
+ORDER BY doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     from forest_open_data_pipelines_spark.operators.similarity import (
         IVF_KMEANS_ITERS as _IVF_ITERS,
@@ -3128,6 +3276,12 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
         "abstract_reconstruct": _abstract_reconstruct_sql(),
         "anp_resource_urls": _anp_resource_urls_sql(),
         "sanitize_slide_text": _sanitize_slide_text_sql(),
+        # round-5 curation additions ----------------------------------------
+        "pii_scrub": _pii_scrub_sql(),
+        "decontaminate_ngram": _decontaminate_sql(),
+        "chunk_dedup": _chunk_dedup_sql(),
+        "dataset_mixture_plan": _mixture_plan_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }
     # corpus_curation composes the text_quality / lang_id twins above —

@@ -19,14 +19,20 @@ partial embedding coverage is the normal production state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from forest_open_data_pipelines_spark.functions.columns import ratio
+from forest_open_data_pipelines_spark.operators.dedup import (
+    _md5_int,
+    hashed_shingle_table,
+)
 from forest_open_data_pipelines_spark.operators.textops import (
     clean_text,
     lang_id,
     text_quality,
 )
+from forest_open_data_pipelines_spark.sources.tables import spread
 
 CURATION_MIN_TOKENS = 20
 CURATION_MIN_QUALITY = 0.5
@@ -136,5 +142,306 @@ def corpus_curation(
             "content_fingerprint",
             status.alias("status"),
         )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+# Patterns are deliberately in the RE2 ∩ java.util.regex common subset
+# (no lookaround, no backreferences) so the Spark operator and the
+# DuckDB oracle compile the IDENTICAL strings.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IP_OCTET = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+PII_IP_RE = f"\\b{_IP_OCTET}(\\.{_IP_OCTET}){{3}}\\b"
+# Phones must carry an international prefix — bare digit runs are too
+# ambiguous to scrub at corpus scale (DoNotAnswer-style precision bias).
+PII_PHONE_RE = "\\+[0-9]{1,3}[ -]?\\(?[0-9]{2,3}\\)?[ -]?[0-9]{3,5}[ -]?[0-9]{4}"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Per-document PII detection + redaction report.
+
+    Counts are measured on the ORIGINAL text per category (so a string
+    matching two categories counts in both); redaction is sequential
+    email → IP → phone on the running text, each match replaced with a
+    typed placeholder. Output: one row per doc with the three counts,
+    the redacted text and a ``pii_free`` gate.
+
+    Scale: three ``regexp_extract_all`` + three ``regexp_replace``
+    per row, all inside whole-stage codegen — a pure map, no shuffle
+    (the final orderBy is presentation-only). ``spread`` fans
+    single-split local scans across cores; a no-op on real inputs.
+    """
+    text = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(text, F.lit(PII_IP_RE), 0))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]"),
+            PII_IP_RE,
+            "[IP]",
+        ),
+        PII_PHONE_RE,
+        "[PHONE]",
+    )
+    return (
+        spread(documents)
+        .select(
+            "doc_id",
+            n_emails.cast("long").alias("n_emails"),
+            n_ips.cast("long").alias("n_ips"),
+            n_phones.cast("long").alias("n_phones"),
+            redacted.alias("redacted_text"),
+        )
+        .withColumn(
+            "pii_free",
+            (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) == 0,
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+#: Every doc_id divisible by this is the held-out "benchmark" split the
+#: corpus is decontaminated against (deterministic, engine-independent).
+DECONTAM_BENCH_MOD = 97
+DECONTAM_NGRAM = 8
+
+
+def decontaminate_ngram(
+    documents: DataFrame,
+    n: int = DECONTAM_NGRAM,
+    bench_mod: int = DECONTAM_BENCH_MOD,
+) -> DataFrame:
+    """GPT-3-style training-set decontamination (Brown et al. 2020
+    Appendix C, public methodology): flag every training document that
+    shares at least one word ``n``-gram with the held-out benchmark
+    split (here: ``doc_id % bench_mod == 0``).
+
+    Grams reuse ``dedup.hashed_shingle_table`` — distinct 60-bit md5
+    ints, with the whole-text fallback gram for docs shorter than ``n``
+    tokens (a short benchmark doc appearing verbatim IS contamination).
+
+    Scale: the benchmark side is an eval suite — tiny relative to the
+    corpus by construction — so its distinct gram set is BROADCAST to
+    the corpus gram stream; the only wide exchange is the final
+    per-doc count (map-side combinable). Never all-pairs.
+    """
+    grams = hashed_shingle_table(documents, n)
+    is_bench = F.col("doc_id") % bench_mod == 0
+    bench_grams = (
+        grams.where(is_bench)
+        .select(F.explode("hashes").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus_g = grams.where(~is_bench).select(
+        "doc_id", F.explode("hashes").alias("h")
+    )
+    # ONE pass over the corpus gram stream: the broadcast left join tags
+    # benchmark grams inline, so n_grams and n_shared come out of the
+    # same map-side-combinable aggregation (no second shingle scan).
+    return (
+        corpus_g.join(F.broadcast(bench_grams), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            (F.col("n_shared") > 0).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level exact dedup (C4-style span dedup, chunk granularity)
+# ---------------------------------------------------------------------------
+CHUNK_TOKENS = 20
+
+
+def chunk_dedup(documents: DataFrame, chunk: int = CHUNK_TOKENS) -> DataFrame:
+    """Sub-document exact dedup at fixed token-chunk granularity — the
+    C4 recipe (Raffel et al. 2020 §2.2 dedupes three-sentence spans,
+    public methodology) adapted to token windows: split each doc into
+    non-overlapping ``chunk``-token chunks, keep only the FIRST corpus
+    occurrence of each distinct chunk (ordered by doc_id, then chunk
+    position), and rebuild every document from its surviving chunks.
+
+    Output per doc: chunk counts and the rebuilt ``kept_text`` (empty
+    string when every chunk was seen earlier — the fully-boilerplate
+    case a curation pipeline drops).
+
+    Scale: one explode → ONE shuffle on the 60-bit chunk key (the
+    keep-first rank) → one shuffle back on doc_id for the rebuild.
+    Chunk keys are md5 ints so the wide exchange moves longs, not
+    strings. Skew-safe: a boilerplate chunk key concentrates only its
+    own occurrences, and the rank windows never need the text.
+    """
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    n_chunks = F.ceil(F.size("t") / F.lit(chunk)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i * chunk + 1, chunk), " "),
+    )
+    exploded = (
+        spread(documents)
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.posexplode(chunks).alias("idx", "chunk_text"))
+        .select("doc_id", "idx", "chunk_text", _md5_int("chunk_text").alias("key"))
+    )
+    w = Window.partitionBy("key").orderBy("doc_id", "idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct("idx", "chunk_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk_text"],
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+        .withColumn("n_dropped", F.col("n_chunks") - F.col("n_kept"))
+        .select("doc_id", "n_chunks", "n_kept", "n_dropped", "kept_text")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset mixture planning + deterministic stratified sampling
+# ---------------------------------------------------------------------------
+#: Target language mixture for the sampled training set (weights sum to
+#: 1). Shared verbatim with the DuckDB oracle generator.
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "en": 0.40,
+    "zh": 0.15,
+    "de": 0.15,
+    "es": 0.15,
+    "fr": 0.15,
+}
+#: Fraction of the corpus token count the sampled set may spend.
+MIXTURE_BUDGET_FRAC = 0.5
+
+
+def _lang_weight() -> Column:
+    expr = F.lit(0.0)
+    for lang, wgt in sorted(MIXTURE_WEIGHTS.items()):
+        expr = F.when(F.col("lang") == lang, F.lit(wgt)).otherwise(expr)
+    return expr
+
+
+def _mixture_rates(documents: DataFrame) -> DataFrame:
+    """(lang, weight, n_docs, n_tokens, target_tokens, sampling_rate) —
+    the per-language allocation table. Token counts use the whitespace
+    tokenizer every other text operator shares; arithmetic is integer
+    until the final 6-dp rate so both engines agree bit-for-bit."""
+    toks = F.size(F.split(F.lower(clean_text(F.col("text"))), " "))
+    per_lang = (
+        spread(documents)
+        .select("lang", toks.cast("long").alias("n_toks"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_toks").alias("n_tokens"))
+    )
+    total = per_lang.agg(F.sum("n_tokens").alias("total_tokens"))
+    budget = F.floor(F.col("total_tokens") * F.lit(MIXTURE_BUDGET_FRAC)).cast(
+        "long"
+    )
+    return (
+        per_lang.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            _lang_weight().alias("weight"),
+            "n_docs",
+            "n_tokens",
+            F.floor(budget * _lang_weight()).cast("long").alias("target_tokens"),
+        )
+        .withColumn(
+            "sampling_rate",
+            F.least(
+                F.lit(1.0),
+                ratio(F.col("target_tokens") / F.col("n_tokens")),
+            ),
+        )
+    )
+
+
+def dataset_mixture_plan(documents: DataFrame) -> DataFrame:
+    """Mixture allocation report: how a token budget
+    (``MIXTURE_BUDGET_FRAC`` of the corpus) is split across languages
+    by ``MIXTURE_WEIGHTS``, and the per-language sampling rate that
+    realizes it (capped at 1 — a language cannot be oversampled by
+    this plan; the projected token count shows the shortfall).
+
+    Scale: one map-side-combinable aggregation over the corpus, then
+    arithmetic on a ≤|langs|-row table. The broadcast total is one row.
+    """
+    rates = _mixture_rates(documents)
+    return (
+        rates.withColumn(
+            "projected_tokens",
+            F.floor(F.col("n_tokens") * F.col("sampling_rate")).cast("long"),
+        )
+        .select(
+            "lang",
+            "weight",
+            "n_docs",
+            "n_tokens",
+            "target_tokens",
+            "sampling_rate",
+            "projected_tokens",
+        )
+        .orderBy("lang")
+    )
+
+
+def stratified_sample(documents: DataFrame) -> DataFrame:
+    """Execute the mixture plan: deterministic per-language Bernoulli
+    sampling. Each doc draws ``u`` from the md5 of its id (engine-
+    independent — no RNG state, reproducible at any cluster size and
+    immune to partitioning), and survives iff ``u < sampling_rate`` of
+    its language.
+
+    Scale: the rate table (≤|langs| rows) broadcasts onto a pure map
+    over the corpus — one aggregation job to build rates, zero wide
+    shuffles in the sampling pass itself. The keep predicate is EXACT
+    integer arithmetic (``u_micro · n_tokens < target_tokens · 10⁶``,
+    i.e. u < target/n_tokens in millionths) — no float rounding
+    boundary can flip a doc between engines. int64-safe up to
+    ~9·10¹² language tokens; past that, move both sides to decimal.
+    """
+    rates = _mixture_rates(documents).select("lang", "n_tokens", "target_tokens")
+    u_micro = F.pmod(
+        _md5_int(F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))),
+        F.lit(1000000),
+    )
+    return (
+        spread(documents)
+        .select("doc_id", "lang", "source", u_micro.alias("sample_u_micro"))
+        .join(F.broadcast(rates), "lang")
+        .where(
+            F.col("sample_u_micro") * F.col("n_tokens")
+            < F.col("target_tokens") * F.lit(1000000)
+        )
+        .select("doc_id", "lang", "source", "sample_u_micro")
         .orderBy("doc_id")
     )

@@ -435,6 +435,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "promo_revenue_share": lambda s, d: relational.promo_revenue_share(
         *_t(s, d, "lineitem", "part")
     ),
+    # ── Round-5 curation additions (parked: added after the window was
+    # pinned; first driver rows queued for round 6) ────────────────────
+    "pii_scrub": lambda s, d: curation.pii_scrub(load_table(s, d, "documents")),
+    "decontaminate_ngram": lambda s, d: curation.decontaminate_ngram(
+        load_table(s, d, "documents")
+    ),
+    "chunk_dedup": lambda s, d: curation.chunk_dedup(load_table(s, d, "documents")),
+    "dataset_mixture_plan": lambda s, d: curation.dataset_mixture_plan(
+        load_table(s, d, "documents")
+    ),
+    "stratified_sample": lambda s, d: curation.stratified_sample(
+        load_table(s, d, "documents")
+    ),
 }
 
 # First name past the driver window; everything from here on is parked.

@@ -2191,3 +2191,134 @@ def test_user_retention_cohorts_hand_check(spark):
     assert out[("2024-01-01", 2)] == (1, 2, 0.5)
     assert out[("2024-01-08", 0)] == (1, 1, 1.0)
     assert len(out) == 4
+
+
+# ---------------------------------------------------------------------------
+# Round-5 curation additions: pii_scrub, decontaminate_ngram, chunk_dedup,
+# dataset_mixture_plan, stratified_sample
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def test_pii_scrub_crafted(spark):
+    """The synthetic corpus carries no PII, so the detection semantics
+    are locked in with crafted rows: counts per category on the
+    original text, sequential typed redaction, pii_free gate."""
+    from forest_open_data_pipelines_spark.operators.curation import pii_scrub
+
+    docs = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+x@example.co.uk today", "en", "s", 0),
+            (2, "server 10.0.255.7 and 192.168.1.1 are up", "en", "s", 0),
+            (3, "call +1 (415) 555-0199 or +55 11 91234-5678", "en", "s", 0),
+            (4, "no pii here at all", "en", "s", 0),
+            (5, "a@b.io pinged 8.8.8.8 from +44 20 7946 0958", "en", "s", 0),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 0)
+    assert out[1]["redacted_text"] == "mail me at [EMAIL] today"
+    assert out[2]["n_ips"] == 2 and "[IP]" in out[2]["redacted_text"]
+    assert "10.0.255.7" not in out[2]["redacted_text"]
+    assert out[3]["n_phones"] == 2 and out[3]["redacted_text"].count("[PHONE]") == 2
+    assert out[4]["pii_free"] and out[4]["redacted_text"] == "no pii here at all"
+    assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (1, 1, 1)
+    assert not out[5]["pii_free"]
+
+
+def test_chunk_dedup_keeps_first_occurrence(spark):
+    """Chunks repeated across (or within) docs survive only at their
+    first (doc_id, idx) position; fully-duplicated docs rebuild to ''."""
+    from forest_open_data_pipelines_spark.operators.curation import chunk_dedup
+
+    a = " ".join(f"w{i}" for i in range(20))        # chunk A
+    b = " ".join(f"x{i}" for i in range(20))        # chunk B
+    docs = _docs(
+        spark,
+        [
+            (1, f"{a} {b}", "en", "s", 0),           # defines A and B
+            (2, f"{a} tail words", "en", "s", 0),    # A dup + short unique chunk
+            (3, a, "en", "s", 0),                    # fully duplicate doc
+        ],
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs).collect()}
+    assert (out[1]["n_chunks"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["kept_text"] == f"{a} {b}"
+    assert (out[2]["n_chunks"], out[2]["n_kept"], out[2]["n_dropped"]) == (2, 1, 1)
+    assert out[2]["kept_text"] == "tail words"
+    assert (out[3]["n_kept"], out[3]["kept_text"]) == (0, "")
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    """Docs sharing an 8-gram with the doc_id%97==0 benchmark split are
+    contaminated; short docs fall back to the whole-text gram."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        decontaminate_ngram,
+    )
+
+    bench = " ".join(f"b{i}" for i in range(10))     # doc 0 = benchmark
+    clean = " ".join(f"c{i}" for i in range(10))
+    docs = _docs(
+        spark,
+        [
+            (0, bench, "en", "s", 0),
+            (1, f"prefix {bench}", "en", "s", 0),     # shares 8-grams with bench
+            (2, clean, "en", "s", 0),                 # disjoint
+            (3, "short text", "en", "s", 0),          # whole-text fallback gram
+        ],
+    )
+    out = {r["doc_id"]: r for r in decontaminate_ngram(docs).collect()}
+    assert set(out) == {1, 2, 3}                      # doc 0 excluded (benchmark)
+    assert out[1]["contaminated"] and out[1]["n_shared"] >= 1
+    assert not out[2]["contaminated"] and out[2]["n_shared"] == 0
+    assert not out[3]["contaminated"] and out[3]["n_grams"] == 1
+
+
+def test_stratified_sample_deterministic_and_consistent(spark, sf_dir):
+    """The md5 draw makes the sample a pure function of the corpus: two
+    runs agree row-for-row, and every sampled doc satisfies the exact
+    integer keep predicate of its language's allocation."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        _mixture_rates,
+        stratified_sample,
+    )
+    from forest_open_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = stratified_sample(docs).collect()
+    s2 = stratified_sample(docs).collect()
+    assert s1 == s2 and len(s1) > 0
+    rates = {
+        r["lang"]: (r["n_tokens"], r["target_tokens"])
+        for r in _mixture_rates(docs).collect()
+    }
+    for r in s1:
+        n_tok, target = rates[r["lang"]]
+        assert r["sample_u_micro"] * n_tok < target * 1000000
+
+
+def test_dataset_mixture_plan_allocation(spark, sf_dir):
+    """Targets are floor(budget·weight); rates are capped at 1 and
+    projected tokens never exceed the language's availability."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        MIXTURE_BUDGET_FRAC,
+        MIXTURE_WEIGHTS,
+        dataset_mixture_plan,
+    )
+    from forest_open_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = dataset_mixture_plan(docs).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = int(total * MIXTURE_BUDGET_FRAC)
+    for r in rows:
+        assert r["weight"] == MIXTURE_WEIGHTS[r["lang"]]
+        assert r["target_tokens"] == int(budget * r["weight"])
+        assert 0.0 <= r["sampling_rate"] <= 1.0
+        assert r["projected_tokens"] <= r["n_tokens"]
