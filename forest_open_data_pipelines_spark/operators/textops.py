@@ -467,27 +467,25 @@ def quality_repetition(documents: DataFrame) -> DataFrame:
     return out.withColumn("passes_repetition", passes).orderBy("doc_id")
 
 
-def repetition_row_metrics(documents: DataFrame) -> DataFrame:
-    """Per-ROW repetition metrics — the stream-safe projection twin of
-    ``quality_repetition``'s aggregation path. Same column names, same
-    rounded values (parity asserted in tests): the counts fold
-    in-codegen over the token array (O(distinct × tokens) per row), so
-    an unbounded stream can gate on repetition with ZERO state — where
-    the batch path trades per-row CPU for map-side-combinable shuffles
-    over the exploded gram stream. Use the batch operator for corpus
-    analytics; use this projection in streaming gates and row-local
-    filters."""
+def repetition_row_cols(df: DataFrame) -> DataFrame:
+    """Append the per-row repetition metric columns (and the composite
+    ``passes_repetition`` gate) to ``df``, preserving its existing
+    columns — the reusable core shared by the batch projection twin
+    ``repetition_row_metrics`` and the streaming curation gate.
+
+    The tb/bi/tri staging columns are real projection boundaries
+    (CollapseProject keeps them), so the tokenizer and gram builders
+    run once per row; they are dropped before returning."""
     t = F.split(F.lower(clean_text(F.col("text"))), " ")
-    uniq = F.array_distinct(t)
+    uniq = F.array_distinct(F.col("tb"))
     top_uni = F.array_max(
-        F.transform(uniq, lambda x: F.size(F.filter(t, lambda y: y == x)))
+        F.transform(uniq, lambda x: F.size(F.filter(F.col("tb"), lambda y: y == x)))
     )
-    staged = documents.withColumn("tb", t).select(
-        "doc_id",
-        "tb",
-        F.size("tb").cast("long").alias("n_tokens"),
-        ratio(F.size(uniq) / F.size(t)).alias("distinct_ratio"),
-        ratio(top_uni / F.size(t)).alias("top_unigram_frac"),
+    staged = (
+        df.withColumn("tb", t)
+        .withColumn("rep_n_tokens", F.size("tb").cast("long"))
+        .withColumn("distinct_ratio", ratio(F.size(uniq) / F.size("tb")))
+        .withColumn("top_unigram_frac", ratio(top_uni / F.size("tb")))
     )
     bi = F.when(
         F.size("tb") >= 2,
@@ -508,21 +506,37 @@ def repetition_row_metrics(documents: DataFrame) -> DataFrame:
         )
     )
     dup_tri = 1 - F.size(F.array_distinct(F.col("tri"))) / F.size(F.col("tri"))
-    out = with_grams.select(
-        "doc_id",
-        "n_tokens",
-        "distinct_ratio",
-        "top_unigram_frac",
-        ratio(top_bi / F.size("bi")).alias("top_bigram_frac"),
-        ratio(dup_tri).alias("dup_trigram_frac"),
-    )
+    out = with_grams.withColumn(
+        "top_bigram_frac", ratio(top_bi / F.size("bi"))
+    ).withColumn("dup_trigram_frac", ratio(dup_tri))
     passes = (
         (F.col("distinct_ratio") >= 0.35)
         & (F.col("top_unigram_frac") <= 0.12)
         & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.08)
         & (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) <= 0.25)
     )
-    return out.withColumn("passes_repetition", passes)
+    return out.withColumn("passes_repetition", passes).drop("tb", "bi", "tri")
+
+
+def repetition_row_metrics(documents: DataFrame) -> DataFrame:
+    """Per-ROW repetition metrics — the stream-safe projection twin of
+    ``quality_repetition``'s aggregation path. Same column names, same
+    rounded values (parity asserted in tests): the counts fold
+    in-codegen over the token array (O(distinct × tokens) per row), so
+    an unbounded stream can gate on repetition with ZERO state — where
+    the batch path trades per-row CPU for map-side-combinable shuffles
+    over the exploded gram stream. Use the batch operator for corpus
+    analytics; use this projection (or ``repetition_row_cols``) in
+    streaming gates and row-local filters."""
+    return repetition_row_cols(documents).select(
+        "doc_id",
+        F.col("rep_n_tokens").alias("n_tokens"),
+        "distinct_ratio",
+        "top_unigram_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "passes_repetition",
+    )
 
 
 def bpe_merge_candidates(documents: DataFrame, top_k: int = 20) -> DataFrame:

@@ -30,6 +30,7 @@ from forest_open_data_pipelines_spark.operators.textops import (
     clean_text,
     predicted_lang_col,
     quality_metric_cols,
+    repetition_row_cols,
 )
 
 
@@ -39,14 +40,22 @@ def curation_gate_stream(
     watermark: str = "2 days",
     min_tokens: int = CURATION_MIN_TOKENS,
     min_quality: float = CURATION_MIN_QUALITY,
+    with_repetition: bool = False,
 ) -> DataFrame:
     """Quality+language-gated, fingerprint-deduped document stream.
 
     Emits one record per content fingerprint whose FIRST-arriving copy
-    passed both gates (state expires past the watermark — bounded no
+    passed every gate (state expires past the watermark — bounded no
     matter how long the stream runs). The quality compare runs on the
     6-dp-rounded score, identical to the batch pipeline's, so the two
     paths gate on the same boundary values.
+
+    ``with_repetition=True`` adds the Gopher-style repetition gate via
+    ``textops.repetition_row_cols`` — the stateless per-row twin of the
+    batch ``quality_repetition`` aggregation, so a record passes the
+    stream gate iff the batch operator marks it ``passes_repetition``
+    (parity asserted in tests). Still ZERO extra state: the metrics
+    fold in-codegen over each row's own token array.
     """
     n_tokens, _, _, score = quality_metric_cols()
     gated = (
@@ -58,9 +67,11 @@ def curation_gate_stream(
             & (F.col("quality_score") >= min_quality)
             & (F.col("predicted_lang") != "unknown")
         )
-        .withColumn(
-            "content_fingerprint", F.md5(F.lower(clean_text(F.col("text"))))
-        )
+    )
+    if with_repetition:
+        gated = repetition_row_cols(gated).where(F.col("passes_repetition"))
+    gated = gated.withColumn(
+        "content_fingerprint", F.md5(F.lower(clean_text(F.col("text"))))
     )
     return (
         gated.withWatermark(watermark_col, watermark)

@@ -671,3 +671,64 @@ def test_windowed_counts_by_nation_stream_static_join(spark, tmp_path):
         assert batch[k] == v, k
     # every batch window except possibly the last open ones was emitted
     assert len(got) >= len(batch) - len({n for _, n in batch})
+
+
+def test_curation_gate_stream_with_repetition_gate(spark, tmp_path):
+    """with_repetition=True adds the stateless Gopher repetition gate:
+    the emitted fingerprint set must be exactly the plain-gate set
+    intersected with the batch quality_repetition pass set."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        corpus_curation,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import (
+        quality_repetition,
+    )
+    from forest_open_data_pipelines_spark.streaming.curation import (
+        curation_gate_stream,
+    )
+
+    src = tmp_path / "cur_rep_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_seconds(F.col("doc_id") + 1))
+    )
+    query = (
+        curation_gate_stream(stream, with_repetition=True)
+        .writeStream.format("memory")
+        .queryName("curation_gate_rep_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_curation_gate_rep"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM curation_gate_rep_test").collect()
+    finally:
+        query.stop()
+    assert emitted, "repetition-gated stream emitted nothing"
+    batch = corpus_curation(docs, load_table(spark, SF_DIR, "embeddings")).collect()
+    gate_passing = {
+        r.content_fingerprint: r.doc_id
+        for r in batch
+        if r.status not in ("quality", "lang")
+    }
+    rep_pass_docs = {
+        r.doc_id for r in quality_repetition(docs).collect() if r.passes_repetition
+    }
+    # A fingerprint survives the repetition-gated stream iff at least
+    # one of its copies passes all gates; on this corpus duplicate
+    # copies share identical text, so doc-level and fingerprint-level
+    # repetition verdicts agree.
+    expected = {
+        fp for fp, any_doc in gate_passing.items() if any_doc in rep_pass_docs
+    }
+    got = {r.content_fingerprint for r in emitted}
+    assert got == expected
+    assert len(got) < len(gate_passing), "repetition gate filtered nothing"
