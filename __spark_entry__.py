@@ -1894,6 +1894,98 @@ WHERE sample_u_micro * r.n_tokens < r.target_tokens * 1000000
 ORDER BY doc_id"""
 
 
+def _cheapest_supplier_sql() -> str:
+    """DuckDB twin of relational.cheapest_supplier_per_part: exact
+    decimal sums, 6-dp unit price rounded BEFORE the min-rank window,
+    supplier-key tie-break."""
+    return """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(l_extendedprice::DECIMAL(18,4)) AS price_sum,
+         sum(l_quantity::DECIMAL(18,4)) AS qty_sum
+  FROM lineitem GROUP BY 1, 2
+),
+up AS (
+  SELECT l_partkey, l_suppkey,
+         round(price_sum::DOUBLE * 1000000.0 / qty_sum::DOUBLE)
+           / 1000000.0 AS unit_price
+  FROM per_ps
+),
+best AS (
+  SELECT l_partkey, l_suppkey, unit_price FROM (
+    SELECT l_partkey, l_suppkey, unit_price,
+           row_number() OVER (
+             PARTITION BY l_partkey ORDER BY unit_price, l_suppkey) AS rn
+    FROM up) WHERE rn = 1
+)
+SELECT p_partkey AS partkey, p_brand, p_type, s_name AS supplier,
+       n_name AS supp_nation, unit_price
+FROM best
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY partkey"""
+
+
+def _part_concentration_sql() -> str:
+    """DuckDB twin of relational.part_revenue_concentration: per-row
+    decimal revenue cast, exact decimal threshold compare."""
+    return """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS revenue_d
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT sum(revenue_d) AS total_d, count(*) AS n_parts FROM per_part)
+SELECT p_partkey AS partkey, p_brand, p_type,
+       round(revenue_d, 2)::DOUBLE AS revenue,
+       round(revenue_d::DOUBLE / total_d::DOUBLE * 100.0, 6) AS share_pct
+FROM per_part CROSS JOIN tot
+JOIN part ON l_partkey = p_partkey
+WHERE revenue_d * n_parts > total_d * 1.50
+ORDER BY revenue DESC, partkey"""
+
+
+def _large_orders_sql() -> str:
+    """DuckDB twin of relational.large_orders (Q18 shape): HAVING on
+    the per-order decimal quantity sum before any dimension join."""
+    return """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity::DECIMAL(18,4)) AS qty_d
+  FROM lineitem GROUP BY 1
+  HAVING sum(l_quantity::DECIMAL(18,4)) >= 200
+)
+SELECT c_custkey, c_name, o_orderkey AS orderkey, o_orderdate AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(qty_d, 2)::DOUBLE AS total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, orderkey"""
+
+
+def _idle_balance_sql() -> str:
+    """DuckDB twin of relational.idle_balance_customers (Q22 shape):
+    positive-balance average as the scalar threshold, anti-join against
+    date-filtered order custkeys."""
+    return """
+WITH avg_bal AS (SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0),
+recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+),
+rich AS (
+  SELECT c.c_nationkey, c.c_acctbal
+  FROM customer c CROSS JOIN avg_bal
+  WHERE c.c_acctbal > ab
+    AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = c.c_custkey)
+)
+SELECT n_name, count(*) AS n_customers,
+       round(sum(c_acctbal::DECIMAL(18,4)), 2)::DOUBLE AS total_balance
+FROM rich JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name"""
+
+
 def oracle_sql() -> dict[str, str]:
     from forest_open_data_pipelines_spark.operators.similarity import (
         IVF_KMEANS_ITERS as _IVF_ITERS,
@@ -3276,6 +3368,11 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
         "abstract_reconstruct": _abstract_reconstruct_sql(),
         "anp_resource_urls": _anp_resource_urls_sql(),
         "sanitize_slide_text": _sanitize_slide_text_sql(),
+        # round-5 relational breadth additions ------------------------------
+        "cheapest_supplier_per_part": _cheapest_supplier_sql(),
+        "part_revenue_concentration": _part_concentration_sql(),
+        "large_orders": _large_orders_sql(),
+        "idle_balance_customers": _idle_balance_sql(),
         # round-5 curation additions ----------------------------------------
         "pii_scrub": _pii_scrub_sql(),
         "decontaminate_ngram": _decontaminate_sql(),

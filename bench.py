@@ -91,12 +91,16 @@ HEADLINE = [
     "session_duration_stats",
     "lang_id_ngram",
     "embedding_label_stats",
-    # round-5 third tranche: curation additions
+    # round-5 third tranche: curation + relational breadth additions
     "pii_scrub",
     "decontaminate_ngram",
     "chunk_dedup",
     "dataset_mixture_plan",
     "stratified_sample",
+    "cheapest_supplier_per_part",
+    "part_revenue_concentration",
+    "large_orders",
+    "idle_balance_customers",
     # dedup_method_eval is intentionally NOT a bench headliner: it
     # re-runs three full dedup pipelines to produce an evaluation
     # artifact (P/R of the approximate detectors), ~7 s at sf0.1 by

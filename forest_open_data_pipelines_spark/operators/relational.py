@@ -508,3 +508,178 @@ def returned_item_ranking(
     return ranked.select(
         "rank", "c_custkey", "c_name", "n_name", "revenue"
     ).orderBy("rank")
+
+
+def cheapest_supplier_per_part(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier, adapted to this schema
+    (no partsupp table): each part's cheapest OBSERVED supplier by
+    average unit price over shipped lineitems, ties broken by supplier
+    key.
+
+    Scale shape: one map-side-combinable aggregation over the fact
+    table on (partkey, suppkey); the min-per-part is a window over the
+    aggregated table (|parts|·|suppliers-per-part| rows, orders of
+    magnitude smaller than the fact); part/supplier/nation dims
+    broadcast onto the RESULT, never onto the fact stream.
+    """
+    per_ps = (
+        lineitem.groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("price_sum"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_sum"),
+        )
+        # decimal sums are exact; the division is scaled to integer
+        # MICRO-units before rounding because synthetic prices are
+        # exact multiples of quantity — quotients land exactly on 6-dp
+        # boundaries where round(x, 6) differs between Spark's
+        # decimal-string HALF_UP and DuckDB's binary round. N.5 doubles
+        # are exactly representable, so round-to-integer agrees on both
+        # engines for every input.
+        .withColumn(
+            "unit_price",
+            F.round(
+                F.col("price_sum").cast("double")
+                * F.lit(1000000.0)
+                / F.col("qty_sum").cast("double"),
+                0,
+            )
+            / F.lit(1000000.0),
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_price", "l_suppkey")
+    best = per_ps.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_brand",
+            "p_type",
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("supp_nation"),
+            "unit_price",
+        )
+        .orderBy("partkey")
+    )
+
+
+def part_revenue_concentration(
+    lineitem: DataFrame, part: DataFrame, min_share_x: float = 1.5
+) -> DataFrame:
+    """TPC-H Q11-style value concentration, adapted (no partsupp):
+    parts whose revenue exceeds ``min_share_x`` times the average
+    per-part revenue — the 'which SKUs dominate the book' cut.
+
+    Scale shape: one aggregation over the fact on partkey; the global
+    (total, n_parts) scalar comes from re-aggregating THAT table (tiny)
+    and broadcasts back as a one-row cross join — the canonical
+    two-pass global-threshold plan, no fact rescan.
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    per_part = lineitem.groupBy("l_partkey").agg(F.sum(rev).alias("revenue_d"))
+    totals = per_part.agg(
+        F.sum("revenue_d").alias("total_d"), F.count("*").alias("n_parts")
+    )
+    out = (
+        per_part.crossJoin(F.broadcast(totals))
+        # exact decimal compare: revenue · n_parts > x · total (x is an
+        # integer-valued multiplier by contract, kept exact in decimal)
+        .where(
+            F.col("revenue_d") * F.col("n_parts")
+            > F.col("total_d") * F.lit(min_share_x).cast("decimal(6,2)")
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey").alias("partkey"),
+            "p_brand",
+            "p_type",
+            F.round(F.col("revenue_d"), 2).cast("double").alias("revenue"),
+            ratio(
+                F.col("revenue_d").cast("double") / F.col("total_d").cast("double")
+                * 100.0
+            ).alias("share_pct"),
+        )
+        .orderBy(F.desc("revenue"), "partkey")
+    )
+    return out
+
+
+def large_orders(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty: int = 200,
+) -> DataFrame:
+    """TPC-H Q18 large-volume orders: orders whose total lineitem
+    quantity reaches ``min_qty``, with their customer.
+
+    Scale shape: the HAVING filter runs on the per-order aggregate
+    BEFORE any dimension join, so only the ~top percent of orders ever
+    join customer (broadcast) and orders (shuffle on the already-
+    aggregated key set).
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty_d"))
+        .where(F.col("qty_d") >= min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            money(F.col("o_totalprice")).alias("totalprice"),
+            F.round(F.col("qty_d"), 2).cast("double").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "orderkey")
+    )
+
+
+def idle_balance_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22-style sales-opportunity cut: customers whose balance
+    beats the positive-balance average but who placed NO order since
+    ``since``, grouped per nation.
+
+    Scale shape: the scalar threshold is a one-row broadcast; the
+    'no recent order' test is a LEFT ANTI join against the DATE-FILTERED
+    order keys (filter pushed to the orders scan, distinct custkeys far
+    smaller than the order table); nation broadcasts onto the final
+    ≤|nations| aggregate.
+    """
+    avg_bal = customer.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit(since).cast("timestamp")
+    ).select("o_custkey")
+    rich = (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_balance"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "n_customers", "total_balance")
+        .orderBy("n_name")
+    )

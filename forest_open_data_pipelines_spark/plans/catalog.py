@@ -448,6 +448,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": lambda s, d: curation.stratified_sample(
         load_table(s, d, "documents")
     ),
+    # ── Round-5 relational breadth (parked, same deal) ─────────────────
+    "cheapest_supplier_per_part": lambda s, d: relational.cheapest_supplier_per_part(
+        *_t(s, d, "lineitem", "part", "supplier", "nation")
+    ),
+    "part_revenue_concentration": lambda s, d: relational.part_revenue_concentration(
+        *_t(s, d, "lineitem", "part")
+    ),
+    "large_orders": lambda s, d: relational.large_orders(
+        *_t(s, d, "customer", "orders", "lineitem")
+    ),
+    "idle_balance_customers": lambda s, d: relational.idle_balance_customers(
+        *_t(s, d, "customer", "orders", "nation")
+    ),
 }
 
 # First name past the driver window; everything from here on is parked.

@@ -348,3 +348,35 @@ def test_bpe_pairs_explode_off_distinct_words(spark):
     plan = _plan(spark, "bpe_merge_candidates")
     assert len(re.findall(r"Exchange hashpartitioning\(w[#,]", plan)) == 1
     assert len(re.findall(r"Exchange hashpartitioning\(pair", plan)) == 1
+
+
+def test_cheapest_supplier_dims_join_after_agg(spark):
+    """Q2-shape guard: the fact table aggregates FIRST; part/supplier/
+    nation broadcast onto the per-(part,supplier) aggregate — the fact
+    stream itself must never broadcast-join a dimension."""
+    plan = _plan(spark, "cheapest_supplier_per_part")
+    assert plan.count("BroadcastHashJoin") == 3
+    # exactly one wide exchange for the fact aggregation + the window's
+    assert len(re.findall(r"Exchange hashpartitioning\(l_partkey", plan)) == 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_large_orders_having_before_joins(spark):
+    """Q18-shape guard: the quantity HAVING runs on the per-order
+    aggregate before orders/customer attach (customer broadcast)."""
+    plan = _plan(spark, "large_orders")
+    assert "BroadcastHashJoin" in plan
+    # the qty filter sits above the aggregate, not above the joins:
+    # scan-side it must not appear as a parquet pushed filter on orders
+    assert re.search(r"Filter.*qty_d", plan) or re.search(
+        r"\(sum\(.*l_quantity.*\) >= ", plan
+    )
+
+
+def test_idle_balance_anti_join_on_filtered_orders(spark):
+    """Q22-shape guard: LEFT ANTI against date-filtered order keys with
+    the date filter pushed to the orders scan."""
+    plan = _plan(spark, "idle_balance_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar avg only
