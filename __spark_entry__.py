@@ -1875,6 +1875,65 @@ SELECT lang, weight, n_docs, n_tokens, target_tokens, sampling_rate,
 FROM r ORDER BY lang"""
 
 
+def _stratified_token_sample_sql() -> str:
+    """DuckDB twin of curation.stratified_token_sample: md5-ordered
+    cumulative token window per language, integer-exact budget cut."""
+    _, prefix = _mixture_sql_parts()
+    return f"""
+WITH {prefix},
+drawn AS (
+  SELECT doc_id, lang, source,
+         len(string_split({LCLEAN}, ' '))::BIGINT AS n_toks,
+         ({_MD5_INT.format(expr="'strat-' || doc_id")}) % 1000000
+           AS sample_u_micro
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, lang, source, n_toks, sample_u_micro,
+         coalesce(sum(n_toks) OVER (
+           PARTITION BY lang ORDER BY sample_u_micro, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM drawn
+)
+SELECT doc_id, c.lang, source, n_toks, sample_u_micro
+FROM cum c JOIN alloc r ON c.lang = r.lang
+WHERE tokens_before < r.target_tokens
+ORDER BY doc_id"""
+
+
+def _span_dedup_sql() -> str:
+    """DuckDB twin of curation.span_dedup: same overlapping window
+    geometry (width/stride), keep-first by (doc_id, win_idx) per
+    window text (string key here, md5-int on the Spark side)."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        SPAN_STRIDE as S,
+        SPAN_WIDTH as W,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
+win AS (
+  SELECT doc_id, i - 1 AS win_idx,
+         list_aggregate(list_slice(t, (i-1)*{S} + 1,
+                                   least((i-1)*{S} + {W}, len(t))),
+                        'string_agg', ' ') AS win_text
+  FROM (SELECT doc_id, t,
+               unnest(range(1,
+                 greatest(1, (ceil((len(t) - {W}) / {S}) + 1)::INT) + 1)) AS i
+        FROM toks)
+),
+ranked AS (
+  SELECT doc_id, win_idx,
+         row_number() OVER (PARTITION BY win_text ORDER BY doc_id, win_idx) AS rn
+  FROM win
+)
+SELECT doc_id, count(*) AS n_windows,
+       count(*) FILTER (WHERE rn > 1) AS n_dup_windows,
+       count(*) FILTER (WHERE rn > 1) > 0 AS has_dup_span
+FROM ranked GROUP BY doc_id ORDER BY doc_id"""
+
+
 def _stratified_sample_sql() -> str:
     """DuckDB twin of curation.stratified_sample: md5-derived u in
     millionths, EXACT integer keep predicate (u·n_tokens <
@@ -3379,6 +3438,8 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
         "chunk_dedup": _chunk_dedup_sql(),
         "dataset_mixture_plan": _mixture_plan_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "stratified_token_sample": _stratified_token_sample_sql(),
+        "span_dedup": _span_dedup_sql(),
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }
     # corpus_curation composes the text_quality / lang_id twins above —

@@ -101,6 +101,8 @@ HEADLINE = [
     "part_revenue_concentration",
     "large_orders",
     "idle_balance_customers",
+    "stratified_token_sample",
+    "span_dedup",
     # dedup_method_eval is intentionally NOT a bench headliner: it
     # re-runs three full dedup pipelines to produce an evaluation
     # artifact (P/R of the approximate detectors), ~7 s at sf0.1 by

@@ -445,3 +445,101 @@ def stratified_sample(documents: DataFrame) -> DataFrame:
         .select("doc_id", "lang", "source", "sample_u_micro")
         .orderBy("doc_id")
     )
+
+
+def stratified_token_sample(documents: DataFrame) -> DataFrame:
+    """Exact-budget variant of ``stratified_sample``: per language,
+    take documents in md5-hash order (a deterministic shuffle) until
+    the cumulative token count before the doc reaches the language's
+    ``target_tokens`` — so realized tokens land within one document of
+    the target instead of Bernoulli variance around it.
+
+    Scale: one aggregation for the rate table, then ONE shuffle on
+    lang for the cumulative-sum window. The window partitions by
+    language — at |langs| ≪ cores add the lang-salt refinement
+    (per-shard quotas) if a single language dominates the corpus;
+    the predicate stays integer-exact either way.
+    """
+    rates = _mixture_rates(documents).select("lang", "target_tokens")
+    toks = F.size(F.split(F.lower(clean_text(F.col("text"))), " "))
+    u_micro = F.pmod(
+        _md5_int(F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))),
+        F.lit(1000000),
+    )
+    drawn = spread(documents).select(
+        "doc_id",
+        "lang",
+        "source",
+        toks.cast("long").alias("n_toks"),
+        u_micro.alias("sample_u_micro"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("sample_u_micro", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        drawn.withColumn(
+            "tokens_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0))
+        )
+        .join(F.broadcast(rates), "lang")
+        .where(F.col("tokens_before") < F.col("target_tokens"))
+        .select("doc_id", "lang", "source", "n_toks", "sample_u_micro")
+        .orderBy("doc_id")
+    )
+
+
+SPAN_WIDTH = 20
+SPAN_STRIDE = 5
+
+
+def span_dedup(
+    documents: DataFrame, width: int = SPAN_WIDTH, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Shifted-duplicate detection — the overlapping-window sibling of
+    ``chunk_dedup`` (Lee et al. 2021 'Deduplicating Training Data'
+    motivates span-level exact matching, public methodology): slide a
+    ``width``-token window at ``stride`` over each doc and count
+    windows whose text occurred earlier in the corpus (first
+    occurrence ordered by doc_id, then window start). Detection-only:
+    overlapping spans cannot be rebuilt unambiguously, so the output
+    is the per-doc span-dup report a curation pipeline gates on.
+
+    Detection guarantee: a copied span registers iff its offset delta
+    vs the first occurrence is ≡ 0 (mod ``stride``) — stride 5 trades
+    a 5× smaller window stream for missing off-stride shifts;
+    ``stride=1`` is the exhaustive (suffix-array-equivalent recall)
+    configuration at width× the stream size. Both tested.
+
+    Scale: identical plan family to ``chunk_dedup`` — one explode
+    (~size/stride windows per doc), one shuffle on the 60-bit window
+    key for the keep-first rank, one count-shaped rebuild on doc_id.
+    Docs shorter than ``width`` contribute their single whole-text
+    window, so verbatim short duplicates still register.
+    """
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    n_windows = F.greatest(
+        F.lit(1),
+        (F.ceil((F.size("t") - width) / F.lit(stride)) + 1).cast("int"),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i * stride + 1, width), " "),
+    )
+    exploded = (
+        spread(documents)
+        .select("doc_id", toks.alias("t"))
+        .select("doc_id", F.posexplode(windows).alias("win_idx", "win_text"))
+        .select("doc_id", "win_idx", _md5_int("win_text").alias("key"))
+    )
+    w = Window.partitionBy("key").orderBy("doc_id", "win_idx")
+    ranked = exploded.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .withColumn("has_dup_span", F.col("n_dup_windows") > 0)
+        .orderBy("doc_id")
+    )

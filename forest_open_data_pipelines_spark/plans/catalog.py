@@ -448,6 +448,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": lambda s, d: curation.stratified_sample(
         load_table(s, d, "documents")
     ),
+    "stratified_token_sample": lambda s, d: curation.stratified_token_sample(
+        load_table(s, d, "documents")
+    ),
+    "span_dedup": lambda s, d: curation.span_dedup(load_table(s, d, "documents")),
     # ── Round-5 relational breadth (parked, same deal) ─────────────────
     "cheapest_supplier_per_part": lambda s, d: relational.cheapest_supplier_per_part(
         *_t(s, d, "lineitem", "part", "supplier", "nation")

@@ -2322,3 +2322,64 @@ def test_dataset_mixture_plan_allocation(spark, sf_dir):
         assert r["target_tokens"] == int(budget * r["weight"])
         assert 0.0 <= r["sampling_rate"] <= 1.0
         assert r["projected_tokens"] <= r["n_tokens"]
+
+
+def test_span_dedup_detects_shifted_duplicates(spark):
+    """A copied span at a DIFFERENT token offset (which chunk_dedup's
+    aligned chunks miss) must register in the overlapping windows; the
+    first corpus occurrence never counts against its own doc."""
+    from forest_open_data_pipelines_spark.operators.curation import span_dedup
+
+    span = " ".join(f"s{i}" for i in range(25))
+    # shift by one stride: detectable by construction (stride-aligned);
+    # an off-stride shift is the documented miss of the stride-s scheme
+    filler = " ".join(f"f{i}" for i in range(5))
+    off_stride = " ".join(f"g{i}" for i in range(7))
+    docs = _docs(
+        spark,
+        [
+            (1, span, "en", "s", 0),
+            (2, f"{filler} {span}", "en", "s", 0),      # stride-aligned copy
+            (3, " ".join(f"u{i}" for i in range(25)), "en", "s", 0),
+            (4, f"{off_stride} {span}", "en", "s", 0),  # off-stride copy
+        ],
+    )
+    out = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert not out[1]["has_dup_span"]
+    assert out[2]["has_dup_span"] and out[2]["n_dup_windows"] >= 1
+    assert not out[3]["has_dup_span"]
+    # documented limitation: shifts not ≡ 0 (mod stride) are invisible
+    # at stride 5 — the stride=1 configuration catches them
+    assert not out[4]["has_dup_span"]
+    from forest_open_data_pipelines_spark.operators.curation import span_dedup as sd
+
+    out1 = {r["doc_id"]: r for r in sd(docs, stride=1).collect()}
+    assert out1[4]["has_dup_span"]
+
+
+def test_stratified_token_sample_budget_bound(spark, sf_dir):
+    """Per language, realized tokens stay within one document of the
+    target, and the selection is the md5-order prefix (deterministic)."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        _mixture_rates,
+        stratified_token_sample,
+    )
+    from forest_open_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sample = stratified_token_sample(docs).collect()
+    assert sample
+    targets = {
+        r["lang"]: r["target_tokens"] for r in _mixture_rates(docs).collect()
+    }
+    per_lang: dict[str, list] = {}
+    for r in sample:
+        per_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in per_lang.items():
+        got = sum(r["n_toks"] for r in rows)
+        # every doc but the last fits strictly under the budget, so the
+        # overshoot is bounded by that final document
+        assert got < targets[lang] + max(r["n_toks"] for r in rows)
+        # cumulative tokens BEFORE the last sampled doc are under target
+        rows.sort(key=lambda r: (r["sample_u_micro"], r["doc_id"]))
+        assert sum(r["n_toks"] for r in rows[:-1]) < targets[lang]
