@@ -232,7 +232,12 @@ def decontaminate_ngram(
     the corpus gram stream; the only wide exchange is the final
     per-doc count (map-side combinable). Never all-pairs.
     """
-    grams = hashed_shingle_table(documents, n)
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    # persist: the gram table feeds BOTH the benchmark-split distinct
+    # and the corpus stream — without it the n-term zip_with gram
+    # builder (the expensive part at n=8) runs once per branch
+    grams = _persist(hashed_shingle_table(documents, n))
     is_bench = F.col("doc_id") % bench_mod == 0
     bench_grams = (
         grams.where(is_bench)
