@@ -156,7 +156,8 @@ PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _IP_OCTET = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
 PII_IP_RE = f"\\b{_IP_OCTET}(\\.{_IP_OCTET}){{3}}\\b"
 # Phones must carry an international prefix — bare digit runs are too
-# ambiguous to scrub at corpus scale (DoNotAnswer-style precision bias).
+# ambiguous to scrub at corpus scale (precision-first redaction: a
+# false positive destroys real text forever, a miss is recoverable).
 PII_PHONE_RE = "\\+[0-9]{1,3}[ -]?\\(?[0-9]{2,3}\\)?[ -]?[0-9]{3,5}[ -]?[0-9]{4}"
 
 

@@ -33,6 +33,12 @@ from forest_open_data_pipelines_spark.sources import load_table
 BASE_SF = "/root/testdata/sf0.1"
 OUT = "/tmp/scale_probe"
 
+def _curation_op(name):
+    from forest_open_data_pipelines_spark.operators import curation
+
+    return lambda d: getattr(curation, name)(d)
+
+
 OPS = {
     "dedup_exact": lambda d: dedup.dedup_exact(d),
     "dedup_minhash": lambda d: dedup.dedup_minhash(d),
@@ -40,6 +46,14 @@ OPS = {
     "dedup_ngram_ppjoin": lambda d: dedup.dedup_ngram_ppjoin(d),
     "dedup_simhash64": lambda d: dedup.dedup_simhash64(d),
     "dedup_clusters": lambda d: dedup.dedup_clusters(d),
+    # round-5 third tranche: the curation family on the same
+    # duplicate-heavy corpus (rotation makes replicas near- but not
+    # exact-duplicates, so chunk/span hit rates grow with replicas)
+    "chunk_dedup": _curation_op("chunk_dedup"),
+    "span_dedup": _curation_op("span_dedup"),
+    "decontaminate_ngram": _curation_op("decontaminate_ngram"),
+    "pii_scrub": _curation_op("pii_scrub"),
+    "stratified_token_sample": _curation_op("stratified_token_sample"),
 }
 
 
