@@ -213,6 +213,83 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _dedup_incremental_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    mod: int = 13,
+) -> str:
+    """DuckDB twin of dedup.dedup_incremental over the doc_id % mod
+    split: same fingerprint join, same MinHash band candidates (new
+    side × base side), same Jaccard verify and best-match tie-break."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+    )
+
+    rows = num_hashes // bands
+    base = _MD5_INT.format(expr="s") + f" % {MINHASH_P}"
+    mins = ", ".join(
+        f"list_min([({a} * x + {b}) % {MINHASH_P} for x in bases])"
+        for a, b in minhash_coeffs(num_hashes)
+    )
+    band_exprs = ", ".join(
+        "STRUCT_PACK(band_id := {b}, band_hash := md5(list_aggregate("
+        "[sig[j]::VARCHAR for j in range({lo}, {hi})], 'string_agg', ',')))".format(
+            b=b, lo=b * rows + 1, hi=(b + 1) * rows + 1
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {SHINGLES},
+fp AS (SELECT doc_id, md5({LCLEAN}) AS f FROM documents),
+fp_base AS (SELECT DISTINCT f FROM fp WHERE doc_id % {mod} <> 0),
+exact AS (
+  SELECT n.doc_id, (b.f IS NOT NULL) AS exact_dup
+  FROM fp n LEFT JOIN fp_base b ON n.f = b.f
+  WHERE n.doc_id % {mod} = 0
+),
+based AS (
+  SELECT doc_id, shingles, [{base} for s in shingles] AS bases FROM shingled
+),
+sigs AS (SELECT doc_id, shingles, [{mins}] AS sig FROM based),
+banded AS (
+  SELECT doc_id, unnest([{band_exprs}], recursive := true) FROM sigs
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_id, y.doc_id AS base_id
+  FROM banded x JOIN banded y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+  WHERE x.doc_id % {mod} = 0 AND y.doc_id % {mod} <> 0
+),
+verified AS (
+  SELECT cand.doc_id, base_id,
+         round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6)
+           AS jaccard
+  FROM cand
+  JOIN shingled a ON a.doc_id = cand.doc_id
+  JOIN shingled b ON b.doc_id = cand.base_id
+),
+best AS (
+  SELECT doc_id, base_id, jaccard FROM (
+    SELECT doc_id, base_id, jaccard,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY jaccard DESC, base_id) AS rn
+    FROM verified WHERE jaccard >= {threshold}
+  ) WHERE rn = 1
+)
+SELECT e.doc_id, exact_dup,
+       (m.base_id IS NOT NULL) AS near_dup,
+       m.base_id AS matched_base_id,
+       m.jaccard AS best_jaccard,
+       CASE WHEN exact_dup THEN 'exact_dup'
+            WHEN m.base_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status
+FROM exact e LEFT JOIN best m ON e.doc_id = m.doc_id
+ORDER BY e.doc_id"""
+
+
 def _ngram_exact_sql(threshold: float = 0.8) -> str:
     """GROUND-TRUTH oracle for dedup_ngram_ppjoin: stop-list-free
     all-shared-shingle candidates + exact Jaccard. Deliberately NOT a
@@ -3440,6 +3517,7 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
         "stratified_sample": _stratified_sample_sql(),
         "stratified_token_sample": _stratified_token_sample_sql(),
         "span_dedup": _span_dedup_sql(),
+        "dedup_incremental": _dedup_incremental_sql(),
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }
     # corpus_curation composes the text_quality / lang_id twins above —

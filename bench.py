@@ -103,6 +103,7 @@ HEADLINE = [
     "idle_balance_customers",
     "stratified_token_sample",
     "span_dedup",
+    "dedup_incremental",
     # dedup_method_eval is intentionally NOT a bench headliner: it
     # re-runs three full dedup pipelines to produce an evaluation
     # artifact (P/R of the approximate detectors), ~7 s at sf0.1 by

@@ -286,6 +286,58 @@ def minhash_signatures(
     return with_bases.select("doc_id", sigs.alias("signature"))
 
 
+def minhash_band_frame(
+    sh: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) LSH band rows off a hashed-shingle
+    table — the shared signature builder of ``dedup_minhash`` and
+    ``dedup_incremental``. All array lambdas, one row per doc before
+    the band explode, map-side only."""
+    rows_per_band = num_hashes // bands
+    bases = F.transform(F.col("hashes"), lambda h: h % MINHASH_P)
+
+    def _affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("bases"), _affine(a, b)))
+            for a, b in minhash_coeffs(num_hashes)
+        ]
+    )
+    return (
+        sh.select("doc_id", bases.alias("bases"))
+        .select("doc_id", sig.alias("signature"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band_id"),
+                            F.md5(
+                                F.array_join(
+                                    F.transform(
+                                        F.slice(
+                                            "signature",
+                                            band * rows_per_band + 1,
+                                            rows_per_band,
+                                        ),
+                                        lambda x: x.cast("string"),
+                                    ),
+                                    ",",
+                                )
+                            ).alias("band_hash"),
+                        )
+                        for band in range(bands)
+                    ]
+                )
+            ).alias("band"),
+        )
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+
+
 def dedup_minhash(
     documents: DataFrame,
     num_hashes: int = 16,
@@ -311,48 +363,8 @@ def dedup_minhash(
     is the standard materialize-the-signature-table step of every LSH
     dedup pipeline.
     """
-    rows_per_band = num_hashes // bands
     sh = _persist(hashed_shingle_table(documents, n))
-    bases = F.transform(F.col("hashes"), lambda h: h % MINHASH_P)
-
-    def _affine(a: int, b: int):
-        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
-
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("bases"), _affine(a, b)))
-            for a, b in minhash_coeffs(num_hashes)
-        ]
-    )
-    sigs = sh.select("doc_id", bases.alias("bases")).select(
-        "doc_id", sig.alias("signature")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(band).alias("band_id"),
-                        F.md5(
-                            F.array_join(
-                                F.transform(
-                                    F.slice(
-                                        "signature",
-                                        band * rows_per_band + 1,
-                                        rows_per_band,
-                                    ),
-                                    lambda x: x.cast("string"),
-                                ),
-                                ",",
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_hash")
-    sigs = _persist(sigs)
+    sigs = _persist(minhash_band_frame(sh, num_hashes, bands))
     cand = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["band_id", "band_hash"])
@@ -1036,3 +1048,101 @@ def dedup_method_eval(documents: DataFrame) -> DataFrame:
             )
         )
     return outs[0].unionByName(outs[1]).orderBy("method")
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental ingest dedup: classify each NEW document against the
+    accumulated BASE corpus — 'exact_dup' (normalized-content
+    fingerprint already in base), 'near_dup' (MinHash-band candidate
+    verified at Jaccard ≥ threshold against a base doc), or 'new'.
+    This is the daily-batch shape of production corpus dedup: the base
+    side's fingerprints and band signatures are the persisted dedup
+    INDEX a pipeline maintains; only the new batch is shingled fresh.
+
+    Output per new doc: the two stage flags, the best-matching base doc
+    (highest Jaccard, min-id tie-break) and its score, and the final
+    status (exact beats near when both hit).
+
+    Scale: one fingerprint equi-join (60-bit keys) + one band-key
+    equi-join new×base — the new side is a day's batch, orders of
+    magnitude smaller than base, so both joins shuffle the SMALL side
+    into base's key space; verification touches candidates only.
+    Never new×base all-pairs.
+    """
+    norm = F.lower(clean_text(F.col("text")))
+    sh_new = _persist(hashed_shingle_table(new_docs, n))
+    sh_base = _persist(hashed_shingle_table(base_docs, n))
+    fp_base = (
+        base_docs.select(F.md5(norm).alias("content_fingerprint"))
+        .distinct()
+        .withColumn("exact_hit", F.lit(True))
+    )
+    exact = (
+        new_docs.select("doc_id", F.md5(norm).alias("content_fingerprint"))
+        .join(fp_base, "content_fingerprint", "left")
+        .select(
+            "doc_id", F.coalesce("exact_hit", F.lit(False)).alias("exact_dup")
+        )
+    )
+    bn = minhash_band_frame(sh_new, num_hashes, bands)
+    bb = minhash_band_frame(sh_base, num_hashes, bands)
+    cand = (
+        bn.alias("x")
+        .join(bb.alias("y"), ["band_id", "band_hash"])
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("y.doc_id").alias("base_id"),
+        )
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sh_new.select(F.col("doc_id"), F.col("hashes").alias("sh_n")),
+            "doc_id",
+        )
+        .join(
+            sh_base.select(
+                F.col("doc_id").alias("base_id"), F.col("hashes").alias("sh_b")
+            ),
+            "base_id",
+        )
+        .select(
+            "doc_id",
+            "base_id",
+            ratio(
+                F.size(F.array_intersect("sh_n", "sh_b"))
+                / F.size(F.array_union("sh_n", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "base_id")
+    best = (
+        verified.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "base_id", "jaccard")
+    )
+    status = (
+        F.when(F.col("exact_dup"), F.lit("exact_dup"))
+        .when(F.col("base_id").isNotNull(), F.lit("near_dup"))
+        .otherwise(F.lit("new"))
+    )
+    return (
+        exact.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "exact_dup",
+            F.col("base_id").isNotNull().alias("near_dup"),
+            F.col("base_id").alias("matched_base_id"),
+            F.col("jaccard").alias("best_jaccard"),
+            status.alias("status"),
+        )
+        .orderBy("doc_id")
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.operators import (
     asof,
@@ -452,6 +453,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "span_dedup": lambda s, d: curation.span_dedup(load_table(s, d, "documents")),
+    # Incremental ingest dedup: the deterministic doc_id % 13 == 0 slice
+    # plays the day's new batch, the rest the accumulated base corpus
+    # (13: the only small modulus where an exact duplicate actually
+    # crosses the split at sf0.1, so the exact branch is exercised).
+    "dedup_incremental": lambda s, d: dedup.dedup_incremental(
+        load_table(s, d, "documents").where(F.col("doc_id") % 13 == 0),
+        load_table(s, d, "documents").where(F.col("doc_id") % 13 != 0),
+    ),
     # ── Round-5 relational breadth (parked, same deal) ─────────────────
     "cheapest_supplier_per_part": lambda s, d: relational.cheapest_supplier_per_part(
         *_t(s, d, "lineitem", "part", "supplier", "nation")

@@ -2383,3 +2383,41 @@ def test_stratified_token_sample_budget_bound(spark, sf_dir):
         # cumulative tokens BEFORE the last sampled doc are under target
         rows.sort(key=lambda r: (r["sample_u_micro"], r["doc_id"]))
         assert sum(r["n_toks"] for r in rows[:-1]) < targets[lang]
+
+
+def test_dedup_incremental_classifies_against_base(spark):
+    """Crafted batch: an exact copy of a base doc, a near-dup (one
+    token changed in a long doc), and a fresh doc — each classified
+    against the base corpus, never against other new docs."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_incremental,
+    )
+
+    long = " ".join(f"w{i}" for i in range(60))
+    near = "CHANGED " + " ".join(f"w{i}" for i in range(1, 60))
+    base = _docs(
+        spark,
+        [
+            (1, long, "en", "s", 0),
+            (2, "some other base doc entirely", "en", "s", 0),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (10, long, "en", "s", 0),                       # exact copy of 1
+            (11, near, "en", "s", 0),                       # near-dup of 1
+            (12, "completely novel content here", "en", "s", 0),
+            # identical to doc 10 — but new docs are only classified
+            # against BASE, so both copies report the same way
+            (13, long, "en", "s", 0),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dedup_incremental(new, base).collect()}
+    assert out[10]["status"] == "exact_dup" and out[10]["exact_dup"]
+    # the exact copy is also a band-candidate near-dup; exact wins
+    assert out[10]["matched_base_id"] == 1
+    assert out[11]["status"] == "near_dup" and not out[11]["exact_dup"]
+    assert out[11]["matched_base_id"] == 1 and out[11]["best_jaccard"] >= 0.8
+    assert out[12]["status"] == "new" and out[12]["matched_base_id"] is None
+    assert out[13]["status"] == "exact_dup"
