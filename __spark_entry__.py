@@ -3523,6 +3523,35 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     # corpus_curation composes the text_quality / lang_id twins above —
     # built after the dict so the stage CTEs reuse those entries verbatim.
     out["corpus_curation"] = _curation_sql(out["text_quality"], out["lang_id"])
+    # dedup_canonical_by_quality composes the clusters closure + the
+    # text_quality twin the same way.
+    out["dedup_canonical_by_quality"] = f"""
+WITH c AS ({out["dedup_clusters"]}),
+q AS (SELECT doc_id, quality_score FROM ({out["text_quality"]}))
+SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
+       row_number() OVER (
+         PARTITION BY c.cluster_id
+         ORDER BY q.quality_score DESC, c.doc_id) = 1 AS is_kept
+FROM c JOIN q ON c.doc_id = q.doc_id
+ORDER BY c.doc_id"""
+    out["token_histogram"] = f"""
+WITH b AS (
+  SELECT floor(log2(len(string_split({LCLEAN}, ' '))))::INT AS bucket_exp,
+         len(string_split({LCLEAN}, ' '))::BIGINT AS n
+  FROM documents
+),
+per AS (
+  SELECT bucket_exp, count(*) AS n_docs, sum(n) AS n_tokens
+  FROM b GROUP BY bucket_exp
+),
+tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens FROM per)
+SELECT bucket_exp,
+       '[' || (2 ** bucket_exp)::BIGINT || ', '
+           || (2 ** (bucket_exp + 1))::BIGINT || ')' AS bucket,
+       n_docs, n_tokens,
+       round(n_docs::DOUBLE / t_docs, 6) AS doc_share,
+       round(n_tokens::DOUBLE / t_tokens, 6) AS token_share
+FROM per CROSS JOIN tot ORDER BY bucket_exp"""
     # session_duration_stats composes the sessionize twin the same way.
     out["session_duration_stats"] = f"""
 WITH s AS (SELECT * FROM ({out["events_sessionize"]})),

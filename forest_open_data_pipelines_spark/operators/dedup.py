@@ -1146,3 +1146,42 @@ def dedup_incremental(
         )
         .orderBy("doc_id")
     )
+
+
+def dedup_canonical_by_quality(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the HIGHEST-quality member (composite ``text_quality`` score,
+    min-id tie-break) instead of ``dedup_clusters``' min-id rule —
+    what a production pipeline actually wants when duplicates differ
+    in extraction quality (keep the cleanest copy, not the first
+    crawled).
+
+    Scale: the closure labels table is O(n_docs); the quality join and
+    the per-cluster argmax window ride the cluster_id partitioning —
+    one extra shuffle over ``dedup_clusters``.
+    """
+    from forest_open_data_pipelines_spark.operators.textops import text_quality
+
+    clusters = dedup_clusters(documents, n=n, threshold=threshold).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    q = text_quality(documents).select("doc_id", "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), "doc_id"
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "quality_score",
+            (F.col("rn") == 1).alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -703,3 +703,45 @@ def _lang_id_ngram_join(documents: DataFrame, profiles: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def token_histogram(documents: DataFrame) -> DataFrame:
+    """Log2-bucketed document-length distribution — the
+    sequence-length profile a packing/batching planner reads before
+    choosing a token budget (``pack_sequences``' sibling report).
+
+    Bucket k holds docs with 2^k ≤ n_tokens < 2^(k+1); output carries
+    doc and token counts per bucket plus 6-dp shares. floor(log2(n))
+    is exact for powers of two in IEEE doubles, so bucket edges cannot
+    flip between engines. One map-side-combinable aggregation.
+    """
+    n = F.size(F.split(F.lower(clean_text(F.col("text"))), " ")).cast("long")
+    bucketed = (
+        spread(documents)
+        .select(n.alias("n"))
+        .select(F.floor(F.log2("n")).cast("int").alias("bucket_exp"), "n")
+    )
+    per = bucketed.groupBy("bucket_exp").agg(
+        F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_exp",
+            F.concat(
+                F.lit("["),
+                F.pow(F.lit(2.0), F.col("bucket_exp")).cast("long"),
+                F.lit(", "),
+                F.pow(F.lit(2.0), F.col("bucket_exp") + 1).cast("long"),
+                F.lit(")"),
+            ).alias("bucket"),
+            "n_docs",
+            "n_tokens",
+            ratio(F.col("n_docs") / F.col("t_docs")).alias("doc_share"),
+            ratio(F.col("n_tokens") / F.col("t_tokens")).alias("token_share"),
+        )
+        .orderBy("bucket_exp")
+    )

@@ -461,6 +461,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents").where(F.col("doc_id") % 13 == 0),
         load_table(s, d, "documents").where(F.col("doc_id") % 13 != 0),
     ),
+    "dedup_canonical_by_quality": lambda s, d: dedup.dedup_canonical_by_quality(
+        load_table(s, d, "documents")
+    ),
+    "token_histogram": lambda s, d: textops.token_histogram(
+        load_table(s, d, "documents")
+    ),
     # ── Round-5 relational breadth (parked, same deal) ─────────────────
     "cheapest_supplier_per_part": lambda s, d: relational.cheapest_supplier_per_part(
         *_t(s, d, "lineitem", "part", "supplier", "nation")

@@ -2421,3 +2421,32 @@ def test_dedup_incremental_classifies_against_base(spark):
     assert out[11]["matched_base_id"] == 1 and out[11]["best_jaccard"] >= 0.8
     assert out[12]["status"] == "new" and out[12]["matched_base_id"] is None
     assert out[13]["status"] == "exact_dup"
+
+
+def test_canonical_by_quality_keeps_best_not_first(spark):
+    """Within a near-dup cluster the kept doc must be the
+    highest-quality member even when it has the larger doc_id."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_canonical_by_quality,
+        release_persisted,
+    )
+
+    base = " ".join(f"w{i}" for i in range(50))
+    # doc 1: one token carries punctuation noise -> only 3 trigrams
+    # differ (Jaccard ~0.88, over threshold) but quality drops
+    noisy = base.replace("w4 ", "!!!w4??? ")  # exactly one token changed
+    try:
+        docs = _docs(
+            spark,
+            [
+                (1, noisy, "en", "s", 0),
+                (2, base, "en", "s", 0),
+                (3, "unrelated singleton doc", "en", "s", 0),
+            ],
+        )
+        out = {r["doc_id"]: r for r in dedup_canonical_by_quality(docs).collect()}
+    finally:
+        release_persisted()
+    assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
+    assert out[2]["is_kept"] and not out[1]["is_kept"]   # best, not min-id
+    assert out[3]["is_kept"] and out[3]["cluster_size"] == 1
