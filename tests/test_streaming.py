@@ -732,3 +732,46 @@ def test_curation_gate_stream_with_repetition_gate(spark, tmp_path):
     got = {r.content_fingerprint for r in emitted}
     assert got == expected
     assert len(got) < len(gate_passing), "repetition gate filtered nothing"
+
+
+def test_stratified_sample_stream_matches_batch(spark, tmp_path):
+    """The sampling gate is stateless, so the streamed emission must
+    equal the batch stratified_sample row set exactly (rates frozen
+    from the static corpus snapshot, as in production)."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        _mixture_rates,
+        stratified_sample,
+    )
+    from forest_open_data_pipelines_spark.streaming.sampling import (
+        stratified_sample_stream,
+    )
+
+    src = tmp_path / "sample_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    rates = _mixture_rates(docs)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        stratified_sample_stream(stream, rates)
+        .writeStream.format("memory")
+        .queryName("strat_sample_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_strat_sample"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM strat_sample_test").collect()
+    finally:
+        query.stop()
+    batch = stratified_sample(docs).collect()
+    key = lambda r: (r["doc_id"], r["lang"], r["source"], r["sample_u_micro"])
+    assert sorted(map(key, emitted)) == sorted(map(key, batch))
+    assert emitted, "sampler emitted nothing"
