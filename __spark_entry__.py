@@ -3505,6 +3505,32 @@ FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
         "anp_resource_urls": _anp_resource_urls_sql(),
         "sanitize_slide_text": _sanitize_slide_text_sql(),
         # round-5 relational breadth additions ------------------------------
+        "revenue_change_forecast": """
+SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,4)), 2)::DOUBLE
+         AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24""",
+        "top_supplier_by_revenue": """
+WITH per_supp AS (
+  SELECT l_suppkey,
+         sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS revenue_d
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY 1
+),
+mx AS (SELECT max(revenue_d) AS max_rev FROM per_supp)
+SELECT s_suppkey AS suppkey, s_name AS supplier, n_name AS supp_nation,
+       round(revenue_d, 2)::DOUBLE AS revenue
+FROM per_supp CROSS JOIN mx
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE revenue_d = max_rev
+ORDER BY suppkey""",
         "cheapest_supplier_per_part": _cheapest_supplier_sql(),
         "part_revenue_concentration": _part_concentration_sql(),
         "large_orders": _large_orders_sql(),

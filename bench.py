@@ -105,6 +105,8 @@ HEADLINE = [
     "span_dedup",
     "dedup_incremental",
     "token_histogram",
+    "revenue_change_forecast",
+    "top_supplier_by_revenue",
     # dedup_canonical_by_quality re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_method_eval.

@@ -683,3 +683,79 @@ def idle_balance_customers(
         .select("n_name", "n_customers", "total_balance")
         .orderBy("n_name")
     )
+
+
+def revenue_change_forecast(
+    lineitem: DataFrame,
+    year: int = 1997,
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue-change: the revenue that would be
+    recovered by eliminating small discounts on low-quantity lines in
+    one year — the purest pushdown query in the suite.
+
+    Scale shape: every predicate reaches the parquet scan
+    (PushedFilters on shipdate/discount/quantity, plan-guarded), then
+    a single map-side-combinable global sum over the surviving rows —
+    no join, no wide shuffle beyond the 1-row final aggregate.
+    """
+    rev = (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+    return (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= disc_lo)
+            & (F.col("l_discount") <= disc_hi)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def top_supplier_by_revenue(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1997-01-01",
+    date_to: str = "1997-04-01",
+) -> DataFrame:
+    """TPC-H Q15 top supplier: supplier(s) achieving the MAXIMUM
+    revenue in a quarter (all of them on a tie, per the spec's
+    correlated-max semantics).
+
+    Scale shape: one aggregation over the date-filtered fact on
+    suppkey; the global max is a re-aggregation of THAT table
+    broadcast back as one row (no second fact scan, no window over
+    the whole supplier space); supplier/nation broadcast onto the
+    ≤|ties| result.
+    """
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    per_supp = (
+        lineitem.where(
+            (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(rev).alias("revenue_d"))
+    )
+    max_rev = per_supp.agg(F.max("revenue_d").alias("max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .where(F.col("revenue_d") == F.col("max_rev"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("supp_nation"),
+            F.round(F.col("revenue_d"), 2).cast("double").alias("revenue"),
+        )
+        .orderBy("suppkey")
+    )

@@ -480,6 +480,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idle_balance_customers": lambda s, d: relational.idle_balance_customers(
         *_t(s, d, "customer", "orders", "nation")
     ),
+    "revenue_change_forecast": lambda s, d: relational.revenue_change_forecast(
+        load_table(s, d, "lineitem")
+    ),
+    "top_supplier_by_revenue": lambda s, d: relational.top_supplier_by_revenue(
+        *_t(s, d, "lineitem", "supplier", "nation")
+    ),
 }
 
 # First name past the driver window; everything from here on is parked.

@@ -74,3 +74,19 @@ def write_bucketed_table(
     if path is not None:
         writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink (built-in columnar alternative to parquet, zstd-
+    compressed): same partition-pruning behavior on the partition
+    columns. Exists so a pipeline can land data for ORC-native
+    consumers (Hive/Trino lakes) without an extra conversion hop."""
+    w = df.write.mode(mode).option("compression", "zstd")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)

@@ -122,3 +122,11 @@ def profile_table_files(df: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_rows"))
         .orderBy("file_name")
     )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — Spark's built-in vectorized ORC source, with the
+    same predicate-pushdown/column-pruning contract as parquet (ORC is
+    the other columnar interchange format a lake-side consumer hands
+    us; PushedFilters reach the stripe level)."""
+    return spark.read.orc(path)

@@ -429,3 +429,26 @@ def test_ntz_retag_is_timezone_independent(spark, tmp_path):
         assert instant(offset_session) == want  # non-UTC session: same instant
     finally:
         offset_session.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC round-trip preserves values and the read side gets filter
+    pushdown + column pruning like parquet."""
+    from forest_open_data_pipelines_spark.sinks.writers import write_orc
+    from forest_open_data_pipelines_spark.sources.formats import read_orc
+
+    df = _orders_subset(spark)
+    path = str(tmp_path / "orders_orc")
+    write_orc(df, path, partition_cols=["o_orderstatus"])
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.select(*df.columns).collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    plan = (
+        back.where(F.col("o_totalprice") > 1000.0)
+        .select("o_orderkey")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan

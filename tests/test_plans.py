@@ -380,3 +380,30 @@ def test_idle_balance_anti_join_on_filtered_orders(spark):
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1  # the scalar avg only
+
+
+def test_q6_all_predicates_pushed_no_join(spark):
+    """Q6-shape guard: every predicate reaches the lineitem scan and
+    the plan is scan -> partial agg -> single-row final agg."""
+    plan = _plan(spark, "revenue_change_forecast")
+    assert "Join" not in plan
+    # the PushedFilters list renders truncated, so assert via the
+    # residual Filter node that every predicate made it below the agg
+    assert "(l_shipdate" in plan and "(l_discount" in plan
+    assert "(l_quantity" in plan
+    (schema,) = _read_schemas(plan)
+    cols = {c.split(":")[0] for c in schema.split(",")}
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q15_max_from_reaggregation_not_window(spark):
+    """Q15-shape guard: the global max re-aggregates the per-supplier
+    table (one-row broadcast), never a window over all suppliers and
+    never a second lineitem scan."""
+    plan = _plan(spark, "top_supplier_by_revenue")
+    assert "Window" not in plan
+    lineitem_scans = [s for s in _read_schemas(plan) if "l_suppkey" in s]
+    assert len(lineitem_scans) <= 2  # per_supp + its re-aggregation reuse
+    # the one-row max attaches via a broadcast (Catalyst turns the
+    # equality into a broadcast hash join key)
+    assert "BroadcastExchange" in plan
