@@ -3398,7 +3398,7 @@ SELECT user_id, session_seq,
        min(ts) AS session_start, max(ts) AS session_end,
        count(*) AS n_events,
        round(sum(value), 2) AS total_value,
-       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60000000.0, 6) AS duration_minutes
+       round((epoch_us(max(ts)) - epoch_us(min(ts))) / 60.0) / 1000000.0 AS duration_minutes
 FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""",
         "events_asof_attribution": """
 SELECT p.user_id,
@@ -3408,7 +3408,7 @@ SELECT p.user_id,
        c.event_id AS click_event_id,
        c.ts AS click_ts,
        c.value AS click_value,
-       round((epoch_us(p.ts) - epoch_us(c.ts)) / 60000000.0, 6) AS minutes_since_click
+       round((epoch_us(p.ts) - epoch_us(c.ts)) / 60.0) / 1000000.0 AS minutes_since_click
 FROM (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase') p
 ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
@@ -3586,9 +3586,9 @@ d AS (
   FROM s
 )
 SELECT count(*) AS n_sessions,
-       round(sum(dur_us) / count(*) / 60000000.0, 6) AS avg_minutes,
-       round(quantile_cont(dur_us, 0.5) / 60000000.0, 6) AS p50_minutes,
-       round(quantile_cont(dur_us, 0.9) / 60000000.0, 6) AS p90_minutes,
+       round(sum(dur_us) / (count(*) * 60.0)) / 1000000.0 AS avg_minutes,
+       round(quantile_cont(dur_us, 0.5) / 60.0) / 1000000.0 AS p50_minutes,
+       round(quantile_cont(dur_us, 0.9) / 60.0) / 1000000.0 AS p90_minutes,
        round(sum(n_events)::DOUBLE / count(*), 6) AS avg_events,
        max(n_events) AS max_events,
        round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE

@@ -209,7 +209,9 @@ def events_asof_attribution(events: DataFrame) -> DataFrame:
         "user_id", "ts", "event_id", "value"
     )
     joined = asof_join(purchases, clicks, key="user_id", ts="ts", right_prefix="click_")
-    gap_min = (F.unix_micros("ts") - F.unix_micros("click_ts")) / 60_000_000.0
+    # scale-then-round (see sessionize.duration_minutes): micros/60 is
+    # exact at N.5, immune to the HALF_UP-vs-binary 6-dp boundary split
+    gap_min = (F.unix_micros("ts") - F.unix_micros("click_ts")) / F.lit(60.0)
     return joined.select(
         "user_id",
         F.col("event_id").alias("purchase_event_id"),
@@ -218,5 +220,5 @@ def events_asof_attribution(events: DataFrame) -> DataFrame:
         "click_event_id",
         "click_ts",
         F.col("click_value").alias("click_value"),
-        F.round(gap_min, 6).alias("minutes_since_click"),
+        (F.round(gap_min, 0) / F.lit(1000000.0)).alias("minutes_since_click"),
     ).orderBy("user_id", "purchase_ts", "purchase_event_id")

@@ -54,9 +54,18 @@ def events_sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES)
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
             money(F.sum("value")).alias("total_value"),
-            ratio(
-                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
-                / F.lit(60.0 * 1_000_000)
+            # scale-then-round: micros/60 hits exact N.5 doubles at the
+            # 6-dp boundary (both engines round those identically),
+            # where round(micros/6e7, 6) splits between Spark's
+            # decimal-string HALF_UP and DuckDB's binary round
+            # (caught by the sf0.1 sweep: 2 boundary sessions)
+            (
+                F.round(
+                    (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                    / F.lit(60.0),
+                    0,
+                )
+                / F.lit(1000000.0)
             ).alias("duration_minutes"),
         )
         .orderBy("user_id", "session_seq")
@@ -199,13 +208,13 @@ def session_duration_stats(events: DataFrame) -> DataFrame:
     d = s.select(dur_us.alias("dur_us"), "n_events")
     return d.agg(
         F.count("*").alias("n_sessions"),
-        F.round(F.sum("dur_us") / F.count("*") / 60000000.0, 6).alias(
+        (F.round(F.sum("dur_us") / (F.count("*") * 60.0), 0) / 1000000.0).alias(
             "avg_minutes"
         ),
-        F.round(F.expr("percentile(dur_us, 0.5)") / 60000000.0, 6).alias(
+        (F.round(F.expr("percentile(dur_us, 0.5)") / 60.0, 0) / 1000000.0).alias(
             "p50_minutes"
         ),
-        F.round(F.expr("percentile(dur_us, 0.9)") / 60000000.0, 6).alias(
+        (F.round(F.expr("percentile(dur_us, 0.9)") / 60.0, 0) / 1000000.0).alias(
             "p90_minutes"
         ),
         F.round(F.sum("n_events") / F.count("*"), 6).alias("avg_events"),
