@@ -157,11 +157,46 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def resize_media(media: DataFrame, width: int = 16, height: int = 16) -> DataFrame:
-    """Deterministic fake resize: payload bytes nearest-neighbor-sampled
-    onto a width×height grid (a real implementation swaps the sampling
-    line for PIL/ffmpeg — see ``decode_real``). Shows the 1→1 binary-in
-    binary-out mapInPandas shape with typed output dims."""
+def _bilinear_grid(src2d, height: int, width: int):
+    """Real bilinear resample of one 2-D uint8 grid to (height, width)
+    — the standard half-pixel-center (align_corners=False) sampling
+    every image library implements. Returns the float grid."""
+    import numpy as np
+
+    h0, w0 = src2d.shape
+    ys = np.clip((np.arange(height) + 0.5) * (h0 / height) - 0.5, 0, h0 - 1)
+    xs = np.clip((np.arange(width) + 0.5) * (w0 / width) - 0.5, 0, w0 - 1)
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h0 - 1)
+    x1 = np.minimum(x0 + 1, w0 - 1)
+    wy = (ys - y0)[:, None]
+    wx = (xs - x0)[None, :]
+    s = src2d.astype(np.float64)
+    return (
+        s[y0][:, x0] * (1 - wy) * (1 - wx)
+        + s[y0][:, x1] * (1 - wy) * wx
+        + s[y1][:, x0] * wy * (1 - wx)
+        + s[y1][:, x1] * wy * wx
+    )
+
+
+def resize_media(
+    media: DataFrame, width: int = 16, height: int = 16, mode: str = "nearest"
+) -> DataFrame:
+    """Payload resize onto a width×height grid via ``mapInPandas`` —
+    the 1→1 binary-in binary-out kernel shape with typed output dims.
+
+    ``mode='nearest'`` (default, the original contract) gathers bytes
+    1-D nearest-neighbor. ``mode='bilinear'`` is a REAL interpolation
+    kernel: the payload is viewed as a row-major 2-D grid
+    (h0 = ⌊√n⌋, w0 = ⌈n/h0⌉, zero-padded tail) and resampled with
+    standard half-pixel-center bilinear weights — what a decoded
+    image's resize does; only codec DECODE itself stays stubbed
+    (``decode_real``: no image/audio libs in this container).
+    """
+    if mode not in ("nearest", "bilinear"):
+        raise ValueError(f"unknown resize mode {mode!r}")
 
     def _resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -172,11 +207,28 @@ def resize_media(media: DataFrame, width: int = 16, height: int = 16) -> DataFra
             if pdf.empty:
                 continue
             data, offsets, lengths = _flatten_payloads(pdf["payload"])
-            # nearest-neighbor index map for ALL rows at once — the
-            # deterministic stand-in for a real interpolation kernel:
-            # (n_rows, target) gather into the flat buffer
-            grid = np.arange(target, dtype=np.int64)
-            if data.size:
+            if mode == "bilinear":
+                rows = []
+                for off, ln in zip(offsets[:-1], lengths):
+                    if ln == 0:
+                        rows.append(np.zeros((height, width)))
+                        continue
+                    h0 = max(1, int(np.sqrt(ln)))
+                    w0 = -(-int(ln) // h0)  # ceil
+                    buf = np.zeros(h0 * w0, dtype=np.uint8)
+                    buf[: int(ln)] = data[off : off + int(ln)]
+                    rows.append(
+                        _bilinear_grid(buf.reshape(h0, w0), height, width)
+                    )
+                out = (
+                    np.clip(np.round(np.stack(rows)), 0, 255)
+                    .astype(np.uint8)
+                    .reshape(len(lengths), target)
+                )
+            elif data.size:
+                # nearest-neighbor index map for ALL rows at once:
+                # (n_rows, target) gather into the flat buffer
+                grid = np.arange(target, dtype=np.int64)
                 idx = offsets[:-1, None] + (grid[None, :] * lengths[:, None]) // target
                 out = np.where(
                     lengths[:, None] > 0,

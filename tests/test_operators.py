@@ -2450,3 +2450,32 @@ def test_canonical_by_quality_keeps_best_not_first(spark):
     assert out[1]["cluster_id"] == out[2]["cluster_id"] == 1
     assert out[2]["is_kept"] and not out[1]["is_kept"]   # best, not min-id
     assert out[3]["is_kept"] and out[3]["cluster_size"] == 1
+
+
+def test_resize_media_bilinear_real_interpolation(spark):
+    """The bilinear mode is a real half-pixel-center interpolation:
+    hand-computed 3x4 -> 2x2 resample of bytes(range(10)) (zero-padded
+    grid [[0,1,2,3],[4,5,6,7],[8,9,0,0]])."""
+    from forest_open_data_pipelines_spark.operators import multimodal as mm
+
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(b""), {"media_type": "t", "declared_size": 0, "origin": "s"}),
+            (2, bytearray(bytes(range(10))), {"media_type": "t", "declared_size": 10, "origin": "s"}),
+        ],
+        "media_id long, payload binary, meta struct<media_type:string,declared_size:long,origin:string>",
+    )
+    rs = {
+        r.media_id: r
+        for r in mm.resize_media(media, width=2, height=2, mode="bilinear").collect()
+    }
+    assert rs[1].resized == bytes(4) and rs[1].checksum == 0.0
+    # sample points y in {0.25, 1.75}, x in {0.5, 2.5}:
+    #   v = [[1.5, 3.5], [7.5, 1.625]] -> round-half-even -> [2, 4, 8, 2]
+    assert rs[2].resized == bytes([2, 4, 8, 2])
+    assert rs[2].checksum == 4.0
+    # nearest default is unchanged
+    rs_near = {
+        r.media_id: r for r in mm.resize_media(media, width=2, height=2).collect()
+    }
+    assert rs_near[2].resized == bytes([0, 2, 5, 7])
