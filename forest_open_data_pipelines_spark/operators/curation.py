@@ -361,8 +361,12 @@ def _mixture_rates(documents: DataFrame) -> DataFrame:
     the per-language allocation table. Token counts use the whitespace
     tokenizer every other text operator shares; arithmetic is integer
     until the final 6-dp rate so both engines agree bit-for-bit."""
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
     toks = F.size(F.split(F.lower(clean_text(F.col("text"))), " "))
-    per_lang = (
+    # persist: per_lang feeds the total re-aggregation AND the rate
+    # rows — without it each consumer re-runs the corpus token scan
+    per_lang = _persist(
         spread(documents)
         .select("lang", toks.cast("long").alias("n_toks"))
         .groupBy("lang")

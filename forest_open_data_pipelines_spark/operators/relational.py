@@ -581,8 +581,16 @@ def part_revenue_concentration(
     and broadcasts back as a one-row cross join — the canonical
     two-pass global-threshold plan, no fact rescan.
     """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
-    per_part = lineitem.groupBy("l_partkey").agg(F.sum(rev).alias("revenue_d"))
+    # persist: the per-part aggregate feeds BOTH the totals
+    # re-aggregation and the threshold filter — without it the "no
+    # fact rescan" claim is false (Spark recomputes the scan per
+    # consumer; caught via tools/explain.py)
+    per_part = _persist(
+        lineitem.groupBy("l_partkey").agg(F.sum(rev).alias("revenue_d"))
+    )
     totals = per_part.agg(
         F.sum("revenue_d").alias("total_d"), F.count("*").alias("n_parts")
     )
@@ -737,7 +745,11 @@ def top_supplier_by_revenue(
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
         "decimal(18,4)"
     )
-    per_supp = (
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    # persisted for the same two-consumer reason as
+    # part_revenue_concentration (max re-aggregation + the filter)
+    per_supp = _persist(
         lineitem.where(
             (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
             & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))

@@ -721,8 +721,12 @@ def token_histogram(documents: DataFrame) -> DataFrame:
         .select(n.alias("n"))
         .select(F.floor(F.log2("n")).cast("int").alias("bucket_exp"), "n")
     )
-    per = bucketed.groupBy("bucket_exp").agg(
-        F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens")
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    per = _persist(
+        bucketed.groupBy("bucket_exp").agg(
+            F.count("*").alias("n_docs"), F.sum("n").alias("n_tokens")
+        )
     )
     tot = per.agg(
         F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
