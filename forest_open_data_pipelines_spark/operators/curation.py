@@ -27,11 +27,7 @@ from forest_open_data_pipelines_spark.operators.dedup import (
     _md5_int,
     hashed_shingle_table,
 )
-from forest_open_data_pipelines_spark.operators.textops import (
-    clean_text,
-    lang_id,
-    text_quality,
-)
+from forest_open_data_pipelines_spark.operators.textops import clean_text
 from forest_open_data_pipelines_spark.sources.tables import spread
 
 CURATION_MIN_TOKENS = 20
@@ -64,27 +60,35 @@ def corpus_curation(
       doc_id (greedy pair rule, matching dedup_embedding's pair
       orientation).
     """
-    q = text_quality(documents).select("doc_id", "n_tokens", "quality_score")
-    lang = lang_id(documents).select("doc_id", "predicted_lang")
-    fp = documents.select(
-        "doc_id",
-        F.md5(F.lower(clean_text(F.col("text")))).alias("content_fingerprint"),
+    from forest_open_data_pipelines_spark.operators.textops import (
+        predicted_lang_col,
+        quality_metric_cols,
     )
-    base = (
-        q.join(lang, "doc_id")
-        .join(fp, "doc_id")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "quality_score",
-            "predicted_lang",
-            "content_fingerprint",
-            (
-                (F.col("n_tokens") >= min_tokens)
-                & (F.col("quality_score") >= min_quality)
-            ).alias("quality_ok"),
-            (F.col("predicted_lang") != "unknown").alias("lang_ok"),
-        )
+
+    # ONE scan: quality metrics, language prediction and the content
+    # fingerprint are all pure projections of `text`, so they ride a
+    # single select (same expressions as text_quality/lang_id — values
+    # identical, asserted by the composed oracle). The former
+    # q ⋈ lang ⋈ fp three-scan/two-shuffle shape was a tools/explain.py
+    # audit finding.
+    n_tokens, _, _, score = quality_metric_cols()
+    base = documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ratio(score).alias("quality_score"),
+        predicted_lang_col().alias("predicted_lang"),
+        F.md5(F.lower(clean_text(F.col("text")))).alias("content_fingerprint"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        "predicted_lang",
+        "content_fingerprint",
+        (
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("quality_score") >= min_quality)
+        ).alias("quality_ok"),
+        (F.col("predicted_lang") != "unknown").alias("lang_ok"),
     )
     surv = F.col("quality_ok") & F.col("lang_ok")
     canonical = F.min(F.when(surv, F.col("doc_id"))).over(
