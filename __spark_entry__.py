@@ -1823,6 +1823,43 @@ FROM mensal, cur, feed WHERE n_mensal > 0
 ORDER BY r_name, period"""
 
 
+def _numeric_correlations_sql() -> str:
+    """DuckDB twin of profiling.numeric_correlations: identical exact
+    decimal moments, identical Pearson-from-moments double formula."""
+    from forest_open_data_pipelines_spark.operators.profiling import (
+        CORRELATION_COLS,
+    )
+
+    cols = CORRELATION_COLS
+    # (20,6): width > 18 pushes DuckDB onto the int128 decimal path —
+    # an (18,6) square overflows its int64 multiply (values ~1e5 at
+    # scale 6 → internal products ~1e22); Spark-side (18,6) is exact
+    # already, and both sides stay exact rationals so parity holds
+    d = lambda c: f"{c}::DECIMAL(20,6)"
+    moments = ["count(*) AS n"]
+    for c in cols:
+        moments.append(f"sum({d(c)}) AS s_{c}")
+        moments.append(f"sum({d(c)} * {d(c)}) AS ss_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            moments.append(f"sum({d(a)} * {d(b)}) AS sp_{a}_{b}")
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"round((n::DOUBLE * sp_{a}_{b}::DOUBLE - s_{a}::DOUBLE * s_{b}::DOUBLE) "
+                f"/ sqrt((n::DOUBLE * ss_{a}::DOUBLE - s_{a}::DOUBLE * s_{a}::DOUBLE) "
+                f"* (n::DOUBLE * ss_{b}::DOUBLE - s_{b}::DOUBLE * s_{b}::DOUBLE)), 6) "
+                f"AS pearson_r, n AS n_rows FROM m"
+            )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH m AS (SELECT {', '.join(moments)} FROM lineitem)
+{union}
+ORDER BY col_a, col_b"""
+
+
 def _pii_scrub_sql() -> str:
     """DuckDB twin of curation.pii_scrub: identical RE2∩Java pattern
     strings, counts on the original text, sequential email→IP→phone
@@ -3544,6 +3581,7 @@ ORDER BY suppkey""",
         "stratified_token_sample": _stratified_token_sample_sql(),
         "span_dedup": _span_dedup_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
+        "numeric_correlations": _numeric_correlations_sql(),
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }
     # corpus_curation composes the text_quality / lang_id twins above —

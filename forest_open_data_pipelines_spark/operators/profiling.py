@@ -279,3 +279,58 @@ def join_key_skew_report(
         )
         .orderBy("rank")
     )
+
+
+#: Columns profiled by ``numeric_correlations`` (2-dp-ish numeric
+#: lineitem measures; shared with the DuckDB oracle generator).
+CORRELATION_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def numeric_correlations(
+    lineitem: DataFrame, cols: tuple[str, ...] = CORRELATION_COLS
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric measures — the
+    data-profiling pass a feature pipeline runs before trusting
+    derived signals.
+
+    Cross-engine determinism: every moment (Σx, Σx², Σxy) is summed in
+    DECIMAL — exact and order-independent — and only the final Pearson
+    formula runs in doubles from those exact sums, so the 6-dp result
+    cannot drift with partition count or summation order (a plain
+    ``corr()`` aggregates doubles and is partitioning-dependent).
+    ONE scan computes all m + m(m+1)/2 moments map-side.
+    """
+    # (18,6): products land at (37,12) — inside the 38-digit cap, so
+    # every moment stays EXACT decimal (a (28,8) cast would push
+    # products past 38 digits and silently round)
+    d = lambda c: F.col(c).cast("decimal(18,6)")
+    aggs: list = [F.count("*").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(d(c) * d(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(d(a) * d(b)).alias(f"sp_{a}_{b}"))
+    m = lineitem.agg(*aggs)
+
+    def _corr(a: str, b: str):
+        n = F.col("n").cast("double")
+        sa, sb = F.col(f"s_{a}").cast("double"), F.col(f"s_{b}").cast("double")
+        ssa, ssb = F.col(f"ss_{a}").cast("double"), F.col(f"ss_{b}").cast("double")
+        sp = F.col(f"sp_{a}_{b}").cast("double")
+        cov = n * sp - sa * sb
+        var_a = n * ssa - sa * sa
+        var_b = n * ssb - sb * sb
+        return F.round(cov / F.sqrt(var_a * var_b), 6)
+
+    pairs = None
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            row = m.select(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                _corr(a, b).alias("pearson_r"),
+                F.col("n").alias("n_rows"),
+            )
+            pairs = row if pairs is None else pairs.unionByName(row)
+    return pairs.orderBy("col_a", "col_b")

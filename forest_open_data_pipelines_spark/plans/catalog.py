@@ -467,6 +467,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_histogram": lambda s, d: textops.token_histogram(
         load_table(s, d, "documents")
     ),
+    "numeric_correlations": lambda s, d: profiling.numeric_correlations(
+        load_table(s, d, "lineitem")
+    ),
     # ── Round-5 relational breadth (parked, same deal) ─────────────────
     "cheapest_supplier_per_part": lambda s, d: relational.cheapest_supplier_per_part(
         *_t(s, d, "lineitem", "part", "supplier", "nation")
