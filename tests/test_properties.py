@@ -169,3 +169,80 @@ def test_pack_group_kernel_greedy_invariants(sizes, budget):
         assert f <= budget or n_items == 1
 
 
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet="ab @.+-0123456789xyz", min_size=0, max_size=60
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_pii_redaction_is_idempotent_locally(texts):
+    """Property (pure-Python twin of the Catalyst expressions): after
+    redaction no pattern matches remain, so scrubbing a redacted text
+    is a no-op — the invariant that makes re-running the scrub safe."""
+    import re
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        PII_PHONE_RE,
+    )
+
+    pats = [(PII_EMAIL_RE, "[EMAIL]"), (PII_IP_RE, "[IP]"), (PII_PHONE_RE, "[PHONE]")]
+
+    def scrub(t):
+        for p, repl in pats:
+            t = re.sub(p, repl, t)
+        return t
+
+    for t in texts:
+        once = scrub(t)
+        assert scrub(once) == once
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["w%d" % i for i in range(8)]), min_size=1, max_size=50
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_chunk_dedup_invariants(spark, token_lists):
+    """Invariants over random corpora: chunk accounting adds up, the
+    first corpus occurrence of every chunk text survives, and each
+    doc's kept_text is a subsequence of its chunks in order."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        CHUNK_TOKENS,
+        chunk_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t), "en", "s", 0) for i, t in enumerate(token_lists)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = {r["doc_id"]: r for r in chunk_dedup(docs).collect()}
+    # recompute expected keep-first set in pure Python
+    seen: set[str] = set()
+    for i, toks in enumerate(token_lists):
+        chunks = [
+            " ".join(toks[j : j + CHUNK_TOKENS])
+            for j in range(0, len(toks), CHUNK_TOKENS)
+        ]
+        kept = []
+        for c in chunks:
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        r = out[i]
+        assert r["n_chunks"] == len(chunks)
+        assert r["n_kept"] == len(kept)
+        assert r["n_dropped"] == len(chunks) - len(kept)
+        assert r["kept_text"] == " ".join(kept)
