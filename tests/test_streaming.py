@@ -775,3 +775,53 @@ def test_stratified_sample_stream_matches_batch(spark, tmp_path):
     key = lambda r: (r["doc_id"], r["lang"], r["source"], r["sample_u_micro"])
     assert sorted(map(key, emitted)) == sorted(map(key, batch))
     assert emitted, "sampler emitted nothing"
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """foreachBatch classification against the static index must emit
+    verdicts row-identical to batch dedup_incremental over the same
+    new/base split."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_incremental,
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.streaming.incremental_dedup import (
+        build_dedup_index,
+        incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new = docs.where(F2.col("doc_id") % 13 == 0)
+    base = docs.where(F2.col("doc_id") % 13 != 0)
+    # materialize the 'new batch' as the stream source (part files land
+    # directly in src so the non-recursive stream listing finds them)
+    src = tmp_path / "inc_src"
+    new.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    fps, bandrows, shingles = (df.cache() for df in build_dedup_index(base))
+    collected = []
+    query = incremental_dedup_stream(
+        stream,
+        fps,
+        bandrows,
+        shingles,
+        sink=lambda df, bid: collected.extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt_inc_dedup"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    try:
+        batch = dedup_incremental(new, base).collect()
+    finally:
+        release_persisted()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, collected)) == sorted(map(key, batch))
+    assert any(r["status"] != "new" for r in collected)
