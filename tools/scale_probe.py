@@ -54,6 +54,13 @@ OPS = {
     "decontaminate_ngram": _curation_op("decontaminate_ngram"),
     "pii_scrub": _curation_op("pii_scrub"),
     "stratified_token_sample": _curation_op("stratified_token_sample"),
+    # production incremental shape: the doc_id % 13 == 0 slice plays the
+    # day's new batch against the rest as base (same split as the
+    # catalog entry); measures how the band join + verify grow when the
+    # corpus is duplicate-heavy
+    "dedup_incremental": lambda d: dedup.dedup_incremental(
+        d.where(F.col("doc_id") % 13 == 0), d.where(F.col("doc_id") % 13 != 0)
+    ),
 }
 
 
