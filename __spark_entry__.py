@@ -3074,6 +3074,7 @@ FROM agg QUALIFY rank <= 20 ORDER BY rank""",
 WITH truth AS (SELECT doc_a, doc_b FROM ({_ngram_jaccard_sql()})),
 mh AS (SELECT doc_a, doc_b FROM ({_minhash_sql()})),
 sh AS (SELECT doc_a, doc_b FROM ({_simhash_sql()})),
+sh64 AS (SELECT doc_a, doc_b FROM ({_simhash64_sql()})),
 t AS (SELECT count(*) AS n_truth FROM truth),
 stats AS (
   SELECT 'minhash' AS method,
@@ -3085,6 +3086,11 @@ stats AS (
          (SELECT count(*) FROM sh),
          (SELECT n_truth FROM t),
          (SELECT count(*) FROM sh JOIN truth USING (doc_a, doc_b))
+  UNION ALL
+  SELECT 'simhash64',
+         (SELECT count(*) FROM sh64),
+         (SELECT n_truth FROM t),
+         (SELECT count(*) FROM sh64 JOIN truth USING (doc_a, doc_b))
 )
 SELECT method, n_pairs, n_truth, n_hit,
        round(n_hit::DOUBLE / nullif(n_pairs, 0), 6) AS precision,

@@ -1025,6 +1025,9 @@ def dedup_method_eval(documents: DataFrame) -> DataFrame:
     methods = {
         "minhash": dedup_minhash(documents).select("doc_a", "doc_b"),
         "simhash": dedup_simhash(documents).select("doc_a", "doc_b"),
+        # the corpus-scale knob: 64-bit signatures' P/R vs the same
+        # truth set is the evidence for promoting it to default
+        "simhash64": dedup_simhash64(documents).select("doc_a", "doc_b"),
     }
     outs = []
     for name, m in methods.items():
@@ -1047,7 +1050,10 @@ def dedup_method_eval(documents: DataFrame) -> DataFrame:
                 F.expr("round(n_hit / nullif(n_truth, 0), 6)").alias("recall"),
             )
         )
-    return outs[0].unionByName(outs[1]).orderBy("method")
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method")
 
 
 def dedup_incremental(
