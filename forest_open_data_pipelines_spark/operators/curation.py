@@ -165,7 +165,7 @@ PII_IP_RE = f"\\b{_IP_OCTET}(\\.{_IP_OCTET}){{3}}\\b"
 PII_PHONE_RE = "\\+[0-9]{1,3}[ -]?\\(?[0-9]{2,3}\\)?[ -]?[0-9]{3,5}[ -]?[0-9]{4}"
 
 
-def pii_scrub(documents: DataFrame) -> DataFrame:
+def pii_scrub(documents: DataFrame, sorted_output: bool = True) -> DataFrame:
     """Per-document PII detection + redaction report.
 
     Counts are measured on the ORIGINAL text per category (so a string
@@ -192,7 +192,7 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         PII_PHONE_RE,
         "[PHONE]",
     )
-    return (
+    out = (
         spread(documents)
         .select(
             "doc_id",
@@ -205,8 +205,10 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
             "pii_free",
             (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")) == 0,
         )
-        .orderBy("doc_id")
     )
+    # presentation sort only — pass sorted_output=False on unbounded
+    # streams (global sort is not defined in append mode)
+    return out.orderBy("doc_id") if sorted_output else out
 
 
 # ---------------------------------------------------------------------------

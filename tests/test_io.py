@@ -452,3 +452,18 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
         .toString()
     )
     assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice" in plan
+
+
+def test_spread_fans_out_small_scans_and_noops_when_wide(spark, tmp_path):
+    """spread() must round-robin a single-split source up to the
+    default parallelism, leave an already-wide frame untouched, and
+    never change row contents."""
+    from forest_open_data_pipelines_spark.sources.tables import spread
+
+    df = spark.range(1000).coalesce(1)
+    assert df.rdd.getNumPartitions() == 1
+    out = spread(df)
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
+    assert spread(wide) is wide  # no-op above the guard

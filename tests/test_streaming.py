@@ -825,3 +825,32 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     key = lambda r: tuple(r)
     assert sorted(map(key, collected)) == sorted(map(key, batch))
     assert any(r["status"] != "new" for r in collected)
+
+
+def test_pii_scrub_is_stream_safe(spark, tmp_path):
+    """pii_scrub is a pure projection, so it runs on an unbounded
+    stream with no state store and emits exactly the batch rows."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.curation import pii_scrub
+
+    src = tmp_path / "pii_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    stream = spark.readStream.schema(docs.schema).parquet(str(src))
+    query = (
+        pii_scrub(stream, sorted_output=False)
+        .writeStream.format("memory")
+        .queryName("pii_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pii"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM pii_stream_test").collect()
+    finally:
+        query.stop()
+    batch = pii_scrub(docs).collect()
+    assert sorted(map(tuple, emitted)) == sorted(map(tuple, batch))
