@@ -3588,6 +3588,19 @@ ORDER BY suppkey""",
         "span_dedup": _span_dedup_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "numeric_correlations": _numeric_correlations_sql(),
+        # GROUND-TRUTH oracle (ppjoin convention): length-filtered
+        # all-pairs levenshtein, deliberately NOT the Ed-Join prefix
+        # scheme — a prefix-recall hole cannot hide from it.
+        "edit_distance_pairs": f"""
+WITH d AS (SELECT doc_id, {LCLEAN} AS t FROM documents),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.t, b.t) AS edit_distance
+  FROM d a JOIN d b
+    ON a.doc_id < b.doc_id AND abs(len(a.t) - len(b.t)) <= 20
+)
+SELECT doc_a, doc_b, edit_distance FROM p
+WHERE edit_distance <= 20 ORDER BY doc_a, doc_b""",
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }
     # corpus_curation composes the text_quality / lang_id twins above —

@@ -108,6 +108,7 @@ HEADLINE = [
     "revenue_change_forecast",
     "top_supplier_by_revenue",
     "numeric_correlations",
+    "edit_distance_pairs",
     # dedup_canonical_by_quality re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_method_eval.

@@ -1191,3 +1191,81 @@ def dedup_canonical_by_quality(
         )
         .orderBy("doc_id")
     )
+
+
+def edit_distance_pairs(
+    documents: DataFrame, max_dist: int = 20, q: int = 4
+) -> DataFrame:
+    """Edit-distance similarity join: every pair of documents with
+    ``levenshtein(a, b) ≤ max_dist`` — the character-level near-dup
+    family (OCR noise, small in-place edits) that word-shingle Jaccard
+    under-weights. Candidate scheme per Ed-Join (Xiao, Wang & Lin
+    2008, public algorithm): order each document's positional char
+    q-gram MULTISET by a global (frequency-ascending, hash) order and
+    keep the first q·k+1 grams as its prefix — k edits destroy at most
+    q·k grams, so two strings within distance k must share a gram in
+    BOTH prefixes (perfect recall by construction). Multiset semantics
+    ride occurrence-tagged gram keys (g#occ), whose pairwise
+    intersection size equals the multiset intersection exactly.
+
+    Verification is exact bounded levenshtein on the candidate pairs
+    only (Spark's threshold variant caps the DP at O(k·L)); a length
+    filter (| |a|−|b| | ≤ k, a necessary condition) prunes candidates
+    before the DP. The ORACLE deliberately uses a different scheme —
+    length-filtered all-pairs ground truth — so a prefix-recall hole
+    cannot hide (the ppjoin oracle convention).
+
+    Scale: three keyed windows over the exploded gram table (occurrence
+    tag, global df, per-doc rank) + a prefix-prefix equi-join — the
+    Ed-Join bound, never all-pairs; the DP runs on candidates only.
+    """
+    k = max_dist
+    t = F.lower(clean_text(F.col("text")))
+    base = _persist(
+        spread(documents)
+        .select("doc_id", t.alias("t"))
+        .select("doc_id", "t", F.length("t").alias("len"))
+    )
+    gram_arr = F.expr(
+        f"CASE WHEN length(t) >= {q} THEN transform(sequence(1, length(t) - {q - 1}),"
+        f" i -> substring(t, i, {q})) ELSE array(t) END"
+    )
+    ex = base.select("doc_id", "len", F.posexplode(gram_arr).alias("pos", "g"))
+    occ_w = Window.partitionBy("doc_id", "g").orderBy("pos")
+    tagged = ex.withColumn("occ", F.row_number().over(occ_w)).select(
+        "doc_id",
+        "len",
+        _md5_int(F.concat_ws("#", "g", F.col("occ").cast("string"))).alias("s"),
+    )
+    with_df = tagged.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    order_w = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = _persist(
+        with_df.withColumn("rn", F.row_number().over(order_w))
+        .where(F.col("rn") <= q * k + 1)
+        .select("doc_id", "len", "s")
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"), "s")
+    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b"), "s")
+    cand = (
+        a.join(b, "s")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= k)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ed = F.levenshtein("t_a", "t_b", k)
+    return (
+        cand.join(
+            base.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("t_a")),
+            "doc_a",
+        )
+        .join(
+            base.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("t_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", ed.alias("edit_distance"))
+        .where((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= k))
+        .orderBy("doc_a", "doc_b")
+    )

@@ -470,6 +470,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "numeric_correlations": lambda s, d: profiling.numeric_correlations(
         load_table(s, d, "lineitem")
     ),
+    "edit_distance_pairs": lambda s, d: dedup.edit_distance_pairs(
+        load_table(s, d, "documents")
+    ),
     # ── Round-5 relational breadth (parked, same deal) ─────────────────
     "cheapest_supplier_per_part": lambda s, d: relational.cheapest_supplier_per_part(
         *_t(s, d, "lineitem", "part", "supplier", "nation")

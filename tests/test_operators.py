@@ -2479,3 +2479,37 @@ def test_resize_media_bilinear_real_interpolation(spark):
         r.media_id: r for r in mm.resize_media(media, width=2, height=2).collect()
     }
     assert rs_near[2].resized == bytes([0, 2, 5, 7])
+
+
+def test_edit_distance_pairs_exact_semantics(spark):
+    """Known distances: substitution-only, insertion, and an
+    over-threshold pair; verified values come from the bounded DP."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        edit_distance_pairs,
+        release_persisted,
+    )
+
+    base = "abcdefghij" * 12                    # 120 chars
+    sub3 = "XYZ" + base[3:]                     # distance 3
+    ins5 = base[:50] + "12345" + base[50:]      # distance 5
+    far = "q" * 120                             # distance >> 20
+    try:
+        docs = _docs(
+            spark,
+            [
+                (1, base, "en", "s", 0),
+                (2, sub3, "en", "s", 0),
+                (3, ins5, "en", "s", 0),
+                (4, far, "en", "s", 0),
+            ],
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["edit_distance"]
+            for r in edit_distance_pairs(docs).collect()
+        }
+    finally:
+        release_persisted()
+    assert got[(1, 2)] == 3
+    assert got[(1, 3)] == 5
+    assert got[(2, 3)] == 8                     # both edits stack
+    assert not any(4 in p for p in got)         # far doc matches nothing
