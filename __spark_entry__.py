@@ -3601,6 +3601,23 @@ p AS (
 )
 SELECT doc_a, doc_b, edit_distance FROM p
 WHERE edit_distance <= 20 ORDER BY doc_a, doc_b""",
+        "edit_distance_topk": f"""
+WITH d AS (SELECT doc_id, {LCLEAN} AS t FROM documents),
+s AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS cand_id,
+         levenshtein(q.t, c.t) AS edit_distance
+  FROM d q JOIN d c
+    ON q.doc_id < 8 AND c.doc_id <> q.doc_id
+   AND abs(len(q.t) - len(c.t)) <= 60
+),
+r AS (
+  SELECT query_id, cand_id, edit_distance,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY edit_distance, cand_id) AS rank
+  FROM s WHERE edit_distance <= 60
+)
+SELECT query_id, rank, cand_id, edit_distance FROM r
+WHERE rank <= 5 ORDER BY query_id, rank""",
         # H. multimodal: no SQL twin (mapInPandas plumbing) → rows-only check.
     }
     # corpus_curation composes the text_quality / lang_id twins above —

@@ -109,6 +109,7 @@ HEADLINE = [
     "top_supplier_by_revenue",
     "numeric_correlations",
     "edit_distance_pairs",
+    "edit_distance_topk",
     # dedup_canonical_by_quality re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_method_eval.

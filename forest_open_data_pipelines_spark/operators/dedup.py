@@ -1269,3 +1269,58 @@ def edit_distance_pairs(
         .where((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= k))
         .orderBy("doc_a", "doc_b")
     )
+
+
+def edit_distance_topk(
+    documents: DataFrame, n_queries: int = 8, k: int = 5, max_dist: int = 60
+) -> DataFrame:
+    """String-similarity SEARCH: for each query document (doc_id <
+    ``n_queries``), the top-``k`` nearest other documents by edit
+    distance (within ``max_dist``) — the char-level counterpart of the
+    ``ann_topk_*`` family, and the retrieval shape of the Ed-Join
+    paper's search variant.
+
+    Scale: the query set broadcasts onto a single candidate scan
+    (length filter rides the join condition), the bounded DP runs once
+    per surviving (query, candidate) pair, and the top-k is a window
+    over the ≤ n_queries·|candidates| scored rows. Ties break on
+    candidate id for engine-independent ranking.
+    """
+    t = F.lower(clean_text(F.col("text")))
+    base = _persist(
+        spread(documents)
+        .select("doc_id", t.alias("t"))
+        .select("doc_id", "t", F.length("t").alias("len"))
+    )
+    queries = F.broadcast(
+        base.where(F.col("doc_id") < n_queries).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("t").alias("q_t"),
+            F.col("len").alias("q_len"),
+        )
+    )
+    cand = base.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("t").alias("c_t"),
+        F.col("len").alias("c_len"),
+    )
+    scored = (
+        cand.join(
+            queries,
+            (F.col("cand_id") != F.col("query_id"))
+            & (F.abs(F.col("c_len") - F.col("q_len")) <= max_dist),
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.levenshtein("q_t", "c_t", max_dist).alias("edit_distance"),
+        )
+        .where((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_dist))
+    )
+    w = Window.partitionBy("query_id").orderBy("edit_distance", "cand_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "edit_distance")
+        .orderBy("query_id", "rank")
+    )

@@ -473,6 +473,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_pairs": lambda s, d: dedup.edit_distance_pairs(
         load_table(s, d, "documents")
     ),
+    "edit_distance_topk": lambda s, d: dedup.edit_distance_topk(
+        load_table(s, d, "documents")
+    ),
     # ── Round-5 relational breadth (parked, same deal) ─────────────────
     "cheapest_supplier_per_part": lambda s, d: relational.cheapest_supplier_per_part(
         *_t(s, d, "lineitem", "part", "supplier", "nation")
