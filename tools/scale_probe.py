@@ -61,6 +61,7 @@ OPS = {
     "dedup_incremental": lambda d: dedup.dedup_incremental(
         d.where(F.col("doc_id") % 13 == 0), d.where(F.col("doc_id") % 13 != 0)
     ),
+    "edit_distance_pairs": lambda d: dedup.edit_distance_pairs(d),
 }
 
 
