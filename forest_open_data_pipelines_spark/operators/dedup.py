@@ -1218,6 +1218,15 @@ def edit_distance_pairs(
     Scale: three keyed windows over the exploded gram table (occurrence
     tag, global df, per-doc rank) + a prefix-prefix equi-join — the
     Ed-Join bound, never all-pairs; the DP runs on candidates only.
+
+    SHORT-STRING completeness: the gram bound is vacuous for strings
+    with fewer than q·k+1 grams (k edits can destroy every gram), so
+    docs with len < q·(k+1) route through a length-BUCKET join instead
+    (bucket width k+1, probe self+next — exactly the range_window_join
+    trick): every |Δlen| ≤ k pair involving a short doc is generated
+    there. Short docs are a corner of any real corpus; the bucket join
+    is bounded by their count. Found by the hypothesis sweep (texts
+    ['a', ''] at k=1 missed their pair), locked in by the same test.
     """
     k = max_dist
     t = F.lower(clean_text(F.col("text")))
@@ -1226,11 +1235,15 @@ def edit_distance_pairs(
         .select("doc_id", t.alias("t"))
         .select("doc_id", "t", F.length("t").alias("len"))
     )
+    min_long = q * (k + 1)
     gram_arr = F.expr(
         f"CASE WHEN length(t) >= {q} THEN transform(sequence(1, length(t) - {q - 1}),"
         f" i -> substring(t, i, {q})) ELSE array(t) END"
     )
-    ex = base.select("doc_id", "len", F.posexplode(gram_arr).alias("pos", "g"))
+    ex = (
+        base.where(F.col("len") >= min_long)
+        .select("doc_id", "len", F.posexplode(gram_arr).alias("pos", "g"))
+    )
     occ_w = Window.partitionBy("doc_id", "g").orderBy("pos")
     tagged = ex.withColumn("occ", F.row_number().over(occ_w)).select(
         "doc_id",
@@ -1246,15 +1259,44 @@ def edit_distance_pairs(
     )
     a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"), "s")
     b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b"), "s")
-    cand = (
+    cand_long = (
         a.join(b, "s")
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("len_a") - F.col("len_b")) <= k)
         )
         .select("doc_a", "doc_b")
-        .distinct()
     )
+    # short-doc side channel: length-bucket equi-join (self + next
+    # bucket) generates every |Δlen| <= k pair touching a short doc
+    short = base.where(F.col("len") < min_long).select("doc_id", "len")
+    sb = short.select(
+        "doc_id",
+        "len",
+        F.explode(
+            F.array(
+                (F.col("len") / (k + 1)).cast("long"),
+                (F.col("len") / (k + 1)).cast("long") + 1,
+            )
+        ).alias("bucket"),
+    )
+    ob = base.select(
+        F.col("doc_id").alias("other_id"),
+        F.col("len").alias("other_len"),
+        (F.col("len") / (k + 1)).cast("long").alias("bucket"),
+    )
+    cand_short = (
+        sb.join(ob, "bucket")
+        .where(
+            (F.col("doc_id") != F.col("other_id"))
+            & (F.abs(F.col("len") - F.col("other_len")) <= k)
+        )
+        .select(
+            F.least("doc_id", "other_id").alias("doc_a"),
+            F.greatest("doc_id", "other_id").alias("doc_b"),
+        )
+    )
+    cand = cand_long.unionByName(cand_short).distinct()
     ed = F.levenshtein("t_a", "t_b", k)
     return (
         cand.join(

@@ -2513,3 +2513,17 @@ def test_edit_distance_pairs_exact_semantics(spark):
     assert got[(1, 3)] == 5
     assert got[(2, 3)] == 8                     # both edits stack
     assert not any(4 in p for p in got)         # far doc matches nothing
+
+
+def test_lang_id_ngram_join_fallback_matches_literal(spark, monkeypatch):
+    """Past LANG_ID_LITERAL_MAX_LANGS trained languages the scorer
+    falls back to the broadcast-join path; forcing the fallback on the
+    same corpus must reproduce the literal path row-for-row."""
+    from forest_open_data_pipelines_spark.operators import textops
+    from forest_open_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    literal = textops.lang_id_ngram(docs).collect()
+    monkeypatch.setattr(textops, "LANG_ID_LITERAL_MAX_LANGS", 0)
+    joined = textops.lang_id_ngram(docs).collect()
+    assert sorted(map(tuple, joined)) == sorted(map(tuple, literal))

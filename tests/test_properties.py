@@ -246,3 +246,51 @@ def test_chunk_dedup_invariants(spark, token_lists):
         assert r["n_kept"] == len(kept)
         assert r["n_dropped"] == len(chunks) - len(kept)
         assert r["kept_text"] == " ".join(kept)
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=1, max_size=40), min_size=2, max_size=6
+    ),
+    st.integers(min_value=1, max_value=8),
+)
+@settings(max_examples=10, deadline=None)
+def test_edit_distance_pairs_matches_python_dp(spark, texts, k):
+    """Random small corpora: the Ed-Join prefix + bounded-DP operator
+    must emit exactly the pairs a pure-Python DP finds within k."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        edit_distance_pairs,
+        release_persisted,
+    )
+
+    def clean(t):
+        return " ".join(t.split()).lower()
+
+    try:
+        docs = spark.createDataFrame(
+            [(i, t, "en", "s", 0) for i, t in enumerate(texts)],
+            ["doc_id", "text", "lang", "source", "n_chars"],
+        )
+        got = {
+            (r["doc_a"], r["doc_b"]): r["edit_distance"]
+            for r in edit_distance_pairs(docs, max_dist=k).collect()
+        }
+    finally:
+        release_persisted()
+    expected = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            d = _py_levenshtein(clean(texts[i]), clean(texts[j]))
+            if d <= k:
+                expected[(i, j)] = d
+    assert got == expected
