@@ -1227,6 +1227,13 @@ def edit_distance_pairs(
     there. Short docs are a corner of any real corpus; the bucket join
     is bounded by their count. Found by the hypothesis sweep (texts
     ['a', ''] at k=1 missed their pair), locked in by the same test.
+
+    Corpus-dependence note (measured): prefix selectivity scales with
+    gram DIVERSITY. The synthetic bench corpus draws from a ~40-word
+    vocabulary, so its ~1.3k distinct 4-grams make every prefix collide
+    broadly (0.94M candidates from 5k docs — the join, not the DP, is
+    the bench cost there); natural-language corpora have orders of
+    magnitude more distinct grams and correspondingly sparse prefixes.
     """
     k = max_dist
     t = F.lower(clean_text(F.col("text")))
@@ -1296,7 +1303,18 @@ def edit_distance_pairs(
             F.greatest("doc_id", "other_id").alias("doc_b"),
         )
     )
-    cand = cand_long.unionByName(cand_short).distinct()
+    # Explicit fan-out before the verify: the candidate rows are two
+    # longs, so AQE coalesces the distinct's output to a handful of
+    # partitions by BYTE size — but each row then runs a bounded DP
+    # (CPU-heavy, byte-light), and ~1M DPs ground through 6 tasks in
+    # the measured plan. Repartitioning the skinny pair set is cheap
+    # and puts the DP on every core.
+    sc = documents.sparkSession.sparkContext
+    cand = (
+        cand_long.unionByName(cand_short)
+        .distinct()
+        .repartition(sc.defaultParallelism, "doc_a", "doc_b")
+    )
     ed = F.levenshtein("t_a", "t_b", k)
     return (
         cand.join(
