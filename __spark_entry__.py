@@ -3623,6 +3623,34 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     # corpus_curation composes the text_quality / lang_id twins above —
     # built after the dict so the stage CTEs reuse those entries verbatim.
     out["corpus_curation"] = _curation_sql(out["text_quality"], out["lang_id"])
+    from forest_open_data_pipelines_spark.operators.curation import (
+        CURATION_MIN_QUALITY as _MINQ,
+        CURATION_MIN_TOKENS as _MINT,
+    )
+
+    out["curation_report_by_source"] = f"""
+WITH a AS (SELECT doc_id, status FROM ({out["corpus_curation"]})),
+j AS (SELECT d.source, a.status FROM documents d JOIN a ON d.doc_id = a.doc_id)
+SELECT source, count(*) AS n_docs,
+       count(*) FILTER (WHERE status = 'kept') AS n_kept,
+       count(*) FILTER (WHERE status = 'quality') AS n_quality,
+       count(*) FILTER (WHERE status = 'lang') AS n_lang,
+       count(*) FILTER (WHERE status = 'exact_dup') AS n_exact_dup,
+       count(*) FILTER (WHERE status = 'near_dup') AS n_near_dup,
+       round(count(*) FILTER (WHERE status = 'kept')::DOUBLE / count(*), 6)
+         AS keep_rate
+FROM j GROUP BY source ORDER BY source"""
+    out["quality_by_lang_report"] = f"""
+WITH tq AS (SELECT doc_id, n_tokens, quality_score FROM ({out["text_quality"]})),
+j AS (SELECT d.lang, tq.n_tokens, tq.quality_score AS q
+      FROM documents d JOIN tq ON d.doc_id = tq.doc_id)
+SELECT lang, count(*) AS n_docs,
+       round(avg(q), 6) AS avg_quality,
+       round(quantile_cont(q, 0.5), 6) AS p50_quality,
+       round(quantile_cont(q, 0.9), 6) AS p90_quality,
+       round(count(*) FILTER (WHERE n_tokens >= {_MINT} AND q >= {_MINQ})::DOUBLE
+             / count(*), 6) AS pass_rate
+FROM j GROUP BY lang ORDER BY lang"""
     # dedup_canonical_by_quality composes the clusters closure + the
     # text_quality twin the same way.
     out["dedup_canonical_by_quality"] = f"""

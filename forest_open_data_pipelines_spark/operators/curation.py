@@ -559,3 +559,80 @@ def span_dedup(
         .withColumn("has_dup_span", F.col("n_dup_windows") > 0)
         .orderBy("doc_id")
     )
+
+
+def curation_report_by_source(
+    documents: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """Curation observability: per SOURCE, how many documents each
+    pipeline stage rejected and the final keep rate — the dashboard a
+    data-engineering team watches to spot a broken upstream feed
+    (one source suddenly failing 'quality' is a scraper regression,
+    one failing 'exact_dup' is a replayed crawl).
+
+    Composes ``corpus_curation``'s per-document audit (same stage
+    semantics, same oracle pieces) with one map-side-combinable
+    pivot-style aggregation on source.
+    """
+    audit = corpus_curation(documents, embeddings).select("doc_id", "status")
+    by_source = documents.select("doc_id", "source").join(audit, "doc_id")
+
+    def _n(status: str):
+        return F.sum(F.when(F.col("status") == status, 1).otherwise(0)).alias(
+            f"n_{status}"
+        )
+
+    return (
+        by_source.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _n("kept"),
+            _n("quality"),
+            _n("lang"),
+            _n("exact_dup"),
+            _n("near_dup"),
+            ratio(
+                F.sum(F.when(F.col("status") == "kept", 1).otherwise(0))
+                / F.count("*")
+            ).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def quality_by_lang_report(documents: DataFrame) -> DataFrame:
+    """Per-language quality distribution: doc counts, mean/median/p90
+    quality score and the min-token+score gate pass rate — the
+    language-skew diagnostic run before trusting a mixture plan
+    (a language whose quality distribution collapsed should not keep
+    its target weight).
+
+    One map-side aggregation; exact percentiles (swap to
+    percentile_approx for billion-row languages — same plan shape).
+    """
+    from forest_open_data_pipelines_spark.operators.textops import (
+        quality_metric_cols,
+    )
+
+    n_tokens, _, _, score = quality_metric_cols()
+    scored = spread(documents).select(
+        "lang",
+        n_tokens.alias("n_tokens"),
+        ratio(score).alias("q"),
+    )
+    passes = (F.col("n_tokens") >= CURATION_MIN_TOKENS) & (
+        F.col("q") >= CURATION_MIN_QUALITY
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            ratio(F.avg("q")).alias("avg_quality"),
+            ratio(F.expr("percentile(q, 0.5)")).alias("p50_quality"),
+            ratio(F.expr("percentile(q, 0.9)")).alias("p90_quality"),
+            ratio(F.sum(F.when(passes, 1).otherwise(0)) / F.count("*")).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("lang")
+    )

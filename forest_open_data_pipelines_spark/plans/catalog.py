@@ -476,6 +476,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edit_distance_topk": lambda s, d: dedup.edit_distance_topk(
         load_table(s, d, "documents")
     ),
+    "curation_report_by_source": lambda s, d: curation.curation_report_by_source(
+        *_t(s, d, "documents", "embeddings")
+    ),
+    "quality_by_lang_report": lambda s, d: curation.quality_by_lang_report(
+        load_table(s, d, "documents")
+    ),
     # ── Round-5 relational breadth (parked, same deal) ─────────────────
     "cheapest_supplier_per_part": lambda s, d: relational.cheapest_supplier_per_part(
         *_t(s, d, "lineitem", "part", "supplier", "nation")
