@@ -841,18 +841,60 @@ SELECT doc_id, filename, section, suffix, kind, period, direct_download,
 FROM classified ORDER BY doc_id"""
 
 
-def _curation_sql(tq_sql: str, li_sql: str) -> str:
+def _curation_sql(
+    tq_sql: str, li_sql: str, near_dup_strategy: str = "lsh"
+) -> str:
     """DuckDB twin of curation.corpus_curation, composed from the
     text_quality and lang_id oracle entries verbatim (wrapped as
     subqueries) plus the dedup_exact fingerprint and the
     dedup_embedding cosine — the oracle composes the SAME pieces the
-    Spark pipeline composes."""
+    Spark pipeline composes. The near-dup stage mirrors the operator's
+    default banded-LSH candidate generation (the _dedup_embedding_lsh
+    precedent: the banding IS the shipped semantics); pass
+    near_dup_strategy="exact" for the all-pairs recall baseline."""
     from forest_open_data_pipelines_spark.operators.curation import (
         CURATION_COS_THRESHOLD,
         CURATION_MIN_QUALITY,
         CURATION_MIN_TOKENS,
     )
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        EMB_LSH_BANDS,
+        EMB_LSH_PLANES,
+    )
 
+    if near_dup_strategy == "lsh":
+        per_band = EMB_LSH_PLANES // EMB_LSH_BANDS
+        band_selects = "\n  UNION ALL\n".join(
+            f"  SELECT doc_id, {b} AS band, "
+            f"{_lsh_sig_sql(list(range(b * per_band, (b + 1) * per_band)), 'embedding')}"
+            f" AS key FROM pool"
+            for b in range(EMB_LSH_BANDS)
+        )
+        near = f"""banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+),
+near AS (
+  SELECT DISTINCT doc_b AS near_id
+  FROM cand JOIN pool a ON a.doc_id = doc_a JOIN pool b ON b.doc_id = doc_b
+  WHERE round(list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))), 6)
+        >= {CURATION_COS_THRESHOLD}
+)"""
+    else:
+        near = f"""near AS (
+  SELECT DISTINCT b.doc_id AS near_id
+  FROM pool a JOIN pool b ON a.doc_id < b.doc_id
+  WHERE round(list_dot_product(a.emb, b.emb)
+              / (sqrt(list_dot_product(a.emb, a.emb))
+                 * sqrt(list_dot_product(b.emb, b.emb))), 6)
+        >= {CURATION_COS_THRESHOLD}
+)"""
     return f"""
 WITH tq AS (SELECT doc_id, n_tokens, quality_score FROM ({tq_sql})),
 li AS (SELECT doc_id, predicted_lang FROM ({li_sql})),
@@ -870,18 +912,11 @@ canon AS (
   FROM base
 ),
 pool AS (
-  SELECT doc_id, embedding::DOUBLE[] AS emb
+  SELECT doc_id, embedding, embedding::DOUBLE[] AS emb
   FROM canon JOIN embeddings ON vec_id = doc_id
   WHERE quality_ok AND lang_ok AND doc_id = canonical_doc_id
 ),
-near AS (
-  SELECT DISTINCT b.doc_id AS near_id
-  FROM pool a JOIN pool b ON a.doc_id < b.doc_id
-  WHERE round(list_dot_product(a.emb, b.emb)
-              / (sqrt(list_dot_product(a.emb, a.emb))
-                 * sqrt(list_dot_product(b.emb, b.emb))), 6)
-        >= {CURATION_COS_THRESHOLD}
-)
+{near}
 SELECT doc_id, n_tokens, quality_score, predicted_lang, content_fingerprint,
        CASE WHEN NOT quality_ok THEN 'quality'
             WHEN NOT lang_ok THEN 'lang'
@@ -1288,18 +1323,23 @@ SELECT scope_slug, period, year, value FROM reg WHERE rn = 1
 ORDER BY scope_slug, period, year"""
 
 
-def _simhash64_sql(max_hamming: int = 3) -> str:
+def _simhash64_sql(max_hamming: int | None = None) -> str:
     """GROUND-TRUTH oracle for the 64-bit simhash variant: all-pairs
     hamming filter (no bucketing — same rationale as ``_simhash_sql``).
+    Default budget follows the operator's promoted
+    SIMHASH64_MAX_HAMMING (h=7, the measured-P/R round-6 promotion).
     Bit j < 32 tests bit j of md5(s); bit j ≥ 32 tests bit j-32 of the
     independent md5('#' || s) stream. Signature-bit values come from a
     VALUES table of precomputed decimal literals because DuckDB's
     ``1::BIGINT << 63`` raises Out of Range — bit 63 is the min-long
     two's-complement literal, exactly the signed value Spark sums."""
     from forest_open_data_pipelines_spark.operators.dedup import (
+        SIMHASH64_MAX_HAMMING,
         _simhash_bit_value,
     )
 
+    if max_hamming is None:
+        max_hamming = SIMHASH64_MAX_HAMMING
     h1 = _MD5_INT.format(expr="s")
     h2 = _MD5_INT.format(expr="'#' || s")
     def lit(v: int) -> str:

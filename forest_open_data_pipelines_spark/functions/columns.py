@@ -32,23 +32,48 @@ def safe_pct_change(current: Column, previous: Column) -> Column:
     Reference: reports/builders/bdqueimadas_overview.py:1334-1338
     (``_safe_pct_change``) — returns None on zero base.
     """
-    return F.round(
+    return ratio(
         F.when(
             previous.isNotNull() & (previous != 0),
             (current - previous) / previous * 100.0,
-        ),
-        RATIO_DP,
+        )
     )
 
 
 def money(col: Column) -> Column:
     """Round a monetary aggregate to absorb summation-order ulp drift
-    between engines (Spark vs DuckDB oracle)."""
+    between engines (Spark vs DuckDB oracle). Money columns are either
+    exact DECIMAL sums (HALF_UP identical on both engines — the
+    scale-then-round migration must NOT touch these: a double detour
+    would lose exactness) or doubles whose 2-dp boundary class has
+    been empirically quiet; the boundary-RICH 6-dp ratios are the
+    hardened path (see ``ratio``)."""
     return F.round(col, MONEY_DP)
 
 
 def ratio(col: Column) -> Column:
-    return F.round(col, RATIO_DP)
+    """6-dp ratio rounding, SCALE-THEN-ROUND: ``round(x·10⁶) / 10⁶``.
+
+    Why not ``F.round(col, 6)``: Spark rounds doubles through the
+    shortest decimal string (BigDecimal.valueOf), so a double whose
+    shortest repr ends exactly at the 6-dp half boundary (e.g.
+    0.0001245) rounds UP even when the binary value sits below the
+    true boundary — while DuckDB's round(x, 6) scales in binary
+    (round(x·10⁶)/10⁶ exactly, verified on a 240k adversarial-rational
+    sample: 0 scale-then-round vs 363 string-round mismatches). Doing
+    the multiply explicitly on the Spark side makes both engines round
+    the SAME double the SAME way at every boundary, closing the
+    HALF_UP-vs-binary class (SURVEY §4) systematically — the r5
+    minute-conversion fixes were instances of this pattern. At 0 dp
+    the two schemes agree for every double (N.5 is exactly
+    representable), so the oracle SQL keeps its native round(x, 6).
+
+    Inputs must be double-typed (every call site is; a decimal input
+    would silently detour through double — keep exact decimals on
+    ``money``/explicit rounding instead).
+    """
+    scale = F.lit(float(10**RATIO_DP))
+    return F.round(col * scale, 0) / scale
 
 
 def parse_pt_numeric(text: Column) -> Column:

@@ -21,6 +21,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from forest_open_data_pipelines_spark.functions.columns import ratio
+
 
 def asof_join(
     left: DataFrame,
@@ -187,7 +189,7 @@ def clicks_before_purchase(events: DataFrame, window_minutes: int = 30) -> DataF
         )
         .agg(
             F.count("w_event_id").alias("n_clicks"),
-            F.round(F.coalesce(F.sum("w_value"), F.lit(0.0)), 6).alias("click_value"),
+            ratio(F.coalesce(F.sum("w_value"), F.lit(0.0))).alias("click_value"),
         )
         .orderBy("user_id", "purchase_ts", "purchase_event_id")
     )

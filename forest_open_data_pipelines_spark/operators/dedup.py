@@ -484,13 +484,27 @@ def simhash_signatures64(documents: DataFrame, n: int = 3) -> DataFrame:
     return dual.mapInPandas(gen, f"doc_id {id_type}, simhash long")
 
 
-def dedup_simhash64(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """64-bit SimHash near-dup pairs — the documented corpus-scale knob
-    of ``dedup_simhash`` (dedup.py 32-bit docstring): same pigeonhole
-    block LSH with perfect recall, but 16-bit blocks (4 blocks ×
-    16 bits), so bucket-collision probability per block drops from
-    ~2^-8 to ~2^-16 and candidate pairs shrink accordingly at corpus
-    scale. Signatures persist across the self-join as one long/doc."""
+#: Promoted default (round-6, per the measured dedup_method_eval sweep
+#: at sf0.1): 64-bit signatures with the PROPORTIONAL hamming budget
+#: max_hamming=7 (8 pigeonhole blocks × 8 bits) measure P=1.000
+#: R=0.887 against the exact ngram-Jaccard truth — strictly dominating
+#: the 32-bit/h=3 shape's P=0.954 R=0.809 on both axes (h=3 on 64 bits
+#: collapses recall to 0.453; h=15 overshoots precision to 0.602).
+SIMHASH64_MAX_HAMMING = 7
+
+
+def dedup_simhash64(
+    documents: DataFrame, max_hamming: int = SIMHASH64_MAX_HAMMING
+) -> DataFrame:
+    """64-bit SimHash near-dup pairs — the corpus-scale default of the
+    simhash family (``dedup_simhash`` keeps the 32-bit shape as the
+    documented baseline): same pigeonhole block LSH with perfect
+    recall. At the promoted ``max_hamming=7`` the signature splits
+    into 8 blocks × 8 bits; the wider signature buys a hamming budget
+    proportional to the 32-bit/h=3 shape while bucket-collision
+    probability per block stays ~2^-8 — and the measured P/R
+    (SIMHASH64_MAX_HAMMING note) dominates the 32-bit variant.
+    Signatures persist across the self-join as one long/doc."""
     sigs = _persist(simhash_signatures64(documents))
     return simhash_pairs(sigs, 64, max_hamming)
 
@@ -803,7 +817,7 @@ def dedup_ngram_ppjoin(
     # exact rational before the ceil).
     prefix_len = (
         F.col("n_sh")
-        - F.ceil(F.round(F.lit(threshold) * F.col("n_sh"), 6)).cast("int")
+        - F.ceil(ratio(F.lit(threshold) * F.col("n_sh"))).cast("int")
         + 1
     )
     # Persisted: both equi-join sides consume the prefix — without it
@@ -826,8 +840,8 @@ def dedup_ngram_ppjoin(
             # the prefix: 0.8·15 = 12.000…02 would wrongly prune an
             # exactly-τ containment pair)
             (F.col("doc_a") < F.col("doc_b"))
-            & (F.round(F.col("n_b") * F.lit(threshold), 6) <= F.col("n_a"))
-            & (F.round(F.col("n_a") * F.lit(threshold), 6) <= F.col("n_b"))
+            & (ratio(F.col("n_b") * F.lit(threshold)) <= F.col("n_a"))
+            & (ratio(F.col("n_a") * F.lit(threshold)) <= F.col("n_b"))
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -1044,10 +1058,10 @@ def dedup_method_eval(documents: DataFrame) -> DataFrame:
                 "n_pairs",
                 "n_truth",
                 "n_hit",
-                F.expr("round(n_hit / nullif(n_pairs, 0), 6)").alias(
+                ratio(F.expr("n_hit / nullif(n_pairs, 0)")).alias(
                     "precision"
                 ),
-                F.expr("round(n_hit / nullif(n_truth, 0), 6)").alias("recall"),
+                ratio(F.expr("n_hit / nullif(n_truth, 0)")).alias("recall"),
             )
         )
     out = outs[0]
@@ -1257,7 +1271,14 @@ def edit_distance_pairs(
         "len",
         _md5_int(F.concat_ws("#", "g", F.col("occ").cast("string"))).alias("s"),
     )
-    with_df = tagged.withColumn("df", F.count("*").over(Window.partitionBy("s")))
+    # Global gram document-frequency via groupBy + join, NOT a window
+    # partitioned by the gram key: a Window.partitionBy("s") has no
+    # map-side combine, so every row of a hot gram (boilerplate
+    # n-grams at corpus scale) would land in ONE task's sort buffer.
+    # The partial-aggregated groupBy (AQE skew-split eligible) computes
+    # the identical df values.
+    gram_df = tagged.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    with_df = tagged.join(gram_df, "s")
     order_w = Window.partitionBy("doc_id").orderBy("df", "s")
     prefix = _persist(
         with_df.withColumn("rn", F.row_number().over(order_w))
@@ -1275,7 +1296,14 @@ def edit_distance_pairs(
         .select("doc_a", "doc_b")
     )
     # short-doc side channel: length-bucket equi-join (self + next
-    # bucket) generates every |Δlen| <= k pair touching a short doc
+    # bucket) generates every |Δlen| <= k pair touching a short doc.
+    # SCALE CAVEAT: this channel is quadratic per length bucket in the
+    # short-doc count (every sub-q·(k+1)-char pair within |Δlen| ≤ k is
+    # a candidate — the gram bound is vacuous there, so no filter can
+    # prune further without losing recall). On corpora where tiny docs
+    # are a large population, pre-filter them out (a length floor is a
+    # standard curation gate anyway) or dedup them exactly first; the
+    # bucket join itself stays distributed (bucket is the shuffle key).
     short = base.where(F.col("len") < min_long).select("doc_id", "len")
     sb = short.select(
         "doc_id",

@@ -321,7 +321,7 @@ def numeric_correlations(
         cov = n * sp - sa * sb
         var_a = n * ssa - sa * sa
         var_b = n * ssb - sb * sb
-        return F.round(cov / F.sqrt(var_a * var_b), 6)
+        return ratio(cov / F.sqrt(var_a * var_b))
 
     pairs = None
     for i, a in enumerate(cols):

@@ -183,7 +183,7 @@ def user_retention_cohorts(events: DataFrame) -> DataFrame:
             "week_offset",
             "n_active",
             "cohort_size",
-            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+            ratio(F.col("n_active") / F.col("cohort_size")).alias(
                 "retention"
             ),
         )
@@ -217,7 +217,7 @@ def session_duration_stats(events: DataFrame) -> DataFrame:
         (F.round(F.expr("percentile(dur_us, 0.9)") / 60.0, 0) / 1000000.0).alias(
             "p90_minutes"
         ),
-        F.round(F.sum("n_events") / F.count("*"), 6).alias("avg_events"),
+        ratio(F.sum("n_events") / F.count("*")).alias("avg_events"),
         F.max("n_events").alias("max_events"),
         F.round(
             F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))

@@ -379,7 +379,7 @@ def train_ivf_centroids(
         ).select("cell_id", F.posexplode("embedding").alias("pos", "x"))
         mean_rows = (
             assigned.groupBy("cell_id", "pos")
-            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+            .agg(ratio(F.avg(F.col("x").cast("double"))).alias("m"))
             .collect()
         )
         means: dict[int, dict[int, float]] = {}
@@ -505,7 +505,7 @@ def embedding_label_stats(embeddings: DataFrame) -> DataFrame:
         "label", F.posexplode("embedding").alias("pos", "v")
     )
     cent = ex.groupBy("label", "pos").agg(
-        F.round(F.avg(F.col("v").cast("double")), 6).alias("c")
+        ratio(F.avg(F.col("v").cast("double"))).alias("c")
     )
     cent_arr = cent.groupBy("label").agg(
         F.transform(
@@ -530,7 +530,7 @@ def embedding_label_stats(embeddings: DataFrame) -> DataFrame:
     )
     cos = ratio(dot / (vnorm * cnorm))
     scored = joined.select(
-        "label", cos.alias("cos"), F.round(cnorm, 6).alias("centroid_norm")
+        "label", cos.alias("cos"), ratio(cnorm).alias("centroid_norm")
     )
     # Average via integer micro-cosines: the per-row cos values are
     # cross-engine identical (6-dp rounded), but avg() of raw doubles

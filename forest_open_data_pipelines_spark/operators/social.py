@@ -902,7 +902,7 @@ def monthly_chart_spec_scoped(enriched: DataFrame) -> DataFrame:
                 F.coalesce(F.col("cur"), F.lit(0)).cast("long"),
             ).alias("current_value"),
             F.coalesce(F.col("prev"), F.lit(0)).cast("long").alias("previous_value"),
-            F.round(F.coalesce(F.col("avg5"), F.lit(0.0)), 6).alias("avg_5y"),
+            ratio(F.coalesce(F.col("avg5"), F.lit(0.0))).alias("avg_5y"),
             F.col("last_closed").alias("last_closed_month"),
             published.alias("published_at_label"),
         )

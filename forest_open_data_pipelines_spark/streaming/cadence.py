@@ -61,6 +61,16 @@ OUTPUT_SCHEMA = StructType(
 _US_PER_DAY = 86_400_000_000
 
 
+def _ratio_half_up(v: float) -> float:
+    """Python twin of ``functions.columns.ratio``: round(v·10⁶) at 0 dp
+    HALF_UP on the double's shortest decimal rendering (what Spark's
+    F.round(y, 0) computes), then /10⁶."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    y = v * 1e6
+    return float(Decimal(repr(y)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)) / 1e6
+
+
 def _classify(observations: int, changes: int, mean: float | None, cv: float | None) -> str:
     """Mean-based cadence buckets mirroring freshness/classifier.py
     (median swapped for mean — see module docstring)."""
@@ -115,8 +125,13 @@ def _update_cadence(
             "user_id": [user_id],
             "observations": [observations],
             "changes": [changes],
-            "mean_interval_days": [round(mean, 6) if mean is not None else None],
-            "cv": [round(cv, 6) if cv is not None else None],
+            # scale-then-round twin of columns.ratio (batch freshness
+            # rounds through round(x·10⁶)/10⁶ half-up; Python's bare
+            # round is banker's and diverges at exact halves)
+            "mean_interval_days": [
+                _ratio_half_up(mean) if mean is not None else None
+            ],
+            "cv": [_ratio_half_up(cv) if cv is not None else None],
             "suggested_cadence": [_classify(observations, changes, mean, cv)],
             "last_observed_at": [pd.Timestamp(last_us, unit="us")],
         }

@@ -79,7 +79,11 @@ def _session_row(
         "session_end": pd.Timestamp(last_us, unit="us"),
         "n_events": n,
         "total_value": _round_half_up(total, 2),
-        "duration_minutes": _round_half_up((last_us - start_us) / _US_PER_MIN, 6),
+        # scale-then-round, the batch twin's exact formula
+        # (operators/sessionize.py duration_minutes): round(µs/60) at
+        # 0 dp half-up, then /10⁶ — N.5 doubles are exact so this
+        # matches F.round(µs/60.0, 0)/1e6 on every input
+        "duration_minutes": _round_half_up((last_us - start_us) / 60.0, 0) / 1e6,
     }
 
 
