@@ -223,6 +223,14 @@ def corpus_curation(
 # DuckDB oracle compile the IDENTICAL strings.
 PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _IP_OCTET = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+# KNOWN FALSE POSITIVE (ADVICE r5, accepted with a correction): \b is
+# blind to an adjacent '.', so the first quad of a BARE longer dotted
+# run ('1.2.3.4.5') still matches. Letter-prefixed version strings
+# ('v10.2.3.4') are already safe — \b never fires inside 'v10'. The
+# precise guard is (?<![.0-9])…(?![.0-9]) — lookaround, which RE2
+# (the DuckDB oracle engine) does not support, and this module's
+# contract is that both engines compile IDENTICAL pattern strings.
+# Behavior pinned in tests/test_operators.py.
 PII_IP_RE = f"\\b{_IP_OCTET}(\\.{_IP_OCTET}){{3}}\\b"
 # Phones must carry an international prefix — bare digit runs are too
 # ambiguous to scrub at corpus scale (precision-first redaction: a

@@ -606,11 +606,17 @@ def dedup_simhash(
 
 
 def dedup_embedding(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ threshold).
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold) — the
+    EXACT all-pairs baseline, kept as the oracle/recall anchor only.
 
-    Exact pair scan — correct baseline for the oracle; the scale path
-    is the LSH-bucketed variant in ``similarity.ann_topk_lsh`` which
-    replaces the pair join with bucket equi-joins.
+    PRODUCTION DEFAULT: use ``dedup_embedding_lsh`` — identical output
+    semantics (same rounded cosine, same threshold, bit-identical
+    scores on the pairs it emits) with candidates from banded
+    hyperplane buckets instead of this operator's O(n²) inequality
+    join. This exact variant exists so the approximate path's recall
+    can be measured against ground truth (asserted in tests) — the
+    same baseline/production split as ``dedup_ngram_jaccard`` (oracle
+    shape) vs ``dedup_ngram_ppjoin`` (scale default).
     """
     norm = F.sqrt(
         F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
@@ -934,8 +940,20 @@ def dedup_clusters(
     return out
 
 
+#: Per-pass hot-label threshold for connected_components' pointer
+#: jump: labels owning at least this many members resolve their parent
+#: through a broadcast map instead of the shuffled equi-join. 2^16
+#: keeps the mechanism dormant on healthy corpora (a 65k-member
+#: near-dup cluster is already pathological) while guaranteeing a
+#: viral cluster can never concentrate one join partition.
+CC_HOT_LABEL_MIN = 1 << 16
+
+
 def connected_components(
-    nodes: DataFrame, pairs: DataFrame, max_iters: int = 20
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 20,
+    hot_label_min: int = CC_HOT_LABEL_MIN,
 ) -> DataFrame:
     """Min-label connected components over an undirected pair list.
 
@@ -947,6 +965,20 @@ def connected_components(
     labels table is persisted for the pass and unpersisted when the
     next one lands — only the final table stays cached (tracked in
     ``_PERSISTED`` for ``release_persisted``).
+
+    MEGA-CLUSTER HARDENING (the large-star/small-star concern): every
+    member of a viral duplicate cluster carries the SAME label, so the
+    pointer-jump join's probe side is maximally hot on exactly the
+    clusters the operator exists to find. Per pass, labels with ≥
+    ``hot_label_min`` members (one map-side-combinable count, output
+    bounded by n/hot_label_min rows) resolve their single parent row
+    through a BROADCAST map — the viral cluster's rows never shuffle —
+    while the cold remainder takes the normal equi-join (itself
+    AQE-skew-splittable below the threshold). Deterministic, exact,
+    and free when no label is hot (the hot side is an empty broadcast).
+    The neighbor-min aggregation needs no such treatment: groupBy-min
+    is partially aggregated map-side, so hub fan-in combines before
+    the shuffle.
     """
     edges = _persist(
         pairs.select("doc_a", "doc_b").union(
@@ -975,12 +1007,32 @@ def connected_components(
                 "label"
             ),
         )
+        # one materialization per pass serves the hot-label count, the
+        # jump join and the changed-count (checkpoint also truncates
+        # lineage — see above)
+        stepped = stepped.localCheckpoint(eager=False)
         parents = stepped.select(
             F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
         )
-        jumped = stepped.join(parents, stepped["label"] == parents["p_id"]).select(
-            "doc_id", F.col("p_label").alias("label")
+        hot_parents = F.broadcast(
+            stepped.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") >= hot_label_min)
+            .select(F.col("label").alias("p_id"))
+            .join(parents, "p_id")
         )
+        with_hot = stepped.join(
+            hot_parents, stepped["label"] == hot_parents["p_id"], "left"
+        ).select("doc_id", "label", F.col("p_label").alias("hot_label"))
+        hot_rows = with_hot.where(F.col("hot_label").isNotNull()).select(
+            "doc_id", F.col("hot_label").alias("label")
+        )
+        cold_rows = (
+            with_hot.where(F.col("hot_label").isNull())
+            .join(parents, with_hot["label"] == parents["p_id"])
+            .select("doc_id", F.col("p_label").alias("label"))
+        )
+        jumped = cold_rows.unionByName(hot_rows)
         # lazy: the changed-count action below materializes the
         # checkpoint — one job per pass instead of two
         new_labels = jumped.localCheckpoint(eager=False)

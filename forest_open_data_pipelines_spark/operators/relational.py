@@ -596,11 +596,14 @@ def part_revenue_concentration(
     )
     out = (
         per_part.crossJoin(F.broadcast(totals))
-        # exact decimal compare: revenue · n_parts > x · total (x is an
-        # integer-valued multiplier by contract, kept exact in decimal)
+        # exact decimal compare: revenue · n_parts > x · total. The
+        # multiplier is quantized at decimal(12,6) — six fractional
+        # digits, so any float literal a caller can reasonably write
+        # survives exactly (the r5 decimal(6,2) cast silently folded
+        # 1.505 → 1.51 away from the documented 'x times average')
         .where(
             F.col("revenue_d") * F.col("n_parts")
-            > F.col("total_d") * F.lit(min_share_x).cast("decimal(6,2)")
+            > F.col("total_d") * F.lit(min_share_x).cast("decimal(12,6)")
         )
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select(

