@@ -2199,6 +2199,247 @@ FROM rich JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name"""
 
 
+def _focos_llm_payload_sql(spec_sql: str) -> str:
+    """DuckDB twin of social.focos_llm_payload, composed over the
+    monthly_chart_spec_scoped oracle verbatim. Pct formula is the
+    reference's _pct_delta (round(100·(new−old)/old, 2)); the prompt
+    block mirrors the Spark concat fragment-for-fragment."""
+    pct = "CASE WHEN {o} = 0 THEN NULL ELSE round(100.0 * ({n} - {o}) / {o}, 2) END"
+    mom = pct.format(n="mom_cur::DOUBLE", o="mom_prev::DOUBLE")
+    acc_prev = pct.format(n="ytd_cur::DOUBLE", o="ytd_prev::DOUBLE")
+    acc_avg = pct.format(n="ytd_cur::DOUBLE", o="ytd_avg_raw")
+    f2 = "CASE WHEN {x} IS NULL THEN 'null' ELSE printf('%.2f', round(({x}), 2)) END"
+    s = "coalesce(({x})::VARCHAR, 'null')"
+    return f"""
+WITH spec AS (SELECT * FROM ({spec_sql})),
+agg AS (
+  SELECT scope_slug, scope_label, last_closed_month,
+         max(CASE WHEN month = last_closed_month THEN month_label END) AS mes_rotulo,
+         max(CASE WHEN month = last_closed_month THEN current_value END) AS mom_cur,
+         max(CASE WHEN month = last_closed_month THEN previous_value END) AS mom_prev,
+         sum(CASE WHEN month <= last_closed_month THEN current_value END)::BIGINT AS ytd_cur,
+         sum(CASE WHEN month <= last_closed_month THEN previous_value END)::BIGINT AS ytd_prev,
+         sum(CASE WHEN month <= last_closed_month THEN avg_5y END) AS ytd_avg_raw,
+         max(published_at_label) AS pal
+  FROM spec GROUP BY 1, 2, 3
+)
+SELECT scope_slug, scope_label AS bioma,
+       string_split(pal, ' ')[-1]::INT AS latest_year,
+       string_split(pal, ' ')[-1]::INT - 1 AS previous_year,
+       last_closed_month, mes_rotulo,
+       mom_cur AS focos_ano_atual, mom_prev AS focos_ano_anterior,
+       {mom} AS variacao_pct_mes,
+       ytd_cur AS soma_focos_ano_atual,
+       ytd_prev AS soma_focos_ano_anterior,
+       round(ytd_avg_raw, 2) AS soma_medias_5y_acumulada,
+       {acc_prev} AS variacao_pct_acumulado,
+       {acc_avg} AS variacao_pct_acumulado_vs_media_5y,
+       '{{"schema": "focos_incendio_br_v3", "bioma": "' || scope_label
+         || '", "ultimo_mes_fechado": {{"mes": "' || coalesce(mes_rotulo, 'null')
+         || '", "focos_ano_atual": ' || {s.format(x="mom_cur")}
+         || ', "focos_ano_anterior": ' || {s.format(x="mom_prev")}
+         || ', "variacao_pct": ' || {f2.format(x=mom)}
+         || '}}, "acumulado": {{"soma_ano_atual": ' || {s.format(x="ytd_cur")}
+         || ', "soma_ano_anterior": ' || {s.format(x="ytd_prev")}
+         || ', "soma_medias_5y": ' || {f2.format(x="ytd_avg_raw")}
+         || ', "variacao_pct_vs_ano_anterior": ' || {f2.format(x=acc_prev)}
+         || ', "variacao_pct_vs_media_5y": ' || {f2.format(x=acc_avg)}
+         || '}}}}' AS prompt_block
+FROM agg ORDER BY scope_slug"""
+
+
+def _boletins_integrados_sql() -> str:
+    """DuckDB twin of html.boletins_integrados_links: identical anchor
+    derivation (9 kinds incl. the %5F percent-decode and the root-page
+    year-dir anchor), urljoin specialization, query-strip + decode
+    filename, RE_BOLETIM_PDF groups (1 = month, 2 = year)."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        BOLETINS_BASE_URL,
+        BOLETINS_HOST,
+    )
+
+    pat = r"(?i)(0[1-9]|1[0-2])_((?:19|20)\d{2})\.pdf$"
+    month = f"regexp_extract(filename, '{pat}', 1)"
+    year = f"regexp_extract(filename, '{pat}', 2)"
+    return f"""
+WITH seeds AS (
+  SELECT doc_id, lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS mm,
+         (doc_id % 6 + 2019)::VARCHAR AS yyyy
+  FROM documents
+),
+anchors AS (
+  SELECT doc_id, yyyy,
+    ([ mm || '_' || yyyy || '.pdf',
+       yyyy || '/' || mm || '_' || yyyy || '.pdf',
+       '/queimadas/queimadas/Boletins-Integrados/' || yyyy || '/' || mm || '_' || yyyy || '.PDF',
+       'https://mirror.example/Boletins-Integrados/' || yyyy || '/' || mm || '_' || yyyy || '.pdf',
+       '13_' || yyyy || '.pdf',
+       mm || '%5F' || yyyy || '.pdf',
+       'not-a-boletim.txt',
+       mm || '_' || yyyy || '.pdf?download=1',
+       'boletim_' || mm || '_' || yyyy || '.pdf'
+     ])[(doc_id % 9)::INT + 1] AS href,
+    CASE WHEN doc_id % 9 = 1 THEN '{BOLETINS_BASE_URL}'
+         ELSE '{BOLETINS_BASE_URL}' || yyyy || '/' END AS base
+  FROM seeds
+),
+resolved AS (
+  SELECT CASE WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+              WHEN href LIKE '/%' THEN '{BOLETINS_HOST}' || href
+              ELSE base || href END AS url
+  FROM anchors
+),
+named AS (
+  SELECT url,
+    replace(regexp_extract(regexp_replace(url, '[?#].*$', ''), '([^/]+)$', 1),
+            '%5F', '_') AS filename
+  FROM resolved
+)
+SELECT DISTINCT {year} || '-' || {month} AS period,
+       {year} AS year, {month} AS month, filename, url
+FROM named WHERE {month} != ''
+ORDER BY period DESC, url"""
+
+
+def _cvm_yearly_sql(latest_years: int | None = None) -> str:
+    """DuckDB twin of html.cvm_latest_yearly_csvs: identical url
+    derivation, QUERY-STRIPPED filename (the fi_doc_extrato deviation
+    from fi_inf_diario), meta/current/yearly classification, stable
+    (year DESC, url) cut, Atual-first item ranks."""
+    from forest_open_data_pipelines_spark.operators.html import CVM_LATEST_YEARS
+
+    n = CVM_LATEST_YEARS if latest_years is None else latest_years
+    return f"""
+WITH seeds AS (SELECT doc_id, (doc_id % 6 + 2019)::VARCHAR AS yyyy FROM documents),
+urls AS (
+  SELECT DISTINCT
+    ([ 'https://dados.cvm.example/dados/FI/DOC/EXTRATO/DADOS/extrato_fi_' || yyyy || '.csv',
+       'https://dados.cvm.example/dados/FI/DOC/EXTRATO/DADOS/extrato_fi.csv',
+       'https://dados.cvm.example/dados/FI/DOC/EXTRATO/DADOS/meta_extrato_fi.txt',
+       'https://dados.cvm.example/dados/FI/DOC/EXTRATO/DADOS/extrato_fi_' || yyyy || '.csv?download=1',
+       'https://dados.cvm.example/dados/FI/DOC/EXTRATO/DADOS/EXTRATO_FI_' || yyyy || '.CSV',
+       'https://dados.cvm.example/dados/FI/DOC/EXTRATO/DADOS/extrato_fi_' || yyyy || '.zip',
+       'https://dados.cvm.example/dados/FI/DOC/EXTRATO/DADOS/outros_dados.csv',
+       'https://dados.cvm.example/dados/FI/DOC/EXTRATO/DADOS/meta_extrato_fi_v2.txt'
+     ])[(doc_id % 8)::INT + 1] AS url
+  FROM seeds
+),
+named AS (
+  SELECT url, string_split(string_split(url, '/')[-1], '?')[1] AS filename FROM urls
+),
+classified AS (
+  SELECT url, filename,
+         (lower(filename) LIKE '%.txt'
+          AND lower(filename) LIKE '%meta_extrato_fi%') AS is_meta,
+         (lower(filename) = 'extrato_fi.csv') AS is_current,
+         nullif(regexp_extract(filename, '(?i)extrato_fi_(\d{{4}})\.csv$', 1), '')
+           AS year
+  FROM named
+),
+yearly AS (
+  SELECT 'data' AS kind,
+         (row_number() OVER (ORDER BY year DESC, url) + 1)::INT AS item_rank,
+         year AS period, filename, url
+  FROM classified WHERE year IS NOT NULL
+  QUALIFY row_number() OVER (ORDER BY year DESC, url) <= greatest(1, {n})
+),
+cur AS (
+  SELECT 'data' AS kind, 1::INT AS item_rank, 'Atual' AS period, filename, url
+  FROM classified WHERE is_current
+  QUALIFY row_number() OVER (ORDER BY url DESC) = 1
+),
+meta AS (
+  SELECT 'meta' AS kind, NULL::INT AS item_rank, NULL::VARCHAR AS period,
+         filename, url
+  FROM classified WHERE is_meta
+  QUALIFY row_number() OVER (ORDER BY url DESC) = 1
+)
+SELECT * FROM cur UNION ALL SELECT * FROM yearly UNION ALL SELECT * FROM meta
+ORDER BY kind, item_rank"""
+
+
+def _fenced_json_sql() -> str:
+    """DuckDB twin of textops.fenced_json_extract: identical response
+    derivation, fence regex, first-{{/last-}} fallback with the rfind
+    guard, the string-blind brace-depth fold (cumulative-sum window),
+    json_valid strictness, and required-key order."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        JSON_FENCE_RE,
+        JSON_REQUIRED_KEYS,
+    )
+
+    req = ", ".join(f"'{k}'" for k in JSON_REQUIRED_KEYS)
+    fence = JSON_FENCE_RE.replace("\\", "\\\\")
+    return f"""
+WITH seeds AS (SELECT doc_id, doc_id::VARCHAR AS d FROM documents),
+resp AS (
+  SELECT doc_id,
+    ([ '```json' || chr(10) || ok || chr(10) || '```',
+       'Claro! Segue o resultado:' || chr(10) || '```' || chr(10) || ok || chr(10) || '``` Obrigado.',
+       ok || ' — gerado automaticamente.',
+       'prefixo {{"insight": "só insight ' || d || '"}} sufixo',
+       '```json' || chr(10) || '{{"insight": }}' || chr(10) || '```',
+       'nenhum objeto aqui',
+       '[' || ok || ']',
+       '{{"a": 1}} e depois ' || ok,
+       'resposta truncada: {{"insight'
+     ])[(doc_id % 9)::INT + 1] AS response
+  FROM (SELECT doc_id, d,
+               '{{"insight": "i' || d || '", "hashtags": ["#h' || d || '"]}}' AS ok
+        FROM seeds)
+),
+cand AS (
+  SELECT doc_id,
+    CASE WHEN regexp_extract(response, '{fence}', 1) != ''
+           THEN regexp_extract(response, '{fence}', 1)
+         WHEN strpos(response, '{{') > 0 AND strpos(response, '}}') > 0
+              AND (len(response) - strpos(reverse(response), '}}') + 1)
+                  > strpos(response, '{{')
+           THEN substr(response, strpos(response, '{{'),
+                       (len(response) - strpos(reverse(response), '}}') + 1)
+                       - strpos(response, '{{') + 1)
+    END AS candidate
+  FROM resp
+),
+chars AS (
+  SELECT doc_id, candidate, i AS pos, substr(candidate, i, 1) AS ch
+  FROM cand, unnest(range(1, len(candidate) + 1)) AS t(i)
+  WHERE candidate IS NOT NULL
+),
+depths AS (
+  SELECT doc_id, pos,
+         sum(CASE ch WHEN '{{' THEN 1 WHEN '}}' THEN -1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS depth
+  FROM chars
+),
+zero AS (
+  SELECT doc_id, min(pos) FILTER (WHERE depth = 0) AS zero_at FROM depths
+  GROUP BY doc_id
+),
+checked AS (
+  SELECT c.doc_id, candidate,
+         (candidate IS NOT NULL AND json_valid(candidate)
+          AND coalesce(z.zero_at, 0) = len(candidate)) AS valid
+  FROM cand c LEFT JOIN zero z ON c.doc_id = z.doc_id
+),
+st AS (
+  SELECT doc_id, candidate, valid,
+         CASE WHEN valid THEN list_filter([{req}],
+                k -> NOT list_contains(json_keys(candidate), k)) END AS missing
+  FROM checked
+)
+SELECT doc_id,
+       CASE WHEN candidate IS NULL THEN 'no_json'
+            WHEN NOT valid THEN 'invalid_json'
+            WHEN len(missing) > 0 THEN 'missing_keys'
+            ELSE 'ok' END AS status,
+       CASE WHEN valid THEN candidate END AS json_text,
+       CASE WHEN valid THEN coalesce(array_to_string(missing, ','), '') END
+         AS missing_keys
+FROM st ORDER BY doc_id"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     from forest_open_data_pipelines_spark.operators.similarity import (
         IVF_KMEANS_ITERS as _IVF_ITERS,
@@ -3663,6 +3904,13 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     # corpus_curation composes the text_quality / lang_id twins above —
     # built after the dict so the stage CTEs reuse those entries verbatim.
     out["corpus_curation"] = _curation_sql(out["text_quality"], out["lang_id"])
+    # round-6 additions ------------------------------------------------------
+    out["focos_llm_payload"] = _focos_llm_payload_sql(
+        out["monthly_chart_spec_scoped"]
+    )
+    out["boletins_integrados_links"] = _boletins_integrados_sql()
+    out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
+    out["fenced_json_extract"] = _fenced_json_sql()
     from forest_open_data_pipelines_spark.operators.curation import (
         CURATION_MIN_QUALITY as _MINQ,
         CURATION_MIN_TOKENS as _MINT,

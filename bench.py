@@ -110,6 +110,13 @@ HEADLINE = [
     "numeric_correlations",
     "edit_distance_pairs",
     "edit_distance_topk",
+    # round-6 operators
+    "focos_llm_payload",
+    "boletins_integrados_links",
+    "cvm_latest_yearly_csvs",
+    "fenced_json_extract",
+    "curation_report_by_source",
+    "quality_by_lang_report",
     # dedup_canonical_by_quality re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_method_eval.

@@ -1634,3 +1634,226 @@ def coids_entry_periods(documents: DataFrame) -> DataFrame:
         annual_state.alias("period_annual_state"),
         modified.alias("period_modified"),
     ).orderBy("doc_id")
+
+
+# ── INPE Boletins-Integrados PDF listing parser ─────────────────────────────
+
+BOLETINS_HOST = "https://dataserver-coids.example"
+BOLETINS_BASE_URL = (
+    "https://dataserver-coids.example/queimadas/queimadas/Boletins-Integrados/"
+)
+# Reference: datasets/inpe/bdqueimadas_boletins_integrados.py:18
+# RE_BOLETIM_PDF — month-FIRST 'MM_YYYY.pdf' grammar (the painel
+# sibling anchors on the 'Painel_Qmd_' prefix instead), re.search so a
+# prefixed filename still matches, IGNORECASE.
+RE_BOLETIM_PDF = r"(?i)(0[1-9]|1[0-2])_((?:19|20)\d{2})\.pdf$"
+
+_BOLETIM_HREF_KINDS = 9
+
+
+def wrap_documents_as_boletins_index(documents: DataFrame) -> DataFrame:
+    """Render documents as (href, base) anchor rows of the
+    Boletins-Integrados listing. The reference walks the root page's
+    year directories (RE_YEAR_DIR) and parses each year page's
+    anchors; flattened here to one anchor per document with the year
+    page as its base (kind = doc_id % 9 cycles every parser branch:
+    relative, root-page year-dir-relative, root-relative uppercase
+    ext, absolute mirror, invalid month 13, percent-encoded '_'
+    (the reference's unquote step), non-PDF, query-string download,
+    and a prefixed filename that re.search still matches)."""
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    yyyy = (F.col("doc_id") % 6 + 2019).cast("string")
+    pdf = F.concat(mm, F.lit("_"), yyyy, F.lit(".pdf"))
+    year_base = F.concat(F.lit(BOLETINS_BASE_URL), yyyy, F.lit("/"))
+    kinds = F.array(
+        pdf,
+        F.concat(yyyy, F.lit("/"), pdf),
+        F.concat(
+            F.lit("/queimadas/queimadas/Boletins-Integrados/"),
+            yyyy, F.lit("/"), mm, F.lit("_"), yyyy, F.lit(".PDF"),
+        ),
+        F.concat(F.lit("https://mirror.example/Boletins-Integrados/"), yyyy, F.lit("/"), pdf),
+        F.concat(F.lit("13_"), yyyy, F.lit(".pdf")),
+        F.concat(mm, F.lit("%5F"), yyyy, F.lit(".pdf")),
+        F.lit("not-a-boletim.txt"),
+        F.concat(pdf, F.lit("?download=1")),
+        F.concat(F.lit("boletim_"), pdf),
+    )
+    kind = (F.col("doc_id") % _BOLETIM_HREF_KINDS + 1).cast("int")
+    # kind 2 is the root-page anchor (year-dir-relative); all others
+    # sit on the year page
+    base = F.when(kind == 2, F.lit(BOLETINS_BASE_URL)).otherwise(year_base)
+    return documents.select(
+        "doc_id",
+        F.element_at(kinds, kind).alias("href"),
+        base.alias("base"),
+    )
+
+
+def parse_boletins_integrados(anchors: DataFrame) -> DataFrame:
+    """(period, year, month, filename, url) per Boletim-Integrado PDF
+    anchor — the month-first sibling of ``parse_painel_pdf_links``.
+
+    Reference: datasets/inpe/bdqueimadas_boletins_integrados.py
+    ``parse_boletim_pdf_link`` (:55-69, urljoin + filename from the
+    unquoted URL path + RE_BOLETIM_PDF.search) and
+    ``extract_pdf_urls`` (:96-107, year-dir walk, URL-keyed dedupe,
+    period-DESC sort; reference test
+    tests/test_inpe_boletins_integrados.py pins the walk order and the
+    relative-href resolution). urljoin is specialized to the listing's
+    href shapes (absolute / root-relative / relative against the
+    year-page base). The reference's ``unquote`` percent-decode is
+    mirrored for the encoding the listing actually emits (%5F — the
+    underscore inside the filename grammar); a full url_decode twin is
+    out of the RE2-safe oracle's reach and Apache autoindex hrefs are
+    otherwise plain. Sort is (period DESC, url ASC) — the reference's
+    period-DESC sort stabilized with the url tiebreak.
+
+    Scale: pure Catalyst regexps off the scan; the only shuffle is the
+    URL dedupe + presentation sort.
+    """
+    href = F.col("href")
+    url = (
+        F.when(href.rlike(r"^[a-z][a-z0-9+.-]*://"), href)
+        .when(href.startswith("/"), F.concat(F.lit(BOLETINS_HOST), href))
+        .otherwise(F.concat(F.col("base"), href))
+    )
+    path = F.regexp_replace(url, r"[?#].*$", "")
+    filename = F.replace(
+        F.regexp_extract(path, r"([^/]+)$", 1), F.lit("%5F"), F.lit("_")
+    )
+    month = F.regexp_extract(filename, RE_BOLETIM_PDF, 1)
+    year = F.regexp_extract(filename, RE_BOLETIM_PDF, 2)
+    return (
+        anchors.select(
+            F.concat(year, F.lit("-"), month).alias("period"),
+            year.alias("year"),
+            month.alias("month"),
+            filename.alias("filename"),
+            url.alias("url"),
+        )
+        .where(F.col("month") != "")
+        .distinct()
+        .orderBy(F.desc("period"), "url")
+    )
+
+
+def boletins_integrados_links(documents: DataFrame) -> DataFrame:
+    """Catalog query: wrap documents as Boletins-Integrados anchors,
+    parse + dedupe + period-DESC sort."""
+    return parse_boletins_integrados(wrap_documents_as_boletins_index(documents))
+
+
+# ── CVM fi_doc_extrato yearly CSV selection ─────────────────────────────────
+
+# Reference: datasets/cvm/fi_doc_extrato.py:16 RE_YEAR_CSV — the
+# ANNUAL sibling of fi_inf_diario's monthly RE_ZIP grammar.
+RE_CVM_YEAR_CSV = r"(?i)extrato_fi_(\d{4})\.csv$"
+CVM_LATEST_YEARS = 5
+
+_CVM_YEARLY_KINDS = 8
+
+
+def wrap_documents_as_cvm_yearly_urls(documents: DataFrame) -> DataFrame:
+    """Render documents as fi_doc_extrato resource URLs cycled by
+    doc_id: a yearly csv, the year-less current csv, the meta txt, a
+    query-string yearly csv (MATCHES here — this dataset strips the
+    query before parsing, unlike fi_inf_diario), an uppercase yearly
+    csv, a zip (no match), an unrelated csv, and a second meta variant
+    (the keep-LAST-in-sorted-order pick)."""
+    yyyy = (F.col("doc_id") % 6 + 2019).cast("string")
+    base = "https://dados.cvm.example/dados/FI/DOC/EXTRATO/DADOS/"
+    kinds = F.array(
+        F.concat(F.lit(base), F.lit("extrato_fi_"), yyyy, F.lit(".csv")),
+        F.lit(f"{base}extrato_fi.csv"),
+        F.lit(f"{base}meta_extrato_fi.txt"),
+        F.concat(F.lit(base), F.lit("extrato_fi_"), yyyy, F.lit(".csv?download=1")),
+        F.concat(F.lit(base), F.lit("EXTRATO_FI_"), yyyy, F.lit(".CSV")),
+        F.concat(F.lit(base), F.lit("extrato_fi_"), yyyy, F.lit(".zip")),
+        F.lit(f"{base}outros_dados.csv"),
+        F.lit(f"{base}meta_extrato_fi_v2.txt"),
+    )
+    return documents.select(
+        F.element_at(kinds, (F.col("doc_id") % _CVM_YEARLY_KINDS + 1).cast("int")).alias(
+            "url"
+        )
+    )
+
+
+def cvm_latest_yearly_csvs(
+    documents: DataFrame,
+    latest_years: int = CVM_LATEST_YEARS,
+    include_current: bool = True,
+) -> DataFrame:
+    """Latest-N yearly extrato CSVs + the 'Atual' current file + the
+    meta file from a CKAN resource list — the ANNUAL sibling of
+    ``cvm_latest_zips``.
+
+    Reference: datasets/cvm/fi_doc_extrato.py:80-113 (``pick_urls``):
+    the filename is the last path segment with the QUERY STRIPPED
+    (``split('?')[0]`` — fi_inf_diario keeps queries and so rejects
+    ``?download`` links; this dataset accepts them, pinned by a
+    query-string variant), meta = last '.txt' containing
+    'meta_extrato_fi' in sorted-url order, current = the exact
+    'extrato_fi.csv' name, yearly = RE_YEAR_CSV matches sorted
+    (year DESC, url ASC — Python's stable sort over the url-sorted
+    input) and cut to ``max(1, latest_years)``; items are 'Atual'
+    first (when ``include_current`` and present), then the yearly cut.
+
+    Output: 'data' rows (item_rank, period, filename, url) in item
+    order plus one 'meta' row (NULL rank/period).
+
+    Scale: url classification is a projection; ranks run over the
+    tiny distinct-url set.
+    """
+    urls = wrap_documents_as_cvm_yearly_urls(documents).distinct()
+    name = F.element_at(
+        F.split(F.element_at(F.split(F.col("url"), "/"), -1), r"\?"), 1
+    )
+    year = F.regexp_extract(name, RE_CVM_YEAR_CSV, 1)
+    low = F.lower(name)
+    classified = urls.select(
+        "url",
+        name.alias("filename"),
+        (low.endswith(".txt") & low.contains("meta_extrato_fi")).alias("is_meta"),
+        (low == "extrato_fi.csv").alias("is_current"),
+        F.when(year != "", year).alias("year"),
+    )
+    yearly_w = Window.orderBy(F.desc("year"), "url")
+    yearly = (
+        classified.where(F.col("year").isNotNull())
+        .withColumn("rn", F.row_number().over(yearly_w))
+        .where(F.col("rn") <= F.greatest(F.lit(1), F.lit(latest_years)))
+        .select(
+            (F.col("rn") + F.lit(1 if include_current else 0)).alias("item_rank"),
+            F.col("year").alias("period"),
+            "filename",
+            "url",
+        )
+    )
+    current = (
+        classified.where(F.col("is_current"))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("url"))))
+        .where(F.col("rn") == 1)
+        .select(
+            F.lit(1).alias("item_rank"),
+            F.lit("Atual").alias("period"),
+            "filename",
+            "url",
+        )
+    )
+    data = yearly if not include_current else current.unionByName(yearly)
+    data = data.select(F.lit("data").alias("kind"), "item_rank", "period", "filename", "url")
+    meta = (
+        classified.where(F.col("is_meta"))
+        .withColumn("rn", F.row_number().over(Window.orderBy(F.desc("url"))))
+        .where(F.col("rn") == 1)
+        .select(
+            F.lit("meta").alias("kind"),
+            F.lit(None).cast("int").alias("item_rank"),
+            F.lit(None).cast("string").alias("period"),
+            "filename",
+            "url",
+        )
+    )
+    return data.unionByName(meta).orderBy("kind", "item_rank")

@@ -1220,3 +1220,123 @@ def payload_merge_dedupe_scoped(
         .select(slug.alias("scope_slug"), "period", "year", "value")
     )
     return nat.unionByName(reg).orderBy("scope_slug", "period", "year")
+
+
+# ── focos_incendio LLM payload (analytical, network-free) ───────────────────
+
+
+def _round2(c: Column) -> Column:
+    """2-dp scale-then-round (same hardening as functions.columns.ratio
+    at the reference's 2-dp payload precision)."""
+    return F.round(c * F.lit(100.0), 0) / F.lit(100.0)
+
+
+def focos_llm_payload(spec: DataFrame) -> DataFrame:
+    """The focos-de-incêndio analytical LLM payload, one row per
+    carousel scope, derived entirely from the chart-spec frame — the
+    deterministic, network-free metric derivation the reference feeds
+    its prompt builder.
+
+    Reference: social/llm/payloads/focos_incendio.py:21
+    (``build_focos_incendio_llm_payload``) + :110
+    (``payload_to_prompt_block``), tests in
+    tests/test_focos_incendio_llm_payload.py. Semantics mirrored:
+
+    - mês vs mês: the LAST CLOSED month's current-year value vs the
+      same month previous year, pct = round(100·(new−old)/old, 2)
+      (the reference's ``_pct_delta`` formula verbatim, NULL on
+      old = 0 or new NULL).
+    - acumulado: Jan..last-closed sums of current (NULL months
+      skipped), previous, and the 5-yr monthly averages (sum rounded
+      2 dp for display, compared UNROUNDED for the pct — exactly the
+      reference's ytd_avg_sum handling).
+    - bioma display label = the scope's PT label (the reference's
+      ``metadata.biome_label_pt`` / 'Brasil (Nacional)' fallback).
+    - prompt_block: deterministic serialization of the payload
+      (``payload_to_prompt_block`` is json.dumps(indent=2); here a
+      compact one-line JSON with the same field ORDER and pct values
+      rendered at fixed 2 dp — a documented rendering deviation, the
+      CONTENT is field-for-field the reference payload).
+    - deviations: latest_year derives from the spec's published-at
+      label (the scoped spec does not carry a year column);
+      reference_date is data-derived like the spec itself (the
+      reference raises on last_closed_month < 1 — a DataFrame op
+      cannot raise per row, so those rows carry NULL metrics).
+
+    Scale: input is the ≤ scopes·12-row spec frame; one groupBy on it,
+    then pure projections — every join upstream already collapsed in
+    ``monthly_chart_spec_scoped``.
+    """
+    in_win = F.col("month") <= F.col("last_closed_month")
+    at_last = F.col("month") == F.col("last_closed_month")
+    agg = (
+        spec.groupBy("scope_slug", "scope_label", "last_closed_month")
+        .agg(
+            F.max(F.when(at_last, F.col("month_label"))).alias("mes_rotulo"),
+            F.max(F.when(at_last, F.col("current_value"))).alias("mom_cur"),
+            F.max(F.when(at_last, F.col("previous_value"))).alias("mom_prev"),
+            F.sum(F.when(in_win, F.col("current_value"))).alias("ytd_cur"),
+            F.sum(F.when(in_win, F.col("previous_value"))).alias("ytd_prev"),
+            F.sum(F.when(in_win, F.col("avg_5y"))).alias("ytd_avg_raw"),
+            F.max("published_at_label").alias("published_at_label"),
+        )
+    )
+    year = F.element_at(F.split(F.col("published_at_label"), " "), -1).cast("int")
+    # the reference's _pct_delta: round(100·(new−old)/old, 2), None on 0
+    def pct_delta(new: Column, old: Column) -> Column:
+        return F.when(old == 0, F.lit(None).cast("double")).otherwise(
+            _round2(F.lit(100.0) * (new - old) / old)
+        )
+
+    cur_d = F.col("mom_cur").cast("double")
+    prev_d = F.col("mom_prev").cast("double")
+    ytd_cur_d = F.col("ytd_cur").cast("double")
+    ytd_prev_d = F.col("ytd_prev").cast("double")
+    s = lambda c: F.coalesce(c.cast("string"), F.lit("null"))
+    # coalesce BEFORE formatting: Java's %.2f applied to a NULL arg
+    # formats the string "null" at precision 2 -> "nu"
+    f2 = lambda c: F.when(c.isNull(), F.lit("null")).otherwise(
+        F.format_string("%.2f", _round2(c))
+    )
+    body = F.concat(
+        F.lit('{"schema": "focos_incendio_br_v3", "bioma": "'),
+        F.col("scope_label"),
+        F.lit('", "ultimo_mes_fechado": {"mes": "'),
+        F.coalesce(F.col("mes_rotulo"), F.lit("null")),
+        F.lit('", "focos_ano_atual": '),
+        s(F.col("mom_cur")),
+        F.lit(', "focos_ano_anterior": '),
+        s(F.col("mom_prev")),
+        F.lit(', "variacao_pct": '),
+        f2(pct_delta(cur_d, prev_d)),
+        F.lit('}, "acumulado": {"soma_ano_atual": '),
+        s(F.col("ytd_cur")),
+        F.lit(', "soma_ano_anterior": '),
+        s(F.col("ytd_prev")),
+        F.lit(', "soma_medias_5y": '),
+        f2(F.col("ytd_avg_raw")),
+        F.lit(', "variacao_pct_vs_ano_anterior": '),
+        f2(pct_delta(ytd_cur_d, ytd_prev_d)),
+        F.lit(', "variacao_pct_vs_media_5y": '),
+        f2(pct_delta(ytd_cur_d, F.col("ytd_avg_raw"))),
+        F.lit("}}"),
+    )
+    return agg.select(
+        "scope_slug",
+        F.col("scope_label").alias("bioma"),
+        year.alias("latest_year"),
+        (year - 1).alias("previous_year"),
+        "last_closed_month",
+        "mes_rotulo",
+        F.col("mom_cur").alias("focos_ano_atual"),
+        F.col("mom_prev").alias("focos_ano_anterior"),
+        pct_delta(cur_d, prev_d).alias("variacao_pct_mes"),
+        F.col("ytd_cur").alias("soma_focos_ano_atual"),
+        F.col("ytd_prev").alias("soma_focos_ano_anterior"),
+        _round2(F.col("ytd_avg_raw")).alias("soma_medias_5y_acumulada"),
+        pct_delta(ytd_cur_d, ytd_prev_d).alias("variacao_pct_acumulado"),
+        pct_delta(ytd_cur_d, F.col("ytd_avg_raw")).alias(
+            "variacao_pct_acumulado_vs_media_5y"
+        ),
+        body.alias("prompt_block"),
+    ).orderBy("scope_slug")

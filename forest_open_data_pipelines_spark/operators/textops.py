@@ -759,3 +759,164 @@ def token_histogram(documents: DataFrame) -> DataFrame:
         )
         .orderBy("bucket_exp")
     )
+
+
+# ── Fenced-JSON extraction (LLM response parsing) ───────────────────────────
+
+# Reference: llm/router.py:30 _JSON_FENCE_RE — lazy object body inside
+# an optional-language fence; re.DOTALL == (?s).
+JSON_FENCE_RE = r"(?s)```(?:json)?\s*(\{.*?\})\s*```"
+#: required-keys contract the catalog entry validates (the reference's
+#: callers pass per-prompt lists; the validation shape is identical).
+JSON_REQUIRED_KEYS = ("insight", "hashtags")
+
+_LLM_RESPONSE_KINDS = 9
+
+
+def wrap_documents_as_llm_responses(documents: DataFrame) -> DataFrame:
+    """Render documents as LLM response texts cycled by doc_id,
+    exercising every branch of the reference extractor: a clean fence,
+    a fence wrapped in prose, a bare object with trailing prose, a
+    brace-substring object missing a required key, an INVALID fenced
+    body (the reference raises — no fallback to the brace branch), no
+    JSON at all, a top-level array whose first-{/last-} substring IS
+    the inner object (the sneaky branch), a two-object text whose
+    brace substring is invalid JSON, and a truncated response with a
+    '{' but no '}' (rfind misses -> no_json, not a runaway substring)."""
+    d = F.col("doc_id").cast("string")
+    ok = F.concat(
+        F.lit('{"insight": "i'), d, F.lit('", "hashtags": ["#h'), d, F.lit('"]}')
+    )
+    kinds = F.array(
+        F.concat(F.lit("```json\n"), ok, F.lit("\n```")),
+        F.concat(F.lit("Claro! Segue o resultado:\n```\n"), ok, F.lit("\n``` Obrigado.")),
+        F.concat(ok, F.lit(" — gerado automaticamente.")),
+        F.concat(F.lit("prefixo {\"insight\": \"só insight "), d, F.lit("\"} sufixo")),
+        F.lit('```json\n{"insight": }\n```'),
+        F.lit("nenhum objeto aqui"),
+        F.concat(F.lit("["), ok, F.lit("]")),
+        F.concat(F.lit('{"a": 1} e depois '), ok),
+        F.lit("resposta truncada: {\"insight"),
+    )
+    return documents.select(
+        "doc_id",
+        F.element_at(kinds, (F.col("doc_id") % _LLM_RESPONSE_KINDS + 1).cast("int")).alias(
+            "response"
+        ),
+    )
+
+
+def parse_fenced_json(responses: DataFrame, required: tuple[str, ...] = JSON_REQUIRED_KEYS) -> DataFrame:
+    """(doc_id, json_text, status, missing_keys) — the network-free
+    text half of the reference's LLM JSON router.
+
+    Reference: llm/router.py:37 (``_extract_json_object``) + :57
+    (``_validate_required_keys``), exercised by
+    tests/test_social_llm_runtime.py. Semantics mirrored exactly:
+
+    1. The FIRST fence match wins; a fence whose body fails to parse
+       is an ERROR (the reference's json.loads raises — it does NOT
+       fall through to the brace branch).
+    2. No fence → the first-'{' .. last-'}' substring; parse failures
+       are likewise errors ('invalid_json').
+    3. No braces at all → 'no_json' (the reference's ValueError).
+    4. A valid object missing required keys → 'missing_keys' with the
+       misses in required-key order (the reference's KeyError payload).
+
+    Both engines compile the IDENTICAL fence regex ((?s) + lazy body is
+    in the RE2∩Java subset); validity is Spark's STRICT try_parse_json
+    vs DuckDB json_valid — both reject trailing garbage the way the
+    reference's json.loads does (Spark's lenient get_json_object does
+    not, measured on the two-object variant).
+
+    Scale: pure per-row regexp/JSON expressions, no shuffle but the
+    presentation sort.
+    """
+    text = F.col("response")
+    fence = F.regexp_extract(text, JSON_FENCE_RE, 1)
+    first = F.locate("{", text)
+    last = F.length(text) - F.locate("}", F.reverse(text)) + 1
+    # the rfind guard: a '{' with no '}' at all must be no_json (the
+    # reference's rfind returns -1), not a runaway substring
+    brace = F.when(
+        (first > 0) & (F.locate("}", F.reverse(text)) > 0) & (last > first),
+        F.substring(text, first, last - first + 1),
+    )
+    candidate = F.when(fence != "", fence).otherwise(brace)
+    # STRICT validity = lenient parser ∧ top-level-closure fold. Every
+    # Spark JSON function (get_json_object, try_parse_json, from_json)
+    # is lenient about TRAILING content — '{"a": 1} e depois {...}'
+    # parses by stopping at the first object — where json.loads (the
+    # reference) and DuckDB's json_valid reject it. The fold walks the
+    # candidate's chars accumulating brace depth and records the first
+    # position where depth returns to 0; strict ⇔ that position is the
+    # last char. Both engines compute the SAME fold (cumulative-sum
+    # window in the oracle), so parity is exact by construction. The
+    # fold is string-BLIND: a brace inside a JSON string literal
+    # ('{"a": "}"}') reads as an early closure and the row reports
+    # invalid_json on both engines — a documented approximation (the
+    # synthetic response corpus emits no braces inside strings).
+    depth_ok = F.col("zero_at") == F.length(F.col("candidate"))
+    valid = F.try_parse_json(F.col("candidate")).isNotNull() & depth_ok
+    keys = F.json_object_keys(F.col("candidate"))
+    missing = F.filter(
+        F.array(*[F.lit(k) for k in required]),
+        lambda k: ~F.array_contains(keys, k),
+    )
+    status = (
+        F.when(F.col("candidate").isNull(), F.lit("no_json"))
+        .when(~valid, F.lit("invalid_json"))
+        .when(F.size(F.col("missing")) > 0, F.lit("missing_keys"))
+        .otherwise(F.lit("ok"))
+    )
+    # one O(len) pass: (depth, first-zero position, position) struct
+    # fold over the candidate's characters
+    zero_at = F.aggregate(
+        F.split(F.col("candidate"), ""),
+        F.struct(
+            F.lit(0).alias("depth"), F.lit(0).alias("zero"), F.lit(0).alias("pos")
+        ),
+        lambda acc, ch: F.struct(
+            (
+                acc.depth
+                + F.when(ch == "{", 1).when(ch == "}", -1).otherwise(0)
+            ).alias("depth"),
+            F.when(
+                (acc.zero == 0)
+                & (
+                    acc.depth
+                    + F.when(ch == "{", 1).when(ch == "}", -1).otherwise(0)
+                    == 0
+                ),
+                acc.pos + 1,
+            )
+            .otherwise(acc.zero)
+            .alias("zero"),
+            (acc.pos + 1).alias("pos"),
+        ),
+        lambda acc: acc.zero,
+    )
+    return (
+        responses.select("doc_id", candidate.alias("candidate"))
+        .select("doc_id", "candidate", zero_at.alias("zero_at"))
+        .select(
+            "doc_id", "candidate", "zero_at", F.when(valid, missing).alias("missing")
+        )
+        .select(
+            "doc_id",
+            status.alias("status"),
+            F.when(status.isin("ok", "missing_keys"), F.col("candidate")).alias(
+                "json_text"
+            ),
+            F.when(
+                status.isin("ok", "missing_keys"),
+                F.array_join(F.col("missing"), ","),
+            ).alias("missing_keys"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def fenced_json_extract(documents: DataFrame) -> DataFrame:
+    """Catalog query: wrap documents as LLM responses, extract + validate."""
+    return parse_fenced_json(wrap_documents_as_llm_responses(documents))

@@ -16,48 +16,44 @@ from forest_open_data_pipelines_spark.plans.catalog import (
 )
 
 # Entries that need a driver row THIS round and must stay inside the
-# window: the four r4-parked entries getting their FIRST driver rows
-# (judge r4 item 1) plus every round-5 operator (also first rows).
+# window: the round-6 additions (first rows), every round-5 entry that
+# had NEVER had a driver row (judge r5 item 1 — the third-tranche
+# operators parked behind the pinned r5 window), and the holdovers
+# whose round-6 code changes need fresh driver-scale evidence.
 MUST_BE_IN_WINDOW = {
-    # first driver rows ever (added parked in r4)
-    "sanitize_slide_text",
-    "anp_resource_urls",
-    "monthly_by_region_augmented",
-    "ann_topk_ivf_trained",
-    # round-5 operators (first driver rows)
-    "dedup_simhash64",
-    "payload_merge_dedupe",
-    "payload_merge_dedupe_by_region",
-    "monthly_chart_spec_scoped",
-    "anp_panel_payloads",
-    "annual_reference_extract",
-    "mensal_links",
-    "govbr_freshness_labels",
-    "dedup_ngram_ppjoin",
-    "dedup_clusters",
-    "quality_repetition",
-    "pack_sequences",
-    "ckan_resource_select",
-    "supranational_items",
-    "payload_merge_dedupe_scoped",
-    "customer_order_distribution",
-    "order_priority_semijoin",
-    "mma_manifest_items",
-    "coids_entry_periods",
-    "disjunctive_promo_revenue",
-    "returned_item_ranking",
-    "dedup_canonical_corpus",
-    "bpe_merge_candidates",
-    "join_key_skew_report",
-    "event_funnel",
-    "lang_id_ngram",
-    "embedding_label_stats",
-    "dedup_method_eval",
-    "user_retention_cohorts",
-    "session_duration_stats",
+    # round-6 additions (first driver rows)
+    "focos_llm_payload",
+    "boletins_integrados_links",
+    "cvm_latest_yearly_csvs",
+    "fenced_json_extract",
+    # never-driver-checked round-5 entries (first rows)
+    "pii_scrub",
+    "decontaminate_ngram",
+    "chunk_dedup",
+    "dataset_mixture_plan",
+    "stratified_sample",
+    "stratified_token_sample",
+    "span_dedup",
+    "dedup_incremental",
+    "dedup_canonical_by_quality",
+    "token_histogram",
+    "numeric_correlations",
+    "edit_distance_pairs",
+    "edit_distance_topk",
+    "curation_report_by_source",
+    "quality_by_lang_report",
+    "cheapest_supplier_per_part",
+    "part_revenue_concentration",
+    "large_orders",
+    "idle_balance_customers",
+    "revenue_change_forecast",
+    "top_supplier_by_revenue",
+    # round-6 code-path changes
     "corpus_curation",
-    "govbr_resource_classify",
-    "cvm_latest_zips",
+    "dedup_simhash64",
+    "dedup_method_eval",
+    "dedup_clusters",
+    "dedup_canonical_corpus",
 }
 
 

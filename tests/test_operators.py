@@ -2640,3 +2640,172 @@ def test_lang_id_ngram_join_fallback_matches_literal(spark, monkeypatch):
     monkeypatch.setattr(textops, "LANG_ID_LITERAL_MAX_LANGS", 0)
     joined = textops.lang_id_ngram(docs).collect()
     assert sorted(map(tuple, joined)) == sorted(map(tuple, literal))
+
+
+# ---------------------------------------------------------------------------
+# round-6 operators: focos_llm_payload, boletins_integrados_links,
+# cvm_latest_yearly_csvs, fenced_json_extract
+# ---------------------------------------------------------------------------
+
+
+def test_focos_llm_payload_reference_fixture(spark):
+    """The reference's own fixture semantics
+    (tests/test_focos_incendio_llm_payload.py test_acumulado_e_mom_vs_mes):
+    cur [100,110,120,None...], prev 90×12, avg [95,100,105,100...],
+    last_closed = 3 → acumulado 330 / 270 / 300.0, MoM Mar 120 vs 90."""
+    from forest_open_data_pipelines_spark.operators import social
+
+    labels = ["Jan", "Fev", "Mar", "Abr", "Mai", "Jun",
+              "Jul", "Ago", "Set", "Out", "Nov", "Dez"]
+    cur = [100, 110, 120] + [None] * 9
+    avg = [95.0, 100.0, 105.0] + [100.0] * 9
+    rows = [
+        ("nacional", "Brasil (Nacional)", m + 1, labels[m], cur[m], 90,
+         avg[m], 3, "Mar 2026")
+        for m in range(12)
+    ]
+    spec = spark.createDataFrame(
+        rows,
+        "scope_slug string, scope_label string, month int, month_label string,"
+        " current_value long, previous_value long, avg_5y double,"
+        " last_closed_month int, published_at_label string",
+    )
+    p = social.focos_llm_payload(spec).collect()[0]
+    assert p.soma_focos_ano_atual == 100 + 110 + 120
+    assert p.soma_focos_ano_anterior == 90 * 3
+    assert p.soma_medias_5y_acumulada == 300.0
+    assert p.mes_rotulo == "Mar"
+    assert p.focos_ano_atual == 120 and p.focos_ano_anterior == 90
+    # _pct_delta: round(100*(120-90)/90, 2) = 33.33
+    assert p.variacao_pct_mes == 33.33
+    # acumulado vs prev: round(100*(330-270)/270, 2) = 22.22
+    assert p.variacao_pct_acumulado == 22.22
+    assert p.variacao_pct_acumulado_vs_media_5y == 10.0
+    assert p.bioma == "Brasil (Nacional)"
+    assert p.latest_year == 2026 and p.previous_year == 2025
+    assert '"variacao_pct": 33.33' in p.prompt_block
+    assert '"soma_medias_5y": 300.00' in p.prompt_block
+
+
+def test_focos_llm_payload_zero_base_and_null_current(spark):
+    """_pct_delta Nones on a zero base; a NULL current month renders
+    'null' in the prompt block (not Java's '%.2f'-of-\"null\" -> 'nu')."""
+    from forest_open_data_pipelines_spark.operators import social
+
+    rows = [
+        ("nacional", "Brasil (Nacional)", 1, "Jan", None, 0, 10.0, 1, "Jan 2026"),
+    ] + [
+        ("nacional", "Brasil (Nacional)", m, f"M{m}", None, 0, 0.0, 1, "Jan 2026")
+        for m in range(2, 13)
+    ]
+    spec = spark.createDataFrame(
+        rows,
+        "scope_slug string, scope_label string, month int, month_label string,"
+        " current_value long, previous_value long, avg_5y double,"
+        " last_closed_month int, published_at_label string",
+    )
+    p = social.focos_llm_payload(spec).collect()[0]
+    assert p.variacao_pct_mes is None
+    assert p.focos_ano_atual is None
+    assert '"focos_ano_atual": null' in p.prompt_block
+    assert '"variacao_pct": null' in p.prompt_block
+
+
+def test_boletins_links_reference_grammar(spark):
+    """Reference test twin (test_inpe_boletins_integrados.py):
+    '03_2024.pdf' against the 2024 year page resolves under /2024/ with
+    period 2024-03; the walk output sorts period-DESC; non-PDFs and
+    month-13 drop; the %5F href decodes in the FILENAME but stays raw
+    in the URL (the reference's unquote-then-name order)."""
+    from forest_open_data_pipelines_spark.operators import html as h
+
+    anchors = spark.createDataFrame(
+        [
+            ("03_2024.pdf", h.BOLETINS_BASE_URL + "2024/"),
+            ("01_2024.pdf", h.BOLETINS_BASE_URL + "2024/"),
+            ("02_2025.pdf", h.BOLETINS_BASE_URL + "2025/"),
+            ("not-a-boletim.txt", h.BOLETINS_BASE_URL + "2024/"),
+            ("13_2024.pdf", h.BOLETINS_BASE_URL + "2024/"),
+            ("04%5F2024.pdf", h.BOLETINS_BASE_URL + "2024/"),
+            ("03_2024.pdf", h.BOLETINS_BASE_URL + "2024/"),  # dup URL
+        ],
+        ["href", "base"],
+    )
+    rows = h.parse_boletins_integrados(anchors).collect()
+    assert [r.period for r in rows] == ["2025-02", "2024-04", "2024-03", "2024-01"]
+    assert rows[0].filename == "02_2025.pdf"
+    assert rows[0].url.endswith("/2025/02_2025.pdf")
+    enc = [r for r in rows if r.period == "2024-04"][0]
+    assert enc.filename == "04_2024.pdf" and "%5F" in enc.url
+
+
+def test_cvm_yearly_pick_semantics(spark):
+    """pick_urls twin (fi_doc_extrato.py:80-113): Atual first, yearly
+    (year DESC, url ASC stable) cut to latest_years, query-stripped
+    names MATCH (the deviation from fi_inf_diario), meta keeps the
+    LAST sorted url."""
+    from forest_open_data_pipelines_spark.operators import html as h
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 0) for i in range(64)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = h.cvm_latest_yearly_csvs(docs, latest_years=3).collect()
+    data = [r for r in rows if r.kind == "data"]
+    meta = [r for r in rows if r.kind == "meta"]
+    assert data[0].period == "Atual" and data[0].item_rank == 1
+    assert data[0].filename == "extrato_fi.csv"
+    yearly = data[1:]
+    assert len(yearly) == 3
+    assert [r.item_rank for r in yearly] == [2, 3, 4]
+    # stable (year DESC, url ASC): 2024 csv?download before 2023 rows
+    assert yearly[0].period >= yearly[-1].period
+    assert len(meta) == 1 and meta[0].filename == "meta_extrato_fi_v2.txt"
+    # the query-string yearly csv is accepted under the stripped name
+    assert any("?download=1" in r.url and r.filename.endswith(".csv") for r in data)
+
+
+def test_fenced_json_extract_reference_twin(spark):
+    """In-test stdlib twin of llm/router.py:37 _extract_json_object +
+    :57 _validate_required_keys (public semantics, reimplemented from
+    the reference's contract): statuses must agree variant-for-variant
+    on the synthetic response corpus."""
+    import json
+    import re
+
+    from forest_open_data_pipelines_spark.operators import textops as t
+
+    fence_re = re.compile(r"```(?:json)?\s*(\{.*?\})\s*```", re.DOTALL)
+
+    def twin(text: str) -> tuple[str, str | None]:
+        stripped = text.strip()
+        m = fence_re.search(stripped)
+        if m:
+            cand = m.group(1).strip()
+        else:
+            first, last = stripped.find("{"), stripped.rfind("}")
+            if first == -1 or last <= first:
+                return ("no_json", None)
+            cand = stripped[first : last + 1]
+        try:
+            parsed = json.loads(cand)
+        except ValueError:
+            return ("invalid_json", None)
+        if not isinstance(parsed, dict):
+            return ("invalid_json", None)
+        missing = [k for k in t.JSON_REQUIRED_KEYS if k not in parsed]
+        return ("missing_keys" if missing else "ok", ",".join(missing))
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 0) for i in range(45)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    wrapped = {r.doc_id: r.response
+               for r in t.wrap_documents_as_llm_responses(docs).collect()}
+    got = {r.doc_id: (r.status, r.missing_keys)
+           for r in t.fenced_json_extract(docs).collect()}
+    for i, resp in wrapped.items():
+        status, missing = twin(resp)
+        assert got[i][0] == status, (i, resp, got[i], status)
+        if status in ("ok", "missing_keys"):
+            assert got[i][1] == missing, (i, got[i], missing)
