@@ -2440,6 +2440,124 @@ FROM st ORDER BY doc_id"""
 
 
 
+def _eia_xls_picks_sql() -> str:
+    """DuckDB twin of html.eia_xls_picks: identical page/anchor
+    derivation, the crumb-first priority rule, (?i).xls$ fallback,
+    urljoin, and the partial-flag summary row."""
+    from forest_open_data_pipelines_spark.operators.html import EIA_BASE_URL
+
+    return f"""
+WITH pages AS (
+  SELECT doc_id, (doc_id % 6)::INT AS kind, doc_id::VARCHAR AS d,
+         'Series ' || doc_id::VARCHAR AS title,
+         '{EIA_BASE_URL}dnav/pet/page_' || doc_id::VARCHAR || '.htm' AS page_url
+  FROM documents
+),
+anchors AS (
+  SELECT doc_id, title, page_url, u.* FROM pages,
+  LATERAL (
+    SELECT 0 AS pos, 'crumb' AS cls,
+           CASE WHEN kind = 0 THEN 'Download Series History'
+                WHEN kind IN (1, 4) THEN 'History'
+                WHEN kind = 5 THEN 'Other crumb' END AS text,
+           CASE WHEN kind = 0 THEN 'data/file_' || d || '.xls'
+                WHEN kind = 1 THEN 'hist/file_' || d || '.xls'
+                WHEN kind = 4 THEN 'https://cdn.example/eia/file_' || d || '.xls'
+                WHEN kind = 5 THEN 'about.htm' END AS href
+    UNION ALL
+    SELECT 1, '', 'download',
+           CASE WHEN kind IN (2, 5) THEN 'hist/FILE_' || d || '.XLS' END
+    UNION ALL
+    SELECT 2, '', 'definitions', 'TblDefs/pet_defs.htm'
+  ) u
+  WHERE u.text IS NOT NULL AND u.href IS NOT NULL
+),
+ranked AS (
+  SELECT doc_id, title, page_url, pos, href,
+         CASE WHEN cls = 'crumb' AND (text LIKE '%Download Series History%'
+                                       OR href LIKE '%.xls%') THEN 1
+              WHEN regexp_matches(href, '(?i)\\.xls$') THEN 2 END AS p
+  FROM anchors
+),
+picked AS (
+  SELECT doc_id, title, page_url,
+         min(struct_pack(p := p, pos := pos, href := href)
+             ORDER BY p, pos) AS pick
+  FROM ranked WHERE p IS NOT NULL GROUP BY 1, 2, 3
+),
+resolved AS (
+  SELECT doc_id, title, (pick).p AS p,
+         CASE WHEN regexp_matches((pick).href, '^[a-z][a-z0-9+.-]*://')
+              THEN (pick).href
+              ELSE substr(page_url, 1, len(page_url)
+                          - len(string_split(page_url, '/')[-1])) || (pick).href
+         END AS url
+  FROM picked
+),
+data_rows AS (
+  SELECT 'data' AS kind, doc_id, title, 'current' AS period,
+         string_split(url, '/')[-1] AS filename, url AS direct_url,
+         CASE WHEN p = 1 THEN 'crumb' ELSE 'fallback' END AS via
+  FROM resolved
+),
+summary AS (
+  SELECT 'summary', NULL::BIGINT, NULL::VARCHAR, NULL::VARCHAR,
+         NULL::VARCHAR, NULL::VARCHAR,
+         CASE WHEN (SELECT count(*) FROM resolved)
+                   != (SELECT count(*) FROM pages)
+              THEN 'success_partial_fallback' ELSE 'success' END
+)
+SELECT * FROM data_rows UNION ALL SELECT * FROM summary
+ORDER BY kind, doc_id"""
+
+
+def _eia_series_combinations_sql() -> str:
+    """DuckDB twin of html.eia_series_combinations: identical option
+    derivation, slugify, '_[wm].htm' rewrite, ISO date conversion."""
+    from forest_open_data_pipelines_spark.operators.html import EIA_BASE_URL
+
+    return f"""
+WITH seeds AS (
+  SELECT doc_id, (doc_id % 5)::INT AS kind, doc_id::VARCHAR AS d FROM documents
+),
+opts AS (
+  SELECT doc_id,
+    CASE WHEN kind = 0 THEN 'Residential Heating Oil ' || d
+         WHEN kind = 1 THEN 'U.S. Propane (Wholesale) ' || d
+         WHEN kind = 2 THEN '  #2 Diesel -- Retail ' || d
+         WHEN kind = 3 THEN 'Kerosene/Jet A ' || d
+         ELSE 'No. 6 Residual Fuel ' || d END AS series_name,
+    'pet_pri_wfr_a_EP' || d || '_PRS_dpgal_'
+      || (CASE WHEN kind IN (0, 2, 4) THEN 'w' ELSE 'm' END) || '.htm' AS value,
+    'Release Date: ' || (doc_id % 12 + 1)::VARCHAR || '/'
+      || (doc_id % 27 + 1)::VARCHAR || '/2025' AS update_text
+  FROM seeds
+),
+slugged AS (
+  SELECT doc_id, series_name, value,
+    regexp_replace(regexp_replace(lower(series_name), '[^a-z0-9]+', '_', 'g'),
+                   '^_+|_+$', '', 'g') AS slug,
+    CASE WHEN regexp_extract(update_text, '(\\d{{1,2}}/\\d{{1,2}}/\\d{{4}})', 1) != ''
+         THEN string_split(regexp_extract(update_text,
+                '(\\d{{1,2}}/\\d{{1,2}}/\\d{{4}})', 1), '/')[3]
+              || '-' || lpad(string_split(regexp_extract(update_text,
+                '(\\d{{1,2}}/\\d{{1,2}}/\\d{{4}})', 1), '/')[1], 2, '0')
+              || '-' || lpad(string_split(regexp_extract(update_text,
+                '(\\d{{1,2}}/\\d{{1,2}}/\\d{{4}})', 1), '/')[2], 2, '0')
+         ELSE update_text END AS release_date
+  FROM opts
+)
+SELECT doc_id, slug || '_' || f.freq || '.xls' AS filename,
+       '{EIA_BASE_URL}' || regexp_replace(value, '(?i)_[wm]\\.htm$',
+                                          '_' || f.sfx || '.htm') AS url,
+       series_name || ' (' || f.cap || ')' AS display_name,
+       release_date
+FROM slugged, (VALUES ('w', 'weekly', 'Weekly'),
+                      ('m', 'monthly', 'Monthly')) AS f(sfx, freq, cap)
+ORDER BY doc_id, filename"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     from forest_open_data_pipelines_spark.operators.similarity import (
         IVF_KMEANS_ITERS as _IVF_ITERS,
@@ -3909,6 +4027,8 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
         out["monthly_chart_spec_scoped"]
     )
     out["boletins_integrados_links"] = _boletins_integrados_sql()
+    out["eia_xls_picks"] = _eia_xls_picks_sql()
+    out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["fenced_json_extract"] = _fenced_json_sql()
     from forest_open_data_pipelines_spark.operators.curation import (

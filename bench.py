@@ -117,6 +117,8 @@ HEADLINE = [
     "fenced_json_extract",
     "curation_report_by_source",
     "quality_by_lang_report",
+    "eia_xls_picks",
+    "eia_series_combinations",
     # dedup_canonical_by_quality re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_method_eval.

@@ -1857,3 +1857,244 @@ def cvm_latest_yearly_csvs(
         )
     )
     return data.unionByName(meta).orderBy("kind", "item_rank")
+
+
+# ── EIA listing selection (petroleum_monthly + heating_oil_propane) ─────────
+
+EIA_BASE_URL = "https://www.eia.example/petroleum/supply/monthly/"
+
+_EIA_PAGE_KINDS = 6
+
+
+def wrap_documents_as_eia_subpages(documents: DataFrame) -> DataFrame:
+    """Render documents as EIA sub-page anchor sets (one page per doc,
+    one row per anchor): kinds cycle the reference's pick branches — a
+    'crumb' anchor with the 'Download Series History' text, a crumb
+    anchor matched by '.xls' in its href, a fallback-only page (no
+    crumb, plain .XLS anchor — the (?i)\\.xls$ regex), a page with NO
+    xls at all (dropped, drives the partial flag), an absolute-href
+    crumb, and a page where a non-matching crumb LOSES to the
+    fallback anchor."""
+    d = F.col("doc_id").cast("string")
+    kind = (F.col("doc_id") % _EIA_PAGE_KINDS).cast("int")
+    title = F.concat(F.lit("Series "), d)
+    page = F.concat(F.lit(EIA_BASE_URL), F.lit("dnav/pet/page_"), d, F.lit(".htm"))
+    crumb_text = F.when(kind == 0, F.lit("Download Series History")).when(
+        kind.isin(1, 4), F.lit("History")
+    ).when(kind == 5, F.lit("Other crumb"))
+    crumb_href = (
+        F.when(kind == 0, F.concat(F.lit("data/file_"), d, F.lit(".xls")))
+        .when(kind == 1, F.concat(F.lit("hist/file_"), d, F.lit(".xls")))
+        .when(kind == 4, F.concat(F.lit("https://cdn.example/eia/file_"), d, F.lit(".xls")))
+        .when(kind == 5, F.lit("about.htm"))
+    )
+    fallback_href = F.when(kind.isin(2, 5), F.concat(F.lit("hist/FILE_"), d, F.lit(".XLS")))
+    anchors = F.array_compact(
+        F.array(
+            F.when(
+                crumb_text.isNotNull(),
+                F.struct(
+                    F.lit(0).alias("pos"),
+                    F.lit("crumb").alias("cls"),
+                    crumb_text.alias("text"),
+                    crumb_href.alias("href"),
+                ),
+            ),
+            F.when(
+                fallback_href.isNotNull(),
+                F.struct(
+                    F.lit(1).alias("pos"),
+                    F.lit("").alias("cls"),
+                    F.lit("download").alias("text"),
+                    fallback_href.alias("href"),
+                ),
+            ),
+            F.struct(
+                F.lit(2).alias("pos"),
+                F.lit("").alias("cls"),
+                F.lit("definitions").alias("text"),
+                F.lit("TblDefs/pet_defs.htm").alias("href"),
+            ),
+        )
+    )
+    return documents.select(
+        "doc_id", title.alias("title"), page.alias("page_url"), anchors.alias("anchors")
+    )
+
+
+def eia_xls_picks(documents: DataFrame) -> DataFrame:
+    """Per EIA sub-page, the direct-XLS pick with the reference's
+    priority rule — one 'data' row per page that yields a link plus a
+    one-row summary carrying the partial flag.
+
+    Reference: datasets/eia/petroleum_monthly.py:70-90
+    (``extract_xls_link``): priority 1 is the first anchor with class
+    'crumb' whose text contains 'Download Series History' OR whose
+    href contains '.xls'; priority 2 is the first anchor whose href
+    matches (?i)\\.xls$; pages yielding neither are skipped and the
+    manifest downgrades to success_partial_fallback when any page
+    dropped (sync :137-141). urljoin against the sub-page; filename =
+    last URL segment; period is the literal 'current'.
+
+    Scale: explode → one map-side-combinable min(struct) per page —
+    no window over the whole anchor set; the summary row is a global
+    two-count aggregate.
+    """
+    pages = wrap_documents_as_eia_subpages(documents)
+    a = pages.select(
+        "doc_id", "title", "page_url", F.explode("anchors").alias("a")
+    )
+    is_crumb_pick = (F.col("a.cls") == "crumb") & (
+        F.col("a.text").contains("Download Series History")
+        | F.col("a.href").contains(".xls")
+    )
+    is_fallback = F.col("a.href").rlike(r"(?i)\.xls$")
+    priority = (
+        F.when(is_crumb_pick, 1).when(is_fallback, 2).otherwise(F.lit(None))
+    )
+    picked = (
+        a.where(priority.isNotNull())
+        .groupBy("doc_id", "title", "page_url")
+        .agg(
+            F.min(
+                F.struct(
+                    priority.alias("p"),
+                    F.col("a.pos").alias("pos"),
+                    F.col("a.href").alias("href"),
+                )
+            ).alias("pick")
+        )
+    )
+    href = F.col("pick.href")
+    url = F.when(href.rlike(r"^[a-z][a-z0-9+.-]*://"), href).otherwise(
+        F.concat(F.col("page_url").substr(F.lit(1), F.length("page_url") - F.length(F.element_at(F.split("page_url", "/"), -1))), href)
+    )
+    data = picked.select(
+        F.lit("data").alias("kind"),
+        "doc_id",
+        "title",
+        F.lit("current").alias("period"),
+        F.element_at(F.split(url, "/"), -1).alias("filename"),
+        url.alias("direct_url"),
+        F.when(F.col("pick.p") == 1, F.lit("crumb")).otherwise(F.lit("fallback")).alias("via"),
+    )
+    summary = (
+        pages.join(picked.select("doc_id"), "doc_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .join(pages.agg(F.count(F.lit(1)).alias("n_links")))
+        .select(
+            F.lit("summary").alias("kind"),
+            F.lit(None).cast("long").alias("doc_id"),
+            F.lit(None).cast("string").alias("title"),
+            F.lit(None).cast("string").alias("period"),
+            F.lit(None).cast("string").alias("filename"),
+            F.lit(None).cast("string").alias("direct_url"),
+            F.when(
+                F.col("n_items") != F.col("n_links"),
+                F.lit("success_partial_fallback"),
+            )
+            .otherwise(F.lit("success"))
+            .alias("via"),
+        )
+    )
+    return data.unionByName(summary).orderBy("kind", "doc_id")
+
+
+_EIA_SERIES_KINDS = 5
+
+
+def wrap_documents_as_eia_options(documents: DataFrame) -> DataFrame:
+    """Render documents as Drop1 <option> rows: series display names
+    cycling slugify branches (spaces, punctuation runs, parenthetical,
+    leading/trailing symbols, digits) over weekly/monthly base hrefs."""
+    d = F.col("doc_id").cast("string")
+    kind = (F.col("doc_id") % _EIA_SERIES_KINDS).cast("int")
+    name = (
+        F.when(kind == 0, F.concat(F.lit("Residential Heating Oil "), d))
+        .when(kind == 1, F.concat(F.lit("U.S. Propane (Wholesale) "), d))
+        .when(kind == 2, F.concat(F.lit("  #2 Diesel -- Retail "), d))
+        .when(kind == 3, F.concat(F.lit("Kerosene/Jet A "), d))
+        .otherwise(F.concat(F.lit("No. 6 Residual Fuel "), d))
+    )
+    value = F.concat(
+        F.lit("pet_pri_wfr_a_EP"),
+        d,
+        F.lit("_PRS_dpgal_"),
+        F.when(kind.isin(0, 2, 4), F.lit("w")).otherwise(F.lit("m")),
+        F.lit(".htm"),
+    )
+    update_text = F.concat(
+        F.lit("Release Date: "),
+        (F.col("doc_id") % 12 + 1).cast("string"),
+        F.lit("/"),
+        (F.col("doc_id") % 27 + 1).cast("string"),
+        F.lit("/2025"),
+    )
+    return documents.select(
+        "doc_id", name.alias("series_name"), value.alias("value"),
+        update_text.alias("update_text"),
+    )
+
+
+def eia_series_combinations(documents: DataFrame) -> DataFrame:
+    """The weekly+monthly series-combination fan-out of the EIA
+    heating-oil/propane selector, plus the release-date parse.
+
+    Reference: datasets/eia/heating_oil_propane.py:53-85
+    (``get_combinations``): per Drop1 option, slugify the display name
+    ('[^a-z0-9]+' → '_' on the lowercase, strip '_'), then for BOTH
+    frequency suffixes rewrite the option value's trailing
+    '_[wm].htm' ((?i)) and emit filename '{slug}_{freq}.xls', the
+    joined URL and 'Name (Freq)' display; :25-31 ``parse_iso_date``
+    converts the page's 'Release Date: M/D/YYYY' to ISO (unparseable
+    input passes through verbatim).
+
+    Scale: a 2-element explode off a pure projection — no shuffle but
+    the presentation sort.
+    """
+    slug = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("series_name")), "[^a-z0-9]+", "_"),
+        "^_+|_+$",
+        "",
+    )
+    date_raw = F.regexp_extract(
+        F.col("update_text"), r"(\d{1,2}/\d{1,2}/\d{4})", 1
+    )
+    parts = F.split(date_raw, "/")
+    release_iso = F.when(
+        date_raw != "",
+        F.concat(
+            F.element_at(parts, 3),
+            F.lit("-"),
+            F.lpad(F.element_at(parts, 1), 2, "0"),
+            F.lit("-"),
+            F.lpad(F.element_at(parts, 2), 2, "0"),
+        ),
+    ).otherwise(F.col("update_text"))
+    opts = wrap_documents_as_eia_options(documents).select(
+        "doc_id",
+        "series_name",
+        "value",
+        slug.alias("slug"),
+        release_iso.alias("release_date"),
+        F.explode(
+            F.array(
+                F.struct(F.lit("w").alias("sfx"), F.lit("weekly").alias("freq"), F.lit("Weekly").alias("cap")),
+                F.struct(F.lit("m").alias("sfx"), F.lit("monthly").alias("freq"), F.lit("Monthly").alias("cap")),
+            )
+        ).alias("f"),
+    )
+    url_part = F.regexp_replace(
+        F.col("value"), r"(?i)_[wm]\.htm$", F.concat(F.lit("_"), F.col("f.sfx"), F.lit(".htm"))
+    )
+    return opts.select(
+        "doc_id",
+        F.concat(F.col("slug"), F.lit("_"), F.col("f.freq"), F.lit(".xls")).alias(
+            "filename"
+        ),
+        F.concat(F.lit(EIA_BASE_URL), url_part).alias("url"),
+        F.concat(
+            F.col("series_name"), F.lit(" ("), F.col("f.cap"), F.lit(")")
+        ).alias("display_name"),
+        "release_date",
+    ).orderBy("doc_id", "filename")

@@ -119,6 +119,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fenced_json_extract": lambda s, d: textops.fenced_json_extract(
         load_table(s, d, "documents")
     ),
+    "eia_xls_picks": lambda s, d: html.eia_xls_picks(
+        load_table(s, d, "documents")
+    ),
+    "eia_series_combinations": lambda s, d: html.eia_series_combinations(
+        load_table(s, d, "documents")
+    ),
     # ── Round-5 rotations (judge r4 item 1): the four entries added
     # parked in r4 — pytest-parity only until now — get their first
     # driver-scale rows this round ──────────────────────────────────
@@ -534,6 +540,8 @@ _R6_WINDOW: tuple[str, ...] = (
     "boletins_integrados_links",
     "cvm_latest_yearly_csvs",
     "fenced_json_extract",
+    "eia_xls_picks",
+    "eia_series_combinations",
     # never-driver-checked round-5 entries (first rows)
     "pii_scrub",
     "decontaminate_ngram",
@@ -568,8 +576,6 @@ _R6_WINDOW: tuple[str, ...] = (
     "user_retention_cohorts",
     "event_funnel",
     "embedding_label_stats",
-    "lang_id_ngram",
-    "pack_sequences",
     # flagship/bench anchors
     "monthly_series",
     "dedup_exact",

@@ -26,6 +26,8 @@ MUST_BE_IN_WINDOW = {
     "boletins_integrados_links",
     "cvm_latest_yearly_csvs",
     "fenced_json_extract",
+    "eia_xls_picks",
+    "eia_series_combinations",
     # never-driver-checked round-5 entries (first rows)
     "pii_scrub",
     "decontaminate_ngram",

@@ -2809,3 +2809,50 @@ def test_fenced_json_extract_reference_twin(spark):
         assert got[i][0] == status, (i, resp, got[i], status)
         if status in ("ok", "missing_keys"):
             assert got[i][1] == missing, (i, got[i], missing)
+
+
+def test_eia_xls_picks_priority_and_partial(spark):
+    """extract_xls_link twin (eia/petroleum_monthly.py:70-90): the
+    crumb rule beats the (?i).xls$ fallback; a non-matching crumb
+    loses to the fallback; xls-less pages drop and flip the summary
+    to success_partial_fallback."""
+    from forest_open_data_pipelines_spark.operators import html as h
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 0) for i in range(12)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = h.eia_xls_picks(docs).collect()
+    by_id = {r.doc_id: r for r in rows if r.kind == "data"}
+    # kind 3 pages (doc 3, 9) have no xls at all
+    assert 3 not in by_id and 9 not in by_id
+    assert by_id[0].via == "crumb" and by_id[0].filename == "file_0.xls"
+    assert by_id[2].via == "fallback" and by_id[2].filename == "FILE_2.XLS"
+    # the non-matching crumb page resolves through the fallback anchor
+    assert by_id[5].via == "fallback"
+    # absolute crumb href survives urljoin untouched
+    assert by_id[4].direct_url.startswith("https://cdn.example/")
+    summary = [r for r in rows if r.kind == "summary"]
+    assert len(summary) == 1 and summary[0].via == "success_partial_fallback"
+
+
+def test_eia_series_combinations_slug_and_rewrite(spark):
+    """get_combinations twin (eia/heating_oil_propane.py:53-85): both
+    frequency variants per option, slugify on punctuation-heavy names,
+    the (?i)_[wm].htm$ rewrite, and parse_iso_date's M/D/YYYY → ISO."""
+    from forest_open_data_pipelines_spark.operators import html as h
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 0) for i in range(5)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = h.eia_series_combinations(docs).collect()
+    assert len(rows) == 10  # 2 per option
+    by_key = {(r.doc_id, r.filename.rsplit("_", 1)[-1]): r for r in rows}
+    d2 = by_key[(2, "weekly.xls")]
+    assert d2.filename == "2_diesel_retail_2_weekly.xls"
+    assert d2.url.endswith("_w.htm")
+    assert d2.display_name == "  #2 Diesel -- Retail 2 (Weekly)"
+    m = by_key[(0, "monthly.xls")]
+    assert m.url.endswith("_m.htm") and "_w.htm" not in m.url
+    assert m.release_date == "2025-01-01"
