@@ -407,3 +407,30 @@ def test_q15_max_from_reaggregation_not_window(spark):
     # the one-row max attaches via a broadcast (Catalyst turns the
     # equality into a broadcast hash join key)
     assert "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "focos_llm_payload",
+        "boletins_integrados_links",
+        "cvm_latest_yearly_csvs",
+        "fenced_json_extract",
+        "eia_xls_picks",
+        "eia_series_combinations",
+    ],
+)
+def test_round6_ops_no_python_row_eval(spark, name):
+    """Round-6 operators stay JVM-side: regex parsing, JSON checks,
+    the brace-depth fold and the payload math are all Catalyst
+    expressions (corpus_curation's banded default keeps its one
+    sanctioned Arrow signature kernel, covered separately)."""
+    from forest_open_data_pipelines_spark.operators.dedup import release_persisted
+
+    try:
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+    finally:
+        release_persisted()
