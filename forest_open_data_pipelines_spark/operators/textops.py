@@ -806,7 +806,11 @@ def wrap_documents_as_llm_responses(documents: DataFrame) -> DataFrame:
     )
 
 
-def parse_fenced_json(responses: DataFrame, required: tuple[str, ...] = JSON_REQUIRED_KEYS) -> DataFrame:
+def parse_fenced_json(
+    responses: DataFrame,
+    required: tuple[str, ...] = JSON_REQUIRED_KEYS,
+    sorted_output: bool = True,
+) -> DataFrame:
     """(doc_id, json_text, status, missing_keys) — the network-free
     text half of the reference's LLM JSON router.
 
@@ -896,7 +900,7 @@ def parse_fenced_json(responses: DataFrame, required: tuple[str, ...] = JSON_REQ
         ),
         lambda acc: acc.zero,
     )
-    return (
+    out = (
         responses.select("doc_id", candidate.alias("candidate"))
         .select("doc_id", "candidate", zero_at.alias("zero_at"))
         .select(
@@ -913,8 +917,10 @@ def parse_fenced_json(responses: DataFrame, required: tuple[str, ...] = JSON_REQ
                 F.array_join(F.col("missing"), ","),
             ).alias("missing_keys"),
         )
-        .orderBy("doc_id")
     )
+    # presentation sort only — pass sorted_output=False on unbounded
+    # streams (pure projection otherwise: zero state, stream-safe)
+    return out.orderBy("doc_id") if sorted_output else out
 
 
 def fenced_json_extract(documents: DataFrame) -> DataFrame:

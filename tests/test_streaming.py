@@ -854,3 +854,64 @@ def test_pii_scrub_is_stream_safe(spark, tmp_path):
         query.stop()
     batch = pii_scrub(docs).collect()
     assert sorted(map(tuple, emitted)) == sorted(map(tuple, batch))
+
+
+def test_fenced_json_stream_matches_batch(spark, tmp_path):
+    """The streaming JSON gate is the batch extractor verbatim (pure
+    projection, zero state): the drained stream's (status, json_text,
+    missing_keys) rows equal batch parse_fenced_json exactly, and the
+    valid_only variant emits exactly the batch 'ok' subset."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        fenced_json_extract,
+        wrap_documents_as_llm_responses,
+    )
+    from forest_open_data_pipelines_spark.streaming.llm_responses import (
+        fenced_json_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    src = tmp_path / "resp_src"
+    wrap_documents_as_llm_responses(docs).write.parquet(str(src))
+    schema = wrap_documents_as_llm_responses(docs).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        fenced_json_stream(stream)
+        .writeStream.format("memory")
+        .queryName("fenced_json_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fenced_json"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            r.doc_id: (r.status, r.json_text, r.missing_keys)
+            for r in spark.sql("SELECT * FROM fenced_json_test").collect()
+        }
+    finally:
+        query.stop()
+    batch = {
+        r.doc_id: (r.status, r.json_text, r.missing_keys)
+        for r in fenced_json_extract(docs).collect()
+    }
+    assert got == batch
+    q2 = (
+        fenced_json_stream(stream, valid_only=True)
+        .writeStream.format("memory")
+        .queryName("fenced_json_ok_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fenced_json_ok"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        ok_ids = {
+            r.doc_id for r in spark.sql("SELECT * FROM fenced_json_ok_test").collect()
+        }
+    finally:
+        q2.stop()
+    assert ok_ids == {i for i, (s, _, _) in batch.items() if s == "ok"}
