@@ -2558,6 +2558,74 @@ ORDER BY doc_id, filename"""
 
 
 
+def _sq8_coded_cte() -> str:
+    """Shared SQ8 quantization CTE (embedding_quantize_sq8 /
+    ann_topk_sq8 twins): scale = round(max|x|/127, 6), codes =
+    round(x/scale) at 0 dp — the boundary-safe class where both
+    engines' rounding agrees on every double."""
+    return """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scaled AS (
+  SELECT vec_id, emb,
+         round(list_max(list_transform(emb, x -> abs(x))) / 127.0, 6) AS scale
+  FROM e
+),
+coded AS (
+  SELECT vec_id, emb, scale,
+         list_transform(emb, x -> CASE WHEN scale = 0 THEN 0
+                                       ELSE round(x / scale)::INT END) AS codes
+  FROM scaled
+)"""
+
+
+def _embedding_quantize_sq8_sql() -> str:
+    """DuckDB twin of similarity.embedding_quantize_sq8. The mse sum
+    uses list_reduce (sequential left-to-right, the same order as
+    Spark's aggregate fold) so the 6-dp round sees the identical
+    double on both engines."""
+    return f"""
+WITH {_sq8_coded_cte()},
+err AS (
+  SELECT vec_id, scale, codes,
+         list_transform(range(1, len(emb) + 1),
+                        i -> abs(emb[i] - codes[i] * scale)) AS e
+  FROM coded
+)
+SELECT vec_id, scale, codes,
+       round(list_max(e), 6) AS max_abs_err,
+       round(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)
+             / len(codes), 6) AS mse
+FROM err ORDER BY vec_id"""
+
+
+def _ann_topk_sq8_sql(n_queries: int = 8, k: int = 10) -> str:
+    """DuckDB twin of similarity.ann_topk_sq8: integer code dot
+    products are EXACT (order-independent), so only the final cosine
+    division rounds."""
+    return f"""
+WITH {_sq8_coded_cte()},
+nsq AS (
+  SELECT vec_id, codes,
+         list_sum(list_transform(codes, x -> x::BIGINT * x))::BIGINT AS n2
+  FROM coded
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_sum(list_transform(range(1, len(q.codes) + 1),
+                        i -> q.codes[i]::BIGINT * c.codes[i]))::DOUBLE
+               / (sqrt(q.n2::DOUBLE) * sqrt(c.n2::DOUBLE)), 6) AS cosine_q
+  FROM nsq q JOIN nsq c ON q.vec_id < {n_queries} AND c.vec_id <> q.vec_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine_q DESC, cand_id)::INTEGER AS rank,
+       cand_id, cosine_q
+FROM scored
+QUALIFY rank <= {k}
+ORDER BY query_id, rank"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     from forest_open_data_pipelines_spark.operators.similarity import (
         IVF_KMEANS_ITERS as _IVF_ITERS,
@@ -4028,6 +4096,8 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     )
     out["boletins_integrados_links"] = _boletins_integrados_sql()
     out["eia_xls_picks"] = _eia_xls_picks_sql()
+    out["embedding_quantize_sq8"] = _embedding_quantize_sq8_sql()
+    out["ann_topk_sq8"] = _ann_topk_sq8_sql()
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["fenced_json_extract"] = _fenced_json_sql()

@@ -119,6 +119,8 @@ HEADLINE = [
     "quality_by_lang_report",
     "eia_xls_picks",
     "eia_series_combinations",
+    "embedding_quantize_sq8",
+    "ann_topk_sq8",
     # dedup_canonical_by_quality re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_method_eval.

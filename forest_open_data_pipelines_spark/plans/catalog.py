@@ -125,6 +125,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eia_series_combinations": lambda s, d: html.eia_series_combinations(
         load_table(s, d, "documents")
     ),
+    "embedding_quantize_sq8": lambda s, d: similarity.embedding_quantize_sq8(
+        load_table(s, d, "embeddings")
+    ),
+    "ann_topk_sq8": lambda s, d: similarity.ann_topk_sq8(
+        load_table(s, d, "embeddings")
+    ),
     # ── Round-5 rotations (judge r4 item 1): the four entries added
     # parked in r4 — pytest-parity only until now — get their first
     # driver-scale rows this round ──────────────────────────────────
@@ -542,6 +548,8 @@ _R6_WINDOW: tuple[str, ...] = (
     "fenced_json_extract",
     "eia_xls_picks",
     "eia_series_combinations",
+    "embedding_quantize_sq8",
+    "ann_topk_sq8",
     # never-driver-checked round-5 entries (first rows)
     "pii_scrub",
     "decontaminate_ngram",
@@ -577,8 +585,6 @@ _R6_WINDOW: tuple[str, ...] = (
     "event_funnel",
     "embedding_label_stats",
     # flagship/bench anchors
-    "monthly_series",
-    "dedup_exact",
     "dedup_minhash",
     "dedup_ngram_jaccard",
     "dedup_ngram_ppjoin",

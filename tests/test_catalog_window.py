@@ -28,6 +28,8 @@ MUST_BE_IN_WINDOW = {
     "fenced_json_extract",
     "eia_xls_picks",
     "eia_series_combinations",
+    "embedding_quantize_sq8",
+    "ann_topk_sq8",
     # never-driver-checked round-5 entries (first rows)
     "pii_scrub",
     "decontaminate_ngram",

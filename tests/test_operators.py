@@ -2856,3 +2856,20 @@ def test_eia_series_combinations_slug_and_rewrite(spark):
     m = by_key[(0, "monthly.xls")]
     assert m.url.endswith("_m.htm") and "_w.htm" not in m.url
     assert m.release_date == "2025-01-01"
+
+
+def test_sq8_quantization_error_bound_and_recall(spark):
+    """SQ8 invariants: codes ∈ [-127, 127]; |reconstruction error| ≤
+    scale/2 + 6-dp rounding slack per dimension by construction; the
+    quantized top-k keeps ≥ 0.9 of the float bruteforce top-k on the
+    corpus (measured 1.0 at sf0.001)."""
+    from forest_open_data_pipelines_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = sim.embedding_quantize_sq8(emb).collect()
+    for r in q:
+        assert all(-127 <= c <= 127 for c in r.codes), r.vec_id
+        assert r.max_abs_err <= r.scale / 2 + 1e-6, r.vec_id
+    bf = {(r.query_id, r.cand_id) for r in sim.ann_topk_bruteforce(emb).collect()}
+    sq = {(r.query_id, r.cand_id) for r in sim.ann_topk_sq8(emb).collect()}
+    assert len(bf & sq) / len(bf) >= 0.9
