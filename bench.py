@@ -121,6 +121,10 @@ HEADLINE = [
     "eia_series_combinations",
     "embedding_quantize_sq8",
     "ann_topk_sq8",
+    # bpe_train is a TRAINING loop (10 rounds x ~1s of fixed per-job
+    # overhead at any SF — the symbol table is vocabulary-bounded), not
+    # a throughput query; it stays in the driver correctness window
+    # like dedup_method_eval.
     # dedup_canonical_by_quality re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_method_eval.

@@ -926,3 +926,83 @@ def parse_fenced_json(
 def fenced_json_extract(documents: DataFrame) -> DataFrame:
     """Catalog query: wrap documents as LLM responses, extract + validate."""
     return parse_fenced_json(wrap_documents_as_llm_responses(documents))
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 10) -> DataFrame:
+    """FULL iterative BPE training over the corpus (Sennrich et al.
+    2016, public algorithm) — the tokenizer-training loop of which
+    ``bpe_merge_candidates`` is one step: per round, count adjacent
+    SYMBOL pairs across the (weighted) vocabulary, merge the most
+    frequent pair everywhere (greedy left-to-right, non-overlapping),
+    repeat. Returns the learned merge table (merge_rank, left, right,
+    merged, freq) — the artifact a tokenizer ships.
+
+    Determinism: ties break (freq DESC, left ASC, right ASC); the
+    corpus-exact semantics are asserted against an in-test pure-Python
+    reference implementation (no SQL oracle — the loop's per-round
+    argmax is data-dependent, the declared rows-only pattern;
+    tests/test_operators.py carries the stdlib twin).
+
+    Scale shape (the connected_components recipe applied to training):
+    the symbol table is VOCABULARY-bounded (explode tokens → word
+    counts once, then every round works on ≤ |vocab| rows regardless
+    of corpus size); each round is ONE map-side-combinable pair-count
+    aggregation + a one-row argmax collect (the bounded-collect
+    pattern) + a pure-projection merge fold, with localCheckpoint
+    truncating lineage so round N's plan doesn't nest N join trees.
+    EAGER-construction note: like ``lang_id_ngram``, training runs at
+    DataFrame-construction time (n_merges bounded jobs), and the
+    returned merge table is a small local frame.
+    """
+    spark = documents.sparkSession
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    wc = (
+        spread(documents)
+        .select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = wc.select("n", F.split("w", "").alias("s")).localCheckpoint()
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        pair_structs = F.zip_with(
+            F.slice("s", 1, F.size("s") - 1),
+            F.slice("s", 2, F.size("s") - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        top = (
+            syms.where(F.size("s") >= 2)
+            .select("n", F.explode(pair_structs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("freq"))
+            .orderBy(F.desc("freq"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, freq = top[0]["l"], top[0]["r"], int(top[0]["freq"])
+        merged = l + r
+        merges.append((rank, l, r, merged, freq))
+        # greedy left-to-right non-overlapping merge: fold each word's
+        # symbol array, replacing a trailing `l` when the next symbol
+        # is `r` (a just-merged token can never equal `l` — merged is
+        # strictly longer — so overlaps resolve exactly like the
+        # reference implementation)
+        apply_merge = F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (x == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        syms = syms.select("n", apply_merge.alias("s")).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, freq long"
+    ).orderBy("merge_rank")

@@ -131,6 +131,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_sq8": lambda s, d: similarity.ann_topk_sq8(
         load_table(s, d, "embeddings")
     ),
+    # rows-only by design: the per-round argmax is data-dependent (no
+    # closed-form SQL); corpus-exact semantics are asserted against an
+    # in-test pure-Python reference twin.
+    "bpe_train": lambda s, d: textops.bpe_train(load_table(s, d, "documents")),
     # ── Round-5 rotations (judge r4 item 1): the four entries added
     # parked in r4 — pytest-parity only until now — get their first
     # driver-scale rows this round ──────────────────────────────────
@@ -550,6 +554,7 @@ _R6_WINDOW: tuple[str, ...] = (
     "eia_series_combinations",
     "embedding_quantize_sq8",
     "ann_topk_sq8",
+    "bpe_train",
     # never-driver-checked round-5 entries (first rows)
     "pii_scrub",
     "decontaminate_ngram",
@@ -592,7 +597,6 @@ _R6_WINDOW: tuple[str, ...] = (
     "ann_topk_lsh",
     "ann_topk_ivf",
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "q5_region_volume",
     "nations_trade_volume",
 )

@@ -30,6 +30,7 @@ MUST_BE_IN_WINDOW = {
     "eia_series_combinations",
     "embedding_quantize_sq8",
     "ann_topk_sq8",
+    "bpe_train",
     # never-driver-checked round-5 entries (first rows)
     "pii_scrub",
     "decontaminate_ngram",

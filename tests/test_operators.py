@@ -2873,3 +2873,61 @@ def test_sq8_quantization_error_bound_and_recall(spark):
     bf = {(r.query_id, r.cand_id) for r in sim.ann_topk_bruteforce(emb).collect()}
     sq = {(r.query_id, r.cand_id) for r in sim.ann_topk_sq8(emb).collect()}
     assert len(bf & sq) / len(bf) >= 0.9
+
+
+def test_bpe_train_matches_stdlib_reference(spark):
+    """In-test pure-Python BPE twin (Sennrich et al. 2016 — the public
+    reference algorithm): starting from the SAME word counts (shared
+    tokenization), the learned merge tables must be identical row for
+    row, including the (freq DESC, left, right) tie-break and the
+    greedy non-overlapping merge application."""
+    from collections import Counter
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        bpe_train,
+        clean_text,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    wc = (
+        docs.select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    vocab = [(list(r["w"]), int(r["count"])) for r in wc]
+
+    def twin(n_merges):
+        syms = [(list(s), c) for s, c in vocab]
+        out = []
+        for rank in range(1, n_merges + 1):
+            pc = Counter()
+            for s, c in syms:
+                for i in range(len(s) - 1):
+                    pc[(s[i], s[i + 1])] += c
+            if not pc:
+                break
+            (l, r), freq = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merged = l + r
+            out.append((rank, l, r, merged, freq))
+            new_syms = []
+            for s, c in syms:
+                ns, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        ns.append(merged)
+                        i += 2
+                    else:
+                        ns.append(s[i])
+                        i += 1
+                new_syms.append((ns, c))
+            syms = new_syms
+        return out
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.freq)
+        for r in bpe_train(docs, n_merges=6).collect()
+    ]
+    assert got == twin(6)
