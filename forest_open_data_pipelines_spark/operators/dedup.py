@@ -1395,6 +1395,17 @@ def edit_distance_pairs(
         .distinct()
         .repartition(sc.defaultParallelism, "doc_a", "doc_b")
     )
+    # COUNTING-FILTER A/B, measured and REJECTED (r6): the classic
+    # char-histogram gate (ed ≥ L1(hist)/2, so L1 > 2k prunes safely)
+    # removes 96% of DP calls at sf0.1 (936k candidates → 37k) — and
+    # still ran 1.5× SLOWER end-to-end, both as a zip_with/aggregate
+    # fold (interpreted per element) and as a flat 27-term codegen
+    # expression: Spark's threshold levenshtein early-exits on
+    # dissimilar strings (effectively O(k) there, not O(k·L)), so the
+    # verify was never the cost, while the two 27-int histogram arrays
+    # widened every candidate row through the join exchanges. The join
+    # volume is the cost; prune the CANDIDATE set (exact dedup first —
+    # the pipeline-order answer) rather than the verify.
     ed = F.levenshtein("t_a", "t_b", k)
     return (
         cand.join(
