@@ -51,6 +51,15 @@ def money(col: Column) -> Column:
     return F.round(col, MONEY_DP)
 
 
+def scaled_round(col: Column, dp: int) -> Column:
+    """Scale-then-round at ``dp`` decimals: round(x·10^dp)/10^dp —
+    binary-identical to DuckDB's native round(x, dp) for every double
+    (see ``ratio``); use for any double-typed rounding that an oracle
+    mirrors, at whatever precision."""
+    scale = F.lit(float(10**dp))
+    return F.round(col * scale, 0) / scale
+
+
 def ratio(col: Column) -> Column:
     """6-dp ratio rounding, SCALE-THEN-ROUND: ``round(x·10⁶) / 10⁶``.
 
@@ -72,8 +81,7 @@ def ratio(col: Column) -> Column:
     would silently detour through double — keep exact decimals on
     ``money``/explicit rounding instead).
     """
-    scale = F.lit(float(10**RATIO_DP))
-    return F.round(col * scale, 0) / scale
+    return scaled_round(col, RATIO_DP)
 
 
 def parse_pt_numeric(text: Column) -> Column:

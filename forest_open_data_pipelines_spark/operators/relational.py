@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from forest_open_data_pipelines_spark.functions.columns import money, ratio
+from forest_open_data_pipelines_spark.functions.columns import money, ratio, scaled_round
 
 
 def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
@@ -452,7 +452,7 @@ def disjunctive_promo_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame
         )
         .groupBy(clause.alias("brand_clause"))
         .agg(
-            F.round(
+            scaled_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
@@ -486,7 +486,7 @@ def returned_item_ranking(
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy("o_custkey")
         .agg(
-            F.round(
+            scaled_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )

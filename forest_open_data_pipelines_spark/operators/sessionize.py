@@ -131,12 +131,17 @@ def event_funnel(events: DataFrame) -> DataFrame:
         F.count("tc").alias("n_click"),
         F.count("tp").alias("n_purchase"),
     )
+    # scale-then-round inside the SQL string too (columns.ratio
+    # rationale — SQL round(x, 6) is the same decimal-string HALF_UP
+    # the migration removed everywhere else)
+    r6 = "round({x} * 1000000) / 1000000"
     stacked = totals.selectExpr(
         "stack(3, "
-        "1, 'view', n_view, round(n_view / n_users, 6), "
-        "2, 'click_after_view', n_click, round(n_click / nullif(n_view, 0), 6), "
+        f"1, 'view', n_view, {r6.format(x='n_view / n_users')}, "
+        "2, 'click_after_view', n_click, "
+        f"{r6.format(x='n_click / nullif(n_view, 0)')}, "
         "3, 'purchase_after_click', n_purchase, "
-        "round(n_purchase / nullif(n_click, 0), 6)"
+        f"{r6.format(x='n_purchase / nullif(n_click, 0)')}"
         ") AS (step, step_name, users, conversion)"
     )
     return stacked.orderBy("step")

@@ -308,10 +308,14 @@ def _cell_scored(cent_arr):
     return F.transform(
         cent_arr,
         lambda c: F.struct(
-            F.round(
-                _dot(F.col("embedding"), c["cent_emb"])
-                / (F.col("v_norm") * c["cent_norm"]),
-                9,
+            (
+                F.round(
+                    _dot(F.col("embedding"), c["cent_emb"])
+                    / (F.col("v_norm") * c["cent_norm"])
+                    * F.lit(1e9),
+                    0,
+                )
+                / F.lit(1e9)
             ).alias("cell_cos"),
             (-c["cell_id"]).alias("neg_cell_id"),
         ),

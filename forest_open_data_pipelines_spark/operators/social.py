@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import (
+    scaled_round,
     money,
     period_month,
     ratio,
@@ -302,7 +303,7 @@ def nation_share_latest(enriched: DataFrame, limit: int = 8) -> DataFrame:
             "n_name",
             "period",
             "value",
-            F.round(F.col("value") / total * 100.0, 2).alias("share_pct"),
+            scaled_round(F.col("value") / total * 100.0, 2).alias("share_pct"),
         )
         .orderBy(F.desc("value"), "n_name")
         .limit(limit)
@@ -933,7 +934,8 @@ def _fmt_pct(p: Column) -> Column:
     'n/d' for NULL, else sign-prefixed '%+.1f%%'. Deviation: a pct in
     (-0.05, 0) renders '+0.0%' here (SQL -0.0 == 0), where Python's
     '%+.1f' of the same value gives '-0.0%'."""
-    r = F.round(p, 1)
+    # scale-then-round at 1 dp (columns.ratio rationale)
+    r = F.round(p * F.lit(10.0), 0) / F.lit(10.0)
     return (
         F.when(p.isNull(), F.lit("n/d"))
         .when(r == 0, F.lit("+0.0%"))
@@ -954,13 +956,14 @@ def _compact_value(v: Column, kind: str) -> Column:
     """``_compact_value`` twin: value/1e6 at 1 dp with the mi/bi m3
     unit suffix."""
     unit = " mi m3" if kind == "petroleo" else " bi m3"
-    return F.concat(_fmt1(F.round(v / 1_000_000.0, 1)), F.lit(unit))
+    return F.concat(_fmt1(scaled_round(v / 1_000_000.0, 1)), F.lit(unit))
 
 
 def _pct_delta(new: Column, old: Column) -> Column:
-    """``pct_delta`` twin: round((new/old - 1)·100, 2), NULL on old=0."""
+    """``pct_delta`` twin: round((new/old - 1)·100, 2), NULL on old=0.
+    Scale-then-round at 2 dp (columns.ratio rationale)."""
     return F.when(old == 0, F.lit(None).cast("double")).otherwise(
-        F.round((new / old - 1.0) * 100.0, 2)
+        F.round((new / old - 1.0) * 100.0 * F.lit(100.0), 0) / F.lit(100.0)
     )
 
 
