@@ -2626,6 +2626,48 @@ ORDER BY query_id, rank"""
 
 
 
+def _charlm_perplexity_sql() -> str:
+    """DuckDB twin of textops.charlm_perplexity: identical training
+    (bigram/prefix counts + distinct-char vocab), integer micro-bit
+    log-probs (exact order-free sums), identical gating."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        CHARLM_MAX_ENTROPY_BITS,
+    )
+
+    return f"""
+WITH base AS (SELECT doc_id, {LCLEAN} AS t FROM documents),
+ex AS (
+  SELECT doc_id, substr(t, i, 2) AS bg
+  FROM base, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2
+),
+counts AS (SELECT bg, count(*) AS n12 FROM ex GROUP BY bg),
+prefix AS (SELECT substr(bg, 1, 1) AS c1, sum(n12) AS n1 FROM counts GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT substr(t, i, 1)) AS v
+  FROM base, unnest(range(1, len(t) + 1)) AS u(i)
+),
+model AS (
+  SELECT bg,
+         round(log2((n12 + 1)::DOUBLE / (n1 + v)) * 1000000)::BIGINT AS lp
+  FROM counts JOIN prefix ON substr(bg, 1, 1) = c1 CROSS JOIN vocab
+),
+scored AS (
+  SELECT doc_id, sum(lp)::BIGINT AS lp_sum, count(*)::BIGINT AS nb
+  FROM ex JOIN model USING (bg) GROUP BY doc_id
+),
+final AS (
+  SELECT b.doc_id, coalesce(nb, 0) AS n_bigrams,
+         round(-lp_sum / (nb * 1000000.0), 6) AS entropy_bits
+  FROM base b LEFT JOIN scored USING (doc_id)
+)
+SELECT doc_id, n_bigrams, entropy_bits,
+       round(pow(2.0, entropy_bits), 6) AS perplexity,
+       coalesce(entropy_bits <= {CHARLM_MAX_ENTROPY_BITS}, true) AS passes_charlm
+FROM final ORDER BY doc_id"""
+
+
+
 def oracle_sql() -> dict[str, str]:
     from forest_open_data_pipelines_spark.operators.similarity import (
         IVF_KMEANS_ITERS as _IVF_ITERS,
@@ -4097,6 +4139,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["boletins_integrados_links"] = _boletins_integrados_sql()
     out["eia_xls_picks"] = _eia_xls_picks_sql()
     out["embedding_quantize_sq8"] = _embedding_quantize_sq8_sql()
+    out["charlm_perplexity"] = _charlm_perplexity_sql()
     out["ann_topk_sq8"] = _ann_topk_sq8_sql()
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()

@@ -121,6 +121,7 @@ HEADLINE = [
     "eia_series_combinations",
     "embedding_quantize_sq8",
     "ann_topk_sq8",
+    "charlm_perplexity",
     # bpe_train is a TRAINING loop (10 rounds x ~1s of fixed per-job
     # overhead at any SF — the symbol table is vocabulary-bounded), not
     # a throughput query; it stays in the driver correctness window

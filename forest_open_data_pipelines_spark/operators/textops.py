@@ -1006,3 +1006,89 @@ def bpe_train(documents: DataFrame, n_merges: int = 10) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, freq long"
     ).orderBy("merge_rank")
+
+
+#: charlm gate threshold (bits/char), corpus-calibrated the way CCNet
+#: calibrates its perplexity buckets per corpus: the synthetic corpus
+#: measures 2.26-2.77 bits/char (p50 2.45, p95 2.54 at sf0.01), so 2.6
+#: flags the most out-of-distribution ~3-5% tail — a gate that
+#: actually fires. Out-of-vocabulary gibberish scores far above it
+#: (pinned in tests).
+CHARLM_MAX_ENTROPY_BITS = 2.6
+
+
+def charlm_perplexity(
+    documents: DataFrame, max_entropy_bits: float = CHARLM_MAX_ENTROPY_BITS
+) -> DataFrame:
+    """Character-bigram LM perplexity quality filter — the KenLM/CCNet
+    filtering shape (Wenzek et al. 2020, public methodology) at char
+    granularity: train an add-one-smoothed bigram model ON the corpus,
+    score every document's cross-entropy under it, and gate on a
+    bits-per-char threshold (out-of-distribution text — gibberish,
+    wrong-language, binary spew — scores high).
+
+    P(c2|c1) = (count(c1c2) + 1) / (count(c1·) + V), V = distinct
+    chars in the corpus. Per-bigram log2-probs are quantized to
+    INTEGER MICRO-BITS once per distinct bigram (≤ V² values), so the
+    per-document score is an exact integer sum — order-independent,
+    partition-independent, engine-identical by construction (the
+    integer micro-unit pattern; only the final /10⁶ division rounds).
+
+    Scale: training is one map-side-combinable bigram count over the
+    corpus (≤ V² output rows); the model table broadcasts onto the
+    scoring explode; one groupBy(doc_id) aggregates exact longs.
+    Documents shorter than 2 chars carry NULL entropy and pass.
+    """
+    t = F.lower(clean_text(F.col("text")))
+    base = spread(documents).select("doc_id", t.alias("t"))
+    bigrams = F.expr(
+        "CASE WHEN length(t) >= 2 THEN transform(sequence(1, length(t) - 1),"
+        " i -> substring(t, i, 2)) ELSE array() END"
+    )
+    ex = base.select("doc_id", F.explode(bigrams).alias("bg"))
+    counts = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
+    prefix = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("n12").alias("n1")
+    )
+    vocab = (
+        base.select(F.explode(F.split("t", "")).alias("c"))
+        # split('', '') yields [''] — drop it so an empty doc cannot
+        # inflate V (the oracle's substr walk never produces '')
+        .where(F.col("c") != "")
+        .agg(F.countDistinct("c").alias("v"))
+    )
+    lp_micro = F.round(
+        F.log2(
+            (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("v"))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    model = F.broadcast(
+        counts.join(prefix, F.substring("bg", 1, 1) == F.col("c1"))
+        .crossJoin(F.broadcast(vocab))
+        .select("bg", lp_micro.alias("lp_micro"))
+    )
+    scored = (
+        ex.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lp_micro").alias("lp_sum"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    h = ratio(-F.col("lp_sum") / (F.col("n_bigrams") * F.lit(1e6)))
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            h.alias("entropy_bits"),
+            ratio(F.pow(F.lit(2.0), h)).alias("perplexity"),
+            F.coalesce(h <= max_entropy_bits, F.lit(True)).alias(
+                "passes_charlm"
+            ),
+        )
+        .orderBy("doc_id")
+    )

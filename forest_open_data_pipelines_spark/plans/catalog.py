@@ -135,6 +135,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
     "bpe_train": lambda s, d: textops.bpe_train(load_table(s, d, "documents")),
+    "charlm_perplexity": lambda s, d: textops.charlm_perplexity(
+        load_table(s, d, "documents")
+    ),
     # ── Round-5 rotations (judge r4 item 1): the four entries added
     # parked in r4 — pytest-parity only until now — get their first
     # driver-scale rows this round ──────────────────────────────────
@@ -555,6 +558,7 @@ _R6_WINDOW: tuple[str, ...] = (
     "embedding_quantize_sq8",
     "ann_topk_sq8",
     "bpe_train",
+    "charlm_perplexity",
     # never-driver-checked round-5 entries (first rows)
     "pii_scrub",
     "decontaminate_ngram",
@@ -597,7 +601,6 @@ _R6_WINDOW: tuple[str, ...] = (
     "ann_topk_lsh",
     "ann_topk_ivf",
     "q1_pricing_summary",
-    "q5_region_volume",
     "nations_trade_volume",
 )
 assert len(_R6_WINDOW) == DRIVER_CHECK_CAP, len(_R6_WINDOW)

