@@ -33,6 +33,12 @@ from forest_open_data_pipelines_spark.sources import load_table
 BASE_SF = "/root/testdata/sf0.1"
 OUT = "/tmp/scale_probe"
 
+def _textops_op(name):
+    from forest_open_data_pipelines_spark.operators import textops
+
+    return lambda d: getattr(textops, name)(d)
+
+
 def _curation_op(name):
     from forest_open_data_pipelines_spark.operators import curation
 
@@ -62,6 +68,13 @@ OPS = {
         d.where(F.col("doc_id") % 13 == 0), d.where(F.col("doc_id") % 13 != 0)
     ),
     "edit_distance_pairs": lambda d: dedup.edit_distance_pairs(d),
+    # round-6 text additions: charlm's model stays <= V^2 rows at any
+    # corpus size; fenced_json is a pure projection; bpe_train works on
+    # the vocabulary, which token rotation leaves UNCHANGED across
+    # replicas — all three should probe ~flat per doc
+    "charlm_perplexity": _textops_op("charlm_perplexity"),
+    "fenced_json_extract": _textops_op("fenced_json_extract"),
+    "bpe_train": _textops_op("bpe_train"),
 }
 
 
