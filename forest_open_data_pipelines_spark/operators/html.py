@@ -1803,6 +1803,12 @@ def cvm_latest_yearly_csvs(
     Output: 'data' rows (item_rank, period, filename, url) in item
     order plus one 'meta' row (NULL rank/period).
 
+    Contract note: with ``include_current=True`` the yearly ranks
+    start at 2 on the assumption the current file exists (it always
+    does on this dataset — and in the synthetic wrapper); a feed that
+    drops ``extrato_fi.csv`` would leave rank 1 vacant rather than
+    renumber, keeping ranks stable across snapshots.
+
     Scale: url classification is a projection; ranks run over the
     tiny distinct-url set.
     """

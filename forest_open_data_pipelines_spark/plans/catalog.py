@@ -95,12 +95,14 @@ def _enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ORDER MATTERS: the driver's correctness harness checks only the FIRST
-# `DRIVER_CHECK_CAP` entries of this dict (in insertion order). Every entry
-# that needs a driver correctness row MUST appear before the PARKED section
-# at the bottom. Parked entries stay fully covered by
+# The driver's correctness harness checks only the FIRST `DRIVER_CHECK_CAP`
+# entries of QUERIES in insertion order. Since round 6 the DRIVER-VISIBLE
+# order is no longer this dict literal's: the `_R6_WINDOW` tuple below
+# re-inserts the window entries first (see its comment), so the dict body
+# keeps its historical grouping/comments while the window is stated in ONE
+# auditable place. Parked entries stay fully covered by
 # tests/test_oracle_parity.py and pytest — they just forgo the driver row.
-# tests/test_catalog_window.py asserts this invariant.
+# tests/test_catalog_window.py asserts the invariants.
 # ---------------------------------------------------------------------------
 
 DRIVER_CHECK_CAP = 50
