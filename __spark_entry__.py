@@ -2219,7 +2219,9 @@ agg AS (
          max(CASE WHEN month = last_closed_month THEN previous_value END) AS mom_prev,
          sum(CASE WHEN month <= last_closed_month THEN current_value END)::BIGINT AS ytd_cur,
          sum(CASE WHEN month <= last_closed_month THEN previous_value END)::BIGINT AS ytd_prev,
-         sum(CASE WHEN month <= last_closed_month THEN avg_5y END) AS ytd_avg_raw,
+         sum(CASE WHEN month <= last_closed_month
+                  THEN round(avg_5y * 1000000.0, 0)::BIGINT END) / 1000000.0
+           AS ytd_avg_raw,
          max(published_at_label) AS pal
   FROM spec GROUP BY 1, 2, 3
 )
@@ -2369,7 +2371,11 @@ def _fenced_json_sql() -> str:
     )
 
     req = ", ".join(f"'{k}'" for k in JSON_REQUIRED_KEYS)
-    fence = JSON_FENCE_RE.replace("\\", "\\\\")
+    # DuckDB single-quoted strings are escape-blind: embed the pattern
+    # VERBATIM. Doubling backslashes ('\\s') would make the fence branch
+    # dead code (literal-backslash pattern never matches) and every
+    # fenced response would silently take the brace fallback.
+    fence = JSON_FENCE_RE
     return f"""
 WITH seeds AS (SELECT doc_id, doc_id::VARCHAR AS d FROM documents),
 resp AS (
@@ -2382,8 +2388,9 @@ resp AS (
        'nenhum objeto aqui',
        '[' || ok || ']',
        '{{"a": 1}} e depois ' || ok,
-       'resposta truncada: {{"insight'
-     ])[(doc_id % 9)::INT + 1] AS response
+       'resposta truncada: {{"insight',
+       '```json' || chr(10) || ok || chr(10) || '``` {{"x": quebrado}}'
+     ])[(doc_id % 10)::INT + 1] AS response
   FROM (SELECT doc_id, d,
                '{{"insight": "i' || d || '", "hashtags": ["#h' || d || '"]}}' AS ok
         FROM seeds)

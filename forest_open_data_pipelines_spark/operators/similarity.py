@@ -604,8 +604,11 @@ def embedding_quantize_sq8(embeddings: DataFrame) -> DataFrame:
     """
     emb = F.col("embedding")
     scale, codes = sq8_code_cols(emb)
+    # carry the embedding through the first projection — the error
+    # audit needs it, and re-joining the source table to recover it
+    # would cost a second scan plus an exchange in a pure per-row op
     out = spread(embeddings).select(
-        "vec_id", scale.alias("scale"), codes.alias("codes")
+        "vec_id", "embedding", scale.alias("scale"), codes.alias("codes")
     )
     err = F.zip_with(
         F.col("embedding"),
@@ -613,8 +616,7 @@ def embedding_quantize_sq8(embeddings: DataFrame) -> DataFrame:
         lambda x, q: F.abs(x.cast("double") - q * F.col("scale")),
     )
     return (
-        out.join(embeddings, "vec_id")
-        .select(
+        out.select(
             "vec_id",
             "scale",
             "codes",

@@ -934,8 +934,7 @@ def _fmt_pct(p: Column) -> Column:
     'n/d' for NULL, else sign-prefixed '%+.1f%%'. Deviation: a pct in
     (-0.05, 0) renders '+0.0%' here (SQL -0.0 == 0), where Python's
     '%+.1f' of the same value gives '-0.0%'."""
-    # scale-then-round at 1 dp (columns.ratio rationale)
-    r = F.round(p * F.lit(10.0), 0) / F.lit(10.0)
+    r = scaled_round(p, 1)
     return (
         F.when(p.isNull(), F.lit("n/d"))
         .when(r == 0, F.lit("+0.0%"))
@@ -963,7 +962,7 @@ def _pct_delta(new: Column, old: Column) -> Column:
     """``pct_delta`` twin: round((new/old - 1)·100, 2), NULL on old=0.
     Scale-then-round at 2 dp (columns.ratio rationale)."""
     return F.when(old == 0, F.lit(None).cast("double")).otherwise(
-        F.round((new / old - 1.0) * 100.0 * F.lit(100.0), 0) / F.lit(100.0)
+        scaled_round((new / old - 1.0) * 100.0, 2)
     )
 
 
@@ -1229,9 +1228,9 @@ def payload_merge_dedupe_scoped(
 
 
 def _round2(c: Column) -> Column:
-    """2-dp scale-then-round (same hardening as functions.columns.ratio
-    at the reference's 2-dp payload precision)."""
-    return F.round(c * F.lit(100.0), 0) / F.lit(100.0)
+    """2-dp scale-then-round: named alias for the reference's payload
+    precision, delegating to the one canonical hardened formula."""
+    return scaled_round(c, 2)
 
 
 def focos_llm_payload(spec: DataFrame) -> DataFrame:
@@ -1280,7 +1279,21 @@ def focos_llm_payload(spec: DataFrame) -> DataFrame:
             F.max(F.when(at_last, F.col("previous_value"))).alias("mom_prev"),
             F.sum(F.when(in_win, F.col("current_value"))).alias("ytd_cur"),
             F.sum(F.when(in_win, F.col("previous_value"))).alias("ytd_prev"),
-            F.sum(F.when(in_win, F.col("avg_5y"))).alias("ytd_avg_raw"),
+            # avg_5y is a 6-dp ratio(): sum it in EXACT integer
+            # micro-units (long add is associative) so the result is
+            # independent of partial-aggregation order, then rescale —
+            # the embedding_label_stats micro-cosine pattern. A raw
+            # double sum could land 1 ulp apart across engines and flip
+            # the 2-dp display round at a half boundary.
+            (
+                F.sum(
+                    F.when(
+                        in_win,
+                        F.round(F.col("avg_5y") * F.lit(1e6), 0).cast("long"),
+                    )
+                )
+                / F.lit(1e6)
+            ).alias("ytd_avg_raw"),
             F.max("published_at_label").alias("published_at_label"),
         )
     )

@@ -770,7 +770,7 @@ JSON_FENCE_RE = r"(?s)```(?:json)?\s*(\{.*?\})\s*```"
 #: callers pass per-prompt lists; the validation shape is identical).
 JSON_REQUIRED_KEYS = ("insight", "hashtags")
 
-_LLM_RESPONSE_KINDS = 9
+_LLM_RESPONSE_KINDS = 10
 
 
 def wrap_documents_as_llm_responses(documents: DataFrame) -> DataFrame:
@@ -781,8 +781,12 @@ def wrap_documents_as_llm_responses(documents: DataFrame) -> DataFrame:
     body (the reference raises — no fallback to the brace branch), no
     JSON at all, a top-level array whose first-{/last-} substring IS
     the inner object (the sneaky branch), a two-object text whose
-    brace substring is invalid JSON, and a truncated response with a
-    '{' but no '}' (rfind misses -> no_json, not a runaway substring)."""
+    brace substring is invalid JSON, a truncated response with a
+    '{' but no '}' (rfind misses -> no_json, not a runaway substring),
+    and — the branch-precedence pin — a valid fence FOLLOWED by broken
+    brace content, where the fence body and the first-{/last-} substring
+    genuinely DIVERGE (fence → ok, fallback would → invalid_json), so a
+    dead fence branch on either engine fails parity instead of hiding."""
     d = F.col("doc_id").cast("string")
     ok = F.concat(
         F.lit('{"insight": "i'), d, F.lit('", "hashtags": ["#h'), d, F.lit('"]}')
@@ -797,6 +801,7 @@ def wrap_documents_as_llm_responses(documents: DataFrame) -> DataFrame:
         F.concat(F.lit("["), ok, F.lit("]")),
         F.concat(F.lit('{"a": 1} e depois '), ok),
         F.lit("resposta truncada: {\"insight"),
+        F.concat(F.lit("```json\n"), ok, F.lit("\n``` {\"x\": quebrado}")),
     )
     return documents.select(
         "doc_id",
@@ -1039,13 +1044,20 @@ def charlm_perplexity(
     scoring explode; one groupBy(doc_id) aggregates exact longs.
     Documents shorter than 2 chars carry NULL entropy and pass.
     """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
     t = F.lower(clean_text(F.col("text")))
-    base = spread(documents).select("doc_id", t.alias("t"))
+    # base feeds the bigram explode, the vocab count, AND the final
+    # left join; ex feeds both the model counts and the scoring join —
+    # persist both so the clean_text regex chain and the explode run
+    # ONCE over the corpus instead of 2-4 times (the signature-table
+    # pattern of the dedup siblings)
+    base = _persist(spread(documents).select("doc_id", t.alias("t")))
     bigrams = F.expr(
         "CASE WHEN length(t) >= 2 THEN transform(sequence(1, length(t) - 1),"
         " i -> substring(t, i, 2)) ELSE array() END"
     )
-    ex = base.select("doc_id", F.explode(bigrams).alias("bg"))
+    ex = _persist(base.select("doc_id", F.explode(bigrams).alias("bg")))
     counts = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
     prefix = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("n12").alias("n1")

@@ -540,9 +540,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # ---------------------------------------------------------------------------
 # Round-6 window rotation (judge r5 item 1): the dict above keeps its
 # historical grouping; the DRIVER-VISIBLE order is re-stated here
-# explicitly. Window = the 4 round-6 additions + the 21 entries that
+# explicitly. Window = the 10 round-6 additions + the 21 entries that
 # had never had a driver row (round-5 third-tranche operators, parked
-# behind the pinned r5 window) + 25 holdovers whose code paths changed
+# behind the pinned r5 window) + 19 holdovers whose code paths changed
 # this round (banded curation default, simhash64 h=7 promotion,
 # connected-components hardening, the ratio() scale-then-round
 # migration) or that anchor the flagship/bench set. Everything parked
