@@ -1955,6 +1955,44 @@ FROM corpus c LEFT JOIN bench b ON c.s = b.s
 GROUP BY c.doc_id ORDER BY c.doc_id"""
 
 
+def _decontaminate_embedding_sql() -> str:
+    """DuckDB twin of curation.decontaminate_embedding: same bench
+    split (vec_id % mod), list_dot_product cosine at 6 dp (the
+    dedup_embedding fold convention — both engines sum dims in order),
+    and the identical max(struct(cos, -bench_id)) nearest tie-break."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        DECONTAM_BENCH_MOD as MOD,
+        DECONTAM_EMB_THRESHOLD as THR,
+    )
+
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS norm
+  FROM embeddings
+),
+b AS (SELECT vec_id AS bench_id, embedding AS b_emb, norm AS b_norm
+      FROM e WHERE vec_id % {MOD} = 0),
+c AS (SELECT vec_id, embedding, norm FROM e WHERE vec_id % {MOD} <> 0),
+s AS (
+  SELECT c.vec_id, bench_id,
+         round(list_dot_product(c.embedding, b_emb) / (norm * b_norm), 6)
+           AS cos
+  FROM c, b
+),
+g AS (
+  SELECT vec_id,
+         sum(CASE WHEN cos >= {THR} THEN 1 ELSE 0 END)::BIGINT
+           AS n_bench_hits,
+         max(struct_pack(c := cos, nb := -bench_id)) AS best
+  FROM s GROUP BY vec_id
+)
+SELECT vec_id, n_bench_hits, (best).c AS max_cosine,
+       -(best).nb AS nearest_bench_id, n_bench_hits > 0 AS contaminated
+FROM g ORDER BY vec_id"""
+
+
 def _chunk_dedup_sql() -> str:
     """DuckDB twin of curation.chunk_dedup: same non-overlapping token
     chunks, keep-first by (doc_id, idx) per chunk (string key here,
@@ -4097,6 +4135,7 @@ ORDER BY suppkey""",
         # round-5 curation additions ----------------------------------------
         "pii_scrub": _pii_scrub_sql(),
         "decontaminate_ngram": _decontaminate_sql(),
+        "decontaminate_embedding": _decontaminate_embedding_sql(),
         "chunk_dedup": _chunk_dedup_sql(),
         "dataset_mixture_plan": _mixture_plan_sql(),
         "stratified_sample": _stratified_sample_sql(),

@@ -348,6 +348,83 @@ def decontaminate_ngram(
     )
 
 
+#: cosine threshold for embedding-space contamination — the corpus'
+#: near-dup band (true-dup cosines sit at 0.45-0.60; random pairs
+#: measure well below), same constant as the curation near-dup stage.
+DECONTAM_EMB_THRESHOLD = 0.45
+
+
+def decontaminate_embedding(
+    embeddings: DataFrame,
+    threshold: float = DECONTAM_EMB_THRESHOLD,
+    bench_mod: int = DECONTAM_BENCH_MOD,
+) -> DataFrame:
+    """Embedding-space training-set decontamination: flag every corpus
+    vector whose cosine to ANY held-out benchmark vector reaches
+    ``threshold`` — the semantic sibling of ``decontaminate_ngram``.
+    Surface n-gram overlap misses paraphrased eval leakage; embedding
+    similarity catches it (the public semantic-decontamination
+    methodology discussed in eval-contamination literature, e.g.
+    Yang et al. 2023 "Rethinking Benchmark and Contamination").
+
+    Benchmark split: ``vec_id % bench_mod == 0`` — the n-gram sibling's
+    deterministic convention. Output per corpus vector: benchmark-hit
+    count, max cosine, nearest benchmark id (smallest id on 6-dp
+    ties), contaminated flag.
+
+    Scale: the benchmark side is an eval suite — tiny relative to the
+    corpus by construction — so it BROADCASTS onto ONE pass over the
+    corpus (the ann_topk_bruteforce query-set shape); the per-vector
+    reduction is a map-side-combinable groupBy max/count. Never
+    corpus×corpus. Cosines use the same Catalyst fold + 6-dp ratio as
+    ``dedup_embedding`` — bit-identical to the DuckDB twin. The
+    nearest-id tie-break rides the SAME aggregate via max(struct(cos,
+    -bench_id)), so no second pass or window.
+    """
+    norm = F.sqrt(
+        F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x.cast("double") * x)
+    )
+    e = spread(embeddings).select("vec_id", "embedding", norm.alias("norm"))
+    is_bench = F.col("vec_id") % bench_mod == 0
+    bench = F.broadcast(
+        e.where(is_bench).select(
+            F.col("vec_id").alias("bench_id"),
+            F.col("embedding").alias("b_emb"),
+            F.col("norm").alias("b_norm"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "b_emb", lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cos = ratio(dot / (F.col("norm") * F.col("b_norm")))
+    return (
+        e.where(~is_bench)
+        .crossJoin(bench)
+        .select("vec_id", "bench_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.when(F.col("cos") >= threshold, 1).otherwise(0)).alias(
+                "n_bench_hits"
+            ),
+            F.max(
+                F.struct(
+                    F.col("cos").alias("c"), (-F.col("bench_id")).alias("nb")
+                )
+            ).alias("best"),
+        )
+        .select(
+            "vec_id",
+            "n_bench_hits",
+            F.col("best.c").alias("max_cosine"),
+            (-F.col("best.nb")).alias("nearest_bench_id"),
+            (F.col("n_bench_hits") > 0).alias("contaminated"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Chunk-level exact dedup (C4-style span dedup, chunk granularity)
 # ---------------------------------------------------------------------------

@@ -476,6 +476,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_ngram": lambda s, d: curation.decontaminate_ngram(
         load_table(s, d, "documents")
     ),
+    "decontaminate_embedding": lambda s, d: curation.decontaminate_embedding(
+        load_table(s, d, "embeddings")
+    ),
     "chunk_dedup": lambda s, d: curation.chunk_dedup(load_table(s, d, "documents")),
     "dataset_mixture_plan": lambda s, d: curation.dataset_mixture_plan(
         load_table(s, d, "documents")

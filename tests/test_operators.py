@@ -2393,6 +2393,50 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert not out[3]["contaminated"] and out[3]["n_grams"] == 1
 
 
+def test_decontaminate_embedding_matches_exact_pairs(spark, sf_dir):
+    """Ground truth: a corpus vector is contaminated iff the EXACT
+    all-pairs cosine (dedup_embedding's fold, threshold 0.45) links it
+    to a bench (vec_id%97==0) vector; nearest id is the argmax with
+    the smallest-id tie-break; bench rows never appear in the output.
+    Also the scale shape: the bench side broadcasts (no SortMergeJoin
+    exchange on the corpus pass)."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        DECONTAM_BENCH_MOD,
+        DECONTAM_EMB_THRESHOLD,
+        decontaminate_embedding,
+    )
+    from forest_open_data_pipelines_spark.operators.dedup import dedup_embedding
+    from forest_open_data_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = {r["vec_id"]: r for r in decontaminate_embedding(emb).collect()}
+    assert all(v % DECONTAM_BENCH_MOD != 0 for v in out)
+    # exact all-pairs ground truth at threshold 0 → every (corpus,
+    # bench) cosine; re-derive hits/nearest in Python
+    pairs = dedup_embedding(emb, threshold=-1.0).collect()
+    best: dict[int, tuple[float, int]] = {}
+    hits: dict[int, int] = {}
+    for r in pairs:
+        for c, b in ((r["vec_a"], r["vec_b"]), (r["vec_b"], r["vec_a"])):
+            if c % DECONTAM_BENCH_MOD != 0 and b % DECONTAM_BENCH_MOD == 0:
+                cur = best.get(c)
+                if cur is None or (r["cosine"], -b) > (cur[0], -cur[1]):
+                    best[c] = (r["cosine"], b)
+                if r["cosine"] >= DECONTAM_EMB_THRESHOLD:
+                    hits[c] = hits.get(c, 0) + 1
+    for vid, row in out.items():
+        exp_cos, exp_b = best[vid]
+        assert row["max_cosine"] == exp_cos and row["nearest_bench_id"] == exp_b
+        assert row["n_bench_hits"] == hits.get(vid, 0)
+        assert row["contaminated"] == (hits.get(vid, 0) > 0)
+    # threshold firing is an sf0.01+ property (max cosine at sf0.001
+    # sits below 0.45; 1 hit at sf0.01, 5 at sf0.1 — the driver row
+    # pins it); here just sanity-check the audit columns are live
+    assert max(r["max_cosine"] for r in out.values()) > 0
+    plan = decontaminate_embedding(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "SortMergeJoin" not in plan
+
+
 def test_stratified_sample_deterministic_and_consistent(spark, sf_dir):
     """The md5 draw makes the sample a pure function of the corpus: two
     runs agree row-for-row, and every sampled doc satisfies the exact
