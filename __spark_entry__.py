@@ -4247,6 +4247,35 @@ SELECT bucket_exp,
        round(n_docs::DOUBLE / t_docs, 6) AS doc_share,
        round(n_tokens::DOUBLE / t_tokens, 6) AS token_share
 FROM per CROSS JOIN tot ORDER BY bucket_exp"""
+    # tfidf: idf quantized to integer micro-bits per distinct term (the
+    # charlm convention), so score_micro = tf·idf_micro is an exact
+    # BIGINT and rank order is engine-independent.
+    from forest_open_data_pipelines_spark.operators.textops import TFIDF_TOP_K
+
+    out["tfidf_top_terms"] = f"""
+WITH toks AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks, unnest(t) AS u(term)
+  WHERE term != ''
+  GROUP BY doc_id, term
+),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         tf * round(log2((n_docs + 1)::DOUBLE / (df + 1))
+                    * 1000000.0, 0)::BIGINT AS score_micro
+  FROM tf JOIN dft USING (term), n
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, term)::INT AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, tf, df,
+       round(score_micro / 1000000.0, 6) AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank"""
     # session_duration_stats composes the sessionize twin the same way.
     out["session_duration_stats"] = f"""
 WITH s AS (SELECT * FROM ({out["events_sessionize"]})),

@@ -761,6 +761,76 @@ def token_histogram(documents: DataFrame) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 5
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic
+    keyword-extraction report (Salton & Buckley term weighting, public
+    methodology): score(d, t) = tf(d, t) · idf(t) with the smoothed
+    idf(t) = log2((N + 1) / (df(t) + 1)).
+
+    Engine-portable scoring: idf is quantized to INTEGER MICRO-BITS
+    once per distinct term (the ``charlm_perplexity`` pattern — a
+    1-ulp libm log2 difference only flips a micro-bit within ~1e-10 of
+    a quantization boundary, over ≤|vocab| distinct values), so
+    score_micro = tf · idf_micro is an EXACT long and the rank order
+    is engine- and partitioning-independent; ties break on the term
+    string. Only the 6-dp display division rounds.
+
+    Scale: tf is ONE map-side-combinable groupBy(doc_id, term) over
+    the token explode; df and N reduce the tf table and the documents
+    scan respectively (no second token pass); the df attach is a
+    term-keyed join (AQE skew-split handles stopword-hot keys — df is
+    one row per term, so the SKEW is on the tf side only); the top-k
+    window partitions by doc_id.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    term = F.explode(F.split(F.lower(clean_text(F.col("text"))), " ")).alias(
+        "term"
+    )
+    tf = _persist(
+        spread(documents)
+        .select("doc_id", term)
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_micro = F.round(
+        F.log2((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * idf_micro).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "rank",
+            "term",
+            "tf",
+            "df",
+            ratio(F.col("score_micro") / F.lit(1e6)).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 # ── Fenced-JSON extraction (LLM response parsing) ───────────────────────────
 
 # Reference: llm/router.py:30 _JSON_FENCE_RE — lazy object body inside

@@ -501,6 +501,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical_by_quality": lambda s, d: dedup.dedup_canonical_by_quality(
         load_table(s, d, "documents")
     ),
+    "tfidf_top_terms": lambda s, d: textops.tfidf_top_terms(
+        load_table(s, d, "documents")
+    ),
     "token_histogram": lambda s, d: textops.token_histogram(
         load_table(s, d, "documents")
     ),

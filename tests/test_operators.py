@@ -2393,6 +2393,31 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert not out[3]["contaminated"] and out[3]["n_grams"] == 1
 
 
+def test_tfidf_top_terms_hand_computed(spark):
+    """3-doc fixture with exact smoothed-idf values: a rarer term
+    (df=1, idf=log2(4/2)=1.0) outranks a higher-tf common one when the
+    product says so, and exact scores survive micro-bit quantization."""
+    from forest_open_data_pipelines_spark.operators.textops import tfidf_top_terms
+
+    docs = _docs(
+        spark,
+        [
+            (0, "apple banana apple", "en", "s", 0),
+            (1, "banana cherry", "en", "s", 0),
+            (2, "cherry cherry durian", "en", "s", 0),
+        ],
+    )
+    rows = {(r["doc_id"], r["rank"]): r for r in tfidf_top_terms(docs).collect()}
+    # doc 0: apple tf=2 df=1 -> 2·log2(4/2) = 2.0 beats banana 0.415037
+    assert rows[(0, 1)]["term"] == "apple" and rows[(0, 1)]["tfidf"] == 2.0
+    assert rows[(0, 2)]["term"] == "banana" and rows[(0, 2)]["tfidf"] == 0.415037
+    # doc 2: durian tf=1 df=1 -> 1.0 beats cherry tf=2 df=2 -> 0.830074
+    assert rows[(2, 1)]["term"] == "durian" and rows[(2, 1)]["tfidf"] == 1.0
+    assert rows[(2, 2)]["term"] == "cherry" and rows[(2, 2)]["tfidf"] == 0.830074
+    # doc 1: banana vs cherry tie on score (tf=1, df=2) -> term order
+    assert rows[(1, 1)]["term"] == "banana" and rows[(1, 2)]["term"] == "cherry"
+
+
 def test_decontaminate_embedding_matches_exact_pairs(spark, sf_dir):
     """Ground truth: a corpus vector is contaminated iff the EXACT
     all-pairs cosine (dedup_embedding's fold, threshold 0.45) links it
