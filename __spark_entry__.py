@@ -1955,6 +1955,51 @@ FROM corpus c LEFT JOIN bench b ON c.s = b.s
 GROUP BY c.doc_id ORDER BY c.doc_id"""
 
 
+def _dsir_importance_sql() -> str:
+    """DuckDB twin of curation.dsir_importance_weights: same md5-int
+    feature hashing, add-one smoothed bucket distributions, micro-bit
+    quantized log-ratios, exact per-doc BIGINT sums."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        DSIR_BUCKETS as B,
+        DSIR_TARGET_LANG as TL,
+    )
+
+    h = _MD5_INT.format(expr="term")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, {h} % {B} AS bucket
+  FROM (SELECT doc_id, lang,
+               unnest(string_split({LCLEAN}, ' ')) AS term
+        FROM documents)
+  WHERE term != ''
+),
+hist AS (
+  SELECT bucket, count(*) AS r_cnt,
+         sum(CASE WHEN lang = '{TL}' THEN 1 ELSE 0 END)::BIGINT AS t_cnt
+  FROM tok GROUP BY bucket
+),
+tot AS (SELECT sum(r_cnt)::BIGINT AS r_tot, sum(t_cnt)::BIGINT AS t_tot
+        FROM hist),
+lr AS (
+  SELECT bucket,
+         round(log2(((t_cnt + 1)::DOUBLE / (t_tot + {B}))
+                    / ((r_cnt + 1)::DOUBLE / (r_tot + {B})))
+               * 1000000.0, 0)::BIGINT AS lr_micro
+  FROM hist CROSS JOIN tot
+),
+scores AS (
+  SELECT doc_id, count(*) AS n_tokens, sum(lr_micro)::BIGINT AS s_micro
+  FROM tok JOIN lr USING (bucket)
+  GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang,
+       coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(s_micro, 0) / 1000000.0, 6) AS log_importance,
+       coalesce(s_micro, 0) > 0 AS target_like
+FROM documents d LEFT JOIN scores s ON d.doc_id = s.doc_id
+ORDER BY d.doc_id"""
+
+
 def _decontaminate_embedding_sql() -> str:
     """DuckDB twin of curation.decontaminate_embedding: same bench
     split (vec_id % mod), list_dot_product cosine at 6 dp (the
@@ -4136,6 +4181,7 @@ ORDER BY suppkey""",
         "pii_scrub": _pii_scrub_sql(),
         "decontaminate_ngram": _decontaminate_sql(),
         "decontaminate_embedding": _decontaminate_embedding_sql(),
+        "dsir_importance_weights": _dsir_importance_sql(),
         "chunk_dedup": _chunk_dedup_sql(),
         "dataset_mixture_plan": _mixture_plan_sql(),
         "stratified_sample": _stratified_sample_sql(),

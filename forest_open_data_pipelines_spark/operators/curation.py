@@ -426,6 +426,107 @@ def decontaminate_embedding(
 
 
 # ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed n-gram features)
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+def dsir_importance_weights(
+    documents: DataFrame,
+    target_lang: str = DSIR_TARGET_LANG,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", public
+    methodology): estimate hashed-unigram feature distributions for
+    the TARGET domain (here: docs whose ``lang`` equals
+    ``target_lang``) and for the RAW corpus, then score every document
+    by the importance log-ratio Σ_f count_f(doc) ·
+    log2(p̂_target[f] / p̂_raw[f]) with add-one smoothing over
+    ``n_buckets`` hashed buckets. Positive scores mark target-like
+    documents — the resampling weight DSIR draws by.
+
+    Engine-portable scoring: the bucket log-ratios are quantized ONCE
+    per bucket (≤ n_buckets values) to INTEGER MICRO-BITS — the
+    charlm_perplexity convention — so each document's score is an
+    exact long sum, independent of partitioning and engine; only the
+    final 6-dp display division rounds. Smoothed probabilities are
+    formed as double ratios of exact integer counts (identical IEEE
+    ops on both engines).
+
+    Scale: ONE token pass feeds both bucket histograms (the target
+    histogram is a filtered aggregation of the same stream, not a
+    second scan); histograms are ≤ n_buckets rows and BROADCAST back
+    onto the token stream, so the only wide exchange is the final
+    map-side-combinable groupBy(doc_id). Never a corpus-sized join
+    key. Feature hashing uses the dedup family's 60-bit md5 ints —
+    reproducible on any engine.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    term = F.explode(F.split(F.lower(clean_text(F.col("text"))), " ")).alias(
+        "term"
+    )
+    tok = _persist(
+        spread(documents)
+        .select("doc_id", "lang", term)
+        .where(F.col("term") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (_md5_int(F.col("term")) % n_buckets).alias("bucket"),
+        )
+    )
+    is_target = F.col("lang") == target_lang
+    hist = (
+        tok.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("r_cnt"),
+            F.sum(F.when(is_target, 1).otherwise(0)).alias("t_cnt"),
+        )
+    )
+    tot = hist.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    lr_micro = F.round(
+        F.log2(
+            ((F.col("t_cnt") + 1).cast("double") / (F.col("t_tot") + n_buckets))
+            / ((F.col("r_cnt") + 1).cast("double") / (F.col("r_tot") + n_buckets))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    lr = F.broadcast(
+        hist.crossJoin(F.broadcast(tot)).select(
+            "bucket", lr_micro.alias("lr_micro")
+        )
+    )
+    scores = (
+        tok.join(lr, "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_micro").alias("s_micro"),
+        )
+    )
+    return (
+        spread(documents)
+        .select("doc_id", "lang")
+        .join(scores, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            ratio(F.coalesce("s_micro", F.lit(0)) / F.lit(1e6)).alias(
+                "log_importance"
+            ),
+            (F.coalesce("s_micro", F.lit(0)) > 0).alias("target_like"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chunk-level exact dedup (C4-style span dedup, chunk granularity)
 # ---------------------------------------------------------------------------
 CHUNK_TOKENS = 20

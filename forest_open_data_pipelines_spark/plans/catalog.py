@@ -479,6 +479,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_embedding": lambda s, d: curation.decontaminate_embedding(
         load_table(s, d, "embeddings")
     ),
+    "dsir_importance_weights": lambda s, d: curation.dsir_importance_weights(
+        load_table(s, d, "documents")
+    ),
     "chunk_dedup": lambda s, d: curation.chunk_dedup(load_table(s, d, "documents")),
     "dataset_mixture_plan": lambda s, d: curation.dataset_mixture_plan(
         load_table(s, d, "documents")

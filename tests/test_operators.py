@@ -2393,6 +2393,55 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert not out[3]["contaminated"] and out[3]["n_grams"] == 1
 
 
+def test_dsir_importance_weights_twin_and_ordering(spark):
+    """Pure-Python twin of the hashed-bucket estimator (same md5 ints,
+    same add-one smoothing, same micro-bit quantization) reproduces
+    every score; target-vocab docs outrank disjoint-vocab docs; an
+    empty doc takes the left-join zero path."""
+    import hashlib
+    import math
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        DSIR_BUCKETS,
+        dsir_importance_weights,
+    )
+
+    rows = [
+        (0, "aa bb aa", "en", "s", 0),
+        (1, "aa bb", "en", "s", 0),
+        (2, "cc dd cc dd", "fr", "s", 0),
+        (3, "aa cc", "fr", "s", 0),
+        (4, "", "fr", "s", 0),
+    ]
+    out = {r["doc_id"]: r for r in
+           dsir_importance_weights(_docs(spark, rows)).collect()}
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % DSIR_BUCKETS
+
+    toks = [(d, lang, bucket(t)) for d, txt, lang, _, _ in rows
+            for t in txt.split() if t]
+    r_cnt, t_cnt = {}, {}
+    for _, lang, b in toks:
+        r_cnt[b] = r_cnt.get(b, 0) + 1
+        if lang == "en":
+            t_cnt[b] = t_cnt.get(b, 0) + 1
+    r_tot, t_tot = sum(r_cnt.values()), sum(t_cnt.values())
+    lr = {
+        b: round(math.log2(((t_cnt.get(b, 0) + 1) / (t_tot + DSIR_BUCKETS))
+                           / ((r_cnt[b] + 1) / (r_tot + DSIR_BUCKETS))) * 1e6)
+        for b in r_cnt
+    }
+    for d, txt, lang, _, _ in rows:
+        s = sum(lr[bucket(t)] for t in txt.split() if t)
+        assert abs(out[d]["log_importance"] - round(s / 1e6, 6)) <= 2e-6, d
+        assert out[d]["target_like"] == (s > 0)
+    # ordering: the en-vocab doc sits above the disjoint fr-vocab doc
+    assert out[0]["log_importance"] > out[2]["log_importance"]
+    assert out[4]["n_tokens"] == 0 and out[4]["log_importance"] == 0.0
+    assert not out[4]["target_like"]
+
+
 def test_tfidf_top_terms_hand_computed(spark):
     """3-doc fixture with exact smoothed-idf values: a rarer term
     (df=1, idf=log2(4/2)=1.0) outranks a higher-tf common one when the
