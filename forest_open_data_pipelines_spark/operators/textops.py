@@ -1064,23 +1064,95 @@ def bpe_train(documents: DataFrame, n_merges: int = 10) -> DataFrame:
         # symbol array, replacing a trailing `l` when the next symbol
         # is `r` (a just-merged token can never equal `l` — merged is
         # strictly longer — so overlaps resolve exactly like the
-        # reference implementation)
-        apply_merge = F.aggregate(
-            "s",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(l))
-                & (x == F.lit(r)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        syms = syms.select("n", apply_merge.alias("s")).localCheckpoint()
+        # reference implementation). The fold is shared with the
+        # encoder (_bpe_apply below).
+        syms = syms.select(
+            "n", _bpe_apply(F.col("s"), l, r, merged).alias("s")
+        ).localCheckpoint()
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, freq long"
     ).orderBy("merge_rank")
+
+
+def _bpe_apply(s: Column, left: str, right: str, merged: str) -> Column:
+    """One greedy left-to-right non-overlapping merge pass over a
+    symbol array — the fold shared verbatim between training's apply
+    step and the encoder."""
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_encode(documents: DataFrame, n_merges: int = 10) -> DataFrame:
+    """Encode every document with the merge table ``bpe_train`` learns
+    from the same corpus — the standard BPE encoder (Sennrich et al.
+    2016): split each word to characters, then apply the learned
+    merges IN RANK ORDER, each as the same greedy left-to-right
+    non-overlapping fold the trainer uses. Output is the per-document
+    sequence accounting a packing/batching planner consumes: word,
+    char, and BPE-token counts plus the 6-dp chars-per-token
+    compression ratio.
+
+    Rows-only by the ``bpe_train`` precedent (the merge table is the
+    product of the data-dependent training loop); corpus-exact
+    encoding is asserted against the in-test pure-Python reference
+    twin, and Σ n_bpe_tokens is invariant-checked against the
+    vocabulary-level encoding.
+
+    Scale: encoding happens ONCE PER DISTINCT WORD — the vocabulary
+    table (explode → distinct) carries the n_merges-deep fold, then a
+    word-keyed join attaches token counts to the corpus word stream
+    and ONE map-side-combinable groupBy(doc_id) reduces it. Corpus
+    size moves only the cheap count aggregation, not the fold. Like
+    the trainer, merge-table derivation runs at construction time
+    (bounded jobs, ≤ n_merges rows collected).
+    """
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in bpe_train(documents, n_merges).collect()
+    ]
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    words = _persist(
+        spread(documents)
+        .select("doc_id", F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+    )
+    enc: Column = F.split("w", "")
+    for left, right, merged in merges:
+        enc = _bpe_apply(enc, left, right, merged)
+    vocab = words.select("w").distinct().select(
+        "w",
+        F.length("w").alias("n_chars"),
+        F.size(enc).alias("n_tokens"),
+    )
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_bpe_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_bpe_tokens",
+            ratio(F.col("n_chars") / F.col("n_bpe_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 #: charlm gate threshold (bits/char), corpus-calibrated the way CCNet

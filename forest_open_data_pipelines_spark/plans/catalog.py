@@ -137,6 +137,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
     "bpe_train": lambda s, d: textops.bpe_train(load_table(s, d, "documents")),
+    "bpe_encode": lambda s, d: textops.bpe_encode(load_table(s, d, "documents")),
     "charlm_perplexity": lambda s, d: textops.charlm_perplexity(
         load_table(s, d, "documents")
     ),

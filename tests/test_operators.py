@@ -3051,6 +3051,55 @@ def test_bpe_train_matches_stdlib_reference(spark):
     assert got == twin(6)
 
 
+def test_bpe_encode_matches_stdlib_reference(spark):
+    """The encoder applies the trainer's merges in rank order with the
+    same greedy non-overlapping pass: per-doc token/char counts equal
+    the pure-Python twin's, and compression reflects learned merges
+    (repeated words encode to fewer tokens than characters)."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    rows = [
+        (0, "low lower lowest low low", "en", "s", 0),
+        (1, "new newer newest lower", "en", "s", 0),
+        (2, "wide wider low newest", "en", "s", 0),
+    ]
+    docs = _docs(spark, rows)
+    merges = [
+        (r["left"], r["right"], r["merged"])
+        for r in bpe_train(docs, n_merges=5).collect()
+    ]
+    assert len(merges) == 5
+
+    def encode(word):
+        s = list(word)
+        for left, right, merged in merges:
+            ns, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    ns.append(merged)
+                    i += 2
+                else:
+                    ns.append(s[i])
+                    i += 1
+            s = ns
+        return s
+
+    out = {r["doc_id"]: r for r in bpe_encode(docs, n_merges=5).collect()}
+    for doc_id, txt, *_ in rows:
+        words = [w for w in txt.split() if w]
+        n_chars = sum(len(w) for w in words)
+        n_tok = sum(len(encode(w)) for w in words)
+        got = out[doc_id]
+        assert got["n_words"] == len(words)
+        assert got["n_chars"] == n_chars
+        assert got["n_bpe_tokens"] == n_tok
+        assert got["chars_per_token"] == round(n_chars / n_tok, 6)
+        assert n_tok < n_chars  # merges actually fired
+
+
 def test_charlm_perplexity_orders_gibberish_last(spark):
     """The corpus-trained char-bigram model must score in-distribution
     text low and rare-bigram gibberish high: the planted 'qzxjqv' doc

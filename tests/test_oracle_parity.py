@@ -76,4 +76,5 @@ def test_every_query_has_oracle_or_is_whitelisted():
         # iterative BPE: per-round argmax is data-dependent (no SQL
         # oracle); corpus-exact vs the in-test stdlib twin instead.
         "bpe_train",
+        "bpe_encode",
     }, rows_only
