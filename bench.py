@@ -122,6 +122,12 @@ HEADLINE = [
     "embedding_quantize_sq8",
     "ann_topk_sq8",
     "charlm_perplexity",
+    "decontaminate_embedding",
+    "dsir_importance_weights",
+    "tfidf_top_terms",
+    # bpe_encode inherits bpe_train's 10-round training loop (below);
+    # its throughput half (vocab fold + count agg) is dominated by the
+    # trainer's fixed per-job overhead, so it stays out with it.
     # bpe_train is a TRAINING loop (10 rounds x ~1s of fixed per-job
     # overhead at any SF — the symbol table is vocabulary-bounded), not
     # a throughput query; it stays in the driver correctness window

@@ -610,10 +610,13 @@ _R6_WINDOW: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_ngram_ppjoin",
     "dedup_embedding_lsh",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "q1_pricing_summary",
-    "nations_trade_volume",
+    # late round-6 additions (first driver rows; swapped in for the
+    # unchanged anchors ann_topk_lsh/ivf, q1_pricing_summary and
+    # nations_trade_volume — all r5-green on record)
+    "decontaminate_embedding",
+    "dsir_importance_weights",
+    "tfidf_top_terms",
+    "bpe_encode",
 )
 assert len(_R6_WINDOW) == DRIVER_CHECK_CAP, len(_R6_WINDOW)
 QUERIES = {
