@@ -75,6 +75,15 @@ OPS = {
     "charlm_perplexity": _textops_op("charlm_perplexity"),
     "fenced_json_extract": _textops_op("fenced_json_extract"),
     "bpe_train": _textops_op("bpe_train"),
+    # late round-6 additions. tfidf/dsir reduce to bounded model tables
+    # (vocab df / 256 buckets) + one doc-keyed agg; bpe_encode folds
+    # once per DISTINCT word (rotation keeps the vocab unchanged) so
+    # only its count agg should grow. decontaminate_embedding is
+    # embeddings-based and out of this documents-replication probe —
+    # its corpus side is a single broadcast-join pass by construction.
+    "tfidf_top_terms": _textops_op("tfidf_top_terms"),
+    "bpe_encode": _textops_op("bpe_encode"),
+    "dsir_importance_weights": _curation_op("dsir_importance_weights"),
 }
 
 
