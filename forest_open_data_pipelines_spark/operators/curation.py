@@ -432,6 +432,51 @@ DSIR_BUCKETS = 256
 DSIR_TARGET_LANG = "en"
 
 
+def _dsir_model(
+    documents: DataFrame, target_lang: str, n_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """(token-bucket stream, broadcast bucket log-ratio table) — the
+    estimator shared by the batch scorer and the streaming gate's
+    frozen-model collect. The ratio table is ≤ n_buckets rows; the
+    token frame is persisted because it feeds both the histogram and
+    the batch scoring join."""
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    term = F.explode(F.split(F.lower(clean_text(F.col("text"))), " ")).alias(
+        "term"
+    )
+    tok = _persist(
+        spread(documents)
+        .select("doc_id", "lang", term)
+        .where(F.col("term") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (_md5_int(F.col("term")) % n_buckets).alias("bucket"),
+        )
+    )
+    is_target = F.col("lang") == target_lang
+    hist = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(F.when(is_target, 1).otherwise(0)).alias("t_cnt"),
+    )
+    tot = hist.agg(F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot"))
+    lr_micro = F.round(
+        F.log2(
+            ((F.col("t_cnt") + 1).cast("double") / (F.col("t_tot") + n_buckets))
+            / ((F.col("r_cnt") + 1).cast("double") / (F.col("r_tot") + n_buckets))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    lr = F.broadcast(
+        hist.crossJoin(F.broadcast(tot)).select(
+            "bucket", lr_micro.alias("lr_micro")
+        )
+    )
+    return tok, lr
+
+
 def dsir_importance_weights(
     documents: DataFrame,
     target_lang: str = DSIR_TARGET_LANG,
@@ -463,44 +508,7 @@ def dsir_importance_weights(
     key. Feature hashing uses the dedup family's 60-bit md5 ints —
     reproducible on any engine.
     """
-    from forest_open_data_pipelines_spark.operators.dedup import _persist
-
-    term = F.explode(F.split(F.lower(clean_text(F.col("text"))), " ")).alias(
-        "term"
-    )
-    tok = _persist(
-        spread(documents)
-        .select("doc_id", "lang", term)
-        .where(F.col("term") != "")
-        .select(
-            "doc_id",
-            "lang",
-            (_md5_int(F.col("term")) % n_buckets).alias("bucket"),
-        )
-    )
-    is_target = F.col("lang") == target_lang
-    hist = (
-        tok.groupBy("bucket").agg(
-            F.count(F.lit(1)).alias("r_cnt"),
-            F.sum(F.when(is_target, 1).otherwise(0)).alias("t_cnt"),
-        )
-    )
-    tot = hist.agg(
-        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
-    )
-    lr_micro = F.round(
-        F.log2(
-            ((F.col("t_cnt") + 1).cast("double") / (F.col("t_tot") + n_buckets))
-            / ((F.col("r_cnt") + 1).cast("double") / (F.col("r_tot") + n_buckets))
-        )
-        * F.lit(1e6),
-        0,
-    ).cast("long")
-    lr = F.broadcast(
-        hist.crossJoin(F.broadcast(tot)).select(
-            "bucket", lr_micro.alias("lr_micro")
-        )
-    )
+    tok, lr = _dsir_model(documents, target_lang, n_buckets)
     scores = (
         tok.join(lr, "bucket")
         .groupBy("doc_id")

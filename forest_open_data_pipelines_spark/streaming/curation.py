@@ -84,3 +84,69 @@ def curation_gate_stream(
             "predicted_lang",
         )
     )
+
+
+def dsir_gate_stream(
+    documents_stream: DataFrame,
+    reference_corpus: DataFrame,
+    target_lang: str | None = None,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR importance gate for an unbounded ingest: score every
+    arriving document against a model FROZEN from a static reference
+    corpus — the offline-train / online-gate split a production ingest
+    actually runs (importance weights are corpus statistics; a stream
+    cannot re-estimate them per record).
+
+    ZERO streaming state: the ≤ n_buckets log-ratio rows are collected
+    ONCE at plan-construction time (the ``lang_id_ngram``
+    bounded-collect pattern) into a literal map, and each record's
+    score is a pure codegen fold over its own token array — the SAME
+    integer micro-bit arithmetic as the batch scorer, so a record is
+    ``target_like`` on the stream iff ``dsir_importance_weights``
+    marks it so when the model corpus matches (parity asserted in
+    tests/test_streaming.py). Tokens hashing to a bucket absent from
+    the model drop from both the count and the sum — mirroring the
+    batch scorer's inner join on bucket.
+    """
+    from forest_open_data_pipelines_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET_LANG,
+        _dsir_model,
+    )
+    from forest_open_data_pipelines_spark.operators.dedup import _md5_int
+
+    target_lang = DSIR_TARGET_LANG if target_lang is None else target_lang
+    n_buckets = DSIR_BUCKETS if n_buckets is None else n_buckets
+    _, lr = _dsir_model(reference_corpus, target_lang, n_buckets)
+    model = lr.collect()  # ≤ n_buckets rows by construction
+    m = F.create_map(
+        *[
+            c
+            for r in model
+            for c in (
+                F.lit(int(r["bucket"])).cast("long"),
+                F.lit(int(r["lr_micro"])).cast("long"),
+            )
+        ]
+    )
+    toks = F.filter(
+        F.split(F.lower(clean_text(F.col("text"))), " "), lambda t: t != ""
+    )
+    known = F.filter(
+        F.transform(toks, lambda t: _md5_int(t) % n_buckets),
+        lambda b: F.element_at(m, b).isNotNull(),
+    )
+    s_micro = F.aggregate(
+        F.col("kb"), F.lit(0).cast("long"), lambda a, b: a + F.element_at(m, b)
+    )
+    return (
+        documents_stream.select("doc_id", "lang", known.alias("kb"))
+        .select(
+            "doc_id",
+            "lang",
+            F.size("kb").alias("n_tokens"),
+            ratio(s_micro / F.lit(1e6)).alias("log_importance"),
+            (s_micro > 0).alias("target_like"),
+        )
+    )

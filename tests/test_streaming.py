@@ -777,6 +777,53 @@ def test_stratified_sample_stream_matches_batch(spark, tmp_path):
     assert emitted, "sampler emitted nothing"
 
 
+def test_dsir_gate_stream_matches_batch(spark, tmp_path):
+    """The frozen-model literal-map fold must score every streamed doc
+    EXACTLY like batch dsir_importance_weights when the model corpus
+    matches: same micro-bit sums, same target_like verdicts."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        dsir_importance_weights,
+    )
+    from forest_open_data_pipelines_spark.streaming.curation import (
+        dsir_gate_stream,
+    )
+
+    src = tmp_path / "dsir_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        dsir_gate_stream(stream, docs)
+        .writeStream.format("memory")
+        .queryName("dsir_gate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dsir"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM dsir_gate_test").collect()
+    finally:
+        query.stop()
+    batch = dsir_importance_weights(docs).collect()
+    key = lambda r: (
+        r["doc_id"],
+        r["lang"],
+        r["n_tokens"],
+        r["log_importance"],
+        r["target_like"],
+    )
+    assert sorted(map(key, emitted)) == sorted(map(key, batch))
+    assert emitted, "gate emitted nothing"
+
+
 def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     """foreachBatch classification against the static index must emit
     verdicts row-identical to batch dedup_incremental over the same
