@@ -2668,6 +2668,115 @@ coded AS (
 )"""
 
 
+_PQ_COMMON = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cb AS (
+  SELECT r.s::INT AS s, vec_id::INT AS code,
+         list_slice(emb, r.s * {sub} + 1, r.s * {sub} + {sub}) AS cw
+  FROM e, range({m}) r(s) WHERE vec_id < {ks}
+),
+asgn AS (
+  SELECT vec_id, s, code, cw FROM (
+    SELECT e.vec_id, cb.s, cb.code, cb.cw,
+           row_number() OVER (
+             PARTITION BY e.vec_id, cb.s
+             ORDER BY round(list_reduce(
+               list_transform(range(1, {sub} + 1),
+                 j -> (e.emb[cb.s * {sub} + j] - cb.cw[j])
+                      * (e.emb[cb.s * {sub} + j] - cb.cw[j])),
+               (x, y) -> x + y), 9) ASC, cb.code) AS rnk
+    FROM e CROSS JOIN cb
+  ) WHERE rnk = 1
+)"""
+
+
+def _embedding_quantize_pq_sql() -> str:
+    """DuckDB twin of similarity.embedding_quantize_pq: same
+    seed-vector sub-codebooks, 9-dp max-dot assignment with
+    lowest-code ties, and sequential (fold-ordered) error sums so the
+    6-dp recon_mse is bit-identical to the Catalyst folds."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        PQ_KS,
+        PQ_M,
+    )
+
+    sub = 64 // PQ_M
+    common = _PQ_COMMON.format(m=PQ_M, ks=PQ_KS, sub=sub)
+    return f"""
+WITH {common},
+suberr AS (
+  SELECT a.vec_id, a.s,
+         list_reduce(
+           list_transform(range(1, {sub} + 1),
+             j -> (e.emb[a.s * {sub} + j] - a.cw[j])
+                  * (e.emb[a.s * {sub} + j] - a.cw[j])),
+           (x, y) -> x + y) AS d2
+  FROM asgn a JOIN e USING (vec_id)
+),
+err AS (
+  SELECT vec_id, list_reduce(list(d2 ORDER BY s), (x, y) -> x + y) AS d2
+  FROM suberr GROUP BY vec_id
+),
+codes AS (
+  SELECT vec_id, list(code ORDER BY s) AS codes FROM asgn GROUP BY vec_id
+)
+SELECT c.vec_id, c.codes, round(err.d2 / 64.0, 6) AS recon_mse
+FROM codes c JOIN err USING (vec_id) ORDER BY c.vec_id"""
+
+
+def _ann_topk_pq_sql(n_queries: int = 8, k: int = 10) -> str:
+    """DuckDB twin of similarity.ann_topk_pq: identical codebook +
+    assignment, ADC dots summed in subspace order (fold-identical),
+    reconstruction norms from the codewords, 6-dp cosine, rank window
+    with cand_id tie-break."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        PQ_KS,
+        PQ_M,
+    )
+
+    sub = 64 // PQ_M
+    common = _PQ_COMMON.format(m=PQ_M, ks=PQ_KS, sub=sub)
+    return f"""
+WITH {common},
+cnsq AS (
+  SELECT vec_id,
+         list_reduce(
+           list(list_reduce(list_transform(cw, c -> c * c), (x, y) -> x + y)
+                ORDER BY s),
+           (x, y) -> x + y) AS nsq
+  FROM asgn GROUP BY vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, emb AS q_emb,
+         sqrt(list_dot_product(emb, emb)) AS q_norm
+  FROM e WHERE vec_id < {n_queries}
+),
+subdot AS (
+  SELECT q.query_id, a.vec_id AS cand_id, a.s,
+         list_dot_product(
+           list_slice(q.q_emb, a.s * {sub} + 1, a.s * {sub} + {sub}),
+           a.cw) AS d
+  FROM q CROSS JOIN asgn a WHERE a.vec_id != q.query_id
+),
+adc AS (
+  SELECT query_id, cand_id,
+         list_reduce(list(d ORDER BY s), (x, y) -> x + y) AS adc
+  FROM subdot GROUP BY query_id, cand_id
+),
+scored AS (
+  SELECT query_id, cand_id,
+         round(adc / (q.q_norm * sqrt(c.nsq)), 6) AS cosine_pq
+  FROM adc JOIN q USING (query_id) JOIN cnsq c ON c.vec_id = cand_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_pq DESC, cand_id)::INT AS rank
+  FROM scored
+)
+SELECT query_id, rank, cand_id, cosine_pq
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 def _embedding_quantize_sq8_sql() -> str:
     """DuckDB twin of similarity.embedding_quantize_sq8. The mse sum
     uses list_reduce (sequential left-to-right, the same order as
@@ -4231,6 +4340,8 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["boletins_integrados_links"] = _boletins_integrados_sql()
     out["eia_xls_picks"] = _eia_xls_picks_sql()
     out["embedding_quantize_sq8"] = _embedding_quantize_sq8_sql()
+    out["embedding_quantize_pq"] = _embedding_quantize_pq_sql()
+    out["ann_topk_pq"] = _ann_topk_pq_sql()
     out["charlm_perplexity"] = _charlm_perplexity_sql()
     out["ann_topk_sq8"] = _ann_topk_sq8_sql()
     out["eia_series_combinations"] = _eia_series_combinations_sql()

@@ -125,6 +125,8 @@ HEADLINE = [
     "decontaminate_embedding",
     "dsir_importance_weights",
     "tfidf_top_terms",
+    "embedding_quantize_pq",
+    "ann_topk_pq",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

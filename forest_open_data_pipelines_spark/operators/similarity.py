@@ -693,3 +693,238 @@ def ann_topk_sq8(
         .select("query_id", "rank", "cand_id", "cosine_q")
         .orderBy("query_id", "rank")
     )
+
+
+# ── Product quantization (spherical PQ) ─────────────────────────────────────
+
+# Geometry tuned on the synthetic corpus (measured recall vs the float
+# bruteforce at sf0.01, L2 seed codebooks): (m=8, ks=16) 0.30,
+# (16, 16) 0.41, (16, 64) 0.59, (32, 64) 0.71. A numpy probe of
+# Lloyd-TRAINED codebooks adds ~+0.07-0.09 at each point (16/64: 0.59
+# → 0.68) — the train_ivf_centroids-style upgrade path if a corpus
+# warrants it. The honest finding on THIS corpus: the embeddings are
+# unstructured (no subspace clusters for codebooks to exploit), so
+# SQ8 (4×, recall ~0.99) dominates every PQ point — PQ earns its 21×
+# when vectors have real structure; it ships at (16, 64) as the
+# maximum-compression tier with its recall measured and asserted.
+PQ_M = 16         # subspaces (64 dims → 16 sub-vectors of 4)
+PQ_KS = 64        # codewords per subspace (6-bit codes)
+
+
+def _pq_codebook(
+    embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS, dim: int = 64
+) -> list[list[list[float]]]:
+    """codebook[sub][code] = 8-dim codeword — the first ``ks``
+    vectors' sub-slices, the IVF seed-quantizer convention (a
+    deterministic, oracle-reproducible codebook; Lloyd refinement is
+    the same upgrade path train_ivf_centroids models). Bounded
+    collect: ks rows, once per corpus."""
+    sub = dim // m
+    rows = sorted(
+        embeddings.where(F.col("vec_id") < ks)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if len(rows) < ks:
+        raise ValueError(
+            f"pq codebook needs vec_ids 0..{ks - 1}; got {len(rows)} rows"
+        )
+    return [
+        [[float(x) for x in r.embedding[s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _pq_encoded(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]],
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int = 64,
+) -> DataFrame:
+    """(vec_id, embedding, codes array<int>) — assignment is a pure
+    projection: per subspace, argmin of the 9-dp-rounded squared L2
+    distance to each codeword (the standard PQ quantizer objective —
+    the 9-dp pre-round keeps a ~1e-16 Catalyst-vs-DuckDB fold near-tie
+    from flipping a code, the train_ivf_centroids lesson), ties to the
+    lowest code id via max(struct(-dist, -code))."""
+    sub = dim // m
+    cb = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in code]) for code in subcb])
+            for subcb in codebook
+        ]
+    )
+
+    def code_for(s: int) -> Column:
+        sl = F.slice(F.col("embedding"), s * sub + 1, sub)
+        d2 = lambda c: F.aggregate(
+            F.zip_with(
+                sl,
+                F.element_at(cb[s], c + 1),
+                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        scored = F.transform(
+            F.sequence(F.lit(0), F.lit(ks - 1)),
+            lambda c: F.struct(
+                (-F.round(d2(c), 9)).alias("d"),
+                (-c).alias("neg_code"),
+            ),
+        )
+        return (-F.array_max(scored)["neg_code"]).cast("int")
+
+    return spread(embeddings).select(
+        "vec_id",
+        "embedding",
+        F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+    )
+
+
+def embedding_quantize_pq(
+    embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS, dim: int = 64
+) -> DataFrame:
+    """Product-quantization table: (vec_id, codes, recon_mse) — the
+    64-float vector stored as 16 six-bit codes (12 bytes ≈ 21× smaller
+    than float32, 5× smaller than SQ8), plus the per-vector
+    reconstruction audit ‖x − x̂‖²/dim at 6 dp.
+
+    Public technique (Jégou et al. 2011, product quantization for
+    nearest neighbor search; spherical sub-assignment per the family's
+    cosine metric). The codebook is index metadata: ks·dim floats
+    collected once (the IVF-centroid bounded-collect pattern).
+
+    Scale: encoding is a pure projection (m·ks sub-dots per row, no
+    join, no shuffle but the presentation sort); the audit reuses the
+    row's own embedding — no re-join (the SQ8 lesson). All folds are
+    sequential, so every number is bit-identical on any engine or
+    partitioning before its final 6-dp round.
+    """
+    sub = dim // m
+    codebook = _pq_codebook(embeddings, m, ks, dim)
+    cb = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in code]) for code in subcb])
+            for subcb in codebook
+        ]
+    )
+    # ‖x − x̂‖² folded subspace-by-subspace in order: Σ_s ‖x_s − c_s‖²
+    err = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.aggregate(
+            F.zip_with(
+                F.slice(F.col("embedding"), s * sub + 1, F.lit(sub)),
+                F.element_at(
+                    F.element_at(cb, s + 1),
+                    F.element_at(F.col("codes"), s + 1) + 1,
+                ),
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+    )
+    enc = _pq_encoded(embeddings, codebook, m, ks, dim)
+    return enc.select(
+        "vec_id",
+        "codes",
+        ratio(err / F.lit(float(dim))).alias("recon_mse"),
+    ).orderBy("vec_id")
+
+
+def ann_topk_pq(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine top-k by asymmetric distance computation (ADC) over the
+    PQ codes: the query stays a float vector, each candidate is its m
+    codes, and the approximate dot is Σ_s ⟨q_s, codeword[s][code_s]⟩ —
+    m sub-dots per candidate instead of a dim-wide product, against a
+    ~21×-compressed store. cos_pq = adc / (‖q‖·‖x̂‖) with the
+    reconstruction norm folded from the codebook literal.
+
+    Recall vs the float bruteforce is measured at 0.58-0.59 on this
+    corpus (see the geometry note above PQ_M — SQ8 dominates here
+    because the synthetic embeddings carry no subspace structure) and
+    lower-bounded in tests; like
+    ann_topk_sq8, the brute ADC scan is the oracle-shaped baseline —
+    at corpus scale the same scoring composes with the IVF/LSH
+    candidate generators (4 bytes/vector of codes makes the scan
+    memory-bound-friendly, PQ's actual point).
+
+    Scale: queries broadcast; candidates carry only codes (the
+    projection drops the float vectors before the join); every fold is
+    sequential → engine/partition-identical before the 6-dp round.
+    """
+    sub = dim // m
+    codebook = _pq_codebook(embeddings, m, ks, dim)
+    cb = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(x) for x in code]) for code in subcb])
+            for subcb in codebook
+        ]
+    )
+    enc = _pq_encoded(embeddings, codebook, m, ks, dim)
+    recon_nsq = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.aggregate(
+            F.element_at(
+                F.element_at(cb, s + 1),
+                F.element_at(F.col("codes"), s + 1) + 1,
+            ),
+            F.lit(0.0),
+            lambda a, c: a + c * c,
+        ),
+    )
+    cands = enc.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("codes").alias("c_codes"),
+        recon_nsq.alias("c_nsq"),
+    )
+    queries = F.broadcast(
+        spread(embeddings)
+        .where(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + _dot(
+            F.slice(F.col("q_emb"), s * sub + 1, F.lit(sub)),
+            F.element_at(
+                F.element_at(cb, s + 1),
+                F.element_at(F.col("c_codes"), s + 1) + 1,
+            ),
+        ),
+    )
+    cos = ratio(adc / (F.col("q_norm") * F.sqrt(F.col("c_nsq"))))
+    scored = (
+        cands.join(queries)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine_pq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pq"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine_pq")
+        .orderBy("query_id", "rank")
+    )

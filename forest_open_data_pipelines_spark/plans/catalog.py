@@ -130,6 +130,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_quantize_sq8": lambda s, d: similarity.embedding_quantize_sq8(
         load_table(s, d, "embeddings")
     ),
+    "embedding_quantize_pq": lambda s, d: similarity.embedding_quantize_pq(
+        load_table(s, d, "embeddings")
+    ),
+    "ann_topk_pq": lambda s, d: similarity.ann_topk_pq(
+        load_table(s, d, "embeddings")
+    ),
     "ann_topk_sq8": lambda s, d: similarity.ann_topk_sq8(
         load_table(s, d, "embeddings")
     ),
@@ -606,17 +612,18 @@ _R6_WINDOW: tuple[str, ...] = (
     "event_funnel",
     "embedding_label_stats",
     # flagship/bench anchors
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
     "dedup_ngram_ppjoin",
     "dedup_embedding_lsh",
     # late round-6 additions (first driver rows; swapped in for the
-    # unchanged anchors ann_topk_lsh/ivf, q1_pricing_summary and
-    # nations_trade_volume — all r5-green on record)
+    # unchanged anchors ann_topk_lsh/ivf, q1_pricing_summary,
+    # nations_trade_volume, dedup_minhash and dedup_ngram_jaccard —
+    # all r5-green on record)
     "decontaminate_embedding",
     "dsir_importance_weights",
     "tfidf_top_terms",
     "bpe_encode",
+    "embedding_quantize_pq",
+    "ann_topk_pq",
 )
 assert len(_R6_WINDOW) == DRIVER_CHECK_CAP, len(_R6_WINDOW)
 QUERIES = {
