@@ -743,44 +743,64 @@ def _pq_encoded(
     ks: int = PQ_KS,
     dim: int = 64,
 ) -> DataFrame:
-    """(vec_id, embedding, codes array<int>) — assignment is a pure
-    projection: per subspace, argmin of the 9-dp-rounded squared L2
-    distance to each codeword (the standard PQ quantizer objective —
-    the 9-dp pre-round keeps a ~1e-16 Catalyst-vs-DuckDB fold near-tie
-    from flipping a code, the train_ivf_centroids lesson), ties to the
-    lowest code id via max(struct(-dist, -code))."""
+    """(vec_id, codes array<int>, recon_nsq, mse) — assignment is ONE
+    Arrow-batched numpy pass (the banded_signatures precedent: the
+    m·ks Catalyst distance folds per row ran interpreted and measured
+    ~8 s at sf0.1 for 2 000 rows; the kernel is <0.5 s): per subspace,
+    argmin of the 9-dp-rounded squared L2 distance to each codeword
+    (the standard PQ quantizer objective), first-of-min ties = lowest
+    code id. Every accumulation is SEQUENTIAL over dims/subspaces —
+    the same left-to-right order as the DuckDB oracle's list_reduce —
+    so codes, reconstruction norms and errors are bit-identical to the
+    SQL twin (the 9-dp pre-round keeps a ~1e-16 near-tie from flipping
+    a code, the train_ivf_centroids lesson; np.round's half-even vs
+    the oracle's half-away differs only on exact scaled-binary halves,
+    which the continuous d2 values cannot hit — parity asserted at
+    three SFs).
+
+    Scale: one streaming Arrow pass, no join, no shuffle; output is
+    m ints + two doubles per vector."""
+    import numpy as np
+
     sub = dim // m
-    cb = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in code]) for code in subcb])
-            for subcb in codebook
-        ]
-    )
+    C = np.array(codebook, dtype=np.float64)  # (m, ks, sub)
+    # per-(s, code) reconstruction norm², folded sequentially over dims
+    nsq = np.zeros((m, ks))
+    for j in range(sub):
+        nsq = nsq + C[:, :, j] * C[:, :, j]
 
-    def code_for(s: int) -> Column:
-        sl = F.slice(F.col("embedding"), s * sub + 1, sub)
-        d2 = lambda c: F.aggregate(
-            F.zip_with(
-                sl,
-                F.element_at(cb[s], c + 1),
-                lambda x, w: (x.cast("double") - w) * (x.cast("double") - w),
-            ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        scored = F.transform(
-            F.sequence(F.lit(0), F.lit(ks - 1)),
-            lambda c: F.struct(
-                (-F.round(d2(c), 9)).alias("d"),
-                (-c).alias("neg_code"),
-            ),
-        )
-        return (-F.array_max(scored)["neg_code"]).cast("int")
+    def gen(batches):
+        import pandas as pd
 
-    return spread(embeddings).select(
-        "vec_id",
-        "embedding",
-        F.array(*[code_for(s) for s in range(m)]).alias("codes"),
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            codes = np.zeros((n, m), dtype=np.int32)
+            mse = np.zeros(n)
+            rnsq = np.zeros(n)
+            for s in range(m):
+                x = e[:, s * sub : (s + 1) * sub]
+                d = np.zeros((n, ks))
+                for j in range(sub):  # sequential over dims == fold order
+                    diff = x[:, j, None] - C[s, :, j][None, :]
+                    d = d + diff * diff
+                c = np.argmin(np.round(d, 9), axis=1)  # first min = low code
+                codes[:, s] = c
+                mse = mse + d[np.arange(n), c]  # sequential over subspaces
+                rnsq = rnsq + nsq[s, c]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "codes": list(codes),
+                    "recon_nsq": rnsq,
+                    "mse": mse,
+                }
+            )
+
+    return spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+        gen, "vec_id bigint, codes array<int>, recon_nsq double, mse double"
     )
 
 
@@ -793,47 +813,19 @@ def embedding_quantize_pq(
     reconstruction audit ‖x − x̂‖²/dim at 6 dp.
 
     Public technique (Jégou et al. 2011, product quantization for
-    nearest neighbor search; spherical sub-assignment per the family's
-    cosine metric). The codebook is index metadata: ks·dim floats
-    collected once (the IVF-centroid bounded-collect pattern).
-
-    Scale: encoding is a pure projection (m·ks sub-dots per row, no
-    join, no shuffle but the presentation sort); the audit reuses the
-    row's own embedding — no re-join (the SQ8 lesson). All folds are
-    sequential, so every number is bit-identical on any engine or
-    partitioning before its final 6-dp round.
+    nearest neighbor search). The codebook is index metadata: ks·dim
+    floats collected once (the IVF-centroid bounded-collect pattern);
+    encoding is one Arrow-batched kernel pass (``_pq_encoded`` — no
+    join, no shuffle but the presentation sort), with every fold
+    sequential so codes and errors are bit-identical to the DuckDB
+    twin.
     """
-    sub = dim // m
     codebook = _pq_codebook(embeddings, m, ks, dim)
-    cb = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in code]) for code in subcb])
-            for subcb in codebook
-        ]
-    )
-    # ‖x − x̂‖² folded subspace-by-subspace in order: Σ_s ‖x_s − c_s‖²
-    err = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.aggregate(
-            F.zip_with(
-                F.slice(F.col("embedding"), s * sub + 1, F.lit(sub)),
-                F.element_at(
-                    F.element_at(cb, s + 1),
-                    F.element_at(F.col("codes"), s + 1) + 1,
-                ),
-                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
-            ),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        ),
-    )
     enc = _pq_encoded(embeddings, codebook, m, ks, dim)
     return enc.select(
         "vec_id",
         "codes",
-        ratio(err / F.lit(float(dim))).alias("recon_mse"),
+        ratio(F.col("mse") / F.lit(float(dim))).alias("recon_mse"),
     ).orderBy("vec_id")
 
 
@@ -846,72 +838,72 @@ def ann_topk_pq(
     dim: int = 64,
 ) -> DataFrame:
     """Cosine top-k by asymmetric distance computation (ADC) over the
-    PQ codes: the query stays a float vector, each candidate is its m
-    codes, and the approximate dot is Σ_s ⟨q_s, codeword[s][code_s]⟩ —
-    m sub-dots per candidate instead of a dim-wide product, against a
+    PQ codes: each query precomputes its m·ks lookup table
+    LUT[s][code] = ⟨q_s, codeword[s][code]⟩ ONCE (driver-side from the
+    collected codebook + the n_queries query rows — both bounded; the
+    classic ADC trick), so scoring a candidate is m table lookups
+    summed in subspace order instead of a dim-wide product, against a
     ~21×-compressed store. cos_pq = adc / (‖q‖·‖x̂‖) with the
-    reconstruction norm folded from the codebook literal.
+    reconstruction norm carried from the encode kernel.
 
     Recall vs the float bruteforce is measured at 0.58-0.59 on this
     corpus (see the geometry note above PQ_M — SQ8 dominates here
     because the synthetic embeddings carry no subspace structure) and
-    lower-bounded in tests; like
-    ann_topk_sq8, the brute ADC scan is the oracle-shaped baseline —
-    at corpus scale the same scoring composes with the IVF/LSH
-    candidate generators (4 bytes/vector of codes makes the scan
-    memory-bound-friendly, PQ's actual point).
+    lower-bounded in tests; like ann_topk_sq8, the brute ADC scan is
+    the oracle-shaped baseline — at corpus scale the same scoring
+    composes with the IVF/LSH candidate generators (12 bytes/vector of
+    codes makes the scan memory-bound-friendly, PQ's actual point).
 
-    Scale: queries broadcast; candidates carry only codes (the
-    projection drops the float vectors before the join); every fold is
-    sequential → engine/partition-identical before the 6-dp round.
+    Scale: queries broadcast with their LUTs; candidates carry only
+    codes + a norm (never the float vectors); LUT entries, the
+    sequential fold over s, and q_norm all reproduce the DuckDB twin's
+    arithmetic order exactly.
     """
     sub = dim // m
     codebook = _pq_codebook(embeddings, m, ks, dim)
-    cb = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(x) for x in code]) for code in subcb])
-            for subcb in codebook
-        ]
-    )
     enc = _pq_encoded(embeddings, codebook, m, ks, dim)
-    recon_nsq = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + F.aggregate(
-            F.element_at(
-                F.element_at(cb, s + 1),
-                F.element_at(F.col("codes"), s + 1) + 1,
-            ),
-            F.lit(0.0),
-            lambda a, c: a + c * c,
-        ),
+    q_rows = sorted(
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    cands = enc.select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("codes").alias("c_codes"),
-        recon_nsq.alias("c_nsq"),
-    )
+    spark = embeddings.sparkSession
+    lut_rows = []
+    for r in q_rows:
+        q = [float(x) for x in r.embedding]
+        # sequential dims == list_dot_product / _dot fold order
+        nsq = 0.0
+        for x in q:
+            nsq += x * x
+        lut = []
+        for s in range(m):
+            row = []
+            for c in range(ks):
+                acc = 0.0
+                for j in range(sub):
+                    acc += q[s * sub + j] * codebook[s][c][j]
+                row.append(acc)
+            lut.append(row)
+        lut_rows.append((int(r.vec_id), nsq**0.5, lut))
     queries = F.broadcast(
-        spread(embeddings)
-        .where(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            _norm(F.col("embedding")).alias("q_norm"),
+        spark.createDataFrame(
+            lut_rows, "query_id bigint, q_norm double, lut array<array<double>>"
         )
     )
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, s: acc
-        + _dot(
-            F.slice(F.col("q_emb"), s * sub + 1, F.lit(sub)),
-            F.element_at(
-                F.element_at(cb, s + 1),
-                F.element_at(F.col("c_codes"), s + 1) + 1,
-            ),
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("c_codes"), s + 1) + 1,
         ),
+    )
+    cands = enc.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("codes").alias("c_codes"),
+        F.col("recon_nsq").alias("c_nsq"),
     )
     cos = ratio(adc / (F.col("q_norm") * F.sqrt(F.col("c_nsq"))))
     scored = (
