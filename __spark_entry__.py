@@ -3738,14 +3738,19 @@ FROM r ORDER BY o_orderkey""",
 WITH keyed AS (
   SELECT regexp_replace(
            lower('HTTPS://Example.COM/u/' || user_id::VARCHAR || '/item/'
-                 || json_extract_string(props, '$.k') || '/'),
+                 || json_extract_string(props, '$.k') || '/'
+                 || CASE WHEN user_id % 3 != 0
+                         THEN (user_id + 1000)::VARCHAR || '-noticia/'
+                         ELSE '' END),
            '/+$', '') AS url_key,
          event_type, event_id
   FROM events
 )
 SELECT url_key, min(event_id) AS rank,
        string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS categories,
-       count(*) AS n_rows
+       count(*) AS n_rows,
+       nullif(regexp_extract(url_key, '/(\\d{4,})-', 1), '')
+         AS source_article_id
 FROM keyed GROUP BY url_key ORDER BY url_key""",
         # E. dedup -------------------------------------------------------------
         "dedup_exact": f"""

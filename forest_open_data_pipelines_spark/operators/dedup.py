@@ -752,13 +752,29 @@ def url_merge(events: DataFrame) -> DataFrame:
     """URL-normalized listing merge (merge.py:10-64) mapped onto the
     events table: each event is a 'listing row' whose URL derives from
     (user_id, props.k); dedup by the normalized key keeping the min
-    rank, the ordered distinct category set, and the group size."""
+    rank, the ordered distinct category set, and the group size.
+
+    The merged row also carries ``source_article_id`` — the
+    reference's ``extract_source_article_id`` regex ``/(\\d{4,})-``
+    applied to the merged URL exactly where sync.py:98 applies it
+    (article_parser.py:17-22, tests/test_noticias_agricolas_parsers.py
+    ``test_extract_source_article_id``); URLs without the id segment
+    (every user_id ≡ 0 mod 3 here) take the reference's None branch as
+    NULL. The id segment is part of the synthetic URL derivation, so
+    both engines extract from identical strings."""
+    aid_seg = F.when(
+        F.col("user_id") % 3 != 0,
+        F.concat(
+            (F.col("user_id") + 1000).cast("string"), F.lit("-noticia/")
+        ),
+    ).otherwise(F.lit(""))
     url = F.concat(
         F.lit("HTTPS://Example.COM/u/"),
         F.col("user_id").cast("string"),
         F.lit("/item/"),
         F.get_json_object("props", "$.k"),
         F.lit("/"),
+        aid_seg,
     )
     # normalize_url_key: lowercase scheme+host, strip trailing slash.
     key = F.regexp_replace(F.lower(url), "/+$", "")
@@ -771,6 +787,15 @@ def url_merge(events: DataFrame) -> DataFrame:
                 "categories"
             ),
             F.count("*").alias("n_rows"),
+        )
+        .select(
+            "url_key",
+            "rank",
+            "categories",
+            "n_rows",
+            F.nullif(
+                F.regexp_extract("url_key", r"/(\d{4,})-", 1), F.lit("")
+            ).alias("source_article_id"),
         )
         .orderBy("url_key")
     )
