@@ -2777,6 +2777,83 @@ SELECT query_id, rank, cand_id, cosine_pq
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def _ann_topk_ivfpq_sql(
+    n_queries: int = 8, k: int = 10, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    """DuckDB twin of similarity.ann_topk_ivfpq: the _ann_ivf_sql seed
+    assignment/probing composed with the _ann_topk_pq_sql ADC scoring
+    — candidates restricted to each query's n_probe cells, identical
+    arithmetic orders throughout."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        PQ_KS,
+        PQ_M,
+    )
+
+    sub = 64 // PQ_M
+    common = _PQ_COMMON.format(m=PQ_M, ks=PQ_KS, sub=sub)
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+WITH {common},
+cnsq AS (
+  SELECT vec_id,
+         list_reduce(
+           list(list_reduce(list_transform(cw, c -> c * c), (x, y) -> x + y)
+                ORDER BY s),
+           (x, y) -> x + y) AS nsq
+  FROM asgn GROUP BY vec_id
+),
+cent AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, emb, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round({cos("emb", "cent")}, 9) DESC,
+                                     cell_id) AS cell_rank
+  FROM e CROSS JOIN cent
+),
+cellof AS (SELECT vec_id AS cand_id, cell_id FROM assign WHERE cell_rank = 1),
+probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, cell_id
+  FROM assign WHERE vec_id < {n_queries} AND cell_rank <= {n_probe}
+),
+q AS (
+  SELECT vec_id AS query_id, sqrt(list_dot_product(emb, emb)) AS q_norm
+  FROM e WHERE vec_id < {n_queries}
+),
+subdot AS (
+  SELECT p.query_id, c.cand_id, a.s,
+         list_dot_product(
+           list_slice(p.q_emb, a.s * {sub} + 1, a.s * {sub} + {sub}),
+           a.cw) AS d
+  FROM probes p
+  JOIN cellof c USING (cell_id)
+  JOIN asgn a ON a.vec_id = c.cand_id
+  WHERE c.cand_id != p.query_id
+),
+adc AS (
+  SELECT query_id, cand_id,
+         list_reduce(list(d ORDER BY s), (x, y) -> x + y) AS adc
+  FROM subdot GROUP BY query_id, cand_id
+),
+scored AS (
+  SELECT query_id, cand_id,
+         round(adc / (q.q_norm * sqrt(n.nsq)), 6) AS cosine_pq
+  FROM adc JOIN q USING (query_id) JOIN cnsq n ON n.vec_id = cand_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_pq DESC, cand_id)::INT AS rank
+  FROM scored
+)
+SELECT query_id, rank, cand_id, cosine_pq
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 def _embedding_quantize_sq8_sql() -> str:
     """DuckDB twin of similarity.embedding_quantize_sq8. The mse sum
     uses list_reduce (sequential left-to-right, the same order as
@@ -4347,6 +4424,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["embedding_quantize_sq8"] = _embedding_quantize_sq8_sql()
     out["embedding_quantize_pq"] = _embedding_quantize_pq_sql()
     out["ann_topk_pq"] = _ann_topk_pq_sql()
+    out["ann_topk_ivfpq"] = _ann_topk_ivfpq_sql()
     out["charlm_perplexity"] = _charlm_perplexity_sql()
     out["ann_topk_sq8"] = _ann_topk_sq8_sql()
     out["eia_series_combinations"] = _eia_series_combinations_sql()

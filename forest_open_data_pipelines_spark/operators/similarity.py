@@ -804,6 +804,47 @@ def _pq_encoded(
     )
 
 
+def _pq_query_luts(
+    embeddings: DataFrame,
+    codebook: list[list[list[float]]],
+    n_queries: int,
+    m: int,
+    ks: int,
+    dim: int,
+) -> DataFrame:
+    """(query_id, q_norm, lut array<array<double>>) — each query's ADC
+    lookup table LUT[s][code] = ⟨q_s, codeword[s][code]⟩, computed
+    driver-side from bounded inputs (n_queries rows + the collected
+    codebook) with every accumulation sequential over dims, matching
+    list_dot_product / the Catalyst fold bit-for-bit."""
+    sub = dim // m
+    q_rows = sorted(
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    lut_rows = []
+    for r in q_rows:
+        q = [float(x) for x in r.embedding]
+        nsq = 0.0
+        for x in q:
+            nsq += x * x
+        lut = []
+        for s in range(m):
+            row = []
+            for c in range(ks):
+                acc = 0.0
+                for j in range(sub):
+                    acc += q[s * sub + j] * codebook[s][c][j]
+                row.append(acc)
+            lut.append(row)
+        lut_rows.append((int(r.vec_id), nsq**0.5, lut))
+    return embeddings.sparkSession.createDataFrame(
+        lut_rows, "query_id bigint, q_norm double, lut array<array<double>>"
+    )
+
+
 def embedding_quantize_pq(
     embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS, dim: int = 64
 ) -> DataFrame:
@@ -859,38 +900,9 @@ def ann_topk_pq(
     sequential fold over s, and q_norm all reproduce the DuckDB twin's
     arithmetic order exactly.
     """
-    sub = dim // m
     codebook = _pq_codebook(embeddings, m, ks, dim)
     enc = _pq_encoded(embeddings, codebook, m, ks, dim)
-    q_rows = sorted(
-        embeddings.where(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    spark = embeddings.sparkSession
-    lut_rows = []
-    for r in q_rows:
-        q = [float(x) for x in r.embedding]
-        # sequential dims == list_dot_product / _dot fold order
-        nsq = 0.0
-        for x in q:
-            nsq += x * x
-        lut = []
-        for s in range(m):
-            row = []
-            for c in range(ks):
-                acc = 0.0
-                for j in range(sub):
-                    acc += q[s * sub + j] * codebook[s][c][j]
-                row.append(acc)
-            lut.append(row)
-        lut_rows.append((int(r.vec_id), nsq**0.5, lut))
-    queries = F.broadcast(
-        spark.createDataFrame(
-            lut_rows, "query_id bigint, q_norm double, lut array<array<double>>"
-        )
-    )
+    queries = F.broadcast(_pq_query_luts(embeddings, codebook, n_queries, m, ks, dim))
     adc = F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
@@ -908,6 +920,86 @@ def ann_topk_pq(
     cos = ratio(adc / (F.col("q_norm") * F.sqrt(F.col("c_nsq"))))
     scored = (
         cands.join(queries)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine_pq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_pq"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine_pq")
+        .orderBy("query_id", "rank")
+    )
+
+
+def ann_topk_ivfpq(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF + PQ — the composed index every large vector store actually
+    runs (FAISS IndexIVFPQ shape, Jégou et al. 2011): the coarse IVF
+    quantizer restricts each query to its ``n_probe`` cells'
+    candidates, and scoring inside a cell is PQ's ADC lookup-table sum
+    over the 12-byte codes. The two stages are EXACTLY the shipped
+    pieces — ``ann_topk_ivf``'s cell assignment/probing and
+    ``ann_topk_pq``'s kernel encoding + per-query LUTs — composed, so
+    their individually-asserted parities carry over.
+
+    Scale: the top-k scan touches n_probe/n_cells of the corpus AND
+    reads 12-byte codes instead of 256-byte vectors — the two
+    multiplicative savings that make 100 TB ANN serve from RAM.
+    Candidates join probes on cell_id (each candidate lives in one
+    cell, probe cells per query are distinct → pairs already unique);
+    the cell map + code table is what a partitioned-by-cell write
+    would persist as the index. Recall vs the float bruteforce is the
+    PRODUCT of the stages' losses — measured in tests (≈ both stages'
+    documented recalls composed on this unstructured corpus).
+    """
+    centroids = train_ivf_centroids(embeddings, n_cells, 0)
+    cell_scored = _cell_scored(_centroid_literal(centroids))
+    codebook = _pq_codebook(embeddings, m, ks, dim)
+    enc = _pq_encoded(embeddings, codebook, m, ks, dim)
+    e = spread(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    )
+    cells = e.select(
+        "vec_id", (-F.array_max(cell_scored)["neg_cell_id"]).alias("cell_id")
+    )
+    cands = enc.join(cells, "vec_id").select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("codes").alias("c_codes"),
+        F.col("recon_nsq").alias("c_nsq"),
+        "cell_id",
+    )
+    top_cells = F.slice(F.reverse(F.array_sort(cell_scored)), 1, n_probe)
+    probes = (
+        e.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.explode(top_cells).alias("pc"))
+        .select("query_id", (-F.col("pc.neg_cell_id")).alias("cell_id"))
+    )
+    luts = _pq_query_luts(embeddings, codebook, n_queries, m, ks, dim)
+    queries = F.broadcast(probes.join(F.broadcast(luts), "query_id"))
+    sub = dim // m
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("c_codes"), s + 1) + 1,
+        ),
+    )
+    cos = ratio(adc / (F.col("q_norm") * F.sqrt(F.col("c_nsq"))))
+    scored = (
+        cands.join(queries, "cell_id")
         .where(F.col("cand_id") != F.col("query_id"))
         .select("query_id", "cand_id", cos.alias("cosine_pq"))
     )

@@ -136,6 +136,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_pq": lambda s, d: similarity.ann_topk_pq(
         load_table(s, d, "embeddings")
     ),
+    "ann_topk_ivfpq": lambda s, d: similarity.ann_topk_ivfpq(
+        load_table(s, d, "embeddings")
+    ),
     "ann_topk_sq8": lambda s, d: similarity.ann_topk_sq8(
         load_table(s, d, "embeddings")
     ),
@@ -612,18 +615,18 @@ _R6_WINDOW: tuple[str, ...] = (
     "event_funnel",
     "embedding_label_stats",
     # flagship/bench anchors
-    "dedup_ngram_ppjoin",
     "dedup_embedding_lsh",
     # late round-6 additions (first driver rows; swapped in for the
     # unchanged anchors ann_topk_lsh/ivf, q1_pricing_summary,
-    # nations_trade_volume, dedup_minhash and dedup_ngram_jaccard —
-    # all r5-green on record)
+    # nations_trade_volume, dedup_minhash, dedup_ngram_jaccard and
+    # dedup_ngram_ppjoin — all r5-green on record)
     "decontaminate_embedding",
     "dsir_importance_weights",
     "tfidf_top_terms",
     "bpe_encode",
     "embedding_quantize_pq",
     "ann_topk_pq",
+    "ann_topk_ivfpq",
 )
 assert len(_R6_WINDOW) == DRIVER_CHECK_CAP, len(_R6_WINDOW)
 QUERIES = {
