@@ -2854,6 +2854,42 @@ SELECT query_id, rank, cand_id, cosine_pq
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def _embedding_cluster_report_sql(n_cells: int = 16) -> str:
+    """DuckDB twin of similarity.embedding_cluster_report: seed-cell
+    assignment (9-dp cosine argmax, lowest-cell ties), nano-int cosine
+    carry so sums are order-exact, 6-dp display rounds."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, cell_id,
+         round({cos("emb", "cent")} * 1000000000.0, 0)::BIGINT AS cos_nano,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round({cos("emb", "cent")}, 9) DESC,
+                                     cell_id) AS rnk
+  FROM e CROSS JOIN cent
+),
+per AS (
+  SELECT cell_id, count(*) AS n_vectors, sum(cos_nano)::BIGINT AS s,
+         min(cos_nano) AS mn, max(cos_nano) AS mx
+  FROM assign WHERE rnk = 1 GROUP BY cell_id
+),
+tot AS (SELECT sum(n_vectors) AS t FROM per)
+SELECT cell_id, n_vectors,
+       round(n_vectors::DOUBLE / t, 6) AS share,
+       round(s / (n_vectors * 1000000000.0), 6) AS avg_cos,
+       round(mn / 1000000000.0, 6) AS min_cos,
+       round(mx / 1000000000.0, 6) AS max_cos
+FROM per CROSS JOIN tot ORDER BY cell_id"""
+
+
 def _embedding_quantize_sq8_sql() -> str:
     """DuckDB twin of similarity.embedding_quantize_sq8. The mse sum
     uses list_reduce (sequential left-to-right, the same order as
@@ -4425,6 +4461,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["embedding_quantize_pq"] = _embedding_quantize_pq_sql()
     out["ann_topk_pq"] = _ann_topk_pq_sql()
     out["ann_topk_ivfpq"] = _ann_topk_ivfpq_sql()
+    out["embedding_cluster_report"] = _embedding_cluster_report_sql()
     out["charlm_perplexity"] = _charlm_perplexity_sql()
     out["ann_topk_sq8"] = _ann_topk_sq8_sql()
     out["eia_series_combinations"] = _eia_series_combinations_sql()

@@ -128,6 +128,7 @@ HEADLINE = [
     "embedding_quantize_pq",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "embedding_cluster_report",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

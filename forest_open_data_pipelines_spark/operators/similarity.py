@@ -1012,3 +1012,58 @@ def ann_topk_ivfpq(
         .select("query_id", "rank", "cand_id", "cosine_pq")
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_cluster_report(
+    embeddings: DataFrame, n_cells: int = 16, kmeans_iters: int = 0
+) -> DataFrame:
+    """Per-cluster balance/geometry report: assign every vector to its
+    coarse-quantizer cell (the ann_topk_ivf assignment projection) and
+    report size, corpus share, and the avg/min/max cosine-to-centroid
+    per cell — the topic-balance diagnostic a curation pipeline reads
+    before trusting an embedding space for mixture or dedup decisions
+    (the corpus-level sibling of ``embedding_label_stats``' per-label
+    view; a skewed cell here is the "one topic dominates the corpus"
+    smell).
+
+    Determinism: the assignment cosine is the 9-dp-rounded
+    ``_cell_scored`` value, carried as an EXACT nano-int so the
+    per-cell sum/avg is independent of partial-aggregation order (the
+    embedding_label_stats micro-unit pattern); only the final 6-dp
+    display divisions round.
+
+    Scale: assignment is the in-codegen argmax projection (no join),
+    the report is ONE map-side-combinable groupBy over ≤ n_cells rows
+    plus a broadcast share denominator.
+    """
+    centroids = train_ivf_centroids(embeddings, n_cells, kmeans_iters)
+    cell_scored = _cell_scored(_centroid_literal(centroids))
+    e = spread(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    )
+    best = F.array_max(cell_scored)
+    assigned = e.select(
+        (-best["neg_cell_id"]).alias("cell_id"),
+        F.round(best["cell_cos"] * F.lit(1e9), 0).cast("long").alias("cos_nano"),
+    )
+    per = assigned.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("cos_nano").alias("s_nano"),
+        F.min("cos_nano").alias("mn_nano"),
+        F.max("cos_nano").alias("mx_nano"),
+    )
+    tot = per.agg(F.sum("n_vectors").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "cell_id",
+            "n_vectors",
+            ratio(F.col("n_vectors") / F.col("t")).alias("share"),
+            ratio(F.col("s_nano") / (F.col("n_vectors") * F.lit(1e9))).alias(
+                "avg_cos"
+            ),
+            ratio(F.col("mn_nano") / F.lit(1e9)).alias("min_cos"),
+            ratio(F.col("mx_nano") / F.lit(1e9)).alias("max_cos"),
+        )
+        .orderBy("cell_id")
+    )

@@ -139,6 +139,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_ivfpq": lambda s, d: similarity.ann_topk_ivfpq(
         load_table(s, d, "embeddings")
     ),
+    "embedding_cluster_report": lambda s, d: similarity.embedding_cluster_report(
+        load_table(s, d, "embeddings")
+    ),
     "ann_topk_sq8": lambda s, d: similarity.ann_topk_sq8(
         load_table(s, d, "embeddings")
     ),
@@ -614,12 +617,11 @@ _R6_WINDOW: tuple[str, ...] = (
     "user_retention_cohorts",
     "event_funnel",
     "embedding_label_stats",
-    # flagship/bench anchors
-    "dedup_embedding_lsh",
     # late round-6 additions (first driver rows; swapped in for the
     # unchanged anchors ann_topk_lsh/ivf, q1_pricing_summary,
-    # nations_trade_volume, dedup_minhash, dedup_ngram_jaccard and
-    # dedup_ngram_ppjoin — all r5-green on record)
+    # nations_trade_volume, dedup_minhash, dedup_ngram_jaccard,
+    # dedup_ngram_ppjoin and dedup_embedding_lsh — all r5-green on
+    # record)
     "decontaminate_embedding",
     "dsir_importance_weights",
     "tfidf_top_terms",
@@ -627,6 +629,7 @@ _R6_WINDOW: tuple[str, ...] = (
     "embedding_quantize_pq",
     "ann_topk_pq",
     "ann_topk_ivfpq",
+    "embedding_cluster_report",
 )
 assert len(_R6_WINDOW) == DRIVER_CHECK_CAP, len(_R6_WINDOW)
 QUERIES = {

@@ -3021,6 +3021,22 @@ def test_pq_quantization_invariants_and_recall(spark):
     assert len(bf & pq) / len(bf) >= 0.5
 
 
+def test_embedding_cluster_report_invariants(spark):
+    """Cells partition the corpus (sizes sum to n, shares to ~1);
+    min ≤ avg ≤ max per cell; every centroid-seed vector sits in a
+    cell with max_cos = 1 (a seed's cosine to its own centroid)."""
+    from forest_open_data_pipelines_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sim.embedding_cluster_report(emb).collect()
+    n = emb.count()
+    assert sum(r.n_vectors for r in rows) == n
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.min_cos <= r.avg_cos <= r.max_cos, r.cell_id
+    assert max(r.max_cos for r in rows) == 1.0
+
+
 def test_ivfpq_composes_and_keeps_recall(spark):
     """The composed IVF+PQ index is a strict restriction of the brute
     ADC scan: every emitted pair's candidate lives in one of the
