@@ -294,3 +294,123 @@ def test_edit_distance_pairs_matches_python_dp(spark, texts, k):
             if d <= k:
                 expected[(i, j)] = d
     assert got == expected
+
+
+_FENCE_BODIES = [
+    '{"insight": "i1", "hashtags": ["#h"]}',   # ok
+    '{"insight": "only"}',                     # missing_keys
+    '{"insight": }',                           # invalid
+    '{"a": 1}',                                # missing both
+]
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet="ab {}:,0", min_size=0, max_size=12),
+            st.sampled_from(_FENCE_BODIES),
+            st.sampled_from(
+                ["```json\n" + b + "\n```" for b in _FENCE_BODIES]
+                + ["```\n" + b + "\n``` tail" for b in _FENCE_BODIES]
+            ),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_fenced_json_matches_stdlib_twin(spark, fragments):
+    """Random assemblies of prose/fence/bare-object fragments: the
+    operator's status/missing must equal the reference twin's
+    (re.search fence-first, first-{/last-} fallback, json.loads
+    strictness, required-key order). Fragments avoid double quotes in
+    prose and braces inside JSON strings, so the documented
+    string-blind-fold approximation never triggers."""
+    import json
+    import re
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        JSON_FENCE_RE,
+        JSON_REQUIRED_KEYS,
+        parse_fenced_json,
+    )
+
+    text = " ".join(fragments)
+    fence_re = re.compile(JSON_FENCE_RE.replace("(?s)", ""), re.DOTALL)
+
+    def twin(t):
+        m = fence_re.search(t)
+        if m:
+            cand = m.group(1)
+        else:
+            first, last = t.find("{"), t.rfind("}")
+            if first == -1 or last <= first:
+                return ("no_json", None)
+            cand = t[first : last + 1]
+        try:
+            parsed = json.loads(cand)
+        except ValueError:
+            return ("invalid_json", None)
+        if not isinstance(parsed, dict):
+            return ("invalid_json", None)
+        missing = [k for k in JSON_REQUIRED_KEYS if k not in parsed]
+        return ("missing_keys" if missing else "ok", ",".join(missing))
+
+    responses = spark.createDataFrame([(0, text)], ["doc_id", "response"])
+    got = parse_fenced_json(responses).collect()[0]
+    status, missing = twin(text)
+    assert got["status"] == status, (text, got, status)
+    if status in ("ok", "missing_keys"):
+        assert got["missing_keys"] == missing
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_tfidf_matches_python_twin(spark, docs_words):
+    """Random small corpora: per-doc top-k terms, scores, and the
+    (score DESC, term ASC) tie-break must equal a pure-Python
+    reproduction of the micro-bit idf scoring."""
+    import math
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        TFIDF_TOP_K,
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(ws), "en", "s", 0) for i, ws in enumerate(docs_words)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    got = [
+        (r["doc_id"], r["rank"], r["term"], r["tf"], r["df"], r["tfidf"])
+        for r in tfidf_top_terms(docs).collect()
+    ]
+    n = len(docs_words)
+    tf = {}
+    for i, ws in enumerate(docs_words):
+        for w in ws:
+            tf[(i, w)] = tf.get((i, w), 0) + 1
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    expected = []
+    for i in range(n):
+        terms = [(w, c) for (d, w), c in tf.items() if d == i]
+        scored = []
+        for w, c in terms:
+            idf_micro = round(math.log2((n + 1) / (df[w] + 1)) * 1e6)
+            scored.append((-(c * idf_micro), w, c))
+        scored.sort()
+        for rank, (neg_s, w, c) in enumerate(scored[:TFIDF_TOP_K], 1):
+            expected.append((i, rank, w, c, df[w], round(-neg_s / 1e6, 6)))
+    assert got == expected
