@@ -4554,6 +4554,34 @@ SELECT doc_id, rank, term, tf, df,
        round(score_micro / 1000000.0, 6) AS tfidf
 FROM ranked WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank"""
     # session_duration_stats composes the sessionize twin the same way.
+    # curation_gate_matrix composes the per-gate twins on doc_id — the
+    # matrix is definitionally consistent with the individual oracles.
+    from forest_open_data_pipelines_spark.operators.curation import (
+        CURATION_MIN_QUALITY,
+        CURATION_MIN_TOKENS,
+    )
+
+    out["curation_gate_matrix"] = f"""
+WITH q AS (SELECT doc_id, n_tokens, quality_score FROM ({out["text_quality"]})),
+l AS (SELECT doc_id, predicted_lang FROM ({out["lang_id"]})),
+r AS (SELECT doc_id, passes_repetition FROM ({out["quality_repetition"]})),
+lm AS (SELECT doc_id, entropy_bits, passes_charlm
+       FROM ({out["charlm_perplexity"]})),
+p AS (SELECT doc_id, pii_free FROM ({out["pii_scrub"]})),
+dc AS (SELECT doc_id, contaminated FROM ({out["decontaminate_ngram"]})),
+im AS (SELECT doc_id, log_importance, target_like
+       FROM ({out["dsir_importance_weights"]}))
+SELECT q.doc_id, q.n_tokens, q.quality_score, l.predicted_lang,
+       r.passes_repetition, lm.entropy_bits, lm.passes_charlm, p.pii_free,
+       dc.contaminated, im.log_importance, im.target_like,
+       (q.n_tokens >= {CURATION_MIN_TOKENS}
+        AND q.quality_score >= {CURATION_MIN_QUALITY}
+        AND l.predicted_lang != 'unknown' AND r.passes_repetition
+        AND lm.passes_charlm AND p.pii_free
+        AND NOT coalesce(dc.contaminated, false)) AS passes_all
+FROM q JOIN l USING (doc_id) JOIN r USING (doc_id) JOIN lm USING (doc_id)
+JOIN p USING (doc_id) LEFT JOIN dc USING (doc_id) JOIN im USING (doc_id)
+ORDER BY q.doc_id"""
     out["session_duration_stats"] = f"""
 WITH s AS (SELECT * FROM ({out["events_sessionize"]})),
 d AS (

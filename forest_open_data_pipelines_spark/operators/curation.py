@@ -895,3 +895,79 @@ def quality_by_lang_report(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def curation_gate_matrix(documents: DataFrame) -> DataFrame:
+    """Every per-document quality signal in ONE frame — the gate
+    matrix a curation run inspects before choosing thresholds:
+    composite quality score + language ID (the corpus_curation
+    stage-1/2 columns), the Gopher repetition gate, the corpus-trained
+    charlm perplexity gate, PII cleanliness, n-gram benchmark
+    contamination (NULL for the benchmark split itself), and the DSIR
+    target-likeness weight, plus ``passes_all`` (contamination counts
+    as a failure; the benchmark split's NULL does not).
+
+    Each column is the corresponding first-class operator's OWN
+    output, joined on doc_id — so this matrix is definitionally
+    consistent with the individual gates (their oracles compose the
+    same way on the DuckDB side).
+
+    Scale: the component frames are each one scan + combinable
+    aggregations; the assembly is doc_id-keyed joins (co-partitioned
+    under AQE, never a cross product). At corpus scale you'd persist
+    the matrix as the curation working table and derive every
+    threshold sweep from it instead of re-running gates.
+    """
+    from forest_open_data_pipelines_spark.operators.textops import (
+        charlm_perplexity,
+        predicted_lang_col,
+        quality_metric_cols,
+        quality_repetition,
+    )
+
+    n_tokens, _, _, score = quality_metric_cols()
+    base = spread(documents).select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        ratio(score).alias("quality_score"),
+        predicted_lang_col().alias("predicted_lang"),
+    )
+    rep = quality_repetition(documents).select("doc_id", "passes_repetition")
+    lm = charlm_perplexity(documents).select(
+        "doc_id", "entropy_bits", "passes_charlm"
+    )
+    pii = pii_scrub(documents, sorted_output=False).select("doc_id", "pii_free")
+    dec = decontaminate_ngram(documents).select("doc_id", "contaminated")
+    imp = dsir_importance_weights(documents).select(
+        "doc_id", "log_importance", "target_like"
+    )
+    out = (
+        base.join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .join(pii, "doc_id")
+        .join(dec, "doc_id", "left")
+        .join(imp, "doc_id")
+    )
+    passes_all = (
+        (F.col("n_tokens") >= F.lit(CURATION_MIN_TOKENS))
+        & (F.col("quality_score") >= F.lit(CURATION_MIN_QUALITY))
+        & (F.col("predicted_lang") != "unknown")
+        & F.col("passes_repetition")
+        & F.col("passes_charlm")
+        & F.col("pii_free")
+        & ~F.coalesce(F.col("contaminated"), F.lit(False))
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "quality_score",
+        "predicted_lang",
+        "passes_repetition",
+        "entropy_bits",
+        "passes_charlm",
+        "pii_free",
+        "contaminated",
+        "log_importance",
+        "target_like",
+        passes_all.alias("passes_all"),
+    ).orderBy("doc_id")

@@ -495,6 +495,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_importance_weights": lambda s, d: curation.dsir_importance_weights(
         load_table(s, d, "documents")
     ),
+    "curation_gate_matrix": lambda s, d: curation.curation_gate_matrix(
+        load_table(s, d, "documents")
+    ),
     "chunk_dedup": lambda s, d: curation.chunk_dedup(load_table(s, d, "documents")),
     "dataset_mixture_plan": lambda s, d: curation.dataset_mixture_plan(
         load_table(s, d, "documents")
@@ -616,7 +619,10 @@ _R6_WINDOW: tuple[str, ...] = (
     "session_duration_stats",
     "user_retention_cohorts",
     "event_funnel",
-    "embedding_label_stats",
+    # (embedding_label_stats parked for curation_gate_matrix — r5
+    # driver row on record, micro-cosine path re-verified by the
+    # oracle-parity suite every session)
+    "curation_gate_matrix",
     # late round-6 additions (first driver rows; swapped in for the
     # unchanged anchors ann_topk_lsh/ivf, q1_pricing_summary,
     # nations_trade_volume, dedup_minhash, dedup_ngram_jaccard,

@@ -2393,6 +2393,46 @@ def test_decontaminate_flags_benchmark_overlap(spark):
     assert not out[3]["contaminated"] and out[3]["n_grams"] == 1
 
 
+def test_curation_gate_matrix_consistent_with_components(spark, sf_dir):
+    """The matrix's columns equal the individual operators' outputs
+    row-for-row, the benchmark split carries NULL contamination, and
+    passes_all is the stated conjunction."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        CURATION_MIN_QUALITY,
+        CURATION_MIN_TOKENS,
+        DECONTAM_BENCH_MOD,
+        curation_gate_matrix,
+        decontaminate_ngram,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import (
+        charlm_perplexity,
+    )
+    from forest_open_data_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = {r["doc_id"]: r for r in curation_gate_matrix(docs).collect()}
+    assert len(out) == docs.count()
+    lm = {r["doc_id"]: r for r in charlm_perplexity(docs).collect()}
+    dec = {r["doc_id"]: r for r in decontaminate_ngram(docs).collect()}
+    for d, r in out.items():
+        assert r["entropy_bits"] == lm[d]["entropy_bits"]
+        assert r["passes_charlm"] == lm[d]["passes_charlm"]
+        if d % DECONTAM_BENCH_MOD == 0:
+            assert r["contaminated"] is None
+        else:
+            assert r["contaminated"] == dec[d]["contaminated"]
+        expect = (
+            r["n_tokens"] >= CURATION_MIN_TOKENS
+            and r["quality_score"] >= CURATION_MIN_QUALITY
+            and r["predicted_lang"] != "unknown"
+            and r["passes_repetition"]
+            and r["passes_charlm"]
+            and r["pii_free"]
+            and not bool(r["contaminated"])
+        )
+        assert r["passes_all"] == expect, d
+
+
 def test_dsir_importance_weights_twin_and_ordering(spark):
     """Pure-Python twin of the hashed-bucket estimator (same md5 ints,
     same add-one smoothing, same micro-bit quantization) reproduces
