@@ -2777,6 +2777,45 @@ SELECT query_id, rank, cand_id, cosine_pq
 FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
 
 
+def _dedup_semantic_sql(threshold: float = 0.45, n_cells: int = 16) -> str:
+    """DuckDB twin of dedup.dedup_semantic (SemDeDup): seed-centroid
+    cell assignment (9-dp rounded cosine argmax, lowest-cell-id ties —
+    the _ann_ivf_sql convention), within-cell pairs at the 6-dp
+    dedup_embedding cosine, and the keep-lowest-(cent_cos, vec_id)
+    verdict."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, emb, cell_id, round({cos("emb", "cent")}, 9) AS ccos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round({cos("emb", "cent")}, 9) DESC,
+                                     cell_id) AS rnk
+  FROM e CROSS JOIN cent
+),
+asg AS (SELECT vec_id, emb, cell_id, ccos AS cent_cos FROM assign WHERE rnk = 1),
+pairs AS (
+  SELECT a.vec_id AS va, a.cent_cos AS ca, b.vec_id AS vb, b.cent_cos AS cb
+  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+  WHERE round({cos("a.emb", "b.emb")}, 6) >= {threshold}
+),
+losers AS (
+  SELECT DISTINCT CASE WHEN ca < cb OR (ca = cb AND va < vb) THEN vb ELSE va END
+           AS vec_id
+  FROM pairs
+)
+SELECT g.vec_id, g.cell_id, g.cent_cos, (l.vec_id IS NOT NULL) AS is_dup
+FROM asg g LEFT JOIN losers l USING (vec_id)
+ORDER BY g.vec_id"""
+
+
 def _ann_topk_ivfpq_sql(
     n_queries: int = 8, k: int = 10, n_cells: int = 16, n_probe: int = 4
 ) -> str:
@@ -4464,6 +4503,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["embedding_cluster_report"] = _embedding_cluster_report_sql()
     out["charlm_perplexity"] = _charlm_perplexity_sql()
     out["ann_topk_sq8"] = _ann_topk_sq8_sql()
+    out["dedup_semantic"] = _dedup_semantic_sql()
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["fenced_json_extract"] = _fenced_json_sql()

@@ -145,6 +145,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_topk_sq8": lambda s, d: similarity.ann_topk_sq8(
         load_table(s, d, "embeddings")
     ),
+    "dedup_semantic": lambda s, d: dedup.dedup_semantic(
+        load_table(s, d, "embeddings")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.

@@ -495,6 +495,65 @@ def test_dedup_embedding_lsh_subset_and_recall(spark):
         assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
 
 
+def test_dedup_semantic_matches_numpy_twin(spark):
+    """SemDeDup verdicts against an independent numpy twin: seed-centroid
+    assignment (9-dp HALF_UP argmax, lowest-cell ties), within-cell
+    6-dp cosine pairs, keep-lowest-(cent_cos, vec_id)."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    got = [
+        (r.vec_id, r.cell_id, r.cent_cos, r.is_dup)
+        for r in dedup.dedup_semantic(emb).collect()
+    ]
+
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    n_cells, thr = 16, 0.45
+    cents = [vecs[i] for i in range(n_cells)]
+
+    def half_up(x: float, dp: int) -> float:
+        s = 10.0**dp
+        return math.copysign(math.floor(abs(x) * s + 0.5), x) / s
+
+    def cos(a, b):
+        return float(a @ b / (math.sqrt(a @ a) * math.sqrt(b @ b)))
+
+    assign = {}
+    for vid, v in vecs.items():
+        _, neg_cell = max((half_up(cos(v, c), 9), -cid) for cid, c in enumerate(cents))
+        assign[vid] = (-neg_cell, half_up(cos(v, cents[-neg_cell]), 9))
+    cells = defaultdict(list)
+    for vid, (cell, _) in assign.items():
+        cells[cell].append(vid)
+    losers = set()
+    for members in cells.values():
+        members.sort()
+        for i, va in enumerate(members):
+            for vb in members[i + 1 :]:
+                if half_up(cos(vecs[va], vecs[vb]), 6) >= thr:
+                    ca, cb = assign[va][1], assign[vb][1]
+                    losers.add(vb if (ca, va) < (cb, vb) else va)
+    expected = [
+        (vid, assign[vid][0], assign[vid][1], vid in losers)
+        for vid in sorted(vecs)
+    ]
+    assert got == expected
+    # every duplicate also appears in the exact all-pairs relation at
+    # the same threshold (within-cell pairs are a subset of all pairs)
+    exact_members = {
+        v
+        for r in dedup.dedup_embedding(emb).collect()
+        for v in (r.vec_a, r.vec_b)
+    }
+    assert losers <= exact_members
+
+
 def test_ann_topk_ivf_rejects_missing_seed_centroids(spark):
     from forest_open_data_pipelines_spark.operators.similarity import ann_topk_ivf
 
