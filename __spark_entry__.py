@@ -2816,6 +2816,37 @@ FROM asg g LEFT JOIN losers l USING (vec_id)
 ORDER BY g.vec_id"""
 
 
+def _boilerplate_ngrams_sql() -> str:
+    """DuckDB twin of textops.boilerplate_ngrams: per-doc distinct
+    3-gram shingles (the shared SHINGLES CTE), document frequency over
+    the exploded stream, greatest(min_docs, frac·n_docs) boilerplate
+    cut, per-doc density + flag at the 6-dp rounded fraction."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        BOILER_FLAG_FRAC,
+        BOILER_MIN_DF_FRAC,
+        BOILER_MIN_DOCS,
+    )
+
+    frac = "round(n_boiler::DOUBLE / n_grams, 6)"
+    return f"""
+WITH {SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM ex),
+dfc AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+boiler AS (
+  SELECT s FROM dfc, nd
+  WHERE df >= greatest({BOILER_MIN_DOCS}.0, {BOILER_MIN_DF_FRAC} * n_docs)
+),
+per AS (
+  SELECT e.doc_id, count(*) AS n_grams, count(b.s) AS n_boiler
+  FROM ex e LEFT JOIN boiler b ON e.s = b.s
+  GROUP BY e.doc_id
+)
+SELECT doc_id, n_grams, n_boiler, {frac} AS boiler_frac,
+       ({frac} >= {BOILER_FLAG_FRAC}) AS flagged
+FROM per ORDER BY doc_id"""
+
+
 def _ann_topk_ivfpq_sql(
     n_queries: int = 8, k: int = 10, n_cells: int = 16, n_probe: int = 4
 ) -> str:
@@ -4504,6 +4535,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["charlm_perplexity"] = _charlm_perplexity_sql()
     out["ann_topk_sq8"] = _ann_topk_sq8_sql()
     out["dedup_semantic"] = _dedup_semantic_sql()
+    out["boilerplate_ngrams"] = _boilerplate_ngrams_sql()
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["fenced_json_extract"] = _fenced_json_sql()

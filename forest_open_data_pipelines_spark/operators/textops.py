@@ -539,6 +539,90 @@ def repetition_row_metrics(documents: DataFrame) -> DataFrame:
     )
 
 
+# Calibrated to the synthetic corpus: the max 3-gram document
+# frequency is ~1.8% at sf0.001 and ~0.5% at sf0.1, so a web-scale cut
+# (1-10% of docs) would select NOTHING here and the operator would be
+# vacuous at every driver scale. 0.2% with a 3-doc floor keeps the
+# boilerplate set non-empty at all three SFs; production corpora with
+# real chrome/templates should raise min_df_frac toward 0.01-0.10.
+BOILER_MIN_DF_FRAC = 0.002
+BOILER_MIN_DOCS = 3
+BOILER_FLAG_FRAC = 0.5
+
+
+def boilerplate_ngrams(
+    documents: DataFrame,
+    min_df_frac: float = BOILER_MIN_DF_FRAC,
+    min_docs: int = BOILER_MIN_DOCS,
+    flag_frac: float = BOILER_FLAG_FRAC,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (CCNet/C4-style): word
+    3-grams shared by at least ``max(min_docs, min_df_frac·n_docs)``
+    documents are boilerplate; each document is scored by the fraction
+    of its DISTINCT grams that are boilerplate and flagged when that
+    fraction reaches ``flag_frac``.
+
+    This is the cross-document complement of ``quality_repetition``
+    (which scores repetition WITHIN a document): navigation chrome,
+    cookie banners, and shared templates repeat across documents with
+    low in-document repetition, so only a corpus-frequency signal
+    catches them (Wenzek et al. 2019 §4.1 dedup-by-paragraph-frequency
+    rationale; no reference counterpart — first-class curation
+    operator per the build brief).
+
+    Output: ``doc_id, n_grams, n_boiler, boiler_frac, flagged`` —
+    one row per document, sorted by ``doc_id``.
+
+    Scale: the gram document-frequency is a map-side-combinable
+    ``groupBy(s).count()`` over per-doc DISTINCT grams (the
+    ``shingle_table`` explode, persisted once for its two consumers);
+    the boilerplate list is broadcast back onto the gram stream — by
+    construction it is small (a gram in ≥ ``min_df_frac`` of docs is
+    rare: at most ``avg_grams_per_doc / min_df_frac`` distinct grams
+    can qualify), so no shuffle on the hot gram keys. The global
+    ``n_docs`` threshold is the two-pass scalar-broadcast shape used
+    throughout the repo, not a driver collect.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        _persist,
+        shingle_table,
+    )
+
+    ex = _persist(
+        shingle_table(documents).select(
+            "doc_id", F.explode("shingles").alias("s")
+        )
+    )
+    nd = ex.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    dfc = ex.groupBy("s").agg(F.count("*").alias("df"))
+    boiler = (
+        dfc.crossJoin(F.broadcast(nd))
+        .where(
+            F.col("df")
+            >= F.greatest(
+                F.lit(float(min_docs)), F.lit(min_df_frac) * F.col("n_docs")
+            )
+        )
+        .select("s")
+    )
+    per = (
+        ex.join(F.broadcast(boiler.withColumn("hit", F.lit(1))), "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_boiler"),
+        )
+    )
+    frac = ratio(F.col("n_boiler").cast("double") / F.col("n_grams"))
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_boiler",
+        frac.alias("boiler_frac"),
+        (frac >= flag_frac).alias("flagged"),
+    ).orderBy("doc_id")
+
+
 def bpe_merge_candidates(documents: DataFrame, top_k: int = 20) -> DataFrame:
     """One BPE training step over the corpus: the top-K adjacent
     character pairs by corpus frequency — the statistic a byte-pair

@@ -148,6 +148,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_semantic": lambda s, d: dedup.dedup_semantic(
         load_table(s, d, "embeddings")
     ),
+    "boilerplate_ngrams": lambda s, d: textops.boilerplate_ngrams(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.

@@ -1735,6 +1735,47 @@ def test_dedup_clusters_partitions_and_closes_pairs(spark, sf_dir):
         assert r["cluster_size"] == sizes[r["cluster_id"]]
 
 
+def test_boilerplate_ngrams_matches_python_twin(spark):
+    """Per-doc boilerplate density against a Python re-aggregation of
+    the SAME shingle_table output: document frequency, the
+    greatest(min_docs, frac·n_docs) cut, and the density flag."""
+    import math
+    from collections import Counter
+
+    from forest_open_data_pipelines_spark.operators.dedup import shingle_table
+    from forest_open_data_pipelines_spark.operators.textops import (
+        BOILER_FLAG_FRAC,
+        BOILER_MIN_DF_FRAC,
+        BOILER_MIN_DOCS,
+        boilerplate_ngrams,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = [
+        (r.doc_id, r.n_grams, r.n_boiler, r.boiler_frac, r.flagged)
+        for r in boilerplate_ngrams(docs).collect()
+    ]
+    shingles = {
+        int(r.doc_id): set(r.shingles)
+        for r in shingle_table(docs).collect()
+    }
+    df = Counter(s for grams in shingles.values() for s in grams)
+    thr = max(float(BOILER_MIN_DOCS), BOILER_MIN_DF_FRAC * len(shingles))
+    boiler = {s for s, c in df.items() if c >= thr}
+    expected = []
+    for doc_id in sorted(shingles):
+        grams = shingles[doc_id]
+        n_boiler = sum(1 for s in grams if s in boiler)
+        frac = math.floor(abs(n_boiler / len(grams)) * 1e6 + 0.5) / 1e6
+        expected.append(
+            (doc_id, len(grams), n_boiler, frac, frac >= BOILER_FLAG_FRAC)
+        )
+    assert got == expected
+    # the cut is corpus-wide: at least one boilerplate gram must exist
+    # in this synthetic corpus (templated docs) or the test is vacuous
+    assert boiler
+
+
 def test_quality_repetition_degenerate_and_short_docs(spark):
     from forest_open_data_pipelines_spark.operators.textops import (
         quality_repetition,
