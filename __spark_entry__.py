@@ -2139,6 +2139,33 @@ WHERE tokens_before < r.target_tokens
 ORDER BY doc_id"""
 
 
+def _stratified_topk_sample_sql() -> str:
+    """DuckDB twin of curation.stratified_topk_sample: one
+    row_number() per (lang, source) stratum in md5-draw order — the
+    Spark side's two-level sharded cut is exact, so the single-window
+    formulation is the semantic ground truth."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        STRAT_TOPK_PER_STRATUM,
+    )
+
+    return f"""
+WITH drawn AS (
+  SELECT doc_id, lang, source,
+         ({_MD5_INT.format(expr="'strat-' || doc_id")}) % 1000000
+           AS sample_u_micro
+  FROM documents
+),
+r AS (
+  SELECT doc_id, lang, source, sample_u_micro,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY sample_u_micro, doc_id)::INT
+           AS stratum_rank
+  FROM drawn
+)
+SELECT doc_id, lang, source, sample_u_micro, stratum_rank
+FROM r WHERE stratum_rank <= {STRAT_TOPK_PER_STRATUM} ORDER BY doc_id"""
+
+
 def _span_dedup_sql() -> str:
     """DuckDB twin of curation.span_dedup: same overlapping window
     geometry (width/stride), keep-first by (doc_id, win_idx) per
@@ -4536,6 +4563,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["ann_topk_sq8"] = _ann_topk_sq8_sql()
     out["dedup_semantic"] = _dedup_semantic_sql()
     out["boilerplate_ngrams"] = _boilerplate_ngrams_sql()
+    out["stratified_topk_sample"] = _stratified_topk_sample_sql()
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["fenced_json_extract"] = _fenced_json_sql()

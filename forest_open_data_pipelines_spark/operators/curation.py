@@ -764,6 +764,62 @@ def stratified_token_sample(documents: DataFrame) -> DataFrame:
     )
 
 
+STRAT_TOPK_PER_STRATUM = 25
+STRAT_TOPK_SHARDS = 32
+
+
+def stratified_topk_sample(
+    documents: DataFrame, n_per_stratum: int = STRAT_TOPK_PER_STRATUM
+) -> DataFrame:
+    """Exact-quota stratified sampler: EXACTLY ``min(n_per_stratum,
+    |stratum|)`` documents per (lang, source) stratum, taken in
+    deterministic md5-hash order — the count-quota sibling of
+    ``stratified_sample`` (Bernoulli rate, variance around the target)
+    and ``stratified_token_sample`` (token budget).
+
+    The draw key is the same ``md5('strat-' || doc_id) % 10⁶`` used by
+    the other samplers: engine-independent, no RNG state, stable under
+    any partitioning — re-running on a different cluster yields the
+    same sample.
+
+    Scale: exact per-stratum top-k without sorting a whole hot stratum
+    in one task. Pass 1 ranks within (stratum, shard) — ``doc_id %
+    STRAT_TOPK_SHARDS`` salts a dominant stratum across tasks — and
+    keeps each shard's top ``n``; pass 2 ranks the surviving ≤
+    ``shards · n`` rows per stratum. The global top-n is contained in
+    the union of per-shard top-n's, so the two-level cut is EXACT, and
+    the second window's partitions are bounded by construction (the
+    skew answer ``stratified_token_sample``'s docstring only gestures
+    at).
+    """
+    u_micro = F.pmod(
+        _md5_int(F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))),
+        F.lit(1000000),
+    )
+    drawn = spread(documents).select(
+        "doc_id", "lang", "source", u_micro.alias("sample_u_micro")
+    )
+    shard = F.pmod(F.col("doc_id"), F.lit(STRAT_TOPK_SHARDS))
+    local = Window.partitionBy("lang", "source", shard).orderBy(
+        "sample_u_micro", "doc_id"
+    )
+    survivors = (
+        drawn.withColumn("shard_rank", F.row_number().over(local))
+        .where(F.col("shard_rank") <= n_per_stratum)
+        .drop("shard_rank")
+    )
+    final = Window.partitionBy("lang", "source").orderBy(
+        "sample_u_micro", "doc_id"
+    )
+    return (
+        survivors.withColumn(
+            "stratum_rank", F.row_number().over(final).cast("int")
+        )
+        .where(F.col("stratum_rank") <= n_per_stratum)
+        .orderBy("doc_id")
+    )
+
+
 SPAN_WIDTH = 20
 SPAN_STRIDE = 5
 

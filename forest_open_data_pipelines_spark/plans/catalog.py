@@ -151,6 +151,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "boilerplate_ngrams": lambda s, d: textops.boilerplate_ngrams(
         load_table(s, d, "documents")
     ),
+    "stratified_topk_sample": lambda s, d: curation.stratified_topk_sample(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.

@@ -1735,6 +1735,45 @@ def test_dedup_clusters_partitions_and_closes_pairs(spark, sf_dir):
         assert r["cluster_size"] == sizes[r["cluster_id"]]
 
 
+def test_stratified_topk_sample_exact_quota(spark):
+    """The two-level sharded top-k equals a direct single-window
+    top-k (exactness of the shard cut), and every stratum yields
+    exactly min(quota, |stratum|) rows."""
+    from collections import Counter
+
+    from pyspark.sql import Window
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        STRAT_TOPK_PER_STRATUM,
+        stratified_topk_sample,
+    )
+    from forest_open_data_pipelines_spark.operators.dedup import _md5_int
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    got = stratified_topk_sample(docs).collect()
+
+    u = F.pmod(
+        _md5_int(F.concat(F.lit("strat-"), F.col("doc_id").cast("string"))),
+        F.lit(1000000),
+    )
+    w = Window.partitionBy("lang", "source").orderBy("sample_u_micro", "doc_id")
+    direct = (
+        docs.select("doc_id", "lang", "source", u.alias("sample_u_micro"))
+        .withColumn("stratum_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("stratum_rank") <= STRAT_TOPK_PER_STRATUM)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in direct]
+
+    sizes = Counter(
+        (r.lang, r.source) for r in docs.select("lang", "source").collect()
+    )
+    taken = Counter((r.lang, r.source) for r in got)
+    for stratum, n in sizes.items():
+        assert taken[stratum] == min(STRAT_TOPK_PER_STRATUM, n), stratum
+
+
 def test_boilerplate_ngrams_matches_python_twin(spark):
     """Per-doc boilerplate density against a Python re-aggregation of
     the SAME shingle_table output: document frequency, the
