@@ -2139,6 +2139,46 @@ WHERE tokens_before < r.target_tokens
 ORDER BY doc_id"""
 
 
+def _inmet_yearly_zips_sql() -> str:
+    """DuckDB twin of html.inmet_yearly_zips: the same 8-kind href
+    wrapper cycled by doc_id, last-path-segment filename (no query
+    strip), case-insensitive (\\d{4})\\.zip$ search, urljoin-style
+    resolution, year DESC / url ASC ranking."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        INMET_BASE_DIR,
+    )
+
+    return f"""
+WITH k AS (
+  SELECT doc_id, (doc_id % 6 + 2015)::VARCHAR AS yyyy, doc_id % 8 AS kind
+  FROM documents
+),
+hrefs AS (
+  SELECT DISTINCT CASE kind
+    WHEN 0 THEN yyyy || '.zip'
+    WHEN 1 THEN 'https://files.inmet.example/uploads/' || yyyy || '.zip'
+    WHEN 2 THEN yyyy || '.ZIP'
+    WHEN 3 THEN 'dados.zip'
+    WHEN 4 THEN yyyy || '.csv'
+    WHEN 5 THEN 'uploads/normais/' || yyyy || '.zip'
+    WHEN 6 THEN yyyy || '.zip?x=1'
+    ELSE 'INMET_' || yyyy || '.zip'
+  END AS href FROM k
+),
+cls AS (
+  SELECT href,
+         string_split(href, '/')[-1] AS filename,
+         regexp_extract(lower(string_split(href, '/')[-1]),
+                        '(\\d{{4}})\\.zip$', 1) AS year,
+         CASE WHEN href LIKE 'http%' THEN href
+              ELSE '{INMET_BASE_DIR}' || href END AS url
+  FROM hrefs
+)
+SELECT row_number() OVER (ORDER BY year DESC, url)::INT AS item_rank,
+       year AS period, filename, url
+FROM cls WHERE year <> '' ORDER BY item_rank"""
+
+
 def _stratified_topk_sample_sql() -> str:
     """DuckDB twin of curation.stratified_topk_sample: one
     row_number() per (lang, source) stratum in md5-draw order — the
@@ -4564,6 +4604,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["dedup_semantic"] = _dedup_semantic_sql()
     out["boilerplate_ngrams"] = _boilerplate_ngrams_sql()
     out["stratified_topk_sample"] = _stratified_topk_sample_sql()
+    out["inmet_yearly_zips"] = _inmet_yearly_zips_sql()
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["fenced_json_extract"] = _fenced_json_sql()

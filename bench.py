@@ -130,6 +130,10 @@ HEADLINE = [
     "ann_topk_ivfpq",
     "embedding_cluster_report",
     "curation_gate_matrix",
+    # round-6 third session
+    "dedup_semantic",
+    "boilerplate_ngrams",
+    "stratified_topk_sample",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

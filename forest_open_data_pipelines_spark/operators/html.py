@@ -1865,6 +1865,86 @@ def cvm_latest_yearly_csvs(
     return data.unionByName(meta).orderBy("kind", "item_rank")
 
 
+# ── INMET dados históricos yearly-zip indexing ──────────────────────────────
+
+INMET_SOURCE_URL = "https://portal.inmet.example/dadoshistoricos"
+INMET_BASE_DIR = "https://portal.inmet.example/"
+_INMET_HREF_KINDS = 8
+
+
+def wrap_documents_as_inmet_hrefs(documents: DataFrame) -> DataFrame:
+    """Render documents as INMET listing hrefs cycled by doc_id: a
+    relative yearly zip, an absolute yearly zip, an UPPERCASE
+    extension (matches — re.IGNORECASE), a year-less zip (no match),
+    a yearly csv (no match), a nested relative path, a query-suffixed
+    zip (NO match — the reference does not strip queries, the ``$``
+    anchor rejects it), and a prefixed filename (matches — the
+    reference uses ``search``, not ``fullmatch``)."""
+    yyyy = (F.col("doc_id") % 6 + 2015).cast("string")
+    kinds = F.array(
+        F.concat(yyyy, F.lit(".zip")),
+        F.concat(F.lit("https://files.inmet.example/uploads/"), yyyy, F.lit(".zip")),
+        F.concat(yyyy, F.lit(".ZIP")),
+        F.lit("dados.zip"),
+        F.concat(yyyy, F.lit(".csv")),
+        F.concat(F.lit("uploads/normais/"), yyyy, F.lit(".zip")),
+        F.concat(yyyy, F.lit(".zip?x=1")),
+        F.concat(F.lit("INMET_"), yyyy, F.lit(".zip")),
+    )
+    return documents.select(
+        F.element_at(
+            kinds, (F.col("doc_id") % _INMET_HREF_KINDS + 1).cast("int")
+        ).alias("href")
+    )
+
+
+def inmet_yearly_zips(documents: DataFrame) -> DataFrame:
+    """INMET dados-históricos yearly zip indexing — the reference's
+    listing walk minus the network.
+
+    Reference: datasets/inmet/dados_historicos.py:17 (``RE_ZIP_YEAR =
+    (\\d{4})\\.zip$`` with ``re.IGNORECASE``, applied with ``search``
+    to the LAST path segment of each href — queries are NOT stripped,
+    so ``2016.zip?x=1`` is rejected by the ``$`` anchor) and :82-83
+    (items sorted newest-first by the extracted year). Absolute hrefs
+    pass through; relative hrefs join onto the site root the way
+    ``urljoin(source_url, href)`` resolves them against the
+    single-segment ``/dadoshistoricos`` listing page.
+
+    Output: ``item_rank, period, filename, url`` — year DESC with the
+    url ASC tie-break (the deterministic stand-in for the reference's
+    stable sort over listing encounter order, the
+    ``cvm_latest_yearly_csvs`` convention).
+
+    Scale: pure projection over the distinct href set; the rank
+    window runs over the tiny matched subset.
+    """
+    hrefs = wrap_documents_as_inmet_hrefs(documents).distinct()
+    filename = F.element_at(F.split(F.col("href"), "/"), -1)
+    classified = hrefs.select(
+        "href",
+        filename.alias("filename"),
+        F.regexp_extract(F.lower(filename), r"(\d{4})\.zip$", 1).alias("year"),
+    )
+    url = F.when(F.col("href").startswith("http"), F.col("href")).otherwise(
+        F.concat(F.lit(INMET_BASE_DIR), F.col("href"))
+    )
+    return (
+        classified.where(F.col("year") != "")
+        .select(
+            F.col("year").alias("period"),
+            "filename",
+            url.alias("url"),
+        )
+        .withColumn(
+            "item_rank",
+            F.row_number().over(Window.orderBy(F.desc("period"), "url")).cast("int"),
+        )
+        .select("item_rank", "period", "filename", "url")
+        .orderBy("item_rank")
+    )
+
+
 # ── EIA listing selection (petroleum_monthly + heating_oil_propane) ─────────
 
 EIA_BASE_URL = "https://www.eia.example/petroleum/supply/monthly/"

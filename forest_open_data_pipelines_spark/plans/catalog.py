@@ -154,6 +154,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_topk_sample": lambda s, d: curation.stratified_topk_sample(
         load_table(s, d, "documents")
     ),
+    "inmet_yearly_zips": lambda s, d: html.inmet_yearly_zips(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.

@@ -1735,6 +1735,48 @@ def test_dedup_clusters_partitions_and_closes_pairs(spark, sf_dir):
         assert r["cluster_size"] == sizes[r["cluster_id"]]
 
 
+def test_inmet_yearly_zips_matches_reference_semantics(spark):
+    """inmet_yearly_zips against a stdlib twin of the reference walk
+    (datasets/inmet/dados_historicos.py): re.IGNORECASE search of
+    (\\d{4})\\.zip$ on the last path segment (query NOT stripped),
+    urljoin resolution against the listing page, newest-first."""
+    import re
+    from urllib.parse import urljoin
+
+    from forest_open_data_pipelines_spark.operators.html import (
+        INMET_SOURCE_URL,
+        inmet_yearly_zips,
+        wrap_documents_as_inmet_hrefs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = [tuple(r) for r in inmet_yearly_zips(docs).collect()]
+
+    re_zip_year = re.compile(r"(\d{4})\.zip$", re.IGNORECASE)
+    items = []
+    hrefs = {
+        r.href for r in wrap_documents_as_inmet_hrefs(docs).distinct().collect()
+    }
+    for href in hrefs:
+        filename = href.split("/")[-1]
+        m = re_zip_year.search(filename)
+        if m:
+            items.append(
+                (m.group(1), filename, urljoin(INMET_SOURCE_URL, href))
+            )
+    items.sort(key=lambda x: (tuple(-ord(c) for c in x[0]), x[2]))
+    expected = [
+        (rank, period, filename, url)
+        for rank, (period, filename, url) in enumerate(items, start=1)
+    ]
+    assert got == expected
+    # the synthetic listing must exercise both reject kinds (query
+    # suffix, wrong extension) and the IGNORECASE + search matches
+    assert any(f.endswith(".ZIP") for _, _, f, _ in got)
+    assert any(f.startswith("INMET_") for _, _, f, _ in got)
+    assert all("?" not in f for _, _, f, _ in got)
+
+
 def test_stratified_topk_sample_exact_quota(spark):
     """The two-level sharded top-k equals a direct single-window
     top-k (exactness of the shard cut), and every stratum yields
