@@ -550,6 +550,42 @@ BOILER_MIN_DOCS = 3
 BOILER_FLAG_FRAC = 0.5
 
 
+def _boilerplate_grams(
+    ex: DataFrame, min_df_frac: float, min_docs: int
+) -> DataFrame:
+    """Boilerplate gram set from an exploded (doc_id, s) distinct-gram
+    stream: document frequency ≥ greatest(min_docs, frac·n_docs).
+    Shared by the batch density operator and the streaming gate's
+    frozen-set collect."""
+    nd = ex.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
+    dfc = ex.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        dfc.crossJoin(F.broadcast(nd))
+        .where(
+            F.col("df")
+            >= F.greatest(
+                F.lit(float(min_docs)), F.lit(min_df_frac) * F.col("n_docs")
+            )
+        )
+        .select("s")
+    )
+
+
+def boilerplate_gram_set(
+    documents: DataFrame,
+    min_df_frac: float = BOILER_MIN_DF_FRAC,
+    min_docs: int = BOILER_MIN_DOCS,
+) -> DataFrame:
+    """The corpus's boilerplate grams as a frame — the trained
+    artifact ``streaming.curation.boilerplate_gate_stream`` freezes."""
+    from forest_open_data_pipelines_spark.operators.dedup import shingle_table
+
+    ex = shingle_table(documents).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    return _boilerplate_grams(ex, min_df_frac, min_docs)
+
+
 def boilerplate_ngrams(
     documents: DataFrame,
     min_df_frac: float = BOILER_MIN_DF_FRAC,
@@ -593,18 +629,7 @@ def boilerplate_ngrams(
             "doc_id", F.explode("shingles").alias("s")
         )
     )
-    nd = ex.select("doc_id").distinct().agg(F.count("*").alias("n_docs"))
-    dfc = ex.groupBy("s").agg(F.count("*").alias("df"))
-    boiler = (
-        dfc.crossJoin(F.broadcast(nd))
-        .where(
-            F.col("df")
-            >= F.greatest(
-                F.lit(float(min_docs)), F.lit(min_df_frac) * F.col("n_docs")
-            )
-        )
-        .select("s")
-    )
+    boiler = _boilerplate_grams(ex, min_df_frac, min_docs)
     per = (
         ex.join(F.broadcast(boiler.withColumn("hit", F.lit(1))), "s", "left")
         .groupBy("doc_id")

@@ -150,3 +150,52 @@ def dsir_gate_stream(
             (s_micro > 0).alias("target_like"),
         )
     )
+
+
+def boilerplate_gate_stream(
+    documents_stream: DataFrame,
+    reference_corpus: DataFrame,
+) -> DataFrame:
+    """Cross-document boilerplate gate for an unbounded ingest: score
+    every arriving document against the boilerplate gram set FROZEN
+    from a static reference corpus — the same offline-train /
+    online-gate split as ``dsir_gate_stream`` (document frequency is a
+    corpus statistic; a stream cannot re-estimate it per record).
+
+    ZERO streaming state: the boilerplate set is bounded by
+    construction (a gram in ≥ min_df_frac of reference docs is rare —
+    at most avg_grams_per_doc / min_df_frac can qualify), collected
+    ONCE at plan construction into an array literal; each record's
+    density is then ``size(array_intersect(shingles, boiler_lit))``
+    over its OWN distinct shingles — a pure codegen projection. When
+    the streamed corpus equals the reference corpus the output is
+    row-identical to batch ``boilerplate_ngrams`` (parity asserted in
+    tests/test_streaming.py); on live data the frozen cut is the
+    production behavior, not an approximation.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        _shingles_from_tokens,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import (
+        BOILER_FLAG_FRAC,
+        boilerplate_gram_set,
+    )
+
+    boiler = [r["s"] for r in boilerplate_gram_set(reference_corpus).collect()]
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    shingles = _shingles_from_tokens(toks)
+    boiler_lit = (
+        F.array(*[F.lit(s) for s in boiler])
+        if boiler
+        else F.array().cast("array<string>")
+    )
+    n_grams = F.size(shingles).cast("long")
+    n_boiler = F.size(F.array_intersect(shingles, boiler_lit)).cast("long")
+    frac = ratio(n_boiler.cast("double") / n_grams)
+    return documents_stream.select(
+        "doc_id",
+        n_grams.alias("n_grams"),
+        n_boiler.alias("n_boiler"),
+        frac.alias("boiler_frac"),
+        (frac >= BOILER_FLAG_FRAC).alias("flagged"),
+    )

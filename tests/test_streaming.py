@@ -777,6 +777,54 @@ def test_stratified_sample_stream_matches_batch(spark, tmp_path):
     assert emitted, "sampler emitted nothing"
 
 
+def test_boilerplate_gate_stream_matches_batch(spark, tmp_path):
+    """The frozen boilerplate-set projection must score every streamed
+    doc EXACTLY like batch boilerplate_ngrams when the reference
+    corpus matches: same gram counts, densities, flags."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        boilerplate_ngrams,
+    )
+    from forest_open_data_pipelines_spark.streaming.curation import (
+        boilerplate_gate_stream,
+    )
+
+    src = tmp_path / "boiler_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        boilerplate_gate_stream(stream, docs)
+        .writeStream.format("memory")
+        .queryName("boiler_gate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_boiler"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM boiler_gate_test").collect()
+    finally:
+        query.stop()
+    batch = boilerplate_ngrams(docs).collect()
+    key = lambda r: (
+        r["doc_id"],
+        r["n_grams"],
+        r["n_boiler"],
+        r["boiler_frac"],
+        r["flagged"],
+    )
+    assert sorted(map(key, emitted)) == sorted(map(key, batch))
+    assert emitted, "gate emitted nothing"
+    assert any(r["n_boiler"] > 0 for r in emitted), "frozen set vacuous"
+
+
 def test_dsir_gate_stream_matches_batch(spark, tmp_path):
     """The frozen-model literal-map fold must score every streamed doc
     EXACTLY like batch dsir_importance_weights when the model corpus
