@@ -2139,6 +2139,42 @@ WHERE tokens_before < r.target_tokens
 ORDER BY doc_id"""
 
 
+def _ann_method_eval_sql(bruteforce_sql: str) -> str:
+    """DuckDB twin of similarity.ann_method_eval: the
+    dedup_method_eval composition pattern over the five verified ANN
+    oracle constructions, hits joined on (query_id, cand_id)."""
+    methods = {
+        "ivf": _ann_ivf_sql(),
+        "ivfpq": _ann_topk_ivfpq_sql(),
+        "lsh": _ann_lsh_sql(),
+        "pq": _ann_topk_pq_sql(),
+        "sq8": _ann_topk_sq8_sql(),
+    }
+    ctes = ",\n".join(
+        f"m_{name} AS (SELECT query_id, cand_id FROM ({sql}))"
+        for name, sql in methods.items()
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"""  SELECT '{name}' AS method,
+         (SELECT count(*) FROM m_{name}) AS n_results,
+         (SELECT n_truth FROM t) AS n_truth,
+         (SELECT count(*) FROM m_{name} JOIN truth USING (query_id, cand_id))
+           AS n_hit"""
+        for name in methods
+    )
+    return f"""
+WITH truth AS (SELECT query_id, cand_id FROM ({bruteforce_sql})),
+{ctes},
+t AS (SELECT count(*) AS n_truth FROM truth),
+stats AS (
+{unions}
+)
+SELECT method, n_results, n_truth, n_hit,
+       round(n_hit::DOUBLE / nullif(n_results, 0), 6) AS precision,
+       round(n_hit::DOUBLE / nullif(n_truth, 0), 6) AS recall
+FROM stats ORDER BY method"""
+
+
 def _inmet_yearly_zips_sql() -> str:
     """DuckDB twin of html.inmet_yearly_zips: the same 8-kind href
     wrapper cycled by doc_id, last-path-segment filename (no query
@@ -4605,6 +4641,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["boilerplate_ngrams"] = _boilerplate_ngrams_sql()
     out["stratified_topk_sample"] = _stratified_topk_sample_sql()
     out["inmet_yearly_zips"] = _inmet_yearly_zips_sql()
+    out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["fenced_json_extract"] = _fenced_json_sql()

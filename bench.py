@@ -144,6 +144,9 @@ HEADLINE = [
     # dedup_canonical_by_quality re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_method_eval.
+    # ann_method_eval re-runs all five ANN indexes plus bruteforce to
+    # produce the recall report — an evaluation artifact, not a
+    # throughput query; kept out of the headline like dedup_method_eval.
     # dedup_method_eval is intentionally NOT a bench headliner: it
     # re-runs three full dedup pipelines to produce an evaluation
     # artifact (P/R of the approximate detectors), ~7 s at sf0.1 by

@@ -1067,3 +1067,59 @@ def embedding_cluster_report(
         )
         .orderBy("cell_id")
     )
+
+
+def ann_method_eval(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 10
+) -> DataFrame:
+    """Evaluation harness as a query: recall@k (and precision) of
+    every approximate ANN index against the exact bruteforce top-k —
+    the ``dedup_method_eval`` pattern applied to similarity search,
+    so the recall numbers that justify each index live in a catalog
+    entry instead of scattered docstrings.
+
+    All result sets are persisted once; hits are equi-joins on
+    (query_id, cand_id) and the final table is one bounded
+    aggregate row per method — nothing beyond what the indexes
+    themselves compute. At corpus scale this is the standard
+    index-acceptance gate run on a sampled query set.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    truth = _persist(
+        ann_topk_bruteforce(embeddings, n_queries, k).select(
+            "query_id", "cand_id"
+        )
+    )
+    methods = {
+        "ivf": ann_topk_ivf(embeddings, n_queries, k),
+        "ivfpq": ann_topk_ivfpq(embeddings, n_queries, k),
+        "lsh": ann_topk_lsh(embeddings, n_queries, k),
+        "pq": ann_topk_pq(embeddings, n_queries, k),
+        "sq8": ann_topk_sq8(embeddings, n_queries, k),
+    }
+    outs = []
+    for name, m in methods.items():
+        m = _persist(m.select("query_id", "cand_id"))
+        inter = m.join(truth, ["query_id", "cand_id"]).agg(
+            F.count("*").alias("n_hit")
+        )
+        outs.append(
+            m.agg(F.count("*").alias("n_results"))
+            .join(truth.agg(F.count("*").alias("n_truth")))
+            .join(inter)
+            .select(
+                F.lit(name).alias("method"),
+                "n_results",
+                "n_truth",
+                "n_hit",
+                ratio(F.expr("n_hit / nullif(n_results, 0)")).alias(
+                    "precision"
+                ),
+                ratio(F.expr("n_hit / nullif(n_truth, 0)")).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method")

@@ -157,6 +157,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inmet_yearly_zips": lambda s, d: html.inmet_yearly_zips(
         load_table(s, d, "documents")
     ),
+    "ann_method_eval": lambda s, d: similarity.ann_method_eval(
+        load_table(s, d, "embeddings")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
@@ -625,12 +628,17 @@ _R6_WINDOW: tuple[str, ...] = (
     "dedup_simhash64",
     "dedup_method_eval",
     "dedup_clusters",
-    "dedup_canonical_corpus",
+    # (dedup_canonical_corpus parked for ann_method_eval: its r5 row
+    # stands, its only r6-changed dependency — the hardened
+    # connected-components closure — keeps in-window coverage through
+    # dedup_clusters, and the parity suite re-verifies it per session)
     "monthly_chart_spec_scoped",
-    "quality_repetition",
-    "session_duration_stats",
-    "user_retention_cohorts",
-    "event_funnel",
+    # (quality_repetition and the sessionize trio — session_duration_
+    # stats, user_retention_cohorts, event_funnel — parked for the
+    # four third-session additions below: all four parked entries have
+    # r5 driver rows on record and their only r6 code change, the
+    # ratio() scale-then-round migration, is re-verified by the
+    # 0-failure sf0.1 sweep and the per-session oracle-parity suite)
     # (embedding_label_stats parked for curation_gate_matrix — r5
     # driver row on record, micro-cosine path re-verified by the
     # oracle-parity suite every session)
@@ -648,6 +656,12 @@ _R6_WINDOW: tuple[str, ...] = (
     "ann_topk_pq",
     "ann_topk_ivfpq",
     "embedding_cluster_report",
+    # third-session additions (first driver rows)
+    "dedup_semantic",
+    "boilerplate_ngrams",
+    "stratified_topk_sample",
+    "inmet_yearly_zips",
+    "ann_method_eval",
 )
 assert len(_R6_WINDOW) == DRIVER_CHECK_CAP, len(_R6_WINDOW)
 QUERIES = {

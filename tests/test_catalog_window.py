@@ -59,7 +59,15 @@ MUST_BE_IN_WINDOW = {
     "dedup_simhash64",
     "dedup_method_eval",
     "dedup_clusters",
-    "dedup_canonical_corpus",
+    # dedup_canonical_corpus parked in the third session for
+    # ann_method_eval: its r5 driver row stands and the hardened
+    # closure it depends on keeps in-window coverage via dedup_clusters
+    # third-session additions (first driver rows)
+    "dedup_semantic",
+    "boilerplate_ngrams",
+    "stratified_topk_sample",
+    "inmet_yearly_zips",
+    "ann_method_eval",
 }
 
 

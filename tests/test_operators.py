@@ -1735,6 +1735,44 @@ def test_dedup_clusters_partitions_and_closes_pairs(spark, sf_dir):
         assert r["cluster_size"] == sizes[r["cluster_id"]]
 
 
+def test_ann_method_eval_matches_direct_recomputation(spark):
+    """The eval report's counts must equal a direct Python join of the
+    variant result sets against bruteforce, for every method."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        ann_method_eval,
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        ann_topk_ivfpq,
+        ann_topk_lsh,
+        ann_topk_pq,
+        ann_topk_sq8,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    report = {r["method"]: r for r in ann_method_eval(emb).collect()}
+    truth = {
+        (r["query_id"], r["cand_id"])
+        for r in ann_topk_bruteforce(emb).collect()
+    }
+    variants = {
+        "ivf": ann_topk_ivf,
+        "ivfpq": ann_topk_ivfpq,
+        "lsh": ann_topk_lsh,
+        "pq": ann_topk_pq,
+        "sq8": ann_topk_sq8,
+    }
+    assert set(report) == set(variants)
+    for name, fn in variants.items():
+        got = {(r["query_id"], r["cand_id"]) for r in fn(emb).collect()}
+        row = report[name]
+        assert row["n_results"] == len(got), name
+        assert row["n_truth"] == len(truth), name
+        assert row["n_hit"] == len(got & truth), name
+        assert 0.0 <= row["recall"] <= 1.0
+    # the documented ordering on this corpus: quantized-flat beats PQ
+    assert report["sq8"]["recall"] >= report["pq"]["recall"]
+
+
 def test_inmet_yearly_zips_matches_reference_semantics(spark):
     """inmet_yearly_zips against a stdlib twin of the reference walk
     (datasets/inmet/dados_historicos.py): re.IGNORECASE search of

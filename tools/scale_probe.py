@@ -84,6 +84,15 @@ OPS = {
     "tfidf_top_terms": _textops_op("tfidf_top_terms"),
     "bpe_encode": _textops_op("bpe_encode"),
     "dsir_importance_weights": _curation_op("dsir_importance_weights"),
+    # round-6 third session. boilerplate_ngrams: rotation preserves
+    # most interior trigrams, so replica grams keep their base DF and
+    # the boiler set stays bounded while the exploded stream grows
+    # linearly. stratified_topk_sample: the quota cut is fixed-size
+    # output over a linearly growing window input. dedup_semantic is
+    # embeddings-based — out of this documents-replication probe; its
+    # pair space is cell-bounded by construction (n²/k).
+    "boilerplate_ngrams": _textops_op("boilerplate_ngrams"),
+    "stratified_topk_sample": _curation_op("stratified_topk_sample"),
 }
 
 
