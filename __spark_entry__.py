@@ -4556,6 +4556,46 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_discount >= 0.05 AND l_discount <= 0.07
   AND l_quantity < 24""",
+        "q8_market_share": """
+WITH mkt AS (
+  SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+tgt AS (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_0'),
+base AS (
+  SELECT year(o_orderdate) AS o_year,
+         (l_extendedprice * (1 - l_discount))::DECIMAL(18,4) AS vol,
+         (s_nationkey IN (SELECT n_nationkey FROM tgt)) AS is_target
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN mkt ON c_nationkey = mkt.n_nationkey
+  JOIN supplier ON l_suppkey = s_suppkey
+)
+SELECT o_year,
+       round(sum(CASE WHEN is_target THEN vol
+                      ELSE 0::DECIMAL(18,4) END)::DOUBLE
+             / sum(vol)::DOUBLE, 6) AS mkt_share,
+       round(sum(CASE WHEN is_target THEN vol ELSE 0::DECIMAL(18,4) END), 2)
+         ::DOUBLE AS nation_volume,
+       round(sum(vol), 2)::DOUBLE AS total_volume
+FROM base GROUP BY o_year ORDER BY o_year""",
+        "q17_small_quantity_revenue": """
+WITH branded AS (
+  SELECT l_partkey, l_quantity::DECIMAL(18,4) AS qty, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#11'
+),
+pp AS (
+  SELECT l_partkey AS agg_partkey, sum(qty) AS sum_qty, count(*) AS cnt
+  FROM branded GROUP BY 1
+)
+SELECT round(sum(l_extendedprice::DECIMAL(18,4))::DOUBLE / 7.0, 2)
+         AS avg_yearly,
+       count(*) AS n_small_lineitems
+FROM branded JOIN pp ON l_partkey = agg_partkey
+WHERE qty * 5 * cnt < sum_qty""",
         "top_supplier_by_revenue": """
 WITH per_supp AS (
   SELECT l_suppkey,

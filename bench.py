@@ -134,6 +134,8 @@ HEADLINE = [
     "dedup_semantic",
     "boilerplate_ngrams",
     "stratified_topk_sample",
+    "q8_market_share",
+    "q17_small_quantity_revenue",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

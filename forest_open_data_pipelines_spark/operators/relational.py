@@ -774,3 +774,134 @@ def top_supplier_by_revenue(
         )
         .orderBy("suppkey")
     )
+
+
+def q8_market_share(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    region_name: str = "ASIA",
+    supp_nation_name: str = "NATION_0",
+    part_type: str = "ECONOMY",
+) -> DataFrame:
+    """TPC-H Q8 adapted: per order year, the share of a region's
+    part-type market captured by suppliers from one nation.
+
+    For customers in ``region_name`` buying parts of ``part_type``:
+    ``mkt_share = Σ volume(supplier ∈ supp_nation) / Σ volume`` with
+    volume = extendedprice·(1−discount).
+
+    ONE pass over the fact side — the share is a conditional sum in
+    the same groupBy(year) aggregate, not two scans joined. Region,
+    nation, and the type-filtered part dim are broadcast; lineitem⋈
+    orders⋈customer shuffle on their keys with AQE. Sums stay in
+    DECIMAL(18,4) (exact, order-independent) until the final 6-dp
+    share and 2-dp volume roundings.
+    """
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    mkt_dims = F.broadcast(
+        nation.join(
+            F.broadcast(region.where(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("mkt_nkey"))
+    )
+    supp_nation = F.broadcast(
+        nation.where(F.col("n_name") == supp_nation_name).select(
+            F.col("n_nationkey").alias("target_nkey")
+        )
+    )
+    parts = F.broadcast(
+        part.where(F.col("p_type") == part_type).select("p_partkey")
+    )
+    is_target = F.col("target_nkey").isNotNull()
+    return (
+        lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(mkt_dims, F.col("c_nationkey") == F.col("mkt_nkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            supp_nation, F.col("s_nationkey") == F.col("target_nkey"), "left"
+        )
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(is_target, vol).otherwise(F.lit(0).cast("decimal(18,4)")))
+            .alias("nation_volume_d"),
+            F.sum(vol).alias("total_volume_d"),
+        )
+        .select(
+            "o_year",
+            # both exact decimal sums cast to double BEFORE the divide:
+            # engine-specific decimal-division scale rules never enter,
+            # both engines divide the same IEEE doubles
+            ratio(
+                F.col("nation_volume_d").cast("double")
+                / F.col("total_volume_d").cast("double")
+            ).alias("mkt_share"),
+            F.round(F.col("nation_volume_d"), 2).cast("double").alias(
+                "nation_volume"
+            ),
+            F.round(F.col("total_volume_d"), 2).cast("double").alias(
+                "total_volume"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#11",
+) -> DataFrame:
+    """TPC-H Q17 adapted: average yearly revenue lost if small-quantity
+    orders of one brand's parts moved to bulk fulfilment — lineitems
+    whose quantity is below 20% of their part's average quantity.
+
+    The avg-quantity threshold compare is EXACT integer/decimal
+    arithmetic on both engines: ``qty < 0.2·avg`` is evaluated as
+    ``qty · 5 · cnt < Σqty`` over DECIMAL(18,4) values, so no float
+    rounding boundary can flip a lineitem between engines.
+
+    Two-phase shape: per-part (Σqty, cnt) aggregates over the
+    brand-filtered fact FIRST (map-side combinable, brand dim
+    broadcast), the bounded per-part aggregate broadcasts back onto
+    the same filtered fact for the threshold cut — the fact table is
+    scanned twice but never shuffled on a non-key.
+    """
+    parts = F.broadcast(
+        part.where(F.col("p_brand") == brand).select("p_partkey")
+    )
+    branded = lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    per_part = branded.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        F.sum(qty).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        branded.join(
+            F.broadcast(per_part),
+            F.col("l_partkey") == F.col("agg_partkey"),
+        )
+        .where(
+            qty * F.lit(5).cast("decimal(18,4)") * F.col("cnt")
+            < F.col("sum_qty")
+        )
+        .agg(
+            # exact decimal sum → double → /7.0 in double → 2-dp
+            # scale-then-round: identical arithmetic on both engines
+            money(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_small_lineitems"),
+        )
+    )

@@ -160,6 +160,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_method_eval": lambda s, d: similarity.ann_method_eval(
         load_table(s, d, "embeddings")
     ),
+    "q8_market_share": lambda s, d: relational.q8_market_share(
+        *_t(s, d, "region", "nation", "customer", "orders", "lineitem",
+            "supplier", "part")
+    ),
+    "q17_small_quantity_revenue": lambda s, d: (
+        relational.q17_small_quantity_revenue(*_t(s, d, "lineitem", "part"))
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.

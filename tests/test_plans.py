@@ -361,6 +361,33 @@ def test_cheapest_supplier_dims_join_after_agg(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_q8_market_share_single_pass_conditional_agg(spark):
+    """Q8-shape guard: the share is a conditional sum inside ONE
+    groupBy(year) over the fact stream — no second scan joined back —
+    and region/nation/part dims broadcast onto the fact side."""
+    plan = _plan(spark, "q8_market_share")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # ONE wide exchange total (the year aggregation; the group key
+    # shows as _groupingexpression): everything else is broadcast, no
+    # self-join of two aggregated branches
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_q17_threshold_joins_bounded_aggregate_back(spark):
+    """Q17-shape guard: the per-part (sum, count) aggregate broadcasts
+    back onto the brand-filtered fact; the brand filter reaches both
+    scans via the broadcast part dim."""
+    plan = _plan(spark, "q17_small_quantity_revenue")
+    assert "BroadcastHashJoin" in plan
+    # the per-part aggregate (bounded by |parts of brand|) is the
+    # broadcast side of the threshold join
+    assert re.search(r"BroadcastExchange.*\n.*agg_partkey", plan) or (
+        plan.count("BroadcastHashJoin") >= 2
+    )
+    assert "BatchEvalPython" not in plan
+
+
 def test_large_orders_having_before_joins(spark):
     """Q18-shape guard: the quantity HAVING runs on the per-order
     aggregate before orders/customer attach (customer broadcast)."""
