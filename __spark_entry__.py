@@ -4676,6 +4676,27 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["ann_topk_ivfpq"] = _ann_topk_ivfpq_sql()
     out["embedding_cluster_report"] = _embedding_cluster_report_sql()
     out["charlm_perplexity"] = _charlm_perplexity_sql()
+    # perplexity_buckets composes the charlm twin: tertile thresholds
+    # as one aggregate row (round-then-compare at 6 dp on both
+    # engines), CROSS JOIN broadcast onto the bucket projection.
+    out["perplexity_buckets"] = f"""
+WITH scored AS (
+  SELECT doc_id, n_bigrams, entropy_bits
+  FROM ({_charlm_perplexity_sql()})
+),
+th AS (
+  SELECT round(quantile_cont(entropy_bits, 1.0/3) * 1000000.0, 0) / 1000000.0
+           AS t1,
+         round(quantile_cont(entropy_bits, 2.0/3) * 1000000.0, 0) / 1000000.0
+           AS t2
+  FROM scored WHERE entropy_bits IS NOT NULL
+)
+SELECT doc_id, n_bigrams, entropy_bits,
+       CASE WHEN entropy_bits IS NULL THEN 'unscored'
+            WHEN entropy_bits <= t1 THEN 'head'
+            WHEN entropy_bits <= t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored CROSS JOIN th ORDER BY doc_id"""
     out["ann_topk_sq8"] = _ann_topk_sq8_sql()
     out["dedup_semantic"] = _dedup_semantic_sql()
     out["boilerplate_ngrams"] = _boilerplate_ngrams_sql()

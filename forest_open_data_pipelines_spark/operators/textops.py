@@ -1112,6 +1112,48 @@ def fenced_json_extract(documents: DataFrame) -> DataFrame:
     return parse_fenced_json(wrap_documents_as_llm_responses(documents))
 
 
+def perplexity_buckets(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.3,
+    public methodology): split the corpus into head/middle/tail by
+    language-model score tertiles — the mixture knob CCNet exposes
+    instead of a hard quality cut (head = most in-distribution).
+
+    Scores come from ``charlm_perplexity`` (char-bigram cross-entropy,
+    integer micro-bit exact). Tertile thresholds are ONE bounded
+    aggregate row over the scored corpus — exact ``percentile`` here,
+    with the ``percentile_approx`` swap documented for billion-row
+    corpora (the ``quality_by_lang_report`` convention) — broadcast
+    back onto a pure bucket projection: no global sort, no ntile
+    window, nothing single-task at scale. Thresholds and scores are
+    both 6-dp quantized before the compare, so the interpolation's
+    last-ulp drift cannot flip a bucket between engines. Documents
+    too short to score (NULL entropy) land in 'unscored'.
+    """
+    from forest_open_data_pipelines_spark.functions.columns import (
+        scaled_round,
+    )
+
+    scores = charlm_perplexity(documents).select(
+        "doc_id", "n_bigrams", "entropy_bits"
+    )
+    th = scores.where(F.col("entropy_bits").isNotNull()).agg(
+        scaled_round(F.expr("percentile(entropy_bits, 1.0/3)"), 6).alias("t1"),
+        scaled_round(F.expr("percentile(entropy_bits, 2.0/3)"), 6).alias("t2"),
+    )
+    e = F.col("entropy_bits")
+    bucket = (
+        F.when(e.isNull(), F.lit("unscored"))
+        .when(e <= F.col("t1"), F.lit("head"))
+        .when(e <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.crossJoin(F.broadcast(th))
+        .select("doc_id", "n_bigrams", "entropy_bits", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
 def bpe_train(documents: DataFrame, n_merges: int = 10) -> DataFrame:
     """FULL iterative BPE training over the corpus (Sennrich et al.
     2016, public algorithm) — the tokenizer-training loop of which

@@ -167,6 +167,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_small_quantity_revenue": lambda s, d: (
         relational.q17_small_quantity_revenue(*_t(s, d, "lineitem", "part"))
     ),
+    "perplexity_buckets": lambda s, d: textops.perplexity_buckets(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.

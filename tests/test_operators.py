@@ -1735,6 +1735,38 @@ def test_dedup_clusters_partitions_and_closes_pairs(spark, sf_dir):
         assert r["cluster_size"] == sizes[r["cluster_id"]]
 
 
+def test_perplexity_buckets_tertile_invariants(spark):
+    """Bucket assignment must be ordered and tertile-balanced: every
+    head entropy ≤ every middle ≤ every tail, sizes within one of an
+    exact 3-way split of the scored docs, unscored = NULL entropy."""
+    from collections import Counter
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = perplexity_buckets(docs).collect()
+    assert len(rows) == docs.count()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["entropy_bits"])
+    assert all(e is None for e in by_bucket.get("unscored", []))
+    scored = [r for r in rows if r["entropy_bits"] is not None]
+    n = len(scored)
+    sizes = Counter(r["bucket"] for r in scored)
+    assert set(sizes) <= {"head", "middle", "tail"}
+    # percentile-cut tertiles: each bucket within 1 of n/3 (ties at a
+    # threshold can shift a boundary doc, the corpus has distinct 6-dp
+    # entropies almost everywhere)
+    for b in ("head", "middle", "tail"):
+        assert abs(sizes[b] - n / 3) <= 2, (b, sizes)
+    if by_bucket.get("head") and by_bucket.get("middle"):
+        assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    if by_bucket.get("middle") and by_bucket.get("tail"):
+        assert max(by_bucket["middle"]) < min(by_bucket["tail"])
+
+
 def test_ann_method_eval_matches_direct_recomputation(spark):
     """The eval report's counts must equal a direct Python join of the
     variant result sets against bruteforce, for every method."""
