@@ -2175,6 +2175,36 @@ SELECT method, n_results, n_truth, n_hit,
 FROM stats ORDER BY method"""
 
 
+def _referential_integrity_sql() -> str:
+    """DuckDB twin of profiling.referential_integrity_audit: the same
+    seven FK relationships, orphans via NOT EXISTS (all keys non-null
+    in this schema, matching the left-anti join)."""
+    rels = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    parts = []
+    for ct, ck, pt, pk in rels:
+        orphan = (
+            f"SELECT {ck} AS k FROM {ct} WHERE NOT EXISTS "
+            f"(SELECT 1 FROM {pt} WHERE {pk} = {ct}.{ck})"
+        )
+        parts.append(f"""
+SELECT '{ct}.{ck}' AS child_key, '{pt}.{pk}' AS parent_key,
+       (SELECT count(*) FROM {ct}) AS n_child_rows,
+       (SELECT count(DISTINCT {ck}) FROM {ct}) AS n_child_keys,
+       (SELECT count(*) FROM ({orphan})) AS n_orphan_rows,
+       (SELECT count(DISTINCT k) FROM ({orphan})) AS n_orphan_keys,
+       (SELECT count(*) FROM ({orphan})) = 0 AS intact""")
+    body = "\nUNION ALL".join(parts)
+    return f"SELECT * FROM ({body}) ORDER BY child_key, parent_key"
+
+
 def _inmet_yearly_zips_sql() -> str:
     """DuckDB twin of html.inmet_yearly_zips: the same 8-kind href
     wrapper cycled by doc_id, last-path-segment filename (no query
@@ -4702,6 +4732,7 @@ FROM scored CROSS JOIN th ORDER BY doc_id"""
     out["boilerplate_ngrams"] = _boilerplate_ngrams_sql()
     out["stratified_topk_sample"] = _stratified_topk_sample_sql()
     out["inmet_yearly_zips"] = _inmet_yearly_zips_sql()
+    out["referential_integrity_audit"] = _referential_integrity_sql()
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()

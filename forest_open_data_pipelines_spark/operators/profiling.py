@@ -334,3 +334,71 @@ def numeric_correlations(
             )
             pairs = row if pairs is None else pairs.unionByName(row)
     return pairs.orderBy("col_a", "col_b")
+
+
+def referential_integrity_audit(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    part: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Star-schema referential-integrity report: one row per foreign-key
+    relationship with child cardinality, orphan count (child keys with
+    no parent), and distinct orphan keys — the data-quality audit a
+    warehouse runs before trusting joins (dbt-test / expectations
+    style; extends the reference's per-file schema audit to
+    CROSS-TABLE contracts it has no analog for).
+
+    Scale: each relationship is ONE left-anti join of the child's
+    DISTINCT key projection against the parent's key projection —
+    the child fact table is never shuffled wide (keys project+distinct
+    map-side first), parents broadcast while they fit, and the output
+    is one bounded row per relationship.
+    """
+    rels = [
+        ("orders.o_custkey", "customer.c_custkey", orders, "o_custkey",
+         customer, "c_custkey"),
+        ("lineitem.l_orderkey", "orders.o_orderkey", lineitem, "l_orderkey",
+         orders, "o_orderkey"),
+        ("lineitem.l_partkey", "part.p_partkey", lineitem, "l_partkey",
+         part, "p_partkey"),
+        ("lineitem.l_suppkey", "supplier.s_suppkey", lineitem, "l_suppkey",
+         supplier, "s_suppkey"),
+        ("customer.c_nationkey", "nation.n_nationkey", customer, "c_nationkey",
+         nation, "n_nationkey"),
+        ("supplier.s_nationkey", "nation.n_nationkey", supplier, "s_nationkey",
+         nation, "n_nationkey"),
+        ("nation.n_regionkey", "region.r_regionkey", nation, "n_regionkey",
+         region, "r_regionkey"),
+    ]
+    out = None
+    for child_col, parent_col, child, ck, parent, pk in rels:
+        child_keys = child.select(F.col(ck).alias("k"))
+        parent_keys = parent.select(F.col(pk).alias("k"))
+        orphans = child_keys.join(parent_keys, "k", "left_anti")
+        row = (
+            child_keys.agg(
+                F.count("*").alias("n_child_rows"),
+                F.countDistinct("k").alias("n_child_keys"),
+            )
+            .crossJoin(
+                orphans.agg(
+                    F.count("*").alias("n_orphan_rows"),
+                    F.countDistinct("k").alias("n_orphan_keys"),
+                )
+            )
+            .select(
+                F.lit(child_col).alias("child_key"),
+                F.lit(parent_col).alias("parent_key"),
+                "n_child_rows",
+                "n_child_keys",
+                "n_orphan_rows",
+                "n_orphan_keys",
+                (F.col("n_orphan_rows") == 0).alias("intact"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("child_key", "parent_key")

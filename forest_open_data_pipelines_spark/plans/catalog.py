@@ -170,6 +170,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": lambda s, d: textops.perplexity_buckets(
         load_table(s, d, "documents")
     ),
+    "referential_integrity_audit": lambda s, d: (
+        profiling.referential_integrity_audit(
+            *_t(s, d, "customer", "orders", "lineitem", "supplier", "part",
+                "nation", "region")
+        )
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
