@@ -2175,6 +2175,63 @@ SELECT method, n_results, n_truth, n_hit,
 FROM stats ORDER BY method"""
 
 
+def _focos_prompt_texts_sql(focos_payload_sql: str) -> str:
+    """DuckDB twin of social.focos_prompt_texts: the same literal
+    constants (imported from the Spark module — single source) and
+    concatenation order over the focos_llm_payload twin."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        FOCOS_CC_USER_HEAD,
+        FOCOS_CC_USER_TAIL,
+        FOCOS_GT_TOM_NATIONAL,
+        FOCOS_GT_TOM_REGIONAL,
+        FOCOS_GT_USER_MID,
+        FOCOS_GT_USER_TAIL,
+        FOCOS_PD_USER_HEAD,
+        FOCOS_PD_USER_MID,
+        FOCOS_PD_USER_TAIL_A,
+        FOCOS_PD_USER_TAIL_B,
+        FOCOS_SYSTEM_CAROUSEL,
+        FOCOS_SYSTEM_GRAPHIC_TEXT,
+        FOCOS_SYSTEM_POST_DESCRIPTION,
+        NATIONAL_SLUG,
+    )
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    return f"""
+WITH p AS (
+  SELECT scope_slug, bioma,
+         strftime(make_date(latest_year, last_closed_month, 1), '%Y-%m-%d')
+           AS dref,
+         prompt_block
+  FROM ({focos_payload_sql})
+),
+rows AS (
+  SELECT 'graphic_text' AS kind, scope_slug,
+         {q(FOCOS_SYSTEM_GRAPHIC_TEXT)} AS system_prompt,
+         CASE WHEN scope_slug = '{NATIONAL_SLUG}'
+              THEN 'Recorte: ' || bioma || {q(FOCOS_GT_TOM_NATIONAL)}
+              ELSE 'Recorte regional: ' || bioma || {q(FOCOS_GT_TOM_REGIONAL)}
+         END || {q(FOCOS_GT_USER_MID)} || prompt_block
+             || {q(FOCOS_GT_USER_TAIL)} AS user_prompt
+  FROM p
+  UNION ALL
+  SELECT 'post_description', scope_slug,
+         {q(FOCOS_SYSTEM_POST_DESCRIPTION)},
+         {q(FOCOS_PD_USER_HEAD)} || dref || {q(FOCOS_PD_USER_MID)}
+           || prompt_block || {q(FOCOS_PD_USER_TAIL_A)} || dref
+           || {q(FOCOS_PD_USER_TAIL_B)}
+  FROM p WHERE scope_slug = '{NATIONAL_SLUG}'
+  UNION ALL
+  SELECT 'carousel_caption', scope_slug,
+         {q(FOCOS_SYSTEM_CAROUSEL)},
+         {q(FOCOS_CC_USER_HEAD)} || dref || {q(FOCOS_CC_USER_TAIL)}
+  FROM p WHERE scope_slug = '{NATIONAL_SLUG}'
+)
+SELECT * FROM rows ORDER BY kind, scope_slug"""
+
+
 def _referential_integrity_sql() -> str:
     """DuckDB twin of profiling.referential_integrity_audit: the same
     seven FK relationships, orphans via NOT EXISTS (all keys non-null
@@ -4733,6 +4790,9 @@ FROM scored CROSS JOIN th ORDER BY doc_id"""
     out["stratified_topk_sample"] = _stratified_topk_sample_sql()
     out["inmet_yearly_zips"] = _inmet_yearly_zips_sql()
     out["referential_integrity_audit"] = _referential_integrity_sql()
+    out["focos_prompt_texts"] = _focos_prompt_texts_sql(
+        out["focos_llm_payload"]
+    )
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()

@@ -138,6 +138,7 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "perplexity_buckets",
     "referential_integrity_audit",
+    "focos_prompt_texts",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

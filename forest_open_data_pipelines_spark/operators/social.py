@@ -1356,3 +1356,157 @@ def focos_llm_payload(spec: DataFrame) -> DataFrame:
         ),
         body.alias("prompt_block"),
     ).orderBy("scope_slug")
+
+
+# ── focos_incendio_br prompt builders ───────────────────────────────────────
+# Verbatim prompt text from the reference's deterministic builders
+# (social/llm/prompts/focos_incendio_br/graphic_text.py:5-41,
+# post_description.py:7-34, carousel_post_description.py:8-29) — data
+# constants required for semantic parity (the UF→região lookup-table
+# precedent), not copied logic: the assembly below is Spark column
+# concatenation, the reference's is Python f-strings.
+
+FOCOS_SYSTEM_GRAPHIC_TEXT = (
+    "Você é um analista de dados escrevendo para o público leigo no Brasil.\n"
+    "Responda exclusivamente em português do Brasil (pt-BR).\n"
+    "Produza um parágrafo curto (cerca de 3 a 6 frases) que acompanhe um "
+    "gráfico de focos de queimada por mês.\n"
+    "Baseie-se apenas nos números do JSON fornecido; não invente "
+    "estatísticas.\n"
+    "O escopo é mensal: os dados cobrem só meses civis já encerrados "
+    "(último mês em destaque no JSON).\n"
+    "Compare, quando possível: último mês fechado (mês vs mês) e o acumulado "
+    "desde janeiro até esse mês contra o ano anterior e contra a soma das "
+    "médias mensais da janela de 5 anos.\n"
+    "Evite jargão excessivo; não use markdown nem emojis."
+)
+FOCOS_SYSTEM_POST_DESCRIPTION = (
+    "Você é um assistente de comunicação científica para redes sociais no "
+    "Brasil.\n"
+    "Responda exclusivamente em português do Brasil (pt-BR).\n"
+    "Gere uma única legenda para Instagram sobre focos de incêndio / "
+    "queimadas no Brasil, com tom informativo e acessível, sem alarmismo "
+    "indevido.\n"
+    "A primeira linha da legenda DEVE começar exatamente com a data entre "
+    "colchetes no formato [YYYY-MM-DD], usando a data de referência "
+    "fornecida no pedido.\n"
+    "Não use hashtags;.\n"
+    "Máximo aproximado de 500 caracteres."
+)
+FOCOS_SYSTEM_CAROUSEL = (
+    "Você é um assistente de comunicação científica para redes sociais no "
+    "Brasil.\n"
+    "Responda exclusivamente em português do Brasil (pt-BR).\n"
+    "Gere uma única legenda curta para um carrossel sobre focos de incêndio "
+    "/ queimadas.\n"
+    "A primeira linha DEVE começar exatamente com a data entre colchetes "
+    "[YYYY-MM-DD] usando a data fornecida.\n"
+    "Não use hashtags. Máximo aproximado de 280 caracteres. Seja direto; "
+    "não liste números por slide."
+)
+FOCOS_GT_TOM_NATIONAL = (
+    ". Tom: visão do País (território nacional). Não compare nem mencione "
+    "outros biomas ou a ausência de outros recortes."
+)
+FOCOS_GT_TOM_REGIONAL = (
+    ". Tom: leitura regional desse bioma. Não mencione ausência de dados de "
+    "outros biomas ou do território nacional."
+)
+FOCOS_GT_USER_MID = "\n\nDados para análise (JSON):\n"
+FOCOS_GT_USER_TAIL = (
+    "\n\nTarefa: escreva o texto explicativo do gráfico conforme as regras "
+    "do sistema."
+)
+FOCOS_PD_USER_HEAD = (
+    "Data de referência (use exatamente esta data no prefixo [YYYY-MM-DD]): "
+)
+FOCOS_PD_USER_MID = (
+    "\n\nContexto numérico e metadados (JSON; pode citar tendências de alto "
+    "nível, sem inventar números ausentes):\n"
+)
+FOCOS_PD_USER_TAIL_A = (
+    "\n\nTarefa: escreva a legenda completa em pt-BR, começando a primeira "
+    "linha exatamente com ["
+)
+FOCOS_PD_USER_TAIL_B = (
+    "] seguido do restante do texto (pode quebrar linha após a data se "
+    "quiser)."
+)
+FOCOS_CC_USER_HEAD = "Data (prefixo obrigatório na primeira linha): ["
+FOCOS_CC_USER_TAIL = (
+    "]\n\nO carrossel apresenta a série temporal no território nacional e "
+    "recortes regionais (Amazônia, Cerrado e Pantanal).\n\n"
+    "Tarefa: escreva uma legenda única e breve para o post, adequada a um "
+    "carrossel, sem detalhar cada slide."
+)
+
+
+def focos_prompt_texts(spec: DataFrame) -> DataFrame:
+    """The three focos-de-incêndio (system_prompt, user_prompt) pairs
+    the reference assembles before its LLM call — the deterministic,
+    network-free half of the social pipeline's prompt stage.
+
+    Rows: ``graphic_text`` per carousel scope (national vs regional
+    tone — graphic_text.py:24-36), ``post_description`` and
+    ``carousel_caption`` anchored to the national scope
+    (post_description.py:19-34, carousel_post_description.py:18-29).
+    The reference passes the run date; the deterministic stand-in here
+    is the first day of the last closed month — the latest date the
+    payload itself certifies.
+
+    Pure projection over the ``focos_llm_payload`` frame (the payload
+    JSON rides in as ``prompt_block``); string assembly is literal
+    concatenation, identical on both engines by construction.
+    """
+    p = focos_llm_payload(spec)
+    d = F.date_format(
+        F.make_date("latest_year", "last_closed_month", F.lit(1)), "yyyy-MM-dd"
+    )
+    is_nat = F.col("scope_slug") == NATIONAL_SLUG
+    tom = F.when(
+        is_nat,
+        F.concat(F.lit("Recorte: "), F.col("bioma"), F.lit(FOCOS_GT_TOM_NATIONAL)),
+    ).otherwise(
+        F.concat(
+            F.lit("Recorte regional: "),
+            F.col("bioma"),
+            F.lit(FOCOS_GT_TOM_REGIONAL),
+        )
+    )
+    gt = p.select(
+        F.lit("graphic_text").alias("kind"),
+        "scope_slug",
+        F.lit(FOCOS_SYSTEM_GRAPHIC_TEXT).alias("system_prompt"),
+        F.concat(
+            tom,
+            F.lit(FOCOS_GT_USER_MID),
+            F.col("prompt_block"),
+            F.lit(FOCOS_GT_USER_TAIL),
+        ).alias("user_prompt"),
+    )
+    nat = p.where(is_nat)
+    pd_rows = nat.select(
+        F.lit("post_description").alias("kind"),
+        "scope_slug",
+        F.lit(FOCOS_SYSTEM_POST_DESCRIPTION).alias("system_prompt"),
+        F.concat(
+            F.lit(FOCOS_PD_USER_HEAD),
+            d,
+            F.lit(FOCOS_PD_USER_MID),
+            F.col("prompt_block"),
+            F.lit(FOCOS_PD_USER_TAIL_A),
+            d,
+            F.lit(FOCOS_PD_USER_TAIL_B),
+        ).alias("user_prompt"),
+    )
+    cc_rows = nat.select(
+        F.lit("carousel_caption").alias("kind"),
+        "scope_slug",
+        F.lit(FOCOS_SYSTEM_CAROUSEL).alias("system_prompt"),
+        F.concat(
+            F.lit(FOCOS_CC_USER_HEAD), d, F.lit(FOCOS_CC_USER_TAIL)
+        ).alias("user_prompt"),
+    )
+    return gt.unionByName(pd_rows).unionByName(cc_rows).orderBy(
+        "kind", "scope_slug"
+    )

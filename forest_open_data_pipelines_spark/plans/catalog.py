@@ -170,6 +170,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": lambda s, d: textops.perplexity_buckets(
         load_table(s, d, "documents")
     ),
+    "focos_prompt_texts": lambda s, d: social.focos_prompt_texts(
+        social.monthly_chart_spec_scoped(_enriched(s, d))
+    ),
     "referential_integrity_audit": lambda s, d: (
         profiling.referential_integrity_audit(
             *_t(s, d, "customer", "orders", "lineitem", "supplier", "part",

@@ -1735,6 +1735,69 @@ def test_dedup_clusters_partitions_and_closes_pairs(spark, sf_dir):
         assert r["cluster_size"] == sizes[r["cluster_id"]]
 
 
+def test_focos_prompt_texts_match_reference_builders(spark):
+    """The assembled prompts must equal the reference's own builders
+    called on the same payload JSON / labels / derived date — loaded
+    dynamically so template drift fails the test, not just review."""
+    import datetime
+    import importlib.util
+    import os
+
+    base = "/root/reference/src/forest_pipelines/social/llm/prompts/focos_incendio_br"
+    if not os.path.isdir(base):
+        pytest.skip("reference checkout not available")
+
+    def load(path, name):
+        s = importlib.util.spec_from_file_location(name, path)
+        m = importlib.util.module_from_spec(s)
+        s.loader.exec_module(m)
+        return m
+
+    gt = load(f"{base}/graphic_text.py", "ref_gt")
+    pdm = load(f"{base}/post_description.py", "ref_pd")
+    ccm = load(f"{base}/carousel_post_description.py", "ref_cc")
+
+    from forest_open_data_pipelines_spark.operators.social import (
+        NATIONAL_SLUG,
+        focos_llm_payload,
+        focos_prompt_texts,
+        monthly_chart_spec_scoped,
+    )
+    from tests.conftest import SF_DIR as _sf
+
+    spec = monthly_chart_spec_scoped(
+        __import__(
+            "forest_open_data_pipelines_spark.plans.catalog",
+            fromlist=["_enriched"],
+        )._enriched(spark, _sf)
+    )
+    payload = {r["scope_slug"]: r for r in focos_llm_payload(spec).collect()}
+    got = {
+        (r["kind"], r["scope_slug"]): (r["system_prompt"], r["user_prompt"])
+        for r in focos_prompt_texts(spec).collect()
+    }
+    assert len(got) == len(payload) + 2
+
+    nat = payload[NATIONAL_SLUG]
+    ref_date = datetime.date(nat["latest_year"], nat["last_closed_month"], 1)
+    for slug, row in payload.items():
+        expected = gt.build_graphic_text_prompts(
+            contexto_payload_json=row["prompt_block"],
+            biome_label_pt=row["bioma"],
+            escopo_nacional=(slug == NATIONAL_SLUG),
+        )
+        assert got[("graphic_text", slug)] == expected, slug
+    assert got[("post_description", NATIONAL_SLUG)] == (
+        pdm.build_post_description_prompts(
+            reference_date=ref_date,
+            contexto_payload_json=nat["prompt_block"],
+        )
+    )
+    assert got[("carousel_caption", NATIONAL_SLUG)] == (
+        ccm.build_carousel_post_description_prompts(reference_date=ref_date)
+    )
+
+
 def test_perplexity_buckets_tertile_invariants(spark):
     """Bucket assignment must be ordered and tertile-balanced: every
     head entropy ≤ every middle ≤ every tail, sizes within one of an
