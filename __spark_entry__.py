@@ -1569,6 +1569,40 @@ SELECT query_id, cand_id, cosine,
 FROM scored QUALIFY rank <= {k} ORDER BY query_id, rank"""
 
 
+def _ngram_containment_sql(threshold: float = 0.9) -> str:
+    """DuckDB twin of dedup.dedup_containment: the _ngram_jaccard_sql
+    candidate construction (hot-shingle stop-list, exact verify over
+    FULL shingle sets) scored as |A∩B| / min(|A|, |B|)."""
+    from forest_open_data_pipelines_spark.operators.dedup import NGRAM_MAX_DF
+
+    return f"""
+WITH {SHINGLES},
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+nd AS (SELECT count(*) AS n_docs FROM shingled),
+cold AS (
+  SELECT s FROM ex, nd GROUP BY s, n_docs
+  HAVING count(*) <= greatest(2.0, {NGRAM_MAX_DF} * n_docs)
+),
+colded AS (SELECT doc_id, s FROM ex JOIN cold USING (s)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM colded a JOIN colded b ON a.s = b.s AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(x.shingles, y.shingles)) AS common,
+         len(x.shingles) AS n_a, len(y.shingles) AS n_b
+  FROM cand
+  JOIN shingled x ON x.doc_id = cand.doc_a
+  JOIN shingled y ON y.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b,
+       round(common::DOUBLE / least(n_a, n_b), 6) AS containment
+FROM pairs
+WHERE round(common::DOUBLE / least(n_a, n_b), 6) >= {threshold}
+ORDER BY doc_a, doc_b"""
+
+
 def _ngram_jaccard_sql() -> str:
     """DuckDB twin of dedup.dedup_ngram_jaccard with the hot-shingle
     document-frequency stop-list: identical greatest(2, max_df·n_docs)
@@ -4131,6 +4165,7 @@ SELECT md5({lclean}) AS content_fingerprint,
        min(doc_id) AS canonical_doc_id, count(*) AS n_docs
 FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        "dedup_containment": _ngram_containment_sql(),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),
         "dedup_simhash64": _simhash64_sql(),

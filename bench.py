@@ -139,6 +139,7 @@ HEADLINE = [
     "perplexity_buckets",
     "referential_integrity_audit",
     "focos_prompt_texts",
+    "dedup_containment",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

@@ -210,6 +210,19 @@ def dedup_ngram_jaccard(
     tradeoff; spill-safe (MEMORY_AND_DISK) and strictly smaller than
     the shuffles it replaces.
     """
+    with_hot, common = _ngram_pair_commons(documents, n, max_df)
+    jaccard = ratio(common / (F.col("n_a") + F.col("n_b") - common))
+    return (
+        with_hot.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _ngram_pair_commons(documents: DataFrame, n: int, max_df: float):
+    """Shared candidate/verify machinery of the set-overlap dedup
+    family: (pair frame with n_a/n_b, exact-common Column). See
+    ``dedup_ngram_jaccard`` for the full design rationale."""
     sh = _persist(hashed_shingle_table(documents, n))
     n_docs = sh.agg(F.count("*").alias("n_docs"))
     # Persist AFTER the df window: four consumers (both join sides +
@@ -254,10 +267,37 @@ def dedup_ngram_jaccard(
     common = F.col("common_cold") + F.size(
         F.array_intersect(F.coalesce("hot_a", empty), F.coalesce("hot_b", empty))
     )
-    jaccard = ratio(common / (F.col("n_a") + F.col("n_b") - common))
+    return with_hot, common
+
+
+def dedup_containment(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: float = NGRAM_MAX_DF,
+) -> DataFrame:
+    """Near-supersets by n-gram CONTAINMENT: pairs where the smaller
+    document's shingle set is mostly inside the larger's —
+    ``|A∩B| / min(|A|, |B|) ≥ threshold``.
+
+    The asymmetric-overlap complement of ``dedup_ngram_jaccard``: a
+    quote, excerpt, or wrapped re-post of a long article has high
+    containment but LOW Jaccard (the union is dominated by the longer
+    document), so a Jaccard-only pass ships duplicated passages into
+    training data. Broder's containment measure, symmetrized with
+    ``min`` so one verdict row covers either direction.
+
+    Candidates and the exact common count reuse the Jaccard family's
+    machinery verbatim (``_ngram_pair_commons``: hot-shingle DF
+    stop-list, count-shaped verify, hot-array correction) — same
+    shuffle profile, same 100 TB behavior; only the final score
+    differs.
+    """
+    with_hot, common = _ngram_pair_commons(documents, n, max_df)
+    containment = ratio(common / F.least(F.col("n_a"), F.col("n_b")))
     return (
-        with_hot.select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        with_hot.select("doc_a", "doc_b", containment.alias("containment"))
+        .where(F.col("containment") >= threshold)
         .orderBy("doc_a", "doc_b")
     )
 

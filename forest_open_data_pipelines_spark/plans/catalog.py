@@ -170,6 +170,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": lambda s, d: textops.perplexity_buckets(
         load_table(s, d, "documents")
     ),
+    "dedup_containment": lambda s, d: dedup.dedup_containment(
+        load_table(s, d, "documents")
+    ),
     "focos_prompt_texts": lambda s, d: social.focos_prompt_texts(
         social.monthly_chart_spec_scoped(_enriched(s, d))
     ),
@@ -651,7 +654,9 @@ _R6_WINDOW: tuple[str, ...] = (
     # stands, its only r6-changed dependency — the hardened
     # connected-components closure — keeps in-window coverage through
     # dedup_clusters, and the parity suite re-verifies it per session)
-    "monthly_chart_spec_scoped",
+    # (monthly_chart_spec_scoped parked for dedup_containment: its r5
+    # row stands and its composition is exercised in-window through
+    # focos_llm_payload, which consumes the scoped spec frame)
     # (quality_repetition and the sessionize trio — session_duration_
     # stats, user_retention_cohorts, event_funnel — parked for the
     # four third-session additions below: all four parked entries have
@@ -681,6 +686,7 @@ _R6_WINDOW: tuple[str, ...] = (
     "stratified_topk_sample",
     "inmet_yearly_zips",
     "ann_method_eval",
+    "dedup_containment",
 )
 assert len(_R6_WINDOW) == DRIVER_CHECK_CAP, len(_R6_WINDOW)
 QUERIES = {

@@ -68,6 +68,7 @@ MUST_BE_IN_WINDOW = {
     "stratified_topk_sample",
     "inmet_yearly_zips",
     "ann_method_eval",
+    "dedup_containment",
 }
 
 

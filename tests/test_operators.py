@@ -495,6 +495,45 @@ def test_dedup_embedding_lsh_subset_and_recall(spark):
         assert len(lsh) >= 0.5 * len(exact), (len(lsh), len(exact))
 
 
+def test_dedup_containment_matches_python_twin(spark):
+    """Containment pairs against a Python re-aggregation of the same
+    shingle sets: candidates share ≥1 cold shingle (the stop-list
+    semantics), score = |A∩B| / min(|A|, |B|) over FULL sets."""
+    import math
+    from collections import Counter
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        NGRAM_MAX_DF,
+        dedup_containment,
+        shingle_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    got = [
+        (r.doc_a, r.doc_b, r.containment)
+        for r in dedup_containment(docs).collect()
+    ]
+    sets = {
+        int(r.doc_id): set(r.shingles) for r in shingle_table(docs).collect()
+    }
+    df = Counter(s for v in sets.values() for s in v)
+    cap = max(2.0, NGRAM_MAX_DF * len(sets))
+    cold = {s for s, c in df.items() if c <= cap}
+    ids = sorted(sets)
+    expected = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            common = sets[a] & sets[b]
+            if not (common & cold):
+                continue
+            c = len(common) / min(len(sets[a]), len(sets[b]))
+            c = math.floor(c * 1e6 + 0.5) / 1e6
+            if c >= 0.9:
+                expected.append((a, b, c))
+    assert got == expected
+    assert expected, "containment vacuous on this corpus"
+
+
 def test_dedup_semantic_matches_numpy_twin(spark):
     """SemDeDup verdicts against an independent numpy twin: seed-centroid
     assignment (9-dp HALF_UP argmax, lowest-cell ties), within-cell

@@ -201,6 +201,10 @@ def ann_main(max_replicas: int) -> None:
         "ann_topk_lsh": lambda e: similarity.ann_topk_lsh(e),
         "ann_topk_ivf": lambda e: similarity.ann_topk_ivf(e),
         "dedup_embedding_lsh": lambda e: dedup.dedup_embedding_lsh(e),
+        # within-cell pair space: expect ~quadratic-in-replicas pair
+        # growth DIVIDED by the fixed 16-cell fan-out; the nudge keeps
+        # replicas near-duplicates so this is the dup-heavy worst case
+        "dedup_semantic": lambda e: dedup.dedup_semantic(e),
     }
     results = {o: [] for o in ops}
     for s in [1, 2, 4, 8]:
