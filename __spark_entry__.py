@@ -4828,6 +4828,16 @@ FROM scored CROSS JOIN th ORDER BY doc_id"""
     out["focos_prompt_texts"] = _focos_prompt_texts_sql(
         out["focos_llm_payload"]
     )
+    # lang_id_confusion composes the lang_id_ngram twin: count the
+    # (true, predicted) cells, share within the true language over the
+    # bounded aggregate.
+    out["lang_id_confusion"] = f"""
+WITH v AS (SELECT lang, predicted_lang FROM ({out["lang_id_ngram"]})),
+c AS (SELECT lang, predicted_lang, count(*) AS n_docs FROM v GROUP BY 1, 2)
+SELECT lang, predicted_lang, n_docs,
+       round(n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang), 6)
+         AS share
+FROM c ORDER BY lang, predicted_lang"""
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()

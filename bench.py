@@ -140,6 +140,7 @@ HEADLINE = [
     "referential_integrity_audit",
     "focos_prompt_texts",
     "dedup_containment",
+    "lang_id_confusion",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

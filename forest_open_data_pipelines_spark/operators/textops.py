@@ -824,6 +824,31 @@ def _lang_id_ngram_join(documents: DataFrame, profiles: DataFrame) -> DataFrame:
     )
 
 
+def lang_id_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID acceptance harness: the confusion matrix of
+    ``lang_id_ngram`` predictions against the labeled ``lang`` column
+    — one row per (true, predicted) pair with the within-language
+    share, the evidence that justifies gating a mixture plan on the
+    classifier (the ``dedup_method_eval`` / ``ann_method_eval``
+    pattern for language ID).
+
+    Scale: one map-side-combinable count over the classifier's
+    verdict frame; the share window runs over the ≤ |langs|² rows of
+    the AGGREGATE, never the corpus.
+    """
+    verdicts = lang_id_ngram(documents)
+    counts = verdicts.groupBy("lang", "predicted_lang").agg(
+        F.count("*").alias("n_docs")
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("lang"))
+    return counts.select(
+        "lang",
+        "predicted_lang",
+        "n_docs",
+        ratio(F.col("n_docs") / tot).alias("share"),
+    ).orderBy("lang", "predicted_lang")
+
+
 def token_histogram(documents: DataFrame) -> DataFrame:
     """Log2-bucketed document-length distribution — the
     sequence-length profile a packing/batching planner reads before

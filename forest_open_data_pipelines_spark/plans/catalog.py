@@ -173,6 +173,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": lambda s, d: dedup.dedup_containment(
         load_table(s, d, "documents")
     ),
+    "lang_id_confusion": lambda s, d: textops.lang_id_confusion(
+        load_table(s, d, "documents")
+    ),
     "focos_prompt_texts": lambda s, d: social.focos_prompt_texts(
         social.monthly_chart_spec_scoped(_enriched(s, d))
     ),
