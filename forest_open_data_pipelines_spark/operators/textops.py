@@ -1339,6 +1339,46 @@ def bpe_encode(documents: DataFrame, n_merges: int = 10) -> DataFrame:
 #: (pinned in tests).
 CHARLM_MAX_ENTROPY_BITS = 2.6
 
+def charlm_bigrams() -> Column:
+    """Bigram walk over the lowercased clean text column ``t`` (shared
+    by the batch scorer and the streaming gate's per-record fold).
+    A function, not a module constant: F.expr needs an active session."""
+    return F.expr(
+        "CASE WHEN length(t) >= 2 THEN transform(sequence(1, length(t) - 1),"
+        " i -> substring(t, i, 2)) ELSE array() END"
+    )
+
+
+def _charlm_model(base: DataFrame, ex: DataFrame) -> DataFrame:
+    """Add-one-smoothed bigram model from a (doc_id, t) clean-text
+    frame and its exploded bigram stream: (bg, lp_micro) with the
+    integer micro-bit quantization both engines share. Extracted so
+    the batch scorer and the streaming gate train the IDENTICAL
+    model (see charlm_perplexity for the full design)."""
+    counts = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
+    prefix = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("n12").alias("n1")
+    )
+    vocab = (
+        base.select(F.explode(F.split("t", "")).alias("c"))
+        # split('', '') yields [''] — drop it so an empty doc cannot
+        # inflate V (the oracle's substr walk never produces '')
+        .where(F.col("c") != "")
+        .agg(F.countDistinct("c").alias("v"))
+    )
+    lp_micro = F.round(
+        F.log2(
+            (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("v"))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    return (
+        counts.join(prefix, F.substring("bg", 1, 1) == F.col("c1"))
+        .crossJoin(F.broadcast(vocab))
+        .select("bg", lp_micro.alias("lp_micro"))
+    )
+
 
 def charlm_perplexity(
     documents: DataFrame, max_entropy_bits: float = CHARLM_MAX_ENTROPY_BITS
@@ -1371,34 +1411,10 @@ def charlm_perplexity(
     # ONCE over the corpus instead of 2-4 times (the signature-table
     # pattern of the dedup siblings)
     base = _persist(spread(documents).select("doc_id", t.alias("t")))
-    bigrams = F.expr(
-        "CASE WHEN length(t) >= 2 THEN transform(sequence(1, length(t) - 1),"
-        " i -> substring(t, i, 2)) ELSE array() END"
+    ex = _persist(
+        base.select("doc_id", F.explode(charlm_bigrams()).alias("bg"))
     )
-    ex = _persist(base.select("doc_id", F.explode(bigrams).alias("bg")))
-    counts = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
-    prefix = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
-        F.sum("n12").alias("n1")
-    )
-    vocab = (
-        base.select(F.explode(F.split("t", "")).alias("c"))
-        # split('', '') yields [''] — drop it so an empty doc cannot
-        # inflate V (the oracle's substr walk never produces '')
-        .where(F.col("c") != "")
-        .agg(F.countDistinct("c").alias("v"))
-    )
-    lp_micro = F.round(
-        F.log2(
-            (F.col("n12") + 1).cast("double") / (F.col("n1") + F.col("v"))
-        )
-        * F.lit(1e6),
-        0,
-    ).cast("long")
-    model = F.broadcast(
-        counts.join(prefix, F.substring("bg", 1, 1) == F.col("c1"))
-        .crossJoin(F.broadcast(vocab))
-        .select("bg", lp_micro.alias("lp_micro"))
-    )
+    model = F.broadcast(_charlm_model(base, ex))
     scored = (
         ex.join(model, "bg")
         .groupBy("doc_id")

@@ -199,3 +199,120 @@ def boilerplate_gate_stream(
         frac.alias("boiler_frac"),
         (frac >= BOILER_FLAG_FRAC).alias("flagged"),
     )
+
+
+CHARLM_STREAM_MAX_BIGRAMS = 4096
+
+
+def charlm_gate_stream(
+    documents_stream: DataFrame,
+    reference_corpus: DataFrame,
+) -> DataFrame:
+    """Char-bigram LM perplexity gate for an unbounded ingest: score
+    every arriving document under the model FROZEN from a static
+    reference corpus — the CCNet deployment shape (the LM trains
+    offline; the ingest only scores).
+
+    ZERO streaming state: the trained (bigram → micro-bit log-prob)
+    table collects once at plan construction into a literal map (the
+    DSIR-gate pattern) together with a per-prefix unseen-bigram
+    fallback and the uniform 1/V floor, so a record's score is a pure
+    codegen fold over its own bigram array. Seen bigrams score
+    micro-bit-identically to batch ``charlm_perplexity`` — on a
+    replayed reference corpus (every bigram seen) the output is
+    row-identical to batch (parity test); live data additionally
+    scores UNSEEN bigrams with the same add-one smoothing the batch
+    model would assign them (count 0), which the batch operator never
+    encounters because it trains on what it scores.
+
+    Guard: a reference corpus with more than
+    ``CHARLM_STREAM_MAX_BIGRAMS`` distinct bigrams (CJK-heavy text)
+    would bloat the literal plan — raise and point at the
+    stream-static broadcast-join alternative instead of degrading.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+    from forest_open_data_pipelines_spark.operators.textops import (
+        CHARLM_MAX_ENTROPY_BITS,
+        _charlm_model,
+        charlm_bigrams,
+        clean_text,
+    )
+
+    t = F.lower(clean_text(F.col("text")))
+    base = _persist(reference_corpus.select("doc_id", t.alias("t")))
+    ex = base.select("doc_id", F.explode(charlm_bigrams()).alias("bg"))
+    model = _charlm_model(base, ex).collect()
+    if len(model) > CHARLM_STREAM_MAX_BIGRAMS:
+        raise ValueError(
+            f"charlm_gate_stream: {len(model)} distinct bigrams exceeds "
+            f"the literal-map cap {CHARLM_STREAM_MAX_BIGRAMS}; use a "
+            "stream-static broadcast join against the model table "
+            "instead of the literal fold."
+        )
+    # unseen-bigram fallbacks reconstruct the batch quantization with
+    # n12 = 0: per-prefix n1 from the training stream, uniform 1/V floor
+    import math
+
+    prefix_rows = (
+        ex.groupBy(F.substring("bg", 1, 1).alias("c1"))
+        .agg(F.count(F.lit(1)).alias("n1"))
+        .collect()
+    )
+    v = (
+        base.select(F.explode(F.split("t", "")).alias("c"))
+        .where(F.col("c") != "")
+        .agg(F.countDistinct("c").alias("v"))
+        .collect()[0]["v"]
+    )
+    prefix_lp = {
+        r["c1"]: int(round(math.log2(1.0 / (r["n1"] + v)) * 1e6))
+        for r in prefix_rows
+    }
+    floor_lp = int(round(math.log2(1.0 / v) * 1e6)) if v else 0
+    m = F.create_map(
+        *[
+            c
+            for r in model
+            for c in (F.lit(r["bg"]), F.lit(int(r["lp_micro"])).cast("long"))
+        ]
+    )
+    pm = (
+        F.create_map(
+            *[
+                c
+                for c1, lp in sorted(prefix_lp.items())
+                for c in (F.lit(c1), F.lit(lp).cast("long"))
+            ]
+        )
+        if prefix_lp
+        else F.create_map().cast("map<string,long>")
+    )
+    lp = lambda bg: F.coalesce(
+        F.element_at(m, bg),
+        F.element_at(pm, F.substring(bg, 1, 1)),
+        F.lit(floor_lp).cast("long"),
+    )
+    scored = documents_stream.select(
+        "doc_id", t.alias("t")
+    ).select(
+        "doc_id",
+        F.aggregate(
+            charlm_bigrams(),
+            F.lit(0).cast("long"),
+            lambda acc, bg: acc + lp(bg),
+        ).alias("lp_sum"),
+        F.size(charlm_bigrams()).alias("n_bigrams"),
+    )
+    h = ratio(-F.col("lp_sum") / (F.col("n_bigrams") * F.lit(1e6)))
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.when(F.col("n_bigrams") > 0, h).alias("entropy_bits"),
+        F.when(F.col("n_bigrams") > 0, ratio(F.pow(F.lit(2.0), h))).alias(
+            "perplexity"
+        ),
+        F.coalesce(
+            F.when(F.col("n_bigrams") > 0, h <= CHARLM_MAX_ENTROPY_BITS),
+            F.lit(True),
+        ).alias("passes_charlm"),
+    )

@@ -825,6 +825,60 @@ def test_boilerplate_gate_stream_matches_batch(spark, tmp_path):
     assert any(r["n_boiler"] > 0 for r in emitted), "frozen set vacuous"
 
 
+def test_charlm_gate_stream_matches_batch(spark, tmp_path):
+    """The frozen-LM literal-map fold must score every streamed doc
+    EXACTLY like batch charlm_perplexity when the model corpus matches
+    (every bigram seen): same micro-bit sums, entropies, verdicts."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        charlm_perplexity,
+    )
+    from forest_open_data_pipelines_spark.streaming.curation import (
+        charlm_gate_stream,
+    )
+
+    src = tmp_path / "charlm_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        charlm_gate_stream(stream, docs)
+        .writeStream.format("memory")
+        .queryName("charlm_gate_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_charlm"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM charlm_gate_test").collect()
+    finally:
+        query.stop()
+    batch = charlm_perplexity(docs).collect()
+    key = lambda r: (
+        r["doc_id"],
+        r["n_bigrams"],
+        r["entropy_bits"],
+        r["perplexity"],
+        r["passes_charlm"],
+    )
+    assert sorted(map(key, emitted)) == sorted(map(key, batch))
+    assert emitted, "gate emitted nothing"
+    # unseen-bigram path: a doc of entirely novel bigrams must score
+    # through the prefix/floor fallbacks, not NULL out (the gate is a
+    # pure projection, so it applies to a batch frame directly)
+    novel = spark.createDataFrame([(999_999, "ÞþÞþÞþ")], "doc_id long, text string")
+    row = charlm_gate_stream(novel, docs).collect()[0]
+    assert row["n_bigrams"] == 5
+    assert row["entropy_bits"] is not None and row["entropy_bits"] > 0
+
+
 def test_dsir_gate_stream_matches_batch(spark, tmp_path):
     """The frozen-model literal-map fold must score every streamed doc
     EXACTLY like batch dsir_importance_weights when the model corpus
