@@ -2944,7 +2944,8 @@ err AS (
 codes AS (
   SELECT vec_id, list(code ORDER BY s) AS codes FROM asgn GROUP BY vec_id
 )
-SELECT c.vec_id, c.codes, round(err.d2 / 64.0, 6) AS recon_mse
+SELECT c.vec_id, array_to_string(c.codes, ',') AS codes_csv,
+       round(err.d2 / 64.0, 6) AS recon_mse
 FROM codes c JOIN err USING (vec_id) ORDER BY c.vec_id"""
 
 
@@ -3197,7 +3198,8 @@ err AS (
                         i -> abs(emb[i] - codes[i] * scale)) AS e
   FROM coded
 )
-SELECT vec_id, scale, codes,
+SELECT vec_id, scale,
+       array_to_string(codes, ',') AS codes_csv,
        round(list_max(e), 6) AS max_abs_err,
        round(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)
              / len(codes), 6) AS mse
@@ -4888,7 +4890,9 @@ WITH b AS (
   FROM documents
 ),
 per AS (
-  SELECT bucket_exp, count(*) AS n_docs, sum(n) AS n_tokens
+  -- ::BIGINT: duckdb's sum(BIGINT) is HUGEINT, which pandas widens to
+  -- float64 (2356.0 vs spark's 2356) and the value hash diverges
+  SELECT bucket_exp, count(*) AS n_docs, sum(n)::BIGINT AS n_tokens
   FROM b GROUP BY bucket_exp
 ),
 tot AS (SELECT sum(n_docs) AS t_docs, sum(n_tokens) AS t_tokens FROM per)

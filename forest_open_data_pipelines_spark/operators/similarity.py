@@ -600,7 +600,11 @@ def embedding_quantize_sq8(embeddings: DataFrame) -> DataFrame:
 
     Scale: a pure projection (two folds + a transform per row), no
     shuffle but the presentation sort; codes are exact integers so the
-    table is engine-portable bit-for-bit.
+    table is engine-portable bit-for-bit. The codes ship as a CSV
+    string (``codes_csv``) rather than array<int>: the integer text is
+    engine-exact, and a scalar column keeps the table sortable /
+    hashable by any downstream canonicalizer (the driver's pandas
+    compare cannot sort list cells).
     """
     emb = F.col("embedding")
     scale, codes = sq8_code_cols(emb)
@@ -619,7 +623,9 @@ def embedding_quantize_sq8(embeddings: DataFrame) -> DataFrame:
         out.select(
             "vec_id",
             "scale",
-            "codes",
+            F.concat_ws(
+                ",", F.transform("codes", lambda c: c.cast("string"))
+            ).alias("codes_csv"),
             ratio(
                 F.aggregate(err, F.lit(0.0), lambda a, e: F.greatest(a, e))
             ).alias("max_abs_err"),
@@ -863,9 +869,14 @@ def embedding_quantize_pq(
     """
     codebook = _pq_codebook(embeddings, m, ks, dim)
     enc = _pq_encoded(embeddings, codebook, m, ks, dim)
+    # codes as CSV text, not array<int> — same rationale as
+    # embedding_quantize_sq8: scalar columns stay sortable/hashable in
+    # any engine-portable canonical compare.
     return enc.select(
         "vec_id",
-        "codes",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes_csv"),
         ratio(F.col("mse") / F.lit(float(dim))).alias("recon_mse"),
     ).orderBy("vec_id")
 

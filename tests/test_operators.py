@@ -3379,7 +3379,8 @@ def test_sq8_quantization_error_bound_and_recall(spark):
     emb = load_table(spark, SF_DIR, "embeddings")
     q = sim.embedding_quantize_sq8(emb).collect()
     for r in q:
-        assert all(-127 <= c <= 127 for c in r.codes), r.vec_id
+        codes = [int(c) for c in r.codes_csv.split(",")]
+        assert all(-127 <= c <= 127 for c in codes), r.vec_id
         assert r.max_abs_err <= r.scale / 2 + 1e-6, r.vec_id
     bf = {(r.query_id, r.cand_id) for r in sim.ann_topk_bruteforce(emb).collect()}
     sq = {(r.query_id, r.cand_id) for r in sim.ann_topk_sq8(emb).collect()}
@@ -3400,12 +3401,14 @@ def test_pq_quantization_invariants_and_recall(spark):
     sub = 64 // sim.PQ_M
     q = sim.embedding_quantize_pq(emb).collect()
     for r in q:
-        assert all(0 <= c < sim.PQ_KS for c in r.codes), r.vec_id
+        assert all(
+            0 <= int(c) < sim.PQ_KS for c in r.codes_csv.split(",")
+        ), r.vec_id
     # spot-check the audit column against a straight Python rebuild
     for r in q[:25]:
         x = [float(v) for v in rows[r.vec_id]["embedding"]]
         err = 0.0
-        for s, code in enumerate(r.codes):
+        for s, code in enumerate(int(c) for c in r.codes_csv.split(",")):
             cw = [float(v) for v in rows[code]["embedding"]][s * sub:(s + 1) * sub]
             err += sum((a - b) ** 2 for a, b in zip(x[s * sub:(s + 1) * sub], cw))
         assert abs(r.recon_mse - err / 64.0) < 1e-5, r.vec_id

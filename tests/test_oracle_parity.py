@@ -23,22 +23,53 @@ QUERIES = entry_mod.queries()
 
 
 def _canon(v):
+    # Dtype-SENSITIVE on purpose: the driver compares pandas frames, so
+    # an int64 2356 vs a float64 2356.0 (e.g. duckdb sum(BIGINT) →
+    # HUGEINT → float64) must fail here the way it fails there.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return str(bool(v))
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else repr(round(v, 9))
+        # pandas surfaces SQL NULL as NaN (e.g. a nullable BOOLEAN from
+        # duckdb .df()), so NaN and None must canonicalize identically
+        return "NULL" if math.isnan(v) else repr(round(v, 9))
     if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
+        v = v.replace(tzinfo=None)
+        # duckdb returns DATE columns as midnight datetime64 where
+        # spark returns datetime.date — the driver compares them equal
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
+        return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
     return str(v)
 
 
-def _signature(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(cols), sorted(tuple(_canon(r[i]) for i in order) for r in rows)
+def _pandas_signature(df):
+    """Driver-shaped canonicalization: pandas frame → sort columns by
+    name, SORT ROWS on the raw frame (list/dict cells are unhashable
+    and must blow up here exactly like the driver's sort_values does),
+    then stringify cell-by-cell."""
+    import pandas as pd
+
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols, kind="mergesort")
+    out = []
+    for row in df.itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is pd.NaT:
+                v = None
+            elif isinstance(v, pd.Timestamp):
+                v = v.to_pydatetime()
+            elif hasattr(v, "item") and not isinstance(v, (bytes, str)):
+                v = v.item()
+            vals.append(_canon(v))
+        out.append(tuple(vals))
+    return cols, out
 
 
 @pytest.fixture(scope="module")
@@ -51,16 +82,13 @@ def oracle_con():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, oracle_con):
-    sdf = QUERIES[name](spark, SF_DIR)
-    scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
-    res = oracle_con.execute(ORACLES[name])
-    ocols = [d[0] for d in res.description]
-    orows = res.fetchall()
-    s_sig = _signature(scols, srows)
-    o_sig = _signature(ocols, orows)
-    assert s_sig[0] == o_sig[0], f"columns differ: {s_sig[0]} vs {o_sig[0]}"
-    assert len(s_sig[1]) == len(o_sig[1]), "row counts differ"
-    assert s_sig[1] == o_sig[1], "values differ"
+    sdf = QUERIES[name](spark, SF_DIR).toPandas()
+    odf = oracle_con.execute(ORACLES[name]).df()
+    scols, srows = _pandas_signature(sdf)
+    ocols, orows = _pandas_signature(odf)
+    assert scols == ocols, f"columns differ: {scols} vs {ocols}"
+    assert len(srows) == len(orows), "row counts differ"
+    assert srows == orows, "values differ"
 
 
 def test_every_query_has_oracle_or_is_whitelisted():
