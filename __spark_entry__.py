@@ -4720,6 +4720,80 @@ SELECT round(sum(l_extendedprice::DECIMAL(18,4))::DOUBLE / 7.0, 2)
        count(*) AS n_small_lineitems
 FROM branded JOIN pp ON l_partkey = agg_partkey
 WHERE qty * 5 * cnt < sum_qty""",
+        # round-7 relational breadth additions -------------------------------
+        "q9_product_type_profit": """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum((l_extendedprice * (1 - l_discount)
+                  - 0.5 * p_retailprice * l_quantity)::DECIMAL(18,4)), 2)
+         ::DOUBLE AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC""",
+        "q12_shipping_delay": """
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) < 30
+            THEN 'under_30d'
+            WHEN datediff('day', o_orderdate, l_shipdate) < 90
+            THEN '30_to_89d'
+            ELSE '90d_plus' END AS delay_bucket,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_priority_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) = 1997
+GROUP BY 1 ORDER BY delay_bucket""",
+        "q16_supplier_part_variety": """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        "q20_dominant_suppliers": """
+WITH fact AS (
+  SELECT l_partkey, l_suppkey, l_quantity::DECIMAL(18,4) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1997 AND p_name LIKE '%red%'
+),
+per_sp AS (
+  SELECT l_partkey, l_suppkey, sum(qty) AS qty_sp FROM fact GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, sum(qty_sp) AS qty_total FROM per_sp GROUP BY 1
+)
+SELECT DISTINCT s_name, n_name AS nation
+FROM per_sp
+JOIN per_part USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE qty_sp * 10 > qty_total * 3
+ORDER BY s_name""",
+        # Q21's native form: the blame condition stated as correlated
+        # EXISTS (another supplier on the order) / NOT EXISTS (another
+        # supplier at least as late) — the Spark side expresses the
+        # same predicate as same-key windows over one aggregate.
+        "q21_sole_latest_shipper": """
+WITH l1 AS (
+  SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+)
+SELECT s_name, count(*) AS numwait
+FROM l1 JOIN supplier ON l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM l1 l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l1 l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.s_max >= l1.s_max)
+GROUP BY s_name ORDER BY numwait DESC, s_name""",
         "top_supplier_by_revenue": """
 WITH per_supp AS (
   SELECT l_suppkey,

@@ -141,6 +141,12 @@ HEADLINE = [
     "focos_prompt_texts",
     "dedup_containment",
     "lang_id_confusion",
+    # round-7 operators
+    "q9_product_type_profit",
+    "q12_shipping_delay",
+    "q16_supplier_part_variety",
+    "q20_dominant_suppliers",
+    "q21_sole_latest_shipper",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

@@ -905,3 +905,258 @@ def q17_small_quantity_revenue(
             F.count("*").alias("n_small_lineitems"),
         )
     )
+
+
+def q9_product_type_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "red",
+) -> DataFrame:
+    """TPC-H Q9 adapted: profit by supplier nation and order year for
+    parts whose name contains ``name_token``. The testdata carries no
+    partsupp, so unit cost is proxied by half the part's retail price:
+    ``amount = extendedprice·(1−discount) − 0.5·retailprice·quantity``.
+
+    The per-row amount is one double expression (identical IEEE
+    operands on both engines) cast to DECIMAL(18,4) BEFORE the sum, so
+    the aggregate is exact and partial-agg order cannot drift — the
+    q8_market_share convention.
+
+    Plan shape: the name-filtered part dim and supplier⋈nation both
+    broadcast onto the fact; lineitem⋈orders shuffle on orderkey (AQE
+    re-selects); one groupBy(nation, year) with map-side combine.
+    """
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    parts = F.broadcast(
+        part.where(F.col("p_name").contains(name_token)).select(
+            "p_partkey", "p_retailprice"
+        )
+    )
+    supp_nation = F.broadcast(
+        supplier.join(
+            nation, F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey", "n_name")
+    )
+    return (
+        lineitem.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("profit_d"))
+        .select(
+            "nation",
+            "o_year",
+            F.round(F.col("profit_d"), 2).cast("double").alias("sum_profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q12_shipping_delay(
+    orders: DataFrame, lineitem: DataFrame, year: int = 1997
+) -> DataFrame:
+    """TPC-H Q12 adapted: the testdata has no shipmode or commit/receipt
+    dates, so the Q12 question — does slow fulfilment correlate with
+    order priority? — is asked of the ship delay instead: bucket each
+    lineitem shipped in ``year`` by datediff(shipdate, orderdate) and
+    count critical (1-URGENT / 2-HIGH) vs other-priority lineitems per
+    bucket, exactly Q12's conditional-sum form.
+
+    Plan shape: one lineitem⋈orders shuffle on orderkey (both filters
+    pushed to the scans), then a 3-group aggregate with map-side
+    combine; datediff on timestamps is exact integer arithmetic so
+    bucket edges cannot drift between engines.
+    """
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay < 30, "under_30d")
+        .when(delay < 90, "30_to_89d")
+        .otherwise("90d_plus")
+    )
+    is_critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.where(F.year("l_shipdate") == year)
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(F.when(is_critical, 1).otherwise(0)).alias(
+                "high_priority_count"
+            ),
+            F.sum(F.when(is_critical, 0).otherwise(1)).alias(
+                "low_priority_count"
+            ),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def q16_supplier_part_variety(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = "Brand#11",
+    excl_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q16 adapted: how many distinct suppliers can ship each
+    (brand, type, size) of part, excluding one brand, one part type,
+    and "complaint" suppliers — proxied as negative account balance
+    since the testdata has no supplier comments. Shipment evidence
+    comes from lineitem (no partsupp in the testdata).
+
+    Plan shape: part filters push to the dim scan (broadcast);
+    excluded suppliers are a broadcast LEFT ANTI join (never a
+    NOT-IN-over-shuffle); distinct suppliers per group is ONE
+    count_distinct aggregate — Spark plans it as partial de-dup then
+    final count, both map-side combinable.
+    """
+    parts = F.broadcast(
+        part.where(
+            (F.col("p_brand") != excl_brand) & (F.col("p_type") != excl_type)
+        ).select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_suppliers = F.broadcast(
+        supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    )
+    return (
+        lineitem.join(
+            bad_suppliers, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+def q20_dominant_suppliers(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_token: str = "red",
+    year: int = 1997,
+    pct_num: int = 3,
+    pct_den: int = 10,
+) -> DataFrame:
+    """TPC-H Q20 adapted: suppliers who dominated a part's supply —
+    shipped more than ``pct_num/pct_den`` (default 30%) of the total
+    ``year`` volume of some part whose name contains ``name_token`` —
+    with their nation, the promotion-candidate list Q20 builds from
+    partsupp availability (absent here; shipped volume is the proxy).
+
+    The threshold compare is EXACT: both sides are integer-scaled
+    decimal sums (``qty_sp · pct_den > total · pct_num``), so no
+    engine can disagree on a boundary part.
+
+    Plan shape: per-(supp, part) sums aggregate the filtered fact once
+    (map-side combine) and PERSIST — the totals reduce that cached
+    aggregate and the threshold join probes it again, so the fact
+    scans once (Catalyst alone would recompute the shared subtree on
+    both sides of the self-consumption); totals broadcast back onto
+    the supplier-part aggregate; the surviving supplier keys collapse
+    via distinct and join the broadcast supplier⋈nation dim.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    parts = F.broadcast(
+        part.where(F.col("p_name").contains(name_token)).select("p_partkey")
+    )
+    qty = F.col("l_quantity").cast("decimal(18,4)")
+    fact = (
+        lineitem.where(F.year("l_shipdate") == year)
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    per_sp = _persist(
+        fact.groupBy("l_partkey", "l_suppkey").agg(F.sum(qty).alias("qty_sp"))
+    )
+    per_part = per_sp.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty_sp").alias("qty_total")
+    )
+    dominant = (
+        per_sp.join(
+            F.broadcast(per_part), F.col("l_partkey") == F.col("t_partkey")
+        )
+        .where(
+            F.col("qty_sp") * F.lit(pct_den).cast("decimal(18,4)")
+            > F.col("qty_total") * F.lit(pct_num).cast("decimal(18,4)")
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp_dim = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    return (
+        dominant.join(supp_dim, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "nation")
+        .orderBy("s_name")
+    )
+
+
+def q21_sole_latest_shipper(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    status: str = "F",
+) -> DataFrame:
+    """TPC-H Q21 adapted: suppliers most often the SOLE bottleneck of a
+    multi-supplier order — the only supplier whose shipment hit the
+    order's latest ship date (the commit/receipt columns Q21 blames
+    don't exist in the testdata) on a finished (``status``) order.
+    Preserves Q21's exists (another supplier on the order) /
+    not-exists (another equally-late supplier) semantics — the oracle
+    states it as correlated EXISTS subqueries; here it is one
+    per-order aggregate joined back, the Spark-native equivalent.
+
+    Plan shape: ONE fact scan, ONE shuffle — groupBy(order, supplier)
+    reduces the fact to per-(order, supplier) latest ship dates, and
+    every per-order question (order max, supplier count, how many
+    suppliers tie the max) is a window over that aggregate PARTITIONED
+    BY THE SAME KEY, so the windows reuse the aggregate's exchange
+    (no second shuffle); supplier dim broadcast; final count map-side
+    combinable. No self-join of the fact, no cross join.
+    """
+    fact = lineitem.join(
+        orders.where(F.col("o_orderstatus") == status).select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_os = fact.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    w = Window.partitionBy("l_orderkey")
+    ann = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "s_max",
+        F.max("s_max").over(w).alias("max_ship"),
+        F.count("*").over(w).alias("n_suppliers"),
+    ).withColumn(
+        "n_latest",
+        F.sum(
+            F.when(F.col("s_max") == F.col("max_ship"), 1).otherwise(0)
+        ).over(w),
+    )
+    blamed = ann.where(
+        (F.col("s_max") == F.col("max_ship"))
+        & (F.col("n_suppliers") >= 2)
+        & (F.col("n_latest") == 1)
+    )
+    return (
+        blamed.join(
+            F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -185,6 +185,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
                 "nation", "region")
         )
     ),
+    # ── Round-7 additions (first driver rows) ────────────────────────
+    "q9_product_type_profit": lambda s, d: relational.q9_product_type_profit(
+        *_t(s, d, "lineitem", "orders", "part", "supplier", "nation")
+    ),
+    "q12_shipping_delay": lambda s, d: relational.q12_shipping_delay(
+        *_t(s, d, "orders", "lineitem")
+    ),
+    "q16_supplier_part_variety": lambda s, d: (
+        relational.q16_supplier_part_variety(
+            *_t(s, d, "lineitem", "part", "supplier")
+        )
+    ),
+    "q20_dominant_suppliers": lambda s, d: relational.q20_dominant_suppliers(
+        *_t(s, d, "lineitem", "part", "supplier", "nation")
+    ),
+    "q21_sole_latest_shipper": lambda s, d: relational.q21_sole_latest_shipper(
+        *_t(s, d, "lineitem", "orders", "supplier")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.

@@ -461,3 +461,77 @@ def test_round6_ops_no_python_row_eval(spark, name):
         assert "CartesianProduct" not in plan, name
     finally:
         release_persisted()
+
+
+def test_q9_dims_broadcast_single_fact_agg(spark):
+    """Q9-shape guard: part, supplier⋈nation broadcast onto the fact;
+    lineitem⋈orders is the only wide join; ONE aggregation exchange
+    (nation, year)."""
+    plan = _plan(spark, "q9_product_type_profit")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # one wide exchange for the (nation, year) aggregate; the
+    # lineitem⋈orders equi-join contributes its own two sides at most
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_q12_year_filter_pushed_single_agg(spark):
+    """Q12-shape guard: the ship-year filter reaches the lineitem scan
+    and the delay buckets aggregate in ONE pass (conditional sums, no
+    second scan or join-back)."""
+    plan = _plan(spark, "q12_shipping_delay")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or re.search(
+        r"PushedFilters: \[.*l_shipdate", plan
+    )
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_q16_anti_join_broadcast_distinct_agg(spark):
+    """Q16-shape guard: complaint suppliers exclude via a broadcast
+    LEFT ANTI join (never NOT-IN over a shuffle); the distinct-supplier
+    count is a partial-deduplicating aggregate."""
+    plan = _plan(spark, "q16_supplier_part_variety")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q20_totals_reduce_aggregate_not_fact(spark):
+    """Q20-shape guard: per-part totals reduce the PERSISTED
+    per-(part, supplier) aggregate — the lineitem fact is scanned once
+    (both the totals branch and the threshold probe read the cache);
+    totals broadcast back (bounded by |parts|)."""
+    from forest_open_data_pipelines_spark.operators.dedup import release_persisted
+
+    try:
+        plan = _plan(spark, "q20_dominant_suppliers")
+        # both consumers (totals + threshold probe) read the cache; the
+        # plan string prints the cached subtree once PER CONSUMER, so
+        # count consumers, and require all lineitem scans to be the one
+        # cached-aggregate feed (identical pruned schema)
+        assert plan.count("InMemoryTableScan") >= 2
+        lineitem_scans = {s for s in _read_schemas(plan) if "l_quantity" in s}
+        assert len(lineitem_scans) == 1, lineitem_scans
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+    finally:
+        release_persisted()
+
+
+def test_q21_windows_reuse_aggregate_exchange(spark):
+    """Q21-shape guard: the per-order windows run over the
+    per-(order, supplier) aggregate partitioned by the same key — no
+    extra exchange for the windows, no fact self-join."""
+    plan = _plan(spark, "q21_sole_latest_shipper")
+    # exactly one exchange keyed on l_orderkey beyond the join: the
+    # groupBy(l_orderkey, l_suppkey); Window reuses it
+    assert "Window" in plan
+    n_lokey_exchanges = len(
+        re.findall(r"Exchange hashpartitioning\(l_orderkey", plan)
+    )
+    assert n_lokey_exchanges <= 3  # join sides + the (okey, supp) agg
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
