@@ -960,6 +960,68 @@ SELECT doc_id,
 FROM seeds ORDER BY doc_id"""
 
 
+def _freshness_watch_signals_sql() -> str:
+    """DuckDB twin of freshness.freshness_watch_signals, CLOSED FORM:
+    methods, UTC timestamps (offset arithmetic in integer micros, no
+    tz database) and precisions are derived directly from the doc_id
+    residues per kind — the Spark regex/coalesce chain is checked
+    against an independent derivation, the _govbr_freshness_sql
+    convention."""
+    return """
+WITH seeds AS (
+  SELECT doc_id,
+         (doc_id % 28 + 1)::INT AS d, (doc_id % 12 + 1)::INT AS mo,
+         (doc_id % 6 + 2020)::INT AS y,
+         (doc_id % 24)::INT AS hh, (doc_id % 60)::INT AS mi,
+         ((doc_id * 7) % 60)::INT AS ss,
+         (doc_id % 3 + 1)::INT AS offh, (doc_id % 23)::INT AS gh,
+         (doc_id % 9)::INT AS kind,
+         (['Jan','Feb','Mar','Apr','May','Jun',
+           'Jul','Aug','Sep','Oct','Nov','Dec'])[(doc_id % 12 + 1)::INT]
+           AS mon
+  FROM documents
+),
+built AS (
+  SELECT *,
+    make_timestamp(y, mo, d, hh, mi, ss) AS base,
+    'Tue, ' || d || ' ' || mon || ' ' || y || ' '
+      || lpad(hh::VARCHAR, 2, '0') || ':' || lpad(mi::VARCHAR, 2, '0')
+      || ':' || lpad(ss::VARCHAR, 2, '0') AS rfc,
+    y || '-' || lpad(mo::VARCHAR, 2, '0') || '-' || lpad(d::VARCHAR, 2, '0')
+      || 'T' || lpad(hh::VARCHAR, 2, '0') || ':' || lpad(mi::VARCHAR, 2, '0')
+      || ':' || lpad(ss::VARCHAR, 2, '0') AS iso,
+    'Atualizado em ' || d || '/' || mo || '/' || y AS page_label
+  FROM seeds
+)
+SELECT doc_id,
+  CASE WHEN kind <= 2 THEN 'http_last_modified'
+       WHEN kind <= 5 THEN 'manifest_profiled_at'
+       WHEN kind = 6 THEN 'anp_resource_updated_label'
+       WHEN kind = 7 THEN 'anp_page_modified_label' END AS method,
+  CASE WHEN kind = 0 OR kind = 3 OR kind = 5 THEN base
+       WHEN kind = 1 OR kind = 4
+         THEN make_timestamp(epoch_us(base) - offh::BIGINT * 3600000000)
+       WHEN kind = 2
+         THEN make_timestamp(epoch_us(base) + offh::BIGINT * 3600000000)
+       WHEN kind = 6 THEN make_timestamp(y, mo, d, gh, mi, 0)
+       WHEN kind = 7 THEN make_timestamp(y, mo, d, 0, 0, 0) END
+    AS source_modified_at,
+  CASE WHEN kind <= 5 THEN 'datetime'
+       WHEN kind = 6 THEN 'datetime'
+       WHEN kind = 7 THEN 'date' END AS precision,
+  CASE WHEN kind = 0 THEN rfc || ' GMT'
+       WHEN kind = 1 THEN rfc || ' +0' || offh || '00'
+       WHEN kind = 2 THEN rfc || ' -0' || offh || '00'
+       WHEN kind = 3 THEN iso || 'Z'
+       WHEN kind = 4 THEN iso || '+0' || offh || ':00'
+       WHEN kind = 5 THEN iso
+       WHEN kind = 6 THEN page_label || ' ' || gh || 'h'
+                          || lpad(mi::VARCHAR, 2, '0')
+       WHEN kind = 7 THEN page_label END AS raw_label,
+  CASE WHEN kind = 8 THEN 'no freshness signal' ELSE '' END AS warning
+FROM built ORDER BY doc_id"""
+
+
 def _mensal_links_sql() -> str:
     """DuckDB twin of html.mensal_links: identical anchor derivation,
     raw-href filename (queries NOT stripped), RE_MENSAL parse, urljoin
@@ -4049,6 +4111,26 @@ SELECT dataset_id, '2.0' AS schema_version, count(*) AS n_items,
        CASE WHEN sum(inc::BIGINT) > 0 THEN 'success_partial_fallback'
             ELSE 'success' END AS generation_status
 FROM v GROUP BY dataset_id ORDER BY dataset_id""",
+        # closed-form twin of manifests.manifest_meta_envelope: the
+        # strict-envelope outputs derived straight from the doc_id
+        # residues (no re-run of the normalization CASEs)
+        "manifest_meta_envelope": """
+SELECT doc_id,
+  CASE WHEN doc_id % 6 IN (0, 2) THEN 'ANP' END AS source_agency,
+  CASE WHEN doc_id % 6 = 0 THEN 'notes ' || doc_id::VARCHAR END AS notes,
+  CASE WHEN doc_id % 6 IN (1, 3)
+       THEN 'meta_' || doc_id::VARCHAR || '.txt' END
+    AS metadata_file_filename,
+  CASE WHEN doc_id % 6 IN (1, 3)
+       THEN 'https://storage.example/m/' || doc_id::VARCHAR END
+    AS metadata_file_source_url,
+  CASE WHEN doc_id % 6 = 2 THEN 'owner=team-' || doc_id::VARCHAR
+       WHEN doc_id % 6 = 5 THEN 'a=1; b=2'
+       ELSE '' END AS custom_tags,
+  (doc_id % 6 = 1) AS promoted_legacy_descriptor,
+  CASE WHEN doc_id % 6 IN (1, 3) THEN 2 ELSE 0 END::INT
+    AS dropped_legacy_urls
+FROM documents ORDER BY doc_id""",
         "catalog_cards": f"""
 WITH base AS (
   SELECT doc_id,
@@ -4177,6 +4259,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "anp_panel_payloads": _anp_panel_payloads_sql(),
         "mensal_links": _mensal_links_sql(),
         "govbr_freshness_labels": _govbr_freshness_sql(),
+        "freshness_watch_signals": _freshness_watch_signals_sql(),
         "dedup_ngram_ppjoin": _ngram_exact_sql(),
         "dedup_clusters": _clusters_sql(),
         "quality_repetition": _quality_repetition_sql(),

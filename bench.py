@@ -147,6 +147,8 @@ HEADLINE = [
     "q16_supplier_part_variety",
     "q20_dominant_suppliers",
     "q21_sole_latest_shipper",
+    "freshness_watch_signals",
+    "manifest_meta_envelope",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

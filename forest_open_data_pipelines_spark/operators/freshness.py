@@ -244,3 +244,162 @@ def govbr_freshness_labels(documents: DataFrame) -> DataFrame:
         mod_ts.alias("modified_at"),
         mod_prec.alias("modified_precision"),
     ).orderBy("doc_id")
+
+
+# ── Watch signal normalization (freshness/watch.py twins) ────────────────────
+
+# Reference: freshness/watch.py:194-209 (``_signal_from_http_last_modified``
+# — RFC-2822 Last-Modified → UTC, naive values assumed UTC), :240-258
+# (``_signal_from_iso`` — ISO-8601 with Z / ±HH:MM / naive → UTC), and
+# :108-130 (the ANP chain: resource ``updated_label`` wins over the page
+# ``modified_label``). The month-name table and the offset arithmetic are
+# explicit so both engines compute the identical naive-UTC timestamp —
+# no tz database is consulted (parsedate_to_datetime does the same pure
+# offset math).
+RFC2822_RE = (
+    r"^[A-Za-z]{3}, ([0-9]{1,2}) ([A-Za-z]{3}) ([0-9]{4}) "
+    r"([0-9]{2}):([0-9]{2}):([0-9]{2}) (GMT|[+-][0-9]{4})$"
+)
+ISO_SIGNAL_RE = (
+    r"^([0-9]{4})-([0-9]{2})-([0-9]{2})T([0-9]{2}):([0-9]{2}):([0-9]{2})"
+    r"(Z|[+-][0-9]{2}:[0-9]{2})?$"
+)
+RFC2822_MONTHS = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+
+_WATCH_KINDS = 9
+
+
+def wrap_documents_as_watch_observations(documents: DataFrame) -> DataFrame:
+    """Render documents as one watch observation each, cycling through
+    every signal source watch.py normalizes: HTTP Last-Modified in GMT
+    / +HHMM / -HHMM, manifest ISO with Z / +HH:MM / naive, an ANP
+    resource ``Atualizado em`` label, a page-label-only fallback row,
+    and a signal-less row (the warning record). Day ≤ 28 and offset
+    hours ≤ 3 keep every rendered value valid on both engines."""
+    d = (F.col("doc_id") % 28 + 1).cast("string")
+    d2 = F.lpad(d, 2, "0")
+    mon_i = (F.col("doc_id") % 12 + 1).cast("int")
+    mon = F.element_at(F.array(*[F.lit(m) for m in RFC2822_MONTHS]), mon_i)
+    m2 = F.lpad(mon_i.cast("string"), 2, "0")
+    y = (F.col("doc_id") % 6 + 2020).cast("string")
+    hh = F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0")
+    mi = F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0")
+    ss = F.lpad(((F.col("doc_id") * 7) % 60).cast("string"), 2, "0")
+    offh = (F.col("doc_id") % 3 + 1).cast("string")
+    rfc_base = F.concat(
+        F.lit("Tue, "), d, F.lit(" "), mon, F.lit(" "), y,
+        F.lit(" "), hh, F.lit(":"), mi, F.lit(":"), ss,
+    )
+    iso_base = F.concat(
+        y, F.lit("-"), m2, F.lit("-"), d2, F.lit("T"),
+        hh, F.lit(":"), mi, F.lit(":"), ss,
+    )
+    govbr = F.concat(
+        F.lit("Atualizado em "), d, F.lit("/"), mon_i.cast("string"),
+        F.lit("/"), y, F.lit(" "), (F.col("doc_id") % 23).cast("string"),
+        F.lit("h"), mi,
+    )
+    govbr_page = F.concat(
+        F.lit("Atualizado em "), d, F.lit("/"), mon_i.cast("string"),
+        F.lit("/"), y,
+    )
+    kind = (F.col("doc_id") % _WATCH_KINDS).cast("int")
+    return documents.select(
+        "doc_id",
+        F.when(kind == 0, F.concat(rfc_base, F.lit(" GMT")))
+        .when(kind == 1, F.concat(rfc_base, F.lit(" +0"), offh, F.lit("00")))
+        .when(kind == 2, F.concat(rfc_base, F.lit(" -0"), offh, F.lit("00")))
+        .alias("last_modified_header"),
+        F.when(kind == 3, F.concat(iso_base, F.lit("Z")))
+        .when(kind == 4, F.concat(iso_base, F.lit("+0"), offh, F.lit(":00")))
+        .when(kind == 5, iso_base)
+        .alias("profiled_at"),
+        F.when(kind == 6, govbr).alias("resource_updated_label"),
+        F.when(kind.isin(6, 7), govbr_page).alias("page_modified_label"),
+    )
+
+
+def _utc_from_parts(y, mo, dd, hh, mi, ss, tz, *, gmt_token: str):
+    """make_timestamp(wall parts) minus the ±HHMM offset — explicit
+    micros arithmetic (identical on both engines), never a tz lookup."""
+    ts = F.try_make_timestamp(y, mo, dd, hh, mi, ss)
+    off_min = F.when(
+        tz.isNull() | (tz == gmt_token) | (tz == ""), F.lit(0)
+    ).otherwise(
+        F.when(F.substring(tz, 1, 1) == "-", -1).otherwise(1)
+        * (
+            F.substring(tz, 2, 2).cast("int") * 60
+            + F.substring(tz, 5 if gmt_token == "Z" else 4, 2).cast("int")
+        )
+    )
+    return F.timestamp_micros(
+        F.unix_micros(ts) - off_min.cast("long") * 60_000_000
+    )
+
+
+def freshness_watch_signals(documents: DataFrame) -> DataFrame:
+    """Normalize every watch observation into ONE freshness signal with
+    the reference's precedence: HTTP ``Last-Modified`` (RFC-2822 →
+    UTC), else manifest ``profiled_at`` (ISO-8601 → UTC; naive assumed
+    UTC), else the ANP resource ``Atualizado em`` label, else the page
+    modified label (watch.py:118 — resource label wins over page), and
+    a warning row when nothing parses.
+
+    ``source_modified_at`` carries naive UTC for the HTTP/ISO methods
+    (offset arithmetic applied in integer micros) and naive wall-clock
+    for the gov.br labels (the reference tags those with the São Paulo
+    zone as METADATA, not arithmetic — the NTZ convention documented at
+    sources/tables.py).
+
+    Scale: pure Catalyst regex + integer arithmetic over one scan; no
+    UDF, no join, no shuffle except the presentation sort.
+    """
+    obs = wrap_documents_as_watch_observations(documents)
+    hdr = F.col("last_modified_header")
+    rfc = lambda g: F.nullif(F.regexp_extract(hdr, RFC2822_RE, g), F.lit(""))  # noqa: E731
+    rfc_mon = F.array_position(
+        F.array(*[F.lit(m) for m in RFC2822_MONTHS]), rfc(2)
+    ).cast("int")
+    rfc_ts = _utc_from_parts(
+        rfc(3).cast("int"), rfc_mon, rfc(1).cast("int"),
+        rfc(4).cast("int"), rfc(5).cast("int"), rfc(6).cast("int"),
+        rfc(7), gmt_token="GMT",
+    )
+    iso_raw = F.col("profiled_at")
+    iso = lambda g: F.nullif(F.regexp_extract(iso_raw, ISO_SIGNAL_RE, g), F.lit(""))  # noqa: E731
+    iso_ts = _utc_from_parts(
+        iso(1).cast("int"), iso(2).cast("int"), iso(3).cast("int"),
+        iso(4).cast("int"), iso(5).cast("int"), iso(6).cast("int"),
+        iso(7), gmt_token="Z",
+    )
+    res_ts, res_prec = _govbr_signal(F.col("resource_updated_label"))
+    page_ts, page_prec = _govbr_signal(F.col("page_modified_label"))
+    method = (
+        F.when(rfc_ts.isNotNull(), F.lit("http_last_modified"))
+        .when(iso_ts.isNotNull(), F.lit("manifest_profiled_at"))
+        .when(res_ts.isNotNull(), F.lit("anp_resource_updated_label"))
+        .when(page_ts.isNotNull(), F.lit("anp_page_modified_label"))
+    )
+    signal = F.coalesce(rfc_ts, iso_ts, res_ts, page_ts)
+    precision = (
+        F.when(rfc_ts.isNotNull() | iso_ts.isNotNull(), F.lit("datetime"))
+        .when(res_ts.isNotNull(), res_prec)
+        .when(page_ts.isNotNull(), page_prec)
+    )
+    raw = F.coalesce(
+        hdr, iso_raw, F.col("resource_updated_label"),
+        F.col("page_modified_label"),
+    )
+    return obs.select(
+        "doc_id",
+        method.alias("method"),
+        signal.alias("source_modified_at"),
+        precision.alias("precision"),
+        raw.alias("raw_label"),
+        F.when(signal.isNull(), F.lit("no freshness signal"))
+        .otherwise(F.lit(""))
+        .alias("warning"),
+    ).orderBy("doc_id")

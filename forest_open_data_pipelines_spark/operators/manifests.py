@@ -258,3 +258,108 @@ def catalog_cards(documents: DataFrame) -> DataFrame:
         F.length(excerpt_pt).alias("excerpt_chars"),
         (F.length(card_clean(pt)) > MAX_REPORT_EXCERPT_CHARS).alias("was_truncated"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Strict meta envelope (build_manifest.py:24-75 twin)
+# ---------------------------------------------------------------------------
+
+# build_manifest.py:11-17 _STRICT_META_KEYS: known keys stay top-level,
+# everything else collapses into meta.custom_tags; a legacy
+# file-descriptor meta (kind: meta|metadata + filename) promotes into
+# metadata_file; metadata_file itself backfills source_url from
+# public_url and DROPS public_url/storage_path (the url-only contract,
+# tests/test_url_only_contract.py).
+_META_KINDS = 6
+
+
+def wrap_documents_as_manifest_meta(documents: DataFrame) -> DataFrame:
+    """Render documents as one manifest ``meta`` argument each, cycling
+    the shapes _normalize_meta tolerates: strict envelope, legacy
+    file-descriptor meta, unknown keys, metadata_file carrying legacy
+    storage URLs, None, and existing custom_tags merged with more
+    unknown keys."""
+    i = F.col("doc_id").cast("string")
+    kind = (F.col("doc_id") % _META_KINDS).cast("int")
+    return documents.select(
+        "doc_id",
+        kind.alias("kind"),
+        F.when(kind.isin(0, 2), F.lit("ANP")).alias("in_agency"),
+        F.when(kind == 0, F.concat(F.lit("notes "), i)).alias("in_notes"),
+        F.when(kind.isin(1, 3), F.concat(F.lit("meta_"), i, F.lit(".txt"))).alias(
+            "in_md_filename"
+        ),
+        F.when(
+            kind.isin(1, 3), F.concat(F.lit("https://storage.example/m/"), i)
+        ).alias("in_md_public_url"),
+        F.when(kind.isin(1, 3), F.concat(F.lit("bucket/meta/"), i)).alias(
+            "in_md_storage_path"
+        ),
+        F.when(kind == 2, F.concat(F.lit("team-"), i)).alias("in_owner"),
+        F.when(kind == 5, F.lit("1")).alias("in_tag_a"),
+        F.when(kind == 5, F.lit("2")).alias("in_extra_b"),
+    )
+
+
+def manifest_meta_envelope(documents: DataFrame) -> DataFrame:
+    """Normalize every manifest ``meta`` into the strict envelope:
+    known keys stay top-level, unknown keys collapse into
+    ``custom_tags`` (rendered canonically as sorted ``k=v`` joined by
+    '; '), a legacy file-descriptor meta promotes into
+    ``metadata_file``, and metadata_file's ``source_url`` backfills
+    from ``public_url`` with the legacy ``public_url``/``storage_path``
+    DROPPED — ``dropped_legacy_urls`` counts the scrubbed fields so a
+    url-only audit can sum it.
+
+    Reference: manifests/build_manifest.py:24-75 (``_normalize_meta``,
+    ``_normalize_metadata_file``) and tests/test_url_only_contract.py
+    (the manifest must never republish storage URLs).
+
+    Scale: pure Catalyst CASE expressions over one scan — the
+    reference normalizes python dicts in a driver loop; here the same
+    envelope is a projection.
+    """
+    m = wrap_documents_as_manifest_meta(documents)
+    kind = F.col("kind")
+    promoted = kind.isin(1)  # legacy descriptor meta → metadata_file
+    has_md = kind.isin(1, 3)
+    dropped = F.when(
+        has_md,
+        F.when(F.col("in_md_public_url").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("in_md_storage_path").isNotNull(), 1).otherwise(0),
+    ).otherwise(F.lit(0))
+    tags = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.array(
+                    F.when(
+                        F.col("in_owner").isNotNull(),
+                        F.concat(F.lit("owner="), F.col("in_owner")),
+                    ),
+                    F.when(
+                        F.col("in_tag_a").isNotNull(),
+                        F.concat(F.lit("a="), F.col("in_tag_a")),
+                    ),
+                    F.when(
+                        F.col("in_extra_b").isNotNull(),
+                        F.concat(F.lit("b="), F.col("in_extra_b")),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ),
+        "; ",
+    )
+    return m.select(
+        "doc_id",
+        F.col("in_agency").alias("source_agency"),
+        F.col("in_notes").alias("notes"),
+        F.when(has_md, F.col("in_md_filename")).alias("metadata_file_filename"),
+        # source_url backfills from public_url; the legacy fields drop
+        F.when(has_md, F.col("in_md_public_url")).alias(
+            "metadata_file_source_url"
+        ),
+        tags.alias("custom_tags"),
+        promoted.alias("promoted_legacy_descriptor"),
+        dropped.cast("int").alias("dropped_legacy_urls"),
+    ).orderBy("doc_id")

@@ -203,6 +203,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_sole_latest_shipper": lambda s, d: relational.q21_sole_latest_shipper(
         *_t(s, d, "lineitem", "orders", "supplier")
     ),
+    "freshness_watch_signals": lambda s, d: freshness.freshness_watch_signals(
+        load_table(s, d, "documents")
+    ),
+    "manifest_meta_envelope": lambda s, d: manifests.manifest_meta_envelope(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.

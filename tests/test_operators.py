@@ -3592,3 +3592,81 @@ def test_charlm_perplexity_orders_gibberish_last(spark):
     # this planted corpus), every normal doc passes
     assert not gib.passes_charlm
     assert all(out[i].passes_charlm for i in range(30))
+
+
+def test_freshness_watch_signal_normalization(spark):
+    """watch.py parity fixed points: RFC-2822 offsets apply as pure
+    micros arithmetic (+0200 → −2h, −0300 → +3h), naive ISO is assumed
+    UTC, the resource label beats the page label when both exist
+    (kind 6), page-only rows fall back with 'date'/'datetime' per the
+    HhMM part, and signal-less rows carry the warning."""
+    from datetime import datetime, timedelta
+
+    from forest_open_data_pipelines_spark.operators.freshness import (
+        freshness_watch_signals,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = {r.doc_id: r for r in freshness_watch_signals(docs).collect()}
+
+    def parts(i):
+        return dict(
+            d=i % 28 + 1, mo=i % 12 + 1, y=i % 6 + 2020,
+            hh=i % 24, mi=i % 60, ss=(i * 7) % 60, off=i % 3 + 1,
+        )
+
+    for i, r in rows.items():
+        k, p = i % 9, parts(i)
+        if k == 8:
+            assert r.method is None and r.source_modified_at is None
+            assert r.warning == "no freshness signal"
+            continue
+        assert r.warning == ""
+        base = datetime(p["y"], p["mo"], p["d"], p["hh"], p["mi"], p["ss"])
+        if k in (0, 3, 5):
+            assert r.source_modified_at == base, i
+        elif k in (1, 4):  # +0N00 / +0N:00 → subtract
+            assert r.source_modified_at == base - timedelta(hours=p["off"]), i
+        elif k == 2:  # -0N00 → add
+            assert r.source_modified_at == base + timedelta(hours=p["off"]), i
+        if k <= 2:
+            assert r.method == "http_last_modified"
+        elif k <= 5:
+            assert r.method == "manifest_profiled_at"
+        elif k == 6:  # resource label present AND page label present
+            assert r.method == "anp_resource_updated_label"
+            assert r.precision == "datetime"
+        elif k == 7:  # page fallback, date precision
+            assert r.method == "anp_page_modified_label"
+            assert r.precision == "date"
+
+
+def test_manifest_meta_envelope_contract(spark):
+    """build_manifest._normalize_meta parity: the legacy descriptor
+    meta promotes into metadata_file and scrubs BOTH legacy url fields
+    (url-only contract); unknown keys collapse into sorted custom_tags;
+    the strict envelope passes through untouched."""
+    from forest_open_data_pipelines_spark.operators.manifests import (
+        manifest_meta_envelope,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = {r.doc_id: r for r in manifest_meta_envelope(docs).collect()}
+    for i, r in rows.items():
+        k = i % 6
+        assert r.promoted_legacy_descriptor == (k == 1), i
+        assert r.dropped_legacy_urls == (2 if k in (1, 3) else 0), i
+        if k in (1, 3):
+            assert r.metadata_file_filename == f"meta_{i}.txt"
+            # source_url backfilled FROM public_url, which is dropped
+            assert r.metadata_file_source_url == f"https://storage.example/m/{i}"
+        else:
+            assert r.metadata_file_filename is None
+        if k == 2:
+            assert r.custom_tags == f"owner=team-{i}"
+        elif k == 5:
+            assert r.custom_tags == "a=1; b=2"  # merged, sorted
+        else:
+            assert r.custom_tags == ""
+        if k == 0:
+            assert r.source_agency == "ANP" and r.notes == f"notes {i}"
