@@ -4260,6 +4260,39 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "mensal_links": _mensal_links_sql(),
         "govbr_freshness_labels": _govbr_freshness_sql(),
         "freshness_watch_signals": _freshness_watch_signals_sql(),
+        # routing: argmax over integer micro-cosines (0-dp round — the
+        # boundary-safe class), lowest query_id on ties, exactly the
+        # strict-> chain route_score_cols folds
+        "route_nearest_query": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS q_norm
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS c_emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS c_norm
+  FROM embeddings WHERE vec_id >= 8
+),
+scored AS (
+  SELECT c.vec_id, q.query_id,
+         round(list_dot_product(c.c_emb, q.q_emb)
+               / (c.c_norm * q.q_norm) * 1000000.0, 0)::BIGINT AS cm
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cm DESC, query_id) AS rnk
+  FROM scored
+)
+SELECT s.vec_id,
+       max(CASE WHEN rnk = 1 THEN query_id END)::INT AS best_query_id,
+       max(CASE WHEN rnk = 1 THEN cm END) / 1000000.0 AS best_cosine,
+       sum(CASE WHEN cm >= 150000 THEN 1 ELSE 0 END)::INT
+         AS n_above_threshold
+FROM ranked s GROUP BY s.vec_id ORDER BY s.vec_id""",
         "dedup_ngram_ppjoin": _ngram_exact_sql(),
         "dedup_clusters": _clusters_sql(),
         "quality_repetition": _quality_repetition_sql(),

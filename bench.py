@@ -149,6 +149,7 @@ HEADLINE = [
     "q21_sole_latest_shipper",
     "freshness_watch_signals",
     "manifest_meta_envelope",
+    "route_nearest_query",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

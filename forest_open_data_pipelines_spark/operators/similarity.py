@@ -1134,3 +1134,97 @@ def ann_method_eval(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("method")
+
+
+# ── Nearest-query routing (the stream-safe ANN scoring shape) ────────────────
+
+ROUTE_THRESHOLD_MICRO = 150_000  # 0.15 at 6 dp, exact integer compare
+
+
+def collect_route_queries(
+    embeddings: DataFrame, n_queries: int = 8
+) -> list[tuple[int, list[float], float]]:
+    """(query_id, embedding, norm) for the frozen routing set — a
+    BOUNDED collect (n_queries rows, the IVF-centroid pattern); norms
+    fold sequentially in Python exactly like the Catalyst ``_norm``
+    fold so scoring is bit-identical wherever the division happens."""
+    rows = sorted(
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    out = []
+    for r in rows:
+        q = [float(x) for x in r.embedding]
+        nsq = 0.0
+        for x in q:
+            nsq += x * x
+        out.append((int(r.vec_id), q, nsq**0.5))
+    return out
+
+
+def route_score_cols(
+    queries: list[tuple[int, list[float], float]],
+    emb: Column,
+    threshold_micro: int = ROUTE_THRESHOLD_MICRO,
+) -> tuple[Column, Column, Column]:
+    """(best_query_id, best_cos_micro, n_above) as pure per-row
+    expressions over a literal query table — NO join, NO state: the
+    shape a streaming router needs (lang_id_ngram's joinless-scoring
+    precedent; the bounded expression tree holds for ≤ ~32 queries,
+    past that the broadcast-join fallback applies).
+
+    Ties break to the LOWEST query_id via strict-> chaining; the
+    argmax compares integer micro-cosines (embedding_label_stats'
+    micro-unit convention) so rank order cannot drift between engines.
+    """
+    norm = _norm(emb)
+    cos_micro = []
+    for _, q, qn in queries:
+        dot = _dot(emb, F.array(*[F.lit(x) for x in q]))
+        cos_micro.append(
+            F.round(dot / (norm * F.lit(qn)) * 1e6, 0).cast("long")
+        )
+    best_id = F.lit(queries[0][0])
+    best_cm = cos_micro[0]
+    for (qid, _, _), cm in zip(queries[1:], cos_micro[1:]):
+        is_better = cm > best_cm
+        best_id = F.when(is_better, F.lit(qid)).otherwise(best_id)
+        best_cm = F.when(is_better, cm).otherwise(best_cm)
+    n_above = sum(
+        (cm >= F.lit(threshold_micro)).cast("int") for cm in cos_micro
+    )
+    return best_id, best_cm, n_above
+
+
+def route_nearest_query(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    threshold_micro: int = ROUTE_THRESHOLD_MICRO,
+) -> DataFrame:
+    """Route every non-query vector to its nearest frozen query: the
+    batch twin of the streaming ANN router (score incoming embeddings
+    against a fixed set of centroids/queries and tag matches above a
+    threshold — the production 'which known cluster does this new
+    document belong to' shape).
+
+    Scale: the query set is index METADATA (bounded collect); scoring
+    is a single-scan pure projection — no join, no shuffle except the
+    presentation sort, and the identical expressions serve the
+    Structured Streaming twin (streaming/ann_route.py) with zero
+    state.
+    """
+    queries = collect_route_queries(embeddings, n_queries)
+    best_id, best_cm, n_above = route_score_cols(queries, F.col("embedding"))
+    return (
+        spread(embeddings)
+        .where(F.col("vec_id") >= n_queries)
+        .select(
+            "vec_id",
+            best_id.alias("best_query_id"),
+            (best_cm.cast("double") / 1e6).alias("best_cosine"),
+            n_above.alias("n_above_threshold"),
+        )
+        .orderBy("vec_id")
+    )

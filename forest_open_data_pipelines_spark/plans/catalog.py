@@ -209,6 +209,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "manifest_meta_envelope": lambda s, d: manifests.manifest_meta_envelope(
         load_table(s, d, "documents")
     ),
+    "route_nearest_query": lambda s, d: similarity.route_nearest_query(
+        load_table(s, d, "embeddings")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.

@@ -535,3 +535,14 @@ def test_q21_windows_reuse_aggregate_exchange(spark):
     assert n_lokey_exchanges <= 3  # join sides + the (okey, supp) agg
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_route_nearest_query_joinless_single_scan(spark):
+    """Routing-shape guard: the frozen query set is literal metadata
+    (bounded collect), so serving is ONE scan with pure per-row folds —
+    no join, no wide shuffle, no Python eval (the lang_id_ngram
+    joinless-scoring contract)."""
+    plan = _plan(spark, "route_nearest_query")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1064,3 +1064,51 @@ def test_fenced_json_stream_matches_batch(spark, tmp_path):
     finally:
         q2.stop()
     assert ok_ids == {i for i, (s, _, _) in batch.items() if s == "ok"}
+
+
+def test_ann_route_stream_matches_batch(spark, tmp_path):
+    """The routing projection is stateless over a frozen query set, so
+    streamed emissions for non-query vectors must equal the batch
+    route_nearest_query rows exactly; query-set members pass through
+    flagged is_query_vector instead of being dropped."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        collect_route_queries,
+        route_nearest_query,
+    )
+    from forest_open_data_pipelines_spark.streaming.ann_route import (
+        ann_route_stream,
+    )
+
+    src = tmp_path / "ann_route_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/embeddings.parquet", src / "batch1.parquet")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = collect_route_queries(emb)
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        ann_route_stream(stream, queries)
+        .writeStream.format("memory")
+        .queryName("ann_route_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ann_route"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM ann_route_test").collect()
+    finally:
+        query.stop()
+    routed = [r for r in emitted if not r["is_query_vector"]]
+    assert len(routed) == len(emitted) - len(queries)
+    batch = route_nearest_query(emb).collect()
+    key = lambda r: (
+        r["vec_id"], r["best_query_id"], r["best_cosine"], r["n_above_threshold"]
+    )
+    assert sorted(map(key, routed)) == sorted(map(key, batch))
+    assert routed, "router emitted nothing"
