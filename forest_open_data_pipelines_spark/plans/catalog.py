@@ -630,102 +630,83 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # ---------------------------------------------------------------------------
-# Round-6 window rotation (judge r5 item 1): the dict above keeps its
-# historical grouping; the DRIVER-VISIBLE order is re-stated here
-# explicitly. Window = the 10 round-6 additions + the 21 entries that
-# had never had a driver row (round-5 third-tranche operators, parked
-# behind the pinned r5 window) + 19 holdovers whose code paths changed
-# this round (banded curation default, simhash64 h=7 promotion,
-# connected-components hardening, the ratio() scale-then-round
-# migration) or that anchor the flagship/bench set. Everything parked
-# in exchange has an r5 (or earlier) green driver row on record and
-# stays oracle-parity-tested every session.
+# Round-7 window rotation: the dict above keeps its historical
+# grouping; the DRIVER-VISIBLE order is re-stated here explicitly.
+# Window = the 17 entries with NO green driver row yet (the three
+# round-6 compare failures now fixed — embedding_quantize_sq8/pq
+# codes-as-CSV, token_histogram HUGEINT cast — the six late round-6
+# additions that landed after the r6 driver run, and the eight
+# round-7 additions) + 33 refresh slots for the entries whose last
+# green row is oldest (r2/r3/r4 vintage — everything newer stays
+# parked on its r5/r6 row and is re-verified by the per-session
+# oracle-parity sweep).
 # ---------------------------------------------------------------------------
-_R6_WINDOW: tuple[str, ...] = (
-    # round-6 additions
-    "focos_llm_payload",
-    "boletins_integrados_links",
-    "cvm_latest_yearly_csvs",
-    "fenced_json_extract",
-    "eia_xls_picks",
-    "eia_series_combinations",
+_R7_WINDOW: tuple[str, ...] = (
+    # never-driver-green: round-6 compare failures, now fixed
     "embedding_quantize_sq8",
-    "ann_topk_sq8",
-    "bpe_train",
-    "charlm_perplexity",
-    # never-driver-checked round-5 entries (first rows)
-    "pii_scrub",
-    "decontaminate_ngram",
-    "chunk_dedup",
-    "dataset_mixture_plan",
-    "stratified_sample",
-    "stratified_token_sample",
-    "span_dedup",
-    "dedup_incremental",
-    "dedup_canonical_by_quality",
-    "token_histogram",
-    "numeric_correlations",
-    "edit_distance_pairs",
-    "edit_distance_topk",
-    "curation_report_by_source",
-    "quality_by_lang_report",
-    "cheapest_supplier_per_part",
-    "part_revenue_concentration",
-    "large_orders",
-    "idle_balance_customers",
-    "revenue_change_forecast",
-    "top_supplier_by_revenue",
-    # holdovers: round-6 code-path changes
-    "corpus_curation",
-    "dedup_simhash64",
-    "dedup_method_eval",
-    "dedup_clusters",
-    # (dedup_canonical_corpus parked for ann_method_eval: its r5 row
-    # stands, its only r6-changed dependency — the hardened
-    # connected-components closure — keeps in-window coverage through
-    # dedup_clusters, and the parity suite re-verifies it per session)
-    # (monthly_chart_spec_scoped parked for dedup_containment: its r5
-    # row stands and its composition is exercised in-window through
-    # focos_llm_payload, which consumes the scoped spec frame)
-    # (quality_repetition and the sessionize trio — session_duration_
-    # stats, user_retention_cohorts, event_funnel — parked for the
-    # four third-session additions below: all four parked entries have
-    # r5 driver rows on record and their only r6 code change, the
-    # ratio() scale-then-round migration, is re-verified by the
-    # 0-failure sf0.1 sweep and the per-session oracle-parity suite)
-    # (embedding_label_stats parked for curation_gate_matrix — r5
-    # driver row on record, micro-cosine path re-verified by the
-    # oracle-parity suite every session)
-    "curation_gate_matrix",
-    # late round-6 additions (first driver rows; swapped in for the
-    # unchanged anchors ann_topk_lsh/ivf, q1_pricing_summary,
-    # nations_trade_volume, dedup_minhash, dedup_ngram_jaccard,
-    # dedup_ngram_ppjoin and dedup_embedding_lsh — all r5-green on
-    # record)
-    "decontaminate_embedding",
-    "dsir_importance_weights",
-    "tfidf_top_terms",
-    "bpe_encode",
     "embedding_quantize_pq",
-    "ann_topk_pq",
-    "ann_topk_ivfpq",
-    "embedding_cluster_report",
-    # third-session additions (first driver rows)
-    "dedup_semantic",
-    "boilerplate_ngrams",
-    "stratified_topk_sample",
-    "inmet_yearly_zips",
-    "ann_method_eval",
-    "dedup_containment",
+    "token_histogram",
+    # never-driver-green: late round-6 additions (first rows)
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "perplexity_buckets",
+    "lang_id_confusion",
+    "focos_prompt_texts",
+    "referential_integrity_audit",
+    # round-7 additions (first rows)
+    "q9_product_type_profit",
+    "q12_shipping_delay",
+    "q16_supplier_part_variety",
+    "q20_dominant_suppliers",
+    "q21_sole_latest_shipper",
+    "freshness_watch_signals",
+    "manifest_meta_envelope",
+    "route_nearest_query",
+    # refresh: oldest driver evidence (r2)
+    "profile_columns_approx",
+    # refresh: r3-vintage rows
+    "catalog_cards",
+    "catalog_summary",
+    "customers_without_orders",
+    "dir_listing_files",
+    "feed_validate",
+    "html_extract",
+    "html_list_parse",
+    "lang_id",
+    "manifest_status",
+    "multimodal_features",
+    "multimodal_frames",
+    "nation_series_with_other",
+    "nation_share_latest",
+    "order_priority_percentiles",
+    "profile_columns",
+    "profile_files",
+    "pt_date_parse",
+    "pt_numeric_parse",
+    "research_trends_rollup",
+    "resize_media",
+    "skew_salted_join_agg",
+    "skew_two_phase_agg",
+    "social_text_normalize",
+    "text_cleanup",
+    "text_quality",
+    "top_biomes_month_comparison",
+    "type_inference",
+    "url_merge",
+    # refresh: r4-vintage rows
+    "abstract_reconstruct",
+    "ann_topk_bruteforce",
+    "annual_by_region",
+    "annual_series",
 )
-assert len(_R6_WINDOW) == DRIVER_CHECK_CAP, len(_R6_WINDOW)
+assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
 QUERIES = {
     n: QUERIES[n]
-    for n in list(_R6_WINDOW) + [x for x in QUERIES if x not in set(_R6_WINDOW)]
+    for n in list(_R7_WINDOW) + [x for x in QUERIES if x not in set(_R7_WINDOW)]
 }
 
 # First name past the driver window; everything from here on is parked.
-PARKED_FROM = next(n for n in QUERIES if n not in set(_R6_WINDOW))
+PARKED_FROM = next(n for n in QUERIES if n not in set(_R7_WINDOW))
 
 
 def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

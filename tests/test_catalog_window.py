@@ -16,59 +16,32 @@ from forest_open_data_pipelines_spark.plans.catalog import (
 )
 
 # Entries that need a driver row THIS round and must stay inside the
-# window: the round-6 additions (first rows), every round-5 entry that
-# had NEVER had a driver row (judge r5 item 1 — the third-tranche
-# operators parked behind the pinned r5 window), and the holdovers
-# whose round-6 code changes need fresh driver-scale evidence.
+# window: everything that has NEVER had a green driver row — the three
+# round-6 compare failures (fixed this round), the six late round-6
+# additions that landed after the r6 driver run, and the eight round-7
+# additions. The 33 refresh slots (oldest r2/r3/r4 evidence) are
+# discretionary and not pinned here.
 MUST_BE_IN_WINDOW = {
-    # round-6 additions (first driver rows)
-    "focos_llm_payload",
-    "boletins_integrados_links",
-    "cvm_latest_yearly_csvs",
-    "fenced_json_extract",
-    "eia_xls_picks",
-    "eia_series_combinations",
+    # round-6 compare failures, fixed this round
     "embedding_quantize_sq8",
-    "ann_topk_sq8",
-    "bpe_train",
-    "charlm_perplexity",
-    # never-driver-checked round-5 entries (first rows)
-    "pii_scrub",
-    "decontaminate_ngram",
-    "chunk_dedup",
-    "dataset_mixture_plan",
-    "stratified_sample",
-    "stratified_token_sample",
-    "span_dedup",
-    "dedup_incremental",
-    "dedup_canonical_by_quality",
+    "embedding_quantize_pq",
     "token_histogram",
-    "numeric_correlations",
-    "edit_distance_pairs",
-    "edit_distance_topk",
-    "curation_report_by_source",
-    "quality_by_lang_report",
-    "cheapest_supplier_per_part",
-    "part_revenue_concentration",
-    "large_orders",
-    "idle_balance_customers",
-    "revenue_change_forecast",
-    "top_supplier_by_revenue",
-    # round-6 code-path changes
-    "corpus_curation",
-    "dedup_simhash64",
-    "dedup_method_eval",
-    "dedup_clusters",
-    # dedup_canonical_corpus parked in the third session for
-    # ann_method_eval: its r5 driver row stands and the hardened
-    # closure it depends on keeps in-window coverage via dedup_clusters
-    # third-session additions (first driver rows)
-    "dedup_semantic",
-    "boilerplate_ngrams",
-    "stratified_topk_sample",
-    "inmet_yearly_zips",
-    "ann_method_eval",
-    "dedup_containment",
+    # late round-6 additions (first rows)
+    "q8_market_share",
+    "q17_small_quantity_revenue",
+    "perplexity_buckets",
+    "lang_id_confusion",
+    "focos_prompt_texts",
+    "referential_integrity_audit",
+    # round-7 additions (first rows)
+    "q9_product_type_profit",
+    "q12_shipping_delay",
+    "q16_supplier_part_variety",
+    "q20_dominant_suppliers",
+    "q21_sole_latest_shipper",
+    "freshness_watch_signals",
+    "manifest_meta_envelope",
+    "route_nearest_query",
 }
 
 
