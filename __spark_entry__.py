@@ -5073,6 +5073,66 @@ SELECT c.doc_id, c.cluster_id, c.cluster_size, q.quality_score,
          ORDER BY q.quality_score DESC, c.doc_id) = 1 AS is_kept
 FROM c JOIN q ON c.doc_id = q.doc_id
 ORDER BY c.doc_id"""
+    # content-addressed media identity: both engines hash the SAME
+    # utf-8 payload bytes, so the digests must agree character-for-
+    # character (spark sha2 and duckdb sha256 both emit lowercase hex)
+    out["multimodal_dedup"] = """
+WITH media AS (
+  SELECT doc_id AS media_id, sha256(text) AS sha256,
+         octet_length(encode(text))::BIGINT AS payload_bytes
+  FROM documents
+),
+groups AS (
+  SELECT sha256, min(media_id) AS canonical_id,
+         count(*)::BIGINT AS n_copies
+  FROM media GROUP BY sha256
+)
+SELECT media_id, m.sha256, payload_bytes, canonical_id, n_copies,
+       (media_id = canonical_id) AS is_canonical
+FROM media m JOIN groups USING (sha256) ORDER BY media_id"""
+    # novelty: first-occurrence ownership reduces the gram table —
+    # identical construction to the Spark plan, stated over SHINGLES
+    out["ngram_novelty"] = f"""
+WITH {SHINGLES},
+pairs AS (SELECT doc_id, unnest(shingles) AS s FROM shingled),
+grams AS (SELECT s, min(doc_id) AS first_doc FROM pairs GROUP BY s),
+novel AS (
+  SELECT first_doc AS doc_id, count(*)::BIGINT AS n_novel_ngrams
+  FROM grams GROUP BY first_doc
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_distinct_ngrams
+  FROM pairs GROUP BY doc_id
+)
+SELECT p.doc_id, p.n_distinct_ngrams,
+       coalesce(n.n_novel_ngrams, 0)::BIGINT AS n_novel_ngrams,
+       round(coalesce(n.n_novel_ngrams, 0)::DOUBLE / p.n_distinct_ngrams, 6)
+         AS novelty_share
+FROM per_doc p LEFT JOIN novel n USING (doc_id) ORDER BY p.doc_id"""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        VOCAB_GROWTH_BUCKET,
+    )
+
+    out["vocab_growth"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split({LCLEAN}, ' '))) AS tok
+  FROM documents
+),
+first AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks WHERE tok != ''
+  GROUP BY tok
+),
+per_bucket AS (
+  SELECT (first_doc // {VOCAB_GROWTH_BUCKET}) * {VOCAB_GROWTH_BUCKET}
+           AS bucket_start,
+         count(*)::BIGINT AS new_tokens
+  FROM first GROUP BY 1
+)
+SELECT bucket_start, new_tokens,
+       sum(new_tokens) OVER (ORDER BY bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS cumulative_vocab
+FROM per_bucket ORDER BY bucket_start"""
     out["token_histogram"] = f"""
 WITH b AS (
   SELECT floor(log2(len(string_split({LCLEAN}, ' '))))::INT AS bucket_exp,

@@ -150,6 +150,9 @@ HEADLINE = [
     "freshness_watch_signals",
     "manifest_meta_envelope",
     "route_nearest_query",
+    "ngram_novelty",
+    "vocab_growth",
+    "multimodal_dedup",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

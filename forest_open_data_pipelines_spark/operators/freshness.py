@@ -340,13 +340,18 @@ def _utc_from_parts(y, mo, dd, hh, mi, ss, tz, *, gmt_token: str):
     )
 
 
-def freshness_watch_signals(documents: DataFrame) -> DataFrame:
+def freshness_watch_signals(
+    documents: DataFrame, sorted_output: bool = True
+) -> DataFrame:
     """Normalize every watch observation into ONE freshness signal with
     the reference's precedence: HTTP ``Last-Modified`` (RFC-2822 →
     UTC), else manifest ``profiled_at`` (ISO-8601 → UTC; naive assumed
     UTC), else the ANP resource ``Atualizado em`` label, else the page
     modified label (watch.py:118 — resource label wins over page), and
-    a warning row when nothing parses.
+    a warning row when nothing parses. ``sorted_output=False`` drops
+    the presentation sort — the whole derivation is a stateless
+    projection, which is what lets ``streaming/watch.py`` run it
+    verbatim on an unbounded observation stream.
 
     ``source_modified_at`` carries naive UTC for the HTTP/ISO methods
     (offset arithmetic applied in integer micros) and naive wall-clock
@@ -393,7 +398,7 @@ def freshness_watch_signals(documents: DataFrame) -> DataFrame:
         hdr, iso_raw, F.col("resource_updated_label"),
         F.col("page_modified_label"),
     )
-    return obs.select(
+    out = obs.select(
         "doc_id",
         method.alias("method"),
         signal.alias("source_modified_at"),
@@ -402,4 +407,5 @@ def freshness_watch_signals(documents: DataFrame) -> DataFrame:
         F.when(signal.isNull(), F.lit("no freshness signal"))
         .otherwise(F.lit(""))
         .alias("warning"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if sorted_output else out

@@ -309,3 +309,44 @@ def multimodal_frames(documents: DataFrame) -> DataFrame:
     """End-to-end frame-sampling query: documents → media → sampled
     frames (1→N inside Arrow batches)."""
     return sample_frames(as_media_table(documents)).orderBy("media_id", "frame_index")
+
+
+def multimodal_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup over the binary media column: sha2-256 of the raw
+    payload bytes (the content-addressed identity a 100 TB media lake
+    keys its object store on), canonical = lowest media_id per digest,
+    copy count carried on every row.
+
+    The first multimodal entry with a full value-level oracle: the
+    digest is computed FROM THE BYTES on both engines (Spark hashes
+    the binary column; DuckDB hashes the identical utf-8 payload), so
+    the whole decode-free identity path is hash-checked, not just
+    row-counted.
+
+    Scale: one scan + one digest-keyed aggregate (map-side combine)
+    joined back on the digest — same shape as dedup_exact; payloads
+    never shuffle (only the 64-hex digest + id do after the projection).
+    """
+    media = as_media_table(documents).select(
+        "media_id",
+        F.sha2("payload", 256).alias("sha256"),
+        # true octet length of the payload, not the declared n_chars —
+        # the two diverge the moment a multi-byte char appears
+        F.length("payload").cast("long").alias("payload_bytes"),
+    )
+    groups = media.groupBy(F.col("sha256").alias("g_sha")).agg(
+        F.min("media_id").alias("canonical_id"),
+        F.count("*").alias("n_copies"),
+    )
+    return (
+        media.join(groups, F.col("sha256") == F.col("g_sha"))
+        .select(
+            "media_id",
+            "sha256",
+            "payload_bytes",
+            "canonical_id",
+            "n_copies",
+            (F.col("media_id") == F.col("canonical_id")).alias("is_canonical"),
+        )
+        .orderBy("media_id")
+    )

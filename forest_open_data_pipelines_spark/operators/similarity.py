@@ -1164,37 +1164,52 @@ def collect_route_queries(
     return out
 
 
-def route_score_cols(
+def route_scores_array(
+    queries: list[tuple[int, list[float], float]], emb: Column
+) -> Column:
+    """array<long> of integer micro-cosines against every frozen query
+    (ordered by query_id) — pure per-row folds over literal vectors,
+    NO join, NO state: the shape a streaming router needs
+    (lang_id_ngram's joinless-scoring precedent; the bounded
+    expression tree holds for ≤ ~32 queries, past that the
+    broadcast-join fallback applies). Micro-units are
+    embedding_label_stats' convention so rank order cannot drift
+    between engines."""
+    norm = _norm(emb)
+    return F.array(
+        *[
+            F.round(
+                _dot(emb, F.array(*[F.lit(x) for x in q]))
+                / (norm * F.lit(qn))
+                * 1e6,
+                0,
+            ).cast("long")
+            for _, q, qn in queries
+        ]
+    )
+
+
+def route_cols_from_scores(
     queries: list[tuple[int, list[float], float]],
-    emb: Column,
+    cms: Column,
     threshold_micro: int = ROUTE_THRESHOLD_MICRO,
 ) -> tuple[Column, Column, Column]:
-    """(best_query_id, best_cos_micro, n_above) as pure per-row
-    expressions over a literal query table — NO join, NO state: the
-    shape a streaming router needs (lang_id_ngram's joinless-scoring
-    precedent; the bounded expression tree holds for ≤ ~32 queries,
-    past that the broadcast-join fallback applies).
+    """(best_query_id, best_cos_micro, n_above) over an ALREADY
+    MATERIALIZED micro-cosine array column. The two-step split is
+    load-bearing (the ckan/shingle_table lesson): referencing each
+    fold from the argmax chain, the max, and the threshold count would
+    re-inline the 64-step dot fold ~3× per query; with the array
+    behind its own projection the folds evaluate once per row
+    (measured 2.1 s → interpreted-fold-free at sf0.1).
 
-    Ties break to the LOWEST query_id via strict-> chaining; the
-    argmax compares integer micro-cosines (embedding_label_stats'
-    micro-unit convention) so rank order cannot drift between engines.
-    """
-    norm = _norm(emb)
-    cos_micro = []
-    for _, q, qn in queries:
-        dot = _dot(emb, F.array(*[F.lit(x) for x in q]))
-        cos_micro.append(
-            F.round(dot / (norm * F.lit(qn)) * 1e6, 0).cast("long")
-        )
-    best_id = F.lit(queries[0][0])
-    best_cm = cos_micro[0]
-    for (qid, _, _), cm in zip(queries[1:], cos_micro[1:]):
-        is_better = cm > best_cm
-        best_id = F.when(is_better, F.lit(qid)).otherwise(best_id)
-        best_cm = F.when(is_better, cm).otherwise(best_cm)
-    n_above = sum(
-        (cm >= F.lit(threshold_micro)).cast("int") for cm in cos_micro
+    ``array_position(cms, array_max(cms))`` is FIRST-of-max = lowest
+    query_id, since the array is query_id-ordered."""
+    pos = F.array_position(cms, F.array_max(cms))
+    best_id = F.element_at(
+        F.array(*[F.lit(qid) for qid, _, _ in queries]), pos.cast("int")
     )
+    best_cm = F.array_max(cms)
+    n_above = F.size(F.filter(cms, lambda c: c >= F.lit(threshold_micro)))
     return best_id, best_cm, n_above
 
 
@@ -1216,15 +1231,20 @@ def route_nearest_query(
     state.
     """
     queries = collect_route_queries(embeddings, n_queries)
-    best_id, best_cm, n_above = route_score_cols(queries, F.col("embedding"))
-    return (
+    best_id, best_cm, n_above = route_cols_from_scores(
+        queries, F.col("cms"), threshold_micro
+    )
+    scored = (
         spread(embeddings)
         .where(F.col("vec_id") >= n_queries)
         .select(
             "vec_id",
-            best_id.alias("best_query_id"),
-            (best_cm.cast("double") / 1e6).alias("best_cosine"),
-            n_above.alias("n_above_threshold"),
+            route_scores_array(queries, F.col("embedding")).alias("cms"),
         )
-        .orderBy("vec_id")
     )
+    return scored.select(
+        "vec_id",
+        best_id.alias("best_query_id"),
+        (best_cm.cast("double") / 1e6).alias("best_cosine"),
+        n_above.alias("n_above_threshold"),
+    ).orderBy("vec_id")

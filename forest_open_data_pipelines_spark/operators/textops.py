@@ -1438,3 +1438,82 @@ def charlm_perplexity(
         )
         .orderBy("doc_id")
     )
+
+
+def ngram_novelty(documents: DataFrame) -> DataFrame:
+    """Per-document n-gram novelty: how many of a doc's distinct word
+    trigrams appear in NO earlier document (doc_id order = ingest
+    order) — the diversity/redundancy signal a curation pipeline reads
+    next to the dedup verdicts (a doc can evade near-dup detection and
+    still contribute zero novel n-grams).
+
+    Scale: the novel count NEVER joins the gram table back to the
+    corpus — first-occurrence ownership reduces the gram table itself
+    (``groupBy(gram).min(doc_id)`` then ``groupBy(first_doc)``), so
+    the plan is the explode + three map-side-combinable aggregates,
+    one gram-keyed shuffle total; hot boilerplate grams are exactly
+    one row each after the first aggregate (AQE skew-split covers the
+    explode side).
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import shingle_table
+
+    pairs = shingle_table(documents).select(
+        "doc_id", F.explode("shingles").alias("s")
+    )
+    grams = pairs.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = grams.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("n_novel_ngrams")
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct_ngrams")
+    )
+    return (
+        per_doc.join(novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_distinct_ngrams",
+            F.coalesce("n_novel_ngrams", F.lit(0)).alias("n_novel_ngrams"),
+            ratio(
+                F.coalesce("n_novel_ngrams", F.lit(0))
+                / F.col("n_distinct_ngrams")
+            ).alias("novelty_share"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+VOCAB_GROWTH_BUCKET = 50  # docs per growth-curve point
+
+
+def vocab_growth(
+    documents: DataFrame, bucket: int = VOCAB_GROWTH_BUCKET
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct token
+    count after every ``bucket`` documents (ingest order = doc_id) —
+    the corpus-health curve that says whether new data is still
+    adding vocabulary or just repeating it.
+
+    Scale: token first occurrences reduce the token table
+    (``groupBy(token).min(doc_id)``), new-vocab-per-bucket reduces
+    THAT (bounded by vocabulary), and the cumulative sum is a window
+    over the ≤ n_docs/bucket curve points — the only wide shuffle is
+    the token aggregate.
+    """
+    toks = documents.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(clean_text(F.col("text"))), " "))
+        ).alias("tok"),
+    ).where(F.col("tok") != "")
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    per_bucket = first.groupBy(
+        (F.floor(F.col("first_doc") / bucket) * bucket).alias("bucket_start")
+    ).agg(F.count("*").alias("new_tokens"))
+    w = Window.orderBy("bucket_start").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket_start",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("cumulative_vocab"),
+    ).orderBy("bucket_start")

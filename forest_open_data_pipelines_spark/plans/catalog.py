@@ -212,6 +212,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "route_nearest_query": lambda s, d: similarity.route_nearest_query(
         load_table(s, d, "embeddings")
     ),
+    "ngram_novelty": lambda s, d: textops.ngram_novelty(
+        load_table(s, d, "documents")
+    ),
+    "vocab_growth": lambda s, d: textops.vocab_growth(
+        load_table(s, d, "documents")
+    ),
+    "multimodal_dedup": lambda s, d: multimodal.multimodal_dedup(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
@@ -695,9 +704,12 @@ _R7_WINDOW: tuple[str, ...] = (
     "url_merge",
     # refresh: r4-vintage rows
     "abstract_reconstruct",
-    "ann_topk_bruteforce",
-    "annual_by_region",
-    "annual_series",
+    # round-7 second tranche (first rows; displaced the three other
+    # r4-vintage refresh candidates — ann_topk_bruteforce,
+    # annual_by_region, annual_series — whose r4 rows stand)
+    "ngram_novelty",
+    "vocab_growth",
+    "multimodal_dedup",
 )
 assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
 QUERIES = {

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.operators.similarity import (
     ROUTE_THRESHOLD_MICRO,
-    route_score_cols,
+    route_cols_from_scores,
+    route_scores_array,
 )
 
 
@@ -38,13 +39,19 @@ def ann_route_stream(
     query-set members arriving in the stream are passed through tagged
     ``is_query_vector`` instead of silently dropped (a stream cannot
     re-derive the batch twin's ``vec_id >= n_queries`` cut when ids are
-    not monotonic, so the gate is explicit).
+    not monotonic, so the gate is explicit). Two stacked projections —
+    the micro-cosine array materializes once, then argmax/count read
+    it — exactly the batch plan.
     """
     qids = [q[0] for q in queries]
-    best_id, best_cm, n_above = route_score_cols(
-        queries, F.col("embedding"), threshold_micro
+    best_id, best_cm, n_above = route_cols_from_scores(
+        queries, F.col("cms"), threshold_micro
     )
-    return embeddings_stream.select(
+    scored = embeddings_stream.select(
+        "vec_id",
+        route_scores_array(queries, F.col("embedding")).alias("cms"),
+    )
+    return scored.select(
         "vec_id",
         best_id.alias("best_query_id"),
         (best_cm.cast("double") / 1e6).alias("best_cosine"),

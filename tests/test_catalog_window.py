@@ -42,6 +42,10 @@ MUST_BE_IN_WINDOW = {
     "freshness_watch_signals",
     "manifest_meta_envelope",
     "route_nearest_query",
+    # round-7 second tranche (first rows)
+    "ngram_novelty",
+    "vocab_growth",
+    "multimodal_dedup",
 }
 
 

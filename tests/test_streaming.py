@@ -1112,3 +1112,47 @@ def test_ann_route_stream_matches_batch(spark, tmp_path):
     )
     assert sorted(map(key, routed)) == sorted(map(key, batch))
     assert routed, "router emitted nothing"
+
+
+def test_watch_signal_stream_matches_batch(spark, tmp_path):
+    """Signal normalization is per-record (regex + offset arithmetic),
+    so the streamed emissions must equal the batch
+    freshness_watch_signals rows exactly."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.freshness import (
+        freshness_watch_signals,
+    )
+    from forest_open_data_pipelines_spark.streaming.watch import (
+        watch_signal_stream,
+    )
+
+    src = tmp_path / "watch_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        watch_signal_stream(stream)
+        .writeStream.format("memory")
+        .queryName("watch_signal_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_watch"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM watch_signal_test").collect()
+    finally:
+        query.stop()
+    batch = freshness_watch_signals(docs).collect()
+    key = lambda r: tuple(str(r[c]) for c in (
+        "doc_id", "method", "source_modified_at", "precision",
+        "raw_label", "warning",
+    ))
+    assert sorted(map(key, emitted)) == sorted(map(key, batch))
+    assert emitted, "watcher emitted nothing"
