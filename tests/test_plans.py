@@ -546,3 +546,38 @@ def test_route_nearest_query_joinless_single_scan(spark):
     assert "Join" not in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ngram_novelty_never_joins_grams_to_corpus(spark):
+    """Novelty-shape guard: novel counts come from REDUCING the gram
+    table (groupBy(gram).min → groupBy(first_doc)) — the only join in
+    the plan is the final two small per-doc aggregates; the exploded
+    gram stream itself must never be a join input."""
+    plan = _plan(spark, "ngram_novelty")
+    # one join: per_doc ⋈ novel (both already aggregated down to ≤ n_docs)
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_growth_window_over_bounded_curve(spark):
+    """Heaps-curve guard: the cumulative window runs over the bucket
+    table (≤ n_docs/bucket rows), never the token stream — a single
+    partition is CORRECT there because the input is bounded."""
+    plan = _plan(spark, "vocab_growth")
+    assert "Window" in plan
+    # the token aggregate is the only wide exchange; the window rides
+    # a singleton range after the tiny bucket aggregate
+    assert len(re.findall(r"Exchange hashpartitioning\(tok", plan)) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_multimodal_dedup_payloads_never_shuffle(spark):
+    """Media-dedup guard: only (digest, id) columns cross the exchange —
+    the binary payload must be projected away before any shuffle."""
+    plan = _plan(spark, "multimodal_dedup")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every wide exchange partitions on the 64-hex digest, never the
+    # binary payload column
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
+    assert keys and all(k.startswith(("sha256", "g_sha")) for k in keys), keys

@@ -93,6 +93,24 @@ OPS = {
     # pair space is cell-bounded by construction (n²/k).
     "boilerplate_ngrams": _textops_op("boilerplate_ngrams"),
     "stratified_topk_sample": _curation_op("stratified_topk_sample"),
+    # round-7 additions. ngram_novelty: rotation PRESERVES most interior
+    # trigrams, so replica grams mostly have first_doc in the base copy
+    # — novel counts stay ~flat while the explode grows linearly.
+    # vocab_growth: rotation keeps the vocabulary unchanged, so the
+    # token explode grows linearly but first/per_bucket stay
+    # vocabulary-bounded. multimodal_dedup: rotated replicas are NOT
+    # byte-identical, so groups stay ~n and the digest agg dominates.
+    # freshness_watch_signals: pure projection, should probe ~flat/doc.
+    "ngram_novelty": _textops_op("ngram_novelty"),
+    "vocab_growth": _textops_op("vocab_growth"),
+    "multimodal_dedup": lambda d: __import__(
+        "forest_open_data_pipelines_spark.operators.multimodal",
+        fromlist=["multimodal_dedup"],
+    ).multimodal_dedup(d),
+    "freshness_watch_signals": lambda d: __import__(
+        "forest_open_data_pipelines_spark.operators.freshness",
+        fromlist=["freshness_watch_signals"],
+    ).freshness_watch_signals(d),
 }
 
 
