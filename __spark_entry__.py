@@ -2672,6 +2672,153 @@ FROM named WHERE {month} != ''
 ORDER BY period DESC, url"""
 
 
+def _cvm_fund_picks_sql() -> str:
+    """DuckDB twin of html.cvm_fund_picks: identical URL derivation,
+    per-dataset grammar/query/meta rules, (period DESC, url ASC) rank
+    cut per each module's configured size, last-in-sorted meta."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        CVM_FUND_CUTS,
+        _CVM_FUND_BASE,
+    )
+
+    b = _CVM_FUND_BASE
+    cut_case = " ".join(
+        f"WHEN dataset = '{k}' THEN {v}" for k, v in CVM_FUND_CUTS.items()
+    )
+    return f"""
+WITH seeds AS (
+  SELECT doc_id,
+         (doc_id % 6 + 2019)::VARCHAR
+           || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS yyyymm,
+         (doc_id % 8 + 2017)::VARCHAR AS yyyy,
+         (doc_id % 12)::INT AS kind
+  FROM documents
+),
+urls AS (
+  SELECT DISTINCT
+    CASE kind
+      WHEN 0 THEN '{b}FI/DOC/ENTREGA/DADOS/fi_entrega_documento_' || yyyymm || '.zip'
+      WHEN 1 THEN '{b}FI/DOC/ENTREGA/DADOS/meta_fi_entrega_documento.txt'
+      WHEN 2 THEN '{b}FI/DOC/ENTREGA/DADOS/fi_entrega_documento_' || yyyymm || '.zip?download=1'
+      WHEN 3 THEN '{b}FII/DOC/INF_ANUAL/DADOS/inf_anual_fii_' || yyyy || '.zip'
+      WHEN 4 THEN '{b}FII/DOC/INF_ANUAL/DADOS/meta_inf_anual_fii.zip'
+      WHEN 5 THEN '{b}FII/DOC/INF_MENSAL/DADOS/inf_mensal_fii_' || yyyy || '.zip'
+      WHEN 6 THEN '{b}FII/DOC/INF_MENSAL/DADOS/meta_inf_mensal_fii.zip'
+      WHEN 7 THEN '{b}FII/DOC/INF_TRIMESTRAL/DADOS/inf_trimestral_fii_' || yyyy || '.zip?download=1'
+      WHEN 8 THEN '{b}FII/DOC/INF_TRIMESTRAL/DADOS/meta_inf_trimestral_fii.zip'
+      WHEN 9 THEN '{b}FII/DOC/INF_TRIMESTRAL/DADOS/INF_TRIMESTRAL_FII_' || yyyy || '.ZIP'
+      WHEN 10 THEN '{b}FI/DOC/ENTREGA/DADOS/FI_ENTREGA_DOCUMENTO_' || yyyymm || '.ZIP'
+      ELSE '{b}FI/DOC/ENTREGA/DADOS/relatorio_' || yyyy || '.pdf'
+    END AS url
+  FROM seeds
+),
+named AS (
+  SELECT url,
+    CASE WHEN url LIKE '%/FI/DOC/ENTREGA/%' THEN 'entrega'
+         WHEN url LIKE '%/FII/DOC/INF_ANUAL/%' THEN 'anual'
+         WHEN url LIKE '%/FII/DOC/INF_MENSAL/%' THEN 'mensal'
+         WHEN url LIKE '%/FII/DOC/INF_TRIMESTRAL/%' THEN 'trimestral'
+    END AS dataset,
+    list_extract(string_split(url, '/'), -1) AS raw_name
+  FROM urls
+),
+classified AS (
+  SELECT dataset, url,
+    CASE WHEN dataset = 'trimestral'
+         THEN string_split(raw_name, '?')[1] ELSE raw_name END AS name
+  FROM named WHERE dataset IS NOT NULL
+),
+flagged AS (
+  SELECT dataset, url, name,
+    CASE WHEN dataset = 'entrega'
+           THEN lower(name) LIKE '%.txt'
+                AND contains(lower(name), 'meta_fi_entrega_documento')
+         WHEN dataset = 'anual'
+           THEN contains(lower(name), 'meta_inf_anual_fii')
+         WHEN dataset = 'mensal'
+           THEN contains(lower(name), 'meta_inf_mensal_fii')
+         ELSE lower(name) LIKE '%.zip'
+              AND contains(lower(name), 'meta_inf_trimestral_fii')
+    END AS is_meta,
+    CASE WHEN dataset = 'entrega' THEN
+           CASE WHEN regexp_extract(name, '(?i)fi_entrega_documento_(\\d{{6}})\\.zip$', 1) != ''
+                THEN substr(regexp_extract(name, '(?i)fi_entrega_documento_(\\d{{6}})\\.zip$', 1), 1, 4)
+                     || '-' ||
+                     substr(regexp_extract(name, '(?i)fi_entrega_documento_(\\d{{6}})\\.zip$', 1), 5, 2)
+           END
+         WHEN dataset = 'anual'
+           THEN nullif(regexp_extract(name, '(?i)inf_anual_fii_(\\d{{4}})\\.zip$', 1), '')
+         WHEN dataset = 'mensal'
+           THEN nullif(regexp_extract(name, '(?i)inf_mensal_fii_(\\d{{4}})\\.zip$', 1), '')
+         ELSE nullif(regexp_extract(name, '(?i)inf_trimestral_fii_(\\d{{4}})\\.zip$', 1), '')
+    END AS period
+  FROM classified
+),
+kept AS (
+  SELECT dataset, 'data' AS kind, period, url,
+         row_number() OVER (PARTITION BY dataset
+                            ORDER BY period DESC, url) AS rn
+  FROM flagged WHERE NOT is_meta AND period IS NOT NULL
+),
+meta AS (
+  SELECT dataset, 'meta' AS kind, NULL::VARCHAR AS period, url,
+         row_number() OVER (PARTITION BY dataset ORDER BY url DESC) AS rn
+  FROM flagged WHERE is_meta
+)
+SELECT dataset, kind, period, url FROM kept
+WHERE rn <= CASE {cut_case} END
+UNION ALL
+SELECT dataset, kind, period, url FROM meta WHERE rn = 1
+ORDER BY dataset, kind, period DESC NULLS LAST, url"""
+
+
+def _focos1km_tifs_sql() -> str:
+    """DuckDB twin of html.focos1km_tifs: identical anchor derivation,
+    RE_TIF_PERIOD parse, urljoin specialization, min-url per period,
+    period DESC."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        FOCOS1KM_BASE_URL,
+    )
+
+    return f"""
+WITH seeds AS (
+  SELECT doc_id,
+         (doc_id % 5 + 2020)::VARCHAR
+           || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS ym,
+         (doc_id % 5 + 2020)::VARCHAR || '13' AS y13,
+         (doc_id % 6)::INT AS kind
+  FROM documents
+),
+anchors AS (
+  SELECT DISTINCT
+    CASE kind
+      WHEN 0 THEN 'focos1km_' || ym || '.tif'
+      WHEN 1 THEN '{FOCOS1KM_BASE_URL}focos1km_' || ym || '.tif'
+      WHEN 2 THEN 'FOCOS1KM_' || ym || '.TIF'
+      WHEN 3 THEN 'focos1km_' || y13 || '.tif'
+      WHEN 4 THEN 'focos1km_' || ym || '.tif.aux'
+      ELSE 'index.html'
+    END AS href
+  FROM seeds
+),
+parsed AS (
+  SELECT
+    CASE WHEN regexp_extract(fname, '(?i)focos1km_(\\d{{4}})(\\d{{2}})\\.tif$', 1) != ''
+         THEN regexp_extract(fname, '(?i)focos1km_(\\d{{4}})(\\d{{2}})\\.tif$', 1)
+              || '-' ||
+              regexp_extract(fname, '(?i)focos1km_(\\d{{4}})(\\d{{2}})\\.tif$', 2)
+    END AS period,
+    CASE WHEN href LIKE 'http%' THEN href
+         ELSE '{FOCOS1KM_BASE_URL}' || href END AS url,
+    fname AS filename
+  FROM (SELECT href, list_extract(string_split(href, '/'), -1) AS fname
+        FROM anchors)
+)
+SELECT period, min(url) AS url, min(filename) AS filename
+FROM parsed WHERE period IS NOT NULL
+GROUP BY period ORDER BY period DESC"""
+
+
 def _cvm_yearly_sql(latest_years: int | None = None) -> str:
     """DuckDB twin of html.cvm_latest_yearly_csvs: identical url
     derivation, QUERY-STRIPPED filename (the fi_doc_extrato deviation
@@ -5033,6 +5180,8 @@ FROM c ORDER BY lang, predicted_lang"""
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
+    out["cvm_fund_picks"] = _cvm_fund_picks_sql()
+    out["focos1km_tifs"] = _focos1km_tifs_sql()
     out["fenced_json_extract"] = _fenced_json_sql()
     from forest_open_data_pipelines_spark.operators.curation import (
         CURATION_MIN_QUALITY as _MINQ,

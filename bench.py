@@ -153,6 +153,8 @@ HEADLINE = [
     "ngram_novelty",
     "vocab_growth",
     "multimodal_dedup",
+    "cvm_fund_picks",
+    "focos1km_tifs",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

@@ -2184,3 +2184,223 @@ def eia_series_combinations(documents: DataFrame) -> DataFrame:
         ).alias("display_name"),
         "release_date",
     ).orderBy("doc_id", "filename")
+
+
+# ── CVM fund-document family selection (the four remaining grammars) ─────────
+
+# Reference grammars + cut rules (datasets/cvm/*.py, each module's
+# RE_ZIP / pick_latest_zip_urls + its load_dataset_cfg default):
+#   fi_doc_entrega.py:18,81-105   fi_entrega_documento_(\d{6})\.zip$
+#       name keeps the QUERY (split('/')[-1]) → ?download rejected;
+#       meta = .txt containing meta_fi_entrega_documento; period
+#       YYYY-MM; cut latest_months (cfg default 12)
+#   fii_doc_inf_anual.py:18,76-100   inf_anual_fii_(\d{4})\.zip$
+#       meta = name contains meta_inf_anual_fii (a .zip — checked
+#       BEFORE the data regex, no suffix requirement); cut 10
+#   fii_doc_inf_mensal.py:18,76-100  inf_mensal_fii_(\d{4})\.zip$
+#       (a YEARLY grammar despite the module name); meta contains
+#       meta_inf_mensal_fii; cut 5
+#   fii_doc_inf_trimestral.py:14,77-96  inf_trimestral_fii_(\d{4})\.zip$
+#       name STRIPS the query (split('?')[0]) → ?download ACCEPTED —
+#       the one family member that diverges; meta = .zip containing
+#       meta_inf_trimestral_fii; cut max(1, latest_years) (cfg 5)
+RE_CVM_ENTREGA = r"(?i)fi_entrega_documento_(\d{6})\.zip$"
+RE_CVM_FII_ANUAL = r"(?i)inf_anual_fii_(\d{4})\.zip$"
+RE_CVM_FII_MENSAL = r"(?i)inf_mensal_fii_(\d{4})\.zip$"
+RE_CVM_FII_TRIMESTRAL = r"(?i)inf_trimestral_fii_(\d{4})\.zip$"
+CVM_FUND_CUTS = {"entrega": 12, "anual": 10, "mensal": 5, "trimestral": 5}
+
+_CVM_FUND_KINDS = 12
+_CVM_FUND_BASE = "https://dados.cvm.example/dados/"
+
+
+def wrap_documents_as_cvm_fund_urls(documents: DataFrame) -> DataFrame:
+    """Render documents as resource URLs across the four fund-document
+    datasets, cycled by doc_id: data/meta/query variants pinning each
+    module's divergence — entrega REJECTS a query-string zip while
+    trimestral ACCEPTS one, uppercase names hit the (?i) grammars, and
+    a pdf matches nothing."""
+    yyyymm = F.concat(
+        (F.col("doc_id") % 6 + 2019).cast("string"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+    )
+    yyyy = (F.col("doc_id") % 8 + 2017).cast("string")
+    b = _CVM_FUND_BASE
+    kinds = F.array(
+        F.concat(F.lit(f"{b}FI/DOC/ENTREGA/DADOS/fi_entrega_documento_"), yyyymm, F.lit(".zip")),
+        F.lit(f"{b}FI/DOC/ENTREGA/DADOS/meta_fi_entrega_documento.txt"),
+        F.concat(F.lit(f"{b}FI/DOC/ENTREGA/DADOS/fi_entrega_documento_"), yyyymm, F.lit(".zip?download=1")),
+        F.concat(F.lit(f"{b}FII/DOC/INF_ANUAL/DADOS/inf_anual_fii_"), yyyy, F.lit(".zip")),
+        F.lit(f"{b}FII/DOC/INF_ANUAL/DADOS/meta_inf_anual_fii.zip"),
+        F.concat(F.lit(f"{b}FII/DOC/INF_MENSAL/DADOS/inf_mensal_fii_"), yyyy, F.lit(".zip")),
+        F.lit(f"{b}FII/DOC/INF_MENSAL/DADOS/meta_inf_mensal_fii.zip"),
+        F.concat(F.lit(f"{b}FII/DOC/INF_TRIMESTRAL/DADOS/inf_trimestral_fii_"), yyyy, F.lit(".zip?download=1")),
+        F.lit(f"{b}FII/DOC/INF_TRIMESTRAL/DADOS/meta_inf_trimestral_fii.zip"),
+        F.concat(F.lit(f"{b}FII/DOC/INF_TRIMESTRAL/DADOS/INF_TRIMESTRAL_FII_"), yyyy, F.lit(".ZIP")),
+        F.concat(F.lit(f"{b}FI/DOC/ENTREGA/DADOS/FI_ENTREGA_DOCUMENTO_"), yyyymm, F.lit(".ZIP")),
+        F.concat(F.lit(f"{b}FI/DOC/ENTREGA/DADOS/relatorio_"), yyyy, F.lit(".pdf")),
+    )
+    return documents.select(
+        F.element_at(
+            kinds, (F.col("doc_id") % _CVM_FUND_KINDS + 1).cast("int")
+        ).alias("url")
+    )
+
+
+def cvm_fund_picks(documents: DataFrame) -> DataFrame:
+    """Latest-N picks + the meta file for all four fund-document
+    datasets in ONE pass — each dataset classified by ITS OWN module's
+    rules (grammar, query handling, meta hint, cut size; reference
+    lines in the constants block above). Meta = the LAST matching url
+    in sorted order (the reference reassigns in a sorted loop); data
+    cut = (period DESC, url ASC) rank, the stable-sort equivalent.
+
+    Scale: classification is a projection off the scan; ranks run
+    per-dataset over the ≤ |distinct periods|·variants survivors.
+    """
+    urls = wrap_documents_as_cvm_fund_urls(documents).distinct()
+    dataset = (
+        F.when(F.col("url").contains("/FI/DOC/ENTREGA/"), "entrega")
+        .when(F.col("url").contains("/FII/DOC/INF_ANUAL/"), "anual")
+        .when(F.col("url").contains("/FII/DOC/INF_MENSAL/"), "mensal")
+        .when(F.col("url").contains("/FII/DOC/INF_TRIMESTRAL/"), "trimestral")
+    )
+    raw_name = F.element_at(F.split(F.col("url"), "/"), -1)
+    # trimestral strips the query before matching; everyone else keeps it
+    name = F.when(
+        F.col("dataset") == "trimestral",
+        F.element_at(F.split(raw_name, r"\?"), 1),
+    ).otherwise(raw_name)
+    rows = urls.select("url", dataset.alias("dataset")).where(
+        F.col("dataset").isNotNull()
+    ).select("url", "dataset", name.alias("name"))
+    low = F.lower(F.col("name"))
+    is_meta = (
+        F.when(
+            F.col("dataset") == "entrega",
+            low.endswith(".txt") & low.contains("meta_fi_entrega_documento"),
+        )
+        .when(F.col("dataset") == "anual", low.contains("meta_inf_anual_fii"))
+        .when(F.col("dataset") == "mensal", low.contains("meta_inf_mensal_fii"))
+        .otherwise(
+            low.endswith(".zip") & low.contains("meta_inf_trimestral_fii")
+        )
+    )
+    yyyymm = F.regexp_extract(F.col("name"), RE_CVM_ENTREGA, 1)
+    period = (
+        F.when(
+            F.col("dataset") == "entrega",
+            F.when(
+                yyyymm != "",
+                F.concat(
+                    F.substring(yyyymm, 1, 4), F.lit("-"), F.substring(yyyymm, 5, 2)
+                ),
+            ),
+        )
+        .when(
+            F.col("dataset") == "anual",
+            F.nullif(F.regexp_extract(F.col("name"), RE_CVM_FII_ANUAL, 1), F.lit("")),
+        )
+        .when(
+            F.col("dataset") == "mensal",
+            F.nullif(F.regexp_extract(F.col("name"), RE_CVM_FII_MENSAL, 1), F.lit("")),
+        )
+        .otherwise(
+            F.nullif(
+                F.regexp_extract(F.col("name"), RE_CVM_FII_TRIMESTRAL, 1), F.lit("")
+            )
+        )
+    )
+    classified = rows.select(
+        "dataset", "url", is_meta.alias("is_meta"), period.alias("period")
+    )
+    cut = F.create_map(
+        *[F.lit(x) for kv in CVM_FUND_CUTS.items() for x in kv]
+    )
+    w = Window.partitionBy("dataset").orderBy(F.desc("period"), "url")
+    kept = (
+        classified.where(~F.col("is_meta") & F.col("period").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= cut[F.col("dataset")])
+        .select("dataset", F.lit("data").alias("kind"), "period", "url")
+    )
+    meta_w = Window.partitionBy("dataset").orderBy(F.desc("url"))
+    meta = (
+        classified.where(F.col("is_meta"))
+        .withColumn("rn", F.row_number().over(meta_w))
+        .where(F.col("rn") == 1)
+        .select(
+            "dataset",
+            F.lit("meta").alias("kind"),
+            F.lit(None).cast("string").alias("period"),
+            "url",
+        )
+    )
+    return kept.unionByName(meta).orderBy(
+        "dataset", "kind", F.desc_nulls_last("period"), "url"
+    )
+
+
+# ── INPE area_queimada focos1km TIF index ────────────────────────────────────
+
+# Reference: datasets/inpe/area_queimada_focos1km.py:18 RE_TIF_PERIOD —
+# focos1km_YYYYMM.tif anchors on the COIDS dataserver listing, period
+# "YYYY-MM", every match indexed (no cut), sorted period DESC.
+RE_FOCOS1KM_TIF = r"(?i)focos1km_(\d{4})(\d{2})\.tif$"
+FOCOS1KM_BASE_URL = "https://dataserver.example/queimadas/focos1km/"
+
+_FOCOS1KM_KINDS = 6
+
+
+def wrap_documents_as_focos1km_anchors(documents: DataFrame) -> DataFrame:
+    """Render documents as dataserver anchors cycled by doc_id: a
+    relative tif, an absolute tif, an UPPERCASE tif, a 13th-month tif
+    (regex matches — the reference applies no calendar validation), a
+    .tif.aux sidecar (rejected by the $ anchor), and an unrelated
+    html link."""
+    ym = F.concat(
+        (F.col("doc_id") % 5 + 2020).cast("string"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+    )
+    y13 = F.concat((F.col("doc_id") % 5 + 2020).cast("string"), F.lit("13"))
+    kinds = F.array(
+        F.concat(F.lit("focos1km_"), ym, F.lit(".tif")),
+        F.concat(F.lit(FOCOS1KM_BASE_URL), F.lit("focos1km_"), ym, F.lit(".tif")),
+        F.concat(F.lit("FOCOS1KM_"), ym, F.lit(".TIF")),
+        F.concat(F.lit("focos1km_"), y13, F.lit(".tif")),
+        F.concat(F.lit("focos1km_"), ym, F.lit(".tif.aux")),
+        F.lit("index.html"),
+    )
+    return documents.select(
+        F.element_at(
+            kinds, (F.col("doc_id") % _FOCOS1KM_KINDS + 1).cast("int")
+        ).alias("href")
+    )
+
+
+def focos1km_tifs(documents: DataFrame) -> DataFrame:
+    """Index every focos1km monthly TIF from the dataserver listing:
+    RE_TIF_PERIOD on the href's last segment, period "YYYY-MM",
+    urljoin against the listing base, dedupe by period keeping the
+    first full url in sorted order (the reference's per-period
+    manifest item), sorted period DESC.
+
+    Scale: projection + one ≤|periods| aggregate; no fan-out.
+    """
+    anchors = wrap_documents_as_focos1km_anchors(documents).distinct()
+    fname = F.element_at(F.split(F.col("href"), "/"), -1)
+    yyyy = F.regexp_extract(fname, RE_FOCOS1KM_TIF, 1)
+    mm = F.regexp_extract(fname, RE_FOCOS1KM_TIF, 2)
+    full_url = F.when(
+        F.col("href").startswith("http"), F.col("href")
+    ).otherwise(F.concat(F.lit(FOCOS1KM_BASE_URL), F.col("href")))
+    parsed = anchors.select(
+        F.when(yyyy != "", F.concat(yyyy, F.lit("-"), mm)).alias("period"),
+        full_url.alias("url"),
+        fname.alias("filename"),
+    ).where(F.col("period").isNotNull())
+    return (
+        parsed.groupBy("period")
+        .agg(F.min("url").alias("url"), F.min("filename").alias("filename"))
+        .orderBy(F.desc("period"))
+    )

@@ -221,6 +221,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_dedup": lambda s, d: multimodal.multimodal_dedup(
         load_table(s, d, "documents")
     ),
+    "cvm_fund_picks": lambda s, d: html.cvm_fund_picks(
+        load_table(s, d, "documents")
+    ),
+    "focos1km_tifs": lambda s, d: html.focos1km_tifs(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
@@ -699,17 +705,17 @@ _R7_WINDOW: tuple[str, ...] = (
     "social_text_normalize",
     "text_cleanup",
     "text_quality",
-    "top_biomes_month_comparison",
     "type_inference",
     "url_merge",
-    # refresh: r4-vintage rows
-    "abstract_reconstruct",
-    # round-7 second tranche (first rows; displaced the three other
-    # r4-vintage refresh candidates — ann_topk_bruteforce,
-    # annual_by_region, annual_series — whose r4 rows stand)
+    # round-7 second tranche (first rows; displaced five refresh
+    # candidates — abstract_reconstruct, ann_topk_bruteforce,
+    # annual_by_region, annual_series, top_biomes_month_comparison —
+    # whose r3/r4 rows stand)
     "ngram_novelty",
     "vocab_growth",
     "multimodal_dedup",
+    "cvm_fund_picks",
+    "focos1km_tifs",
 )
 assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
 QUERIES = {

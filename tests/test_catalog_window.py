@@ -46,6 +46,8 @@ MUST_BE_IN_WINDOW = {
     "ngram_novelty",
     "vocab_growth",
     "multimodal_dedup",
+    "cvm_fund_picks",
+    "focos1km_tifs",
 }
 
 
