@@ -2672,6 +2672,78 @@ FROM named WHERE {month} != ''
 ORDER BY period DESC, url"""
 
 
+def _freshness_report_lines_sql() -> str:
+    """DuckDB twin of freshness.freshness_report_lines — header/trailer
+    literal rows at the operator's exact seqs, body rows composed from
+    the freshness_cadence construction."""
+    from forest_open_data_pipelines_spark.operators.freshness import (
+        FRESHNESS_REPORT_HEAD,
+        FRESHNESS_REPORT_TAIL,
+    )
+
+    def _values(pairs):
+        return ", ".join(
+            "({}, '{}')".format(i, t.replace("'", "''")) for i, t in pairs
+        )
+
+    head = _values(enumerate(FRESHNESS_REPORT_HEAD))
+    tail = _values(
+        (1_000_000 + i, t) for i, t in enumerate(FRESHNESS_REPORT_TAIL)
+    )
+    n_head = len(FRESHNESS_REPORT_HEAD)
+    return f"""
+WITH iv AS (
+  SELECT user_id, ts,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)))
+           / 86400000000.0 AS interval_days
+  FROM events
+),
+per_user AS (
+  SELECT user_id, count(*) AS observations,
+         count(*) FILTER (WHERE interval_days > 0) AS changes,
+         median(interval_days) FILTER (WHERE interval_days > 0) AS med,
+         stddev_pop(interval_days) FILTER (WHERE interval_days > 0) AS sd,
+         avg(interval_days) FILTER (WHERE interval_days > 0) AS mean_interval,
+         max(ts) AS last_observed_at
+  FROM iv GROUP BY user_id
+),
+cvd AS (
+  SELECT *, CASE WHEN changes >= 2 AND mean_interval <> 0
+                 THEN sd / mean_interval END AS cv
+  FROM per_user
+),
+cls AS (
+  SELECT user_id, changes,
+    CASE WHEN observations >= 6 AND changes < 2 THEN 'ad_hoc'
+         WHEN changes < 3 THEN 'insufficient_data'
+         WHEN cv > 0.75 THEN 'irregular'
+         WHEN observations >= 30 AND med <= 1.5 THEN 'daily'
+         WHEN observations >= 8 AND med >= 5 AND med <= 10 THEN 'weekly'
+         WHEN med >= 25 AND med <= 35 THEN 'monthly'
+         ELSE 'irregular' END AS suggested_cadence,
+    CASE WHEN changes < 3 OR observations < 6 THEN 'low'
+         WHEN observations >= 30 AND (cv IS NULL OR cv <= 0.25) THEN 'high'
+         WHEN cv IS NULL OR cv <= 0.75 THEN 'medium'
+         ELSE 'low' END AS confidence,
+    round(med, 6) AS median6, last_observed_at
+  FROM cvd
+),
+body AS (
+  SELECT (row_number() OVER (ORDER BY user_id) + {n_head} - 1)::BIGINT AS seq,
+    '| ' || 'user-' || user_id::VARCHAR || ' | user-' || user_id::VARCHAR
+    || ' | ' || suggested_cadence || ' | ' || confidence
+    || ' | ' || strftime(last_observed_at, '%Y-%m-%dT%H:%M:%S')
+    || ' | ' || coalesce(median6::DECIMAL(18,2)::VARCHAR, '')
+    || ' | ' || changes::VARCHAR || ' |' AS line
+  FROM cls
+)
+SELECT seq, line FROM (VALUES {head}) h(seq, line)
+UNION ALL SELECT seq, line FROM body
+UNION ALL SELECT seq, line FROM (VALUES {tail}) t(seq, line)
+ORDER BY seq"""
+
+
 def _cvm_fund_picks_sql() -> str:
     """DuckDB twin of html.cvm_fund_picks: identical URL derivation,
     per-dataset grammar/query/meta rules, (period DESC, url ASC) rank
@@ -3970,6 +4042,11 @@ SELECT user_id, observations, changes,
             ELSE 'low' END AS confidence,
        last_observed_at
 FROM cvd ORDER BY user_id""",
+        # freshness/report.py render_markdown_report twin: header and
+        # trailer literals single-sourced from the operator module;
+        # body rows re-compose the cadence CTE; median renders through
+        # DECIMAL(18,2) (exact, identically-formatted on both engines)
+        "freshness_report_lines": _freshness_report_lines_sql(),
         "freshness_latest": """
 WITH per_user AS (
   SELECT user_id, max(ts) AS last_observed_at, count(*) AS observations
@@ -5182,6 +5259,24 @@ FROM c ORDER BY lang, predicted_lang"""
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["cvm_fund_picks"] = _cvm_fund_picks_sql()
     out["focos1km_tifs"] = _focos1km_tifs_sql()
+    # audits/markdown.py render_table/_escape_cell twin: the note cell
+    # carries a REAL pipe, so the escape is value-checked
+    out["audit_markdown_table"] = """
+WITH per_source AS (
+  SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY source
+),
+body AS (
+  SELECT (row_number() OVER (ORDER BY source) + 1)::BIGINT AS seq,
+    '| ' || source || ' | ' || n_docs::VARCHAR || ' | ' || n_langs::VARCHAR
+    || ' | ' || replace('fonte|' || source, '|', '\\|') || ' |' AS line
+  FROM per_source
+)
+SELECT seq, line FROM (VALUES
+  (0, '| source | n_docs | n_langs | note |'),
+  (1, '| --- | --- | --- | --- |')) h(seq, line)
+UNION ALL SELECT seq, line FROM body
+ORDER BY seq"""
     out["fenced_json_extract"] = _fenced_json_sql()
     from forest_open_data_pipelines_spark.operators.curation import (
         CURATION_MIN_QUALITY as _MINQ,

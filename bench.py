@@ -155,6 +155,8 @@ HEADLINE = [
     "multimodal_dedup",
     "cvm_fund_picks",
     "focos1km_tifs",
+    "audit_markdown_table",
+    "freshness_report_lines",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

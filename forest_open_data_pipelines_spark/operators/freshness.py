@@ -409,3 +409,84 @@ def freshness_watch_signals(
         .alias("warning"),
     )
     return out.orderBy("doc_id") if sorted_output else out
+
+
+# ── Freshness markdown report (freshness/report.py twin) ────────────────────
+
+FRESHNESS_REPORT_HEAD = (
+    "# Freshness social cadence",
+    "",
+    "Relatorio deterministico gerado a partir do historico local de"
+    " observacoes de freshness.",
+    "",
+    "| Preset | Watch IDs | Cadencia sugerida | Confianca |"
+    " Ultima observacao | Mediana dias | Mudancas |",
+    "| --- | --- | --- | --- | --- | --- | --- |",
+)
+FRESHNESS_REPORT_TAIL = (
+    "",
+    "## Leitura operacional",
+    "",
+    "- `daily`, `weekly` e `monthly` indicam cadencia provavel para"
+    " revisar ou gerar presets sociais.",
+    "- `ad_hoc` indica fonte estavel ou sem mudancas suficientes para"
+    " agenda fixa.",
+    "- `insufficient_data` indica que o watcher ainda precisa acumular"
+    " historico.",
+    "- Este relatorio nao dispara posts e nao chama LLM.",
+)
+
+
+def freshness_report_lines(events: DataFrame) -> DataFrame:
+    """The cadence report rendered to the reference's markdown shape —
+    freshness/report.py:24-66 ``render_markdown_report``: fixed header
+    lines, one pipe-row per classification in watch order, the
+    operational-reading trailer. Columns follow the testdata's
+    cadence frame (the reference's per-watch signal metadata has no
+    events-table analog; its row grammar and ordering do).
+
+    The median cell renders through DECIMAL(18,2) on both engines —
+    decimal-to-string is exact and identically formatted, where a
+    double's repr is not.
+
+    Output (seq, line); scale: cadence is the one aggregate, the
+    render is a projection over ≤ |watches| rows.
+    """
+    cls = freshness_cadence(events)
+    median_cell = F.coalesce(
+        F.col("median_interval_days").cast("decimal(18,2)").cast("string"),
+        F.lit(""),
+    )
+    preset = F.concat(F.lit("user-"), F.col("user_id").cast("string"))
+    row_line = F.concat(
+        F.lit("| "),
+        F.concat_ws(
+            " | ",
+            preset,
+            preset,
+            F.col("suggested_cadence"),
+            F.col("confidence"),
+            F.date_format("last_observed_at", "yyyy-MM-dd'T'HH:mm:ss"),
+            median_cell,
+            F.col("changes").cast("string"),
+        ),
+        F.lit(" |"),
+    )
+    w = Window.orderBy("user_id")
+    n_head = len(FRESHNESS_REPORT_HEAD)
+    body = cls.select(
+        (F.row_number().over(w) + n_head - 1).cast("long").alias("seq"),
+        row_line.alias("line"),
+    )
+    spark = events.sparkSession
+    head = spark.createDataFrame(
+        list(enumerate(FRESHNESS_REPORT_HEAD)), "seq long, line string"
+    )
+    # trailer at a fixed high base (mirrored by the oracle) — a
+    # contiguous seq would need a count() action for nothing: the
+    # writer's array_join only needs the TOTAL order, not density
+    tail = spark.createDataFrame(
+        [(1_000_000 + i, t) for i, t in enumerate(FRESHNESS_REPORT_TAIL)],
+        "seq long, line string",
+    )
+    return head.unionByName(body).unionByName(tail).orderBy("seq")

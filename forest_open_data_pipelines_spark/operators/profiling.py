@@ -15,7 +15,7 @@ Spark-first analog of the reference's profiling and audit layers:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import ratio
@@ -402,3 +402,63 @@ def referential_integrity_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("child_key", "parent_key")
+
+
+# ── Audit markdown rendering (audits/markdown.py twin) ──────────────────────
+
+
+def _escape_md_cell(col: Column) -> Column:
+    """audits/markdown.py:7-9 ``_escape_cell``: None → '', pipes
+    backslash-escaped, newlines → <br>."""
+    return F.replace(
+        F.replace(F.coalesce(col.cast("string"), F.lit("")), F.lit("|"), F.lit("\\|")),
+        F.lit("\n"),
+        F.lit("<br>"),
+    )
+
+
+def audit_markdown_table(documents: DataFrame) -> DataFrame:
+    """The audit report's markdown table over a per-source rollup —
+    audits/markdown.py:12-24 ``render_table`` semantics exactly:
+    header + '---' separator + one '| a | b |' row per source, cells
+    escaped via ``_escape_cell`` (a synthesized note cell carries a
+    REAL pipe so the escaping is value-checked, not just present).
+
+    Output is (seq, line) — deterministic line order, so the full
+    document is ``array_join(collect_list)`` away for a writer.
+
+    Scale: the rollup is one map-side-combinable aggregate; rendering
+    is a projection; the header/separator are two literal rows.
+    """
+    per_source = documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    note = F.concat(F.lit("fonte|"), F.col("source"))
+    body = per_source.select(
+        F.col("source").alias("k"),
+        F.concat(
+            F.lit("| "),
+            F.concat_ws(
+                " | ",
+                _escape_md_cell(F.col("source")),
+                _escape_md_cell(F.col("n_docs")),
+                _escape_md_cell(F.col("n_langs")),
+                _escape_md_cell(note),
+            ),
+            F.lit(" |"),
+        ).alias("line"),
+    )
+    w = Window.orderBy("k")
+    numbered = body.select(
+        (F.row_number().over(w) + 1).cast("long").alias("seq"), "line"
+    )
+    spark = documents.sparkSession
+    head = spark.createDataFrame(
+        [
+            (0, "| source | n_docs | n_langs | note |"),
+            (1, "| --- | --- | --- | --- |"),
+        ],
+        "seq long, line string",
+    )
+    return head.unionByName(numbered).orderBy("seq")

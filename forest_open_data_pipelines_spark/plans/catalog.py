@@ -227,6 +227,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focos1km_tifs": lambda s, d: html.focos1km_tifs(
         load_table(s, d, "documents")
     ),
+    "audit_markdown_table": lambda s, d: profiling.audit_markdown_table(
+        load_table(s, d, "documents")
+    ),
+    "freshness_report_lines": lambda s, d: freshness.freshness_report_lines(
+        load_table(s, d, "events")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
@@ -702,10 +708,8 @@ _R7_WINDOW: tuple[str, ...] = (
     "resize_media",
     "skew_salted_join_agg",
     "skew_two_phase_agg",
-    "social_text_normalize",
     "text_cleanup",
     "text_quality",
-    "type_inference",
     "url_merge",
     # round-7 second tranche (first rows; displaced five refresh
     # candidates — abstract_reconstruct, ann_topk_bruteforce,
@@ -716,6 +720,10 @@ _R7_WINDOW: tuple[str, ...] = (
     "multimodal_dedup",
     "cvm_fund_picks",
     "focos1km_tifs",
+    # (type_inference and social_text_normalize rotated back out — r3
+    # rows stand, parity-tested per session — for the two renderers)
+    "audit_markdown_table",
+    "freshness_report_lines",
 )
 assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
 QUERIES = {

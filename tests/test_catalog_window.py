@@ -48,6 +48,8 @@ MUST_BE_IN_WINDOW = {
     "multimodal_dedup",
     "cvm_fund_picks",
     "focos1km_tifs",
+    "audit_markdown_table",
+    "freshness_report_lines",
 }
 
 
