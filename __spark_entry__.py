@@ -2760,9 +2760,9 @@ def _cvm_fund_picks_sql() -> str:
     return f"""
 WITH seeds AS (
   SELECT doc_id,
-         (doc_id % 6 + 2019)::VARCHAR
-           || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') AS yyyymm,
-         (doc_id % 8 + 2017)::VARCHAR AS yyyy,
+         (doc_id % 5 + 2019)::VARCHAR
+           || lpad((doc_id % 11 + 1)::VARCHAR, 2, '0') AS yyyymm,
+         (doc_id % 7 + 2017)::VARCHAR AS yyyy,
          (doc_id % 12)::INT AS kind
   FROM documents
 ),

@@ -2220,11 +2220,14 @@ def wrap_documents_as_cvm_fund_urls(documents: DataFrame) -> DataFrame:
     module's divergence — entrega REJECTS a query-string zip while
     trimestral ACCEPTS one, uppercase names hit the (?i) grammars, and
     a pdf matches nothing."""
+    # moduli COPRIME to the 12-way kind cycle (5, 11, 7) — sharing a
+    # factor with 12 would alias each kind to a tiny period subset
+    # (e.g. %6 years on kind 0 = always 2019) and the cuts never bind
     yyyymm = F.concat(
-        (F.col("doc_id") % 6 + 2019).cast("string"),
-        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        (F.col("doc_id") % 5 + 2019).cast("string"),
+        F.lpad((F.col("doc_id") % 11 + 1).cast("string"), 2, "0"),
     )
-    yyyy = (F.col("doc_id") % 8 + 2017).cast("string")
+    yyyy = (F.col("doc_id") % 7 + 2017).cast("string")
     b = _CVM_FUND_BASE
     kinds = F.array(
         F.concat(F.lit(f"{b}FI/DOC/ENTREGA/DADOS/fi_entrega_documento_"), yyyymm, F.lit(".zip")),

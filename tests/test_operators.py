@@ -3670,3 +3670,68 @@ def test_manifest_meta_envelope_contract(spark):
             assert r.custom_tags == ""
         if k == 0:
             assert r.source_agency == "ANP" and r.notes == f"notes {i}"
+
+
+def test_cvm_fund_picks_family_divergences(spark):
+    """The four modules' rules pinned independently of the oracle:
+    entrega REJECTS query-string zips (name keeps the query) while
+    trimestral ACCEPTS them (name strips it); uppercase names match
+    the (?i) grammars; per-dataset cuts bind to each module's size;
+    every dataset yields exactly one meta row."""
+    from collections import Counter
+
+    from forest_open_data_pipelines_spark.operators.html import (
+        CVM_FUND_CUTS,
+        cvm_fund_picks,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = cvm_fund_picks(docs).collect()
+    by_ds = Counter((r.dataset, r.kind) for r in rows)
+    for ds in CVM_FUND_CUTS:
+        assert by_ds[(ds, "meta")] == 1, ds
+    # entrega: no kept url carries a query string
+    assert not any(
+        "?" in r.url for r in rows if r.dataset == "entrega" and r.kind == "data"
+    )
+    # trimestral: the ?download variant IS kept (query stripped first)
+    assert any(
+        "?download=1" in r.url
+        for r in rows
+        if r.dataset == "trimestral" and r.kind == "data"
+    )
+    # uppercase (?i) matches present for entrega and trimestral
+    assert any(
+        "FI_ENTREGA_DOCUMENTO_" in r.url
+        for r in rows
+        if r.dataset == "entrega" and r.kind == "data"
+    )
+    # cuts: mensal/trimestral (5 of 7 years) and entrega (12 of the
+    # 55-period space) bind; anual's 10 does NOT (7 years available) —
+    # the unbound cut is the realistic default and pinned as such
+    assert by_ds[("mensal", "data")] == 5
+    assert by_ds[("trimestral", "data")] == 5
+    assert by_ds[("entrega", "data")] == CVM_FUND_CUTS["entrega"]
+    assert by_ds[("anual", "data")] == 7
+    # periods strictly descending within each dataset's data rows
+    for ds in CVM_FUND_CUTS:
+        periods = [r.period for r in rows if r.dataset == ds and r.kind == "data"]
+        assert periods == sorted(periods, reverse=True), ds
+
+
+def test_focos1km_grammar_fixed_points(spark):
+    """RE_TIF_PERIOD semantics: .tif.aux sidecars rejected by the $
+    anchor, a 13th month matches (no calendar validation), relative
+    hrefs urljoin against the listing base, periods descend."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        FOCOS1KM_BASE_URL,
+        focos1km_tifs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = focos1km_tifs(docs).collect()
+    assert all(r.url.startswith(FOCOS1KM_BASE_URL) for r in rows)
+    assert not any(r.filename.endswith(".aux") for r in rows)
+    assert any(r.period.endswith("-13") for r in rows)  # no validation
+    periods = [r.period for r in rows]
+    assert periods == sorted(periods, reverse=True)
