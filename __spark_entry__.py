@@ -164,7 +164,12 @@ def _profile_columns_sql() -> str:
     return " UNION ALL ".join(parts)
 
 
-def _minhash_sql(num_hashes: int = 16, bands: int = 4, threshold: float = 0.8) -> str:
+def _minhash_sql(
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+    candidates_only: bool = False,
+) -> str:
     from forest_open_data_pipelines_spark.operators.dedup import (
         MINHASH_P,
         minhash_coeffs,
@@ -208,7 +213,9 @@ verified AS (
   JOIN shingled a ON a.doc_id = doc_a
   JOIN shingled b ON b.doc_id = doc_b
 )
-SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+SELECT doc_a, doc_b{", jaccard" if not candidates_only else ""}
+FROM {"cand" if candidates_only else "verified"}
+{f"WHERE jaccard >= {threshold}" if not candidates_only else ""}
 ORDER BY doc_a, doc_b
 """
 
@@ -1665,7 +1672,7 @@ WHERE round(common::DOUBLE / least(n_a, n_b), 6) >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
-def _ngram_jaccard_sql() -> str:
+def _ngram_jaccard_sql(threshold: float = 0.8) -> str:
     """DuckDB twin of dedup.dedup_ngram_jaccard with the hot-shingle
     document-frequency stop-list: identical greatest(2, max_df·n_docs)
     cap on candidate generation, exact Jaccard verify over the FULL
@@ -1696,7 +1703,7 @@ pairs AS (
 SELECT doc_a, doc_b,
        round(common::DOUBLE / (n_a + n_b - common), 6) AS jaccard
 FROM pairs
-WHERE round(common::DOUBLE / (n_a + n_b - common), 6) >= 0.8
+WHERE round(common::DOUBLE / (n_a + n_b - common), 6) >= {threshold}
 ORDER BY doc_a, doc_b"""
 
 
@@ -2670,6 +2677,47 @@ SELECT DISTINCT {year} || '-' || {month} AS period,
        {year} AS year, {month} AS month, filename, url
 FROM named WHERE {month} != ''
 ORDER BY period DESC, url"""
+
+
+def _dedup_threshold_sweep_sql() -> str:
+    """DuckDB twin of dedup.dedup_threshold_sweep: the exact-jaccard
+    pair subquery at min(τ) and the minhash band-candidate subquery
+    reuse the SAME generators as their standalone oracles, then every
+    τ row aggregates the tagged pair set."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        SWEEP_THRESHOLDS,
+    )
+
+    lo = min(SWEEP_THRESHOLDS)
+    thr = ", ".join(f"({t})" for t in SWEEP_THRESHOLDS)
+    return f"""
+WITH truth AS (SELECT * FROM ({_ngram_jaccard_sql(threshold=lo)})),
+cand AS (SELECT doc_a, doc_b, TRUE AS is_cand
+         FROM ({_minhash_sql(candidates_only=True)})),
+thr(threshold) AS (VALUES {thr}),
+tagged AS (
+  SELECT t.doc_a, t.doc_b, t.jaccard, c.is_cand
+  FROM truth t LEFT JOIN cand c USING (doc_a, doc_b)
+),
+per_pair AS (
+  SELECT thr.threshold, tagged.* FROM tagged, thr
+  WHERE jaccard >= threshold
+),
+stats AS (
+  SELECT threshold, count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN is_cand THEN 1 ELSE 0 END)::BIGINT
+           AS n_lsh_candidates
+  FROM per_pair GROUP BY threshold
+),
+affected AS (
+  SELECT threshold, count(DISTINCT d)::BIGINT AS n_docs_affected
+  FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM per_pair)
+  GROUP BY threshold
+)
+SELECT threshold, n_pairs, n_docs_affected, n_lsh_candidates,
+       round(n_lsh_candidates::DOUBLE / nullif(n_pairs, 0), 6) AS lsh_recall
+FROM stats JOIN affected USING (threshold)
+ORDER BY threshold"""
 
 
 def _freshness_report_lines_sql() -> str:
@@ -5259,6 +5307,7 @@ FROM c ORDER BY lang, predicted_lang"""
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["cvm_fund_picks"] = _cvm_fund_picks_sql()
     out["focos1km_tifs"] = _focos1km_tifs_sql()
+    out["dedup_threshold_sweep"] = _dedup_threshold_sweep_sql()
     # audits/markdown.py render_table/_escape_cell twin: the note cell
     # carries a REAL pipe, so the escape is value-checked
     out["audit_markdown_table"] = """

@@ -1637,3 +1637,80 @@ def edit_distance_topk(
         .select("query_id", "rank", "cand_id", "edit_distance")
         .orderBy("query_id", "rank")
     )
+
+
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+def dedup_threshold_sweep(
+    documents: DataFrame,
+    thresholds: tuple[float, ...] = SWEEP_THRESHOLDS,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """The near-dup THRESHOLD TUNING curve in one pass: for each
+    Jaccard cutoff τ, how many exact pairs exist, how many documents
+    they touch, and how many of those pairs the MinHash band geometry
+    SURFACES AS CANDIDATES — the empirical LSH S-curve (collision
+    probability rising with true similarity) that picks a (hashes,
+    bands) geometry for a corpus, run as a catalog entry instead of a
+    notebook.
+
+    Both pair tables compute ONCE (exact pairs at min(τ) with their
+    jaccard values; band candidates from the shared
+    ``minhash_band_frame``); every τ row is then a filter + aggregate
+    over the persisted pairs — the sweep costs one broadcast of the
+    |τ| literal rows, never a re-run per threshold.
+    """
+    lo = min(thresholds)
+    truth = _persist(dedup_ngram_jaccard(documents, n=n, threshold=lo))
+    sh = hashed_shingle_table(documents, n)
+    banded = minhash_band_frame(sh, num_hashes, bands)
+    cand = _persist(
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .withColumn("is_cand", F.lit(True))
+    )
+    spark = documents.sparkSession
+    thr = F.broadcast(
+        spark.createDataFrame([(t,) for t in thresholds], "threshold double")
+    )
+    tagged = truth.join(cand, ["doc_a", "doc_b"], "left")
+    per_pair = tagged.join(thr).where(F.col("jaccard") >= F.col("threshold"))
+    stats = per_pair.groupBy("threshold").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).alias(
+            "n_lsh_candidates"
+        ),
+    )
+    affected = (
+        per_pair.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("d")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("d").alias("n_docs_affected"))
+    )
+    return (
+        stats.join(affected, "threshold")
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_affected",
+            "n_lsh_candidates",
+            ratio(
+                F.col("n_lsh_candidates")
+                / F.nullif(F.col("n_pairs"), F.lit(0))
+            ).alias("lsh_recall"),
+        )
+        .orderBy("threshold")
+    )

@@ -233,6 +233,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freshness_report_lines": lambda s, d: freshness.freshness_report_lines(
         load_table(s, d, "events")
     ),
+    "dedup_threshold_sweep": lambda s, d: dedup.dedup_threshold_sweep(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
@@ -689,7 +692,6 @@ _R7_WINDOW: tuple[str, ...] = (
     "catalog_cards",
     "catalog_summary",
     "customers_without_orders",
-    "dir_listing_files",
     "feed_validate",
     "html_extract",
     "html_list_parse",
@@ -724,6 +726,8 @@ _R7_WINDOW: tuple[str, ...] = (
     # rows stand, parity-tested per session — for the two renderers)
     "audit_markdown_table",
     "freshness_report_lines",
+    # (dir_listing_files rotated back out — r3 row stands)
+    "dedup_threshold_sweep",
 )
 assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
 QUERIES = {

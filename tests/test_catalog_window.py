@@ -50,6 +50,7 @@ MUST_BE_IN_WINDOW = {
     "focos1km_tifs",
     "audit_markdown_table",
     "freshness_report_lines",
+    "dedup_threshold_sweep",
 }
 
 
