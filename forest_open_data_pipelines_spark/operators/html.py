@@ -2314,8 +2314,16 @@ def cvm_fund_picks(documents: DataFrame) -> DataFrame:
             )
         )
     )
-    classified = rows.select(
-        "dataset", "url", is_meta.alias("is_meta"), period.alias("period")
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    # persist: the data-cut and meta branches both read this frame —
+    # without the barrier the union recomputes the distinct + the
+    # 12-branch classification per branch (measured 2.2 → 1.3 s at
+    # sf0.1); the table is bounded by |distinct urls|
+    classified = _persist(
+        rows.select(
+            "dataset", "url", is_meta.alias("is_meta"), period.alias("period")
+        )
     )
     cut = F.create_map(
         *[F.lit(x) for kv in CVM_FUND_CUTS.items() for x in kv]
