@@ -5308,6 +5308,29 @@ FROM c ORDER BY lang, predicted_lang"""
     out["cvm_fund_picks"] = _cvm_fund_picks_sql()
     out["focos1km_tifs"] = _focos1km_tifs_sql()
     out["dedup_threshold_sweep"] = _dedup_threshold_sweep_sql()
+    # audits/utils.py pick_best_column twin, CLOSED FORM: the expected
+    # pick per header kind stated directly (kind 1 pins the cidade
+    # fallback, kind 2 the accent-stripping normalize, kind 3 the
+    # last-header-wins overwrite, kind 4 the no-match NULL)
+    out["column_best_match"] = """
+WITH k AS (SELECT doc_id, (doc_id % 5)::INT AS kind FROM documents)
+SELECT doc_id, field,
+  CASE field
+    WHEN 'date' THEN
+      CASE kind WHEN 0 THEN 'data_hora' WHEN 1 THEN 'Data Hora'
+                WHEN 2 THEN 'DATAHORA_GMT' WHEN 3 THEN 'Data_Hora'
+                ELSE 'data' END
+    WHEN 'municipality' THEN
+      CASE kind WHEN 0 THEN 'municipio' WHEN 1 THEN 'Cidade'
+                WHEN 2 THEN 'MUNICÍPIO' WHEN 3 THEN 'municipio'
+                ELSE 'municipio' END
+    ELSE
+      CASE kind WHEN 0 THEN 'focos' WHEN 1 THEN 'N Focos'
+                WHEN 2 THEN 'QUANTIDADE' WHEN 3 THEN 'Focos'
+                ELSE NULL END
+  END AS chosen_column
+FROM k, (VALUES ('count'), ('date'), ('municipality')) f(field)
+ORDER BY doc_id, field"""
     # audits/markdown.py render_table/_escape_cell twin: the note cell
     # carries a REAL pipe, so the escape is value-checked
     out["audit_markdown_table"] = """

@@ -157,6 +157,7 @@ HEADLINE = [
     "focos1km_tifs",
     "audit_markdown_table",
     "freshness_report_lines",
+    "column_best_match",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

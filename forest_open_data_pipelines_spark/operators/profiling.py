@@ -462,3 +462,87 @@ def audit_markdown_table(documents: DataFrame) -> DataFrame:
         "seq long, line string",
     )
     return head.unionByName(numbered).orderBy("seq")
+
+
+# ── Header → candidate column matching (audits/utils.py twin) ───────────────
+
+# audits/utils.py:113-123: normalize = strip non-[a-z0-9] AFTER
+# casefold (accents are REMOVED, not transliterated — 'Município' and
+# 'municpio' normalize equal); the normalized map keeps the LAST
+# header per normalized form (dict overwrite), and the FIRST candidate
+# with a normalized hit wins. (casefold vs lower diverges only on
+# chars like ß, which these Brazilian-agency headers never carry.)
+BEST_MATCH_FIELDS = (
+    ("date", ("data_hora", "data", "datahora_gmt")),
+    ("municipality", ("municipio", "município", "cidade")),
+    ("count", ("focos", "n_focos", "quantidade")),
+)
+
+_HEADER_KINDS = 5
+
+
+def _norm_header(col: Column) -> Column:
+    return F.regexp_replace(F.lower(col), "[^a-z0-9]", "")
+
+
+def wrap_documents_as_csv_headers(documents: DataFrame) -> DataFrame:
+    """Render documents as messy CSV header lists cycled by doc_id:
+    exact snake_case, spaced Title Case, accented UPPERCASE, a
+    duplicate-normalized-form pair (last one must win), and a header
+    set with NO match for the count field (NULL pick)."""
+    kinds = F.array(
+        F.array(F.lit("data_hora"), F.lit("municipio"), F.lit("focos")),
+        F.array(F.lit("Data Hora"), F.lit("Cidade"), F.lit("N Focos")),
+        F.array(F.lit("DATAHORA_GMT"), F.lit("MUNICÍPIO"), F.lit("QUANTIDADE")),
+        F.array(
+            F.lit("data-hora"), F.lit("Data_Hora"), F.lit("municipio"),
+            F.lit("Focos"),
+        ),
+        F.array(F.lit("data"), F.lit("municipio"), F.lit("bioma")),
+    )
+    return documents.select(
+        "doc_id",
+        F.element_at(
+            kinds, (F.col("doc_id") % _HEADER_KINDS + 1).cast("int")
+        ).alias("headers"),
+    )
+
+
+def column_best_match(documents: DataFrame) -> DataFrame:
+    """``pick_best_column`` for every (document, target field): the
+    schema-mapping step an audit runs before reading a messy agency
+    CSV. One row per (doc, field) with the chosen ORIGINAL header (or
+    NULL when no candidate normalizes into the header set).
+
+    Scale: pure array-lambda projection per row (the candidate lists
+    are literals), one explode for the field fan-out, no join, no
+    shuffle except the presentation sort.
+    """
+    import re as _re
+
+    def _hits(norm_target: str):
+        # single-arg lambda on purpose: a 2-arg filter lambda would be
+        # interpreted as (element, INDEX) by Spark
+        t = F.lit(norm_target)
+        return F.filter(F.col("headers"), lambda x: _norm_header(x) == t)
+
+    h = wrap_documents_as_csv_headers(documents)
+    picks = []
+    for field, candidates in BEST_MATCH_FIELDS:
+        # coalesce in candidate order = FIRST candidate with a hit
+        # wins; element_at(…, -1) = LAST header per normalized form
+        # wins within a candidate (the reference dict's overwrite)
+        chosen = None
+        for cand in candidates:
+            hit = _hits(_re.sub(r"[^a-z0-9]", "", cand.casefold()))
+            pick = F.when(F.size(hit) > 0, F.element_at(hit, -1))
+            chosen = pick if chosen is None else F.coalesce(chosen, pick)
+        picks.append(
+            F.struct(F.lit(field).alias("field"), chosen.alias("chosen"))
+        )
+    return (
+        h.select("doc_id", F.explode(F.array(*picks)).alias("p"))
+        .select("doc_id", F.col("p.field").alias("field"),
+                F.col("p.chosen").alias("chosen_column"))
+        .orderBy("doc_id", "field")
+    )

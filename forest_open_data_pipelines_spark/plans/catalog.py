@@ -236,6 +236,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_threshold_sweep": lambda s, d: dedup.dedup_threshold_sweep(
         load_table(s, d, "documents")
     ),
+    "column_best_match": lambda s, d: profiling.column_best_match(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
@@ -694,7 +697,6 @@ _R7_WINDOW: tuple[str, ...] = (
     "customers_without_orders",
     "feed_validate",
     "html_extract",
-    "html_list_parse",
     "lang_id",
     "manifest_status",
     "multimodal_features",
@@ -728,6 +730,8 @@ _R7_WINDOW: tuple[str, ...] = (
     "freshness_report_lines",
     # (dir_listing_files rotated back out — r3 row stands)
     "dedup_threshold_sweep",
+    # (html_list_parse rotated back out — r3 row stands)
+    "column_best_match",
 )
 assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
 QUERIES = {

@@ -51,6 +51,7 @@ MUST_BE_IN_WINDOW = {
     "audit_markdown_table",
     "freshness_report_lines",
     "dedup_threshold_sweep",
+    "column_best_match",
 }
 
 
