@@ -414,3 +414,64 @@ def test_tfidf_matches_python_twin(spark, docs_words):
         for rank, (neg_s, w, c) in enumerate(scored[:TFIDF_TOP_K], 1):
             expected.append((i, rank, w, c, df[w], round(-neg_s / 1e6, 6)))
     assert got == expected
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1990, 1, 1),
+                max_value=__import__("datetime").datetime(2049, 12, 28),
+            ).map(lambda d: d.replace(microsecond=0)),
+            st.sampled_from(
+                ["GMT", "+0100", "+0230", "-0300", "-1130", "+0000"]
+            ),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_rfc2822_signal_matches_stdlib_parsedate(spark, stamps):
+    """Random wall-clock datetimes × offsets rendered as RFC-2822
+    Last-Modified headers: the operator's micros offset arithmetic
+    must land on exactly the UTC instant email.utils.
+    parsedate_to_datetime computes (the reference's parser,
+    freshness/watch.py:199)."""
+    from datetime import timezone
+    from email.utils import parsedate_to_datetime
+
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.operators.freshness import (
+        RFC2822_MONTHS,
+        RFC2822_RE,
+        _utc_from_parts,
+    )
+
+    headers = []
+    for dt, tz in stamps:
+        headers.append(
+            f"Tue, {dt.day} {RFC2822_MONTHS[dt.month - 1]} {dt.year} "
+            f"{dt:%H:%M:%S} {tz}"
+        )
+    df = spark.createDataFrame([(h,) for h in headers], "hdr string")
+    g = lambda i: F.nullif(F.regexp_extract("hdr", RFC2822_RE, i), F.lit(""))
+    mon = F.array_position(
+        F.array(*[F.lit(m) for m in RFC2822_MONTHS]), g(2)
+    ).cast("int")
+    out = df.select(
+        "hdr",
+        _utc_from_parts(
+            g(3).cast("int"), mon, g(1).cast("int"),
+            g(4).cast("int"), g(5).cast("int"), g(6).cast("int"),
+            g(7), gmt_token="GMT",
+        ).alias("ts"),
+    ).collect()
+    got = {r.hdr: r.ts for r in out}
+    for h in headers:
+        expected = parsedate_to_datetime(h)
+        if expected.tzinfo is None:  # GMT parses aware; offsets too
+            expected = expected.replace(tzinfo=timezone.utc)
+        expected = expected.astimezone(timezone.utc).replace(tzinfo=None)
+        assert got[h] == expected, h
