@@ -45,3 +45,24 @@ def dedup_content_stream(
         .withWatermark(watermark_col, watermark)
         .dropDuplicatesWithinWatermark(["content_fingerprint"])
     )
+
+
+def media_dedup_stream(
+    media_stream: DataFrame, watermark_col: str = "ts", watermark: str = "2 days"
+) -> DataFrame:
+    """Content-addressed MEDIA streaming dedup: sha2-256 the binary
+    payload (the same digest identity ``operators.multimodal.
+    multimodal_dedup`` keys its batch table on) and keep the first
+    record per digest within the watermark horizon — the dedup-on-
+    ingest gate of a media lake, where re-crawls and mirror overlaps
+    deliver byte-identical blobs days apart.
+
+    The digest is computed BEFORE the stateful operator, so state
+    stores 32 bytes per key, never the payload; bounded by the
+    watermark like the text twin above.
+    """
+    return (
+        media_stream.withColumn("sha256", F.sha2("payload", 256))
+        .withWatermark(watermark_col, watermark)
+        .dropDuplicatesWithinWatermark(["sha256"])
+    )

@@ -1156,3 +1156,57 @@ def test_watch_signal_stream_matches_batch(spark, tmp_path):
     ))
     assert sorted(map(key, emitted)) == sorted(map(key, batch))
     assert emitted, "watcher emitted nothing"
+
+
+def test_media_dedup_stream_first_per_digest(spark, tmp_path):
+    """Replayed media batches emit exactly ONE record per payload
+    digest, and the kept digest set equals batch multimodal_dedup's
+    canonical set."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.multimodal import (
+        as_media_table,
+        multimodal_dedup,
+    )
+    from forest_open_data_pipelines_spark.streaming.dedup import (
+        media_dedup_stream,
+    )
+
+    src = tmp_path / "media_src"
+    src.mkdir()
+    docs = load_table(spark, SF_DIR, "documents")
+    media = as_media_table(docs).withColumn(
+        "ts", F.timestamp_seconds(F.col("media_id") + 1_700_000_000)
+    )
+    staging = tmp_path / "media_staging"
+    media.coalesce(1).write.parquet(str(staging))
+    (part,) = [p for p in staging.iterdir() if p.suffix == ".parquet"]
+    # two plain files directly under src (the stream source does not
+    # recurse into written directories): the second is a byte replay
+    shutil.copy(part, src / "b1.parquet")
+    shutil.copy(part, src / "b2.parquet")
+    stream = (
+        spark.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        media_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("media_dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_media_dedup"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql(
+            "SELECT sha256, count(*) AS n FROM media_dedup_test GROUP BY 1"
+        ).collect()
+    finally:
+        query.stop()
+    assert emitted and all(r.n == 1 for r in emitted)
+    canon = {
+        r.sha256 for r in multimodal_dedup(docs).collect() if r.is_canonical
+    }
+    assert {r.sha256 for r in emitted} == canon
