@@ -475,3 +475,53 @@ def test_rfc2822_signal_matches_stdlib_parsedate(spark, stamps):
             expected = expected.replace(tzinfo=timezone.utc)
         expected = expected.astimezone(timezone.utc).replace(tzinfo=None)
         assert got[h] == expected, h
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1990, 1, 1),
+                max_value=__import__("datetime").datetime(2049, 12, 28),
+            ).map(lambda d: d.replace(microsecond=0)),
+            st.sampled_from(["Z", "+01:00", "+02:30", "-03:00", "-11:30", ""]),
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_iso_signal_matches_stdlib_fromisoformat(spark, stamps):
+    """Random datetimes × ISO suffixes (Z / ±HH:MM / naive): the
+    operator's arithmetic must equal the reference's
+    datetime.fromisoformat + naive-assumed-UTC astimezone chain
+    (freshness/watch.py:240-258)."""
+    from datetime import datetime as _dt
+    from datetime import timezone
+
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.operators.freshness import (
+        ISO_SIGNAL_RE,
+        _utc_from_parts,
+    )
+
+    vals = [f"{dt.isoformat()}{sfx}" for dt, sfx in stamps]
+    df = spark.createDataFrame([(v,) for v in vals], "iso string")
+    g = lambda i: F.nullif(F.regexp_extract("iso", ISO_SIGNAL_RE, i), F.lit(""))
+    out = df.select(
+        "iso",
+        _utc_from_parts(
+            g(1).cast("int"), g(2).cast("int"), g(3).cast("int"),
+            g(4).cast("int"), g(5).cast("int"), g(6).cast("int"),
+            g(7), gmt_token="Z",
+        ).alias("ts"),
+    ).collect()
+    got = {r.iso: r.ts for r in out}
+    for v in vals:
+        text = v[:-1] + "+00:00" if v.endswith("Z") else v
+        expected = _dt.fromisoformat(text)
+        if expected.tzinfo is None:
+            expected = expected.replace(tzinfo=timezone.utc)
+        expected = expected.astimezone(timezone.utc).replace(tzinfo=None)
+        assert got[v] == expected, v
