@@ -5308,6 +5308,19 @@ FROM c ORDER BY lang, predicted_lang"""
     out["cvm_fund_picks"] = _cvm_fund_picks_sql()
     out["focos1km_tifs"] = _focos1km_tifs_sql()
     out["dedup_threshold_sweep"] = _dedup_threshold_sweep_sql()
+    # snapshot diff, CLOSED FORM: statuses derive from the residues
+    # the B-derivation is keyed on (removed beats changed: a dropped
+    # row's revision flag is moot)
+    out["corpus_snapshot_diff"] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 17 = 3 THEN 'removed'
+       WHEN doc_id % 13 = 5 THEN 'changed'
+       ELSE 'unchanged' END AS status
+FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+FROM documents WHERE doc_id % 29 = 7
+ORDER BY doc_id"""
     # audits/utils.py pick_best_column twin, CLOSED FORM: the expected
     # pick per header kind stated directly (kind 1 pins the cidade
     # fallback, kind 2 the accent-stripping normalize, kind 3 the

@@ -158,6 +158,7 @@ HEADLINE = [
     "audit_markdown_table",
     "freshness_report_lines",
     "column_best_match",
+    "corpus_snapshot_diff",
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

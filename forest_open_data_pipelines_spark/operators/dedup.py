@@ -1714,3 +1714,61 @@ def dedup_threshold_sweep(
         )
         .orderBy("threshold")
     )
+
+
+# ── Corpus snapshot diff (data-versioning shape) ────────────────────────────
+
+
+def wrap_documents_as_snapshot_b(documents: DataFrame) -> DataFrame:
+    """Derive snapshot B from the documents table deterministically:
+    doc_id % 17 == 3 rows are DROPPED (removed), % 13 == 5 rows get a
+    text revision (changed), and % 29 == 7 rows spawn a NEW doc at
+    doc_id + 1_000_000 (added) — every diff status occurs, keyed on
+    residues so the oracle can state expectations in closed form."""
+    kept = documents.where(F.col("doc_id") % 17 != 3)
+    revised = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.concat(F.col("text"), F.lit(" [rev 2]")),
+        ).otherwise(F.col("text")),
+    )
+    added = documents.where(F.col("doc_id") % 29 == 7).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.lit("new: "), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return revised.unionByName(added)
+
+
+def corpus_snapshot_diff(
+    snapshot_a: DataFrame, snapshot_b: DataFrame
+) -> DataFrame:
+    """Diff two corpus snapshots by key + content fingerprint: one row
+    per doc_id with status ∈ {added, removed, changed, unchanged} —
+    the table-diff a versioned data lake runs between ingests to
+    answer "what changed since yesterday" without trusting upstream
+    change feeds.
+
+    Scale: each side reduces to (doc_id, md5 fingerprint) BEFORE the
+    FULL OUTER join — 40 bytes/row cross the one doc_id-keyed
+    exchange, never the text; statuses are pure projections over the
+    join result. At lake scale both sides would read
+    doc_id-bucketed tables and the exchange disappears entirely.
+    """
+    fp = F.md5(F.col("text"))
+    a = snapshot_a.select("doc_id", fp.alias("fp_a"))
+    b = snapshot_b.select("doc_id", fp.alias("fp_b"))
+    status = (
+        F.when(F.col("fp_a").isNull(), "added")
+        .when(F.col("fp_b").isNull(), "removed")
+        .when(F.col("fp_a") != F.col("fp_b"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select("doc_id", status.alias("status"))
+        .orderBy("doc_id")
+    )

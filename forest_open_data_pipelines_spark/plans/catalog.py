@@ -239,6 +239,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_best_match": lambda s, d: profiling.column_best_match(
         load_table(s, d, "documents")
     ),
+    "corpus_snapshot_diff": lambda s, d: dedup.corpus_snapshot_diff(
+        load_table(s, d, "documents"),
+        dedup.wrap_documents_as_snapshot_b(load_table(s, d, "documents")),
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
@@ -697,7 +701,6 @@ _R7_WINDOW: tuple[str, ...] = (
     "customers_without_orders",
     "feed_validate",
     "html_extract",
-    "lang_id",
     "manifest_status",
     "multimodal_features",
     "multimodal_frames",
@@ -732,6 +735,9 @@ _R7_WINDOW: tuple[str, ...] = (
     "dedup_threshold_sweep",
     # (html_list_parse rotated back out — r3 row stands)
     "column_best_match",
+    # (lang_id rotated back out — r3 row stands; lang_id_ngram and
+    # lang_id_confusion keep LID coverage in-window)
+    "corpus_snapshot_diff",
 )
 assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
 QUERIES = {

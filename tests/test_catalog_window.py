@@ -52,6 +52,7 @@ MUST_BE_IN_WINDOW = {
     "freshness_report_lines",
     "dedup_threshold_sweep",
     "column_best_match",
+    "corpus_snapshot_diff",
 }
 
 
