@@ -467,3 +467,35 @@ def test_spread_fans_out_small_scans_and_noops_when_wide(spark, tmp_path):
     assert sorted(r.id for r in out.collect()) == list(range(1000))
     wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism)
     assert spread(wide) is wide  # no-op above the guard
+
+
+def test_snapshot_diff_on_bucketed_tables_skips_exchange(spark, tmp_path):
+    """corpus_snapshot_diff's scale claim, tied to evidence: over two
+    doc_id-bucketed snapshot tables the FULL OUTER diff join plans
+    with NO Exchange (bucket co-location replaces the shuffle), and
+    the statuses equal the unbucketed run row-for-row."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        corpus_snapshot_diff,
+        wrap_documents_as_snapshot_b,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    snap_b = wrap_documents_as_snapshot_b(docs)
+    write_bucketed_table(
+        docs, "snap_a_b", "doc_id", 8, path=str(tmp_path / "snap_a")
+    )
+    write_bucketed_table(
+        snap_b, "snap_b_b", "doc_id", 8, path=str(tmp_path / "snap_b")
+    )
+    diff = corpus_snapshot_diff(spark.table("snap_a_b"), spark.table("snap_b_b"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = diff._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    assert "SortMergeJoin" in plan and "FullOuter" in plan
+    # the only exchange is the presentation sort's rangepartitioning —
+    # no hash exchange feeds the join: bucket co-location replaced it
+    assert "Exchange hashpartitioning" not in plan
+    expected = corpus_snapshot_diff(docs, snap_b).collect()
+    assert sorted(map(tuple, diff.collect())) == sorted(map(tuple, expected))
