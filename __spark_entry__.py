@@ -967,6 +967,48 @@ SELECT doc_id,
 FROM seeds ORDER BY doc_id"""
 
 
+def _route_nearest_query_sql() -> str:
+    """DuckDB twin of similarity.route_nearest_query — argmax over
+    integer micro-cosines (0-dp round, the boundary-safe class),
+    lowest query_id on ties; the query-set size and threshold import
+    from the operator module so the twins cannot desynchronize."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        ROUTE_N_QUERIES,
+        ROUTE_THRESHOLD_MICRO,
+    )
+
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS q_norm
+  FROM embeddings WHERE vec_id < {ROUTE_N_QUERIES}
+),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS c_emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS c_norm
+  FROM embeddings WHERE vec_id >= {ROUTE_N_QUERIES}
+),
+scored AS (
+  SELECT c.vec_id, q.query_id,
+         round(list_dot_product(c.c_emb, q.q_emb)
+               / (c.c_norm * q.q_norm) * 1000000.0, 0)::BIGINT AS cm
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cm DESC, query_id) AS rnk
+  FROM scored
+)
+SELECT s.vec_id,
+       max(CASE WHEN rnk = 1 THEN query_id END)::INT AS best_query_id,
+       max(CASE WHEN rnk = 1 THEN cm END) / 1000000.0 AS best_cosine,
+       sum(CASE WHEN cm >= {ROUTE_THRESHOLD_MICRO} THEN 1 ELSE 0 END)::INT
+         AS n_above_threshold
+FROM ranked s GROUP BY s.vec_id ORDER BY s.vec_id"""
+
+
 def _freshness_watch_signals_sql() -> str:
     """DuckDB twin of freshness.freshness_watch_signals, CLOSED FORM:
     methods, UTC timestamps (offset arithmetic in integer micros, no
@@ -2714,10 +2756,16 @@ affected AS (
   FROM (SELECT threshold, unnest([doc_a, doc_b]) AS d FROM per_pair)
   GROUP BY threshold
 )
-SELECT threshold, n_pairs, n_docs_affected, n_lsh_candidates,
-       round(n_lsh_candidates::DOUBLE / nullif(n_pairs, 0), 6) AS lsh_recall
-FROM stats JOIN affected USING (threshold)
-ORDER BY threshold"""
+-- LEFT from the threshold list: zero-pair cutoffs keep their row
+SELECT thr.threshold,
+       coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(n_docs_affected, 0)::BIGINT AS n_docs_affected,
+       coalesce(n_lsh_candidates, 0)::BIGINT AS n_lsh_candidates,
+       round(coalesce(n_lsh_candidates, 0)::DOUBLE
+             / nullif(coalesce(n_pairs, 0), 0), 6) AS lsh_recall
+FROM thr LEFT JOIN stats USING (threshold)
+LEFT JOIN affected USING (threshold)
+ORDER BY thr.threshold"""
 
 
 def _freshness_report_lines_sql() -> str:
@@ -4535,36 +4583,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         # routing: argmax over integer micro-cosines (0-dp round — the
         # boundary-safe class), lowest query_id on ties, exactly the
         # strict-> chain route_score_cols folds
-        "route_nearest_query": """
-WITH q AS (
-  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q_emb,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-           AS q_norm
-  FROM embeddings WHERE vec_id < 8
-),
-c AS (
-  SELECT vec_id, embedding::DOUBLE[] AS c_emb,
-         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-           AS c_norm
-  FROM embeddings WHERE vec_id >= 8
-),
-scored AS (
-  SELECT c.vec_id, q.query_id,
-         round(list_dot_product(c.c_emb, q.q_emb)
-               / (c.c_norm * q.q_norm) * 1000000.0, 0)::BIGINT AS cm
-  FROM c CROSS JOIN q
-),
-ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY vec_id ORDER BY cm DESC, query_id) AS rnk
-  FROM scored
-)
-SELECT s.vec_id,
-       max(CASE WHEN rnk = 1 THEN query_id END)::INT AS best_query_id,
-       max(CASE WHEN rnk = 1 THEN cm END) / 1000000.0 AS best_cosine,
-       sum(CASE WHEN cm >= 150000 THEN 1 ELSE 0 END)::INT
-         AS n_above_threshold
-FROM ranked s GROUP BY s.vec_id ORDER BY s.vec_id""",
+        "route_nearest_query": _route_nearest_query_sql(),
         "dedup_ngram_ppjoin": _ngram_exact_sql(),
         "dedup_clusters": _clusters_sql(),
         "quality_repetition": _quality_repetition_sql(),
@@ -5345,16 +5364,24 @@ SELECT doc_id, field,
 FROM k, (VALUES ('count'), ('date'), ('municipality')) f(field)
 ORDER BY doc_id, field"""
     # audits/markdown.py render_table/_escape_cell twin: the note cell
-    # carries a REAL pipe, so the escape is value-checked
-    out["audit_markdown_table"] = """
+    # carries a REAL pipe, so the escape is value-checked; EVERY cell
+    # goes through the same escape macro the operator applies (a
+    # source value growing a pipe/newline must not desynchronize the
+    # twins)
+    esc = (
+        "replace(replace({v}, '|', '\\|'), chr(10), '<br>')"
+    )
+    out["audit_markdown_table"] = f"""
 WITH per_source AS (
   SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs
   FROM documents GROUP BY source
 ),
 body AS (
   SELECT (row_number() OVER (ORDER BY source) + 1)::BIGINT AS seq,
-    '| ' || source || ' | ' || n_docs::VARCHAR || ' | ' || n_langs::VARCHAR
-    || ' | ' || replace('fonte|' || source, '|', '\\|') || ' |' AS line
+    '| ' || {esc.format(v="source")}
+    || ' | ' || {esc.format(v="n_docs::VARCHAR")}
+    || ' | ' || {esc.format(v="n_langs::VARCHAR")}
+    || ' | ' || {esc.format(v="'fonte|' || source")} || ' |' AS line
   FROM per_source
 )
 SELECT seq, line FROM (VALUES

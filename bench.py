@@ -159,6 +159,10 @@ HEADLINE = [
     "freshness_report_lines",
     "column_best_match",
     "corpus_snapshot_diff",
+    # dedup_threshold_sweep re-runs the full exact-jaccard pair
+    # generation plus the minhash banding to produce an evaluation
+    # curve — a report like dedup_method_eval, not a throughput query;
+    # it stays in the driver correctness window only.
     # bpe_encode inherits bpe_train's 10-round training loop (below);
     # its throughput half (vocab fold + count agg) is dominated by the
     # trainer's fixed per-job overhead, so it stays out with it.

@@ -1661,7 +1661,18 @@ def dedup_threshold_sweep(
     jaccard values; band candidates from the shared
     ``minhash_band_frame``); every τ row is then a filter + aggregate
     over the persisted pairs — the sweep costs one broadcast of the
-    |τ| literal rows, never a re-run per threshold.
+    |τ| literal rows, never a re-run per threshold. A τ with zero
+    qualifying pairs still emits its row (zeros + NULL recall).
+
+    Caveat inherited from the truth source: ``dedup_ngram_jaccard``'s
+    hot-shingle stop-list guarantees candidate recall for pairs whose
+    similarity rests on at least one COLD shared shingle — an argument
+    calibrated at τ ≥ 0.8. At the sweep's low-τ end, a pair of
+    boilerplate-heavy near-copies whose EVERY shared shingle is hot
+    can be absent from the truth set, so the curve's τ < 0.8 rows
+    read as "the detectable-pair curve", not an absolute census (both
+    engines share the construction, so the oracle shares the bias —
+    stated here rather than silently implied).
     """
     lo = min(thresholds)
     truth = _persist(dedup_ngram_jaccard(documents, n=n, threshold=lo))
@@ -1700,16 +1711,22 @@ def dedup_threshold_sweep(
         .groupBy("threshold")
         .agg(F.count_distinct("d").alias("n_docs_affected"))
     )
+    # LEFT join from the full threshold list: a τ with ZERO qualifying
+    # pairs must still emit its (τ, 0, 0, 0, NULL) row — a hole in the
+    # curve would be indistinguishable from "not swept"
     return (
-        stats.join(affected, "threshold")
+        thr.join(stats, "threshold", "left")
+        .join(affected, "threshold", "left")
         .select(
             "threshold",
-            "n_pairs",
-            "n_docs_affected",
-            "n_lsh_candidates",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+            F.coalesce("n_lsh_candidates", F.lit(0)).alias(
+                "n_lsh_candidates"
+            ),
             ratio(
-                F.col("n_lsh_candidates")
-                / F.nullif(F.col("n_pairs"), F.lit(0))
+                F.coalesce("n_lsh_candidates", F.lit(0))
+                / F.nullif(F.coalesce("n_pairs", F.lit(0)), F.lit(0))
             ).alias("lsh_recall"),
         )
         .orderBy("threshold")
@@ -1756,14 +1773,24 @@ def corpus_snapshot_diff(
     FULL OUTER join — 40 bytes/row cross the one doc_id-keyed
     exchange, never the text; statuses are pure projections over the
     join result. At lake scale both sides would read
-    doc_id-bucketed tables and the exchange disappears entirely.
+    doc_id-bucketed tables and the exchange disappears entirely
+    (plan-asserted in tests/test_io.py).
+
+    Presence comes from an explicit per-side marker, NOT from the
+    fingerprint's nullness — a NULL-text row must read as present
+    (md5(NULL) is NULL and would masquerade as a missing side); its
+    content hashes as the empty string.
     """
-    fp = F.md5(F.col("text"))
-    a = snapshot_a.select("doc_id", fp.alias("fp_a"))
-    b = snapshot_b.select("doc_id", fp.alias("fp_b"))
+    fp = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    a = snapshot_a.select(
+        "doc_id", fp.alias("fp_a"), F.lit(True).alias("in_a")
+    )
+    b = snapshot_b.select(
+        "doc_id", fp.alias("fp_b"), F.lit(True).alias("in_b")
+    )
     status = (
-        F.when(F.col("fp_a").isNull(), "added")
-        .when(F.col("fp_b").isNull(), "removed")
+        F.when(F.col("in_a").isNull(), "added")
+        .when(F.col("in_b").isNull(), "removed")
         .when(F.col("fp_a") != F.col("fp_b"), "changed")
         .otherwise("unchanged")
     )

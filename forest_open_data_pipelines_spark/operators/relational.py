@@ -1094,9 +1094,11 @@ def q20_dominant_suppliers(
         .select("l_suppkey")
         .distinct()
     )
-    supp_dim = supplier.join(
-        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
-    ).select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    supp_dim = F.broadcast(
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+    )
     return (
         dominant.join(supp_dim, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_name", "nation")

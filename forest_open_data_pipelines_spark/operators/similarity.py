@@ -1139,6 +1139,7 @@ def ann_method_eval(
 # ── Nearest-query routing (the stream-safe ANN scoring shape) ────────────────
 
 ROUTE_THRESHOLD_MICRO = 150_000  # 0.15 at 6 dp, exact integer compare
+ROUTE_N_QUERIES = 8  # frozen routing set size (single-sourced with the oracle)
 
 
 def collect_route_queries(
@@ -1215,7 +1216,7 @@ def route_cols_from_scores(
 
 def route_nearest_query(
     embeddings: DataFrame,
-    n_queries: int = 8,
+    n_queries: int = ROUTE_N_QUERIES,
     threshold_micro: int = ROUTE_THRESHOLD_MICRO,
 ) -> DataFrame:
     """Route every non-query vector to its nearest frozen query: the
