@@ -3735,3 +3735,40 @@ def test_focos1km_grammar_fixed_points(spark):
     assert any(r.period.endswith("-13") for r in rows)  # no validation
     periods = [r.period for r in rows]
     assert periods == sorted(periods, reverse=True)
+
+
+def test_threshold_sweep_emits_zero_pair_cutoffs(spark):
+    """A cutoff with NO qualifying pairs still emits its row (zeros +
+    NULL recall) — a hole in the curve would be indistinguishable from
+    'not swept'. Three documents: two near-identical (high jaccard),
+    one unrelated; τ=0.99 keeps... the near-twins may still qualify,
+    so assert on the FULL threshold list being present and the zero
+    rows being well-formed."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        SWEEP_THRESHOLDS,
+        dedup_threshold_sweep,
+        release_persisted,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (0, base, "en", "s", len(base)),
+            (1, base + " lambda", "en", "s", len(base) + 7),
+            (2, "one two three four five six seven eight nine ten", "en", "s", 49),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        rows = {r.threshold: r for r in dedup_threshold_sweep(docs).collect()}
+    finally:
+        release_persisted()
+    assert set(rows) == set(SWEEP_THRESHOLDS)
+    for t, r in rows.items():
+        if r.n_pairs == 0:
+            assert r.n_docs_affected == 0 and r.n_lsh_candidates == 0
+            assert r.lsh_recall is None
+    # the near-twins' jaccard (8 shared of 10 distinct trigram-ish
+    # shingles) sits below 0.9, so at least one cutoff is a zero row
+    assert any(r.n_pairs == 0 for r in rows.values())
+    assert rows[0.5].n_pairs >= 1
