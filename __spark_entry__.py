@@ -2768,6 +2768,46 @@ LEFT JOIN affected USING (threshold)
 ORDER BY thr.threshold"""
 
 
+def _simhash_budget_sweep_sql() -> str:
+    """DuckDB twin of dedup.simhash_budget_sweep: the ground-truth
+    all-pairs simhash64 subquery at max(budgets) and the exact-jaccard
+    truth subquery reuse the standalone generators; each budget row
+    aggregates the tagged pair set, zero-pair budgets keep their
+    row."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        SIMHASH_SWEEP_BUDGETS,
+    )
+
+    hi = max(SIMHASH_SWEEP_BUDGETS)
+    thr = ", ".join(f"({h})" for h in SIMHASH_SWEEP_BUDGETS)
+    return f"""
+WITH pairs AS (SELECT * FROM ({_simhash64_sql(max_hamming=hi)})),
+truth AS (SELECT doc_a, doc_b, TRUE AS is_truth
+          FROM ({_ngram_jaccard_sql()})),
+thr(max_hamming) AS (VALUES {thr}),
+nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth),
+tagged AS (
+  SELECT p.doc_a, p.doc_b, p.hamming, t.is_truth
+  FROM pairs p LEFT JOIN truth t USING (doc_a, doc_b)
+),
+stats AS (
+  SELECT thr.max_hamming, count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN is_truth THEN 1 ELSE 0 END)::BIGINT AS n_hit
+  FROM tagged, thr WHERE hamming <= thr.max_hamming
+  GROUP BY thr.max_hamming
+)
+SELECT thr.max_hamming,
+       coalesce(n_pairs, 0)::BIGINT AS n_pairs,
+       nt.n_truth,
+       coalesce(n_hit, 0)::BIGINT AS n_hit,
+       round(coalesce(n_hit, 0)::DOUBLE
+             / nullif(coalesce(n_pairs, 0), 0), 6) AS precision,
+       round(coalesce(n_hit, 0)::DOUBLE / nullif(nt.n_truth, 0), 6)
+         AS recall
+FROM thr LEFT JOIN stats USING (max_hamming) CROSS JOIN nt
+ORDER BY thr.max_hamming"""
+
+
 def _freshness_report_lines_sql() -> str:
     """DuckDB twin of freshness.freshness_report_lines — header/trailer
     literal rows at the operator's exact seqs, body rows composed from
@@ -5327,6 +5367,7 @@ FROM c ORDER BY lang, predicted_lang"""
     out["cvm_fund_picks"] = _cvm_fund_picks_sql()
     out["focos1km_tifs"] = _focos1km_tifs_sql()
     out["dedup_threshold_sweep"] = _dedup_threshold_sweep_sql()
+    out["simhash_budget_sweep"] = _simhash_budget_sweep_sql()
     # snapshot diff, CLOSED FORM: statuses derive from the residues
     # the B-derivation is keyed on (removed beats changed: a dropped
     # row's revision flag is moot)

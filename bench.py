@@ -159,6 +159,10 @@ HEADLINE = [
     "freshness_report_lines",
     "column_best_match",
     "corpus_snapshot_diff",
+    # simhash_budget_sweep generates candidates at the WIDEST budget
+    # (h=15: 4-bit blocks, quadratic buckets — the overshoot finding
+    # itself) to report the promotion curve; an evaluation artifact
+    # like dedup_method_eval, driver correctness window only.
     # dedup_threshold_sweep re-runs the full exact-jaccard pair
     # generation plus the minhash banding to produce an evaluation
     # curve — a report like dedup_method_eval, not a throughput query;

@@ -243,6 +243,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents"),
         dedup.wrap_documents_as_snapshot_b(load_table(s, d, "documents")),
     ),
+    "simhash_budget_sweep": lambda s, d: dedup.simhash_budget_sweep(
+        load_table(s, d, "documents")
+    ),
     # rows-only by design: the per-round argmax is data-dependent (no
     # closed-form SQL); corpus-exact semantics are asserted against an
     # in-test pure-Python reference twin.
@@ -701,7 +704,6 @@ _R7_WINDOW: tuple[str, ...] = (
     "customers_without_orders",
     "feed_validate",
     "html_extract",
-    "manifest_status",
     "multimodal_features",
     "multimodal_frames",
     "nation_series_with_other",
@@ -738,6 +740,8 @@ _R7_WINDOW: tuple[str, ...] = (
     # (lang_id rotated back out — r3 row stands; lang_id_ngram and
     # lang_id_confusion keep LID coverage in-window)
     "corpus_snapshot_diff",
+    # (manifest_status rotated back out — r3 row stands)
+    "simhash_budget_sweep",
 )
 assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
 QUERIES = {

@@ -53,6 +53,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_threshold_sweep",
     "column_best_match",
     "corpus_snapshot_diff",
+    "simhash_budget_sweep",
 }
 
 
