@@ -1042,6 +1042,7 @@ def dedup_clusters(
     threshold: float = 0.8,
     max_iters: int = 20,
     pairs: DataFrame | None = None,
+    closure: str = "doubling",
 ) -> DataFrame:
     """Connected components over the near-duplicate pair graph: one row
     per document with its cluster id (the component's min doc_id), the
@@ -1086,7 +1087,15 @@ def dedup_clusters(
         pairs = dedup_ngram_ppjoin(documents, n=n, threshold=threshold)
     pairs = _persist(pairs.select("doc_a", "doc_b"))
     nodes = documents.select("doc_id")
-    labels = connected_components(nodes, pairs, max_iters=max_iters)
+    # ``closure`` picks the transitive-closure engine: "doubling" (the
+    # measured default — pointer jump + hot-label broadcast split) or
+    # "star" (alternating large-star/small-star, Kiveris et al.) — the
+    # labels are identical (asserted in tests + tools/cc_ab.py); see
+    # connected_components_star's docstring for the A/B verdict.
+    cc = {"doubling": connected_components, "star": connected_components_star}[
+        closure
+    ]
+    labels = cc(nodes, pairs, max_iters=max_iters)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     out = (
         labels.join(sizes, "label")
@@ -1207,6 +1216,106 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 30,
+) -> DataFrame:
+    """Min-label connected components via alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014) — the bounded-fan-in alternative
+    to ``connected_components``' pointer-jump doubling loop.
+
+    Same contract as ``connected_components``: ``nodes`` has
+    ``doc_id``, ``pairs`` has ``doc_a``/``doc_b`` (undirected), output
+    is (doc_id, label) with label = the component's min doc_id.
+
+    WHY A SECOND CLOSURE EXISTS: the doubling loop's pointer-jump join
+    probes on the label column, and every member of a viral cluster
+    carries the SAME label — the hot-key population is exactly the
+    clusters the operator exists to find (mitigated there by the
+    hot-label broadcast split + AQE). The star scheme instead rewrites
+    the EDGE LIST each round:
+
+    - large-star: for each node u, attach every strictly-greater
+      neighbor to m = min(Γ(u) ∪ {u});
+    - small-star: orient edges child=max/parent=min; for each u,
+      attach u and its smaller neighbors to their min.
+
+    Both rounds are groupBy-min (map-side combinable — a hub's fan-in
+    combines before the shuffle) plus one equi-join of the edge list
+    against the bounded per-node min table, and the rewrite provably
+    SHRINKS mega-star fan-in instead of re-shuffling it: a viral
+    component converges to one star in O(log n) rounds with per-round
+    cost O(|E|). The trade is ~2 shuffled jobs per round over the
+    edge list vs the doubling loop's jobs over the (smaller) labels
+    table — measured A/B on the duplicate-heavy probe in
+    ``tools/cc_ab.py`` (results: SURVEY §3).
+
+    Convergence: a round that leaves the (child, parent) edge set
+    unchanged is a fixpoint (all stars, parents = component minima).
+    Each round's edge list is localCheckpoint-ed — same lineage-
+    truncation lesson as the doubling loop (dedup.py:1152).
+    """
+    edges = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("u"),
+            F.greatest("doc_a", "doc_b").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # large-star over the bidirectional view: node x sees Γ(x);
+        # m(x) = min(Γ(x) ∪ {x}); every neighbor y > x re-attaches to
+        # m(x). Edges already oriented (u < v), so Γ is u→v ∪ v→u.
+        bi = edges.select(
+            F.col("u").alias("x"), F.col("v").alias("y")
+        ).unionByName(edges.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        mins = bi.groupBy("x").agg(F.min("y").alias("nbr_min"))
+        mins = mins.select(
+            "x", F.least("nbr_min", F.col("x")).alias("m")
+        )
+        large = (
+            bi.where(F.col("y") > F.col("x"))
+            .join(mins, "x")
+            .select(F.col("m").alias("u"), F.col("y").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: edges are (parent=u < child=v); for each child v,
+        # m = min of its parents; v and its non-min parents attach to
+        # m. The edge (m, v) itself maps to (m, v) through the
+        # u == m branch, so one pass over ``large`` emits the whole
+        # star — no separate child-attach union needed.
+        pmins = large.groupBy("v").agg(F.min("u").alias("m"))
+        small = (
+            large.join(pmins, "v")
+            .select(
+                F.col("m").alias("u"),
+                F.when(F.col("u") != F.col("m"), F.col("u"))
+                .otherwise(F.col("v"))
+                .alias("v"),
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_edges = small.localCheckpoint()
+        same_size = new_edges.count() == edges.count()
+        if same_size and new_edges.exceptAll(edges).count() == 0:
+            edges = new_edges
+            break
+        edges = new_edges
+    parents = edges.groupBy(F.col("v").alias("doc_id")).agg(
+        F.min("u").alias("parent")
+    )
+    labels = nodes.join(parents, "doc_id", "left").select(
+        "doc_id", F.coalesce("parent", F.col("doc_id")).alias("label")
+    )
     return labels
 
 

@@ -2603,6 +2603,67 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         assert got == want, f"trial {trial}"
 
 
+def test_connected_components_star_matches_union_find(spark):
+    """The alternating large-star/small-star closure must produce
+    exactly the union-find min-label components on seeded random
+    graphs — same harness as the doubling-loop test, plus a viral-star
+    and a long-chain worst case."""
+    import random
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = []
+    rng = random.Random(97)
+    for _ in range(5):
+        n = rng.randint(5, 30)
+        m = rng.randint(0, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        cases.append((n, [(a, b) for a, b in edges if a != b]))
+    # viral star (hub 0) + a disjoint chain — the two topologies the
+    # two closures disagree on in cost, so both must agree on labels
+    cases.append((60, [(0, i) for i in range(1, 40)] + [(i, i + 1) for i in range(40, 59)]))
+    cases.append((12, []))
+
+    for trial, (n, edges) in enumerate(cases):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp: dict[int, list[int]] = {}
+        for x in range(n):
+            comp.setdefault(find(x), []).append(x)
+        want = {x: min(members) for members in comp.values() for x in members}
+
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        pairs = (
+            spark.createDataFrame(edges, ["doc_a", "doc_b"])
+            if edges
+            else spark.createDataFrame([], "doc_a long, doc_b long")
+        )
+        got = {
+            r["doc_id"]: r["label"]
+            for r in connected_components_star(nodes, pairs).collect()
+        }
+        assert got == want, f"trial {trial}"
+        # and the two closures agree with each other bit-for-bit
+        doubling = {
+            r["doc_id"]: r["label"]
+            for r in connected_components(nodes, pairs).collect()
+        }
+        assert got == doubling, f"trial {trial}"
+
+
 def test_user_retention_cohorts_hand_check(spark):
     from datetime import datetime
 
