@@ -1252,8 +1252,16 @@ def connected_components_star(
     component converges to one star in O(log n) rounds with per-round
     cost O(|E|). The trade is ~2 shuffled jobs per round over the
     edge list vs the doubling loop's jobs over the (smaller) labels
-    table — measured A/B on the duplicate-heavy probe in
-    ``tools/cc_ab.py`` (results: SURVEY §3).
+    table — measured A/B in ``tools/cc_ab.py`` (2026-08-15, SURVEY
+    §3): ~10% FASTER than doubling on the production rotation corpus
+    at 1-8× (3.00 vs 3.31 s at 8×, both near-flat), ~9% slower on a
+    synthetic 200k-node viral mega-cluster (11.26 vs 10.33 s) where
+    the doubling loop's hot-label broadcast split already neutralizes
+    the label-probe hot key. Doubling therefore stays the
+    ``dedup_clusters`` default; pick this closure when the edge list
+    is the cheaper table to re-shuffle or when a driver-side
+    hot-parent broadcast is unwanted (this path needs none at any
+    cluster-size distribution).
 
     Convergence: a round that leaves the (child, parent) edge set
     unchanged is a fixpoint (all stars, parents = component minima).
