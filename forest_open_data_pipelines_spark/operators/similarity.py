@@ -1140,6 +1140,11 @@ def ann_method_eval(
 
 ROUTE_THRESHOLD_MICRO = 150_000  # 0.15 at 6 dp, exact integer compare
 ROUTE_N_QUERIES = 8  # frozen routing set size (single-sourced with the oracle)
+# Past this many frozen queries the literal-fold expression tree stops
+# being the right plan (the ckan/lang_id_ngram plan-blowup bound: each
+# query adds a 64-step interpreted fold to every projection) and the
+# Arrow kernel takes over.
+ROUTE_LITERAL_MAX_QUERIES = 32
 
 
 def collect_route_queries(
@@ -1190,6 +1195,63 @@ def route_scores_array(
     )
 
 
+def route_scores_arrow(embeddings: DataFrame, queries) -> DataFrame:
+    """Arrow-kernel twin of ``route_scores_array`` for routing sets
+    past the ``ROUTE_LITERAL_MAX_QUERIES`` literal-expression-tree
+    bound: one ``mapInPandas`` pass emits the same query_id-ordered
+    ``array<long>`` of integer micro-cosines.
+
+    Bit-identity with the Catalyst path is engineered, not hoped for
+    (the lsh_band_frame precedent): the kernel accumulates dot and
+    norm SEQUENTIALLY ACROSS DIMS (``acc += E[:, j] * Q[:, j]``), the
+    same left-to-right order as ``_dot``/``_norm``'s folds; the scalar
+    chain ``(dot / (norm * qn)) * 1e6`` is evaluated in the same
+    operation order; and the final micro rounding goes through
+    ``Decimal(repr(v))`` + HALF_UP — the same shortest-decimal-repr
+    path as Spark's ``round(double, 0)`` (``BigDecimal.valueOf``).
+    Parity with the literal path is asserted row-for-row in tests.
+
+    Scale: one streaming Arrow pass, no shuffle, no state — the output
+    is id + m longs per row, so the fallback keeps the streaming-twin
+    shape while supporting routing sets of hundreds of centroids.
+    """
+    import numpy as np
+
+    qm = np.array([q for _, q, _ in queries], dtype=np.float64)  # (m, d)
+    qn = np.array([n for _, _, n in queries], dtype=np.float64)  # (m,)
+    id_type = dict(embeddings.dtypes)["vec_id"]
+
+    def gen(batches):
+        import pandas as pd
+        from decimal import ROUND_HALF_UP, Decimal
+
+        one = Decimal("1")
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            acc = np.zeros((n, qm.shape[0]))
+            nsq = np.zeros(n)
+            for j in range(e.shape[1]):  # sequential over dims == fold order
+                acc = acc + e[:, j, None] * qm[:, j]
+                nsq = nsq + e[:, j] * e[:, j]
+            v = acc / (np.sqrt(nsq)[:, None] * qn) * 1e6
+            cms = [
+                [
+                    int(Decimal(repr(float(x))).quantize(one, rounding=ROUND_HALF_UP))
+                    for x in row
+                ]
+                for row in v
+            ]
+            yield pd.DataFrame({"vec_id": pdf["vec_id"].to_numpy(), "cms": cms})
+
+    return spread(embeddings.select("vec_id", "embedding")).mapInPandas(
+        gen, f"vec_id {id_type}, cms array<bigint>"
+    )
+
+
 def route_cols_from_scores(
     queries: list[tuple[int, list[float], float]],
     cms: Column,
@@ -1218,6 +1280,7 @@ def route_nearest_query(
     embeddings: DataFrame,
     n_queries: int = ROUTE_N_QUERIES,
     threshold_micro: int = ROUTE_THRESHOLD_MICRO,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Route every non-query vector to its nearest frozen query: the
     batch twin of the streaming ANN router (score incoming embeddings
@@ -1229,20 +1292,34 @@ def route_nearest_query(
     is a single-scan pure projection — no join, no shuffle except the
     presentation sort, and the identical expressions serve the
     Structured Streaming twin (streaming/ann_route.py) with zero
-    state.
+    state. ``strategy``: ``"literal"`` forces the Catalyst literal
+    folds, ``"arrow"`` the mapInPandas kernel, ``"auto"`` picks the
+    kernel past ``ROUTE_LITERAL_MAX_QUERIES`` queries (the literal
+    tree adds one interpreted 64-step fold per query to the scan
+    projection — the ckan plan-blowup class); both paths are
+    bit-identical (asserted in tests), so the switch never moves a
+    hash.
     """
     queries = collect_route_queries(embeddings, n_queries)
     best_id, best_cm, n_above = route_cols_from_scores(
         queries, F.col("cms"), threshold_micro
     )
-    scored = (
-        spread(embeddings)
-        .where(F.col("vec_id") >= n_queries)
-        .select(
-            "vec_id",
-            route_scores_array(queries, F.col("embedding")).alias("cms"),
-        )
+    use_arrow = strategy == "arrow" or (
+        strategy == "auto" and len(queries) > ROUTE_LITERAL_MAX_QUERIES
     )
+    if use_arrow:
+        scored = route_scores_arrow(
+            embeddings.where(F.col("vec_id") >= n_queries), queries
+        )
+    else:
+        scored = (
+            spread(embeddings)
+            .where(F.col("vec_id") >= n_queries)
+            .select(
+                "vec_id",
+                route_scores_array(queries, F.col("embedding")).alias("cms"),
+            )
+        )
     return scored.select(
         "vec_id",
         best_id.alias("best_query_id"),

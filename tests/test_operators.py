@@ -3833,3 +3833,41 @@ def test_threshold_sweep_emits_zero_pair_cutoffs(spark):
     # shingles) sits below 0.9, so at least one cutoff is a zero row
     assert any(r.n_pairs == 0 for r in rows.values())
     assert rows[0.5].n_pairs >= 1
+
+
+def test_route_arrow_parity_with_literal(spark):
+    """The Arrow routing kernel must be BIT-identical to the literal
+    Catalyst folds (sequential dim order + repr-HALF_UP rounding), so
+    switching strategies can never move a driver hash."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        route_nearest_query,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    lit_rows = route_nearest_query(emb, strategy="literal").collect()
+    arrow_rows = route_nearest_query(emb, strategy="arrow").collect()
+    assert len(lit_rows) > 0
+    assert [tuple(r) for r in lit_rows] == [tuple(r) for r in arrow_rows]
+
+
+def test_route_auto_switches_to_arrow_past_literal_bound(spark):
+    """Past ROUTE_LITERAL_MAX_QUERIES frozen queries, strategy='auto'
+    must route through the mapInPandas kernel (one Arrow pass instead
+    of one interpreted 64-step fold per query per row — the ckan
+    plan-blowup class) and still match the forced-literal plan
+    value-for-value."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        ROUTE_LITERAL_MAX_QUERIES,
+        route_nearest_query,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    nq = ROUTE_LITERAL_MAX_QUERIES + 8
+    auto = route_nearest_query(emb, n_queries=nq)
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    small = route_nearest_query(emb, n_queries=8)
+    small_plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in small_plan  # default stays literal
+    lit = route_nearest_query(emb, n_queries=nq, strategy="literal")
+    assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in lit.collect()]
