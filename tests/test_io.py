@@ -499,3 +499,107 @@ def test_snapshot_diff_on_bucketed_tables_skips_exchange(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     expected = corpus_snapshot_diff(docs, snap_b).collect()
     assert sorted(map(tuple, diff.collect())) == sorted(map(tuple, expected))
+
+
+def _file_col_ranges(path: str, col: str) -> list[tuple]:
+    """(min, max) per parquet data file under path, from the footers —
+    the statistics the reader's file/row-group skipping actually uses."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    out = []
+    for f in sorted(pathlib.Path(path).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == col
+        )
+        mns, mxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mns.append(st.min)
+            mxs.append(st.max)
+        out.append((min(mns), max(mxs)))
+    return out
+
+
+def test_sorted_layout_linear_disjoint_ranges(spark, tmp_path):
+    """Linear range-sort layout: per-file min/max of the sort column
+    must be (near-)disjoint — the footer property that lets a pushed
+    filter skip whole files — and the rows must round-trip."""
+    from forest_open_data_pipelines_spark.sinks import write_sorted_layout
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    out = str(tmp_path / "li_sorted")
+    write_sorted_layout(li, out, ["l_shipdate"], n_files=8)
+
+    ranges = sorted(_file_col_ranges(out, "l_shipdate"))
+    assert len(ranges) >= 4  # range partitioner actually split the data
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert lo_next >= hi_prev  # disjoint up to boundary-value ties
+    back = spark.read.parquet(out)
+    assert back.count() == li.count()
+    cut = "1995-06-30"
+    got = back.where(F.col("l_shipdate") <= cut).count()
+    assert got == li.where(F.col("l_shipdate") <= cut).count()
+
+
+def test_zorder_layout_tight_on_both_dims(spark, tmp_path):
+    """Z-order vs linear sort on (l_orderkey, l_partkey): linear leaves
+    every file spanning ~the whole l_partkey domain (no skipping on the
+    second column); the Morton layout must cover a small rectangle in
+    BOTH dimensions, so filters on either column skip most files."""
+    from forest_open_data_pipelines_spark.sinks import write_sorted_layout
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    cols = ["l_orderkey", "l_partkey"]
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    write_sorted_layout(li, lin, cols, n_files=16)
+    write_sorted_layout(li, zo, cols, n_files=16, zorder=True)
+
+    def mean_width_fraction(path: str, col: str) -> float:
+        ranges = _file_col_ranges(path, col)
+        lo = min(r[0] for r in ranges)
+        hi = max(r[1] for r in ranges)
+        return sum((r[1] - r[0]) / (hi - lo) for r in ranges) / len(ranges)
+
+    # linear: second column un-clustered (each file ~ full domain)
+    assert mean_width_fraction(lin, "l_partkey") > 0.85
+    # z-order: both dimensions tight enough to skip most files
+    assert mean_width_fraction(zo, "l_orderkey") < 0.6
+    assert mean_width_fraction(zo, "l_partkey") < 0.6
+    # and strictly better than linear on the second dimension
+    assert mean_width_fraction(zo, "l_partkey") < mean_width_fraction(
+        lin, "l_partkey"
+    )
+    back = spark.read.parquet(zo)
+    assert back.count() == li.count()
+    dec = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))  # order-invariant
+    assert back.agg(dec).first()[0] == li.agg(dec).first()[0]
+
+
+def test_compact_parquet_binpacks_small_files(spark, tmp_path):
+    """64 tiny files in, ceil(total/target) evenly-sized files out,
+    rows intact — the standing small-file maintenance job."""
+    import math
+    import pathlib
+
+    from forest_open_data_pipelines_spark.sinks import (
+        compact_parquet,
+        parquet_data_file_sizes,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    li.repartition(64).write.parquet(src)
+    sizes = parquet_data_file_sizes(spark, src)
+    assert len(sizes) == 64
+    target_mb = 0.1
+    n = compact_parquet(spark, src, dst, target_mb=target_mb)
+    assert n == max(1, math.ceil(sum(sizes.values()) / (target_mb * 1024 * 1024)))
+    out_sizes = parquet_data_file_sizes(spark, dst)
+    assert len(out_sizes) == n
+    assert 2 <= n < 64
+    # full-shuffle repartition → evenly sized outputs
+    assert max(out_sizes.values()) < 3 * min(out_sizes.values())
+    assert spark.read.parquet(dst).count() == li.count()
