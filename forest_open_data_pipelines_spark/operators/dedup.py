@@ -1539,7 +1539,7 @@ def dedup_canonical_by_quality(
 
 
 def edit_distance_pairs(
-    documents: DataFrame, max_dist: int = 20, q: int = 4
+    documents: DataFrame, max_dist: int = 20, q: int = 5
 ) -> DataFrame:
     """Edit-distance similarity join: every pair of documents with
     ``levenshtein(a, b) ≤ max_dist`` — the character-level near-dup
@@ -1575,10 +1575,21 @@ def edit_distance_pairs(
 
     Corpus-dependence note (measured): prefix selectivity scales with
     gram DIVERSITY. The synthetic bench corpus draws from a ~40-word
-    vocabulary, so its ~1.3k distinct 4-grams make every prefix collide
-    broadly (0.94M candidates from 5k docs — the join, not the DP, is
-    the bench cost there); natural-language corpora have orders of
-    magnitude more distinct grams and correspondingly sparse prefixes.
+    vocabulary, so its ~1k distinct 4-grams make every prefix collide
+    broadly (0.94M candidates from 5k docs at q=4 — the join, not the
+    DP, is the bench cost there); natural-language corpora have orders
+    of magnitude more distinct grams and correspondingly sparse
+    prefixes.
+
+    ``q`` A/B at sf0.1 (output IDENTICAL at every q — the gram bound
+    gives perfect recall by construction, and the ground-truth oracle
+    pins it): q=4 → 8.3 s steady-state, q=5 → 5.6 s (distinct grams
+    985 → 2041, so per-gram collisions halve while the prefix only
+    grows 81 → 101 grams), q=8 → 5.4 s but REJECTED: min_long rises to
+    q·(k+1)=168 chars, routing 1177/5000 docs (24%) through the
+    quadratic short-doc channel — the wrong shape at corpus scale.
+    q=5 keeps the short channel a corner (515/5000) and is the
+    default.
     """
     k = max_dist
     t = F.lower(clean_text(F.col("text")))
