@@ -2506,6 +2506,61 @@ SELECT doc_id, count(*) AS n_windows,
 FROM ranked GROUP BY doc_id ORDER BY doc_id"""
 
 
+def _duplicate_spans_sql() -> str:
+    """DuckDB twin of curation.duplicate_spans: span_dedup's window
+    geometry and keep-first rule, then a gaps-and-islands merge of the
+    duplicated windows (running max of tok_end, new-island flag,
+    cumulative island id). span_seq/counters cast to BIGINT — the
+    HUGEINT-widening class the parity harness checks."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        SPAN_STRIDE as S,
+        SPAN_WIDTH as W,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
+win AS (
+  SELECT doc_id, len(t) AS n_toks, i - 1 AS win_idx,
+         list_aggregate(list_slice(t, (i-1)*{S} + 1,
+                                   least((i-1)*{S} + {W}, len(t))),
+                        'string_agg', ' ') AS win_text
+  FROM (SELECT doc_id, t,
+               unnest(range(1,
+                 greatest(1, (ceil((len(t) - {W}) / {S}) + 1)::INT) + 1)) AS i
+        FROM toks)
+),
+dups AS (
+  SELECT doc_id,
+         (win_idx * {S})::BIGINT AS tok_start,
+         (least(win_idx * {S} + {W}, n_toks) - 1)::BIGINT AS tok_end
+  FROM (SELECT doc_id, n_toks, win_idx,
+               row_number() OVER (PARTITION BY win_text
+                                  ORDER BY doc_id, win_idx) AS rn
+        FROM win)
+  WHERE rn > 1
+),
+flagged AS (
+  SELECT doc_id, tok_start, tok_end,
+         CASE WHEN tok_start > coalesce(max(tok_end) OVER (
+                PARTITION BY doc_id ORDER BY tok_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM dups
+),
+islands AS (
+  SELECT doc_id, tok_start, tok_end,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY tok_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      )::BIGINT AS span_seq
+  FROM flagged
+)
+SELECT doc_id, span_seq,
+       min(tok_start) AS tok_start, max(tok_end) AS tok_end,
+       (max(tok_end) - min(tok_start) + 1)::BIGINT AS n_tokens,
+       count(*)::BIGINT AS n_windows
+FROM islands GROUP BY doc_id, span_seq ORDER BY doc_id, tok_start"""
+
+
 def _stratified_sample_sql() -> str:
     """DuckDB twin of curation.stratified_sample: md5-derived u in
     millionths, EXACT integer keep predicate (u·n_tokens <
@@ -5272,6 +5327,7 @@ ORDER BY suppkey""",
         "stratified_sample": _stratified_sample_sql(),
         "stratified_token_sample": _stratified_token_sample_sql(),
         "span_dedup": _span_dedup_sql(),
+        "duplicate_spans": _duplicate_spans_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "numeric_correlations": _numeric_correlations_sql(),
         # GROUND-TRUTH oracle (ppjoin convention): length-filtered

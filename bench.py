@@ -103,6 +103,7 @@ HEADLINE = [
     "idle_balance_customers",
     "stratified_token_sample",
     "span_dedup",
+    "duplicate_spans",
     "dedup_incremental",
     "token_histogram",
     "revenue_change_forecast",

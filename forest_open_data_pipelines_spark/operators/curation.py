@@ -876,6 +876,98 @@ def span_dedup(
     )
 
 
+def duplicate_spans(
+    documents: DataFrame, width: int = SPAN_WIDTH, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Maximal duplicated-span EXTRACTION — the action to
+    ``span_dedup``'s report (Lee et al. 2022 'Deduplicating Training
+    Data' removes repeated substrings rather than whole documents,
+    public methodology; their suffix-array pass re-expressed as shared
+    window runs): for every document, the merged token ranges
+    [tok_start, tok_end] covered by windows whose text occurred
+    earlier in the corpus (first occurrence by doc_id, then window
+    start — the ``span_dedup``/``chunk_dedup`` keep-first rule).
+    Overlapping and adjacent duplicated windows merge gaps-and-islands
+    style into maximal spans, so the output is directly actionable:
+    drop these token ranges and rejoin to strip the boilerplate while
+    keeping the novel remainder.
+
+    Scale: same plan family as ``span_dedup`` — one explode, ONE
+    shuffle on the window key for the keep-first rank — plus one
+    doc_id exchange for the islands merge; the merge's running-max /
+    cumulative-flag windows and the final (doc_id, span_seq) aggregate
+    all ride that single doc_id partitioning (hash(doc_id) satisfies
+    the aggregate's clustering), and they run over DUPLICATED windows
+    only, a small fraction of the corpus stream.
+    """
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    n_windows = F.greatest(
+        F.lit(1),
+        (F.ceil((F.size("t") - width) / F.lit(stride)) + 1).cast("int"),
+    )
+    windows = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_join(F.slice(F.col("t"), i * stride + 1, width), " "),
+    )
+    exploded = (
+        spread(documents)
+        .select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.size("t").alias("n_toks"),
+            F.posexplode(windows).alias("win_idx", "win_text"),
+        )
+        .select("doc_id", "n_toks", "win_idx", _md5_int("win_text").alias("key"))
+    )
+    w = Window.partitionBy("key").orderBy("doc_id", "win_idx")
+    dups = (
+        exploded.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            (F.col("win_idx").cast("long") * stride).alias("tok_start"),
+            (
+                F.least(
+                    F.col("win_idx").cast("long") * stride + width,
+                    F.col("n_toks").cast("long"),
+                )
+                - 1
+            ).alias("tok_end"),
+        )
+    )
+    doc_w = Window.partitionBy("doc_id").orderBy("tok_start")
+    prev_end = F.max("tok_end").over(
+        doc_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dups.withColumn(
+        "ni",
+        F.when(prev_end.isNull() | (F.col("tok_start") > prev_end + 1), 1).otherwise(
+            0
+        ),
+    )
+    islands = flagged.withColumn(
+        "span_seq",
+        F.sum("ni").over(doc_w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "span_seq")
+        .agg(
+            F.min("tok_start").alias("tok_start"),
+            F.max("tok_end").alias("tok_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            "doc_id",
+            "span_seq",
+            "tok_start",
+            "tok_end",
+            (F.col("tok_end") - F.col("tok_start") + 1).alias("n_tokens"),
+            "n_windows",
+        )
+        .orderBy("doc_id", "tok_start")
+    )
+
+
 def curation_report_by_source(
     documents: DataFrame, embeddings: DataFrame
 ) -> DataFrame:

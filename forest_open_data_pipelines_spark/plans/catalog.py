@@ -610,6 +610,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "span_dedup": lambda s, d: curation.span_dedup(load_table(s, d, "documents")),
+    "duplicate_spans": lambda s, d: curation.duplicate_spans(
+        load_table(s, d, "documents")
+    ),
     # Incremental ingest dedup: the deterministic doc_id % 13 == 0 slice
     # plays the day's new batch, the rest the accumulated base corpus
     # (13: the only small modulus where an exact duplicate actually

@@ -3871,3 +3871,37 @@ def test_route_auto_switches_to_arrow_past_literal_bound(spark):
     assert "MapInPandas" not in small_plan  # default stays literal
     lit = route_nearest_query(emb, n_queries=nq, strategy="literal")
     assert [tuple(r) for r in auto.collect()] == [tuple(r) for r in lit.collect()]
+
+
+def test_duplicate_spans_extracts_maximal_merged_ranges(spark):
+    """duplicate_spans must merge overlapping duplicated windows into
+    maximal token ranges: two separated copied blocks yield two spans
+    with exact boundaries; a fully-copied doc yields one whole-doc
+    span; first occurrences never register."""
+    from forest_open_data_pipelines_spark.operators.curation import duplicate_spans
+
+    a = [f"a{i}" for i in range(20)]
+    x = [f"x{i}" for i in range(10)]
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(a), "en", "s", 0),                      # original
+            (2, " ".join(a[:10] + x + a[:10]), "en", "s", 0),    # two copies
+            (3, " ".join(a), "en", "s", 0),                      # full copy
+        ],
+    )
+    rows = duplicate_spans(docs, width=5, stride=1).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by_doc  # first occurrence owns its windows
+    spans2 = [
+        (r["tok_start"], r["tok_end"], r["n_tokens"], r["n_windows"])
+        for r in by_doc[2]
+    ]
+    # starts 0-5 dup (a0..a9 block), starts 20-25 dup (second copy);
+    # the novel middle keeps the islands apart
+    assert spans2 == [(0, 9, 10, 6), (20, 29, 10, 6)]
+    assert [r["span_seq"] for r in by_doc[2]] == [1, 2]
+    (span3,) = by_doc[3]
+    assert (span3["tok_start"], span3["tok_end"], span3["n_windows"]) == (0, 19, 16)
