@@ -2561,6 +2561,80 @@ SELECT doc_id, span_seq,
 FROM islands GROUP BY doc_id, span_seq ORDER BY doc_id, tok_start"""
 
 
+def _strip_duplicate_spans_sql() -> str:
+    """DuckDB twin of curation.strip_duplicate_spans: the
+    duplicate_spans islands, then token-index anti-join + ordered
+    string_agg rebuild (Spark does the same filter as a codegen
+    transform/exists chain). Empty rebuilds coalesce to '' to match
+    array_join's empty-array result."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        SPAN_STRIDE as S,
+        SPAN_WIDTH as W,
+    )
+
+    return f"""
+WITH toks AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
+win AS (
+  SELECT doc_id, len(t) AS n_toks, i - 1 AS win_idx,
+         list_aggregate(list_slice(t, (i-1)*{S} + 1,
+                                   least((i-1)*{S} + {W}, len(t))),
+                        'string_agg', ' ') AS win_text
+  FROM (SELECT doc_id, t,
+               unnest(range(1,
+                 greatest(1, (ceil((len(t) - {W}) / {S}) + 1)::INT) + 1)) AS i
+        FROM toks)
+),
+dups AS (
+  SELECT doc_id,
+         (win_idx * {S})::BIGINT AS tok_start,
+         (least(win_idx * {S} + {W}, n_toks) - 1)::BIGINT AS tok_end
+  FROM (SELECT doc_id, n_toks, win_idx,
+               row_number() OVER (PARTITION BY win_text
+                                  ORDER BY doc_id, win_idx) AS rn
+        FROM win)
+  WHERE rn > 1
+),
+flagged AS (
+  SELECT doc_id, tok_start, tok_end,
+         CASE WHEN tok_start > coalesce(max(tok_end) OVER (
+                PARTITION BY doc_id ORDER BY tok_start
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+              THEN 1 ELSE 0 END AS ni
+  FROM dups
+),
+islands AS (
+  SELECT doc_id, tok_start, tok_end,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY tok_start
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                      ) AS span_seq
+  FROM flagged
+),
+spans AS (
+  SELECT doc_id, min(tok_start) AS tok_start, max(tok_end) AS tok_end
+  FROM islands GROUP BY doc_id, span_seq
+),
+tok_tab AS (
+  SELECT doc_id, unnest(t) AS tok, unnest(range(0, len(t))) AS i FROM toks
+),
+kept AS (
+  SELECT tt.doc_id, tt.i, tt.tok
+  FROM tok_tab tt
+  ANTI JOIN spans s
+    ON tt.doc_id = s.doc_id AND tt.i BETWEEN s.tok_start AND s.tok_end
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY i) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT x.doc_id,
+       len(x.t)::BIGINT AS n_tokens,
+       (len(x.t) - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+       coalesce(r.kept_text, '') AS kept_text
+FROM toks x LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id"""
+
+
 def _stratified_sample_sql() -> str:
     """DuckDB twin of curation.stratified_sample: md5-derived u in
     millionths, EXACT integer keep predicate (u·n_tokens <
@@ -5328,6 +5402,7 @@ ORDER BY suppkey""",
         "stratified_token_sample": _stratified_token_sample_sql(),
         "span_dedup": _span_dedup_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
+        "strip_duplicate_spans": _strip_duplicate_spans_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "numeric_correlations": _numeric_correlations_sql(),
         # GROUND-TRUTH oracle (ppjoin convention): length-filtered

@@ -876,30 +876,11 @@ def span_dedup(
     )
 
 
-def duplicate_spans(
-    documents: DataFrame, width: int = SPAN_WIDTH, stride: int = SPAN_STRIDE
+def _duplicate_spans_frame(
+    documents: DataFrame, width: int, stride: int
 ) -> DataFrame:
-    """Maximal duplicated-span EXTRACTION — the action to
-    ``span_dedup``'s report (Lee et al. 2022 'Deduplicating Training
-    Data' removes repeated substrings rather than whole documents,
-    public methodology; their suffix-array pass re-expressed as shared
-    window runs): for every document, the merged token ranges
-    [tok_start, tok_end] covered by windows whose text occurred
-    earlier in the corpus (first occurrence by doc_id, then window
-    start — the ``span_dedup``/``chunk_dedup`` keep-first rule).
-    Overlapping and adjacent duplicated windows merge gaps-and-islands
-    style into maximal spans, so the output is directly actionable:
-    drop these token ranges and rejoin to strip the boilerplate while
-    keeping the novel remainder.
-
-    Scale: same plan family as ``span_dedup`` — one explode, ONE
-    shuffle on the window key for the keep-first rank — plus one
-    doc_id exchange for the islands merge; the merge's running-max /
-    cumulative-flag windows and the final (doc_id, span_seq) aggregate
-    all ride that single doc_id partitioning (hash(doc_id) satisfies
-    the aggregate's clustering), and they run over DUPLICATED windows
-    only, a small fraction of the corpus stream.
-    """
+    """duplicate_spans without the presentation sort (shared with
+    strip_duplicate_spans, which re-keys by doc_id anyway)."""
     toks = F.split(F.lower(clean_text(F.col("text"))), " ")
     n_windows = F.greatest(
         F.lit(1),
@@ -964,7 +945,83 @@ def duplicate_spans(
             (F.col("tok_end") - F.col("tok_start") + 1).alias("n_tokens"),
             "n_windows",
         )
-        .orderBy("doc_id", "tok_start")
+    )
+
+
+def duplicate_spans(
+    documents: DataFrame, width: int = SPAN_WIDTH, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Maximal duplicated-span EXTRACTION — the action to
+    ``span_dedup``'s report (Lee et al. 2022 'Deduplicating Training
+    Data' removes repeated substrings rather than whole documents,
+    public methodology; their suffix-array pass re-expressed as shared
+    window runs): for every document, the merged token ranges
+    [tok_start, tok_end] covered by windows whose text occurred
+    earlier in the corpus (first occurrence by doc_id, then window
+    start — the ``span_dedup``/``chunk_dedup`` keep-first rule).
+    Overlapping and adjacent duplicated windows merge gaps-and-islands
+    style into maximal spans, so the output is directly actionable —
+    ``strip_duplicate_spans`` drops exactly these ranges.
+
+    Scale: same plan family as ``span_dedup`` — one explode, ONE
+    shuffle on the window key for the keep-first rank — plus one
+    doc_id exchange for the islands merge; the merge's running-max /
+    cumulative-flag windows and the final (doc_id, span_seq) aggregate
+    all ride that single doc_id partitioning (hash(doc_id) satisfies
+    the aggregate's clustering), and they run over DUPLICATED windows
+    only, a small fraction of the corpus stream.
+    """
+    return _duplicate_spans_frame(documents, width, stride).orderBy(
+        "doc_id", "tok_start"
+    )
+
+
+def strip_duplicate_spans(
+    documents: DataFrame, width: int = SPAN_WIDTH, stride: int = SPAN_STRIDE
+) -> DataFrame:
+    """Apply ``duplicate_spans``: rebuild every document with its
+    duplicated token ranges REMOVED (ExactSubstr's edit step) —
+    per doc, the original token count, how many tokens the spans
+    covered, and the rejoined remainder text (empty string when the
+    whole doc was previously-seen content).
+
+    Scale: the span list folds to one bounded array per affected doc
+    (collect_list over disjoint-by-construction islands), joins back
+    on doc_id (natural partitioning, affected docs only — a LEFT join
+    keeps clean docs without shuffle amplification), and the token
+    filter is a pure codegen transform/exists/filter chain — no
+    second explode, no Python.
+    """
+    spans = (
+        _duplicate_spans_frame(documents, width, stride)
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("tok_start", "tok_end")).alias("spans"))
+    )
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    base = spread(documents).select("doc_id", toks.alias("t"))
+    empty = F.array().cast("array<struct<tok_start:long,tok_end:long>>")
+    sp = F.coalesce(F.col("spans"), empty)
+    indexed = F.transform(
+        F.col("t"), lambda x, i: F.struct(x.alias("w"), i.cast("long").alias("i"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            sp,
+            lambda r: (s["i"] >= r["tok_start"]) & (s["i"] <= r["tok_end"]),
+        ),
+    )
+    return (
+        base.join(spans, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            (F.size("t") - F.size(kept)).cast("long").alias("n_removed"),
+            F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(
+                "kept_text"
+            ),
+        )
+        .orderBy("doc_id")
     )
 
 

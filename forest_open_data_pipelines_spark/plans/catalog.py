@@ -613,6 +613,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "duplicate_spans": lambda s, d: curation.duplicate_spans(
         load_table(s, d, "documents")
     ),
+    "strip_duplicate_spans": lambda s, d: curation.strip_duplicate_spans(
+        load_table(s, d, "documents")
+    ),
     # Incremental ingest dedup: the deterministic doc_id % 13 == 0 slice
     # plays the day's new batch, the rest the accumulated base corpus
     # (13: the only small modulus where an exact duplicate actually

@@ -3905,3 +3905,28 @@ def test_duplicate_spans_extracts_maximal_merged_ranges(spark):
     assert [r["span_seq"] for r in by_doc[2]] == [1, 2]
     (span3,) = by_doc[3]
     assert (span3["tok_start"], span3["tok_end"], span3["n_windows"]) == (0, 19, 16)
+
+
+def test_strip_duplicate_spans_rebuilds_remainder(spark):
+    """strip_duplicate_spans must drop exactly the merged span ranges:
+    the two-copies doc keeps only its novel middle, a full copy
+    rebuilds to the empty string, the original is untouched."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        strip_duplicate_spans,
+    )
+
+    a = [f"a{i}" for i in range(20)]
+    x = [f"x{i}" for i in range(10)]
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(a), "en", "s", 0),
+            (2, " ".join(a[:10] + x + a[:10]), "en", "s", 0),
+            (3, " ".join(a), "en", "s", 0),
+        ],
+    )
+    out = {r["doc_id"]: r for r in strip_duplicate_spans(docs, width=5, stride=1).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["kept_text"] == " ".join(a)
+    assert out[2]["n_tokens"] == 30 and out[2]["n_removed"] == 20
+    assert out[2]["kept_text"] == " ".join(x)
+    assert out[3]["n_removed"] == 20 and out[3]["kept_text"] == ""
