@@ -57,6 +57,12 @@ OPS = {
     # exact-duplicates, so chunk/span hit rates grow with replicas)
     "chunk_dedup": _curation_op("chunk_dedup"),
     "span_dedup": _curation_op("span_dedup"),
+    # round-7 extension: the span EXTRACTION/EDIT pair — same window
+    # stream as span_dedup plus the islands merge (dup windows only)
+    # and the doc_id rebuild join; rotation means replicas share long
+    # verbatim runs, so dup-window mass grows with replicas
+    "duplicate_spans": _curation_op("duplicate_spans"),
+    "strip_duplicate_spans": _curation_op("strip_duplicate_spans"),
     "decontaminate_ngram": _curation_op("decontaminate_ngram"),
     "pii_scrub": _curation_op("pii_scrub"),
     "stratified_token_sample": _curation_op("stratified_token_sample"),
