@@ -3930,3 +3930,26 @@ def test_strip_duplicate_spans_rebuilds_remainder(spark):
     assert out[2]["n_tokens"] == 30 and out[2]["n_removed"] == 20
     assert out[2]["kept_text"] == " ".join(x)
     assert out[3]["n_removed"] == 20 and out[3]["kept_text"] == ""
+
+
+def test_strip_totals_consistent_with_duplicate_spans(spark):
+    """Cross-op invariant: per doc, strip's n_removed equals the sum
+    of duplicate_spans' span lengths (the spans are disjoint by the
+    islands construction, so the sum IS the covered-token count)."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    spans = {
+        r["doc_id"]: r["total"]
+        for r in duplicate_spans(docs)
+        .groupBy("doc_id")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    stripped = strip_duplicate_spans(docs).collect()
+    assert len(stripped) == docs.count()
+    for r in stripped:
+        assert r["n_removed"] == spans.get(r["doc_id"], 0)

@@ -581,3 +581,24 @@ def test_multimodal_dedup_payloads_never_shuffle(spark):
     # binary payload column
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert keys and all(k.startswith(("sha256", "g_sha")) for k in keys), keys
+
+
+def test_duplicate_spans_plan_no_python_single_window_shuffle(spark):
+    """The span extraction must stay JVM-side (no Python eval) and the
+    islands merge + final aggregate must ride the doc_id exchange the
+    windows already created (hash(doc_id) satisfies the aggregate's
+    clustering) — no extra exchange between them."""
+    plan = _plan(spark, "duplicate_spans")
+    assert "Python" not in plan
+    # exchanges: spread round-robin, window-key hash, doc_id hash,
+    # presentation range sort — and nothing else
+    assert plan.count("Exchange") <= 4
+
+
+def test_strip_duplicate_spans_plan_no_second_explode(spark):
+    """The rebuild path must filter tokens with codegen expressions
+    over the spans array — one Generate (the window posexplode), no
+    token-level explode, no Python."""
+    plan = _plan(spark, "strip_duplicate_spans")
+    assert "Python" not in plan
+    assert plan.count("Generate") == 1
