@@ -5618,6 +5618,24 @@ groups AS (
 SELECT media_id, m.sha256, payload_bytes, canonical_id, n_copies,
        (media_id = canonical_id) AS is_canonical
 FROM media m JOIN groups USING (sha256) ORDER BY media_id"""
+    # integrity audit: every column derives from the payload bytes
+    # (octet length / sha256 of the identical utf-8 payload)
+    out["media_integrity_audit"] = """
+WITH media AS (
+  SELECT source AS origin, n_chars::BIGINT AS declared_size,
+         octet_length(encode(text))::BIGINT AS n_bytes,
+         sha256(text) AS sha
+  FROM documents
+)
+SELECT origin,
+       count(*)::BIGINT AS n_media,
+       sum(n_bytes)::BIGINT AS total_bytes,
+       max(n_bytes)::BIGINT AS max_bytes,
+       sum(CASE WHEN n_bytes = declared_size THEN 1 ELSE 0 END)::BIGINT
+         AS n_size_exact,
+       sum(n_bytes - declared_size)::BIGINT AS extra_octets,
+       count(DISTINCT sha)::BIGINT AS n_distinct_payloads
+FROM media GROUP BY origin ORDER BY origin"""
     # novelty: first-occurrence ownership reduces the gram table —
     # identical construction to the Spark plan, stated over SHINGLES
     out["ngram_novelty"] = f"""

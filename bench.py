@@ -155,6 +155,7 @@ HEADLINE = [
     "ngram_novelty",
     "vocab_growth",
     "multimodal_dedup",
+    "media_integrity_audit",
     "cvm_fund_picks",
     "focos1km_tifs",
     "audit_markdown_table",

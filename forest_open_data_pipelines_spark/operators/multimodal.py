@@ -350,3 +350,42 @@ def multimodal_dedup(documents: DataFrame) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def media_integrity_audit(documents: DataFrame) -> DataFrame:
+    """Per-origin integrity report over the media table — the fleet
+    check a media lake runs before trusting declared metadata: actual
+    payload OCTETS vs the declared size (they diverge the moment a
+    multi-byte char appears — for real media, the moment an upload
+    truncates), copy mass from the content digest, and size extremes.
+
+    Second §2.H entry with a full value-level oracle: every column
+    derives from the payload BYTES (octet length, sha2 digest) with
+    pure codegen expressions — no decode, no Python — so DuckDB can
+    reproduce it from the identical utf-8 payload.
+
+    Scale: one scan, one map-side-combinable aggregate on the bounded
+    origin key; payload bytes never shuffle (lengths and digests do).
+    """
+    media = as_media_table(documents).select(
+        F.col("meta.origin").alias("origin"),
+        F.col("meta.declared_size").alias("declared_size"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2("payload", 256).alias("sha256"),
+    )
+    return (
+        media.groupBy("origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.sum(
+                F.when(F.col("n_bytes") == F.col("declared_size"), 1).otherwise(0)
+            ).alias("n_size_exact"),
+            F.sum(F.col("n_bytes") - F.col("declared_size")).alias(
+                "extra_octets"
+            ),
+            F.count_distinct("sha256").alias("n_distinct_payloads"),
+        )
+        .orderBy("origin")
+    )

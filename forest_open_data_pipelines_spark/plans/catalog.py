@@ -221,6 +221,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_dedup": lambda s, d: multimodal.multimodal_dedup(
         load_table(s, d, "documents")
     ),
+    "media_integrity_audit": lambda s, d: multimodal.media_integrity_audit(
+        load_table(s, d, "documents")
+    ),
     "cvm_fund_picks": lambda s, d: html.cvm_fund_picks(
         load_table(s, d, "documents")
     ),
