@@ -602,3 +602,51 @@ def test_strip_duplicate_spans_plan_no_second_explode(spark):
     plan = _plan(spark, "strip_duplicate_spans")
     assert "Python" not in plan
     assert plan.count("Generate") == 1
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_joins(spark):
+    """At 100 TB the big fact joins are shuffle joins whose probe-side
+    scan clears the 10 GB application-side threshold, and Spark then
+    injects a runtime Bloom filter built from the filtered build side
+    into the probe scan (row-level semi-join pruning before the
+    exchange). Pin that contract on this engine version: with the scan
+    threshold lowered to test scale and broadcast off, the selective
+    orders filter must produce a might_contain() gate on the lineitem
+    side. Broadcast joins never get one (the hash join itself already
+    drops non-matching rows before the shuffle they don't have)."""
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    app_key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bc_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bc = spark.conf.get(app_key), spark.conf.get(bc_key)
+    try:
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled"
+        ) == "true"
+        def joined():
+            # rebuilt per config state: a DataFrame memoizes its
+            # queryExecution, and the bloom filter injects at
+            # optimization time
+            li = load_table(spark, SF_DIR, "lineitem")
+            orders = load_table(spark, SF_DIR, "orders").where(
+                F.col("o_orderpriority") == "1-URGENT"
+            )
+            return (
+                li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderpriority")
+                .count()
+            )
+
+        spark.conf.set(app_key, "0")
+        spark.conf.set(bc_key, "-1")
+        smj_plan = joined()._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in smj_plan
+
+        spark.conf.set(bc_key, old_bc)
+        bhj_plan = joined()._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in bhj_plan
+    finally:
+        spark.conf.set(app_key, old_app)
+        spark.conf.set(bc_key, old_bc)
