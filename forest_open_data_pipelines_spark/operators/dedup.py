@@ -1539,7 +1539,10 @@ def dedup_canonical_by_quality(
 
 
 def edit_distance_pairs(
-    documents: DataFrame, max_dist: int = 20, q: int = 5
+    documents: DataFrame,
+    max_dist: int = 20,
+    q: int = 5,
+    max_short_docs: int | None = None,
 ) -> DataFrame:
     """Edit-distance similarity join: every pair of documents with
     ``levenshtein(a, b) ≤ max_dist`` — the character-level near-dup
@@ -1647,6 +1650,20 @@ def edit_distance_pairs(
     # standard curation gate anyway) or dedup them exactly first; the
     # bucket join itself stays distributed (bucket is the shuffle key).
     short = base.where(F.col("len") < min_long).select("doc_id", "len")
+    if max_short_docs is not None:
+        # Enforced version of the scale caveat below: the short-doc
+        # channel is quadratic per length bucket, so a corpus where
+        # tiny docs are a large population should length-floor or
+        # exact-dedup them FIRST. The count is one cheap job over the
+        # already-persisted base.
+        n_short = short.count()
+        if n_short > max_short_docs:
+            raise ValueError(
+                f"edit_distance_pairs: {n_short} docs shorter than "
+                f"q*(k+1)={min_long} chars exceed max_short_docs="
+                f"{max_short_docs}; pre-filter tiny docs (length floor) "
+                "or dedup them exactly before the edit-distance join"
+            )
     sb = short.select(
         "doc_id",
         "len",

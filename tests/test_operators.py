@@ -3953,3 +3953,32 @@ def test_strip_totals_consistent_with_duplicate_spans(spark):
     assert len(stripped) == docs.count()
     for r in stripped:
         assert r["n_removed"] == spans.get(r["doc_id"], 0)
+
+
+def test_edit_distance_pairs_short_doc_guard(spark):
+    """The opt-in max_short_docs guard enforces the documented scale
+    caveat: a corpus dominated by sub-q(k+1)-char docs must be length-
+    floored before the quadratic short channel, and the operator says
+    so instead of silently degrading."""
+    import pytest as _pytest
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        edit_distance_pairs,
+        release_persisted,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, f"tiny doc {i}", "en", "s", 10) for i in range(6)]
+        + [(100, " ".join(f"w{j}" for j in range(80)), "en", "s", 0)],
+    )
+    try:
+        with _pytest.raises(ValueError, match="max_short_docs"):
+            edit_distance_pairs(docs, max_short_docs=3).count()
+        # under the bound the guard is silent and results are intact
+        assert (
+            edit_distance_pairs(docs, max_short_docs=1000).count()
+            == edit_distance_pairs(docs).count()
+        )
+    finally:
+        release_persisted()
