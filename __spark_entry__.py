@@ -2506,6 +2506,69 @@ SELECT doc_id, count(*) AS n_windows,
 FROM ranked GROUP BY doc_id ORDER BY doc_id"""
 
 
+def _dedup_winnowing_sql() -> str:
+    """DuckDB twin of dedup.dedup_winnowing: identical construction —
+    char k-gram md5-int hashes, rightmost-min-of-window selection via
+    min(struct(h, -pos)) over the same frame, the jaccard hot-df stop
+    convention, and exact DIV/half-up micro overlap."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        WINNOW_K as K,
+        WINNOW_MAX_DF as RATE,
+        WINNOW_MIN_SHARED as MS,
+        WINNOW_TAU_MICRO as TAU,
+        WINNOW_W as W,
+    )
+
+    h = _MD5_INT.format(expr="g")
+    return f"""
+WITH base AS (SELECT doc_id, {LCLEAN} AS t FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         CASE WHEN length(t) >= {K} THEN substring(t, i, {K}) ELSE t END AS g
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - {K} + 1, 1) + 1)) AS i
+        FROM base)
+),
+winnowed AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams,
+         (min(struct_pack(h := {h}, np := -pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)).h AS fp
+  FROM grams
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM winnowed
+  WHERE pos <= greatest(n_grams - {W}, 0)
+),
+keep AS (
+  SELECT fp FROM (SELECT fp, count(*)::DOUBLE AS df FROM fps GROUP BY fp),
+       (SELECT count(*)::DOUBLE AS n_docs FROM base)
+  WHERE df <= greatest(8.0, {RATE} * n_docs)
+),
+kept AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp)),
+counts AS (SELECT doc_id, count(*)::BIGINT AS nfp FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, n_shared,
+         (n_shared * 1000000 // least(na.nfp, nb.nfp)
+          + CASE WHEN (n_shared * 1000000 % least(na.nfp, nb.nfp)) * 2
+                 >= least(na.nfp, nb.nfp) THEN 1 ELSE 0 END)::BIGINT
+           AS overlap_micro
+  FROM pairs
+  JOIN counts na ON doc_a = na.doc_id
+  JOIN counts nb ON doc_b = nb.doc_id
+)
+SELECT doc_a, doc_b, n_shared, overlap_micro
+FROM scored
+WHERE overlap_micro >= {TAU} AND n_shared >= {MS}
+ORDER BY doc_a, doc_b"""
+
+
 def _duplicate_spans_sql() -> str:
     """DuckDB twin of curation.duplicate_spans: span_dedup's window
     geometry and keep-first rule, then a gaps-and-islands merge of the
@@ -5402,6 +5465,7 @@ ORDER BY suppkey""",
         "stratified_token_sample": _stratified_token_sample_sql(),
         "span_dedup": _span_dedup_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
+        "dedup_winnowing": _dedup_winnowing_sql(),
         "strip_duplicate_spans": _strip_duplicate_spans_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "numeric_correlations": _numeric_correlations_sql(),

@@ -104,6 +104,7 @@ HEADLINE = [
     "stratified_token_sample",
     "span_dedup",
     "duplicate_spans",
+    "dedup_winnowing",
     "strip_duplicate_spans",
     "dedup_incremental",
     "token_histogram",

@@ -270,6 +270,118 @@ def _ngram_pair_commons(documents: DataFrame, n: int, max_df: float):
     return with_hot, common
 
 
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window; guarantees matches >= w+k-1 chars register
+WINNOW_TAU_MICRO = 700_000  # overlap-coefficient cutoff, 6-dp integer
+WINNOW_MAX_DF = 0.02  # hot-fingerprint stop rate (of n_docs)
+WINNOW_MIN_SHARED = 3  # floor: |A∩B| of 1-2 makes tiny sets trivially "full"
+
+
+def dedup_winnowing(
+    documents: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    tau_micro: int = WINNOW_TAU_MICRO,
+    max_df: float = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Winnowing-fingerprint near-dup pairs (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS plagiarism-detection selection, public
+    algorithm): hash every char ``k``-gram, slide a window of ``w``
+    consecutive hashes, select each window's MINIMUM (rightmost on
+    ties), and compare documents by their distinct fingerprint sets.
+    The selection keeps ~2/(w+1) of the gram stream yet GUARANTEES any
+    verbatim match of at least w+k-1 chars contributes a shared
+    fingerprint — a detection floor none of the sampling-based
+    families (minhash/simhash) offer. Pairs report the overlap
+    coefficient |A∩B|/min(|A|,|B|) in exact 6-dp integer micro-units
+    (DIV + half-up remainder arithmetic, no float boundary).
+
+    The rightmost-min-of-window selection is ONE expression on both
+    engines: ``min(struct(hash, -pos))`` over a ``[CURRENT, w-1
+    FOLLOWING]`` frame — lexicographic struct ordering gives the
+    min-hash with the max position among ties, and the same window
+    evaluates identically in DuckDB, so the oracle mirrors the
+    construction rather than approximating it.
+
+    Scale: the gram explode reduces ~(w+1)/2× at the selection before
+    anything shuffles wide; the pair join is banded by fingerprint
+    value with the ``dedup_ngram_jaccard`` hot-key convention
+    (fingerprints in more than ``greatest(8, max_df·n_docs)`` docs are
+    boilerplate and stop-listed; overlap is defined over the non-hot
+    sets on both engines) — never all-pairs. Both per-doc windows
+    (gram count, winnow min) share one doc_id exchange and sort.
+    """
+    t = F.lower(clean_text(F.col("text")))
+    base = _persist(spread(documents).select("doc_id", t.alias("t")))
+    gram_arr = F.expr(
+        f"CASE WHEN length(t) >= {k} THEN transform(sequence(1, length(t) - {k - 1}),"
+        f" i -> substring(t, i, {k})) ELSE array(t) END"
+    )
+    ex = base.select("doc_id", F.posexplode(gram_arr).alias("pos", "g")).select(
+        "doc_id", "pos", _md5_int(F.col("g")).alias("h")
+    )
+    doc_w = Window.partitionBy("doc_id")
+    winnow_w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = F.max("pos").over(doc_w) + 1
+    fp_col = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
+        winnow_w
+    )["h"]
+    fps = _persist(
+        ex.withColumn("n_grams", n_grams)
+        .withColumn("fp", fp_col)
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    n_docs = F.broadcast(base.agg(F.count(F.lit(1)).alias("n_docs")))
+    cap_ok = F.col("df") <= F.greatest(F.lit(8.0), F.lit(max_df) * F.col("n_docs"))
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(n_docs)
+        .where(cap_ok)
+        .select("fp")
+    )
+    kept = _persist(fps.join(keep, "fp"))
+    counts = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    a = kept.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(
+            counts.select(F.col("doc_id").alias("doc_a"), F.col("nfp").alias("na")),
+            "doc_a",
+        )
+        .join(
+            counts.select(F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nb")),
+            "doc_b",
+        )
+    )
+    # exact half-up micro-units: num div m, +1 when 2*remainder >= m
+    overlap = F.expr(
+        "n_shared * 1000000L div least(na, nb)"
+        " + CASE WHEN (n_shared * 1000000L % least(na, nb)) * 2"
+        " >= least(na, nb) THEN 1 ELSE 0 END"
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            overlap.cast("long").alias("overlap_micro"),
+        )
+        .where(
+            (F.col("overlap_micro") >= tau_micro)
+            & (F.col("n_shared") >= min_shared)
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def dedup_containment(
     documents: DataFrame,
     n: int = 3,

@@ -3982,3 +3982,36 @@ def test_edit_distance_pairs_short_doc_guard(spark):
         )
     finally:
         release_persisted()
+
+
+def test_dedup_winnowing_pairs_and_detection_floor(spark):
+    """Near-identical docs pair with high overlap; unrelated docs
+    don't; and the winnowing guarantee holds — any verbatim run of at
+    least w+k-1 chars contributes a shared fingerprint, so a doc
+    embedding a 30-char substring of another registers at the
+    unfiltered thresholds."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_winnowing,
+        release_persisted,
+    )
+
+    d1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    d2 = d1.replace("foxtrot", "xray")
+    d3 = "zulu yankee whiskey victor uniform tango sierra romeo quebec papa"
+    d4 = "nnn ooo ppp " + d1[6:36] + " qqq rrr sss ttt uuu vvv www"
+    docs = _docs(
+        spark,
+        [(1, d1, "en", "s", 0), (2, d2, "en", "s", 0),
+         (3, d3, "en", "s", 0), (4, d4, "en", "s", 0)],
+    )
+    try:
+        strict = {(r.doc_a, r.doc_b) for r in dedup_winnowing(docs).collect()}
+        assert (1, 2) in strict
+        assert not any(3 in p for p in strict)
+        loose = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_winnowing(docs, tau_micro=0, min_shared=1).collect()
+        }
+        assert (1, 4) in loose  # the >= w+k-1 verbatim-run floor
+    finally:
+        release_persisted()
