@@ -74,6 +74,10 @@ OPS = {
         d.where(F.col("doc_id") % 13 == 0), d.where(F.col("doc_id") % 13 != 0)
     ),
     "edit_distance_pairs": lambda d: dedup.edit_distance_pairs(d),
+    # round-7 extension: winnowing fingerprints — selection reduces the
+    # gram stream ~2/(w+1) before the banded pair join; hot-df stop
+    # keys scale with n_docs
+    "dedup_winnowing": lambda d: dedup.dedup_winnowing(d),
     # round-6 text additions: charlm's model stays <= V^2 rows at any
     # corpus size; fenced_json is a pure projection; bpe_train works on
     # the vocabulary, which token rotation leaves UNCHANGED across
