@@ -2569,19 +2569,18 @@ WHERE overlap_micro >= {TAU} AND n_shared >= {MS}
 ORDER BY doc_a, doc_b"""
 
 
-def _duplicate_spans_sql() -> str:
-    """DuckDB twin of curation.duplicate_spans: span_dedup's window
-    geometry and keep-first rule, then a gaps-and-islands merge of the
-    duplicated windows (running max of tok_end, new-island flag,
-    cumulative island id). span_seq/counters cast to BIGINT — the
-    HUGEINT-widening class the parity harness checks."""
+def _span_islands_ctes() -> str:
+    """The CTE chain shared by the duplicate_spans and
+    strip_duplicate_spans oracles — ONE SQL definition of the window
+    geometry, keep-first rule, and gaps-and-islands merge, mirroring
+    curation._ranked_windows/_duplicate_spans_frame on the Spark side
+    (a geometry fix lands in both oracles or neither)."""
     from forest_open_data_pipelines_spark.operators.curation import (
         SPAN_STRIDE as S,
         SPAN_WIDTH as W,
     )
 
-    return f"""
-WITH toks AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
+    return f"""toks AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
 win AS (
   SELECT doc_id, len(t) AS n_toks, i - 1 AS win_idx,
          list_aggregate(list_slice(t, (i-1)*{S} + 1,
@@ -2616,7 +2615,17 @@ islands AS (
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                       )::BIGINT AS span_seq
   FROM flagged
-)
+)"""
+
+
+def _duplicate_spans_sql() -> str:
+    """DuckDB twin of curation.duplicate_spans: span_dedup's window
+    geometry and keep-first rule, then a gaps-and-islands merge of the
+    duplicated windows (running max of tok_end, new-island flag,
+    cumulative island id). span_seq/counters cast to BIGINT — the
+    HUGEINT-widening class the parity harness checks."""
+    return f"""
+WITH {_span_islands_ctes()}
 SELECT doc_id, span_seq,
        min(tok_start) AS tok_start, max(tok_end) AS tok_end,
        (max(tok_end) - min(tok_start) + 1)::BIGINT AS n_tokens,
@@ -2625,53 +2634,13 @@ FROM islands GROUP BY doc_id, span_seq ORDER BY doc_id, tok_start"""
 
 
 def _strip_duplicate_spans_sql() -> str:
-    """DuckDB twin of curation.strip_duplicate_spans: the
-    duplicate_spans islands, then token-index anti-join + ordered
-    string_agg rebuild (Spark does the same filter as a codegen
-    transform/exists chain). Empty rebuilds coalesce to '' to match
-    array_join's empty-array result."""
-    from forest_open_data_pipelines_spark.operators.curation import (
-        SPAN_STRIDE as S,
-        SPAN_WIDTH as W,
-    )
-
+    """DuckDB twin of curation.strip_duplicate_spans: the shared
+    duplicate_spans islands chain, then token-index anti-join +
+    ordered string_agg rebuild (Spark does the same filter as a
+    codegen transform/exists chain). Empty rebuilds coalesce to '' to
+    match array_join's empty-array result."""
     return f"""
-WITH toks AS (SELECT doc_id, string_split({LCLEAN}, ' ') AS t FROM documents),
-win AS (
-  SELECT doc_id, len(t) AS n_toks, i - 1 AS win_idx,
-         list_aggregate(list_slice(t, (i-1)*{S} + 1,
-                                   least((i-1)*{S} + {W}, len(t))),
-                        'string_agg', ' ') AS win_text
-  FROM (SELECT doc_id, t,
-               unnest(range(1,
-                 greatest(1, (ceil((len(t) - {W}) / {S}) + 1)::INT) + 1)) AS i
-        FROM toks)
-),
-dups AS (
-  SELECT doc_id,
-         (win_idx * {S})::BIGINT AS tok_start,
-         (least(win_idx * {S} + {W}, n_toks) - 1)::BIGINT AS tok_end
-  FROM (SELECT doc_id, n_toks, win_idx,
-               row_number() OVER (PARTITION BY win_text
-                                  ORDER BY doc_id, win_idx) AS rn
-        FROM win)
-  WHERE rn > 1
-),
-flagged AS (
-  SELECT doc_id, tok_start, tok_end,
-         CASE WHEN tok_start > coalesce(max(tok_end) OVER (
-                PARTITION BY doc_id ORDER BY tok_start
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-              THEN 1 ELSE 0 END AS ni
-  FROM dups
-),
-islands AS (
-  SELECT doc_id, tok_start, tok_end,
-         sum(ni) OVER (PARTITION BY doc_id ORDER BY tok_start
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                      ) AS span_seq
-  FROM flagged
-),
+WITH {_span_islands_ctes()},
 spans AS (
   SELECT doc_id, min(tok_start) AS tok_start, max(tok_end) AS tok_end
   FROM islands GROUP BY doc_id, span_seq

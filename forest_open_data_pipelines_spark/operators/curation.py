@@ -848,25 +848,9 @@ def span_dedup(
     Docs shorter than ``width`` contribute their single whole-text
     window, so verbatim short duplicates still register.
     """
-    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
-    n_windows = F.greatest(
-        F.lit(1),
-        (F.ceil((F.size("t") - width) / F.lit(stride)) + 1).cast("int"),
-    )
-    windows = F.transform(
-        F.sequence(F.lit(0), n_windows - 1),
-        lambda i: F.array_join(F.slice(F.col("t"), i * stride + 1, width), " "),
-    )
-    exploded = (
-        spread(documents)
-        .select("doc_id", toks.alias("t"))
-        .select("doc_id", F.posexplode(windows).alias("win_idx", "win_text"))
-        .select("doc_id", "win_idx", _md5_int("win_text").alias("key"))
-    )
-    w = Window.partitionBy("key").orderBy("doc_id", "win_idx")
-    ranked = exploded.withColumn("rn", F.row_number().over(w))
     return (
-        ranked.groupBy("doc_id")
+        _ranked_windows(documents, width, stride)
+        .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),
             F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_windows"),
@@ -876,11 +860,14 @@ def span_dedup(
     )
 
 
-def _duplicate_spans_frame(
-    documents: DataFrame, width: int, stride: int
-) -> DataFrame:
-    """duplicate_spans without the presentation sort (shared with
-    strip_duplicate_spans, which re-keys by doc_id anyway)."""
+def _ranked_windows(documents: DataFrame, width: int, stride: int) -> DataFrame:
+    """The window geometry shared by ``span_dedup`` and the span
+    extraction/edit pair — ONE definition of what a window is and
+    which occurrence is first: overlapping ``width``-token windows at
+    ``stride``, md5-int keys, keep-first rank ``rn`` over (doc_id,
+    win_idx). Columns: doc_id, n_toks, win_idx, rn. Any change to the
+    geometry or the keep-first rule lands in every consumer (the SQL
+    twins share their CTE prefix the same way)."""
     toks = F.split(F.lower(clean_text(F.col("text"))), " ")
     n_windows = F.greatest(
         F.lit(1),
@@ -901,8 +888,18 @@ def _duplicate_spans_frame(
         .select("doc_id", "n_toks", "win_idx", _md5_int("win_text").alias("key"))
     )
     w = Window.partitionBy("key").orderBy("doc_id", "win_idx")
+    return exploded.withColumn("rn", F.row_number().over(w)).select(
+        "doc_id", "n_toks", "win_idx", "rn"
+    )
+
+
+def _duplicate_spans_frame(
+    documents: DataFrame, width: int, stride: int
+) -> DataFrame:
+    """duplicate_spans without the presentation sort (shared with
+    strip_duplicate_spans, which re-keys by doc_id anyway)."""
     dups = (
-        exploded.withColumn("rn", F.row_number().over(w))
+        _ranked_windows(documents, width, stride)
         .where(F.col("rn") > 1)
         .select(
             "doc_id",

@@ -1238,6 +1238,15 @@ def route_scores_arrow(embeddings: DataFrame, queries) -> DataFrame:
                 acc = acc + e[:, j, None] * qm[:, j]
                 nsq = nsq + e[:, j] * e[:, j]
             v = acc / (np.sqrt(nsq)[:, None] * qn) * 1e6
+            if not np.isfinite(v).all():
+                bad = pdf["vec_id"].to_numpy()[~np.isfinite(v).all(axis=1)]
+                raise ValueError(
+                    "route_scores_arrow: non-finite cosine for vec_ids "
+                    f"{sorted(bad.tolist())[:5]} (zero-norm or NaN "
+                    "embeddings) — clean or filter them first; the literal "
+                    "path raises DIVIDE_BY_ZERO on the same input under "
+                    "ANSI mode"
+                )
             cms = [
                 [
                     int(Decimal(repr(float(x))).quantize(one, rounding=ROUND_HALF_UP))
@@ -1300,6 +1309,11 @@ def route_nearest_query(
     bit-identical (asserted in tests), so the switch never moves a
     hash.
     """
+    if strategy not in ("auto", "literal", "arrow"):
+        raise ValueError(
+            f"route_nearest_query: unknown strategy {strategy!r} "
+            "(expected 'auto', 'literal', or 'arrow')"
+        )
     queries = collect_route_queries(embeddings, n_queries)
     best_id, best_cm, n_above = route_cols_from_scores(
         queries, F.col("cms"), threshold_micro

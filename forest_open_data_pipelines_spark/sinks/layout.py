@@ -37,33 +37,63 @@ from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
 def _zorder_key(df: DataFrame, cols: list[str]) -> Column:
     """Interleaved-bit (Morton) clustering key over ``cols``.
 
     Each column is scaled to a ``b``-bit rank bucket with EXACT integer
     arithmetic against its collected min/max (a bounded 2-values-per-
-    column aggregate — the IVF-centroid metadata pattern), then bit j
-    of column c lands at position ``j * k + (k - 1 - c)`` of the key.
+    column aggregate — the IVF-centroid metadata pattern), in two
+    regimes chosen driver-side so the arithmetic never leaves exact
+    longs (a double-based scale factor mis-buckets past 2^53): spans
+    below 2^47 use the range-FILLING ``((col - mn) * 2^b) div span``
+    (multiply-first cannot overflow there, and small domains must be
+    stretched across all b bit-planes or the interleave degenerates to
+    whichever column has more raw bits); spans at or above 2^47 use
+    the cell width ``q = ceil(span / 2^b)`` (Python arbitrary
+    precision) and ``(col - mn) div q``, which also fills the b-bit
+    range at those magnitudes. Bit j
+    of column c lands at position ``j * k + (k - 1 - c)`` of the key;
     ``b = min(16, 63 // k)`` keeps the key inside a signed long. The
-    bucket/interleave expressions are pure codegen (shift/and/or), so
-    the key costs one projection on the write path and nothing at read
-    time.
+    bucket/interleave expressions are pure codegen (div/shift/and/or),
+    so the key costs one projection on the write path and nothing at
+    read time.
+
+    Columns must be integral (map dates to day numbers, strings to
+    dictionary codes first) — a silent long cast of a non-numeric
+    column would null-key every row.
     """
     k = len(cols)
     if k < 2:
         raise ValueError("zorder needs >= 2 columns; use linear sort for 1")
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) not in _INTEGRAL_TYPES:
+            raise ValueError(
+                f"zorder column {c!r} has type {dtypes.get(c)!r}; integral "
+                "columns required — map dates/strings to ints (day number, "
+                "dictionary code) before clustering"
+            )
     b = min(16, 63 // k)
     stats = df.agg(
         *[F.min(c).cast("long").alias(f"mn_{c}") for c in cols],
         *[F.max(c).cast("long").alias(f"mx_{c}") for c in cols],
     ).first()
+    if stats[f"mn_{cols[0]}"] is None:
+        raise ValueError("zorder layout: input DataFrame has no rows")
     key = F.lit(0).cast("long")
     for c_idx, c in enumerate(cols):
         mn = int(stats[f"mn_{c}"])
         span = int(stats[f"mx_{c}"]) - mn + 1
-        # exact: bucket = (col - mn) * 2^b div span, in [0, 2^b - 1]
-        bucket = ((F.col(c).cast("long") - F.lit(mn)) * F.lit(1 << b)) / F.lit(span)
-        bucket = F.floor(bucket).cast("long")
+        if span < (1 << 47):  # multiply-first exact and overflow-free
+            bucket = F.expr(
+                f"((cast(`{c}` as bigint) - {mn}) * {1 << b}) div {span}"
+            )
+        else:
+            cell = -(-span // (1 << b))  # ceil, driver-side exact
+            bucket = F.expr(f"(cast(`{c}` as bigint) - {mn}) div {cell}")
         for j in range(b):
             bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(
@@ -144,6 +174,11 @@ def compact_parquet(
     the write commits, the classic lake compaction protocol.
     """
     total = sum(parquet_data_file_sizes(spark, src_path).values())
+    if total == 0:
+        raise ValueError(
+            f"compact_parquet: no parquet data files under {src_path!r} — "
+            "nothing to compact (failed upstream write or wrong path?)"
+        )
     n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     spark.read.parquet(src_path).repartition(n).write.mode(mode).parquet(dst_path)
     return n

@@ -603,3 +603,48 @@ def test_compact_parquet_binpacks_small_files(spark, tmp_path):
     # full-shuffle repartition → evenly sized outputs
     assert max(out_sizes.values()) < 3 * min(out_sizes.values())
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_zorder_exact_bucketing_on_wide_domains(spark, tmp_path):
+    """The Morton bucket must be exact integer arithmetic: on a domain
+    spanning ~2^60 (where a double scale factor mis-buckets past 2^53
+    and a multiply-first formulation overflows a long), the min row
+    keys to 0 and the max row keys to the all-ones 32-bit pattern."""
+    from forest_open_data_pipelines_spark.sinks.layout import _zorder_key
+
+    lo, hi = -(1 << 59), (1 << 59) + 12345
+    df = spark.createDataFrame([(lo, lo), (hi, hi), (lo, hi)], "a long, b long")
+    keys = {
+        (r["a"], r["b"]): r["k"]
+        for r in df.withColumn("k", _zorder_key(df, ["a", "b"])).collect()
+    }
+    assert keys[(lo, lo)] == 0
+    assert keys[(hi, hi)] == (1 << 32) - 1
+    assert keys[(lo, hi)] == int("01" * 16, 2)  # b-bits only, interleaved
+
+
+def test_zorder_rejects_non_integral_and_empty(spark, tmp_path):
+    from forest_open_data_pipelines_spark.sinks import write_sorted_layout
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with pytest.raises(ValueError, match="integral"):
+        write_sorted_layout(
+            li, str(tmp_path / "bad"), ["l_shipdate", "l_partkey"], zorder=True
+        )
+    with pytest.raises(ValueError, match="no rows"):
+        write_sorted_layout(
+            li.where(F.lit(False)),
+            str(tmp_path / "empty"),
+            ["l_orderkey", "l_partkey"],
+            zorder=True,
+        )
+
+
+def test_compact_parquet_rejects_empty_source(spark, tmp_path):
+    from forest_open_data_pipelines_spark.sinks import compact_parquet
+
+    src = tmp_path / "no_data"
+    src.mkdir()
+    (src / "_SUCCESS").write_text("")
+    with pytest.raises(ValueError, match="no parquet data files"):
+        compact_parquet(spark, str(src), str(tmp_path / "out"))

@@ -4015,3 +4015,27 @@ def test_dedup_winnowing_pairs_and_detection_floor(spark):
         assert (1, 4) in loose  # the >= w+k-1 verbatim-run floor
     finally:
         release_persisted()
+
+
+def test_route_strategy_validation_and_nonfinite_guard(spark):
+    """Unknown strategy strings must fail loudly (a typo silently
+    falling back to the literal tree at 200 queries IS the plan
+    blowup the knob exists to avoid); and the Arrow kernel must
+    reject zero-norm embeddings with a named error, mirroring the
+    literal path's ANSI DIVIDE_BY_ZERO instead of dying on a cryptic
+    decimal.InvalidOperation."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        route_nearest_query,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="unknown strategy"):
+        route_nearest_query(emb, strategy="Arrow")
+
+    zero = spark.createDataFrame(
+        [(int(1e6), [0.0] * 64, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    poisoned = emb.unionByName(zero)
+    with pytest.raises(Exception, match="non-finite cosine"):
+        route_nearest_query(poisoned, strategy="arrow").collect()
