@@ -756,6 +756,17 @@ _R7_WINDOW: tuple[str, ...] = (
     "simhash_budget_sweep",
 )
 assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
+
+# Round-8 rotation queue (pre-staged; build the _R8_WINDOW from this):
+# 1) never-driver-green round-7-extension entries needing first rows —
+#    duplicate_spans, strip_duplicate_spans, dedup_winnowing,
+#    media_integrity_audit;
+# 2) the 24 r3-vintage refresh slots round 7 displaced
+#    (type_inference, social_text_normalize, lang_id,
+#    dir_listing_files, html_list_parse, manifest_status + the r4
+#    cohort — see the rotation comments inside _R7_WINDOW);
+# 3) everything else keeps its newest green row and stays covered by
+#    the per-session oracle-parity sweep.
 QUERIES = {
     n: QUERIES[n]
     for n in list(_R7_WINDOW) + [x for x in QUERIES if x not in set(_R7_WINDOW)]
