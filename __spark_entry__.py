@@ -4908,6 +4908,28 @@ SELECT d.doc_id, d.lang,
        coalesce(b.plang, 'unknown') = d.lang AS is_correct
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 ORDER BY d.doc_id""",
+        "event_transitions": """
+WITH ordered AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+counts AS (
+  SELECT prev_type, event_type, count(*)::BIGINT AS n_transitions
+  FROM ordered WHERE prev_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (
+  SELECT prev_type, event_type, n_transitions,
+         sum(n_transitions) OVER (PARTITION BY prev_type)::BIGINT
+           AS total_from_prev
+  FROM counts
+)
+SELECT prev_type, event_type, n_transitions, total_from_prev,
+       (n_transitions * 1000000 // total_from_prev
+        + CASE WHEN (n_transitions * 1000000 % total_from_prev) * 2
+               >= total_from_prev THEN 1 ELSE 0 END)::BIGINT AS p_micro
+FROM tot ORDER BY prev_type, event_type""",
         "event_funnel": """
 WITH stepped AS (
   SELECT user_id,

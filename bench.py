@@ -105,6 +105,7 @@ HEADLINE = [
     "span_dedup",
     "duplicate_spans",
     "dedup_winnowing",
+    "event_transitions",
     "strip_duplicate_spans",
     "dedup_incremental",
     "token_histogram",

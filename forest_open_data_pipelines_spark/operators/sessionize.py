@@ -230,3 +230,50 @@ def session_duration_stats(events: DataFrame) -> DataFrame:
             6,
         ).alias("singleton_share"),
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Event-type transition matrix — the clickstream Markov view
+    (which event follows which, per user, time-ordered): counts of
+    (prev_type → type) bigrams plus the per-source transition
+    probability in exact 6-dp integer micro-units (DIV + half-up
+    remainder, the dedup_winnowing convention — no float boundary).
+
+    Ordering is (ts, event_id), the same deterministic tie-break as
+    events_sessionize, so the bigram stream is engine-independent.
+
+    Scale: one user-keyed exchange for the lag window (the same
+    partitioning every other per-user operator here shuffles on), then
+    a map-side-combinable aggregate onto the bounded |types|² key
+    space; the per-source totals window runs over that tiny aggregate,
+    never the event stream.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    tot_w = Window.partitionBy("prev_type")
+    with_tot = bigrams.withColumn(
+        "total_from_prev", F.sum("n_transitions").over(tot_w)
+    )
+    p_micro = F.expr(
+        "n_transitions * 1000000L div total_from_prev"
+        " + CASE WHEN (n_transitions * 1000000L % total_from_prev) * 2"
+        " >= total_from_prev THEN 1 ELSE 0 END"
+    )
+    return with_tot.select(
+        "prev_type",
+        "event_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.col("total_from_prev").cast("long").alias("total_from_prev"),
+        p_micro.cast("long").alias("p_micro"),
+    ).orderBy("prev_type", "event_type")

@@ -613,6 +613,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "span_dedup": lambda s, d: curation.span_dedup(load_table(s, d, "documents")),
+    "event_transitions": lambda s, d: sessionize.event_transitions(
+        load_table(s, d, "events")
+    ),
     "dedup_winnowing": lambda s, d: dedup.dedup_winnowing(
         load_table(s, d, "documents")
     ),

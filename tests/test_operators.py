@@ -4039,3 +4039,34 @@ def test_route_strategy_validation_and_nonfinite_guard(spark):
     poisoned = emb.unionByName(zero)
     with pytest.raises(Exception, match="non-finite cosine"):
         route_nearest_query(poisoned, strategy="arrow").collect()
+
+
+def test_event_transitions_bigram_counts_and_micro_probs(spark):
+    """Hand-built streams: per-user time-ordered bigrams, per-source
+    totals, and exact half-up micro probabilities (1/3 -> 333333,
+    2/3 -> 666667 — the DIV/remainder arithmetic, not float round)."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        event_transitions,
+    )
+
+    def ev(i, uid, typ):
+        return (i, datetime(2024, 1, 1, 0, i), uid, typ, 1.0, "{}")
+
+    rows = [ev(1, 3, "C"), ev(2, 3, "A"), ev(3, 3, "C"),
+            ev(4, 3, "B"), ev(5, 3, "C"), ev(6, 3, "B")]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        (r.prev_type, r.event_type): (r.n_transitions, r.total_from_prev, r.p_micro)
+        for r in event_transitions(events).collect()
+    }
+    assert got[("C", "A")] == (1, 3, 333333)
+    assert got[("C", "B")] == (2, 3, 666667)
+    assert got[("A", "C")] == (1, 1, 1000000)
+    assert got[("B", "C")] == (1, 1, 1000000)
+    assert len(got) == 4
