@@ -2506,41 +2506,53 @@ SELECT doc_id, count(*) AS n_windows,
 FROM ranked GROUP BY doc_id ORDER BY doc_id"""
 
 
+def _winnow_fps_ctes(src_filter: str = "", prefix: str = "") -> str:
+    """The winnowing fingerprint CTE chain ({prefix}base → {prefix}fps)
+    shared by the dedup_winnowing and winnowing_incremental oracles —
+    ONE SQL definition of the gram/selection geometry, mirroring
+    dedup.winnowing_fingerprint_frame on the Spark side."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        WINNOW_K as K,
+        WINNOW_W as W,
+    )
+
+    h = _MD5_INT.format(expr="g")
+    p = prefix
+    return f"""{p}base AS (SELECT doc_id, {LCLEAN} AS t FROM documents {src_filter}),
+{p}grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         CASE WHEN length(t) >= {K} THEN substring(t, i, {K}) ELSE t END AS g
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(length(t) - {K} + 1, 1) + 1)) AS i
+        FROM {p}base)
+),
+{p}winnowed AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams,
+         (min(struct_pack(h := {h}, np := -pos)) OVER (
+            PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)).h AS fp
+  FROM {p}grams
+),
+{p}fps AS (
+  SELECT DISTINCT doc_id, fp FROM {p}winnowed
+  WHERE pos <= greatest(n_grams - {W}, 0)
+)"""
+
+
 def _dedup_winnowing_sql() -> str:
     """DuckDB twin of dedup.dedup_winnowing: identical construction —
     char k-gram md5-int hashes, rightmost-min-of-window selection via
     min(struct(h, -pos)) over the same frame, the jaccard hot-df stop
     convention, and exact DIV/half-up micro overlap."""
     from forest_open_data_pipelines_spark.operators.dedup import (
-        WINNOW_K as K,
         WINNOW_MAX_DF as RATE,
         WINNOW_MIN_SHARED as MS,
         WINNOW_TAU_MICRO as TAU,
-        WINNOW_W as W,
     )
 
-    h = _MD5_INT.format(expr="g")
     return f"""
-WITH base AS (SELECT doc_id, {LCLEAN} AS t FROM documents),
-grams AS (
-  SELECT doc_id, i - 1 AS pos,
-         CASE WHEN length(t) >= {K} THEN substring(t, i, {K}) ELSE t END AS g
-  FROM (SELECT doc_id, t,
-               unnest(range(1, greatest(length(t) - {K} + 1, 1) + 1)) AS i
-        FROM base)
-),
-winnowed AS (
-  SELECT doc_id, pos,
-         count(*) OVER (PARTITION BY doc_id) AS n_grams,
-         (min(struct_pack(h := {h}, np := -pos)) OVER (
-            PARTITION BY doc_id ORDER BY pos
-            ROWS BETWEEN CURRENT ROW AND {W - 1} FOLLOWING)).h AS fp
-  FROM grams
-),
-fps AS (
-  SELECT DISTINCT doc_id, fp FROM winnowed
-  WHERE pos <= greatest(n_grams - {W}, 0)
-),
+WITH {_winnow_fps_ctes()},
 keep AS (
   SELECT fp FROM (SELECT fp, count(*)::DOUBLE AS df FROM fps GROUP BY fp),
        (SELECT count(*)::DOUBLE AS n_docs FROM base)
@@ -2616,6 +2628,58 @@ islands AS (
                       )::BIGINT AS span_seq
   FROM flagged
 )"""
+
+
+def _winnowing_incremental_sql() -> str:
+    """DuckDB twin of dedup.winnowing_incremental on the catalog's
+    doc_id % 13 new/base split: shared fingerprint CTEs, hot-df stop
+    on the base index, best-base pick (max shared, min id), exact
+    DIV/half-up containment."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        WINNOW_MAX_DF as RATE,
+        WINNOW_MIN_SHARED as MS,
+        WINNOW_TAU_MICRO as TAU,
+    )
+
+    return f"""
+WITH {_winnow_fps_ctes("WHERE doc_id % 13 = 0", "n_")},
+{_winnow_fps_ctes("WHERE doc_id % 13 != 0", "b_")},
+hot AS (
+  SELECT fp FROM (SELECT fp, count(*)::DOUBLE AS df FROM b_fps GROUP BY fp),
+       (SELECT count(*)::DOUBLE AS n_docs FROM b_base)
+  WHERE df > greatest(8.0, {RATE} * n_docs)
+),
+base_k AS (
+  SELECT doc_id AS base_id, fp FROM b_fps ANTI JOIN hot USING (fp)
+),
+new_k AS (SELECT doc_id, fp FROM n_fps ANTI JOIN hot USING (fp)),
+nfp AS (SELECT doc_id, count(*)::BIGINT AS nfp FROM new_k GROUP BY doc_id),
+shared AS (
+  SELECT nk.doc_id, base_id, count(*)::BIGINT AS n_shared
+  FROM new_k nk JOIN base_k USING (fp) GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, base_id, n_shared FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY n_shared DESC, base_id) AS rn
+    FROM shared) WHERE rn = 1
+),
+scored AS (
+  SELECT b.doc_id, b.base_id AS best_base_id, b.n_shared,
+         (b.n_shared * 1000000 // f.nfp
+          + CASE WHEN (b.n_shared * 1000000 % f.nfp) * 2 >= f.nfp
+                 THEN 1 ELSE 0 END)::BIGINT AS containment_micro
+  FROM best b JOIN nfp f USING (doc_id)
+)
+SELECT d.doc_id, s.best_base_id,
+       coalesce(s.n_shared, 0)::BIGINT AS n_shared,
+       coalesce(s.containment_micro, 0)::BIGINT AS containment_micro,
+       CASE WHEN coalesce(s.containment_micro, 0) >= {TAU}
+                 AND coalesce(s.n_shared, 0) >= {MS}
+            THEN 'dup' ELSE 'new' END AS status
+FROM (SELECT doc_id FROM documents WHERE doc_id % 13 = 0) d
+LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id"""
 
 
 def _duplicate_spans_sql() -> str:
@@ -5457,6 +5521,7 @@ ORDER BY suppkey""",
         "span_dedup": _span_dedup_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
         "dedup_winnowing": _dedup_winnowing_sql(),
+        "winnowing_incremental": _winnowing_incremental_sql(),
         "strip_duplicate_spans": _strip_duplicate_spans_sql(),
         "dedup_incremental": _dedup_incremental_sql(),
         "numeric_correlations": _numeric_correlations_sql(),

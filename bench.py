@@ -106,6 +106,7 @@ HEADLINE = [
     "duplicate_spans",
     "dedup_winnowing",
     "event_transitions",
+    "winnowing_incremental",
     "strip_duplicate_spans",
     "dedup_incremental",
     "token_histogram",

@@ -277,6 +277,35 @@ WINNOW_MAX_DF = 0.02  # hot-fingerprint stop rate (of n_docs)
 WINNOW_MIN_SHARED = 3  # floor: |A∩B| of 1-2 makes tiny sets trivially "full"
 
 
+def winnowing_fingerprint_frame(cleaned: DataFrame, k: int, w: int) -> DataFrame:
+    """Distinct (doc_id, fp) winnowing fingerprints over a cleaned
+    (doc_id, t) frame — ONE definition of the gram/selection geometry
+    shared by ``dedup_winnowing`` and ``winnowing_incremental`` (the
+    SQL twins share their CTE builder the same way). Both per-doc
+    windows (gram count, rightmost-min selection) ride one doc_id
+    exchange and sort."""
+    gram_arr = F.expr(
+        f"CASE WHEN length(t) >= {k} THEN transform(sequence(1, length(t) - {k - 1}),"
+        f" i -> substring(t, i, {k})) ELSE array(t) END"
+    )
+    ex = cleaned.select("doc_id", F.posexplode(gram_arr).alias("pos", "g")).select(
+        "doc_id", "pos", _md5_int(F.col("g")).alias("h")
+    )
+    doc_w = Window.partitionBy("doc_id")
+    winnow_w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    n_grams = F.max("pos").over(doc_w) + 1
+    fp_col = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
+        winnow_w
+    )["h"]
+    return (
+        ex.withColumn("n_grams", n_grams)
+        .withColumn("fp", fp_col)
+        .where(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
 def dedup_winnowing(
     documents: DataFrame,
     k: int = WINNOW_K,
@@ -312,28 +341,12 @@ def dedup_winnowing(
     sets on both engines) — never all-pairs. Both per-doc windows
     (gram count, winnow min) share one doc_id exchange and sort.
     """
-    t = F.lower(clean_text(F.col("text")))
-    base = _persist(spread(documents).select("doc_id", t.alias("t")))
-    gram_arr = F.expr(
-        f"CASE WHEN length(t) >= {k} THEN transform(sequence(1, length(t) - {k - 1}),"
-        f" i -> substring(t, i, {k})) ELSE array(t) END"
+    base = _persist(
+        spread(documents).select(
+            "doc_id", F.lower(clean_text(F.col("text"))).alias("t")
+        )
     )
-    ex = base.select("doc_id", F.posexplode(gram_arr).alias("pos", "g")).select(
-        "doc_id", "pos", _md5_int(F.col("g")).alias("h")
-    )
-    doc_w = Window.partitionBy("doc_id")
-    winnow_w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    n_grams = F.max("pos").over(doc_w) + 1
-    fp_col = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
-        winnow_w
-    )["h"]
-    fps = _persist(
-        ex.withColumn("n_grams", n_grams)
-        .withColumn("fp", fp_col)
-        .where(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
-        .select("doc_id", "fp")
-        .distinct()
-    )
+    fps = _persist(winnowing_fingerprint_frame(base, k, w))
     n_docs = F.broadcast(base.agg(F.count(F.lit(1)).alias("n_docs")))
     cap_ok = F.col("df") <= F.greatest(F.lit(8.0), F.lit(max_df) * F.col("n_docs"))
     keep = (
@@ -379,6 +392,101 @@ def dedup_winnowing(
             & (F.col("n_shared") >= min_shared)
         )
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def winnowing_incremental(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    tau_micro: int = WINNOW_TAU_MICRO,
+    max_df: float = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Incremental winnowing gate — ``dedup_incremental``'s daily-batch
+    shape at the fingerprint granularity: classify each NEW document
+    against the accumulated BASE corpus by shared winnowing
+    fingerprints, reporting the best-matching base doc and the
+    CONTAINMENT of the new doc in base (|shared| / |new non-hot
+    fingerprints| in exact half-up micro-units) — 'how much of this
+    incoming document has the corpus already seen', with the winnowing
+    detection floor (any ≥ w+k−1-char verbatim run shared with base
+    contributes a fingerprint).
+
+    Hot fingerprints (df over greatest(8, max_df·n_base) in BASE — the
+    persisted index side) are stop-listed from both numerator and
+    denominator, so boilerplate can neither blow up the join nor
+    inflate containment.
+
+    Scale: base fingerprints are the persisted INDEX a pipeline
+    maintains; only the new batch is winnowed fresh, and the equi-join
+    shuffles the small batch into base's fingerprint key space — never
+    new×base pairs. Status: 'dup' when containment ≥ tau AND shared ≥
+    min_shared, else 'new'; every new doc gets a row.
+    """
+    clean = lambda d: spread(d).select(  # noqa: E731 — two-line local shape
+        "doc_id", F.lower(clean_text(F.col("text"))).alias("t")
+    )
+    fp_new = _persist(winnowing_fingerprint_frame(clean(new_docs), k, w))
+    fp_base = _persist(winnowing_fingerprint_frame(clean(base_docs), k, w))
+    n_base = F.broadcast(
+        base_docs.select("doc_id").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    hot = (
+        fp_base.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(n_base)
+        .where(F.col("df") > F.greatest(F.lit(8.0), F.lit(max_df) * F.col("n_docs")))
+        .select("fp")
+    )
+    base_k = fp_base.join(hot, "fp", "left_anti").select(
+        F.col("doc_id").alias("base_id"), "fp"
+    )
+    new_k = _persist(fp_new.join(hot, "fp", "left_anti"))
+    nfp = new_k.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    shared = (
+        new_k.join(base_k, "fp")
+        .groupBy("doc_id", "base_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    best_w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_shared").desc(), F.col("base_id")
+    )
+    containment = F.expr(
+        "n_shared * 1000000L div nfp"
+        " + CASE WHEN (n_shared * 1000000L % nfp) * 2 >= nfp THEN 1 ELSE 0 END"
+    )
+    best = (
+        shared.withColumn("rn", F.row_number().over(best_w))
+        .where(F.col("rn") == 1)
+        .join(nfp, "doc_id")
+        .select(
+            "doc_id",
+            F.col("base_id").alias("best_base_id"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            containment.cast("long").alias("containment_micro"),
+        )
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "best_base_id",
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+            F.coalesce("containment_micro", F.lit(0))
+            .cast("long")
+            .alias("containment_micro"),
+            F.when(
+                (F.coalesce("containment_micro", F.lit(0)) >= tau_micro)
+                & (F.coalesce("n_shared", F.lit(0)) >= min_shared),
+                F.lit("dup"),
+            )
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -613,6 +613,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "span_dedup": lambda s, d: curation.span_dedup(load_table(s, d, "documents")),
+    "winnowing_incremental": lambda s, d: dedup.winnowing_incremental(
+        load_table(s, d, "documents").where(F.col("doc_id") % 13 == 0),
+        load_table(s, d, "documents").where(F.col("doc_id") % 13 != 0),
+    ),
     "event_transitions": lambda s, d: sessionize.event_transitions(
         load_table(s, d, "events")
     ),

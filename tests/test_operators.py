@@ -4070,3 +4070,32 @@ def test_event_transitions_bigram_counts_and_micro_probs(spark):
     assert got[("A", "C")] == (1, 1, 1000000)
     assert got[("B", "C")] == (1, 1, 1000000)
     assert len(got) == 4
+
+
+def test_winnowing_incremental_classifies_against_base(spark):
+    """A new doc copied (with a small edit) from base classifies 'dup'
+    with the right best_base_id; a genuinely new doc stays 'new'; and
+    every new doc gets exactly one row."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+        winnowing_incremental,
+    )
+
+    b1 = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo"
+    b2 = "zulu yankee whiskey victor uniform tango sierra romeo quebec papa"
+    base = _docs(spark, [(10, b1, "en", "s", 0), (20, b2, "en", "s", 0)])
+    new = _docs(
+        spark,
+        [
+            (1, b1.replace("golf", "gulf"), "en", "s", 0),  # near-copy of 10
+            (2, "mike november oscar lima xray echoes of nothing", "en", "s", 0),
+        ],
+    )
+    try:
+        rows = {r.doc_id: r for r in winnowing_incremental(new, base).collect()}
+    finally:
+        release_persisted()
+    assert set(rows) == {1, 2}
+    assert rows[1].status == "dup" and rows[1].best_base_id == 10
+    assert rows[1].containment_micro >= 700000
+    assert rows[2].status == "new"
