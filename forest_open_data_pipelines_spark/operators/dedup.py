@@ -395,41 +395,23 @@ def dedup_winnowing(
     )
 
 
-def winnowing_incremental(
-    new_docs: DataFrame,
+def build_winnowing_index(
     base_docs: DataFrame,
     k: int = WINNOW_K,
     w: int = WINNOW_W,
-    tau_micro: int = WINNOW_TAU_MICRO,
     max_df: float = WINNOW_MAX_DF,
-    min_shared: int = WINNOW_MIN_SHARED,
-) -> DataFrame:
-    """Incremental winnowing gate — ``dedup_incremental``'s daily-batch
-    shape at the fingerprint granularity: classify each NEW document
-    against the accumulated BASE corpus by shared winnowing
-    fingerprints, reporting the best-matching base doc and the
-    CONTAINMENT of the new doc in base (|shared| / |new non-hot
-    fingerprints| in exact half-up micro-units) — 'how much of this
-    incoming document has the corpus already seen', with the winnowing
-    detection floor (any ≥ w+k−1-char verbatim run shared with base
-    contributes a fingerprint).
-
-    Hot fingerprints (df over greatest(8, max_df·n_base) in BASE — the
-    persisted index side) are stop-listed from both numerator and
-    denominator, so boilerplate can neither blow up the join nor
-    inflate containment.
-
-    Scale: base fingerprints are the persisted INDEX a pipeline
-    maintains; only the new batch is winnowed fresh, and the equi-join
-    shuffles the small batch into base's fingerprint key space — never
-    new×base pairs. Status: 'dup' when containment ≥ tau AND shared ≥
-    min_shared, else 'new'; every new doc gets a row.
-    """
-    clean = lambda d: spread(d).select(  # noqa: E731 — two-line local shape
+) -> tuple[DataFrame, DataFrame]:
+    """(kept base fingerprints (base_id, fp), hot fingerprint set) —
+    the two tables a production pipeline PERSISTS between compactions
+    as its winnowing index (the streaming gate reads them back; the
+    batch op builds them inline). Hot = fingerprints in more than
+    greatest(8, max_df·n_base) base docs: stop-listed from the index
+    so boilerplate can neither blow up the classify join nor inflate
+    containment."""
+    cleaned = spread(base_docs).select(
         "doc_id", F.lower(clean_text(F.col("text"))).alias("t")
     )
-    fp_new = _persist(winnowing_fingerprint_frame(clean(new_docs), k, w))
-    fp_base = _persist(winnowing_fingerprint_frame(clean(base_docs), k, w))
+    fp_base = winnowing_fingerprint_frame(cleaned, k, w)
     n_base = F.broadcast(
         base_docs.select("doc_id").agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -443,7 +425,28 @@ def winnowing_incremental(
     base_k = fp_base.join(hot, "fp", "left_anti").select(
         F.col("doc_id").alias("base_id"), "fp"
     )
-    new_k = _persist(fp_new.join(hot, "fp", "left_anti"))
+    return base_k, hot
+
+
+def classify_against_winnowing_index(
+    new_docs: DataFrame,
+    base_k: DataFrame,
+    hot: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    tau_micro: int = WINNOW_TAU_MICRO,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Classify ``new_docs`` against a prebuilt winnowing index —
+    verdict-identical to ``winnowing_incremental(new, base)`` run
+    against the index's source corpus (asserted in tests). Pure
+    function of (records, index): safe to run per micro-batch from
+    the streaming gate (no persists here — the index is what the
+    caller persists; a micro-batch is cheap to recompute)."""
+    cleaned = spread(new_docs).select(
+        "doc_id", F.lower(clean_text(F.col("text"))).alias("t")
+    )
+    new_k = winnowing_fingerprint_frame(cleaned, k, w).join(hot, "fp", "left_anti")
     nfp = new_k.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
     shared = (
         new_k.join(base_k, "fp")
@@ -487,6 +490,42 @@ def winnowing_incremental(
             .alias("status"),
         )
         .orderBy("doc_id")
+    )
+
+
+def winnowing_incremental(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    tau_micro: int = WINNOW_TAU_MICRO,
+    max_df: float = WINNOW_MAX_DF,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """Incremental winnowing gate — ``dedup_incremental``'s daily-batch
+    shape at the fingerprint granularity: classify each NEW document
+    against the accumulated BASE corpus by shared winnowing
+    fingerprints, reporting the best-matching base doc and the
+    CONTAINMENT of the new doc in base (|shared| / |new non-hot
+    fingerprints| in exact half-up micro-units) — 'how much of this
+    incoming document has the corpus already seen', with the winnowing
+    detection floor (any ≥ w+k−1-char verbatim run shared with base
+    contributes a fingerprint).
+
+    Composes ``build_winnowing_index`` (the persisted-index build) +
+    ``classify_against_winnowing_index`` (the pure per-batch
+    classifier) — the identical pieces the streaming gate
+    (streaming/winnowing_gate.py) runs per micro-batch.
+
+    Scale: base fingerprints are the persisted INDEX a pipeline
+    maintains; only the new batch is winnowed fresh, and the equi-join
+    shuffles the small batch into base's fingerprint key space — never
+    new×base pairs. Status: 'dup' when containment ≥ tau AND shared ≥
+    min_shared, else 'new'; every new doc gets a row.
+    """
+    base_k, hot = build_winnowing_index(base_docs, k, w, max_df)
+    return classify_against_winnowing_index(
+        new_docs, _persist(base_k), _persist(hot), k, w, tau_micro, min_shared
     )
 
 

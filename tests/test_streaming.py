@@ -1210,3 +1210,48 @@ def test_media_dedup_stream_first_per_digest(spark, tmp_path):
         r.sha256 for r in multimodal_dedup(docs).collect() if r.is_canonical
     }
     assert {r.sha256 for r in emitted} == canon
+
+
+def test_winnowing_gate_stream_matches_batch(spark, tmp_path):
+    """The foreachBatch winnowing gate must emit verdicts row-identical
+    to batch winnowing_incremental over the same new/base split — the
+    18th+ streaming row follows the incremental-dedup bridge shape."""
+    from pyspark.sql import functions as F2
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        build_winnowing_index,
+        release_persisted,
+        winnowing_incremental,
+    )
+    from forest_open_data_pipelines_spark.streaming.winnowing_gate import (
+        winnowing_gate_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new = docs.where(F2.col("doc_id") % 13 == 0)
+    base = docs.where(F2.col("doc_id") % 13 != 0)
+    src = tmp_path / "wg_src"
+    new.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    base_k, hot = (df.cache() for df in build_winnowing_index(base))
+    collected = []
+    query = winnowing_gate_stream(
+        stream,
+        base_k,
+        hot,
+        sink=lambda df, bid: collected.extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt_wg"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    try:
+        batch = winnowing_incremental(new, base).collect()
+    finally:
+        release_persisted()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, collected)) == sorted(map(key, batch))
+    assert any(r["status"] == "dup" for r in collected)
