@@ -130,3 +130,74 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     the other columnar interchange format a lake-side consumer hands
     us; PushedFilters reach the stripe level)."""
     return spark.read.orc(path)
+
+
+def _quarantine_split(parsed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    corrupt = F.col("_corrupt_record")
+    # Spark refuses to filter on the corrupt column of a lazily-parsed
+    # frame (AnalysisException: internal corrupt record column) — the
+    # documented contract is to materialize first. At test/driver scale
+    # cache() is that materialization; at 100 TB land the parsed frame
+    # to parquet once and split from there (same two predicates).
+    parsed = parsed.cache()
+    good = parsed.where(corrupt.isNull()).drop("_corrupt_record")
+    bad = parsed.where(corrupt.isNotNull()).select(
+        corrupt.alias("raw_record")
+    )
+    return good, bad
+
+
+def read_json_lines_quarantined(
+    spark: SparkSession, path: str, schema: StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON-lines read split into (good rows, quarantined
+    raw lines). The production ingest contract at 100 TB: one
+    malformed line must neither kill the job (FAILFAST) nor silently
+    vanish (DROPMALFORMED) — it lands in a quarantine table with its
+    raw text for inspection/replay, and the good rows keep flowing.
+    """
+    from pyspark.sql.types import StringType
+
+    full = StructType(list(schema.fields)).add("_corrupt_record", StringType())
+    parsed = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return _quarantine_split(parsed)
+
+
+def read_delimited_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    header: bool = True,
+    delimiter: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """CSV sibling of ``read_json_lines_quarantined``: rows whose cells
+    fail the typed schema (bad casts, malformed quoting) quarantine
+    with their raw line instead of aborting the scan or vanishing."""
+    from pyspark.sql.types import StringType
+
+    full = StructType(list(schema.fields)).add("_corrupt_record", StringType())
+    parsed = (
+        spark.read.schema(full)
+        .option("header", header)
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return _quarantine_split(parsed)
+
+
+def read_parquet_merged(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the schemas of every footer under
+    ``path`` (``mergeSchema``), so files written before a column was
+    added read as NULL in that column instead of failing or silently
+    dropping it. Scale note: mergeSchema reads one footer per file —
+    fine for a migration window, wrong as the steady state (keep the
+    authoritative schema in a catalog and pass it explicitly once the
+    backfill completes)."""
+    return spark.read.option("mergeSchema", True).parquet(path)

@@ -648,3 +648,63 @@ def test_compact_parquet_rejects_empty_source(spark, tmp_path):
     (src / "_SUCCESS").write_text("")
     with pytest.raises(ValueError, match="no parquet data files"):
         compact_parquet(spark, str(src), str(tmp_path / "out"))
+
+
+def test_read_json_lines_quarantined_splits_bad_rows(spark, tmp_path):
+    """One malformed line must neither kill the scan nor vanish: it
+    lands in the quarantine frame with its raw text, and the good rows
+    parse normally."""
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from forest_open_data_pipelines_spark.sources.formats import (
+        read_json_lines_quarantined,
+    )
+
+    src = tmp_path / "jsonl"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        '{"id": 2, "name": "also ok"}\n'
+        '{"id": 3, "name": BROKEN}\n'
+    )
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    good, bad = read_json_lines_quarantined(spark, str(src), schema)
+    assert sorted((r.id, r.name) for r in good.collect()) == [
+        (1, "ok"),
+        (2, "also ok"),
+    ]
+    (bad_row,) = bad.collect()
+    assert "BROKEN" in bad_row.raw_record
+
+
+def test_read_delimited_quarantined_bad_casts(spark, tmp_path):
+    from pyspark.sql.types import LongType, StringType, StructType
+
+    from forest_open_data_pipelines_spark.sources.formats import (
+        read_delimited_quarantined,
+    )
+
+    src = tmp_path / "csvq"
+    src.mkdir()
+    (src / "a.csv").write_text("id,name\n1,ok\nnot_a_number,broken\n2,fine\n")
+    schema = StructType().add("id", LongType()).add("name", StringType())
+    good, bad = read_delimited_quarantined(spark, str(src), schema)
+    assert sorted((r.id, r.name) for r in good.collect()) == [(1, "ok"), (2, "fine")]
+    (bad_row,) = bad.collect()
+    assert "not_a_number" in bad_row.raw_record
+
+
+def test_read_parquet_merged_schema_evolution(spark, tmp_path):
+    """Files written before a column existed read as NULL in that
+    column under mergeSchema — no failure, no silent drop."""
+    from forest_open_data_pipelines_spark.sources.formats import read_parquet_merged
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+    merged = read_parquet_merged(spark, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
