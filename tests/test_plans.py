@@ -650,3 +650,16 @@ def test_runtime_bloom_filter_injects_on_shuffle_joins(spark):
     finally:
         spark.conf.set(app_key, old_app)
         spark.conf.set(bc_key, old_bc)
+
+
+def test_winnowing_plans_banded_no_python(spark):
+    """Both winnowing entries must stay JVM-side and pair through the
+    fingerprint equi-join — no cartesian anywhere in the executed
+    plan, and the pair/classify joins are hash/sort-merge on fp."""
+    for name in ("dedup_winnowing", "winnowing_incremental"):
+        plan = _plan(spark, name)
+        assert "Python" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the scalar n_docs cap rides a broadcast nested loop (one-row
+        # side); every other join must be keyed
+        assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
