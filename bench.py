@@ -209,6 +209,12 @@ NOTES = {
         "so the per-pass cost is fixed overhead at this SF and "
         "amortizes at corpus scale."
     ),
+    "winnowing_incremental": (
+        "includes building the base-corpus winnowing index (two full "
+        "fingerprint passes) that a production pipeline persists "
+        "between compactions and the streaming gate reads back - the "
+        "classify step itself is the small-batch join only."
+    ),
     "q5_region_volume": (
         "r4 flagged a +10% drift; 5-rep check shows rep-to-rep variance "
         "of +/-15% on this query (samples 1.37-1.61s steady-state) with "

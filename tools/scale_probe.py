@@ -78,6 +78,9 @@ OPS = {
     # gram stream ~2/(w+1) before the banded pair join; hot-df stop
     # keys scale with n_docs
     "dedup_winnowing": lambda d: dedup.dedup_winnowing(d),
+    "winnowing_incremental": lambda d: dedup.winnowing_incremental(
+        d.where(F.col("doc_id") % 13 == 0), d.where(F.col("doc_id") % 13 != 0)
+    ),
     # round-6 text additions: charlm's model stays <= V^2 rows at any
     # corpus size; fenced_json is a pure projection; bpe_train works on
     # the vocabulary, which token rotation leaves UNCHANGED across
