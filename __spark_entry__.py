@@ -5738,6 +5738,30 @@ groups AS (
 SELECT media_id, m.sha256, payload_bytes, canonical_id, n_copies,
        (media_id = canonical_id) AS is_canonical
 FROM media m JOIN groups USING (sha256) ORDER BY media_id"""
+    # AQP harness: deterministic hash-sample membership + exact decimal
+    # sums; ppm error through HUGEINT (Spark: decimal(38,0)) since
+    # |diff|*1e6 overflows a BIGINT at fact scale
+    _sample_key = _MD5_INT.format(expr="l_orderkey || '#' || l_linenumber")
+    out["sampled_revenue_estimate"] = f"""
+WITH base AS (
+  SELECT l_returnflag, l_extendedprice::DECIMAL(18,4) AS dec,
+         (({_sample_key}) % 100 = 0) AS in_sample
+  FROM lineitem
+),
+agg AS (
+  SELECT l_returnflag,
+         count(*)::BIGINT AS n_rows,
+         sum(CASE WHEN in_sample THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+         (sum(dec) * 1000000)::BIGINT AS revenue_micro,
+         (coalesce(sum(CASE WHEN in_sample THEN dec END), 0)
+          * 100 * 1000000)::BIGINT AS estimate_micro
+  FROM base GROUP BY l_returnflag
+)
+SELECT l_returnflag, n_rows, n_sampled, revenue_micro, estimate_micro,
+       (abs(estimate_micro - revenue_micro)::HUGEINT * 1000000
+        // revenue_micro::HUGEINT)::BIGINT AS abs_err_ppm,
+       estimate_micro > revenue_micro AS est_high
+FROM agg ORDER BY l_returnflag"""
     # integrity audit: every column derives from the payload bytes
     # (octet length / sha256 of the identical utf-8 payload)
     out["media_integrity_audit"] = """

@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_winnowing",
     "event_transitions",
     "winnowing_incremental",
+    "sampled_revenue_estimate",
     "strip_duplicate_spans",
     "dedup_incremental",
     "token_histogram",

@@ -1162,3 +1162,59 @@ def q21_sole_latest_shipper(
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+def sampled_revenue_estimate(lineitem: DataFrame, rate_inv: int = 100) -> DataFrame:
+    """Approximate-query-processing harness: per return flag, the exact
+    revenue, a 1/``rate_inv`` hash-sample ESTIMATE, and the estimate's
+    absolute error in ppm — the sanity report a team runs before
+    letting dashboards query a sample table instead of the 100 TB
+    fact. The sample predicate is a pure function of the row key
+    (md5(orderkey#linenumber) % rate_inv == 0), so the sample table
+    can be MAINTAINED incrementally with the same predicate at ingest
+    and both engines agree row-for-row on membership.
+
+    All arithmetic is exact: sums ride decimal(18,4) (the prices'
+    true scale), micro-unit totals are longs, and the ppm error is an
+    integral division through decimal(38,0) (the intermediate
+    |diff|·10⁶ overflows a long at fact scale). One scan — exact and
+    sampled sums are conditional aggregates over the same pass,
+    map-side combinable.
+    """
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", "l_orderkey", "l_linenumber")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    in_sample = key % rate_inv == F.lit(0)
+    dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    agg = (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(in_sample, 1).otherwise(0)).alias("n_sampled"),
+            (F.sum(dec) * 1_000_000).cast("long").alias("revenue_micro"),
+            (
+                F.coalesce(F.sum(F.when(in_sample, dec)), F.lit(0).cast("decimal(18,4)"))
+                * rate_inv
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("estimate_micro"),
+        )
+    )
+    err_ppm = F.expr(
+        "cast(abs(estimate_micro - revenue_micro) as decimal(38,0))"
+        " * 1000000 div cast(revenue_micro as decimal(38,0))"
+    )
+    return agg.select(
+        "l_returnflag",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+        "revenue_micro",
+        "estimate_micro",
+        err_ppm.cast("long").alias("abs_err_ppm"),
+        (F.col("estimate_micro") > F.col("revenue_micro")).alias("est_high"),
+    ).orderBy("l_returnflag")

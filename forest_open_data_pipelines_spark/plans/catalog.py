@@ -613,6 +613,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "span_dedup": lambda s, d: curation.span_dedup(load_table(s, d, "documents")),
+    "sampled_revenue_estimate": lambda s, d: relational.sampled_revenue_estimate(
+        load_table(s, d, "lineitem")
+    ),
     "winnowing_incremental": lambda s, d: dedup.winnowing_incremental(
         load_table(s, d, "documents").where(F.col("doc_id") % 13 == 0),
         load_table(s, d, "documents").where(F.col("doc_id") % 13 != 0),

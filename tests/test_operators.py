@@ -4099,3 +4099,41 @@ def test_winnowing_incremental_classifies_against_base(spark):
     assert rows[1].status == "dup" and rows[1].best_base_id == 10
     assert rows[1].containment_micro >= 700000
     assert rows[2].status == "new"
+
+
+def test_sampled_revenue_estimate_accuracy_and_determinism(spark):
+    """The AQP harness: sample membership is a pure key function (two
+    runs identical), exact totals match the direct decimal sum, the
+    sample rate lands near 1/rate_inv, and the estimate's error at
+    sf0.001 stays within a loose sampling bound."""
+    from forest_open_data_pipelines_spark.operators.relational import (
+        sampled_revenue_estimate,
+    )
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    rows = sampled_revenue_estimate(li).collect()
+    again = sampled_revenue_estimate(li).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+    total_sampled = sum(r.n_sampled for r in rows)
+    total_rows = sum(r.n_rows for r in rows)
+    assert 0.002 < total_sampled / total_rows < 0.05  # ~1% nominal
+    exact = {
+        r.l_returnflag: int(r.s)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) * 1_000_000)
+            .cast("long")
+            .alias("s")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.revenue_micro == exact[r.l_returnflag]
+        # at ~20 sampled rows per flag the estimate is rough; assert
+        # the error metric is coherent (truncated ppm of |diff|) and
+        # the estimate is the right order of magnitude
+        expect_ppm = abs(r.estimate_micro - r.revenue_micro) * 1_000_000 // (
+            r.revenue_micro
+        )
+        assert r.abs_err_ppm == expect_ppm
+        assert r.abs_err_ppm < 1_000_000  # within 100% of exact
