@@ -4972,6 +4972,39 @@ SELECT d.doc_id, d.lang,
        coalesce(b.plang, 'unknown') = d.lang AS is_correct
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 ORDER BY d.doc_id""",
+        "daily_anomaly_report": """
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, n_events,
+         count(n_events) OVER w::BIGINT AS n_window,
+         sum(n_events) OVER w::DOUBLE AS s1d,
+         sum(n_events * n_events) OVER w::DOUBLE AS s2d
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)
+),
+scored AS (
+  SELECT event_type, day, n_events, n_window, s1d, s2d,
+         CASE WHEN n_window >= 8
+                   AND (s2d - s1d * s1d / n_window::DOUBLE)
+                       / (n_window::DOUBLE - 1) > 0
+              THEN round((n_events::DOUBLE - s1d / n_window::DOUBLE)
+                         / sqrt((s2d - s1d * s1d / n_window::DOUBLE)
+                                / (n_window::DOUBLE - 1)), 6)
+         END AS z
+  FROM win
+)
+SELECT event_type, day, n_events, n_window, z,
+       coalesce(abs(z) >= 3.0, FALSE)
+       OR coalesce(n_window >= 8
+           AND (s2d - s1d * s1d / n_window::DOUBLE)
+               / (n_window::DOUBLE - 1) = 0
+           AND n_events::DOUBLE != s1d / n_window::DOUBLE, FALSE)
+         AS is_anomaly
+FROM scored ORDER BY event_type, day""",
         "event_transitions": """
 WITH ordered AS (
   SELECT event_type,

@@ -108,6 +108,7 @@ HEADLINE = [
     "event_transitions",
     "winnowing_incremental",
     "sampled_revenue_estimate",
+    "daily_anomaly_report",
     "strip_duplicate_spans",
     "dedup_incremental",
     "token_histogram",

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from forest_open_data_pipelines_spark.functions.columns import money, ratio
+from forest_open_data_pipelines_spark.functions.columns import money, ratio, scaled_round
 
 SESSION_GAP_MINUTES = 30
 
@@ -277,3 +277,86 @@ def event_transitions(events: DataFrame) -> DataFrame:
         F.col("total_from_prev").cast("long").alias("total_from_prev"),
         p_micro.cast("long").alias("p_micro"),
     ).orderBy("prev_type", "event_type")
+
+
+def daily_anomaly_report(
+    events: DataFrame,
+    window_days: int = 28,
+    min_obs: int = 8,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Telemetry anomaly detection: per (event_type, day), the event
+    count's z-score against the TRAILING window of that type's prior
+    daily counts — the alert a pipeline team pages on when one event
+    type's volume jumps (a replayed feed, a broken producer) or
+    collapses (an upstream outage).
+
+    Cross-engine float discipline: the trailing sums s1=Σn and s2=Σn²
+    are EXACT LONGS (daily counts are ints), cast to double once, and
+    mean/variance/z are then the textually identical double formula on
+    both engines (IEEE ops in the same order ⇒ identical bits); the
+    final z rounds via scale-then-round at 6 dp (functions.columns
+    scaled_round ↔ DuckDB native round — the closed HALF_UP class).
+    z is NULL below ``min_obs`` trailing observations or at zero
+    variance; is_anomaly compares the ROUNDED z so the boolean can't
+    straddle a bit.
+
+    Scale: one shuffle to (event_type, day) daily counts (map-side
+    combine), then windows over the per-type daily series — thousands
+    of rows per type regardless of fact size, so the window stage is
+    metadata-weight at 100 TB.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-window_days, -1)
+    )
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    cnt = F.count("n_events").over(w)
+    stats = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        cnt.cast("long").alias("n_window"),
+        s1.cast("double").alias("s1d"),
+        s2.cast("double").alias("s2d"),
+    )
+    # nullif guards on every divisor: the guarded when() branches are
+    # NOT enough under ANSI — whole-stage codegen CSE hoists the shared
+    # mean/variance subexpressions out of the conditionals and
+    # evaluates them on the cnt 0/1 rows too (found by the 3-SF parity
+    # run; NULL propagates to a NULL z / false flag instead)
+    cntd = F.col("n_window").cast("double")
+    mean = F.col("s1d") / F.nullif(cntd, F.lit(0.0))
+    variance = (F.col("s2d") - F.col("s1d") * F.col("s1d") / F.nullif(cntd, F.lit(0.0))) / F.nullif(
+        cntd - 1, F.lit(0.0)
+    )
+    z_raw = (F.col("n_events").cast("double") - mean) / F.sqrt(variance)
+    z = F.when(
+        (F.col("n_window") >= min_obs) & (variance > 0), scaled_round(z_raw, 6)
+    )
+    # zero-variance branch: a constant baseline makes z undefined, but
+    # a count that MOVES off a flat history is the most obvious anomaly
+    # of all (low-volume telemetry is often exactly-constant) — flag it
+    # explicitly. mean is exact there (equal ints divide exactly in
+    # double), so the inequality cannot straddle a bit.
+    flat_jump = F.coalesce(
+        (F.col("n_window") >= min_obs)
+        & (variance == 0)
+        & (F.col("n_events").cast("double") != mean),
+        F.lit(False),
+    )
+    return stats.select(
+        "event_type",
+        "day",
+        "n_events",
+        "n_window",
+        z.alias("z"),
+        (F.coalesce(F.abs(z) >= z_threshold, F.lit(False)) | flat_jump).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("event_type", "day")

@@ -4137,3 +4137,45 @@ def test_sampled_revenue_estimate_accuracy_and_determinism(spark):
         )
         assert r.abs_err_ppm == expect_ppm
         assert r.abs_err_ppm < 1_000_000  # within 100% of exact
+
+
+def test_daily_anomaly_report_flags_spikes_and_flat_jumps(spark):
+    """A spike over a varying baseline flags via z; a jump off an
+    exactly-constant baseline (variance 0, z undefined) flags via the
+    flat-jump branch; warm-up days (< min_obs history) never flag."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        daily_anomaly_report,
+    )
+
+    rows, eid = [], 0
+    # type V: alternating 9/11 baseline for 20 days, spike day 21 (100)
+    for d in range(1, 21):
+        for _ in range(9 if d % 2 else 11):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, d, 12), 1, "V", 1.0, "{}"))
+    for _ in range(100):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 21, 12), 1, "V", 1.0, "{}"))
+    # type C: exactly 10/day for 20 days, jump day 21 (30)
+    for d in range(1, 21):
+        for _ in range(10):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, d, 12), 2, "C", 1.0, "{}"))
+    for _ in range(30):
+        eid += 1
+        rows.append((eid, datetime(2024, 1, 21, 12), 2, "C", 1.0, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r.event_type, r.day.day): r for r in daily_anomaly_report(events).collect()
+    }
+    assert out[("V", 21)].is_anomaly and out[("V", 21)].z > 3
+    assert out[("C", 21)].is_anomaly and out[("C", 21)].z is None  # flat jump
+    assert not any(
+        out[(t, d)].is_anomaly for t in ("V", "C") for d in range(1, 21)
+    )
