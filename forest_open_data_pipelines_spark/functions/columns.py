@@ -51,6 +51,24 @@ def money(col: Column) -> Column:
     return F.round(col, MONEY_DP)
 
 
+def micro_div(num_sql: str, den_sql: str) -> Column:
+    """Exact half-up micro-unit division: ``round(num/den · 10⁶)`` with
+    PURE INTEGER arithmetic — ``num·10⁶ div den`` plus one when twice
+    the remainder reaches the divisor. No float touches the boundary,
+    so Spark and a DuckDB oracle using ``num*1000000 // den`` + the
+    same remainder test agree bit-for-bit (the dedup_winnowing
+    convention, shared by overlap/containment/transition-probability/
+    error-ppm columns). Arguments are SQL fragments for the integer
+    numerator and divisor (column names or expressions); the divisor
+    is evaluated twice, so keep it a simple column/least() — both
+    engines' optimizers CSE it."""
+    return F.expr(
+        f"({num_sql}) * 1000000L div ({den_sql})"
+        f" + CASE WHEN (({num_sql}) * 1000000L % ({den_sql})) * 2"
+        f" >= ({den_sql}) THEN 1 ELSE 0 END"
+    )
+
+
 def scaled_round(col: Column, dp: int) -> Column:
     """Scale-then-round at ``dp`` decimals: round(x·10^dp)/10^dp —
     binary-identical to DuckDB's native round(x, dp) for every double

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from forest_open_data_pipelines_spark.functions.columns import ratio
+from forest_open_data_pipelines_spark.functions.columns import micro_div, ratio
 from forest_open_data_pipelines_spark.operators.textops import clean_text
 from forest_open_data_pipelines_spark.sources.tables import spread
 
@@ -374,12 +374,7 @@ def dedup_winnowing(
             "doc_b",
         )
     )
-    # exact half-up micro-units: num div m, +1 when 2*remainder >= m
-    overlap = F.expr(
-        "n_shared * 1000000L div least(na, nb)"
-        " + CASE WHEN (n_shared * 1000000L % least(na, nb)) * 2"
-        " >= least(na, nb) THEN 1 ELSE 0 END"
-    )
+    overlap = micro_div("n_shared", "least(na, nb)")
     return (
         pairs.select(
             "doc_a",
@@ -456,10 +451,7 @@ def classify_against_winnowing_index(
     best_w = Window.partitionBy("doc_id").orderBy(
         F.col("n_shared").desc(), F.col("base_id")
     )
-    containment = F.expr(
-        "n_shared * 1000000L div nfp"
-        " + CASE WHEN (n_shared * 1000000L % nfp) * 2 >= nfp THEN 1 ELSE 0 END"
-    )
+    containment = micro_div("n_shared", "nfp")
     best = (
         shared.withColumn("rn", F.row_number().over(best_w))
         .where(F.col("rn") == 1)

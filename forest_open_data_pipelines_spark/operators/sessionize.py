@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from forest_open_data_pipelines_spark.functions.columns import money, ratio, scaled_round
+from forest_open_data_pipelines_spark.functions.columns import micro_div, money, ratio, scaled_round
 
 SESSION_GAP_MINUTES = 30
 
@@ -265,11 +265,7 @@ def event_transitions(events: DataFrame) -> DataFrame:
     with_tot = bigrams.withColumn(
         "total_from_prev", F.sum("n_transitions").over(tot_w)
     )
-    p_micro = F.expr(
-        "n_transitions * 1000000L div total_from_prev"
-        " + CASE WHEN (n_transitions * 1000000L % total_from_prev) * 2"
-        " >= total_from_prev THEN 1 ELSE 0 END"
-    )
+    p_micro = micro_div("n_transitions", "total_from_prev")
     return with_tot.select(
         "prev_type",
         "event_type",

@@ -525,3 +525,36 @@ def test_iso_signal_matches_stdlib_fromisoformat(spark, stamps):
             expected = expected.replace(tzinfo=timezone.utc)
         expected = expected.astimezone(timezone.utc).replace(tzinfo=None)
         assert got[v] == expected, v
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10**9),
+            st.integers(min_value=1, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_micro_div_matches_fraction_half_up(spark, pairs):
+    """functions.columns.micro_div (shared by overlap/containment/
+    transition-probability columns) must equal exact Fraction
+    arithmetic with HALF_UP at 6 dp for any non-negative num and
+    positive den — no float is allowed near the boundary."""
+    from fractions import Fraction
+
+    from forest_open_data_pipelines_spark.functions.columns import micro_div
+
+    df = spark.createDataFrame(pairs, "num long, den long")
+    got = [
+        r.m for r in df.select(micro_div("num", "den").alias("m")).collect()
+    ]
+    want = []
+    for num, den in pairs:
+        q = Fraction(num * 1_000_000, den)
+        floor = q.numerator // q.denominator
+        rem = q - floor
+        want.append(floor + (1 if rem * 2 >= 1 else 0))
+    assert got == want
