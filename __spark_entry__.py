@@ -4972,6 +4972,32 @@ SELECT d.doc_id, d.lang,
        coalesce(b.plang, 'unknown') = d.lang AS is_correct
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 ORDER BY d.doc_id""",
+        "part_affinity_pairs": """
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pair_counts AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*)::BIGINT AS n_ab
+  FROM lines a JOIN lines b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 5
+),
+part_counts AS (
+  SELECT l_partkey, count(*)::BIGINT AS n_part FROM lines GROUP BY 1
+),
+tot AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM lines)
+SELECT part_a, part_b, n_ab, na.n_part AS n_a, nb.n_part AS n_b,
+       (n_ab * 1000000 // n_orders
+        + CASE WHEN (n_ab * 1000000 % n_orders) * 2 >= n_orders
+               THEN 1 ELSE 0 END)::BIGINT AS support_ppm,
+       ((n_ab * n_orders) * 1000000 // (na.n_part * nb.n_part)
+        + CASE WHEN ((n_ab * n_orders) * 1000000 % (na.n_part * nb.n_part)) * 2
+               >= (na.n_part * nb.n_part) THEN 1 ELSE 0 END)::BIGINT
+         AS lift_micro
+FROM pair_counts
+JOIN part_counts na ON part_a = na.l_partkey
+JOIN part_counts nb ON part_b = nb.l_partkey
+CROSS JOIN tot
+ORDER BY part_a, part_b""",
         "daily_anomaly_report": """
 WITH daily AS (
   SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events

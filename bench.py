@@ -109,6 +109,7 @@ HEADLINE = [
     "winnowing_incremental",
     "sampled_revenue_estimate",
     "daily_anomaly_report",
+    "part_affinity_pairs",
     "strip_duplicate_spans",
     "dedup_incremental",
     "token_histogram",

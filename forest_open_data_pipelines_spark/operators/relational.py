@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from forest_open_data_pipelines_spark.functions.columns import money, ratio, scaled_round
+from forest_open_data_pipelines_spark.functions.columns import micro_div, money, ratio, scaled_round
 
 
 def q1_pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
@@ -1218,3 +1218,64 @@ def sampled_revenue_estimate(lineitem: DataFrame, rate_inv: int = 100) -> DataFr
         err_ppm.cast("long").alias("abs_err_ppm"),
         (F.col("estimate_micro") > F.col("revenue_micro")).alias("est_high"),
     ).orderBy("l_returnflag")
+
+
+def part_affinity_pairs(lineitem: DataFrame, min_support: int = 5) -> DataFrame:
+    """Market-basket co-occurrence: pairs of parts ordered together,
+    with support (share of orders containing both, ppm) and LIFT
+    (observed co-occurrence over the independence expectation,
+    micro-units) — the association-rule shape behind
+    bought-together recommendations and co-loaded-dataset analysis.
+
+    All scoring is exact integer arithmetic through ``micro_div``:
+    lift = (n_ab·N) / (n_a·n_b) with both products inside a long at
+    this fact's cardinalities (n_ab·N·10⁶ ≤ ~1e17; at cardinalities
+    where that overflows, widen the two products to decimal(38,0) —
+    the err_ppm pattern).
+
+    Scale: the pair generation is a SELF-JOIN ON THE ORDER KEY, so
+    fan-out is bounded by lines-per-order choose 2 (~21 for TPC-H-like
+    data) regardless of corpus size — never a part×part cartesian;
+    per-part counts and the order total are map-side-combinable
+    aggregates, and the scalar N rides a one-row broadcast.
+    """
+    lines = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair_counts = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    part_counts = lines.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    n_orders = F.broadcast(
+        lines.select("l_orderkey")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    joined = (
+        pair_counts.join(
+            part_counts.select(
+                F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+            ),
+            "part_a",
+        )
+        .join(
+            part_counts.select(
+                F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+            ),
+            "part_b",
+        )
+        .crossJoin(n_orders)
+    )
+    return joined.select(
+        "part_a",
+        "part_b",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        micro_div("n_ab", "n_orders").alias("support_ppm"),
+        micro_div("n_ab * n_orders", "n_a * n_b").alias("lift_micro"),
+    ).orderBy("part_a", "part_b")

@@ -613,6 +613,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "span_dedup": lambda s, d: curation.span_dedup(load_table(s, d, "documents")),
+    "part_affinity_pairs": lambda s, d: relational.part_affinity_pairs(
+        load_table(s, d, "lineitem")
+    ),
     "daily_anomaly_report": lambda s, d: sessionize.daily_anomaly_report(
         load_table(s, d, "events")
     ),

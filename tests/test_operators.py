@@ -4179,3 +4179,27 @@ def test_daily_anomaly_report_flags_spikes_and_flat_jumps(spark):
     assert not any(
         out[(t, d)].is_anomaly for t in ("V", "C") for d in range(1, 21)
     )
+
+
+def test_part_affinity_pairs_support_and_lift(spark):
+    """Hand-built baskets: parts 1+2 co-occur in 6 of 10 orders
+    (support 0.6, lift 6·10/(6·6) = 1.666667 half-up in micro);
+    below-floor pairs are dropped; duplicate lines in one order count
+    once."""
+    from forest_open_data_pipelines_spark.operators.relational import (
+        part_affinity_pairs,
+    )
+
+    rows = []
+    for o in range(1, 7):           # orders 1-6: parts 1 and 2 (2 twice)
+        rows += [(o, 1), (o, 2), (o, 2)]
+    for o in range(7, 11):          # orders 7-10: part 3 alone
+        rows.append((o, 3))
+    rows += [(1, 4), (2, 4)]        # part 4 with 1&2 twice (below floor)
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = part_affinity_pairs(li).collect()
+    assert len(out) == 1
+    (r,) = out
+    assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (1, 2, 6, 6, 6)
+    assert r.support_ppm == 600000
+    assert r.lift_micro == 1666667
