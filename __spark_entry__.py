@@ -4972,6 +4972,28 @@ SELECT d.doc_id, d.lang,
        coalesce(b.plang, 'unknown') = d.lang AS is_correct
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 ORDER BY d.doc_id""",
+        "monthly_seasonal_index": f"""
+WITH {ENRICHED}, {MONTHLY},
+win AS (
+  SELECT period, n_orders::BIGINT AS n,
+         sum(n_orders::BIGINT) OVER w AS s,
+         count(n_orders) OVER w AS c
+  FROM monthly
+  WINDOW w AS (ORDER BY period ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+),
+ratios AS (
+  SELECT substring(period, 6, 2)::INT AS month,
+         (n * 13 * 1000000 // s
+          + CASE WHEN (n * 13 * 1000000 % s) * 2 >= s
+                 THEN 1 ELSE 0 END)::BIGINT AS ratio_micro
+  FROM win WHERE c = 13
+)
+SELECT month, count(*)::BIGINT AS n_obs,
+       (sum(ratio_micro) * 1000000 // (count(*) * 1000000)
+        + CASE WHEN (sum(ratio_micro) * 1000000 % (count(*) * 1000000)) * 2
+               >= (count(*) * 1000000) THEN 1 ELSE 0 END)::BIGINT
+         AS seasonal_index_micro
+FROM ratios GROUP BY month ORDER BY month""",
         "part_affinity_pairs": """
 WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 pair_counts AS (

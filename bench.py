@@ -110,6 +110,7 @@ HEADLINE = [
     "sampled_revenue_estimate",
     "daily_anomaly_report",
     "part_affinity_pairs",
+    "monthly_seasonal_index",
     "strip_duplicate_spans",
     "dedup_incremental",
     "token_histogram",

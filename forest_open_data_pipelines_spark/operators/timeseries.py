@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import (
+    micro_div,
     money,
     period_month,
     ratio,
@@ -794,3 +795,52 @@ def annual_reference_extract(
         "n_orders",
         "total_price",
     ).orderBy("zip_name")
+
+
+def monthly_seasonal_index(monthly: DataFrame) -> DataFrame:
+    """Classical seasonal index by ratio-to-centered-moving-average:
+    each month's order count over its centered 13-month MA, averaged
+    per calendar month — the decomposition step that answers 'is
+    August always low, or is THIS August low' before any YoY claim.
+
+    Every step is EXACT integer arithmetic (no float anywhere, so the
+    oracle hash cannot drift): the ratio n/(s/13) is computed as
+    micro_div(n·13, s) with half-up micro rounding, ratios sum as
+    longs (partition-order-invariant where a double mean is not), and
+    the per-month mean is the same half-up integral division.
+    Edge periods without a full 13-month window are excluded.
+
+    Scale: windows run over the POST-AGGREGATION monthly series
+    (#months rows — the rolling_12m unpartitioned-window precedent:
+    metadata-weight on any cluster; per-group variants would add
+    partitionBy).
+    """
+    w = Window.orderBy("period").rowsBetween(-6, 6)
+    ratios = (
+        monthly.select(
+            "period",
+            F.col("n_orders").cast("long").alias("n"),
+            F.sum(F.col("n_orders").cast("long")).over(w).alias("s"),
+            F.count("n_orders").over(w).alias("c"),
+        )
+        .where(F.col("c") == 13)
+        .select(
+            F.substring("period", 6, 2).cast("int").alias("month"),
+            micro_div("n * 13", "s").alias("ratio_micro"),
+        )
+    )
+    return (
+        ratios.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("ratio_micro").alias("sum_rm"),
+        )
+        .select(
+            "month",
+            F.col("n_obs").cast("long").alias("n_obs"),
+            micro_div("sum_rm", "n_obs * 1000000")
+            .cast("long")
+            .alias("seasonal_index_micro"),
+        )
+        .orderBy("month")
+    )

@@ -613,6 +613,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "span_dedup": lambda s, d: curation.span_dedup(load_table(s, d, "documents")),
+    "monthly_seasonal_index": lambda s, d: timeseries.monthly_seasonal_index(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
     "part_affinity_pairs": lambda s, d: relational.part_affinity_pairs(
         load_table(s, d, "lineitem")
     ),

@@ -4203,3 +4203,36 @@ def test_part_affinity_pairs_support_and_lift(spark):
     assert (r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b) == (1, 2, 6, 6, 6)
     assert r.support_ppm == 600000
     assert r.lift_micro == 1666667
+
+
+def test_monthly_seasonal_index_exact_chain(spark):
+    """Verify the exact integer chain on a constructed seasonal
+    series: three years of 10/month with June always 20 — June indexes
+    20·13/140, December (whose centered window spans June→June and so
+    holds two Junes) 10·13/150, every other month 10·13/140, and the
+    6 edge periods on each side contribute no ratio."""
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        monthly_seasonal_index,
+    )
+
+    rows = []
+    for y in (2020, 2021, 2022):
+        for m in range(1, 13):
+            n = 20 if m == 6 else 10
+            rows.append((f"{y}-{m:02d}", n, float(n)))
+    monthly = spark.createDataFrame(
+        rows, "period string, n_orders long, total_price double"
+    )
+    out = {r.month: r for r in monthly_seasonal_index(monthly).collect()}
+    # centered 13-month window always contains exactly one June →
+    # s = 12·10 + 20 = 140 for every period; index(June) = 20·13/140
+    # = 1.857143 half-up; others = 10·13/140 = 0.928571
+    assert out[6].seasonal_index_micro == 1857143
+    # a December-centered window spans June→June and contains TWO
+    # Junes (s = 11·10 + 2·20 = 150 → 10·13/150 = 0.866667)
+    assert out[12].seasonal_index_micro == 866667
+    for m in out:
+        if m not in (6, 12):
+            assert out[m].seasonal_index_micro == 928571, m
+    # edges excluded: first/last 6 periods contribute no ratio
+    assert sum(r.n_obs for r in out.values()) == 36 - 12
