@@ -4972,6 +4972,31 @@ SELECT d.doc_id, d.lang,
        coalesce(b.plang, 'unknown') = d.lang AS is_correct
 FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
 ORDER BY d.doc_id""",
+        "supplier_concentration_hhi": """
+WITH rev AS (
+  SELECT n_name, l_suppkey,
+         (sum(l_extendedprice::DECIMAL(18,4)) * 1000000)::BIGINT AS rev_micro
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+shares AS (
+  SELECT n_name,
+         (rev_micro::HUGEINT * 1000000 // nation_total::HUGEINT
+          + CASE WHEN (rev_micro::HUGEINT * 1000000 % nation_total::HUGEINT)
+                      * 2 >= nation_total::HUGEINT
+                 THEN 1 ELSE 0 END)::BIGINT AS share_ppm
+  FROM (SELECT n_name, rev_micro,
+               sum(rev_micro) OVER (PARTITION BY n_name) AS nation_total
+        FROM rev)
+)
+SELECT n_name, count(*)::BIGINT AS n_suppliers,
+       max(share_ppm)::BIGINT AS top_share_ppm,
+       (sum(share_ppm * share_ppm) // 1000000
+        + CASE WHEN (sum(share_ppm * share_ppm) % 1000000) * 2 >= 1000000
+               THEN 1 ELSE 0 END)::BIGINT AS hhi_ppm
+FROM shares GROUP BY n_name ORDER BY n_name""",
         "monthly_seasonal_index": f"""
 WITH {ENRICHED}, {MONTHLY},
 win AS (

@@ -111,6 +111,7 @@ HEADLINE = [
     "daily_anomaly_report",
     "part_affinity_pairs",
     "monthly_seasonal_index",
+    "supplier_concentration_hhi",
     "strip_duplicate_spans",
     "dedup_incremental",
     "token_histogram",

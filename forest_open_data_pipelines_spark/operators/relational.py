@@ -1279,3 +1279,75 @@ def part_affinity_pairs(lineitem: DataFrame, min_support: int = 5) -> DataFrame:
         micro_div("n_ab", "n_orders").alias("support_ppm"),
         micro_div("n_ab * n_orders", "n_a * n_b").alias("lift_micro"),
     ).orderBy("part_a", "part_b")
+
+
+def supplier_concentration_hhi(
+    lineitem: DataFrame, supplier: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """Market-concentration report: per supplier nation, the
+    Herfindahl–Hirschman index of supplier revenue shares (Σ share² —
+    the antitrust-style 'is this market one big player or many small
+    ones' number), plus the top-supplier share and supplier count.
+
+    Exactness: revenue sums ride decimal(18,4) micro longs, each
+    supplier share is half-up ppm through decimal(38,0) (DuckDB:
+    HUGEINT — rev·10⁶ overflows micro_div's long fast path at fact
+    scale, caught by the 3-SF parity run), and HHI folds the
+    ALREADY-ROUNDED
+    ppm shares — Σ share_ppm² div 10⁶ — so the metric is a pure
+    integer function of values the engines agree on. HHI_ppm ranges
+    0..10⁶ (10⁶ = monopoly).
+
+    Scale: one fact aggregate to (nation, supplier) revenue (map-side
+    combine), dims broadcast; the share/HHI windows run over the
+    supplier-count-sized aggregate, never the fact.
+    """
+    rev = (
+        lineitem.groupBy("l_suppkey")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,4)")) * 1_000_000)
+            .cast("long")
+            .alias("rev_micro")
+        )
+        .join(F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "l_suppkey", "rev_micro")
+    )
+    tot_w = Window.partitionBy("n_name")
+    # share in ppm through decimal(38,0): rev_micro·10⁶ overflows a
+    # long at fact scale (micro_div's long fast path does not apply);
+    # the remainder fits a long, so the half-up test stays integral
+    share_ppm = F.expr(
+        "cast(cast(rev_micro as decimal(38,0)) * 1000000"
+        " div cast(nation_total as decimal(38,0)) as long)"
+        " + CASE WHEN cast(cast(rev_micro as decimal(38,0)) * 1000000"
+        " % cast(nation_total as decimal(38,0)) as long) * 2"
+        " >= nation_total THEN 1 ELSE 0 END"
+    )
+    shares = (
+        rev.withColumn("nation_total", F.sum("rev_micro").over(tot_w))
+        .select("n_name", share_ppm.alias("share_ppm"))
+    )
+    return (
+        shares.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.max("share_ppm").alias("top_share_ppm"),
+            F.expr(
+                "sum(share_ppm * share_ppm) div 1000000"
+                " + CASE WHEN (sum(share_ppm * share_ppm) % 1000000) * 2"
+                " >= 1000000 THEN 1 ELSE 0 END"
+            )
+            .cast("long")
+            .alias("hhi_ppm"),
+        )
+        .select(
+            "n_name",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            F.col("top_share_ppm").cast("long").alias("top_share_ppm"),
+            "hhi_ppm",
+        )
+        .orderBy("n_name")
+    )

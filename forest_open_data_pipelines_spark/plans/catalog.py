@@ -613,6 +613,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     "span_dedup": lambda s, d: curation.span_dedup(load_table(s, d, "documents")),
+    "supplier_concentration_hhi": lambda s, d: (
+        relational.supplier_concentration_hhi(
+            *_t(s, d, "lineitem", "supplier", "nation")
+        )
+    ),
     "monthly_seasonal_index": lambda s, d: timeseries.monthly_seasonal_index(
         timeseries.monthly_series(_enriched(s, d))
     ),

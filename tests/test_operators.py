@@ -4236,3 +4236,28 @@ def test_monthly_seasonal_index_exact_chain(spark):
             assert out[m].seasonal_index_micro == 928571, m
     # edges excluded: first/last 6 periods contribute no ratio
     assert sum(r.n_obs for r in out.values()) == 36 - 12
+
+
+def test_supplier_concentration_hhi_known_market(spark):
+    """Two-supplier 50/50 market → HHI 0.5; monopoly → 1.0 with top
+    share 1.0 — the defining values of the index, exact in ppm."""
+    from forest_open_data_pipelines_spark.operators.relational import (
+        supplier_concentration_hhi,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 100.0), (2, 100.0), (3, 250.0)],
+        "l_suppkey long, l_extendedprice double",
+    )
+    supp = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20)], "s_suppkey long, s_nationkey int"
+    )
+    nat = spark.createDataFrame(
+        [(10, "DUOPOLY"), (20, "MONOPOLY")], "n_nationkey int, n_name string"
+    )
+    out = {r.n_name: r for r in supplier_concentration_hhi(li, supp, nat).collect()}
+    assert out["DUOPOLY"].hhi_ppm == 500000
+    assert out["DUOPOLY"].top_share_ppm == 500000
+    assert out["DUOPOLY"].n_suppliers == 2
+    assert out["MONOPOLY"].hhi_ppm == 1000000
+    assert out["MONOPOLY"].top_share_ppm == 1000000
