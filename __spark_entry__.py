@@ -4999,11 +4999,25 @@ SELECT n_name, count(*)::BIGINT AS n_suppliers,
 FROM shares GROUP BY n_name ORDER BY n_name""",
         "monthly_seasonal_index": f"""
 WITH {ENRICHED}, {MONTHLY},
+bounds AS (
+  SELECT min((period || '-01')::DATE) AS d0,
+         max((period || '-01')::DATE) AS d1
+  FROM monthly
+),
+spine AS (
+  SELECT strftime(unnest(generate_series(d0, d1, INTERVAL 1 MONTH))::DATE,
+                  '%Y-%m') AS period
+  FROM bounds
+),
+filled AS (
+  SELECT s.period, coalesce(m.n_orders, 0)::BIGINT AS n_orders
+  FROM spine s LEFT JOIN monthly m USING (period)
+),
 win AS (
   SELECT period, n_orders::BIGINT AS n,
          sum(n_orders::BIGINT) OVER w AS s,
          count(n_orders) OVER w AS c
-  FROM monthly
+  FROM filled
   WINDOW w AS (ORDER BY period ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
 ),
 ratios AS (
@@ -5046,9 +5060,19 @@ JOIN part_counts nb ON part_b = nb.l_partkey
 CROSS JOIN tot
 ORDER BY part_a, part_b""",
         "daily_anomaly_report": """
-WITH daily AS (
+WITH counts AS (
   SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events
   FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM counts GROUP BY 1)
+),
+daily AS (
+  SELECT s.event_type, s.day, coalesce(c.n_events, 0)::BIGINT AS n_events
+  FROM spine s LEFT JOIN counts c USING (event_type, day)
 ),
 win AS (
   SELECT event_type, day, n_events,

@@ -1164,7 +1164,9 @@ def q21_sole_latest_shipper(
     )
 
 
-def sampled_revenue_estimate(lineitem: DataFrame, rate_inv: int = 100) -> DataFrame:
+def sampled_revenue_estimate(
+    lineitem: DataFrame, rate_inv: int = 100, unit_scale: int = 1_000_000
+) -> DataFrame:
     """Approximate-query-processing harness: per return flag, the exact
     revenue, a 1/``rate_inv`` hash-sample ESTIMATE, and the estimate's
     absolute error in ppm — the sanity report a team runs before
@@ -1175,11 +1177,19 @@ def sampled_revenue_estimate(lineitem: DataFrame, rate_inv: int = 100) -> DataFr
     and both engines agree row-for-row on membership.
 
     All arithmetic is exact: sums ride decimal(18,4) (the prices'
-    true scale), micro-unit totals are longs, and the ppm error is an
+    true scale), scaled totals are longs, and the ppm error is an
     integral division through decimal(38,0) (the intermediate
     |diff|·10⁶ overflows a long at fact scale). One scan — exact and
     sampled sums are conditional aggregates over the same pass,
     map-side combinable.
+
+    CAPACITY CONTRACT: long totals bound per-group revenue at
+    2^63/unit_scale (~9.2e12 currency units at the default micro
+    scale — roughly TPC-H sf80 per flag). Past that, pass
+    ``unit_scale=10_000`` (still EXACT for the 4-dp prices, headroom
+    ~9.2e14 units); under this session's ANSI mode an overflow FAILS
+    FAST rather than silently nulling, so a mis-sized scale cannot
+    corrupt the report.
     """
     key = F.conv(
         F.substring(
@@ -1195,11 +1205,11 @@ def sampled_revenue_estimate(lineitem: DataFrame, rate_inv: int = 100) -> DataFr
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.when(in_sample, 1).otherwise(0)).alias("n_sampled"),
-            (F.sum(dec) * 1_000_000).cast("long").alias("revenue_micro"),
+            (F.sum(dec) * unit_scale).cast("long").alias("revenue_micro"),
             (
                 F.coalesce(F.sum(F.when(in_sample, dec)), F.lit(0).cast("decimal(18,4)"))
                 * rate_inv
-                * 1_000_000
+                * unit_scale
             )
             .cast("long")
             .alias("estimate_micro"),
@@ -1319,12 +1329,15 @@ def supplier_concentration_hhi(
     # share in ppm through decimal(38,0): rev_micro·10⁶ overflows a
     # long at fact scale (micro_div's long fast path does not apply);
     # the remainder fits a long, so the half-up test stays integral
+    # the half-up comparison stays in decimal too: a remainder above
+    # 2^62 would wrap negative under long *2 and round the wrong way
+    # exactly in the regime the widening exists for
     share_ppm = F.expr(
         "cast(cast(rev_micro as decimal(38,0)) * 1000000"
         " div cast(nation_total as decimal(38,0)) as long)"
-        " + CASE WHEN cast(cast(rev_micro as decimal(38,0)) * 1000000"
-        " % cast(nation_total as decimal(38,0)) as long) * 2"
-        " >= nation_total THEN 1 ELSE 0 END"
+        " + CASE WHEN (cast(rev_micro as decimal(38,0)) * 1000000"
+        " % cast(nation_total as decimal(38,0))) * 2"
+        " >= cast(nation_total as decimal(38,0)) THEN 1 ELSE 0 END"
     )
     shares = (
         rev.withColumn("nation_total", F.sum("rev_micro").over(tot_w))

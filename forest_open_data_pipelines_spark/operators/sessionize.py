@@ -302,9 +302,24 @@ def daily_anomaly_report(
     of rows per type regardless of fact size, so the window stage is
     metadata-weight at 100 TB.
     """
-    daily = events.groupBy(
+    counts = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
+    # per-type date spine: a day with ZERO events emits no groupBy row,
+    # and a rows-based trailing window would silently close over the
+    # gap — the total-outage case (the alert's whole point for
+    # collapses) would never fire. Fill interior gaps with n=0 so an
+    # outage day scores like any other observation.
+    spine = (
+        counts.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    daily = spine.join(counts, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

@@ -815,9 +815,25 @@ def monthly_seasonal_index(monthly: DataFrame) -> DataFrame:
     metadata-weight on any cluster; per-group variants would add
     partitionBy).
     """
+    # month spine: a calendar month with zero orders emits no series
+    # row, and a ROWS frame would then span 14+ calendar months —
+    # attributing ratios to the wrong season. Fill interior gaps with
+    # n=0 so the 13-row window IS 13 calendar months.
+    bounds = monthly.agg(
+        F.min(F.to_date(F.concat(F.col("period"), F.lit("-01")))).alias("d0"),
+        F.max(F.to_date(F.concat(F.col("period"), F.lit("-01")))).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 month"))
+        ).alias("m")
+    ).select(F.date_format("m", "yyyy-MM").alias("period"))
+    filled = spine.join(monthly, "period", "left").select(
+        "period", F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders")
+    )
     w = Window.orderBy("period").rowsBetween(-6, 6)
     ratios = (
-        monthly.select(
+        filled.select(
             "period",
             F.col("n_orders").cast("long").alias("n"),
             F.sum(F.col("n_orders").cast("long")).over(w).alias("s"),

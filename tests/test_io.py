@@ -669,12 +669,19 @@ def test_read_json_lines_quarantined_splits_bad_rows(spark, tmp_path):
     )
     schema = StructType().add("id", LongType()).add("name", StringType())
     good, bad = read_json_lines_quarantined(spark, str(src), schema)
-    assert sorted((r.id, r.name) for r in good.collect()) == [
-        (1, "ok"),
-        (2, "also ok"),
-    ]
-    (bad_row,) = bad.collect()
-    assert "BROKEN" in bad_row.raw_record
+    try:
+        assert sorted((r.id, r.name) for r in good.collect()) == [
+            (1, "ok"),
+            (2, "also ok"),
+        ]
+        (bad_row,) = bad.collect()
+        assert "BROKEN" in bad_row.raw_record
+    finally:
+        from forest_open_data_pipelines_spark.sources.formats import (
+            release_quarantine_cache,
+        )
+
+        assert release_quarantine_cache() >= 1
 
 
 def test_read_delimited_quarantined_bad_casts(spark, tmp_path):
@@ -689,9 +696,19 @@ def test_read_delimited_quarantined_bad_casts(spark, tmp_path):
     (src / "a.csv").write_text("id,name\n1,ok\nnot_a_number,broken\n2,fine\n")
     schema = StructType().add("id", LongType()).add("name", StringType())
     good, bad = read_delimited_quarantined(spark, str(src), schema)
-    assert sorted((r.id, r.name) for r in good.collect()) == [(1, "ok"), (2, "fine")]
-    (bad_row,) = bad.collect()
-    assert "not_a_number" in bad_row.raw_record
+    try:
+        assert sorted((r.id, r.name) for r in good.collect()) == [
+            (1, "ok"),
+            (2, "fine"),
+        ]
+        (bad_row,) = bad.collect()
+        assert "not_a_number" in bad_row.raw_record
+    finally:
+        from forest_open_data_pipelines_spark.sources.formats import (
+            release_quarantine_cache,
+        )
+
+        assert release_quarantine_cache() >= 1
 
 
 def test_read_parquet_merged_schema_evolution(spark, tmp_path):

@@ -4166,6 +4166,12 @@ def test_daily_anomaly_report_flags_spikes_and_flat_jumps(spark):
     for _ in range(30):
         eid += 1
         rows.append((eid, datetime(2024, 1, 21, 12), 2, "C", 1.0, "{}"))
+    # type O: 10/day for 20 days, a TOTAL OUTAGE on day 21 (zero
+    # events — no raw row at all), back to 10 on day 22
+    for d in (*range(1, 21), 22):
+        for _ in range(10):
+            eid += 1
+            rows.append((eid, datetime(2024, 1, d, 12), 3, "O", 1.0, "{}"))
     events = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string,"
@@ -4176,8 +4182,11 @@ def test_daily_anomaly_report_flags_spikes_and_flat_jumps(spark):
     }
     assert out[("V", 21)].is_anomaly and out[("V", 21)].z > 3
     assert out[("C", 21)].is_anomaly and out[("C", 21)].z is None  # flat jump
+    # the outage day exists as an n=0 row (date spine) and flags via
+    # the flat-jump branch (constant baseline, z undefined)
+    assert out[("O", 21)].n_events == 0 and out[("O", 21)].is_anomaly
     assert not any(
-        out[(t, d)].is_anomaly for t in ("V", "C") for d in range(1, 21)
+        out[(t, d)].is_anomaly for t in ("V", "C", "O") for d in range(1, 21)
     )
 
 
@@ -4261,3 +4270,30 @@ def test_supplier_concentration_hhi_known_market(spark):
     assert out["DUOPOLY"].n_suppliers == 2
     assert out["MONOPOLY"].hhi_ppm == 1000000
     assert out["MONOPOLY"].top_share_ppm == 1000000
+
+
+def test_monthly_seasonal_index_gap_month_fills_as_zero(spark):
+    """A calendar month missing from the series must enter the window
+    as n=0 (month spine), keeping every 13-row window exactly 13
+    calendar months instead of silently spanning 14+."""
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        monthly_seasonal_index,
+    )
+
+    rows = [
+        (f"{y}-{m:02d}", 10, 10.0)
+        for y in (2020, 2021, 2022)
+        for m in range(1, 13)
+        if not (y == 2021 and m == 3)  # 2021-03 entirely missing
+    ]
+    monthly = spark.createDataFrame(
+        rows, "period string, n_orders long, total_price double"
+    )
+    out = {r.month: r for r in monthly_seasonal_index(monthly).collect()}
+    # windows centered on 2021-03 (the only zero) have s = 120; the
+    # zero month's own ratio is 0 → March's average over its in-window
+    # years reflects that, and months NOT adjacent to the gap whose
+    # windows exclude it stay at exactly 10·13/130 = 1.0
+    assert out[3].seasonal_index_micro < 1_000_000
+    # total ratio count equals filled months minus 12 edge periods
+    assert sum(r.n_obs for r in out.values()) == 36 - 12
