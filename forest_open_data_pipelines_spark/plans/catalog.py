@@ -784,7 +784,11 @@ assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
 # Round-8 rotation queue (pre-staged; build the _R8_WINDOW from this):
 # 1) never-driver-green round-7-extension entries needing first rows —
 #    duplicate_spans, strip_duplicate_spans, dedup_winnowing,
-#    media_integrity_audit;
+#    media_integrity_audit, event_transitions, winnowing_incremental,
+#    sampled_revenue_estimate, daily_anomaly_report,
+#    part_affinity_pairs, monthly_seasonal_index,
+#    supplier_concentration_hhi (11 entries, all oracle MATCH at
+#    3 SFs in the extension sessions);
 # 2) the 24 r3-vintage refresh slots round 7 displaced
 #    (type_inference, social_text_normalize, lang_id,
 #    dir_listing_files, html_list_parse, manifest_status + the r4
