@@ -275,51 +275,41 @@ def event_transitions(events: DataFrame) -> DataFrame:
     ).orderBy("prev_type", "event_type")
 
 
-def daily_anomaly_report(
-    events: DataFrame,
-    window_days: int = 28,
-    min_obs: int = 8,
-    z_threshold: float = 3.0,
-) -> DataFrame:
-    """Telemetry anomaly detection: per (event_type, day), the event
-    count's z-score against the TRAILING window of that type's prior
-    daily counts — the alert a pipeline team pages on when one event
-    type's volume jumps (a replayed feed, a broken producer) or
-    collapses (an upstream outage).
-
-    Cross-engine float discipline: the trailing sums s1=Σn and s2=Σn²
-    are EXACT LONGS (daily counts are ints), cast to double once, and
-    mean/variance/z are then the textually identical double formula on
-    both engines (IEEE ops in the same order ⇒ identical bits); the
-    final z rounds via scale-then-round at 6 dp (functions.columns
-    scaled_round ↔ DuckDB native round — the closed HALF_UP class).
-    z is NULL below ``min_obs`` trailing observations or at zero
-    variance; is_anomaly compares the ROUNDED z so the boolean can't
-    straddle a bit.
-
-    Scale: one shuffle to (event_type, day) daily counts (map-side
-    combine), then windows over the per-type daily series — thousands
-    of rows per type regardless of fact size, so the window stage is
-    metadata-weight at 100 TB.
-    """
-    counts = events.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-    # per-type date spine: a day with ZERO events emits no groupBy row,
-    # and a rows-based trailing window would silently close over the
-    # gap — the total-outage case (the alert's whole point for
-    # collapses) would never fire. Fill interior gaps with n=0 so an
-    # outage day scores like any other observation.
+def spine_fill(counts: DataFrame) -> DataFrame:
+    """Per-type date-spine fill over an (event_type, day, n_events)
+    frame: interior zero days materialize as n=0 rows (the outage case
+    the anomaly scorer must see). Shared by the batch report and the
+    streaming watch's accumulated counts cache."""
     spine = (
         counts.groupBy("event_type")
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
         .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
     )
-    daily = spine.join(counts, ["event_type", "day"], "left").select(
+    return spine.join(counts, ["event_type", "day"], "left").select(
         "event_type",
         "day",
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
     )
+
+
+def daily_event_counts(events: DataFrame) -> DataFrame:
+    """(event_type, day, n_events) with the per-type date spine."""
+    return spine_fill(
+        events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("n_events")
+        )
+    )
+
+
+def anomaly_scores(
+    daily: DataFrame,
+    window_days: int = 28,
+    min_obs: int = 8,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """The scoring tail of ``daily_anomaly_report`` over an
+    (event_type, day, n_events) frame — also runs per micro-batch in
+    the streaming watch against the accumulated counts cache."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -343,9 +333,9 @@ def daily_anomaly_report(
     # run; NULL propagates to a NULL z / false flag instead)
     cntd = F.col("n_window").cast("double")
     mean = F.col("s1d") / F.nullif(cntd, F.lit(0.0))
-    variance = (F.col("s2d") - F.col("s1d") * F.col("s1d") / F.nullif(cntd, F.lit(0.0))) / F.nullif(
-        cntd - 1, F.lit(0.0)
-    )
+    variance = (
+        F.col("s2d") - F.col("s1d") * F.col("s1d") / F.nullif(cntd, F.lit(0.0))
+    ) / F.nullif(cntd - 1, F.lit(0.0))
     z_raw = (F.col("n_events").cast("double") - mean) / F.sqrt(variance)
     z = F.when(
         (F.col("n_window") >= min_obs) & (variance > 0), scaled_round(z_raw, 6)
@@ -371,3 +361,37 @@ def daily_anomaly_report(
             "is_anomaly"
         ),
     ).orderBy("event_type", "day")
+
+
+def daily_anomaly_report(
+    events: DataFrame,
+    window_days: int = 28,
+    min_obs: int = 8,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Telemetry anomaly detection: per (event_type, day), the event
+    count's z-score against the TRAILING window of that type's prior
+    daily counts — the alert a pipeline team pages on when one event
+    type's volume jumps (a replayed feed, a broken producer) or
+    collapses (an upstream outage; the date spine in
+    ``daily_event_counts`` materializes zero days so outages score).
+
+    Cross-engine float discipline: the trailing sums s1=Σn and s2=Σn²
+    are EXACT LONGS (daily counts are ints), cast to double once, and
+    mean/variance/z are then the textually identical double formula on
+    both engines (IEEE ops in the same order ⇒ identical bits); the
+    final z rounds via scale-then-round at 6 dp (functions.columns
+    scaled_round ↔ DuckDB native round — the closed HALF_UP class).
+    z is NULL below ``min_obs`` trailing observations or at zero
+    variance (flat-baseline JUMPS flag through an exact-compare
+    branch); is_anomaly compares the ROUNDED z so the boolean can't
+    straddle a bit.
+
+    Scale: one shuffle to (event_type, day) daily counts (map-side
+    combine), then windows over the per-type daily series — thousands
+    of rows per type regardless of fact size, so the window stage is
+    metadata-weight at 100 TB.
+    """
+    return anomaly_scores(
+        daily_event_counts(events), window_days, min_obs, z_threshold
+    )

@@ -1,0 +1,68 @@
+"""Streaming telemetry anomaly watch — the unbounded twin of
+``operators.sessionize.daily_anomaly_report``.
+
+The scorer needs each type's FULL trailing daily-count history, which
+no watermark-bounded state can hold — so the correct streaming shape
+is the incremental-cache bridge (the year-cache precedent in
+``streaming/windowed.py``): every micro-batch lands its per-day count
+DELTAS in a parquet cache partitioned by batch_id, then re-scores the
+accumulated counts and hands the report to the sink.
+
+Exactly-once effect under at-least-once foreachBatch: a replayed batch
+OVERWRITES its own batch_id partition (dynamic partition overwrite),
+so its counts can never double — the aggregate over deltas converges
+to the batch operator's counts, and the scores are a pure function of
+them (parity asserted in tests). The counts cache is (types × days ×
+batches) rows — metadata-weight next to the event stream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from forest_open_data_pipelines_spark.operators.sessionize import (
+    anomaly_scores,
+    spine_fill,
+)
+
+
+def anomaly_watch_stream(
+    events_stream: DataFrame,
+    cache_path: str,
+    checkpoint: str,
+    sink: Callable[[DataFrame, int], None],
+    **score_kwargs,
+) -> StreamingQuery:
+    """foreachBatch bridge: land each micro-batch's (event_type, day)
+    count deltas in the batch_id-partitioned cache, then score the
+    accumulated counts (identical ``anomaly_scores`` tail to the batch
+    report) and call ``sink(report_df, batch_id)``."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        deltas = (
+            batch_df.groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        (
+            deltas.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cache_path)
+        )
+        counts = (
+            spark.read.parquet(cache_path)
+            .groupBy("event_type", "day")
+            .agg(F.sum("n_events").cast("long").alias("n_events"))
+        )
+        sink(anomaly_scores(spine_fill(counts), **score_kwargs), batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

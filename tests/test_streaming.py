@@ -1255,3 +1255,41 @@ def test_winnowing_gate_stream_matches_batch(spark, tmp_path):
     key = lambda r: tuple(r)
     assert sorted(map(key, collected)) == sorted(map(key, batch))
     assert any(r["status"] == "dup" for r in collected)
+
+
+def test_anomaly_watch_stream_matches_batch(spark, tmp_path):
+    """After draining the stream, the last emitted report must be
+    row-identical to batch daily_anomaly_report over the same events —
+    the count deltas accumulate across micro-batches into exactly the
+    batch operator's daily counts."""
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        daily_anomaly_report,
+    )
+    from forest_open_data_pipelines_spark.streaming.anomaly_watch import (
+        anomaly_watch_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "events")
+    src = tmp_path / "aw_src"
+    # three part files → three micro-batches, so the cache genuinely
+    # accumulates across batches before the final report
+    docs.repartition(3).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    reports = {}
+    query = anomaly_watch_stream(
+        stream,
+        cache_path=str(tmp_path / "aw_cache"),
+        checkpoint=str(tmp_path / "ckpt_aw"),
+        sink=lambda df, bid: reports.__setitem__(bid, df.collect()),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert len(reports) == 3
+    final = reports[max(reports)]
+    batch = daily_anomaly_report(docs).collect()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, final)) == sorted(map(key, batch))
