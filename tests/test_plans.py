@@ -663,3 +663,36 @@ def test_winnowing_plans_banded_no_python(spark):
         # the scalar n_docs cap rides a broadcast nested loop (one-row
         # side); every other join must be keyed
         assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "event_transitions",
+        "sampled_revenue_estimate",
+        "daily_anomaly_report",
+        "part_affinity_pairs",
+        "monthly_seasonal_index",
+        "supplier_concentration_hhi",
+    ],
+)
+def test_extension_ops_stay_jvm_side_no_cartesian(spark, name):
+    """The extension-session analytics ops must stay pure Catalyst:
+    no Python eval anywhere, and the only nested-loop joins allowed
+    are one-row scalar broadcasts (n_orders / bounds / totals), never
+    a data-sized cartesian."""
+    plan = _plan(spark, name)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+def test_part_affinity_joins_on_order_key(spark):
+    """The pair generation must be the l_orderkey self-join (fan-out
+    bounded by lines-per-order), never a part-level join."""
+    plan = _plan(spark, "part_affinity_pairs")
+    assert "hashpartitioning(l_orderkey" in plan
+
+
+def test_hhi_dims_broadcast(spark):
+    plan = _plan(spark, "supplier_concentration_hhi")
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
