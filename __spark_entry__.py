@@ -5025,7 +5025,7 @@ ratios AS (
          (n * 13 * 1000000 // s
           + CASE WHEN (n * 13 * 1000000 % s) * 2 >= s
                  THEN 1 ELSE 0 END)::BIGINT AS ratio_micro
-  FROM win WHERE c = 13
+  FROM win WHERE c = 13 AND s > 0
 )
 SELECT month, count(*)::BIGINT AS n_obs,
        (sum(ratio_micro) * 1000000 // (count(*) * 1000000)
@@ -5072,7 +5072,9 @@ spine AS (
 ),
 daily AS (
   SELECT s.event_type, s.day, coalesce(c.n_events, 0)::BIGINT AS n_events
-  FROM spine s LEFT JOIN counts c USING (event_type, day)
+  FROM spine s
+  LEFT JOIN (SELECT * FROM counts WHERE day IS NOT NULL) c
+    USING (event_type, day)
 ),
 win AS (
   SELECT event_type, day, n_events,
@@ -5101,7 +5103,12 @@ SELECT event_type, day, n_events, n_window, z,
                / (n_window::DOUBLE - 1) = 0
            AND n_events::DOUBLE != s1d / n_window::DOUBLE, FALSE)
          AS is_anomaly
-FROM scored ORDER BY event_type, day""",
+FROM scored
+UNION ALL
+SELECT event_type, NULL AS day, n_events, 0::BIGINT AS n_window,
+       NULL::DOUBLE AS z, FALSE AS is_anomaly
+FROM counts WHERE day IS NULL
+ORDER BY event_type, day""",
         "event_transitions": """
 WITH ordered AS (
   SELECT event_type,

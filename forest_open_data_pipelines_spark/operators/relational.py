@@ -1328,7 +1328,6 @@ def supplier_concentration_hhi(
     tot_w = Window.partitionBy("n_name")
     # share in ppm through decimal(38,0): rev_micro·10⁶ overflows a
     # long at fact scale (micro_div's long fast path does not apply);
-    # the remainder fits a long, so the half-up test stays integral
     # the half-up comparison stays in decimal too: a remainder above
     # 2^62 would wrap negative under long *2 and round the wrong way
     # exactly in the regime the widening exists for

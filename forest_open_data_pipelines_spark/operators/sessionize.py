@@ -285,10 +285,21 @@ def spine_fill(counts: DataFrame) -> DataFrame:
         .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
         .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
     )
-    return spine.join(counts, ["event_type", "day"], "left").select(
+    filled = spine.join(
+        counts.where(F.col("day").isNotNull()), ["event_type", "day"], "left"
+    ).select(
         "event_type",
         "day",
         F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+    )
+    # NULL-day counts (bad/absent timestamps) pass through untouched —
+    # the spine can neither bound nor join them, but dropping them
+    # would hide a misbehaving feed's volume (review finding); the
+    # scorer routes them around the windows as unscored rows.
+    return filled.unionByName(
+        counts.where(F.col("day").isNull()).select(
+            "event_type", "day", F.col("n_events").cast("long").alias("n_events")
+        )
     )
 
 
@@ -310,6 +321,19 @@ def anomaly_scores(
     """The scoring tail of ``daily_anomaly_report`` over an
     (event_type, day, n_events) frame — also runs per micro-batch in
     the streaming watch against the accumulated counts cache."""
+    # NULL-day rows stay out of the window ordering entirely: Spark
+    # sorts NULLS FIRST and DuckDB NULLS LAST by default, so letting
+    # them into the frame would silently shift the first trailing
+    # windows on one engine only. They re-enter below as unscored rows.
+    null_days = daily.where(F.col("day").isNull()).select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.lit(0).cast("long").alias("n_window"),
+        F.lit(None).cast("double").alias("z"),
+        F.lit(False).alias("is_anomaly"),
+    )
+    daily = daily.where(F.col("day").isNotNull())
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
@@ -351,7 +375,7 @@ def anomaly_scores(
         & (F.col("n_events").cast("double") != mean),
         F.lit(False),
     )
-    return stats.select(
+    scored = stats.select(
         "event_type",
         "day",
         "n_events",
@@ -360,7 +384,8 @@ def anomaly_scores(
         (F.coalesce(F.abs(z) >= z_threshold, F.lit(False)) | flat_jump).alias(
             "is_anomaly"
         ),
-    ).orderBy("event_type", "day")
+    )
+    return scored.unionByName(null_days).orderBy("event_type", "day")
 
 
 def daily_anomaly_report(

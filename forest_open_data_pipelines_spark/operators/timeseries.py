@@ -839,7 +839,11 @@ def monthly_seasonal_index(monthly: DataFrame) -> DataFrame:
             F.sum(F.col("n_orders").cast("long")).over(w).alias("s"),
             F.count("n_orders").over(w).alias("c"),
         )
-        .where(F.col("c") == 13)
+        # s > 0 guard: 13+ consecutive zero-filled months would make a
+        # full window with s = 0 and micro_div would divide by zero
+        # (ANSI crash, found by review) — an all-zero window carries no
+        # seasonal signal, so those rows contribute no ratio
+        .where((F.col("c") == 13) & (F.col("s") > 0))
         .select(
             F.substring("period", 6, 2).cast("int").alias("month"),
             micro_div("n * 13", "s").alias("ratio_micro"),

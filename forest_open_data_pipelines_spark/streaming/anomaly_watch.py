@@ -14,6 +14,18 @@ so its counts can never double — the aggregate over deltas converges
 to the batch operator's counts, and the scores are a pure function of
 them (parity asserted in tests). The counts cache is (types × days ×
 batches) rows — metadata-weight next to the event stream.
+
+Lifecycle contract (review findings, documented deliberately):
+- The cache and the checkpoint MUST be retained or wiped TOGETHER: a
+  reset checkpoint restarts batch ids at 0, and dynamic overwrite
+  would then fold a new incarnation's deltas over a previous one's.
+- The cache grows one tiny batch_id partition per micro-batch.
+  Bounding it is an OFFLINE maintenance fold (pause → aggregate all
+  partitions to (event_type, day) totals → rewrite as a single
+  baseline partition → resume); inline compaction is intentionally
+  omitted — a full-cache rewrite inside a batch that can replay has
+  no safe idempotence story, while the pause-and-fold is exactly the
+  compact_parquet-style job every lake already runs.
 """
 
 from __future__ import annotations
@@ -43,6 +55,11 @@ def anomaly_watch_stream(
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # a fresh source can fire an empty batch 0: writing it
+            # would leave a footer-less cache that the read below
+            # cannot infer a schema from — idle instead of crashing
+            return
         deltas = (
             batch_df.groupBy("event_type", F.to_date("ts").alias("day"))
             .agg(F.count(F.lit(1)).alias("n_events"))

@@ -4297,3 +4297,48 @@ def test_monthly_seasonal_index_gap_month_fills_as_zero(spark):
     assert out[3].seasonal_index_micro < 1_000_000
     # total ratio count equals filled months minus 12 edge periods
     assert sum(r.n_obs for r in out.values()) == 36 - 12
+
+
+def test_monthly_seasonal_index_survives_long_gaps(spark):
+    """13+ consecutive empty months fill as zeros; their all-zero
+    windows (s=0) carry no seasonal signal and must contribute no
+    ratio instead of dividing by zero under ANSI."""
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        monthly_seasonal_index,
+    )
+
+    rows = [(f"2019-{m:02d}", 10, 10.0) for m in range(1, 13)]
+    rows += [(f"2022-{m:02d}", 10, 10.0) for m in range(1, 13)]  # 24-month gap
+    monthly = spark.createDataFrame(
+        rows, "period string, n_orders long, total_price double"
+    )
+    out = monthly_seasonal_index(monthly).collect()
+    assert all(r.seasonal_index_micro >= 0 for r in out)  # ran, no crash
+
+
+def test_daily_anomaly_report_keeps_null_day_counts_visible(spark):
+    """Counts with NULL timestamps can't join the date spine, but they
+    must stay visible as unscored rows (n_window 0, z NULL, no flag)
+    rather than silently vanishing — and they must NOT enter any
+    window frame (Spark sorts NULLS FIRST, DuckDB LAST)."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        daily_anomaly_report,
+    )
+
+    rows = [
+        (i, datetime(2024, 1, 1 + i % 3, 12), 1, "T", 1.0, "{}") for i in range(9)
+    ] + [(100, None, 1, "T", 1.0, "{}"), (101, None, 1, "T", 1.0, "{}")]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = daily_anomaly_report(events).collect()
+    null_rows = [r for r in out if r.day is None]
+    assert len(null_rows) == 1
+    (nr,) = null_rows
+    assert nr.n_events == 2 and nr.n_window == 0
+    assert nr.z is None and nr.is_anomaly is False
+    assert sum(r.n_events for r in out) == 11
