@@ -260,8 +260,104 @@ def ann_main(max_replicas: int) -> None:
             print(f"{op}: " + " ".join(f"x{n // n0}:{t / t0_:.2f}" for n, t, _ in rs))
 
 
+
+
+# ── events/lineitem scaling (round-7 extension analytics ops) ──────────────
+# Replication scheme: per replica k, user/order keys offset by k·max so
+# replicas are DISJOINT populations (transitions and anomalies scale
+# linearly by construction; affinity's per-order fan-out is invariant)
+# and event timestamps keep their original days (daily series depth is
+# constant while per-day volume grows k× — the production growth mode).
+
+
+def build_scaled_events(spark, replicas: int) -> str:
+    path = f"{OUT}/events_x{replicas}.parquet"
+    if os.path.exists(path):
+        return path
+    ev = load_table(spark, BASE_SF, "events")
+    n_user = ev.agg(F.max("user_id")).first()[0] + 1
+    n_eid = ev.agg(F.max("event_id")).first()[0] + 1
+    parts = [
+        ev.select(
+            (F.col("event_id") + k * n_eid).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * n_user).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+        for k in range(replicas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def build_scaled_lineitem(spark, replicas: int) -> str:
+    path = f"{OUT}/lineitem_x{replicas}.parquet"
+    if os.path.exists(path):
+        return path
+    li = load_table(spark, BASE_SF, "lineitem")
+    n_ord = li.agg(F.max("l_orderkey")).first()[0] + 1
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * n_ord))
+        for k in range(replicas)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(path)
+    return path
+
+
+def analytics_main(max_replicas: int) -> None:
+    from forest_open_data_pipelines_spark.operators import relational, sessionize
+
+    spark = get_spark("scale-probe-analytics")
+    spark.sparkContext.setLogLevel("ERROR")
+    ev_ops = {
+        "event_transitions": sessionize.event_transitions,
+        "daily_anomaly_report": sessionize.daily_anomaly_report,
+    }
+    li_ops = {
+        "part_affinity_pairs": relational.part_affinity_pairs,
+        "sampled_revenue_estimate": relational.sampled_revenue_estimate,
+    }
+    results = {o: [] for o in (*ev_ops, *li_ops)}
+    for s in [1, 2, 4, 8]:
+        if s > max_replicas:
+            break
+        ev = spark.read.parquet(build_scaled_events(spark, s))
+        li = spark.read.parquet(build_scaled_lineitem(spark, s))
+        n_ev = ev.count()
+        for op, fn in ev_ops.items():
+            fn(ev).count()
+            t0 = time.perf_counter()
+            rows = fn(ev).count()
+            dt = time.perf_counter() - t0
+            results[op].append((n_ev, dt, rows))
+            print(f"{op} x{s} events={n_ev} rows={rows} {dt:.2f}s", flush=True)
+        n_li = li.count()
+        for op, fn in li_ops.items():
+            fn(li).count()
+            t0 = time.perf_counter()
+            rows = fn(li).count()
+            dt = time.perf_counter() - t0
+            results[op].append((n_li, dt, rows))
+            print(f"{op} x{s} lines={n_li} rows={rows} {dt:.2f}s", flush=True)
+    print("\n# analytics scaling summary")
+    for op, rs in results.items():
+        if len(rs) >= 2:
+            n0, t0_, _ = rs[0]
+            print(f"{op}: " + " ".join(f"x{n // n0}:{t / t0_:.2f}" for n, t, _ in rs))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "ann":
         ann_main(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
+    elif len(sys.argv) > 1 and sys.argv[1] == "analytics":
+        analytics_main(int(sys.argv[2]) if len(sys.argv) > 2 else 4)
     else:
         main()
