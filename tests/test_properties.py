@@ -558,3 +558,38 @@ def test_micro_div_matches_fraction_half_up(spark, pairs):
         rem = q - floor
         want.append(floor + (1 if rem * 2 >= 1 else 0))
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.text(alphabet="abcdefgh ", min_size=40, max_size=120),
+    st.text(alphabet="qrstuvwx ", min_size=40, max_size=120),
+    st.text(alphabet="jklmnop", min_size=11, max_size=30),
+    st.integers(min_value=0, max_value=30),
+)
+def test_winnowing_detection_floor_property(spark, a_text, b_text, planted, pos):
+    """The winnowing guarantee, pinned as a property: ANY verbatim run
+    of at least w+k−1 = 11 chars shared by two documents must yield at
+    least one shared fingerprint — so the pair appears at the
+    unfiltered thresholds no matter what surrounds the run."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_winnowing,
+        release_persisted,
+    )
+
+    cut = min(pos, len(a_text))
+    d1 = (a_text[:cut] + planted + a_text[cut:]).strip() or planted
+    cut_b = min(pos, len(b_text))
+    d2 = (b_text[:cut_b] + planted + b_text[cut_b:]).strip() or planted
+    docs = spark.createDataFrame(
+        [(1, d1, "en", "s", len(d1)), (2, d2, "en", "s", len(d2))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in dedup_winnowing(docs, tau_micro=0, min_shared=1).collect()
+        }
+    finally:
+        release_persisted()
+    assert (1, 2) in pairs
