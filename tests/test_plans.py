@@ -696,3 +696,33 @@ def test_part_affinity_joins_on_order_key(spark):
 def test_hhi_dims_broadcast(spark):
     plan = _plan(spark, "supplier_concentration_hhi")
     assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
+
+
+def test_dynamic_partition_pruning_injects_on_star_joins(spark, tmp_path):
+    """The partition-level sibling of the runtime Bloom contract: a
+    star join whose dim side is filtered must inject a dynamicpruning
+    expression into the fact scan's PartitionFilters, so at 100 TB the
+    fact reads ONLY the partitions the dim filter selects — pruning
+    decided at runtime from the dim's build side, no manual predicate
+    duplication. Pin the contract on this engine version."""
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    assert (
+        spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+        == "true"
+    )
+    fact_path = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, SF_DIR, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("year").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [(1995, "target"), (1996, "other")], "year int, tag string"
+    ).where(F.col("tag") == "target")
+    joined = fact.join(dim, "year").groupBy("tag").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert joined.first()["count"] == orders.where(F.col("year") == 1995).count()
