@@ -1249,7 +1249,13 @@ def part_affinity_pairs(lineitem: DataFrame, min_support: int = 5) -> DataFrame:
     per-part counts and the order total are map-side-combinable
     aggregates, and the scalar N rides a one-row broadcast.
     """
-    lines = lineitem.select("l_orderkey", "l_partkey").distinct()
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    # five plan branches read this frame (pair self-join a/b, per-part
+    # counts, the order total) — persisted, the fact scans ONCE and the
+    # distinct shuffle never repeats (the Q20 shared-aggregate pattern;
+    # unpersisted the executed plan showed 5 lineitem scans)
+    lines = _persist(lineitem.select("l_orderkey", "l_partkey").distinct())
     a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
     b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pair_counts = (

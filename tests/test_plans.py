@@ -688,9 +688,17 @@ def test_extension_ops_stay_jvm_side_no_cartesian(spark, name):
 
 def test_part_affinity_joins_on_order_key(spark):
     """The pair generation must be the l_orderkey self-join (fan-out
-    bounded by lines-per-order), never a part-level join."""
-    plan = _plan(spark, "part_affinity_pairs")
-    assert "hashpartitioning(l_orderkey" in plan
+    bounded by lines-per-order), never a part-level join — and the
+    five branches over the distinct lines frame must read the persisted
+    cache, not re-scan the fact (unpersisted: 5 lineitem scans)."""
+    from forest_open_data_pipelines_spark.operators.dedup import release_persisted
+
+    try:
+        plan = _plan(spark, "part_affinity_pairs")
+        assert "hashpartitioning(l_orderkey" in plan
+        assert plan.count("InMemoryTableScan") >= 4
+    finally:
+        release_persisted()
 
 
 def test_hhi_dims_broadcast(spark):
