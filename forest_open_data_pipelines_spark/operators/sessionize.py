@@ -304,10 +304,18 @@ def spine_fill(counts: DataFrame) -> DataFrame:
 
 
 def daily_event_counts(events: DataFrame) -> DataFrame:
-    """(event_type, day, n_events) with the per-type date spine."""
+    """(event_type, day, n_events) with the per-type date spine. The
+    raw counts persist before the spine: three plan branches (bounds
+    aggregate, fill join, NULL-day passthrough) would otherwise each
+    re-scan the event fact (audit showed 4 scans; the counts frame is
+    types×days rows)."""
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
     return spine_fill(
-        events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-            F.count(F.lit(1)).alias("n_events")
+        _persist(
+            events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+                F.count(F.lit(1)).alias("n_events")
+            )
         )
     )
 

@@ -819,6 +819,12 @@ def monthly_seasonal_index(monthly: DataFrame) -> DataFrame:
     # row, and a ROWS frame would then span 14+ calendar months —
     # attributing ratios to the wrong season. Fill interior gaps with
     # n=0 so the 13-row window IS 13 calendar months.
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    # the monthly series feeds the bounds aggregate AND the fill join;
+    # unpersisted, the whole enrichment pipeline behind it ran twice
+    # (audit: 2 fact scans, 8 parquet scans total)
+    monthly = _persist(monthly)
     bounds = monthly.agg(
         F.min(F.to_date(F.concat(F.col("period"), F.lit("-01")))).alias("d0"),
         F.max(F.to_date(F.concat(F.col("period"), F.lit("-01")))).alias("d1"),
