@@ -3207,7 +3207,8 @@ ORDER BY dataset, kind, period DESC NULLS LAST, url"""
 
 def _focos1km_tifs_sql() -> str:
     """DuckDB twin of html.focos1km_tifs: identical anchor derivation,
-    RE_TIF_PERIOD parse, urljoin specialization, min-url per period,
+    RE_TIF_PERIOD parse, urljoin specialization, min (url, filename)
+    STRUCT per period (one coherent anchor, never a chimera of two),
     period DESC."""
     from forest_open_data_pipelines_spark.operators.html import (
         FOCOS1KM_BASE_URL,
@@ -3247,7 +3248,9 @@ parsed AS (
   FROM (SELECT href, list_extract(string_split(href, '/'), -1) AS fname
         FROM anchors)
 )
-SELECT period, min(url) AS url, min(filename) AS filename
+SELECT period,
+       min(struct_pack(url := url, filename := filename)).url AS url,
+       min(struct_pack(url := url, filename := filename)).filename AS filename
 FROM parsed WHERE period IS NOT NULL
 GROUP BY period ORDER BY period DESC"""
 
@@ -3260,7 +3263,8 @@ def _cvm_yearly_sql(latest_years: int | None = None) -> str:
     from forest_open_data_pipelines_spark.operators.html import CVM_LATEST_YEARS
 
     n = CVM_LATEST_YEARS if latest_years is None else latest_years
-    return f"""
+    # raw f-string: the regex fragments (\d, \.) are NOT python escapes
+    return rf"""
 WITH seeds AS (SELECT doc_id, (doc_id % 6 + 2019)::VARCHAR AS yyyy FROM documents),
 urls AS (
   SELECT DISTINCT
@@ -5896,7 +5900,7 @@ agg AS (
 )
 SELECT l_returnflag, n_rows, n_sampled, revenue_micro, estimate_micro,
        (abs(estimate_micro - revenue_micro)::HUGEINT * 1000000
-        // revenue_micro::HUGEINT)::BIGINT AS abs_err_ppm,
+        // nullif(revenue_micro::HUGEINT, 0))::BIGINT AS abs_err_ppm,
        estimate_micro > revenue_micro AS est_high
 FROM agg ORDER BY l_returnflag"""
     # integrity audit: every column derives from the payload bytes

@@ -61,7 +61,14 @@ def micro_div(num_sql: str, den_sql: str) -> Column:
     error-ppm columns). Arguments are SQL fragments for the integer
     numerator and divisor (column names or expressions); the divisor
     is evaluated twice, so keep it a simple column/least() — both
-    engines' optimizers CSE it."""
+    engines' optimizers CSE it.
+
+    PRECONDITION: numerator and divisor must be NON-NEGATIVE (and the
+    divisor positive). Spark's ``div``/``%`` truncate toward zero and
+    the half-up correction adds +1 unconditionally, so a signed
+    numerator would round AWAY from the true half-up result. Every
+    current call site divides counts/byte totals; a signed caller must
+    split sign out first (``sign(x) * micro_div(abs(x), d)``)."""
     return F.expr(
         f"({num_sql}) * 1000000L div ({den_sql})"
         f" + CASE WHEN (({num_sql}) * 1000000L % ({den_sql})) * 2"

@@ -1306,8 +1306,10 @@ def dedup_clusters(
     form arbitrary graphs, so transitive closure is required before a
     canonical can be chosen).
 
-    Pairs come from ``dedup_ngram_jaccard`` (deterministic, oracle-
-    paired); the component labels are computed by iterative min-label
+    Pairs come from ``dedup_ngram_ppjoin`` by default (the prefix-
+    filtered exact join — same pair set as ``dedup_ngram_jaccard``,
+    asserted in tests, but the scale path: see the body comment
+    below); the component labels are computed by iterative min-label
     propagation with POINTER JUMPING (label ← label(label) each pass),
     the O(log d) doubling scheme — a chain of length d converges in
     ~log₂(d) passes instead of d. Each pass is two shuffles over the
@@ -1343,9 +1345,15 @@ def dedup_clusters(
     # "star" (alternating large-star/small-star, Kiveris et al.) — the
     # labels are identical (asserted in tests + tools/cc_ab.py); see
     # connected_components_star's docstring for the A/B verdict.
-    cc = {"doubling": connected_components, "star": connected_components_star}[
-        closure
-    ]
+    engines = {
+        "doubling": connected_components,
+        "star": connected_components_star,
+    }
+    if closure not in engines:
+        raise ValueError(
+            f"closure={closure!r}: expected one of {sorted(engines)}"
+        )
+    cc = engines[closure]
     labels = cc(nodes, pairs, max_iters=max_iters)
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     out = (
@@ -1569,6 +1577,17 @@ def connected_components_star(
             edges = new_edges
             break
         edges = new_edges
+    else:
+        # Exhausting max_iters before the star fixpoint means the
+        # groupBy-min below would read a NON-converged edge list and
+        # return silently-wrong labels — fail fast instead (the
+        # doubling loop has the same guard philosophy: correctness
+        # over partial output).
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint within "
+            f"max_iters={max_iters} rounds; raise max_iters "
+            f"(components converge in O(log n) rounds)"
+        )
     parents = edges.groupBy(F.col("v").alias("doc_id")).agg(
         F.min("u").alias("parent")
     )

@@ -2410,8 +2410,19 @@ def focos1km_tifs(documents: DataFrame) -> DataFrame:
         full_url.alias("url"),
         fname.alias("filename"),
     ).where(F.col("period").isNotNull())
+    # One ANCHOR per period, not independent column minima: min over
+    # the (url, filename) struct keeps the emitted filename the one
+    # that actually belongs to the emitted url (independent min(url)/
+    # min(filename) could chimera two different anchors when a period
+    # lists several files).
+    best = F.min(F.struct("url", "filename")).alias("best")
     return (
         parsed.groupBy("period")
-        .agg(F.min("url").alias("url"), F.min("filename").alias("filename"))
+        .agg(best)
+        .select(
+            "period",
+            F.col("best.url").alias("url"),
+            F.col("best.filename").alias("filename"),
+        )
         .orderBy(F.desc("period"))
     )

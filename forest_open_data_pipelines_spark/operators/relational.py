@@ -1189,7 +1189,9 @@ def sampled_revenue_estimate(
     ``unit_scale=10_000`` (still EXACT for the 4-dp prices, headroom
     ~9.2e14 units); under this session's ANSI mode an overflow FAILS
     FAST rather than silently nulling, so a mis-sized scale cannot
-    corrupt the report.
+    corrupt the report. A flag group with ZERO total revenue emits
+    NULL abs_err_ppm (nullif-guarded divisor) instead of an ANSI
+    divide-by-zero failure.
     """
     key = F.conv(
         F.substring(
@@ -1217,7 +1219,7 @@ def sampled_revenue_estimate(
     )
     err_ppm = F.expr(
         "cast(abs(estimate_micro - revenue_micro) as decimal(38,0))"
-        " * 1000000 div cast(revenue_micro as decimal(38,0))"
+        " * 1000000 div nullif(cast(revenue_micro as decimal(38,0)), 0)"
     )
     return agg.select(
         "l_returnflag",

@@ -63,7 +63,10 @@ def _zorder_key(df: DataFrame, cols: list[str]) -> Column:
 
     Columns must be integral (map dates to day numbers, strings to
     dictionary codes first) — a silent long cast of a non-numeric
-    column would null-key every row.
+    column would null-key every row. NULL values in a clustered column
+    are pinned to the column's min bucket (coalesce-to-min before
+    bucketing), so they land deterministically at the low edge instead
+    of nulling the whole key.
     """
     k = len(cols)
     if k < 2:
@@ -87,13 +90,18 @@ def _zorder_key(df: DataFrame, cols: list[str]) -> Column:
     for c_idx, c in enumerate(cols):
         mn = int(stats[f"mn_{c}"])
         span = int(stats[f"mx_{c}"]) - mn + 1
+        # NULL cells coalesce to the column MIN (min/max aggregates
+        # ignore NULLs, so mn is the non-null floor): without this, a
+        # single NULL nulls the bucket and — via bitwiseOR(NULL) — the
+        # whole Morton key, silently collapsing those rows into one
+        # arbitrary range partition. Pinning NULLs to the low edge is
+        # deterministic and matches NULLS FIRST sort semantics.
+        col_sql = f"coalesce(cast(`{c}` as bigint), {mn})"
         if span < (1 << 47):  # multiply-first exact and overflow-free
-            bucket = F.expr(
-                f"((cast(`{c}` as bigint) - {mn}) * {1 << b}) div {span}"
-            )
+            bucket = F.expr(f"(({col_sql}) - {mn}) * {1 << b} div {span}")
         else:
             cell = -(-span // (1 << b))  # ceil, driver-side exact
-            bucket = F.expr(f"(cast(`{c}` as bigint) - {mn}) div {cell}")
+            bucket = F.expr(f"(({col_sql}) - {mn}) div {cell}")
         for j in range(b):
             bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
             key = key.bitwiseOR(
