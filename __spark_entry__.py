@@ -1254,6 +1254,55 @@ FROM (
 ORDER BY panel"""
 
 
+def _anp_prompt_texts_sql() -> str:
+    """DuckDB twin of social.anp_prompt_texts: the payload frame (the
+    ``anp_panel_payloads`` oracle verbatim as a CTE) projected through
+    the reference's graphic-text prompt template — fixed system
+    string, "Escopo do slide: {scope}." user head, indent-2 JSON block
+    over the frame's columns in common-fields-then-panel order, same
+    minimal backslash-then-quote escape chain as the Spark side."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        ANP_GT_USER_HEAD,
+        ANP_GT_USER_MID,
+        ANP_SOURCE_URL,
+        ANP_SYSTEM_GRAPHIC_TEXT,
+    )
+
+    def esc(col: str) -> str:
+        # DuckDB single-quoted literals are escape-blind: '\' is one
+        # backslash, '\\' two, '\"' backslash+quote.
+        return f"replace(replace({col}, '\\', '\\\\'), '\"', '\\\"')"
+
+    nl = "chr(10)"
+    parts: list[str] = [f"'{{' || {nl}"]
+    fields = [
+        ("source", f"'{ANP_SOURCE_URL}'"),
+        ("latest_period", "latest_period"),
+        ("previous_period", "previous_period"),
+        ("yoy_period", "yoy_period"),
+        ("panel", "panel"),
+        ("title", esc("title")),
+        ("fallback_text", esc("fallback_text")),
+    ]
+    for i, (name, value) in enumerate(fields):
+        comma = "" if i == len(fields) - 1 else ","
+        parts.append(
+            f"'  \"{name}\": \"' || {value} || '\"{comma}' || {nl}"
+        )
+    parts.append("'}'")
+    block = " || ".join(parts)
+    system_lit = ANP_SYSTEM_GRAPHIC_TEXT.replace("'", "''")
+    head_lit = ANP_GT_USER_HEAD.replace("'", "''")
+    mid_lit = ANP_GT_USER_MID.replace("'", "''").replace("\n", "' || chr(10) || '")
+    return f"""
+WITH payloads AS ({_anp_panel_payloads_sql()})
+SELECT panel AS scope_slug,
+       '{system_lit}' AS system_prompt,
+       '{head_lit}' || panel || '{mid_lit}' || {block} AS user_prompt
+FROM payloads
+ORDER BY scope_slug"""
+
+
 def _chart_spec_scoped_sql() -> str:
     """DuckDB twin of social.monthly_chart_spec_scoped: one GROUPING
     SETS aggregation for the national + per-region grains, latest
@@ -4846,6 +4895,7 @@ FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
         "payload_merge_dedupe_by_region": _payload_merge_sql(by_region=True),
         "monthly_chart_spec_scoped": _chart_spec_scoped_sql(),
         "anp_panel_payloads": _anp_panel_payloads_sql(),
+        "anp_prompt_texts": _anp_prompt_texts_sql(),
         "mensal_links": _mensal_links_sql(),
         "govbr_freshness_labels": _govbr_freshness_sql(),
         "freshness_watch_signals": _freshness_watch_signals_sql(),

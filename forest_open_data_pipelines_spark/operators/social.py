@@ -1510,3 +1510,101 @@ def focos_prompt_texts(spec: DataFrame) -> DataFrame:
     return gt.unionByName(pd_rows).unionByName(cc_rows).orderBy(
         "kind", "scope_slug"
     )
+
+
+# ── ANP produção prompt builders ────────────────────────────────────────────
+# Verbatim prompt text from the reference's deterministic ANP builders
+# (social/llm/prompts/anp_producao/graphic_text.py:5-24) — data
+# constants required for semantic parity, not copied logic: assembly
+# below is Spark column concatenation over the payload frame.
+
+ANP_SOURCE_URL = (
+    "https://www.gov.br/anp/pt-br/centrais-de-conteudo/dados-abertos/"
+    "producao-de-petroleo-e-gas-natural-por-estado-e-localizacao"
+)
+ANP_SYSTEM_GRAPHIC_TEXT = (
+    "Você é um analista financeiro escrevendo para um carrossel "
+    "institucional do Instituto Forest. Use português brasileiro, tom "
+    "conciso e objetivo. Faça análise descritiva, sem recomendação de "
+    "investimento. Use apenas números presentes no JSON. Escreva no máximo "
+    "2 frases curtas. Não use listas, Markdown, emojis ou caracteres "
+    "tipográficos especiais. Use espaço normal entre números e unidades."
+)
+ANP_GT_USER_HEAD = "Escopo do slide: "
+ANP_GT_USER_MID = (
+    ".\nEscreva o texto do corpo do slide com base no JSON abaixo. "
+    "Priorize MoM, YoY, concentração estadual e leitura de tendência "
+    "quando existirem.\n\n"
+)
+
+
+def _json_escape(col: Column) -> Column:
+    """Minimal JSON string escaping (backslash first, then quote) —
+    the two characters the payload strings could legally contain;
+    identical replace() chain on the DuckDB side."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"\\", r"\\\\"), '"', '\\\\"'
+    )
+
+
+def anp_prompt_texts(payloads: DataFrame) -> DataFrame:
+    """The three ANP produção (system_prompt, user_prompt) pairs the
+    reference assembles before its LLM call — the deterministic,
+    network-free half of the anp_producao social pipeline's prompt
+    stage, closing the social/llm family (the focos twin is
+    ``focos_prompt_texts``).
+
+    Reference: social/llm/prompts/anp_producao/graphic_text.py:5-24
+    (``build_graphic_text_prompts`` — fixed system string; user prompt
+    "Escopo do slide: {scope}.\\n…" + the payload JSON block),
+    social/llm/payloads/anp_producao.py:9-10
+    (``payload_to_prompt_block`` = json.dumps(indent=2, ensure_ascii
+    False)), wired per scope key in pipeline.py:495-499
+    (scope_slug = the panel key).
+
+    The prompt block is the indent-2 JSON serialization of the payload
+    frame's columns in the reference's common-fields-then-panel order
+    (source, latest_period, previous_period, yoy_period, panel, title,
+    fallback_text). Documented deviation mirroring
+    ``focos_llm_payload``: the reference payload also nests the full
+    metrics/top_states/profiles dicts the Spark frame pre-renders into
+    ``fallback_text``; the block here carries the frame's columns —
+    field-for-field what the frame publishes, same formatting contract
+    (indent-2, ensure_ascii=False ≡ UTF-8 passthrough).
+
+    Pure projection over ``anp_panel_payloads`` (≤3 rows); string
+    assembly is literal concatenation, identical on both engines by
+    construction.
+    """
+    nl = "\n"
+    q = '"'
+
+    def field(name: str, value: Column, last: bool = False) -> list[Column]:
+        out = [
+            F.lit(f'  "{name}": "'),
+            value,
+            F.lit(q + ("" if last else ",") + nl),
+        ]
+        return out
+
+    block = F.concat(
+        F.lit("{" + nl),
+        *field("source", F.lit(ANP_SOURCE_URL)),
+        *field("latest_period", F.col("latest_period")),
+        *field("previous_period", F.col("previous_period")),
+        *field("yoy_period", F.col("yoy_period")),
+        *field("panel", F.col("panel")),
+        *field("title", _json_escape(F.col("title"))),
+        *field("fallback_text", _json_escape(F.col("fallback_text")), last=True),
+        F.lit("}"),
+    )
+    return payloads.select(
+        F.col("panel").alias("scope_slug"),
+        F.lit(ANP_SYSTEM_GRAPHIC_TEXT).alias("system_prompt"),
+        F.concat(
+            F.lit(ANP_GT_USER_HEAD),
+            F.col("panel"),
+            F.lit(ANP_GT_USER_MID),
+            block,
+        ).alias("user_prompt"),
+    ).orderBy("scope_slug")

@@ -293,6 +293,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anp_panel_payloads": lambda s, d: social.anp_panel_payloads(
         *_t(s, d, "orders", "customer", "nation")
     ),
+    "anp_prompt_texts": lambda s, d: social.anp_prompt_texts(
+        social.anp_panel_payloads(*_t(s, d, "orders", "customer", "nation"))
+    ),
     "annual_reference_extract": lambda s, d: timeseries.annual_reference_extract(
         timeseries.annual_series(_enriched(s, d))
     ),

@@ -4342,3 +4342,60 @@ def test_daily_anomaly_report_keeps_null_day_counts_visible(spark):
     assert nr.n_events == 2 and nr.n_window == 0
     assert nr.z is None and nr.is_anomaly is False
     assert sum(r.n_events for r in out) == 11
+
+
+def test_anp_prompt_texts_match_reference_builders(spark):
+    """The assembled ANP prompts must equal the reference's own
+    builders — ``build_graphic_text_prompts`` fed
+    ``payload_to_prompt_block`` (json.dumps indent-2) of the payload
+    frame's columns — loaded dynamically so template drift fails the
+    test. Also proves the concat-built JSON block IS valid indent-2
+    JSON byte-for-byte."""
+    import importlib.util
+    import os
+
+    base = "/root/reference/src/forest_pipelines/social/llm"
+    if not os.path.isdir(base):
+        pytest.skip("reference checkout not available")
+
+    def load(path, name):
+        s = importlib.util.spec_from_file_location(name, path)
+        m = importlib.util.module_from_spec(s)
+        s.loader.exec_module(m)
+        return m
+
+    gt = load(f"{base}/prompts/anp_producao/graphic_text.py", "ref_anp_gt")
+    pl = load(f"{base}/payloads/anp_producao.py", "ref_anp_pl")
+
+    from forest_open_data_pipelines_spark.operators.social import (
+        ANP_SOURCE_URL,
+        anp_panel_payloads,
+        anp_prompt_texts,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    customer = load_table(spark, SF_DIR, "customer")
+    nation = load_table(spark, SF_DIR, "nation")
+    payloads = anp_panel_payloads(orders, customer, nation)
+    rows = payloads.collect()
+    assert len(rows) == 3
+    got = {
+        r["scope_slug"]: (r["system_prompt"], r["user_prompt"])
+        for r in anp_prompt_texts(payloads).collect()
+    }
+    assert sorted(got) == ["gas_uf", "national", "petroleo_uf"]
+    for r in rows:
+        payload = {
+            "source": ANP_SOURCE_URL,
+            "latest_period": r["latest_period"],
+            "previous_period": r["previous_period"],
+            "yoy_period": r["yoy_period"],
+            "panel": r["panel"],
+            "title": r["title"],
+            "fallback_text": r["fallback_text"],
+        }
+        expected = gt.build_graphic_text_prompts(
+            contexto_payload_json=pl.payload_to_prompt_block(payload),
+            scope_slug=r["panel"],
+        )
+        assert got[r["panel"]] == expected, r["panel"]
