@@ -3567,6 +3567,100 @@ ORDER BY doc_id, filename"""
 
 
 
+def _eia_weekly_sql() -> str:
+    """DuckDB twin of html.eia_petroleum_weekly_files: identical row
+    synthesis, slugify chain (accent translate → ascii strip →
+    [^\\w\\s-] removal → trim/lower → [-\\s]+ collapse), try_strptime
+    date parse with verbatim fallback, terminated/short-row skip,
+    release-time column mapping, query-stripped ext."""
+    from forest_open_data_pipelines_spark.operators.html import (
+        EIA_WEEKLY_HOST,
+        EIA_WEEKLY_SOURCE_URL,
+    )
+
+    months = "['Jan','Feb','Mar','Apr','May','Jun','Jul','Aug','Sep','Oct','Nov','Dec']"
+
+    def iso(raw: str) -> str:
+        p = f"try_strptime(trim(replace({raw}, '.', '')), '%b %d, %Y')"
+        return f"CASE WHEN {p} IS NOT NULL THEN strftime({p}, '%Y-%m-%d') ELSE {raw} END"
+
+    slug = (
+        "regexp_replace(lower(trim(regexp_replace(regexp_replace("
+        "translate(raw_title, 'çãõáéíóúâêà', 'caoaeiouaea'),"
+        " '[^\\x00-\\x7F]', '', 'g'), '[^\\w\\s-]', '', 'g'))),"
+        " '[-\\s]+', '_', 'g')"
+    )
+    return f"""
+WITH seeds AS (
+  SELECT doc_id, (doc_id % 6)::INT AS kind, doc_id::VARCHAR AS d FROM documents
+),
+trows AS (
+  SELECT doc_id, kind,
+    CASE WHEN kind = 0 THEN 'U.S. Petroleum Balance Sheet ' || d
+         WHEN kind = 1 THEN 'Crude Oil Production (Monthly) ' || d
+         WHEN kind = 2 THEN 'Estoques — Região São Paulo ' || d
+         ELSE '  Days of Supply -- Total ' || d || '  ' END AS raw_title,
+    CASE WHEN doc_id % 3 = 1 THEN 'wpsrall' || d || '.csv'
+         WHEN doc_id % 3 = 2 THEN '/petroleum/supply/weekly/csv/table' || d || '.csv'
+    END AS href2,
+    CASE WHEN doc_id % 2 = 0 THEN 'https://cdn.example/eia/xls/table' || d || '.xls'
+    END AS href3,
+    CASE WHEN doc_id % 4 = 0 THEN 'summary' || d || '.php?f=w'
+         WHEN doc_id % 4 = 2 THEN 'wpsr_publication' || d || '.pdf'
+         WHEN doc_id % 4 = 3 THEN 'archive/' || d || '/wpsr.xls'
+    END AS href4
+  FROM seeds
+),
+hdr AS (
+  SELECT
+    m[(mx % 12)::INT + 1] || '. ' || ((mx % 28) + 1)::VARCHAR || ', 2025'
+      AS week_raw,
+    m[((mx + 1) % 12)::INT + 1] || '. ' || (((mx + 3) % 28) + 1)::VARCHAR
+      || ', 2025' AS rel_raw,
+    m[((mx + 2) % 12)::INT + 1] || '. ' || (((mx + 5) % 28) + 1)::VARCHAR
+      || ', 2026' AS next_raw
+  FROM (SELECT max(doc_id) AS mx, {months} AS m FROM documents)
+),
+phdr AS (
+  SELECT week_raw,
+         {iso('rel_raw')} AS release_iso,
+         {iso('next_raw')} AS next_iso
+  FROM hdr
+),
+live AS (SELECT * FROM trows WHERE kind NOT IN (4, 5)),
+links AS (
+  SELECT doc_id, raw_title, href2 AS href, '10:30' AS t FROM live
+    WHERE href2 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, raw_title, href3, '10:30' FROM live WHERE href3 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, raw_title, href4, '13:00' FROM live WHERE href4 IS NOT NULL
+),
+joined AS (
+  SELECT doc_id, raw_title, t, {slug} AS slug,
+    CASE WHEN regexp_matches(href, '^[a-z][a-z0-9+.-]*://') THEN href
+         WHEN href LIKE '/%' THEN '{EIA_WEEKLY_HOST}' || href
+         ELSE '{EIA_WEEKLY_SOURCE_URL}' || href END AS url
+  FROM links
+)
+SELECT 'data' AS kind, doc_id, raw_title AS title,
+       CASE WHEN coalesce(h.release_iso, '') = '' THEN 'current'
+            ELSE h.release_iso END AS period,
+       slug || '.'
+         || string_split(string_split(url, '.')[-1], '?')[1] AS filename,
+       url, t AS release_time
+FROM joined, phdr h
+UNION ALL
+SELECT 'meta', NULL, 'week_ending_raw', week_raw, NULL, NULL, NULL FROM phdr
+UNION ALL
+SELECT 'meta', NULL, 'release_date_iso', release_iso, NULL, NULL, NULL
+FROM phdr
+UNION ALL
+SELECT 'meta', NULL, 'next_release_date_iso', next_iso, NULL, NULL, NULL
+FROM phdr
+ORDER BY kind, doc_id, release_time, url, title"""
+
+
 def _sq8_coded_cte() -> str:
     """Shared SQ8 quantization CTE (embedding_quantize_sq8 /
     ann_topk_sq8 twins): scale = round(max|x|/127, 6), codes =
@@ -5805,6 +5899,7 @@ SELECT lang, predicted_lang, n_docs,
 FROM c ORDER BY lang, predicted_lang"""
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
     out["eia_series_combinations"] = _eia_series_combinations_sql()
+    out["eia_petroleum_weekly_files"] = _eia_weekly_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
     out["cvm_fund_picks"] = _cvm_fund_picks_sql()
     out["focos1km_tifs"] = _focos1km_tifs_sql()

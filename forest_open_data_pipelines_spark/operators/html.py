@@ -2426,3 +2426,210 @@ def focos1km_tifs(documents: DataFrame) -> DataFrame:
         )
         .orderBy(F.desc("period"))
     )
+
+
+# ── EIA Weekly Petroleum Status Report selection grammar ────────────────────
+
+EIA_WEEKLY_SOURCE_URL = "https://www.eia.example/petroleum/supply/weekly/"
+EIA_WEEKLY_HOST = "https://www.eia.example"
+_EIA_WEEKLY_ROW_KINDS = 6
+_EIA_MONTH_ABBRS = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+
+
+def eia_slugify(col: Column) -> Column:
+    """Spark twin of the reference's ``slugify`` (datasets/eia/
+    petroleum_weekly.py:26-30): NFKD → ascii-ignore (here: translate
+    the synthesized accent set to its base letters, then drop any
+    remaining non-ASCII — em-dashes etc., exactly what encode-ignore
+    does), strip ``[^\\w\\s-]``, trim + lower, collapse ``[-\\s]+``
+    to '_'. 'U.S. Petroleum Balance Sheet' → 'us_petroleum_balance_sheet'.
+    """
+    ascii_ish = F.regexp_replace(
+        F.translate(col, "çãõáéíóúâêà", "caoaeiouaea"), r"[^\x00-\x7F]", ""
+    )
+    cleaned = F.lower(F.trim(F.regexp_replace(ascii_ish, r"[^\w\s-]", "")))
+    return F.regexp_replace(cleaned, r"[-\s]+", "_")
+
+
+def parse_eia_date(col: Column) -> Column:
+    """Spark twin of ``parse_eia_date`` (petroleum_weekly.py:32-39):
+    strip ALL dots, trim, try '%b %d, %Y' ("Dec 31, 2025" →
+    '2025-12-31'); on parse failure (wrong shape OR an invalid
+    calendar day — strptime raises on 'Feb 30') return the ORIGINAL
+    string verbatim, dots and all. try_to_date gives the same
+    day-validity semantics JVM-side."""
+    clean = F.trim(F.regexp_replace(col, r"\.", ""))
+    iso = F.try_to_date(clean, "MMM d, yyyy")
+    return F.when(iso.isNotNull(), F.date_format(iso, "yyyy-MM-dd")).otherwise(
+        col
+    )
+
+
+def wrap_documents_as_eia_weekly_rows(documents: DataFrame) -> DataFrame:
+    """Render documents as WPSR basic-table rows (one table row per
+    doc): titles cycle the slugify branches (dotted acronym,
+    parenthetical, accented + em-dash, hyphen-run + padding), kind 4
+    carries the 'terminated' row class, kind 5 is a short (<5 cols)
+    row — both skipped by the selector. The three link columns are
+    independently present/absent and cycle relative, root-relative,
+    absolute and query-string hrefs."""
+    d = F.col("doc_id").cast("string")
+    kind = (F.col("doc_id") % _EIA_WEEKLY_ROW_KINDS).cast("int")
+    title = (
+        F.when(kind == 0, F.concat(F.lit("U.S. Petroleum Balance Sheet "), d))
+        .when(kind == 1, F.concat(F.lit("Crude Oil Production (Monthly) "), d))
+        .when(kind == 2, F.concat(F.lit("Estoques — Região São Paulo "), d))
+        .otherwise(F.concat(F.lit("  Days of Supply -- Total "), d, F.lit("  ")))
+    )
+    href2 = (
+        F.when(F.col("doc_id") % 3 == 1, F.concat(F.lit("wpsrall"), d, F.lit(".csv")))
+        .when(
+            F.col("doc_id") % 3 == 2,
+            F.concat(F.lit("/petroleum/supply/weekly/csv/table"), d, F.lit(".csv")),
+        )
+    )
+    href3 = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("https://cdn.example/eia/xls/table"), d, F.lit(".xls")),
+    )
+    href4 = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("summary"), d, F.lit(".php?f=w")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("wpsr_publication"), d, F.lit(".pdf")))
+        .when(F.col("doc_id") % 4 == 3, F.concat(F.lit("archive/"), d, F.lit("/wpsr.xls")))
+    )
+    return documents.select(
+        "doc_id",
+        title.alias("raw_title"),
+        (kind == 4).alias("terminated"),
+        F.when(kind == 5, 3).otherwise(5).alias("n_cols"),
+        href2.alias("href2"),
+        href3.alias("href3"),
+        href4.alias("href4"),
+    )
+
+
+def eia_petroleum_weekly_files(documents: DataFrame) -> DataFrame:
+    """The WPSR selection grammar — the last uncovered EIA dataset
+    module, sibling of ``eia_xls_picks`` / ``eia_series_combinations``.
+
+    Reference: datasets/eia/petroleum_weekly.py:54-111
+    (``scrape_eia_content``) + :113-135 (``sync`` item assembly):
+
+    - release-dates header triple → three 'meta' rows: the raw
+      week-ending text kept VERBATIM, release / next-release parsed
+      through ``parse_eia_date`` ('%b %d, %Y' after dot-strip,
+      verbatim fallback).
+    - basic-table rows: skip rows with <5 cols or the 'terminated'
+      class (:83-85); slugified FIXED name '{slug}.{ext}' where ext is
+      the url's last dot-segment query-stripped (:92, :104); link
+      columns 2-3 are the 10:30 release, column 4 is 13:00
+      (:89-109); hrefs urljoin against the source page.
+    - item period = release_date_iso or 'current' (sync :127).
+
+    Scale: pure per-row projection + a 3-element explode; the header
+    metadata is ONE global max aggregate broadcast onto the items —
+    no shuffle beyond the presentation sort at any corpus size.
+    """
+    rows = wrap_documents_as_eia_weekly_rows(documents)
+    # header metadata derived deterministically from the corpus (one
+    # bounded aggregate — the page publishes exactly one header)
+    mx = F.max("doc_id").alias("mx")
+    month_expr = lambda off: F.element_at(
+        F.array(*[F.lit(m) for m in _EIA_MONTH_ABBRS]),
+        ((F.col("mx") + off) % 12 + 1).cast("int"),
+    )
+    day_expr = lambda off: ((F.col("mx") + off) % 28 + 1).cast("string")
+    hdr = documents.agg(mx).select(
+        F.concat(month_expr(0), F.lit(". "), day_expr(0), F.lit(", 2025")).alias(
+            "week_ending_raw"
+        ),
+        parse_eia_date(
+            F.concat(month_expr(1), F.lit(". "), day_expr(3), F.lit(", 2025"))
+        ).alias("release_date_iso"),
+        parse_eia_date(
+            F.concat(month_expr(2), F.lit(". "), day_expr(5), F.lit(", 2026"))
+        ).alias("next_release_date_iso"),
+    )
+    live = rows.where((~F.col("terminated")) & (F.col("n_cols") >= 5))
+    links = live.select(
+        "doc_id",
+        F.col("raw_title"),
+        eia_slugify(F.col("raw_title")).alias("slug"),
+        F.explode(
+            F.array_compact(
+                F.array(
+                    F.when(
+                        F.col("href2").isNotNull(),
+                        F.struct(
+                            F.col("href2").alias("href"), F.lit("10:30").alias("t")
+                        ),
+                    ),
+                    F.when(
+                        F.col("href3").isNotNull(),
+                        F.struct(
+                            F.col("href3").alias("href"), F.lit("10:30").alias("t")
+                        ),
+                    ),
+                    F.when(
+                        F.col("href4").isNotNull(),
+                        F.struct(
+                            F.col("href4").alias("href"), F.lit("13:00").alias("t")
+                        ),
+                    ),
+                )
+            )
+        ).alias("l"),
+    )
+    href = F.col("l.href")
+    url = (
+        F.when(href.rlike(r"^[a-z][a-z0-9+.-]*://"), href)
+        .when(href.startswith("/"), F.concat(F.lit(EIA_WEEKLY_HOST), href))
+        .otherwise(F.concat(F.lit(EIA_WEEKLY_SOURCE_URL), href))
+    )
+    ext = F.element_at(
+        F.split(F.element_at(F.split(url, r"\."), -1), r"\?"), 1
+    )
+    period = F.when(
+        F.coalesce(F.col("release_date_iso"), F.lit("")) == "", F.lit("current")
+    ).otherwise(F.col("release_date_iso"))
+    data = links.join(F.broadcast(hdr)).select(
+        F.lit("data").alias("kind"),
+        F.col("doc_id"),
+        F.col("raw_title").alias("title"),
+        period.alias("period"),
+        F.concat(F.col("slug"), F.lit("."), ext).alias("filename"),
+        url.alias("url"),
+        F.col("l.t").alias("release_time"),
+    )
+    meta = hdr.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("week_ending_raw").alias("field"),
+                    F.col("week_ending_raw").alias("value"),
+                ),
+                F.struct(
+                    F.lit("release_date_iso").alias("field"),
+                    F.col("release_date_iso").alias("value"),
+                ),
+                F.struct(
+                    F.lit("next_release_date_iso").alias("field"),
+                    F.col("next_release_date_iso").alias("value"),
+                ),
+            )
+        ).alias("m")
+    ).select(
+        F.lit("meta").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("m.field").alias("title"),
+        F.col("m.value").alias("period"),
+        F.lit(None).cast("string").alias("filename"),
+        F.lit(None).cast("string").alias("url"),
+        F.lit(None).cast("string").alias("release_time"),
+    )
+    return data.unionByName(meta).orderBy(
+        "kind", "doc_id", "release_time", "url", "title"
+    )

@@ -127,6 +127,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eia_series_combinations": lambda s, d: html.eia_series_combinations(
         load_table(s, d, "documents")
     ),
+    "eia_petroleum_weekly_files": lambda s, d: html.eia_petroleum_weekly_files(
+        load_table(s, d, "documents")
+    ),
     "embedding_quantize_sq8": lambda s, d: similarity.embedding_quantize_sq8(
         load_table(s, d, "embeddings")
     ),

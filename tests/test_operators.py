@@ -4399,3 +4399,89 @@ def test_anp_prompt_texts_match_reference_builders(spark):
             scope_slug=r["panel"],
         )
         assert got[r["panel"]] == expected, r["panel"]
+
+
+def _load_ref_functions(path, names):
+    """Exec just the named top-level functions from a reference module
+    (its own imports pull bs4/requests, absent here) — drift in those
+    functions fails the test, not just review."""
+    import ast
+    import re as _re
+    import unicodedata as _ud
+    from datetime import datetime as _dt
+
+    src = open(path).read()
+    tree = ast.parse(src)
+    wanted = [
+        n for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name in names
+    ]
+    assert len(wanted) == len(names), "reference functions moved"
+    ns = {"re": _re, "unicodedata": _ud, "datetime": _dt}
+    exec(compile(ast.Module(body=wanted, type_ignores=[]), path, "exec"), ns)
+    return ns
+
+
+def test_eia_petroleum_weekly_matches_reference_grammar(spark):
+    """scrape_eia_content twin (eia/petroleum_weekly.py:26-111): the
+    slugified fixed names and parsed dates must equal the reference's
+    own slugify/parse_eia_date run on the same synthesized titles and
+    date strings; terminated/short rows are skipped; release-time
+    column mapping holds; ext is query-stripped."""
+    import os
+
+    ref = "/root/reference/src/forest_pipelines/datasets/eia/petroleum_weekly.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not available")
+    ns = _load_ref_functions(ref, {"slugify", "parse_eia_date"})
+
+    from forest_open_data_pipelines_spark.operators import html as h
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 0) for i in range(24)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = h.eia_petroleum_weekly_files(docs).collect()
+    meta = {r.title: r.period for r in rows if r.kind == "meta"}
+    data = [r for r in rows if r.kind == "data"]
+
+    # header triple present; release dates are the reference parse of
+    # the same raw strings the wrap synthesizes (mx = 23)
+    assert set(meta) == {
+        "week_ending_raw", "release_date_iso", "next_release_date_iso"
+    }
+    assert meta["week_ending_raw"] == "Dec. 24, 2025"  # raw, unparsed
+    assert meta["release_date_iso"] == ns["parse_eia_date"]("Jan. 27, 2025")
+    assert meta["next_release_date_iso"] == ns["parse_eia_date"]("Feb. 1, 2026")
+
+    # terminated (kind 4) and short (kind 5) rows never emit items
+    assert all(r.doc_id % 6 not in (4, 5) for r in data)
+
+    # fixed_name = reference slugify of the displayed title + ext;
+    # ext is the url's last dot-segment query-stripped
+    for r in data:
+        slug = ns["slugify"](r.title)
+        ext = r.url.split(".")[-1].split("?")[0]
+        assert r.filename == f"{slug}.{ext}", r
+        assert r.period == meta["release_date_iso"]
+        assert r.release_time in ("10:30", "13:00")
+    # column mapping: the php summary link (col 4) is the 13:00 slot
+    php = [r for r in data if r.filename.endswith(".php")]
+    assert php and all(r.release_time == "13:00" for r in php)
+    # cols 2-3 are 10:30: the root-relative csv (col 2 branch)
+    csv2 = [r for r in data if "/csv/table" in r.url]
+    assert csv2 and all(r.release_time == "10:30" for r in csv2)
+
+    # parse_eia_date parity on the tricky class: invalid calendar day
+    # and non-date text fall back VERBATIM on both sides
+    from pyspark.sql import functions as F
+
+    cases = ["Dec. 31, 2025", "Jan. 7, 2026", "Feb. 30, 2025", "TBD",
+             "May 5, 2024", "Sep. 09, 2025"]
+    got = (
+        spark.createDataFrame([(c,) for c in cases], ["s"])
+        .select(h.parse_eia_date(F.col("s")).alias("p"))
+        .collect()
+    )
+    for c, r in zip(cases, got):
+        assert r.p == ns["parse_eia_date"](c), c
