@@ -706,108 +706,97 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # ---------------------------------------------------------------------------
-# Round-7 window rotation: the dict above keeps its historical
+# Round-8 window rotation: the dict above keeps its historical
 # grouping; the DRIVER-VISIBLE order is re-stated here explicitly.
-# Window = the 17 entries with NO green driver row yet (the three
-# round-6 compare failures now fixed — embedding_quantize_sq8/pq
-# codes-as-CSV, token_histogram HUGEINT cast — the six late round-6
-# additions that landed after the r6 driver run, and the eight
-# round-7 additions) + 33 refresh slots for the entries whose last
-# green row is oldest (r2/r3/r4 vintage — everything newer stays
-# parked on its r5/r6 row and is re-verified by the per-session
-# oracle-parity sweep).
+# Window = the 13 entries with NO green driver row yet (the 11
+# round-7-extension additions — all oracle MATCH at 3 SFs in the
+# builder sessions — plus the two round-8 reference-gap closers,
+# anp_prompt_texts and eia_petroleum_weekly_files) + 37 refresh
+# slots for the entries whose last green row is oldest (the full r3
+# vintage and 30 of the 37 r4-vintage rows — the 7 r4 rows left
+# parked each have an r5+ sibling covering the same family:
+# monthly_by_region / nation_month_matrix (augmented twins),
+# annual_series (annual_reference_extract consumes it),
+# top_regions_yoy (top_nations_yoy in-window), dedup_embedding
+# (dedup_embedding_lsh), events_windowed (events_sessionize
+# in-window + streaming twin), promo_revenue_share
+# (disjunctive_promo_revenue). Everything parked stays re-verified by
+# the per-session oracle-parity sweep at sf0.001.
 # ---------------------------------------------------------------------------
-_R7_WINDOW: tuple[str, ...] = (
-    # never-driver-green: round-6 compare failures, now fixed
-    "embedding_quantize_sq8",
-    "embedding_quantize_pq",
-    "token_histogram",
-    # never-driver-green: late round-6 additions (first rows)
-    "q8_market_share",
-    "q17_small_quantity_revenue",
-    "perplexity_buckets",
-    "lang_id_confusion",
-    "focos_prompt_texts",
-    "referential_integrity_audit",
-    # round-7 additions (first rows)
-    "q9_product_type_profit",
-    "q12_shipping_delay",
-    "q16_supplier_part_variety",
-    "q20_dominant_suppliers",
-    "q21_sole_latest_shipper",
-    "freshness_watch_signals",
-    "manifest_meta_envelope",
-    "route_nearest_query",
-    # refresh: oldest driver evidence (r2)
-    "profile_columns_approx",
-    # refresh: r3-vintage rows
-    "catalog_cards",
-    "catalog_summary",
-    "customers_without_orders",
-    "feed_validate",
-    "html_extract",
-    "multimodal_features",
-    "multimodal_frames",
-    "nation_series_with_other",
-    "nation_share_latest",
-    "order_priority_percentiles",
-    "profile_columns",
-    "profile_files",
-    "pt_date_parse",
-    "pt_numeric_parse",
-    "research_trends_rollup",
-    "resize_media",
-    "skew_salted_join_agg",
-    "skew_two_phase_agg",
-    "text_cleanup",
-    "text_quality",
-    "url_merge",
-    # round-7 second tranche (first rows; displaced five refresh
-    # candidates — abstract_reconstruct, ann_topk_bruteforce,
-    # annual_by_region, annual_series, top_biomes_month_comparison —
-    # whose r3/r4 rows stand)
-    "ngram_novelty",
-    "vocab_growth",
-    "multimodal_dedup",
-    "cvm_fund_picks",
-    "focos1km_tifs",
-    # (type_inference and social_text_normalize rotated back out — r3
-    # rows stand, parity-tested per session — for the two renderers)
-    "audit_markdown_table",
-    "freshness_report_lines",
-    # (dir_listing_files rotated back out — r3 row stands)
-    "dedup_threshold_sweep",
-    # (html_list_parse rotated back out — r3 row stands)
-    "column_best_match",
-    # (lang_id rotated back out — r3 row stands; lang_id_ngram and
-    # lang_id_confusion keep LID coverage in-window)
-    "corpus_snapshot_diff",
-    # (manifest_status rotated back out — r3 row stands)
-    "simhash_budget_sweep",
+_R8_WINDOW: tuple[str, ...] = (
+    # never-driver-green: round-7-extension additions (first rows)
+    "monthly_seasonal_index",
+    "supplier_concentration_hhi",
+    "part_affinity_pairs",
+    "daily_anomaly_report",
+    "sampled_revenue_estimate",
+    "event_transitions",
+    "dedup_winnowing",
+    "winnowing_incremental",
+    "duplicate_spans",
+    "strip_duplicate_spans",
+    "media_integrity_audit",
+    # never-driver-green: round-8 reference-gap closers (first rows)
+    "anp_prompt_texts",
+    "eia_petroleum_weekly_files",
+    # refresh: r3-vintage rows (all seven)
+    "type_inference",
+    "social_text_normalize",
+    "lang_id",
+    "dir_listing_files",
+    "html_list_parse",
+    "manifest_status",
+    "top_biomes_month_comparison",
+    # refresh: r4-vintage rows (30 of 37)
+    "nation_year_matrix",
+    "top_nations_yoy",
+    "rolling_12m",
+    "ytd_comparison",
+    "highlights",
+    "same_month_prev_year",
+    "month_year_comparison",
+    "state_biome_monthly_series",
+    "schema_audit",
+    "research_trends",
+    "monthly_chart_spec",
+    "top_nations_with_other",
+    "series_alignment_metrics",
+    "daily_series",
+    "region_rank",
+    "abstract_reconstruct",
+    "freshness_cadence",
+    "freshness_latest",
+    "token_count",
+    "doc_fingerprint",
+    "painel_pdf_links",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "top_customers",
+    "events_sessionize",
+    "region_nation_cube",
+    "part_brand_stats",
+    "events_asof_attribution",
+    "clicks_before_purchase",
+    "annual_by_region",
 )
-assert len(_R7_WINDOW) == DRIVER_CHECK_CAP, len(_R7_WINDOW)
+assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)
 
-# Round-8 rotation queue (pre-staged; build the _R8_WINDOW from this):
-# 1) never-driver-green round-7-extension entries needing first rows —
-#    duplicate_spans, strip_duplicate_spans, dedup_winnowing,
-#    media_integrity_audit, event_transitions, winnowing_incremental,
-#    sampled_revenue_estimate, daily_anomaly_report,
-#    part_affinity_pairs, monthly_seasonal_index,
-#    supplier_concentration_hhi (11 entries, all oracle MATCH at
-#    3 SFs in the extension sessions);
-# 2) the 24 r3-vintage refresh slots round 7 displaced
-#    (type_inference, social_text_normalize, lang_id,
-#    dir_listing_files, html_list_parse, manifest_status + the r4
-#    cohort — see the rotation comments inside _R7_WINDOW);
-# 3) everything else keeps its newest green row and stays covered by
+# Round-9 rotation queue (pre-staged; build the _R9_WINDOW from this):
+# 1) any round-8 window row the driver fails — fix first, re-window;
+# 2) the 7 r4-vintage rows round 8 left parked (monthly_by_region,
+#    nation_month_matrix, annual_series, top_regions_yoy,
+#    dedup_embedding, events_windowed, promo_revenue_share);
+# 3) then the oldest r5-vintage rows (q1/q3/q5, dedup_exact,
+#    dedup_minhash, pack_sequences, the payload_merge family, ...);
+# 4) everything else keeps its newest green row and stays covered by
 #    the per-session oracle-parity sweep.
 QUERIES = {
     n: QUERIES[n]
-    for n in list(_R7_WINDOW) + [x for x in QUERIES if x not in set(_R7_WINDOW)]
+    for n in list(_R8_WINDOW) + [x for x in QUERIES if x not in set(_R8_WINDOW)]
 }
 
 # First name past the driver window; everything from here on is parked.
-PARKED_FROM = next(n for n in QUERIES if n not in set(_R7_WINDOW))
+PARKED_FROM = next(n for n in QUERIES if n not in set(_R8_WINDOW))
 
 
 def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

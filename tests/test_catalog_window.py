@@ -16,44 +16,26 @@ from forest_open_data_pipelines_spark.plans.catalog import (
 )
 
 # Entries that need a driver row THIS round and must stay inside the
-# window: everything that has NEVER had a green driver row — the three
-# round-6 compare failures (fixed this round), the six late round-6
-# additions that landed after the r6 driver run, and the eight round-7
-# additions. The 33 refresh slots (oldest r2/r3/r4 evidence) are
+# window: everything that has NEVER had a green driver row — the 11
+# round-7-extension additions and the two round-8 reference-gap
+# closers. The 37 refresh slots (oldest r3/r4 evidence) are
 # discretionary and not pinned here.
 MUST_BE_IN_WINDOW = {
-    # round-6 compare failures, fixed this round
-    "embedding_quantize_sq8",
-    "embedding_quantize_pq",
-    "token_histogram",
-    # late round-6 additions (first rows)
-    "q8_market_share",
-    "q17_small_quantity_revenue",
-    "perplexity_buckets",
-    "lang_id_confusion",
-    "focos_prompt_texts",
-    "referential_integrity_audit",
-    # round-7 additions (first rows)
-    "q9_product_type_profit",
-    "q12_shipping_delay",
-    "q16_supplier_part_variety",
-    "q20_dominant_suppliers",
-    "q21_sole_latest_shipper",
-    "freshness_watch_signals",
-    "manifest_meta_envelope",
-    "route_nearest_query",
-    # round-7 second tranche (first rows)
-    "ngram_novelty",
-    "vocab_growth",
-    "multimodal_dedup",
-    "cvm_fund_picks",
-    "focos1km_tifs",
-    "audit_markdown_table",
-    "freshness_report_lines",
-    "dedup_threshold_sweep",
-    "column_best_match",
-    "corpus_snapshot_diff",
-    "simhash_budget_sweep",
+    # round-7-extension additions (first rows)
+    "monthly_seasonal_index",
+    "supplier_concentration_hhi",
+    "part_affinity_pairs",
+    "daily_anomaly_report",
+    "sampled_revenue_estimate",
+    "event_transitions",
+    "dedup_winnowing",
+    "winnowing_incremental",
+    "duplicate_spans",
+    "strip_duplicate_spans",
+    "media_integrity_audit",
+    # round-8 reference-gap closers (first rows)
+    "anp_prompt_texts",
+    "eia_petroleum_weekly_files",
 }
 
 
