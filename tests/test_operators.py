@@ -4485,3 +4485,45 @@ def test_eia_petroleum_weekly_matches_reference_grammar(spark):
     )
     for c, r in zip(cases, got):
         assert r.p == ns["parse_eia_date"](c), c
+
+
+def test_dedup_embedding_lsh_bucket_cap(spark):
+    """The over-full-bucket stop-list: (a) at the default cap the
+    bench corpus is untouched — output identical to max_bucket=None
+    (largest observed bucket is far below the cap); (b) on a
+    duplicate-heavy corpus (every vector replicated) the cap prunes
+    candidate generation and the capped output is a subset of the
+    uncapped output with identical cosines."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    capped = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.dedup_embedding_lsh(emb).collect()
+    }
+    uncapped = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.dedup_embedding_lsh(emb, max_bucket=None).collect()
+    }
+    assert capped == uncapped  # cap does not bind on the bench corpus
+
+    # duplicate-heavy: 8 copies of each vector under distinct ids
+    n = emb.count()
+    heavy = emb.selectExpr(
+        "explode(sequence(0, 7)) AS copy", "vec_id", "embedding", "label"
+    ).select(
+        (F.col("vec_id") + F.col("copy") * n).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    tight = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.dedup_embedding_lsh(heavy, max_bucket=64).collect()
+    }
+    loose = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in dedup.dedup_embedding_lsh(heavy, max_bucket=None).collect()
+    }
+    assert set(tight) < set(loose)  # the cap really pruned something
+    for pair, cos in tight.items():
+        assert cos == loose[pair]
