@@ -1061,15 +1061,20 @@ def curation_report_by_source(
     )
 
 
-def quality_by_lang_report(documents: DataFrame) -> DataFrame:
+def quality_by_lang_report(
+    documents: DataFrame, exact: bool = True, accuracy: int = 10_000
+) -> DataFrame:
     """Per-language quality distribution: doc counts, mean/median/p90
     quality score and the min-token+score gate pass rate — the
     language-skew diagnostic run before trusting a mixture plan
     (a language whose quality distribution collapsed should not keep
     its target weight).
 
-    One map-side aggregation; exact percentiles (swap to
-    percentile_approx for billion-row languages — same plan shape).
+    One map-side aggregation; exact percentiles by default (oracle
+    bit-parity), ``exact=False`` switches the two percentile columns
+    to ``percentile_approx`` (Greenwald-Khanna, O(accuracy) state per
+    language, rank error ≤ 1/accuracy) for billion-row languages —
+    same plan shape, measured error bounds asserted in tests.
     """
     from forest_open_data_pipelines_spark.operators.textops import (
         quality_metric_cols,
@@ -1084,13 +1089,18 @@ def quality_by_lang_report(documents: DataFrame) -> DataFrame:
     passes = (F.col("n_tokens") >= CURATION_MIN_TOKENS) & (
         F.col("q") >= CURATION_MIN_QUALITY
     )
+    pct = (
+        (lambda p: F.expr(f"percentile(q, {p})"))
+        if exact
+        else (lambda p: F.percentile_approx("q", p, accuracy))
+    )
     return (
         scored.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             ratio(F.avg("q")).alias("avg_quality"),
-            ratio(F.expr("percentile(q, 0.5)")).alias("p50_quality"),
-            ratio(F.expr("percentile(q, 0.9)")).alias("p90_quality"),
+            ratio(pct(0.5)).alias("p50_quality"),
+            ratio(pct(0.9)).alias("p90_quality"),
             ratio(F.sum(F.when(passes, 1).otherwise(0)) / F.count("*")).alias(
                 "pass_rate"
             ),

@@ -301,24 +301,36 @@ def promo_revenue_share(
     )
 
 
-def order_priority_percentiles(orders: DataFrame) -> DataFrame:
-    """Exact continuous percentiles (p25/p50/p75/p90) of order value
-    per priority class.
+def order_priority_percentiles(
+    orders: DataFrame, exact: bool = True, accuracy: int = 10_000
+) -> DataFrame:
+    """Percentiles (p25/p50/p75/p90) of order value per priority class.
 
-    Uses the built-in exact ``percentile`` aggregate (JVM-side,
-    partial-aggregation-capable); 5 groups means the per-group state
-    stays tiny even at 100 TB. For billion-row groups switch to
-    ``percentile_approx`` — kept exact here so the DuckDB oracle
-    (``quantile_cont``) matches bit-for-bit after 2dp rounding.
+    ``exact=True`` (default) uses the built-in exact ``percentile``
+    aggregate (JVM-side, partial-aggregation-capable); 5 groups means
+    the per-group state stays tiny even at 100 TB, but the exact
+    aggregate buffers every VALUE per group — for billion-row groups
+    pass ``exact=False`` for ``percentile_approx`` (Greenwald-Khanna
+    sketch, O(accuracy) state per group, relative rank error ≤
+    1/accuracy; returns an actual order statistic instead of the
+    continuous interpolation — the divergence is bounded by the
+    neighbor-gap at the cut and measured in tests). Kept exact by
+    default so the DuckDB oracle (``quantile_cont``) matches
+    bit-for-bit after 2dp rounding.
     """
+    pct = (
+        (lambda c, p: F.percentile(c, p))
+        if exact
+        else (lambda c, p: F.percentile_approx(c, p, accuracy))
+    )
     return (
         orders.groupBy("o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
-            money(F.percentile("o_totalprice", 0.25)).alias("p25"),
-            money(F.percentile("o_totalprice", 0.5)).alias("p50"),
-            money(F.percentile("o_totalprice", 0.75)).alias("p75"),
-            money(F.percentile("o_totalprice", 0.9)).alias("p90"),
+            money(pct("o_totalprice", 0.25)).alias("p25"),
+            money(pct("o_totalprice", 0.5)).alias("p50"),
+            money(pct("o_totalprice", 0.75)).alias("p75"),
+            money(pct("o_totalprice", 0.9)).alias("p90"),
         )
         .orderBy("o_orderpriority")
     )

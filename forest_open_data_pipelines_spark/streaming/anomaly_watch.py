@@ -20,11 +20,12 @@ Lifecycle contract (review findings, documented deliberately):
   reset checkpoint restarts batch ids at 0, and dynamic overwrite
   would then fold a new incarnation's deltas over a previous one's.
 - The cache grows one tiny batch_id partition per micro-batch.
-  Bounding it is an OFFLINE maintenance fold (pause → aggregate all
-  partitions to (event_type, day) totals → rewrite as a single
-  baseline partition → resume); inline compaction is intentionally
-  omitted — a full-cache rewrite inside a batch that can replay has
-  no safe idempotence story, while the pause-and-fold is exactly the
+  Bounding it is the OFFLINE maintenance fold shipped below as
+  ``compact_anomaly_cache`` (pause → fold all but the newest
+  partitions into a baseline partition at a NEW path → resume
+  pointed at it); inline compaction is intentionally omitted — a
+  full-cache rewrite inside a batch that can replay has no safe
+  idempotence story, while the pause-and-fold is exactly the
   compact_parquet-style job every lake already runs.
 """
 
@@ -83,3 +84,65 @@ def anomaly_watch_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+BASELINE_BATCH_ID = -1
+
+
+def compact_anomaly_cache(
+    spark,
+    src_cache: str,
+    dst_cache: str,
+    keep_last: int = 1,
+) -> dict[str, int]:
+    """The pause-and-fold offline compaction of the anomaly counts
+    cache — the maintenance job the module docstring promises (run it
+    while the stream is STOPPED, then resume the stream pointed at
+    ``dst_cache`` with the SAME checkpoint).
+
+    Folds every batch_id partition except the newest ``keep_last``
+    into one baseline partition (batch_id = ``BASELINE_BATCH_ID``,
+    which real micro-batch ids — monotonically increasing from 0 —
+    can never collide with; a previous baseline folds in again), and
+    copies the kept partitions verbatim. The newest partitions stay
+    un-folded so an at-least-once REPLAY of the last committed batch
+    after an unclean stop still overwrites its own live partition
+    instead of double-adding deltas the baseline already absorbed.
+
+    Writes the compacted cache to a NEW path (the ``compact_parquet``
+    crash-safety protocol: a mid-job crash leaves ``src_cache``
+    untouched and the job idempotently re-runnable); the caller swaps
+    the stream's cache_path on resume. The per-(event_type, day)
+    totals are IDENTICAL before and after by construction — asserted
+    in the restart-convergence test.
+
+    Scale: the cache is (types × days × batches) count rows —
+    metadata-weight; the fold is one groupBy over it and the rewrite
+    is one shuffle-free partitioned write.
+    """
+    cache = spark.read.parquet(src_cache)
+    ids = sorted(
+        r[0] for r in cache.select("batch_id").distinct().collect()
+    )
+    keep_last = max(0, keep_last)
+    fold_ids = ids[: len(ids) - keep_last] if keep_last else list(ids)
+    kept_ids = ids[len(ids) - keep_last :] if keep_last else []
+    folded = (
+        cache.where(F.col("batch_id").isin(fold_ids))
+        .groupBy("event_type", "day")
+        .agg(F.sum("n_events").cast("long").alias("n_events"))
+        .withColumn("batch_id", F.lit(BASELINE_BATCH_ID))
+    )
+    kept = cache.where(F.col("batch_id").isin(kept_ids))
+    out = folded.unionByName(kept) if kept_ids else folded
+    (
+        out.select("event_type", "day", "n_events", "batch_id")
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(dst_cache)
+    )
+    return {
+        "partitions_before": len(ids),
+        "partitions_folded": len(fold_ids),
+        "partitions_after": (1 if fold_ids else 0) + len(kept_ids),
+    }

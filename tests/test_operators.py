@@ -4527,3 +4527,53 @@ def test_dedup_embedding_lsh_bucket_cap(spark):
     assert set(tight) < set(loose)  # the cap really pruned something
     for pair, cos in tight.items():
         assert cos == loose[pair]
+
+
+def test_approx_percentile_variants_error_bounds(spark):
+    """exact=False swaps the exact percentile aggregates for
+    percentile_approx (the billion-row-group path): the approx value
+    must be an order statistic within ±2 ranks of the exact
+    percentile's cut (GK rank error is ≤ n/accuracy ranks — < 1 at
+    this corpus), with counts and non-percentile columns IDENTICAL."""
+    import math
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        quality_by_lang_report,
+    )
+    from forest_open_data_pipelines_spark.operators.relational import (
+        order_priority_percentiles,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    docs = load_table(spark, SF_DIR, "documents")
+
+    ex = {r["o_orderpriority"]: r for r in order_priority_percentiles(orders).collect()}
+    ap = {
+        r["o_orderpriority"]: r
+        for r in order_priority_percentiles(orders, exact=False).collect()
+    }
+    assert set(ex) == set(ap)
+    vals = {}
+    for r in orders.select("o_orderpriority", "o_totalprice").collect():
+        vals.setdefault(r[0], []).append(float(r[1]))
+    for k in ex:
+        assert ap[k]["n_orders"] == ex[k]["n_orders"]
+        vs = sorted(vals[k])
+        n = len(vs)
+        for c, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75), ("p90", 0.9)):
+            r_ = p * (n - 1)
+            lo = max(math.floor(r_) - 2, 0)
+            hi = min(math.ceil(r_) + 2, n - 1)
+            assert vs[lo] - 0.01 <= ap[k][c] <= vs[hi] + 0.01, (k, c)
+
+    exq = {r["lang"]: r for r in quality_by_lang_report(docs).collect()}
+    apq = {
+        r["lang"]: r for r in quality_by_lang_report(docs, exact=False).collect()
+    }
+    assert set(exq) == set(apq)
+    for k in exq:
+        assert apq[k]["n_docs"] == exq[k]["n_docs"]
+        assert apq[k]["avg_quality"] == exq[k]["avg_quality"]
+        assert apq[k]["pass_rate"] == exq[k]["pass_rate"]
+        for c in ("p50_quality", "p90_quality"):
+            assert abs(apq[k][c] - exq[k][c]) <= 0.01 * max(abs(exq[k][c]), 0.01), (k, c)

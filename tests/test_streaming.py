@@ -1293,3 +1293,83 @@ def test_anomaly_watch_stream_matches_batch(spark, tmp_path):
     batch = daily_anomaly_report(docs).collect()
     key = lambda r: tuple(r)
     assert sorted(map(key, final)) == sorted(map(key, batch))
+
+
+def test_anomaly_cache_compaction_restart_convergence(spark, tmp_path):
+    """Pause → compact → resume: fold the counts cache into a baseline
+    partition at a new path, restart the stream against it with the
+    SAME checkpoint, feed more events — the final report must equal
+    the batch operator over ALL events, and the compacted cache must
+    hold exactly baseline + kept + new-batch partitions."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        daily_anomaly_report,
+    )
+    from forest_open_data_pipelines_spark.streaming.anomaly_watch import (
+        BASELINE_BATCH_ID,
+        anomaly_watch_stream,
+        compact_anomaly_cache,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    staging = tmp_path / "aw2_staging"
+    events.repartition(3).write.parquet(str(staging))
+    parts = sorted(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+    assert len(parts) == 3
+    src = tmp_path / "aw2_src"
+    src.mkdir()
+    for p in parts[:2]:
+        shutil.copy(p, src / p.name)
+
+    cache1 = str(tmp_path / "aw2_cache")
+    ckpt = str(tmp_path / "ckpt_aw2")
+    reports = {}
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = anomaly_watch_stream(
+        stream, cache_path=cache1, checkpoint=ckpt,
+        sink=lambda df, bid: reports.__setitem__(bid, df.collect()),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(reports) == 2
+
+    # pause-and-fold into a NEW path; totals must be unchanged
+    cache2 = str(tmp_path / "aw2_cache_compacted")
+    stats = compact_anomaly_cache(spark, cache1, cache2, keep_last=1)
+    assert stats == {
+        "partitions_before": 2, "partitions_folded": 1, "partitions_after": 2
+    }
+    tot = lambda path: sorted(
+        tuple(r) for r in spark.read.parquet(path)
+        .groupBy("event_type", "day").agg(F.sum("n_events").alias("n"))
+        .collect()
+    )
+    assert tot(cache2) == tot(cache1)
+    ids = {
+        r[0] for r in spark.read.parquet(cache2).select("batch_id").distinct().collect()
+    }
+    assert BASELINE_BATCH_ID in ids and len(ids) == 2
+
+    # resume against the compacted cache with the SAME checkpoint,
+    # then deliver the third file
+    shutil.copy(parts[2], src / parts[2].name)
+    stream2 = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q2 = anomaly_watch_stream(
+        stream2, cache_path=cache2, checkpoint=ckpt,
+        sink=lambda df, bid: reports.__setitem__(bid, df.collect()),
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    final = reports[max(reports)]
+    batch = daily_anomaly_report(events).collect()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, final)) == sorted(map(key, batch))
