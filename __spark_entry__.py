@@ -2317,6 +2317,36 @@ SELECT lang, weight, n_docs, n_tokens, target_tokens, sampling_rate,
 FROM r ORDER BY lang"""
 
 
+def _corpus_shard_plan_sql() -> str:
+    """DuckDB twin of curation.corpus_shard_plan: identical md5 shard
+    assignment, cleaned-whitespace token counts, octet sizes, and the
+    half-up micro_div token share."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        SHARD_PLAN_DEFAULT,
+    )
+
+    n = SHARD_PLAN_DEFAULT
+    key = _MD5_INT.format(expr="'shard-' || doc_id")
+    return f"""
+WITH per AS (
+  SELECT ({key}) % {n} AS shard_id,
+         len(string_split({LCLEAN}, ' '))::BIGINT AS n_toks,
+         octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents
+),
+agg AS (
+  SELECT shard_id, count(*)::BIGINT AS n_docs,
+         sum(n_toks)::BIGINT AS n_tokens, sum(n_bytes)::BIGINT AS n_bytes
+  FROM per GROUP BY shard_id
+),
+tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM agg)
+SELECT shard_id, n_docs, n_tokens, n_bytes,
+       (n_tokens * 1000000 // total_tokens
+        + CASE WHEN (n_tokens * 1000000 % total_tokens) * 2 >= total_tokens
+               THEN 1 ELSE 0 END)::BIGINT AS token_share_ppm
+FROM agg, tot ORDER BY shard_id"""
+
+
 def _stratified_token_sample_sql() -> str:
     """DuckDB twin of curation.stratified_token_sample: md5-ordered
     cumulative token window per language, integer-exact budget cut."""
@@ -5814,6 +5844,7 @@ ORDER BY suppkey""",
         "dataset_mixture_plan": _mixture_plan_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "stratified_token_sample": _stratified_token_sample_sql(),
+        "corpus_shard_plan": _corpus_shard_plan_sql(),
         "span_dedup": _span_dedup_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
         "dedup_winnowing": _dedup_winnowing_sql(),

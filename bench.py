@@ -170,6 +170,10 @@ HEADLINE = [
     "freshness_report_lines",
     "column_best_match",
     "corpus_snapshot_diff",
+    # round-8 operators
+    "anp_prompt_texts",
+    "eia_petroleum_weekly_files",
+    "corpus_shard_plan",
     # simhash_budget_sweep generates candidates at the WIDEST budget
     # (h=15: 4-bit blocks, quadratic buckets — the overshoot finding
     # itself) to report the promotion curve; an evaluation artifact

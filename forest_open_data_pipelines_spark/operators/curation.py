@@ -1183,3 +1183,61 @@ def curation_gate_matrix(documents: DataFrame) -> DataFrame:
         "target_like",
         passes_all.alias("passes_all"),
     ).orderBy("doc_id")
+
+
+SHARD_PLAN_DEFAULT = 16
+
+
+def corpus_shard_plan(documents: DataFrame, n_shards: int = SHARD_PLAN_DEFAULT) -> DataFrame:
+    """Deterministic training-shard plan: assign every document to one
+    of ``n_shards`` dataloader shards by a pure hash of its id and
+    report each shard's doc/token/byte load plus its token share — the
+    balance audit a training run does before trusting that every data-
+    parallel rank sees an equal slice (a skewed shard is a straggler
+    every epoch).
+
+    Shard assignment is ``pmod(md5('shard-' || doc_id), n_shards)`` —
+    the ``sampled_revenue_estimate`` membership convention: a pure
+    function of the row key, so the plan is reproducible at ingest,
+    in the oracle, and incrementally (a new document's shard never
+    depends on corpus state). Token counts use the curation pipeline's
+    cleaned-whitespace tokenizer; shares are exact half-up ppm via
+    ``micro_div`` (long arithmetic — partial-aggregation-order-proof).
+
+    Scale: ONE fact scan folding into an ``n_shards``-group aggregate
+    (map-side combinable), then a broadcast join of the 1-row total —
+    no shuffle grows with the corpus, only with ``n_shards``.
+    """
+    from forest_open_data_pipelines_spark.functions.columns import micro_div
+
+    toks = F.size(F.split(F.lower(clean_text(F.col("text"))), " "))
+    shard = F.pmod(
+        _md5_int(F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))),
+        F.lit(n_shards),
+    )
+    per = (
+        spread(documents)
+        .select(
+            shard.alias("shard_id"),
+            toks.cast("long").alias("n_toks"),
+            F.octet_length("text").cast("long").alias("n_bytes"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").alias("total_tokens"))
+    return (
+        per.join(F.broadcast(total))
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "n_bytes",
+            micro_div("n_tokens", "total_tokens").alias("token_share_ppm"),
+        )
+        .orderBy("shard_id")
+    )

@@ -173,6 +173,7 @@ def dedup_ngram_jaccard(
     n: int = 3,
     threshold: float = 0.8,
     max_df: float = NGRAM_MAX_DF,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold, with a
     hot-shingle document-frequency stop-list on candidate generation.
@@ -210,7 +211,9 @@ def dedup_ngram_jaccard(
     tradeoff; spill-safe (MEMORY_AND_DISK) and strictly smaller than
     the shuffles it replaces.
     """
-    with_hot, common = _ngram_pair_commons(documents, n, max_df)
+    with_hot, common = _ngram_pair_commons(
+        documents, n, max_df, max_candidate_pairs=max_candidate_pairs
+    )
     jaccard = ratio(common / (F.col("n_a") + F.col("n_b") - common))
     return (
         with_hot.select("doc_a", "doc_b", jaccard.alias("jaccard"))
@@ -219,10 +222,25 @@ def dedup_ngram_jaccard(
     )
 
 
-def _ngram_pair_commons(documents: DataFrame, n: int, max_df: float):
+def _ngram_pair_commons(
+    documents: DataFrame,
+    n: int,
+    max_df: float,
+    max_candidate_pairs: int | None = None,
+):
     """Shared candidate/verify machinery of the set-overlap dedup
     family: (pair frame with n_a/n_b, exact-common Column). See
-    ``dedup_ngram_jaccard`` for the full design rationale."""
+    ``dedup_ngram_jaccard`` for the full design rationale.
+
+    ``max_candidate_pairs`` is the enforceable twin of the
+    edit_distance_pairs ``max_short_docs`` guard: the count-shaped
+    verify is bound by Σ_s C(df_s, 2) over cold shingles (quadratic in
+    per-shingle df on duplicate-heavy corpora — measured x8 ratio 20.3
+    in the scale probe), so when set, that bound is computed with one
+    cheap aggregate over the already-persisted exploded frame and the
+    operator FAILS FAST with remediation instead of running the bad
+    shape silently. Results are unchanged when the guard passes.
+    """
     sh = _persist(hashed_shingle_table(documents, n))
     n_docs = sh.agg(F.count("*").alias("n_docs"))
     # Persist AFTER the df window: four consumers (both join sides +
@@ -239,6 +257,26 @@ def _ngram_pair_commons(documents: DataFrame, n: int, max_df: float):
     )
     cap = F.greatest(F.lit(2.0), F.lit(max_df) * F.col("n_docs"))
     cold_ex = ex.where(F.col("df") <= cap)
+    if max_candidate_pairs is not None:
+        bound = (
+            cold_ex.select("s", "df")
+            .distinct()
+            .agg(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2)
+                .cast("long")
+                .alias("b")
+            )
+            .first()["b"]
+        ) or 0
+        if bound > max_candidate_pairs:
+            raise ValueError(
+                f"dedup_ngram_jaccard: candidate-pair bound {bound} "
+                f"(Σ C(df,2) over cold shingles) exceeds "
+                f"max_candidate_pairs={max_candidate_pairs}; the corpus "
+                "is duplicate-heavy for the count-shaped verify — run "
+                "dedup_exact first, lower max_df, or use "
+                "dedup_ngram_ppjoin (the scale default)"
+            )
     hot_per_doc = ex.where(F.col("df") > cap).groupBy("doc_id").agg(
         F.collect_list("s").alias("hot_sh")
     )

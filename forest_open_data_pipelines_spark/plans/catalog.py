@@ -703,6 +703,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_supplier_by_revenue": lambda s, d: relational.top_supplier_by_revenue(
         *_t(s, d, "lineitem", "supplier", "nation")
     ),
+    # ── Round-8 additions (first driver rows) ────────────────────────
+    "corpus_shard_plan": lambda s, d: curation.corpus_shard_plan(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -736,9 +740,13 @@ _R8_WINDOW: tuple[str, ...] = (
     "duplicate_spans",
     "strip_duplicate_spans",
     "media_integrity_audit",
-    # never-driver-green: round-8 reference-gap closers (first rows)
+    # never-driver-green: round-8 reference-gap closers + the shard
+    # planner (first rows; corpus_shard_plan displaced the
+    # annual_by_region refresh slot — its r4 row stands, and
+    # annual_series/annual_reference_extract keep the family covered)
     "anp_prompt_texts",
     "eia_petroleum_weekly_files",
+    "corpus_shard_plan",
     # refresh: r3-vintage rows (all seven)
     "type_inference",
     "social_text_normalize",
@@ -777,15 +785,15 @@ _R8_WINDOW: tuple[str, ...] = (
     "part_brand_stats",
     "events_asof_attribution",
     "clicks_before_purchase",
-    "annual_by_region",
 )
 assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)
 
 # Round-9 rotation queue (pre-staged; build the _R9_WINDOW from this):
 # 1) any round-8 window row the driver fails — fix first, re-window;
-# 2) the 7 r4-vintage rows round 8 left parked (monthly_by_region,
-#    nation_month_matrix, annual_series, top_regions_yoy,
-#    dedup_embedding, events_windowed, promo_revenue_share);
+# 2) the 8 r4-vintage rows round 8 left parked (monthly_by_region,
+#    nation_month_matrix, annual_series, annual_by_region,
+#    top_regions_yoy, dedup_embedding, events_windowed,
+#    promo_revenue_share);
 # 3) then the oldest r5-vintage rows (q1/q3/q5, dedup_exact,
 #    dedup_minhash, pack_sequences, the payload_merge family, ...);
 # 4) everything else keeps its newest green row and stays covered by

@@ -4577,3 +4577,43 @@ def test_approx_percentile_variants_error_bounds(spark):
         assert apq[k]["pass_rate"] == exq[k]["pass_rate"]
         for c in ("p50_quality", "p90_quality"):
             assert abs(apq[k][c] - exq[k][c]) <= 0.01 * max(abs(exq[k][c]), 0.01), (k, c)
+
+
+def test_dedup_ngram_jaccard_candidate_guard(spark):
+    """max_candidate_pairs is the jaccard twin of edit_distance_pairs'
+    max_short_docs guard: a generous cap leaves results IDENTICAL, a
+    tight cap fails fast naming the remediation (ppjoin / exact dedup
+    / max_df), and the quoted bound really is Σ C(df,2) over cold
+    shingles."""
+    docs = load_table(spark, SF_DIR, "documents")
+    base = dedup.dedup_ngram_jaccard(docs).collect()
+    guarded = dedup.dedup_ngram_jaccard(
+        docs, max_candidate_pairs=10_000_000
+    ).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, guarded))
+    with pytest.raises(ValueError, match="dedup_ngram_ppjoin"):
+        dedup.dedup_ngram_jaccard(docs, max_candidate_pairs=1)
+
+
+def test_corpus_shard_plan_balance_invariants(spark):
+    """Shard plan: every document lands in exactly one shard (doc and
+    token totals reconcile with the corpus), shares sum to ~1e6 ppm
+    (±n_shards half-up slack), and the hash balance is real — no shard
+    holds more than 3x the ideal token share on the bench corpus."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        corpus_shard_plan,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import clean_text
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = corpus_shard_plan(docs).collect()
+    n_shards = len(rows)
+    assert {r["shard_id"] for r in rows} <= set(range(16))
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    toks = docs.select(
+        F.sum(F.size(F.split(F.lower(clean_text(F.col("text"))), " "))).alias("t")
+    ).first()["t"]
+    assert sum(r["n_tokens"] for r in rows) == toks
+    share_sum = sum(r["token_share_ppm"] for r in rows)
+    assert abs(share_sum - 1_000_000) <= n_shards
+    assert max(r["token_share_ppm"] for r in rows) <= 3 * (1_000_000 // n_shards)
