@@ -6038,6 +6038,41 @@ SELECT lang, count(*) AS n_docs,
        round(count(*) FILTER (WHERE n_tokens >= {_MINT} AND q >= {_MINQ})::DOUBLE
              / count(*), 6) AS pass_rate
 FROM j GROUP BY lang ORDER BY lang"""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        QUALITY_SWEEP_SCORE_GRID,
+        QUALITY_SWEEP_TOKEN_GRID,
+    )
+
+    _grid_vals = ", ".join(
+        f"({t}, {s})"
+        for t in QUALITY_SWEEP_TOKEN_GRID
+        for s in QUALITY_SWEEP_SCORE_GRID
+    )
+
+    def _ppm(num: str, den: str) -> str:
+        return (
+            f"({num} * 1000000 // {den} + CASE WHEN ({num} * 1000000 % {den})"
+            f" * 2 >= {den} THEN 1 ELSE 0 END)::BIGINT"
+        )
+
+    out["quality_threshold_sweep"] = f"""
+WITH tq AS (SELECT n_tokens, quality_score AS q FROM ({out["text_quality"]})),
+g AS (SELECT * FROM (VALUES {_grid_vals}) v(min_tokens, min_quality)),
+agg AS (
+  SELECT min_tokens, min_quality,
+         count(*)::BIGINT AS n_docs,
+         count(*) FILTER (WHERE n_tokens >= min_tokens
+                            AND q >= min_quality)::BIGINT AS n_pass,
+         sum(n_tokens)::BIGINT AS total_tokens,
+         coalesce(sum(n_tokens) FILTER (WHERE n_tokens >= min_tokens
+                                          AND q >= min_quality), 0)::BIGINT
+           AS tokens_kept
+  FROM tq CROSS JOIN g GROUP BY min_tokens, min_quality
+)
+SELECT min_tokens::INT AS min_tokens, min_quality::DOUBLE AS min_quality,
+       n_pass, {_ppm("n_pass", "n_docs")} AS pass_rate_ppm,
+       tokens_kept, {_ppm("tokens_kept", "total_tokens")} AS token_share_ppm
+FROM agg ORDER BY min_tokens, min_quality"""
     # dedup_canonical_by_quality composes the clusters closure + the
     # text_quality twin the same way.
     out["dedup_canonical_by_quality"] = f"""

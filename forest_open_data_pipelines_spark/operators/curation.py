@@ -1241,3 +1241,80 @@ def corpus_shard_plan(documents: DataFrame, n_shards: int = SHARD_PLAN_DEFAULT) 
         )
         .orderBy("shard_id")
     )
+
+
+QUALITY_SWEEP_TOKEN_GRID = (10, 20, 50)
+QUALITY_SWEEP_SCORE_GRID = (0.3, 0.5, 0.7)
+
+
+def quality_threshold_sweep(
+    documents: DataFrame,
+    token_grid: tuple[int, ...] = QUALITY_SWEEP_TOKEN_GRID,
+    score_grid: tuple[float, ...] = QUALITY_SWEEP_SCORE_GRID,
+) -> DataFrame:
+    """The quality-gate THRESHOLD TUNING curve in one pass — the
+    ``dedup_threshold_sweep`` pattern applied to the curation quality
+    gate: for every (min_tokens, min_quality) grid point, how many
+    documents pass, the pass rate, and the surviving token mass and
+    its share — the table a curation run reads before committing gate
+    thresholds for a corpus (dropping 3% of docs that hold 40% of
+    tokens is a different decision than the doc-rate alone shows).
+
+    Per-document metrics (the ``quality_metric_cols`` expressions —
+    the SAME source of truth as text_quality / corpus_curation, so the
+    sweep tunes exactly the gate that will run) project ONCE into a
+    2-column frame; the |token_grid|·|score_grid| literal grid then
+    broadcast-joins onto it and one map-side-combinable aggregate
+    folds everything. Rates/shares are exact half-up ppm via
+    ``micro_div``. A grid point failing every document still emits
+    its row (zeros).
+
+    Scale: one fact scan; the only fan-out is ×|grid| on the 2-column
+    projection (codegen, combines before the 9-group shuffle).
+    """
+    from forest_open_data_pipelines_spark.functions.columns import micro_div
+    from forest_open_data_pipelines_spark.operators.textops import (
+        quality_metric_cols,
+    )
+
+    n_tokens, _, _, score = quality_metric_cols()
+    per_doc = spread(documents).select(
+        n_tokens.cast("long").alias("n_toks"), ratio(score).alias("q")
+    )
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(int(t)).alias("min_tokens"),
+                    F.lit(float(s)).alias("min_quality"),
+                )
+                for t in token_grid
+                for s in score_grid
+            ]
+        )
+    )
+    passes = (F.col("n_toks") >= F.col("min_tokens")) & (
+        F.col("q") >= F.col("min_quality")
+    )
+    return (
+        per_doc.select("n_toks", "q", grid.alias("g"))
+        .select("n_toks", "q", "g.min_tokens", "g.min_quality")
+        .groupBy("min_tokens", "min_quality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(passes, 1).otherwise(0)).alias("n_pass"),
+            F.sum("n_toks").alias("total_tokens"),
+            F.coalesce(
+                F.sum(F.when(passes, F.col("n_toks"))), F.lit(0)
+            ).alias("tokens_kept"),
+        )
+        .select(
+            "min_tokens",
+            "min_quality",
+            "n_pass",
+            micro_div("n_pass", "n_docs").alias("pass_rate_ppm"),
+            "tokens_kept",
+            micro_div("tokens_kept", "total_tokens").alias("token_share_ppm"),
+        )
+        .orderBy("min_tokens", "min_quality")
+    )

@@ -707,6 +707,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shard_plan": lambda s, d: curation.corpus_shard_plan(
         load_table(s, d, "documents")
     ),
+    "quality_threshold_sweep": lambda s, d: curation.quality_threshold_sweep(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -747,6 +750,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "anp_prompt_texts",
     "eia_petroleum_weekly_files",
     "corpus_shard_plan",
+    "quality_threshold_sweep",
     # refresh: r3-vintage rows (all seven)
     "type_inference",
     "social_text_normalize",
@@ -784,7 +788,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "region_nation_cube",
     "part_brand_stats",
     "events_asof_attribution",
-    "clicks_before_purchase",
 )
 assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)
 
@@ -793,7 +796,7 @@ assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)
 # 2) the 8 r4-vintage rows round 8 left parked (monthly_by_region,
 #    nation_month_matrix, annual_series, annual_by_region,
 #    top_regions_yoy, dedup_embedding, events_windowed,
-#    promo_revenue_share);
+#    promo_revenue_share, clicks_before_purchase);
 # 3) then the oldest r5-vintage rows (q1/q3/q5, dedup_exact,
 #    dedup_minhash, pack_sequences, the payload_merge family, ...);
 # 4) everything else keeps its newest green row and stays covered by

@@ -33,10 +33,12 @@ MUST_BE_IN_WINDOW = {
     "duplicate_spans",
     "strip_duplicate_spans",
     "media_integrity_audit",
-    # round-8 reference-gap closers + shard planner (first rows)
+    # round-8 reference-gap closers + tuning/planning additions
+    # (first rows)
     "anp_prompt_texts",
     "eia_petroleum_weekly_files",
     "corpus_shard_plan",
+    "quality_threshold_sweep",
 }
 
 

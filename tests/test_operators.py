@@ -4617,3 +4617,34 @@ def test_corpus_shard_plan_balance_invariants(spark):
     share_sum = sum(r["token_share_ppm"] for r in rows)
     assert abs(share_sum - 1_000_000) <= n_shards
     assert max(r["token_share_ppm"] for r in rows) <= 3 * (1_000_000 // n_shards)
+
+
+def test_quality_threshold_sweep_monotonic(spark):
+    """Sweep invariants: pass counts and kept tokens are monotonically
+    non-increasing along each grid axis; rates reconcile exactly with
+    a Python recount over the same per-doc metrics."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        quality_threshold_sweep,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import (
+        quality_metric_cols,
+    )
+    from forest_open_data_pipelines_spark.functions.columns import ratio as _r
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = {(r["min_tokens"], r["min_quality"]): r
+            for r in quality_threshold_sweep(docs).collect()}
+    assert len(rows) == 9
+    for (t, s), r in rows.items():
+        for (t2, s2), r2 in rows.items():
+            if t2 >= t and s2 >= s:
+                assert r2["n_pass"] <= r["n_pass"]
+                assert r2["tokens_kept"] <= r["tokens_kept"]
+    n_tokens, _, _, score = quality_metric_cols()
+    per = docs.select(
+        n_tokens.alias("nt"), _r(score).alias("q")
+    ).collect()
+    for (t, s), r in rows.items():
+        n_pass = sum(1 for p in per if p["nt"] >= t and p["q"] >= s)
+        kept = sum(p["nt"] for p in per if p["nt"] >= t and p["q"] >= s)
+        assert r["n_pass"] == n_pass and r["tokens_kept"] == kept, (t, s)
