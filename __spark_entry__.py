@@ -2347,6 +2347,210 @@ SELECT shard_id, n_docs, n_tokens, n_bytes,
 FROM agg, tot ORDER BY shard_id"""
 
 
+def _report_fallback_blocks_sql() -> str:
+    """DuckDB twin of timeseries.report_fallback_blocks: the highlights
+    metric chain + latest-month/same-month/YTD/window aggregates, then
+    the reference's bilingual fallback templates with the same grouped
+    int formatting, 2-dp pre-rounded pct formatting (pt comma-decimal
+    swap via simultaneous translate) and abbr/year month labels."""
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        EN_MONTH_ABBR,
+        PT_MONTH_ABBR,
+        REPORT_RECENT_MONTHS,
+    )
+
+    pt_abbr = "[" + ", ".join(f"'{a}'" for a in PT_MONTH_ABBR) + "]"
+    en_abbr = "[" + ", ".join(f"'{a}'" for a in EN_MONTH_ABBR) + "]"
+
+    def fi_en(x: str) -> str:
+        return f"format('{{:,}}', ({x})::BIGINT)"
+
+    def fi_pt(x: str) -> str:
+        return f"replace({fi_en(x)}, ',', '.')"
+
+    def _fp_core(p: str) -> str:
+        # duckdb's fmt rejects thousand separators on floats, so the
+        # grouped 2-dp rendering is rebuilt from integer CENTS of the
+        # 2-dp pre-round ("+ 0.0" normalizes -0.0 so a tiny negative
+        # pct rounding to zero renders unsigned on both engines — the
+        # Spark side adds the same + 0.0)
+        r = f"(round({p}, 2) + 0.0)"
+        cents = f"round(abs({r}) * 100)::BIGINT"
+        return (
+            f"(CASE WHEN {r} < 0 THEN '-' ELSE '' END"
+            f" || format('{{:,}}', {cents} // 100)"
+            f" || '.' || lpad(({cents} % 100)::VARCHAR, 2, '0'))"
+        )
+
+    def fp_en(p: str) -> str:
+        return (
+            f"CASE WHEN ({p}) IS NULL THEN 'no comparable base' "
+            f"ELSE {_fp_core(p)} || '%' END"
+        )
+
+    def fp_pt(p: str) -> str:
+        return (
+            f"CASE WHEN ({p}) IS NULL THEN 'sem base comparável' "
+            f"ELSE translate({_fp_core(p)}, ',.', '.,') || '%' END"
+        )
+
+    def ml(period: str, abbr: str) -> str:
+        return (
+            f"({abbr})[substr({period}, 6, 2)::INT] || '/' || substr({period}, 1, 4)"
+        )
+
+    def pct(new: str, old: str) -> str:
+        return (
+            f"round(CASE WHEN ({old}) IS NOT NULL AND ({old}) <> 0 "
+            f"THEN (({new}) - ({old}))::DOUBLE / ({old}) * 100.0 END, 6)"
+        )
+
+    prev_s = "ex.previous_year::VARCHAR"
+    latest_s = "ex.latest_year::VARCHAR"
+    yoy = pct("ex.current_year_total", "ex.previous_year_total")
+    r12 = pct("ex.recent_12m_total", "ex.prior_12m_total")
+    mom = pct("ex.latest_month_total", "ex.same_month_prev_year_total")
+    ytd = pct("ex.ytd_current_year", "ex.ytd_previous_year")
+    lm_pt = ml("ex.latest_period", pt_abbr)
+    lm_en = ml("ex.latest_period", en_abbr)
+    pm = f"{prev_s} || '-' || substr(ex.latest_period, 6, 2)"
+    pm_pt = ml(f"({pm})", pt_abbr)
+    pm_en = ml(f"({pm})", en_abbr)
+
+    headline_pt = f"""CASE WHEN ex.previous_year IS NULL THEN
+      'A base processada cobre ' || ex.first_year::VARCHAR || '-' || {latest_s}
+      || ' e o período mais recente vai até ' || ex.latest_period || ', com '
+      || {fi_pt('ex.current_year_total')} || ' focos em ' || {latest_s} || '.'
+    ELSE {lm_pt} || ': ' || {fi_pt('ex.latest_month_total')} || ' focos ('
+      || {fp_pt(mom)} || ' vs ' || {pm_pt} || ').' END"""
+    headline_en = f"""CASE WHEN ex.previous_year IS NULL THEN
+      'The processed dataset covers ' || ex.first_year::VARCHAR || '-' || {latest_s}
+      || ' and the most recent period reaches ' || ex.latest_period || ', with '
+      || {fi_en('ex.current_year_total')} || ' hotspots in ' || {latest_s} || '.'
+    ELSE {lm_en} || ': ' || {fi_en('ex.latest_month_total')} || ' hotspots ('
+      || {fp_en(mom)} || ' vs ' || {pm_en} || ').' END"""
+    comparison_pt = f"""CASE WHEN ex.previous_year IS NULL THEN
+      'Ainda não há ano anterior processado no escopo atual para comparação anual direta.'
+    ELSE 'Comparação mensal (' || {lm_pt} || '): '
+      || {fi_pt('ex.latest_month_total')} || ' focos vs '
+      || {fi_pt('ex.same_month_prev_year_total')} || ' no mesmo mês de '
+      || {prev_s} || ' (' || {fp_pt(mom)} || '). Acumulado jan–' || {lm_pt}
+      || ': ' || {fi_pt('ex.ytd_current_year')} || ' vs '
+      || {fi_pt('ex.ytd_previous_year')} || ' em ' || {prev_s}
+      || ' (' || {fp_pt(ytd)} || '). No total anual: '
+      || {fi_pt('ex.current_year_total')} || ' em ' || {latest_s} || ' vs '
+      || {fi_pt('ex.previous_year_total')} || ' em ' || {prev_s}
+      || ' (' || {fp_pt(yoy)} || ').' END"""
+    comparison_en = f"""CASE WHEN ex.previous_year IS NULL THEN
+      'There is not yet a previous processed year within the current scope for a direct annual comparison.'
+    ELSE 'Monthly comparison (' || {lm_en} || '): '
+      || {fi_en('ex.latest_month_total')} || ' hotspots vs '
+      || {fi_en('ex.same_month_prev_year_total')} || ' in the same month of '
+      || {prev_s} || ' (' || {fp_en(mom)} || '). YTD Jan–' || {lm_en}
+      || ': ' || {fi_en('ex.ytd_current_year')} || ' vs '
+      || {fi_en('ex.ytd_previous_year')} || ' in ' || {prev_s}
+      || ' (' || {fp_en(ytd)} || '). Annual total: '
+      || {fi_en('ex.current_year_total')} || ' in ' || {latest_s} || ' vs '
+      || {fi_en('ex.previous_year_total')} || ' in ' || {prev_s}
+      || ' (' || {fp_en(yoy)} || ').' END"""
+    overview_pt = f"""'Foram processadas ' || {fi_pt('ex.total_rows_processed')}
+      || ' linhas distribuídas em ' || ex.file_count_used::VARCHAR
+      || ' arquivos anuais. Na janela editorial recente de '
+      || ex.analysis_window_start || ' a ' || ex.analysis_window_end
+      || ', os 12 meses mais recentes somam ' || {fi_pt('ex.recent_12m_total')}
+      || ' focos, contra ' || {fi_pt('ex.prior_12m_total')}
+      || ' nos 12 meses imediatamente anteriores, o que corresponde a '
+      || {fp_pt(r12)} || '.'"""
+    overview_en = f"""{fi_en('ex.total_rows_processed')}
+      || ' rows were processed across ' || ex.file_count_used::VARCHAR
+      || ' annual files. In the recent editorial window from '
+      || ex.analysis_window_start || ' to ' || ex.analysis_window_end
+      || ', the latest 12 months total ' || {fi_en('ex.recent_12m_total')}
+      || ' hotspots, versus ' || {fi_en('ex.prior_12m_total')}
+      || ' in the immediately previous 12 months, which corresponds to '
+      || {fp_en(r12)} || '.'"""
+    limitations_pt = (
+        "'O texto é descritivo e não estabelece causalidade. "
+        "A leitura editorial permanece concentrada na janela recente, "
+        "embora as visualizações publiquem o histórico disponível. "
+        "O ano corrente pode estar incompleto.'"
+    )
+    limitations_en = (
+        "'This text is descriptive and does not establish causality. "
+        "The editorial reading remains focused on the recent window, "
+        "although the visualizations publish the available history. "
+        "The current year may be incomplete.'"
+    )
+
+    return f"""
+WITH {ENRICHED}, {MONTHLY},
+m AS (
+  SELECT period, n_orders::BIGINT AS value,
+         substr(period, 1, 4)::INTEGER AS year,
+         substr(period, 6, 2)::INTEGER AS month,
+         row_number() OVER (ORDER BY period) AS rn
+  FROM monthly
+),
+base AS (
+  SELECT max(period) AS latest_period, max(year) AS latest_year,
+         min(year) AS first_year, sum(value)::BIGINT AS total_rows_processed,
+         count(DISTINCT year)::BIGINT AS file_count_used, count(*) AS n_periods
+  FROM m
+),
+scal AS (
+  SELECT latest_period, latest_year, first_year, total_rows_processed,
+         file_count_used, n_periods,
+         sum(value) FILTER (WHERE year = latest_year)::BIGINT AS current_year_total,
+         max(year) FILTER (WHERE year < latest_year) AS previous_year,
+         sum(value) FILTER (WHERE rn > n_periods - 12)::BIGINT AS recent_12m_total,
+         sum(value) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)::BIGINT
+           AS prior_12m_sum,
+         count(*) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)
+           AS prior_12m_n
+  FROM m, base
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+fin AS (
+  SELECT s.*,
+         coalesce(sum(m.value) FILTER (WHERE m.year = s.previous_year), 0)::BIGINT
+           AS previous_year_total,
+         CASE WHEN s.prior_12m_n = 12 THEN s.prior_12m_sum ELSE 0 END::BIGINT
+           AS prior_12m_total
+  FROM m, scal s
+  GROUP BY ALL
+),
+ex AS (
+  SELECT f.*,
+    coalesce(sum(m.value) FILTER (WHERE m.period = f.latest_period), 0)::BIGINT
+      AS latest_month_total,
+    coalesce(sum(m.value) FILTER (
+      WHERE m.period = f.previous_year::VARCHAR || '-' || substr(f.latest_period, 6, 2)
+    ), 0)::BIGINT AS same_month_prev_year_total,
+    coalesce(sum(m.value) FILTER (
+      WHERE m.year = f.latest_year AND m.month <= substr(f.latest_period, 6, 2)::INT
+    ), 0)::BIGINT AS ytd_current_year,
+    coalesce(sum(m.value) FILTER (
+      WHERE m.year = f.previous_year AND m.month <= substr(f.latest_period, 6, 2)::INT
+    ), 0)::BIGINT AS ytd_previous_year,
+    min(m.period) FILTER (WHERE m.rn > f.n_periods - {REPORT_RECENT_MONTHS})
+      AS analysis_window_start,
+    max(m.period) AS analysis_window_end
+  FROM m, fin f
+  GROUP BY ALL
+)
+SELECT block, locale, text FROM (
+  SELECT 'headline' AS block, 'pt' AS locale, {headline_pt} AS text FROM ex
+  UNION ALL SELECT 'headline', 'en', {headline_en} FROM ex
+  UNION ALL SELECT 'overview', 'pt', {overview_pt} FROM ex
+  UNION ALL SELECT 'overview', 'en', {overview_en} FROM ex
+  UNION ALL SELECT 'comparison', 'pt', {comparison_pt} FROM ex
+  UNION ALL SELECT 'comparison', 'en', {comparison_en} FROM ex
+  UNION ALL SELECT 'limitations', 'pt', {limitations_pt} FROM ex
+  UNION ALL SELECT 'limitations', 'en', {limitations_en} FROM ex
+)
+ORDER BY block, locale"""
+
+
 def _stratified_token_sample_sql() -> str:
     """DuckDB twin of curation.stratified_token_sample: md5-ordered
     cumulative token window per language, integer-exact budget cut."""
@@ -5845,6 +6049,7 @@ ORDER BY suppkey""",
         "stratified_sample": _stratified_sample_sql(),
         "stratified_token_sample": _stratified_token_sample_sql(),
         "corpus_shard_plan": _corpus_shard_plan_sql(),
+        "report_fallback_blocks": _report_fallback_blocks_sql(),
         "span_dedup": _span_dedup_sql(),
         "duplicate_spans": _duplicate_spans_sql(),
         "dedup_winnowing": _dedup_winnowing_sql(),

@@ -175,6 +175,7 @@ HEADLINE = [
     "eia_petroleum_weekly_files",
     "corpus_shard_plan",
     "quality_threshold_sweep",
+    "report_fallback_blocks",
     # simhash_budget_sweep generates candidates at the WIDEST budget
     # (h=15: 4-bit blocks, quadratic buckets — the overshoot finding
     # itself) to report the promotion curve; an evaluation artifact

@@ -405,31 +405,26 @@ def top_biomes_month_comparison(monthly_by_region: DataFrame, limit: int = 5) ->
     )
 
 
-def highlights(monthly: DataFrame) -> DataFrame:
-    """Headline metric selection: the five (id, value, comparison,
-    pct_change) rows of the report's highlight strip.
-
-    Reference: bdqueimadas_overview.py:1022-1075 (``_build_highlights``)
-    with its input derivation — current/previous annual totals
-    :259-267 (previous year = latest year strictly before the newest
-    with data, :907-910 ``_find_previous_year``; total 0 when absent),
-    rolling 12-row windows :1821-1859 (``_compute_rolling_12m_metrics``:
-    prior total only counts when the prior window has all 12 rows, else
-    coerced to 0 at :281), coverage/latest-period bookkeeping :259-262.
-    ``value`` is a string column because the reference mixes counts with
-    labels ('2024-05', '1992-1998') in one strip; ``pct_change`` is the
-    shared ``_safe_pct_change`` (null on zero base).
+def overview_metric_frame(
+    monthly: DataFrame, recent_months: int | None = None
+) -> DataFrame:
+    """ONE-row scalar frame of the overview builder's metric inputs
+    (bdqueimadas_overview.py:259-295 derivation): latest/first year and
+    period, coverage counts, current/previous annual totals, the
+    rolling 12/prior-12 sums — shared by ``highlights`` (the strip
+    renderer) and ``report_fallback_blocks`` (the analysis-text
+    renderer), so the two surfaces can never drift apart.
 
     Scale: all arithmetic happens on the post-aggregation monthly frame
     (#months rows), so the unpartitioned ``row_number`` window and the
-    two broadcast scalar joins are safe at any fact-table size — the
-    same argument as ``rolling_12m``.
+    two broadcast scalar joins are safe at any fact-table size.
     """
     w = Window.orderBy("period")
     m = monthly.select(
         "period",
         F.col("n_orders").cast("bigint").alias("value"),
         F.substring("period", 1, 4).cast("int").alias("year"),
+        F.substring("period", 6, 2).cast("int").alias("month"),
     ).select("*", F.row_number().over(w).alias("rn"))
     base = m.agg(
         F.max("period").alias("latest_period"),
@@ -473,8 +468,19 @@ def highlights(monthly: DataFrame) -> DataFrame:
             F.count(F.when(in_prior, F.lit(1))).alias("prior_12m_n"),
         )
     )
-    # previous_year is data-dependent, so its annual total needs a second
-    # (equally tiny) conditional-aggregation pass.
+    # previous_year / latest_period are data-dependent, so everything
+    # conditioned on them rides ONE second (equally tiny) pass: the
+    # previous-year annual total plus the report renderer's extras
+    # (latest-month / same-month-prev-year / YTD aggregates and the
+    # editorial window bounds, bdqueimadas_overview.py:290-319) —
+    # folding them here costs zero extra jobs and keeps highlights and
+    # report_fallback_blocks reading one shared frame.
+    latest_mm = F.substring(F.col("latest_period"), 6, 2).cast("int")
+    same_prev_period = F.concat(
+        F.col("previous_year").cast("string"),
+        F.lit("-"),
+        F.substring(F.col("latest_period"), 6, 2),
+    )
     final = (
         scal.join(F.broadcast(m), F.lit(True), "left")
         .groupBy(*base_cols, *scal.columns[len(base_cols) :])
@@ -484,9 +490,74 @@ def highlights(monthly: DataFrame) -> DataFrame:
                     F.when(F.col("year") == F.col("previous_year"), F.col("value"))
                 ),
                 F.lit(0),
-            ).alias("previous_year_total")
+            ).alias("previous_year_total"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("period") == F.col("latest_period"), F.col("value"))
+                ),
+                F.lit(0),
+            ).alias("latest_month_total"),
+            F.coalesce(
+                F.sum(F.when(F.col("period") == same_prev_period, F.col("value"))),
+                F.lit(0),
+            ).alias("same_month_prev_year_total"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("year") == F.col("latest_year"))
+                        & (F.col("month") <= latest_mm),
+                        F.col("value"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("ytd_current_year"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("year") == F.col("previous_year"))
+                        & (F.col("month") <= latest_mm),
+                        F.col("value"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("ytd_previous_year"),
+            F.min(
+                F.when(
+                    F.col("rn")
+                    > F.col("n_periods")
+                    - (
+                        REPORT_RECENT_MONTHS
+                        if recent_months is None
+                        else recent_months
+                    ),
+                    F.col("period"),
+                )
+            ).alias("analysis_window_start"),
+            F.max("period").alias("analysis_window_end"),
         )
     )
+    return final
+
+
+def highlights(monthly: DataFrame) -> DataFrame:
+    """Headline metric selection: the five (id, value, comparison,
+    pct_change) rows of the report's highlight strip.
+
+    Reference: bdqueimadas_overview.py:1022-1075 (``_build_highlights``)
+    with its input derivation — current/previous annual totals
+    :259-267 (previous year = latest year strictly before the newest
+    with data, :907-910 ``_find_previous_year``; total 0 when absent),
+    rolling 12-row windows :1821-1859 (``_compute_rolling_12m_metrics``:
+    prior total only counts when the prior window has all 12 rows, else
+    coerced to 0 at :281), coverage/latest-period bookkeeping :259-262.
+    ``value`` is a string column because the reference mixes counts with
+    labels ('2024-05', '1992-1998') in one strip; ``pct_change`` is the
+    shared ``_safe_pct_change`` (null on zero base).
+
+    Scale: see ``overview_metric_frame`` (the shared one-row metric
+    derivation this renders from).
+    """
+    final = overview_metric_frame(monthly)
     prior_total = F.when(F.col("prior_12m_n") == 12, F.col("prior_12m_sum")).otherwise(
         F.lit(0)
     )
@@ -869,4 +940,266 @@ def monthly_seasonal_index(monthly: DataFrame) -> DataFrame:
             .alias("seasonal_index_micro"),
         )
         .orderBy("month")
+    )
+
+
+# ── report fallback analysis blocks ─────────────────────────────────────────
+# Verbatim template text from the reference's deterministic fallback
+# builder (reports/builders/bdqueimadas_overview.py:1078-1200
+# ``_build_fallback_analysis`` + :1340-1357/:1689-1713 format helpers)
+# — data constants required for text parity, not copied logic: the
+# assembly below is Spark column concatenation over the shared
+# overview metric frame.
+
+PT_MONTH_ABBR = (
+    "Jan", "Fev", "Mar", "Abr", "Mai", "Jun",
+    "Jul", "Ago", "Set", "Out", "Nov", "Dez",
+)
+EN_MONTH_ABBR = (
+    "Jan", "Feb", "Mar", "Apr", "May", "Jun",
+    "Jul", "Aug", "Sep", "Oct", "Nov", "Dec",
+)
+REPORT_RECENT_MONTHS = 24  # reports/definitions/base.py:119 default
+
+
+def _fmt_int_en(col: Column) -> Column:
+    """f'{v:,}' — comma thousands grouping."""
+    return F.format_number(col.cast("bigint"), 0)
+
+
+def _fmt_int_pt(col: Column) -> Column:
+    """f'{v:,}'.replace(',', '.') — dot thousands grouping."""
+    return F.translate(_fmt_int_en(col), ",", ".")
+
+
+def _fmt_pct_en(col: Column) -> Column:
+    """f'{v:,.2f}%' with the None branch; the value is pre-rounded at
+    2 dp through ``scaled_round`` (the anp fallback-text convention:
+    pre-rounding keeps every formatter off tie inputs)."""
+    from forest_open_data_pipelines_spark.functions.columns import scaled_round
+
+    return F.when(col.isNull(), F.lit("no comparable base")).otherwise(
+        F.concat(
+            F.format_number(scaled_round(col, 2) + F.lit(0.0), 2), F.lit("%")
+        )
+    )
+
+
+def _fmt_pct_pt(col: Column) -> Column:
+    """The pt variant: swap ',' and '.' (simultaneous translate), None
+    → 'sem base comparável'."""
+    from forest_open_data_pipelines_spark.functions.columns import scaled_round
+
+    return F.when(col.isNull(), F.lit("sem base comparável")).otherwise(
+        F.concat(
+            F.translate(
+                F.format_number(scaled_round(col, 2) + F.lit(0.0), 2), ",.", ".,"
+            ),
+            F.lit("%"),
+        )
+    )
+
+
+def _month_label(period: Column, abbrs: tuple[str, ...]) -> Column:
+    """'YYYY-MM' → 'Abr/YYYY' (reference ``_month_label_pt/en``)."""
+    return F.concat(
+        F.element_at(
+            F.array(*[F.lit(a) for a in abbrs]),
+            F.substring(period, 6, 2).cast("int"),
+        ),
+        F.lit("/"),
+        F.substring(period, 1, 4),
+    )
+
+
+def report_fallback_blocks(
+    monthly: DataFrame, recent_months: int = REPORT_RECENT_MONTHS
+) -> DataFrame:
+    """The report's deterministic bilingual analysis blocks — the
+    (block, locale, text) rows ``_build_fallback_analysis`` produces
+    and ``_normalize_fallback_blocks`` guarantees for BOTH locales
+    (reports/llm/base.py:90-108): what the published report shows
+    whenever the LLM half is disabled or fails. 4 blocks × pt/en =
+    8 rows.
+
+    Reference: bdqueimadas_overview.py:1078-1200. Semantics mirrored:
+    - the ``previous_year is None`` branch swaps headline/comparison
+      for the no-prior-year texts;
+    - mom/ytd/yoy/rolling pcts are ``_safe_pct_change`` (NULL on zero
+      base → 'sem base comparável' / 'no comparable base');
+    - int formatting is thousands-grouped (',' en / '.' pt), pcts
+      2-dp with the pt comma-decimal swap (:1340-1357);
+    - month labels are abbr/year (:1689-1713);
+    - the analysis window is the LAST ``recent_months`` periods of the
+      monthly series (:290-292, cfg default 24);
+    - inputs derive from the SAME ``overview_metric_frame`` the
+      highlights strip renders, plus the latest-month / same-month /
+      YTD conditional aggregates (:300-319).
+
+    Deviation (documented): pcts are pre-rounded at 2 dp before
+    formatting (both engines agree bit-for-bit; the reference formats
+    the raw double — display-identical away from x.yz5 ties).
+
+    Scale: ``overview_metric_frame``'s argument — everything runs on
+    the #months-row frame; two broadcast scalar joins, no shuffle
+    grows with the fact table. The input monthly frame is PERSISTED
+    first: the metric chain reads it from four aggregate subtrees,
+    and without the persist each one re-runs the enriched fact scan
+    + groupBy underneath (measured 2.6 s → 0.9 s at sf0.1).
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    scal = overview_metric_frame(_persist(monthly), recent_months=recent_months)
+    latest_mm = F.substring(F.col("latest_period"), 6, 2)
+    same_prev_period = F.concat(
+        F.col("previous_year").cast("string"), F.lit("-"), latest_mm
+    )
+    prior_12m_total = F.when(
+        F.col("prior_12m_n") == 12, F.col("prior_12m_sum")
+    ).otherwise(F.lit(0))
+    pct = lambda new, old: safe_pct_change(new.cast("double"), old.cast("double"))
+    yoy = pct(F.col("current_year_total"), F.col("previous_year_total"))
+    r12 = pct(F.col("recent_12m_total"), prior_12m_total)
+    mom = pct(F.col("latest_month_total"), F.col("same_month_prev_year_total"))
+    ytd = pct(F.col("ytd_current_year"), F.col("ytd_previous_year"))
+    year_range = F.concat_ws("-", "first_year", "latest_year")
+    has_prev = F.col("previous_year").isNotNull()
+    lm_pt = _month_label(F.col("latest_period"), PT_MONTH_ABBR)
+    lm_en = _month_label(F.col("latest_period"), EN_MONTH_ABBR)
+    pm_pt = _month_label(same_prev_period, PT_MONTH_ABBR)
+    pm_en = _month_label(same_prev_period, EN_MONTH_ABBR)
+
+    headline_pt = F.when(
+        ~has_prev,
+        F.concat(
+            F.lit("A base processada cobre "), year_range,
+            F.lit(" e o período mais recente vai até "), F.col("latest_period"),
+            F.lit(", com "), _fmt_int_pt(F.col("current_year_total")),
+            F.lit(" focos em "), F.col("latest_year").cast("string"), F.lit("."),
+        ),
+    ).otherwise(
+        F.concat(
+            lm_pt, F.lit(": "), _fmt_int_pt(F.col("latest_month_total")),
+            F.lit(" focos ("), _fmt_pct_pt(mom), F.lit(" vs "), pm_pt, F.lit(")."),
+        )
+    )
+    headline_en = F.when(
+        ~has_prev,
+        F.concat(
+            F.lit("The processed dataset covers "), year_range,
+            F.lit(" and the most recent period reaches "), F.col("latest_period"),
+            F.lit(", with "), _fmt_int_en(F.col("current_year_total")),
+            F.lit(" hotspots in "), F.col("latest_year").cast("string"), F.lit("."),
+        ),
+    ).otherwise(
+        F.concat(
+            lm_en, F.lit(": "), _fmt_int_en(F.col("latest_month_total")),
+            F.lit(" hotspots ("), _fmt_pct_en(mom), F.lit(" vs "), pm_en, F.lit(")."),
+        )
+    )
+    comparison_pt = F.when(
+        ~has_prev,
+        F.lit(
+            "Ainda não há ano anterior processado no escopo atual para "
+            "comparação anual direta."
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("Comparação mensal ("), lm_pt, F.lit("): "),
+            _fmt_int_pt(F.col("latest_month_total")), F.lit(" focos vs "),
+            _fmt_int_pt(F.col("same_month_prev_year_total")),
+            F.lit(" no mesmo mês de "), F.col("previous_year").cast("string"),
+            F.lit(" ("), _fmt_pct_pt(mom), F.lit("). Acumulado jan–"), lm_pt,
+            F.lit(": "), _fmt_int_pt(F.col("ytd_current_year")), F.lit(" vs "),
+            _fmt_int_pt(F.col("ytd_previous_year")), F.lit(" em "),
+            F.col("previous_year").cast("string"),
+            F.lit(" ("), _fmt_pct_pt(ytd), F.lit("). No total anual: "),
+            _fmt_int_pt(F.col("current_year_total")), F.lit(" em "),
+            F.col("latest_year").cast("string"), F.lit(" vs "),
+            _fmt_int_pt(F.col("previous_year_total")), F.lit(" em "),
+            F.col("previous_year").cast("string"),
+            F.lit(" ("), _fmt_pct_pt(yoy), F.lit(")."),
+        )
+    )
+    comparison_en = F.when(
+        ~has_prev,
+        F.lit(
+            "There is not yet a previous processed year within the current "
+            "scope for a direct annual comparison."
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("Monthly comparison ("), lm_en, F.lit("): "),
+            _fmt_int_en(F.col("latest_month_total")), F.lit(" hotspots vs "),
+            _fmt_int_en(F.col("same_month_prev_year_total")),
+            F.lit(" in the same month of "), F.col("previous_year").cast("string"),
+            F.lit(" ("), _fmt_pct_en(mom), F.lit("). YTD Jan–"), lm_en,
+            F.lit(": "), _fmt_int_en(F.col("ytd_current_year")), F.lit(" vs "),
+            _fmt_int_en(F.col("ytd_previous_year")), F.lit(" in "),
+            F.col("previous_year").cast("string"),
+            F.lit(" ("), _fmt_pct_en(ytd), F.lit("). Annual total: "),
+            _fmt_int_en(F.col("current_year_total")), F.lit(" in "),
+            F.col("latest_year").cast("string"), F.lit(" vs "),
+            _fmt_int_en(F.col("previous_year_total")), F.lit(" in "),
+            F.col("previous_year").cast("string"),
+            F.lit(" ("), _fmt_pct_en(yoy), F.lit(")."),
+        )
+    )
+    overview_pt = F.concat(
+        F.lit("Foram processadas "), _fmt_int_pt(F.col("total_rows_processed")),
+        F.lit(" linhas distribuídas em "), F.col("file_count_used").cast("string"),
+        F.lit(" arquivos anuais. Na janela editorial recente de "),
+        F.col("analysis_window_start"), F.lit(" a "), F.col("analysis_window_end"),
+        F.lit(", os 12 meses mais recentes somam "),
+        _fmt_int_pt(F.col("recent_12m_total")), F.lit(" focos, contra "),
+        _fmt_int_pt(prior_12m_total),
+        F.lit(" nos 12 meses imediatamente anteriores, o que corresponde a "),
+        _fmt_pct_pt(r12), F.lit("."),
+    )
+    overview_en = F.concat(
+        _fmt_int_en(F.col("total_rows_processed")),
+        F.lit(" rows were processed across "), F.col("file_count_used").cast("string"),
+        F.lit(" annual files. In the recent editorial window from "),
+        F.col("analysis_window_start"), F.lit(" to "), F.col("analysis_window_end"),
+        F.lit(", the latest 12 months total "),
+        _fmt_int_en(F.col("recent_12m_total")), F.lit(" hotspots, versus "),
+        _fmt_int_en(prior_12m_total),
+        F.lit(" in the immediately previous 12 months, which corresponds to "),
+        _fmt_pct_en(r12), F.lit("."),
+    )
+    limitations_pt = F.lit(
+        "O texto é descritivo e não estabelece causalidade. "
+        "A leitura editorial permanece concentrada na janela recente, "
+        "embora as visualizações publiquem o histórico disponível. "
+        "O ano corrente pode estar incompleto."
+    )
+    limitations_en = F.lit(
+        "This text is descriptive and does not establish causality. "
+        "The editorial reading remains focused on the recent window, "
+        "although the visualizations publish the available history. "
+        "The current year may be incomplete."
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(key).alias("block"),
+                F.lit(locale).alias("locale"),
+                text.alias("text"),
+            )
+            for key, locale, text in (
+                ("headline", "pt", headline_pt),
+                ("headline", "en", headline_en),
+                ("overview", "pt", overview_pt),
+                ("overview", "en", overview_en),
+                ("comparison", "pt", comparison_pt),
+                ("comparison", "en", comparison_en),
+                ("limitations", "pt", limitations_pt),
+                ("limitations", "en", limitations_en),
+            )
+        ]
+    )
+    return (
+        scal.select(F.explode(blocks).alias("b"))
+        .select("b.block", "b.locale", "b.text")
+        .orderBy("block", "locale")
     )

@@ -710,6 +710,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_threshold_sweep": lambda s, d: curation.quality_threshold_sweep(
         load_table(s, d, "documents")
     ),
+    "report_fallback_blocks": lambda s, d: timeseries.report_fallback_blocks(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -751,6 +754,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "eia_petroleum_weekly_files",
     "corpus_shard_plan",
     "quality_threshold_sweep",
+    "report_fallback_blocks",
     # refresh: r3-vintage rows (all seven)
     "type_inference",
     "social_text_normalize",
@@ -780,7 +784,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "freshness_latest",
     "token_count",
     "doc_fingerprint",
-    "painel_pdf_links",
     "dedup_simhash",
     "ann_topk_bruteforce",
     "top_customers",
@@ -796,7 +799,7 @@ assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)
 # 2) the 8 r4-vintage rows round 8 left parked (monthly_by_region,
 #    nation_month_matrix, annual_series, annual_by_region,
 #    top_regions_yoy, dedup_embedding, events_windowed,
-#    promo_revenue_share, clicks_before_purchase);
+#    promo_revenue_share, clicks_before_purchase, painel_pdf_links);
 # 3) then the oldest r5-vintage rows (q1/q3/q5, dedup_exact,
 #    dedup_minhash, pack_sequences, the payload_merge family, ...);
 # 4) everything else keeps its newest green row and stays covered by

@@ -39,6 +39,7 @@ MUST_BE_IN_WINDOW = {
     "eia_petroleum_weekly_files",
     "corpus_shard_plan",
     "quality_threshold_sweep",
+    "report_fallback_blocks",
 }
 
 

@@ -4648,3 +4648,111 @@ def test_quality_threshold_sweep_monotonic(spark):
         n_pass = sum(1 for p in per if p["nt"] >= t and p["q"] >= s)
         kept = sum(p["nt"] for p in per if p["nt"] >= t and p["q"] >= s)
         assert r["n_pass"] == n_pass and r["tokens_kept"] == kept, (t, s)
+
+
+def test_report_fallback_blocks_match_reference_builder(spark):
+    """The 8 bilingual analysis blocks must equal the reference's own
+    ``_build_fallback_analysis`` run on the same metric inputs —
+    functions AND month-abbr constants ast-extracted from the
+    reference module (its imports pull pandas/matplotlib, absent
+    here), so template drift fails the test."""
+    import ast
+    import os
+
+    ref = "/root/reference/src/forest_pipelines/reports/builders/bdqueimadas_overview.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not available")
+    names = {
+        "_build_fallback_analysis", "_safe_pct_change", "_fmt_int_pt",
+        "_fmt_int_en", "_fmt_pct_pt", "_fmt_pct_en", "_month_label_pt",
+        "_month_label_en", "_localized",
+    }
+    consts = {"_PT_MONTH_ABBR", "_EN_MONTH_ABBR"}
+    tree = ast.parse(open(ref).read())
+    wanted = [
+        n for n in tree.body
+        if (isinstance(n, ast.FunctionDef) and n.name in names)
+        or (
+            isinstance(n, ast.Assign)
+            and any(
+                isinstance(t, ast.Name) and t.id in consts for t in n.targets
+            )
+        )
+    ]
+    assert len(wanted) == len(names) + len(consts), "reference moved"
+    ns = {}
+    exec(compile(ast.Module(body=wanted, type_ignores=[]), ref, "exec"), ns)
+
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        REPORT_RECENT_MONTHS,
+        monthly_series,
+        orders_enriched,
+        report_fallback_blocks,
+    )
+
+    enriched = orders_enriched(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "nation"),
+        load_table(spark, SF_DIR, "region"),
+    )
+    monthly = monthly_series(enriched)
+    got = {
+        (r["block"], r["locale"]): r["text"]
+        for r in report_fallback_blocks(monthly).collect()
+    }
+    assert len(got) == 8
+
+    # rebuild the metric inputs in plain Python from the same series
+    rows = sorted(
+        (r["period"], int(r["n_orders"])) for r in monthly.collect()
+    )
+    periods = [p for p, _ in rows]
+    vals = dict(rows)
+    latest_period = periods[-1]
+    latest_year = int(latest_period[:4])
+    first_year = min(int(p[:4]) for p in periods)
+    years = sorted({int(p[:4]) for p in periods})
+    prev_years = [y for y in years if y < latest_year]
+    previous_year = prev_years[-1] if prev_years else None
+    tot = lambda y: sum(v for p, v in rows if int(p[:4]) == y)
+    recent = rows[-12:]
+    prior = rows[-24:-12]
+    latest_mm = int(latest_period[5:7])
+    window = periods[-REPORT_RECENT_MONTHS:]
+    expected = ns["_build_fallback_analysis"](
+        first_year=first_year,
+        latest_year=latest_year,
+        previous_year=previous_year,
+        current_year_total=tot(latest_year),
+        previous_year_total=tot(previous_year) if previous_year else 0,
+        recent_12m_total=sum(v for _, v in recent),
+        prior_12m_total=sum(v for _, v in prior) if len(prior) == 12 else 0,
+        latest_period=latest_period,
+        total_rows_processed=sum(vals.values()),
+        file_count_used=len(years),
+        year_range=f"{first_year}-{latest_year}",
+        analysis_window_start=window[0],
+        analysis_window_end=window[-1],
+        latest_month_total=vals[latest_period],
+        same_month_prev_year_total=(
+            vals.get(f"{previous_year}-{latest_period[5:]}", 0)
+            if previous_year else 0
+        ),
+        ytd_current_year=sum(
+            v for p, v in rows
+            if int(p[:4]) == latest_year and int(p[5:7]) <= latest_mm
+        ),
+        ytd_previous_year=(
+            sum(
+                v for p, v in rows
+                if int(p[:4]) == previous_year and int(p[5:7]) <= latest_mm
+            )
+            if previous_year else 0
+        ),
+    )
+    for block in ("headline", "overview", "comparison", "limitations"):
+        for locale in ("pt", "en"):
+            assert got[(block, locale)] == expected[block][locale], (
+                block, locale, got[(block, locale)], expected[block][locale]
+            )
