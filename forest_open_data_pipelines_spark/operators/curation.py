@@ -1206,9 +1206,13 @@ def corpus_shard_plan(documents: DataFrame, n_shards: int = SHARD_PLAN_DEFAULT) 
 
     Scale: ONE fact scan folding into an ``n_shards``-group aggregate
     (map-side combinable), then a broadcast join of the 1-row total —
-    no shuffle grows with the corpus, only with ``n_shards``.
+    no shuffle grows with the corpus, only with ``n_shards``. The
+    per-shard frame is PERSISTED before the total derives from it:
+    without the persist the total branch re-runs the whole fact scan
+    (two scans for one report — visible in the executed plan).
     """
     from forest_open_data_pipelines_spark.functions.columns import micro_div
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
 
     toks = F.size(F.split(F.lower(clean_text(F.col("text"))), " "))
     shard = F.pmod(
@@ -1229,6 +1233,7 @@ def corpus_shard_plan(documents: DataFrame, n_shards: int = SHARD_PLAN_DEFAULT) 
             F.sum("n_bytes").alias("n_bytes"),
         )
     )
+    per = _persist(per)
     total = per.agg(F.sum("n_tokens").alias("total_tokens"))
     return (
         per.join(F.broadcast(total))
