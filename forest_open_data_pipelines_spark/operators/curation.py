@@ -114,7 +114,15 @@ def corpus_curation(
     canonical = F.min(F.when(surv, F.col("doc_id"))).over(
         Window.partitionBy("content_fingerprint")
     )
-    base = base.withColumn("canonical_doc_id", canonical)
+    # lazy localCheckpoint: the near-dup pool filter and the final
+    # status join both re-read the audit frame, and each re-ran the
+    # full documents scan + fingerprint window underneath (3 text
+    # scans per run; round-8 scan audit — persist() alone does not
+    # reliably substitute into every branch). The checkpointed frame
+    # is the compact per-doc audit projection (no text column).
+    base = base.withColumn("canonical_doc_id", canonical).localCheckpoint(
+        eager=False
+    )
     exact_ok = surv & (F.col("doc_id") == F.col("canonical_doc_id"))
 
     norm = F.sqrt(

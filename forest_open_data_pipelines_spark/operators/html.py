@@ -2064,9 +2064,12 @@ def eia_xls_picks(documents: DataFrame) -> DataFrame:
         url.alias("direct_url"),
         F.when(F.col("pick.p") == 1, F.lit("crumb")).otherwise(F.lit("fallback")).alias("via"),
     )
+    # picked has exactly one row per page that yielded a link, so
+    # n_items = count(picked) directly — the former
+    # pages ⋉ picked → count re-scanned the pages projection twice
+    # (round-8 scan audit); only the n_links total still reads pages.
     summary = (
-        pages.join(picked.select("doc_id"), "doc_id", "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_items"))
+        picked.agg(F.count(F.lit(1)).alias("n_items"))
         .join(pages.agg(F.count(F.lit(1)).alias("n_links")))
         .select(
             F.lit("summary").alias("kind"),

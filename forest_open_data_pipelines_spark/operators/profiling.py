@@ -323,17 +323,26 @@ def numeric_correlations(
         var_b = n * ssb - sb * sb
         return ratio(cov / F.sqrt(var_a * var_b))
 
-    pairs = None
-    for i, a in enumerate(cols):
-        for b in cols[i + 1 :]:
-            row = m.select(
+    # One explode over the single moment row — the union-per-pair
+    # formulation recomputed the fact-table aggregate once per pair
+    # (6 scans for a 6-row result; round-8 scan audit).
+    rows = F.array(
+        *[
+            F.struct(
                 F.lit(a).alias("col_a"),
                 F.lit(b).alias("col_b"),
                 _corr(a, b).alias("pearson_r"),
                 F.col("n").alias("n_rows"),
             )
-            pairs = row if pairs is None else pairs.unionByName(row)
-    return pairs.orderBy("col_a", "col_b")
+            for i, a in enumerate(cols)
+            for b in cols[i + 1 :]
+        ]
+    )
+    return (
+        m.select(F.explode(rows).alias("p"))
+        .select("p.col_a", "p.col_b", "p.pearson_r", "p.n_rows")
+        .orderBy("col_a", "col_b")
+    )
 
 
 def referential_integrity_audit(
@@ -352,11 +361,14 @@ def referential_integrity_audit(
     style; extends the reference's per-file schema audit to
     CROSS-TABLE contracts it has no analog for).
 
-    Scale: each relationship is ONE left-anti join of the child's
-    DISTINCT key projection against the parent's key projection —
-    the child fact table is never shuffled wide (keys project+distinct
-    map-side first), parents broadcast while they fit, and the output
-    is one bounded row per relationship.
+    Scale: each relationship is ONE pass over the child's key
+    projection — a left join against the parent's DISTINCT keys
+    (parents broadcast while they fit) feeding a single conditional
+    aggregate that yields child cardinality AND orphan counts
+    together (the former anti-join + separate count-agg shape scanned
+    every child key column twice; round-8 scan audit). The child fact
+    table is never shuffled wide, and the output is one bounded row
+    per relationship.
     """
     rels = [
         ("orders.o_custkey", "customer.c_custkey", orders, "o_custkey",
@@ -377,28 +389,27 @@ def referential_integrity_audit(
     out = None
     for child_col, parent_col, child, ck, parent, pk in rels:
         child_keys = child.select(F.col(ck).alias("k"))
-        parent_keys = parent.select(F.col(pk).alias("k"))
-        orphans = child_keys.join(parent_keys, "k", "left_anti")
-        row = (
-            child_keys.agg(
-                F.count("*").alias("n_child_rows"),
-                F.countDistinct("k").alias("n_child_keys"),
-            )
-            .crossJoin(
-                orphans.agg(
-                    F.count("*").alias("n_orphan_rows"),
-                    F.countDistinct("k").alias("n_orphan_keys"),
-                )
-            )
-            .select(
-                F.lit(child_col).alias("child_key"),
-                F.lit(parent_col).alias("parent_key"),
-                "n_child_rows",
-                "n_child_keys",
-                "n_orphan_rows",
-                "n_orphan_keys",
-                (F.col("n_orphan_rows") == 0).alias("intact"),
-            )
+        # distinct() keeps the left join duplicate-proof (parents are
+        # PKs here, but the audit must not silently multiply child
+        # rows if a parent table ever violates that)
+        parent_keys = parent.select(
+            F.col(pk).alias("k"), F.lit(True).alias("__hit")
+        ).distinct()
+        joined = child_keys.join(parent_keys, "k", "left")
+        orphan = F.col("__hit").isNull()
+        row = joined.agg(
+            F.count("*").alias("n_child_rows"),
+            F.countDistinct("k").alias("n_child_keys"),
+            F.sum(F.when(orphan, 1).otherwise(0)).alias("n_orphan_rows"),
+            F.countDistinct(F.when(orphan, F.col("k"))).alias("n_orphan_keys"),
+        ).select(
+            F.lit(child_col).alias("child_key"),
+            F.lit(parent_col).alias("parent_key"),
+            "n_child_rows",
+            "n_child_keys",
+            "n_orphan_rows",
+            "n_orphan_keys",
+            (F.col("n_orphan_rows") == 0).alias("intact"),
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("child_key", "parent_key")

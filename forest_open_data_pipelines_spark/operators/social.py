@@ -327,10 +327,18 @@ def nation_series_with_other(
     partials; cohort selection and the OUTROS re-grouping run on that
     tiny frame only.
     """
-    nm = enriched.groupBy(
-        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
-        "n_name",
-    ).agg(money(F.sum("o_totalprice")).alias("value"))
+    # Persist the (month, nation) partials: the latest-month scalar,
+    # the cohort rank and the recent-window filter all read nm, and
+    # without the persist each re-runs the enriched fact scan +
+    # aggregate (4 fact scans — round-8 scan audit).
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    nm = _persist(
+        enriched.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month"),
+            "n_name",
+        ).agg(money(F.sum("o_totalprice")).alias("value"))
+    )
     latest = nm.agg(F.max("month").alias("latest_month"))
     w = Window.orderBy(F.desc("value"), "n_name")
     top = (
@@ -812,14 +820,17 @@ def monthly_chart_spec_scoped(enriched: DataFrame) -> DataFrame:
         F.col("r_name")
     )
     wanted = [NATIONAL_SLUG] + [s for s in CAROUSEL_SCOPES if s is not None]
-    # Persisted (≤ (scopes+1)·months·years rows): the reference-point,
-    # pivot and spine branches all consume this aggregate — without the
-    # persist each branch re-runs the fact scan + grouping-sets expand
-    # (released via dedup.release_persisted like the other cached
-    # intermediates).
-    from forest_open_data_pipelines_spark.operators.dedup import _persist
-
-    agg = _persist(
+    # localCheckpoint (≤ (scopes+1)·months·years rows, lazy): the
+    # reference-point, pivot and spine branches all consume this
+    # aggregate. A persist() is NOT enough here — the round-8 scan
+    # audit found cache substitution hits only ONE of the three
+    # consumers of this groupingSets plan (executed plan: 1
+    # InMemoryTableScan, 0 ReusedExchange; the other two branches
+    # re-ran the fact scan + expand). The checkpoint truncates
+    # lineage, so every consumer reads the materialized rows by
+    # construction — the dedup_clusters lesson applied to the report
+    # chain.
+    agg = (
         base.groupingSets(
             [["year", "month"], ["r_name", "year", "month"]],
             "r_name",
@@ -829,6 +840,7 @@ def monthly_chart_spec_scoped(enriched: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"), scope.alias("scope"))
         .where(F.col("scope").isin(wanted))
         .select("scope", "year", "month", "n")
+        .localCheckpoint(eager=False)
     )
     ref = (
         agg.where(F.col("scope") == NATIONAL_SLUG)
@@ -1026,6 +1038,16 @@ def anp_panel_payloads(
         )
         .where((F.col("a") > 0) & (F.col("b") > 0))
     )
+    # Persist the both-positive monthly frame (#months rows): combo,
+    # the latest-month scalar and the YoY self-join all read it, and
+    # without the persist each consumer re-runs the enriched fact
+    # scan + monthly aggregate underneath (5 fact scans for a 3-row
+    # result — round-8 scan audit). The latest-month share aggregate
+    # still scans the fact table once itself (it needs order-level
+    # rows), so the operator costs exactly two fact scans.
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    m = _persist(m)
     w = Window.orderBy("period")
     combo = m.select(
         "period",
@@ -1454,8 +1476,14 @@ def focos_prompt_texts(spec: DataFrame) -> DataFrame:
     is the first day of the last closed month — the latest date the
     payload itself certifies.
 
-    Pure projection over the ``focos_llm_payload`` frame (the payload
-    JSON rides in as ``prompt_block``); string assembly is literal
+    ONE pass over the ``focos_llm_payload`` frame (the payload JSON
+    rides in as ``prompt_block``): all three prompt kinds are built as
+    an exploded struct array per payload row, with the national-only
+    kinds NULLed out (→ array_compact) on regional rows — the
+    round-8 scan audit found the former three-branch union re-ran the
+    full enriched → chart-spec → payload chain once per branch (6
+    fact scans for a 6-row result; union branches do not reliably hit
+    a persisted subtree's cache). String assembly is literal
     concatenation, identical on both engines by construction.
     """
     p = focos_llm_payload(spec)
@@ -1473,42 +1501,39 @@ def focos_prompt_texts(spec: DataFrame) -> DataFrame:
             F.lit(FOCOS_GT_TOM_REGIONAL),
         )
     )
-    gt = p.select(
-        F.lit("graphic_text").alias("kind"),
-        "scope_slug",
-        F.lit(FOCOS_SYSTEM_GRAPHIC_TEXT).alias("system_prompt"),
-        F.concat(
-            tom,
-            F.lit(FOCOS_GT_USER_MID),
-            F.col("prompt_block"),
-            F.lit(FOCOS_GT_USER_TAIL),
-        ).alias("user_prompt"),
+
+    def _row(kind: str, system: str, user: Column) -> Column:
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            F.col("scope_slug").alias("scope_slug"),
+            F.lit(system).alias("system_prompt"),
+            user.alias("user_prompt"),
+        )
+
+    gt_user = F.concat(
+        tom, F.lit(FOCOS_GT_USER_MID), F.col("prompt_block"), F.lit(FOCOS_GT_USER_TAIL)
     )
-    nat = p.where(is_nat)
-    pd_rows = nat.select(
-        F.lit("post_description").alias("kind"),
-        "scope_slug",
-        F.lit(FOCOS_SYSTEM_POST_DESCRIPTION).alias("system_prompt"),
-        F.concat(
-            F.lit(FOCOS_PD_USER_HEAD),
-            d,
-            F.lit(FOCOS_PD_USER_MID),
-            F.col("prompt_block"),
-            F.lit(FOCOS_PD_USER_TAIL_A),
-            d,
-            F.lit(FOCOS_PD_USER_TAIL_B),
-        ).alias("user_prompt"),
+    pd_user = F.concat(
+        F.lit(FOCOS_PD_USER_HEAD),
+        d,
+        F.lit(FOCOS_PD_USER_MID),
+        F.col("prompt_block"),
+        F.lit(FOCOS_PD_USER_TAIL_A),
+        d,
+        F.lit(FOCOS_PD_USER_TAIL_B),
     )
-    cc_rows = nat.select(
-        F.lit("carousel_caption").alias("kind"),
-        "scope_slug",
-        F.lit(FOCOS_SYSTEM_CAROUSEL).alias("system_prompt"),
-        F.concat(
-            F.lit(FOCOS_CC_USER_HEAD), d, F.lit(FOCOS_CC_USER_TAIL)
-        ).alias("user_prompt"),
+    cc_user = F.concat(F.lit(FOCOS_CC_USER_HEAD), d, F.lit(FOCOS_CC_USER_TAIL))
+    rows = F.array_compact(
+        F.array(
+            _row("graphic_text", FOCOS_SYSTEM_GRAPHIC_TEXT, gt_user),
+            F.when(is_nat, _row("post_description", FOCOS_SYSTEM_POST_DESCRIPTION, pd_user)),
+            F.when(is_nat, _row("carousel_caption", FOCOS_SYSTEM_CAROUSEL, cc_user)),
+        )
     )
-    return gt.unionByName(pd_rows).unionByName(cc_rows).orderBy(
-        "kind", "scope_slug"
+    return (
+        p.select(F.explode(rows).alias("r"))
+        .select("r.kind", "r.scope_slug", "r.system_prompt", "r.user_prompt")
+        .orderBy("kind", "scope_slug")
     )
 
 

@@ -828,6 +828,12 @@ def annual_reference_extract(
     Scale: runs entirely on the post-aggregation annual frame (one row
     per year) — the rank window orders ≤ #years rows.
     """
+    # lazy localCheckpoint: the named projection, the yearless count
+    # and the two year-split branches all read the annual frame, and
+    # each re-ran the enriched fact scan + aggregate underneath
+    # (3 fact scans for a #years-row result; round-8 scan audit —
+    # persist() alone does not reliably substitute into every branch).
+    annual = annual.localCheckpoint(eager=False)
     named = annual.select(
         F.concat(
             F.lit("focos_br_ref_"), F.col("year").cast("string"), F.lit(".zip")
