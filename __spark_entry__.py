@@ -6484,4 +6484,127 @@ SELECT count(*) AS n_sessions,
        round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE
              / count(*), 6) AS singleton_share
 FROM d"""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        ZIPF_FIT_MAX_RANK,
+    )
+
+    def _md(num: str, den: str) -> str:
+        """micro_div twin: exact half-up integer micro division."""
+        return (
+            f"(({num}) * 1000000 // ({den})"
+            f" + CASE WHEN (({num}) * 1000000 % ({den})) * 2 >= ({den})"
+            f" THEN 1 ELSE 0 END)::BIGINT"
+        )
+
+    out["token_zipf_fit"] = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split({lclean}, ' ')) AS tok FROM documents
+),
+freq AS (
+  SELECT lang, tok, count(*)::BIGINT AS n FROM toks WHERE tok != ''
+  GROUP BY 1, 2
+),
+totals AS (
+  SELECT lang, count(*)::BIGINT AS vocab_size, sum(n)::BIGINT AS total_tokens
+  FROM freq GROUP BY lang
+),
+head AS (
+  SELECT lang, round(ln(r) * 1000000)::BIGINT AS x,
+         round(ln(n) * 1000000)::BIGINT AS y
+  FROM (SELECT lang, n,
+               row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS r
+        FROM freq)
+  WHERE r <= {ZIPF_FIT_MAX_RANK}
+),
+sums AS (
+  SELECT lang, count(*)::BIGINT AS fit_ranks,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+         sum(y * y)::BIGINT AS syy
+  FROM head GROUP BY lang
+),
+fit AS (
+  SELECT lang, fit_ranks,
+         fit_ranks::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS num,
+         fit_ranks::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS den_x,
+         fit_ranks::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS den_y,
+         sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+  FROM sums
+)
+SELECT f.lang, t.vocab_size, t.total_tokens, f.fit_ranks,
+       round(num / nullif(den_x, 0), 6) AS zipf_slope,
+       round((syd - num / nullif(den_x, 0) * sxd) / f.fit_ranks / 1000000.0,
+             6) AS zipf_intercept,
+       round(num * num / nullif(den_x * den_y, 0), 6) AS zipf_r2
+FROM fit f JOIN totals t USING (lang) ORDER BY lang"""
+    out["tokenizer_fertility"] = f"""
+WITH per AS (
+  SELECT lang, source, len({toks})::BIGINT AS n_ws,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS n_sub,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+),
+agg AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs,
+         sum(n_ws)::BIGINT AS ws_tokens,
+         sum(n_sub)::BIGINT AS subword_tokens,
+         sum(n_chars)::BIGINT AS chars
+  FROM per GROUP BY 1, 2
+)
+SELECT lang, source, n_docs, ws_tokens, subword_tokens,
+       {_md("subword_tokens", "ws_tokens")} AS fertility_micro,
+       {_md("chars", "subword_tokens")} AS chars_per_subword_micro
+FROM agg ORDER BY lang, source"""
+    out["cluster_size_histogram"] = f"""
+WITH c AS ({out["dedup_clusters"]}),
+per AS (
+  SELECT cluster_size, count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+         count(*)::BIGINT AS n_docs
+  FROM c GROUP BY cluster_size
+),
+tot AS (SELECT sum(n_clusters)::BIGINT AS t_clusters,
+               sum(n_docs)::BIGINT AS t_docs FROM per)
+SELECT cluster_size, n_clusters, n_docs,
+       {_md("n_clusters", "t_clusters")} AS cluster_share_ppm,
+       {_md("n_docs", "t_docs")} AS doc_share_ppm,
+       {_md("(cluster_size - 1) * n_clusters", "n_docs")} AS removable_ppm
+FROM per, tot ORDER BY cluster_size"""
+    out["embedding_drift_report"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+ex AS (
+  SELECT label, unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM e
+),
+cent AS (SELECT label, pos, round(avg(v), 6) AS c FROM ex GROUP BY 1, 2),
+cl AS (SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label),
+g AS (SELECT pos, round(avg(v), 6) AS gc FROM ex GROUP BY pos),
+gl AS (SELECT list(gc ORDER BY pos) AS gcent FROM g),
+member AS (
+  SELECT e.label,
+         round(list_dot_product(e.emb, gl.gcent)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(gl.gcent, gl.gcent))), 6) AS cos
+  FROM e, gl
+),
+per AS (
+  SELECT label, count(*)::BIGINT AS n_vecs,
+         round(avg(round(cos * 1e6))) / 1e6 AS avg_member_cos_to_global
+  FROM member GROUP BY label
+),
+cvg AS (
+  SELECT cl.label,
+         round(sqrt(list_dot_product(cl.centroid, cl.centroid)), 6)
+           AS centroid_norm,
+         round(list_dot_product(cl.centroid, gl.gcent)
+               / (sqrt(list_dot_product(cl.centroid, cl.centroid))
+                  * sqrt(list_dot_product(gl.gcent, gl.gcent))), 6)
+           AS centroid_cos_to_global
+  FROM cl, gl
+),
+tot AS (SELECT sum(n_vecs)::BIGINT AS t_vecs FROM per)
+SELECT p.label, p.n_vecs,
+       {_md("p.n_vecs", "t.t_vecs")} AS vec_share_ppm,
+       c.centroid_norm, c.centroid_cos_to_global,
+       p.avg_member_cos_to_global
+FROM per p JOIN cvg c USING (label), tot t ORDER BY p.label"""
     return out

@@ -176,6 +176,13 @@ HEADLINE = [
     "corpus_shard_plan",
     "quality_threshold_sweep",
     "report_fallback_blocks",
+    # round-8 extension operators
+    "token_zipf_fit",
+    "tokenizer_fertility",
+    "embedding_drift_report",
+    # cluster_size_histogram re-runs the full clusters closure
+    # (already benched as dedup_clusters) — kept out of the headline
+    # like dedup_canonical_by_quality.
     # simhash_budget_sweep generates candidates at the WIDEST budget
     # (h=15: 4-bit blocks, quadratic buckets — the overshoot finding
     # itself) to report the promotion curve; an evaluation artifact

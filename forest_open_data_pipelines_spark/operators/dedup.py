@@ -2355,3 +2355,50 @@ def simhash_budget_sweep(
         )
         .orderBy("max_hamming")
     )
+
+
+def cluster_size_histogram(
+    documents: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Duplicate-cluster size distribution: one row per observed
+    cluster size with the cluster count, the document mass it holds,
+    and exact ppm shares of both — the power-law audit a dedup run
+    publishes (near-dup cluster sizes are heavy-tailed; a fat head of
+    mega-clusters means boilerplate or mirror sites dominate, and the
+    removal rate ((size−1)/size of each bucket's mass) prices what
+    canonical-keeping will delete).
+
+    Scale: reduces ``dedup_clusters``'s per-document labels twice —
+    (cluster → size) is already inside it, and (size → bucket row)
+    bounds the output by the largest cluster's size. Shares divide
+    by broadcast one-row totals with exact integer ``micro_div``.
+    """
+    clusters = dedup_clusters(
+        documents, n=n, threshold=threshold, pairs=pairs
+    )
+    per = clusters.groupBy("cluster_size").agg(
+        F.count_distinct("cluster_id").alias("n_clusters"),
+        F.count("*").alias("n_docs"),
+    )
+    per = _persist(per)
+    totals = per.agg(
+        F.sum("n_clusters").alias("t_clusters"),
+        F.sum("n_docs").alias("t_docs"),
+    )
+    return (
+        per.join(F.broadcast(totals))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            micro_div("n_clusters", "t_clusters").alias("cluster_share_ppm"),
+            micro_div("n_docs", "t_docs").alias("doc_share_ppm"),
+            micro_div(
+                "(cluster_size - 1) * n_clusters", "n_docs"
+            ).alias("removable_ppm"),
+        )
+        .orderBy("cluster_size")
+    )

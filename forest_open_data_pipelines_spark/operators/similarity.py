@@ -22,7 +22,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from forest_open_data_pipelines_spark.functions.columns import ratio
+from forest_open_data_pipelines_spark.functions.columns import micro_div, ratio
 from forest_open_data_pipelines_spark.sources.tables import spread
 
 
@@ -1340,3 +1340,99 @@ def route_nearest_query(
         (best_cm.cast("double") / 1e6).alias("best_cosine"),
         n_above.alias("n_above_threshold"),
     ).orderBy("vec_id")
+
+
+def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding distribution-shift report against the
+    GLOBAL centroid: vector share, the label centroid's cosine to the
+    global centroid, and the members' average cosine to the global
+    centroid. Where ``embedding_label_stats`` measures INTRA-cluster
+    cohesion (members vs their own centroid), this measures
+    INTER-slice drift — the check a training pipeline runs per
+    source/label batch to catch a slice whose embedding distribution
+    has moved away from the corpus (bad encoder version, topic shift,
+    adversarial injection) before it poisons dedup thresholds or
+    curriculum mixes.
+
+    Scale: one posexplode feeds BOTH centroid builds ((label, dim)
+    partial means and the global dim means — map-side combinable,
+    output ≤ labels×dims); per-vector scoring joins the broadcast
+    one-row global centroid and folds the cosine in-codegen. Per-dim
+    means are 6-dp rounded before any cosine (the
+    ``embedding_label_stats`` convention), and the per-label average
+    uses integer micro-cosines so summation order cannot drift the
+    6-dp result.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    ex = _persist(
+        embeddings.select(
+            "label", F.posexplode("embedding").alias("pos", "v")
+        )
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        ratio(F.avg(F.col("v").cast("double"))).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    glob = ex.groupBy("pos").agg(
+        ratio(F.avg(F.col("v").cast("double"))).alias("g")
+    )
+    glob_arr = glob.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "g"))), lambda s: s["g"]
+        ).alias("global_centroid")
+    )
+
+    def _dot(a: Column | str, b: Column | str) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _norm(a: Column | str) -> Column:
+        return F.sqrt(
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+            )
+        )
+
+    gnorm = _norm("global_centroid")
+    member = embeddings.join(F.broadcast(glob_arr)).select(
+        "label",
+        ratio(
+            _dot("embedding", "global_centroid")
+            / (_norm("embedding") * gnorm)
+        ).alias("cos"),
+    )
+    micro = F.round(F.col("cos") * 1e6, 0)
+    per = member.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        (F.round(F.avg(micro), 0) / 1e6).alias("avg_member_cos_to_global"),
+    )
+    cent_vs_glob = cent_arr.join(F.broadcast(glob_arr)).select(
+        "label",
+        ratio(_norm("centroid")).alias("centroid_norm"),
+        ratio(
+            _dot("centroid", "global_centroid")
+            / (_norm("centroid") * gnorm)
+        ).alias("centroid_cos_to_global"),
+    )
+    totals = per.agg(F.sum("n_vecs").alias("t_vecs"))
+    return (
+        per.join(cent_vs_glob, "label")
+        .join(F.broadcast(totals))
+        .select(
+            "label",
+            "n_vecs",
+            micro_div("n_vecs", "t_vecs").alias("vec_share_ppm"),
+            "centroid_norm",
+            "centroid_cos_to_global",
+            "avg_member_cos_to_global",
+        )
+        .orderBy("label")
+    )

@@ -788,6 +788,35 @@ def _scope_label_pt(scope: str | None) -> str:
     return REGION_LABEL_PT.get(scope, scope)
 
 
+def carousel_scope_aggregate(enriched: DataFrame) -> DataFrame:
+    """The carousel's single GROUPING SETS fact aggregate — every
+    scope's (year, month) counts in one pass (grouping(r_name)
+    distinguishes the national rows). Split out of
+    ``monthly_chart_spec_scoped`` so the plan guard can assert the
+    Expand + single-fact-scan shape of the phase that the operator
+    then localCheckpoints away from its consumers' lineage."""
+    base = enriched.select(
+        F.year("o_orderdate").alias("year"),
+        F.month("o_orderdate").alias("month"),
+        "r_name",
+    )
+    scope = F.when(F.grouping("r_name") == 1, F.lit(NATIONAL_SLUG)).otherwise(
+        F.col("r_name")
+    )
+    wanted = [NATIONAL_SLUG] + [s for s in CAROUSEL_SCOPES if s is not None]
+    return (
+        base.groupingSets(
+            [["year", "month"], ["r_name", "year", "month"]],
+            "r_name",
+            "year",
+            "month",
+        )
+        .agg(F.count("*").alias("n"), scope.alias("scope"))
+        .where(F.col("scope").isin(wanted))
+        .select("scope", "year", "month", "n")
+    )
+
+
 def monthly_chart_spec_scoped(enriched: DataFrame) -> DataFrame:
     """Carousel chart-spec rows for every scope in ONE fact scan: per
     (scope_slug, month 1..12) the current-year value (NULL past the
@@ -811,15 +840,6 @@ def monthly_chart_spec_scoped(enriched: DataFrame) -> DataFrame:
     aggregate rows; the scalar reference point, the 48-row spine and
     the pivot all run on that tiny frame (broadcast joins only).
     """
-    base = enriched.select(
-        F.year("o_orderdate").alias("year"),
-        F.month("o_orderdate").alias("month"),
-        "r_name",
-    )
-    scope = F.when(F.grouping("r_name") == 1, F.lit(NATIONAL_SLUG)).otherwise(
-        F.col("r_name")
-    )
-    wanted = [NATIONAL_SLUG] + [s for s in CAROUSEL_SCOPES if s is not None]
     # localCheckpoint (≤ (scopes+1)·months·years rows, lazy): the
     # reference-point, pivot and spine branches all consume this
     # aggregate. A persist() is NOT enough here — the round-8 scan
@@ -830,18 +850,7 @@ def monthly_chart_spec_scoped(enriched: DataFrame) -> DataFrame:
     # lineage, so every consumer reads the materialized rows by
     # construction — the dedup_clusters lesson applied to the report
     # chain.
-    agg = (
-        base.groupingSets(
-            [["year", "month"], ["r_name", "year", "month"]],
-            "r_name",
-            "year",
-            "month",
-        )
-        .agg(F.count("*").alias("n"), scope.alias("scope"))
-        .where(F.col("scope").isin(wanted))
-        .select("scope", "year", "month", "n")
-        .localCheckpoint(eager=False)
-    )
+    agg = carousel_scope_aggregate(enriched).localCheckpoint(eager=False)
     ref = (
         agg.where(F.col("scope") == NATIONAL_SLUG)
         .agg(F.max(F.struct("year", "month")).alias("mx"))

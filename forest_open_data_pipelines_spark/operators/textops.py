@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from forest_open_data_pipelines_spark.functions.columns import ratio
+from forest_open_data_pipelines_spark.functions.columns import micro_div, ratio
 from forest_open_data_pipelines_spark.sources.tables import spread
 
 # Boilerplate/CTA prefixes, mirroring text_cleanup.py:10-14 (_CTA_LINE).
@@ -1517,3 +1517,155 @@ def vocab_growth(
         "new_tokens",
         F.sum("new_tokens").over(w).alias("cumulative_vocab"),
     ).orderBy("bucket_start")
+
+
+#: Zipf head-fit depth: the OLS runs over the top-k ranks per language.
+#: 1024 keeps every per-rank micro-nat product inside exact BIGINT
+#: sums (ln(1024)·10⁶ ≈ 6.9e6; Σx·y ≤ 1024 · 6.9e6 · 2.8e7 < 2·10¹⁷)
+#: and is where the Zipf head is linear anyway — the far tail of any
+#: real corpus bends below the power law and would bias the slope.
+ZIPF_FIT_MAX_RANK = 1024
+
+
+def token_zipf_fit(
+    documents: DataFrame, max_rank: int = ZIPF_FIT_MAX_RANK
+) -> DataFrame:
+    """Zipf-law head fit per language: OLS of ln(freq) on ln(rank)
+    over the top ``max_rank`` tokens — slope (the Zipf exponent,
+    ≈ −1 for natural language), intercept, and R². The corpus-health
+    check a training-data pipeline runs to catch machine-generated or
+    template-heavy sources, whose token distributions flatten (slope
+    → 0) or step away from the power law (R² drops).
+
+    Scale: the only corpus-sized shuffle is the (lang, token)
+    frequency aggregate (map-side combinable explode → count). The
+    rank window sorts the VOCABULARY per language — bounded by
+    distinct tokens, not corpus rows — and the head filter cuts to
+    ``max_rank`` rows per language before the OLS moment aggregate,
+    which reduces to one row per language.
+
+    Cross-engine determinism: ln values are quantized to integer
+    micro-nats per (rank, freq) row — round(ln·10⁶) is the same
+    exact integer on both engines — and every OLS moment (Σx, Σy,
+    Σxy, Σx², Σy²) is an exact BIGINT sum of those integers, so no
+    summation-order ulp drift can reach the 6-dp slope/intercept/R²
+    (the charlm micro-bit convention). Ties in frequency rank by
+    token string so row_number is engine-independent.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    toks = documents.select(
+        "lang",
+        F.explode(F.split(F.lower(clean_text(F.col("text"))), " ")).alias(
+            "tok"
+        ),
+    ).where(F.col("tok") != "")
+    # freq feeds BOTH the totals branch and the rank-head branch;
+    # persisting the vocabulary-sized frame keeps the corpus explode
+    # to ONE pass (the signature-table convention)
+    freq = _persist(
+        toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    )
+    totals = freq.groupBy("lang").agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("tok"))
+    head = (
+        freq.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= max_rank)
+        .select(
+            "lang",
+            F.round(F.log(F.col("r").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("n").cast("double")) * 1e6, 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    sums = head.groupBy("lang").agg(
+        F.count("*").alias("fit_ranks"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # The closed-form OLS runs in doubles FROM the exact integer sums:
+    # n·Σxy can top 2⁶³, but double(cnt)·double(Σxy) rounds the same
+    # exact integers identically on both engines.
+    cnt = F.col("fit_ranks").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    num = cnt * F.col("sxy").cast("double") - sx * sy
+    den_x = cnt * F.col("sxx").cast("double") - sx * sx
+    den_y = cnt * F.col("syy").cast("double") - sy * sy
+    slope = num / F.nullif(den_x, F.lit(0.0))
+    return (
+        sums.join(totals, "lang")
+        .select(
+            "lang",
+            "vocab_size",
+            "total_tokens",
+            "fit_ranks",
+            ratio(slope).alias("zipf_slope"),
+            # sums are micro-nats; /10⁶ returns the intercept to
+            # ln-space before the 6-dp round
+            ratio((sy - slope * sx) / cnt / 1e6).alias("zipf_intercept"),
+            ratio(
+                num * num / F.nullif(den_x * den_y, F.lit(0.0))
+            ).alias("zipf_r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+def tokenizer_fertility(documents: DataFrame) -> DataFrame:
+    """Tokenizer fertility report per (lang, source): subword tokens
+    per whitespace word and characters per subword token — the
+    standard "how many pieces does the tokenizer shred a word into"
+    metric a pipeline tracks per language/source before committing a
+    tokenizer (high fertility = wasted sequence length for that
+    slice). Token definitions are EXACTLY ``token_count``'s
+    (whitespace words over the cleaned text; the wordpiece-ish
+    letters/digits/symbol regex over the raw text), so the two
+    reports cannot disagree on counts.
+
+    Scale: pure per-row projections folded by one map-side-combinable
+    groupBy over (lang, source) — output bounded by the slice count.
+    The ratios are exact integer micro-divisions (``micro_div``), so
+    no float summation touches the result.
+    """
+    toks = _tokens(F.col("text"))
+    sub = F.size(
+        F.expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")
+    )
+    per = documents.select(
+        "lang",
+        "source",
+        F.size(toks).cast("long").alias("n_ws"),
+        sub.cast("long").alias("n_sub"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_ws").alias("ws_tokens"),
+            F.sum("n_sub").alias("subword_tokens"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "ws_tokens",
+            "subword_tokens",
+            micro_div("subword_tokens", "ws_tokens").alias("fertility_micro"),
+            micro_div("chars", "subword_tokens").alias(
+                "chars_per_subword_micro"
+            ),
+        )
+        .orderBy("lang", "source")
+    )

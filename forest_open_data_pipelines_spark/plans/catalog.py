@@ -713,6 +713,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "report_fallback_blocks": lambda s, d: timeseries.report_fallback_blocks(
         timeseries.monthly_series(_enriched(s, d))
     ),
+    "token_zipf_fit": lambda s, d: textops.token_zipf_fit(
+        load_table(s, d, "documents")
+    ),
+    "tokenizer_fertility": lambda s, d: textops.tokenizer_fertility(
+        load_table(s, d, "documents")
+    ),
+    "cluster_size_histogram": lambda s, d: dedup.cluster_size_histogram(
+        load_table(s, d, "documents")
+    ),
+    "embedding_drift_report": lambda s, d: similarity.embedding_drift_report(
+        load_table(s, d, "embeddings")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -763,8 +775,18 @@ _R8_WINDOW: tuple[str, ...] = (
     "html_list_parse",
     "manifest_status",
     "top_biomes_month_comparison",
-    # refresh: r4-vintage rows (30 of 37)
-    "nation_year_matrix",
+    # round-8 extension additions (first rows; each displaces an
+    # r4-vintage refresh slot whose family keeps a newer green row:
+    # nation_year_matrix (nation_month_matrix_augmented r5),
+    # top_nations_with_other (nation_series_with_other r7),
+    # dedup_simhash (dedup_simhash64 r6 + simhash_budget_sweep r7),
+    # ann_topk_bruteforce (ann_method_eval r6 re-verifies it as the
+    # recall ground truth)
+    "token_zipf_fit",
+    "tokenizer_fertility",
+    "cluster_size_histogram",
+    "embedding_drift_report",
+    # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
     "ytd_comparison",
@@ -775,7 +797,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "schema_audit",
     "research_trends",
     "monthly_chart_spec",
-    "top_nations_with_other",
     "series_alignment_metrics",
     "daily_series",
     "region_rank",
@@ -784,8 +805,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "freshness_latest",
     "token_count",
     "doc_fingerprint",
-    "dedup_simhash",
-    "ann_topk_bruteforce",
     "top_customers",
     "events_sessionize",
     "region_nation_cube",

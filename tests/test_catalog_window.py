@@ -40,6 +40,11 @@ MUST_BE_IN_WINDOW = {
     "corpus_shard_plan",
     "quality_threshold_sweep",
     "report_fallback_blocks",
+    # round-8 extension additions (first rows)
+    "token_zipf_fit",
+    "tokenizer_fertility",
+    "cluster_size_histogram",
+    "embedding_drift_report",
 }
 
 

@@ -4756,3 +4756,190 @@ def test_report_fallback_blocks_match_reference_builder(spark):
             assert got[(block, locale)] == expected[block][locale], (
                 block, locale, got[(block, locale)], expected[block][locale]
             )
+
+
+def test_token_zipf_fit_ols_recount(spark):
+    """Zipf fit: corpus totals reconcile with a direct count, the head
+    depth is min(vocab, max_rank), and the slope/intercept/R² match a
+    NumPy OLS over the same micro-nat quantized (rank, freq) head for
+    every language. The bench corpus is word-sampled from a skewed
+    pool, so the slope must be negative with a non-trivial fit."""
+    import math
+
+    import numpy as np
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        ZIPF_FIT_MAX_RANK,
+        clean_text,
+        token_zipf_fit,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = {r["lang"]: r for r in token_zipf_fit(docs).collect()}
+    freq_rows = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.split(F.lower(clean_text(F.col("text"))), " ")
+            ).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .count()
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in freq_rows:
+        by_lang.setdefault(r["lang"], []).append((r["count"], r["tok"]))
+    assert set(rows) == set(by_lang)
+    for lang, freqs in by_lang.items():
+        row = rows[lang]
+        assert row["vocab_size"] == len(freqs)
+        assert row["total_tokens"] == sum(n for n, _ in freqs)
+        assert row["fit_ranks"] == min(len(freqs), ZIPF_FIT_MAX_RANK)
+        head = sorted(freqs, key=lambda p: (-p[0], p[1]))[:ZIPF_FIT_MAX_RANK]
+        x = np.array(
+            [round(math.log(i + 1) * 1e6) for i in range(len(head))]
+        )
+        y = np.array([round(math.log(n) * 1e6) for n, _ in head])
+        n = float(len(head))
+        num = n * float(x @ y) - x.sum() * y.sum()
+        den_x = n * float(x @ x) - float(x.sum()) ** 2
+        den_y = n * float(y @ y) - float(y.sum()) ** 2
+        slope = num / den_x
+        assert abs(row["zipf_slope"] - slope) < 2e-6
+        assert abs(
+            row["zipf_intercept"] - (y.sum() - slope * x.sum()) / n / 1e6
+        ) < 2e-6
+        assert abs(row["zipf_r2"] - num * num / (den_x * den_y)) < 2e-6
+        # the synthetic corpus samples ~31 words near-uniformly per
+        # lang, so the law is FLAT (slope ~ -0.2, R^2 ~ 0.09) — the
+        # exact machine-generated/template signature the diagnostic
+        # exists to flag (natural language runs slope ~ -1, high R^2)
+        assert -0.5 < row["zipf_slope"] < 0.0
+        assert 0.0 < row["zipf_r2"] < 0.3
+
+
+def test_tokenizer_fertility_reconciles_with_token_count(spark):
+    """Fertility report: per-slice token totals reconcile exactly with
+    token_count's per-doc columns, and both micro ratios equal the
+    half-up integer division of those totals."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        token_count,
+        tokenizer_fertility,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = tokenizer_fertility(docs).collect()
+    per_doc = {
+        r["doc_id"]: r for r in token_count(docs).collect()
+    }
+    meta = {
+        r["doc_id"]: (r["lang"], r["source"], len(r["text"]))
+        for r in docs.select("doc_id", "lang", "source", "text").collect()
+    }
+    agg: dict = {}
+    for doc_id, (lang, source, n_chars) in meta.items():
+        t = per_doc[doc_id]
+        cur = agg.setdefault((lang, source), [0, 0, 0, 0])
+        cur[0] += 1
+        cur[1] += t["n_tokens"]
+        cur[2] += t["n_subword_tokens"]
+        cur[3] += n_chars
+
+    def md(a: int, b: int) -> int:
+        return a * 1_000_000 // b + (1 if (a * 1_000_000 % b) * 2 >= b else 0)
+
+    assert len(rows) == len(agg)
+    for r in rows:
+        n_docs, ws, sub, chars = agg[(r["lang"], r["source"])]
+        assert r["n_docs"] == n_docs
+        assert r["ws_tokens"] == ws
+        assert r["subword_tokens"] == sub
+        assert r["fertility_micro"] == md(sub, ws)
+        assert r["chars_per_subword_micro"] == md(chars, sub)
+
+
+def test_cluster_size_histogram_reconciles_with_clusters(spark):
+    """Histogram rows reconcile with dedup_clusters exactly: per-row
+    n_docs = size x n_clusters, totals cover every document, shares
+    sum to ~1e6 ppm, and removable mass prices canonical-keeping."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        cluster_size_histogram,
+        dedup_clusters,
+        release_persisted,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    try:
+        rows = cluster_size_histogram(docs).collect()
+        labels = dedup_clusters(docs).collect()
+    finally:
+        release_persisted()
+    sizes: dict = {}
+    for r in labels:
+        if r["is_canonical"]:
+            sizes[r["cluster_size"]] = sizes.get(r["cluster_size"], 0) + 1
+    assert {r["cluster_size"]: r["n_clusters"] for r in rows} == sizes
+    for r in rows:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        kept = r["n_clusters"]  # one canonical per cluster
+        assert r["removable_ppm"] == (
+            (r["n_docs"] - kept) * 1_000_000 * 2 + r["n_docs"]
+        ) // (2 * r["n_docs"])
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert abs(sum(r["doc_share_ppm"] for r in rows) - 1_000_000) <= len(rows)
+
+
+def test_embedding_drift_report_numpy_recount(spark):
+    """Drift report vs a NumPy recount with the same 6-dp quantization
+    points: global/label centroids, centroid-vs-global cosine, and the
+    micro-averaged member cosine agree to the last digit; shares cover
+    the corpus."""
+    import numpy as np
+
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        embedding_drift_report,
+    )
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    try:
+        rows = {r["label"]: r for r in embedding_drift_report(emb).collect()}
+    finally:
+        release_persisted()
+    data = emb.select("label", "embedding").collect()
+    vecs = np.array([r["embedding"] for r in data], dtype=np.float64)
+    labels = np.array([r["label"] for r in data])
+    gcent = np.round(vecs.mean(axis=0), 6)
+    gnorm = float(np.sqrt(gcent @ gcent))
+    assert sum(r["n_vecs"] for r in rows.values()) == len(data)
+    assert (
+        abs(sum(r["vec_share_ppm"] for r in rows.values()) - 1_000_000)
+        <= len(rows)
+    )
+    for lab, r in rows.items():
+        mask = labels == lab
+        assert r["n_vecs"] == int(mask.sum())
+        cent = np.round(vecs[mask].mean(axis=0), 6)
+        cnorm = float(np.sqrt(cent @ cent))
+        assert abs(r["centroid_norm"] - round(cnorm, 6)) < 2e-6
+        assert (
+            abs(
+                r["centroid_cos_to_global"]
+                - round(float(cent @ gcent) / (cnorm * gnorm), 6)
+            )
+            < 2e-6
+        )
+        member = np.round(
+            vecs[mask] @ gcent
+            / (np.sqrt((vecs[mask] ** 2).sum(axis=1)) * gnorm),
+            6,
+        )
+        micro = np.round(member * 1e6)
+        assert (
+            abs(r["avg_member_cos_to_global"] - round(float(micro.mean())) / 1e6)
+            < 2e-6
+        )

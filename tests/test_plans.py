@@ -210,13 +210,34 @@ def test_mensal_links_and_govbr_are_pure_projections(spark):
 
 def test_chart_spec_scoped_single_fact_aggregation(spark):
     """The carousel spec derives every scope from ONE grouping-sets
-    aggregate of the fact scan per consumer branch — the expand node
-    appears, and no per-scope filter stack of separate scans."""
+    aggregate of the fact scan, localCheckpoint-ed so the ref/pivot/
+    spine consumers read the materialized rows instead of re-running
+    the scan+expand (the round-8 scan audit): the aggregate phase
+    shows Expand over a single fact scan, and the downstream plan
+    shows zero fact scans — only the checkpointed RDD."""
+    from forest_open_data_pipelines_spark.operators.social import (
+        carousel_scope_aggregate,
+    )
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        orders_enriched,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    enriched = orders_enriched(
+        *[load_table(spark, SF_DIR, t)
+          for t in ("orders", "customer", "nation", "region")]
+    )
+    agg_plan = (
+        carousel_scope_aggregate(enriched)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Expand" in agg_plan  # grouping sets, not per-scope passes
+    assert len([s for s in _read_schemas(agg_plan) if "o_custkey" in s]) == 1
+
     plan = _plan(spark, "monthly_chart_spec_scoped")
-    assert "Expand" in plan  # grouping sets
+    assert "Scan ExistingRDD" in plan  # all consumers read the checkpoint
     orders_scans = [s for s in _read_schemas(plan) if "o_custkey" in s]
-    # ref scalar + pivot branches may rescan, but never once per scope
-    assert 0 < len(orders_scans) <= 3, orders_scans
+    assert orders_scans == [], orders_scans
 
 
 def test_ppjoin_prefix_join_no_cartesian(spark):
