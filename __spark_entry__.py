@@ -6570,6 +6570,54 @@ SELECT cluster_size, n_clusters, n_docs,
        {_md("n_docs", "t_docs")} AS doc_share_ppm,
        {_md("(cluster_size - 1) * n_clusters", "n_docs")} AS removable_ppm
 FROM per, tot ORDER BY cluster_size"""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOP_K,
+    )
+
+    bm25_q = ", ".join(
+        f"('{qid}', '{t}')" for qid, terms in BM25_QUERIES for t in terms
+    )
+    out["bm25_topk"] = f"""
+WITH toks AS (SELECT doc_id, string_split({lclean}, ' ') AS t FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM toks, unnest(t) AS u(term)
+  WHERE term != ''
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl
+          FROM dl),
+q(query_id, term) AS (VALUES {bm25_q}),
+qd AS (
+  SELECT q.query_id, q.term,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * 1000000.0)::BIGINT AS idf_micro,
+         total_dl::DOUBLE / n_docs::DOUBLE AS avgdl
+  FROM q JOIN dft USING (term), stats
+),
+scored AS (
+  SELECT qd.query_id, tf.doc_id,
+         sum(round(idf_micro * ((tf * {BM25_K1 + 1.0!r}) /
+             (tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+              + {BM25_B!r} * dl.dl::DOUBLE / avgdl))))::BIGINT)::BIGINT
+           AS score_micro,
+         count(*)::BIGINT AS n_terms
+  FROM tf JOIN qd USING (term) JOIN dl USING (doc_id)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_micro DESC, doc_id)::INT AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, n_terms,
+       round(score_micro / 1000000.0, 6) AS bm25
+FROM ranked WHERE rank <= {BM25_TOP_K} ORDER BY query_id, rank"""
     out["embedding_drift_report"] = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
 ex AS (

@@ -180,6 +180,7 @@ HEADLINE = [
     "token_zipf_fit",
     "tokenizer_fertility",
     "embedding_drift_report",
+    "bm25_topk",
     # cluster_size_histogram re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_canonical_by_quality.

@@ -1669,3 +1669,121 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+#: BM25 constants (the standard Robertson/Lucene parametrization) and
+#: the frozen benchmark query set — literal token lists over the
+#: corpus vocabulary, the bounded frozen-query convention of
+#: ``route_nearest_query``.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("q_join", ("fast", "hash", "join")),
+    ("q_scan", ("table", "scan", "filter")),
+    ("q_window", ("window", "order", "data")),
+    ("q_customer", ("customer", "query", "value")),
+)
+
+
+def bm25_topk(
+    documents: DataFrame,
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = BM25_QUERIES,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """BM25 top-``k`` lexical retrieval over the corpus for a frozen
+    query set — the sparse-retrieval complement to the dense ANN
+    family (used in training pipelines for retrieval-based
+    decontamination, targeted corpus slicing, and hard-negative
+    mining next to `ann_topk_*`). Lucene-shape scoring:
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (never negative),
+    tf saturation tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)).
+
+    Engine-portable scoring: idf is quantized to integer micro-nats
+    once per matched term (the ``tfidf_top_terms`` pattern), each
+    (term, doc) contribution is rounded to an exact LONG, and the
+    per-(query, doc) score is a sum of longs — partitioning cannot
+    reorder it. Ranks tie-break on doc_id.
+
+    Scale: ONE token pass builds the (doc, term, tf) table; dl and df
+    both REDUCE it (no second corpus scan). The query set joins as a
+    broadcast literal (≤ queries·terms rows, df attached on the tiny
+    side first), so the corpus-side filter is a broadcast hash join —
+    no term-keyed corpus shuffle; the only wide exchanges are the tf
+    groupBy and the doc-keyed dl attach of the matched subset.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    spark = documents.sparkSession
+    term = F.explode(F.split(F.lower(clean_text(F.col("text"))), " ")).alias(
+        "term"
+    )
+    tf = _persist(
+        spread(documents)
+        .select("doc_id", term)
+        .where(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id string, term string",
+    )
+    # df + idf attach on the TINY query side (vocabulary join against
+    # ≤ queries·terms broadcast rows), so the corpus never shuffles on
+    # term for the match
+    idf_micro = F.round(
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    qd = (
+        df_t.join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "term",
+            idf_micro.alias("idf_micro"),
+            (
+                F.col("total_dl").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("avgdl"),
+        )
+    )
+    frac = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1
+        * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    contrib = F.round(F.col("idf_micro") * frac, 0).cast("long")
+    scored = (
+        tf.join(F.broadcast(qd), "term")
+        .join(dl, "doc_id")
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_micro"), F.count(F.lit(1)).alias("n_terms"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "n_terms",
+            ratio(F.col("score_micro") / F.lit(1e6)).alias("bm25"),
+        )
+        .orderBy("query_id", "rank")
+    )

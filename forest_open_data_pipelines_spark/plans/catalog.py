@@ -725,6 +725,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_drift_report": lambda s, d: similarity.embedding_drift_report(
         load_table(s, d, "embeddings")
     ),
+    "bm25_topk": lambda s, d: textops.bm25_topk(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -781,11 +784,13 @@ _R8_WINDOW: tuple[str, ...] = (
     # top_nations_with_other (nation_series_with_other r7),
     # dedup_simhash (dedup_simhash64 r6 + simhash_budget_sweep r7),
     # ann_topk_bruteforce (ann_method_eval r6 re-verifies it as the
-    # recall ground truth)
+    # recall ground truth); bm25_topk displaces freshness_cadence
+    # (freshness_watch_signals r7 + freshness_latest in-window)
     "token_zipf_fit",
     "tokenizer_fertility",
     "cluster_size_histogram",
     "embedding_drift_report",
+    "bm25_topk",
     # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
@@ -801,7 +806,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "daily_series",
     "region_rank",
     "abstract_reconstruct",
-    "freshness_cadence",
     "freshness_latest",
     "token_count",
     "doc_fingerprint",

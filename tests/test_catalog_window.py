@@ -45,6 +45,7 @@ MUST_BE_IN_WINDOW = {
     "tokenizer_fertility",
     "cluster_size_histogram",
     "embedding_drift_report",
+    "bm25_topk",
 }
 
 

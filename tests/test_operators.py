@@ -4943,3 +4943,83 @@ def test_embedding_drift_report_numpy_recount(spark):
             abs(r["avg_member_cos_to_global"] - round(float(micro.mean())) / 1e6)
             < 2e-6
         )
+
+
+def test_bm25_topk_python_recount(spark):
+    """BM25 vs a pure-Python recount with the same micro quantization
+    points: identical top-k (query, rank, doc, n_terms) and 6-dp
+    scores; every returned doc matches at least one query term; ranks
+    are dense from 1."""
+    import math
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERIES,
+        BM25_TOP_K,
+        bm25_topk,
+        clean_text,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    try:
+        rows = bm25_topk(docs).collect()
+    finally:
+        release_persisted()
+    toks = {
+        r["doc_id"]: [
+            t for t in r["t"].lower().split(" ") if t
+        ]
+        for r in docs.select(
+            "doc_id", clean_text(F.col("text")).alias("t")
+        ).collect()
+    }
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df: dict = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    expected = {}
+    for qid, terms in BM25_QUERIES:
+        scores = {}
+        nmatch = {}
+        for doc_id, ts in toks.items():
+            s = 0
+            m = 0
+            for t in terms:
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                m += 1
+                idf_micro = round(
+                    math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5)) * 1e6
+                )
+                frac = (tf * (BM25_K1 + 1.0)) / (
+                    tf
+                    + BM25_K1
+                    * (1.0 - BM25_B + BM25_B * len(ts) / avgdl)
+                )
+                s += round(idf_micro * frac)
+            if m:
+                scores[doc_id] = s
+                nmatch[doc_id] = m
+        top = sorted(scores, key=lambda d: (-scores[d], d))[:BM25_TOP_K]
+        expected[qid] = [
+            (rank + 1, d, nmatch[d], round(scores[d] * 1e-6, 6))
+            for rank, d in enumerate(top)
+        ]
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["n_terms"], r["bm25"])
+        )
+    assert set(got) == set(expected)
+    for qid in expected:
+        got_q = sorted(got[qid])
+        assert [g[:3] for g in got_q] == [e[:3] for e in expected[qid]], qid
+        for g, e in zip(got_q, expected[qid]):
+            assert abs(g[3] - e[3]) < 2e-6, (qid, g, e)
