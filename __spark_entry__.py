@@ -6618,6 +6618,56 @@ ranked AS (
 SELECT query_id, rank, doc_id, n_terms,
        round(score_micro / 1000000.0, 6) AS bm25
 FROM ranked WHERE rank <= {BM25_TOP_K} ORDER BY query_id, rank"""
+    out["bm25_route"] = f"""
+WITH per AS (
+  SELECT doc_id, list_filter(string_split({lclean}, ' '), x -> x != '') AS t,
+         len(list_filter(string_split({lclean}, ' '), x -> x != ''))::BIGINT
+           AS dl
+  FROM documents
+),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS total_dl
+          FROM per),
+q(query_id, term) AS (VALUES {bm25_q}),
+dft AS (
+  SELECT term, count(*) AS df
+  FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM per)
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY term
+),
+qd AS (
+  SELECT q.query_id, q.term,
+         round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * 1000000.0)::BIGINT AS idf_micro,
+         total_dl::DOUBLE / n_docs::DOUBLE AS avgdl
+  FROM q JOIN dft USING (term), stats
+),
+contrib AS (
+  SELECT p.doc_id, qd.query_id,
+         CASE WHEN len(list_filter(p.t, x -> x = qd.term)) > 0
+              THEN round(qd.idf_micro
+                   * ((len(list_filter(p.t, x -> x = qd.term))
+                       * {BM25_K1 + 1.0!r})
+                      / (len(list_filter(p.t, x -> x = qd.term))
+                         + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                           + {BM25_B!r} * p.dl::DOUBLE / qd.avgdl))))::BIGINT
+              ELSE 0 END AS c
+  FROM per p CROSS JOIN qd
+),
+perq AS (
+  SELECT doc_id, query_id, sum(c)::BIGINT AS score FROM contrib GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, query_id, score,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score DESC, query_id) AS rn,
+         count(*) FILTER (WHERE score > 0) OVER (PARTITION BY doc_id)
+           AS n_matched
+  FROM perq
+)
+SELECT doc_id, query_id AS best_query_id,
+       round(score / 1000000.0, 6) AS best_bm25,
+       n_matched::INT AS n_queries_matched
+FROM ranked WHERE rn = 1 ORDER BY doc_id"""
     out["embedding_drift_report"] = f"""
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
 ex AS (

@@ -181,6 +181,7 @@ HEADLINE = [
     "tokenizer_fertility",
     "embedding_drift_report",
     "bm25_topk",
+    "bm25_route",
     # cluster_size_histogram re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_canonical_by_quality.

@@ -1787,3 +1787,137 @@ def bm25_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def collect_bm25_index(
+    documents: DataFrame,
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = BM25_QUERIES,
+) -> tuple[list[tuple[str, str, int]], float]:
+    """Bounded BM25 index metadata from a STATIC corpus snapshot:
+    ``[(query_id, term, idf_micro), ...]`` (≤ queries·terms rows) and
+    the average document length. The IVF-centroid/route-query
+    convention — the stream twin must score against FROZEN stats, or
+    arrival order would change every verdict; a production pipeline
+    persists this beside the corpus and refreshes it on compaction.
+    idf quantization is identical to ``bm25_topk``'s."""
+    toks = F.filter(
+        F.split(F.lower(clean_text(F.col("text"))), " "), lambda x: x != ""
+    )
+    per = documents.select(F.size(toks).alias("dl"), toks.alias("t"))
+    stats = per.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+    ).first()
+    n_docs, total_dl = stats["n_docs"], stats["total_dl"]
+    wanted = sorted({t for _, terms in queries for t in terms})
+    df_rows = (
+        per.select(F.explode(F.array_distinct("t")).alias("term"))
+        .where(F.col("term").isin(wanted))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    df_map = {r["term"]: r["df"] for r in df_rows}
+    import math
+
+    index = [
+        (
+            qid,
+            t,
+            round(
+                math.log(
+                    1.0
+                    + (n_docs - df_map.get(t, 0) + 0.5)
+                    / (df_map.get(t, 0) + 0.5)
+                )
+                * 1e6
+            ),
+        )
+        for qid, terms in queries
+        for t in terms
+        if t in df_map
+    ]
+    return index, total_dl / n_docs
+
+
+def bm25_route_cols(
+    index: list[tuple[str, str, int]],
+    avgdl: float,
+    toks: Column,
+) -> tuple[Column, Column, Column]:
+    """(best_query_id, best_score_micro, n_queries_matched) literal
+    expressions over a token-array column — pure per-row Catalyst
+    folds shared by batch ``bm25_route`` and the streaming gate, so
+    the two are row-identical by construction. Ties argmax to the
+    smallest query index via a (score, -index) struct max."""
+    dl = F.size(toks)
+    qids = sorted({qid for qid, _, _ in index})
+
+    # NOT a default-arg lambda: pyspark dispatches higher-order
+    # lambdas on arity, so a (x, t=term) signature would be called as
+    # the (element, index) form and compare tokens to array indexes
+    def _tf(term: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    per_query: list[Column] = []
+    for i, qid in enumerate(qids):
+        contribs = []
+        for q, term, idf_micro in index:
+            if q != qid:
+                continue
+            tf = _tf(term)
+            frac = (tf * (BM25_K1 + 1.0)) / (
+                tf
+                + BM25_K1
+                * (1.0 - BM25_B + BM25_B * dl.cast("double") / F.lit(avgdl))
+            )
+            contribs.append(
+                F.when(tf > 0, F.round(F.lit(idf_micro) * frac, 0).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+        score = contribs[0]
+        for c in contribs[1:]:
+            score = score + c
+        per_query.append(F.struct(score.alias("s"), F.lit(-i).alias("ni")))
+    arr = F.array(*per_query)
+    best = F.array_max(arr)
+    qid_lit = F.array(*[F.lit(q) for q in qids])
+    best_qid = F.element_at(qid_lit, -best["ni"] + 1)
+    n_matched = F.size(F.filter(arr, lambda s: s["s"] > 0))
+    return best_qid, best["s"], n_matched
+
+
+def bm25_route(
+    documents: DataFrame,
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = BM25_QUERIES,
+) -> DataFrame:
+    """Tag every document with its best-matching frozen BM25 query —
+    the lexical twin of ``route_nearest_query`` (dense) and the batch
+    half of the streaming retrieval gate: per doc the argmax query,
+    its 6-dp score, and how many queries match at all (score > 0).
+
+    Scale: the index is a bounded collect (≤ queries·terms rows + two
+    scalars) from the static corpus; scoring is then a PURE projection
+    — no join, no shuffle beyond the index build's own reductions —
+    so the per-row cost at 100 TB is queries·terms in-codegen array
+    scans, and the same expressions serve the unbounded stream."""
+    index, avgdl = collect_bm25_index(documents, queries)
+    toks = F.filter(
+        F.split(F.lower(clean_text(F.col("text"))), " "), lambda x: x != ""
+    )
+    # materialize the token array once, then score over it (two
+    # stacked projections — the clean/split regex chain runs ONCE per
+    # row instead of once per query term)
+    best_qid, best_micro, n_matched = bm25_route_cols(
+        index, avgdl, F.col("t")
+    )
+    return (
+        documents.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            best_qid.alias("best_query_id"),
+            ratio(best_micro.cast("double") / F.lit(1e6)).alias("best_bm25"),
+            n_matched.alias("n_queries_matched"),
+        )
+        .orderBy("doc_id")
+    )

@@ -728,6 +728,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": lambda s, d: textops.bm25_topk(
         load_table(s, d, "documents")
     ),
+    "bm25_route": lambda s, d: textops.bm25_route(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -785,12 +788,15 @@ _R8_WINDOW: tuple[str, ...] = (
     # dedup_simhash (dedup_simhash64 r6 + simhash_budget_sweep r7),
     # ann_topk_bruteforce (ann_method_eval r6 re-verifies it as the
     # recall ground truth); bm25_topk displaces freshness_cadence
-    # (freshness_watch_signals r7 + freshness_latest in-window)
+    # (freshness_watch_signals r7 + freshness_latest in-window);
+    # bm25_route displaces token_count (tokenizer_fertility in-window
+    # byte-shares token_count's definitions and reconciles its sums)
     "token_zipf_fit",
     "tokenizer_fertility",
     "cluster_size_histogram",
     "embedding_drift_report",
     "bm25_topk",
+    "bm25_route",
     # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
@@ -807,7 +813,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "region_rank",
     "abstract_reconstruct",
     "freshness_latest",
-    "token_count",
     "doc_fingerprint",
     "top_customers",
     "events_sessionize",

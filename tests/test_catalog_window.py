@@ -46,6 +46,7 @@ MUST_BE_IN_WINDOW = {
     "cluster_size_histogram",
     "embedding_drift_report",
     "bm25_topk",
+    "bm25_route",
 }
 
 

@@ -1373,3 +1373,48 @@ def test_anomaly_cache_compaction_restart_convergence(spark, tmp_path):
     batch = daily_anomaly_report(events).collect()
     key = lambda r: tuple(r)
     assert sorted(map(key, final)) == sorted(map(key, batch))
+
+
+def test_bm25_route_stream_matches_batch(spark, tmp_path):
+    """The BM25 gate is stateless over frozen index metadata, so the
+    streamed emissions must equal the batch bm25_route rows exactly
+    (same collect_bm25_index snapshot on both sides)."""
+    import shutil
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        bm25_route,
+        collect_bm25_index,
+    )
+    from forest_open_data_pipelines_spark.streaming.bm25_gate import (
+        bm25_route_stream,
+    )
+
+    src = tmp_path / "bm25_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/documents.parquet", src / "batch1.parquet")
+    docs = load_table(spark, SF_DIR, "documents")
+    index, avgdl = collect_bm25_index(docs)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    query = (
+        bm25_route_stream(stream, index, avgdl)
+        .writeStream.format("memory")
+        .queryName("bm25_route_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_bm25"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM bm25_route_test").collect()
+    finally:
+        query.stop()
+    batch = bm25_route(docs).collect()
+    key = lambda r: (
+        r["doc_id"], r["best_query_id"], r["best_bm25"], r["n_queries_matched"]
+    )
+    assert sorted(map(key, emitted)) == sorted(map(key, batch))
+    assert emitted, "gate emitted nothing"
