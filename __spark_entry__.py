@@ -6618,6 +6618,34 @@ ranked AS (
 SELECT query_id, rank, doc_id, n_terms,
        round(score_micro / 1000000.0, 6) AS bm25
 FROM ranked WHERE rank <= {BM25_TOP_K} ORDER BY query_id, rank"""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        HARD_NEG_HI,
+        HARD_NEG_SKIP,
+    )
+
+    out["hard_negative_mining"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         round(list_dot_product(q.emb, c.emb)
+               / (sqrt(list_dot_product(q.emb, q.emb))
+                  * sqrt(list_dot_product(c.emb, c.emb))), 6) AS cosine
+  FROM e q JOIN e c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < 8
+),
+ranked AS (
+  SELECT query_id, cand_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, cand_id)::INTEGER
+           AS overall_rank
+  FROM scored WHERE cosine < {HARD_NEG_HI!r}
+)
+SELECT query_id, (overall_rank - {HARD_NEG_SKIP})::INTEGER AS rank,
+       cand_id, cosine, overall_rank
+FROM ranked
+WHERE overall_rank > {HARD_NEG_SKIP}
+  AND overall_rank <= {HARD_NEG_SKIP} + 10
+ORDER BY query_id, rank"""
     out["bm25_route"] = f"""
 WITH per AS (
   SELECT doc_id, list_filter(string_split({lclean}, ' '), x -> x != '') AS t,

@@ -182,6 +182,7 @@ HEADLINE = [
     "embedding_drift_report",
     "bm25_topk",
     "bm25_route",
+    "hard_negative_mining",
     # cluster_size_histogram re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_canonical_by_quality.

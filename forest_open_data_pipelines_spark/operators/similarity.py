@@ -1436,3 +1436,81 @@ def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: Hard-negative mining window: per anchor, the top `skip` most-similar
+#: candidates are treated as latent positives/near-duplicates and
+#: excluded; the next `k` are the hard negatives. A cosine ceiling
+#: additionally guards against a duplicate-heavy corpus where even
+#: rank skip+1 is still a copy.
+HARD_NEG_SKIP = 5
+HARD_NEG_HI = 0.9
+
+
+def hard_negative_mining(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    skip: int = HARD_NEG_SKIP,
+    hi: float = HARD_NEG_HI,
+) -> DataFrame:
+    """Per-anchor hard-negative candidates for contrastive training:
+    skip the top ``skip`` most-similar vectors (latent positives /
+    near-duplicates), take the next ``k`` as negatives — the standard
+    "sample negatives from the top of the ranking, excluding likely
+    positives" mining recipe next to in-batch negatives — with a
+    cosine ceiling ``hi`` guarding the duplicate-heavy case where
+    rank ``skip+1`` is still a copy. Anchors follow
+    ``ann_topk_bruteforce``'s frozen-query convention
+    (vec_id < n_queries); ``overall_rank`` keeps each negative's
+    position in the full ranking for sampling-curriculum use.
+
+    Scale: identical shape to ``ann_topk_bruteforce`` — anchors
+    broadcast, candidate norms computed once before the fan-out, the
+    ceiling filter prunes before the per-anchor rank window (at
+    100 TB the bruteforce scan is the recall baseline; the banded
+    IVF/LSH variants generate candidates for the same window). The
+    ceiling compares against the 6-dp-rounded cosine, so the boundary
+    verdict is engine-exact.
+    """
+    queries = F.broadcast(
+        embeddings.where(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            _norm(F.col("embedding")).alias("q_norm"),
+        )
+    )
+    cand = spread(embeddings).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _norm(F.col("embedding")).alias("c_norm"),
+    )
+    cos = ratio(
+        _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    )
+    scored = (
+        cand.join(queries)
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine"))
+        .where(F.col("cosine") < hi)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("overall_rank", F.row_number().over(w))
+        .where(
+            (F.col("overall_rank") > skip)
+            & (F.col("overall_rank") <= skip + k)
+        )
+        .select(
+            "query_id",
+            (F.col("overall_rank") - skip).alias("rank"),
+            "cand_id",
+            "cosine",
+            "overall_rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -731,6 +731,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_route": lambda s, d: textops.bm25_route(
         load_table(s, d, "documents")
     ),
+    "hard_negative_mining": lambda s, d: similarity.hard_negative_mining(
+        load_table(s, d, "embeddings")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -790,13 +793,16 @@ _R8_WINDOW: tuple[str, ...] = (
     # recall ground truth); bm25_topk displaces freshness_cadence
     # (freshness_watch_signals r7 + freshness_latest in-window);
     # bm25_route displaces token_count (tokenizer_fertility in-window
-    # byte-shares token_count's definitions and reconciles its sums)
+    # byte-shares token_count's definitions and reconciles its sums);
+    # hard_negative_mining displaces doc_fingerprint (the winnowing
+    # family in-window builds on the same rolling-hash fingerprints)
     "token_zipf_fit",
     "tokenizer_fertility",
     "cluster_size_histogram",
     "embedding_drift_report",
     "bm25_topk",
     "bm25_route",
+    "hard_negative_mining",
     # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
@@ -813,7 +819,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "region_rank",
     "abstract_reconstruct",
     "freshness_latest",
-    "doc_fingerprint",
     "top_customers",
     "events_sessionize",
     "region_nation_cube",

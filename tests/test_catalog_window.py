@@ -47,6 +47,7 @@ MUST_BE_IN_WINDOW = {
     "embedding_drift_report",
     "bm25_topk",
     "bm25_route",
+    "hard_negative_mining",
 }
 
 

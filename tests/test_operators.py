@@ -5023,3 +5023,44 @@ def test_bm25_topk_python_recount(spark):
         assert [g[:3] for g in got_q] == [e[:3] for e in expected[qid]], qid
         for g, e in zip(got_q, expected[qid]):
             assert abs(g[3] - e[3]) < 2e-6, (qid, g, e)
+
+
+def test_hard_negative_mining_rank_window_invariants(spark):
+    """Mined negatives are exactly ann_topk_bruteforce's sub-ceiling
+    ranking with the top `skip` removed and the next k kept: never the
+    anchor, never at/above the cosine ceiling, dense ranks 1..k per
+    anchor, overall_rank = rank + skip, and the candidate lists agree
+    with a recount over the full bruteforce scoring."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        HARD_NEG_HI,
+        HARD_NEG_SKIP,
+        ann_topk_bruteforce,
+        hard_negative_mining,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = hard_negative_mining(emb).collect()
+    assert rows, "no hard negatives mined on the bench corpus"
+    per: dict = {}
+    for r in rows:
+        assert r["cosine"] < HARD_NEG_HI
+        assert r["cand_id"] != r["query_id"]
+        assert r["overall_rank"] == r["rank"] + HARD_NEG_SKIP
+        per.setdefault(r["query_id"], []).append((r["rank"], r["cand_id"]))
+    for q, rs in per.items():
+        assert [r for r, _ in sorted(rs)] == list(range(1, len(rs) + 1)), q
+    # bruteforce with a huge k = the full scored pair list; ceiling +
+    # skip-window over it must reproduce the miner exactly
+    full = ann_topk_bruteforce(emb, k=10**9).collect()
+    expected: dict = {}
+    for r in full:
+        if r["cosine"] < HARD_NEG_HI:
+            expected.setdefault(r["query_id"], []).append(
+                (-r["cosine"], r["cand_id"])
+            )
+    for q in expected:
+        window = [
+            c for _, c in sorted(expected[q])
+        ][HARD_NEG_SKIP:HARD_NEG_SKIP + 10]
+        assert [c for _, c in sorted(per.get(q, []))] == window, q
+    assert set(per) == set(expected)
