@@ -6646,6 +6646,49 @@ FROM ranked
 WHERE overall_rank > {HARD_NEG_SKIP}
   AND overall_rank <= {HARD_NEG_SKIP} + 10
 ORDER BY query_id, rank"""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        HYBRID_QUERY_ANCHORS,
+        RRF_K,
+    )
+
+    anchors_vals = ", ".join(
+        f"('{q}', {v})" for q, v in HYBRID_QUERY_ANCHORS
+    )
+    out["hybrid_rrf_topk"] = f"""
+WITH sparse AS (
+  SELECT query_id, doc_id, rank AS sparse_rank FROM ({out["bm25_topk"]})
+),
+dense0 AS (
+  SELECT query_id AS anchor_id, cand_id AS doc_id, rank AS dense_rank
+  FROM ({out["ann_topk_bruteforce"]})
+),
+anchors(query_id, anchor_vec) AS (VALUES {anchors_vals}),
+dense AS (
+  SELECT a.query_id, d.doc_id, d.dense_rank
+  FROM dense0 d JOIN anchors a ON d.anchor_id = a.anchor_vec
+),
+fused AS (
+  SELECT coalesce(s.query_id, d.query_id) AS query_id,
+         coalesce(s.doc_id, d.doc_id) AS doc_id,
+         s.sparse_rank, d.dense_rank
+  FROM sparse s FULL OUTER JOIN dense d
+    ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+),
+scoredr AS (
+  SELECT query_id, doc_id, sparse_rank, dense_rank,
+         (coalesce({_md("1", f"{RRF_K} + sparse_rank")}, 0)
+          + coalesce({_md("1", f"{RRF_K} + dense_rank")}, 0))::BIGINT
+           AS rrf_micro
+  FROM fused
+)
+SELECT query_id,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id)::INTEGER
+         AS rank,
+       doc_id, sparse_rank, dense_rank, rrf_micro
+FROM scoredr
+QUALIFY rank <= 10
+ORDER BY query_id, rank"""
     out["bm25_route"] = f"""
 WITH per AS (
   SELECT doc_id, list_filter(string_split({lclean}, ' '), x -> x != '') AS t,

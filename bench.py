@@ -183,6 +183,7 @@ HEADLINE = [
     "bm25_topk",
     "bm25_route",
     "hard_negative_mining",
+    "hybrid_rrf_topk",
     # cluster_size_histogram re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_canonical_by_quality.

@@ -1514,3 +1514,89 @@ def hard_negative_mining(
         )
         .orderBy("query_id", "rank")
     )
+
+
+#: RRF smoothing constant (the standard k=60 from Cormack et al.) and
+#: the frozen text-query → anchor-vector pairing for the hybrid
+#: benchmark set: each BM25 text query is fused with one frozen dense
+#: anchor (ann_topk_bruteforce's vec_id < n convention).
+RRF_K = 60
+HYBRID_QUERY_ANCHORS: tuple[tuple[str, int], ...] = (
+    ("q_join", 0),
+    ("q_scan", 1),
+    ("q_window", 2),
+    ("q_customer", 3),
+)
+
+
+def hybrid_rrf_topk(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    k: int = 10,
+    rrf_k: int = RRF_K,
+) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: fuse each frozen
+    text query's BM25 ranking with its paired dense anchor's cosine
+    ranking — RRF(d) = Σ 1/(rrf_k + rank_i(d)) over the rankers that
+    returned d — the standard modern hybrid-search shape (sparse
+    catches lexical matches dense misses; dense catches paraphrases
+    sparse misses; RRF needs no score calibration between them).
+
+    Engine-portable fusion: each 1/(rrf_k + rank) contribution is an
+    exact half-up integer micro-division, and the fused score is the
+    sum of at most two such longs — no float ever orders the ranking;
+    ties break on doc_id.
+
+    Scale: both input rankings are top-k per query (bounded —
+    queries·k rows each), so the fusion itself is a full outer join +
+    projection over tiny frames; the heavy lifting stays inside
+    ``bm25_topk`` / ``ann_topk_bruteforce`` (or any banded ANN/ppjoin
+    variant swapped in as the candidate generator at corpus scale).
+    """
+    from forest_open_data_pipelines_spark.functions.columns import micro_div
+    from forest_open_data_pipelines_spark.operators.textops import bm25_topk
+
+    spark = documents.sparkSession
+    anchors = spark.createDataFrame(
+        list(HYBRID_QUERY_ANCHORS), "query_id string, anchor_vec long"
+    )
+    sparse = bm25_topk(documents, k=k).select(
+        "query_id",
+        "doc_id",
+        F.col("rank").alias("sparse_rank"),
+    )
+    dense = (
+        ann_topk_bruteforce(embeddings, k=k)
+        .withColumnRenamed("query_id", "anchor_id")
+        .join(
+            F.broadcast(anchors),
+            F.col("anchor_id") == F.col("anchor_vec"),
+        )
+        .select(
+            "query_id",
+            F.col("cand_id").alias("doc_id"),
+            F.col("rank").alias("dense_rank"),
+        )
+    )
+    from pyspark.sql import Window
+
+    fused = sparse.join(dense, ["query_id", "doc_id"], "full_outer")
+    rrf = F.coalesce(
+        micro_div("1", f"{rrf_k} + sparse_rank"), F.lit(0)
+    ) + F.coalesce(micro_div("1", f"{rrf_k} + dense_rank"), F.lit(0))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("doc_id")
+    )
+    return (
+        fused.select(
+            "query_id", "doc_id", "sparse_rank", "dense_rank",
+            rrf.alias("rrf_micro"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id",
+            "sparse_rank", "dense_rank", "rrf_micro",
+        )
+        .orderBy("query_id", "rank")
+    )

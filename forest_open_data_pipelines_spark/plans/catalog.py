@@ -734,6 +734,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negative_mining": lambda s, d: similarity.hard_negative_mining(
         load_table(s, d, "embeddings")
     ),
+    "hybrid_rrf_topk": lambda s, d: similarity.hybrid_rrf_topk(
+        *_t(s, d, "documents", "embeddings")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -795,7 +798,10 @@ _R8_WINDOW: tuple[str, ...] = (
     # bm25_route displaces token_count (tokenizer_fertility in-window
     # byte-shares token_count's definitions and reconciles its sums);
     # hard_negative_mining displaces doc_fingerprint (the winnowing
-    # family in-window builds on the same rolling-hash fingerprints)
+    # family in-window builds on the same rolling-hash fingerprints);
+    # hybrid_rrf_topk displaces events_asof_attribution
+    # (clicks_before_purchase r4 shares asof.py's join machinery and
+    # the family keeps its r4 row)
     "token_zipf_fit",
     "tokenizer_fertility",
     "cluster_size_histogram",
@@ -803,6 +809,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "bm25_topk",
     "bm25_route",
     "hard_negative_mining",
+    "hybrid_rrf_topk",
     # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
@@ -823,7 +830,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "events_sessionize",
     "region_nation_cube",
     "part_brand_stats",
-    "events_asof_attribution",
 )
 assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)
 

@@ -48,6 +48,7 @@ MUST_BE_IN_WINDOW = {
     "bm25_topk",
     "bm25_route",
     "hard_negative_mining",
+    "hybrid_rrf_topk",
 }
 
 

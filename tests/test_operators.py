@@ -5064,3 +5064,67 @@ def test_hard_negative_mining_rank_window_invariants(spark):
         ][HARD_NEG_SKIP:HARD_NEG_SKIP + 10]
         assert [c for _, c in sorted(per.get(q, []))] == window, q
     assert set(per) == set(expected)
+
+
+def test_hybrid_rrf_topk_fusion_recount(spark):
+    """RRF fusion reconciles exactly with its two base rankers: every
+    (sparse_rank, dense_rank) pair matches bm25_topk /
+    ann_topk_bruteforce, rrf_micro is the sum of the half-up micro
+    reciprocals, and the top-k ordering is (rrf desc, doc_id)."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        HYBRID_QUERY_ANCHORS,
+        RRF_K,
+        ann_topk_bruteforce,
+        hybrid_rrf_topk,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import bm25_topk
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    try:
+        rows = hybrid_rrf_topk(docs, emb).collect()
+        sparse = {
+            (r["query_id"], r["doc_id"]): r["rank"]
+            for r in bm25_topk(docs).collect()
+        }
+        anchor_of = dict((v, q) for q, v in HYBRID_QUERY_ANCHORS)
+        dense = {
+            (anchor_of[r["query_id"]], r["cand_id"]): r["rank"]
+            for r in ann_topk_bruteforce(emb).collect()
+            if r["query_id"] in anchor_of
+        }
+    finally:
+        release_persisted()
+
+    def md(a: int, b: int) -> int:
+        return a * 1_000_000 // b + (1 if (a * 1_000_000 % b) * 2 >= b else 0)
+
+    fused: dict = {}
+    for (q, d), r in sparse.items():
+        fused.setdefault((q, d), [None, None])[0] = r
+    for (q, d), r in dense.items():
+        fused.setdefault((q, d), [None, None])[1] = r
+    expected_scores = {
+        k: (md(1, RRF_K + rs) if rs else 0) + (md(1, RRF_K + rd) if rd else 0)
+        for k, (rs, rd) in fused.items()
+    }
+    per: dict = {}
+    for r in rows:
+        k = (r["query_id"], r["doc_id"])
+        rs, rd = fused[k]
+        assert r["sparse_rank"] == rs and r["dense_rank"] == rd, k
+        assert r["rrf_micro"] == expected_scores[k], k
+        per.setdefault(r["query_id"], []).append(
+            (r["rank"], -r["rrf_micro"], r["doc_id"])
+        )
+    for q, rs in per.items():
+        ordered = sorted(rs)
+        assert [x[0] for x in ordered] == list(range(1, len(ordered) + 1))
+        assert ordered == sorted(rs, key=lambda x: (x[1], x[2])), q
+        top = sorted(
+            ((-expected_scores[(qq, d)], d) for (qq, d) in fused if qq == q)
+        )[:10]
+        assert [(s, d) for _, s, d in ordered] == top, q
