@@ -1410,9 +1410,17 @@ def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
         ).alias("cos"),
     )
     micro = F.round(F.col("cos") * 1e6, 0)
-    per = member.groupBy("label").agg(
-        F.count("*").alias("n_vecs"),
-        (F.round(F.avg(micro), 0) / 1e6).alias("avg_member_cos_to_global"),
+    # per feeds both the final select and the share total; persisting
+    # the ≤-labels-row frame keeps the member scoring scan to ONE pass
+    # (unpersisted, Catalyst re-runs the branch for the total as a
+    # label-only scan — column-pruned but still a full table pass)
+    per = _persist(
+        member.groupBy("label").agg(
+            F.count("*").alias("n_vecs"),
+            (F.round(F.avg(micro), 0) / 1e6).alias(
+                "avg_member_cos_to_global"
+            ),
+        )
     )
     cent_vs_glob = cent_arr.join(F.broadcast(glob_arr)).select(
         "label",
