@@ -6689,6 +6689,39 @@ SELECT query_id,
 FROM scoredr
 QUALIFY rank <= 10
 ORDER BY query_id, rank"""
+    out["dataset_card"] = f"""
+WITH m AS (SELECT * FROM ({out["curation_gate_matrix"]})),
+flags AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(n_tokens)::BIGINT AS n_tokens,
+         sum(CASE WHEN passes_repetition THEN 1 ELSE 0 END)::BIGINT AS n_rep,
+         sum(CASE WHEN passes_charlm THEN 1 ELSE 0 END)::BIGINT AS n_lm,
+         sum(CASE WHEN pii_free THEN 1 ELSE 0 END)::BIGINT AS n_pii,
+         sum(CASE WHEN coalesce(contaminated, false) THEN 1 ELSE 0
+             END)::BIGINT AS n_contam,
+         sum(CASE WHEN passes_all THEN 1 ELSE 0 END)::BIGINT AS n_pass,
+         sum(CASE WHEN passes_all THEN n_tokens ELSE 0 END)::BIGINT
+           AS tokens_kept
+  FROM m
+),
+breadth AS (
+  SELECT count(DISTINCT lang)::BIGINT AS n_langs,
+         count(DISTINCT source)::BIGINT AS n_sources,
+         sum(octet_length(encode(text)))::BIGINT AS n_bytes
+  FROM documents
+),
+fp AS (
+  SELECT count(*)::BIGINT AS n_fingerprints FROM ({out["dedup_exact"]})
+)
+SELECT n_docs, n_langs, n_sources, n_tokens, n_bytes, n_fingerprints,
+       {_md("n_docs - n_fingerprints", "n_docs")} AS exact_dup_ppm,
+       {_md("n_rep", "n_docs")} AS repetition_pass_ppm,
+       {_md("n_lm", "n_docs")} AS charlm_pass_ppm,
+       {_md("n_pii", "n_docs")} AS pii_free_ppm,
+       {_md("n_contam", "n_docs")} AS contaminated_ppm,
+       {_md("n_pass", "n_docs")} AS pass_all_ppm,
+       {_md("tokens_kept", "n_tokens")} AS tokens_kept_ppm
+FROM flags, breadth, fp"""
     out["bm25_route"] = f"""
 WITH per AS (
   SELECT doc_id, list_filter(string_split({lclean}, ' '), x -> x != '') AS t,

@@ -184,6 +184,9 @@ HEADLINE = [
     "bm25_route",
     "hard_negative_mining",
     "hybrid_rrf_topk",
+    # dataset_card re-runs the full gate matrix (already benched as
+    # curation_gate_matrix) plus dedup_exact — a release report, not a
+    # throughput query; driver correctness window only.
     # cluster_size_histogram re-runs the full clusters closure
     # (already benched as dedup_clusters) — kept out of the headline
     # like dedup_canonical_by_quality.

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from forest_open_data_pipelines_spark.functions.columns import ratio
+from forest_open_data_pipelines_spark.functions.columns import micro_div, ratio
 from forest_open_data_pipelines_spark.operators.dedup import (
     _md5_int,
     hashed_shingle_table,
@@ -1330,4 +1330,69 @@ def quality_threshold_sweep(
             micro_div("tokens_kept", "total_tokens").alias("token_share_ppm"),
         )
         .orderBy("min_tokens", "min_quality")
+    )
+
+
+def dataset_card(documents: DataFrame) -> DataFrame:
+    """The one-row corpus release card: the summary table a training-
+    data release ships with (docs/tokens/bytes, language and source
+    breadth, exact-duplicate rate, and the pass rate + surviving token
+    mass of every curation gate). Composes the per-document
+    ``curation_gate_matrix`` and ``dedup_exact`` — each column is the
+    corresponding first-class operator's own output reduced to corpus
+    level, so the card is definitionally consistent with the gates
+    (and the oracles compose identically).
+
+    Scale: the gate matrix is the curation working table a production
+    run already persists; the card adds one combinable aggregate over
+    it, one pruned documents pass (lang/source/byte breadth), and the
+    fingerprint-table count. All rates are exact ``micro_div`` ppm.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import dedup_exact
+
+    m = curation_gate_matrix(documents)
+    flags = m.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum(F.when(F.col("passes_repetition"), 1).otherwise(0)).alias(
+            "n_rep"
+        ),
+        F.sum(F.when(F.col("passes_charlm"), 1).otherwise(0)).alias("n_lm"),
+        F.sum(F.when(F.col("pii_free"), 1).otherwise(0)).alias("n_pii"),
+        F.sum(
+            F.when(F.coalesce(F.col("contaminated"), F.lit(False)), 1).otherwise(0)
+        ).alias("n_contam"),
+        F.sum(F.when(F.col("passes_all"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(
+            F.when(F.col("passes_all"), F.col("n_tokens")).otherwise(0)
+        ).alias("tokens_kept"),
+    )
+    breadth = documents.agg(
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.octet_length("text")).alias("n_bytes"),
+    )
+    fingerprints = dedup_exact(documents).agg(
+        F.count(F.lit(1)).alias("n_fingerprints")
+    )
+    return (
+        flags.join(F.broadcast(breadth))
+        .join(F.broadcast(fingerprints))
+        .select(
+            "n_docs",
+            "n_langs",
+            "n_sources",
+            "n_tokens",
+            "n_bytes",
+            "n_fingerprints",
+            micro_div("n_docs - n_fingerprints", "n_docs").alias(
+                "exact_dup_ppm"
+            ),
+            micro_div("n_rep", "n_docs").alias("repetition_pass_ppm"),
+            micro_div("n_lm", "n_docs").alias("charlm_pass_ppm"),
+            micro_div("n_pii", "n_docs").alias("pii_free_ppm"),
+            micro_div("n_contam", "n_docs").alias("contaminated_ppm"),
+            micro_div("n_pass", "n_docs").alias("pass_all_ppm"),
+            micro_div("tokens_kept", "n_tokens").alias("tokens_kept_ppm"),
+        )
     )

@@ -737,6 +737,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hybrid_rrf_topk": lambda s, d: similarity.hybrid_rrf_topk(
         *_t(s, d, "documents", "embeddings")
     ),
+    "dataset_card": lambda s, d: curation.dataset_card(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -801,7 +804,9 @@ _R8_WINDOW: tuple[str, ...] = (
     # family in-window builds on the same rolling-hash fingerprints);
     # hybrid_rrf_topk displaces events_asof_attribution
     # (clicks_before_purchase r4 shares asof.py's join machinery and
-    # the family keeps its r4 row)
+    # the family keeps its r4 row); dataset_card displaces
+    # monthly_chart_spec (the scoped twin's r5 row + focos_llm_payload
+    # r6 build on the same spec machinery)
     "token_zipf_fit",
     "tokenizer_fertility",
     "cluster_size_histogram",
@@ -810,6 +815,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "bm25_route",
     "hard_negative_mining",
     "hybrid_rrf_topk",
+    "dataset_card",
     # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
@@ -820,7 +826,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "state_biome_monthly_series",
     "schema_audit",
     "research_trends",
-    "monthly_chart_spec",
     "series_alignment_metrics",
     "daily_series",
     "region_rank",

@@ -49,6 +49,7 @@ MUST_BE_IN_WINDOW = {
     "bm25_route",
     "hard_negative_mining",
     "hybrid_rrf_topk",
+    "dataset_card",
 }
 
 

@@ -5128,3 +5128,57 @@ def test_hybrid_rrf_topk_fusion_recount(spark):
             ((-expected_scores[(qq, d)], d) for (qq, d) in fused if qq == q)
         )[:10]
         assert [(s, d) for _, s, d in ordered] == top, q
+
+
+def test_dataset_card_reconciles_with_components(spark):
+    """The release card's every column reconciles with its source
+    operator: counts/sums from curation_gate_matrix, fingerprints from
+    dedup_exact, breadth from the raw table, all ppm rates the exact
+    half-up micro division of those integers."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        curation_gate_matrix,
+        dataset_card,
+    )
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_exact,
+        release_persisted,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    try:
+        card = dataset_card(docs).collect()
+        assert len(card) == 1
+        card = card[0]
+        m = curation_gate_matrix(docs).collect()
+        n_fp = dedup_exact(docs).count()
+    finally:
+        release_persisted()
+
+    def md(a: int, b: int) -> int:
+        return a * 1_000_000 // b + (1 if (a * 1_000_000 % b) * 2 >= b else 0)
+
+    n_docs = len(m)
+    assert card["n_docs"] == n_docs == docs.count()
+    assert card["n_tokens"] == sum(r["n_tokens"] for r in m)
+    assert card["n_fingerprints"] == n_fp
+    assert card["exact_dup_ppm"] == md(n_docs - n_fp, n_docs)
+    assert card["repetition_pass_ppm"] == md(
+        sum(1 for r in m if r["passes_repetition"]), n_docs
+    )
+    assert card["charlm_pass_ppm"] == md(
+        sum(1 for r in m if r["passes_charlm"]), n_docs
+    )
+    assert card["pii_free_ppm"] == md(
+        sum(1 for r in m if r["pii_free"]), n_docs
+    )
+    assert card["contaminated_ppm"] == md(
+        sum(1 for r in m if r["contaminated"]), n_docs
+    )
+    assert card["pass_all_ppm"] == md(
+        sum(1 for r in m if r["passes_all"]), n_docs
+    )
+    assert card["tokens_kept_ppm"] == md(
+        sum(r["n_tokens"] for r in m if r["passes_all"]), card["n_tokens"]
+    )
+    assert card["n_langs"] == docs.select("lang").distinct().count()
+    assert card["n_sources"] == docs.select("source").distinct().count()
