@@ -104,6 +104,17 @@ OPS = {
     # output over a linearly growing window input. dedup_semantic is
     # embeddings-based — out of this documents-replication probe; its
     # pair space is cell-bounded by construction (n²/k).
+    # round-8 extension: the lexical retrieval family. bm25_topk's
+    # query-side join is a broadcast literal, so only the (doc, term)
+    # tf aggregate grows with the corpus (rotation leaves the
+    # vocabulary and hence df/idf unchanged); bm25_route is the same
+    # tf-free projection per row and should probe ~flat per doc.
+    # token_zipf_fit reduces to the (lang, token) vocabulary, which
+    # rotation leaves unchanged — only the explode grows.
+    "bm25_topk": _textops_op("bm25_topk"),
+    "bm25_route": _textops_op("bm25_route"),
+    "token_zipf_fit": _textops_op("token_zipf_fit"),
+    "tokenizer_fertility": _textops_op("tokenizer_fertility"),
     "boilerplate_ngrams": _textops_op("boilerplate_ngrams"),
     "stratified_topk_sample": _curation_op("stratified_topk_sample"),
     # round-7 additions. ngram_novelty: rotation PRESERVES most interior
