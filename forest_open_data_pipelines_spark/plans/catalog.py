@@ -840,10 +840,14 @@ assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)
 
 # Round-9 rotation queue (pre-staged; build the _R9_WINDOW from this):
 # 1) any round-8 window row the driver fails — fix first, re-window;
-# 2) the 8 r4-vintage rows round 8 left parked (monthly_by_region,
+# 2) the r4-vintage rows round 8 left parked (monthly_by_region,
 #    nation_month_matrix, annual_series, annual_by_region,
 #    top_regions_yoy, dedup_embedding, events_windowed,
-#    promo_revenue_share, clicks_before_purchase, painel_pdf_links);
+#    promo_revenue_share, clicks_before_purchase, painel_pdf_links,
+#    plus the nine displaced for the round-8 extension entries:
+#    nation_year_matrix, top_nations_with_other, dedup_simhash,
+#    ann_topk_bruteforce, freshness_cadence, token_count,
+#    doc_fingerprint, events_asof_attribution, monthly_chart_spec);
 # 3) then the oldest r5-vintage rows (q1/q3/q5, dedup_exact,
 #    dedup_minhash, pack_sequences, the payload_merge family, ...);
 # 4) everything else keeps its newest green row and stays covered by
