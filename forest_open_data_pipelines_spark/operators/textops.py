@@ -1678,6 +1678,7 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
 BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOP_K = 10
+BM25_TOPK_SHARDS = 32
 BM25_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
     ("q_join", ("fast", "hash", "join")),
     ("q_scan", ("table", "scan", "filter")),
@@ -1710,7 +1711,10 @@ def bm25_topk(
     broadcast literal (≤ queries·terms rows, df attached on the tiny
     side first), so the corpus-side filter is a broadcast hash join —
     no term-keyed corpus shuffle; the only wide exchanges are the tf
-    groupBy and the doc-keyed dl attach of the matched subset.
+    groupBy and the doc-keyed dl attach of the matched subset. The
+    final per-query top-k is a TWO-PHASE exact cut (shard-local top-k
+    then a bounded merge), so a stopword-heavy query can never pull
+    its whole match set into one sort task.
     """
     from forest_open_data_pipelines_spark.operators.dedup import _persist
 
@@ -1772,11 +1776,27 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score_micro"), F.count(F.lit(1)).alias("n_terms"))
     )
+    # Two-phase exact top-k (the stratified_topk_sample scheme): a
+    # stopword-ish query can match a large corpus fraction, and a
+    # single per-query window would sort all its matches in ONE task.
+    # Pass 1 ranks within (query, doc_id % shards) and keeps each
+    # shard's top k; pass 2 ranks the <= shards*k survivors — the
+    # global top-k is contained in the union of shard top-k's, so the
+    # cut is exact and the final sort is bounded by construction.
+    shard = F.pmod(F.col("doc_id"), F.lit(BM25_TOPK_SHARDS))
+    local = Window.partitionBy("query_id", shard).orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    survivors = (
+        scored.withColumn("shard_rank", F.row_number().over(local))
+        .where(F.col("shard_rank") <= k)
+        .drop("shard_rank")
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score_micro"), F.asc("doc_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(
             "query_id",
