@@ -755,3 +755,63 @@ def test_dynamic_partition_pruning_injects_on_star_joins(spark, tmp_path):
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower()
     assert joined.first()["count"] == orders.where(F.col("year") == 1995).count()
+
+
+def test_bm25_topk_no_term_shuffle_join(spark):
+    """The query-term match must be a broadcast join (df/idf attached
+    on the tiny literal side) — never a sort-merge/shuffle join on
+    term — and no cartesian anywhere."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    try:
+        plan = _plan(spark, "bm25_topk")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan or "doc_id" in plan.split(
+            "SortMergeJoin"
+        )[1][:200], "term-keyed SMJ crept into the match path"
+    finally:
+        release_persisted()
+
+
+def test_bm25_route_is_joinless_projection(spark):
+    """The route scores against frozen literal index metadata: zero
+    joins, a single documents scan, no shuffle except the final sort."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    try:
+        plan = _plan(spark, "bm25_route")
+        assert "Join" not in plan
+        assert plan.count("Scan parquet") == 1
+    finally:
+        release_persisted()
+
+
+def test_retrieval_diagnostics_single_live_fact_scan(spark):
+    """token_zipf_fit / tokenizer_fertility / embedding_drift_report
+    keep their fact table at ONE live scan (persisted shared frames;
+    scans under InMemoryRelation materialize once)."""
+    import re as _re
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    for name in (
+        "token_zipf_fit", "tokenizer_fertility", "embedding_drift_report"
+    ):
+        try:
+            plan = _plan(spark, name)
+            live = 0
+            for ln in plan.splitlines():
+                if _re.search(r"(?:File)?Scan parquet\b", ln):
+                    live += 1
+                if "InMemoryRelation" in ln:
+                    break  # everything below the first cache is cached lineage
+            assert live <= 2, (name, live)
+        finally:
+            release_persisted()
