@@ -6553,8 +6553,9 @@ agg AS (
   FROM per GROUP BY 1, 2
 )
 SELECT lang, source, n_docs, ws_tokens, subword_tokens,
-       {_md("subword_tokens", "ws_tokens")} AS fertility_micro,
-       {_md("chars", "subword_tokens")} AS chars_per_subword_micro
+       {_md("subword_tokens", "nullif(ws_tokens, 0)")} AS fertility_micro,
+       {_md("chars", "nullif(subword_tokens, 0)")}
+         AS chars_per_subword_micro
 FROM agg ORDER BY lang, source"""
     out["cluster_size_histogram"] = f"""
 WITH c AS ({out["dedup_clusters"]}),
@@ -6714,13 +6715,13 @@ fp AS (
   SELECT count(*)::BIGINT AS n_fingerprints FROM ({out["dedup_exact"]})
 )
 SELECT n_docs, n_langs, n_sources, n_tokens, n_bytes, n_fingerprints,
-       {_md("n_docs - n_fingerprints", "n_docs")} AS exact_dup_ppm,
-       {_md("n_rep", "n_docs")} AS repetition_pass_ppm,
-       {_md("n_lm", "n_docs")} AS charlm_pass_ppm,
-       {_md("n_pii", "n_docs")} AS pii_free_ppm,
-       {_md("n_contam", "n_docs")} AS contaminated_ppm,
-       {_md("n_pass", "n_docs")} AS pass_all_ppm,
-       {_md("tokens_kept", "n_tokens")} AS tokens_kept_ppm
+       {_md("n_docs - n_fingerprints", "nullif(n_docs, 0)")} AS exact_dup_ppm,
+       {_md("n_rep", "nullif(n_docs, 0)")} AS repetition_pass_ppm,
+       {_md("n_lm", "nullif(n_docs, 0)")} AS charlm_pass_ppm,
+       {_md("n_pii", "nullif(n_docs, 0)")} AS pii_free_ppm,
+       {_md("n_contam", "nullif(n_docs, 0)")} AS contaminated_ppm,
+       {_md("n_pass", "nullif(n_docs, 0)")} AS pass_all_ppm,
+       {_md("tokens_kept", "nullif(n_tokens, 0)")} AS tokens_kept_ppm
 FROM flags, breadth, fp"""
     out["bm25_route"] = f"""
 WITH per AS (

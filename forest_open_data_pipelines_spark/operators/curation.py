@@ -1385,14 +1385,23 @@ def dataset_card(documents: DataFrame) -> DataFrame:
             "n_tokens",
             "n_bytes",
             "n_fingerprints",
-            micro_div("n_docs - n_fingerprints", "n_docs").alias(
+            # nullif guards: an empty corpus still emits the card's
+            # single row (n_docs = 0) — rates go NULL instead of
+            # failing under ANSI mode
+            micro_div("n_docs - n_fingerprints", "nullif(n_docs, 0)").alias(
                 "exact_dup_ppm"
             ),
-            micro_div("n_rep", "n_docs").alias("repetition_pass_ppm"),
-            micro_div("n_lm", "n_docs").alias("charlm_pass_ppm"),
-            micro_div("n_pii", "n_docs").alias("pii_free_ppm"),
-            micro_div("n_contam", "n_docs").alias("contaminated_ppm"),
-            micro_div("n_pass", "n_docs").alias("pass_all_ppm"),
-            micro_div("tokens_kept", "n_tokens").alias("tokens_kept_ppm"),
+            micro_div("n_rep", "nullif(n_docs, 0)").alias(
+                "repetition_pass_ppm"
+            ),
+            micro_div("n_lm", "nullif(n_docs, 0)").alias("charlm_pass_ppm"),
+            micro_div("n_pii", "nullif(n_docs, 0)").alias("pii_free_ppm"),
+            micro_div("n_contam", "nullif(n_docs, 0)").alias(
+                "contaminated_ppm"
+            ),
+            micro_div("n_pass", "nullif(n_docs, 0)").alias("pass_all_ppm"),
+            micro_div("tokens_kept", "nullif(n_tokens, 0)").alias(
+                "tokens_kept_ppm"
+            ),
         )
     )

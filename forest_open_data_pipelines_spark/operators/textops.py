@@ -1662,8 +1662,14 @@ def tokenizer_fertility(documents: DataFrame) -> DataFrame:
             "n_docs",
             "ws_tokens",
             "subword_tokens",
-            micro_div("subword_tokens", "ws_tokens").alias("fertility_micro"),
-            micro_div("chars", "subword_tokens").alias(
+            # nullif guards: a slice of empty documents has zero
+            # subword tokens (and pathological input zero words) — emit
+            # NULL instead of failing under ANSI mode (the
+            # sampled_revenue_estimate convention)
+            micro_div("subword_tokens", "nullif(ws_tokens, 0)").alias(
+                "fertility_micro"
+            ),
+            micro_div("chars", "nullif(subword_tokens, 0)").alias(
                 "chars_per_subword_micro"
             ),
         )
@@ -1829,6 +1835,8 @@ def collect_bm25_index(
         F.sum("dl").alias("total_dl"),
     ).first()
     n_docs, total_dl = stats["n_docs"], stats["total_dl"]
+    if not n_docs:
+        return [], 1.0  # empty snapshot: no index rows, benign avgdl
     wanted = sorted({t for _, terms in queries for t in terms})
     df_rows = (
         per.select(F.explode(F.array_distinct("t")).alias("term"))

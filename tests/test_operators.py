@@ -5182,3 +5182,37 @@ def test_dataset_card_reconciles_with_components(spark):
     )
     assert card["n_langs"] == docs.select("lang").distinct().count()
     assert card["n_sources"] == docs.select("source").distinct().count()
+
+
+def test_round8_extension_ops_degenerate_input(spark):
+    """ANSI-mode hardening: empty/degenerate corpora produce NULL
+    rates or empty frames, never a division-by-zero failure — the
+    sampled_revenue_estimate nullif convention."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        dataset_card,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import (
+        collect_bm25_index,
+        tokenizer_fertility,
+    )
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    empty = spark.createDataFrame([], schema)
+    assert collect_bm25_index(empty) == ([], 1.0)
+    assert tokenizer_fertility(empty).collect() == []
+    card = dataset_card(empty).collect()
+    assert len(card) == 1 and card[0]["n_docs"] == 0
+    assert card[0]["pass_all_ppm"] is None
+    assert card[0]["tokens_kept_ppm"] is None
+
+    # a slice whose documents are all empty text: zero subword tokens
+    # -> NULL chars_per_subword, not an ANSI failure
+    degen = spark.createDataFrame(
+        [(1, "", "en", "s0", 0), (2, "x y", "en", "s1", 3)], schema
+    )
+    rows = {
+        (r["lang"], r["source"]): r
+        for r in tokenizer_fertility(degen).collect()
+    }
+    assert rows[("en", "s0")]["chars_per_subword_micro"] is None
+    assert rows[("en", "s1")]["fertility_micro"] == 1_000_000
