@@ -6723,6 +6723,78 @@ SELECT n_docs, n_langs, n_sources, n_tokens, n_bytes, n_fingerprints,
        {_md("n_pass", "nullif(n_docs, 0)")} AS pass_all_ppm,
        {_md("tokens_kept", "nullif(n_tokens, 0)")} AS tokens_kept_ppm
 FROM flags, breadth, fp"""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        ANN_LSH_BANDS as _BT_BANDS,
+        ANN_LSH_PLANES as _BT_PLANES,
+        BITEXT_KNN,
+        BITEXT_MARGIN,
+    )
+
+    _bt_per_band = _BT_PLANES // _BT_BANDS
+
+    def _bt_banded(lang: str, id_alias: str) -> str:
+        return "\n  UNION ALL\n".join(
+            f"  SELECT vec_id AS {id_alias}, embedding, {b} AS band, "
+            f"{_lsh_sig_sql(list(range(b * _bt_per_band, (b + 1) * _bt_per_band)), 'embedding')}"
+            f" AS key FROM tagged WHERE lang = '{lang}'"
+            for b in range(_BT_BANDS)
+        )
+
+    out["bitext_mining"] = f"""
+WITH tagged AS (
+  SELECT e.vec_id, e.embedding, d.lang
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+),
+sbanded AS (
+{_bt_banded("en", "src_id")}
+),
+tbanded AS (
+{_bt_banded("es", "tgt_id")}
+),
+pairs AS (
+  SELECT src_id, tgt_id,
+         max(round(list_dot_product(s.embedding::DOUBLE[],
+                                    t.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(s.embedding::DOUBLE[],
+                                      s.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(t.embedding::DOUBLE[],
+                                        t.embedding::DOUBLE[]))), 6))
+           AS cosine
+  FROM sbanded s JOIN tbanded t USING (band, key)
+  GROUP BY 1, 2
+),
+knn_src AS (
+  SELECT src_id, round(avg(round(cosine * 1e6)))::BIGINT AS src_knn_micro
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY src_id ORDER BY cosine DESC, tgt_id) AS r
+        FROM pairs)
+  WHERE r <= {BITEXT_KNN} GROUP BY src_id
+),
+knn_tgt AS (
+  SELECT tgt_id, round(avg(round(cosine * 1e6)))::BIGINT AS tgt_knn_micro
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY tgt_id ORDER BY cosine DESC, src_id) AS r
+        FROM pairs)
+  WHERE r <= {BITEXT_KNN} GROUP BY tgt_id
+),
+scored AS (
+  SELECT p.src_id, p.tgt_id, p.cosine,
+         round(p.cosine
+               / nullif((src_knn_micro + tgt_knn_micro)::DOUBLE
+                        / 2.0 / 1000000.0, 0), 6) AS margin
+  FROM pairs p JOIN knn_src USING (src_id) JOIN knn_tgt USING (tgt_id)
+),
+best AS (
+  SELECT *,
+         row_number() OVER (
+           PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS sr,
+         row_number() OVER (
+           PARTITION BY tgt_id ORDER BY margin DESC, src_id) AS tr
+  FROM scored
+)
+SELECT src_id, tgt_id, cosine, margin
+FROM best WHERE sr = 1 AND tr = 1 AND margin >= {BITEXT_MARGIN!r}
+ORDER BY src_id"""
     out["bm25_route"] = f"""
 WITH per AS (
   SELECT doc_id, list_filter(string_split({lclean}, ' '), x -> x != '') AS t,

@@ -1608,3 +1608,125 @@ def hybrid_rrf_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+#: Margin-kNN bitext mining defaults: neighborhood depth for the
+#: margin denominator and the acceptance threshold (Artetxe & Schwenk
+#: 2019 "ratio" margin; CCMatrix mines at ~1.06 on LASER embeddings —
+#: the synthetic near-orthogonal corpus needs the neutral 1.0 floor
+#: plus mutual-best to stay selective, and the threshold is the knob).
+BITEXT_KNN = 4
+BITEXT_MARGIN = 1.0
+
+
+def bitext_mining(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    src_lang: str = "en",
+    tgt_lang: str = "es",
+    k: int = BITEXT_KNN,
+    margin_threshold: float = BITEXT_MARGIN,
+    n_planes: int = ANN_LSH_PLANES,
+    bands: int = ANN_LSH_BANDS,
+    dim: int = 64,
+) -> DataFrame:
+    """Cross-lingual parallel-pair mining, the CCMatrix/LASER shape
+    (Artetxe & Schwenk margin criterion, public methodology): candidate
+    (src, tgt) pairs come from the hyperplane-LSH band join ACROSS the
+    two language slices, each pair scores margin(x, y) =
+    cos(x, y) / ((avg kNN-cos of x in tgt) + (avg kNN-cos of y in
+    src)) / 2, and a pair is mined when it is the MUTUAL margin-best
+    of both sides and clears ``margin_threshold``. This is the
+    training-data op that turns a multilingual crawl into translation
+    pairs.
+
+    Scale: the all-pairs scoring real miners avoid is avoided the
+    same way here — candidates are the band-bucket equi-join
+    (``ann_topk_lsh``'s geometry; margin denominators use the
+    candidate neighborhoods, which is exactly the FAISS-kNN
+    approximation production mining uses). Everything downstream of
+    the band join reduces the bounded pair table: two rank windows for
+    the kNN averages, two for mutual-best.
+
+    Determinism: cosines are 6-dp ratios, kNN averages are exact
+    integer micro-cosine means, the margin divides those and rounds to
+    6 dp, and every rank window tie-breaks on ids — the same
+    conventions as the rest of the embedding family.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    langs = documents.select(F.col("doc_id").alias("vec_id"), "lang")
+    tagged = embeddings.join(langs, "vec_id")
+    src = tagged.where(F.col("lang") == src_lang).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("s_emb")
+    )
+    tgt = tagged.where(F.col("lang") == tgt_lang).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("t_emb")
+    )
+    sb = banded_signatures(
+        src, "src_id", "s_emb", n_planes, bands, dim, carry_embedding=True
+    ).withColumnRenamed("nrm", "s_norm")
+    tb = banded_signatures(
+        tgt, "tgt_id", "t_emb", n_planes, bands, dim, carry_embedding=True
+    ).withColumnRenamed("nrm", "t_norm")
+    cos = ratio(
+        _dot(F.col("s_emb"), F.col("t_emb"))
+        / (F.col("s_norm") * F.col("t_norm"))
+    )
+    pairs = _persist(
+        sb.join(tb, ["band", "key"])
+        .select("src_id", "tgt_id", cos.alias("cosine"))
+        # multi-band matches carry the same cosine; max() dedupes
+        .groupBy("src_id", "tgt_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    from pyspark.sql import Window
+
+    micro = F.round(F.col("cosine") * 1e6, 0).cast("long")
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.desc("cosine"), F.asc("tgt_id")
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.desc("cosine"), F.asc("src_id")
+    )
+    knn_src = (
+        pairs.withColumn("r", F.row_number().over(w_src))
+        .where(F.col("r") <= k)
+        .groupBy("src_id")
+        .agg(F.round(F.avg(micro), 0).cast("long").alias("src_knn_micro"))
+    )
+    knn_tgt = (
+        pairs.withColumn("r", F.row_number().over(w_tgt))
+        .where(F.col("r") <= k)
+        .groupBy("tgt_id")
+        .agg(F.round(F.avg(micro), 0).cast("long").alias("tgt_knn_micro"))
+    )
+    den = (
+        (F.col("src_knn_micro") + F.col("tgt_knn_micro")).cast("double")
+        / 2.0
+        / 1e6
+    )
+    margin = ratio(F.col("cosine") / F.nullif(den, F.lit(0.0)))
+    scored = _persist(
+        pairs.join(knn_src, "src_id")
+        .join(knn_tgt, "tgt_id")
+        .select("src_id", "tgt_id", "cosine", margin.alias("margin"))
+    )
+    m_src = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.asc("tgt_id")
+    )
+    m_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin"), F.asc("src_id")
+    )
+    best = (
+        scored.withColumn("sr", F.row_number().over(m_src))
+        .withColumn("tr", F.row_number().over(m_tgt))
+        .where(
+            (F.col("sr") == 1)
+            & (F.col("tr") == 1)
+            & (F.col("margin") >= margin_threshold)
+        )
+    )
+    return best.select("src_id", "tgt_id", "cosine", "margin").orderBy(
+        "src_id"
+    )

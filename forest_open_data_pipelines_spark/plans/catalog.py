@@ -740,6 +740,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_card": lambda s, d: curation.dataset_card(
         load_table(s, d, "documents")
     ),
+    "bitext_mining": lambda s, d: similarity.bitext_mining(
+        *_t(s, d, "documents", "embeddings")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -806,7 +809,9 @@ _R8_WINDOW: tuple[str, ...] = (
     # (clicks_before_purchase r4 shares asof.py's join machinery and
     # the family keeps its r4 row); dataset_card displaces
     # monthly_chart_spec (the scoped twin's r5 row + focos_llm_payload
-    # r6 build on the same spec machinery)
+    # r6 build on the same spec machinery); bitext_mining displaces
+    # region_nation_cube (region_nation_rollup r5 shares the
+    # grouping-sets machinery)
     "token_zipf_fit",
     "tokenizer_fertility",
     "cluster_size_histogram",
@@ -816,6 +821,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "hard_negative_mining",
     "hybrid_rrf_topk",
     "dataset_card",
+    "bitext_mining",
     # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
@@ -833,7 +839,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "freshness_latest",
     "top_customers",
     "events_sessionize",
-    "region_nation_cube",
     "part_brand_stats",
 )
 assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)

@@ -50,6 +50,7 @@ MUST_BE_IN_WINDOW = {
     "hard_negative_mining",
     "hybrid_rrf_topk",
     "dataset_card",
+    "bitext_mining",
 }
 
 

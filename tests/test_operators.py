@@ -5216,3 +5216,99 @@ def test_round8_extension_ops_degenerate_input(spark):
     }
     assert rows[("en", "s0")]["chars_per_subword_micro"] is None
     assert rows[("en", "s1")]["fertility_micro"] == 1_000_000
+
+
+def test_bitext_mining_margin_recount(spark):
+    """Mined pairs are a one-to-one matching (mutual margin-best):
+    unique src_ids, unique tgt_ids, correct language slices, margins
+    above threshold — and cosine/margin values reconcile with a Python
+    recount of the kNN-margin over the SAME banded candidate pairs."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        ANN_LSH_BANDS,
+        ANN_LSH_PLANES,
+        BITEXT_KNN,
+        BITEXT_MARGIN,
+        banded_signatures,
+        bitext_mining,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    try:
+        rows = bitext_mining(docs, emb).collect()
+        langs = {
+            r["doc_id"]: r["lang"]
+            for r in docs.select("doc_id", "lang").collect()
+        }
+        tagged = emb.join(
+            docs.select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+        )
+        sb = banded_signatures(
+            tagged.where(F.col("lang") == "en").select(
+                F.col("vec_id").alias("src_id"),
+                F.col("embedding").alias("s_emb"),
+            ),
+            "src_id", "s_emb", ANN_LSH_PLANES, ANN_LSH_BANDS,
+            carry_embedding=True,
+        )
+        tb = banded_signatures(
+            tagged.where(F.col("lang") == "es").select(
+                F.col("vec_id").alias("tgt_id"),
+                F.col("embedding").alias("t_emb"),
+            ),
+            "tgt_id", "t_emb", ANN_LSH_PLANES, ANN_LSH_BANDS,
+            carry_embedding=True,
+        )
+        import numpy as np
+
+        cand = (
+            sb.join(tb, ["band", "key"])
+            .select("src_id", "tgt_id", "s_emb", "t_emb")
+            .dropDuplicates(["src_id", "tgt_id"])
+            .collect()
+        )
+    finally:
+        release_persisted()
+    assert rows, "no bitext pairs mined"
+    srcs = [r["src_id"] for r in rows]
+    tgts = [r["tgt_id"] for r in rows]
+    assert len(set(srcs)) == len(srcs) and len(set(tgts)) == len(tgts)
+    for r in rows:
+        assert langs[r["src_id"]] == "en" and langs[r["tgt_id"]] == "es"
+        assert r["margin"] >= BITEXT_MARGIN
+
+    pair_cos: dict = {}
+    for c in cand:
+        a = np.array(c["s_emb"], dtype=np.float64)
+        b = np.array(c["t_emb"], dtype=np.float64)
+        pair_cos[(c["src_id"], c["tgt_id"])] = round(
+            float(a @ b / (np.sqrt(a @ a) * np.sqrt(b @ b))), 6
+        )
+    by_src: dict = {}
+    by_tgt: dict = {}
+    for (s, t), v in pair_cos.items():
+        by_src.setdefault(s, []).append((-v, t))
+        by_tgt.setdefault(t, []).append((-v, s))
+    import math
+
+    def half_up(x: float) -> int:
+        return math.floor(x + 0.5)  # Spark F.round HALF_UP, positive args
+
+    knn_s = {
+        s: half_up(sum(half_up(-v * 1e6) for v, _ in sorted(l)[:BITEXT_KNN])
+                   / min(len(l), BITEXT_KNN))
+        for s, l in by_src.items()
+    }
+    knn_t = {
+        t: half_up(sum(half_up(-v * 1e6) for v, _ in sorted(l)[:BITEXT_KNN])
+                   / min(len(l), BITEXT_KNN))
+        for t, l in by_tgt.items()
+    }
+    for r in rows:
+        key = (r["src_id"], r["tgt_id"])
+        assert abs(r["cosine"] - pair_cos[key]) < 2e-6, key
+        den = (knn_s[r["src_id"]] + knn_t[r["tgt_id"]]) / 2.0 / 1e6
+        assert abs(r["margin"] - round(pair_cos[key] / den, 6)) < 2e-6, key
