@@ -174,9 +174,20 @@ def dedup_ngram_jaccard(
     threshold: float = 0.8,
     max_df: float = NGRAM_MAX_DF,
     max_candidate_pairs: int | None = None,
+    method: str = "count",
 ) -> DataFrame:
     """Near-duplicate pairs by word-n-gram Jaccard ≥ threshold, with a
     hot-shingle document-frequency stop-list on candidate generation.
+
+    ``method`` selects the candidate/verify scheme: ``"count"`` (the
+    default below — the oracle-shaped baseline whose count-verify is
+    bound by pairs×shared-shingles and is deliberately kept as the
+    ground-truth formulation) or ``"prefix"``, which delegates to
+    ``dedup_ngram_ppjoin`` — the SAME pair set (equality asserted in
+    tests) through prefix filtering, the corpus-scale plan every
+    downstream consumer already defaults to. At 100 TB call with
+    ``method="prefix"`` (or use the ppjoin entry directly); the flag
+    makes the entry's own 100× plan selectable in place.
 
     Candidate pairs come from a shared-shingle equi-join (never a cross
     join) over COLD shingles only: shingles appearing in more than
@@ -211,6 +222,12 @@ def dedup_ngram_jaccard(
     tradeoff; spill-safe (MEMORY_AND_DISK) and strictly smaller than
     the shuffles it replaces.
     """
+    if method == "prefix":
+        return dedup_ngram_ppjoin(documents, n=n, threshold=threshold)
+    if method != "count":
+        raise ValueError(
+            f"method={method!r}: expected one of ['count', 'prefix']"
+        )
     with_hot, common = _ngram_pair_commons(
         documents, n, max_df, max_candidate_pairs=max_candidate_pairs
     )

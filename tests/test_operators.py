@@ -5312,3 +5312,29 @@ def test_bitext_mining_margin_recount(spark):
         assert abs(r["cosine"] - pair_cos[key]) < 2e-6, key
         den = (knn_s[r["src_id"]] + knn_t[r["tgt_id"]]) / 2.0 / 1e6
         assert abs(r["margin"] - round(pair_cos[key] / den, 6)) < 2e-6, key
+
+
+def test_jaccard_method_prefix_is_ppjoin(spark):
+    """method='prefix' makes the entry's own 100x plan selectable in
+    place: identical rows to both the count-verify default and
+    dedup_ngram_ppjoin; an unknown method raises."""
+    import pytest as _pytest
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+        dedup_ngram_ppjoin,
+        release_persisted,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    try:
+        count_rows = sorted(map(tuple, dedup_ngram_jaccard(docs).collect()))
+        prefix_rows = sorted(
+            map(tuple, dedup_ngram_jaccard(docs, method="prefix").collect())
+        )
+        ppjoin_rows = sorted(map(tuple, dedup_ngram_ppjoin(docs).collect()))
+    finally:
+        release_persisted()
+    assert prefix_rows == ppjoin_rows == count_rows
+    with _pytest.raises(ValueError, match="method"):
+        dedup_ngram_jaccard(docs, method="bogus")
