@@ -6795,6 +6795,31 @@ best AS (
 SELECT src_id, tgt_id, cosine, margin
 FROM best WHERE sr = 1 AND tr = 1 AND margin >= {BITEXT_MARGIN!r}
 ORDER BY src_id"""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        SHARD_PLAN_DEFAULT as _SHARDS,
+    )
+
+    _shard_key = _MD5_INT.format(expr="'shard-' || doc_id")
+    out["shard_curriculum"] = f"""
+WITH q AS (SELECT doc_id, quality_score FROM ({out["text_quality"]})),
+per AS (
+  SELECT ({_shard_key}) % {_SHARDS} AS shard_id,
+         len(string_split({lclean}, ' '))::BIGINT AS n_toks,
+         round(quality_score * 1e6)::BIGINT AS q_micro
+  FROM documents JOIN q USING (doc_id)
+),
+agg AS (
+  SELECT shard_id, count(*)::BIGINT AS n_docs,
+         sum(n_toks)::BIGINT AS n_tokens,
+         round(avg(q_micro))::BIGINT AS avg_quality_micro,
+         {_md("sum(n_toks)", "count(*)")} AS avg_tokens_per_doc_micro
+  FROM per GROUP BY shard_id
+)
+SELECT shard_id, n_docs, n_tokens, avg_quality_micro,
+       avg_tokens_per_doc_micro,
+       row_number() OVER (
+         ORDER BY avg_quality_micro DESC, shard_id)::INT AS curriculum_rank
+FROM agg ORDER BY shard_id"""
     out["bm25_route"] = f"""
 WITH per AS (
   SELECT doc_id, list_filter(string_split({lclean}, ' '), x -> x != '') AS t,

@@ -185,6 +185,7 @@ HEADLINE = [
     "hard_negative_mining",
     "hybrid_rrf_topk",
     "bitext_mining",
+    "shard_curriculum",
     # dataset_card re-runs the full gate matrix (already benched as
     # curation_gate_matrix) plus dedup_exact — a release report, not a
     # throughput query; driver correctness window only.

@@ -1405,3 +1405,72 @@ def dataset_card(documents: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def shard_curriculum(
+    documents: DataFrame, n_shards: int = SHARD_PLAN_DEFAULT
+) -> DataFrame:
+    """Quality-ordered training curriculum over the shard plan: every
+    shard's doc/token load plus its average quality score and average
+    document length, and a deterministic ``curriculum_rank`` that
+    orders shards highest-average-quality first — the easy-to-hard
+    data-ordering artifact a curriculum-training run consumes next to
+    ``corpus_shard_plan``'s balance audit (same md5 shard assignment,
+    so the two frames describe the same shards).
+
+    Determinism: per-doc quality scores are the 6-dp ``ratio`` of the
+    shared ``quality_metric_cols`` score; the shard average is an
+    exact integer micro-quality mean (the embedding_label_stats
+    convention), so partitioning cannot reorder the curriculum; rank
+    ties break on shard_id.
+
+    Scale: one map-side-combinable groupBy over per-row projections —
+    output is ``n_shards`` rows, and the rank window runs over those
+    rows only.
+    """
+    from forest_open_data_pipelines_spark.operators.textops import (
+        clean_text,
+        quality_metric_cols,
+    )
+
+    _, _, _, score = quality_metric_cols()
+    toks = F.size(F.split(F.lower(clean_text(F.col("text"))), " "))
+    shard = F.pmod(
+        _md5_int(F.concat(F.lit("shard-"), F.col("doc_id").cast("string"))),
+        F.lit(n_shards),
+    )
+    q_micro = F.round(ratio(score) * 1e6, 0).cast("long")
+    per = (
+        spread(documents)
+        .select(
+            shard.alias("shard_id"),
+            toks.cast("long").alias("n_toks"),
+            q_micro.alias("q_micro"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.round(F.avg("q_micro"), 0).cast("long").alias(
+                "avg_quality_micro"
+            ),
+            micro_div("sum(n_toks)", "count(1)").alias(
+                "avg_tokens_per_doc_micro"
+            ),
+        )
+    )
+    w = Window.orderBy(F.desc("avg_quality_micro"), F.asc("shard_id"))
+    return (
+        per.withColumn(
+            "curriculum_rank", F.row_number().over(w).cast("int")
+        )
+        .select(
+            "shard_id",
+            "n_docs",
+            "n_tokens",
+            "avg_quality_micro",
+            "avg_tokens_per_doc_micro",
+            "curriculum_rank",
+        )
+        .orderBy("shard_id")
+    )

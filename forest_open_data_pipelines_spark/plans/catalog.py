@@ -743,6 +743,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bitext_mining": lambda s, d: similarity.bitext_mining(
         *_t(s, d, "documents", "embeddings")
     ),
+    "shard_curriculum": lambda s, d: curation.shard_curriculum(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -811,7 +814,9 @@ _R8_WINDOW: tuple[str, ...] = (
     # monthly_chart_spec (the scoped twin's r5 row + focos_llm_payload
     # r6 build on the same spec machinery); bitext_mining displaces
     # region_nation_cube (region_nation_rollup r5 shares the
-    # grouping-sets machinery)
+    # grouping-sets machinery); shard_curriculum displaces
+    # part_brand_stats (cheapest_supplier_per_part r6 + q16 r7 keep
+    # the part-dimension family green)
     "token_zipf_fit",
     "tokenizer_fertility",
     "cluster_size_histogram",
@@ -822,6 +827,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "hybrid_rrf_topk",
     "dataset_card",
     "bitext_mining",
+    "shard_curriculum",
     # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
@@ -839,7 +845,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "freshness_latest",
     "top_customers",
     "events_sessionize",
-    "part_brand_stats",
 )
 assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)
 

@@ -51,6 +51,7 @@ MUST_BE_IN_WINDOW = {
     "hybrid_rrf_topk",
     "dataset_card",
     "bitext_mining",
+    "shard_curriculum",
 }
 
 

