@@ -6820,6 +6820,65 @@ SELECT shard_id, n_docs, n_tokens, avg_quality_micro,
        row_number() OVER (
          ORDER BY avg_quality_micro DESC, shard_id)::INT AS curriculum_rank
 FROM agg ORDER BY shard_id"""
+    # Multimodal fake-decoder twins: the Arrow kernels' byte math
+    # re-expressed over a hex-pair byte explode of the SAME utf-8
+    # payloads. round6 here is floor(x*1e6 + 0.5)/1e6 — the kernels'
+    # half-up convention (np.round is half-even and k/256 lands on
+    # exact 6-dp halves).
+    def _r6(x: str) -> str:
+        return f"floor(({x}) * 1000000.0 + 0.5) / 1000000.0"
+
+    _media_bytes = """
+b AS (
+  SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n,
+         hex(encode(text)) AS h
+  FROM documents
+),
+positions AS (
+  SELECT media_id, h, unnest(range(0, n)) AS pos FROM b
+),
+bytes AS (
+  SELECT media_id, pos,
+         ('0x' || substr(h, pos * 2 + 1, 2))::INT AS byte
+  FROM positions
+)"""
+    out["multimodal_features"] = f"""
+WITH {_media_bytes},
+agg AS (
+  SELECT media_id, sum(byte)::BIGINT AS s,
+         count(DISTINCT byte)::BIGINT AS d
+  FROM bytes GROUP BY media_id
+)
+SELECT b.media_id, 'text/fake' AS media_type, b.n AS n_bytes,
+       CASE WHEN b.n > 0 THEN {_r6("s::DOUBLE / b.n")} END AS byte_mean,
+       {_r6("coalesce(d, 0)::DOUBLE / 256.0")} AS byte_entropy_proxy
+FROM b LEFT JOIN agg USING (media_id)
+ORDER BY media_id"""
+    out["multimodal_frames"] = f"""
+WITH {_media_bytes},
+frames AS (
+  SELECT media_id, (pos // 64)::BIGINT AS f,
+         count(*)::BIGINT AS frame_bytes, sum(byte)::BIGINT AS fs
+  FROM bytes GROUP BY 1, 2
+)
+SELECT media_id, f AS frame_index, frame_bytes,
+       {_r6("fs::DOUBLE / frame_bytes")} AS frame_mean
+FROM frames WHERE f % 4 = 0
+ORDER BY media_id, frame_index"""
+    out["resize_media"] = f"""
+WITH {_media_bytes},
+grid AS (
+  SELECT media_id, n, unnest(range(0, 256)) AS g FROM b
+),
+sel AS (
+  SELECT g.media_id, g.g,
+         CASE WHEN g.n > 0 THEN coalesce(y.byte, 0) ELSE 0 END AS v
+  FROM grid g LEFT JOIN bytes y
+    ON y.media_id = g.media_id AND y.pos = (g.g * g.n) // 256
+)
+SELECT media_id, 16::BIGINT AS width, 16::BIGINT AS height,
+       {_r6("sum(v)::DOUBLE / 256.0")} AS checksum
+FROM sel GROUP BY media_id ORDER BY media_id"""
     out["bm25_route"] = f"""
 WITH per AS (
   SELECT doc_id, list_filter(string_split({lclean}, ' '), x -> x != '') AS t,

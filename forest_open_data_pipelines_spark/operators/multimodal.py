@@ -74,6 +74,19 @@ def as_media_table(documents: DataFrame) -> DataFrame:
     )
 
 
+def _half_up6(x):
+    """6-dp HALF-UP rounding for non-negative kernel outputs:
+    floor(x·10⁶ + 0.5)/10⁶ — np.round is half-EVEN, and the fake
+    decoder's rationals land on exact 6-dp halves (k/256 for the
+    entropy proxy), which a DuckDB oracle (round = half-away) would
+    disagree on. Matching the scale-then-round convention of
+    ``functions.columns.ratio`` makes every kernel output
+    value-verifiable cross-engine. NaN propagates."""
+    import numpy as np
+
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
 def _flatten_payloads(payloads):
     """One contiguous uint8 buffer + per-row (offsets, lengths) — the
     ragged-array layout every batch kernel here indexes into, so the
@@ -117,7 +130,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             distinct = np.bincount(pairs >> 8, minlength=len(lengths))
             # nullable Float64 so empty payloads surface as NULL (a bare
             # float64 NaN would reach Spark as NaN, not null)
-            byte_mean = pd.array(np.round(mean, 6), dtype="Float64")
+            byte_mean = pd.array(_half_up6(mean), dtype="Float64")
             byte_mean[lengths == 0] = pd.NA
             yield pd.DataFrame(
                 {
@@ -125,7 +138,7 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "media_type": [m["media_type"] for m in pdf["meta"]],
                     "n_bytes": lengths.astype("int64"),
                     "byte_mean": byte_mean,
-                    "byte_entropy_proxy": np.round(distinct / 256.0, 6),
+                    "byte_entropy_proxy": _half_up6(distinct / 256.0),
                 }
             )
 
@@ -243,7 +256,7 @@ def resize_media(
                     "width": np.int64(width),
                     "height": np.int64(height),
                     "resized": [row.tobytes() for row in out],
-                    "checksum": np.round(out.mean(axis=1), 6),
+                    "checksum": _half_up6(out.mean(axis=1)),
                 }
             )
 
@@ -298,7 +311,7 @@ def sample_frames(media: DataFrame, frame_size: int = 64, every_n: int = 4) -> D
                     "media_id": pdf["media_id"].to_numpy()[row_of].astype("int64"),
                     "frame_index": frame_index.astype("int64"),
                     "frame_bytes": frame_bytes.astype("int64"),
-                    "frame_mean": np.round(frame_mean, 6),
+                    "frame_mean": _half_up6(frame_mean),
                 }
             )
 

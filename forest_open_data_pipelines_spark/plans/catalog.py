@@ -828,6 +828,9 @@ _R8_WINDOW: tuple[str, ...] = (
     "dataset_card",
     "bitext_mining",
     "shard_curriculum",
+    "multimodal_features",
+    "multimodal_frames",
+    "resize_media",
     # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
@@ -837,9 +840,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "month_year_comparison",
     "state_biome_monthly_series",
     "schema_audit",
-    "research_trends",
-    "series_alignment_metrics",
-    "daily_series",
     "region_rank",
     "abstract_reconstruct",
     "freshness_latest",

@@ -52,6 +52,10 @@ MUST_BE_IN_WINDOW = {
     "dataset_card",
     "bitext_mining",
     "shard_curriculum",
+    # newly oracle-paired (rows-only until round 8) — first value rows
+    "multimodal_features",
+    "multimodal_frames",
+    "resize_media",
 }
 
 

@@ -765,7 +765,10 @@ def test_multimodal_batch_kernels_handle_empty_payloads(spark):
     assert feats[1].byte_entropy_proxy == 0.0
     assert feats[2].n_bytes == 10
     assert feats[2].byte_mean == 4.5
-    assert feats[2].byte_entropy_proxy == round(10 / 256.0, 6)
+    # 10/256 = 0.0390625 sits exactly on the 6-dp half: the kernels
+    # round HALF-UP (the oracle-mirrorable ratio() convention), not
+    # Python/numpy half-even
+    assert feats[2].byte_entropy_proxy == 0.039063
 
     rs = {r.media_id: r for r in mm.resize_media(media, width=2, height=2).collect()}
     assert rs[1].resized == bytes(4) and rs[1].checksum == 0.0
