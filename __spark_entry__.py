@@ -6879,6 +6879,50 @@ sel AS (
 SELECT media_id, 16::BIGINT AS width, 16::BIGINT AS height,
        {_r6("sum(v)::DOUBLE / 256.0")} AS checksum
 FROM sel GROUP BY media_id ORDER BY media_id"""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        EMB_OUTLIER_Z,
+    )
+
+    _zf = (
+        "round((round({c} * 1e6) - {s}::DOUBLE / n::DOUBLE)"
+        " / nullif(sqrt((n::DOUBLE * {ss}::DOUBLE"
+        " - {s}::DOUBLE * {s}::DOUBLE) / (n::DOUBLE * n::DOUBLE)), 0), 6)"
+    )
+    _zn = _zf.format(c="norm", s="sn", ss="snn")
+    _zc = _zf.format(c="cos_to_global", s="sc", ss="scc")
+    out["embedding_outlier_report"] = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+ex AS (
+  SELECT unnest(range(1, len(emb) + 1)) AS pos, unnest(emb) AS v FROM e
+),
+g AS (SELECT pos, round(avg(v), 6) AS gc FROM ex GROUP BY pos),
+gl AS (SELECT list(gc ORDER BY pos) AS gcent FROM g),
+stats AS (
+  SELECT e.vec_id, e.label,
+         round(sqrt(list_dot_product(e.emb, e.emb)), 6) AS norm,
+         round(list_dot_product(e.emb, gl.gcent)
+               / (sqrt(list_dot_product(e.emb, e.emb))
+                  * sqrt(list_dot_product(gl.gcent, gl.gcent))), 6)
+           AS cos_to_global
+  FROM e, gl
+),
+mom AS (
+  SELECT count(*)::HUGEINT AS n,
+         sum(round(norm * 1e6)::HUGEINT) AS sn,
+         sum(round(norm * 1e6)::HUGEINT * round(norm * 1e6)::HUGEINT)
+           AS snn,
+         sum(round(cos_to_global * 1e6)::HUGEINT) AS sc,
+         sum(round(cos_to_global * 1e6)::HUGEINT
+             * round(cos_to_global * 1e6)::HUGEINT) AS scc
+  FROM stats
+)
+SELECT vec_id, label, norm, cos_to_global,
+       {_zn} AS z_norm,
+       {_zc} AS z_cos,
+       (coalesce(abs({_zn}) > {EMB_OUTLIER_Z!r}, false)
+        OR coalesce(abs({_zc}) > {EMB_OUTLIER_Z!r}, false))
+         AS is_outlier
+FROM stats, mom ORDER BY vec_id"""
     out["bm25_route"] = f"""
 WITH per AS (
   SELECT doc_id, list_filter(string_split({lclean}, ' '), x -> x != '') AS t,

@@ -186,6 +186,7 @@ HEADLINE = [
     "hybrid_rrf_topk",
     "bitext_mining",
     "shard_curriculum",
+    "embedding_outlier_report",
     # dataset_card re-runs the full gate matrix (already benched as
     # curation_gate_matrix) plus dedup_exact — a release report, not a
     # throughput query; driver correctness window only.

@@ -1730,3 +1730,115 @@ def bitext_mining(
     return best.select("src_id", "tgt_id", "cosine", "margin").orderBy(
         "src_id"
     )
+
+
+#: Outlier flag threshold in global z-score units.
+EMB_OUTLIER_Z = 3.0
+
+
+def embedding_outlier_report(
+    embeddings: DataFrame, z_threshold: float = EMB_OUTLIER_Z
+) -> DataFrame:
+    """Per-vector embedding QC: every vector's norm and cosine to the
+    GLOBAL centroid with global z-scores for both, flagging |z| >
+    ``z_threshold`` — the corrupt-embedding gate (zero/truncated/
+    mis-scaled vectors, encoder glitches) a pipeline runs before
+    trusting embeddings for dedup or ANN. Complements
+    ``embedding_drift_report`` (per-label shift) and
+    ``embedding_label_stats`` (cluster cohesion) at the per-vector
+    grain.
+
+    Determinism: norms and cosines are 6-dp ratios; the global
+    mean/std derive from EXACT decimal sums of their integer micro
+    values (Σx, Σx² as DECIMAL(38,0) — overflow-safe at any corpus
+    size, the zipf-moment convention), so no summation order can move
+    a z-score; z itself is the only double math and rounds to 6 dp.
+
+    Scale: one posexplode builds the global centroid (bounded by
+    dims); scoring joins the broadcast one-row centroid; the moment
+    aggregate reduces the per-vector stats to ONE row. Two passes
+    over the persisted per-vector stats frame, nothing corpus-sized
+    shuffles.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    ex = embeddings.select(F.posexplode("embedding").alias("pos", "v"))
+    glob = ex.groupBy("pos").agg(
+        ratio(F.avg(F.col("v").cast("double"))).alias("g")
+    )
+    glob_arr = glob.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "g"))), lambda s: s["g"]
+        ).alias("gcent")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _norm(a):
+        return F.sqrt(
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x
+            )
+        )
+
+    gnorm = _norm("gcent")
+    vnorm = _norm("embedding")
+    stats = _persist(
+        embeddings.join(F.broadcast(glob_arr)).select(
+            "vec_id",
+            "label",
+            ratio(vnorm).alias("norm"),
+            ratio(_dot("embedding", "gcent") / (vnorm * gnorm)).alias(
+                "cos_to_global"
+            ),
+        )
+    )
+    nm = F.round(F.col("norm") * 1e6, 0).cast("decimal(38,0)")
+    cm = F.round(F.col("cos_to_global") * 1e6, 0).cast("decimal(38,0)")
+    mom = stats.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(nm).alias("sn"),
+        F.sum(nm * nm).alias("snn"),
+        F.sum(cm).alias("sc"),
+        F.sum(cm * cm).alias("scc"),
+    )
+
+    def _z(x_micro, s, ss):
+        n = F.col("n").cast("double")
+        mean = F.col(s).cast("double") / n
+        var = (
+            n * F.col(ss).cast("double")
+            - F.col(s).cast("double") * F.col(s).cast("double")
+        ) / (n * n)
+        return ratio(
+            (x_micro.cast("double") - mean)
+            / F.nullif(F.sqrt(var), F.lit(0.0))
+        )
+
+    z_norm = _z(F.round(F.col("norm") * 1e6, 0), "sn", "snn")
+    z_cos = _z(F.round(F.col("cos_to_global") * 1e6, 0), "sc", "scc")
+    return (
+        stats.join(F.broadcast(mom))
+        .select(
+            "vec_id",
+            "label",
+            "norm",
+            "cos_to_global",
+            z_norm.alias("z_norm"),
+            z_cos.alias("z_cos"),
+            # a degenerate axis (zero variance — e.g. unit-normalized
+            # vectors have identical norms) yields NULL z; an
+            # undefined z is NOT an outlier, so each term coalesces
+            # to false instead of letting NULL poison the OR
+            (
+                F.coalesce(F.abs(z_norm) > z_threshold, F.lit(False))
+                | F.coalesce(F.abs(z_cos) > z_threshold, F.lit(False))
+            ).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )

@@ -746,6 +746,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "shard_curriculum": lambda s, d: curation.shard_curriculum(
         load_table(s, d, "documents")
     ),
+    "embedding_outlier_report": lambda s, d: (
+        similarity.embedding_outlier_report(load_table(s, d, "embeddings"))
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -831,6 +834,7 @@ _R8_WINDOW: tuple[str, ...] = (
     "multimodal_features",
     "multimodal_frames",
     "resize_media",
+    "embedding_outlier_report",
     # refresh: r4-vintage rows (26 of 37)
     "top_nations_yoy",
     "rolling_12m",
@@ -838,7 +842,6 @@ _R8_WINDOW: tuple[str, ...] = (
     "highlights",
     "same_month_prev_year",
     "month_year_comparison",
-    "state_biome_monthly_series",
     "schema_audit",
     "region_rank",
     "abstract_reconstruct",

@@ -56,6 +56,7 @@ MUST_BE_IN_WINDOW = {
     "multimodal_features",
     "multimodal_frames",
     "resize_media",
+    "embedding_outlier_report",
 }
 
 

@@ -5365,3 +5365,80 @@ def test_shard_curriculum_reconciles_with_shard_plan(spark):
     )
     for pos, (_, sid) in enumerate(ranks, start=1):
         assert cur[sid]["curriculum_rank"] == pos
+
+
+def test_embedding_outlier_report_numpy_recount(spark):
+    """Norm/cosine z-scores reconcile with a NumPy recount over the
+    same 6-dp quantization points; flags follow |z| > threshold; the
+    near-orthogonal synthetic corpus yields few-but-some outliers."""
+    import numpy as np
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        EMB_OUTLIER_Z,
+        embedding_outlier_report,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    try:
+        rows = {r["vec_id"]: r for r in embedding_outlier_report(emb).collect()}
+    finally:
+        release_persisted()
+    data = emb.select("vec_id", "embedding").collect()
+    vecs = np.array([r["embedding"] for r in data], dtype=np.float64)
+    ids = [r["vec_id"] for r in data]
+    gcent = np.round(vecs.mean(axis=0), 6)
+    gnorm = float(np.sqrt(gcent @ gcent))
+    norms = np.round(np.sqrt((vecs ** 2).sum(axis=1)), 6)
+    coss = np.round(vecs @ gcent / (np.sqrt((vecs ** 2).sum(axis=1)) * gnorm), 6)
+
+    def zs(x):
+        m = np.round(x * 1e6)
+        mean = m.sum() / len(m)
+        var = (len(m) * (m * m).sum() - m.sum() ** 2) / len(m) ** 2
+        if var <= 0:  # degenerate axis: z undefined (NULL on Spark)
+            return np.full(len(m), np.nan)
+        return (m - mean) / np.sqrt(var)
+
+    z_n, z_c = zs(norms), zs(coss)
+    # the synthetic embeddings are unit-normalized: every norm is
+    # identical, the norm axis has ZERO variance, and z_norm is NULL
+    # by design (an undefined z is not an outlier)
+    norm_degenerate = np.all(np.round(norms * 1e6) == np.round(norms[0] * 1e6))
+    n_out = 0
+    for i, vid in enumerate(ids):
+        r = rows[vid]
+        assert abs(r["norm"] - norms[i]) < 2e-6
+        assert abs(r["cos_to_global"] - coss[i]) < 2e-6
+        if norm_degenerate:
+            assert r["z_norm"] is None
+        else:
+            assert abs(r["z_norm"] - round(float(z_n[i]), 6)) < 5e-6
+        assert abs(r["z_cos"] - round(float(z_c[i]), 6)) < 5e-6
+        expected_flag = (
+            r["z_norm"] is not None and abs(r["z_norm"]) > EMB_OUTLIER_Z
+        ) or abs(r["z_cos"]) > EMB_OUTLIER_Z
+        assert r["is_outlier"] == expected_flag
+        n_out += r["is_outlier"]
+    assert n_out < len(ids) * 0.05  # a healthy corpus flags almost nothing
+
+    # inject a corrupt vector (mis-scaled 25x): the norm axis gains
+    # variance and the gate must flag exactly the injected vector
+    corrupt = emb.limit(1).select(
+        F.lit(10**9).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 25.0).alias("embedding"),
+        F.lit(999).alias("label"),
+    )
+    try:
+        flagged = {
+            r["vec_id"]: r["is_outlier"]
+            for r in embedding_outlier_report(
+                emb.select("vec_id", "embedding", "label").unionByName(corrupt)
+            ).collect()
+        }
+    finally:
+        release_persisted()
+    assert flagged[10**9] is True
+    assert sum(flagged.values()) < len(flagged) * 0.05
