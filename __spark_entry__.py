@@ -3888,7 +3888,7 @@ joined AS (
          ELSE '{EIA_WEEKLY_SOURCE_URL}' || href END AS url
   FROM links
 )
-SELECT 'data' AS kind, doc_id, raw_title AS title,
+SELECT 'data' AS kind, doc_id, trim(raw_title) AS title,
        CASE WHEN coalesce(h.release_iso, '') = '' THEN 'current'
             ELSE h.release_iso END AS period,
        slug || '.'
@@ -5225,7 +5225,10 @@ FROM keyed GROUP BY url_key ORDER BY url_key""",
 SELECT md5({lclean}) AS content_fingerprint,
        min(doc_id) AS canonical_doc_id, count(*) AS n_docs
 FROM documents GROUP BY 1 ORDER BY content_fingerprint""",
-        "dedup_ngram_jaccard": _ngram_jaccard_sql(),
+        # catalog default is method="prefix" (ppjoin) since r9 — the
+        # oracle is the stop-list-free exact twin, which IS the ppjoin
+        # output by the prefix-filter recall guarantee
+        "dedup_ngram_jaccard": _ngram_exact_sql(),
         "dedup_containment": _ngram_containment_sql(),
         "dedup_minhash": _minhash_sql(),
         "dedup_simhash": _simhash_sql(),

@@ -1896,6 +1896,7 @@ def edit_distance_pairs(
     max_dist: int = 20,
     q: int = 5,
     max_short_docs: int | None = None,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Edit-distance similarity join: every pair of documents with
     ``levenshtein(a, b) ≤ max_dist`` — the character-level near-dup
@@ -1946,6 +1947,13 @@ def edit_distance_pairs(
     quadratic short-doc channel — the wrong shape at corpus scale.
     q=5 keeps the short channel a corner (515/5000) and is the
     default.
+
+    ``max_candidate_pairs`` (the dedup_ngram_jaccard guard's twin)
+    fail-fasts when Σ_s C(df_s, 2) over the PREFIX gram table — the
+    exact upper bound on the long-channel join output — exceeds the
+    cap, instead of silently running a collision-heavy corpus's
+    quadratic shape; ``max_short_docs`` guards the short channel the
+    same way. Results are unchanged when the guards pass.
     """
     k = max_dist
     t = F.lower(clean_text(F.col("text")))
@@ -1983,6 +1991,32 @@ def edit_distance_pairs(
         .where(F.col("rn") <= q * k + 1)
         .select("doc_id", "len", "s")
     )
+    if max_candidate_pairs is not None:
+        # Fail-fast candidate bound — the max_candidate_pairs twin of
+        # dedup_ngram_jaccard's guard: the long-channel prefix join's
+        # output is bounded by Σ_s C(df_s, 2) over PREFIX grams, so a
+        # collision-heavy corpus (tiny gram vocabulary) is detected
+        # with one cheap aggregate over the already-persisted prefix
+        # table instead of silently running the quadratic join.
+        bound = (
+            prefix.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2)
+                .cast("long")
+                .alias("b")
+            )
+            .first()["b"]
+        ) or 0
+        if bound > max_candidate_pairs:
+            raise ValueError(
+                f"edit_distance_pairs: prefix-join candidate bound "
+                f"{bound} exceeds max_candidate_pairs="
+                f"{max_candidate_pairs}; the corpus's q-gram "
+                f"vocabulary is too small for q={q} prefixes to "
+                "select — raise q (sparser grams), exact-dedup first, "
+                "or length-floor tiny/templated docs before the join"
+            )
     a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"), "s")
     b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b"), "s")
     cand_long = (

@@ -2601,7 +2601,10 @@ def eia_petroleum_weekly_files(documents: DataFrame) -> DataFrame:
     data = links.join(F.broadcast(hdr)).select(
         F.lit("data").alias("kind"),
         F.col("doc_id"),
-        F.col("raw_title").alias("title"),
+        # reference strips the cell text for display_title
+        # (eia_weekly.py cols[1].get_text().strip()); the slug path
+        # already trims, so only the display column needed this
+        F.trim(F.col("raw_title")).alias("title"),
         period.alias("period"),
         F.concat(F.col("slug"), F.lit("."), ext).alias("filename"),
         url.alias("url"),

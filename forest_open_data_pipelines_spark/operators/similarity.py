@@ -1354,21 +1354,23 @@ def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
     adversarial injection) before it poisons dedup thresholds or
     curriculum mixes.
 
-    Scale: one posexplode feeds BOTH centroid builds ((label, dim)
-    partial means and the global dim means — map-side combinable,
-    output ≤ labels×dims); per-vector scoring joins the broadcast
-    one-row global centroid and folds the cosine in-codegen. Per-dim
-    means are 6-dp rounded before any cosine (the
-    ``embedding_label_stats`` convention), and the per-label average
-    uses integer micro-cosines so summation order cannot drift the
-    6-dp result.
+    Scale: the centroid builds posexplode straight into map-side
+    combinable (label, dim) / (dim) means — NOTHING corpus-sized is
+    ever cached (an exploded corpus×dims cache would dwarf the source
+    table at 100 TB; the two consumers pay one extra column-pruned
+    scan each instead, the ``embedding_outlier_report`` trade). Only
+    the ONE-ROW global-centroid frame is persisted, because its two
+    broadcast consumers would otherwise each recompute the full
+    per-dim mean scan. Per-vector scoring joins that broadcast row
+    and folds the cosine in-codegen. Per-dim means are 6-dp rounded
+    before any cosine (the ``embedding_label_stats`` convention), and
+    the per-label average uses integer micro-cosines so summation
+    order cannot drift the 6-dp result.
     """
     from forest_open_data_pipelines_spark.operators.dedup import _persist
 
-    ex = _persist(
-        embeddings.select(
-            "label", F.posexplode("embedding").alias("pos", "v")
-        )
+    ex = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
     )
     cent = ex.groupBy("label", "pos").agg(
         ratio(F.avg(F.col("v").cast("double"))).alias("c")
@@ -1381,10 +1383,13 @@ def embedding_drift_report(embeddings: DataFrame) -> DataFrame:
     glob = ex.groupBy("pos").agg(
         ratio(F.avg(F.col("v").cast("double"))).alias("g")
     )
-    glob_arr = glob.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "g"))), lambda s: s["g"]
-        ).alias("global_centroid")
+    glob_arr = _persist(
+        glob.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "g"))),
+                lambda s: s["g"],
+            ).alias("global_centroid")
+        )
     )
 
     def _dot(a: Column | str, b: Column | str) -> Column:

@@ -1877,7 +1877,20 @@ def bm25_route_cols(
     expressions over a token-array column — pure per-row Catalyst
     folds shared by batch ``bm25_route`` and the streaming gate, so
     the two are row-identical by construction. Ties argmax to the
-    smallest query index via a (score, -index) struct max."""
+    smallest query index via a (score, -index) struct max.
+
+    An EMPTY index (no frozen query term occurs in the corpus) is an
+    in-domain case, not an error: every row routes to NULL with score
+    0 and zero matches. Without the short-circuit, ``F.array()`` of
+    zero structs feeds ``array_max`` and Catalyst raises
+    INVALID_EXTRACT_BASE_FIELD_TYPE — crashing both the batch router
+    and the streaming gate on a corpus that simply has no hits."""
+    if not index:
+        return (
+            F.lit(None).cast("string"),
+            F.lit(0).cast("long"),
+            F.lit(0).cast("int"),
+        )
     dl = F.size(toks)
     qids = sorted({qid for qid, _, _ in index})
 

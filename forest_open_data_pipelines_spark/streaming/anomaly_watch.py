@@ -125,8 +125,12 @@ def compact_anomaly_cache(
         r[0] for r in cache.select("batch_id").distinct().collect()
     )
     keep_last = max(0, keep_last)
-    fold_ids = ids[: len(ids) - keep_last] if keep_last else list(ids)
-    kept_ids = ids[len(ids) - keep_last :] if keep_last else []
+    # clamp the split point: keep_last > #partitions must fold NOTHING
+    # (a negative slice bound would silently fold the oldest batches,
+    # shrinking the documented replay-safety margin)
+    cut = max(0, len(ids) - keep_last) if keep_last else len(ids)
+    fold_ids = ids[:cut]
+    kept_ids = ids[cut:]
     folded = (
         cache.where(F.col("batch_id").isin(fold_ids))
         .groupBy("event_type", "day")

@@ -5442,3 +5442,61 @@ def test_embedding_outlier_report_numpy_recount(spark):
         release_persisted()
     assert flagged[10**9] is True
     assert sum(flagged.values()) < len(flagged) * 0.05
+
+
+def test_edit_distance_pairs_candidate_bound_guard(spark):
+    """The opt-in max_candidate_pairs guard fail-fasts on the
+    collision-heavy shape (tiny q-gram vocabulary => broad prefix
+    collisions) with one cheap aggregate over the prefix table; a
+    generous cap leaves results byte-identical."""
+    import pytest as _pytest
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        edit_distance_pairs,
+        release_persisted,
+    )
+
+    # long docs drawn from a 3-word vocabulary: every prefix collides
+    docs = _docs(
+        spark,
+        [
+            (i, " ".join(["aa", "bb", "cc"][j % 3] for j in range(i % 4, 60)), "en", "s", 0)
+            for i in range(12)
+        ],
+    )
+    try:
+        with _pytest.raises(ValueError, match="max_candidate_pairs"):
+            edit_distance_pairs(docs, max_candidate_pairs=5).count()
+        base = edit_distance_pairs(docs).collect()
+        guarded = edit_distance_pairs(
+            docs, max_candidate_pairs=10**9
+        ).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, guarded))
+    finally:
+        release_persisted()
+
+
+def test_bm25_route_empty_index(spark):
+    """An index with zero corpus hits is in-domain, not an error: every
+    doc routes to NULL best_query_id with score 0.0 and 0 matches
+    (previously array_max(array()) raised an AnalysisException)."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import bm25_route
+
+    docs = _docs(
+        spark,
+        [(i, f"plain words only row {i}", "en", "s", 0) for i in range(5)],
+    )
+    try:
+        rows = bm25_route(
+            docs, queries=(("q0", ("zzzznohit", "qqqqnohit")),)
+        ).collect()
+    finally:
+        release_persisted()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["best_query_id"] is None
+        assert r["best_bm25"] == 0.0
+        assert r["n_queries_matched"] == 0

@@ -1418,3 +1418,37 @@ def test_bm25_route_stream_matches_batch(spark, tmp_path):
     )
     assert sorted(map(key, emitted)) == sorted(map(key, batch))
     assert emitted, "gate emitted nothing"
+
+
+def test_compact_anomaly_cache_keep_last_exceeds_partitions(spark, tmp_path):
+    """keep_last > #partitions must fold NOTHING (the replay-safety
+    margin is a floor, not a hint): previously the negative slice
+    bound silently folded the oldest batches."""
+    from forest_open_data_pipelines_spark.streaming.anomaly_watch import (
+        compact_anomaly_cache,
+    )
+
+    src = str(tmp_path / "caches_src")
+    rows = [
+        ("click", "2024-01-01", 3, 0),
+        ("click", "2024-01-02", 5, 1),
+        ("view", "2024-01-01", 7, 2),
+    ]
+    spark.createDataFrame(
+        rows, ["event_type", "day", "n_events", "batch_id"]
+    ).write.partitionBy("batch_id").parquet(src)
+
+    dst = str(tmp_path / "caches_dst")
+    stats = compact_anomaly_cache(spark, src, dst, keep_last=5)
+    assert stats == {
+        "partitions_before": 3,
+        "partitions_folded": 0,
+        "partitions_after": 3,
+    }
+    kept = sorted(
+        tuple(r)
+        for r in spark.read.parquet(dst)
+        .select("event_type", "day", "n_events", "batch_id")
+        .collect()
+    )
+    assert kept == sorted(rows)
