@@ -2347,6 +2347,421 @@ SELECT shard_id, n_docs, n_tokens, n_bytes,
 FROM agg, tot ORDER BY shard_id"""
 
 
+def _overview_metric_ctes() -> str:
+    """The m/base/scal/fin/ex CTE chain — the DuckDB twin of
+    timeseries.overview_metric_frame, shared by the
+    report_fallback_blocks and report_prompts oracles (expects a
+    ``monthly`` CTE in scope)."""
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        REPORT_RECENT_MONTHS,
+    )
+
+    return f"""m AS (
+  SELECT period, n_orders::BIGINT AS value,
+         substr(period, 1, 4)::INTEGER AS year,
+         substr(period, 6, 2)::INTEGER AS month,
+         row_number() OVER (ORDER BY period) AS rn
+  FROM monthly
+),
+base AS (
+  SELECT max(period) AS latest_period, max(year) AS latest_year,
+         min(year) AS first_year, sum(value)::BIGINT AS total_rows_processed,
+         count(DISTINCT year)::BIGINT AS file_count_used, count(*) AS n_periods
+  FROM m
+),
+scal AS (
+  SELECT latest_period, latest_year, first_year, total_rows_processed,
+         file_count_used, n_periods,
+         sum(value) FILTER (WHERE year = latest_year)::BIGINT AS current_year_total,
+         max(year) FILTER (WHERE year < latest_year) AS previous_year,
+         sum(value) FILTER (WHERE rn > n_periods - 12)::BIGINT AS recent_12m_total,
+         sum(value) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)::BIGINT
+           AS prior_12m_sum,
+         count(*) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)
+           AS prior_12m_n
+  FROM m, base
+  GROUP BY 1, 2, 3, 4, 5, 6
+),
+fin AS (
+  SELECT s.*,
+         coalesce(sum(m.value) FILTER (WHERE m.year = s.previous_year), 0)::BIGINT
+           AS previous_year_total,
+         CASE WHEN s.prior_12m_n = 12 THEN s.prior_12m_sum ELSE 0 END::BIGINT
+           AS prior_12m_total
+  FROM m, scal s
+  GROUP BY ALL
+),
+ex AS (
+  SELECT f.*,
+    coalesce(sum(m.value) FILTER (WHERE m.period = f.latest_period), 0)::BIGINT
+      AS latest_month_total,
+    coalesce(sum(m.value) FILTER (
+      WHERE m.period = f.previous_year::VARCHAR || '-' || substr(f.latest_period, 6, 2)
+    ), 0)::BIGINT AS same_month_prev_year_total,
+    coalesce(sum(m.value) FILTER (
+      WHERE m.year = f.latest_year AND m.month <= substr(f.latest_period, 6, 2)::INT
+    ), 0)::BIGINT AS ytd_current_year,
+    coalesce(sum(m.value) FILTER (
+      WHERE m.year = f.previous_year AND m.month <= substr(f.latest_period, 6, 2)::INT
+    ), 0)::BIGINT AS ytd_previous_year,
+    min(m.period) FILTER (WHERE m.rn > f.n_periods - {REPORT_RECENT_MONTHS})
+      AS analysis_window_start,
+    max(m.period) AS analysis_window_end
+  FROM m, fin f
+  GROUP BY ALL
+)"""
+
+
+def _incremental_cache_plan_sql() -> str:
+    """DuckDB twin of caching.incremental_cache_plan: identical
+    fingerprint derivation (cents convention, md5 CRC surrogate),
+    rank-keyed manifest degradations, the _is_valid_year_payload
+    CASE chain, in-engine sha256 of the canonical signature payload
+    (embedded as a literal — it contains no single quotes)."""
+    from forest_open_data_pipelines_spark.operators.caching import (
+        CACHE_SCHEMA_VERSION,
+        build_signature_payload,
+    )
+
+    payload = build_signature_payload()
+    assert "'" not in payload
+    sig = f"sha256('{payload}')"
+    return f"""
+WITH py AS (
+  SELECT year(o_orderdate)::INT AS year, count(*) AS n_rows,
+         sum(round(round(o_totalprice, 2) * 100, 0)::BIGINT) AS cents
+  FROM orders GROUP BY 1
+),
+fp AS (
+  SELECT year,
+         'focos_br_' || year || '.zip' AS zip_name,
+         'focos_br_' || year || '.csv' AS member_name,
+         (n_rows * 120 + cents % 997)::BIGINT AS member_file_size,
+         ((n_rows * 120 + cents % 997) // 4)::BIGINT AS member_compress_size,
+         ((n_rows * 120 + cents % 997) // 4 + 120)::BIGINT AS zip_size_bytes,
+         ('0x' || substr(md5('focos_br_' || year || '.csv' || ':' || cents), 1, 8))::BIGINT
+           AS member_crc
+  FROM py
+),
+rk AS (SELECT *, row_number() OVER (ORDER BY year) AS rank FROM fp),
+mf AS (
+  SELECT year,
+         CASE WHEN rank = 2 THEN {CACHE_SCHEMA_VERSION - 1}
+              ELSE {CACHE_SCHEMA_VERSION} END AS cache_schema_version,
+         CASE WHEN rank = 3 THEN 'stale_' || {sig} ELSE {sig} END AS build_signature,
+         zip_name AS c_zip_name, zip_size_bytes AS c_zip_size_bytes,
+         member_name AS c_member_name,
+         CASE WHEN rank = 4 THEN member_crc + 1 ELSE member_crc END AS c_member_crc,
+         member_file_size AS c_member_file_size,
+         member_compress_size AS c_member_compress_size,
+         CASE WHEN rank = 5 THEN year - 1 ELSE year END AS inferred_year,
+         (rank <> 6) AS has_all_aggregation_keys
+  FROM rk WHERE rank <> 1
+),
+plan AS (
+  SELECT f.year, f.zip_name, f.member_crc, {sig} AS build_signature,
+    CASE WHEN m.cache_schema_version IS NULL THEN 'missing'
+         WHEN m.cache_schema_version <> {CACHE_SCHEMA_VERSION} THEN 'schema_version'
+         WHEN m.build_signature <> {sig} THEN 'signature'
+         WHEN NOT (m.c_zip_name = f.zip_name AND m.c_zip_size_bytes = f.zip_size_bytes
+                   AND m.c_member_name = f.member_name AND m.c_member_crc = f.member_crc
+                   AND m.c_member_file_size = f.member_file_size
+                   AND m.c_member_compress_size = f.member_compress_size)
+           THEN 'fingerprint'
+         WHEN m.inferred_year <> f.year THEN 'year_mismatch'
+         WHEN NOT m.has_all_aggregation_keys THEN 'incomplete_payload'
+         ELSE 'valid' END AS reason
+  FROM fp f LEFT JOIN mf m USING (year)
+)
+SELECT year, zip_name, member_crc, build_signature, reason,
+       CASE WHEN reason = 'valid' THEN 'reuse' ELSE 'rebuild' END AS action
+FROM plan ORDER BY year"""
+
+
+def _freshness_append_sql() -> str:
+    """DuckDB twin of freshness.freshness_observations_append: same
+    event-derived observation rows, lag window per (watch, resource)
+    over the FULL history, precision-aware same-source compare, exact
+    integer-cents intervals, batch = last 7 days."""
+    iso = "%Y-%m-%dT%H:%M:%S.%f"
+
+    def cents(unit: int) -> str:
+        d = "(epoch_us(ts) - epoch_us(prev_ts))"
+        return (
+            f"(({d} // {unit}) + CASE WHEN ({d} % {unit}) * 2 >= {unit} "
+            f"THEN 1 ELSE 0 END) / 100.0"
+        )
+
+    return f"""
+WITH ev AS (
+  SELECT event_id, ts,
+         user_id AS watch_id, event_type AS resource_key,
+         CASE WHEN event_id % 37 = 0 THEN 'error' ELSE 'ok' END AS status,
+         CASE WHEN event_id % 37 = 0 THEN ''
+              ELSE strftime(ts, '{iso}') END AS source_modified_at,
+         CASE WHEN user_id % 3 = 0 THEN 'date' ELSE 'second' END AS precision
+  FROM events
+),
+cut AS (
+  SELECT (max(ts)::DATE - 7) AS cut_day,
+         strftime(max(ts), '{iso}') AS observed_at
+  FROM events
+),
+lagged AS (
+  SELECT *,
+         coalesce(lag(source_modified_at) OVER w, '') AS previous_source_modified_at,
+         lag(CASE WHEN status = 'ok' THEN ts END) OVER w AS prev_ts
+  FROM ev
+  WINDOW w AS (PARTITION BY watch_id, resource_key ORDER BY ts, event_id)
+),
+dec AS (
+  SELECT *,
+    (status = 'ok' AND source_modified_at <> ''
+     AND previous_source_modified_at <> ''
+     AND NOT (CASE WHEN precision = 'date' THEN ts::DATE = prev_ts::DATE
+              ELSE source_modified_at = previous_source_modified_at END))
+      AS changed
+  FROM lagged
+)
+SELECT c.observed_at, watch_id, resource_key, source_modified_at, precision,
+       status, previous_source_modified_at, changed,
+       CASE WHEN changed THEN {cents(36_000_000)} END AS interval_hours,
+       CASE WHEN changed THEN {cents(864_000_000)} END AS interval_days
+FROM dec, cut c
+WHERE ts::DATE > c.cut_day
+ORDER BY watch_id, resource_key, source_modified_at, status"""
+
+
+def _reports_catalog_sql() -> str:
+    """DuckDB twin of manifests.reports_catalog: identical per-source
+    report derivation (rank-keyed degradations), the excerpt fallback
+    chain (overview localized -> summary localized -> description)
+    word-truncated at 260 with the pt-fallback locale pick, compacted
+    coverage, loader-failure warnings, envelope status downgrade."""
+
+    def clean(x: str) -> str:
+        return f"trim(regexp_replace({x}, '\\s+', ' ', 'g'))"
+
+    warn_lit = (
+        "'Falha ao carregar report ' || chr(39) || path || chr(39)"
+        " || ' para enriquecer catalogo'"
+    )
+    return f"""
+WITH per AS (
+  SELECT source, arg_min(text, doc_id) AS first_text,
+         min(doc_id) AS min_doc, max(doc_id) AS max_doc
+  FROM documents GROUP BY source
+),
+rk AS (SELECT *, row_number() OVER (ORDER BY source) AS rank FROM per),
+e AS (
+  SELECT source, rank,
+    'report_' || source AS report_id,
+    source AS slug,
+    'Relatório ' || source AS title,
+    trim(substr(first_text, 1, 300)) AS description,
+    'reports/' || source || '/report.json' AS path,
+    (rank % 5 <> 0) AS loader_ok,
+    CASE WHEN rank % 5 IN (1, 2)
+         THEN 'Visão geral: ' || substr(first_text, 1, 400) END AS ov_pt,
+    CASE WHEN rank % 5 = 1
+         THEN 'Overview: ' || upper(substr(first_text, 1, 200)) END AS ov_en,
+    CASE WHEN rank % 5 = 3
+         THEN 'Resumo: ' || substr(first_text, 1, 300) END AS sm_pt,
+    CASE WHEN rank % 5 = 3
+         THEN 'Summary: ' || upper(substr(first_text, 1, 150)) END AS sm_en,
+    CASE WHEN rank % 5 <> 0
+         THEN '2026-03-' || lpad((rank % 28 + 1)::VARCHAR, 2, '0') || 'T12:00:00Z'
+         END AS doc_generated_at,
+    CASE WHEN rank % 4 <> 1 THEN (2015 + min_doc % 5)::INT END AS first_year0,
+    CASE WHEN rank % 4 <> 1 THEN (2020 + max_doc % 5)::INT END AS latest_year0,
+    CASE WHEN rank % 4 <> 1
+         THEN '2024-' || lpad((max_doc % 12 + 1)::VARCHAR, 2, '0') END AS latest_period0
+  FROM rk
+),
+loc AS (
+  SELECT *,
+    coalesce(nullif({clean('ov_pt')}, ''), nullif({clean('ov_en')}, '')) AS ov_lpt,
+    coalesce(nullif({clean('ov_en')}, ''), nullif({clean('ov_pt')}, '')) AS ov_len,
+    coalesce(nullif({clean('sm_pt')}, ''), nullif({clean('sm_en')}, '')) AS sm_lpt,
+    coalesce(nullif({clean('sm_en')}, ''), nullif({clean('sm_pt')}, '')) AS sm_len
+  FROM e
+),
+cand AS (
+  SELECT *,
+    {clean("coalesce(ov_lpt, sm_lpt, description)")} AS cand_pt,
+    {clean("coalesce(ov_len, sm_len, description)")} AS cand_en
+  FROM loc
+),
+shaped AS (
+  SELECT report_id, slug, title, description,
+    (CASE WHEN coalesce(report_id, '') = '' THEN 1 ELSE 0 END
+     + CASE WHEN coalesce(slug, '') = '' THEN 1 ELSE 0 END
+     + CASE WHEN coalesce(title, '') = '' THEN 1 ELSE 0 END
+     + CASE WHEN coalesce(description, '') = '' THEN 1 ELSE 0 END
+     + CASE WHEN coalesce(path, '') = '' THEN 1 ELSE 0 END)::INT
+      AS n_missing_required,
+    CASE WHEN loader_ok THEN {_truncwords_sql('cand_pt')} END AS excerpt,
+    CASE WHEN loader_ok THEN {_truncwords_sql('cand_en')} END AS excerpt_en,
+    CASE WHEN loader_ok THEN doc_generated_at END AS generated_at,
+    CASE WHEN loader_ok THEN first_year0 END AS first_year,
+    CASE WHEN loader_ok THEN latest_year0 END AS latest_year,
+    CASE WHEN loader_ok AND first_year0 IS NOT NULL
+         THEN first_year0::VARCHAR || '-' || latest_year0::VARCHAR END AS year_range,
+    CASE WHEN loader_ok THEN latest_period0 END AS latest_period,
+    CASE WHEN NOT loader_ok THEN {warn_lit} END AS warning
+  FROM cand
+),
+st AS (
+  SELECT CASE WHEN count(warning) > 0 THEN 'success_partial_fallback'
+              ELSE 'success' END AS generation_status
+  FROM shaped
+)
+SELECT shaped.*, st.generation_status FROM shaped, st ORDER BY report_id"""
+
+
+def _report_prompts_sql() -> str:
+    """DuckDB twin of timeseries.report_prompts: the shared overview
+    metric CTE renders the indent-2 context_json by literal
+    concatenation (integer-cents 2-dp pcts), wrapped in the verbatim
+    _build_prompts head/tail/system constants (single quotes
+    SQL-escaped, newlines via chr(10) splice)."""
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        REPORT_RECENT_MONTHS,
+        REPORT_SYSTEM_EN,
+        REPORT_SYSTEM_PT,
+        REPORT_USER_HEAD_EN,
+        REPORT_USER_HEAD_PT,
+        REPORT_USER_TAIL_EN,
+        REPORT_USER_TAIL_PT,
+    )
+
+    def lit(s: str) -> str:
+        body = s.replace("'", "''").replace("\n", "' || chr(10) || '")
+        return "('" + body + "')"
+
+    def ji(x: str) -> str:
+        return f"coalesce(({x})::BIGINT::VARCHAR, 'null')"
+
+    def jp(x: str) -> str:
+        r = f"(round({x}, 2) + 0.0)"
+        cents = f"round(abs({r}) * 100)::BIGINT"
+        return (
+            f"CASE WHEN ({x}) IS NULL THEN 'null' ELSE "
+            f"(CASE WHEN {r} < 0 THEN '-' ELSE '' END"
+            f" || ({cents} // 100)::VARCHAR || '.'"
+            f" || lpad(({cents} % 100)::VARCHAR, 2, '0')) END"
+        )
+
+    def pct(new: str, old: str) -> str:
+        return (
+            f"round(CASE WHEN ({old}) IS NOT NULL AND ({old}) <> 0 "
+            f"THEN (({new}) - ({old}))::DOUBLE / ({old}) * 100.0 END, 6)"
+        )
+
+    prior_zeroed = "CASE WHEN ex.prior_12m_n = 12 THEN ex.prior_12m_sum ELSE 0 END"
+    r12 = pct("ex.recent_12m_total", prior_zeroed)
+    mom = pct("ex.latest_month_total", "ex.same_month_prev_year_total")
+    ytd = pct("ex.ytd_current_year", "ex.ytd_previous_year")
+
+    def qs(x: str) -> str:
+        return f"coalesce('\"' || ({x}) || '\"', 'null')"
+
+    nl = "chr(10)"
+
+    def key(indent: int, name: str, first: bool = False) -> str:
+        lead = "'{'" if first else "','"
+        return f"{lead} || {nl} || '{' ' * indent}\"{name}\": '"
+
+    def keyfirst(indent: int, name: str) -> str:
+        # first key after a nested opening brace: newline, no comma
+        return f"{nl} || '{' ' * indent}\"{name}\": '"
+
+    parts = [
+        key(2, "coverage_first_year", first=True),
+        ji("ex.first_year"),
+        key(2, "coverage_latest_year"),
+        ji("ex.latest_year"),
+        key(2, "coverage_year_range"),
+        qs("ex.first_year::VARCHAR || '-' || ex.latest_year::VARCHAR"),
+        key(2, "coverage_latest_period"),
+        qs("ex.latest_period"),
+        key(2, "analysis_window_months"),
+        f"'{REPORT_RECENT_MONTHS}'",
+        key(2, "analysis_window_start_period"),
+        qs("ex.analysis_window_start"),
+        key(2, "analysis_window_end_period"),
+        qs("ex.analysis_window_end"),
+        key(2, "latest_year"),
+        ji("ex.latest_year"),
+        key(2, "previous_year"),
+        ji("ex.previous_year"),
+        key(2, "latest_period"),
+        qs("ex.latest_period"),
+        key(2, "current_year_total"),
+        ji("ex.current_year_total"),
+        key(2, "previous_year_total"),
+        ji("ex.previous_year_total"),
+        key(2, "recent_12m_total"),
+        ji("ex.recent_12m_total"),
+        key(2, "prior_12m_total"),
+        ji("ex.prior_12m_sum"),
+        key(2, "rolling_12m_pct_change"),
+        jp(r12),
+        key(2, "total_rows_processed"),
+        ji("ex.total_rows_processed"),
+        key(2, "file_count_used"),
+        ji("ex.file_count_used"),
+        key(2, "monthly_analysis") + " || '{'",
+        keyfirst(4, "latest_period"),
+        qs("ex.latest_period"),
+        key(4, "latest_month_total"),
+        ji("ex.latest_month_total"),
+        key(4, "same_month_prev_year_total"),
+        ji("ex.same_month_prev_year_total"),
+        key(4, "latest_month_pct_change_vs_prev_year"),
+        jp(mom),
+        key(4, "ytd_current_year"),
+        ji("ex.ytd_current_year"),
+        key(4, "ytd_previous_year"),
+        ji("ex.ytd_previous_year"),
+        key(4, "ytd_pct_change"),
+        jp(ytd),
+        key(4, "rolling_12_months") + " || '{'",
+        keyfirst(6, "window_end_period"),
+        qs("ex.latest_period"),
+        key(6, "recent_total"),
+        ji("ex.recent_12m_total"),
+        key(6, "prior_total"),
+        ji(prior_zeroed),
+        key(6, "pct_change"),
+        jp(r12),
+        key(6, "has_full_prior_window"),
+        "CASE WHEN ex.prior_12m_n = 12 THEN 'true' ELSE 'false' END",
+        f"{nl} || '    }}' || {nl} || '  }}' || {nl} || '}}'",
+    ]
+    # n-ary concat, NOT a ||-chain: DuckDB binds || recursively and
+    # ~70 chained parts blow its 128-frame binder recursion limit
+    ctx = "concat(" + ", ".join(parts) + ")"
+    return f"""
+WITH {ENRICHED}, {MONTHLY},
+{_overview_metric_ctes()},
+ctx AS (SELECT ({ctx}) AS context_json FROM ex)
+SELECT locale, system_prompt, user_prompt, context_json FROM (
+  SELECT 'pt' AS locale, {lit(REPORT_SYSTEM_PT)} AS system_prompt,
+         concat({lit(REPORT_USER_HEAD_PT)}, context_json,
+                {lit(REPORT_USER_TAIL_PT)}) AS user_prompt,
+         context_json
+  FROM ctx
+  UNION ALL
+  SELECT 'en', {lit(REPORT_SYSTEM_EN)},
+         concat({lit(REPORT_USER_HEAD_EN)}, context_json,
+                {lit(REPORT_USER_TAIL_EN)}),
+         context_json
+  FROM ctx
+)
+ORDER BY locale"""
+
+
 def _report_fallback_blocks_sql() -> str:
     """DuckDB twin of timeseries.report_fallback_blocks: the highlights
     metric chain + latest-month/same-month/YTD/window aggregates, then
@@ -2484,60 +2899,7 @@ def _report_fallback_blocks_sql() -> str:
 
     return f"""
 WITH {ENRICHED}, {MONTHLY},
-m AS (
-  SELECT period, n_orders::BIGINT AS value,
-         substr(period, 1, 4)::INTEGER AS year,
-         substr(period, 6, 2)::INTEGER AS month,
-         row_number() OVER (ORDER BY period) AS rn
-  FROM monthly
-),
-base AS (
-  SELECT max(period) AS latest_period, max(year) AS latest_year,
-         min(year) AS first_year, sum(value)::BIGINT AS total_rows_processed,
-         count(DISTINCT year)::BIGINT AS file_count_used, count(*) AS n_periods
-  FROM m
-),
-scal AS (
-  SELECT latest_period, latest_year, first_year, total_rows_processed,
-         file_count_used, n_periods,
-         sum(value) FILTER (WHERE year = latest_year)::BIGINT AS current_year_total,
-         max(year) FILTER (WHERE year < latest_year) AS previous_year,
-         sum(value) FILTER (WHERE rn > n_periods - 12)::BIGINT AS recent_12m_total,
-         sum(value) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)::BIGINT
-           AS prior_12m_sum,
-         count(*) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)
-           AS prior_12m_n
-  FROM m, base
-  GROUP BY 1, 2, 3, 4, 5, 6
-),
-fin AS (
-  SELECT s.*,
-         coalesce(sum(m.value) FILTER (WHERE m.year = s.previous_year), 0)::BIGINT
-           AS previous_year_total,
-         CASE WHEN s.prior_12m_n = 12 THEN s.prior_12m_sum ELSE 0 END::BIGINT
-           AS prior_12m_total
-  FROM m, scal s
-  GROUP BY ALL
-),
-ex AS (
-  SELECT f.*,
-    coalesce(sum(m.value) FILTER (WHERE m.period = f.latest_period), 0)::BIGINT
-      AS latest_month_total,
-    coalesce(sum(m.value) FILTER (
-      WHERE m.period = f.previous_year::VARCHAR || '-' || substr(f.latest_period, 6, 2)
-    ), 0)::BIGINT AS same_month_prev_year_total,
-    coalesce(sum(m.value) FILTER (
-      WHERE m.year = f.latest_year AND m.month <= substr(f.latest_period, 6, 2)::INT
-    ), 0)::BIGINT AS ytd_current_year,
-    coalesce(sum(m.value) FILTER (
-      WHERE m.year = f.previous_year AND m.month <= substr(f.latest_period, 6, 2)::INT
-    ), 0)::BIGINT AS ytd_previous_year,
-    min(m.period) FILTER (WHERE m.rn > f.n_periods - {REPORT_RECENT_MONTHS})
-      AS analysis_window_start,
-    max(m.period) AS analysis_window_end
-  FROM m, fin f
-  GROUP BY ALL
-)
+{_overview_metric_ctes()}
 SELECT block, locale, text FROM (
   SELECT 'headline' AS block, 'pt' AS locale, {headline_pt} AS text FROM ex
   UNION ALL SELECT 'headline', 'en', {headline_en} FROM ex
@@ -3969,6 +4331,87 @@ suberr AS (
              j -> (e.emb[a.s * {sub} + j] - a.cw[j])
                   * (e.emb[a.s * {sub} + j] - a.cw[j])),
            (x, y) -> x + y) AS d2
+  FROM asgn a JOIN e USING (vec_id)
+),
+err AS (
+  SELECT vec_id, list_reduce(list(d2 ORDER BY s), (x, y) -> x + y) AS d2
+  FROM suberr GROUP BY vec_id
+),
+codes AS (
+  SELECT vec_id, list(code ORDER BY s) AS codes FROM asgn GROUP BY vec_id
+)
+SELECT c.vec_id, array_to_string(c.codes, ',') AS codes_csv,
+       round(err.d2 / 64.0, 6) AS recon_mse
+FROM codes c JOIN err USING (vec_id) ORDER BY c.vec_id"""
+
+
+def _embedding_quantize_pq_trained_sql() -> str:
+    """DuckDB twin of similarity.embedding_quantize_pq(trained=True):
+    the PQ_KMEANS_ITERS Lloyd passes unrolled as CTEs (9-dp-rounded
+    argmin assignment with lowest-code ties, per-(s, code, dim) means
+    at 6 dp, empty codes keep the prior codeword — the
+    ann_topk_ivf_trained unroll pattern), then the quantize output
+    over the final codebook."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        PQ_KMEANS_ITERS,
+        PQ_KS,
+        PQ_M,
+    )
+
+    sub = 64 // PQ_M
+
+    def d2(emb: str, s: str, cw: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {sub} + 1), "
+            f"j -> ({emb}[{s} * {sub} + j] - {cw}[j])"
+            f" * ({emb}[{s} * {sub} + j] - {cw}[j])), (x, y) -> x + y)"
+        )
+
+    iters = []
+    for i in range(1, PQ_KMEANS_ITERS + 1):
+        prev, cur = f"cb{i - 1}", f"cb{i}"
+        iters.append(f"""
+a{i} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT e.vec_id, c.s, c.code,
+           row_number() OVER (
+             PARTITION BY e.vec_id, c.s
+             ORDER BY round({d2('e.emb', 'c.s', 'c.cw')}, 9) ASC, c.code
+           ) AS rnk
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rnk = 1
+),
+m{i} AS (
+  SELECT a.s, a.code, r.j AS pos,
+         round(avg(e.emb[a.s * {sub} + r.j + 1]), 6) AS mv
+  FROM a{i} a JOIN e USING (vec_id), range({sub}) r(j)
+  GROUP BY a.s, a.code, r.j
+),
+v{i} AS (SELECT s, code, list(mv ORDER BY pos) AS cw FROM m{i} GROUP BY s, code),
+{cur} AS (
+  SELECT p.s, p.code, coalesce(v.cw, p.cw) AS cw
+  FROM {prev} p LEFT JOIN v{i} v USING (s, code)
+)""")
+    final = f"cb{PQ_KMEANS_ITERS}"
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cb0 AS (
+  SELECT r.s::INT AS s, vec_id::INT AS code,
+         list_slice(emb, r.s * {sub} + 1, r.s * {sub} + {sub}) AS cw
+  FROM e, range({PQ_M}) r(s) WHERE vec_id < {PQ_KS}
+),{",".join(iters)},
+asgn AS (
+  SELECT vec_id, s, code, cw FROM (
+    SELECT e.vec_id, c.s, c.code, c.cw,
+           row_number() OVER (
+             PARTITION BY e.vec_id, c.s
+             ORDER BY round({d2('e.emb', 'c.s', 'c.cw')}, 9) ASC, c.code
+           ) AS rnk
+    FROM e CROSS JOIN {final} c
+  ) WHERE rnk = 1
+),
+suberr AS (
+  SELECT a.vec_id, a.s, {d2('e.emb', 'a.s', 'a.cw')} AS d2
   FROM asgn a JOIN e USING (vec_id)
 ),
 err AS (
@@ -6103,6 +6546,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["eia_xls_picks"] = _eia_xls_picks_sql()
     out["embedding_quantize_sq8"] = _embedding_quantize_sq8_sql()
     out["embedding_quantize_pq"] = _embedding_quantize_pq_sql()
+    out["embedding_quantize_pq_trained"] = _embedding_quantize_pq_trained_sql()
     out["ann_topk_pq"] = _ann_topk_pq_sql()
     out["ann_topk_ivfpq"] = _ann_topk_ivfpq_sql()
     out["embedding_cluster_report"] = _embedding_cluster_report_sql()
@@ -7013,4 +7457,8 @@ SELECT p.label, p.n_vecs,
        c.centroid_norm, c.centroid_cos_to_global,
        p.avg_member_cos_to_global
 FROM per p JOIN cvg c USING (label), tot t ORDER BY p.label"""
+    out["incremental_cache_plan"] = _incremental_cache_plan_sql()
+    out["freshness_observations_append"] = _freshness_append_sql()
+    out["reports_catalog"] = _reports_catalog_sql()
+    out["report_prompts"] = _report_prompts_sql()
     return out

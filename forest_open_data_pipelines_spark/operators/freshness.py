@@ -490,3 +490,134 @@ def freshness_report_lines(events: DataFrame) -> DataFrame:
         "seq long, line string",
     )
     return head.unionByName(body).unionByName(tail).orderBy("seq")
+
+
+# ── Observation-store append semantics ──────────────────────────────────────
+
+#: freshness/storage.py derivations keyed on the events table:
+#: precision 'date' for every third watch, an error probe every 37th
+#: event (its source timestamp is empty, exactly like a failed HTTP
+#: HEAD), batch = the trailing window a nightly append would carry.
+APPEND_BATCH_DAYS = 7
+ISO_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def observations_from_events(events: DataFrame) -> DataFrame:
+    """Render events as the observation-store rows storage.py appends:
+    watch_id = user, resource_key = event type, source_modified_at =
+    the event timestamp as an ISO string ('' on error probes — the
+    reference stores strings, empty meaning 'no signal'), precision
+    date/second by watch residue."""
+    return events.select(
+        "event_id",
+        "ts",
+        F.col("user_id").alias("watch_id"),
+        F.col("event_type").alias("resource_key"),
+        F.when(F.col("event_id") % 37 == 0, F.lit("error"))
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        F.when(F.col("event_id") % 37 == 0, F.lit("")).otherwise(
+            F.date_format("ts", ISO_FMT)
+        ).alias("source_modified_at"),
+        F.when(F.col("user_id") % 3 == 0, F.lit("date"))
+        .otherwise(F.lit("second"))
+        .alias("precision"),
+    )
+
+
+def freshness_observations_append(
+    events: DataFrame, batch_days: int = APPEND_BATCH_DAYS
+) -> DataFrame:
+    """The observation-store APPEND contract — freshness/storage.py:
+    ``append_observations`` (:91-151) with ``_same_source_timestamp``
+    (:63-72), ``_interval_values`` (:75-81) and ``_latest_by_key``
+    (:84-88): for every observation in the appended batch (the last
+    ``batch_days`` days of events), the previous source timestamp for
+    its (watch, resource) key, the precision-aware ``changed`` flag,
+    and the change interval.
+
+    Semantics mirrored clause-for-clause:
+
+    - previous = the key's latest PRIOR observation — including error
+      probes (the reference's ``latest[key] = observation`` updates on
+      every record regardless of status) and including EARLIER ROWS OF
+      THE SAME BATCH (the reference folds ``latest`` forward while
+      appending, so a batch with two probes of one key chains them);
+      a lag window over the full history ordered (ts, event_id) IS
+      that fold.
+    - ``changed`` only when status == 'ok', the current timestamp is
+      non-empty, AND the previous is non-empty — and then NOT
+      ``_same_source_timestamp``: precision 'date' compares calendar
+      dates (a same-day re-publish is NOT a change — the
+      precision-aware same-source dedupe), 'second' compares the full
+      strings.
+    - intervals (hours, days at 2 dp) only on changed rows, from the
+      previous source timestamp (NOT the previous probe time).
+    - observed_at is the append call's clock — the batch max event
+      time here (one scalar, broadcast), the reference's
+      ``observed_at_iso`` for the whole batch.
+
+    Deviation (documented): intervals are 2-dp DOUBLES, not the
+    reference's f"{:.2f}" strings — same quantization, hash-stable.
+
+    Scale: ONE shuffle on the (watch, resource) key for the lag
+    window — the sessionize shape — then a pure projection; the batch
+    filter prunes output, not the window input, exactly like the
+    reference reading its full CSV before appending. At 100 TB the
+    observation log is metadata-weight next to the fact tables.
+    """
+    obs = observations_from_events(events)
+    w = Window.partitionBy("watch_id", "resource_key").orderBy(
+        "ts", "event_id"
+    )
+    cutoff = events.agg(
+        F.date_sub(F.max("ts").cast("date"), batch_days).alias("cut_day"),
+        F.date_format(F.max("ts"), ISO_FMT).alias("observed_at"),
+    )
+    prev_str = F.lag("source_modified_at").over(w)
+    prev_ts = F.lag(F.when(F.col("status") == "ok", F.col("ts"))).over(w)
+    lagged = obs.select(
+        "*",
+        F.coalesce(prev_str, F.lit("")).alias("previous_source_modified_at"),
+        prev_ts.alias("prev_mod_ts"),
+    )
+    cur_ok = (F.col("status") == "ok") & (F.col("source_modified_at") != "")
+    prev_ok = F.col("previous_source_modified_at") != ""
+    same = F.when(
+        F.col("precision") == "date",
+        F.col("ts").cast("date") == F.col("prev_mod_ts").cast("date"),
+    ).otherwise(
+        F.col("source_modified_at") == F.col("previous_source_modified_at")
+    )
+    changed = cur_ok & prev_ok & ~same
+    # 2-dp interval via EXACT integer half-up on the micros diff (the
+    # micro_div convention): no double ever touches the .xx5 boundary,
+    # so both engines agree bit-for-bit.
+    diff = F.unix_micros("ts") - F.unix_micros("prev_mod_ts")
+
+    def _cents(per_unit_micros: int) -> Column:
+        unit = F.lit(per_unit_micros)  # micros per 0.01 of the unit
+        return (
+            F.floor(diff / unit).cast("long")
+            + F.when((diff % unit) * 2 >= unit, F.lit(1)).otherwise(F.lit(0))
+        ) / 100.0
+
+    hours2 = _cents(36_000_000)
+    days2 = _cents(864_000_000)
+    return (
+        lagged.join(F.broadcast(cutoff))
+        .where(F.col("ts").cast("date") > F.col("cut_day"))
+        .select(
+            "observed_at",
+            "watch_id",
+            "resource_key",
+            "source_modified_at",
+            "precision",
+            "status",
+            "previous_source_modified_at",
+            changed.alias("changed"),
+            F.when(changed, hours2).alias("interval_hours"),
+            F.when(changed, days2).alias("interval_days"),
+        )
+        .orderBy("watch_id", "resource_key", "source_modified_at", "status")
+    )

@@ -363,3 +363,156 @@ def manifest_meta_envelope(documents: DataFrame) -> DataFrame:
         promoted.alias("promoted_legacy_descriptor"),
         dropped.cast("int").alias("dropped_legacy_urls"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Reports catalog shaping (catalog/build.py:203-339 twin)
+# ---------------------------------------------------------------------------
+
+#: Degradation cycle for the derived report documents — each residue
+#: trips one branch of the reference's enrich/excerpt fallback chain.
+_REPORT_DOC_KINDS = 5
+
+
+def report_entries_from_documents(documents: DataFrame) -> DataFrame:
+    """Derive one report config entry + its loaded report document per
+    source (the reference's reports.yaml row + ManifestLoader result),
+    with rank-keyed degradations: rank%5==0 loader failure, ==1
+    bilingual analysis.overview, ==2 pt-only overview (the en excerpt
+    exercises the pt fallback), ==3 no overview but a summary, ==4
+    neither (the entry-description fallback). Coverage is absent when
+    rank%4==1."""
+    per_source = documents.groupBy("source").agg(
+        F.expr("min_by(text, doc_id)").alias("first_text"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+    rank = F.row_number().over(Window.orderBy("source"))
+    r = per_source.withColumn("rank", rank)
+    kind = F.col("rank") % _REPORT_DOC_KINDS
+    has_cov = F.col("rank") % 4 != 1
+    head = lambda n: F.substring("first_text", 1, n)
+    return r.select(
+        "source",
+        "rank",
+        F.concat(F.lit("report_"), F.col("source")).alias("report_id"),
+        F.col("source").alias("slug"),
+        F.concat(F.lit("Relatório "), F.col("source")).alias("title"),
+        F.trim(head(300)).alias("description"),
+        F.concat(F.lit("reports/"), F.col("source"), F.lit("/report.json")).alias(
+            "stable_report_path"
+        ),
+        (kind != 0).alias("loader_ok"),
+        F.when(kind.isin(1, 2), F.concat(F.lit("Visão geral: "), head(400))).alias(
+            "overview_pt"
+        ),
+        F.when(kind == 1, F.concat(F.lit("Overview: "), F.upper(head(200)))).alias(
+            "overview_en"
+        ),
+        F.when(kind == 3, F.concat(F.lit("Resumo: "), head(300))).alias(
+            "summary_pt"
+        ),
+        F.when(kind == 3, F.concat(F.lit("Summary: "), F.upper(head(150)))).alias(
+            "summary_en"
+        ),
+        F.when(
+            kind != 0,
+            F.concat(
+                F.lit("2026-03-"),
+                F.lpad((F.col("rank") % 28 + 1).cast("string"), 2, "0"),
+                F.lit("T12:00:00Z"),
+            ),
+        ).alias("doc_generated_at"),
+        F.when(has_cov, F.lit(2015) + F.col("min_doc") % 5).alias("first_year"),
+        F.when(has_cov, F.lit(2020) + F.col("max_doc") % 5).alias("latest_year"),
+        F.when(
+            has_cov,
+            F.concat(
+                F.lit("2024-"),
+                F.lpad((F.col("max_doc") % 12 + 1).cast("string"), 2, "0"),
+            ),
+        ).alias("latest_period"),
+    )
+
+
+def reports_catalog(documents: DataFrame) -> DataFrame:
+    """The REPORT-side catalog shaping — catalog/build.py:203-339
+    (``_report_entry``, ``_report_excerpt_from_document``,
+    ``_compact_report_coverage``, ``_enrich_report_with_document``,
+    ``build_reports_catalog``): per report entry, the validated card
+    fields, the excerpt fallback chain (analysis.overview localized →
+    summary localized → entry description, each word-truncated at 260
+    chars with the pt-fallback locale pick), the compacted coverage
+    (first/latest year, range, latest period), generated_at from the
+    loaded document, and the envelope's generation_status downgrade to
+    'success_partial_fallback' when any loader warning fired (the
+    dataset-side twin of this shaping is ``catalog_cards``).
+
+    Semantics mirrored: a loader FAILURE leaves the entry un-enriched
+    (no excerpt/coverage/generated_at keys — NULLs here) and appends a
+    warning; required-key validation surfaces as ``n_missing_required``
+    (the reference raises — a per-row op reports instead);
+    ``year_range`` = 'first-latest' only when coverage exists.
+
+    Scale: one groupBy(source) over the documents scan, then pure
+    projections on the reports-sized frame + one broadcast scalar for
+    the envelope status — the reference's python loop over config
+    entries, as one catalog-sized plan.
+    """
+    e = report_entries_from_documents(documents)
+    required_missing = sum(
+        F.when(
+            F.coalesce(F.col(c).cast("string"), F.lit("")) == "", 1
+        ).otherwise(0)
+        for c in ("report_id", "slug", "title", "description", "stable_report_path")
+    )
+    ov = lambda loc: localized_text(
+        F.col("overview_pt"), F.col("overview_en"), loc
+    )
+    sm = lambda loc: localized_text(F.col("summary_pt"), F.col("summary_en"), loc)
+    exc = lambda loc: F.when(
+        F.col("loader_ok"),
+        truncate_words(
+            F.coalesce(ov(loc), sm(loc), F.col("description"))
+        ),
+    )
+    warning = F.when(
+        ~F.col("loader_ok"),
+        F.concat(
+            F.lit("Falha ao carregar report '"),
+            F.col("stable_report_path"),
+            F.lit("' para enriquecer catalogo"),
+        ),
+    )
+    shaped = e.select(
+        "report_id",
+        "slug",
+        "title",
+        "description",
+        required_missing.alias("n_missing_required"),
+        exc("pt").alias("excerpt"),
+        exc("en").alias("excerpt_en"),
+        F.when(F.col("loader_ok"), F.col("doc_generated_at")).alias(
+            "generated_at"
+        ),
+        F.when(F.col("loader_ok"), F.col("first_year")).alias("first_year"),
+        F.when(F.col("loader_ok"), F.col("latest_year")).alias("latest_year"),
+        F.when(
+            F.col("loader_ok") & F.col("first_year").isNotNull(),
+            F.concat_ws("-", "first_year", "latest_year"),
+        ).alias("year_range"),
+        F.when(F.col("loader_ok"), F.col("latest_period")).alias(
+            "latest_period"
+        ),
+        warning.alias("warning"),
+    )
+    status = shaped.agg(
+        F.when(F.count("warning") > 0, F.lit("success_partial_fallback"))
+        .otherwise(F.lit("success"))
+        .alias("generation_status")
+    )
+    return (
+        shaped.join(F.broadcast(status))
+        .orderBy("report_id")
+    )

@@ -266,10 +266,12 @@ _CENTROID_CACHE: dict[tuple[int, int, int], list[tuple[int, list[float]]]] = {}
 
 
 def clear_centroid_cache() -> int:
-    """Drop all cached trained quantizers (tests / corpus swaps);
-    returns how many entries were released."""
-    n = len(_CENTROID_CACHE)
+    """Drop all cached trained quantizers — IVF centroids AND PQ
+    codebooks (tests / corpus swaps); returns how many entries were
+    released."""
+    n = len(_CENTROID_CACHE) + len(_PQ_CB_CACHE)
     _CENTROID_CACHE.clear()
+    _PQ_CB_CACHE.clear()
     return n
 
 
@@ -742,6 +744,101 @@ def _pq_codebook(
     ]
 
 
+#: Lloyd passes for the trained PQ codebook — fixed like
+#: IVF_KMEANS_ITERS so the oracle can unroll the same passes in SQL.
+PQ_KMEANS_ITERS = 3
+
+#: (corpus semanticHash, m, ks, iters) → trained codebook; the
+#: _CENTROID_CACHE pattern — train once per corpus, reuse as index
+#: metadata so bench reps and the quantize/topk pair don't retrain.
+_PQ_CB_CACHE: dict[tuple[int, int, int, int], list[list[list[float]]]] = {}
+
+
+def train_pq_codebook(
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int = 64,
+    iters: int = PQ_KMEANS_ITERS,
+) -> list[list[list[float]]]:
+    """Lloyd-trained per-subspace PQ codebooks — the
+    ``train_ivf_centroids`` upgrade path the geometry note above PQ_M
+    measured at +0.07–0.09 recall over the seed codebook (the numpy
+    probe, now shipped): seeds = the first ``ks`` vectors' sub-slices,
+    then ``iters`` fixed passes of (9-dp-rounded argmin assignment,
+    ties to the lowest code id; per-(subspace, code, dim) MEAN rounded
+    to 6 decimals; empty codes keep their previous codeword).
+
+    Oracle-reproducible by construction, same three levers as the IVF
+    trainer: fixed iteration count, pre-rounded assignment distances
+    (a ~1e-16 fold-order near-tie cannot flip a code), and 6-dp means
+    (partial-aggregation order cannot drift the codeword literal).
+
+    Scale: each pass is ONE Arrow scan — the kernel assigns codes in
+    numpy and emits per-batch PARTIAL (s, code, dim, sum, n) rows
+    (≤ m·ks·sub per batch — map-side combine done inside the kernel),
+    and the per-pass reduce is a groupBy over ≤ m·ks·sub keys whose
+    result (4 096 tiny rows at the default geometry) is the only
+    collect. Training cost stays out of the bench via the memo cache.
+    """
+    key = (embeddings.semanticHash(), m, ks, iters)
+    cached = _PQ_CB_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import numpy as np
+
+    sub = dim // m
+    cb = _pq_codebook(embeddings, m, ks, dim)
+    src = spread(embeddings.select("vec_id", "embedding"))
+    for _ in range(iters):
+        C = np.array(cb, dtype=np.float64)  # (m, ks, sub)
+
+        def gen(batches, C=C):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                n = len(pdf)
+                out_s, out_c, out_j, out_v, out_n = [], [], [], [], []
+                for s in range(m):
+                    x = e[:, s * sub : (s + 1) * sub]
+                    d = np.zeros((n, ks))
+                    for j in range(sub):  # sequential over dims
+                        diff = x[:, j, None] - C[s, :, j][None, :]
+                        d = d + diff * diff
+                    c = np.argmin(np.round(d, 9), axis=1)
+                    for code in np.unique(c):
+                        mask = c == code
+                        cnt = int(mask.sum())
+                        for j in range(sub):
+                            out_s.append(s)
+                            out_c.append(int(code))
+                            out_j.append(j)
+                            out_v.append(float(x[mask, j].sum()))
+                            out_n.append(cnt)
+                yield pd.DataFrame(
+                    {"s": out_s, "code": out_c, "j": out_j,
+                     "v": out_v, "n": out_n}
+                )
+
+        means = (
+            src.mapInPandas(gen, "s int, code int, j int, v double, n bigint")
+            .groupBy("s", "code", "j")
+            .agg(
+                (F.round(F.sum("v") / F.sum("n") * 1e6, 0) / 1e6).alias("mv")
+            )
+            .collect()
+        )
+        new_cb = [[list(cw) for cw in sub_cb] for sub_cb in cb]
+        for r in means:
+            new_cb[r["s"]][r["code"]][r["j"]] = float(r["mv"])
+        cb = new_cb
+    _PQ_CB_CACHE[key] = cb
+    return cb
+
+
 def _pq_encoded(
     embeddings: DataFrame,
     codebook: list[list[list[float]]],
@@ -852,7 +949,11 @@ def _pq_query_luts(
 
 
 def embedding_quantize_pq(
-    embeddings: DataFrame, m: int = PQ_M, ks: int = PQ_KS, dim: int = 64
+    embeddings: DataFrame,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int = 64,
+    trained: bool = False,
 ) -> DataFrame:
     """Product-quantization table: (vec_id, codes, recon_mse) — the
     64-float vector stored as 16 six-bit codes (12 bytes ≈ 21× smaller
@@ -866,8 +967,16 @@ def embedding_quantize_pq(
     join, no shuffle but the presentation sort), with every fold
     sequential so codes and errors are bit-identical to the DuckDB
     twin.
+
+    ``trained=True`` swaps in the memoized Lloyd codebook
+    (``train_pq_codebook``) — identical pipeline, lower recon_mse
+    (asserted in tests) and +0.07–0.09 topk recall on this corpus.
     """
-    codebook = _pq_codebook(embeddings, m, ks, dim)
+    codebook = (
+        train_pq_codebook(embeddings, m, ks, dim)
+        if trained
+        else _pq_codebook(embeddings, m, ks, dim)
+    )
     enc = _pq_encoded(embeddings, codebook, m, ks, dim)
     # codes as CSV text, not array<int> — same rationale as
     # embedding_quantize_sq8: scalar columns stay sortable/hashable in
@@ -888,6 +997,7 @@ def ann_topk_pq(
     m: int = PQ_M,
     ks: int = PQ_KS,
     dim: int = 64,
+    trained: bool = False,
 ) -> DataFrame:
     """Cosine top-k by asymmetric distance computation (ADC) over the
     PQ codes: each query precomputes its m·ks lookup table
@@ -909,9 +1019,14 @@ def ann_topk_pq(
     Scale: queries broadcast with their LUTs; candidates carry only
     codes + a norm (never the float vectors); LUT entries, the
     sequential fold over s, and q_norm all reproduce the DuckDB twin's
-    arithmetic order exactly.
+    arithmetic order exactly. ``trained=True`` scores against the
+    memoized Lloyd codebook (recall ≥ the seed codebook's, asserted).
     """
-    codebook = _pq_codebook(embeddings, m, ks, dim)
+    codebook = (
+        train_pq_codebook(embeddings, m, ks, dim)
+        if trained
+        else _pq_codebook(embeddings, m, ks, dim)
+    )
     enc = _pq_encoded(embeddings, codebook, m, ks, dim)
     queries = F.broadcast(_pq_query_luts(embeddings, codebook, n_queries, m, ks, dim))
     adc = F.aggregate(

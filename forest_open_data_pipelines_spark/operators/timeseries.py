@@ -1209,3 +1209,249 @@ def report_fallback_blocks(
         .select("b.block", "b.locale", "b.text")
         .orderBy("block", "locale")
     )
+
+
+# ── Report LLM prompt pair (reports/llm/base.py:111-199 twin) ───────────────
+# Verbatim prompt text from the reference's ``_build_prompts`` — data
+# constants required for byte parity (the focos/anp prompt precedent),
+# not copied logic: assembly below is Spark column concatenation over
+# the overview metric frame. The ast-parity test re-renders the
+# reference function with an empty context and asserts head/tail/system
+# equality.
+
+REPORT_PROMPT_ID = "bdqueimadas_overview"
+REPORT_MAX_CHARS_PER_BLOCK = 700  # reports/definitions/base.py:113
+REPORT_REQUIRED_KEYS = ("headline", "overview", "comparison", "limitations")
+_KEYS_REPR = "['headline', 'overview', 'comparison', 'limitations']"
+
+REPORT_SYSTEM_PT = (
+    "Você é um analista descritivo de dados públicos de incêndios e focos de calor. "
+    "Sua função é redigir observações factuais, calibradas e não especulativas, fiéis exclusivamente "
+    "aos números fornecidos no contexto. Não invente causalidade, não atribua causas climáticas ou "
+    "humanas sem que estejam explicitadas, e não extrapole tendências além do período descrito. "
+    "Escreva como analista de dados - objetivo, direto, sem sensacionalismo. "
+    "Responda exclusivamente com um objeto JSON puro, sem markdown, sem comentários, "
+    f"contendo exatamente estas chaves: {_KEYS_REPR}."
+)
+REPORT_USER_HEAD_PT = (
+    f"report_id: {REPORT_PROMPT_ID}\n"
+    f"max_chars_por_bloco: {REPORT_MAX_CHARS_PER_BLOCK}\n"
+    "contexto_estruturado:\n"
+)
+REPORT_USER_TAIL_PT = (
+    "\n\nInstruções de saída:\n"
+    "- headline: frase curta (máximo 140 caracteres), adequada para título da notícia. "
+    "Use somente mês/ano do período mais recente, valor absoluto de focos e UMA comparação principal "
+    "(vs ano anterior OU vs média de 5 anos). Não incluir acumulado do ano no headline.\n"
+    "- overview: leitura geral da janela de análise recente. "
+    "Use somente os números e percentuais já calculados em monthly_analysis.rolling_12_months. "
+    "Não calcule percentuais nem deduza valores. Se pct_change ou prior_total forem null, "
+    "omita essa comparação em vez de escrever que ela não é calculável. "
+    "Comente a posição do ano corrente em relação à série histórica disponível, sem especular sobre causas.\n"
+    "- comparison: texto corrido (sem listas nem marcadores) que aborde, em prosa fluida, "
+    "as seguintes comparações na ordem dada: "
+    "o mês mais recente frente ao mesmo mês do ano anterior (valores absolutos e variação %); "
+    "o mesmo mês frente à média histórica dos últimos 5 anos (valores e %); "
+    "o acumulado jan–mês_atual do ano corrente versus mesmo período do ano anterior (valores e %); "
+    "e esse acumulado frente à média acumulada dos últimos 5 anos (valores e %). "
+    "Use apenas estatísticas já presentes em monthly_analysis, sem recalcular; "
+    "se algum percentual vier null, omita essa comparação. "
+    "Use frases completas com verbos, conectivos e valores numéricos precisos; "
+    "evite enumerações, traços ou qualquer formatação de lista.\n"
+    "- limitations: ressalva metodológica curta - ano corrente pode estar incompleto, "
+    "a leitura é descritiva e não estabelece causalidade.\n"
+    "Responda apenas com JSON."
+)
+REPORT_SYSTEM_EN = (
+    "You are a descriptive analyst of public wildfire and hotspot data. "
+    "Your job is to write factual, calibrated, non-speculative observations strictly faithful to the numbers "
+    "provided in the context. Do not invent causality, do not attribute climatic or human causes unless "
+    "explicitly stated, and do not extrapolate trends beyond the described period. "
+    "Write as a data analyst - objective, direct, no sensationalism. "
+    "Respond exclusively with a pure JSON object, with no markdown and no comments, "
+    f"containing exactly these keys: {_KEYS_REPR}."
+)
+REPORT_USER_HEAD_EN = (
+    f"report_id: {REPORT_PROMPT_ID}\n"
+    f"max_chars_per_block: {REPORT_MAX_CHARS_PER_BLOCK}\n"
+    "structured_context:\n"
+)
+REPORT_USER_TAIL_EN = (
+    "\n\nOutput instructions:\n"
+    "- headline: short sentence (max 140 characters), suitable for a news title. "
+    "Use only the latest month/year, hotspot absolute value and ONE main comparison "
+    "(vs previous year OR vs 5-year average). Do not include YTD in the headline.\n"
+    "- overview: general reading of the recent analysis window. "
+    "Use only the numbers and percentages already calculated in monthly_analysis.rolling_12_months. "
+    "Do not calculate percentages or infer values. If pct_change or prior_total are null, "
+    "omit that comparison instead of saying it is not calculable. "
+    "Comment on where the current year stands relative to the available historical series, without speculating about causes.\n"
+    "- comparison: flowing prose (no bullet points, no numbered lists) covering "
+    "in order: the latest month vs the same month of the previous year (absolute values and % change); "
+    "that month vs the 5-year historical average for the same month (values and %); "
+    "the YTD Jan–current_month total of the current year vs the same period of the previous year (values and %); "
+    "and that YTD total vs the cumulative 5-year average for the same period (values and %). "
+    "Use only statistics already present in monthly_analysis, without recalculating; "
+    "if any percentage is null, omit that comparison. "
+    "Write in complete sentences with connectives and precise numbers; "
+    "avoid enumerations, dashes, or any list formatting.\n"
+    "- limitations: short methodological caveat - current year may be incomplete, "
+    "the reading is descriptive and does not establish causality.\n"
+    "Respond with JSON only."
+)
+
+
+def _json_int(col: Column) -> Column:
+    """Integer JSON scalar: plain digits, NULL → 'null'."""
+    return F.coalesce(col.cast("bigint").cast("string"), F.lit("null"))
+
+
+def _json_pct2(col: Column) -> Column:
+    """2-dp JSON number rendered from integer CENTS of the 2-dp
+    pre-round (sign split out) — the report_fallback_blocks formatter
+    minus grouping, so both engines agree at every boundary. NULL →
+    'null'. Rendering deviation (documented): always two decimals
+    where json.dumps prints the shortest repr."""
+    from forest_open_data_pipelines_spark.functions.columns import scaled_round
+
+    r = scaled_round(col, 2) + F.lit(0.0)
+    cents = F.round(F.abs(r) * 100, 0).cast("long")
+    body = F.concat(
+        F.when(r < 0, F.lit("-")).otherwise(F.lit("")),
+        (cents / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((cents % 100).cast("string"), 2, "0"),
+    )
+    return F.when(col.isNull(), F.lit("null")).otherwise(body)
+
+
+def report_prompt_context_json(scal: DataFrame) -> Column:
+    """The indent-2 ``context_json`` block — the scalar subset of the
+    reference's ``analysis_context`` (bdqueimadas_overview.py:387-456)
+    the overview metric frame certifies, serialized with json.dumps
+    field order/indentation by literal concatenation so the DuckDB
+    twin renders byte-identically. List-valued context fields
+    (top_states/top_biomes/cache_stats) are the payload-frame family
+    covered by anp_panel_payloads/focos_llm_payload and are OMITTED
+    here (documented subset)."""
+    from forest_open_data_pipelines_spark.functions.columns import (
+        safe_pct_change,
+        scaled_round,
+    )
+
+    prior_zeroed = F.when(
+        F.col("prior_12m_n") == 12, F.col("prior_12m_sum")
+    ).otherwise(F.lit(0))
+    pct = lambda new, old: scaled_round(
+        safe_pct_change(new.cast("double"), old.cast("double")), 2
+    )
+    r12 = pct(F.col("recent_12m_total"), prior_zeroed)
+    mom = pct(F.col("latest_month_total"), F.col("same_month_prev_year_total"))
+    ytd = pct(F.col("ytd_current_year"), F.col("ytd_previous_year"))
+    q = lambda col: F.concat(F.lit('"'), col, F.lit('"'))  # no escapables
+    qs = lambda col: F.coalesce(q(col), F.lit("null"))
+    return F.concat(
+        F.lit('{\n  "coverage_first_year": '),
+        _json_int(F.col("first_year")),
+        F.lit(',\n  "coverage_latest_year": '),
+        _json_int(F.col("latest_year")),
+        F.lit(',\n  "coverage_year_range": '),
+        qs(F.concat_ws("-", "first_year", "latest_year")),
+        F.lit(',\n  "coverage_latest_period": '),
+        qs(F.col("latest_period")),
+        F.lit(',\n  "analysis_window_months": '),
+        F.lit(str(REPORT_RECENT_MONTHS)),
+        F.lit(',\n  "analysis_window_start_period": '),
+        qs(F.col("analysis_window_start")),
+        F.lit(',\n  "analysis_window_end_period": '),
+        qs(F.col("analysis_window_end")),
+        F.lit(',\n  "latest_year": '),
+        _json_int(F.col("latest_year")),
+        F.lit(',\n  "previous_year": '),
+        _json_int(F.col("previous_year")),
+        F.lit(',\n  "latest_period": '),
+        qs(F.col("latest_period")),
+        F.lit(',\n  "current_year_total": '),
+        _json_int(F.col("current_year_total")),
+        F.lit(',\n  "previous_year_total": '),
+        _json_int(F.col("previous_year_total")),
+        F.lit(',\n  "recent_12m_total": '),
+        _json_int(F.col("recent_12m_total")),
+        F.lit(',\n  "prior_12m_total": '),
+        _json_int(F.col("prior_12m_sum")),
+        F.lit(',\n  "rolling_12m_pct_change": '),
+        _json_pct2(r12),
+        F.lit(',\n  "total_rows_processed": '),
+        _json_int(F.col("total_rows_processed")),
+        F.lit(',\n  "file_count_used": '),
+        _json_int(F.col("file_count_used")),
+        F.lit(',\n  "monthly_analysis": {\n    "latest_period": '),
+        qs(F.col("latest_period")),
+        F.lit(',\n    "latest_month_total": '),
+        _json_int(F.col("latest_month_total")),
+        F.lit(',\n    "same_month_prev_year_total": '),
+        _json_int(F.col("same_month_prev_year_total")),
+        F.lit(',\n    "latest_month_pct_change_vs_prev_year": '),
+        _json_pct2(mom),
+        F.lit(',\n    "ytd_current_year": '),
+        _json_int(F.col("ytd_current_year")),
+        F.lit(',\n    "ytd_previous_year": '),
+        _json_int(F.col("ytd_previous_year")),
+        F.lit(',\n    "ytd_pct_change": '),
+        _json_pct2(ytd),
+        F.lit(',\n    "rolling_12_months": {\n      "window_end_period": '),
+        qs(F.col("latest_period")),
+        F.lit(',\n      "recent_total": '),
+        _json_int(F.col("recent_12m_total")),
+        F.lit(',\n      "prior_total": '),
+        _json_int(prior_zeroed),
+        F.lit(',\n      "pct_change": '),
+        _json_pct2(r12),
+        F.lit(',\n      "has_full_prior_window": '),
+        F.when(F.col("prior_12m_n") == 12, F.lit("true")).otherwise(
+            F.lit("false")
+        ),
+        F.lit("\n    }\n  }\n}"),
+    )
+
+
+def report_prompts(monthly: DataFrame) -> DataFrame:
+    """The bilingual report (system_prompt, user_prompt) pair —
+    reports/llm/base.py:111-199 ``_build_prompts``: per locale the
+    fixed system text (required-keys repr interpolated) and the user
+    prompt 'report_id / max_chars / context header' + the indent-2
+    ``context_json`` + the per-locale output instructions. The last
+    deterministic prompt surface the reference assembles before its
+    LLM call (the social twins are focos/anp_prompt_texts; the
+    fallback the prompts replace is ``report_fallback_blocks``).
+
+    Output: (locale, system_prompt, user_prompt, context_json) — 2
+    rows. Scale: everything renders off the ONE-row overview metric
+    frame; the monthly input is persisted for the same four-subtree
+    reason as report_fallback_blocks.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    scal = overview_metric_frame(_persist(monthly))
+    ctx = report_prompt_context_json(scal)
+    rows = F.array(
+        F.struct(
+            F.lit("pt").alias("locale"),
+            F.lit(REPORT_SYSTEM_PT).alias("system_prompt"),
+            F.concat(
+                F.lit(REPORT_USER_HEAD_PT), ctx, F.lit(REPORT_USER_TAIL_PT)
+            ).alias("user_prompt"),
+        ),
+        F.struct(
+            F.lit("en").alias("locale"),
+            F.lit(REPORT_SYSTEM_EN).alias("system_prompt"),
+            F.concat(
+                F.lit(REPORT_USER_HEAD_EN), ctx, F.lit(REPORT_USER_TAIL_EN)
+            ).alias("user_prompt"),
+        ),
+    )
+    return (
+        scal.select(ctx.alias("context_json"), F.explode(rows).alias("r"))
+        .select("r.locale", "r.system_prompt", "r.user_prompt", "context_json")
+        .orderBy("locale")
+    )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.operators import (
     asof,
+    caching,
     curation,
     dedup,
     freshness,
@@ -716,6 +717,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     ),
     "report_fallback_blocks": lambda s, d: timeseries.report_fallback_blocks(
         timeseries.monthly_series(_enriched(s, d))
+    ),
+    # ── Round-9 additions (reference-gap closers, first driver rows) ─
+    "incremental_cache_plan": lambda s, d: caching.incremental_cache_plan(
+        load_table(s, d, "orders")
+    ),
+    "freshness_observations_append": lambda s, d: (
+        freshness.freshness_observations_append(load_table(s, d, "events"))
+    ),
+    "reports_catalog": lambda s, d: manifests.reports_catalog(
+        load_table(s, d, "documents")
+    ),
+    "report_prompts": lambda s, d: timeseries.report_prompts(
+        timeseries.monthly_series(_enriched(s, d))
+    ),
+    "embedding_quantize_pq_trained": lambda s, d: (
+        similarity.embedding_quantize_pq(
+            load_table(s, d, "embeddings"), trained=True
+        )
     ),
     "token_zipf_fit": lambda s, d: textops.token_zipf_fit(
         load_table(s, d, "documents")

@@ -5500,3 +5500,282 @@ def test_bm25_route_empty_index(spark):
         assert r["best_query_id"] is None
         assert r["best_bm25"] == 0.0
         assert r["n_queries_matched"] == 0
+
+
+def test_report_prompts_match_reference_build_prompts(spark):
+    """The bilingual prompt pair must equal the reference's own
+    ``_build_prompts`` around the context block: render the reference
+    function (ast-extracted) with an EMPTY context ('{}'), split its
+    user prompt on that placeholder, and assert our system text and
+    user head/tail are byte-identical — template drift fails here
+    without needing context equality (the DuckDB oracle pins that)."""
+    import ast
+    import json as _json
+    import os
+
+    ref = "/root/reference/src/forest_pipelines/reports/llm/base.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not available")
+    tree = ast.parse(open(ref).read())
+    wanted = [
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "_build_prompts"
+    ]
+    assert len(wanted) == 1, "reference moved"
+    ns = {"json": _json}
+    exec(compile(ast.Module(body=wanted, type_ignores=[]), ref, "exec"), ns)
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        REPORT_MAX_CHARS_PER_BLOCK,
+        REPORT_PROMPT_ID,
+        REPORT_REQUIRED_KEYS,
+        monthly_series,
+        orders_enriched,
+        report_prompts,
+    )
+
+    enriched = orders_enriched(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "customer"),
+        load_table(spark, SF_DIR, "nation"),
+        load_table(spark, SF_DIR, "region"),
+    )
+    try:
+        got = {
+            r["locale"]: r for r in report_prompts(monthly_series(enriched)).collect()
+        }
+    finally:
+        release_persisted()
+    assert set(got) == {"pt", "en"}
+
+    for locale in ("pt", "en"):
+        ref_system, ref_user = ns["_build_prompts"](
+            locale=locale,
+            report_id=REPORT_PROMPT_ID,
+            prompt_context={},
+            required_keys=list(REPORT_REQUIRED_KEYS),
+            max_chars_per_block=REPORT_MAX_CHARS_PER_BLOCK,
+        )
+        head, tail = ref_user.split("{}", 1)
+        row = got[locale]
+        assert row["system_prompt"] == ref_system, locale
+        assert row["user_prompt"].startswith(head), locale
+        assert row["user_prompt"].endswith(tail), locale
+        # the middle IS the context_json column
+        mid = row["user_prompt"][len(head) : len(row["user_prompt"]) - len(tail)]
+        assert mid == row["context_json"], locale
+        # and the context block is valid JSON with the reference's keys
+        ctx = _json.loads(row["context_json"])
+        assert ctx["latest_year"] >= ctx["coverage_first_year"]
+        assert set(ctx["monthly_analysis"]["rolling_12_months"]) == {
+            "window_end_period", "recent_total", "prior_total",
+            "pct_change", "has_full_prior_window",
+        }
+
+
+def test_freshness_observations_append_python_recount(spark):
+    """Pure-Python re-implementation of the reference's
+    append_observations fold (latest-by-key, precision-aware
+    same-source compare, interval on change) over the same derived
+    observations — every output row must agree."""
+    events = load_table(spark, SF_DIR, "events")
+    from forest_open_data_pipelines_spark.operators.freshness import (
+        APPEND_BATCH_DAYS,
+        freshness_observations_append,
+    )
+
+    got = freshness_observations_append(events).collect()
+    raw = sorted(
+        (
+            (r["ts"], r["event_id"], r["user_id"], r["event_type"])
+            for r in events.collect()
+        ),
+    )
+    max_ts = max(t for t, *_ in raw)
+    cut_day = (max_ts.date() - __import__("datetime").timedelta(
+        days=APPEND_BATCH_DAYS
+    ))
+    iso = lambda t: t.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    latest: dict = {}  # key -> (modified_str, modified_ts or None)
+    expected = []
+    for ts, eid, uid, etype in raw:
+        status = "error" if eid % 37 == 0 else "ok"
+        cur = "" if status == "error" else iso(ts)
+        precision = "date" if uid % 3 == 0 else "second"
+        key = (uid, etype)
+        prev_str, prev_ts = latest.get(key, ("", None))
+        changed = False
+        ih = idays = None
+        if status == "ok" and cur and prev_str:
+            if precision == "date":
+                same = ts.date() == prev_ts.date()
+            else:
+                same = cur == prev_str
+            changed = not same
+            if changed:
+                diff = int((ts - prev_ts).total_seconds() * 1_000_000)
+                half = lambda unit: (
+                    diff // unit + (1 if (diff % unit) * 2 >= unit else 0)
+                ) / 100.0
+                ih, idays = half(36_000_000), half(864_000_000)
+        if ts.date() > cut_day:
+            expected.append(
+                (uid, etype, cur, precision, status, prev_str, changed, ih, idays)
+            )
+        # the reference stores EVERY record as the key's latest, so the
+        # next record's previous is this row's string ('' on error) and
+        # its parse (None on error) — exactly the lag-window semantics
+        latest[key] = (cur, ts if status == "ok" else None)
+
+    got_rows = sorted(
+        (
+            r["watch_id"], r["resource_key"], r["source_modified_at"],
+            r["precision"], r["status"], r["previous_source_modified_at"],
+            r["changed"], r["interval_hours"], r["interval_days"],
+        )
+        for r in got
+    )
+    assert got_rows == sorted(expected)
+    obs_at = {r["observed_at"] for r in got}
+    assert obs_at == {max_ts.strftime("%Y-%m-%dT%H:%M:%S.%f")}
+    assert any(r["changed"] for r in got)
+    assert any(
+        not r["changed"] and r["status"] == "ok"
+        and r["previous_source_modified_at"] != ""
+        for r in got
+    ), "no same-date dedupe case exercised"
+
+
+
+def test_reports_catalog_fallback_chain_and_envelope(spark):
+    """Excerpt fallback chain + envelope semantics: loader failures are
+    un-enriched with a warning, pt-only overviews reuse pt for en,
+    summary rows fall to summaries, bare rows fall to the description;
+    every excerpt respects the 260-char word truncation; the envelope
+    status downgrades iff any warning fired."""
+    from forest_open_data_pipelines_spark.operators.manifests import (
+        MAX_REPORT_EXCERPT_CHARS,
+        reports_catalog,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = reports_catalog(docs).collect()
+    assert len(rows) == docs.select("source").distinct().count()
+    ranks = {r["slug"]: i + 1 for i, r in enumerate(sorted(rows, key=lambda x: x["slug"]))}
+    any_warning = False
+    for r in rows:
+        rank = ranks[r["slug"]]
+        kind = rank % 5
+        assert r["n_missing_required"] == 0
+        if kind == 0:
+            any_warning = True
+            assert r["excerpt"] is None and r["excerpt_en"] is None
+            assert r["generated_at"] is None and r["year_range"] is None
+            assert r["warning"].startswith("Falha ao carregar report '")
+        else:
+            assert r["warning"] is None
+            assert len(r["excerpt"]) <= MAX_REPORT_EXCERPT_CHARS
+            assert len(r["excerpt_en"]) <= MAX_REPORT_EXCERPT_CHARS
+            if kind == 1:
+                assert r["excerpt"].startswith("Visão geral: ")
+                assert r["excerpt_en"].startswith("Overview: ")
+            elif kind == 2:
+                assert r["excerpt"].startswith("Visão geral: ")
+                assert r["excerpt_en"] == r["excerpt"]  # pt fallback
+            elif kind == 3:
+                assert r["excerpt"].startswith("Resumo: ")
+                assert r["excerpt_en"].startswith("Summary: ")
+            else:
+                assert r["excerpt"] == r["excerpt"].strip()
+                assert not r["excerpt"].startswith(("Visão", "Resumo"))
+            if rank % 4 != 1:
+                assert r["year_range"] == f"{r['first_year']}-{r['latest_year']}"
+            else:
+                assert r["first_year"] is None and r["year_range"] is None
+    statuses = {r["generation_status"] for r in rows}
+    assert statuses == {
+        "success_partial_fallback" if any_warning else "success"
+    }
+
+
+def test_incremental_cache_plan_drives_yearly_writer(spark, tmp_path):
+    """The VERDICT-requested pairing: a stale-signature year rebuilds
+    through write_incremental_by_year (dynamic overwrite), a matching
+    one skips — the reuse partition's files are untouched while every
+    rebuild partition is rewritten, and totals equal a full write."""
+    import os
+
+    from forest_open_data_pipelines_spark.operators.caching import (
+        incremental_cache_plan,
+    )
+    from forest_open_data_pipelines_spark.sinks.writers import (
+        write_incremental_by_year,
+    )
+
+    orders = load_table(spark, SF_DIR, "orders")
+    plan = {r["year"]: r for r in incremental_cache_plan(orders).collect()}
+    rebuild = sorted(y for y, r in plan.items() if r["action"] == "rebuild")
+    reuse = sorted(y for y, r in plan.items() if r["action"] == "reuse")
+    assert reuse and rebuild
+    reasons = {r["reason"] for r in plan.values()}
+    assert reasons == {
+        "missing", "schema_version", "signature", "fingerprint",
+        "year_mismatch", "incomplete_payload", "valid",
+    }
+
+    cache = str(tmp_path / "year_cache")
+    # initial full build
+    write_incremental_by_year(orders, cache, "o_orderdate")
+    mtime = lambda y: max(
+        os.path.getmtime(os.path.join(cache, f"year={y}", f))
+        for f in os.listdir(os.path.join(cache, f"year={y}"))
+        if f.endswith(".parquet")
+    )
+    before = {y: mtime(y) for y in plan}
+    # incremental refresh of exactly the stale years
+    write_incremental_by_year(orders, cache, "o_orderdate", years=rebuild)
+    after = {y: mtime(y) for y in plan}
+    for y in reuse:
+        assert after[y] == before[y], f"reuse year {y} was rewritten"
+    for y in rebuild:
+        assert after[y] >= before[y]
+    total = spark.read.parquet(cache).count()
+    assert total == orders.count()
+
+
+def test_pq_trained_codebook_improves_over_seed(spark):
+    """The Lloyd-trained codebook must beat (or match) the seed
+    codebook on BOTH its objectives: mean reconstruction error strictly
+    lower (Lloyd monotonicity on the quantizer objective) and ADC
+    top-k recall vs the float bruteforce >= the seed codebook's (the
+    +0.07-0.09 probe, now shipped as trained=True)."""
+    from forest_open_data_pipelines_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    try:
+        seed_q = sim.embedding_quantize_pq(emb).collect()
+        trained_q = sim.embedding_quantize_pq(emb, trained=True).collect()
+        seed_mse = sum(r.recon_mse for r in seed_q) / len(seed_q)
+        trained_mse = sum(r.recon_mse for r in trained_q) / len(trained_q)
+        assert trained_mse < seed_mse, (trained_mse, seed_mse)
+
+        bf = {
+            (r.query_id, r.cand_id)
+            for r in sim.ann_topk_bruteforce(emb).collect()
+        }
+        seed_k = {
+            (r.query_id, r.cand_id) for r in sim.ann_topk_pq(emb).collect()
+        }
+        trained_k = {
+            (r.query_id, r.cand_id)
+            for r in sim.ann_topk_pq(emb, trained=True).collect()
+        }
+        seed_recall = len(bf & seed_k) / len(bf)
+        trained_recall = len(bf & trained_k) / len(bf)
+        assert trained_recall >= seed_recall, (trained_recall, seed_recall)
+    finally:
+        sim.clear_centroid_cache()
