@@ -792,109 +792,92 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # (disjunctive_promo_revenue). Everything parked stays re-verified by
 # the per-session oracle-parity sweep at sf0.001.
 # ---------------------------------------------------------------------------
-_R8_WINDOW: tuple[str, ...] = (
-    # never-driver-green: round-7-extension additions (first rows)
-    "monthly_seasonal_index",
-    "supplier_concentration_hhi",
-    "part_affinity_pairs",
-    "daily_anomaly_report",
-    "sampled_revenue_estimate",
-    "event_transitions",
-    "dedup_winnowing",
-    "winnowing_incremental",
-    "duplicate_spans",
-    "strip_duplicate_spans",
-    "media_integrity_audit",
-    # never-driver-green: round-8 reference-gap closers + the shard
-    # planner (first rows; corpus_shard_plan displaced the
-    # annual_by_region refresh slot — its r4 row stands, and
-    # annual_series/annual_reference_extract keep the family covered)
-    "anp_prompt_texts",
-    "eia_petroleum_weekly_files",
-    "corpus_shard_plan",
-    "quality_threshold_sweep",
-    "report_fallback_blocks",
-    # refresh: r3-vintage rows (all seven)
-    "type_inference",
-    "social_text_normalize",
-    "lang_id",
-    "dir_listing_files",
-    "html_list_parse",
-    "manifest_status",
-    "top_biomes_month_comparison",
-    # round-8 extension additions (first rows; each displaces an
-    # r4-vintage refresh slot whose family keeps a newer green row:
-    # nation_year_matrix (nation_month_matrix_augmented r5),
-    # top_nations_with_other (nation_series_with_other r7),
-    # dedup_simhash (dedup_simhash64 r6 + simhash_budget_sweep r7),
-    # ann_topk_bruteforce (ann_method_eval r6 re-verifies it as the
-    # recall ground truth); bm25_topk displaces freshness_cadence
-    # (freshness_watch_signals r7 + freshness_latest in-window);
-    # bm25_route displaces token_count (tokenizer_fertility in-window
-    # byte-shares token_count's definitions and reconciles its sums);
-    # hard_negative_mining displaces doc_fingerprint (the winnowing
-    # family in-window builds on the same rolling-hash fingerprints);
-    # hybrid_rrf_topk displaces events_asof_attribution
-    # (clicks_before_purchase r4 shares asof.py's join machinery and
-    # the family keeps its r4 row); dataset_card displaces
-    # monthly_chart_spec (the scoped twin's r5 row + focos_llm_payload
-    # r6 build on the same spec machinery); bitext_mining displaces
-    # region_nation_cube (region_nation_rollup r5 shares the
-    # grouping-sets machinery); shard_curriculum displaces
-    # part_brand_stats (cheapest_supplier_per_part r6 + q16 r7 keep
-    # the part-dimension family green)
-    "token_zipf_fit",
-    "tokenizer_fertility",
-    "cluster_size_histogram",
-    "embedding_drift_report",
-    "bm25_topk",
-    "bm25_route",
-    "hard_negative_mining",
-    "hybrid_rrf_topk",
-    "dataset_card",
-    "bitext_mining",
-    "shard_curriculum",
-    "multimodal_features",
-    "multimodal_frames",
-    "resize_media",
-    "embedding_outlier_report",
-    # refresh: r4-vintage rows (26 of 37)
-    "top_nations_yoy",
-    "rolling_12m",
-    "ytd_comparison",
-    "highlights",
-    "same_month_prev_year",
-    "month_year_comparison",
-    "schema_audit",
-    "region_rank",
-    "abstract_reconstruct",
-    "freshness_latest",
-    "top_customers",
-    "events_sessionize",
+_R9_WINDOW: tuple[str, ...] = (
+    # never-driver-green: round-9 reference-gap closers + the trained
+    # PQ variant (first rows), plus dedup_ngram_jaccard whose catalog
+    # default was PROMOTED to the ppjoin prefix plan this round — its
+    # r5 row verified the count-verify shape, the promoted plan needs
+    # its own driver evidence
+    "incremental_cache_plan",
+    "freshness_observations_append",
+    "reports_catalog",
+    "report_prompts",
+    "embedding_quantize_pq_trained",
+    "dedup_ngram_jaccard",
+    # refresh: the 19 r4-vintage rows rounds 7-8 left parked (the 10
+    # family-covered holdovers + the 9 displaced for round-8 extension
+    # entries — every family keeps its newer sibling green regardless)
+    "monthly_by_region",
+    "nation_month_matrix",
+    "annual_series",
+    "annual_by_region",
+    "top_regions_yoy",
+    "dedup_embedding",
+    "events_windowed",
+    "promo_revenue_share",
+    "clicks_before_purchase",
+    "painel_pdf_links",
+    "nation_year_matrix",
+    "top_nations_with_other",
+    "dedup_simhash",
+    "ann_topk_bruteforce",
+    "freshness_cadence",
+    "token_count",
+    "doc_fingerprint",
+    "events_asof_attribution",
+    "monthly_chart_spec",
+    # refresh: 25 oldest r5-vintage rows (the flagship/bench anchors
+    # and the round-5 scraper/payload families)
+    "monthly_series",
+    "dedup_exact",
+    "dedup_minhash",
+    "pack_sequences",
+    "payload_merge_dedupe",
+    "payload_merge_dedupe_by_region",
+    "payload_merge_dedupe_scoped",
+    "monthly_chart_spec_scoped",
+    "annual_reference_extract",
+    "nation_month_matrix_augmented",
+    "monthly_by_region_augmented",
+    "anp_panel_payloads",
+    "govbr_freshness_labels",
+    "lang_id_ngram",
+    "coids_entry_periods",
+    "cvm_latest_zips",
+    "govbr_resource_classify",
+    "ckan_resource_select",
+    "mensal_links",
+    "supranational_items",
+    "mma_manifest_items",
+    "sanitize_slide_text",
+    "anp_resource_urls",
+    "quality_repetition",
+    "bpe_merge_candidates",
 )
-assert len(_R8_WINDOW) == DRIVER_CHECK_CAP, len(_R8_WINDOW)
+assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 
-# Round-9 rotation queue (pre-staged; build the _R9_WINDOW from this):
-# 1) any round-8 window row the driver fails — fix first, re-window;
-# 2) the r4-vintage rows round 8 left parked (monthly_by_region,
-#    nation_month_matrix, annual_series, annual_by_region,
-#    top_regions_yoy, dedup_embedding, events_windowed,
-#    promo_revenue_share, clicks_before_purchase, painel_pdf_links,
-#    plus the nine displaced for the round-8 extension entries:
-#    nation_year_matrix, top_nations_with_other, dedup_simhash,
-#    ann_topk_bruteforce, freshness_cadence, token_count,
-#    doc_fingerprint, events_asof_attribution, monthly_chart_spec);
-# 3) then the oldest r5-vintage rows (q1/q3/q5, dedup_exact,
-#    dedup_minhash, pack_sequences, the payload_merge family, ...);
+# Round-10 rotation queue (pre-staged; build the _R10_WINDOW from this):
+# 1) any round-9 window row the driver fails — fix first, re-window;
+# 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
+#    dedup_embedding_lsh, dedup_canonical_corpus, ann_topk_lsh,
+#    ann_topk_ivf, ann_topk_ivf_trained, embedding_label_stats,
+#    region_nation_rollup, nations_trade_volume,
+#    customer_order_distribution, order_priority_semijoin,
+#    disjunctive_promo_revenue, returned_item_ranking,
+#    session_duration_stats, user_retention_cohorts, event_funnel,
+#    join_key_skew_report, url_merge);
+# 3) then the oldest r6-vintage rows (dedup_incremental,
+#    edit_distance_pairs — re-row it if the fail-fast bound lands in
+#    the catalog shape — dedup_simhash64, boilerplate_ngrams, ...);
 # 4) everything else keeps its newest green row and stays covered by
 #    the per-session oracle-parity sweep.
 QUERIES = {
     n: QUERIES[n]
-    for n in list(_R8_WINDOW) + [x for x in QUERIES if x not in set(_R8_WINDOW)]
+    for n in list(_R9_WINDOW) + [x for x in QUERIES if x not in set(_R9_WINDOW)]
 }
 
 # First name past the driver window; everything from here on is parked.
-PARKED_FROM = next(n for n in QUERIES if n not in set(_R8_WINDOW))
+PARKED_FROM = next(n for n in QUERIES if n not in set(_R9_WINDOW))
 
 
 def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

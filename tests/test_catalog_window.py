@@ -16,47 +16,19 @@ from forest_open_data_pipelines_spark.plans.catalog import (
 )
 
 # Entries that need a driver row THIS round and must stay inside the
-# window: everything that has NEVER had a green driver row — the 11
-# round-7-extension additions and the two round-8 reference-gap
-# closers. The 37 refresh slots (oldest r3/r4 evidence) are
+# window: everything whose current catalog plan has NEVER had a green
+# driver row. The 44 refresh slots (oldest r4/r5 evidence) are
 # discretionary and not pinned here.
 MUST_BE_IN_WINDOW = {
-    # round-7-extension additions (first rows)
-    "monthly_seasonal_index",
-    "supplier_concentration_hhi",
-    "part_affinity_pairs",
-    "daily_anomaly_report",
-    "sampled_revenue_estimate",
-    "event_transitions",
-    "dedup_winnowing",
-    "winnowing_incremental",
-    "duplicate_spans",
-    "strip_duplicate_spans",
-    "media_integrity_audit",
-    # round-8 reference-gap closers + tuning/planning additions
-    # (first rows)
-    "anp_prompt_texts",
-    "eia_petroleum_weekly_files",
-    "corpus_shard_plan",
-    "quality_threshold_sweep",
-    "report_fallback_blocks",
-    # round-8 extension additions (first rows)
-    "token_zipf_fit",
-    "tokenizer_fertility",
-    "cluster_size_histogram",
-    "embedding_drift_report",
-    "bm25_topk",
-    "bm25_route",
-    "hard_negative_mining",
-    "hybrid_rrf_topk",
-    "dataset_card",
-    "bitext_mining",
-    "shard_curriculum",
-    # newly oracle-paired (rows-only until round 8) — first value rows
-    "multimodal_features",
-    "multimodal_frames",
-    "resize_media",
-    "embedding_outlier_report",
+    # round-9 reference-gap closers + the trained PQ variant (first
+    # rows), plus the promoted-ppjoin dedup_ngram_jaccard default
+    # whose executed plan changed this round
+    "incremental_cache_plan",
+    "freshness_observations_append",
+    "reports_catalog",
+    "report_prompts",
+    "embedding_quantize_pq_trained",
+    "dedup_ngram_jaccard",
 }
 
 
