@@ -137,12 +137,18 @@ def year_source_fingerprints(orders: DataFrame) -> DataFrame:
     )
 
 
-def cached_year_manifests(orders: DataFrame) -> DataFrame:
+def cached_year_manifests(
+    orders: DataFrame, fp: DataFrame | None = None
+) -> DataFrame:
     """The 'existing cache' the nightly run compares against: the
     CURRENT fingerprints with rank-keyed degradations (module
     docstring) so each ``_is_valid_year_payload`` clause trips on
-    exactly one year. Rank 1 is dropped entirely (missing payload)."""
-    fp = year_source_fingerprints(orders)
+    exactly one year. Rank 1 is dropped entirely (missing payload).
+    Pass ``fp`` to reuse an already-materialized fingerprint frame
+    (``incremental_cache_plan`` persists it so the fact table is
+    scanned ONCE, not once per comparison side)."""
+    if fp is None:
+        fp = year_source_fingerprints(orders)
     rank = F.row_number().over(Window.orderBy("year"))
     ranked = fp.withColumn("rank", rank)
     sig = build_signature_col()
@@ -178,13 +184,18 @@ def incremental_cache_plan(orders: DataFrame) -> DataFrame:
     failing reason, plus the signature so the caller can stamp the
     rebuilt payloads.
 
-    Scale: both sides are year-grained aggregates of the fact table
-    (one groupBy each, shared subtree), and the decision join is
-    years-sized — broadcast; the expensive half (rebuilding) is
-    delegated to the partitioned writer for exactly the rebuild rows.
+    Scale: the year-grained fingerprint aggregate is computed ONCE and
+    persisted (years-sized — metadata-weight), so the fact table is
+    scanned once even though both comparison sides consume it (without
+    the persist Catalyst re-runs the scan+groupBy under each branch);
+    the decision join is years-sized — broadcast; the expensive half
+    (rebuilding) is delegated to the partitioned writer for exactly
+    the rebuild rows.
     """
-    fp = year_source_fingerprints(orders)
-    mf = cached_year_manifests(orders).select(
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    fp = _persist(year_source_fingerprints(orders))
+    mf = cached_year_manifests(orders, fp=fp).select(
         "year",
         "cache_schema_version",
         "build_signature",

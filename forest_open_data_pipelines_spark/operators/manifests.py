@@ -457,9 +457,14 @@ def reports_catalog(documents: DataFrame) -> DataFrame:
 
     Scale: one groupBy(source) over the documents scan, then pure
     projections on the reports-sized frame + one broadcast scalar for
-    the envelope status — the reference's python loop over config
-    entries, as one catalog-sized plan.
+    the envelope status; the shaped frame (≤ #sources rows) is
+    PERSISTED because the status scalar is its second consumer —
+    without it Catalyst re-runs the documents scan + groupBy under the
+    broadcast branch. The reference's python loop over config entries,
+    as one catalog-sized plan.
     """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
     e = report_entries_from_documents(documents)
     required_missing = sum(
         F.when(
@@ -485,7 +490,7 @@ def reports_catalog(documents: DataFrame) -> DataFrame:
             F.lit("' para enriquecer catalogo"),
         ),
     )
-    shaped = e.select(
+    shaped = _persist(e.select(
         "report_id",
         "slug",
         "title",
@@ -506,7 +511,7 @@ def reports_catalog(documents: DataFrame) -> DataFrame:
             "latest_period"
         ),
         warning.alias("warning"),
-    )
+    ))
     status = shaped.agg(
         F.when(F.count("warning") > 0, F.lit("success_partial_fallback"))
         .otherwise(F.lit("success"))

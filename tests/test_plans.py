@@ -815,3 +815,80 @@ def test_retrieval_diagnostics_single_live_fact_scan(spark):
             assert live <= 2, (name, live)
         finally:
             release_persisted()
+
+
+def test_incremental_cache_plan_scans_orders_once(spark):
+    """Both decision sides read the persisted years-sized fingerprint
+    frame: exactly one orders scan (InMemoryTableScan covers the other
+    consumer) and the decision join broadcasts the manifests side."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    try:
+        plan = _plan(spark, "incremental_cache_plan")
+        live = 0
+        for ln in plan.splitlines():
+            if re.search(r"(?:File)?Scan parquet\b", ln):
+                live += 1
+            if "InMemoryRelation" in ln:
+                break  # below the first cache is cached lineage
+        assert live == 0, plan  # both sides read the cached fingerprints
+        assert plan.count("InMemoryTableScan") >= 2
+        assert "BroadcastHashJoin" in plan
+        # the scan reads only the two needed order columns
+        assert all(
+            "o_orderkey" not in s and "o_custkey" not in s
+            for s in _read_schemas(plan)
+        )
+    finally:
+        release_persisted()
+
+
+def test_freshness_observations_append_single_shuffle_window(spark):
+    """The append contract is the sessionize shape: ONE exchange on the
+    (watch, resource) key feeding the lag window; the batch cutoff is
+    a broadcast scalar, not a second shuffle of events."""
+    plan = _plan(spark, "freshness_observations_append")
+    # exactly one hash exchange over the watch/resource key
+    assert plan.count("hashpartitioning(watch_id") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_reports_catalog_scans_documents_once(spark):
+    """The envelope-status scalar reads the persisted reports-sized
+    frame, not a second documents scan."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    try:
+        plan = _plan(spark, "reports_catalog")
+        live = 0
+        for ln in plan.splitlines():
+            if re.search(r"(?:File)?Scan parquet\b", ln):
+                live += 1
+            if "InMemoryRelation" in ln:
+                break  # below the first cache is cached lineage
+        assert live == 0, plan  # both consumers read the shaped cache
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        release_persisted()
+
+
+def test_report_prompts_is_metric_frame_projection(spark):
+    """The prompt pair renders off the one-row metric frame: no
+    Python row evaluation, dims broadcast in the enrichment, and the
+    orders scan column-pruned like the monthly chain's."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    try:
+        plan = _plan(spark, "report_prompts")
+        assert "PythonUDF" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert all("o_comment" not in s for s in _read_schemas(plan))
+    finally:
+        release_persisted()
