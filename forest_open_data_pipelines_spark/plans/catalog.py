@@ -677,8 +677,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "numeric_correlations": lambda s, d: profiling.numeric_correlations(
         load_table(s, d, "lineitem")
     ),
+    # guards LIVE in the executed entry (results identical when they
+    # pass): the prefix-join candidate bound fail-fasts a
+    # collision-heavy corpus, the short-doc cap fail-fasts a
+    # tiny-doc-dominated one — one cheap agg each over persisted frames
     "edit_distance_pairs": lambda s, d: dedup.edit_distance_pairs(
-        load_table(s, d, "documents")
+        load_table(s, d, "documents"),
+        max_candidate_pairs=50_000_000,
+        max_short_docs=100_000,
     ),
     "edit_distance_topk": lambda s, d: dedup.edit_distance_topk(
         load_table(s, d, "documents")

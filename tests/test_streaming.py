@@ -1452,3 +1452,77 @@ def test_compact_anomaly_cache_keep_last_exceeds_partitions(spark, tmp_path):
         .collect()
     )
     assert kept == sorted(rows)
+
+
+def test_observations_append_stream_matches_batch(spark, tmp_path):
+    """The stateful append gate must reproduce the batch operator's
+    rows exactly — including chains that CROSS a micro-batch boundary
+    (two time-ordered files fed sequentially, the reference's
+    nightly-append cadence): for every batch-window row, identical
+    previous timestamp, precision-aware changed flag, and intervals."""
+    import datetime as _dt
+
+    from forest_open_data_pipelines_spark.operators.freshness import (
+        freshness_observations_append,
+    )
+    from forest_open_data_pipelines_spark.streaming.observations import (
+        observations_append_stream,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    mid = events.agg(
+        F.date_sub(F.max("ts").cast("date"), 10).alias("d")
+    ).first()["d"]
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    # two time-ordered files: the chain for most keys crosses the split
+    events.where(F.col("ts").cast("date") <= F.lit(mid)).coalesce(1) \
+        .write.parquet(str(tmp_path / "part1"))
+    events.where(F.col("ts").cast("date") > F.lit(mid)).coalesce(1) \
+        .write.parquet(str(tmp_path / "part2"))
+    import shutil
+
+    def _feed(part: str, name: str) -> None:
+        f = next(
+            p for p in (tmp_path / part).iterdir()
+            if p.name.endswith(".parquet")
+        )
+        shutil.copy(f, src / name)
+
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    q = (
+        observations_append_stream(stream)
+        .writeStream.format("memory")
+        .queryName("obs_append_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_obs"))
+        .start()
+    )
+    try:
+        _feed("part1", "a.parquet")
+        q.processAllAvailable()
+        _feed("part2", "b.parquet")
+        q.processAllAvailable()
+        emitted = spark.sql("SELECT * FROM obs_append_test").collect()
+    finally:
+        q.stop()
+
+    # multiset compare over the batch window (error probes share the
+    # empty source timestamp, so tuples — not keys — are the unit)
+    cutoff = events.agg(
+        F.date_sub(F.max("ts").cast("date"), 7).alias("d")
+    ).first()["d"]
+    tup = lambda r: (
+        r["watch_id"], r["resource_key"], r["source_modified_at"],
+        r["precision"], r["status"], r["previous_source_modified_at"],
+        r["changed"], r["interval_hours"], r["interval_days"],
+    )
+    streamed = sorted(
+        tup(r) for r in emitted if r["ts"].date() > cutoff
+    )
+    batch_rows = freshness_observations_append(events).collect()
+    assert batch_rows
+    assert streamed == sorted(tup(r) for r in batch_rows)
+    assert len(emitted) == events.count()  # every event emitted once
