@@ -261,6 +261,14 @@ NOTES = {
         "also pays (benched separately); the prompt assembly itself "
         "is a projection over the one-row metric frame."
     ),
+    "edit_distance_pairs": (
+        "includes the two LIVE fail-fast guard aggregates the catalog "
+        "entry now runs (candidate bound over the persisted prefix "
+        "table + short-doc count, ~+0.9s of fixed job overhead at "
+        "sf0.1) on top of the candidate-bound join documented for "
+        "this corpus; at scale the guards are one cheap aggregate "
+        "each relative to the join shape they veto."
+    ),
     "q5_region_volume": (
         "r4 flagged a +10% drift; 5-rep check shows rep-to-rep variance "
         "of +/-15% on this query (samples 1.37-1.61s steady-state) with "

@@ -135,6 +135,17 @@ OPS = {
         "forest_open_data_pipelines_spark.operators.freshness",
         fromlist=["freshness_watch_signals"],
     ).freshness_watch_signals(d),
+    # round-9: reports_catalog reduces to one groupBy(source) whose
+    # output is #sources rows regardless of corpus size — the min_by /
+    # min/max partial aggregates grow linearly, everything after is
+    # projection on the persisted reports-sized frame; should probe
+    # ~flat per doc. (The other round-9 entries read orders/events —
+    # outside this documents-replication probe; their shapes are
+    # year-grained aggregates and ONE keyed lag window, plan-guarded.)
+    "reports_catalog": lambda d: __import__(
+        "forest_open_data_pipelines_spark.operators.manifests",
+        fromlist=["reports_catalog"],
+    ).reports_catalog(d),
 }
 
 
