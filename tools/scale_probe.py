@@ -339,9 +339,20 @@ def analytics_main(max_replicas: int) -> None:
 
     spark = get_spark("scale-probe-analytics")
     spark.sparkContext.setLogLevel("ERROR")
+    from forest_open_data_pipelines_spark.operators import freshness
+
     ev_ops = {
         "event_transitions": sessionize.event_transitions,
         "daily_anomaly_report": sessionize.daily_anomaly_report,
+        # round-9: the append contract is ONE lag window on the
+        # (watch, resource) key — disjoint replica populations grow the
+        # key space k× with chain length constant, the production
+        # growth mode (more sources watched); expect ~linear
+        "freshness_observations_append": (
+            freshness.freshness_observations_append
+        ),
+        "freshness_cadence": freshness.freshness_cadence,
+        "events_sessionize": sessionize.events_sessionize,
     }
     li_ops = {
         "part_affinity_pairs": relational.part_affinity_pairs,
