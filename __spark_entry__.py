@@ -2532,6 +2532,59 @@ WHERE ts::DATE > c.cut_day
 ORDER BY watch_id, resource_key, source_modified_at, status"""
 
 
+def _freshness_latest_snapshot_sql() -> str:
+    """DuckDB twin of freshness.freshness_latest_snapshot: the shared
+    append-fold CTEs, keep-latest row per (watch, resource) + per-key
+    count, generated_at = the max event time."""
+    iso = "%Y-%m-%dT%H:%M:%S.%f"
+
+    def cents(unit: int) -> str:
+        d = "(epoch_us(ts) - epoch_us(prev_ts))"
+        return (
+            f"(({d} // {unit}) + CASE WHEN ({d} % {unit}) * 2 >= {unit} "
+            f"THEN 1 ELSE 0 END) / 100.0"
+        )
+
+    return f"""
+WITH ev AS (
+  SELECT event_id, ts,
+         user_id AS watch_id, event_type AS resource_key,
+         CASE WHEN event_id % 37 = 0 THEN 'error' ELSE 'ok' END AS status,
+         CASE WHEN event_id % 37 = 0 THEN ''
+              ELSE strftime(ts, '{iso}') END AS source_modified_at,
+         CASE WHEN user_id % 3 = 0 THEN 'date' ELSE 'second' END AS precision
+  FROM events
+),
+gen AS (SELECT strftime(max(ts), '{iso}') AS generated_at FROM events),
+lagged AS (
+  SELECT *,
+         coalesce(lag(source_modified_at) OVER w, '') AS previous_source_modified_at,
+         lag(CASE WHEN status = 'ok' THEN ts END) OVER w AS prev_ts,
+         row_number() OVER (PARTITION BY watch_id, resource_key
+                            ORDER BY ts DESC, event_id DESC) AS rn_desc,
+         count(*) OVER (PARTITION BY watch_id, resource_key) AS n_observations
+  FROM ev
+  WINDOW w AS (PARTITION BY watch_id, resource_key ORDER BY ts, event_id)
+),
+dec AS (
+  SELECT *,
+    (status = 'ok' AND source_modified_at <> ''
+     AND previous_source_modified_at <> ''
+     AND NOT (CASE WHEN precision = 'date' THEN ts::DATE = prev_ts::DATE
+              ELSE source_modified_at = previous_source_modified_at END))
+      AS changed
+  FROM lagged
+)
+SELECT g.generated_at, watch_id, resource_key, n_observations,
+       source_modified_at, precision, status, previous_source_modified_at,
+       changed,
+       CASE WHEN changed THEN {cents(36_000_000)} END AS interval_hours,
+       CASE WHEN changed THEN {cents(864_000_000)} END AS interval_days
+FROM dec, gen g
+WHERE rn_desc = 1
+ORDER BY watch_id, resource_key"""
+
+
 def _reports_catalog_sql() -> str:
     """DuckDB twin of manifests.reports_catalog: identical per-source
     report derivation (rank-keyed degradations), the excerpt fallback
@@ -7459,6 +7512,7 @@ SELECT p.label, p.n_vecs,
 FROM per p JOIN cvg c USING (label), tot t ORDER BY p.label"""
     out["incremental_cache_plan"] = _incremental_cache_plan_sql()
     out["freshness_observations_append"] = _freshness_append_sql()
+    out["freshness_latest_snapshot"] = _freshness_latest_snapshot_sql()
     out["reports_catalog"] = _reports_catalog_sql()
     out["report_prompts"] = _report_prompts_sql()
     return out

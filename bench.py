@@ -262,12 +262,12 @@ NOTES = {
         "is a projection over the one-row metric frame."
     ),
     "edit_distance_pairs": (
-        "includes the two LIVE fail-fast guard aggregates the catalog "
-        "entry now runs (candidate bound over the persisted prefix "
-        "table + short-doc count, ~+0.9s of fixed job overhead at "
-        "sf0.1) on top of the candidate-bound join documented for "
-        "this corpus; at scale the guards are one cheap aggregate "
-        "each relative to the join shape they veto."
+        "includes the LIVE fail-fast guards the catalog entry now "
+        "runs, fused into ONE action (join of the two 1-row "
+        "aggregates over persisted frames, ~+0.2s at sf0.1) on top "
+        "of the candidate-bound join documented for this corpus; at "
+        "scale the guard is one cheap aggregate relative to the join "
+        "shape it vetoes."
     ),
     "q5_region_volume": (
         "r4 flagged a +10% drift; 5-rep check shows rep-to-rep variance "

@@ -1991,31 +1991,49 @@ def edit_distance_pairs(
         .where(F.col("rn") <= q * k + 1)
         .select("doc_id", "len", "s")
     )
-    if max_candidate_pairs is not None:
-        # Fail-fast candidate bound — the max_candidate_pairs twin of
-        # dedup_ngram_jaccard's guard: the long-channel prefix join's
-        # output is bounded by Σ_s C(df_s, 2) over PREFIX grams, so a
-        # collision-heavy corpus (tiny gram vocabulary) is detected
-        # with one cheap aggregate over the already-persisted prefix
-        # table instead of silently running the quadratic join.
-        bound = (
-            prefix.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .agg(
-                F.sum(F.col("df") * (F.col("df") - 1) / 2)
-                .cast("long")
-                .alias("b")
+    short = base.where(F.col("len") < min_long).select("doc_id", "len")
+    if max_candidate_pairs is not None or max_short_docs is not None:
+        # Fail-fast guards, ONE action for both: the long channel is
+        # bounded by Σ_s C(df_s, 2) over PREFIX grams (a
+        # collision-heavy tiny-vocabulary corpus trips it), the short
+        # channel by the sub-q·(k+1)-char doc count (quadratic per
+        # length bucket — the documented scale caveat, enforced).
+        # Joining the two 1-row aggregates lets Spark compute both
+        # subtrees in a single job over the already-persisted frames
+        # instead of paying two jobs of fixed overhead.
+        checks = []
+        if max_candidate_pairs is not None:
+            checks.append(
+                prefix.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .agg(
+                    F.sum(F.col("df") * (F.col("df") - 1) / 2)
+                    .cast("long")
+                    .alias("b")
+                )
             )
-            .first()["b"]
-        ) or 0
-        if bound > max_candidate_pairs:
+        if max_short_docs is not None:
+            checks.append(short.agg(F.count(F.lit(1)).alias("ns")))
+        g = checks[0] if len(checks) == 1 else checks[0].join(checks[1])
+        row = g.first()
+        if max_candidate_pairs is not None:
+            bound = row["b"] or 0
+            if bound > max_candidate_pairs:
+                raise ValueError(
+                    f"edit_distance_pairs: prefix-join candidate bound "
+                    f"{bound} exceeds max_candidate_pairs="
+                    f"{max_candidate_pairs}; the corpus's q-gram "
+                    f"vocabulary is too small for q={q} prefixes to "
+                    "select — raise q (sparser grams), exact-dedup "
+                    "first, or length-floor tiny/templated docs before "
+                    "the join"
+                )
+        if max_short_docs is not None and row["ns"] > max_short_docs:
             raise ValueError(
-                f"edit_distance_pairs: prefix-join candidate bound "
-                f"{bound} exceeds max_candidate_pairs="
-                f"{max_candidate_pairs}; the corpus's q-gram "
-                f"vocabulary is too small for q={q} prefixes to "
-                "select — raise q (sparser grams), exact-dedup first, "
-                "or length-floor tiny/templated docs before the join"
+                f"edit_distance_pairs: {row['ns']} docs shorter than "
+                f"q*(k+1)={min_long} chars exceed max_short_docs="
+                f"{max_short_docs}; pre-filter tiny docs (length floor) "
+                "or dedup them exactly before the edit-distance join"
             )
     a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"), "s")
     b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b"), "s")
@@ -2036,21 +2054,6 @@ def edit_distance_pairs(
     # are a large population, pre-filter them out (a length floor is a
     # standard curation gate anyway) or dedup them exactly first; the
     # bucket join itself stays distributed (bucket is the shuffle key).
-    short = base.where(F.col("len") < min_long).select("doc_id", "len")
-    if max_short_docs is not None:
-        # Enforced version of the scale caveat below: the short-doc
-        # channel is quadratic per length bucket, so a corpus where
-        # tiny docs are a large population should length-floor or
-        # exact-dedup them FIRST. The count is one cheap job over the
-        # already-persisted base.
-        n_short = short.count()
-        if n_short > max_short_docs:
-            raise ValueError(
-                f"edit_distance_pairs: {n_short} docs shorter than "
-                f"q*(k+1)={min_long} chars exceed max_short_docs="
-                f"{max_short_docs}; pre-filter tiny docs (length floor) "
-                "or dedup them exactly before the edit-distance join"
-            )
     sb = short.select(
         "doc_id",
         "len",

@@ -525,6 +525,51 @@ def observations_from_events(events: DataFrame) -> DataFrame:
     )
 
 
+def _folded_observations(events: DataFrame) -> DataFrame:
+    """The shared append fold: every observation row with its key's
+    previous source timestamp (lag over the full history — the
+    reference's forward-carried ``latest`` map), the precision-aware
+    ``changed`` flag, and exact integer-cents intervals (the micro_div
+    convention: no double ever touches the .xx5 boundary). Consumed by
+    the batch append (batch rows only) and the latest-snapshot view
+    (final row per key)."""
+    obs = observations_from_events(events)
+    w = Window.partitionBy("watch_id", "resource_key").orderBy(
+        "ts", "event_id"
+    )
+    prev_str = F.lag("source_modified_at").over(w)
+    prev_ts = F.lag(F.when(F.col("status") == "ok", F.col("ts"))).over(w)
+    lagged = obs.select(
+        "*",
+        F.coalesce(prev_str, F.lit("")).alias("previous_source_modified_at"),
+        prev_ts.alias("prev_mod_ts"),
+    )
+    cur_ok = (F.col("status") == "ok") & (F.col("source_modified_at") != "")
+    prev_ok = F.col("previous_source_modified_at") != ""
+    same = F.when(
+        F.col("precision") == "date",
+        F.col("ts").cast("date") == F.col("prev_mod_ts").cast("date"),
+    ).otherwise(
+        F.col("source_modified_at") == F.col("previous_source_modified_at")
+    )
+    changed = cur_ok & prev_ok & ~same
+    diff = F.unix_micros("ts") - F.unix_micros("prev_mod_ts")
+
+    def _cents(per_unit_micros: int) -> Column:
+        unit = F.lit(per_unit_micros)  # micros per 0.01 of the unit
+        return (
+            F.floor(diff / unit).cast("long")
+            + F.when((diff % unit) * 2 >= unit, F.lit(1)).otherwise(F.lit(0))
+        ) / 100.0
+
+    return lagged.select(
+        "*",
+        changed.alias("changed"),
+        F.when(changed, _cents(36_000_000)).alias("interval_hours"),
+        F.when(changed, _cents(864_000_000)).alias("interval_days"),
+    )
+
+
 def freshness_observations_append(
     events: DataFrame, batch_days: int = APPEND_BATCH_DAYS
 ) -> DataFrame:
@@ -566,46 +611,13 @@ def freshness_observations_append(
     reference reading its full CSV before appending. At 100 TB the
     observation log is metadata-weight next to the fact tables.
     """
-    obs = observations_from_events(events)
-    w = Window.partitionBy("watch_id", "resource_key").orderBy(
-        "ts", "event_id"
-    )
     cutoff = events.agg(
         F.date_sub(F.max("ts").cast("date"), batch_days).alias("cut_day"),
         F.date_format(F.max("ts"), ISO_FMT).alias("observed_at"),
     )
-    prev_str = F.lag("source_modified_at").over(w)
-    prev_ts = F.lag(F.when(F.col("status") == "ok", F.col("ts"))).over(w)
-    lagged = obs.select(
-        "*",
-        F.coalesce(prev_str, F.lit("")).alias("previous_source_modified_at"),
-        prev_ts.alias("prev_mod_ts"),
-    )
-    cur_ok = (F.col("status") == "ok") & (F.col("source_modified_at") != "")
-    prev_ok = F.col("previous_source_modified_at") != ""
-    same = F.when(
-        F.col("precision") == "date",
-        F.col("ts").cast("date") == F.col("prev_mod_ts").cast("date"),
-    ).otherwise(
-        F.col("source_modified_at") == F.col("previous_source_modified_at")
-    )
-    changed = cur_ok & prev_ok & ~same
-    # 2-dp interval via EXACT integer half-up on the micros diff (the
-    # micro_div convention): no double ever touches the .xx5 boundary,
-    # so both engines agree bit-for-bit.
-    diff = F.unix_micros("ts") - F.unix_micros("prev_mod_ts")
-
-    def _cents(per_unit_micros: int) -> Column:
-        unit = F.lit(per_unit_micros)  # micros per 0.01 of the unit
-        return (
-            F.floor(diff / unit).cast("long")
-            + F.when((diff % unit) * 2 >= unit, F.lit(1)).otherwise(F.lit(0))
-        ) / 100.0
-
-    hours2 = _cents(36_000_000)
-    days2 = _cents(864_000_000)
     return (
-        lagged.join(F.broadcast(cutoff))
+        _folded_observations(events)
+        .join(F.broadcast(cutoff))
         .where(F.col("ts").cast("date") > F.col("cut_day"))
         .select(
             "observed_at",
@@ -615,9 +627,59 @@ def freshness_observations_append(
             "precision",
             "status",
             "previous_source_modified_at",
-            changed.alias("changed"),
-            F.when(changed, hours2).alias("interval_hours"),
-            F.when(changed, days2).alias("interval_days"),
+            "changed",
+            "interval_hours",
+            "interval_days",
         )
         .orderBy("watch_id", "resource_key", "source_modified_at", "status")
+    )
+
+
+def freshness_latest_snapshot(events: DataFrame) -> DataFrame:
+    """The latest-observation SNAPSHOT the reference writes after every
+    append — freshness/storage.py:153-173 ``write_latest_snapshot`` +
+    ``_latest_by_key`` (:84-88): per (watch_id, resource_key), the
+    key's LAST observation with its fold columns (previous timestamp,
+    precision-aware changed flag, change intervals), plus the per-key
+    observation count and the snapshot's generated-at scalar (the
+    reference stamps the write clock; here the max event time — the
+    ``freshness_observations_append`` observed_at convention). The
+    reference nests rows as watches[watch_id][resource_key]; the
+    relational shape is the flattened (watch, resource) grain, one row
+    per key.
+
+    Scale: the same single keyed shuffle as the append fold (the lag
+    window and the keep-latest row_number share one partitioning —
+    Catalyst plans ONE exchange), then a count over ≤ |keys| rows.
+    """
+    w_desc = Window.partitionBy("watch_id", "resource_key").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    gen = events.agg(
+        F.date_format(F.max("ts"), ISO_FMT).alias("generated_at")
+    )
+    folded = _folded_observations(events).select(
+        "*",
+        F.row_number().over(w_desc).alias("rn_desc"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("watch_id", "resource_key")
+        ).alias("n_observations"),
+    )
+    return (
+        folded.where(F.col("rn_desc") == 1)
+        .join(F.broadcast(gen))
+        .select(
+            "generated_at",
+            "watch_id",
+            "resource_key",
+            "n_observations",
+            "source_modified_at",
+            "precision",
+            "status",
+            "previous_source_modified_at",
+            "changed",
+            "interval_hours",
+            "interval_days",
+        )
+        .orderBy("watch_id", "resource_key")
     )

@@ -731,6 +731,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "freshness_observations_append": lambda s, d: (
         freshness.freshness_observations_append(load_table(s, d, "events"))
     ),
+    "freshness_latest_snapshot": lambda s, d: (
+        freshness.freshness_latest_snapshot(load_table(s, d, "events"))
+    ),
     "reports_catalog": lambda s, d: manifests.reports_catalog(
         load_table(s, d, "documents")
     ),
@@ -864,6 +867,8 @@ assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 
 # Round-10 rotation queue (pre-staged; build the _R10_WINDOW from this):
 # 1) any round-9 window row the driver fails — fix first, re-window;
+# 1.5) freshness_latest_snapshot (added post-window this round —
+#    never-driver-green, parity-sweep covered; first R10 slot);
 # 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
 #    dedup_embedding_lsh, dedup_canonical_corpus, ann_topk_lsh,
 #    ann_topk_ivf, ann_topk_ivf_trained, embedding_label_stats,

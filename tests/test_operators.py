@@ -5779,3 +5779,46 @@ def test_pq_trained_codebook_improves_over_seed(spark):
         assert trained_recall >= seed_recall, (trained_recall, seed_recall)
     finally:
         sim.clear_centroid_cache()
+
+
+def test_freshness_latest_snapshot_consistency(spark):
+    """The snapshot is exactly the final fold row per key: one row per
+    (watch, resource), per-key counts sum to the event count, and for
+    every key whose last event falls in the append batch window the
+    snapshot row equals that key's LAST append row."""
+    from forest_open_data_pipelines_spark.operators.freshness import (
+        freshness_latest_snapshot,
+        freshness_observations_append,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    snap = freshness_latest_snapshot(events).collect()
+    keys = {(r["watch_id"], r["resource_key"]) for r in snap}
+    assert len(snap) == len(keys)
+    assert sum(r["n_observations"] for r in snap) == events.count()
+    gen = {r["generated_at"] for r in snap}
+    assert len(gen) == 1
+
+    last_append: dict = {}
+    for r in sorted(
+        freshness_observations_append(events).collect(),
+        key=lambda r: (r["source_modified_at"], r["status"]),
+    ):
+        last_append[(r["watch_id"], r["resource_key"])] = r
+    snap_by_key = {(r["watch_id"], r["resource_key"]): r for r in snap}
+    checked = 0
+    for k, a in last_append.items():
+        s = snap_by_key[k]
+        # the append batch's last OK row per key is the snapshot row
+        # whenever nothing later exists for the key; compare when the
+        # source timestamps line up
+        if s["source_modified_at"] == a["source_modified_at"] and s["status"] == a["status"]:
+            assert (
+                s["previous_source_modified_at"], s["changed"],
+                s["interval_hours"], s["interval_days"],
+            ) == (
+                a["previous_source_modified_at"], a["changed"],
+                a["interval_hours"], a["interval_days"],
+            ), k
+            checked += 1
+    assert checked >= len(keys) * 0.8  # most keys end inside the batch
