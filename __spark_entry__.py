@@ -2356,6 +2356,12 @@ def _overview_metric_ctes() -> str:
         REPORT_RECENT_MONTHS,
     )
 
+    # Every stage joins the one-row scalar frame to m with LEFT JOIN ON
+    # TRUE (not an inner comma join): the Spark twin deliberately
+    # produces its one-row fallback on an EMPTY monthly series
+    # (timeseries.py overview_metric_frame left-join note), and the
+    # inner join would collapse the oracle to 0 rows there. coalesce
+    # placement mirrors the Spark frame field-for-field.
     return f"""m AS (
   SELECT period, n_orders::BIGINT AS value,
          substr(period, 1, 4)::INTEGER AS year,
@@ -2365,34 +2371,44 @@ def _overview_metric_ctes() -> str:
 ),
 base AS (
   SELECT max(period) AS latest_period, max(year) AS latest_year,
-         min(year) AS first_year, sum(value)::BIGINT AS total_rows_processed,
+         min(year) AS first_year,
+         coalesce(sum(value), 0)::BIGINT AS total_rows_processed,
          count(DISTINCT year)::BIGINT AS file_count_used, count(*) AS n_periods
   FROM m
 ),
 scal AS (
   SELECT latest_period, latest_year, first_year, total_rows_processed,
          file_count_used, n_periods,
-         sum(value) FILTER (WHERE year = latest_year)::BIGINT AS current_year_total,
+         coalesce(sum(value) FILTER (WHERE year = latest_year), 0)::BIGINT
+           AS current_year_total,
          max(year) FILTER (WHERE year < latest_year) AS previous_year,
-         sum(value) FILTER (WHERE rn > n_periods - 12)::BIGINT AS recent_12m_total,
+         coalesce(sum(value) FILTER (WHERE rn > n_periods - 12), 0)::BIGINT
+           AS recent_12m_total,
          sum(value) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)::BIGINT
            AS prior_12m_sum,
          count(*) FILTER (WHERE rn > n_periods - 24 AND rn <= n_periods - 12)
            AS prior_12m_n
-  FROM m, base
+  FROM base LEFT JOIN m ON TRUE
   GROUP BY 1, 2, 3, 4, 5, 6
 ),
 fin AS (
-  SELECT s.*,
+  SELECT s.latest_period, s.latest_year, s.first_year,
+         s.total_rows_processed, s.file_count_used, s.n_periods,
+         s.current_year_total, s.previous_year, s.recent_12m_total,
+         s.prior_12m_sum, s.prior_12m_n,
          coalesce(sum(m.value) FILTER (WHERE m.year = s.previous_year), 0)::BIGINT
            AS previous_year_total,
          CASE WHEN s.prior_12m_n = 12 THEN s.prior_12m_sum ELSE 0 END::BIGINT
            AS prior_12m_total
-  FROM m, scal s
+  FROM scal s LEFT JOIN m ON TRUE
   GROUP BY ALL
 ),
 ex AS (
-  SELECT f.*,
+  SELECT f.latest_period, f.latest_year, f.first_year,
+         f.total_rows_processed, f.file_count_used, f.n_periods,
+         f.current_year_total, f.previous_year, f.recent_12m_total,
+         f.prior_12m_sum, f.prior_12m_n, f.previous_year_total,
+         f.prior_12m_total,
     coalesce(sum(m.value) FILTER (WHERE m.period = f.latest_period), 0)::BIGINT
       AS latest_month_total,
     coalesce(sum(m.value) FILTER (
@@ -2407,7 +2423,7 @@ ex AS (
     min(m.period) FILTER (WHERE m.rn > f.n_periods - {REPORT_RECENT_MONTHS})
       AS analysis_window_start,
     max(m.period) AS analysis_window_end
-  FROM m, fin f
+  FROM fin f LEFT JOIN m ON TRUE
   GROUP BY ALL
 )"""
 
@@ -2478,22 +2494,15 @@ SELECT year, zip_name, member_crc, build_signature, reason,
 FROM plan ORDER BY year"""
 
 
-def _freshness_append_sql() -> str:
-    """DuckDB twin of freshness.freshness_observations_append: same
-    event-derived observation rows, lag window per (watch, resource)
-    over the FULL history, precision-aware same-source compare, exact
-    integer-cents intervals, batch = last 7 days."""
+def _observation_fold_ctes(extra_window_cols: str = "") -> str:
+    """Shared ev/lagged/dec CTE chain — the DuckDB twin of
+    freshness._folded_observations, used by BOTH freshness-store
+    oracles so the derivation (the %37 error probe, the lag fold, the
+    precision-aware changed clause) cannot desync between them.
+    ``extra_window_cols`` splices additional window columns into the
+    lagged stage (the snapshot's keep-latest rank + per-key count)."""
     iso = "%Y-%m-%dT%H:%M:%S.%f"
-
-    def cents(unit: int) -> str:
-        d = "(epoch_us(ts) - epoch_us(prev_ts))"
-        return (
-            f"(({d} // {unit}) + CASE WHEN ({d} % {unit}) * 2 >= {unit} "
-            f"THEN 1 ELSE 0 END) / 100.0"
-        )
-
-    return f"""
-WITH ev AS (
+    return f"""ev AS (
   SELECT event_id, ts,
          user_id AS watch_id, event_type AS resource_key,
          CASE WHEN event_id % 37 = 0 THEN 'error' ELSE 'ok' END AS status,
@@ -2502,15 +2511,10 @@ WITH ev AS (
          CASE WHEN user_id % 3 = 0 THEN 'date' ELSE 'second' END AS precision
   FROM events
 ),
-cut AS (
-  SELECT (max(ts)::DATE - 7) AS cut_day,
-         strftime(max(ts), '{iso}') AS observed_at
-  FROM events
-),
 lagged AS (
   SELECT *,
          coalesce(lag(source_modified_at) OVER w, '') AS previous_source_modified_at,
-         lag(CASE WHEN status = 'ok' THEN ts END) OVER w AS prev_ts
+         lag(CASE WHEN status = 'ok' THEN ts END) OVER w AS prev_ts{extra_window_cols}
   FROM ev
   WINDOW w AS (PARTITION BY watch_id, resource_key ORDER BY ts, event_id)
 ),
@@ -2522,11 +2526,35 @@ dec AS (
               ELSE source_modified_at = previous_source_modified_at END))
       AS changed
   FROM lagged
+)"""
+
+
+def _interval_cents_sql(unit: int) -> str:
+    """Exact integer half-up 2-dp interval from the micros diff — the
+    micro_div convention shared with the Spark fold."""
+    d = "(epoch_us(ts) - epoch_us(prev_ts))"
+    return (
+        f"(({d} // {unit}) + CASE WHEN ({d} % {unit}) * 2 >= {unit} "
+        f"THEN 1 ELSE 0 END) / 100.0"
+    )
+
+
+def _freshness_append_sql() -> str:
+    """DuckDB twin of freshness.freshness_observations_append: the
+    shared observation-fold CTEs, exact integer-cents intervals,
+    batch = last 7 days."""
+    iso = "%Y-%m-%dT%H:%M:%S.%f"
+    return f"""
+WITH {_observation_fold_ctes()},
+cut AS (
+  SELECT (max(ts)::DATE - 7) AS cut_day,
+         strftime(max(ts), '{iso}') AS observed_at
+  FROM events
 )
 SELECT c.observed_at, watch_id, resource_key, source_modified_at, precision,
        status, previous_source_modified_at, changed,
-       CASE WHEN changed THEN {cents(36_000_000)} END AS interval_hours,
-       CASE WHEN changed THEN {cents(864_000_000)} END AS interval_days
+       CASE WHEN changed THEN {_interval_cents_sql(36_000_000)} END AS interval_hours,
+       CASE WHEN changed THEN {_interval_cents_sql(864_000_000)} END AS interval_days
 FROM dec, cut c
 WHERE ts::DATE > c.cut_day
 ORDER BY watch_id, resource_key, source_modified_at, status"""
@@ -2534,52 +2562,21 @@ ORDER BY watch_id, resource_key, source_modified_at, status"""
 
 def _freshness_latest_snapshot_sql() -> str:
     """DuckDB twin of freshness.freshness_latest_snapshot: the shared
-    append-fold CTEs, keep-latest row per (watch, resource) + per-key
-    count, generated_at = the max event time."""
+    observation-fold CTEs with the keep-latest rank + per-key count
+    spliced into the window stage, generated_at = the max event time."""
     iso = "%Y-%m-%dT%H:%M:%S.%f"
-
-    def cents(unit: int) -> str:
-        d = "(epoch_us(ts) - epoch_us(prev_ts))"
-        return (
-            f"(({d} // {unit}) + CASE WHEN ({d} % {unit}) * 2 >= {unit} "
-            f"THEN 1 ELSE 0 END) / 100.0"
-        )
-
-    return f"""
-WITH ev AS (
-  SELECT event_id, ts,
-         user_id AS watch_id, event_type AS resource_key,
-         CASE WHEN event_id % 37 = 0 THEN 'error' ELSE 'ok' END AS status,
-         CASE WHEN event_id % 37 = 0 THEN ''
-              ELSE strftime(ts, '{iso}') END AS source_modified_at,
-         CASE WHEN user_id % 3 = 0 THEN 'date' ELSE 'second' END AS precision
-  FROM events
-),
-gen AS (SELECT strftime(max(ts), '{iso}') AS generated_at FROM events),
-lagged AS (
-  SELECT *,
-         coalesce(lag(source_modified_at) OVER w, '') AS previous_source_modified_at,
-         lag(CASE WHEN status = 'ok' THEN ts END) OVER w AS prev_ts,
+    extra = """,
          row_number() OVER (PARTITION BY watch_id, resource_key
                             ORDER BY ts DESC, event_id DESC) AS rn_desc,
-         count(*) OVER (PARTITION BY watch_id, resource_key) AS n_observations
-  FROM ev
-  WINDOW w AS (PARTITION BY watch_id, resource_key ORDER BY ts, event_id)
-),
-dec AS (
-  SELECT *,
-    (status = 'ok' AND source_modified_at <> ''
-     AND previous_source_modified_at <> ''
-     AND NOT (CASE WHEN precision = 'date' THEN ts::DATE = prev_ts::DATE
-              ELSE source_modified_at = previous_source_modified_at END))
-      AS changed
-  FROM lagged
-)
+         count(*) OVER (PARTITION BY watch_id, resource_key) AS n_observations"""
+    return f"""
+WITH {_observation_fold_ctes(extra)},
+gen AS (SELECT strftime(max(ts), '{iso}') AS generated_at FROM events)
 SELECT g.generated_at, watch_id, resource_key, n_observations,
        source_modified_at, precision, status, previous_source_modified_at,
        changed,
-       CASE WHEN changed THEN {cents(36_000_000)} END AS interval_hours,
-       CASE WHEN changed THEN {cents(864_000_000)} END AS interval_days
+       CASE WHEN changed THEN {_interval_cents_sql(36_000_000)} END AS interval_hours,
+       CASE WHEN changed THEN {_interval_cents_sql(864_000_000)} END AS interval_days
 FROM dec, gen g
 WHERE rn_desc = 1
 ORDER BY watch_id, resource_key"""

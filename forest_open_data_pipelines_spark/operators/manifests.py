@@ -384,7 +384,6 @@ def report_entries_from_documents(documents: DataFrame) -> DataFrame:
     rank%4==1."""
     per_source = documents.groupBy("source").agg(
         F.expr("min_by(text, doc_id)").alias("first_text"),
-        F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )

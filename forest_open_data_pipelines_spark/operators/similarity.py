@@ -748,10 +748,15 @@ def _pq_codebook(
 #: IVF_KMEANS_ITERS so the oracle can unroll the same passes in SQL.
 PQ_KMEANS_ITERS = 3
 
-#: (corpus semanticHash, m, ks, iters) → trained codebook; the
+#: (corpus semanticHash, m, ks, dim, iters) → trained codebook; the
 #: _CENTROID_CACHE pattern — train once per corpus, reuse as index
 #: metadata so bench reps and the quantize/topk pair don't retrain.
-_PQ_CB_CACHE: dict[tuple[int, int, int, int], list[list[list[float]]]] = {}
+#: dim IS part of the key: the codeword width is dim/m, so a second
+#: call with a different dim must retrain, not read back codewords of
+#: the wrong sub-vector length.
+_PQ_CB_CACHE: dict[
+    tuple[int, int, int, int, int], list[list[list[float]]]
+] = {}
 
 
 def train_pq_codebook(
@@ -781,7 +786,7 @@ def train_pq_codebook(
     result (4 096 tiny rows at the default geometry) is the only
     collect. Training cost stays out of the bench via the memo cache.
     """
-    key = (embeddings.semanticHash(), m, ks, iters)
+    key = (embeddings.semanticHash(), m, ks, dim, iters)
     cached = _PQ_CB_CACHE.get(key)
     if cached is not None:
         return cached

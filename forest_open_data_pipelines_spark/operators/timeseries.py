@@ -1356,7 +1356,16 @@ def report_prompt_context_json(scal: DataFrame) -> Column:
         F.lit(',\n  "coverage_latest_year": '),
         _json_int(F.col("latest_year")),
         F.lit(',\n  "coverage_year_range": '),
-        qs(F.concat_ws("-", "first_year", "latest_year")),
+        # F.concat NULL-propagates (concat_ws would render "" on the
+        # empty-series fallback row while every sibling field renders
+        # null) — matching the oracle's ||-built expression
+        qs(
+            F.concat(
+                F.col("first_year").cast("string"),
+                F.lit("-"),
+                F.col("latest_year").cast("string"),
+            )
+        ),
         F.lit(',\n  "coverage_latest_period": '),
         qs(F.col("latest_period")),
         F.lit(',\n  "analysis_window_months": '),

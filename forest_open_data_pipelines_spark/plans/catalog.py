@@ -809,6 +809,7 @@ _R9_WINDOW: tuple[str, ...] = (
     # its own driver evidence
     "incremental_cache_plan",
     "freshness_observations_append",
+    "freshness_latest_snapshot",
     "reports_catalog",
     "report_prompts",
     "embedding_quantize_pq_trained",
@@ -861,15 +862,16 @@ _R9_WINDOW: tuple[str, ...] = (
     "sanitize_slide_text",
     "anp_resource_urls",
     "quality_repetition",
-    "bpe_merge_candidates",
+    # (bpe_merge_candidates' r5 refresh slot ceded to
+    # freshness_latest_snapshot — the BPE family keeps its r5 row and
+    # the bpe_train/encode pytest invariants)
 )
 assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 
 # Round-10 rotation queue (pre-staged; build the _R10_WINDOW from this):
 # 1) any round-9 window row the driver fails — fix first, re-window;
-# 1.5) freshness_latest_snapshot (added post-window this round —
-#    never-driver-green, parity-sweep covered; first R10 slot);
 # 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
+#    bpe_merge_candidates — its slot ceded to the snapshot entry,
 #    dedup_embedding_lsh, dedup_canonical_corpus, ann_topk_lsh,
 #    ann_topk_ivf, ann_topk_ivf_trained, embedding_label_stats,
 #    region_nation_rollup, nations_trade_volume,

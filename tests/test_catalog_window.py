@@ -25,6 +25,7 @@ MUST_BE_IN_WINDOW = {
     # whose executed plan changed this round
     "incremental_cache_plan",
     "freshness_observations_append",
+    "freshness_latest_snapshot",
     "reports_catalog",
     "report_prompts",
     "embedding_quantize_pq_trained",

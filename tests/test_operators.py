@@ -5822,3 +5822,48 @@ def test_freshness_latest_snapshot_consistency(spark):
             ), k
             checked += 1
     assert checked >= len(keys) * 0.8  # most keys end inside the batch
+
+
+def test_report_surfaces_empty_series_oracle_parity(spark):
+    """The empty-series fallback contract holds CROSS-ENGINE: on an
+    empty orders table both report_fallback_blocks (8 rows) and
+    report_prompts (2 rows) must produce identical values from the
+    Spark operator and its DuckDB oracle — the oracle's metric CTE
+    previously inner-joined the scalar frame to the monthly series and
+    collapsed to 0 rows where Spark emits the documented fallback."""
+    import duckdb
+
+    import __spark_entry__ as entry
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        monthly_series,
+        orders_enriched,
+        report_fallback_blocks,
+        report_prompts,
+    )
+
+    tables = ["orders", "customer", "nation", "region"]
+    empty = {t: load_table(spark, SF_DIR, t).limit(0) for t in tables}
+    monthly = monthly_series(orders_enriched(*[empty[t] for t in tables]))
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet') WHERE false"
+        )
+    oracles = entry.oracle_sql()
+    try:
+        for name, df in (
+            ("report_fallback_blocks", report_fallback_blocks(monthly)),
+            ("report_prompts", report_prompts(monthly)),
+        ):
+            got = sorted(tuple(r) for r in df.collect())
+            want = sorted(map(tuple, con.execute(oracles[name]).fetchall()))
+            assert len(got) == (8 if name == "report_fallback_blocks" else 2), name
+            assert got == want, name
+    finally:
+        release_persisted()
+        con.close()
