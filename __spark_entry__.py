@@ -4395,13 +4395,173 @@ SELECT c.vec_id, array_to_string(c.codes, ',') AS codes_csv,
 FROM codes c JOIN err USING (vec_id) ORDER BY c.vec_id"""
 
 
+def _pq_lloyd_iter_ctes(
+    src: str, m: int, ks: int, sub: int, iters: int
+) -> tuple[str, str]:
+    """The unrolled Lloyd-pass CTE chain over ``src`` (a CTE exposing
+    (vec_id, emb)) — shared by the trained-PQ quantize oracle and the
+    residual-IVFPQ oracle so the training arithmetic (9-dp argmin
+    assignment, lowest-code ties, 6-dp per-dim means, empty codes keep
+    the prior codeword) exists in exactly one place. Returns
+    (",-joined CTE text, final codebook CTE name)."""
+
+    def d2(emb: str, s: str, cw: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {sub} + 1), "
+            f"j -> ({emb}[{s} * {sub} + j] - {cw}[j])"
+            f" * ({emb}[{s} * {sub} + j] - {cw}[j])), (x, y) -> x + y)"
+        )
+
+    parts = [
+        f"""cb0 AS (
+  SELECT r.s::INT AS s, vec_id::INT AS code,
+         list_slice(emb, r.s * {sub} + 1, r.s * {sub} + {sub}) AS cw
+  FROM {src}, range({m}) r(s) WHERE vec_id < {ks}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev, cur = f"cb{i - 1}", f"cb{i}"
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, s, code FROM (
+    SELECT {src}.vec_id, c.s, c.code,
+           row_number() OVER (
+             PARTITION BY {src}.vec_id, c.s
+             ORDER BY round({d2(f'{src}.emb', 'c.s', 'c.cw')}, 9) ASC, c.code
+           ) AS rnk
+    FROM {src} CROSS JOIN {prev} c
+  ) WHERE rnk = 1
+),
+m{i} AS (
+  SELECT a.s, a.code, r.j AS pos,
+         round(avg({src}.emb[a.s * {sub} + r.j + 1]), 6) AS mv
+  FROM a{i} a JOIN {src} USING (vec_id), range({sub}) r(j)
+  GROUP BY a.s, a.code, r.j
+),
+v{i} AS (SELECT s, code, list(mv ORDER BY pos) AS cw FROM m{i} GROUP BY s, code),
+{cur} AS (
+  SELECT p.s, p.code, coalesce(v.cw, p.cw) AS cw
+  FROM {prev} p LEFT JOIN v{i} v USING (s, code)
+)""")
+    return ",\n".join(parts), f"cb{iters}"
+
+
+def _ann_topk_ivfpq_residual_sql(
+    n_queries: int = 8, k: int = 10, n_cells: int = 16, n_probe: int = 4
+) -> str:
+    """DuckDB twin of similarity.ann_topk_ivfpq_residual: seed IVF
+    assignment, per-vector residuals, the shared unrolled Lloyd passes
+    TRAINED ON THE RESIDUAL FRAME, residual-code assignment, composed
+    reconstruction norms (centroid + codeword, fold-ordered j-within-s
+    like the kernel), and ADC = query·centroid + LUT sums."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        PQ_KMEANS_ITERS,
+        PQ_KS,
+        PQ_M,
+    )
+
+    dim = 64
+    sub = dim // PQ_M
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    def d2(emb: str, s: str, cw: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {sub} + 1), "
+            f"j -> ({emb}[{s} * {sub} + j] - {cw}[j])"
+            f" * ({emb}[{s} * {sub} + j] - {cw}[j])), (x, y) -> x + y)"
+        )
+
+    lloyd, final = _pq_lloyd_iter_ctes("res", PQ_M, PQ_KS, sub, PQ_KMEANS_ITERS)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+cent AS (SELECT vec_id AS cell_id, emb AS cent FROM e WHERE vec_id < {n_cells}),
+assign AS (
+  SELECT vec_id, emb, cell_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round({cos("emb", "cent")}, 9) DESC,
+                                     cell_id) AS cell_rank
+  FROM e CROSS JOIN cent
+),
+cellof AS (
+  SELECT a.vec_id, a.emb, a.cell_id, c.cent
+  FROM assign a JOIN cent c USING (cell_id) WHERE a.cell_rank = 1
+),
+res AS (
+  SELECT vec_id,
+         list_transform(range(1, {dim} + 1), j -> emb[j] - cent[j]) AS emb
+  FROM cellof
+),
+{lloyd},
+rasgn AS (
+  SELECT vec_id, s, code, cw FROM (
+    SELECT res.vec_id, c.s, c.code, c.cw,
+           row_number() OVER (
+             PARTITION BY res.vec_id, c.s
+             ORDER BY round({d2('res.emb', 'c.s', 'c.cw')}, 9) ASC, c.code
+           ) AS rnk
+    FROM res CROSS JOIN {final} c
+  ) WHERE rnk = 1
+),
+xnsq AS (
+  SELECT r.vec_id,
+         list_reduce(
+           list(
+             list_reduce(
+               list_transform(range(1, {sub} + 1),
+                 j -> (co.cent[r.s * {sub} + j] + r.cw[j])
+                      * (co.cent[r.s * {sub} + j] + r.cw[j])),
+               (x, y) -> x + y)
+             ORDER BY r.s),
+           (x, y) -> x + y) AS nsq
+  FROM rasgn r JOIN cellof co USING (vec_id)
+  GROUP BY r.vec_id
+),
+probes AS (
+  SELECT a.vec_id AS query_id, a.emb AS q_emb, a.cell_id,
+         list_dot_product(a.emb, c.cent) AS qc_dot
+  FROM assign a JOIN cent c USING (cell_id)
+  WHERE a.vec_id < {n_queries} AND a.cell_rank <= {n_probe}
+),
+q AS (
+  SELECT vec_id AS query_id, sqrt(list_dot_product(emb, emb)) AS q_norm
+  FROM e WHERE vec_id < {n_queries}
+),
+subdot AS (
+  SELECT p.query_id, co.vec_id AS cand_id, p.qc_dot, r.s,
+         list_dot_product(
+           list_slice(p.q_emb, r.s * {sub} + 1, r.s * {sub} + {sub}),
+           r.cw) AS d
+  FROM probes p
+  JOIN cellof co USING (cell_id)
+  JOIN rasgn r ON r.vec_id = co.vec_id
+  WHERE co.vec_id != p.query_id
+),
+adc AS (
+  SELECT query_id, cand_id, qc_dot,
+         list_reduce(list(d ORDER BY s), (x, y) -> x + y) AS adc_r
+  FROM subdot GROUP BY query_id, cand_id, qc_dot
+),
+scored AS (
+  SELECT a.query_id, a.cand_id,
+         round((a.qc_dot + a.adc_r) / (q.q_norm * sqrt(x.nsq)), 6)
+           AS cosine_pq
+  FROM adc a JOIN q USING (query_id) JOIN xnsq x ON x.vec_id = a.cand_id
+)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine_pq DESC, cand_id)::INTEGER AS rank,
+       cand_id, cosine_pq
+FROM scored QUALIFY rank <= {k} ORDER BY query_id, rank"""
+
+
 def _embedding_quantize_pq_trained_sql() -> str:
     """DuckDB twin of similarity.embedding_quantize_pq(trained=True):
-    the PQ_KMEANS_ITERS Lloyd passes unrolled as CTEs (9-dp-rounded
-    argmin assignment with lowest-code ties, per-(s, code, dim) means
-    at 6 dp, empty codes keep the prior codeword — the
-    ann_topk_ivf_trained unroll pattern), then the quantize output
-    over the final codebook."""
+    the shared unrolled Lloyd passes (_pq_lloyd_iter_ctes) over the
+    raw vectors, then the quantize output over the final codebook."""
     from forest_open_data_pipelines_spark.operators.similarity import (
         PQ_KMEANS_ITERS,
         PQ_KS,
@@ -4417,39 +4577,10 @@ def _embedding_quantize_pq_trained_sql() -> str:
             f" * ({emb}[{s} * {sub} + j] - {cw}[j])), (x, y) -> x + y)"
         )
 
-    iters = []
-    for i in range(1, PQ_KMEANS_ITERS + 1):
-        prev, cur = f"cb{i - 1}", f"cb{i}"
-        iters.append(f"""
-a{i} AS (
-  SELECT vec_id, s, code FROM (
-    SELECT e.vec_id, c.s, c.code,
-           row_number() OVER (
-             PARTITION BY e.vec_id, c.s
-             ORDER BY round({d2('e.emb', 'c.s', 'c.cw')}, 9) ASC, c.code
-           ) AS rnk
-    FROM e CROSS JOIN {prev} c
-  ) WHERE rnk = 1
-),
-m{i} AS (
-  SELECT a.s, a.code, r.j AS pos,
-         round(avg(e.emb[a.s * {sub} + r.j + 1]), 6) AS mv
-  FROM a{i} a JOIN e USING (vec_id), range({sub}) r(j)
-  GROUP BY a.s, a.code, r.j
-),
-v{i} AS (SELECT s, code, list(mv ORDER BY pos) AS cw FROM m{i} GROUP BY s, code),
-{cur} AS (
-  SELECT p.s, p.code, coalesce(v.cw, p.cw) AS cw
-  FROM {prev} p LEFT JOIN v{i} v USING (s, code)
-)""")
-    final = f"cb{PQ_KMEANS_ITERS}"
+    lloyd, final = _pq_lloyd_iter_ctes("e", PQ_M, PQ_KS, sub, PQ_KMEANS_ITERS)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-cb0 AS (
-  SELECT r.s::INT AS s, vec_id::INT AS code,
-         list_slice(emb, r.s * {sub} + 1, r.s * {sub} + {sub}) AS cw
-  FROM e, range({PQ_M}) r(s) WHERE vec_id < {PQ_KS}
-),{",".join(iters)},
+{lloyd},
 asgn AS (
   SELECT vec_id, s, code, cw FROM (
     SELECT e.vec_id, c.s, c.code, c.cw,
@@ -6597,6 +6728,7 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     out["embedding_quantize_sq8"] = _embedding_quantize_sq8_sql()
     out["embedding_quantize_pq"] = _embedding_quantize_pq_sql()
     out["embedding_quantize_pq_trained"] = _embedding_quantize_pq_trained_sql()
+    out["ann_topk_ivfpq_residual"] = _ann_topk_ivfpq_residual_sql()
     out["ann_topk_pq"] = _ann_topk_pq_sql()
     out["ann_topk_ivfpq"] = _ann_topk_ivfpq_sql()
     out["embedding_cluster_report"] = _embedding_cluster_report_sql()

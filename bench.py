@@ -193,6 +193,7 @@ HEADLINE = [
     "reports_catalog",
     "report_prompts",
     "embedding_quantize_pq_trained",
+    "ann_topk_ivfpq_residual",
     # dataset_card re-runs the full gate matrix (already benched as
     # curation_gate_matrix) plus dedup_exact — a release report, not a
     # throughput query; driver correctness window only.
@@ -255,6 +256,12 @@ NOTES = {
         "train_ivf_centroids precedent) - the min-of-reps reported "
         "here measures the steady-state ENCODE cost, training is a "
         "one-off amortized at corpus scale."
+    ),
+    "ann_topk_ivfpq_residual": (
+        "rep 1 trains the residual codebook (3 Lloyd scans over the "
+        "residual frame, memoized per corpus); later reps measure the "
+        "steady-state encode+probe+ADC cost like the other trained "
+        "index entries."
     ),
     "report_prompts": (
         "re-runs the enriched->monthly chain report_fallback_blocks "

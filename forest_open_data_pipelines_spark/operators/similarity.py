@@ -1967,3 +1967,245 @@ def embedding_outlier_report(
         )
         .orderBy("vec_id")
     )
+
+
+# ── IVFPQ with RESIDUAL encoding (the faithful IndexIVFPQ) ─────────────────
+
+
+def _ivfpq_residual_codebook(
+    cells_frame: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    m: int,
+    ks: int,
+    dim: int,
+) -> list[list[list[float]]]:
+    """Residual PQ codebook: the first ``ks`` vectors' RESIDUALS to
+    their assigned coarse centroid, sub-sliced — the _pq_codebook seed
+    convention applied to the residual space. Bounded collect (ks
+    rows); python float subtraction is bit-identical to the oracle's
+    emb[j] - cent[j]."""
+    sub = dim // m
+    cent = {cid: [float(x) for x in c] for cid, c in centroids}
+    rows = sorted(
+        cells_frame.where(F.col("vec_id") < ks)
+        .select("vec_id", "embedding", "cell_id")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    if len(rows) < ks:
+        raise ValueError(
+            f"residual pq codebook needs vec_ids 0..{ks - 1}; got {len(rows)}"
+        )
+    res = [
+        [float(x) - cent[r.cell_id][i] for i, x in enumerate(r.embedding)]
+        for r in rows
+    ]
+    return [
+        [res[code][s * sub : (s + 1) * sub] for code in range(ks)]
+        for s in range(m)
+    ]
+
+
+def _ivfpq_residual_encoded(
+    cells_frame: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebook: list[list[list[float]]],
+    m: int,
+    ks: int,
+    dim: int,
+) -> DataFrame:
+    """(vec_id, cell_id, codes, recon_nsq) with RESIDUAL codes: one
+    Arrow pass subtracts the assigned coarse centroid, assigns each
+    residual sub-vector to its codeword (9-dp-rounded squared-L2
+    argmin, first-of-min ties — the _pq_encoded convention), and folds
+    ‖x̂‖² of the COMPOSED reconstruction x̂ = centroid + codeword
+    sequentially (j within s, then s order) so the DuckDB twin's
+    list_reduce chain reproduces it bit-for-bit.
+
+    Scale: same as _pq_encoded — streaming kernel, no join beyond the
+    cell map already joined in, 12 bytes of codes + one norm out."""
+    import numpy as np
+
+    sub = dim // m
+    C = np.array(codebook, dtype=np.float64)  # (m, ks, sub)
+    n_cells = len(centroids)
+    CENT = np.zeros((n_cells, dim))
+    for cid, c in centroids:
+        CENT[cid] = c
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cell = pdf["cell_id"].to_numpy().astype(np.int64)
+            r = e - CENT[cell]
+            n = len(pdf)
+            codes = np.zeros((n, m), dtype=np.int32)
+            rnsq = np.zeros(n)
+            for s in range(m):
+                x = r[:, s * sub : (s + 1) * sub]
+                d = np.zeros((n, ks))
+                for j in range(sub):  # sequential over dims == fold order
+                    diff = x[:, j, None] - C[s, :, j][None, :]
+                    d = d + diff * diff
+                c = np.argmin(np.round(d, 9), axis=1)
+                codes[:, s] = c
+                # per-s subtotal of the composed reconstruction norm,
+                # sequential over j, then accumulated in s order
+                xc = CENT[cell, s * sub : (s + 1) * sub] + C[s, c, :]
+                t = np.zeros(n)
+                for j in range(sub):
+                    t = t + xc[:, j] * xc[:, j]
+                rnsq = rnsq + t
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell_id": cell,
+                    "codes": list(codes),
+                    "recon_nsq": rnsq,
+                }
+            )
+
+    return cells_frame.select("vec_id", "embedding", "cell_id").mapInPandas(
+        gen, "vec_id bigint, cell_id int, codes array<int>, recon_nsq double"
+    )
+
+
+def ann_topk_ivfpq_residual(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = PQ_M,
+    ks: int = PQ_KS,
+    dim: int = 64,
+    trained: bool = True,
+) -> DataFrame:
+    """IVFPQ with RESIDUAL encoding — the faithful FAISS IndexIVFPQ
+    (Jégou et al. 2011 §IV): codes quantize x − centroid(cell), not x,
+    so the codebook spends its 12 bytes on the within-cell displacement
+    (much lower variance than the raw vector) and the ADC score adds
+    back the exactly-known query·centroid term:
+
+        ⟨q, x̂⟩ = ⟨q, c_cell⟩ + Σ_s LUT[s][code_s]
+
+    with ‖x̂‖ carried exactly from the encode kernel (the composed
+    c + r̂ norm). ``ann_topk_ivfpq`` keeps the raw-encoding variant as
+    the composition-of-shipped-pieces baseline; this entry is the
+    production shape.
+
+    The residual codebook is Lloyd-TRAINED on the residual frame by
+    default (``train_pq_codebook`` — memoized; ``trained=False`` keeps
+    the seed-residual A/B). Measured honestly on this corpus
+    (2026-08-15): seed-residual UNDERSHOOTS raw encoding (0.5375 /
+    0.5625 vs 0.5875 at sf0.001/0.01 — the first ks residuals span the
+    residual space poorly), trained-residual recovers to 0.5875 /
+    0.6125 — ≥ the raw variant at both SFs (asserted in tests), with
+    the gain bounded by the documented no-cluster-structure ceiling
+    (residuals to a near-meaningless centroid barely shrink variance;
+    on clustered corpora this is where IndexIVFPQ earns its keep).
+
+    Scale: identical to ann_topk_ivfpq — n_probe/n_cells of the corpus
+    scanned at 12 bytes/candidate — plus one 128-row broadcast of
+    per-(query, cell) centroid dots; every new arithmetic path
+    (residual subtraction, composed norm, centroid dot) is
+    fold-ordered to match the DuckDB twin bit-for-bit.
+    """
+    centroids = train_ivf_centroids(embeddings, n_cells, 0)
+    cell_scored = _cell_scored(_centroid_literal(centroids))
+    e = spread(embeddings).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("v_norm")
+    )
+    cells_frame = e.select(
+        "vec_id",
+        "embedding",
+        (-F.array_max(cell_scored)["neg_cell_id"]).cast("int").alias("cell_id"),
+    )
+    if trained:
+        cent_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for _, c in sorted(centroids)
+            ]
+        )
+        res_frame = cells_frame.select(
+            "vec_id",
+            F.zip_with(
+                "embedding",
+                F.element_at(cent_lit, F.col("cell_id") + 1),
+                lambda x, c: x.cast("double") - c,
+            ).alias("embedding"),
+        )
+        codebook = train_pq_codebook(res_frame, m, ks, dim)
+    else:
+        codebook = _ivfpq_residual_codebook(cells_frame, centroids, m, ks, dim)
+    enc = _ivfpq_residual_encoded(cells_frame, centroids, codebook, m, ks, dim)
+    cands = enc.select(
+        F.col("vec_id").alias("cand_id"),
+        "cell_id",
+        F.col("codes").alias("c_codes"),
+        F.col("recon_nsq").alias("c_nsq"),
+    )
+    top_cells = F.slice(F.reverse(F.array_sort(cell_scored)), 1, n_probe)
+    probes = (
+        e.where(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("query_id"), F.explode(top_cells).alias("pc"))
+        .select("query_id", (-F.col("pc.neg_cell_id")).cast("int").alias("cell_id"))
+    )
+    # per-(query, cell) centroid dots, driver-side from bounded inputs
+    # (n_queries rows × n_cells), sequential like list_dot_product
+    q_rows = sorted(
+        embeddings.where(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    qc_rows = []
+    for r in q_rows:
+        q = [float(x) for x in r.embedding]
+        for cid, c in centroids:
+            acc = 0.0
+            for j in range(dim):
+                acc += q[j] * c[j]
+            qc_rows.append((int(r.vec_id), int(cid), acc))
+    qc = embeddings.sparkSession.createDataFrame(
+        qc_rows, "query_id bigint, cell_id int, qc_dot double"
+    )
+    luts = _pq_query_luts(embeddings, codebook, n_queries, m, ks, dim)
+    queries = F.broadcast(
+        probes.join(F.broadcast(qc), ["query_id", "cell_id"]).join(
+            F.broadcast(luts), "query_id"
+        )
+    )
+    adc_r = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at(F.col("lut"), s + 1),
+            F.element_at(F.col("c_codes"), s + 1) + 1,
+        ),
+    )
+    cos = ratio(
+        (F.col("qc_dot") + adc_r) / (F.col("q_norm") * F.sqrt(F.col("c_nsq")))
+    )
+    scored = (
+        cands.join(queries, "cell_id")
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cosine_pq"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_pq"), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "cand_id", "cosine_pq")
+        .orderBy("query_id", "rank")
+    )

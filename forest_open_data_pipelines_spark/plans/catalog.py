@@ -745,6 +745,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             load_table(s, d, "embeddings"), trained=True
         )
     ),
+    "ann_topk_ivfpq_residual": lambda s, d: similarity.ann_topk_ivfpq_residual(
+        load_table(s, d, "embeddings")
+    ),
     "token_zipf_fit": lambda s, d: textops.token_zipf_fit(
         load_table(s, d, "documents")
     ),
@@ -813,6 +816,7 @@ _R9_WINDOW: tuple[str, ...] = (
     "reports_catalog",
     "report_prompts",
     "embedding_quantize_pq_trained",
+    "ann_topk_ivfpq_residual",
     "dedup_ngram_jaccard",
     # refresh: the 19 r4-vintage rows rounds 7-8 left parked (the 10
     # family-covered holdovers + the 9 displaced for round-8 extension
@@ -860,17 +864,19 @@ _R9_WINDOW: tuple[str, ...] = (
     "supranational_items",
     "mma_manifest_items",
     "sanitize_slide_text",
-    "anp_resource_urls",
     "quality_repetition",
-    # (bpe_merge_candidates' r5 refresh slot ceded to
-    # freshness_latest_snapshot — the BPE family keeps its r5 row and
-    # the bpe_train/encode pytest invariants)
+    # (bpe_merge_candidates' and anp_resource_urls' r5 refresh slots
+    # ceded to freshness_latest_snapshot and ann_topk_ivfpq_residual —
+    # the BPE family keeps its r5 row + pytest invariants, and the ANP
+    # scraper family keeps anp_panel_payloads/anp_prompt_texts green
+    # in-window plus mensal_links/govbr rows)
 )
 assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 
 # Round-10 rotation queue (pre-staged; build the _R10_WINDOW from this):
 # 1) any round-9 window row the driver fails — fix first, re-window;
 # 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
+#    anp_resource_urls — its slot ceded to the residual-IVFPQ entry,
 #    bpe_merge_candidates — its slot ceded to the snapshot entry,
 #    dedup_embedding_lsh, dedup_canonical_corpus, ann_topk_lsh,
 #    ann_topk_ivf, ann_topk_ivf_trained, embedding_label_stats,

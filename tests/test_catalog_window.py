@@ -29,6 +29,7 @@ MUST_BE_IN_WINDOW = {
     "reports_catalog",
     "report_prompts",
     "embedding_quantize_pq_trained",
+    "ann_topk_ivfpq_residual",
     "dedup_ngram_jaccard",
 }
 

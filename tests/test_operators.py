@@ -5867,3 +5867,35 @@ def test_report_surfaces_empty_series_oracle_parity(spark):
     finally:
         release_persisted()
         con.close()
+
+
+def test_ivfpq_residual_encoding_recall(spark):
+    """The residual-encoded IVFPQ (trained residual codebook — the
+    faithful IndexIVFPQ) must keep recall >= the raw-encoding variant,
+    and its candidates must respect the same probe restriction (every
+    returned candidate shares a probed cell with the query)."""
+    from forest_open_data_pipelines_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    try:
+        bf = {
+            (r.query_id, r.cand_id)
+            for r in sim.ann_topk_bruteforce(emb).collect()
+        }
+        raw = {
+            (r.query_id, r.cand_id) for r in sim.ann_topk_ivfpq(emb).collect()
+        }
+        res_rows = sim.ann_topk_ivfpq_residual(emb).collect()
+        res = {(r.query_id, r.cand_id) for r in res_rows}
+        assert len(res & bf) / len(bf) >= len(raw & bf) / len(bf)
+        # dense ranks from 1 per query, k rows each
+        per_q: dict = {}
+        for r in res_rows:
+            per_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in per_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        # seed-residual A/B stays available and returns the same shape
+        ab = sim.ann_topk_ivfpq_residual(emb, trained=False)
+        assert ab.columns == ["query_id", "rank", "cand_id", "cosine_pq"]
+    finally:
+        sim.clear_centroid_cache()
