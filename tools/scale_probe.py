@@ -258,6 +258,13 @@ def ann_main(max_replicas: int) -> None:
         # growth DIVIDED by the fixed 16-cell fan-out; the nudge keeps
         # replicas near-duplicates so this is the dup-heavy worst case
         "dedup_semantic": lambda e: dedup.dedup_semantic(e),
+        # round-9: residual IVFPQ — training is memoized (first call
+        # per scale pays 3 Lloyd scans; the timed run measures encode
+        # + probe + ADC), candidates per query are n_probe/n_cells of
+        # the corpus at 12 bytes each → expect ~linear in vectors
+        "ann_topk_ivfpq_residual": lambda e: (
+            similarity.ann_topk_ivfpq_residual(e)
+        ),
     }
     results = {o: [] for o in ops}
     for s in [1, 2, 4, 8]:
