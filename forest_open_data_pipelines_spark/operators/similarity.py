@@ -919,6 +919,7 @@ def _pq_query_luts(
     m: int,
     ks: int,
     dim: int,
+    q_rows=None,
 ) -> DataFrame:
     """(query_id, q_norm, lut array<array<double>>) — each query's ADC
     lookup table LUT[s][code] = ⟨q_s, codeword[s][code]⟩, computed
@@ -926,12 +927,13 @@ def _pq_query_luts(
     codebook) with every accumulation sequential over dims, matching
     list_dot_product / the Catalyst fold bit-for-bit."""
     sub = dim // m
-    q_rows = sorted(
-        embeddings.where(F.col("vec_id") < n_queries)
-        .select("vec_id", "embedding")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
+    if q_rows is None:
+        q_rows = sorted(
+            embeddings.where(F.col("vec_id") < n_queries)
+            .select("vec_id", "embedding")
+            .collect(),
+            key=lambda r: r.vec_id,
+        )
     lut_rows = []
     for r in q_rows:
         q = [float(x) for x in r.embedding]
@@ -1972,40 +1974,6 @@ def embedding_outlier_report(
 # ── IVFPQ with RESIDUAL encoding (the faithful IndexIVFPQ) ─────────────────
 
 
-def _ivfpq_residual_codebook(
-    cells_frame: DataFrame,
-    centroids: list[tuple[int, list[float]]],
-    m: int,
-    ks: int,
-    dim: int,
-) -> list[list[list[float]]]:
-    """Residual PQ codebook: the first ``ks`` vectors' RESIDUALS to
-    their assigned coarse centroid, sub-sliced — the _pq_codebook seed
-    convention applied to the residual space. Bounded collect (ks
-    rows); python float subtraction is bit-identical to the oracle's
-    emb[j] - cent[j]."""
-    sub = dim // m
-    cent = {cid: [float(x) for x in c] for cid, c in centroids}
-    rows = sorted(
-        cells_frame.where(F.col("vec_id") < ks)
-        .select("vec_id", "embedding", "cell_id")
-        .collect(),
-        key=lambda r: r.vec_id,
-    )
-    if len(rows) < ks:
-        raise ValueError(
-            f"residual pq codebook needs vec_ids 0..{ks - 1}; got {len(rows)}"
-        )
-    res = [
-        [float(x) - cent[r.cell_id][i] for i, x in enumerate(r.embedding)]
-        for r in rows
-    ]
-    return [
-        [res[code][s * sub : (s + 1) * sub] for code in range(ks)]
-        for s in range(m)
-    ]
-
-
 def _ivfpq_residual_encoded(
     cells_frame: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -2028,8 +1996,9 @@ def _ivfpq_residual_encoded(
 
     sub = dim // m
     C = np.array(codebook, dtype=np.float64)  # (m, ks, sub)
-    n_cells = len(centroids)
-    CENT = np.zeros((n_cells, dim))
+    # sized by MAX id, filled by id: a gapped seed vec_id space (fewer
+    # than n_cells centroids, ids non-contiguous) stays keyed correctly
+    CENT = np.zeros((max(cid for cid, _ in centroids) + 1, dim))
     for cid, c in centroids:
         CENT[cid] = c
 
@@ -2125,24 +2094,32 @@ def ann_topk_ivfpq_residual(
         "embedding",
         (-F.array_max(cell_scored)["neg_cell_id"]).cast("int").alias("cell_id"),
     )
-    if trained:
-        cent_lit = F.array(
+    # ONE residual definition for both codebook paths: a KEYED map
+    # lookup (not a positional array — a gapped seed vec_id space
+    # would silently shift positions) subtracting each row's assigned
+    # centroid in Catalyst.
+    cent_map = F.map_from_arrays(
+        F.array(*[F.lit(int(cid)) for cid, _ in centroids]),
+        F.array(
             *[
                 F.array(*[F.lit(float(x)) for x in c])
-                for _, c in sorted(centroids)
+                for _, c in centroids
             ]
-        )
-        res_frame = cells_frame.select(
-            "vec_id",
-            F.zip_with(
-                "embedding",
-                F.element_at(cent_lit, F.col("cell_id") + 1),
-                lambda x, c: x.cast("double") - c,
-            ).alias("embedding"),
-        )
-        codebook = train_pq_codebook(res_frame, m, ks, dim)
-    else:
-        codebook = _ivfpq_residual_codebook(cells_frame, centroids, m, ks, dim)
+        ),
+    )
+    res_frame = cells_frame.select(
+        "vec_id",
+        F.zip_with(
+            "embedding",
+            F.element_at(cent_map, F.col("cell_id")),
+            lambda x, c: x.cast("double") - c,
+        ).alias("embedding"),
+    )
+    codebook = (
+        train_pq_codebook(res_frame, m, ks, dim)
+        if trained
+        else _pq_codebook(res_frame, m, ks, dim)
+    )
     enc = _ivfpq_residual_encoded(cells_frame, centroids, codebook, m, ks, dim)
     cands = enc.select(
         F.col("vec_id").alias("cand_id"),
@@ -2157,7 +2134,8 @@ def ann_topk_ivfpq_residual(
         .select("query_id", (-F.col("pc.neg_cell_id")).cast("int").alias("cell_id"))
     )
     # per-(query, cell) centroid dots, driver-side from bounded inputs
-    # (n_queries rows × n_cells), sequential like list_dot_product
+    # (n_queries rows × n_cells), sequential like list_dot_product;
+    # the SAME collected query rows feed the LUT builder (one job)
     q_rows = sorted(
         embeddings.where(F.col("vec_id") < n_queries)
         .select("vec_id", "embedding")
@@ -2175,7 +2153,9 @@ def ann_topk_ivfpq_residual(
     qc = embeddings.sparkSession.createDataFrame(
         qc_rows, "query_id bigint, cell_id int, qc_dot double"
     )
-    luts = _pq_query_luts(embeddings, codebook, n_queries, m, ks, dim)
+    luts = _pq_query_luts(
+        embeddings, codebook, n_queries, m, ks, dim, q_rows=q_rows
+    )
     queries = F.broadcast(
         probes.join(F.broadcast(qc), ["query_id", "cell_id"]).join(
             F.broadcast(luts), "query_id"

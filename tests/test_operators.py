@@ -5894,8 +5894,16 @@ def test_ivfpq_residual_encoding_recall(spark):
             per_q.setdefault(r.query_id, []).append(r.rank)
         for q, ranks in per_q.items():
             assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
-        # seed-residual A/B stays available and returns the same shape
-        ab = sim.ann_topk_ivfpq_residual(emb, trained=False)
-        assert ab.columns == ["query_id", "rank", "cand_id", "cosine_pq"]
+        # seed-residual A/B actually EXECUTES (a .columns check would
+        # only analyze the plan): same shape, dense ranks, k rows/query
+        ab_rows = sim.ann_topk_ivfpq_residual(emb, trained=False).collect()
+        assert ab_rows and set(ab_rows[0].asDict()) == {
+            "query_id", "rank", "cand_id", "cosine_pq",
+        }
+        ab_per_q: dict = {}
+        for r in ab_rows:
+            ab_per_q.setdefault(r.query_id, []).append(r.rank)
+        for q, ranks in ab_per_q.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
     finally:
         sim.clear_centroid_cache()
