@@ -3026,6 +3026,54 @@ SELECT method, n_results, n_truth, n_hit,
 FROM stats ORDER BY method"""
 
 
+def _ann_recall_vs_dim_sql(n_queries: int = 8, k: int = 10) -> str:
+    """DuckDB twin of similarity.ann_recall_vs_dim: exact cosine top-k
+    over emb[1:d] prefixes (dims single-sourced from the Spark module)
+    joined against the full-dim truth on (query_id, cand_id)."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        ANN_RECALL_DIMS,
+    )
+
+    def topk(expr: str) -> str:
+        return f"""SELECT query_id, cand_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           round(list_dot_product({expr.format(s='q')}, {expr.format(s='c')})
+                 / (sqrt(list_dot_product({expr.format(s='q')}, {expr.format(s='q')}))
+                    * sqrt(list_dot_product({expr.format(s='c')}, {expr.format(s='c')}))), 6)
+             AS cosine,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY round(list_dot_product({expr.format(s='q')}, {expr.format(s='c')})
+                                             / (sqrt(list_dot_product({expr.format(s='q')}, {expr.format(s='q')}))
+                                                * sqrt(list_dot_product({expr.format(s='c')}, {expr.format(s='c')}))), 6) DESC,
+                                       c.vec_id) AS rank
+    FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < {n_queries}
+  ) WHERE rank <= {k}"""
+
+    ctes = ",\n".join(
+        f"m_{d} AS ({topk(f'{{s}}.emb[1:{d}]')})" for d in ANN_RECALL_DIMS
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"""  SELECT {d} AS dim,
+         (SELECT count(*) FROM m_{d}) AS n_results,
+         (SELECT n_truth FROM t) AS n_truth,
+         (SELECT count(*) FROM m_{d} JOIN truth USING (query_id, cand_id))
+           AS n_hit"""
+        for d in ANN_RECALL_DIMS
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+truth AS ({topk('{s}.emb')}),
+{ctes},
+t AS (SELECT count(*) AS n_truth FROM truth),
+stats AS (
+{unions}
+)
+SELECT dim, n_results, n_truth, n_hit,
+       round(n_hit::DOUBLE / nullif(n_truth, 0), 6) AS recall
+FROM stats ORDER BY dim"""
+
+
 def _focos_prompt_texts_sql(focos_payload_sql: str) -> str:
     """DuckDB twin of social.focos_prompt_texts: the same literal
     constants (imported from the Spark module — single source) and
@@ -6774,6 +6822,60 @@ SELECT lang, predicted_lang, n_docs,
          AS share
 FROM c ORDER BY lang, predicted_lang"""
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
+    out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
+    # SCD2 history: null-safe change flag (IS DISTINCT FROM mirrors
+    # Spark's eqNullSafe negation), run numbering by running sum, one
+    # interval per run, valid_to = next run's valid_from.
+    out["scd2_user_state_history"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_type AS state,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS version
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, version, state,
+         min(ts) AS valid_from, max(ts) AS last_seen,
+         count(*) AS n_events
+  FROM numbered GROUP BY user_id, version, state
+)
+SELECT user_id, version, state, valid_from, last_seen, n_events,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS valid_to,
+       (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+          IS NULL) AS is_current
+FROM runs ORDER BY user_id, version"""
+    # Interval-join enrichment: the sessionize twin provides the
+    # intervals; the fact re-join adds the dimensions sessionize drops.
+    out["session_interval_join"] = f"""
+WITH intervals AS (
+  SELECT user_id, session_seq, session_start, session_end
+  FROM ({out["events_sessionize"]})
+),
+j AS (
+  SELECT e.user_id, i.session_seq, i.session_start, i.session_end,
+         e.event_type, e.value
+  FROM events e
+  JOIN intervals i
+    ON e.user_id = i.user_id
+   AND e.ts BETWEEN i.session_start AND i.session_end
+)
+SELECT user_id, session_seq, session_start, session_end,
+       count(*) AS n_events,
+       count(DISTINCT event_type) AS n_event_types,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+         AS n_errors,
+       round(sum(value), 2) AS total_value
+FROM j GROUP BY user_id, session_seq, session_start, session_end
+ORDER BY user_id, session_seq"""
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["eia_petroleum_weekly_files"] = _eia_weekly_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()
@@ -6997,8 +7099,49 @@ SELECT p.doc_id, p.n_distinct_ngrams,
          AS novelty_share
 FROM per_doc p LEFT JOIN novel n USING (doc_id) ORDER BY p.doc_id"""
     from forest_open_data_pipelines_spark.operators.textops import (
+        VOCAB_COVERAGE_CUTOFFS,
         VOCAB_GROWTH_BUCKET,
     )
+
+    # Coverage-at-V: same (lang, token) frequency twin, conditional
+    # sums per cutoff over the ranked vocabulary, rows unfolded by a
+    # UNION ALL of the bounded per-lang aggregate.
+    _cov_cols = ",\n         ".join(
+        f"coalesce(sum(CASE WHEN rank <= {v} THEN n END), 0)::BIGINT"
+        f" AS cov_{v}"
+        for v in VOCAB_COVERAGE_CUTOFFS
+    )
+    _cov_rows = "\n  UNION ALL\n".join(
+        f"  SELECT lang, {v} AS vocab_size, n_types, cov_{v}"
+        f" AS covered_tokens, total_tokens FROM agg"
+        for v in VOCAB_COVERAGE_CUTOFFS
+    )
+    out["vocab_coverage"] = f"""
+WITH toks AS (
+  SELECT lang, unnest(string_split({LCLEAN}, ' ')) AS tok FROM documents
+),
+freq AS (
+  SELECT lang, tok, count(*) AS n FROM toks WHERE tok != ''
+  GROUP BY lang, tok
+),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok)
+           AS rank
+  FROM freq
+),
+agg AS (
+  SELECT lang, sum(n)::BIGINT AS total_tokens, count(*) AS n_types,
+         {_cov_cols}
+  FROM ranked GROUP BY lang
+)
+SELECT lang, vocab_size, n_types, covered_tokens, total_tokens,
+       round(covered_tokens::DOUBLE / nullif(total_tokens, 0), 6)
+         AS coverage
+FROM (
+{_cov_rows}
+)
+ORDER BY lang, vocab_size"""
 
     out["vocab_growth"] = f"""
 WITH toks AS (

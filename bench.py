@@ -194,6 +194,13 @@ HEADLINE = [
     "report_prompts",
     "embedding_quantize_pq_trained",
     "ann_topk_ivfpq_residual",
+    "scd2_user_state_history",
+    "session_interval_join",
+    "vocab_coverage",
+    # ann_recall_vs_dim re-runs the bruteforce search five times (full
+    # dim + four truncations) to produce the recall-vs-dim report — an
+    # evaluation artifact like ann_method_eval; driver correctness
+    # window only.
     # dataset_card re-runs the full gate matrix (already benched as
     # curation_gate_matrix) plus dedup_exact — a release report, not a
     # throughput query; driver correctness window only.

@@ -428,3 +428,117 @@ def daily_anomaly_report(
     return anomaly_scores(
         daily_event_counts(events), window_days, min_obs, z_threshold
     )
+
+
+def scd2_user_state_history(events: DataFrame) -> DataFrame:
+    """Type-2 slowly-changing-dimension history built from a change
+    log (Kimball SCD2, public methodology): collapse each user's
+    event stream into maximal runs of a constant ``event_type`` and
+    emit one validity interval per run — ``valid_from`` (first event
+    of the run), ``valid_to`` (start of the NEXT run, NULL while
+    current), ``n_events`` in the run, and ``is_current``. This is
+    the warehouse shape a CDC pipeline materializes so point-in-time
+    joins become a plain ``BETWEEN valid_from AND valid_to``.
+
+    Determinism: run boundaries come from a null-safe inequality vs
+    ``lag(event_type)`` ordered by (ts, event_id) — the event_id
+    tie-break makes the run numbering engine-independent even for
+    equal timestamps, and the oracle's ``IS DISTINCT FROM`` mirrors
+    the null-safe compare exactly.
+
+    Scale: ONE shuffle of the fact table on user_id; the change flag,
+    running version number, and the (user_id, version) aggregation
+    all reuse that partitioning (hash(user_id) already clusters
+    (user_id, version), so Catalyst inserts no second exchange — plan
+    guard in tests). The trailing lead() window runs over the
+    collapsed runs frame, which is versions-not-events sized.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
+        )
+        .otherwise(1)
+        .alias("chg"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = flagged.select(
+        "user_id",
+        "ts",
+        F.col("event_type").alias("state"),
+        F.sum("chg").over(w_cum).alias("version"),
+    )
+    runs = numbered.groupBy("user_id", "version", "state").agg(
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("last_seen"),
+        F.count("*").alias("n_events"),
+    )
+    w_next = Window.partitionBy("user_id").orderBy("version")
+    return (
+        runs.select(
+            "user_id",
+            "version",
+            "state",
+            "valid_from",
+            "last_seen",
+            "n_events",
+            F.lead("valid_from").over(w_next).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("user_id", "version")
+    )
+
+
+def session_interval_join(
+    events: DataFrame, gap_minutes: int = SESSION_GAP_MINUTES
+) -> DataFrame:
+    """Point-in-interval enrichment: join the raw event stream back
+    onto the session intervals ``events_sessionize`` emits and compute
+    the per-session dimensions the interval build dropped (distinct
+    event types, error count). This is the canonical SCALABLE interval
+    join: an EQUI key (user_id) carries the shuffle and the range
+    predicate rides along as a residual filter inside the matched
+    partition — never a BroadcastNestedLoop/cartesian over the fact
+    table (plan guard in tests). Per-user session counts are bounded,
+    so the residual fan-out per fact row is small by construction.
+
+    Sessions of one user are disjoint by the gap definition, so every
+    event lands in exactly one interval and ``n_events`` must equal
+    the count sessionize itself computed — asserted in tests as the
+    join's self-consistency invariant.
+    """
+    intervals = events_sessionize(events, gap_minutes).select(
+        F.col("user_id").alias("s_user"),
+        "session_seq",
+        "session_start",
+        "session_end",
+    )
+    facts = events.select("user_id", "ts", "event_type", "value")
+    joined = facts.join(
+        intervals,
+        (F.col("user_id") == F.col("s_user"))
+        & (F.col("ts") >= F.col("session_start"))
+        & (F.col("ts") <= F.col("session_end")),
+    )
+    return (
+        joined.groupBy(
+            "user_id", "session_seq", "session_start", "session_end"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_errors"),
+            money(F.sum("value")).alias("total_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

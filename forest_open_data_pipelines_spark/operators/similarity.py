@@ -1258,6 +1258,72 @@ def ann_method_eval(
     return out.orderBy("method")
 
 
+# Matryoshka truncation sweep: prefix lengths evaluated against the
+# full-dim ground truth. Single-sourced with the DuckDB oracle
+# generator in __spark_entry__.py (emb[1:d] slices).
+ANN_RECALL_DIMS = (8, 16, 32, 64)
+
+
+def ann_recall_vs_dim(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 10,
+    dims: tuple[int, ...] = ANN_RECALL_DIMS,
+) -> DataFrame:
+    """Matryoshka-style truncation sweep (Kusupati et al. 2022, public
+    methodology): recall@k of EXACT cosine search over prefix-truncated
+    embeddings vs the full-dim exact top-k, one row per prefix length.
+    This is the measurement that justifies a dimension-reduction stage
+    in front of an ANN index — at 100 TB, scanning 8 of 64 components
+    is an 8× bandwidth cut, and this sweep prices its recall cost on
+    the corpus itself instead of trusting a model card.
+
+    Truncation is ``F.slice(embedding, 1, d)`` — a pure projection, no
+    Python. Each per-dim search is ``ann_topk_bruteforce`` on the
+    sliced frame: queries broadcast, one scan of the candidate side,
+    per-partition partial top-k. All result sets are bounded
+    (n_queries×k rows) and persisted once; the final table is one row
+    per dim. The full-dim entry (d = native dim) must score recall
+    1.0 — asserted in tests, which pins the harness itself.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    truth = _persist(
+        ann_topk_bruteforce(embeddings, n_queries, k).select(
+            "query_id", "cand_id"
+        )
+    )
+    outs = []
+    for d in dims:
+        trunc = embeddings.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        m = _persist(
+            ann_topk_bruteforce(trunc, n_queries, k).select(
+                "query_id", "cand_id"
+            )
+        )
+        inter = m.join(truth, ["query_id", "cand_id"]).agg(
+            F.count("*").alias("n_hit")
+        )
+        outs.append(
+            m.agg(F.count("*").alias("n_results"))
+            .join(truth.agg(F.count("*").alias("n_truth")))
+            .join(inter)
+            .select(
+                F.lit(d).alias("dim"),
+                "n_results",
+                "n_truth",
+                "n_hit",
+                ratio(F.expr("n_hit / nullif(n_truth, 0)")).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("dim")
+
+
 # ── Nearest-query routing (the stream-safe ANN scoring shape) ────────────────
 
 ROUTE_THRESHOLD_MICRO = 150_000  # 0.15 at 6 dp, exact integer compare

@@ -1526,6 +1526,84 @@ def vocab_growth(
 #: real corpus bends below the power law and would bias the slope.
 ZIPF_FIT_MAX_RANK = 1024
 
+#: Vocabulary cutoffs the coverage curve is evaluated at — the
+#: candidate tokenizer vocab sizes a pipeline prices OOV rates for.
+#: Single-sourced with the DuckDB oracle in __spark_entry__.py.
+VOCAB_COVERAGE_CUTOFFS = (100, 1000, 10000)
+
+
+def vocab_coverage(
+    documents: DataFrame,
+    cutoffs: tuple[int, ...] = VOCAB_COVERAGE_CUTOFFS,
+) -> DataFrame:
+    """Token-mass coverage at top-V vocabulary cutoffs, per language —
+    the OOV-rate planning curve for tokenizer vocab sizing (coverage =
+    share of all token OCCURRENCES falling on the V most frequent
+    types; 1 − coverage is the rate a V-sized word-level vocabulary
+    would emit <unk>). Complements ``token_zipf_fit`` (distribution
+    shape) and ``vocab_growth`` (type accumulation) with the mass
+    concentration number a tokenizer budget decision actually needs.
+
+    Determinism: ranks tie-break by token string after frequency, so
+    the top-V set is engine-independent; coverage counts are exact
+    longs, only the final share rounds (6 dp, scale-then-round).
+
+    Scale: ONE corpus-sized shuffle — the (lang, token) frequency
+    aggregate (map-side combinable explode → count). The rank window
+    sorts the VOCABULARY per language (bounded by distinct types, not
+    corpus rows), all cutoffs fold in a single conditional aggregate
+    over that table, and the per-cutoff rows unfold from an inline
+    array — no per-cutoff rescan of anything corpus-sized.
+    """
+    toks = documents.select(
+        "lang",
+        F.explode(F.split(F.lower(clean_text(F.col("text"))), " ")).alias(
+            "tok"
+        ),
+    ).where(F.col("tok") != "")
+    freq = toks.groupBy("lang", "tok").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "tok")
+    ranked = freq.select(
+        "lang", "n", F.row_number().over(w).alias("rank")
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.sum("n").alias("total_tokens"),
+        F.count("*").alias("n_types"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("rank") <= v, F.col("n"))),
+                F.lit(0).cast("long"),
+            ).alias(f"cov_{v}")
+            for v in cutoffs
+        ],
+    )
+    unfolded = agg.select(
+        "lang",
+        "n_types",
+        "total_tokens",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(v).alias("vocab_size"),
+                        F.col(f"cov_{v}").alias("covered_tokens"),
+                    )
+                    for v in cutoffs
+                ]
+            )
+        ).alias("c"),
+    )
+    return unfolded.select(
+        "lang",
+        F.col("c.vocab_size").alias("vocab_size"),
+        "n_types",
+        F.col("c.covered_tokens").alias("covered_tokens"),
+        "total_tokens",
+        ratio(
+            F.col("c.covered_tokens") / F.expr("nullif(total_tokens, 0)")
+        ).alias("coverage"),
+    ).orderBy("lang", "vocab_size")
+
 
 def token_zipf_fit(
     documents: DataFrame, max_rank: int = ZIPF_FIT_MAX_RANK

@@ -164,6 +164,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_method_eval": lambda s, d: similarity.ann_method_eval(
         load_table(s, d, "embeddings")
     ),
+    "ann_recall_vs_dim": lambda s, d: similarity.ann_recall_vs_dim(
+        load_table(s, d, "embeddings")
+    ),
+    "scd2_user_state_history": lambda s, d: sessionize.scd2_user_state_history(
+        load_table(s, d, "events")
+    ),
+    "session_interval_join": lambda s, d: sessionize.session_interval_join(
+        load_table(s, d, "events")
+    ),
     "q8_market_share": lambda s, d: relational.q8_market_share(
         *_t(s, d, "region", "nation", "customer", "orders", "lineitem",
             "supplier", "part")
@@ -217,6 +226,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "embeddings")
     ),
     "ngram_novelty": lambda s, d: textops.ngram_novelty(
+        load_table(s, d, "documents")
+    ),
+    "vocab_coverage": lambda s, d: textops.vocab_coverage(
         load_table(s, d, "documents")
     ),
     "vocab_growth": lambda s, d: textops.vocab_growth(
@@ -874,6 +886,9 @@ _R9_WINDOW: tuple[str, ...] = (
 assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 
 # Round-10 rotation queue (pre-staged; build the _R10_WINDOW from this):
+# 0) never-driver-green round-9-extension entries first:
+#    ann_recall_vs_dim, scd2_user_state_history, session_interval_join,
+#    vocab_coverage;
 # 1) any round-9 window row the driver fails — fix first, re-window;
 # 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
 #    anp_resource_urls — its slot ceded to the residual-IVFPQ entry,

@@ -5907,3 +5907,94 @@ def test_ivfpq_residual_encoding_recall(spark):
             assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
     finally:
         sim.clear_centroid_cache()
+
+
+def test_scd2_history_invariants(spark):
+    """SCD2 contract: the runs partition the event stream (counts sum
+    to the fact count), versions are dense from 1, history is
+    contiguous (valid_to == next valid_from), runs are maximal (no
+    same-state neighbors), and exactly the last run per user is
+    current."""
+    events = load_table(spark, SF_DIR, "events")
+    rows = sessionize.scd2_user_state_history(events).collect()
+    assert sum(r["n_events"] for r in rows) == events.count()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        assert [r["is_current"] for r in rs] == [False] * (len(rs) - 1) + [
+            True
+        ]
+        for r in rs:
+            assert r["valid_from"] <= r["last_seen"]
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["last_seen"] < b["valid_from"]
+            assert a["state"] != b["state"]
+
+
+def test_session_interval_join_matches_sessionize(spark):
+    """Disjoint intervals ⇒ the re-join must reproduce sessionize's
+    own per-session count and value sum exactly, while the enrichment
+    columns stay within their count bounds."""
+    events = load_table(spark, SF_DIR, "events")
+    base = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize.events_sessionize(events).collect()
+    }
+    enriched = sessionize.session_interval_join(events).collect()
+    assert len(enriched) == len(base)
+    for r in enriched:
+        b = base[(r["user_id"], r["session_seq"])]
+        assert r["n_events"] == b["n_events"]
+        assert r["total_value"] == b["total_value"]
+        assert r["session_start"] == b["session_start"]
+        assert r["session_end"] == b["session_end"]
+        assert 1 <= r["n_event_types"] <= r["n_events"]
+        assert 0 <= r["n_errors"] <= r["n_events"]
+
+
+def test_ann_recall_vs_dim_full_prefix_is_exact(spark):
+    """The native-dim row searches the untruncated vectors, so its
+    top-k IS the ground truth — recall must be exactly 1.0 (pins the
+    sweep harness itself); every truncated recall stays in [0, 1] and
+    result-set sizes equal the truth size (both are n_queries × k)."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    try:
+        emb = load_table(spark, SF_DIR, "embeddings")
+        rows = {
+            r["dim"]: r for r in similarity.ann_recall_vs_dim(emb).collect()
+        }
+        assert rows[64]["recall"] == 1.0
+        for r in rows.values():
+            assert 0.0 <= r["recall"] <= 1.0
+            assert r["n_results"] == r["n_truth"]
+    finally:
+        release_persisted()
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    """Coverage is monotone nondecreasing in V within a language,
+    bounded by 1, and EXACTLY 1 once the cutoff admits the whole
+    vocabulary (n_types ≤ V ⇒ every occurrence is covered)."""
+    from forest_open_data_pipelines_spark.operators import textops
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = textops.vocab_coverage(docs).collect()
+    by_lang: dict = {}
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["total_tokens"]
+        assert 0.0 <= r["coverage"] <= 1.0
+        if r["n_types"] <= r["vocab_size"]:
+            assert r["coverage"] == 1.0
+            assert r["covered_tokens"] == r["total_tokens"]
+        by_lang.setdefault(r["lang"], []).append(r)
+    for rs in by_lang.values():
+        rs.sort(key=lambda r: r["vocab_size"])
+        for a, b in zip(rs, rs[1:]):
+            assert a["covered_tokens"] <= b["covered_tokens"]

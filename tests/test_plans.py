@@ -892,3 +892,42 @@ def test_report_prompts_is_metric_frame_projection(spark):
         assert all("o_comment" not in s for s in _read_schemas(plan))
     finally:
         release_persisted()
+
+
+def test_scd2_single_fact_exchange(spark):
+    """The whole fact path — change flag, run numbering, run collapse,
+    AND the lead() over runs — rides ONE hash exchange on user_id:
+    hash(user_id) clusters (user_id, version, state) for the agg and
+    user_id for the final window, so Catalyst inserts no further
+    shuffle until the presentation sort. The scan must prune to the
+    4 needed columns."""
+    plan = _plan(spark, "scd2_user_state_history")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "PythonUDF" not in plan
+    (schema,) = _read_schemas(plan)
+    assert "value" not in schema and "props" not in schema
+
+
+def test_session_interval_join_equi_key_no_cartesian(spark):
+    """The interval join must ride the user_id EQUI key (hash or
+    sort-merge; the range predicate is the residual condition) —
+    never a nested-loop/cartesian over the fact table — and both
+    scans stay column-pruned."""
+    plan = _plan(spark, "session_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "PythonUDF" not in plan
+    assert all("props" not in s for s in _read_schemas(plan))
+
+
+def test_vocab_coverage_single_scan_two_exchanges(spark):
+    """One documents scan feeds everything; the only corpus-sized
+    shuffle is the (lang, token) frequency aggregate — the rank window
+    adds one vocabulary-sized exchange on lang, and the per-cutoff
+    unfold is an inline array explode over the bounded per-lang frame
+    (no per-cutoff rescans)."""
+    plan = _plan(spark, "vocab_coverage")
+    assert len(re.findall(r"Scan parquet", plan)) == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "PythonUDF" not in plan

@@ -1526,3 +1526,57 @@ def test_observations_append_stream_matches_batch(spark, tmp_path):
     assert batch_rows
     assert streamed == sorted(tup(r) for r in batch_rows)
     assert len(emitted) == events.count()  # every event emitted once
+
+
+def test_scd2_stream_matches_batch_closed_runs(spark, tmp_path):
+    """Streaming SCD2: once the stream drains, the emitted (closed)
+    runs must equal the batch history minus each user's final run
+    (still current — no later state change ever closes it), including
+    the valid_to each closure stamped."""
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        scd2_user_state_history,
+    )
+    from forest_open_data_pipelines_spark.streaming.scd2 import scd2_stream
+
+    stream = stream_events_from_parquet(spark, SF_DIR)
+    query = (
+        scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            (r["user_id"], r["version"]): (
+                r["state"],
+                r["valid_from"],
+                r["last_seen"],
+                r["n_events"],
+                r["valid_to"],
+                r["is_current"],
+            )
+            for r in spark.sql("SELECT * FROM scd2_test").collect()
+        }
+    finally:
+        query.stop()
+
+    batch_rows = scd2_user_state_history(
+        load_table(spark, SF_DIR, "events")
+    ).collect()
+    expected = {
+        (r["user_id"], r["version"]): (
+            r["state"],
+            r["valid_from"],
+            r["last_seen"],
+            r["n_events"],
+            r["valid_to"],
+            r["is_current"],
+        )
+        for r in batch_rows
+        if not r["is_current"]
+    }
+    assert len(got) == len(expected)
+    assert got == expected

@@ -114,6 +114,9 @@ OPS = {
     "bm25_topk": _textops_op("bm25_topk"),
     "bm25_route": _textops_op("bm25_route"),
     "token_zipf_fit": _textops_op("token_zipf_fit"),
+    # vocab_coverage shares token_zipf_fit's (lang, token) aggregate
+    # shape; the cutoff fold is over the bounded vocabulary
+    "vocab_coverage": _textops_op("vocab_coverage"),
     "tokenizer_fertility": _textops_op("tokenizer_fertility"),
     "boilerplate_ngrams": _textops_op("boilerplate_ngrams"),
     "stratified_topk_sample": _curation_op("stratified_topk_sample"),
@@ -360,6 +363,12 @@ def analytics_main(max_replicas: int) -> None:
         ),
         "freshness_cadence": freshness.freshness_cadence,
         "events_sessionize": sessionize.events_sessionize,
+        # round-9 extension: SCD2 is the sessionize plan family (one
+        # fact exchange on user_id) so disjoint replica populations
+        # should scale ~linearly; the interval join adds the fact
+        # re-join whose per-user fan-out is invariant under replication
+        "scd2_user_state_history": sessionize.scd2_user_state_history,
+        "session_interval_join": sessionize.session_interval_join,
     }
     li_ops = {
         "part_affinity_pairs": relational.part_affinity_pairs,
