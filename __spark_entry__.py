@@ -7651,6 +7651,48 @@ sel AS (
 SELECT media_id, 16::BIGINT AS width, 16::BIGINT AS height,
        {_r6("sum(v)::DOUBLE / 256.0")} AS checksum
 FROM sel GROUP BY media_id ORDER BY media_id"""
+    # aHash twin: the same byte-explode + nearest-gather grid at 64
+    # pixels, strict integer above-mean bits, signed-64 packing via the
+    # _simhash_bit_value VALUES-table convention (bit 63 is min long;
+    # DuckDB's 1::BIGINT << 63 raises Out of Range), all-pairs hamming
+    # as ground truth for the block-LSH operator (perfect recall).
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        _simhash_bit_value as _ahash_bit,
+    )
+    from forest_open_data_pipelines_spark.operators.multimodal import (
+        AHASH_MAX_HAMMING,
+    )
+
+    def _ahash_lit(v: int) -> str:
+        return f"({v + 1}::BIGINT - 1)" if v == -(1 << 63) else f"{v}::BIGINT"
+
+    _ahash_rows = ", ".join(
+        f"({j}, {_ahash_lit(_ahash_bit(j))})" for j in range(64)
+    )
+    out["media_ahash_dedup"] = f"""
+WITH {_media_bytes},
+abits(j, bitval) AS (VALUES {_ahash_rows}),
+grid AS (
+  SELECT media_id, n, unnest(range(0, 64)) AS g FROM b WHERE n > 0
+),
+px AS (
+  SELECT g.media_id, g.g, coalesce(y.byte, 0)::BIGINT AS v
+  FROM grid g LEFT JOIN bytes y
+    ON y.media_id = g.media_id AND y.pos = (g.g * g.n) // 64
+),
+tot AS (SELECT media_id, sum(v)::BIGINT AS total FROM px GROUP BY media_id),
+sig AS (
+  SELECT p.media_id,
+         sum(CASE WHEN p.v * 64 > t.total THEN a.bitval ELSE 0 END)::BIGINT
+           AS ahash
+  FROM px p JOIN tot t USING (media_id) JOIN abits a ON a.j = p.g
+  GROUP BY p.media_id
+)
+SELECT x.media_id AS media_a, y.media_id AS media_b,
+       bit_count(xor(x.ahash, y.ahash))::INTEGER AS hamming
+FROM sig x JOIN sig y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.ahash, y.ahash)) <= {AHASH_MAX_HAMMING}
+ORDER BY media_a, media_b"""
     from forest_open_data_pipelines_spark.operators.similarity import (
         EMB_OUTLIER_Z,
     )

@@ -197,6 +197,7 @@ HEADLINE = [
     "scd2_user_state_history",
     "session_interval_join",
     "vocab_coverage",
+    "media_ahash_dedup",
     # ann_recall_vs_dim re-runs the bruteforce search five times (full
     # dim + four truncations) to produce the recall-vs-dim report — an
     # evaluation artifact like ann_method_eval; driver correctness

@@ -402,3 +402,118 @@ def media_integrity_audit(documents: DataFrame) -> DataFrame:
         )
         .orderBy("origin")
     )
+
+
+#: aHash geometry: 8×8 average-hash pixels (Krawetz's aHash, the
+#: public perceptual-hash baseline) packed into one signed 64-bit
+#: signature; the hamming budget mirrors the simhash64 promotion
+#: (8 pigeonhole blocks × 8 bits — perfect recall at ≤ 7 by the
+#: block-LSH argument in dedup.simhash_pairs).
+AHASH_GRID = 64
+AHASH_MAX_HAMMING = 7
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+
+def ahash_signatures(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash signatures over the binary payloads via
+    ``mapInPandas``: each payload is gathered onto the 64-pixel
+    nearest-neighbor grid (the ``resize_media`` index map), and bit g
+    is set iff pixel_g is strictly above the grid mean — compared in
+    EXACT INTEGERS (``pixel·64 > Σpixels``), so no float mean can
+    straddle an engine boundary. Bits pack little-endian into one
+    signed long (bit 63 = min-long two's complement, the
+    ``_simhash_bit_value`` convention shared with the DuckDB twin).
+
+    Only codec DECODE stays stubbed (``decode_real``); on decoded
+    luma grids this is byte-for-byte the classic aHash.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        _simhash_bit_value,
+    )
+
+    def _ahash(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        weights = np.array(
+            [_simhash_bit_value(j) for j in range(AHASH_GRID)],
+            dtype=np.int64,
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            data, offsets, lengths = _flatten_payloads(pdf["payload"])
+            if data.size:
+                grid = np.arange(AHASH_GRID, dtype=np.int64)
+                idx = (
+                    offsets[:-1, None]
+                    + (grid[None, :] * lengths[:, None]) // AHASH_GRID
+                )
+                px = np.where(
+                    lengths[:, None] > 0,
+                    data[np.minimum(idx, data.size - 1)],
+                    np.uint8(0),
+                ).astype(np.int64)
+            else:
+                px = np.zeros((len(lengths), AHASH_GRID), dtype=np.int64)
+            total = px.sum(axis=1)
+            # strict >: any partial sum of one min-long plus positives
+            # bounded by 2^63-1 stays in int64, so the fold is exact
+            bits = (px * AHASH_GRID) > total[:, None]
+            sig = (bits.astype(np.int64) * weights[None, :]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "ahash": sig,
+                    "n_bytes": lengths,
+                }
+            )
+
+    return media.mapInPandas(_ahash, AHASH_SCHEMA)
+
+
+def media_ahash_dedup(
+    documents: DataFrame, max_hamming: int = AHASH_MAX_HAMMING
+) -> DataFrame:
+    """Perceptual near-dup pairs over the media table: aHash signatures
+    + the simhash family's pigeonhole block LSH (`dedup.simhash_pairs`
+    — candidates share one of max_hamming+1 signature blocks, perfect
+    recall, every candidate verified by full ``bit_count(xor)``).
+    This is the image-near-dup stage of a multimodal training
+    pipeline: re-encoded/re-scaled copies keep their luma layout, so
+    their grids — and hashes — stay within a few bits of each other,
+    where the sha-256 identity (``multimodal_dedup``) sees distinct
+    blobs.
+
+    Empty payloads are excluded (no content to hash — an all-zero
+    signature would cross-match every dark/empty asset).
+
+    Scale: signatures are ONE long per asset extracted in the scan
+    stage (payload bytes never shuffle), persisted across the block
+    self-join; bucket width/budget trade-offs are the measured
+    simhash64 ones.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        _persist,
+        simhash_pairs,
+    )
+
+    media = as_media_table(documents).where(F.length("payload") > 0)
+    sigs = _persist(
+        ahash_signatures(media).select(
+            F.col("media_id").alias("doc_id"),
+            F.col("ahash").alias("simhash"),
+        )
+    )
+    return simhash_pairs(sigs, AHASH_GRID, max_hamming).select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        "hamming",
+    )

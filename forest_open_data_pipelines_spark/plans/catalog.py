@@ -234,6 +234,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_growth": lambda s, d: textops.vocab_growth(
         load_table(s, d, "documents")
     ),
+    "media_ahash_dedup": lambda s, d: multimodal.media_ahash_dedup(
+        load_table(s, d, "documents")
+    ),
     "multimodal_dedup": lambda s, d: multimodal.multimodal_dedup(
         load_table(s, d, "documents")
     ),
@@ -888,7 +891,7 @@ assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 # Round-10 rotation queue (pre-staged; build the _R10_WINDOW from this):
 # 0) never-driver-green round-9-extension entries first:
 #    ann_recall_vs_dim, scd2_user_state_history, session_interval_join,
-#    vocab_coverage;
+#    vocab_coverage, media_ahash_dedup;
 # 1) any round-9 window row the driver fails — fix first, re-window;
 # 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
 #    anp_resource_urls — its slot ceded to the residual-IVFPQ entry,

@@ -5998,3 +5998,46 @@ def test_vocab_coverage_monotone_and_bounded(spark):
         rs.sort(key=lambda r: r["vocab_size"])
         for a, b in zip(rs, rs[1:]):
             assert a["covered_tokens"] <= b["covered_tokens"]
+
+
+def test_media_ahash_exact_copies_hamming_zero(spark):
+    """Byte-identical payloads hash identically (hamming 0), so every
+    sha-256 duplicate pair from multimodal_dedup must appear in the
+    aHash pairs; a lightly perturbed copy stays within a few bits of
+    its original while staying FAR from an unrelated payload."""
+    docs = load_table(spark, SF_DIR, "documents")
+    sha_pairs = set()
+    by_digest: dict = {}
+    for r in multimodal.multimodal_dedup(docs).collect():
+        by_digest.setdefault(r["sha256"], []).append(r["media_id"])
+    for ids in by_digest.values():
+        ids.sort()
+        sha_pairs.update(
+            (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
+        )
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in multimodal.media_ahash_dedup(docs).collect()
+    }
+    for p in sha_pairs:
+        assert got.get(p) == 0, p
+
+    base = (
+        "the quick brown fox jumps over the lazy dog " * 8
+    )
+    perturbed = base[:40] + "X" + base[41:]
+    unrelated = "zzzz qqqq " * 60
+    tiny = spark.createDataFrame(
+        [
+            (0, base, "en", "s", len(base)),
+            (1, perturbed, "en", "s", len(perturbed)),
+            (2, unrelated, "en", "s", len(unrelated)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in multimodal.media_ahash_dedup(tiny, max_hamming=15).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 8
+    assert (0, 2) not in pairs and (1, 2) not in pairs

@@ -39,6 +39,12 @@ def _textops_op(name):
     return lambda d: getattr(textops, name)(d)
 
 
+def _multimodal_op(name):
+    from forest_open_data_pipelines_spark.operators import multimodal
+
+    return lambda d: getattr(multimodal, name)(d)
+
+
 def _curation_op(name):
     from forest_open_data_pipelines_spark.operators import curation
 
@@ -117,6 +123,9 @@ OPS = {
     # vocab_coverage shares token_zipf_fit's (lang, token) aggregate
     # shape; the cutoff fold is over the bounded vocabulary
     "vocab_coverage": _textops_op("vocab_coverage"),
+    # media_ahash_dedup: one-long signatures in the scan stage + the
+    # simhash block LSH; the rotation corpus is its near-dup worst case
+    "media_ahash_dedup": _multimodal_op("media_ahash_dedup"),
     "tokenizer_fertility": _textops_op("tokenizer_fertility"),
     "boilerplate_ngrams": _textops_op("boilerplate_ngrams"),
     "stratified_topk_sample": _curation_op("stratified_topk_sample"),
