@@ -493,7 +493,11 @@ def media_ahash_dedup(
     blobs.
 
     Empty payloads are excluded (no content to hash — an all-zero
-    signature would cross-match every dark/empty asset).
+    signature would cross-match every dark/empty asset). ZERO-CONTRAST
+    payloads (every byte equal) still share the all-zero hash — the
+    textbook aHash flat-field collision; a pipeline that ingests flat
+    assets should gate them on ``media_integrity_audit`` stats first,
+    exactly as real aHash deployments pre-filter blank frames.
 
     Scale: signatures are ONE long per asset extracted in the scan
     stage (payload bytes never shuffle), persisted across the block
