@@ -7693,6 +7693,68 @@ SELECT x.media_id AS media_a, y.media_id AS media_b,
 FROM sig x JOIN sig y ON x.media_id < y.media_id
 WHERE bit_count(xor(x.ahash, y.ahash)) <= {AHASH_MAX_HAMMING}
 ORDER BY media_a, media_b"""
+
+    # Incremental perceptual gate twin: per-side aHash sig chains over
+    # the winnowing_incremental residue split, all-pairs hamming as the
+    # recall-equivalent ground truth for the block join, best match by
+    # (hamming, base_id), every new asset rowed.
+    def _ahash_sig_cte(tag: str, where: str) -> str:
+        return f"""b_{tag} AS (
+  SELECT doc_id AS media_id, octet_length(encode(text))::BIGINT AS n,
+         hex(encode(text)) AS h
+  FROM documents WHERE {where}
+),
+grid_{tag} AS (
+  SELECT media_id, n, unnest(range(0, 64)) AS g FROM b_{tag} WHERE n > 0
+),
+px_{tag} AS (
+  SELECT g.media_id, g.g,
+         ('0x' || substr(b.h, ((g.g * g.n) // 64) * 2 + 1, 2))::INT::BIGINT
+           AS v
+  FROM grid_{tag} g JOIN b_{tag} b USING (media_id)
+),
+tot_{tag} AS (
+  SELECT media_id, sum(v)::BIGINT AS total FROM px_{tag} GROUP BY media_id
+),
+sig_{tag} AS (
+  SELECT p.media_id,
+         sum(CASE WHEN p.v * 64 > t.total THEN a.bitval ELSE 0 END)::BIGINT
+           AS ahash
+  FROM px_{tag} p JOIN tot_{tag} t USING (media_id)
+       JOIN abits a ON a.j = p.g
+  GROUP BY p.media_id
+)"""
+
+    out["media_ahash_incremental"] = f"""
+WITH abits(j, bitval) AS (VALUES {_ahash_rows}),
+{_ahash_sig_cte('nw', 'doc_id % 13 = 0')},
+{_ahash_sig_cte('bs', 'doc_id % 13 != 0')},
+m AS (
+  SELECT x.media_id, y.media_id AS base_id,
+         bit_count(xor(x.ahash, y.ahash))::INTEGER AS hamming
+  FROM sig_nw x JOIN sig_bs y
+    ON bit_count(xor(x.ahash, y.ahash)) <= {AHASH_MAX_HAMMING}
+),
+agg AS (
+  SELECT media_id, count(*)::BIGINT AS n_base_matches
+  FROM m GROUP BY media_id
+),
+best AS (
+  SELECT media_id, base_id AS best_base_id, hamming AS best_hamming
+  FROM (SELECT *, row_number() OVER (PARTITION BY media_id
+                                     ORDER BY hamming, base_id) AS rn
+        FROM m)
+  WHERE rn = 1
+)
+SELECT s.media_id, b.n AS n_bytes,
+       coalesce(a.n_base_matches, 0)::BIGINT AS n_base_matches,
+       best.best_base_id, best.best_hamming,
+       CASE WHEN a.media_id IS NOT NULL THEN 'dup' ELSE 'new' END AS status
+FROM sig_nw s
+JOIN b_nw b USING (media_id)
+LEFT JOIN agg a USING (media_id)
+LEFT JOIN best USING (media_id)
+ORDER BY s.media_id"""
     from forest_open_data_pipelines_spark.operators.similarity import (
         EMB_OUTLIER_Z,
     )

@@ -198,6 +198,7 @@ HEADLINE = [
     "session_interval_join",
     "vocab_coverage",
     "media_ahash_dedup",
+    "media_ahash_incremental",
     # ann_recall_vs_dim re-runs the bruteforce search five times (full
     # dim + four truncations) to produce the recall-vs-dim report — an
     # evaluation artifact like ann_method_eval; driver correctness

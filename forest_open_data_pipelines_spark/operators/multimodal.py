@@ -521,3 +521,118 @@ def media_ahash_dedup(
         F.col("doc_b").alias("media_b"),
         "hamming",
     )
+
+
+def _ahash_blocks(sigs: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
+    """Pigeonhole block keys for an (id, ahash) table — the
+    dedup.simhash_pairs geometry (max_hamming+1 disjoint blocks ⇒
+    any pair within the budget shares ≥ 1 block, perfect recall)."""
+    n_blocks = max_hamming + 1
+    if AHASH_GRID % n_blocks:
+        raise ValueError(
+            f"bits={AHASH_GRID} must be divisible by {n_blocks} blocks"
+        )
+    block_bits = AHASH_GRID // n_blocks
+    mask = (1 << block_bits) - 1
+    return sigs.select(
+        id_col,
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("part"),
+                        F.shiftright(F.col("ahash"), j * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for j in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "ahash", "b.part", "b.key")
+
+
+def classify_against_ahash_index(
+    new_docs: DataFrame,
+    base_sigs: DataFrame,
+    max_hamming: int = AHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Classify each NEW asset against a persisted aHash index — the
+    perceptual twin of ``dedup.classify_against_winnowing_index``:
+    only the incoming batch is hashed fresh; candidates come from the
+    block equi-join into the index's key space (never new×base pairs),
+    every candidate is verified by full ``bit_count(xor)``, and the
+    verdict row carries the match count, the BEST base match
+    (min hamming, ties to the lowest base_id — deterministic), and
+    status 'dup'/'new'. Every new asset gets a row; empty payloads
+    are excluded at the media projection like ``media_ahash_dedup``.
+
+    ``base_sigs`` is ``ahash_signatures(...)`` output keyed
+    (media_id, ahash) — ONE long per asset, the index a production
+    pipeline persists between compactions (caller persists, the
+    winnowing-gate convention).
+    """
+    new_sigs = ahash_signatures(
+        as_media_table(new_docs).where(F.length("payload") > 0)
+    ).select("media_id", "ahash", "n_bytes")
+    nb = _ahash_blocks(
+        new_sigs.select("media_id", "ahash"), "media_id", max_hamming
+    )
+    bb = _ahash_blocks(
+        base_sigs.select(
+            F.col("media_id").alias("base_id"), F.col("ahash").alias("b_hash")
+        ).withColumnRenamed("b_hash", "ahash"),
+        "base_id",
+        max_hamming,
+    ).withColumnRenamed("ahash", "b_hash")
+    hamming = F.bit_count(F.col("ahash").bitwiseXOR(F.col("b_hash")))
+    matches = (
+        nb.join(bb, ["part", "key"])
+        .select("media_id", "base_id", hamming.alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_base_matches"),
+            F.min(F.struct("hamming", "base_id")).alias("best"),
+        )
+    )
+    return (
+        new_sigs.join(matches, "media_id", "left")
+        .select(
+            "media_id",
+            "n_bytes",
+            F.coalesce("n_base_matches", F.lit(0).cast("long")).alias(
+                "n_base_matches"
+            ),
+            F.col("best.base_id").alias("best_base_id"),
+            F.col("best.hamming").alias("best_hamming"),
+            F.when(F.col("n_base_matches").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def media_ahash_incremental(
+    new_docs: DataFrame,
+    base_docs: DataFrame,
+    max_hamming: int = AHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Incremental perceptual gate — ``winnowing_incremental``'s
+    daily-batch shape for media: hash the accumulated BASE corpus into
+    the persisted index, classify the NEW batch against it. Composes
+    ``ahash_signatures`` (index build) + ``classify_against_ahash_index``
+    (the pure per-batch classifier) — the identical pieces the
+    streaming gate (streaming/ahash_gate.py) runs per micro-batch.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    base_sigs = _persist(
+        ahash_signatures(
+            as_media_table(base_docs).where(F.length("payload") > 0)
+        )
+    )
+    return classify_against_ahash_index(new_docs, base_sigs, max_hamming)

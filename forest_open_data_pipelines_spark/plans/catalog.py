@@ -237,6 +237,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_ahash_dedup": lambda s, d: multimodal.media_ahash_dedup(
         load_table(s, d, "documents")
     ),
+    # same new/base residue split as winnowing_incremental: the NEW
+    # batch classifies against the accumulated-base perceptual index
+    "media_ahash_incremental": lambda s, d: multimodal.media_ahash_incremental(
+        load_table(s, d, "documents").where(F.col("doc_id") % 13 == 0),
+        load_table(s, d, "documents").where(F.col("doc_id") % 13 != 0),
+    ),
     "multimodal_dedup": lambda s, d: multimodal.multimodal_dedup(
         load_table(s, d, "documents")
     ),
@@ -891,7 +897,7 @@ assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 # Round-10 rotation queue (pre-staged; build the _R10_WINDOW from this):
 # 0) never-driver-green round-9-extension entries first:
 #    ann_recall_vs_dim, scd2_user_state_history, session_interval_join,
-#    vocab_coverage, media_ahash_dedup;
+#    vocab_coverage, media_ahash_dedup, media_ahash_incremental;
 # 1) any round-9 window row the driver fails — fix first, re-window;
 # 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
 #    anp_resource_urls — its slot ceded to the residual-IVFPQ entry,

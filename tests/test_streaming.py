@@ -1580,3 +1580,64 @@ def test_scd2_stream_matches_batch_closed_runs(spark, tmp_path):
     }
     assert len(got) == len(expected)
     assert got == expected
+
+
+def test_ahash_gate_stream_matches_batch(spark, tmp_path):
+    """The foreachBatch perceptual gate must emit verdicts row-identical
+    to batch media_ahash_incremental over the same new/base split —
+    the winnowing-gate bridge shape at the aHash granularity."""
+    from pyspark.sql import functions as F2
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.multimodal import (
+        ahash_signatures,
+        as_media_table,
+        media_ahash_incremental,
+    )
+    from forest_open_data_pipelines_spark.streaming.ahash_gate import (
+        ahash_gate_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    base = docs.where(F2.col("doc_id") % 13 != 0)
+    # manufacture a guaranteed dup: one base payload re-ingested under a
+    # fresh id (the corpus's own duplicates need not cross the split)
+    replay = base.orderBy("doc_id").limit(1).withColumn(
+        "doc_id", F2.lit(9_000_000).cast("long")
+    )
+    new = docs.where(F2.col("doc_id") % 13 == 0).unionByName(replay)
+    src = tmp_path / "ag_src"
+    new.coalesce(1).write.parquet(str(src))
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    base_sigs = ahash_signatures(
+        as_media_table(base).where(F2.length("payload") > 0)
+    ).cache()
+    collected = []
+    query = ahash_gate_stream(
+        stream,
+        base_sigs,
+        sink=lambda df, bid: collected.extend(df.collect()),
+        checkpoint=str(tmp_path / "ckpt_ag"),
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        base_sigs.unpersist()
+    try:
+        batch = media_ahash_incremental(new, base).collect()
+    finally:
+        release_persisted()
+    key = lambda r: tuple(r)
+    assert sorted(map(key, collected)) == sorted(map(key, batch))
+    # the split must exercise both verdicts for the parity to mean much
+    assert any(r["status"] == "dup" for r in collected)
+    assert any(r["status"] == "new" for r in collected)
+    for r in collected:
+        assert (r["status"] == "dup") == (r["n_base_matches"] > 0)
+        if r["status"] == "dup":
+            assert r["best_hamming"] is not None and r["best_hamming"] <= 7

@@ -126,6 +126,14 @@ OPS = {
     # media_ahash_dedup: one-long signatures in the scan stage + the
     # simhash block LSH; the rotation corpus is its near-dup worst case
     "media_ahash_dedup": _multimodal_op("media_ahash_dedup"),
+    # the incremental gate on the same split the catalog entry uses:
+    # base index grows with the corpus, the new batch stays proportional
+    "media_ahash_incremental": lambda d: __import__(
+        "forest_open_data_pipelines_spark.operators.multimodal",
+        fromlist=["multimodal"],
+    ).media_ahash_incremental(
+        d.where(F.col("doc_id") % 13 == 0), d.where(F.col("doc_id") % 13 != 0)
+    ),
     "tokenizer_fertility": _textops_op("tokenizer_fertility"),
     "boilerplate_ngrams": _textops_op("boilerplate_ngrams"),
     "stratified_topk_sample": _curation_op("stratified_topk_sample"),
