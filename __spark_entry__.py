@@ -3074,6 +3074,62 @@ SELECT dim, n_results, n_truth, n_hit,
 FROM stats ORDER BY dim"""
 
 
+def _part_pagerank_sql(min_support: int = 2) -> str:
+    """DuckDB twin of relational.part_pagerank: the same undirected
+    co-order edge list, then PAGERANK_ITERS unrolled rank CTEs — every
+    step pure truncating BIGINT arithmetic (floor == trunc on the
+    positive domain), so the pico-unit ranks compare EXACTLY; only the
+    display column rounds."""
+    from forest_open_data_pipelines_spark.operators.relational import (
+        PAGERANK_DAMP_PCT,
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+    )
+
+    d = PAGERANK_DAMP_PCT
+    iter_ctes = []
+    prev = "pr0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        iter_ctes.append(f"""c{i} AS (
+  SELECT e.dst AS node, sum((p.pr * {d}) // (100 * e.outdeg))::BIGINT AS s
+  FROM edges_deg e JOIN {prev} p ON p.node = e.src
+  GROUP BY e.dst
+),
+pr{i} AS (
+  SELECT g.src AS node,
+         (({PAGERANK_SCALE} * {100 - d}) // (100 * (SELECT n FROM nn))
+          + coalesce(c.s, 0))::BIGINT AS pr
+  FROM deg g LEFT JOIN c{i} c ON c.node = g.src
+)""")
+        prev = f"pr{i}"
+    ctes = ",\n".join(iter_ctes)
+    return f"""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+  FROM lines a JOIN lines b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
+nn AS (SELECT count(*)::BIGINT AS n FROM deg),
+edges_deg AS (SELECT e.src, e.dst, g.outdeg FROM edges e JOIN deg g USING (src)),
+pr0 AS (
+  SELECT src AS node, ({PAGERANK_SCALE} // (SELECT n FROM nn))::BIGINT AS pr
+  FROM deg
+),
+{ctes}
+SELECT p.node AS part_id, g.outdeg AS degree, p.pr AS rank_pico,
+       round(p.pr / {float(PAGERANK_SCALE)}, 6) AS rank
+FROM {prev} p JOIN deg g ON g.src = p.node
+ORDER BY part_id"""
+
+
 def _focos_prompt_texts_sql(focos_payload_sql: str) -> str:
     """DuckDB twin of social.focos_prompt_texts: the same literal
     constants (imported from the Spark module — single source) and
@@ -6823,6 +6879,7 @@ SELECT lang, predicted_lang, n_docs,
 FROM c ORDER BY lang, predicted_lang"""
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
+    out["part_pagerank"] = _part_pagerank_sql()
     # SCD2 history: null-safe change flag (IS DISTINCT FROM mirrors
     # Spark's eqNullSafe negation), run numbering by running sum, one
     # interval per run, valid_to = next run's valid_from.

@@ -199,6 +199,10 @@ HEADLINE = [
     "vocab_coverage",
     "media_ahash_dedup",
     "media_ahash_incremental",
+    # part_pagerank is an ITERATIVE loop (5 fixed Pregel rounds, each a
+    # join+agg job over the edge table — ~8 s at sf0.1 of mostly fixed
+    # per-round overhead), the bpe_train category: a training-loop
+    # entry, not a throughput query; driver correctness window only.
     # ann_recall_vs_dim re-runs the bruteforce search five times (full
     # dim + four truncations) to produce the recall-vs-dim report — an
     # evaluation artifact like ann_method_eval; driver correctness

@@ -1383,3 +1383,120 @@ def supplier_concentration_hhi(
         )
         .orderBy("n_name")
     )
+
+
+#: PageRank constants — damping 0.85 as an integer percent and rank
+#: mass in PICO-units (10¹²): every arithmetic step is a truncating
+#: integer op identical on both engines, so 5 iterations stay
+#: bit-exact end-to-end. Single-sourced with the DuckDB unrolled-CTE
+#: twin in __spark_entry__.py.
+PAGERANK_ITERS = 5
+PAGERANK_DAMP_PCT = 85
+PAGERANK_SCALE = 10**12
+
+
+def part_pagerank(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    iters: int = PAGERANK_ITERS,
+) -> DataFrame:
+    """PageRank centrality over the co-order part graph (Page et al.
+    1999, public methodology) — the iterative-graph-algorithm shape on
+    DataFrames (the Pregel loop): which parts sit at the center of the
+    basket graph, beyond what raw degree sees. Edges are the
+    ``part_affinity_pairs`` co-occurrence pairs (support ≥
+    ``min_support`` — default 2, NOT affinity's 5: centrality wants
+    the connected fabric, where the affinity entry's higher support is
+    its association-precision knob), undirected (both directions
+    materialized), so
+    every node has outdegree ≥ 1 and no dangling-mass redistribution
+    is needed.
+
+    EXACT INTEGER ranks: mass lives in pico-units (Σ ≈ 10¹²);
+    per-edge contribution is ``(pr · 85) div (100 · outdeg)``
+    (truncating, positive-domain — floor == trunc on both engines) and
+    the teleport base is ``(10¹² · 15) div (100 · N)``, so every
+    iteration is engine-identical with NO float in the loop; only the
+    final display column rounds (6 dp scale-then-round vs the oracle's
+    native round — the documented-identical pairing).
+
+    Scale: the edge list joins the node-sized rank frame on src and
+    aggregates contributions by dst — one shuffle per iteration over
+    the EDGE table (the Pregel-on-DataFrames shape), with the
+    iteration count FIXED (5) and each round's rank frame persisted so
+    lineage stays flat (the connected-components precedent). The pair
+    generation itself is the order-key self-join (fan-out bounded by
+    lines-per-order), never a part×part cartesian. N is one bounded
+    driver scalar (≤ distinct parts), the seed-centroid convention.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    lines = _persist(lineitem.select("l_orderkey", "l_partkey").distinct())
+    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    edges = _persist(
+        pairs.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionByName(
+            pairs.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+    )
+    deg = _persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return deg.select(
+            F.col("src").alias("part_id"),
+            F.col("outdeg").alias("degree"),
+            F.lit(0).cast("long").alias("rank_pico"),
+            F.lit(0.0).alias("rank"),
+        )
+    base = (PAGERANK_SCALE * (100 - PAGERANK_DAMP_PCT)) // (100 * n_nodes)
+    edges_deg = _persist(edges.join(deg, "src"))
+    pr = _persist(
+        deg.select(
+            F.col("src").alias("node"),
+            F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("pr"),
+        )
+    )
+    for _ in range(iters):
+        contrib = (
+            edges_deg.join(pr, edges_deg["src"] == pr["node"])
+            .select(
+                "dst",
+                F.expr(
+                    f"(pr * {PAGERANK_DAMP_PCT}) div (100 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = _persist(
+            deg.join(contrib, deg["src"] == contrib["dst"], "left").select(
+                F.col("src").alias("node"),
+                (
+                    F.lit(base).cast("long")
+                    + F.coalesce(F.col("s"), F.lit(0).cast("long"))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.join(deg, pr["node"] == deg["src"])
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("outdeg").alias("degree"),
+            F.col("pr").alias("rank_pico"),
+            ratio(F.col("pr") / F.lit(float(PAGERANK_SCALE))).alias("rank"),
+        )
+        .orderBy("part_id")
+    )

@@ -6041,3 +6041,32 @@ def test_media_ahash_exact_copies_hamming_zero(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] <= 8
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_part_pagerank_mass_and_floor(spark):
+    """Rank mass is conserved up to truncation (each div floors, so
+    Σ rank_pico ≤ 10¹² with loss bounded by #edges + N·iters), every
+    node keeps at least the teleport base, and the graph is the
+    support-2 co-order fabric (every node has degree ≥ 1)."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.relational import (
+        PAGERANK_SCALE,
+        part_pagerank,
+    )
+
+    try:
+        rows = part_pagerank(load_table(spark, SF_DIR, "lineitem")).collect()
+        assert rows, "support-2 graph must be non-empty at sf0.001"
+        n = len(rows)
+        base = (PAGERANK_SCALE * 15) // (100 * n)
+        total = sum(r["rank_pico"] for r in rows)
+        assert total <= PAGERANK_SCALE
+        assert total >= PAGERANK_SCALE * 97 // 100
+        for r in rows:
+            assert r["rank_pico"] >= base
+            assert r["degree"] >= 1
+            assert abs(r["rank"] - r["rank_pico"] / PAGERANK_SCALE) < 1e-6
+    finally:
+        release_persisted()
