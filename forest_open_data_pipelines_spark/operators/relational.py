@@ -1423,8 +1423,12 @@ def part_pagerank(
     Scale: the edge list joins the node-sized rank frame on src and
     aggregates contributions by dst — one shuffle per iteration over
     the EDGE table (the Pregel-on-DataFrames shape), with the
-    iteration count FIXED (5) and each round's rank frame persisted so
-    lineage stays flat (the connected-components precedent). The pair
+    iteration count FIXED (5) and each round's rank frame
+    localCheckpoint-ed — NOT merely persisted: the plan must TRUNCATE
+    at the previous round or the analyzed lineage nests exponentially
+    (the connected-components discipline, dedup.py:1503; persist-only
+    compiled to an 878 KB plan tree here). The static edge/degree
+    frames stay persisted. The pair
     generation itself is the order-key self-join (fan-out bounded by
     lines-per-order), never a part×part cartesian. N is one bounded
     driver scalar (≤ distinct parts), the seed-centroid convention.
@@ -1463,12 +1467,10 @@ def part_pagerank(
         )
     base = (PAGERANK_SCALE * (100 - PAGERANK_DAMP_PCT)) // (100 * n_nodes)
     edges_deg = _persist(edges.join(deg, "src"))
-    pr = _persist(
-        deg.select(
-            F.col("src").alias("node"),
-            F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("pr"),
-        )
-    )
+    pr = deg.select(
+        F.col("src").alias("node"),
+        F.lit(PAGERANK_SCALE // n_nodes).cast("long").alias("pr"),
+    ).localCheckpoint(eager=False)
     for _ in range(iters):
         contrib = (
             edges_deg.join(pr, edges_deg["src"] == pr["node"])
@@ -1481,14 +1483,16 @@ def part_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
-        pr = _persist(
-            deg.join(contrib, deg["src"] == contrib["dst"], "left").select(
+        pr = (
+            deg.join(contrib, deg["src"] == contrib["dst"], "left")
+            .select(
                 F.col("src").alias("node"),
                 (
                     F.lit(base).cast("long")
                     + F.coalesce(F.col("s"), F.lit(0).cast("long"))
                 ).alias("pr"),
             )
+            .localCheckpoint(eager=False)
         )
     return (
         pr.join(deg, pr["node"] == deg["src"])
