@@ -3130,6 +3130,55 @@ FROM {prev} p JOIN deg g ON g.src = p.node
 ORDER BY part_id"""
 
 
+def _part_communities_sql(min_support: int = 2) -> str:
+    """DuckDB twin of relational.part_communities: the same edge list,
+    LPA_ITERS unrolled synchronous vote rounds (most frequent neighbor
+    label, ties to the smallest label via the identical
+    (n_votes DESC, label) row_number) — integer labels end-to-end."""
+    from forest_open_data_pipelines_spark.operators.relational import (
+        LPA_ITERS,
+    )
+
+    iter_ctes = []
+    prev = "l0"
+    for i in range(1, LPA_ITERS + 1):
+        iter_ctes.append(f"""v{i} AS (
+  SELECT e.dst, l.label, count(*) AS n_votes
+  FROM edges e JOIN {prev} l ON l.node = e.src
+  GROUP BY e.dst, l.label
+),
+l{i} AS (
+  SELECT dst AS node, label
+  FROM (SELECT *, row_number() OVER (PARTITION BY dst
+                                     ORDER BY n_votes DESC, label) AS rn
+        FROM v{i})
+  WHERE rn = 1
+)""")
+        prev = f"l{i}"
+    ctes = ",\n".join(iter_ctes)
+    return f"""
+WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+  FROM lines a JOIN lines b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+{ctes},
+sizes AS (
+  SELECT label, count(*)::BIGINT AS community_size FROM {prev} GROUP BY label
+)
+SELECT l.node AS part_id, l.label AS community, s.community_size
+FROM {prev} l JOIN sizes s USING (label)
+ORDER BY part_id"""
+
+
 def _focos_prompt_texts_sql(focos_payload_sql: str) -> str:
     """DuckDB twin of social.focos_prompt_texts: the same literal
     constants (imported from the Spark module — single source) and
@@ -6880,6 +6929,7 @@ FROM c ORDER BY lang, predicted_lang"""
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     out["part_pagerank"] = _part_pagerank_sql()
+    out["part_communities"] = _part_communities_sql()
     # SCD2 history: null-safe change flag (IS DISTINCT FROM mirrors
     # Spark's eqNullSafe negation), run numbering by running sum, one
     # interval per run, valid_to = next run's valid_from.

@@ -199,6 +199,9 @@ HEADLINE = [
     "vocab_coverage",
     "media_ahash_dedup",
     "media_ahash_incremental",
+    # part_communities is the same iterative category as part_pagerank
+    # (5 fixed LPA vote rounds, ~5.6 s of per-round overhead at sf0.1);
+    # driver correctness window only.
     # part_pagerank is an ITERATIVE loop (5 fixed Pregel rounds, each a
     # join+agg job over the edge table — ~8 s at sf0.1 of mostly fixed
     # per-round overhead), the bpe_train category: a training-loop

@@ -1504,3 +1504,82 @@ def part_pagerank(
         )
         .orderBy("part_id")
     )
+
+
+LPA_ITERS = 5
+
+
+def part_communities(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    iters: int = LPA_ITERS,
+) -> DataFrame:
+    """Synchronous label-propagation communities over the support-2
+    co-order graph (Raghavan et al. 2007, public methodology) — the
+    community-granularity companion to ``dedup.connected_components``
+    (which only answers reachability) and ``part_pagerank``
+    (centrality): label(v) ← the most frequent neighbor label, ties to
+    the SMALLEST label, run ``iters`` synchronous rounds from
+    label = node id. Fixed-round synchronous updates make the result a
+    pure function of the edge list — no RNG, no async sweep order —
+    so the DuckDB unrolled-CTE twin reproduces it exactly (integer
+    labels end-to-end; sync LPA may oscillate on bipartite structures,
+    which a FIXED round count renders deterministic rather than
+    divergent).
+
+    Scale: per round, one shuffle of the edge table keyed by (dst,
+    neighbor label) for the frequency count and one node-sized window
+    for the argmax — the Pregel shape again; each round's label frame
+    is localCheckpoint-ed (the lineage discipline part_pagerank and
+    connected_components share).
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    lines = _persist(lineitem.select("l_orderkey", "l_partkey").distinct())
+    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    edges = _persist(
+        pairs.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionByName(
+            pairs.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+    )
+    nodes = _persist(edges.select(F.col("src").alias("node")).distinct())
+    labels = nodes.select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=False)
+    w = Window.partitionBy("dst").orderBy(
+        F.desc("n_votes"), F.col("label")
+    )
+    for _ in range(iters):
+        votes = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("n_votes"))
+        )
+        winner = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        labels = winner.localCheckpoint(eager=False)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("part_id"),
+            F.col("label").alias("community"),
+            "community_size",
+        )
+        .orderBy("part_id")
+    )

@@ -659,6 +659,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_pagerank": lambda s, d: relational.part_pagerank(
         load_table(s, d, "lineitem")
     ),
+    "part_communities": lambda s, d: relational.part_communities(
+        load_table(s, d, "lineitem")
+    ),
     "daily_anomaly_report": lambda s, d: sessionize.daily_anomaly_report(
         load_table(s, d, "events")
     ),
@@ -901,7 +904,7 @@ assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 # 0) never-driver-green round-9-extension entries first:
 #    ann_recall_vs_dim, scd2_user_state_history, session_interval_join,
 #    vocab_coverage, media_ahash_dedup, media_ahash_incremental,
-#    part_pagerank;
+#    part_pagerank, part_communities;
 # 1) any round-9 window row the driver fails — fix first, re-window;
 # 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
 #    anp_resource_urls — its slot ceded to the residual-IVFPQ entry,

@@ -6070,3 +6070,29 @@ def test_part_pagerank_mass_and_floor(spark):
             assert abs(r["rank"] - r["rank_pico"] / PAGERANK_SCALE) < 1e-6
     finally:
         release_persisted()
+
+
+def test_part_communities_partition_invariants(spark):
+    """LPA output partitions the node set: every graph node gets
+    exactly one community, community labels are themselves node ids,
+    sizes sum to N and match the actual label multiplicity."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.relational import (
+        part_communities,
+    )
+
+    try:
+        rows = part_communities(load_table(spark, SF_DIR, "lineitem")).collect()
+        assert rows
+        nodes = {r["part_id"] for r in rows}
+        assert len(nodes) == len(rows)  # one row per node
+        by_label: dict = {}
+        for r in rows:
+            by_label.setdefault(r["community"], []).append(r)
+        assert set(by_label) <= nodes  # labels are node ids
+        for label, rs in by_label.items():
+            assert all(r["community_size"] == len(rs) for r in rs)
+    finally:
+        release_persisted()

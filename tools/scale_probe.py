@@ -390,6 +390,10 @@ def analytics_main(max_replicas: int) -> None:
     li_ops = {
         "part_affinity_pairs": relational.part_affinity_pairs,
         "sampled_revenue_estimate": relational.sampled_revenue_estimate,
+        # replication offsets order keys, so replica populations are
+        # disjoint subgraphs: edges grow ~k x, rounds stay fixed at 5
+        "part_pagerank": relational.part_pagerank,
+        "part_communities": relational.part_communities,
     }
     results = {o: [] for o in (*ev_ops, *li_ops)}
     for s in [1, 2, 4, 8]:
