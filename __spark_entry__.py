@@ -6872,6 +6872,33 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     # corpus_curation composes the text_quality / lang_id twins above —
     # built after the dict so the stage CTEs reuse those entries verbatim.
     out["corpus_curation"] = _curation_sql(out["text_quality"], out["lang_id"])
+    # Classifier-prep twin: the curation + quality twins joined on
+    # doc_id, md5-residue split, fastText line via the same
+    # whitespace-flatten regexp ('g' flag — Spark replaces all by
+    # default, DuckDB needs it spelled).
+    _qcp_md5 = _MD5_INT.format(expr="'qcp-' || doc_id::VARCHAR")
+    out["quality_classifier_prep"] = f"""
+WITH cur AS (SELECT doc_id, predicted_lang, status
+             FROM ({out["corpus_curation"]})),
+tq AS (SELECT doc_id, n_chars, n_tokens, stopword_ratio, punct_ratio,
+              quality_score
+       FROM ({out["text_quality"]})),
+flat AS (SELECT doc_id,
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                  AS flat_text
+         FROM documents)
+SELECT doc_id,
+       CASE WHEN c.status = 'kept' THEN 'keep' ELSE 'drop' END AS label,
+       CASE WHEN ({_qcp_md5}) % 100 < 10 THEN 'valid' ELSE 'train' END
+         AS split,
+       c.status, c.predicted_lang,
+       t.n_chars, t.n_tokens, t.stopword_ratio, t.punct_ratio,
+       t.quality_score,
+       '__label__'
+         || (CASE WHEN c.status = 'kept' THEN 'keep' ELSE 'drop' END)
+         || ' ' || f.flat_text AS ft_line
+FROM cur c JOIN tq t USING (doc_id) JOIN flat f USING (doc_id)
+ORDER BY doc_id"""
     # round-6 additions ------------------------------------------------------
     out["focos_llm_payload"] = _focos_llm_payload_sql(
         out["monthly_chart_spec_scoped"]

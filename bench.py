@@ -210,6 +210,9 @@ HEADLINE = [
     # dim + four truncations) to produce the recall-vs-dim report — an
     # evaluation artifact like ann_method_eval; driver correctness
     # window only.
+    # quality_classifier_prep re-runs the full corpus_curation audit
+    # (already benched) plus projections — a training-data EXPORT, the
+    # dataset_card category; driver correctness window only.
     # dataset_card re-runs the full gate matrix (already benched as
     # curation_gate_matrix) plus dedup_exact — a release report, not a
     # throughput query; driver correctness window only.

@@ -1474,3 +1474,82 @@ def shard_curriculum(
         )
         .orderBy("shard_id")
     )
+
+
+#: Deterministic validation share for the classifier split — md5-hash
+#: residue, engine-independent (the stratified-sampler draw-key
+#: convention). Single-sourced with the DuckDB twin.
+QCP_VALID_PCT = 10
+
+
+def quality_classifier_prep(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    valid_pct: int = QCP_VALID_PCT,
+) -> DataFrame:
+    """Training table for a fastText-style quality classifier — the
+    RefinedWeb/FineWeb-Edu prep step (public methodology: train a tiny
+    text classifier on the rule-based gates' verdicts, then scale it
+    to the pages the rules never saw): label = the curation verdict
+    (``kept`` → keep, any failing stage → drop), the rule features
+    carried alongside for feature-ablation work, a serialized
+    ``__label__<y> <one-line text>`` column in fastText's input
+    format, and a DETERMINISTIC md5-residue train/valid split
+    (re-running on any cluster yields the same split — the
+    stratified-sampler draw-key convention).
+
+    Scale: one corpus_curation pass (its own scale story), one
+    text_quality projection, a doc_id equi-join, and pure projections
+    — nothing new shuffles beyond the curation audit itself. The
+    fastText line flattens whitespace runs (newlines included: the
+    format is line-per-example) via one regexp over the scan.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _md5_int
+    from forest_open_data_pipelines_spark.operators.textops import (
+        text_quality,
+    )
+
+    cur = corpus_curation(documents, embeddings).select(
+        "doc_id", "predicted_lang", "status"
+    )
+    tq = text_quality(documents).select(
+        "doc_id", "n_chars", "n_tokens", "stopword_ratio", "punct_ratio",
+        "quality_score",
+    )
+    flat = documents.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")
+        ).alias("flat_text"),
+    )
+    label = F.when(F.col("status") == "kept", F.lit("keep")).otherwise(
+        F.lit("drop")
+    )
+    split = F.when(
+        F.pmod(
+            _md5_int(F.concat(F.lit("qcp-"), F.col("doc_id").cast("string"))),
+            F.lit(100),
+        )
+        < valid_pct,
+        F.lit("valid"),
+    ).otherwise(F.lit("train"))
+    return (
+        cur.join(tq, "doc_id")
+        .join(flat, "doc_id")
+        .select(
+            "doc_id",
+            label.alias("label"),
+            split.alias("split"),
+            "status",
+            "predicted_lang",
+            "n_chars",
+            "n_tokens",
+            "stopword_ratio",
+            "punct_ratio",
+            "quality_score",
+            F.concat(
+                F.lit("__label__"), label, F.lit(" "), F.col("flat_text")
+            ).alias("ft_line"),
+        )
+        .orderBy("doc_id")
+    )

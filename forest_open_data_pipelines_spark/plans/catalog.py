@@ -334,6 +334,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curation": lambda s, d: curation.corpus_curation(
         load_table(s, d, "documents"), load_table(s, d, "embeddings")
     ),
+    "quality_classifier_prep": lambda s, d: curation.quality_classifier_prep(
+        load_table(s, d, "documents"), load_table(s, d, "embeddings")
+    ),
     "disjunctive_promo_revenue": lambda s, d: relational.disjunctive_promo_revenue(
         *_t(s, d, "lineitem", "part")
     ),
@@ -904,7 +907,7 @@ assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 # 0) never-driver-green round-9-extension entries first:
 #    ann_recall_vs_dim, scd2_user_state_history, session_interval_join,
 #    vocab_coverage, media_ahash_dedup, media_ahash_incremental,
-#    part_pagerank, part_communities;
+#    part_pagerank, part_communities, quality_classifier_prep;
 # 1) any round-9 window row the driver fails — fix first, re-window;
 # 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
 #    anp_resource_urls — its slot ceded to the residual-IVFPQ entry,

@@ -6096,3 +6096,37 @@ def test_part_communities_partition_invariants(spark):
             assert all(r["community_size"] == len(rs) for r in rs)
     finally:
         release_persisted()
+
+
+def test_quality_classifier_prep_labels_and_split(spark):
+    """Labels mirror the curation verdict exactly, the md5-residue
+    split is deterministic and both partitions are populated, and the
+    fastText line carries the label prefix + one-line text."""
+    import hashlib
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        quality_classifier_prep,
+    )
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    try:
+        rows = quality_classifier_prep(
+            load_table(spark, SF_DIR, "documents"),
+            load_table(spark, SF_DIR, "embeddings"),
+        ).collect()
+        assert rows
+        splits = {r["split"] for r in rows}
+        assert splits == {"train", "valid"}
+        for r in rows:
+            assert (r["label"] == "keep") == (r["status"] == "kept")
+            assert r["ft_line"].startswith(f"__label__{r['label']} ")
+            assert "\n" not in r["ft_line"] and "\t" not in r["ft_line"]
+            residue = (
+                int(hashlib.md5(f"qcp-{r['doc_id']}".encode()).hexdigest()[:15], 16)
+                % 100
+            )
+            assert r["split"] == ("valid" if residue < 10 else "train")
+    finally:
+        release_persisted()
