@@ -6987,6 +6987,51 @@ SELECT user_id, version, state, valid_from, last_seen, n_events,
        (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
           IS NULL) AS is_current
 FROM runs ORDER BY user_id, version"""
+    # Point-in-time SCD2 consumption: the same run chain tracking the
+    # payload k-bucket, purchases joined on the OPEN-ENDED validity
+    # (current run's NULL valid_to means still-valid).
+    out["purchase_state_attribution"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         (regexp_extract(props, '"k":\\s*([0-9]+)', 1)::INT // 32)::INT
+           AS kb,
+         CASE WHEN (regexp_extract(props, '"k":\\s*([0-9]+)', 1)::INT // 32)::INT
+                   IS DISTINCT FROM
+                   lag((regexp_extract(props, '"k":\\s*([0-9]+)', 1)::INT // 32)::INT)
+                     OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, kb,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+           AS version
+  FROM flagged
+),
+runs AS (
+  SELECT user_id, version, kb AS k_bucket, min(ts) AS valid_from
+  FROM numbered GROUP BY user_id, version, kb
+),
+hist AS (
+  SELECT user_id, version AS state_version, k_bucket, valid_from,
+         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+           AS valid_to
+  FROM runs
+),
+purchases AS (
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.event_id AS purchase_event_id, p.ts AS purchase_ts,
+       p.value, h.k_bucket, h.state_version, h.valid_from AS state_since
+FROM purchases p
+JOIN hist h
+  ON p.user_id = h.user_id
+ AND p.ts >= h.valid_from
+ AND (h.valid_to IS NULL OR p.ts < h.valid_to)
+ORDER BY p.user_id, purchase_ts, purchase_event_id"""
     # Interval-join enrichment: the sessionize twin provides the
     # intervals; the fact re-join adds the dimensions sessionize drops.
     out["session_interval_join"] = f"""

@@ -430,7 +430,9 @@ def daily_anomaly_report(
     )
 
 
-def scd2_user_state_history(events: DataFrame) -> DataFrame:
+def scd2_user_state_history(
+    events: DataFrame, state: Column | None = None
+) -> DataFrame:
     """Type-2 slowly-changing-dimension history built from a change
     log (Kimball SCD2, public methodology): collapse each user's
     event stream into maximal runs of a constant ``event_type`` and
@@ -452,15 +454,20 @@ def scd2_user_state_history(events: DataFrame) -> DataFrame:
     (user_id, version), so Catalyst inserts no second exchange — plan
     guard in tests). The trailing lead() window runs over the
     collapsed runs frame, which is versions-not-events sized.
+
+    ``state`` overrides the tracked attribute (any Column over the
+    events row; default ``event_type``) — the output keeps its schema,
+    with ``state`` holding the override's values.
     """
+    state = F.col("event_type") if state is None else state
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = events.select(
         "user_id",
         "ts",
         "event_id",
-        "event_type",
+        state.alias("event_type"),
         F.when(
-            F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 0
+            state.eqNullSafe(F.lag(state).over(w)), 0
         )
         .otherwise(1)
         .alias("chg"),
@@ -541,4 +548,61 @@ def session_interval_join(
             money(F.sum("value")).alias("total_value"),
         )
         .orderBy("user_id", "session_seq")
+    )
+
+
+def purchase_state_attribution(events: DataFrame) -> DataFrame:
+    """Point-in-time SCD2 consumption — the join the type-2 history
+    exists FOR: attribute each purchase to the dimension state valid
+    at its timestamp. The tracked dimension is the payload bucket
+    (``props`` ``k`` value div 32 — a stand-in for any
+    slowly-changing user attribute: plan, segment, region), its
+    history built by ``scd2_user_state_history`` with the ``state``
+    override; purchases then join on the user_id EQUI key with the
+    OPEN-ENDED validity residual ``ts ≥ valid_from AND (valid_to IS
+    NULL OR ts < valid_to)`` — the current run's NULL ``valid_to``
+    means "still valid", which a plain BETWEEN would silently drop.
+    Every purchase matches exactly ONE interval (the runs partition
+    [first event, ∞) per user and a purchase is itself an event), so
+    the join neither duplicates nor loses facts — asserted in tests.
+    (Timestamp-granularity caveat, inherent to point-in-time joins:
+    two events sharing one timestamp across a state change make the
+    boundary instant ambiguous — the join resolves it to the NEW run
+    on both engines identically.)
+
+    Scale: the history build is the one-fact-exchange scd2 plan; the
+    consumption join shuffles facts by user_id with the validity
+    check as residual (the session_interval_join shape, open-ended).
+    """
+    k_bucket = F.floor(
+        F.regexp_extract(F.col("props"), '"k":\\s*([0-9]+)', 1).cast("int")
+        / F.lit(32)
+    ).cast("int")
+    hist = scd2_user_state_history(events, state=k_bucket).select(
+        F.col("user_id").alias("h_user"),
+        F.col("version").alias("state_version"),
+        F.col("state").alias("k_bucket"),
+        "valid_from",
+        "valid_to",
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return (
+        purchases.join(
+            hist,
+            (F.col("user_id") == F.col("h_user"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+            "k_bucket",
+            "state_version",
+            F.col("valid_from").alias("state_since"),
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_event_id")
     )

@@ -173,6 +173,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_interval_join": lambda s, d: sessionize.session_interval_join(
         load_table(s, d, "events")
     ),
+    "purchase_state_attribution": lambda s, d: (
+        sessionize.purchase_state_attribution(load_table(s, d, "events"))
+    ),
     "q8_market_share": lambda s, d: relational.q8_market_share(
         *_t(s, d, "region", "nation", "customer", "orders", "lineitem",
             "supplier", "part")
@@ -907,7 +910,8 @@ assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
 # 0) never-driver-green round-9-extension entries first:
 #    ann_recall_vs_dim, scd2_user_state_history, session_interval_join,
 #    vocab_coverage, media_ahash_dedup, media_ahash_incremental,
-#    part_pagerank, part_communities, quality_classifier_prep;
+#    part_pagerank, part_communities, quality_classifier_prep,
+#    purchase_state_attribution;
 # 1) any round-9 window row the driver fails — fix first, re-window;
 # 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
 #    anp_resource_urls — its slot ceded to the residual-IVFPQ entry,

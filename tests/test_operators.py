@@ -6130,3 +6130,19 @@ def test_quality_classifier_prep_labels_and_split(spark):
             assert r["split"] == ("valid" if residue < 10 else "train")
     finally:
         release_persisted()
+
+
+def test_purchase_state_attribution_exactly_one_state(spark):
+    """The validity intervals partition each user's timeline from the
+    first event on, so the point-in-time join returns EXACTLY one row
+    per purchase — no fan-out, no dropped facts — and every attributed
+    state version is positive with a valid_from ≤ the purchase ts."""
+    events = load_table(spark, SF_DIR, "events")
+    n_purchases = events.where(F.col("event_type") == "purchase").count()
+    rows = sessionize.purchase_state_attribution(events).collect()
+    assert len(rows) == n_purchases
+    assert len({r["purchase_event_id"] for r in rows}) == n_purchases
+    for r in rows:
+        assert r["state_version"] >= 1
+        assert r["state_since"] <= r["purchase_ts"]
+        assert r["k_bucket"] is not None and r["k_bucket"] >= 0

@@ -931,3 +931,14 @@ def test_vocab_coverage_single_scan_two_exchanges(spark):
     assert len(re.findall(r"Scan parquet", plan)) == 1, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "PythonUDF" not in plan
+
+
+def test_purchase_state_attribution_equi_key_open_interval(spark):
+    """The point-in-time join rides the user_id EQUI key with the
+    open-ended validity residual — never a nested-loop over the fact
+    table — and both event projections stay column-pruned."""
+    plan = _plan(spark, "purchase_state_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "PythonUDF" not in plan
