@@ -386,6 +386,9 @@ def analytics_main(max_replicas: int) -> None:
         # re-join whose per-user fan-out is invariant under replication
         "scd2_user_state_history": sessionize.scd2_user_state_history,
         "session_interval_join": sessionize.session_interval_join,
+        # point-in-time consumption: history build (one fact exchange)
+        # + the open-interval equi join; purchases stay proportional
+        "purchase_state_attribution": sessionize.purchase_state_attribution,
     }
     li_ops = {
         "part_affinity_pairs": relational.part_affinity_pairs,
