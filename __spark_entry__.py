@@ -3074,6 +3074,23 @@ SELECT dim, n_results, n_truth, n_hit,
 FROM stats ORDER BY dim"""
 
 
+def _co_order_edges_ctes(min_support: int) -> str:
+    """Shared lines/pairs/edges CTE text of the two graph-oracle
+    generators — the SQL twin of relational.co_order_edges."""
+    return f"""lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+  FROM lines a JOIN lines b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {min_support}
+),
+edges AS (
+  SELECT pa AS src, pb AS dst FROM pairs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM pairs
+)"""
+
+
 def _part_pagerank_sql(min_support: int = 2) -> str:
     """DuckDB twin of relational.part_pagerank: the same undirected
     co-order edge list, then PAGERANK_ITERS unrolled rank CTEs — every
@@ -3104,18 +3121,7 @@ pr{i} AS (
         prev = f"pr{i}"
     ctes = ",\n".join(iter_ctes)
     return f"""
-WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
-  FROM lines a JOIN lines b USING (l_orderkey)
-  WHERE a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {min_support}
-),
-edges AS (
-  SELECT pa AS src, pb AS dst FROM pairs
-  UNION ALL
-  SELECT pb AS src, pa AS dst FROM pairs
-),
+WITH {_co_order_edges_ctes(min_support)},
 deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src),
 nn AS (SELECT count(*)::BIGINT AS n FROM deg),
 edges_deg AS (SELECT e.src, e.dst, g.outdeg FROM edges e JOIN deg g USING (src)),
@@ -3157,18 +3163,7 @@ l{i} AS (
         prev = f"l{i}"
     ctes = ",\n".join(iter_ctes)
     return f"""
-WITH lines AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
-  FROM lines a JOIN lines b USING (l_orderkey)
-  WHERE a.l_partkey < b.l_partkey
-  GROUP BY 1, 2 HAVING count(*) >= {min_support}
-),
-edges AS (
-  SELECT pa AS src, pb AS dst FROM pairs
-  UNION ALL
-  SELECT pb AS src, pa AS dst FROM pairs
-),
+WITH {_co_order_edges_ctes(min_support)},
 l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
 {ctes},
 sizes AS (
@@ -6876,6 +6871,10 @@ WHERE rank <= 5 ORDER BY query_id, rank""",
     # doc_id, md5-residue split, fastText line via the same
     # whitespace-flatten regexp ('g' flag — Spark replaces all by
     # default, DuckDB needs it spelled).
+    from forest_open_data_pipelines_spark.operators.curation import (
+        QCP_VALID_PCT,
+    )
+
     _qcp_md5 = _MD5_INT.format(expr="'qcp-' || doc_id::VARCHAR")
     out["quality_classifier_prep"] = f"""
 WITH cur AS (SELECT doc_id, predicted_lang, status
@@ -6889,8 +6888,8 @@ flat AS (SELECT doc_id,
          FROM documents)
 SELECT doc_id,
        CASE WHEN c.status = 'kept' THEN 'keep' ELSE 'drop' END AS label,
-       CASE WHEN ({_qcp_md5}) % 100 < 10 THEN 'valid' ELSE 'train' END
-         AS split,
+       CASE WHEN ({_qcp_md5}) % 100 < {QCP_VALID_PCT} THEN 'valid'
+            ELSE 'train' END AS split,
        c.status, c.predicted_lang,
        t.n_chars, t.n_tokens, t.stopword_ratio, t.punct_ratio,
        t.quality_score,

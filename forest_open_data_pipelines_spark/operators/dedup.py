@@ -884,34 +884,31 @@ def simhash_signatures(documents: DataFrame, bits: int = 32, n: int = 3) -> Data
     return hashed.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(sigs: DataFrame, bits: int, max_hamming: int) -> DataFrame:
-    """Hamming-≤``max_hamming`` pairs from a (doc_id, simhash) table.
-
-    Candidates share one of ``max_hamming + 1`` signature blocks: by
+def signature_blocks(
+    df: DataFrame, id_col: str, sig_col: str, bits: int, max_hamming: int
+) -> DataFrame:
+    """Pigeonhole block keys for an (id, signature) table — the shared
+    candidate generator of the hamming family (simhash self-joins AND
+    the aHash two-sided index join in operators/multimodal.py): by
     pigeonhole, ≤ max_hamming differing bits spread over max_hamming+1
-    disjoint blocks always leave at least one block identical, so the
-    block equi-join has **perfect recall** (two half buckets — the naive
-    choice — only guarantee hamming ≤ 1 and silently miss e.g. a 2+1
-    bit split). Every candidate is then verified by full bit_count(xor).
-
-    At corpus scale the knob is signature width: wider ``bits`` (64)
-    gives wider blocks → exponentially smaller buckets → fewer candidate
-    pairs per block, at the cost of more sign-aggregations per doc.
-    """
+    disjoint blocks always leave at least one block identical, so a
+    (part, key) equi-join has **perfect recall** (two half buckets —
+    the naive choice — only guarantee hamming ≤ 1 and silently miss
+    e.g. a 2+1 bit split). Output: (id_col, sig_col, part, key)."""
     n_blocks = max_hamming + 1
     if bits % n_blocks:
         raise ValueError(f"bits={bits} must be divisible by {n_blocks} blocks")
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    bucketed = sigs.select(
-        "doc_id",
-        "simhash",
+    return df.select(
+        id_col,
+        sig_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(j).alias("part"),
-                        F.shiftright(F.col("simhash"), j * block_bits)
+                        F.shiftright(F.col(sig_col), j * block_bits)
                         .bitwiseAND(F.lit(mask))
                         .alias("key"),
                     )
@@ -919,7 +916,20 @@ def simhash_pairs(sigs: DataFrame, bits: int, max_hamming: int) -> DataFrame:
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.part", "b.key")
+    ).select(id_col, sig_col, "b.part", "b.key")
+
+
+def simhash_pairs(sigs: DataFrame, bits: int, max_hamming: int) -> DataFrame:
+    """Hamming-≤``max_hamming`` pairs from a (doc_id, simhash) table —
+    candidates from ``signature_blocks``'s pigeonhole equi-join
+    (perfect recall; see its docstring), every candidate verified by
+    full bit_count(xor).
+
+    At corpus scale the knob is signature width: wider ``bits`` (64)
+    gives wider blocks → exponentially smaller buckets → fewer candidate
+    pairs per block, at the cost of more sign-aggregations per doc.
+    """
+    bucketed = signature_blocks(sigs, "doc_id", "simhash", bits, max_hamming)
     x, y = bucketed.alias("x"), bucketed.alias("y")
     hamming = F.bit_count(
         F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))

@@ -523,40 +523,11 @@ def media_ahash_dedup(
     )
 
 
-def _ahash_blocks(sigs: DataFrame, id_col: str, max_hamming: int) -> DataFrame:
-    """Pigeonhole block keys for an (id, ahash) table — the
-    dedup.simhash_pairs geometry (max_hamming+1 disjoint blocks ⇒
-    any pair within the budget shares ≥ 1 block, perfect recall)."""
-    n_blocks = max_hamming + 1
-    if AHASH_GRID % n_blocks:
-        raise ValueError(
-            f"bits={AHASH_GRID} must be divisible by {n_blocks} blocks"
-        )
-    block_bits = AHASH_GRID // n_blocks
-    mask = (1 << block_bits) - 1
-    return sigs.select(
-        id_col,
-        "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("part"),
-                        F.shiftright(F.col("ahash"), j * block_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("key"),
-                    )
-                    for j in range(n_blocks)
-                ]
-            )
-        ).alias("b"),
-    ).select(id_col, "ahash", "b.part", "b.key")
-
-
 def classify_against_ahash_index(
     new_docs: DataFrame,
     base_sigs: DataFrame,
     max_hamming: int = AHASH_MAX_HAMMING,
+    persist_new: bool = True,
 ) -> DataFrame:
     """Classify each NEW asset against a persisted aHash index — the
     perceptual twin of ``dedup.classify_against_winnowing_index``:
@@ -572,18 +543,40 @@ def classify_against_ahash_index(
     (media_id, ahash) — ONE long per asset, the index a production
     pipeline persists between compactions (caller persists, the
     winnowing-gate convention).
+
+    ``persist_new`` caches the new batch's signature frame: it feeds
+    TWO plan branches (block explode + the verdict left join), so
+    unpersisted the mapInPandas kernel re-hashes every payload twice.
+    The batch entry keeps the default; the STREAMING gate passes
+    False — a micro-batch is cheap to recompute and per-batch
+    registry persists would accumulate across the stream (the
+    classify_against_winnowing_index no-persists rationale).
     """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
     new_sigs = ahash_signatures(
         as_media_table(new_docs).where(F.length("payload") > 0)
     ).select("media_id", "ahash", "n_bytes")
-    nb = _ahash_blocks(
-        new_sigs.select("media_id", "ahash"), "media_id", max_hamming
+    if persist_new:
+        new_sigs = _persist(new_sigs)
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        signature_blocks,
     )
-    bb = _ahash_blocks(
+
+    nb = signature_blocks(
+        new_sigs.select("media_id", "ahash"),
+        "media_id",
+        "ahash",
+        AHASH_GRID,
+        max_hamming,
+    )
+    bb = signature_blocks(
         base_sigs.select(
-            F.col("media_id").alias("base_id"), F.col("ahash").alias("b_hash")
-        ).withColumnRenamed("b_hash", "ahash"),
+            F.col("media_id").alias("base_id"), "ahash"
+        ),
         "base_id",
+        "ahash",
+        AHASH_GRID,
         max_hamming,
     ).withColumnRenamed("ahash", "b_hash")
     hamming = F.bit_count(F.col("ahash").bitwiseXOR(F.col("b_hash")))

@@ -1385,6 +1385,37 @@ def supplier_concentration_hhi(
     )
 
 
+def co_order_edges(lineitem: DataFrame, min_support: int) -> DataFrame:
+    """Undirected co-order part edges — the shared graph builder of
+    ``part_pagerank`` and ``part_communities``: distinct (order, part)
+    lines, the order-key self-join (fan-out bounded by lines-per-order,
+    never a part×part cartesian), support filter, both directions
+    materialized so every node has outdegree ≥ 1. Returns the
+    PERSISTED (src, dst) edge frame; the DuckDB twins share the
+    matching CTE text via one generator the same way."""
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    lines = _persist(lineitem.select("l_orderkey", "l_partkey").distinct())
+    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= min_support)
+    )
+    return _persist(
+        pairs.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        ).unionByName(
+            pairs.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+    )
+
+
 #: PageRank constants — damping 0.85 as an integer percent and rank
 #: mass in PICO-units (10¹²): every arithmetic step is a truncating
 #: integer op identical on both engines, so 5 iterations stay
@@ -1435,25 +1466,7 @@ def part_pagerank(
     """
     from forest_open_data_pipelines_spark.operators.dedup import _persist
 
-    lines = _persist(lineitem.select("l_orderkey", "l_partkey").distinct())
-    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= min_support)
-    )
-    edges = _persist(
-        pairs.select(
-            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-        ).unionByName(
-            pairs.select(
-                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
-            )
-        )
-    )
+    edges = co_order_edges(lineitem, min_support)
     deg = _persist(
         edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     )
@@ -1535,25 +1548,7 @@ def part_communities(
     """
     from forest_open_data_pipelines_spark.operators.dedup import _persist
 
-    lines = _persist(lineitem.select("l_orderkey", "l_partkey").distinct())
-    a = lines.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = lines.select("l_orderkey", F.col("l_partkey").alias("part_b"))
-    pairs = (
-        a.join(b, "l_orderkey")
-        .where(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .where(F.col("n_ab") >= min_support)
-    )
-    edges = _persist(
-        pairs.select(
-            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
-        ).unionByName(
-            pairs.select(
-                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
-            )
-        )
-    )
+    edges = co_order_edges(lineitem, min_support)
     nodes = _persist(edges.select(F.col("src").alias("node")).distinct())
     labels = nodes.select(
         "node", F.col("node").alias("label")

@@ -42,9 +42,12 @@ def ahash_gate_stream(
     replay: verdicts are a pure function of (record, index)."""
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
+        # persist_new=False: a micro-batch is cheap to re-hash and a
+        # per-batch registry persist would accumulate across the
+        # stream (the winnowing-gate no-persists rationale).
         sink(
             classify_against_ahash_index(
-                batch_df, base_sigs, **classify_kwargs
+                batch_df, base_sigs, persist_new=False, **classify_kwargs
             ),
             batch_id,
         )

@@ -94,16 +94,29 @@ def _update_runs(
         version, cur_state, from_us, seen_us, n = 0, None, None, None, 0
 
     out: list[dict[str, Any]] = []
-    for pdf in pdfs:
-        # Same per-batch ordering the batch window uses (ts, event_id);
-        # cross-batch order is the stream contract, as in sessions.
-        pdf = pdf.sort_values(["ts", "event_id"])
-        for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+    # CONCATENATE the Arrow chunks BEFORE sorting: one micro-batch
+    # delivers a key's rows as an iterator of chunks in arbitrary
+    # order, so a per-chunk sort (the first-cut implementation) would
+    # process a >maxRecordsPerBatch backfill out of (ts, event_id)
+    # order and corrupt the run history. Cross-BATCH order stays the
+    # stream contract, as in sessions.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    merged = (
+        pd.concat(chunks).sort_values(["ts", "event_id"])
+        if chunks
+        else None
+    )
+    if merged is not None:
+        for ts, etype in zip(merged["ts"], merged["event_type"]):
             ts_us = ts.value // 1000
-            if cur_state is None:
+            # version == 0 is the ONLY no-open-run sentinel: a NULL
+            # tracked state is an ordinary run (the batch operator's
+            # eqNullSafe semantics), so compare null-safely instead of
+            # overloading None.
+            if version == 0:
                 version, cur_state = 1, etype
                 from_us, seen_us, n = ts_us, ts_us, 1
-            elif etype == cur_state:
+            elif (etype == cur_state) or (etype is None and cur_state is None):
                 seen_us = ts_us
                 n += 1
             else:

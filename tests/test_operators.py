@@ -5931,7 +5931,10 @@ def test_scd2_history_invariants(spark):
             assert r["valid_from"] <= r["last_seen"]
         for a, b in zip(rs, rs[1:]):
             assert a["valid_to"] == b["valid_from"]
-            assert a["last_seen"] < b["valid_from"]
+            # <=, not <: a state change at a SHARED timestamp (legal,
+            # resolved by the event_id tie-break) makes the old run's
+            # last_seen equal the new run's valid_from
+            assert a["last_seen"] <= b["valid_from"]
             assert a["state"] != b["state"]
 
 
