@@ -6962,7 +6962,8 @@ FROM c ORDER BY lang, predicted_lang"""
     out["scd2_user_state_history"] = """
 WITH flagged AS (
   SELECT user_id, ts, event_id, event_type,
-         CASE WHEN event_type IS DISTINCT FROM lag(event_type) OVER w
+         CASE WHEN lag(1) OVER w IS NULL
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
               THEN 1 ELSE 0 END AS chg
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -6992,11 +6993,12 @@ FROM runs ORDER BY user_id, version"""
     out["purchase_state_attribution"] = """
 WITH flagged AS (
   SELECT user_id, ts, event_id,
-         (regexp_extract(props, '"k":\\s*([0-9]+)', 1)::INT // 32)::INT
+         (TRY_CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) // 32)::INT
            AS kb,
-         CASE WHEN (regexp_extract(props, '"k":\\s*([0-9]+)', 1)::INT // 32)::INT
+         CASE WHEN lag(1) OVER w IS NULL
+                OR (TRY_CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) // 32)::INT
                    IS DISTINCT FROM
-                   lag((regexp_extract(props, '"k":\\s*([0-9]+)', 1)::INT // 32)::INT)
+                   lag((TRY_CAST(regexp_extract(props, '"k":\\s*([0-9]+)', 1) AS INT) // 32)::INT)
                      OVER w
               THEN 1 ELSE 0 END AS chg
   FROM events

@@ -461,14 +461,19 @@ def scd2_user_state_history(
     """
     state = F.col("event_type") if state is None else state
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # The first row of each partition is unconditionally a new run:
+    # lag(lit(1)) is NULL only there, never mid-partition. Without the
+    # explicit branch, a NULL first state would eqNullSafe-match the
+    # NULL lag and number the first run 0 — breaking the documented
+    # dense-from-1 versioning and batch/stream parity (streaming
+    # scd2's version==0 sentinel always numbers the first run 1).
     flagged = events.select(
         "user_id",
         "ts",
         "event_id",
         state.alias("event_type"),
-        F.when(
-            state.eqNullSafe(F.lag(state).over(w)), 0
-        )
+        F.when(F.lag(F.lit(1)).over(w).isNull(), 1)
+        .when(state.eqNullSafe(F.lag(state).over(w)), 0)
         .otherwise(1)
         .alias("chg"),
     )

@@ -820,121 +820,101 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # ---------------------------------------------------------------------------
-# Round-8 window rotation: the dict above keeps its historical
+# Round-10 window rotation: the dict above keeps its historical
 # grouping; the DRIVER-VISIBLE order is re-stated here explicitly.
-# Window = the 13 entries with NO green driver row yet (the 11
-# round-7-extension additions — all oracle MATCH at 3 SFs in the
-# builder sessions — plus the two round-8 reference-gap closers,
-# anp_prompt_texts and eia_petroleum_weekly_files) + 37 refresh
-# slots for the entries whose last green row is oldest (the full r3
-# vintage and 30 of the 37 r4-vintage rows — the 7 r4 rows left
-# parked each have an r5+ sibling covering the same family:
-# monthly_by_region / nation_month_matrix (augmented twins),
-# annual_series (annual_reference_extract consumes it),
-# top_regions_yoy (top_nations_yoy in-window), dedup_embedding
-# (dedup_embedding_lsh), events_windowed (events_sessionize
-# in-window + streaming twin), promo_revenue_share
-# (disjunctive_promo_revenue). Everything parked stays re-verified by
-# the per-session oracle-parity sweep at sf0.001.
+# Window = the 10 round-9-continuation entries that have NEVER had a
+# driver row (all oracle MATCH at sf0.01 in both builder and judge
+# sessions) + 40 refresh slots: the 6 r4-vintage rows VERDICT r9
+# flagged as five-rounds-stale, the 23 staged r5-vintage rows from the
+# r10 queue, and the 11 oldest r6-vintage rows. Everything parked
+# stays re-verified by the per-session oracle-parity sweep at sf0.001.
 # ---------------------------------------------------------------------------
-_R9_WINDOW: tuple[str, ...] = (
-    # never-driver-green: round-9 reference-gap closers + the trained
-    # PQ variant (first rows), plus dedup_ngram_jaccard whose catalog
-    # default was PROMOTED to the ppjoin prefix plan this round — its
-    # r5 row verified the count-verify shape, the promoted plan needs
-    # its own driver evidence
-    "incremental_cache_plan",
-    "freshness_observations_append",
-    "freshness_latest_snapshot",
-    "reports_catalog",
-    "report_prompts",
-    "embedding_quantize_pq_trained",
-    "ann_topk_ivfpq_residual",
-    "dedup_ngram_jaccard",
-    # refresh: the 19 r4-vintage rows rounds 7-8 left parked (the 10
-    # family-covered holdovers + the 9 displaced for round-8 extension
-    # entries — every family keeps its newer sibling green regardless)
-    "monthly_by_region",
-    "nation_month_matrix",
-    "annual_series",
-    "annual_by_region",
-    "top_regions_yoy",
-    "dedup_embedding",
-    "events_windowed",
-    "promo_revenue_share",
-    "clicks_before_purchase",
-    "painel_pdf_links",
-    "nation_year_matrix",
-    "top_nations_with_other",
-    "dedup_simhash",
-    "ann_topk_bruteforce",
-    "freshness_cadence",
-    "token_count",
-    "doc_fingerprint",
-    "events_asof_attribution",
-    "monthly_chart_spec",
-    # refresh: 25 oldest r5-vintage rows (the flagship/bench anchors
-    # and the round-5 scraper/payload families)
-    "monthly_series",
-    "dedup_exact",
-    "dedup_minhash",
-    "pack_sequences",
-    "payload_merge_dedupe",
-    "payload_merge_dedupe_by_region",
-    "payload_merge_dedupe_scoped",
-    "monthly_chart_spec_scoped",
-    "annual_reference_extract",
-    "nation_month_matrix_augmented",
-    "monthly_by_region_augmented",
-    "anp_panel_payloads",
-    "govbr_freshness_labels",
-    "lang_id_ngram",
-    "coids_entry_periods",
-    "cvm_latest_zips",
-    "govbr_resource_classify",
-    "ckan_resource_select",
-    "mensal_links",
-    "supranational_items",
-    "mma_manifest_items",
-    "sanitize_slide_text",
-    "quality_repetition",
-    # (bpe_merge_candidates' and anp_resource_urls' r5 refresh slots
-    # ceded to freshness_latest_snapshot and ann_topk_ivfpq_residual —
-    # the BPE family keeps its r5 row + pytest invariants, and the ANP
-    # scraper family keeps anp_panel_payloads/anp_prompt_texts green
-    # in-window plus mensal_links/govbr rows)
+_R10_WINDOW: tuple[str, ...] = (
+    # never-driver-green: round-9-continuation additions (first rows)
+    "scd2_user_state_history",
+    "session_interval_join",
+    "purchase_state_attribution",
+    "vocab_coverage",
+    "quality_classifier_prep",
+    "ann_recall_vs_dim",
+    "media_ahash_dedup",
+    "media_ahash_incremental",
+    "part_pagerank",
+    "part_communities",
+    # refresh: the 6 r4-vintage rows with five-round-old evidence
+    # (VERDICT r9 "What's missing" item 3)
+    "daily_series",
+    "part_brand_stats",
+    "region_nation_cube",
+    "research_trends",
+    "series_alignment_metrics",
+    "state_biome_monthly_series",
+    # refresh: the staged r5-vintage queue (bench anchors q1/q3/q5,
+    # the dedup/ANN foundations, the relational breadth family)
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "dedup_ngram_ppjoin",
+    "anp_resource_urls",
+    "bpe_merge_candidates",
+    "dedup_embedding_lsh",
+    "dedup_canonical_corpus",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_ivf_trained",
+    "embedding_label_stats",
+    "region_nation_rollup",
+    "nations_trade_volume",
+    "customer_order_distribution",
+    "order_priority_semijoin",
+    "disjunctive_promo_revenue",
+    "returned_item_ranking",
+    "session_duration_stats",
+    "user_retention_cohorts",
+    "event_funnel",
+    "join_key_skew_report",
+    "url_merge",
+    # refresh: 11 oldest r6-vintage rows (dedup family first;
+    # edit_distance_pairs re-rowed with the round-10 guard trim)
+    "dedup_incremental",
+    "edit_distance_pairs",
+    "dedup_simhash64",
+    "boilerplate_ngrams",
+    "dedup_canonical_by_quality",
+    "dedup_containment",
+    "dedup_semantic",
+    "dedup_method_eval",
+    "corpus_curation",
+    "pii_scrub",
+    "decontaminate_ngram",
 )
-assert len(_R9_WINDOW) == DRIVER_CHECK_CAP, len(_R9_WINDOW)
+assert len(_R10_WINDOW) == DRIVER_CHECK_CAP, len(_R10_WINDOW)
 
-# Round-10 rotation queue (pre-staged; build the _R10_WINDOW from this):
-# 0) never-driver-green round-9-extension entries first:
-#    ann_recall_vs_dim, scd2_user_state_history, session_interval_join,
-#    vocab_coverage, media_ahash_dedup, media_ahash_incremental,
-#    part_pagerank, part_communities, quality_classifier_prep,
-#    purchase_state_attribution;
-# 1) any round-9 window row the driver fails — fix first, re-window;
-# 2) the remaining r5-vintage rows (q1/q3/q5, dedup_ngram_ppjoin,
-#    anp_resource_urls — its slot ceded to the residual-IVFPQ entry,
-#    bpe_merge_candidates — its slot ceded to the snapshot entry,
-#    dedup_embedding_lsh, dedup_canonical_corpus, ann_topk_lsh,
-#    ann_topk_ivf, ann_topk_ivf_trained, embedding_label_stats,
-#    region_nation_rollup, nations_trade_volume,
-#    customer_order_distribution, order_priority_semijoin,
-#    disjunctive_promo_revenue, returned_item_ranking,
-#    session_duration_stats, user_retention_cohorts, event_funnel,
-#    join_key_skew_report, url_merge);
-# 3) then the oldest r6-vintage rows (dedup_incremental,
-#    edit_distance_pairs — re-row it if the fail-fast bound lands in
-#    the catalog shape — dedup_simhash64, boilerplate_ngrams, ...);
+# Round-11 rotation queue (pre-staged; build the _R11_WINDOW from this):
+# 0) any round-10 additions without a driver row yet (check the
+#    never-driver list in SURVEY first);
+# 1) any round-10 window row the driver fails — fix first, re-window;
+# 2) the remaining r6-vintage rows (curation_gate_matrix,
+#    decontaminate_embedding, dsir_importance_weights, chunk_dedup,
+#    dataset_mixture_plan, stratified_sample, curation_report_by_source,
+#    quality_by_lang_report, stratified_token_sample,
+#    stratified_topk_sample, span_dedup, ann_method_eval, ann_topk_sq8,
+#    ann_topk_pq, ann_topk_ivfpq, embedding_cluster_report,
+#    edit_distance_topk, dedup_clusters, charlm_perplexity,
+#    tfidf_top_terms, numeric_correlations, fenced_json_extract,
+#    focos_llm_payload, boletins_integrados_links,
+#    cvm_latest_yearly_csvs, inmet_yearly_zips, eia_xls_picks,
+#    eia_series_combinations);
+# 3) then the oldest r7-vintage rows;
 # 4) everything else keeps its newest green row and stays covered by
 #    the per-session oracle-parity sweep.
 QUERIES = {
     n: QUERIES[n]
-    for n in list(_R9_WINDOW) + [x for x in QUERIES if x not in set(_R9_WINDOW)]
+    for n in list(_R10_WINDOW) + [x for x in QUERIES if x not in set(_R10_WINDOW)]
 }
 
 # First name past the driver window; everything from here on is parked.
-PARKED_FROM = next(n for n in QUERIES if n not in set(_R9_WINDOW))
+PARKED_FROM = next(n for n in QUERIES if n not in set(_R10_WINDOW))
 
 
 def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

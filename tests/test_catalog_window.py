@@ -17,20 +17,21 @@ from forest_open_data_pipelines_spark.plans.catalog import (
 
 # Entries that need a driver row THIS round and must stay inside the
 # window: everything whose current catalog plan has NEVER had a green
-# driver row. The 44 refresh slots (oldest r4/r5 evidence) are
+# driver row. The 40 refresh slots (oldest r4/r5/r6 evidence) are
 # discretionary and not pinned here.
 MUST_BE_IN_WINDOW = {
-    # round-9 reference-gap closers + the trained PQ variant (first
-    # rows), plus the promoted-ppjoin dedup_ngram_jaccard default
-    # whose executed plan changed this round
-    "incremental_cache_plan",
-    "freshness_observations_append",
-    "freshness_latest_snapshot",
-    "reports_catalog",
-    "report_prompts",
-    "embedding_quantize_pq_trained",
-    "ann_topk_ivfpq_residual",
-    "dedup_ngram_jaccard",
+    # round-9-continuation additions awaiting their first driver row
+    # (all oracle MATCH at sf0.01 in builder + judge sessions)
+    "scd2_user_state_history",
+    "session_interval_join",
+    "purchase_state_attribution",
+    "vocab_coverage",
+    "quality_classifier_prep",
+    "ann_recall_vs_dim",
+    "media_ahash_dedup",
+    "media_ahash_incremental",
+    "part_pagerank",
+    "part_communities",
 }
 
 

@@ -5938,6 +5938,33 @@ def test_scd2_history_invariants(spark):
             assert a["state"] != b["state"]
 
 
+def test_scd2_null_first_state_numbers_from_one(spark):
+    """A user whose FIRST event has a NULL tracked state must still
+    get dense-from-1 versions: eqNullSafe(NULL, lag=NULL) is true on
+    the first row, so without the explicit first-row branch the first
+    run would number 0 — diverging from the streaming twin, whose
+    version==0 sentinel always numbers the first run 1 (ADVICE r9)."""
+    events = spark.createDataFrame(
+        [
+            ("u1", 1, 100, None),
+            ("u1", 2, 101, None),
+            ("u1", 3, 102, "view"),
+            ("u1", 4, 103, None),
+            ("u2", 1, 200, "view"),
+        ],
+        "user_id string, ts int, event_id int, event_type string",
+    )
+    rows = sessionize.scd2_user_state_history(events).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    u1 = sorted(by_user["u1"], key=lambda r: r["version"])
+    assert [r["version"] for r in u1] == [1, 2, 3]
+    assert [r["state"] for r in u1] == [None, "view", None]
+    assert [r["n_events"] for r in u1] == [2, 1, 1]
+    assert [r["version"] for r in by_user["u2"]] == [1]
+
+
 def test_session_interval_join_matches_sessionize(spark):
     """Disjoint intervals ⇒ the re-join must reproduce sessionize's
     own per-session count and value sum exactly, while the enrichment
