@@ -1157,10 +1157,17 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
     from forest_open_data_pipelines_spark.functions.columns import (
         scaled_round,
     )
-
+    # lazy localCheckpoint on the compact scored projection (doc_id +
+    # two numerics, no text): the threshold aggregate and the bucket
+    # projection BOTH consume it, and without the pin each re-runs the
+    # charlm model join + per-doc aggregation (measured 2× the
+    # operator's cost at sf0.1 — the r9 bench regression VERDICT
+    # flagged). persist() is NOT enough here: the broadcast-threshold
+    # branch plans before the cache substitutes and the recompute then
+    # misses charlm's internal pins too (measured WORSE than no pin).
     scores = charlm_perplexity(documents).select(
         "doc_id", "n_bigrams", "entropy_bits"
-    )
+    ).localCheckpoint(eager=False)
     th = scores.where(F.col("entropy_bits").isNotNull()).agg(
         scaled_round(F.expr("percentile(entropy_bits, 1.0/3)"), 6).alias("t1"),
         scaled_round(F.expr("percentile(entropy_bits, 2.0/3)"), 6).alias("t2"),
@@ -1360,7 +1367,14 @@ def _charlm_model(base: DataFrame, ex: DataFrame) -> DataFrame:
         F.sum("n12").alias("n1")
     )
     vocab = (
-        base.select(F.explode(F.split("t", "")).alias("c"))
+        # row-level array_distinct BEFORE the explode: V = |distinct
+        # chars over the corpus| = |distinct over per-doc distinct
+        # sets|, but the explode emits ~|alphabet| rows per doc
+        # instead of every character occurrence (measured ~0.5 s of
+        # the scoring pass at sf0.1 — the r9 bench regression hunt).
+        base.select(
+            F.explode(F.array_distinct(F.split("t", ""))).alias("c")
+        )
         # split('', '') yields [''] — drop it so an empty doc cannot
         # inflate V (the oracle's substr walk never produces '')
         .where(F.col("c") != "")
