@@ -7056,6 +7056,45 @@ SELECT user_id, session_seq, session_start, session_end,
        round(sum(value), 2) AS total_value
 FROM j GROUP BY user_id, session_seq, session_start, session_end
 ORDER BY user_id, session_seq"""
+    # The overview metric frame's mensal truncate-then-substitute
+    # branch: reference month/calendar year derive from the freshest
+    # mensal observation, mensal months past the reference month drop,
+    # and when the feed's year is strictly past the zips' latest year
+    # the truncated feed overrides shared periods and extends the
+    # series; otherwise the zip series flows through untouched.
+    out["effective_monthly_series"] = f"""
+WITH {ENRICHED},
+zip AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS period,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+  FROM enriched GROUP BY 1
+),
+ref AS (
+  SELECT year(max(ts))::INT AS cal_year, month(max(ts))::INT AS ref_month
+  FROM events
+),
+mensal AS (
+  SELECT strftime(ts, '%Y-%m') AS period,
+         count(*) AS n_orders,
+         round(sum(value), 2) AS total_price
+  FROM events, ref
+  WHERE year(ts) = cal_year AND month(ts) <= ref_month
+  GROUP BY 1
+),
+zl AS (SELECT max(substr(period, 1, 4)::INT) AS zip_latest_year FROM zip),
+flags AS (
+  SELECT ((SELECT count(*) FROM mensal) > 0
+          AND (SELECT cal_year FROM ref)
+              > (SELECT zip_latest_year FROM zl)) AS is_cur
+)
+SELECT z.period, z.n_orders, z.total_price, 'zip' AS source
+FROM zip z, flags
+WHERE NOT is_cur OR z.period NOT IN (SELECT period FROM mensal)
+UNION ALL
+SELECT period, n_orders, total_price, 'mensal' AS source
+FROM mensal, flags WHERE is_cur
+ORDER BY period"""
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["eia_petroleum_weekly_files"] = _eia_weekly_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()

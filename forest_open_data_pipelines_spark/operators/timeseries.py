@@ -798,6 +798,108 @@ def monthly_by_region_augmented(
     )
 
 
+def effective_monthly_series(
+    enriched: DataFrame,
+    events: DataFrame,
+    reference_month_mode: str = "current",
+) -> DataFrame:
+    """The overview metric frame's truncate-then-substitute national
+    monthly series — the reference's ``mensal_is_current`` branch
+    (bdqueimadas_overview.py:209-310 guard + metric substitution,
+    :1749-1785 ``_truncate_mensal_counts``, :1800-1819
+    ``_build_effective_national_monthly_series``): when the monthly
+    CSV feed is FRESHER than the consolidated zips, the highlights /
+    YTD / rolling-12m inputs come from the mensal per-month counts
+    truncated at the chosen reference month, merged OVER the
+    zip-derived series (mensal overrides a shared period, zip rows
+    pass through elsewhere); when the feed is not current the zip
+    series flows through untouched.
+
+    Semantics mirrored exactly:
+    - reference month = month of the freshest mensal observation
+      (``current`` mode) or the month before it (``previous`` mode —
+      the reference's reference_month_mode switch, :214-225);
+    - truncation drops mensal months AFTER the reference month
+      (``_truncate_mensal_counts``) — boundary pinned in tests;
+    - currency guard = truncated feed non-empty AND the mensal
+      calendar year is STRICTLY past the zips' latest year
+      (``_mensal_is_current``, :209-213; reference_year ==
+      calendar_year holds by construction here because the reference
+      instant derives from the feed itself);
+    - merge = dict-update then sort: mensal value REPLACES the zip
+      value for a shared period and extends past it
+      (``_build_effective_national_monthly_series``).
+
+    ``source`` tags each row's winning feed so the substitution is
+    observable (and oracle-checked) per period.
+
+    Scale: both inputs aggregate FIRST — the zip side is the
+    post-aggregation monthly series (≤ #months rows), the mensal side
+    collapses events to ≤ 12 rows before any use. The reference
+    instant, latest-zip-year, and currency guards are one-row
+    broadcast scalars; the override is a broadcast left join against
+    the ≤12-row period set — no extra shuffle of either series at any
+    fact scale.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    offset = 0 if reference_month_mode == "current" else 1
+    zip_series = _persist(monthly_series(enriched))
+    ref = events.agg(
+        F.year(F.max("ts")).alias("cal_year"),
+        (F.month(F.max("ts")) - F.lit(offset)).alias("ref_month"),
+    )
+    mensal = _persist(
+        events.join(F.broadcast(ref))
+        .where(
+            (F.year("ts") == F.col("cal_year"))
+            & (F.month("ts") <= F.col("ref_month"))
+        )
+        .groupBy(period_month(F.col("ts")).alias("period"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            money(F.sum("value")).alias("total_price"),
+        )
+    )
+    zip_latest = zip_series.agg(
+        F.max(F.substring("period", 1, 4).cast("int")).alias("zip_latest_year")
+    )
+    flags = F.broadcast(
+        mensal.agg(F.count("*").alias("n_mensal"))
+        .join(F.broadcast(ref))
+        .join(F.broadcast(zip_latest))
+        .select(
+            (
+                (F.col("n_mensal") > 0)
+                & (F.col("cal_year") > F.col("zip_latest_year"))
+            ).alias("is_cur")
+        )
+    )
+    marks = F.broadcast(mensal.select("period", F.lit(True).alias("in_mensal")))
+    base = (
+        zip_series.join(marks, "period", "left")
+        .join(flags)
+        .where(~F.col("is_cur") | F.col("in_mensal").isNull())
+        .select(
+            "period",
+            "n_orders",
+            "total_price",
+            F.lit("zip").alias("source"),
+        )
+    )
+    extra = (
+        mensal.join(flags)
+        .where(F.col("is_cur"))
+        .select(
+            "period",
+            "n_orders",
+            "total_price",
+            F.lit("mensal").alias("source"),
+        )
+    )
+    return base.unionByName(extra).orderBy("period")
+
+
 # ── Annual reference CSV extraction mapping ─────────────────────────────────
 
 ANNUAL_REF_YEARLESS_ZIP = "focos_br_ref_total.zip"

@@ -817,6 +817,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_outlier_report": lambda s, d: (
         similarity.embedding_outlier_report(load_table(s, d, "embeddings"))
     ),
+    # ── Round-10 additions (last reference branch: mensal truncate-
+    # then-substitute effective series, VERDICT r9 item 4) ────────────
+    "effective_monthly_series": lambda s, d: (
+        timeseries.effective_monthly_series(
+            _enriched(s, d), load_table(s, d, "events")
+        )
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -886,7 +893,10 @@ _R10_WINDOW: tuple[str, ...] = (
     "dedup_method_eval",
     "corpus_curation",
     "pii_scrub",
-    "decontaminate_ngram",
+    # (decontaminate_ngram's r6 refresh slot ceded to the round-10
+    # reference-branch closer — it keeps its r6 row + the per-session
+    # oracle-parity sweep; first in the r11 refresh queue)
+    "effective_monthly_series",
 )
 assert len(_R10_WINDOW) == DRIVER_CHECK_CAP, len(_R10_WINDOW)
 

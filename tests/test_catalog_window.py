@@ -32,6 +32,8 @@ MUST_BE_IN_WINDOW = {
     "media_ahash_incremental",
     "part_pagerank",
     "part_communities",
+    # round-10 reference-branch closer (first row)
+    "effective_monthly_series",
 }
 
 

@@ -6176,3 +6176,78 @@ def test_purchase_state_attribution_exactly_one_state(spark):
         assert r["state_version"] >= 1
         assert r["state_since"] <= r["purchase_ts"]
         assert r["k_bucket"] is not None and r["k_bucket"] >= 0
+
+
+def _ems_frames(spark, zip_rows, event_rows):
+    enriched = spark.createDataFrame(
+        [(d, v) for d, v in zip_rows], "o_orderdate date, o_totalprice double"
+    )
+    events = spark.createDataFrame(
+        [(t, v) for t, v in event_rows], "ts timestamp, value double"
+    )
+    return enriched, events
+
+
+def test_effective_monthly_series_truncation_boundary(spark):
+    """Reference semantics (bdqueimadas_overview.py:209-310, 1749-1819):
+    'previous' mode truncates the mensal feed at the month BEFORE the
+    freshest observation, 'current' mode keeps it; truncated months
+    must not leak into the effective series."""
+    from datetime import date, datetime
+
+    enriched, events = _ems_frames(
+        spark,
+        [(date(2023, 11, 3), 10.0), (date(2023, 11, 9), 5.0),
+         (date(2023, 12, 1), 7.0)],
+        [(datetime(2024, 1, 5), 1.0), (datetime(2024, 1, 6), 2.0),
+         (datetime(2024, 2, 10), 4.0), (datetime(2024, 2, 11), 8.0)],
+    )
+    prev = timeseries.effective_monthly_series(
+        enriched, events, reference_month_mode="previous"
+    ).collect()
+    # previous mode: reference month = 1, so 2024-02 is truncated away
+    assert [(r["period"], r["source"]) for r in prev] == [
+        ("2023-11", "zip"), ("2023-12", "zip"), ("2024-01", "mensal"),
+    ]
+    jan = next(r for r in prev if r["period"] == "2024-01")
+    assert jan["n_orders"] == 2 and jan["total_price"] == 3.0
+
+    cur = timeseries.effective_monthly_series(
+        enriched, events, reference_month_mode="current"
+    ).collect()
+    assert [(r["period"], r["source"]) for r in cur] == [
+        ("2023-11", "zip"), ("2023-12", "zip"),
+        ("2024-01", "mensal"), ("2024-02", "mensal"),
+    ]
+
+
+def test_effective_monthly_series_not_current_passthrough(spark):
+    """The mensal branch only fires when the feed's calendar year is
+    STRICTLY past the zips' latest year (_mensal_is_current); same-year
+    feeds and empty truncations pass the zip series through untouched."""
+    from datetime import date, datetime
+
+    # same calendar year as the zips -> not current
+    enriched, events = _ems_frames(
+        spark,
+        [(date(2024, 1, 2), 10.0), (date(2024, 2, 2), 5.0)],
+        [(datetime(2024, 2, 20), 1.0), (datetime(2024, 2, 21), 2.0)],
+    )
+    rows = timeseries.effective_monthly_series(enriched, events).collect()
+    assert [(r["period"], r["source"]) for r in rows] == [
+        ("2024-01", "zip"), ("2024-02", "zip"),
+    ]
+    z = {r["period"]: r["n_orders"] for r in rows}
+    assert z == {"2024-01": 1, "2024-02": 1}
+
+    # previous mode with a January-only feed truncates to month 0:
+    # empty feed -> not current, even though the year IS past the zips
+    enriched2, events2 = _ems_frames(
+        spark,
+        [(date(2023, 12, 2), 10.0)],
+        [(datetime(2024, 1, 15), 1.0)],
+    )
+    rows2 = timeseries.effective_monthly_series(
+        enriched2, events2, reference_month_mode="previous"
+    ).collect()
+    assert [(r["period"], r["source"]) for r in rows2] == [("2023-12", "zip")]
