@@ -291,12 +291,16 @@ NOTES = {
         "is a projection over the one-row metric frame."
     ),
     "edit_distance_pairs": (
-        "includes the LIVE fail-fast guards the catalog entry now "
-        "runs, fused into ONE action (join of the two 1-row "
-        "aggregates over persisted frames, ~+0.2s at sf0.1) on top "
-        "of the candidate-bound join documented for this corpus; at "
-        "scale the guard is one cheap aggregate relative to the join "
-        "shape it vetoes."
+        "includes the LIVE fail-fast guards the catalog entry runs, "
+        "fused into ONE action. r10 A/B at a 0.43s q1 floor: base "
+        "(no guards) 6.19s min vs r8's 5.4s = the 1.15x session "
+        "envelope; the guard action adds ~0.9s of local job-scheduling "
+        "overhead (measured 7.09s guards-on), which amortizes to one "
+        "bounded aggregate at cluster scale. An inline raise_error "
+        "gate riding the main action was built and REJECTED: the "
+        "gate's broadcast thread races the main stages and double- "
+        "computes the persisted prefix subtree (9.67s measured), so "
+        "the separate fail-fast action is the cheaper correct shape."
     ),
     "perplexity_buckets": (
         "r9 VERDICT flagged 1.19s (r8) -> ~3.1s as a real regression; "
