@@ -140,11 +140,19 @@ def _update_runs(
     )
 
 
-def scd2_stream(events_stream: DataFrame) -> DataFrame:
+def scd2_stream(events_stream: DataFrame, state=None) -> DataFrame:
     """Per-user SCD2 run maintenance over the event stream; emits each
-    run the moment the next state change closes it (append semantics)."""
+    run the moment the next state change closes it (append semantics).
+
+    ``state`` overrides the tracked attribute (any Column over the
+    events row, pre-aggregation — the batch operator's ``state``
+    override, cast to string for the state-store schema); default
+    ``event_type``."""
+    from pyspark.sql import functions as F
+
+    state = F.col("event_type") if state is None else state.cast("string")
     return events_stream.select(
-        "user_id", "ts", "event_id", "event_type"
+        "user_id", "ts", "event_id", state.alias("event_type")
     ).groupBy("user_id").applyInPandasWithState(
         _update_runs,
         outputStructType=OUTPUT_SCHEMA,

@@ -1582,6 +1582,126 @@ def test_scd2_stream_matches_batch_closed_runs(spark, tmp_path):
     assert got == expected
 
 
+def test_scd2_stream_feeds_purchase_attribution(spark, tmp_path):
+    """End-to-end composition the SCD2 family exists for (ADVICE r9
+    item 9): the STREAM-maintained k-bucket history, completed with
+    each user's open run (the state-store read a production consumer
+    does), drives the point-in-time purchase join and must reproduce
+    batch purchase_state_attribution row-for-row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        purchase_state_attribution,
+    )
+    from forest_open_data_pipelines_spark.streaming.scd2 import scd2_stream
+    from forest_open_data_pipelines_spark.streaming.windowed import (
+        stream_events_from_parquet,
+    )
+
+    kb = F2.floor(
+        F2.regexp_extract(F2.col("props"), '"k":\\s*([0-9]+)', 1).cast("int")
+        / F2.lit(32)
+    ).cast("int")
+    stream = stream_events_from_parquet(spark, SF_DIR)
+    query = (
+        scd2_stream(stream, state=kb)
+        .writeStream.format("memory")
+        .queryName("scd2_attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_scd2_attr"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        closed = spark.sql(
+            "SELECT user_id, version, CAST(state AS INT) AS k_bucket,"
+            " valid_from, valid_to FROM scd2_attr_test"
+        )
+    finally:
+        query.stop()
+
+    events = load_table(spark, SF_DIR, "events")
+    # complete the history with each user's OPEN run: version follows
+    # the last closed one (1 if none), valid_from is the last closure
+    # instant (the user's first event if never closed), state is the
+    # user's latest k-bucket — exactly what a production consumer reads
+    # from the state store snapshot after a drain.
+    last_closed = closed.groupBy("user_id").agg(
+        F2.max("version").alias("last_version"),
+        F2.max("valid_to").alias("last_close"),
+    )
+    latest = (
+        events.withColumn("kb", kb)
+        .withColumn(
+            "rn",
+            F2.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F2.desc("ts"), F2.desc("event_id")
+                )
+            ),
+        )
+        .where(F2.col("rn") == 1)
+        .select("user_id", "kb", "ts")
+    )
+    first_seen = events.groupBy("user_id").agg(
+        F2.min("ts").alias("first_ts")
+    )
+    open_runs = (
+        latest.join(last_closed, "user_id", "left")
+        .join(first_seen, "user_id")
+        .select(
+            "user_id",
+            (F2.coalesce(F2.col("last_version"), F2.lit(0)) + 1).alias(
+                "version"
+            ),
+            F2.col("kb").alias("k_bucket"),
+            F2.coalesce(F2.col("last_close"), F2.col("first_ts")).alias(
+                "valid_from"
+            ),
+            F2.lit(None).cast("timestamp").alias("valid_to"),
+        )
+    )
+    hist = closed.unionByName(open_runs)
+    purchases = events.where(F2.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    got = sorted(
+        map(
+            tuple,
+            purchases.join(
+                hist.select(
+                    F2.col("user_id").alias("h_user"),
+                    F2.col("version").alias("state_version"),
+                    "k_bucket",
+                    "valid_from",
+                    "valid_to",
+                ),
+                (F2.col("user_id") == F2.col("h_user"))
+                & (F2.col("ts") >= F2.col("valid_from"))
+                & (
+                    F2.col("valid_to").isNull()
+                    | (F2.col("ts") < F2.col("valid_to"))
+                ),
+            )
+            .select(
+                "user_id",
+                F2.col("event_id").alias("purchase_event_id"),
+                F2.col("ts").alias("purchase_ts"),
+                "value",
+                "k_bucket",
+                "state_version",
+                F2.col("valid_from").alias("state_since"),
+            )
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, purchase_state_attribution(events).collect())
+    )
+    assert len(got) == len(want) and got == want
+
+
 def test_ahash_gate_stream_matches_batch(spark, tmp_path):
     """The foreachBatch perceptual gate must emit verdicts row-identical
     to batch media_ahash_incremental over the same new/base split —
