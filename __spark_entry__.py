@@ -2012,6 +2012,43 @@ SELECT doc_id, title, abstract, n_index_terms, matched_terms
 FROM joined WHERE matched_terms != '' ORDER BY doc_id"""
 
 
+# Shared CTE text: the effective (truncate-then-substitute) national
+# monthly series — consumed by its own entry and by the metrics row
+# built on top of it.
+_EFFECTIVE_SERIES_SQL = f"""
+WITH {ENRICHED},
+zip AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS period,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_price
+  FROM enriched GROUP BY 1
+),
+ref AS (
+  SELECT year(max(ts))::INT AS cal_year, month(max(ts))::INT AS ref_month
+  FROM events
+),
+mensal AS (
+  SELECT strftime(ts, '%Y-%m') AS period,
+         count(*) AS n_orders,
+         round(sum(value), 2) AS total_price
+  FROM events, ref
+  WHERE year(ts) = cal_year AND month(ts) <= ref_month
+  GROUP BY 1
+),
+zl AS (SELECT max(substr(period, 1, 4)::INT) AS zip_latest_year FROM zip),
+flags AS (
+  SELECT ((SELECT count(*) FROM mensal) > 0
+          AND (SELECT cal_year FROM ref)
+              > (SELECT zip_latest_year FROM zl)) AS is_cur
+)
+SELECT z.period, z.n_orders, z.total_price, 'zip' AS source
+FROM zip z, flags
+WHERE NOT is_cur OR z.period NOT IN (SELECT period FROM mensal)
+UNION ALL
+SELECT period, n_orders, total_price, 'mensal' AS source
+FROM mensal, flags WHERE is_cur
+ORDER BY period"""
+
 MENSAL_AUGMENTED_SQL = """
 WITH enriched AS (
   SELECT o_orderdate, o_totalprice, n_name
@@ -7062,39 +7099,50 @@ ORDER BY user_id, session_seq"""
     # and when the feed's year is strictly past the zips' latest year
     # the truncated feed overrides shared periods and extends the
     # series; otherwise the zip series flows through untouched.
-    out["effective_monthly_series"] = f"""
-WITH {ENRICHED},
-zip AS (
-  SELECT strftime(o_orderdate, '%Y-%m') AS period,
-         count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS total_price
-  FROM enriched GROUP BY 1
+    out["effective_monthly_series"] = _EFFECTIVE_SERIES_SQL
+    # The metric row consuming the effective series (reference
+    # :261-310): both branches collapse to one expression set over the
+    # merged series; YTD = the latest year's total on a consolidated
+    # series (no later months exist), both branches emit it.
+    out["effective_overview_metrics"] = f"""
+WITH eff AS ({_EFFECTIVE_SERIES_SQL}),
+latest AS (
+  SELECT max(period) AS latest_period,
+         substr(max(period), 1, 4)::INT AS latest_year
+  FROM eff
 ),
-ref AS (
-  SELECT year(max(ts))::INT AS cal_year, month(max(ts))::INT AS ref_month
-  FROM events
+roll AS (
+  SELECT period,
+         sum(n_orders) OVER w11::BIGINT AS recent_12m_total,
+         (sum(n_orders) OVER w23)::BIGINT AS prior_12m_total,
+         round(CASE WHEN sum(n_orders) OVER w23 <> 0
+               THEN (sum(n_orders) OVER w11
+                     - sum(n_orders) OVER w23)::DOUBLE
+                    / sum(n_orders) OVER w23 * 100.0
+               END, 6) AS rolling_pct_change
+  FROM eff
+  WINDOW w11 AS (ORDER BY period ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+         w23 AS (ORDER BY period ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING)
 ),
-mensal AS (
-  SELECT strftime(ts, '%Y-%m') AS period,
-         count(*) AS n_orders,
-         round(sum(value), 2) AS total_price
-  FROM events, ref
-  WHERE year(ts) = cal_year AND month(ts) <= ref_month
-  GROUP BY 1
-),
-zl AS (SELECT max(substr(period, 1, 4)::INT) AS zip_latest_year FROM zip),
-flags AS (
-  SELECT ((SELECT count(*) FROM mensal) > 0
-          AND (SELECT cal_year FROM ref)
-              > (SELECT zip_latest_year FROM zl)) AS is_cur
+yearly AS (
+  SELECT substr(period, 1, 4)::INT AS year, sum(n_orders) AS year_total
+  FROM eff GROUP BY 1
 )
-SELECT z.period, z.n_orders, z.total_price, 'zip' AS source
-FROM zip z, flags
-WHERE NOT is_cur OR z.period NOT IN (SELECT period FROM mensal)
-UNION ALL
-SELECT period, n_orders, total_price, 'mensal' AS source
-FROM mensal, flags WHERE is_cur
-ORDER BY period"""
+SELECT l.latest_period, l.latest_year,
+       (SELECT count(*) FROM eff WHERE source = 'mensal') > 0
+         AS mensal_is_current,
+       (SELECT year_total FROM yearly WHERE year = l.latest_year)
+         AS current_year_total,
+       (SELECT year_total FROM yearly WHERE year = l.latest_year)
+         AS ytd_current_year,
+       coalesce((SELECT n_orders FROM eff WHERE period = l.latest_period),
+                0)::BIGINT AS latest_month_total,
+       (SELECT max(year) FROM yearly WHERE year < l.latest_year)
+         AS previous_year,
+       (SELECT arg_max(year_total, year) FROM yearly
+        WHERE year < l.latest_year) AS previous_year_total,
+       r.recent_12m_total, r.prior_12m_total, r.rolling_pct_change
+FROM latest l JOIN roll r ON r.period = l.latest_period"""
     out["eia_series_combinations"] = _eia_series_combinations_sql()
     out["eia_petroleum_weekly_files"] = _eia_weekly_sql()
     out["cvm_latest_yearly_csvs"] = _cvm_yearly_sql()

@@ -900,6 +900,123 @@ def effective_monthly_series(
     return base.unionByName(extra).orderBy("period")
 
 
+def effective_overview_metrics(
+    enriched: DataFrame,
+    events: DataFrame,
+    reference_month_mode: str = "current",
+) -> DataFrame:
+    """The overview metric row CONSUMING the effective series — the
+    reference's branch-resolved headline inputs
+    (bdqueimadas_overview.py:261-310): current-year total and YTD
+    (``_sum_mensal_until`` over the truncated feed when mensal is
+    current, the zip annual/YTD sums otherwise), latest-month total
+    (feed value at the reference month, 0 when absent), previous year
+    (the zips' latest year when current, the second-latest otherwise)
+    with its total, and the rolling-12m window evaluated AT the
+    effective latest period (:269-276 feeds
+    ``_compute_rolling_12m_metrics`` the effective series, not the
+    zip series).
+
+    Both branches collapse to ONE set of expressions over the merged
+    series ``effective_monthly_series`` emits — e.g. current-year
+    total = the latest effective year's sum, which IS the truncated
+    mensal sum when the feed substituted (its year is strictly past
+    every zip year) and the zip annual total otherwise; the branch
+    flag rides along as ``mensal_is_current``. The YTD equality
+    (annual total = months-through-latest sum on the latest year)
+    holds by construction on a consolidated series, mirrored in the
+    oracle.
+
+    Scale: every aggregate runs over the post-aggregation effective
+    series (≤ #months rows, persisted once); the rolling window is
+    the unpartitioned-window-over-months precedent rolling_12m set.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    eff = _persist(
+        effective_monthly_series(enriched, events, reference_month_mode)
+    )
+    latest = eff.agg(F.max("period").alias("latest_period")).select(
+        "latest_period",
+        F.substring("latest_period", 1, 4).cast("int").alias("latest_year"),
+    )
+    roll = (
+        rolling_12m(eff.select("period", "n_orders"))
+        .join(F.broadcast(latest), F.col("period") == F.col("latest_period"))
+        .select(
+            "latest_period",
+            "latest_year",
+            "recent_12m_total",
+            "prior_12m_total",
+            F.col("pct_change").alias("rolling_pct_change"),
+        )
+    )
+    yr = F.substring("period", 1, 4).cast("int")
+    yearly = eff.groupBy(yr.alias("year")).agg(
+        F.sum("n_orders").alias("year_total")
+    )
+    scalars = (
+        eff.join(F.broadcast(roll))
+        .groupBy(
+            "latest_period",
+            "latest_year",
+            "recent_12m_total",
+            "prior_12m_total",
+            "rolling_pct_change",
+        )
+        .agg(
+            F.max(F.col("source") == "mensal").alias("mensal_is_current"),
+        )
+    )
+    cur = yearly.join(
+        F.broadcast(latest), F.col("year") == F.col("latest_year")
+    ).select(
+        F.col("latest_period").alias("p1"),
+        F.col("year_total").alias("current_year_total"),
+    )
+    prev = (
+        yearly.join(
+            F.broadcast(latest), F.col("year") < F.col("latest_year")
+        )
+        .groupBy(F.col("latest_period").alias("p2"))
+        .agg(
+            F.max("year").alias("previous_year"),
+            F.max_by("year_total", "year").alias("previous_year_total"),
+        )
+    )
+    lm = eff.join(
+        F.broadcast(latest), F.col("period") == F.col("latest_period")
+    ).select(
+        F.col("latest_period").alias("p3"),
+        F.col("n_orders").alias("latest_month_total"),
+    )
+    return (
+        scalars.join(
+            F.broadcast(cur), F.col("latest_period") == F.col("p1"), "left"
+        )
+        .join(F.broadcast(prev), F.col("latest_period") == F.col("p2"), "left")
+        .join(F.broadcast(lm), F.col("latest_period") == F.col("p3"), "left")
+        .select(
+            "latest_period",
+            "latest_year",
+            "mensal_is_current",
+            "current_year_total",
+            # on a consolidated series the latest year's total IS its
+            # YTD through the latest period (no later months exist);
+            # both reference branches emit that value (:261-268, :301-310)
+            F.col("current_year_total").alias("ytd_current_year"),
+            F.coalesce(
+                F.col("latest_month_total"), F.lit(0).cast("long")
+            ).alias("latest_month_total"),
+            "previous_year",
+            "previous_year_total",
+            "recent_12m_total",
+            "prior_12m_total",
+            "rolling_pct_change",
+        )
+    )
+
+
 # ── Annual reference CSV extraction mapping ─────────────────────────────────
 
 ANNUAL_REF_YEARLESS_ZIP = "focos_br_ref_total.zip"

@@ -824,6 +824,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             _enriched(s, d), load_table(s, d, "events")
         )
     ),
+    "effective_overview_metrics": lambda s, d: (
+        timeseries.effective_overview_metrics(
+            _enriched(s, d), load_table(s, d, "events")
+        )
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -892,7 +897,10 @@ _R10_WINDOW: tuple[str, ...] = (
     "dedup_semantic",
     "dedup_method_eval",
     "corpus_curation",
-    "pii_scrub",
+    # (pii_scrub's and decontaminate_ngram's r6 refresh slots ceded to
+    # the round-10 reference-branch closers — both keep their r6 rows +
+    # the per-session oracle-parity sweep; first in the r11 queue)
+    "effective_overview_metrics",
     # (decontaminate_ngram's r6 refresh slot ceded to the round-10
     # reference-branch closer — it keeps its r6 row + the per-session
     # oracle-parity sweep; first in the r11 refresh queue)

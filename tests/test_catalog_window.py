@@ -32,8 +32,9 @@ MUST_BE_IN_WINDOW = {
     "media_ahash_incremental",
     "part_pagerank",
     "part_communities",
-    # round-10 reference-branch closer (first row)
+    # round-10 reference-branch closers (first rows)
     "effective_monthly_series",
+    "effective_overview_metrics",
 }
 
 

@@ -6351,3 +6351,46 @@ def test_pq_regime_subspace_clustered_recall(spark):
     clustered = recall(similarity.subspace_clustered_slice(emb))
     assert clustered >= 0.9, clustered
     assert clustered >= raw + 0.25, (raw, clustered)
+
+
+def test_effective_overview_metrics_branches(spark):
+    """The metric row resolves both reference branches: mensal-current
+    (totals from the truncated feed, previous year = the zips' latest)
+    and not-current (zip annual/YTD totals, previous year = the
+    second-latest zip year)."""
+    from datetime import date, datetime
+
+    # current branch: zips end 2023, feed is 2024 months 1-2
+    enriched, events = _ems_frames(
+        spark,
+        [(date(2023, 11, 3), 10.0), (date(2023, 12, 1), 7.0),
+         (date(2022, 5, 1), 3.0)],
+        [(datetime(2024, 1, 5), 1.0), (datetime(2024, 1, 6), 2.0),
+         (datetime(2024, 2, 10), 4.0)],
+    )
+    r = timeseries.effective_overview_metrics(enriched, events).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["mensal_is_current"] is True
+    assert row["latest_period"] == "2024-02"
+    assert row["current_year_total"] == 3  # 2 jan + 1 feb events
+    assert row["ytd_current_year"] == 3
+    assert row["latest_month_total"] == 1
+    assert row["previous_year"] == 2023 and row["previous_year_total"] == 2
+    # rolling_12m windows over SERIES ROWS (dense-series semantics,
+    # its documented contract): all 5 rows of this sparse series fall
+    # in the recent window, 2022-05 included
+    assert row["recent_12m_total"] == 1 + 1 + 1 + 2 + 1
+    # not-current branch: feed year == zips' latest year
+    enriched2, events2 = _ems_frames(
+        spark,
+        [(date(2024, 1, 2), 10.0), (date(2024, 2, 2), 5.0),
+         (date(2023, 7, 1), 9.0)],
+        [(datetime(2024, 2, 20), 1.0)],
+    )
+    row2 = timeseries.effective_overview_metrics(enriched2, events2).collect()[0]
+    assert row2["mensal_is_current"] is False
+    assert row2["latest_period"] == "2024-02"
+    assert row2["current_year_total"] == 2  # two zip orders in 2024
+    assert row2["latest_month_total"] == 1
+    assert row2["previous_year"] == 2023 and row2["previous_year_total"] == 1
