@@ -845,9 +845,14 @@ def effective_monthly_series(
 
     offset = 0 if reference_month_mode == "current" else 1
     zip_series = _persist(monthly_series(enriched))
-    ref = events.agg(
-        F.year(F.max("ts")).alias("cal_year"),
-        (F.month(F.max("ts")) - F.lit(offset)).alias("ref_month"),
+    # the 1-row reference instant is consumed by the mensal aggregate
+    # AND (twice, via the currency flag) by the merge branches —
+    # persisted so the ts-pruned events scan underneath runs once
+    ref = _persist(
+        events.agg(
+            F.year(F.max("ts")).alias("cal_year"),
+            (F.month(F.max("ts")) - F.lit(offset)).alias("ref_month"),
+        )
     )
     mensal = _persist(
         events.join(F.broadcast(ref))

@@ -942,3 +942,40 @@ def test_purchase_state_attribution_equi_key_open_interval(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "PythonUDF" not in plan
+
+
+def test_effective_monthly_series_broadcast_merge_no_extra_shuffle(spark):
+    """The effective-series merge is broadcast-only past the two input
+    aggregations (both persisted): the reference instant, latest-zip-
+    year, currency flag, and <=12-row period-mark set all arrive as
+    BroadcastExchange inputs — nothing fact-sized is nested-loop-
+    joined, each table has ONE live scan, and the events side prunes
+    to the columns the feed needs."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "effective_monthly_series")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan
+    assert "PythonUDF" not in plan
+    assert all(n == 1 for n in live_scans(plan).values()), live_scans(plan)
+    assert all("props" not in s for s in _read_schemas(plan))
+
+
+def test_effective_overview_metrics_rides_persisted_series(spark):
+    """Every metric aggregate reads the PERSISTED months-sized
+    effective series (InMemoryTableScan substitutes everywhere): the
+    consumption layer adds ZERO live fact scans, so it is
+    metadata-weight at any fact scale."""
+    from tools.scan_audit import live_scans
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
+    try:
+        plan = _plan(spark, "effective_overview_metrics")
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+        assert not live_scans(plan), live_scans(plan)
+    finally:
+        release_persisted()
