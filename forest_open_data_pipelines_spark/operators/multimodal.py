@@ -83,7 +83,13 @@ def _decode_ppm(payload: bytes):
         pos += 1  # exactly ONE whitespace byte after maxval (spec)
         raster = np.frombuffer(payload, dtype=np.uint8, count=n, offset=pos)
     else:
-        raster = np.array(payload[pos:].split()[:n], dtype=np.uint8)
+        # parse wide then validate: uint8 parsing would silently WRAP
+        # an out-of-range sample (e.g. 300 → 44) instead of rejecting
+        # the invalid raster
+        raster = np.array(payload[pos:].split()[:n], dtype=np.int64)
+        if raster.size and (raster.min() < 0 or raster.max() > maxval):
+            raise ValueError("PPM ascii sample out of range")
+        raster = raster.astype(np.uint8)
     if raster.size != n:
         raise ValueError("truncated PPM raster")
     return raster.reshape(height, width, 3)
@@ -185,7 +191,11 @@ def decode_pixels(media: DataFrame) -> DataFrame:
                         )
                     )
                     errs.append(None)
-                except (NotImplementedError, ValueError, IndexError) as e:
+                except Exception as e:  # noqa: BLE001 — corrupt rows
+                    # must never fail the scan job: numpy raises
+                    # OverflowError on out-of-range ascii rasters and
+                    # struct.error on truncated BMP headers, beyond the
+                    # decoder's own ValueError/NotImplementedError
                     heights.append(None)
                     widths.append(None)
                     means.append(None)

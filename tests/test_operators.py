@@ -264,6 +264,11 @@ def test_multimodal_decode_pixels_arrow_kernel(spark):
             (1, bytearray(_ppm_p6(grid)), {"media_type": "image/ppm"}),
             (2, bytearray(_bmp_24(grid)), {"media_type": "image/bmp"}),
             (3, bytearray(b"not an image"), {"media_type": "text/fake"}),
+            # corrupt rows must degrade, not fail the job: ascii P3
+            # with an out-of-range sample (numpy OverflowError) and a
+            # truncated BMP header (struct.error)
+            (4, bytearray(b"P3\n1 1\n255\n300 0 0"), {"media_type": "image/ppm"}),
+            (5, bytearray(b"BM\x10\x00"), {"media_type": "image/bmp"}),
         ],
         "media_id long, payload binary, meta map<string,string>",
     )
@@ -277,6 +282,9 @@ def test_multimodal_decode_pixels_arrow_kernel(spark):
         assert rows[mid]["decode_error"] is None
     assert rows[3]["pixel_mean"] is None and rows[3]["height"] is None
     assert "codec libraries" in rows[3]["decode_error"]
+    for mid in (4, 5):
+        assert rows[mid]["pixel_mean"] is None
+        assert rows[mid]["decode_error"]
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
