@@ -912,7 +912,9 @@ assert len(_R10_WINDOW) == DRIVER_CHECK_CAP, len(_R10_WINDOW)
 # 0) any round-10 additions without a driver row yet (check the
 #    never-driver list in SURVEY first);
 # 1) any round-10 window row the driver fails — fix first, re-window;
-# 2) the remaining r6-vintage rows (curation_gate_matrix,
+# 2) the remaining r6-vintage rows, ceded-slot holders FIRST
+#    (pii_scrub, decontaminate_ngram — their r10 refresh slots went to
+#    the effective-series pair), then (curation_gate_matrix,
 #    decontaminate_embedding, dsir_importance_weights, chunk_dedup,
 #    dataset_mixture_plan, stratified_sample, curation_report_by_source,
 #    quality_by_lang_report, stratified_token_sample,
