@@ -18,6 +18,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from forest_open_data_pipelines_spark.operators.textops import (
     EN_STOPWORDS,
+    GOPHER_MAX_BULLET_LINE_FRAC,
+    GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+    GOPHER_MAX_MEAN_WORD_LEN,
+    GOPHER_MAX_SYMBOL_WORD_RATIO,
+    GOPHER_MAX_WORDS,
+    GOPHER_MIN_ALPHA_WORD_FRAC,
+    GOPHER_MIN_MEAN_WORD_LEN,
+    GOPHER_MIN_STOPWORDS_PRESENT,
+    GOPHER_MIN_WORDS,
     LANG_MARKERS,
     PT_ACCENT_REPLACEMENTS,
 )
@@ -5964,6 +5973,79 @@ SELECT doc_id, n_chars, n_tokens,
        round(punct_ratio, 6) AS punct_ratio,
        round(least(n_tokens / 100.0, 1.0) * 0.4 + (1.0 - punct_ratio) * 0.3
              + least(stop_ratio * 5.0, 1.0) * 0.3, 6) AS quality_score
+FROM r ORDER BY doc_id""",
+        # Gopher A1.1 rule gates: exact integer counts over whitespace
+        # words / newline lines of the RAW text; native round(x,6) is
+        # the scale-then-round twin (functions.columns.ratio).
+        "gopher_quality_rules": f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')
+           AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         len(words)::BIGINT AS n_words,
+         len(lines)::BIGINT AS n_lines,
+         coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+           AS word_chars,
+         len(list_filter(words,
+             x -> regexp_matches(x, '#|\\.\\.\\.|…'))) AS n_symbols,
+         len(list_filter(lines,
+             l -> regexp_matches(ltrim(l), '^[•*-]'))) AS n_bullet,
+         len(list_filter(lines,
+             l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$'))) AS n_ellipsis,
+         len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+           AS n_alpha,
+         len(list_intersect(
+             list_distinct(list_transform(words,
+                 x -> lower(regexp_replace(x, '[^A-Za-z]', '', 'g')))),
+             ['the','be','to','of','and','that','have','with']))::INT
+           AS n_stop
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_words, n_stop,
+         round(word_chars::DOUBLE / nullif(n_words, 0), 6) AS mean_word_len,
+         round(n_symbols::DOUBLE / nullif(n_words, 0), 6)
+           AS symbol_word_ratio,
+         round(n_bullet::DOUBLE / nullif(n_lines, 0), 6)
+           AS bullet_line_frac,
+         round(n_ellipsis::DOUBLE / nullif(n_lines, 0), 6)
+           AS ellipsis_line_frac,
+         round(n_alpha::DOUBLE / nullif(n_words, 0), 6) AS alpha_word_frac
+  FROM c
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+       n_stop AS n_stopwords_present,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AS rule_word_count,
+       coalesce(mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}, FALSE)
+         AS rule_mean_word_len,
+       coalesce(symbol_word_ratio <= {GOPHER_MAX_SYMBOL_WORD_RATIO}, FALSE)
+         AS rule_symbol_ratio,
+       coalesce(bullet_line_frac <= {GOPHER_MAX_BULLET_LINE_FRAC}, FALSE)
+         AS rule_bullet_lines,
+       coalesce(ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC}, FALSE)
+         AS rule_ellipsis_lines,
+       coalesce(alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}, FALSE)
+         AS rule_alpha_words,
+       (n_stop >= {GOPHER_MIN_STOPWORDS_PRESENT}) AS rule_stopwords,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND coalesce(mean_word_len >= {GOPHER_MIN_MEAN_WORD_LEN}
+                     AND mean_word_len <= {GOPHER_MAX_MEAN_WORD_LEN}, FALSE)
+        AND coalesce(symbol_word_ratio <= {GOPHER_MAX_SYMBOL_WORD_RATIO},
+                     FALSE)
+        AND coalesce(bullet_line_frac <= {GOPHER_MAX_BULLET_LINE_FRAC},
+                     FALSE)
+        AND coalesce(ellipsis_line_frac <= {GOPHER_MAX_ELLIPSIS_LINE_FRAC},
+                     FALSE)
+        AND coalesce(alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}, FALSE)
+        AND (n_stop >= {GOPHER_MIN_STOPWORDS_PRESENT})) AS passes_gopher
 FROM r ORDER BY doc_id""",
         "lang_id": f"""
 WITH scored AS (

@@ -203,6 +203,7 @@ HEADLINE = [
     # round-10 operators
     "effective_monthly_series",
     "effective_overview_metrics",
+    "gopher_quality_rules",
     # part_communities is the same iterative category as part_pagerank
     # (5 fixed LPA vote rounds, ~5.6 s of per-round overhead at sf0.1);
     # driver correctness window only.

@@ -395,6 +395,130 @@ def sanitize_slide_text(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Gopher rule thresholds (Rae et al. 2021 Appendix A1.1, public
+#: methodology) — single-sourced with the DuckDB oracle.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MAX_BULLET_LINE_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.3
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORDS_PRESENT = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(documents: DataFrame) -> DataFrame:
+    """The Gopher document-level quality rule gates (Rae et al. 2021
+    Appendix A1.1, public methodology) — the standard pre-training
+    rule filter every web-corpus pipeline runs before model-based
+    gates: word-count bounds, mean word length bounds, symbol-to-word
+    ratio ('#' and '…'/'...'), bullet-started and ellipsis-ended line
+    fractions, alphabetic-word fraction, and the ≥2-of-8 stop-word
+    presence test. Complements ``quality_repetition`` (the same
+    appendix's repetition block) and ``text_quality`` (the composite
+    score) — this is the RULE-GATE shape with one boolean per rule so
+    downstream reports can attribute rejections.
+
+    Determinism: every numerator/denominator is an exact integer count
+    over whitespace words / newline lines of the RAW text (rules run
+    pre-cleanup by design); only the final fractions round (6-dp
+    scale-then-round ``ratio``). Empty documents (0 words) fail the
+    word-count rule and carry NULL fractions.
+
+    Scale: pure per-row Catalyst expressions over one documents scan —
+    no shuffle but the presentation sort; every fold is an
+    ``aggregate``/``filter`` over the per-row word/line arrays inside
+    whole-stage codegen (no Python).
+    """
+    words = F.expr("filter(split(text, '\\\\s+'), x -> x != '')")
+    lines = F.expr("split(text, '\\n')")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    word_chars = F.expr(
+        "aggregate(filter(split(text, '\\\\s+'), x -> x != ''), 0L,"
+        " (a, x) -> a + length(x))"
+    )
+    n_symbols = (
+        F.size(F.expr("filter(split(text, '\\\\s+'), x -> x != '')"))
+        - F.size(
+            F.expr(
+                "filter(filter(split(text, '\\\\s+'), x -> x != ''),"
+                " x -> NOT (x rlike '#|\\\\.\\\\.\\\\.|…'))"
+            )
+        )
+    )
+    n_bullet = F.size(
+        F.expr("filter(split(text, '\\n'), l -> ltrim(l) rlike '^[•*-]')")
+    )
+    n_ellipsis = F.size(
+        F.expr(
+            "filter(split(text, '\\n'),"
+            " l -> rtrim(l) rlike '(\\\\.\\\\.\\\\.|…)$')"
+        )
+    )
+    n_alpha = F.size(
+        F.expr(
+            "filter(filter(split(text, '\\\\s+'), x -> x != ''),"
+            " x -> x rlike '[A-Za-z]')"
+        )
+    )
+    lower_words = F.expr(
+        "transform(filter(split(text, '\\\\s+'), x -> x != ''),"
+        " x -> lower(regexp_replace(x, '[^A-Za-z]', '')))"
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(lower_words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    nz = F.when(n_words > 0, n_words.cast("double"))
+    mean_wl = ratio(word_chars / nz)
+    sym_ratio = ratio(n_symbols / nz)
+    alpha_frac = ratio(n_alpha / nz)
+    lz = F.when(n_lines > 0, n_lines.cast("double"))
+    bullet_frac = ratio(n_bullet / lz)
+    ellipsis_frac = ratio(n_ellipsis / lz)
+    r_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    r_meanwl = (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN) & (
+        mean_wl <= GOPHER_MAX_MEAN_WORD_LEN
+    )
+    r_symbol = sym_ratio <= GOPHER_MAX_SYMBOL_WORD_RATIO
+    r_bullet = bullet_frac <= GOPHER_MAX_BULLET_LINE_FRAC
+    r_ellipsis = ellipsis_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC
+    r_alpha = alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC
+    r_stop = n_stop >= GOPHER_MIN_STOPWORDS_PRESENT
+    passes = (
+        F.coalesce(r_words, F.lit(False))
+        & F.coalesce(r_meanwl, F.lit(False))
+        & F.coalesce(r_symbol, F.lit(False))
+        & F.coalesce(r_bullet, F.lit(False))
+        & F.coalesce(r_ellipsis, F.lit(False))
+        & F.coalesce(r_alpha, F.lit(False))
+        & F.coalesce(r_stop, F.lit(False))
+    )
+    return documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stopwords_present"),
+        r_words.alias("rule_word_count"),
+        F.coalesce(r_meanwl, F.lit(False)).alias("rule_mean_word_len"),
+        F.coalesce(r_symbol, F.lit(False)).alias("rule_symbol_ratio"),
+        F.coalesce(r_bullet, F.lit(False)).alias("rule_bullet_lines"),
+        F.coalesce(r_ellipsis, F.lit(False)).alias("rule_ellipsis_lines"),
+        F.coalesce(r_alpha, F.lit(False)).alias("rule_alpha_words"),
+        r_stop.alias("rule_stopwords"),
+        passes.alias("passes_gopher"),
+    ).orderBy("doc_id")
+
+
 def quality_repetition(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition/diversity signals per document — the
     corpus-curation filters that catch boilerplate and degenerate

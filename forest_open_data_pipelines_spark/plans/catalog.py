@@ -829,6 +829,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
             _enriched(s, d), load_table(s, d, "events")
         )
     ),
+    "gopher_quality_rules": lambda s, d: textops.gopher_quality_rules(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -895,7 +898,9 @@ _R10_WINDOW: tuple[str, ...] = (
     "dedup_canonical_by_quality",
     "dedup_containment",
     "dedup_semantic",
-    "dedup_method_eval",
+    # (dedup_method_eval's r6 refresh slot ceded to gopher_quality_rules
+    # — it keeps its r6 row + the per-session sweep; r11 queue)
+    "gopher_quality_rules",
     "corpus_curation",
     # (pii_scrub's and decontaminate_ngram's r6 refresh slots ceded to
     # the round-10 reference-branch closers — both keep their r6 rows +

@@ -32,9 +32,10 @@ MUST_BE_IN_WINDOW = {
     "media_ahash_incremental",
     "part_pagerank",
     "part_communities",
-    # round-10 reference-branch closers (first rows)
+    # round-10 additions (first rows)
     "effective_monthly_series",
     "effective_overview_metrics",
+    "gopher_quality_rules",
 }
 
 

@@ -6402,3 +6402,43 @@ def test_effective_overview_metrics_branches(spark):
     assert row2["current_year_total"] == 2  # two zip orders in 2024
     assert row2["latest_month_total"] == 1
     assert row2["previous_year"] == 2023 and row2["previous_year_total"] == 1
+
+
+def test_gopher_quality_rules_gates(spark):
+    """Each Gopher A1.1 rule trips on a document built to violate
+    exactly it, and a plain long English document passes all seven."""
+    from forest_open_data_pipelines_spark.operators import textops
+
+    good = ("the quick brown fox jumps over that lazy dog and we have "
+            "been to many of with places " * 5).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, "too few words of the and that have with to be"),
+            (3, " ".join(["supercalifragilisticexpialidocious"] * 60)
+                + " the be to of and"),
+            (4, " ".join(["word#"] * 30 + ["the be to of and that have "
+                                           "with"] * 8)),
+            (5, "\n".join(["- the quick brown fox of and that have "
+                           "with be to"] * 10)),
+            (6, "\n".join(["the quick brown fox of and that have..."]
+                          * 10)),
+            (7, " ".join(["1234"] * 50) + " the be of and to"),
+            (8, " ".join(["lorem", "ipsum", "dolor", "sit", "amet"] * 12)),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.gopher_quality_rules(docs).collect()
+    }
+    assert rows[1]["passes_gopher"] is True
+    assert rows[2]["rule_word_count"] is False
+    assert rows[3]["rule_mean_word_len"] is False  # mean len > 10
+    assert rows[4]["rule_symbol_ratio"] is False
+    assert rows[5]["rule_bullet_lines"] is False
+    assert rows[6]["rule_ellipsis_lines"] is False
+    assert rows[7]["rule_alpha_words"] is False
+    assert rows[8]["rule_stopwords"] is False  # no gopher stop words
+    for d in range(2, 9):
+        assert rows[d]["passes_gopher"] is False
