@@ -27,6 +27,8 @@ from forest_open_data_pipelines_spark.operators.textops import (
     GOPHER_MIN_MEAN_WORD_LEN,
     GOPHER_MIN_STOPWORDS_PRESENT,
     GOPHER_MIN_WORDS,
+    C4_MIN_SENTENCES,
+    C4_MIN_WORDS_PER_LINE,
     LANG_MARKERS,
     PT_ACCENT_REPLACEMENTS,
 )
@@ -6047,6 +6049,54 @@ SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
         AND coalesce(alpha_word_frac >= {GOPHER_MIN_ALPHA_WORD_FRAC}, FALSE)
         AND (n_stop >= {GOPHER_MIN_STOPWORDS_PRESENT})) AS passes_gopher
 FROM r ORDER BY doc_id""",
+        # C4 §2.2 line filters: exact per-line predicates, kept lines
+        # re-joined in order, sentence count over the cleaned text.
+        "c4_line_filters": f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text, '{{') AS has_brace
+  FROM documents
+),
+c AS (
+  SELECT doc_id, len(lines)::BIGINT AS n_lines,
+         list_filter(lines, l ->
+             regexp_matches(rtrim(l), '[.!?"'']$')
+             AND len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                 x -> x != '')) >= {C4_MIN_WORDS_PER_LINE}
+             AND NOT regexp_matches(lower(l), 'javascript')) AS kept,
+         len(list_filter(lines,
+             l -> NOT regexp_matches(rtrim(l), '[.!?"'']$')))::BIGINT
+           AS n_unterminated_lines,
+         len(list_filter(lines,
+             l -> len(list_filter(regexp_split_to_array(l, '\\s+'),
+                                  x -> x != ''))
+                  < {C4_MIN_WORDS_PER_LINE}))::BIGINT AS n_short_lines,
+         len(list_filter(lines,
+             l -> regexp_matches(lower(l), 'javascript')))::BIGINT
+           AS n_js_lines,
+         has_lorem_ipsum, has_brace
+  FROM w
+),
+r AS (
+  SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
+         n_unterminated_lines, n_short_lines, n_js_lines,
+         coalesce(array_to_string(kept, chr(10)), '') AS cleaned_text,
+         has_lorem_ipsum, has_brace
+  FROM c
+),
+s AS (
+  SELECT *,
+         len(list_filter(regexp_split_to_array(cleaned_text, '[.!?]+'),
+                         x -> trim(x) != ''))::BIGINT AS n_sentences
+  FROM r
+)
+SELECT doc_id, n_lines, n_kept_lines, n_unterminated_lines, n_short_lines,
+       n_js_lines, n_sentences, has_lorem_ipsum, has_brace,
+       (n_sentences >= {C4_MIN_SENTENCES}
+        AND NOT has_lorem_ipsum AND NOT has_brace) AS passes_c4,
+       cleaned_text
+FROM s ORDER BY doc_id""",
         "lang_id": f"""
 WITH scored AS (
   SELECT doc_id, lang,

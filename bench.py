@@ -204,6 +204,7 @@ HEADLINE = [
     "effective_monthly_series",
     "effective_overview_metrics",
     "gopher_quality_rules",
+    "c4_line_filters",
     # part_communities is the same iterative category as part_pagerank
     # (5 fixed LPA vote rounds, ~5.6 s of per-round overhead at sf0.1);
     # driver correctness window only.

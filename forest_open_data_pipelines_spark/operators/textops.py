@@ -519,6 +519,109 @@ def gopher_quality_rules(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: C4 cleaning thresholds (Raffel et al. 2020 §2.2, public
+#: methodology) — single-sourced with the DuckDB oracle.
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_line_filters(documents: DataFrame) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2,
+    public methodology) — the other canonical pre-training rule set
+    next to ``gopher_quality_rules``'s document gates: keep only lines
+    that end in terminal punctuation AND have ≥5 words AND don't
+    mention javascript; drop whole pages containing "lorem ipsum" or a
+    curly brace; require ≥3 sentences in the cleaned text. Emits the
+    cleaned text plus the per-rule counters so a curation report can
+    attribute what the filter removed.
+
+    Determinism: line retention is a pure per-line predicate, the
+    cleaned text joins kept lines with a newline in original order,
+    and the sentence count is the terminal-punctuation-run count of
+    the cleaned text — all exact integers; no floats anywhere.
+    Per-rule line counters (how many lines each predicate ALONE
+    rejects) ride along for rejection attribution. Honest corpus
+    note: the driver's synthetic documents carry no terminal
+    punctuation, so C4 faithfully rejects the whole corpus there
+    (pass rate 0, counters value-dense) — the rule semantics are
+    pinned on structured synthetic docs in tests.
+
+    Scale: pure per-row Catalyst expressions (split → filter →
+    array_join) over ONE documents scan, no shuffle but the
+    presentation sort — the scan-stage cleaning shape that runs ahead
+    of every shuffle-bearing dedup/tokenize stage at 100 TB.
+    """
+    kept_arr = F.expr(
+        "filter(split(text, '\\n'), l -> "
+        " rtrim(l) rlike '[.!?\"\\']$'"
+        f" AND size(filter(split(l, '\\\\s+'), w -> w != ''))"
+        f"     >= {C4_MIN_WORDS_PER_LINE}"
+        " AND NOT lower(l) rlike 'javascript')"
+    )
+    cleaned = F.array_join(kept_arr, "\n")
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    # per-rule line counters (not part of the C4 spec's output, but the
+    # attribution a curation report needs — and on a corpus where a
+    # rule degenerates, the counters keep the output value-dense): how
+    # many lines each predicate ALONE would reject
+    n_unterminated = F.size(
+        F.expr(
+            "filter(split(text, '\\n'),"
+            " l -> NOT rtrim(l) rlike '[.!?\"\\']$')"
+        )
+    )
+    n_short_lines = F.size(
+        F.expr(
+            "filter(split(text, '\\n'),"
+            f" l -> size(filter(split(l, '\\\\s+'), w -> w != ''))"
+            f"      < {C4_MIN_WORDS_PER_LINE})"
+        )
+    )
+    n_js_lines = F.size(
+        F.expr(
+            "filter(split(text, '\\n'), l -> lower(l) rlike 'javascript')"
+        )
+    )
+    n_sentences = F.size(
+        F.expr("filter(split(cleaned_text, '[.!?]+'), s -> trim(s) != '')")
+    )
+    passes = (
+        (n_sentences >= C4_MIN_SENTENCES)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace")
+    )
+    return (
+        documents.select(
+            "doc_id",
+            F.size(F.expr("split(text, '\\n')")).cast("long").alias(
+                "n_lines"
+            ),
+            F.size(kept_arr).cast("long").alias("n_kept_lines"),
+            n_unterminated.cast("long").alias("n_unterminated_lines"),
+            n_short_lines.cast("long").alias("n_short_lines"),
+            n_js_lines.cast("long").alias("n_js_lines"),
+            cleaned.alias("cleaned_text"),
+            has_lorem.alias("has_lorem_ipsum"),
+            has_brace.alias("has_brace"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "n_kept_lines",
+            "n_unterminated_lines",
+            "n_short_lines",
+            "n_js_lines",
+            n_sentences.cast("long").alias("n_sentences"),
+            "has_lorem_ipsum",
+            "has_brace",
+            passes.alias("passes_c4"),
+            "cleaned_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def quality_repetition(documents: DataFrame) -> DataFrame:
     """Gopher-style repetition/diversity signals per document — the
     corpus-curation filters that catch boilerplate and degenerate

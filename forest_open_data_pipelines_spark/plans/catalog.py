@@ -832,6 +832,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_rules": lambda s, d: textops.gopher_quality_rules(
         load_table(s, d, "documents")
     ),
+    "c4_line_filters": lambda s, d: textops.c4_line_filters(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -898,10 +901,11 @@ _R10_WINDOW: tuple[str, ...] = (
     "dedup_canonical_by_quality",
     "dedup_containment",
     "dedup_semantic",
-    # (dedup_method_eval's r6 refresh slot ceded to gopher_quality_rules
-    # — it keeps its r6 row + the per-session sweep; r11 queue)
+    # (dedup_method_eval's and corpus_curation's r6 refresh slots ceded
+    # to the round-10 rule-gate pair — both keep their r6 rows + the
+    # per-session sweep; r11 queue)
     "gopher_quality_rules",
-    "corpus_curation",
+    "c4_line_filters",
     # (pii_scrub's and decontaminate_ngram's r6 refresh slots ceded to
     # the round-10 reference-branch closers — both keep their r6 rows +
     # the per-session oracle-parity sweep; first in the r11 queue)

@@ -36,6 +36,7 @@ MUST_BE_IN_WINDOW = {
     "effective_monthly_series",
     "effective_overview_metrics",
     "gopher_quality_rules",
+    "c4_line_filters",
 }
 
 

@@ -6442,3 +6442,40 @@ def test_gopher_quality_rules_gates(spark):
     assert rows[8]["rule_stopwords"] is False  # no gopher stop words
     for d in range(2, 9):
         assert rows[d]["passes_gopher"] is False
+
+
+def test_c4_line_filters_semantics(spark):
+    """C4 §2.2 on structured docs: only >=5-word terminal-punctuation
+    non-javascript lines survive, page-level lorem-ipsum/brace rules
+    reject whole docs, and the >=3-sentence gate applies to the
+    CLEANED text."""
+    from forest_open_data_pipelines_spark.operators import textops
+
+    good_line = "This is a fine sentence with many words in it."
+    docs = spark.createDataFrame(
+        [
+            (1, "\n".join([good_line] * 3)),            # passes
+            (2, "\n".join([good_line] * 2)),            # only 2 sentences
+            (3, good_line + "\nshort line here.\n"      # short + js +
+                + "enable javascript to view this.\n"   # unterminated
+                + "no terminal punctuation line at all"),
+            (4, "\n".join([good_line] * 3) + "\nlorem ipsum dolor."),
+            (5, "\n".join([good_line] * 3) + "\nvar x = { a: 1 };"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r for r in textops.c4_line_filters(docs).collect()
+    }
+    assert rows[1]["passes_c4"] is True
+    assert rows[1]["n_kept_lines"] == 3 and rows[1]["n_sentences"] == 3
+    assert rows[2]["passes_c4"] is False  # 2 sentences < 3
+    r3 = rows[3]
+    assert r3["n_kept_lines"] == 1  # only the good line survives
+    assert r3["n_short_lines"] == 1 + 0  # "short line here." has 3 words
+    assert r3["n_js_lines"] == 1
+    assert r3["n_unterminated_lines"] == 1
+    assert r3["cleaned_text"] == good_line
+    assert rows[4]["has_lorem_ipsum"] is True
+    assert rows[4]["passes_c4"] is False
+    assert rows[5]["has_brace"] is True and rows[5]["passes_c4"] is False
