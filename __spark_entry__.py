@@ -7257,7 +7257,10 @@ roll AS (
          w23 AS (ORDER BY period ROWS BETWEEN 23 PRECEDING AND 12 PRECEDING)
 ),
 yearly AS (
-  SELECT substr(period, 1, 4)::INT AS year, sum(n_orders) AS year_total
+  -- ::BIGINT matters: sum(BIGINT) is HUGEINT, which pandas surfaces
+  -- as float64 and the driver's dtype-sensitive compare rejects
+  SELECT substr(period, 1, 4)::INT AS year,
+         sum(n_orders)::BIGINT AS year_total
   FROM eff GROUP BY 1
 )
 SELECT l.latest_period, l.latest_year,

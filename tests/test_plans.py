@@ -979,3 +979,16 @@ def test_effective_overview_metrics_rides_persisted_series(spark):
         assert not live_scans(plan), live_scans(plan)
     finally:
         release_persisted()
+
+
+def test_rule_gate_entries_single_scan_no_shuffle(spark):
+    """The Gopher and C4 rule gates are scan-stage cleaning: pure
+    per-row codegen over ONE documents scan — no hash exchange, no
+    Python, only the presentation sort's range partition."""
+    from tools.scan_audit import live_scans
+
+    for name in ("gopher_quality_rules", "c4_line_filters"):
+        plan = _plan(spark, name)
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "PythonUDF" not in plan, name
+        assert live_scans(plan) == {"documents": 1}, (name, live_scans(plan))
