@@ -1761,3 +1761,73 @@ def test_ahash_gate_stream_matches_batch(spark, tmp_path):
         assert (r["status"] == "dup") == (r["n_base_matches"] > 0)
         if r["status"] == "dup":
             assert r["best_hamming"] is not None and r["best_hamming"] <= 7
+
+
+def test_stream_stream_click_purchase_pairs_match_batch(spark, tmp_path):
+    """The watermarked STREAM-STREAM interval join must reproduce the
+    batch range_window_join pair set exactly (same strict-lower /
+    inclusive-upper bounds), and its per-purchase aggregate must equal
+    clicks_before_purchase restricted to purchases with >=1 click."""
+    from pyspark.sql import functions as F2
+
+    from forest_open_data_pipelines_spark.operators.asof import (
+        clicks_before_purchase,
+        range_window_join,
+    )
+    from forest_open_data_pipelines_spark.streaming.attribution import (
+        click_purchase_pairs_stream,
+    )
+    from forest_open_data_pipelines_spark.streaming.windowed import (
+        stream_events_from_parquet,
+    )
+
+    stream = stream_events_from_parquet(spark, SF_DIR)
+    query = (
+        click_purchase_pairs_stream(stream)
+        .writeStream.format("memory")
+        .queryName("ss_attr_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss_attr"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got_pairs = {
+            (r["purchase_event_id"], r["click_event_id"])
+            for r in spark.sql("SELECT * FROM ss_attr_test").collect()
+        }
+    finally:
+        query.stop()
+
+    events = load_table(spark, SF_DIR, "events")
+    purchases = events.where(F2.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = events.where(F2.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    want_pairs = {
+        (r["event_id"], r["w_event_id"])
+        for r in range_window_join(
+            purchases, clicks, key="user_id", window_seconds=30 * 60
+        ).collect()
+        if r["w_event_id"] is not None
+    }
+    assert got_pairs == want_pairs and got_pairs
+
+    # aggregate parity on the >=1-click subset (inner join drops
+    # zero-click purchases; the batch left shape keeps them as 0 rows)
+    got_agg = {
+        (r["purchase_event_id"], r["n_clicks"], r["click_value"])
+        for r in spark.sql(
+            "SELECT purchase_event_id, count(click_event_id) AS n_clicks,"
+            " round(sum(click_value) * 1e6) / 1e6 AS click_value"
+            " FROM ss_attr_test GROUP BY purchase_event_id"
+        ).collect()
+    }
+    want_agg = {
+        (r["purchase_event_id"], r["n_clicks"], r["click_value"])
+        for r in clicks_before_purchase(events).collect()
+        if r["n_clicks"] > 0
+    }
+    assert got_agg == want_agg
