@@ -36,7 +36,10 @@ ATTRIBUTION_WATERMARK = "365 days"
 
 
 def click_purchase_pairs_stream(
-    events_stream: DataFrame, window_minutes: int = 30
+    events_stream: DataFrame,
+    window_minutes: int = 30,
+    join_type: str = "inner",
+    watermark: str = ATTRIBUTION_WATERMARK,
 ) -> DataFrame:
     """Watermarked stream-stream join: every (purchase, click) pair of
     the same user with the click inside the purchase's preceding
@@ -47,6 +50,17 @@ def click_purchase_pairs_stream(
     the range condition is the join's state-eviction bound. No
     cartesian, no unbounded state: each side buffers at most
     watermark+window of rows per key.
+
+    ``join_type="left_outer"`` keeps zero-click purchases — Spark
+    emits their all-NULL click row only once the GLOBAL watermark
+    (the MIN across both watermarked inputs, the default multi-stream
+    policy) passes the purchase's window, so late emission is
+    watermark-driven; tested with a controlled two-batch stream whose
+    second batch carries far-future events on BOTH sides (a future
+    purchase alone leaves the click side — and thus the global
+    watermark — stuck, and the NULL row unemitted).
+    ``watermark`` overrides the delay on both sides (tests use a tight
+    one; the default covers the testdata replay skew).
     """
     clicks = (
         events_stream.where(F.col("event_type") == "click")
@@ -56,7 +70,7 @@ def click_purchase_pairs_stream(
             F.col("ts").alias("click_ts"),
             F.col("value").alias("click_value"),
         )
-        .withWatermark("click_ts", ATTRIBUTION_WATERMARK)
+        .withWatermark("click_ts", watermark)
     )
     purchases = (
         events_stream.where(F.col("event_type") == "purchase")
@@ -65,7 +79,7 @@ def click_purchase_pairs_stream(
             F.col("event_id").alias("purchase_event_id"),
             F.col("ts").alias("purchase_ts"),
         )
-        .withWatermark("purchase_ts", ATTRIBUTION_WATERMARK)
+        .withWatermark("purchase_ts", watermark)
     )
     return purchases.join(
         clicks,
@@ -76,7 +90,7 @@ def click_purchase_pairs_stream(
             - F.expr(f"INTERVAL {window_minutes * 60} SECOND")
         )
         & (F.col("click_ts") <= F.col("purchase_ts")),
-        "inner",
+        join_type,
     ).select(
         "user_id",
         "purchase_event_id",

@@ -1831,3 +1831,83 @@ def test_stream_stream_click_purchase_pairs_match_batch(spark, tmp_path):
         if r["n_clicks"] > 0
     }
     assert got_agg == want_agg
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(
+    spark, tmp_path
+):
+    """left_outer stream-stream join: a zero-click purchase's all-NULL
+    row emits only once the click-side watermark PASSES its window —
+    driven here by a controlled second batch far in the future. A
+    matched purchase keeps its pair; the late batch's own purchase
+    stays unemitted (its window never provably closes before drain)."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.streaming.attribution import (
+        click_purchase_pairs_stream,
+    )
+
+    src_dir = tmp_path / "ss_left_src"
+    src_dir.mkdir()
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    batch1 = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 7, "click", 1.0, "{}"),
+            (2, datetime(2024, 1, 1, 10, 10), 7, "purchase", 9.0, "{}"),
+            (3, datetime(2024, 1, 1, 10, 20), 8, "purchase", 5.0, "{}"),
+        ],
+        schema,
+    )
+    batch1.coalesce(1).write.parquet(str(src_dir / "b1.parquet"))
+    # second batch: far-future events on BOTH sides — Spark's global
+    # watermark is the MIN across all watermarked inputs, so a future
+    # purchase alone would leave the click-side watermark (and the
+    # global one) stuck at batch1 and the NULL row unemitted
+    import time as _time
+
+    _time.sleep(1.1)  # distinct mtimes keep the file order b1 -> b2
+    batch2 = spark.createDataFrame(
+        [
+            (4, datetime(2024, 3, 1, 0, 0), 9, "purchase", 1.0, "{}"),
+            (5, datetime(2024, 3, 1, 0, 0), 10, "click", 1.0, "{}"),
+        ],
+        schema,
+    )
+    batch2.coalesce(1).write.parquet(str(src_dir / "b2.parquet"))
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "part-*.parquet")
+        .parquet(str(src_dir))
+    )
+    query = (
+        click_purchase_pairs_stream(
+            stream, join_type="left_outer", watermark="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName("ss_left_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ss_left"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        rows = {
+            r["purchase_event_id"]: r
+            for r in spark.sql("SELECT * FROM ss_left_test").collect()
+        }
+    finally:
+        query.stop()
+
+    # matched purchase pairs with its click; unmatched purchase 3 emits
+    # the all-NULL click row after the watermark advance; the future
+    # purchase 4's window is still open at drain
+    assert rows[2]["click_event_id"] == 1
+    assert rows[3]["click_event_id"] is None
+    assert rows[3]["click_ts"] is None and rows[3]["click_value"] is None
+    assert 4 not in rows  # its window never provably closes before drain
