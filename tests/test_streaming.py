@@ -1901,6 +1901,13 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(
             r["purchase_event_id"]: r
             for r in spark.sql("SELECT * FROM ss_left_test").collect()
         }
+        # the SCALE property: watermark passage EVICTS join state.
+        # batch1 contributed 3 buffered rows; after the global
+        # watermark passes their windows only the still-open future
+        # rows may remain.
+        state = (query.lastProgress or {}).get("stateOperators") or []
+        if state:
+            assert state[0]["numRowsTotal"] <= 2, state[0]
     finally:
         query.stop()
 

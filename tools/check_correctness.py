@@ -1,46 +1,27 @@
 """Local twin of the driver's t2 correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` twin on DuckDB
-at the same scale factor, compare row count, column names, and an
-order-insensitive value hash.
+at the same scale factor; both sides go THROUGH PANDAS and the shared
+driver-shaped canonicalization (tools/frame_compare.py — dtype
+sensitivity included), compared on column names, row count, and
+order-insensitive values.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
-import math
+import os
 import sys
-from datetime import date, datetime
 
 import duckdb
 
 sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entry_mod
+from frame_compare import pandas_signature
 from forest_open_data_pipelines_spark.session import get_spark
 from forest_open_data_pipelines_spark.sources.tables import TABLES
-
-
-def canon(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(bool(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(round(v, 9))
-    if isinstance(v, datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, date):
-        return v.isoformat()
-    return str(v)
-
-
-def frame_signature(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    body = sorted(tuple(canon(r[i]) for i in order) for r in rows)
-    return sorted(cols), body
 
 
 def main() -> int:
@@ -60,26 +41,22 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             failures.append(name)
             print(f"{name}: SPARK FAIL {type(e).__name__}: {str(e)[:200]}")
             continue
         if name not in oracles:
-            print(f"{name}: rows-only rows={len(srows)}")
+            print(f"{name}: rows-only rows={len(spdf)}")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            odf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"{name}: ORACLE FAIL {type(e).__name__}: {str(e)[:300]}")
             continue
-        sc, sb = frame_signature(scols, srows)
-        oc, ob = frame_signature(ocols, orows)
+        sc, sb = pandas_signature(spdf)
+        oc, ob = pandas_signature(odf)
         if sc != oc:
             failures.append(name)
             print(f"{name}: COLUMN MISMATCH spark={sc} oracle={oc}")
