@@ -59,11 +59,24 @@ def main() -> None:
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "simple"
     )
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+
     flagged = 0
     for name, fn in QUERIES.items():
         if only and name not in only:
             continue
         try:
+            # measure each entry FRESH: accumulated cache/checkpoint
+            # registrations from EARLIER entries' plan construction
+            # poison later substitution (r10 finding: building
+            # perplexity_buckets' lazily-checkpointed plan first made
+            # charlm_perplexity print 12 live scans that are 0 in a
+            # clean session — and 0 at runtime, where bench/driver
+            # call release_persisted between queries)
+            release_persisted()
+            spark.catalog.clearCache()
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().explainString(mode)
         except Exception as e:  # noqa: BLE001
