@@ -27,6 +27,7 @@ from forest_open_data_pipelines_spark.operators.textops import (
     GOPHER_MIN_MEAN_WORD_LEN,
     GOPHER_MIN_STOPWORDS_PRESENT,
     GOPHER_MIN_WORDS,
+    GOPHER_STOPWORDS,
     C4_MIN_SENTENCES,
     C4_MIN_WORDS_PER_LINE,
     LANG_MARKERS,
@@ -6004,7 +6005,7 @@ c AS (
          len(list_intersect(
              list_distinct(list_transform(words,
                  x -> lower(regexp_replace(x, '[^A-Za-z]', '', 'g')))),
-             ['the','be','to','of','and','that','have','with']))::INT
+             [{', '.join(f"'{w}'" for w in GOPHER_STOPWORDS)}]))::INT
            AS n_stop
   FROM w
 ),
@@ -7244,10 +7245,16 @@ latest AS (
   FROM eff
 ),
 roll AS (
+  -- full-prior-window gate mirrors the reference (:1849-1852):
+  -- prior total only when the w23 window holds a FULL 12 rows,
+  -- else 0 (consumer coalesce at :281) and a NULL pct
   SELECT period,
          sum(n_orders) OVER w11::BIGINT AS recent_12m_total,
-         (sum(n_orders) OVER w23)::BIGINT AS prior_12m_total,
-         round(CASE WHEN sum(n_orders) OVER w23 <> 0
+         CASE WHEN count(n_orders) OVER w23 = 12
+              THEN (sum(n_orders) OVER w23)::BIGINT
+              ELSE 0 END AS prior_12m_total,
+         round(CASE WHEN count(n_orders) OVER w23 = 12
+                     AND sum(n_orders) OVER w23 <> 0
                THEN (sum(n_orders) OVER w11
                      - sum(n_orders) OVER w23)::DOUBLE
                     / sum(n_orders) OVER w23 * 100.0
@@ -7274,8 +7281,9 @@ SELECT l.latest_period, l.latest_year,
                 0)::BIGINT AS latest_month_total,
        (SELECT max(year) FROM yearly WHERE year < l.latest_year)
          AS previous_year,
-       (SELECT arg_max(year_total, year) FROM yearly
-        WHERE year < l.latest_year) AS previous_year_total,
+       coalesce((SELECT arg_max(year_total, year) FROM yearly
+                 WHERE year < l.latest_year), 0)::BIGINT
+         AS previous_year_total,
        r.recent_12m_total, r.prior_12m_total, r.rolling_pct_change
 FROM latest l JOIN roll r ON r.period = l.latest_period"""
     out["eia_series_combinations"] = _eia_series_combinations_sql()

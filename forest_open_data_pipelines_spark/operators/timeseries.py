@@ -952,8 +952,16 @@ def effective_overview_metrics(
             "latest_period",
             "latest_year",
             "recent_12m_total",
-            "prior_12m_total",
-            F.col("pct_change").alias("rolling_pct_change"),
+            # the reference only emits a prior total when the prior
+            # window is a FULL 12 rows (:1849-1852 prior_total=None
+            # unless len==12; the consumer coalesces None→0 at :281)
+            # — a 13-23-month series gets 0/NULL, never a partial sum
+            F.when(F.col("has_full_prior_window"), F.col("prior_12m_total"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("prior_12m_total"),
+            F.when(
+                F.col("has_full_prior_window"), F.col("pct_change")
+            ).alias("rolling_pct_change"),
         )
     )
     yr = F.substring("period", 1, 4).cast("int")
@@ -1014,7 +1022,11 @@ def effective_overview_metrics(
                 F.col("latest_month_total"), F.lit(0).cast("long")
             ).alias("latest_month_total"),
             "previous_year",
-            "previous_year_total",
+            # reference :266-268: previous_year_total falls back to 0
+            # (not None) when no year precedes the latest
+            F.coalesce(
+                F.col("previous_year_total"), F.lit(0).cast("long")
+            ).alias("previous_year_total"),
             "recent_12m_total",
             "prior_12m_total",
             "rolling_pct_change",

@@ -6404,6 +6404,49 @@ def test_effective_overview_metrics_branches(spark):
     assert row2["previous_year"] == 2023 and row2["previous_year_total"] == 1
 
 
+def test_effective_overview_metrics_partial_prior_window_gated(spark):
+    """ADVICE r10: a 13-23-row effective series must NOT emit a partial
+    prior-12m sum — the reference (:1849-1852) sets prior_total=None
+    unless the prior window holds a FULL 12 rows, and the consumer
+    (:281) coalesces None to 0 with a None pct; a single-year series
+    emits previous_year_total=0 (:266-268), not NULL."""
+    from datetime import date, datetime
+
+    # 14 consecutive zip months (2023-01..2024-02): prior window at the
+    # latest row holds only 2 rows -> gate must zero/NULL it
+    zip_rows = [
+        (date(2023, m, 3), float(m)) for m in range(1, 13)
+    ] + [(date(2024, 1, 4), 1.0), (date(2024, 2, 4), 1.0)]
+    enriched, events = _ems_frames(
+        spark, zip_rows, [(datetime(2024, 2, 20), 1.0)]
+    )
+    row = timeseries.effective_overview_metrics(enriched, events).collect()[0]
+    assert row["latest_period"] == "2024-02"
+    assert row["recent_12m_total"] == 12  # 12 most recent 1-order months
+    assert row["prior_12m_total"] == 0
+    assert row["rolling_pct_change"] is None
+    # 24 consecutive months -> full prior window, real values
+    zip_rows24 = [(date(2022, m, 3), 1.0) for m in range(1, 13)] + [
+        (date(2023, m, 3), 1.0) for m in range(1, 13)
+    ]
+    enriched2, events2 = _ems_frames(
+        spark, zip_rows24, [(datetime(2023, 12, 20), 1.0)]
+    )
+    row2 = timeseries.effective_overview_metrics(enriched2, events2).collect()[0]
+    assert row2["prior_12m_total"] == 12
+    assert row2["rolling_pct_change"] == 0.0
+    # single-year series: no preceding year -> previous_year NULL but
+    # previous_year_total coalesced to 0
+    enriched3, events3 = _ems_frames(
+        spark,
+        [(date(2024, 1, 2), 1.0), (date(2024, 2, 2), 1.0)],
+        [(datetime(2024, 2, 20), 1.0)],
+    )
+    row3 = timeseries.effective_overview_metrics(enriched3, events3).collect()[0]
+    assert row3["previous_year"] is None
+    assert row3["previous_year_total"] == 0
+
+
 def test_gopher_quality_rules_gates(spark):
     """Each Gopher A1.1 rule trips on a document built to violate
     exactly it, and a plain long English document passes all seven."""
