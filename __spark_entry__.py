@@ -30,6 +30,7 @@ from forest_open_data_pipelines_spark.operators.textops import (
     GOPHER_STOPWORDS,
     C4_MIN_SENTENCES,
     C4_MIN_WORDS_PER_LINE,
+    C4_SENTENCEIFY_WORDS_PER_LINE,
     LANG_MARKERS,
     PT_ACCENT_REPLACEMENTS,
 )
@@ -6053,11 +6054,43 @@ FROM r ORDER BY doc_id""",
         # C4 §2.2 line filters: exact per-line predicates, kept lines
         # re-joined in order, sentence count over the cleaned text.
         "c4_line_filters": f"""
-WITH w AS (
+WITH sw AS (
+  -- c4_sentenceify twin (textops.py): closed-form punctuated variant
+  -- of (doc_id, text) so every rule fires on the synthetic corpus
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w != '') AS words
+  FROM documents
+),
+sv AS (
+  SELECT doc_id,
+         array_to_string(
+           list_concat(
+             list_concat(
+               CASE WHEN len(words) = 0 THEN []
+               ELSE list_transform(
+                 range(0, ((len(words) + {C4_SENTENCEIFY_WORDS_PER_LINE - 1})
+                           // {C4_SENTENCEIFY_WORDS_PER_LINE})::BIGINT),
+                 j -> array_to_string(
+                        list_slice(words,
+                          (j * {C4_SENTENCEIFY_WORDS_PER_LINE} + 1)::INT,
+                          (j * {C4_SENTENCEIFY_WORDS_PER_LINE}
+                           + {C4_SENTENCEIFY_WORDS_PER_LINE})::INT), ' ')
+                      || CASE WHEN j % 7 = 6 THEN ' javascript' ELSE '' END
+                      || CASE WHEN j % 3 = 2 THEN '' ELSE '.' END)
+               END,
+               CASE WHEN doc_id % 13 = 5
+                 THEN ['lorem ipsum dolor sit amet consectetur adipiscing.']
+                 ELSE [] END),
+             CASE WHEN doc_id % 11 = 3
+               THEN ['var config = {{ x }};'] ELSE [] END
+           ), chr(10)) AS text
+  FROM sw
+),
+w AS (
   SELECT doc_id, string_split(text, chr(10)) AS lines,
          contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
          contains(text, '{{') AS has_brace
-  FROM documents
+  FROM sv
 ),
 c AS (
   SELECT doc_id, len(lines)::BIGINT AS n_lines,

@@ -524,6 +524,58 @@ def gopher_quality_rules(documents: DataFrame) -> DataFrame:
 C4_MIN_WORDS_PER_LINE = 5
 C4_MIN_SENTENCES = 3
 
+#: c4_sentenceify chunking: words per derived line.
+C4_SENTENCEIFY_WORDS_PER_LINE = 8
+
+
+def c4_sentenceify(documents: DataFrame) -> DataFrame:
+    """Deterministic sentence-ified variant of the documents table so
+    every C4 rule fires on the synthetic corpus (VERDICT r10 item 2:
+    the raw corpus carries no terminal punctuation, so the keep path
+    was vacuous at catalog scale).
+
+    The transform is a pure closed-form function of (doc_id, text),
+    restated verbatim in the DuckDB oracle CTE: the word stream is
+    chunked into 8-word lines; chunk j gains ``' javascript'`` when
+    ``j % 7 == 6`` (trips the javascript rule), loses its terminal
+    ``'.'`` when ``j % 3 == 2`` (trips the unterminated rule; the
+    final short chunk trips the <5-words rule on its own); documents
+    with ``doc_id % 13 == 5`` append a lorem-ipsum line (page drop)
+    and ``doc_id % 11 == 3`` a ``{``-bearing line (page drop), so the
+    document-level gates also fire.
+
+    Scale: one per-row Catalyst projection (split → transform →
+    array_join), no shuffle, no UDF — composes into c4_line_filters'
+    single-scan shape.
+    """
+    n = C4_SENTENCEIFY_WORDS_PER_LINE
+    lines = F.expr(
+        "CASE WHEN size(filter(split(text, ' '), w -> w != '')) = 0"
+        " THEN array()"
+        " ELSE transform("
+        f"  sequence(0, (size(filter(split(text, ' '), w -> w != '')) + {n - 1})"
+        f"              div {n} - 1),"
+        "   j -> concat("
+        f"    array_join(slice(filter(split(text, ' '), w -> w != ''),"
+        f"               j * {n} + 1, {n}), ' '),"
+        "     CASE WHEN j % 7 = 6 THEN ' javascript' ELSE '' END,"
+        "     CASE WHEN j % 3 = 2 THEN '' ELSE '.' END)) END"
+    )
+    with_suffixes = F.concat(
+        lines,
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.array(F.lit("lorem ipsum dolor sit amet consectetur adipiscing.")),
+        ).otherwise(F.array().cast("array<string>")),
+        F.when(
+            F.col("doc_id") % 11 == 3,
+            F.array(F.lit("var config = { x };")),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return documents.select(
+        "doc_id", F.array_join(with_suffixes, "\n").alias("text")
+    )
+
 
 def c4_line_filters(documents: DataFrame) -> DataFrame:
     """The C4 line-level cleaning rules (Raffel et al. 2020 §2.2,

@@ -832,8 +832,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_quality_rules": lambda s, d: textops.gopher_quality_rules(
         load_table(s, d, "documents")
     ),
+    # sentence-ified variant so every C4 rule fires on the synthetic
+    # corpus (kept_lines > 0 hash-checked at scale) — the raw corpus
+    # has no terminal punctuation, which made the keep path vacuous
     "c4_line_filters": lambda s, d: textops.c4_line_filters(
-        load_table(s, d, "documents")
+        textops.c4_sentenceify(load_table(s, d, "documents"))
     ),
 }
 

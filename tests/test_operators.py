@@ -6522,3 +6522,45 @@ def test_c4_line_filters_semantics(spark):
     assert rows[4]["has_lorem_ipsum"] is True
     assert rows[4]["passes_c4"] is False
     assert rows[5]["has_brace"] is True and rows[5]["passes_c4"] is False
+
+
+def test_c4_sentenceify_makes_rules_fire(spark):
+    """The closed-form punctuated variant (VERDICT r10 item 2): an
+    unpunctuated word stream gains 8-word lines with deterministic
+    javascript/unterminated/short perturbations and doc-level
+    lorem/brace suffixes, so c4_line_filters' keep path is non-vacuous
+    on the synthetic corpus."""
+    from forest_open_data_pipelines_spark.operators import textops
+
+    # 25 words -> chunks j=0..3 (8/8/8/1 words); j=2 unterminated,
+    # j=3 short; doc 5 (%13==5) gains the lorem line, doc 3 (%11==3)
+    # the brace line
+    stream = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(0, stream), (3, stream), (5, stream), (7, "")],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: r["text"] for r in textops.c4_sentenceify(docs).collect()}
+    lines0 = v[0].split("\n")
+    assert len(lines0) == 4
+    assert lines0[0] == " ".join(f"w{i}" for i in range(8)) + "."
+    assert lines0[2] == " ".join(f"w{i}" for i in range(16, 24))  # j%3==2
+    assert lines0[3] == "w24."  # short tail, terminated
+    assert v[3].split("\n")[-1] == "var config = { x };"
+    assert v[5].split("\n")[-1].startswith("lorem ipsum")
+    assert v[7] == ""
+    rows = {
+        r["doc_id"]: r
+        for r in textops.c4_line_filters(textops.c4_sentenceify(docs)).collect()
+    }
+    assert rows[0]["n_kept_lines"] == 2  # j=0, j=1 survive
+    assert rows[0]["n_unterminated_lines"] == 1
+    assert rows[0]["n_short_lines"] == 1
+    assert rows[3]["has_brace"] is True and rows[3]["passes_c4"] is False
+    assert rows[5]["has_lorem_ipsum"] is True
+    # a 7+-chunk doc trips the javascript rule: 60 words -> j=6 exists
+    big = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(60)))], "doc_id long, text string"
+    )
+    r = textops.c4_line_filters(textops.c4_sentenceify(big)).collect()[0]
+    assert r["n_js_lines"] == 1
