@@ -7522,6 +7522,53 @@ SELECT origin,
        sum(n_bytes - declared_size)::BIGINT AS extra_octets,
        count(DISTINCT sha)::BIGINT AS n_distinct_payloads
 FROM media GROUP BY origin ORDER BY origin"""
+    # real-decode report: the synthesized payloads' pixel grid is the
+    # closed form (media_id*7 + y*31 + x*13 + c*5) % 256 at
+    # (3 + id%5) × (2 + id%3), so dims / 6-dp mean / the quarantine
+    # error strings are all stated exactly (multimodal.py
+    # media_synth_table + decode_real)
+    from forest_open_data_pipelines_spark.operators.multimodal import (
+        DECODE_UNSUPPORTED_MSG,
+        PPM_RANGE_MSG,
+        SYNTH_HEIGHT_BASE,
+        SYNTH_HEIGHT_MOD,
+        SYNTH_WIDTH_BASE,
+        SYNTH_WIDTH_MOD,
+    )
+
+    png_msg = DECODE_UNSUPPORTED_MSG.format(media_type="image/png").replace(
+        "'", "''"
+    )
+    out["media_decode_report"] = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         ({SYNTH_WIDTH_BASE} + doc_id % {SYNTH_WIDTH_MOD})::BIGINT AS w,
+         ({SYNTH_HEIGHT_BASE} + doc_id % {SYNTH_HEIGHT_MOD})::BIGINT AS h,
+         doc_id % 4 AS kind, doc_id % 8 AS k8
+  FROM documents
+),
+px AS (
+  SELECT media_id, w, h, kind, k8,
+         list_sum(flatten(list_transform(range(0, h), y ->
+           flatten(list_transform(range(0, w), x ->
+             list_transform(range(0, 3), c ->
+               (media_id * 7 + y * 31 + x * 13 + c * 5) % 256))))))
+           AS pixel_sum
+  FROM base
+)
+SELECT media_id,
+       CASE WHEN kind = 0 THEN 'ppm_p6' WHEN kind = 1 THEN 'ppm_p3'
+            WHEN kind = 2 THEN 'bmp'
+            WHEN k8 = 3 THEN 'corrupt_ppm'
+            ELSE 'unsupported_png' END AS media_kind,
+       CASE WHEN kind < 3 THEN h END AS height,
+       CASE WHEN kind < 3 THEN w END AS width,
+       CASE WHEN kind < 3
+            THEN round(pixel_sum::DOUBLE / (h * w * 3), 6)
+            END AS pixel_mean,
+       CASE WHEN kind = 3 AND k8 = 3 THEN '{PPM_RANGE_MSG}'
+            WHEN kind = 3 THEN '{png_msg}' END AS decode_error
+FROM px ORDER BY media_id"""
     # novelty: first-occurrence ownership reduces the gram table —
     # identical construction to the Spark plan, stated over SHINGLES
     out["ngram_novelty"] = f"""

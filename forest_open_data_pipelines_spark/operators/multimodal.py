@@ -52,6 +52,15 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+#: quarantine error strings, single-sourced with the DuckDB oracle's
+#: closed-form restatement in media_decode_report
+PPM_RANGE_MSG = "PPM ascii sample out of range"
+DECODE_UNSUPPORTED_MSG = (
+    "decode for {media_type!r} requires codec libraries not present "
+    "in this environment; PPM (P6/P3) and 24-bit BMP decode natively"
+)
+
+
 def _decode_ppm(payload: bytes):
     """Pure-stdlib netpbm decode (public format spec): binary P6 and
     ascii P3, maxval ≤ 255, '#' comments allowed anywhere a token
@@ -88,7 +97,7 @@ def _decode_ppm(payload: bytes):
         # the invalid raster
         raster = np.array(payload[pos:].split()[:n], dtype=np.int64)
         if raster.size and (raster.min() < 0 or raster.max() > maxval):
-            raise ValueError("PPM ascii sample out of range")
+            raise ValueError(PPM_RANGE_MSG)
         raster = raster.astype(np.uint8)
     if raster.size != n:
         raise ValueError("truncated PPM raster")
@@ -144,8 +153,7 @@ def decode_real(payload: bytes, media_type: str):
     if media_type == "image/bmp" or payload[:2] == b"BM":
         return _decode_bmp(payload)
     raise NotImplementedError(
-        f"decode for {media_type!r} requires codec libraries not present "
-        "in this environment; PPM (P6/P3) and 24-bit BMP decode natively"
+        DECODE_UNSUPPORTED_MSG.format(media_type=media_type)
     )
 
 
@@ -556,6 +564,151 @@ def media_integrity_audit(documents: DataFrame) -> DataFrame:
         )
         .orderBy("origin")
     )
+
+
+#: media_decode_report synth geometry/pixel formula — single-sourced
+#: with the DuckDB oracle's closed-form restatement.
+SYNTH_WIDTH_BASE, SYNTH_WIDTH_MOD = 3, 5
+SYNTH_HEIGHT_BASE, SYNTH_HEIGHT_MOD = 2, 3
+
+SYNTH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField(
+            "meta",
+            StructType([StructField("media_type", StringType(), False)]),
+            False,
+        ),
+    ]
+)
+
+
+def _synth_pixels(media_id: int, h: int, w: int):
+    """The closed-form pixel grid the oracle restates: value at
+    (y, x, c) is ``(media_id*7 + y*31 + x*13 + c*5) % 256``, RGB
+    row-major."""
+    import numpy as np
+
+    y = np.arange(h, dtype=np.int64)[:, None, None]
+    x = np.arange(w, dtype=np.int64)[None, :, None]
+    c = np.arange(3, dtype=np.int64)[None, None, :]
+    return ((media_id * 7 + y * 31 + x * 13 + c * 5) % 256).astype(np.uint8)
+
+
+def _encode_bmp(img) -> bytes:
+    """Uncompressed 24-bit bottom-up Windows BMP bytes for an
+    (H, W, 3) uint8 RGB grid (public format spec)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    raster = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(raster), 0, 0, 54)
+    return header + info + raster
+
+
+def media_synth_table(documents: DataFrame) -> DataFrame:
+    """Deterministically synthesized REAL image payloads, one per
+    document: ``media_id % 4`` picks binary PPM (P6, with a header
+    comment exercising the tokenizer), ascii PPM (P3), uncompressed
+    24-bit BMP, or a corrupt/unsupported payload (out-of-range P3
+    sample when ``media_id % 8 == 3``, PNG magic otherwise — the
+    quarantine rows). Dimensions and pixel values are closed-form
+    functions of media_id so a DuckDB oracle states the decode output
+    exactly (VERDICT r10 item 3).
+
+    Scale: Arrow-batched generation in the scan stage; payloads are
+    tens of bytes and never shuffle (the decode report projects them
+    away in the same pipeline).
+    """
+    ids = documents.select(F.col("doc_id").alias("media_id"))
+
+    def _synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            payloads, metas = [], []
+            for mid in pdf["media_id"].astype("int64"):
+                mid = int(mid)
+                w = SYNTH_WIDTH_BASE + mid % SYNTH_WIDTH_MOD
+                h = SYNTH_HEIGHT_BASE + mid % SYNTH_HEIGHT_MOD
+                img = _synth_pixels(mid, h, w)
+                kind = mid % 4
+                if kind == 0:
+                    payloads.append(
+                        b"P6\n# synth %d\n%d %d\n255\n" % (mid, w, h)
+                        + img.tobytes()
+                    )
+                    metas.append({"media_type": "image/x-portable-pixmap"})
+                elif kind == 1:
+                    samples = " ".join(str(v) for v in img.reshape(-1))
+                    payloads.append(
+                        (f"P3\n{w} {h}\n255\n{samples}\n").encode("ascii")
+                    )
+                    metas.append({"media_type": "image/x-portable-pixmap"})
+                elif kind == 2:
+                    payloads.append(_encode_bmp(img))
+                    metas.append({"media_type": "image/bmp"})
+                elif mid % 8 == 3:
+                    samples = ["300"] + [
+                        str(v) for v in img.reshape(-1)[1:]
+                    ]
+                    payloads.append(
+                        (f"P3\n{w} {h}\n255\n" + " ".join(samples) + "\n")
+                        .encode("ascii")
+                    )
+                    metas.append({"media_type": "image/x-portable-pixmap"})
+                else:
+                    payloads.append(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+                    metas.append({"media_type": "image/png"})
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "payload": payloads,
+                    "meta": metas,
+                }
+            )
+
+    return ids.mapInPandas(_synth, SYNTH_SCHEMA)
+
+
+def media_decode_report(documents: DataFrame) -> DataFrame:
+    """Driver-checkable REAL-decode report (VERDICT r10 item 3): the
+    synthesized PPM/BMP payloads flow through ``decode_pixels`` (the
+    real pure-stdlib decoder behind the Arrow kernel), and every
+    output column — dims, 6-dp pixel mean, the quarantine error
+    string — is a closed-form function of media_id that the DuckDB
+    oracle states exactly. media_kind re-derives from media_id with a
+    pure Catalyst expression, so no join touches the decode pipeline.
+
+    Scale: documents scan → synth kernel → decode kernel chain in ONE
+    stage (mapInPandas composes without an exchange); only the
+    presentation sort shuffles the metadata-weight report rows.
+    """
+    kind = F.col("media_id") % 4
+    return decode_pixels(media_synth_table(documents)).select(
+        "media_id",
+        F.when(kind == 0, "ppm_p6")
+        .when(kind == 1, "ppm_p3")
+        .when(kind == 2, "bmp")
+        .when(F.col("media_id") % 8 == 3, "corrupt_ppm")
+        .otherwise("unsupported_png")
+        .alias("media_kind"),
+        "height",
+        "width",
+        "pixel_mean",
+        "decode_error",
+    ).orderBy("media_id")
 
 
 #: aHash geometry: 8×8 average-hash pixels (Krawetz's aHash, the

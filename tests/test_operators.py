@@ -287,6 +287,46 @@ def test_multimodal_decode_pixels_arrow_kernel(spark):
         assert rows[mid]["decode_error"]
 
 
+def test_media_decode_report_closed_form(spark):
+    """media_decode_report: the REAL decoder recovers exactly the
+    closed-form synth grid — dims (3 + id%5) × (2 + id%3), 6-dp mean
+    of (id*7 + 31y + 13x + 5c) % 256 — and the two quarantine kinds
+    carry their single-sourced error strings."""
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(16)], "doc_id long, text string"
+    )
+    rows = {
+        r["media_id"]: r
+        for r in multimodal.media_decode_report(docs).collect()
+    }
+    assert len(rows) == 16
+    for mid, r in rows.items():
+        w = 3 + mid % 5
+        h = 2 + mid % 3
+        if mid % 4 < 3:
+            kind = ("ppm_p6", "ppm_p3", "bmp")[mid % 4]
+            assert r["media_kind"] == kind
+            assert (r["height"], r["width"]) == (h, w)
+            grid = multimodal._synth_pixels(mid, h, w).astype(np.float64)
+            want = float(
+                multimodal._half_up6(grid.mean())
+            )
+            assert r["pixel_mean"] == want, (mid, r["pixel_mean"], want)
+            assert r["decode_error"] is None
+        elif mid % 8 == 3:
+            assert r["media_kind"] == "corrupt_ppm"
+            assert r["decode_error"] == multimodal.PPM_RANGE_MSG
+            assert r["pixel_mean"] is None
+        else:
+            assert r["media_kind"] == "unsupported_png"
+            assert r["decode_error"] == multimodal.DECODE_UNSUPPORTED_MSG.format(
+                media_type="image/png"
+            )
+            assert r["pixel_mean"] is None
+
+
 def test_ann_ivf_recall_vs_bruteforce(spark):
     """IVF with n_probe=2 of ~16 cells: scoring ~1/8 of the corpus must
     still recover a reasonable share of the exact top-k."""
