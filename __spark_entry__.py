@@ -681,6 +681,166 @@ SELECT *,
 FROM m ORDER BY doc_id"""
 
 
+def _reptext_sql() -> str:
+    """repetition_textify twin (textops.py): the closed-form
+    multi-line/multi-paragraph variant — 6-word lines, j%4==3 repeats
+    the previous line, 3-line paragraphs, doc_id%5==2 appends a copy
+    of paragraph 0."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        REPTEXT_LINES_PER_PARA as P,
+        REPTEXT_WORDS_PER_LINE as N,
+    )
+
+    return f"""
+SELECT doc_id,
+       array_to_string(
+         list_concat(paras,
+           CASE WHEN doc_id % 5 = 2 AND len(paras) > 0
+                THEN [paras[1]] ELSE [] END),
+         chr(10) || chr(10)) AS text
+FROM (
+  SELECT doc_id,
+         CASE WHEN len(ls) = 0 THEN []
+         ELSE list_transform(range(0, ((len(ls) + {P - 1}) // {P})::BIGINT),
+           q -> array_to_string(
+                  list_slice(ls, (q * {P} + 1)::INT, (q * {P} + {P})::INT),
+                  chr(10))) END AS paras
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(w) = 0 THEN []
+           ELSE list_transform(range(0, ((len(w) + {N - 1}) // {N})::BIGINT),
+             j -> array_to_string(
+                    list_slice(w,
+                      ((CASE WHEN j % 4 = 3 THEN j - 1 ELSE j END) * {N}
+                       + 1)::INT,
+                      ((CASE WHEN j % 4 = 3 THEN j - 1 ELSE j END) * {N}
+                       + {N})::INT), ' ')) END AS ls
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x != '') AS w
+          FROM documents)
+  )
+)"""
+
+
+def _gopher_repetition_rules_sql(src: str) -> str:
+    """gopher_repetition_rules oracle over an arbitrary (doc_id, text)
+    relation ``src`` — the same 11 tagged streams (lines, paragraphs,
+    word n-grams 2..10), the same beyond-first duplicate convention
+    (dup mass = Σ (c−1)·len over values with c ≥ 2), the same
+    longest-among-most-frequent top-gram tie-break, thresholds
+    interpolated from the single-sourced GOPHER_* constants."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        GOPHER_DUP_NGRAM_THRESHOLDS,
+        GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        GOPHER_MAX_DUP_LINE_FRAC,
+        GOPHER_MAX_DUP_PARA_CHAR_FRAC,
+        GOPHER_MAX_DUP_PARA_FRAC,
+        GOPHER_TOP_NGRAM_THRESHOLDS,
+    )
+
+    ngram_streams = "\n  UNION ALL\n".join(
+        f"""  SELECT doc_id, {n} AS k,
+         unnest(list_transform(range(1, len(words) - {n} + 2),
+           i -> array_to_string(
+                  list_slice(words, i::INT, (i + {n - 1})::INT), ' '))) AS g
+  FROM ws WHERE len(words) >= {n}"""
+        for n in (*GOPHER_TOP_NGRAM_THRESHOLDS, *GOPHER_DUP_NGRAM_THRESHOLDS)
+    )
+    metric_sql = [
+        ("dup_line_frac",
+         "round(max(CASE WHEN p.k = 0 THEN p.dupocc::DOUBLE / p.total END),"
+         " 6)"),
+        ("dup_line_char_frac",
+         "round(max(CASE WHEN p.k = 0 THEN p.dupchar::DOUBLE / p.charmass"
+         " END), 6)"),
+        ("dup_para_frac",
+         "round(max(CASE WHEN p.k = 1 THEN p.dupocc::DOUBLE / p.total END),"
+         " 6)"),
+        ("dup_para_char_frac",
+         "round(max(CASE WHEN p.k = 1 THEN p.dupchar::DOUBLE / p.charmass"
+         " END), 6)"),
+    ]
+    for n in GOPHER_TOP_NGRAM_THRESHOLDS:
+        metric_sql.append(
+            (f"top_{n}gram_char_frac",
+             f"round(max(CASE WHEN p.k = {n} THEN t.topmass::DOUBLE"
+             " / p.charmass END), 6)")
+        )
+    for n in GOPHER_DUP_NGRAM_THRESHOLDS:
+        metric_sql.append(
+            (f"dup_{n}gram_char_frac",
+             f"round(max(CASE WHEN p.k = {n} THEN p.dupchar::DOUBLE"
+             " / p.charmass END), 6)")
+        )
+    gate_sql = [
+        ("rule_dup_line_frac",
+         f"dup_line_frac <= {GOPHER_MAX_DUP_LINE_FRAC}"),
+        ("rule_dup_line_char_frac",
+         f"dup_line_char_frac <= {GOPHER_MAX_DUP_LINE_CHAR_FRAC}"),
+        ("rule_dup_para_frac",
+         f"dup_para_frac <= {GOPHER_MAX_DUP_PARA_FRAC}"),
+        ("rule_dup_para_char_frac",
+         f"dup_para_char_frac <= {GOPHER_MAX_DUP_PARA_CHAR_FRAC}"),
+    ]
+    for n, thr in GOPHER_TOP_NGRAM_THRESHOLDS.items():
+        gate_sql.append((f"rule_top_{n}gram", f"top_{n}gram_char_frac <= {thr}"))
+    for n, thr in GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        gate_sql.append((f"rule_dup_{n}gram", f"dup_{n}gram_char_frac <= {thr}"))
+    metrics = ",\n    ".join(f"{expr} AS {name}" for name, expr in metric_sql)
+    gates = ",\n       ".join(
+        f"coalesce({expr}, TRUE) AS {name}" for name, expr in gate_sql
+    )
+    passes = " AND ".join(f"coalesce({expr}, TRUE)" for _, expr in gate_sql)
+    return f"""
+WITH src AS ({src}),
+ws AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\\s+'), w -> w != '')
+           AS words
+  FROM src
+),
+grams AS (
+  SELECT doc_id, 0 AS k,
+         unnest(list_filter(string_split(text, chr(10)), l -> l != '')) AS g
+  FROM src
+  UNION ALL
+  SELECT doc_id, 1 AS k,
+         unnest(list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                            p -> trim(p) != '')) AS g
+  FROM src
+  UNION ALL
+{ngram_streams}
+),
+cnt AS (
+  SELECT doc_id, k, g, count(*) AS c, length(g) AS L
+  FROM grams GROUP BY doc_id, k, g
+),
+per AS (
+  SELECT doc_id, k, sum(c) AS total, sum(c * L) AS charmass,
+         sum(CASE WHEN c >= 2 THEN (c - 1) * L ELSE 0 END) AS dupchar,
+         sum(CASE WHEN c >= 2 THEN c - 1 ELSE 0 END) AS dupocc,
+         max(c) AS maxc
+  FROM cnt GROUP BY doc_id, k
+),
+top AS (
+  SELECT c.doc_id, c.k, max(c.c * c.L) AS topmass
+  FROM cnt c JOIN per ON per.doc_id = c.doc_id AND per.k = c.k
+  WHERE c.c = per.maxc GROUP BY c.doc_id, c.k
+),
+piv AS (
+  SELECT p.doc_id,
+    {metrics}
+  FROM per p LEFT JOIN top t ON t.doc_id = p.doc_id AND t.k = p.k
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id,
+       {', '.join(name for name, _ in metric_sql)},
+       {gates},
+       ({passes}) AS passes_repetition_rules
+FROM (SELECT doc_id FROM src) s LEFT JOIN piv USING (doc_id)
+ORDER BY s.doc_id"""
+
+
 def _clusters_sql(threshold: float = 0.8) -> str:
     """dedup_clusters oracle: transitive closure (WITH RECURSIVE
     min-label reachability) over the stop-list-free exact near-dup
@@ -7710,10 +7870,18 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K} ORDER BY doc_id, rank"""
         CURATION_MIN_TOKENS,
     )
 
+    # the full Gopher A1.1 repetition block: the catalog entry runs on
+    # the textified variant (line/para paths fire at scale); the
+    # matrix gate below composes the SAME generator on raw documents
+    out["gopher_repetition_rules"] = _gopher_repetition_rules_sql(
+        _reptext_sql()
+    )
     out["curation_gate_matrix"] = f"""
 WITH q AS (SELECT doc_id, n_tokens, quality_score FROM ({out["text_quality"]})),
 l AS (SELECT doc_id, predicted_lang FROM ({out["lang_id"]})),
 r AS (SELECT doc_id, passes_repetition FROM ({out["quality_repetition"]})),
+rr AS (SELECT doc_id, passes_repetition_rules
+       FROM ({_gopher_repetition_rules_sql("SELECT doc_id, text FROM documents")})),
 lm AS (SELECT doc_id, entropy_bits, passes_charlm
        FROM ({out["charlm_perplexity"]})),
 p AS (SELECT doc_id, pii_free FROM ({out["pii_scrub"]})),
@@ -7721,14 +7889,17 @@ dc AS (SELECT doc_id, contaminated FROM ({out["decontaminate_ngram"]})),
 im AS (SELECT doc_id, log_importance, target_like
        FROM ({out["dsir_importance_weights"]}))
 SELECT q.doc_id, q.n_tokens, q.quality_score, l.predicted_lang,
-       r.passes_repetition, lm.entropy_bits, lm.passes_charlm, p.pii_free,
+       r.passes_repetition, rr.passes_repetition_rules,
+       lm.entropy_bits, lm.passes_charlm, p.pii_free,
        dc.contaminated, im.log_importance, im.target_like,
        (q.n_tokens >= {CURATION_MIN_TOKENS}
         AND q.quality_score >= {CURATION_MIN_QUALITY}
         AND l.predicted_lang != 'unknown' AND r.passes_repetition
+        AND rr.passes_repetition_rules
         AND lm.passes_charlm AND p.pii_free
         AND NOT coalesce(dc.contaminated, false)) AS passes_all
-FROM q JOIN l USING (doc_id) JOIN r USING (doc_id) JOIN lm USING (doc_id)
+FROM q JOIN l USING (doc_id) JOIN r USING (doc_id) JOIN rr USING (doc_id)
+JOIN lm USING (doc_id)
 JOIN p USING (doc_id) LEFT JOIN dc USING (doc_id) JOIN im USING (doc_id)
 ORDER BY q.doc_id"""
     out["session_duration_stats"] = f"""

@@ -1140,6 +1140,7 @@ def curation_gate_matrix(documents: DataFrame) -> DataFrame:
     """
     from forest_open_data_pipelines_spark.operators.textops import (
         charlm_perplexity,
+        gopher_repetition_rules,
         predicted_lang_col,
         quality_metric_cols,
         quality_repetition,
@@ -1153,6 +1154,12 @@ def curation_gate_matrix(documents: DataFrame) -> DataFrame:
         predicted_lang_col().alias("predicted_lang"),
     )
     rep = quality_repetition(documents).select("doc_id", "passes_repetition")
+    # the Gopher A1.1 repetition-rule gate on the RAW corpus (the
+    # catalog's standalone entry runs it on the textified variant so
+    # the line/para paths get at-scale oracle evidence)
+    rep_rules = gopher_repetition_rules(documents).select(
+        "doc_id", "passes_repetition_rules"
+    )
     lm = charlm_perplexity(documents).select(
         "doc_id", "entropy_bits", "passes_charlm"
     )
@@ -1163,6 +1170,7 @@ def curation_gate_matrix(documents: DataFrame) -> DataFrame:
     )
     out = (
         base.join(rep, "doc_id")
+        .join(rep_rules, "doc_id")
         .join(lm, "doc_id")
         .join(pii, "doc_id")
         .join(dec, "doc_id", "left")
@@ -1173,6 +1181,7 @@ def curation_gate_matrix(documents: DataFrame) -> DataFrame:
         & (F.col("quality_score") >= F.lit(CURATION_MIN_QUALITY))
         & (F.col("predicted_lang") != "unknown")
         & F.col("passes_repetition")
+        & F.col("passes_repetition_rules")
         & F.col("passes_charlm")
         & F.col("pii_free")
         & ~F.coalesce(F.col("contaminated"), F.lit(False))
@@ -1183,6 +1192,7 @@ def curation_gate_matrix(documents: DataFrame) -> DataFrame:
         "quality_score",
         "predicted_lang",
         "passes_repetition",
+        "passes_repetition_rules",
         "entropy_bits",
         "passes_charlm",
         "pii_free",

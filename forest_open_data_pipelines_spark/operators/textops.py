@@ -519,6 +519,192 @@ def gopher_quality_rules(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+#: Gopher A1.1 repetition thresholds (Rae et al. 2021 Table A1,
+#: public methodology) — single-sourced with the DuckDB oracle.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
+GOPHER_TOP_NGRAM_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_THRESHOLDS = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10
+}
+
+#: repetition_textify geometry — single-sourced with the oracle CTE.
+REPTEXT_WORDS_PER_LINE = 6
+REPTEXT_LINES_PER_PARA = 3
+
+
+def repetition_textify(documents: DataFrame) -> DataFrame:
+    """Deterministic multi-line/multi-paragraph variant of the
+    documents table so the line/paragraph repetition rules fire on the
+    synthetic single-line corpus (the c4_sentenceify precedent): words
+    chunk into 6-word lines, every line with ``j % 4 == 3`` REPEATS
+    line ``j-1`` (duplicate-line mass), lines group into 3-line
+    paragraphs joined by blank lines, and documents with
+    ``doc_id % 5 == 2`` append a copy of their FIRST paragraph
+    (duplicate-paragraph mass). Pure closed form of (doc_id, text),
+    restated verbatim in the DuckDB oracle.
+
+    Scale: one per-row Catalyst projection, no shuffle, no UDF.
+    """
+    n, p = REPTEXT_WORDS_PER_LINE, REPTEXT_LINES_PER_PARA
+    staged = documents.select(
+        "doc_id", F.expr("filter(split(text, ' '), w -> w != '')").alias("w")
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(w) = 0 THEN array() ELSE transform("
+            f" sequence(0, (size(w) + {n - 1}) div {n} - 1),"
+            " j -> array_join(slice(w,"
+            f"   (CASE WHEN j % 4 = 3 THEN j - 1 ELSE j END) * {n} + 1, {n}),"
+            "   ' ')) END"
+        ).alias("lines"),
+    ).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(lines) = 0 THEN array() ELSE transform("
+            f" sequence(0, (size(lines) + {p - 1}) div {p} - 1),"
+            f" q -> array_join(slice(lines, q * {p} + 1, {p}), '\\n')) END"
+        ).alias("paras"),
+    )
+    with_dup = F.concat(
+        F.col("paras"),
+        F.when(
+            (F.col("doc_id") % 5 == 2) & (F.size("paras") > 0),
+            F.slice("paras", 1, 1),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return staged.select(
+        "doc_id", F.array_join(with_dup, "\n\n").alias("text")
+    )
+
+
+def gopher_repetition_rules(documents: DataFrame) -> DataFrame:
+    """The REMAINING Gopher A1.1 repetition rules (Rae et al. 2021
+    Table A1, public methodology) — completing the block next to
+    ``gopher_quality_rules`` (document gates) and
+    ``quality_repetition`` (occurrence-fraction diversity signals):
+
+      - duplicate line / paragraph fractions by count and by
+        character mass (lines split on ``\\n``, paragraphs on blank
+        lines; empty strings excluded from both streams),
+      - top n-gram character fractions for n = 2..4 (character mass
+        of the most frequent n-gram over the stream's char mass; among
+        equally-frequent grams the longest wins — deterministic),
+      - duplicate n-gram character fractions for n = 5..10.
+
+    Exact "duplicate" convention (documented; public implementations
+    vary on span overlap): occurrences BEYOND THE FIRST of each
+    distinct value count as duplicates, so dup mass = Σ (c−1)·len over
+    values with c ≥ 2 and fractions are over the stream's own totals
+    (count or char mass) — closed-form on gram multisets, no
+    position-overlap bookkeeping, restated exactly in the oracle.
+    A missing/empty stream skips its rule (gate passes), the
+    DataTrove/Dolma convention for short documents.
+
+    Scale: ONE scan builds all 11 tagged streams in-codegen and
+    explodes once (the quality_repetition shape); both aggregations
+    are map-side combinable and every groupBy key includes doc_id, so
+    hot boilerplate grams cannot skew a partition.
+    """
+    words = "filter(split(text, '\\\\s+'), w -> w != '')"
+    lines = "filter(split(text, '\\n'), l -> l != '')"
+    paras = "filter(split(text, '\\n{2,}'), p -> trim(p) != '')"
+    streams = [
+        f"transform({lines}, l -> struct(0 as k, l as g))",
+        f"transform({paras}, p -> struct(1 as k, p as g))",
+    ]
+    for ng in (*GOPHER_TOP_NGRAM_THRESHOLDS, *GOPHER_DUP_NGRAM_THRESHOLDS):
+        streams.append(
+            f"CASE WHEN size({words}) >= {ng} THEN "
+            f"transform(sequence(0, size({words}) - {ng}), "
+            f"i -> struct({ng} as k, array_join(slice({words}, i + 1, {ng}),"
+            " ' ') as g)) ELSE array() END"
+        )
+    grams = documents.select(
+        "doc_id", F.explode(F.expr(f"concat({', '.join(streams)})")).alias("e")
+    ).select("doc_id", F.col("e.k").alias("k"), F.col("e.g").alias("g"))
+    per = (
+        grams.groupBy("doc_id", "k", "g")
+        .agg(F.count("*").alias("c"), F.max(F.length("g")).alias("L"))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.sum("c").alias("total"),
+            F.sum(F.col("c") * F.col("L")).alias("charmass"),
+            F.sum(
+                F.when(F.col("c") >= 2, (F.col("c") - 1) * F.col("L"))
+                .otherwise(F.lit(0))
+            ).alias("dupchar"),
+            F.sum(
+                F.when(F.col("c") >= 2, F.col("c") - 1).otherwise(F.lit(0))
+            ).alias("dupocc"),
+            # lexicographic max: the top gram is the most frequent,
+            # longest among ties — its char mass is c·L
+            F.max(F.struct(F.col("c"), F.col("L"))).alias("top"),
+        )
+    )
+
+    def _k(expr: Column, k: int) -> Column:
+        return F.max(F.when(F.col("k") == k, expr))
+
+    metric_cols = [
+        ratio(_k(F.col("dupocc") / F.col("total"), 0)).alias("dup_line_frac"),
+        ratio(_k(F.col("dupchar") / F.col("charmass"), 0)).alias(
+            "dup_line_char_frac"
+        ),
+        ratio(_k(F.col("dupocc") / F.col("total"), 1)).alias("dup_para_frac"),
+        ratio(_k(F.col("dupchar") / F.col("charmass"), 1)).alias(
+            "dup_para_char_frac"
+        ),
+    ]
+    for ng in GOPHER_TOP_NGRAM_THRESHOLDS:
+        metric_cols.append(
+            ratio(
+                _k((F.col("top.c") * F.col("top.L")) / F.col("charmass"), ng)
+            ).alias(f"top_{ng}gram_char_frac")
+        )
+    for ng in GOPHER_DUP_NGRAM_THRESHOLDS:
+        metric_cols.append(
+            ratio(_k(F.col("dupchar") / F.col("charmass"), ng)).alias(
+                f"dup_{ng}gram_char_frac"
+            )
+        )
+    pivoted = per.groupBy("doc_id").agg(*metric_cols)
+    # left join keeps degenerate (empty-text) docs: all-NULL metrics,
+    # every rule skipped -> passes
+    out = documents.select("doc_id").join(pivoted, "doc_id", "left")
+    gates = {
+        "rule_dup_line_frac": F.col("dup_line_frac")
+        <= GOPHER_MAX_DUP_LINE_FRAC,
+        "rule_dup_line_char_frac": F.col("dup_line_char_frac")
+        <= GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        "rule_dup_para_frac": F.col("dup_para_frac")
+        <= GOPHER_MAX_DUP_PARA_FRAC,
+        "rule_dup_para_char_frac": F.col("dup_para_char_frac")
+        <= GOPHER_MAX_DUP_PARA_CHAR_FRAC,
+    }
+    for ng, thr in GOPHER_TOP_NGRAM_THRESHOLDS.items():
+        gates[f"rule_top_{ng}gram"] = (
+            F.col(f"top_{ng}gram_char_frac") <= thr
+        )
+    for ng, thr in GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        gates[f"rule_dup_{ng}gram"] = F.col(f"dup_{ng}gram_char_frac") <= thr
+    rule_cols = [
+        F.coalesce(cond, F.lit(True)).alias(name)
+        for name, cond in gates.items()
+    ]
+    passes = F.lit(True)
+    for name in gates:
+        passes = passes & F.col(name)
+    return (
+        out.select("doc_id", *[c for c in out.columns if c != "doc_id"])
+        .select("*", *rule_cols)
+        .withColumn("passes_repetition_rules", passes)
+        .orderBy("doc_id")
+    )
+
+
 #: C4 cleaning thresholds (Raffel et al. 2020 §2.2, public
 #: methodology) — single-sourced with the DuckDB oracle.
 C4_MIN_WORDS_PER_LINE = 5

@@ -846,6 +846,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode_report": lambda s, d: multimodal.media_decode_report(
         load_table(s, d, "documents")
     ),
+    # the full Gopher A1.1 repetition block over the textified variant
+    # (line/para duplicate mass fires at catalog scale)
+    "gopher_repetition_rules": lambda s, d: textops.gopher_repetition_rules(
+        textops.repetition_textify(load_table(s, d, "documents"))
+    ),
 }
 
 # ---------------------------------------------------------------------------

@@ -6564,6 +6564,75 @@ def test_c4_line_filters_semantics(spark):
     assert rows[5]["has_brace"] is True and rows[5]["passes_c4"] is False
 
 
+def test_gopher_repetition_rules_per_rule_violations(spark):
+    """Each Gopher A1.1 repetition rule trips on a document built to
+    violate exactly its family, and a diverse document passes all 13
+    (Rae et al. 2021 Table A1; beyond-first duplicate convention
+    documented in the operator)."""
+    from forest_open_data_pipelines_spark.operators import textops
+
+    # 1: diverse words, unique lines/paragraphs -> passes everything
+    clean = "\n\n".join(
+        " ".join(f"tok{17 * i + j} x{j}y" for j in range(8))
+        for i in range(4)
+    )
+    # 2: half the lines are duplicates (6 lines, 3 dup occurrences)
+    lines = [f"unique line number {i} here" for i in range(3)]
+    dup_lines = "\n".join(lines + lines)
+    # 3: duplicate paragraph (2 of 4 paragraphs identical)
+    paras = [f"para {i} alpha beta gamma delta" for i in range(3)]
+    dup_paras = "\n\n".join(paras + [paras[0]])
+    # 4: one dominant bigram ("spam ham" mass >> 20% of bigram chars)
+    top_bigram = " ".join(["spam ham"] * 10 + ["zq"])
+    # 5: a thrice-repeated 5-gram phrase (>15% of 5-gram char mass)
+    phrase = "one two three four five"
+    dup_5gram = f"{phrase} aa {phrase} bb {phrase}"
+    docs = spark.createDataFrame(
+        [(1, clean), (2, dup_lines), (3, dup_paras), (4, top_bigram),
+         (5, dup_5gram), (6, "")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in textops.gopher_repetition_rules(docs).collect()
+    }
+    assert rows[1]["passes_repetition_rules"] is True
+    assert rows[2]["dup_line_frac"] == 0.5
+    assert rows[2]["rule_dup_line_frac"] is False
+    assert rows[2]["rule_dup_line_char_frac"] is False
+    assert rows[3]["dup_para_frac"] == 0.25
+    assert rows[3]["rule_dup_para_frac"] is True  # 0.25 <= 0.30
+    assert rows[3]["rule_dup_para_char_frac"] is False  # char mass > 0.20
+    assert rows[4]["rule_top_2gram"] is False
+    assert rows[5]["rule_dup_5gram"] is False
+    # empty doc: no streams -> every rule skipped -> passes (the
+    # DataTrove/Dolma short-document convention)
+    assert rows[6]["dup_line_frac"] is None
+    assert rows[6]["passes_repetition_rules"] is True
+
+
+def test_repetition_textify_closed_form(spark):
+    """The textified variant: 6-word lines with j%4==3 repeating the
+    previous line, 3-line paragraphs, doc_id%5==2 appending a copy of
+    paragraph 0."""
+    from forest_open_data_pipelines_spark.operators import textops
+
+    stream = " ".join(f"w{i}" for i in range(30))  # 5 lines
+    docs = spark.createDataFrame(
+        [(0, stream), (2, stream), (7, "")], "doc_id long, text string"
+    )
+    v = {r["doc_id"]: r["text"] for r in textops.repetition_textify(docs).collect()}
+    paras0 = v[0].split("\n\n")
+    lines0 = [ln for p in paras0 for ln in p.split("\n")]
+    assert len(lines0) == 5
+    assert lines0[3] == lines0[2]  # j%4==3 repeats j-1
+    assert lines0[0] == " ".join(f"w{i}" for i in range(6))
+    assert len(paras0) == 2  # 3 + 2 lines
+    paras2 = v[2].split("\n\n")
+    assert len(paras2) == 3 and paras2[-1] == paras2[0]  # dup para
+    assert v[7] == ""
+
+
 def test_c4_sentenceify_makes_rules_fire(spark):
     """The closed-form punctuated variant (VERDICT r10 item 2): an
     unpunctuated word stream gains 8-word lines with deterministic
