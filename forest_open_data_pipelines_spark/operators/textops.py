@@ -1803,6 +1803,162 @@ def bpe_encode(documents: DataFrame, n_merges: int = 10) -> DataFrame:
     )
 
 
+#: Unigram-LM tokenizer step (Kudo 2018) parameters.
+UNIGRAM_MAX_PIECE_LEN = 5
+UNIGRAM_SEED_MAX_PIECES = 256
+
+
+def _unigram_viterbi(word: str, logp: dict, max_len: int):
+    """Deterministic Viterbi segmentation of one word under piece
+    log-probs: strictly-better score wins; on ties the LONGER last
+    piece wins (lengths scanned descending with a strict >). Shared
+    verbatim with the in-test pure-Python twin (same IEEE floats on
+    both sides — the kernel IS stdlib Python over a broadcast dict)."""
+    n = len(word)
+    neg_inf = float("-inf")
+    best = [neg_inf] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    for i in range(1, n + 1):
+        for length in range(min(i, max_len), 0, -1):
+            piece = word[i - length : i]
+            lp = logp.get(piece)
+            if lp is None or best[i - length] == neg_inf:
+                continue
+            score = best[i - length] + lp
+            if score > best[i]:
+                best[i] = score
+                back[i] = length
+    pieces = []
+    i = n
+    while i > 0:
+        pieces.append(word[i - back[i] : i])
+        i -= back[i]
+    pieces.reverse()
+    return pieces
+
+
+def unigram_lm_step(
+    documents: DataFrame,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    seed_max_pieces: int = UNIGRAM_SEED_MAX_PIECES,
+) -> DataFrame:
+    """One EM round of unigram-LM tokenizer training (Kudo 2018,
+    public algorithm; SentencePiece's unigram model) — the BPE
+    sibling:
+
+      1. **Seed vocabulary**: every substring of every distinct word
+         up to ``max_piece_len`` chars, scored by corpus-weighted
+         occurrence count; capped at the top ``seed_max_pieces`` by
+         (freq DESC, piece ASC) with ALL single characters always kept
+         (Kudo's coverage guarantee). Initial p(piece) =
+         seed_freq / Σ seed_freq.
+      2. **E-step**: per DISTINCT word, Viterbi-best segmentation
+         under the seed log-probs (the standard hard-EM approximation
+         of Kudo's forward-backward expectation) in an Arrow-batched
+         kernel; piece usage weighted by word count, pre-aggregated
+         per batch.
+      3. **M-step + prune**: re-estimate p(piece) from the Viterbi
+         counts; pieces with zero usage are PRUNED unless they are
+         single characters (coverage floor).
+
+    Rows-only by the ``bpe_train`` precedent (the piece table is the
+    product of a data-dependent training loop; the per-word DP has no
+    SQL twin) — corpus-exact output is asserted against an in-test
+    pure-Python reference implementation.
+
+    Scale: both the seed aggregation (explode substrings of DISTINCT
+    words) and the E-step run on the VOCABULARY, not the corpus —
+    corpus size moves only the word-count aggregate. The piece table
+    is bounded (≤ seed_max_pieces + alphabet), so the broadcast dict
+    the kernel closes over is a few KB; the E-step output is
+    map-side pre-aggregated per Arrow batch before the final bounded
+    groupBy. Like ``bpe_train``, the seed collect runs at
+    construction time (one bounded job).
+    """
+    spark = documents.sparkSession
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    wc = (
+        spread(documents)
+        .select(F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    wc = _persist(wc)
+    subs = (
+        f"flatten(transform(sequence(1, {max_piece_len}),"
+        " l -> CASE WHEN length(w) >= l THEN"
+        " transform(sequence(1, length(w) - l + 1),"
+        " i -> substring(w, i, l)) ELSE array() END))"
+    )
+    seed_rows = (
+        wc.select("n", F.explode(F.expr(subs)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("seed_freq"))
+        .orderBy(
+            F.desc("seed_freq"), "piece"
+        )
+        .collect()
+    )
+    chars = {r["piece"]: int(r["seed_freq"]) for r in seed_rows
+             if len(r["piece"]) == 1}
+    capped = {r["piece"]: int(r["seed_freq"])
+              for r in seed_rows[:seed_max_pieces]}
+    seed = {**capped, **chars}
+    import math
+
+    total = sum(seed.values())
+    logp = {p: math.log(f / total) for p, f in seed.items()}
+
+    def _estep(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            counts: dict[str, int] = {}
+            for w, n in zip(pdf["w"], pdf["n"].astype("int64")):
+                for piece in _unigram_viterbi(str(w), logp, max_piece_len):
+                    counts[piece] = counts.get(piece, 0) + int(n)
+            yield pd.DataFrame(
+                {"piece": list(counts), "em_count": list(counts.values())}
+            )
+
+    em = (
+        wc.mapInPandas(_estep, "piece string, em_count long")
+        .groupBy("piece")
+        .agg(F.sum("em_count").alias("em_count"))
+    )
+    seed_df = spark.createDataFrame(
+        sorted(seed.items()), "piece string, seed_freq long"
+    )
+    out = (
+        seed_df.join(em, "piece", "left")
+        .select(
+            "piece",
+            F.length("piece").alias("piece_len"),
+            "seed_freq",
+            F.coalesce("em_count", F.lit(0)).alias("em_count"),
+        )
+        .where((F.col("em_count") > 0) | (F.length("piece") == 1))
+    )
+    em_total = out.agg(F.sum("em_count").alias("t"))
+    return (
+        out.join(F.broadcast(em_total))
+        .select(
+            "piece",
+            "piece_len",
+            "seed_freq",
+            "em_count",
+            ratio(F.col("em_count") / F.col("t")).alias("em_prob"),
+        )
+        .orderBy(F.desc("em_count"), "piece")
+    )
+
+
 #: charlm gate threshold (bits/char), corpus-calibrated the way CCNet
 #: calibrates its perplexity buckets per corpus: the synthetic corpus
 #: measures 2.26-2.77 bits/char (p50 2.45, p95 2.54 at sf0.01), so 2.6

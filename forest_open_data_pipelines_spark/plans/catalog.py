@@ -851,6 +851,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gopher_repetition_rules": lambda s, d: textops.gopher_repetition_rules(
         textops.repetition_textify(load_table(s, d, "documents"))
     ),
+    # one unigram-LM EM round (Kudo 2018) — rows-only by the bpe_train
+    # precedent (data-dependent training loop, per-word Viterbi DP);
+    # corpus-exact equality pinned by the in-test pure-Python twin
+    "unigram_lm_step": lambda s, d: textops.unigram_lm_step(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------

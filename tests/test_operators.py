@@ -3700,6 +3700,74 @@ def test_bpe_train_matches_stdlib_reference(spark):
     assert got == twin(6)
 
 
+def test_unigram_lm_step_matches_stdlib_reference(spark):
+    """In-test pure-Python unigram-LM twin (Kudo 2018 — seed by
+    substring counts, hard-EM Viterbi E-step, count M-step with
+    char-coverage pruning): identical piece table row for row,
+    including the longest-piece Viterbi tie-break and the
+    (freq DESC, piece ASC) seed cap."""
+    import math
+    import re
+    from collections import Counter
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        UNIGRAM_MAX_PIECE_LEN,
+        UNIGRAM_SEED_MAX_PIECES,
+        _unigram_viterbi,
+        unigram_lm_step,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    raw = [r["text"] for r in docs.select("text").collect()]
+
+    def twin():
+        wc: Counter = Counter()
+        for text in raw:
+            cleaned = re.sub(
+                r"[ \t\r\f]+", " ", text.replace("\xa0", " ")
+            ).strip(" ").lower()
+            for w in cleaned.split(" "):
+                if w:
+                    wc[w] += 1
+        seed_freq: Counter = Counter()
+        for w, n in wc.items():
+            for ln in range(1, UNIGRAM_MAX_PIECE_LEN + 1):
+                for i in range(len(w) - ln + 1):
+                    seed_freq[w[i : i + ln]] += n
+        ranked = sorted(seed_freq.items(), key=lambda kv: (-kv[1], kv[0]))
+        seed = dict(ranked[:UNIGRAM_SEED_MAX_PIECES])
+        seed.update({p: f for p, f in seed_freq.items() if len(p) == 1})
+        total = sum(seed.values())
+        logp = {p: math.log(f / total) for p, f in seed.items()}
+        em: Counter = Counter()
+        for w, n in wc.items():
+            for piece in _unigram_viterbi(w, logp, UNIGRAM_MAX_PIECE_LEN):
+                em[piece] += n
+        kept = {
+            p: (seed[p], em.get(p, 0))
+            for p in seed
+            if em.get(p, 0) > 0 or len(p) == 1
+        }
+        t = sum(c for _, c in kept.values())
+        rows = [
+            (p, len(p), sf, c, math.floor(c / t * 1e6 + 0.5) / 1e6)
+            for p, (sf, c) in kept.items()
+        ]
+        rows.sort(key=lambda r: (-r[3], r[0]))
+        return rows
+
+    got = [
+        (r.piece, r.piece_len, r.seed_freq, r.em_count, r.em_prob)
+        for r in unigram_lm_step(docs).collect()
+    ]
+    want = twin()
+    assert got[:5] == want[:5], (got[:5], want[:5])
+    assert got == want
+    # sanity: the EM kept multi-char pieces and pruned dead seeds
+    assert any(r[1] > 1 and r[3] > 0 for r in got)
+    assert len(got) < len(want) + UNIGRAM_SEED_MAX_PIECES
+
+
 def test_bpe_encode_matches_stdlib_reference(spark):
     """The encoder applies the trainer's merges in rank order with the
     same greedy non-overlapping pass: per-doc token/char counts equal
