@@ -866,12 +866,29 @@ def effective_monthly_series(
             money(F.sum("value")).alias("total_price"),
         )
     )
+    return effective_series_merge(zip_series, mensal, ref)
+
+
+def effective_series_merge(
+    zip_series: DataFrame, mensal: DataFrame, ref: DataFrame
+) -> DataFrame:
+    """The truncate-then-substitute MERGE tail shared verbatim by the
+    batch operator above and the streaming recompute
+    (``streaming.effective_series``): currency guard (truncated feed
+    non-empty AND its calendar year strictly past the zips' latest
+    year), then dict-update-then-sort — mensal REPLACES a shared
+    period and extends past it, zip rows pass through elsewhere.
+    ``ref`` is the one-row reference instant carrying ``cal_year``.
+
+    Scale: all guards are one-row broadcast scalars; the override is a
+    broadcast left join against the ≤12-row mensal period set.
+    """
     zip_latest = zip_series.agg(
         F.max(F.substring("period", 1, 4).cast("int")).alias("zip_latest_year")
     )
     flags = F.broadcast(
         mensal.agg(F.count("*").alias("n_mensal"))
-        .join(F.broadcast(ref))
+        .join(F.broadcast(ref.select("cal_year")))
         .join(F.broadcast(zip_latest))
         .select(
             (

@@ -860,112 +860,110 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # ---------------------------------------------------------------------------
-# Round-10 window rotation: the dict above keeps its historical
+# Round-11 window rotation: the dict above keeps its historical
 # grouping; the DRIVER-VISIBLE order is re-stated here explicitly.
-# Window = the 10 round-9-continuation entries that have NEVER had a
-# driver row (all oracle MATCH at sf0.01 in both builder and judge
-# sessions) + 40 refresh slots: the 6 r4-vintage rows VERDICT r9
-# flagged as five-rounds-stale, the 23 staged r5-vintage rows from the
-# r10 queue, and the 11 oldest r6-vintage rows. Everything parked
-# stays re-verified by the per-session oracle-parity sweep at sf0.001.
+# Window = the 3 round-11 additions (first rows) + 3 entries whose
+# CATALOG PLAN CHANGED this round (c4_line_filters now runs on the
+# sentenceified variant; effective_overview_metrics gained the
+# full-prior-window gate; dataset_card inherits the matrix's new
+# passes_repetition_rules column in passes_all - their r10 rows no
+# longer witness current code) + the ceded-slot holders pii_scrub and
+# decontaminate_ngram + ALL remaining 38 r6-vintage rows (the only
+# evidence 5 rounds old; curation_gate_matrix also changed schema) +
+# 4 oldest-r7 fillers led by perplexity_buckets (the r10 bench-watch
+# row). Everything parked stays re-verified by the per-session
+# oracle-parity sweep at sf0.001.
 # ---------------------------------------------------------------------------
-_R10_WINDOW: tuple[str, ...] = (
-    # never-driver-green: round-9-continuation additions (first rows)
-    "scd2_user_state_history",
-    "session_interval_join",
-    "purchase_state_attribution",
-    "vocab_coverage",
-    "quality_classifier_prep",
-    "ann_recall_vs_dim",
-    "media_ahash_dedup",
-    "media_ahash_incremental",
-    "part_pagerank",
-    "part_communities",
-    # refresh: the 6 r4-vintage rows with five-round-old evidence
-    # (VERDICT r9 "What's missing" item 3)
-    "daily_series",
-    "part_brand_stats",
-    "region_nation_cube",
-    "research_trends",
-    "series_alignment_metrics",
-    "state_biome_monthly_series",
-    # refresh: the staged r5-vintage queue (bench anchors q1/q3/q5,
-    # the dedup/ANN foundations, the relational breadth family)
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "dedup_ngram_ppjoin",
-    "anp_resource_urls",
-    "bpe_merge_candidates",
-    "dedup_embedding_lsh",
-    "dedup_canonical_corpus",
-    "ann_topk_lsh",
-    "ann_topk_ivf",
-    "ann_topk_ivf_trained",
-    "embedding_label_stats",
-    "region_nation_rollup",
-    "nations_trade_volume",
-    "customer_order_distribution",
-    "order_priority_semijoin",
-    "disjunctive_promo_revenue",
-    "returned_item_ranking",
-    "session_duration_stats",
-    "user_retention_cohorts",
-    "event_funnel",
-    "join_key_skew_report",
-    "url_merge",
-    # refresh: 11 oldest r6-vintage rows (dedup family first;
-    # edit_distance_pairs re-rowed with the round-10 guard trim)
-    "dedup_incremental",
-    "edit_distance_pairs",
-    "dedup_simhash64",
-    "boilerplate_ngrams",
-    "dedup_canonical_by_quality",
-    "dedup_containment",
-    "dedup_semantic",
-    # (dedup_method_eval's and corpus_curation's r6 refresh slots ceded
-    # to the round-10 rule-gate pair — both keep their r6 rows + the
-    # per-session sweep; r11 queue)
-    "gopher_quality_rules",
+_R11_WINDOW: tuple[str, ...] = (
+    # round-11 additions (first driver rows)
+    "media_decode_report",
+    "gopher_repetition_rules",
+    "unigram_lm_step",
+    # catalog plan / schema changed this round - r10 rows are stale
     "c4_line_filters",
-    # (pii_scrub's and decontaminate_ngram's r6 refresh slots ceded to
-    # the round-10 reference-branch closers — both keep their r6 rows +
-    # the per-session oracle-parity sweep; first in the r11 queue)
     "effective_overview_metrics",
-    # (decontaminate_ngram's r6 refresh slot ceded to the round-10
-    # reference-branch closer — it keeps its r6 row + the per-session
-    # oracle-parity sweep; first in the r11 refresh queue)
-    "effective_monthly_series",
+    "dataset_card",
+    # ceded-slot holders (queued first since r10)
+    "pii_scrub",
+    "decontaminate_ngram",
+    # ALL remaining r6-vintage rows (the last 5-round-old
+    # evidence; includes the schema-changed curation_gate_matrix)
+    "ann_method_eval",
+    "ann_topk_ivfpq",
+    "ann_topk_pq",
+    "ann_topk_sq8",
+    "boletins_integrados_links",
+    "bpe_encode",
+    "bpe_train",
+    "charlm_perplexity",
+    "cheapest_supplier_per_part",
+    "chunk_dedup",
+    "corpus_curation",
+    "curation_gate_matrix",
+    "curation_report_by_source",
+    "cvm_latest_yearly_csvs",
+    "dataset_mixture_plan",
+    "decontaminate_embedding",
+    "dedup_clusters",
+    "dedup_method_eval",
+    "dsir_importance_weights",
+    "edit_distance_topk",
+    "eia_series_combinations",
+    "eia_xls_picks",
+    "embedding_cluster_report",
+    "fenced_json_extract",
+    "focos_llm_payload",
+    "idle_balance_customers",
+    "inmet_yearly_zips",
+    "large_orders",
+    "numeric_correlations",
+    "part_revenue_concentration",
+    "quality_by_lang_report",
+    "revenue_change_forecast",
+    "span_dedup",
+    "stratified_sample",
+    "stratified_token_sample",
+    "stratified_topk_sample",
+    "tfidf_top_terms",
+    "top_supplier_by_revenue",
+    # oldest-r7 fillers; perplexity_buckets is the r10 bench-watch row
+    "perplexity_buckets",
+    "profile_columns",
+    "token_histogram",
+    "text_quality",
 )
-assert len(_R10_WINDOW) == DRIVER_CHECK_CAP, len(_R10_WINDOW)
+assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 
-# Round-11 rotation queue (pre-staged; build the _R11_WINDOW from this):
-# 0) any round-10 additions without a driver row yet (check the
-#    never-driver list in SURVEY first);
-# 1) any round-10 window row the driver fails — fix first, re-window;
-# 2) the remaining r6-vintage rows, ceded-slot holders FIRST
-#    (pii_scrub, decontaminate_ngram — their r10 refresh slots went to
-#    the effective-series pair), then (curation_gate_matrix,
-#    decontaminate_embedding, dsir_importance_weights, chunk_dedup,
-#    dataset_mixture_plan, stratified_sample, curation_report_by_source,
-#    quality_by_lang_report, stratified_token_sample,
-#    stratified_topk_sample, span_dedup, ann_method_eval, ann_topk_sq8,
-#    ann_topk_pq, ann_topk_ivfpq, embedding_cluster_report,
-#    edit_distance_topk, dedup_clusters, charlm_perplexity,
-#    tfidf_top_terms, numeric_correlations, fenced_json_extract,
-#    focos_llm_payload, boletins_integrados_links,
-#    cvm_latest_yearly_csvs, inmet_yearly_zips, eia_xls_picks,
-#    eia_series_combinations);
-# 3) then the oldest r7-vintage rows;
+# Round-12 rotation queue (pre-staged; build the _R12_WINDOW from this):
+# 0) any round-11 additions without a driver row yet, and any entry
+#    whose catalog plan changes in round 12;
+# 1) any round-11 window row the driver fails - fix first, re-window;
+# 2) the 42 remaining r7-vintage rows (audit_markdown_table,
+#    catalog_cards, catalog_summary, column_best_match,
+#    corpus_snapshot_diff, customers_without_orders, cvm_fund_picks,
+#    dedup_threshold_sweep, embedding_quantize_pq,
+#    embedding_quantize_sq8, feed_validate, focos1km_tifs,
+#    focos_prompt_texts, freshness_report_lines,
+#    freshness_watch_signals, html_extract, lang_id_confusion,
+#    manifest_meta_envelope, multimodal_dedup, nation_series_with_other,
+#    nation_share_latest, ngram_novelty, order_priority_percentiles,
+#    profile_columns_approx, profile_files, pt_date_parse,
+#    pt_numeric_parse, q12_shipping_delay, q16_supplier_part_variety,
+#    q17_small_quantity_revenue, q20_dominant_suppliers,
+#    q21_sole_latest_shipper, q8_market_share, q9_product_type_profit,
+#    referential_integrity_audit, research_trends_rollup,
+#    route_nearest_query, simhash_budget_sweep, skew_salted_join_agg,
+#    skew_two_phase_agg, text_cleanup, vocab_growth);
+# 3) then the oldest r8-vintage rows to fill 50;
 # 4) everything else keeps its newest green row and stays covered by
 #    the per-session oracle-parity sweep.
 QUERIES = {
     n: QUERIES[n]
-    for n in list(_R10_WINDOW) + [x for x in QUERIES if x not in set(_R10_WINDOW)]
+    for n in list(_R11_WINDOW) + [x for x in QUERIES if x not in set(_R11_WINDOW)]
 }
 
 # First name past the driver window; everything from here on is parked.
-PARKED_FROM = next(n for n in QUERIES if n not in set(_R10_WINDOW))
+PARKED_FROM = next(n for n in QUERIES if n not in set(_R11_WINDOW))
 
 
 def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -20,23 +20,18 @@ from forest_open_data_pipelines_spark.plans.catalog import (
 # driver row. The 40 refresh slots (oldest r4/r5/r6 evidence) are
 # discretionary and not pinned here.
 MUST_BE_IN_WINDOW = {
-    # round-9-continuation additions awaiting their first driver row
-    # (all oracle MATCH at sf0.01 in builder + judge sessions)
-    "scd2_user_state_history",
-    "session_interval_join",
-    "purchase_state_attribution",
-    "vocab_coverage",
-    "quality_classifier_prep",
-    "ann_recall_vs_dim",
-    "media_ahash_dedup",
-    "media_ahash_incremental",
-    "part_pagerank",
-    "part_communities",
-    # round-10 additions (first rows)
-    "effective_monthly_series",
-    "effective_overview_metrics",
-    "gopher_quality_rules",
+    # round-11 additions awaiting their first driver row
+    # (all oracle MATCH at sf0.001/0.01/0.1 in the builder session;
+    # unigram_lm_step rows-only by design)
+    "media_decode_report",
+    "gopher_repetition_rules",
+    "unigram_lm_step",
+    # entries whose catalog plan/schema changed in round 11 — their
+    # r10 driver rows no longer witness current code
     "c4_line_filters",
+    "effective_overview_metrics",
+    "curation_gate_matrix",
+    "dataset_card",
 }
 
 
