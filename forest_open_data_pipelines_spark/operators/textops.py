@@ -612,6 +612,10 @@ def gopher_repetition_rules(documents: DataFrame) -> DataFrame:
     lines = "filter(split(text, '\\n'), l -> l != '')"
     paras = "filter(split(text, '\\n{2,}'), p -> trim(p) != '')"
     streams = [
+        # k=-1 sentinel: EVERY doc emits one row, so degenerate
+        # (empty-text) docs survive the explode without a second
+        # documents scan for the id universe (scan-audit: one scan)
+        "array(struct(-1 as k, '' as g))",
         f"transform({lines}, l -> struct(0 as k, l as g))",
         f"transform({paras}, p -> struct(1 as k, p as g))",
     ]
@@ -670,10 +674,9 @@ def gopher_repetition_rules(documents: DataFrame) -> DataFrame:
                 f"dup_{ng}gram_char_frac"
             )
         )
-    pivoted = per.groupBy("doc_id").agg(*metric_cols)
-    # left join keeps degenerate (empty-text) docs: all-NULL metrics,
-    # every rule skipped -> passes
-    out = documents.select("doc_id").join(pivoted, "doc_id", "left")
+    # the k=-1 sentinel keeps degenerate (empty-text) docs in the
+    # pivot: all-NULL metrics, every rule skipped -> passes
+    out = per.groupBy("doc_id").agg(*metric_cols)
     gates = {
         "rule_dup_line_frac": F.col("dup_line_frac")
         <= GOPHER_MAX_DUP_LINE_FRAC,
