@@ -992,3 +992,32 @@ def test_rule_gate_entries_single_scan_no_shuffle(spark):
         assert "Exchange hashpartitioning" not in plan, name
         assert "PythonUDF" not in plan, name
         assert live_scans(plan) == {"documents": 1}, (name, live_scans(plan))
+
+
+def test_media_decode_report_single_stage_no_join(spark):
+    """Round-11 decode entry: documents scan → synth kernel → decode
+    kernel compose as chained ArrowEvalPython/MapInPandas in ONE
+    pipeline — no join anywhere (media_kind re-derives from media_id
+    in Catalyst), no hash exchange, one live scan; payload bytes never
+    shuffle (only the presentation sort's range partition moves the
+    metadata-weight report rows)."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "media_decode_report")
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan
+    assert live_scans(plan) == {"documents": 1}, live_scans(plan)
+    assert plan.count("MapInPandas") == 2  # synth + decode, same stage
+
+
+def test_gopher_repetition_rules_one_scan_combinable_aggs(spark):
+    """Round-11 repetition block: ONE documents scan feeds all 11
+    tagged streams (plus the degenerate-doc sentinel) through a single
+    explode; both aggregations are partial (map-side combinable) and
+    no Python runs anywhere."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "gopher_repetition_rules")
+    assert "PythonUDF" not in plan
+    assert live_scans(plan) == {"documents": 1}, live_scans(plan)
+    assert "partial_" in plan  # map-side combine before the exchange
