@@ -208,9 +208,10 @@ HEADLINE = [
     # round-11 operators
     "media_decode_report",
     "gopher_repetition_rules",
-    # unigram_lm_step is a TRAINING loop (seed collect + EM jobs of
-    # mostly fixed per-job overhead on a vocabulary-bounded table),
-    # the bpe_train category; driver correctness window only.
+    # unigram_lm_step / unigram_encode are a TRAINING loop + its
+    # encoder (seed collect + EM jobs of mostly fixed per-job overhead
+    # on a vocabulary-bounded table), the bpe_train/bpe_encode
+    # category; driver correctness window only.
     # part_communities is the same iterative category as part_pagerank
     # (5 fixed LPA vote rounds, ~5.6 s of per-round overhead at sf0.1);
     # driver correctness window only.

@@ -1962,6 +1962,91 @@ def unigram_lm_step(
     )
 
 
+def unigram_encode(
+    documents: DataFrame,
+    max_piece_len: int = UNIGRAM_MAX_PIECE_LEN,
+    seed_max_pieces: int = UNIGRAM_SEED_MAX_PIECES,
+) -> DataFrame:
+    """Encode every document with the piece table ``unigram_lm_step``
+    learns from the same corpus — the unigram sibling of
+    ``bpe_encode`` (Kudo 2018 §3.2: segmentation = the Viterbi-best
+    piece sequence under the learned probabilities). Output is the
+    per-document sequence accounting a packing/batching planner
+    consumes: word, char, and piece counts plus the 6-dp
+    chars-per-piece compression ratio.
+
+    Rows-only by the trainer's precedent; the encoding reuses the
+    SAME ``_unigram_viterbi`` (same tie-break) under the EM-round
+    posterior probabilities, asserted against the stdlib twin.
+
+    Scale: the piece table is re-derived (bounded jobs) and the
+    encode runs ONCE PER DISTINCT WORD in an Arrow kernel; a
+    word-keyed join + one map-side-combinable groupBy(doc_id) attach
+    counts to the corpus stream — corpus size moves only the count
+    aggregation, never the DP.
+    """
+    import math
+
+    pieces = unigram_lm_step(
+        documents, max_piece_len, seed_max_pieces
+    ).collect()
+    em_total = sum(r["em_count"] for r in pieces)
+    # the EM-round posterior: zero-usage (char-coverage) pieces keep a
+    # floor of 1 count so every word stays segmentable (additive
+    # smoothing only where the Viterbi needs reachability)
+    logp = {
+        r["piece"]: math.log(max(r["em_count"], 1) / em_total)
+        for r in pieces
+    }
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    words = _persist(
+        spread(documents)
+        .select("doc_id", F.explode(toks).alias("w"))
+        .where(F.col("w") != "")
+    )
+
+    def _encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_tokens": [
+                        len(_unigram_viterbi(str(w), logp, max_piece_len))
+                        for w in pdf["w"]
+                    ],
+                }
+            )
+
+    vocab = words.select("w").distinct().mapInPandas(
+        _encode, "w string, n_tokens int"
+    ).withColumn("n_chars", F.length("w"))
+    return (
+        words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_tokens").alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            F.col("n_pieces").cast("long").alias("n_pieces"),
+            ratio(F.col("n_chars") / F.col("n_pieces")).alias(
+                "chars_per_piece"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 #: charlm gate threshold (bits/char), corpus-calibrated the way CCNet
 #: calibrates its perplexity buckets per corpus: the synthetic corpus
 #: measures 2.26-2.77 bits/char (p50 2.45, p95 2.54 at sf0.01), so 2.6

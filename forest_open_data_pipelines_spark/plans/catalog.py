@@ -857,6 +857,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_lm_step": lambda s, d: textops.unigram_lm_step(
         load_table(s, d, "documents")
     ),
+    # the unigram ENCODER sibling (bpe_encode precedent): rows-only,
+    # stdlib-twin pinned
+    "unigram_encode": lambda s, d: textops.unigram_encode(
+        load_table(s, d, "documents")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -930,7 +935,9 @@ _R11_WINDOW: tuple[str, ...] = (
     "perplexity_buckets",
     "profile_columns",
     "token_histogram",
-    "text_quality",
+    # the second round-11 tokenizer addition takes the last slot
+    # (text_quality stays in the r12 r7-remainder queue)
+    "unigram_encode",
 )
 assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 

@@ -3768,6 +3768,58 @@ def test_unigram_lm_step_matches_stdlib_reference(spark):
     assert len(got) < len(want) + UNIGRAM_SEED_MAX_PIECES
 
 
+def test_unigram_encode_matches_stdlib_reference(spark):
+    """The unigram ENCODER (bpe_encode sibling): per-doc word/char/
+    piece counts must equal the pure-Python twin — the same Viterbi
+    under the EM-round posterior with the char-coverage smoothing
+    floor."""
+    import math
+    import re
+    from collections import Counter
+
+    from forest_open_data_pipelines_spark.operators.textops import (
+        UNIGRAM_MAX_PIECE_LEN,
+        _unigram_viterbi,
+        unigram_encode,
+        unigram_lm_step,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pieces = unigram_lm_step(docs).collect()
+    em_total = sum(r["em_count"] for r in pieces)
+    logp = {
+        r["piece"]: math.log(max(r["em_count"], 1) / em_total)
+        for r in pieces
+    }
+
+    def clean(text):
+        return re.sub(
+            r"[ \t\r\f]+", " ", text.replace("\xa0", " ")
+        ).strip(" ").lower()
+
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        words = [w for w in clean(r["text"]).split(" ") if w]
+        n_pieces = sum(
+            len(_unigram_viterbi(w, logp, UNIGRAM_MAX_PIECE_LEN))
+            for w in words
+        )
+        n_chars = sum(len(w) for w in words)
+        cpp = (
+            math.floor(n_chars / n_pieces * 1e6 + 0.5) / 1e6
+            if n_pieces else None
+        )
+        want[r["doc_id"]] = (len(words), n_chars, n_pieces, cpp)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_pieces"],
+                      r["chars_per_piece"])
+        for r in unigram_encode(docs).collect()
+    }
+    assert got == want
+    # compression actually happened (multi-char pieces in use)
+    assert all(v[2] < v[1] for v in got.values())
+
+
 def test_bpe_encode_matches_stdlib_reference(spark):
     """The encoder applies the trainer's merges in rank order with the
     same greedy non-overlapping pass: per-doc token/char counts equal

@@ -62,8 +62,9 @@ def test_every_query_has_oracle_or_is_whitelisted():
         # oracle); corpus-exact vs the in-test stdlib twin instead.
         "bpe_train",
         "bpe_encode",
-        # unigram-LM EM round: data-dependent training loop with a
-        # per-word Viterbi DP (no SQL twin); row-for-row vs the
-        # in-test stdlib twin instead (bpe_train precedent).
+        # unigram-LM EM round + its encoder: data-dependent training
+        # loop with a per-word Viterbi DP (no SQL twin); row-for-row
+        # vs the in-test stdlib twin instead (bpe_train precedent).
         "unigram_lm_step",
+        "unigram_encode",
     }, rows_only
