@@ -608,25 +608,36 @@ def gopher_repetition_rules(documents: DataFrame) -> DataFrame:
     are map-side combinable and every groupBy key includes doc_id, so
     hot boilerplate grams cannot skew a partition.
     """
-    words = "filter(split(text, '\\\\s+'), w -> w != '')"
-    lines = "filter(split(text, '\\n'), l -> l != '')"
-    paras = "filter(split(text, '\\n{2,}'), p -> trim(p) != '')"
+    # the token/line/paragraph arrays are STAGED as real projection
+    # columns (the quality_repetition/repetition_row_cols boundary
+    # pattern): lambdas below reference the attribute, so each regex
+    # split runs once per ROW — inlining the expressions would
+    # re-split per GRAM (measured 23 s single-task at sf0.1, ~25×
+    # this shape)
+    staged = documents.select(
+        "doc_id",
+        F.expr("filter(split(text, '\\\\s+'), w -> w != '')").alias("w"),
+        F.expr("filter(split(text, '\\n'), l -> l != '')").alias("ls"),
+        F.expr("filter(split(text, '\\n{2,}'), p -> trim(p) != '')").alias(
+            "ps"
+        ),
+    )
     streams = [
         # k=-1 sentinel: EVERY doc emits one row, so degenerate
         # (empty-text) docs survive the explode without a second
         # documents scan for the id universe (scan-audit: one scan)
         "array(struct(-1 as k, '' as g))",
-        f"transform({lines}, l -> struct(0 as k, l as g))",
-        f"transform({paras}, p -> struct(1 as k, p as g))",
+        "transform(ls, l -> struct(0 as k, l as g))",
+        "transform(ps, p -> struct(1 as k, p as g))",
     ]
     for ng in (*GOPHER_TOP_NGRAM_THRESHOLDS, *GOPHER_DUP_NGRAM_THRESHOLDS):
         streams.append(
-            f"CASE WHEN size({words}) >= {ng} THEN "
-            f"transform(sequence(0, size({words}) - {ng}), "
-            f"i -> struct({ng} as k, array_join(slice({words}, i + 1, {ng}),"
+            f"CASE WHEN size(w) >= {ng} THEN "
+            f"transform(sequence(0, size(w) - {ng}), "
+            f"i -> struct({ng} as k, array_join(slice(w, i + 1, {ng}),"
             " ' ') as g)) ELSE array() END"
         )
-    grams = documents.select(
+    grams = staged.select(
         "doc_id", F.explode(F.expr(f"concat({', '.join(streams)})")).alias("e")
     ).select("doc_id", F.col("e.k").alias("k"), F.col("e.g").alias("g"))
     per = (
