@@ -3384,6 +3384,47 @@ FROM {prev} l JOIN sizes s USING (label)
 ORDER BY part_id"""
 
 
+def _part_triangles_sql(min_support: int = 2) -> str:
+    """DuckDB twin of relational.part_triangles: the same edge list,
+    the same (degree, id) orientation, each triangle enumerated once
+    as u→v, v→w with the closing u→w semi-check, corners exploded to
+    all three nodes; native round(x,6) is the scale-then-round
+    clustering twin."""
+    return f"""
+WITH {_co_order_edges_ctes(min_support)},
+deg AS (SELECT src, count(*)::BIGINT AS degree FROM edges GROUP BY src),
+oriented AS (
+  SELECT CASE WHEN da.degree < db.degree
+              OR (da.degree = db.degree AND p.pa < p.pb)
+         THEN p.pa ELSE p.pb END AS u,
+         CASE WHEN da.degree < db.degree
+              OR (da.degree = db.degree AND p.pa < p.pb)
+         THEN p.pb ELSE p.pa END AS v
+  FROM pairs p JOIN deg da ON da.src = p.pa JOIN deg db ON db.src = p.pb
+),
+tri AS (
+  SELECT e1.u, e1.v, e2.v AS w
+  FROM oriented e1 JOIN oriented e2 ON e2.u = e1.v
+  WHERE EXISTS (SELECT 1 FROM oriented e3
+                WHERE e3.u = e1.u AND e3.v = e2.v)
+),
+corners AS (
+  SELECT part_id, count(*)::BIGINT AS n_triangles
+  FROM (SELECT u AS part_id FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+  GROUP BY part_id
+)
+SELECT d.src AS part_id, d.degree,
+       coalesce(c.n_triangles, 0)::BIGINT AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(c.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+            END AS clustering_coeff
+FROM deg d LEFT JOIN corners c ON c.part_id = d.src
+ORDER BY part_id"""
+
+
 def _focos_prompt_texts_sql(focos_payload_sql: str) -> str:
     """DuckDB twin of social.focos_prompt_texts: the same literal
     constants (imported from the Spark module — single source) and
@@ -7319,6 +7360,7 @@ FROM c ORDER BY lang, predicted_lang"""
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     out["part_pagerank"] = _part_pagerank_sql()
     out["part_communities"] = _part_communities_sql()
+    out["part_triangles"] = _part_triangles_sql()
     # SCD2 history: null-safe change flag (IS DISTINCT FROM mirrors
     # Spark's eqNullSafe negation), run numbering by running sum, one
     # interval per run, valid_to = next run's valid_from.

@@ -208,6 +208,7 @@ HEADLINE = [
     # round-11 operators
     "media_decode_report",
     "gopher_repetition_rules",
+    "part_triangles",
     # unigram_lm_step / unigram_encode are a TRAINING loop + its
     # encoder (seed collect + EM jobs of mostly fixed per-job overhead
     # on a vocabulary-bounded table), the bpe_train/bpe_encode

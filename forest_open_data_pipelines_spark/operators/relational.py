@@ -1578,3 +1578,89 @@ def part_communities(
         )
         .orderBy("part_id")
     )
+
+
+def part_triangles(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+    """Exact triangle counts + local clustering coefficient per part
+    over the support-2 co-order graph — the third classic distributed
+    graph primitive next to ``part_pagerank`` / ``part_communities``
+    (how CLIQUISH is each part's basket neighborhood, the signal
+    behind bundle detection and graph-density audits).
+
+    Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii
+    2011, "the curse of the last reducer", public methodology) — each
+    undirected edge points from its (degree, id)-smaller endpoint to
+    the larger, so every triangle is enumerated EXACTLY once as
+    u→v, v→w, u→w and, crucially, each node's oriented out-
+    neighborhood is O(√m): the hub that would otherwise fan out
+    deg² wedge candidates contributes only its few higher-degree
+    neighbors. Per-node counts credit all three corners; the
+    clustering coefficient is 2·tri / (deg·(deg−1)) on the true
+    undirected degree (6-dp ratio, NULL below degree 2).
+
+    Scale: two node-keyed equi-joins over the oriented edge table
+    (wedge build + closing-edge check) — no part×part product
+    anywhere; the orientation bounds the wedge fan-out, the
+    per-corner explode is 3 rows per triangle, and the final
+    aggregate is map-side combinable on part_id.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    edges = co_order_edges(lineitem, min_support)
+    deg = _persist(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    )
+    pairs = edges.where(F.col("src") < F.col("dst"))
+    da = deg.select(F.col("src").alias("pa"), F.col("degree").alias("dega"))
+    db = deg.select(F.col("src").alias("pb"), F.col("degree").alias("degb"))
+    first_is_smaller = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("src") < F.col("dst"))
+    )
+    oriented = _persist(
+        pairs.join(da, pairs["src"] == da["pa"])
+        .join(db, pairs["dst"] == db["pb"])
+        .select(
+            F.when(first_is_smaller, F.col("src"))
+            .otherwise(F.col("dst"))
+            .alias("u"),
+            F.when(first_is_smaller, F.col("dst"))
+            .otherwise(F.col("src"))
+            .alias("v"),
+        )
+    )
+    e2 = oriented.select(F.col("u").alias("v2"), F.col("v").alias("w"))
+    e3 = oriented.select(F.col("u").alias("u3"), F.col("v").alias("w3"))
+    triangles = (
+        oriented.join(e2, F.col("v") == F.col("v2"))
+        .join(
+            e3,
+            (F.col("u") == F.col("u3")) & (F.col("w") == F.col("w3")),
+            "left_semi",
+        )
+        .select("u", "v", "w")
+    )
+    corners = (
+        triangles.select(F.explode(F.array("u", "v", "w")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        deg.select(F.col("src").alias("part_id"), "degree")
+        .join(corners, "part_id", "left")
+        .select(
+            "part_id",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("degree") >= 2,
+                ratio(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0).cast("long"))
+                    / (F.col("degree") * (F.col("degree") - 1))
+                ),
+            ).alias("clustering_coeff"),
+        )
+        .orderBy("part_id")
+    )

@@ -862,6 +862,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_encode": lambda s, d: textops.unigram_encode(
         load_table(s, d, "documents")
     ),
+    # triangle counts + clustering coefficient over the co-order part
+    # graph (degree-ordered orientation; completes the graph family)
+    "part_triangles": lambda s, d: relational.part_triangles(
+        load_table(s, d, "lineitem")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -934,10 +939,10 @@ _R11_WINDOW: tuple[str, ...] = (
     # oldest-r7 fillers; perplexity_buckets is the r10 bench-watch row
     "perplexity_buckets",
     "profile_columns",
-    "token_histogram",
-    # the second round-11 tokenizer addition takes the last slot
-    # (text_quality stays in the r12 r7-remainder queue)
+    # the late round-11 additions take the last two slots
+    # (token_histogram/text_quality stay in the r12 r7 queue)
     "unigram_encode",
+    "part_triangles",
 )
 assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 

@@ -27,6 +27,7 @@ MUST_BE_IN_WINDOW = {
     "gopher_repetition_rules",
     "unigram_lm_step",
     "unigram_encode",
+    "part_triangles",
     # entries whose catalog plan/schema changed in round 11 — their
     # r10 driver rows no longer witness current code
     "c4_line_filters",

@@ -6315,6 +6315,35 @@ def test_media_ahash_exact_copies_hamming_zero(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_part_triangles_known_graph(spark):
+    """Exact triangle counts on a hand-built basket graph: K3 on parts
+    1-2-3 (one triangle, clustering 1.0 at the degree-2 corners), a
+    pendant part 4 (degree 1, no triangle, NULL coefficient), and
+    every triangle credited to all three corners exactly once despite
+    the degree-ordered orientation."""
+    from forest_open_data_pipelines_spark.operators.relational import (
+        part_triangles,
+    )
+
+    # orders repeated twice so every co-order pair clears min_support=2
+    rows = []
+    for rep in range(2):
+        oid = 100 * rep
+        rows += [(oid + 1, p) for p in (1, 2, 3)]      # K3
+        rows += [(oid + 2, p) for p in (1, 2)]          # extra 1-2 edge
+        rows += [(oid + 3, p) for p in (3, 4)]          # pendant 4
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {r["part_id"]: r for r in part_triangles(li).collect()}
+    assert got[1]["n_triangles"] == 1 and got[2]["n_triangles"] == 1
+    assert got[3]["n_triangles"] == 1
+    assert got[4]["n_triangles"] == 0
+    assert got[1]["degree"] == 2 and got[3]["degree"] == 3
+    assert got[1]["clustering_coeff"] == 1.0
+    # part 3: degree 3, 1 triangle -> 2*1/(3*2) = 1/3
+    assert got[3]["clustering_coeff"] == 0.333333
+    assert got[4]["clustering_coeff"] is None
+
+
 def test_part_pagerank_mass_and_floor(spark):
     """Rank mass is conserved up to truncation (each div floors, so
     Σ rank_pico ≤ 10¹² with loss bounded by #edges + N·iters), every
