@@ -1,0 +1,129 @@
+"""Bounded-memory frequency sketches — SpaceSaving heavy hitters.
+
+No reference counterpart (the reference has no streaming/sketch layer);
+this is part of the large-scale training-data mandate: exact top-k over
+100 TB of events requires a full shuffle of every distinct key, while a
+sharded SpaceSaving summary (Metwally, Agrawal, El Abbadi 2005,
+"Efficient Computation of Frequent and Top-k Elements in Data Streams",
+ICDT) holds O(k) counters per shard and guarantees
+
+    est_count - max_error  <=  true_count  <=  est_count
+
+for every tracked item, and that ANY item with true frequency
+> N_shard / k is tracked.  Sharding by ``pmod(user_id, n_shards)``
+routes each item to exactly ONE shard's summary, so the per-shard
+guarantees are exact (no cross-summary merge error) and the global
+heavy hitters are the union of the shard summaries — the standard
+distributed key-space-partitioned deployment.
+
+Determinism contract (shared bit-for-bit with the streaming twin in
+``streaming/heavy_hitters.py`` and the stdlib twin in tests): events
+are processed in ``(ts, event_id)`` order within a shard, and eviction
+picks the entry with the smallest ``(count, error, item)`` tuple.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SPACESAVING_K = 8
+SPACESAVING_SHARDS = 4
+
+SKETCH_SCHEMA = StructType(
+    [
+        StructField("shard", IntegerType()),
+        StructField("user_id", LongType()),
+        StructField("est_count", LongType()),
+        StructField("max_error", LongType()),
+        StructField("is_exact", BooleanType()),
+        StructField("rank", IntegerType()),
+        StructField("n_processed", LongType()),
+    ]
+)
+
+
+def spacesaving_update(
+    counters: dict[int, tuple[int, int]], item: int, k: int
+) -> None:
+    """One SpaceSaving step on ``counters`` (item -> (count, error)).
+
+    Tracked -> increment.  Room left -> insert (1, 0).  Full -> evict
+    the min-(count, error, item) entry and inherit its count as the
+    new item's (count+1, error=count) — the classic ICDT §3 update.
+    """
+    hit = counters.get(item)
+    if hit is not None:
+        counters[item] = (hit[0] + 1, hit[1])
+    elif len(counters) < k:
+        counters[item] = (1, 0)
+    else:
+        evict = min(counters, key=lambda i: (counters[i][0], counters[i][1], i))
+        min_count = counters[evict][0]
+        del counters[evict]
+        counters[item] = (min_count + 1, min_count)
+
+
+def sketch_rows(
+    shard: int, counters: dict[int, tuple[int, int]], n_processed: int
+) -> pd.DataFrame:
+    """Render a shard's summary as ranked rows (count desc, error asc,
+    item asc — the deterministic output order shared by both twins)."""
+    ranked = sorted(counters.items(), key=lambda kv: (-kv[1][0], kv[1][1], kv[0]))
+    return pd.DataFrame(
+        {
+            "shard": pd.array([shard] * len(ranked), dtype="int32"),
+            "user_id": pd.array([i for i, _ in ranked], dtype="int64"),
+            "est_count": pd.array([c for _, (c, _e) in ranked], dtype="int64"),
+            "max_error": pd.array([e for _, (_c, e) in ranked], dtype="int64"),
+            "is_exact": pd.array([e == 0 for _, (_c, e) in ranked], dtype="bool"),
+            "rank": pd.array(range(1, len(ranked) + 1), dtype="int32"),
+            "n_processed": pd.array([n_processed] * len(ranked), dtype="int64"),
+        }
+    )
+
+
+def spacesaving_topk(
+    events: DataFrame, k: int = SPACESAVING_K, n_shards: int = SPACESAVING_SHARDS
+) -> DataFrame:
+    """Sharded SpaceSaving top-k users by event count.
+
+    One scan: project (shard, user_id, ts, event_id), shuffle once on
+    the shard key (n_shards partitions of bounded width — each kernel
+    holds k counters, never the shard's raw rows beyond the Arrow
+    batch), run the sketch per shard in an Arrow kernel.  At 100 TB the
+    same plan holds: n_shards scales with the cluster, state stays
+    O(k · n_shards) regardless of row count or key cardinality.
+    """
+
+    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        # grouped applyInPandas hands the WHOLE group to the kernel;
+        # sort once for the determinism contract — only the k counters
+        # persist past the loop.
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        shard = int(pdf["shard"].iloc[0])
+        counters: dict[int, tuple[int, int]] = {}
+        for item in pdf["user_id"].astype("int64"):
+            spacesaving_update(counters, int(item), k)
+        return sketch_rows(shard, counters, len(pdf))
+
+    projected = events.select(
+        F.pmod(F.col("user_id"), F.lit(n_shards)).cast("int").alias("shard"),
+        "user_id",
+        "ts",
+        "event_id",
+    )
+    return (
+        projected.groupBy("shard")
+        .applyInPandas(_apply, SKETCH_SCHEMA)
+        .orderBy("shard", "rank")
+    )

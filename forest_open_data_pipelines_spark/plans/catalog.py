@@ -23,6 +23,7 @@ from forest_open_data_pipelines_spark.operators import (
     relational,
     sessionize,
     similarity,
+    sketches,
     social,
     textops,
     timeseries,
@@ -867,6 +868,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_triangles": lambda s, d: relational.part_triangles(
         load_table(s, d, "lineitem")
     ),
+    # sharded SpaceSaving heavy hitters (Metwally 2005): O(k) counters
+    # per shard, rows-only (sequential sketch, no SQL twin) — exact
+    # stdlib-twin + error-bound invariants in tests/test_operators.py
+    "spacesaving_hitters": lambda s, d: sketches.spacesaving_topk(
+        load_table(s, d, "events")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -947,7 +954,8 @@ _R11_WINDOW: tuple[str, ...] = (
 assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 
 # Round-12 rotation queue (pre-staged; build the _R12_WINDOW from this):
-# 0) any round-11 additions without a driver row yet, and any entry
+# 0) any round-11 additions without a driver row yet
+#    (spacesaving_hitters, …), and any entry
 #    whose catalog plan changes in round 12;
 # 1) any round-11 window row the driver fails - fix first, re-window;
 # 2) the 42 remaining r7-vintage rows (audit_markdown_table,

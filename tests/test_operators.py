@@ -6822,3 +6822,131 @@ def test_c4_sentenceify_makes_rules_fire(spark):
     )
     r = textops.c4_line_filters(textops.c4_sentenceify(big)).collect()[0]
     assert r["n_js_lines"] == 1
+
+
+# ---------------------------------------------------------------------------
+# SpaceSaving heavy hitters (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+
+def test_spacesaving_known_stream(spark):
+    """Hand-traced k=2 stream: [1,1,2,3] -> 1 tracked exactly (2,0);
+    2 inserted then evicted by 3, which inherits (2,1); ranks break
+    the count tie by error then item."""
+    from datetime import datetime, timedelta
+
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        spacesaving_topk,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=i), uid)
+        for i, uid in enumerate([1, 1, 2, 3])
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+    got = spacesaving_topk(ev, k=2, n_shards=1).collect()
+    assert [(r["user_id"], r["est_count"], r["max_error"], r["is_exact"], r["rank"]) for r in got] == [
+        (1, 2, 0, True, 1),
+        (3, 2, 1, False, 2),
+    ]
+    assert all(r["n_processed"] == 4 for r in got)
+
+
+def _spacesaving_stdlib_twin(pdf, k, n_shards):
+    """Pure-Python SpaceSaving over the same (ts, event_id) order —
+    the determinism contract's reference implementation."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        spacesaving_update,
+    )
+
+    out = {}
+    pdf = pdf.assign(shard=(pdf["user_id"] % n_shards).astype("int64"))
+    for shard, g in pdf.groupby("shard"):
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        counters = {}
+        for item in g["user_id"]:
+            spacesaving_update(counters, int(item), k)
+        out[int(shard)] = (counters, len(g))
+    return out
+
+
+def _synthetic_skewed_events(spark):
+    """Deterministic zipf-ish stream: 2,000 events over ~56 distinct
+    users — user (i mod 7) every 3rd event (heavy), user (i mod 53)
+    otherwise — forcing constant eviction at k=8."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            t0 + timedelta(seconds=i),
+            int(i % 7 if i % 3 == 0 else i % 53),
+        )
+        for i in range(2000)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long"
+    )
+
+
+def test_spacesaving_matches_stdlib_twin(spark):
+    """Row-for-row equality with the pure-Python twin on a stream that
+    saturates every shard (evictions fire), and on the catalog-scale
+    events table."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        spacesaving_topk,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    for ev, k, n_shards in [
+        (_synthetic_skewed_events(spark), 8, 2),
+        (load_table(spark, SF_DIR, "events"), 8, 4),
+    ]:
+        got = spacesaving_topk(ev, k=k, n_shards=n_shards).collect()
+        twin = _spacesaving_stdlib_twin(
+            ev.select("user_id", "ts", "event_id").toPandas(), k, n_shards
+        )
+        for r in got:
+            counters, n = twin[r["shard"]]
+            assert counters[r["user_id"]] == (r["est_count"], r["max_error"]), r
+            assert r["n_processed"] == n
+            assert r["is_exact"] == (r["max_error"] == 0)
+        # every tracked entry surfaced exactly once
+        assert len(got) == sum(len(c) for c, _ in twin.values())
+        # ranks are dense per shard, ordered (count desc, error, item)
+        by_shard = {}
+        for r in sorted(got, key=lambda r: (r["shard"], r["rank"])):
+            by_shard.setdefault(r["shard"], []).append(r)
+        for rs in by_shard.values():
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            keys = [(-r["est_count"], r["max_error"], r["user_id"]) for r in rs]
+            assert keys == sorted(keys)
+
+
+def test_spacesaving_icdt_guarantees(spark):
+    """The ICDT §3 bounds on the eviction-heavy synthetic stream:
+    est - err <= true <= est per tracked item, and every item with
+    true frequency > N_shard/k is tracked."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        spacesaving_topk,
+    )
+
+    ev = _synthetic_skewed_events(spark)
+    k, n_shards = 8, 2
+    got = spacesaving_topk(ev, k=k, n_shards=n_shards).collect()
+    pdf = ev.select("user_id").toPandas()
+    pdf["shard"] = (pdf["user_id"] % n_shards).astype("int64")
+    true = pdf.groupby(["shard", "user_id"]).size()
+    shard_n = pdf.groupby("shard").size()
+    tracked = {(r["shard"], r["user_id"]) for r in got}
+    assert any(r["max_error"] > 0 for r in got)  # evictions actually fired
+    for r in got:
+        t = int(true.loc[(r["shard"], r["user_id"])])
+        assert r["est_count"] >= t >= r["est_count"] - r["max_error"], (r, t)
+    for (shard, uid), t in true.items():
+        if t > shard_n.loc[shard] / k:
+            assert (shard, uid) in tracked, (shard, uid, t)

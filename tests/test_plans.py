@@ -1021,3 +1021,22 @@ def test_gopher_repetition_rules_one_scan_combinable_aggs(spark):
     assert "PythonUDF" not in plan
     assert live_scans(plan) == {"documents": 1}, live_scans(plan)
     assert "partial_" in plan  # map-side combine before the exchange
+
+
+def test_spacesaving_one_scan_one_wide_exchange(spark):
+    """Sharded SpaceSaving: ONE pruned events scan (3 columns), ONE
+    hash exchange on the shard key (the only data-weight shuffle —
+    the trailing range partition moves k·n_shards summary rows), the
+    sketch kernel grouped, no join. At 100 TB this is scan → one
+    shuffle of 3 narrow columns → O(k) state per shard."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "spacesaving_hitters")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert live_scans(plan) == {"events": 1}, live_scans(plan)
+    assert "FlatMapGroupsInPandas" in plan
+    (schema,) = _read_schemas(plan)
+    assert set(schema.split(",")) == {
+        "event_id:bigint", "ts:timestamp_ntz", "user_id:bigint",
+    }, schema

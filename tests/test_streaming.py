@@ -1978,3 +1978,77 @@ def test_effective_series_stream_matches_batch(spark, tmp_path):
         assert any(r["source"] == "mensal" for r in final) or all(
             r["source"] == "zip" for r in batch
         )
+
+
+def test_heavy_hitters_stream_matches_batch(spark, tmp_path):
+    """Bounded-sketch state: stream the events table in TWO forced
+    micro-batches (ts-split files, drained in order so the concatenated
+    order equals the batch twin's global (ts, event_id) sort); the
+    final per-shard summary must equal operators.sketches.
+    spacesaving_topk bit-for-bit, through a state save/restore."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        spacesaving_topk,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+    from forest_open_data_pipelines_spark.streaming.heavy_hitters import (
+        heavy_hitters_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    head = ordered.limit(n // 2).toPandas()
+    tail = ordered.subtract(ordered.limit(n // 2)).toPandas()
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    spark.createDataFrame(head).coalesce(1).write.parquet(
+        str(src / "batch_a"), mode="overwrite"
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1000)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    query = (
+        heavy_hitters_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hh_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hh"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # second micro-batch lands only after the first fully drained
+        spark.createDataFrame(tail).coalesce(1).write.parquet(
+            str(src / "batch_b"), mode="overwrite"
+        )
+        query.processAllAvailable()
+        final = spark.sql(
+            """SELECT * FROM (
+                 SELECT *, max(n_processed) OVER (PARTITION BY shard) AS mx
+                 FROM hh_test) WHERE n_processed = mx"""
+        ).collect()
+    finally:
+        query.stop()
+
+    got = {
+        (r["shard"], r["user_id"]): (
+            r["est_count"], r["max_error"], r["is_exact"], r["rank"], r["n_processed"],
+        )
+        for r in final
+    }
+    batch = {
+        (r["shard"], r["user_id"]): (
+            r["est_count"], r["max_error"], r["is_exact"], r["rank"], r["n_processed"],
+        )
+        for r in spacesaving_topk(ev).collect()
+    }
+    assert got == batch
+    assert len(got) > 0
