@@ -7461,6 +7461,49 @@ SELECT user_id, session_seq, session_start, session_end,
        round(sum(value), 2) AS total_value
 FROM j GROUP BY user_id, session_seq, session_start, session_end
 ORDER BY user_id, session_seq"""
+    # Sweep-line peak concurrency: the oracle runs the ONE-GLOBAL-
+    # running-sum formulation (a genuinely different decomposition
+    # from Spark's bucket-carry prefix sums — same semantics, so the
+    # hash match cross-checks the decomposition itself). Tie contract:
+    # +1 before -1 at equal instants (ORDER BY ts, delta DESC).
+    out["session_concurrency"] = f"""
+WITH sessions AS (
+  SELECT session_start, session_end FROM ({out["events_sessionize"]})
+),
+deltas AS (
+  SELECT session_start AS ts, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT session_end AS ts, -1 AS delta FROM sessions
+),
+run AS (
+  SELECT ts, delta,
+         sum(delta) OVER (ORDER BY ts, delta DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS running
+  FROM deltas
+),
+day_stats AS (
+  SELECT ts::DATE AS day,
+         sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_sessions_started,
+         sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_sessions_ended,
+         sum(delta) AS day_total,
+         max(running) AS max_run
+  FROM run GROUP BY day
+)
+SELECT day,
+       COALESCE(sum(day_total) OVER (ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0)::BIGINT AS open_at_day_start,
+       n_sessions_started,
+       n_sessions_ended,
+       GREATEST(
+         COALESCE(sum(day_total) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0),
+         max_run)::BIGINT AS peak_concurrency
+FROM day_stats ORDER BY day"""
     # The overview metric frame's mensal truncate-then-substitute
     # branch: reference month/calendar year derive from the freshest
     # mensal observation, mensal months past the reference month drop,

@@ -611,3 +611,93 @@ def purchase_state_attribution(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id", "purchase_ts", "purchase_event_id")
     )
+
+
+def session_concurrency(events: DataFrame) -> DataFrame:
+    """Per-day peak session concurrency via a DISTRIBUTED sweep line.
+
+    The interval-stabbing question ("how many sessions were open at
+    once?") needs a prefix sum over the globally ordered +1/-1 delta
+    stream — the one aggregation a naive window (one partition, whole
+    data) cannot survive at 100 TB.  Decomposition used here:
+
+    1. sessionize (the existing per-user shuffle), then EXPLODE each
+       session into (start, +1) / (end, -1) — one pass, no
+       union-of-two-subtrees double scan;
+    2. within-HOUR running sums — Window partitioned by the hour
+       bucket, so partition width is bounded by events/hour, never the
+       corpus (sub-bucket finer at higher volume, same shape);
+    3. the carry across buckets is a prefix sum over BUCKET TOTALS —
+       a bucket-count-sized frame where the single-partition window is
+       free;
+    4. concurrency at any delta point = bucket carry + within-bucket
+       running; per-day peak folds buckets, GREATEST with the
+       day-start carry covers days whose max precedes their first
+       delta (all-closings days).
+
+    Tie contract (mirrored in the oracle): at equal instants +1 sorts
+    before -1, so a session starting exactly when another ends counts
+    as concurrent, and single-event (zero-length) sessions still
+    register.  Identical (ts, delta) duplicates permute freely —
+    cumulative values over a run of equal deltas are
+    permutation-invariant, so the peak is well-defined.
+    """
+    sessions = events_sessionize(events).select("session_start", "session_end")
+    deltas = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("session_start").alias("ts"),
+                    F.lit(1).cast("long").alias("delta"),
+                ),
+                F.struct(
+                    F.col("session_end").alias("ts"),
+                    F.lit(-1).cast("long").alias("delta"),
+                ),
+            )
+        ).alias("d")
+    ).select(
+        F.col("d.ts").alias("ts"),
+        F.col("d.delta").alias("delta"),
+        F.date_trunc("hour", "d.ts").alias("bucket"),
+    )
+
+    w_bucket = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("ts").asc(), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = deltas.withColumn("running", F.sum("delta").over(w_bucket))
+
+    bucket_stats = running.groupBy("bucket").agg(
+        F.sum("delta").alias("bucket_total"),
+        F.max("running").alias("max_within"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias("n_started"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias("n_ended"),
+    )
+    # bucket-level prefix sum: frame = number of hours, not rows
+    w_carry = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carried = bucket_stats.select(
+        F.col("bucket").cast("date").alias("day"),
+        "bucket",
+        "n_started",
+        "n_ended",
+        "bucket_total",
+        "max_within",
+        F.coalesce(F.sum("bucket_total").over(w_carry), F.lit(0)).alias("carry"),
+    )
+    return (
+        carried.groupBy("day")
+        .agg(
+            F.min_by("carry", "bucket").alias("open_at_day_start"),
+            F.sum("n_started").alias("n_sessions_started"),
+            F.sum("n_ended").alias("n_sessions_ended"),
+            F.greatest(
+                F.min_by("carry", "bucket"),
+                F.max(F.col("carry") + F.col("max_within")),
+            ).alias("peak_concurrency"),
+        )
+        .orderBy("day")
+    )

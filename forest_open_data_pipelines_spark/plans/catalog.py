@@ -874,6 +874,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "spacesaving_hitters": lambda s, d: sketches.spacesaving_topk(
         load_table(s, d, "events")
     ),
+    # distributed sweep line: per-day peak session concurrency via
+    # hour-bucketed prefix sums + a bucket-total carry (the global
+    # running sum no single window partition could hold at scale)
+    "session_concurrency": lambda s, d: sessionize.session_concurrency(
+        load_table(s, d, "events")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -955,7 +961,7 @@ assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 
 # Round-12 rotation queue (pre-staged; build the _R12_WINDOW from this):
 # 0) any round-11 additions without a driver row yet
-#    (spacesaving_hitters, …), and any entry
+#    (spacesaving_hitters, session_concurrency), and any entry
 #    whose catalog plan changes in round 12;
 # 1) any round-11 window row the driver fails - fix first, re-window;
 # 2) the 42 remaining r7-vintage rows (audit_markdown_table,

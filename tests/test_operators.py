@@ -6950,3 +6950,45 @@ def test_spacesaving_icdt_guarantees(spark):
     for (shard, uid), t in true.items():
         if t > shard_n.loc[shard] / k:
             assert (shard, uid) in tracked, (shard, uid, t)
+
+
+def test_session_concurrency_sweep_semantics(spark):
+    """Hand-built intervals pin the sweep-line contract: touching
+    sessions (one ends exactly when another starts) count as
+    concurrent (+1 before -1), zero-length single-event sessions
+    register, a midnight-spanning session carries into the next day's
+    open_at_day_start, and a day whose only deltas are closings peaks
+    at its carry."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        session_concurrency,
+    )
+
+    def ev(i, user, *hms):
+        return (i, datetime(2024, 3, *hms), user, "view", 1.0, "{}")
+
+    rows = [
+        # user 1: day-1 session 10:00-10:20 (3 events)
+        ev(1, 1, 1, 10, 0), ev(2, 1, 1, 10, 10), ev(3, 1, 1, 10, 20),
+        # user 2: touching session starting exactly 10:20
+        ev(4, 2, 1, 10, 20), ev(5, 2, 1, 10, 40),
+        # user 3: zero-length session at 10:20 -> momentary 3-way peak
+        ev(6, 3, 1, 10, 20),
+        # user 4: spans midnight day1 23:50 -> day2 00:10
+        ev(7, 4, 1, 23, 50), ev(8, 4, 2, 0, 10),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {str(r["day"]): r for r in session_concurrency(events).collect()}
+    d1, d2 = got["2024-03-01"], got["2024-03-02"]
+    assert d1["open_at_day_start"] == 0
+    assert d1["n_sessions_started"] == 4 and d1["n_sessions_ended"] == 3
+    assert d1["peak_concurrency"] == 3  # users 1+2+3 at 10:20
+    # day 2: only user 4's closing delta; peak = the carried-in open run
+    assert d2["open_at_day_start"] == 1
+    assert d2["n_sessions_started"] == 0 and d2["n_sessions_ended"] == 1
+    assert d2["peak_concurrency"] == 1

@@ -1040,3 +1040,21 @@ def test_spacesaving_one_scan_one_wide_exchange(spark):
     assert set(schema.split(",")) == {
         "event_id:bigint", "ts:timestamp_ntz", "user_id:bigint",
     }, schema
+
+
+def test_session_concurrency_bucket_carry_shape(spark):
+    """Sweep-line concurrency: ONE events scan, exactly TWO data-weight
+    hash exchanges (per-user sessionize, then the hour bucket), and the
+    only single-partition window runs on the bucket-totals frame
+    (row count = distinct hours, never the corpus) — the prefix-sum
+    decomposition that replaces the impossible global-order window."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "session_concurrency")
+    assert live_scans(plan) == {"events": 1}, live_scans(plan)
+    assert plan.count("Exchange hashpartitioning") == 2
+    # the carry window's single partition sits ABOVE the bucket
+    # aggregate (HashAggregate keys=[bucket...]), not on raw deltas
+    single = plan.index("Exchange SinglePartition")
+    assert "HashAggregate" in plan[single:], plan[single : single + 400]
+    assert "PythonUDF" not in plan
