@@ -7504,6 +7504,18 @@ SELECT day,
                   0),
          max_run)::BIGINT AS peak_concurrency
 FROM day_stats ORDER BY day"""
+    # 2-D skyline: the oracle is the textbook quadratic NOT EXISTS
+    # dominance test — Spark runs the price-group prefix-max
+    # reformulation, so the hash match proves the two equivalent.
+    out["part_skyline"] = """
+SELECT p_partkey, p_brand, p_retailprice, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice
+    AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+ORDER BY p_retailprice, p_partkey"""
     # The overview metric frame's mensal truncate-then-substitute
     # branch: reference month/calendar year derive from the freshest
     # mensal observation, mensal months past the reference month drop,

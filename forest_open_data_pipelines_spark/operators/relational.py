@@ -1664,3 +1664,78 @@ def part_triangles(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
         )
         .orderBy("part_id")
     )
+
+
+def part_skyline(part: DataFrame, price_bucket_width: float = 100.0) -> DataFrame:
+    """2-D Pareto skyline of parts: cheapest-AND-biggest frontier.
+
+    A part is on the skyline iff no other part dominates it — lower or
+    equal price AND greater or equal size, strict in at least one.
+    Equal (price, size) duplicates do not dominate each other (all
+    stay).  The preference-query class (Börzsönyi et al. 2001, "The
+    Skyline Operator", ICDE) the catalog lacked.
+
+    Spark-first shape — NOT the quadratic dominance self-join:
+
+    1. collapse to PRICE GROUPS: max size per exact price (map-side
+       combinable, one shuffle on price) — inside a group, everything
+       below the max size is dominated by the group max;
+    2. a group survives iff its max size strictly exceeds every max
+       size at a strictly lower price: a PREFIX MAX over price order,
+       decomposed exactly like ``session_concurrency`` — within
+       fixed-width price buckets via a bounded window, across buckets
+       via a prefix max over the bucket-totals frame (bucket-count
+       rows, the only single-partition window);
+    3. join the surviving (price, max-size) frontier — expected
+       O(log n) rows on independent dimensions — BROADCAST back to
+       recover all tied part rows.
+
+    The DuckDB oracle runs the textbook quadratic NOT EXISTS, so the
+    hash match cross-checks the prefix-max reformulation.
+
+    The price-groups frame (distinct prices — already reduced by the
+    combinable aggregate) is PERSISTED: both the bucket-carry input
+    and the survivor filter consume it, and without the pin Spark
+    re-evaluates the aggregation subtree per consumer (a second full
+    part scan, caught by the plan guard).  The trailing part probe is
+    the row-recovery scan, filtered by the broadcast frontier.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    groups = _persist(
+        part.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    )
+    bucketed = groups.withColumn(
+        "bucket", F.floor(F.col("p_retailprice") / F.lit(price_bucket_width))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = bucketed.withColumn("prev_in_bucket", F.max("gmax").over(w_in))
+    bucket_tot = within.groupBy("bucket").agg(
+        F.max("gmax").alias("bucket_max")
+    )
+    w_carry = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    carry = bucket_tot.select(
+        "bucket", F.max("bucket_max").over(w_carry).alias("carry")
+    )
+    survivors = (
+        within.join(F.broadcast(carry), "bucket")
+        .withColumn("smax", F.greatest("prev_in_bucket", "carry"))
+        .where(F.col("smax").isNull() | (F.col("gmax") > F.col("smax")))
+        .select(
+            F.col("p_retailprice").alias("sky_price"),
+            F.col("gmax").alias("sky_size"),
+        )
+    )
+    return (
+        part.join(
+            F.broadcast(survivors),
+            (F.col("p_retailprice") == F.col("sky_price"))
+            & (F.col("p_size") == F.col("sky_size")),
+        )
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

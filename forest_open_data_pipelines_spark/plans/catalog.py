@@ -880,6 +880,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "session_concurrency": lambda s, d: sessionize.session_concurrency(
         load_table(s, d, "events")
     ),
+    # 2-D Pareto skyline (Börzsönyi 2001): price-group collapse +
+    # bucket-carry prefix max instead of the quadratic dominance join
+    "part_skyline": lambda s, d: relational.part_skyline(
+        load_table(s, d, "part")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -961,7 +966,8 @@ assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 
 # Round-12 rotation queue (pre-staged; build the _R12_WINDOW from this):
 # 0) any round-11 additions without a driver row yet
-#    (spacesaving_hitters, session_concurrency), and any entry
+#    (spacesaving_hitters, session_concurrency, part_skyline), and
+#    any entry
 #    whose catalog plan changes in round 12;
 # 1) any round-11 window row the driver fails - fix first, re-window;
 # 2) the 42 remaining r7-vintage rows (audit_markdown_table,

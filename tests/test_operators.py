@@ -6992,3 +6992,33 @@ def test_session_concurrency_sweep_semantics(spark):
     assert d2["open_at_day_start"] == 1
     assert d2["n_sessions_started"] == 0 and d2["n_sessions_ended"] == 1
     assert d2["peak_concurrency"] == 1
+
+
+def test_part_skyline_dominance_semantics(spark):
+    """Hand-built frontier pins the dominance contract: equal
+    (price, size) duplicates all stay, equal price + smaller size is
+    dominated, equal size + higher price is dominated, strictly
+    dominated interior points drop, and the frontier is monotone
+    (size strictly increasing with price)."""
+    from forest_open_data_pipelines_spark.operators.relational import (
+        part_skyline,
+    )
+
+    rows = [
+        (1, "A", 10.0, 5),   # frontier
+        (2, "B", 10.0, 5),   # duplicate of 1 -> both stay
+        (3, "C", 10.0, 4),   # equal price, smaller size -> dominated
+        (4, "D", 12.0, 5),   # equal size, higher price -> dominated
+        (5, "E", 11.0, 3),   # strictly dominated (by 1)
+        (6, "F", 15.0, 9),   # frontier (pricier but bigger)
+        (7, "G", 14.0, 9),   # dominates 6? same size, cheaper -> 6 out
+        (8, "H", 250.0, 50), # far bucket, frontier
+    ]
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_retailprice double, p_size int"
+    )
+    got = [(r["p_partkey"], r["p_retailprice"], r["p_size"])
+           for r in part_skyline(part).collect()]
+    assert got == [(1, 10.0, 5), (2, 10.0, 5), (7, 14.0, 9), (8, 250.0, 50)]
+    sizes = [s for _, _, s in got]
+    assert sizes == sorted(sizes)  # monotone frontier

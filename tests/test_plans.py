@@ -1058,3 +1058,27 @@ def test_session_concurrency_bucket_carry_shape(spark):
     single = plan.index("Exchange SinglePartition")
     assert "HashAggregate" in plan[single:], plan[single : single + 400]
     assert "PythonUDF" not in plan
+
+
+def test_part_skyline_two_scans_broadcast_frontier(spark):
+    """Skyline: the part table is touched exactly twice — the
+    combinable price-group aggregate and the row-recovery probe —
+    with the groups frame persisted so the carry and survivor branches
+    share one evaluation; the frontier joins back as a BROADCAST
+    (never a shuffled self-join), and no SortMergeJoin appears."""
+    from tools.scan_audit import live_scans
+
+    df = QUERIES["part_skyline"](spark, SF_DIR)
+    df.collect()  # materialize so the cached groups frame pins
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    try:
+        assert live_scans(plan) == {"part": 2}, live_scans(plan)
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "InMemoryTableScan" in plan  # shared groups frame
+    finally:
+        from forest_open_data_pipelines_spark.operators.dedup import (
+            release_persisted,
+        )
+
+        release_persisted()
