@@ -7516,6 +7516,52 @@ WHERE NOT EXISTS (
     AND b.p_size >= a.p_size
     AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
 ORDER BY p_retailprice, p_partkey"""
+    # CUSUM via the reflection identity (running sum + running min),
+    # integer-exact: dev scales by the series length so no float
+    # (mean, z) ever crosses the engine boundary.
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        CUSUM_THRESHOLD_MEANS,
+    )
+
+    out["cusum_change_points"] = f"""
+WITH counts AS (
+  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n_events
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+),
+spine AS (
+  SELECT event_type,
+         unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM (SELECT event_type, min(day) AS d0, max(day) AS d1
+        FROM counts GROUP BY 1)
+),
+daily AS (
+  SELECT s.event_type, s.day, coalesce(c.n_events, 0)::BIGINT AS n_events
+  FROM spine s LEFT JOIN counts c USING (event_type, day)
+),
+stats AS (
+  SELECT event_type, sum(n_events)::BIGINT AS total,
+         count(*)::BIGINT AS cnt
+  FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n_events,
+         (d.n_events * s.cnt - s.total)::BIGINT AS dev_scaled, s.total
+  FROM daily d JOIN stats s USING (event_type)
+),
+run AS (
+  SELECT *, sum(dev_scaled) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS p
+  FROM dev
+),
+mins AS (
+  SELECT *, min(p) OVER (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS m
+  FROM run
+)
+SELECT event_type, day, n_events, dev_scaled,
+       (p - least(0, m))::BIGINT AS cusum_scaled,
+       (p - least(0, m)) > {CUSUM_THRESHOLD_MEANS} * total AS alarm
+FROM mins ORDER BY event_type, day"""
     # The overview metric frame's mensal truncate-then-substitute
     # branch: reference month/calendar year derive from the freshest
     # mensal observation, mensal months past the reference month drop,

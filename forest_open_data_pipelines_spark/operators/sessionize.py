@@ -701,3 +701,59 @@ def session_concurrency(events: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+CUSUM_THRESHOLD_MEANS = 2
+
+
+def cusum_change_points(
+    events: DataFrame, threshold_means: int = CUSUM_THRESHOLD_MEANS
+) -> DataFrame:
+    """One-sided CUSUM level-shift detection per event-type day series
+    (Page 1954, the sequential-detection class) in EXACT integer
+    arithmetic.
+
+    The textbook recursion ``S_t = max(0, S_{t-1} + x_t)`` is
+    sequential; the distributed form used here is the reflection
+    identity ``S_t = P_t − min(0, min_{j≤t} P_j)`` — a running sum
+    plus a running min, two bounded per-series windows (partition
+    width = days per series, never the corpus; the per-day collapse
+    before them is the map-side-combinable aggregate).
+
+    Float z-scores would drift across engines (parallel summation
+    order), so the deviation is SCALED BY THE SERIES LENGTH instead:
+    ``x_t = n_t·cnt − total`` (all BIGINT — exact in both engines;
+    n_t·cnt stays far under 2⁶³ at any real scale).  ``cusum_scaled``
+    is therefore (cumulative excess over the series mean) × cnt, and
+    the alarm fires when the cumulative excess exceeds
+    ``threshold_means`` series means: ``S > threshold_means·total``.
+    """
+    daily = daily_event_counts(events).where(F.col("day").isNotNull())
+    stats = daily.groupBy("event_type").agg(
+        F.sum("n_events").alias("total"), F.count(F.lit(1)).alias("cnt")
+    )
+    dev = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("n_events") * F.col("cnt") - F.col("total")).alias("dev_scaled"),
+        "total",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = dev.withColumn("p", F.sum("dev_scaled").over(w))
+    mins = run.withColumn("m", F.min("p").over(w))
+    return mins.select(
+        "event_type",
+        "day",
+        "n_events",
+        "dev_scaled",
+        (F.col("p") - F.least(F.lit(0), F.col("m"))).alias("cusum_scaled"),
+        (
+            (F.col("p") - F.least(F.lit(0), F.col("m")))
+            > F.lit(threshold_means) * F.col("total")
+        ).alias("alarm"),
+    ).orderBy("event_type", "day")

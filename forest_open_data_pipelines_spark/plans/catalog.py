@@ -885,6 +885,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_skyline": lambda s, d: relational.part_skyline(
         load_table(s, d, "part")
     ),
+    # one-sided CUSUM level-shift detection (Page 1954) via the
+    # reflection identity (running sum + running min), exact integers
+    "cusum_change_points": lambda s, d: sessionize.cusum_change_points(
+        load_table(s, d, "events")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -966,8 +971,8 @@ assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 
 # Round-12 rotation queue (pre-staged; build the _R12_WINDOW from this):
 # 0) any round-11 additions without a driver row yet
-#    (spacesaving_hitters, session_concurrency, part_skyline), and
-#    any entry
+#    (spacesaving_hitters, session_concurrency, part_skyline,
+#    cusum_change_points), and any entry
 #    whose catalog plan changes in round 12;
 # 1) any round-11 window row the driver fails - fix first, re-window;
 # 2) the 42 remaining r7-vintage rows (audit_markdown_table,

@@ -7022,3 +7022,52 @@ def test_part_skyline_dominance_semantics(spark):
     assert got == [(1, 10.0, 5), (2, 10.0, 5), (7, 14.0, 9), (8, 250.0, 50)]
     sizes = [s for _, _, s in got]
     assert sizes == sorted(sizes)  # monotone frontier
+
+
+def test_cusum_reflection_equals_textbook_recursion(spark):
+    """The windowed reflection identity (P_t - min(0, min prefix P))
+    must equal the sequential textbook recursion
+    S_t = max(0, S_{t-1} + x_t) row-for-row on the catalog series,
+    and a manufactured level shift must raise the alarm."""
+    from datetime import datetime, timedelta
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        cusum_change_points,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    got = cusum_change_points(
+        load_table(spark, SF_DIR, "events")
+    ).collect()
+    series = {}
+    for r in got:
+        series.setdefault(r["event_type"], []).append(r)
+    assert series  # non-empty
+    for rows in series.values():
+        s = 0
+        for r in rows:
+            s = max(0, s + r["dev_scaled"])
+            assert r["cusum_scaled"] == s, r
+
+    # level shift: 10 quiet days of 10 events, then 5 days of 40 —
+    # cumulative excess crosses 2 series means inside the burst
+    t0 = datetime(2024, 5, 1)
+    rows, eid = [], 0
+    for d in range(15):
+        for _ in range(10 if d < 10 else 40):
+            rows.append(
+                (eid, t0 + timedelta(days=d, seconds=eid % 1000), 1,
+                 "burst", 1.0, "{}")
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = cusum_change_points(ev).collect()
+    assert not any(r["alarm"] for r in out if str(r["day"]) < "2024-05-11")
+    assert any(r["alarm"] for r in out)
+    # alarms are a suffix: once the shift is flagged it stays flagged
+    flags = [r["alarm"] for r in out]
+    assert flags == sorted(flags)

@@ -1082,3 +1082,29 @@ def test_part_skyline_two_scans_broadcast_frontier(spark):
         )
 
         release_persisted()
+
+
+def test_cusum_one_scan_broadcast_stats(spark):
+    """CUSUM: one events scan feeds the persisted daily frame (the
+    counts frame is types×days rows), the per-series stats join back
+    as a BROADCAST, and the running sum/min pair stays in two bounded
+    per-series windows — no SortMergeJoin, no Python. The events scan
+    sits under the InMemoryRelation (live_scans hides cached
+    subtrees; each consumer branch re-prints the cached subtree, so
+    raw scan-node counts overstate — one materialized build is
+    daily_event_counts' own guarded contract)."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "cusum_change_points")
+    try:
+        assert live_scans(plan) == {}, live_scans(plan)  # all cached
+        assert "InMemoryRelation" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "PythonUDF" not in plan
+    finally:
+        from forest_open_data_pipelines_spark.operators.dedup import (
+            release_persisted,
+        )
+
+        release_persisted()
