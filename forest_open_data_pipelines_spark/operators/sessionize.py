@@ -757,3 +757,37 @@ def cusum_change_points(
             > F.lit(threshold_means) * F.col("total")
         ).alias("alarm"),
     ).orderBy("event_type", "day")
+
+
+def cusum_fixed_target(
+    events: DataFrame, target_per_day: int, threshold: int
+) -> DataFrame:
+    """Fixed-reference CUSUM (the production monitoring form: the
+    target rate is configured, not estimated from the window) — the
+    batch parity twin of ``streaming.cusum.cusum_monitor_stream``.
+    Same reflection identity as ``cusum_change_points``; deviations
+    are plain ``n_t − target`` longs (no scaling needed when the
+    target is given)."""
+    daily = daily_event_counts(events).where(F.col("day").isNotNull())
+    dev = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("n_events") - F.lit(target_per_day)).alias("dev"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = dev.withColumn("p", F.sum("dev").over(w))
+    mins = run.withColumn("m", F.min("p").over(w))
+    return mins.select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("p") - F.least(F.lit(0), F.col("m"))).alias("cusum"),
+        (
+            (F.col("p") - F.least(F.lit(0), F.col("m"))) > F.lit(threshold)
+        ).alias("alarm"),
+    ).orderBy("event_type", "day")

@@ -2052,3 +2052,78 @@ def test_heavy_hitters_stream_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert len(got) > 0
+
+
+def test_cusum_monitor_stream_matches_batch(spark, tmp_path):
+    """Online CUSUM: drained two-micro-batch stream (state save/
+    restore across the batch boundary) equals the batch fixed-target
+    twin minus each series' still-open final day; alarms match."""
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        cusum_fixed_target,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+    from forest_open_data_pipelines_spark.streaming.cusum import (
+        cusum_monitor_stream,
+    )
+
+    target, threshold = 7, 20
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    head = ordered.limit(n // 2).toPandas()
+    tail = ordered.subtract(ordered.limit(n // 2)).toPandas()
+
+    src = tmp_path / "cusum_src"
+    src.mkdir()
+    spark.createDataFrame(head).coalesce(1).write.parquet(
+        str(src / "batch_a"), mode="overwrite"
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    query = (
+        cusum_monitor_stream(stream, target, threshold)
+        .writeStream.format("memory")
+        .queryName("cusum_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        spark.createDataFrame(tail).coalesce(1).write.parquet(
+            str(src / "batch_b"), mode="overwrite"
+        )
+        query.processAllAvailable()
+        got = {
+            (r["event_type"], str(r["day"])): (
+                r["n_events"], r["cusum"], r["alarm"],
+            )
+            for r in spark.sql("SELECT * FROM cusum_stream_test").collect()
+        }
+    finally:
+        query.stop()
+
+    batch_rows = cusum_fixed_target(
+        load_table(spark, SF_DIR, "events"), target, threshold
+    ).collect()
+    last_day = {}
+    for r in batch_rows:
+        last_day[r["event_type"]] = max(
+            last_day.get(r["event_type"], str(r["day"])), str(r["day"])
+        )
+    batch = {
+        (r["event_type"], str(r["day"])): (r["n_events"], r["cusum"], r["alarm"])
+        for r in batch_rows
+        if str(r["day"]) != last_day[r["event_type"]]
+    }
+    assert got == batch
+    assert len(got) > 0
+    assert any(v[2] for v in got.values()) or not any(
+        v[2] for v in batch.values()
+    )
