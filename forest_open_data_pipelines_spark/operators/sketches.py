@@ -127,3 +127,44 @@ def spacesaving_topk(
         .applyInPandas(_apply, SKETCH_SCHEMA)
         .orderBy("shard", "rank")
     )
+
+
+def distinct_rollup_sketch(events: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Mergeable distinct-user rollup: daily HLL sketches union into
+    monthly estimates WITHOUT re-touching the fact rows.
+
+    The at-scale pattern behind every "distinct users per <coarser
+    grain>" dashboard: exact monthly recounts re-shuffle the raw fact
+    per grain, while Datasketches HLL (Spark 4 built-ins
+    ``hll_sketch_agg`` / ``hll_union_agg`` — JVM-side, map-side
+    combinable) aggregates once at the finest grain and every coarser
+    grain is a union over sketch BINARIES (bytes per group, not rows).
+    The union-merge property (sketch(A ∪ B) == union(sketch(A),
+    sketch(B)) — exactly, same binary state) is asserted in tests
+    against directly-built monthly sketches, alongside the standard
+    HLL error envelope vs exact counts.
+
+    Rows-only: the estimate is Datasketches-internal (no DuckDB twin);
+    the exact column rides along for observability and the error-ppm
+    invariant.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk"))
+    monthly = daily.groupBy(
+        "event_type", F.date_trunc("month", "day").cast("date").alias("month")
+    ).agg(F.hll_union_agg("sk").alias("sk"))
+    exact = events.groupBy(
+        "event_type",
+        F.date_trunc("month", F.to_date("ts")).cast("date").alias("month"),
+    ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return (
+        monthly.join(exact, ["event_type", "month"])
+        .select(
+            "event_type",
+            "month",
+            F.hll_sketch_estimate("sk").cast("long").alias("est_distinct"),
+            "exact_distinct",
+        )
+        .orderBy("event_type", "month")
+    )

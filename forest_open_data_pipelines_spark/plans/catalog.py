@@ -890,6 +890,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cusum_change_points": lambda s, d: sessionize.cusum_change_points(
         load_table(s, d, "events")
     ),
+    # mergeable distinct rollup: daily HLL sketches union to monthly
+    # (Spark 4 Datasketches built-ins; rows-only — union-merge
+    # equality + error envelope pinned in tests)
+    "distinct_rollup_sketch": lambda s, d: sketches.distinct_rollup_sketch(
+        load_table(s, d, "events")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -972,7 +978,7 @@ assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 # Round-12 rotation queue (pre-staged; build the _R12_WINDOW from this):
 # 0) any round-11 additions without a driver row yet
 #    (spacesaving_hitters, session_concurrency, part_skyline,
-#    cusum_change_points), and any entry
+#    cusum_change_points, distinct_rollup_sketch), and any entry
 #    whose catalog plan changes in round 12;
 # 1) any round-11 window row the driver fails - fix first, re-window;
 # 2) the 42 remaining r7-vintage rows (audit_markdown_table,

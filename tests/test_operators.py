@@ -7071,3 +7071,47 @@ def test_cusum_reflection_equals_textbook_recursion(spark):
     # alarms are a suffix: once the shift is flagged it stays flagged
     flags = [r["alarm"] for r in out]
     assert flags == sorted(flags)
+
+
+def test_distinct_rollup_sketch_merge_property_and_envelope(spark):
+    """HLL rollup invariants: (a) union-of-daily-sketches estimates
+    EQUAL direct whole-series sketches per event_type (the mergeable-
+    aggregate property the rollup relies on); (b) every monthly
+    estimate sits inside 3x the lg_k=12 relative-error envelope
+    (~1.6%) of the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        distinct_rollup_sketch,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = distinct_rollup_sketch(ev).collect()
+    assert out
+    rse = 1.04 / (2 ** (12 / 2)) ** 0.5  # standard HLL error at lg_k=12
+    for r in out:
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= max(
+            3 * rse * r["exact_distinct"], 1
+        ), r
+
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk")
+    )
+    merged = {
+        r["event_type"]: r["e"]
+        for r in daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()
+    }
+    direct = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("e")
+        )
+        .collect()
+    }
+    assert merged == direct

@@ -71,4 +71,8 @@ def test_every_query_has_oracle_or_is_whitelisted():
         # order (no SQL twin); exact vs the stdlib twin + ICDT error
         # bounds in test_operators.py instead.
         "spacesaving_hitters",
+        # Datasketches HLL internals (no SQL twin); the union-merge
+        # equality and the error envelope vs the exact column are
+        # pinned in test_operators.py instead.
+        "distinct_rollup_sketch",
     }, rows_only

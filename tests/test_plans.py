@@ -1108,3 +1108,19 @@ def test_cusum_one_scan_broadcast_stats(spark):
         )
 
         release_persisted()
+
+
+def test_distinct_rollup_sketch_mapside_combinable(spark):
+    """HLL rollup: both sketch stages are ObjectHashAggregates with
+    partial (map-side) combine — sketch binaries merge before the
+    exchange, the property that makes the rollup O(groups·2^lg_k)
+    instead of a fact re-shuffle. The second events scan is the exact
+    verification branch (dropped in production; the sketch path alone
+    reads the fact once)."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "distinct_rollup_sketch")
+    assert "partial_hll_sketch_agg" in plan
+    assert "partial_hll_union_agg" in plan
+    assert live_scans(plan) == {"events": 2}, live_scans(plan)
+    assert "PythonUDF" not in plan
