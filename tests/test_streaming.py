@@ -2127,3 +2127,75 @@ def test_cusum_monitor_stream_matches_batch(spark, tmp_path):
     assert any(v[2] for v in got.values()) or not any(
         v[2] for v in batch.values()
     )
+
+
+def test_skyline_stream_order_independent_matches_batch(spark, tmp_path):
+    """Streaming Pareto frontier: drain the part table in two
+    micro-batches split on an ARBITRARY predicate (odd/even partkey —
+    deliberately not sorted, since frontier state is order-
+    independent); the drained bucket frontiers folded through one
+    global skyline pass must equal batch part_skyline grouped to
+    (price, size, tie count)."""
+    from forest_open_data_pipelines_spark.operators.relational import (
+        part_skyline,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+    from forest_open_data_pipelines_spark.streaming.skyline import (
+        frontier_insert,
+        skyline_stream,
+    )
+
+    part = load_table(spark, SF_DIR, "part").select(
+        "p_partkey", "p_brand", "p_retailprice", "p_size"
+    )
+    src = tmp_path / "part_src"
+    src.mkdir()
+    part.where("p_partkey % 2 = 1").toPandas().pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+    ).coalesce(1).write.parquet(str(src / "batch_a"), mode="overwrite")
+
+    stream = (
+        spark.readStream.schema(
+            "p_partkey long, p_brand string, p_retailprice double, p_size int"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    query = (
+        skyline_stream(stream)
+        .writeStream.format("memory")
+        .queryName("skyline_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sky"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        part.where("p_partkey % 2 = 0").toPandas().pipe(
+            lambda pdf: spark.createDataFrame(pdf)
+        ).coalesce(1).write.parquet(str(src / "batch_b"), mode="overwrite")
+        query.processAllAvailable()
+        rows = spark.sql(
+            """SELECT * FROM (
+                 SELECT *, max(n_seen) OVER (PARTITION BY bucket) AS mx
+                 FROM skyline_test) WHERE n_seen = mx"""
+        ).collect()
+    finally:
+        query.stop()
+
+    # fold local bucket frontiers through one global pass (the batch
+    # operator's carry step) — reusing the kernel keeps the reference
+    # independent of Spark plan shapes
+    merged: dict = {}
+    for r in rows:
+        for _ in range(r["n_ties"]):
+            frontier_insert(merged, r["price"], r["size"])
+    got = {k: v for k, v in merged.items()}
+
+    batch = {}
+    for r in part_skyline(part).collect():
+        k = (r["p_retailprice"], r["p_size"])
+        batch[k] = batch.get(k, 0) + 1
+    assert got == batch
+    assert len(got) > 0
