@@ -209,6 +209,11 @@ HEADLINE = [
     "media_decode_report",
     "gopher_repetition_rules",
     "part_triangles",
+    "spacesaving_hitters",
+    "session_concurrency",
+    "part_skyline",
+    "cusum_change_points",
+    "distinct_rollup_sketch",
     # unigram_lm_step / unigram_encode are a TRAINING loop + its
     # encoder (seed collect + EM jobs of mostly fixed per-job overhead
     # on a vocabulary-bounded table), the bpe_train/bpe_encode
