@@ -7504,6 +7504,25 @@ SELECT day,
                   0),
          max_run)::BIGINT AS peak_concurrency
 FROM day_stats ORDER BY day"""
+    # Interval-overlap join: the oracle is the quadratic inequality
+    # self-join (DuckDB IEJoin) — Spark runs the hour-grid equi-join
+    # with the once-per-pair-at-overlap-start rule, so the hash match
+    # proves the grid reformulation.
+    out["overlapping_session_pairs"] = f"""
+WITH iv AS (
+  SELECT user_id, session_start AS s, session_end AS e
+  FROM ({out["events_sessionize"]})
+),
+p AS (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s))
+           AS overlap_us
+  FROM iv a JOIN iv b
+    ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+)
+SELECT user_a, user_b, count(*)::BIGINT AS n_overlaps,
+       round(sum(overlap_us) / 60.0) / 1000000.0 AS overlap_minutes
+FROM p GROUP BY user_a, user_b ORDER BY user_a, user_b"""
     # 2-D skyline: the oracle is the textbook quadratic NOT EXISTS
     # dominance test — Spark runs the price-group prefix-max
     # reformulation, so the hash match proves the two equivalent.

@@ -791,3 +791,82 @@ def cusum_fixed_target(
             (F.col("p") - F.least(F.lit(0), F.col("m"))) > F.lit(threshold)
         ).alias("alarm"),
     ).orderBy("event_type", "day")
+
+
+def overlapping_session_pairs(events: DataFrame) -> DataFrame:
+    """Interval-OVERLAP join (co-presence): for every pair of USERS,
+    how many of their sessions overlapped in time and for how long.
+
+    The interval×interval class (vs the point-in-interval
+    ``session_interval_join`` and the as-of/range joins): the naive
+    form is a quadratic inequality self-join.  Spark-first shape —
+    each session explodes to the HOUR buckets it covers (fan-out =
+    session length in hours, bounded by the 30-min-gap construction),
+    pairs meet on the bucket EQUI key, and the classic
+    once-per-pair rule deduplicates multi-bucket co-spans for free:
+    a pair reports only in the bucket containing the overlap START
+    (``date_trunc(hour, greatest(a.s, b.s))``), so no DISTINCT over
+    the pair blow-up is ever materialized.  At 100 TB the grid is the
+    partitioner: bucket width trades fan-out against per-bucket pair
+    density exactly like the dedup bands.
+
+    Intervals are CLOSED (the sessionize contract: bounds are event
+    instants); touching sessions pair with overlap 0.  The oracle is
+    the quadratic inequality join (DuckDB IEJoin), so the hash match
+    proves the grid + once-per-pair reformulation.
+
+    The bucketed interval frame is PERSISTED (MEMORY_AND_DISK, the
+    part_affinity precedent): both self-join sides consume it, and
+    without the pin each side re-runs the sessionize shuffle — a
+    second full events scan (was events×2 in the plan audit).
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    iv = events_sessionize(events).select(
+        "user_id",
+        F.col("session_start").alias("s"),
+        F.col("session_end").alias("e"),
+    )
+    buckets = _persist(
+        iv.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("hour", "s"),
+                    F.date_trunc("hour", "e"),
+                    F.expr("interval 1 hour"),
+                )
+            ),
+        )
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e"))
+        & (
+            F.col("a.bucket")
+            == F.date_trunc("hour", F.greatest(F.col("a.s"), F.col("b.s")))
+        ),
+    ).select(
+        F.col("a.user_id").alias("user_a"),
+        F.col("b.user_id").alias("user_b"),
+        (
+            F.unix_micros(F.least(F.col("a.e"), F.col("b.e")))
+            - F.unix_micros(F.greatest(F.col("a.s"), F.col("b.s")))
+        ).alias("overlap_us"),
+    )
+    return (
+        pairs.groupBy("user_a", "user_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlaps"),
+            # scale-then-round minutes (the sessionize convention)
+            (
+                F.round(F.sum("overlap_us") / F.lit(60.0), 0)
+                / F.lit(1000000.0)
+            ).alias("overlap_minutes"),
+        )
+        .orderBy("user_a", "user_b")
+    )

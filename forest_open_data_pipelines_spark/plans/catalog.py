@@ -896,6 +896,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_rollup_sketch": lambda s, d: sketches.distinct_rollup_sketch(
         load_table(s, d, "events")
     ),
+    # interval×interval overlap join (co-presence): hour-grid equi
+    # key + once-per-pair-at-overlap-start dedup, never a quadratic
+    # inequality self-join
+    "overlapping_session_pairs": lambda s, d: (
+        sessionize.overlapping_session_pairs(load_table(s, d, "events"))
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -978,7 +984,8 @@ assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 # Round-12 rotation queue (pre-staged; build the _R12_WINDOW from this):
 # 0) any round-11 additions without a driver row yet
 #    (spacesaving_hitters, session_concurrency, part_skyline,
-#    cusum_change_points, distinct_rollup_sketch), and any entry
+#    cusum_change_points, distinct_rollup_sketch,
+#    overlapping_session_pairs), and any entry
 #    whose catalog plan changes in round 12;
 # 1) any round-11 window row the driver fails - fix first, re-window;
 # 2) the 42 remaining r7-vintage rows (audit_markdown_table,

@@ -7115,3 +7115,54 @@ def test_distinct_rollup_sketch_merge_property_and_envelope(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_overlapping_session_pairs_semantics(spark):
+    """Hand-built intervals pin the overlap-join contract: a genuine
+    overlap reports its duration, touching sessions pair with overlap
+    0, disjoint sessions don't pair, a multi-hour co-span counts ONCE
+    (the once-per-pair-at-overlap-start rule), and two separate
+    overlapping session pairs between the same users aggregate to
+    n_overlaps=2."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        overlapping_session_pairs,
+    )
+
+    def ev(i, user, d, h, m):
+        return (i, datetime(2024, 4, d, h, m), user, "view", 1.0, "{}")
+
+    rows = [
+        # u1 session 10:00-13:00 (multi-hour, events every 25 min)
+        *[ev(i, 1, 1, 10 + q // 60, q % 60) for i, q in
+          enumerate(range(0, 181, 25))],
+        # u2 session 11:00-11:50 (25-min steps) -> overlaps u1 50 min
+        ev(100, 2, 1, 11, 0), ev(101, 2, 1, 11, 25), ev(102, 2, 1, 11, 50),
+        # u3 zero-length session exactly at u1's session end (12:55)
+        ev(200, 3, 1, 12, 55),
+        # u4 disjoint (14:00)
+        ev(300, 4, 1, 14, 0),
+        # day 2: u1 and u2 overlap AGAIN 09:00-09:10
+        ev(400, 1, 2, 9, 0), ev(401, 1, 2, 9, 10),
+        ev(500, 2, 2, 9, 5), ev(501, 2, 2, 9, 15),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    try:
+        got = {
+            (r["user_a"], r["user_b"]): (r["n_overlaps"], r["overlap_minutes"])
+            for r in overlapping_session_pairs(events).collect()
+        }
+    finally:
+        release_persisted()
+    assert got[(1, 2)] == (2, 55.0)  # 50 min day-1 + 5 min day-2
+    assert got[(1, 3)] == (1, 0.0)   # touching instant
+    assert (1, 4) not in got and (2, 3) not in got
+    assert (2, 4) not in got

@@ -1124,3 +1124,26 @@ def test_distinct_rollup_sketch_mapside_combinable(spark):
     assert "partial_hll_union_agg" in plan
     assert live_scans(plan) == {"events": 2}, live_scans(plan)
     assert "PythonUDF" not in plan
+
+
+def test_overlapping_pairs_grid_equi_join_no_cartesian(spark):
+    """Interval-overlap join: the pair generation is the hour-grid
+    EQUI join over the persisted bucket frame (both sides read the
+    cache — zero live scans pre-materialization), with the range and
+    once-per-pair predicates as residuals; never a CartesianProduct
+    or BroadcastNestedLoopJoin."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "overlapping_session_pairs")
+    try:
+        assert live_scans(plan) == {}, live_scans(plan)
+        assert "InMemoryRelation" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "PythonUDF" not in plan
+    finally:
+        from forest_open_data_pipelines_spark.operators.dedup import (
+            release_persisted,
+        )
+
+        release_persisted()
