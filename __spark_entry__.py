@@ -7523,6 +7523,54 @@ p AS (
 SELECT user_a, user_b, count(*)::BIGINT AS n_overlaps,
        round(sum(overlap_us) / 60.0) / 1000000.0 AS overlap_minutes
 FROM p GROUP BY user_a, user_b ORDER BY user_a, user_b"""
+    # CUPED A/B readout: exact-cents per-user sums, BIGINT pooled
+    # moments, scalar double formulas textually identical both sides
+    # (the daily_anomaly_report precedent), split day single-sourced.
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        CUPED_SPLIT_DAY,
+    )
+
+    out["cuped_ab_metrics"] = f"""
+WITH per_user AS (
+  SELECT user_id,
+         round(sum(CASE WHEN ts::DATE < DATE '{CUPED_SPLIT_DAY}'
+                        THEN value ELSE 0 END) * 100)::BIGINT AS x_cents,
+         round(sum(CASE WHEN ts::DATE >= DATE '{CUPED_SPLIT_DAY}'
+                        THEN value ELSE 0 END) * 100)::BIGINT AS y_cents
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(x_cents)::BIGINT AS sx, sum(y_cents)::BIGINT AS sy,
+         sum(x_cents * x_cents)::BIGINT AS sxx,
+         sum(x_cents * y_cents)::BIGINT AS sxy
+  FROM per_user
+),
+arms AS (
+  SELECT (user_id % 2)::INT AS arm, count(*)::BIGINT AS n_arm,
+         sum(x_cents)::BIGINT AS sx_arm, sum(y_cents)::BIGINT AS sy_arm
+  FROM per_user GROUP BY 1
+),
+wide AS (
+  SELECT a.*, p.n, p.sx,
+         CASE WHEN (p.n::DOUBLE * p.sxx::DOUBLE
+                    - p.sx::DOUBLE * p.sx::DOUBLE) != 0.0
+              THEN (p.n::DOUBLE * p.sxy::DOUBLE
+                    - p.sx::DOUBLE * p.sy::DOUBLE)
+                   / (p.n::DOUBLE * p.sxx::DOUBLE
+                      - p.sx::DOUBLE * p.sx::DOUBLE)
+              ELSE 0.0 END AS th
+  FROM arms a CROSS JOIN pooled p
+)
+SELECT arm, n_arm,
+       round(th * 1000000) / 1000000 AS theta,
+       round((sy_arm::DOUBLE / n_arm::DOUBLE / 100.0) * 1000000)
+         / 1000000 AS mean_y,
+       round(((sy_arm::DOUBLE
+               - th * (sx_arm::DOUBLE
+                       - n_arm::DOUBLE * sx::DOUBLE / n::DOUBLE))
+              / n_arm::DOUBLE / 100.0) * 1000000) / 1000000 AS mean_y_adj
+FROM wide ORDER BY arm"""
     # 2-D skyline: the oracle is the textbook quadratic NOT EXISTS
     # dominance test — Spark runs the price-group prefix-max
     # reformulation, so the hash match proves the two equivalent.

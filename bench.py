@@ -215,6 +215,7 @@ HEADLINE = [
     "cusum_change_points",
     "distinct_rollup_sketch",
     "overlapping_session_pairs",
+    "cuped_ab_metrics",
     # unigram_lm_step / unigram_encode are a TRAINING loop + its
     # encoder (seed collect + EM jobs of mostly fixed per-job overhead
     # on a vocabulary-bounded table), the bpe_train/bpe_encode

@@ -870,3 +870,122 @@ def overlapping_session_pairs(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_a", "user_b")
     )
+
+
+CUPED_SPLIT_DAY = "2024-01-16"
+
+
+def cuped_ab_metrics(
+    events: DataFrame, split_day: str = CUPED_SPLIT_DAY
+) -> DataFrame:
+    """A/B experiment readout with CUPED variance reduction (Deng et
+    al. 2013, "Improving the Sensitivity of Online Controlled
+    Experiments by Utilizing Pre-Experiment Data", WSDM — public
+    methodology).
+
+    Arms are the deterministic ``user_id % 2`` split; x is the
+    PRE-period per-user value sum (ts < split_day), y the post-period
+    sum; theta = cov(x, y)/var(x) pooled across arms, and the
+    adjusted metric is mean(y − theta·(x − mean_x)) per arm.
+
+    Cross-engine determinism: per-user sums collapse to exact CENTS
+    (scale-then-round, the money convention), every pooled moment
+    (Σx, Σy, Σx², Σxy) is an exact BIGINT aggregate of those cents,
+    and theta / the adjusted means are SCALAR double formulas over
+    the exact sums — the daily_anomaly_report precedent: cast once,
+    textually identical on both engines, one 6-dp round at the end.
+    The arm means never average per-user floats (order-dependent);
+    they fold the same exact arm-level sums:
+    mean_y_adj = (Σy_a − theta·(Σx_a − n_a·Σx/n)) / n_a, in cents →
+    /100 at the end.
+
+    Scale: one events scan, one shuffle to per-user cents (frame
+    persisted — pooled moments and arm sums both consume it), a 2-row
+    arm aggregate joined to a 1-row pooled-moment broadcast.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    per_user = events.groupBy("user_id").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.to_date("ts") < F.lit(split_day).cast("date"),
+                    F.col("value"),
+                ).otherwise(F.lit(0.0))
+            )
+            * F.lit(100.0),
+            0,
+        )
+        .cast("long")
+        .alias("x_cents"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.to_date("ts") >= F.lit(split_day).cast("date"),
+                    F.col("value"),
+                ).otherwise(F.lit(0.0))
+            )
+            * F.lit(100.0),
+            0,
+        )
+        .cast("long")
+        .alias("y_cents"),
+    )
+    per_user = _persist(per_user)
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x_cents").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x_cents") * F.col("x_cents")).alias("sxx"),
+        F.sum(F.col("x_cents") * F.col("y_cents")).alias("sxy"),
+    )
+    arms = per_user.groupBy(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n_arm"),
+        F.sum("x_cents").alias("sx_arm"),
+        F.sum("y_cents").alias("sy_arm"),
+    )
+    j = arms.join(F.broadcast(pooled))
+    theta = F.when(
+        (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        != F.lit(0.0),
+        (
+            F.col("n").cast("double") * F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+        )
+        / (
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    mean_y = (
+        F.col("sy_arm").cast("double")
+        / F.col("n_arm").cast("double")
+        / F.lit(100.0)
+    )
+    mean_y_adj = (
+        (
+            F.col("sy_arm").cast("double")
+            - theta
+            * (
+                F.col("sx_arm").cast("double")
+                - F.col("n_arm").cast("double")
+                * F.col("sx").cast("double")
+                / F.col("n").cast("double")
+            )
+        )
+        / F.col("n_arm").cast("double")
+        / F.lit(100.0)
+    )
+    r6 = lambda c: F.round(c * F.lit(1000000.0), 0) / F.lit(1000000.0)  # noqa: E731
+    return j.select(
+        "arm",
+        "n_arm",
+        r6(theta).alias("theta"),
+        r6(mean_y).alias("mean_y"),
+        r6(mean_y_adj).alias("mean_y_adj"),
+    ).orderBy("arm")

@@ -902,6 +902,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overlapping_session_pairs": lambda s, d: (
         sessionize.overlapping_session_pairs(load_table(s, d, "events"))
     ),
+    # CUPED-adjusted A/B readout (Deng 2013): exact-cents moments,
+    # scalar double formulas — the experimentation-analytics class
+    "cuped_ab_metrics": lambda s, d: sessionize.cuped_ab_metrics(
+        load_table(s, d, "events")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -985,7 +990,7 @@ assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 # 0) any round-11 additions without a driver row yet
 #    (spacesaving_hitters, session_concurrency, part_skyline,
 #    cusum_change_points, distinct_rollup_sketch,
-#    overlapping_session_pairs), and any entry
+#    overlapping_session_pairs, cuped_ab_metrics), and any entry
 #    whose catalog plan changes in round 12;
 # 1) any round-11 window row the driver fails - fix first, re-window;
 # 2) the 42 remaining r7-vintage rows (audit_markdown_table,

@@ -7166,3 +7166,44 @@ def test_overlapping_session_pairs_semantics(spark):
     assert got[(1, 3)] == (1, 0.0)   # touching instant
     assert (1, 4) not in got and (2, 3) not in got
     assert (2, 4) not in got
+
+
+def test_cuped_ab_metrics_variance_removal(spark):
+    """CUPED pins: with y exactly 2x per user, theta = 2 and the
+    adjustment removes ALL pre-period imbalance — both arms' adjusted
+    means collapse to 2·mean(x) even though their raw means differ;
+    and the user-weighted average of adjusted means equals the pooled
+    raw mean (CUPED preserves the global mean)."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        cuped_ab_metrics,
+    )
+
+    pre, post = datetime(2024, 1, 10), datetime(2024, 1, 20)
+    rows = []
+    # even users (arm 0): x = 10·(u+1); odd users (arm 1): x = 3·(u+1)
+    # — deliberate arm imbalance; y = 2x for everyone
+    for u in range(8):
+        x = (10.0 if u % 2 == 0 else 3.0) * (u + 1)
+        rows.append((2 * u, pre, u, "view", x, "{}"))
+        rows.append((2 * u + 1, post, u, "purchase", 2 * x, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r["arm"]: r for r in cuped_ab_metrics(ev).collect()}
+    assert got[0]["theta"] == 2.0 and got[1]["theta"] == 2.0
+    assert got[0]["mean_y"] != got[1]["mean_y"]  # raw means imbalanced
+    assert got[0]["mean_y_adj"] == got[1]["mean_y_adj"]  # CUPED removes it
+    xs = [(10.0 if u % 2 == 0 else 3.0) * (u + 1) for u in range(8)]
+    assert abs(got[0]["mean_y_adj"] - 2 * sum(xs) / 8) < 1e-6
+    pooled_raw = (
+        got[0]["n_arm"] * got[0]["mean_y"] + got[1]["n_arm"] * got[1]["mean_y"]
+    )
+    pooled_adj = (
+        got[0]["n_arm"] * got[0]["mean_y_adj"]
+        + got[1]["n_arm"] * got[1]["mean_y_adj"]
+    )
+    assert abs(pooled_raw - pooled_adj) < 1e-4

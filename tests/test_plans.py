@@ -1147,3 +1147,26 @@ def test_overlapping_pairs_grid_equi_join_no_cartesian(spark):
         )
 
         release_persisted()
+
+
+def test_cuped_one_scan_scalar_broadcast(spark):
+    """CUPED: one events scan shuffled once to per-user cents; the
+    pooled-moment frame is a ONE-ROW broadcast onto the 2-row arm
+    aggregate (a scalar nested-loop broadcast is fine; a data-sized
+    one is not) — no Python, no SortMergeJoin."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "cuped_ab_metrics")
+    try:
+        # per-user cents frame persisted: both moment branches read
+        # the cache, zero live scans pre-materialization
+        assert live_scans(plan) == {}, live_scans(plan)
+        assert "InMemoryRelation" in plan
+        assert "SortMergeJoin" not in plan
+        assert "PythonUDF" not in plan
+    finally:
+        from forest_open_data_pipelines_spark.operators.dedup import (
+            release_persisted,
+        )
+
+        release_persisted()
