@@ -7571,6 +7571,58 @@ SELECT arm, n_arm,
                        - n_arm::DOUBLE * sx::DOUBLE / n::DOUBLE))
               / n_arm::DOUBLE / 100.0) * 1000000) / 1000000 AS mean_y_adj
 FROM wide ORDER BY arm"""
+    # Kaplan-Meier churn curve: exact BIGINT d/n per day, the ordered
+    # product as exp(sum(ln(1 - d/n))) over the identical day order
+    # (same double-op sequence both engines), the closed-form
+    # lifetime truncation restated verbatim, constants single-sourced.
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        KM_CENSOR_DAYS,
+        KM_TRUNC_BASE,
+        KM_TRUNC_MOD,
+    )
+
+    out["survival_churn_curve"] = f"""
+WITH trunc AS (
+  SELECT user_id, ts FROM events
+  WHERE ts::DATE <= DATE '{KM_TRUNC_BASE}'
+        + (user_id % {KM_TRUNC_MOD})::INT
+),
+last AS (SELECT user_id, max(ts::DATE) AS last_day FROM trunc GROUP BY 1),
+hz AS (SELECT max(last_day) AS h FROM last),
+lab AS (
+  SELECT last_day, (last_day > h - {KM_CENSOR_DAYS}) AS censored
+  FROM last CROSS JOIN hz
+),
+per_day AS (
+  SELECT last_day,
+         sum(CASE WHEN NOT censored THEN 1 ELSE 0 END)::BIGINT
+           AS n_churned,
+         sum(CASE WHEN censored THEN 1 ELSE 0 END)::BIGINT AS n_censored
+  FROM lab GROUP BY 1
+),
+tot AS (SELECT sum(n_churned + n_censored)::BIGINT AS n_total FROM per_day),
+risked AS (
+  SELECT last_day, n_churned, n_censored,
+         (n_total - COALESCE(sum(n_churned + n_censored) OVER
+            (ORDER BY last_day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+            0))::BIGINT AS n_at_risk
+  FROM per_day CROSS JOIN tot
+),
+cum AS (
+  SELECT *,
+         sum(CASE WHEN n_churned > 0 AND n_churned < n_at_risk
+                  THEN ln(1.0 - n_churned::DOUBLE / n_at_risk::DOUBLE)
+                  ELSE 0.0 END)
+           OVER (ORDER BY last_day ROWS UNBOUNDED PRECEDING) AS ln_s,
+         max(CASE WHEN n_churned = n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY last_day ROWS UNBOUNDED PRECEDING) AS hit_zero
+  FROM risked
+)
+SELECT last_day AS day, n_at_risk, n_churned, n_censored,
+       CASE WHEN hit_zero = 1 THEN 0.0
+            ELSE round(exp(ln_s) * 1000000) / 1000000 END AS survival
+FROM cum ORDER BY day"""
     # 2-D skyline: the oracle is the textbook quadratic NOT EXISTS
     # dominance test — Spark runs the price-group prefix-max
     # reformulation, so the hash match proves the two equivalent.

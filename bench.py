@@ -216,6 +216,7 @@ HEADLINE = [
     "distinct_rollup_sketch",
     "overlapping_session_pairs",
     "cuped_ab_metrics",
+    "survival_churn_curve",
     # unigram_lm_step / unigram_encode are a TRAINING loop + its
     # encoder (seed collect + EM jobs of mostly fixed per-job overhead
     # on a vocabulary-bounded table), the bpe_train/bpe_encode

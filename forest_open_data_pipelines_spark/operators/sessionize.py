@@ -989,3 +989,126 @@ def cuped_ab_metrics(
         r6(mean_y).alias("mean_y"),
         r6(mean_y_adj).alias("mean_y_adj"),
     ).orderBy("arm")
+
+
+KM_CENSOR_DAYS = 7
+
+
+def survival_churn_curve(
+    events: DataFrame, censor_days: int = KM_CENSOR_DAYS
+) -> DataFrame:
+    """Kaplan–Meier churn curve with right-censoring (Kaplan & Meier
+    1958, public methodology) — the survival-analysis class.
+
+    A user's event time is their LAST active day; users whose last
+    activity falls within ``censor_days`` of the study horizon are
+    right-CENSORED (still alive at cutoff, the KM case that separates
+    this from a plain empirical CDF).  Per day: at-risk count, churn
+    count, censored count, and the KM estimator
+    S(t) = Π_{death days u ≤ t} (1 − d_u / n_u).
+
+    Engine-exact evaluation: d/n are exact BIGINTs; the ordered
+    product runs as exp(Σ ln(1 − d/n)) over the SAME day order on
+    both engines — identical double-op sequences (the
+    daily_anomaly_report precedent), one 6-dp round at the end; a
+    day with d == n zeroes survival from that day on through an
+    explicit prefix flag (ln(0) never evaluates).
+
+    Scale: the heavy lifting is one shuffle to per-user last days;
+    everything after runs on the DAY-level frame (≤ study length
+    rows), where the single-partition windows are free.  The
+    per-user and per-day frames PERSIST (each feeds two consumers —
+    horizon+labels, totals+risk — that would otherwise re-run the
+    fact aggregation; was events×4 in the plan audit).
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    last = _persist(
+        events.groupBy("user_id").agg(
+            F.max(F.to_date("ts")).alias("last_day")
+        )
+    )
+    horizon = last.agg(F.max("last_day").alias("h"))
+    lab = last.join(F.broadcast(horizon)).select(
+        "last_day",
+        (
+            F.col("last_day") > F.date_sub(F.col("h"), censor_days)
+        ).alias("censored"),
+    )
+    per_day = _persist(
+        lab.groupBy("last_day").agg(
+            F.sum(F.when(~F.col("censored"), 1).otherwise(0)).alias(
+                "n_churned"
+            ),
+            F.sum(F.when(F.col("censored"), 1).otherwise(0)).alias(
+                "n_censored"
+            ),
+        )
+    )
+    total = per_day.agg(
+        F.sum(F.col("n_churned") + F.col("n_censored")).alias("n_total")
+    )
+    w_prior = Window.orderBy("last_day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("last_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risked = per_day.join(F.broadcast(total)).withColumn(
+        "n_at_risk",
+        F.col("n_total")
+        - F.coalesce(
+            F.sum(F.col("n_churned") + F.col("n_censored")).over(w_prior),
+            F.lit(0),
+        ),
+    )
+    contrib = F.when(
+        (F.col("n_churned") > 0) & (F.col("n_churned") < F.col("n_at_risk")),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_churned").cast("double")
+            / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    dead_end = F.max(
+        (F.col("n_churned") == F.col("n_at_risk")).cast("int")
+    ).over(w_cum)
+    return (
+        risked.withColumn("ln_s", F.sum(contrib).over(w_cum))
+        .withColumn("hit_zero", dead_end)
+        .select(
+            F.col("last_day").alias("day"),
+            "n_at_risk",
+            "n_churned",
+            "n_censored",
+            F.when(F.col("hit_zero") == 1, F.lit(0.0))
+            .otherwise(
+                F.round(F.exp(F.col("ln_s")) * F.lit(1000000.0), 0)
+                / F.lit(1000000.0)
+            )
+            .alias("survival"),
+        )
+        .orderBy("day")
+    )
+
+
+KM_TRUNC_BASE = "2024-01-01"
+KM_TRUNC_MOD = 35
+
+
+def km_lifetime_truncate(events: DataFrame) -> DataFrame:
+    """Closed-form per-user lifetime truncation for the KM catalog
+    entry (the c4_sentenceify precedent): the synthetic corpus keeps
+    every user active through the horizon, so raw events produce a
+    flat all-censored curve and the KM math never fires at any SF.
+    Keeping only events with day ≤ base + (user_id mod 35) gives a
+    deterministic churn spread — users with residue ≥ the study
+    length stay fully active and exercise the CENSORING branch too.
+    Restated verbatim in the oracle CTE."""
+    return events.where(
+        F.to_date("ts")
+        <= F.date_add(
+            F.lit(KM_TRUNC_BASE).cast("date"),
+            F.pmod(F.col("user_id"), F.lit(KM_TRUNC_MOD)).cast("int"),
+        )
+    )

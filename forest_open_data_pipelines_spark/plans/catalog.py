@@ -907,6 +907,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cuped_ab_metrics": lambda s, d: sessionize.cuped_ab_metrics(
         load_table(s, d, "events")
     ),
+    # Kaplan-Meier churn curve with right-censoring over the
+    # closed-form lifetime truncation (raw corpus is all-censored —
+    # the c4_sentenceify vacuous-evidence precedent)
+    "survival_churn_curve": lambda s, d: sessionize.survival_churn_curve(
+        sessionize.km_lifetime_truncate(load_table(s, d, "events"))
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -990,7 +996,8 @@ assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 # 0) any round-11 additions without a driver row yet
 #    (spacesaving_hitters, session_concurrency, part_skyline,
 #    cusum_change_points, distinct_rollup_sketch,
-#    overlapping_session_pairs, cuped_ab_metrics), and any entry
+#    overlapping_session_pairs, cuped_ab_metrics,
+#    survival_churn_curve), and any entry
 #    whose catalog plan changes in round 12;
 # 1) any round-11 window row the driver fails - fix first, re-window;
 # 2) the 42 remaining r7-vintage rows (audit_markdown_table,

@@ -7207,3 +7207,53 @@ def test_cuped_ab_metrics_variance_removal(spark):
         + got[1]["n_arm"] * got[1]["mean_y_adj"]
     )
     assert abs(pooled_raw - pooled_adj) < 1e-4
+
+
+def test_survival_churn_curve_km_semantics(spark):
+    """Hand-computed KM pins: 4/10 churn at day 1 (S=0.6), 3 of the
+    remaining 6 at day 3 (S=0.3), 3 censored at the horizon hold the
+    curve at 0.3 (censoring reduces at-risk without stepping S); and
+    with censoring disabled, the final d==n day zeroes survival via
+    the explicit flag (ln(0) path never evaluates)."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        survival_churn_curve,
+    )
+
+    def ev(i, user, day):
+        return (i, datetime(2024, 6, day, 12, 0), user, "view", 1.0, "{}")
+
+    rows = []
+    eid = 0
+    for u in range(10):
+        rows.append(ev(eid, u, 1)); eid += 1           # everyone day 1
+        if u >= 4:
+            rows.append(ev(eid, u, 3)); eid += 1       # 6 survive to day 3
+        if u >= 7:
+            rows.append(ev(eid, u, 10)); eid += 1      # 3 survive to day 10
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {str(r["day"]): r for r in survival_churn_curve(events).collect()}
+    d1, d3, d10 = got["2024-06-01"], got["2024-06-03"], got["2024-06-10"]
+    assert (d1["n_at_risk"], d1["n_churned"], d1["survival"]) == (10, 4, 0.6)
+    assert (d3["n_at_risk"], d3["n_churned"], d3["survival"]) == (6, 3, 0.3)
+    assert (d10["n_at_risk"], d10["n_censored"], d10["n_churned"]) == (3, 3, 0)
+    assert d10["survival"] == 0.3
+
+    # d == n zero path (censoring off): 2 churn day 1, last churns day 2
+    rows2 = [ev(0, 1, 1), ev(1, 2, 1), ev(2, 3, 1), ev(3, 3, 2)]
+    ev2 = spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got2 = {
+        str(r["day"]): r
+        for r in survival_churn_curve(ev2, censor_days=0).collect()
+    }
+    assert got2["2024-06-01"]["survival"] == 0.333333
+    assert got2["2024-06-02"]["survival"] == 0.0

@@ -1170,3 +1170,27 @@ def test_cuped_one_scan_scalar_broadcast(spark):
         )
 
         release_persisted()
+
+
+def test_survival_curve_one_scan_day_frame_windows(spark):
+    """KM curve: ONE pruned events scan (ts pushdown filter from the
+    lifetime truncation reaches the scan), one shuffle to per-user
+    last days; the single-partition windows run on the DAY-level
+    frame above the per-day aggregate — never on raw rows."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "survival_churn_curve")
+    try:
+        # per-user and per-day frames persisted: all consumers read
+        # the caches, zero live scans pre-materialization
+        assert live_scans(plan) == {}, live_scans(plan)
+        assert "InMemoryRelation" in plan
+        assert "PythonUDF" not in plan
+        single = plan.index("Exchange SinglePartition")
+        assert "HashAggregate" in plan[single:]
+    finally:
+        from forest_open_data_pipelines_spark.operators.dedup import (
+            release_persisted,
+        )
+
+        release_persisted()
