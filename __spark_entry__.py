@@ -7361,6 +7361,23 @@ FROM c ORDER BY lang, predicted_lang"""
     out["part_pagerank"] = _part_pagerank_sql()
     out["part_communities"] = _part_communities_sql()
     out["part_triangles"] = _part_triangles_sql()
+    # BFS hop distances: recursive CTE with SET semantics (UNION
+    # dedups (part, hop) per level — no path blow-up) + min(hop);
+    # seed/hop-cap single-sourced with the Spark loop.
+    out["part_bfs_hops"] = f"""
+WITH RECURSIVE {_co_order_edges_ctes(2)},
+seed AS (SELECT src AS s
+         FROM (SELECT src, count(*) AS c FROM edges GROUP BY src)
+         ORDER BY c DESC, src LIMIT 1),
+walk(part_id, hop) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT e.dst, w.hop + 1
+  FROM walk w JOIN edges e ON e.src = w.part_id
+  WHERE w.hop < 4
+)
+SELECT part_id, min(hop)::INT AS hop
+FROM walk GROUP BY part_id ORDER BY hop, part_id"""
     # SCD2 history: null-safe change flag (IS DISTINCT FROM mirrors
     # Spark's eqNullSafe negation), run numbering by running sum, one
     # interval per run, valid_to = next run's valid_from.

@@ -217,6 +217,10 @@ HEADLINE = [
     "overlapping_session_pairs",
     "cuped_ab_metrics",
     "survival_churn_curve",
+    # part_bfs_hops is a bounded 4-round traversal (each round a
+    # localCheckpoint job of mostly fixed overhead on the ~3.5k-edge
+    # graph), the part_pagerank iterative category; driver
+    # correctness window only.
     # unigram_lm_step / unigram_encode are a TRAINING loop + its
     # encoder (seed collect + EM jobs of mostly fixed per-job overhead
     # on a vocabulary-bounded table), the bpe_train/bpe_encode

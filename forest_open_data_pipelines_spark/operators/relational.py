@@ -1739,3 +1739,49 @@ def part_skyline(part: DataFrame, price_bucket_width: float = 100.0) -> DataFram
         .select("p_partkey", "p_brand", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
     )
+
+
+def part_bfs_hops(
+    lineitem: DataFrame, max_hops: int = 4, min_support: int = 2
+) -> DataFrame:
+    """Single-source BFS hop distances over the co-order part graph —
+    the graph-traversal class (reachability / shortest unweighted
+    path), seeded at the highest-degree hub (ties broken by smallest
+    part id) so the traversal exercises real expansion at every SF —
+    the min-id seed sat in a 2-node component at sf0.1.
+
+    Spark-first iteration: the frontier expands one hop per round
+    (bounded ``max_hops`` rounds — a Pregel superstep each: frontier ⋈
+    edges, dedup, anti-join visited), with ``localCheckpoint`` per
+    round cutting the lineage the way every iterative operator here
+    does (pagerank/communities precedent).  Each round is one
+    bounded-key shuffle; state is the visited set, never paths.
+
+    The DuckDB oracle is a RECURSIVE CTE with set semantics (UNION
+    dedups (part, hop) pairs per level, so path blow-up never
+    materializes) + min(hop) — the first iterative catalog entry with
+    a true SQL twin rather than a rows-only check.
+    """
+    edges = co_order_edges(lineitem, min_support)
+    visited = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .orderBy(F.desc("deg"), F.asc("src"))
+        .limit(1)
+        .select(
+            F.col("src").cast("long").alias("part_id"),
+            F.lit(0).cast("int").alias("hop"),
+        )
+    )
+    visited = visited.localCheckpoint()
+    for d in range(1, max_hops + 1):
+        frontier = (
+            visited.where(F.col("hop") == d - 1)
+            .join(edges, visited["part_id"] == edges["src"])
+            .select(F.col("dst").alias("part_id"))
+            .distinct()
+            .join(visited.select("part_id"), "part_id", "left_anti")
+            .select("part_id", F.lit(d).cast("int").alias("hop"))
+        )
+        visited = visited.unionByName(frontier).localCheckpoint()
+    return visited.orderBy("hop", "part_id")

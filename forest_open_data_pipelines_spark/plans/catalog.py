@@ -913,6 +913,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "survival_churn_curve": lambda s, d: sessionize.survival_churn_curve(
         sessionize.km_lifetime_truncate(load_table(s, d, "events"))
     ),
+    # single-source BFS hop distances (bounded Pregel supersteps,
+    # localCheckpoint per round; recursive-CTE oracle)
+    "part_bfs_hops": lambda s, d: relational.part_bfs_hops(
+        load_table(s, d, "lineitem")
+    ),
 }
 
 # ---------------------------------------------------------------------------
@@ -997,7 +1002,7 @@ assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 #    (spacesaving_hitters, session_concurrency, part_skyline,
 #    cusum_change_points, distinct_rollup_sketch,
 #    overlapping_session_pairs, cuped_ab_metrics,
-#    survival_churn_curve), and any entry
+#    survival_churn_curve, part_bfs_hops), and any entry
 #    whose catalog plan changes in round 12;
 # 1) any round-11 window row the driver fails - fix first, re-window;
 # 2) the 42 remaining r7-vintage rows (audit_markdown_table,

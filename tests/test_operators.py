@@ -7257,3 +7257,35 @@ def test_survival_churn_curve_km_semantics(spark):
     }
     assert got2["2024-06-01"]["survival"] == 0.333333
     assert got2["2024-06-02"]["survival"] == 0.0
+
+
+def test_part_bfs_hops_known_graph(spark):
+    """Hand-built path+hub graph: seed lands on the max-degree hub B
+    (degree 3), hops fan out B=0 / {A,C,F}=1 / D=2 / E=3, and the
+    max_hops cap truncates the frontier without dropping closer
+    nodes."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.relational import (
+        part_bfs_hops,
+    )
+
+    A, B, C, D, E, Fp = 11, 22, 33, 44, 55, 66
+    edges = [(A, B), (B, C), (C, D), (D, E), (B, Fp)]
+    rows = []
+    for rep in range(2):  # support-2
+        for i, (u, v) in enumerate(edges):
+            oid = 1000 * rep + i
+            rows += [(oid, u), (oid, v)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    try:
+        got = {r["part_id"]: r["hop"] for r in part_bfs_hops(li).collect()}
+        assert got == {B: 0, A: 1, C: 1, Fp: 1, D: 2, E: 3}
+        capped = {
+            r["part_id"]: r["hop"]
+            for r in part_bfs_hops(li, max_hops=2).collect()
+        }
+        assert capped == {B: 0, A: 1, C: 1, Fp: 1, D: 2}
+    finally:
+        release_persisted()

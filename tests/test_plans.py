@@ -1194,3 +1194,22 @@ def test_survival_curve_one_scan_day_frame_windows(spark):
         )
 
         release_persisted()
+
+
+def test_part_bfs_bounded_supersteps(spark):
+    """BFS: the final plan is the union of max_hops+1 checkpointed
+    frontier frames (lineage cut per superstep — ScanExistingRDD
+    roots, no parquet rescans in the result plan), every expansion
+    join keyed (no Cartesian), no Python."""
+    plan = _plan(spark, "part_bfs_hops")
+    try:
+        assert "Scan ExistingRDD" in plan
+        assert "Scan parquet" not in plan  # all supersteps checkpointed
+        assert "CartesianProduct" not in plan
+        assert "PythonUDF" not in plan
+    finally:
+        from forest_open_data_pipelines_spark.operators.dedup import (
+            release_persisted,
+        )
+
+        release_persisted()
