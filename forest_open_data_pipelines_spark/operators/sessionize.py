@@ -706,6 +706,30 @@ def session_concurrency(events: DataFrame) -> DataFrame:
 CUSUM_THRESHOLD_MEANS = 2
 
 
+def _cusum_reflect(dev, dev_col, out_col, alarm_expr):
+    """Shared reflection-identity kernel of the two batch CUSUM
+    operators: S_t = P_t − min(0, min-prefix P) per event_type day
+    series (running sum + running min, two bounded windows), with the
+    caller-supplied statistic name and alarm predicate."""
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    mins = dev.withColumn("p", F.sum(dev_col).over(w)).withColumn(
+        "m", F.min("p").over(w)
+    )
+    s = F.col("p") - F.least(F.lit(0), F.col("m"))
+    return mins.select(
+        "event_type",
+        "day",
+        "n_events",
+        dev_col,
+        s.alias(out_col),
+        alarm_expr(s).alias("alarm"),
+    ).orderBy("event_type", "day")
+
+
 def cusum_change_points(
     events: DataFrame, threshold_means: int = CUSUM_THRESHOLD_MEANS
 ) -> DataFrame:
@@ -739,24 +763,12 @@ def cusum_change_points(
         (F.col("n_events") * F.col("cnt") - F.col("total")).alias("dev_scaled"),
         "total",
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    run = dev.withColumn("p", F.sum("dev_scaled").over(w))
-    mins = run.withColumn("m", F.min("p").over(w))
-    return mins.select(
-        "event_type",
-        "day",
-        "n_events",
+    return _cusum_reflect(
+        dev,
         "dev_scaled",
-        (F.col("p") - F.least(F.lit(0), F.col("m"))).alias("cusum_scaled"),
-        (
-            (F.col("p") - F.least(F.lit(0), F.col("m")))
-            > F.lit(threshold_means) * F.col("total")
-        ).alias("alarm"),
-    ).orderBy("event_type", "day")
+        "cusum_scaled",
+        lambda s: s > F.lit(threshold_means) * F.col("total"),
+    )
 
 
 def cusum_fixed_target(
@@ -775,22 +787,9 @@ def cusum_fixed_target(
         "n_events",
         (F.col("n_events") - F.lit(target_per_day)).alias("dev"),
     )
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    run = dev.withColumn("p", F.sum("dev").over(w))
-    mins = run.withColumn("m", F.min("p").over(w))
-    return mins.select(
-        "event_type",
-        "day",
-        "n_events",
-        (F.col("p") - F.least(F.lit(0), F.col("m"))).alias("cusum"),
-        (
-            (F.col("p") - F.least(F.lit(0), F.col("m"))) > F.lit(threshold)
-        ).alias("alarm"),
-    ).orderBy("event_type", "day")
+    return _cusum_reflect(
+        dev, "dev", "cusum", lambda s: s > F.lit(threshold)
+    ).drop("dev")
 
 
 def overlapping_session_pairs(events: DataFrame) -> DataFrame:

@@ -97,24 +97,34 @@ def spacesaving_topk(
 ) -> DataFrame:
     """Sharded SpaceSaving top-k users by event count.
 
-    One scan: project (shard, user_id, ts, event_id), shuffle once on
-    the shard key (n_shards partitions of bounded width — each kernel
-    holds k counters, never the shard's raw rows beyond the Arrow
-    batch), run the sketch per shard in an Arrow kernel.  At 100 TB the
-    same plan holds: n_shards scales with the cluster, state stays
+    One scan: project (shard, user_id, ts, event_id), ONE shuffle —
+    ``repartition(shard)`` + ``sortWithinPartitions(shard, ts,
+    event_id)`` puts each shard's rows in contract order on disk, and
+    a ``mapInPandas`` kernel streams the Arrow batches INCREMENTALLY:
+    memory is O(k · shards-per-partition) counters plus one Arrow
+    batch, never a materialized shard (grouped applyInPandas would
+    hand the kernel the whole group as one pandas frame — the
+    original shape, rejected in review).  At 100 TB the same plan
+    holds: n_shards scales with the cluster, state stays
     O(k · n_shards) regardless of row count or key cardinality.
     """
+    from collections.abc import Iterator
 
-    def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
-        # grouped applyInPandas hands the WHOLE group to the kernel;
-        # sort once for the determinism contract — only the k counters
-        # persist past the loop.
-        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        shard = int(pdf["shard"].iloc[0])
-        counters: dict[int, tuple[int, int]] = {}
-        for item in pdf["user_id"].astype("int64"):
-            spacesaving_update(counters, int(item), k)
-        return sketch_rows(shard, counters, len(pdf))
+    def _kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive shard-clustered and (ts, event_id)-sorted; a
+        # partition may hold several shards (hash co-location), each
+        # with its own O(k) counter dict
+        counters: dict[int, dict[int, tuple[int, int]]] = {}
+        seen: dict[int, int] = {}
+        for pdf in batches:
+            shards = pdf["shard"].astype("int64")
+            items = pdf["user_id"].astype("int64")
+            for shard, item in zip(shards, items):
+                c = counters.setdefault(int(shard), {})
+                spacesaving_update(c, int(item), k)
+                seen[int(shard)] = seen.get(int(shard), 0) + 1
+        for shard in sorted(counters):
+            yield sketch_rows(shard, counters[shard], seen[shard])
 
     projected = events.select(
         F.pmod(F.col("user_id"), F.lit(n_shards)).cast("int").alias("shard"),
@@ -123,8 +133,9 @@ def spacesaving_topk(
         "event_id",
     )
     return (
-        projected.groupBy("shard")
-        .applyInPandas(_apply, SKETCH_SCHEMA)
+        projected.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "ts", "event_id")
+        .mapInPandas(_kernel, SKETCH_SCHEMA)
         .orderBy("shard", "rank")
     )
 
@@ -155,11 +166,19 @@ def distinct_rollup_sketch(events: DataFrame, lg_k: int = 12) -> DataFrame:
         "event_type", F.date_trunc("month", "day").cast("date").alias("month")
     ).agg(F.hll_union_agg("sk").alias("sk"))
     exact = events.groupBy(
-        "event_type",
-        F.date_trunc("month", F.to_date("ts")).cast("date").alias("month"),
+        F.col("event_type").alias("e_type"),
+        F.date_trunc("month", F.to_date("ts")).cast("date").alias("e_month"),
     ).agg(F.count_distinct("user_id").alias("exact_distinct"))
+    # NULL-SAFE join keys: a feed with unparseable timestamps forms a
+    # month=NULL group on BOTH sides — an inner equi-join would drop
+    # it silently (the spine_fill null-passthrough lesson); eqNullSafe
+    # keeps the null bucket visible.
     return (
-        monthly.join(exact, ["event_type", "month"])
+        monthly.join(
+            exact,
+            monthly["event_type"].eqNullSafe(exact["e_type"])
+            & monthly["month"].eqNullSafe(exact["e_month"]),
+        )
         .select(
             "event_type",
             "month",

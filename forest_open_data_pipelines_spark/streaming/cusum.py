@@ -87,9 +87,17 @@ def _make_update(target_per_day: int, threshold: int):
                 out_s.append(s)
             open_ord, open_count = new_ord, 0
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for ts in pdf["ts"]:
+        # CONCATENATE the Arrow chunks BEFORE sorting (the scd2.py
+        # contract): chunks arrive in arbitrary order, so a per-chunk
+        # sort would step days out of order past maxRecordsPerBatch.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            merged = pd.concat(chunks).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            for ts in merged["ts"]:
+                if pd.isna(ts):  # null-ts guard, the batch twin's
+                    continue  # daily.where(day IS NOT NULL) filter
                 d_ord = ts.date().toordinal()
                 if open_ord is None:
                     open_ord = d_ord

@@ -68,11 +68,18 @@ def _make_update(k: int):
         else:
             counters, n_processed = {}, 0
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for item in pdf["user_id"].astype("int64"):
+        # CONCATENATE the Arrow chunks BEFORE sorting (the scd2.py
+        # contract): chunks arrive in arbitrary order, so a per-chunk
+        # sort would break the (ts, event_id) determinism contract
+        # for micro-batches past maxRecordsPerBatch.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            merged = pd.concat(chunks).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            for item in merged["user_id"].astype("int64"):
                 spacesaving_update(counters, int(item), k)
-            n_processed += len(pdf)
+            n_processed += len(merged)
 
         state.update(
             (

@@ -1035,7 +1035,9 @@ def test_spacesaving_one_scan_one_wide_exchange(spark):
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert live_scans(plan) == {"events": 1}, live_scans(plan)
-    assert "FlatMapGroupsInPandas" in plan
+    # mapInPandas streams Arrow batches incrementally (grouped
+    # applyInPandas would materialize the whole shard — rejected)
+    assert "MapInPandas" in plan and "FlatMapGroupsInPandas" not in plan
     (schema,) = _read_schemas(plan)
     assert set(schema.split(",")) == {
         "event_id:bigint", "ts:timestamp_ntz", "user_id:bigint",
