@@ -2199,3 +2199,72 @@ def test_skyline_stream_order_independent_matches_batch(spark, tmp_path):
         batch[k] = batch.get(k, 0) + 1
     assert got == batch
     assert len(got) > 0
+
+
+def test_heavy_hitters_state_kernel_multichunk_order(spark, tmp_path):
+    """Regression pin for the per-chunk-sort bug class (the scd2.py
+    contract): with arrow.maxRecordsPerBatch forced to 16, one
+    micro-batch delivers each shard's rows as MANY Arrow chunks in
+    arbitrary order — the kernel must concatenate before sorting, or
+    the eviction history diverges from the batch twin's globally
+    sorted replay."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        spacesaving_topk,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+    from forest_open_data_pipelines_spark.streaming.heavy_hitters import (
+        heavy_hitters_stream,
+    )
+
+    from tests.test_operators import _synthetic_skewed_events
+
+    conf_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(conf_key, "10000")
+    spark.conf.set(conf_key, "16")
+    try:
+        # the eviction-saturated synthetic stream: ~14 distinct users
+        # per shard > k=8, so eviction fires and ORDER MATTERS — the
+        # catalog events table at this SF has <k users per shard and
+        # would pass even with the per-chunk-sort bug (verified: the
+        # broken kernel fails THIS test and passes the sf0.001 one)
+        ev = _synthetic_skewed_events(spark).select(
+            "event_id", "ts", "user_id"
+        )
+        src = tmp_path / "hh_chunk_src"
+        src.mkdir()
+        # write DESCENDING by ts so any chunk-local sort that skips
+        # the concat visibly diverges from the global order
+        ev.orderBy(F.desc("ts"), F.desc("event_id")).toPandas().pipe(
+            lambda pdf: spark.createDataFrame(pdf)
+        ).coalesce(1).write.parquet(str(src / "batch_a"), mode="overwrite")
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, user_id long")
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        query = (
+            heavy_hitters_stream(stream)
+            .writeStream.format("memory")
+            .queryName("hh_chunk_test")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_hh_chunk"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+            got = {
+                (r["shard"], r["user_id"]): (r["est_count"], r["max_error"])
+                for r in spark.sql("SELECT * FROM hh_chunk_test").collect()
+            }
+        finally:
+            query.stop()
+        batch = {
+            (r["shard"], r["user_id"]): (r["est_count"], r["max_error"])
+            for r in spacesaving_topk(ev).collect()
+        }
+        assert got == batch
+        assert len(got) > 0
+        assert any(v[1] > 0 for v in got.values())  # evictions fired
+    finally:
+        spark.conf.set(conf_key, prev)
