@@ -997,40 +997,106 @@ _R11_WINDOW: tuple[str, ...] = (
 )
 assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 
-# Round-12 rotation queue (pre-staged; build the _R12_WINDOW from this):
-# 0) any round-11 additions without a driver row yet
-#    (spacesaving_hitters, session_concurrency, part_skyline,
-#    cusum_change_points, distinct_rollup_sketch,
-#    overlapping_session_pairs, cuped_ab_metrics,
-#    survival_churn_curve, part_bfs_hops), and any entry
-#    whose catalog plan changes in round 12;
-# 1) any round-11 window row the driver fails - fix first, re-window;
-# 2) the 42 remaining r7-vintage rows (audit_markdown_table,
-#    catalog_cards, catalog_summary, column_best_match,
-#    corpus_snapshot_diff, customers_without_orders, cvm_fund_picks,
-#    dedup_threshold_sweep, embedding_quantize_pq,
-#    embedding_quantize_sq8, feed_validate, focos1km_tifs,
-#    focos_prompt_texts, freshness_report_lines,
-#    freshness_watch_signals, html_extract, lang_id_confusion,
-#    manifest_meta_envelope, multimodal_dedup, nation_series_with_other,
-#    nation_share_latest, ngram_novelty, order_priority_percentiles,
-#    profile_columns_approx, profile_files, pt_date_parse,
-#    pt_numeric_parse, q12_shipping_delay, q16_supplier_part_variety,
-#    q17_small_quantity_revenue, q20_dominant_suppliers,
-#    q21_sole_latest_shipper, q8_market_share, q9_product_type_profit,
-#    referential_integrity_audit, research_trends_rollup,
-#    route_nearest_query, simhash_budget_sweep, skew_salted_join_agg,
-#    skew_two_phase_agg, text_cleanup, vocab_growth);
-# 3) then the oldest r8-vintage rows to fill 50;
+# ---------------------------------------------------------------------------
+# Round-12 window: the pre-staged r11 queue, executed.  The 9 late
+# round-11 additions lead (their only evidence so far is the judge's
+# own sf0.01+sf0.1 runs — this is their first driver row), followed by
+# the entries whose catalog PLAN or ORACLE changes this round
+# (curation_gate_matrix shares one staged token-array scan between its
+# two repetition gates; bpe_encode gains a recursive-CTE DuckDB
+# oracle — its r11 row was rows-only), then the first 39 of the 42
+# remaining r7-vintage rows (alphabetical).  Deferred to r13:
+# skew_two_phase_agg, text_cleanup, vocab_growth (r7-vintage) — plus
+# the oldest r8 rows thereafter.
+# ---------------------------------------------------------------------------
+_R12_WINDOW: tuple[str, ...] = (
+    # late round-11 additions — first driver rows
+    "spacesaving_hitters",
+    "session_concurrency",
+    "part_skyline",
+    "cusum_change_points",
+    "distinct_rollup_sketch",
+    "overlapping_session_pairs",
+    "cuped_ab_metrics",
+    "survival_churn_curve",
+    "part_bfs_hops",
+    # plan/oracle changed in round 12 — r11 rows no longer witness
+    "curation_gate_matrix",
+    "bpe_encode",
+    # the 39 oldest r7-vintage rows (alphabetical)
+    "audit_markdown_table",
+    "catalog_cards",
+    "catalog_summary",
+    "column_best_match",
+    "corpus_snapshot_diff",
+    "customers_without_orders",
+    "cvm_fund_picks",
+    "dedup_threshold_sweep",
+    "embedding_quantize_pq",
+    "embedding_quantize_sq8",
+    "feed_validate",
+    "focos1km_tifs",
+    "focos_prompt_texts",
+    "freshness_report_lines",
+    "freshness_watch_signals",
+    "html_extract",
+    "lang_id_confusion",
+    "manifest_meta_envelope",
+    "multimodal_dedup",
+    "nation_series_with_other",
+    "nation_share_latest",
+    "ngram_novelty",
+    "order_priority_percentiles",
+    "profile_columns_approx",
+    "profile_files",
+    "pt_date_parse",
+    "pt_numeric_parse",
+    "q12_shipping_delay",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q20_dominant_suppliers",
+    "q21_sole_latest_shipper",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "referential_integrity_audit",
+    "research_trends_rollup",
+    "route_nearest_query",
+    "simhash_budget_sweep",
+    "skew_salted_join_agg",
+)
+assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
+
+# Round-13 rotation queue (pre-staged; build the _R13_WINDOW from this):
+# 0) any round-12 additions without a driver row yet, and any entry
+#    whose catalog plan changes in round 13;
+# 1) any round-12 window row the driver fails - fix first, re-window;
+# 2) the 3 remaining r7-vintage rows (skew_two_phase_agg, text_cleanup,
+#    vocab_growth);
+# 3) then the oldest r8-vintage rows to fill 50 (top_customers,
+#    events_sessionize, event_transitions, daily_anomaly_report,
+#    schema_audit, type_inference, freshness_latest, lang_id,
+#    social_text_normalize, html_list_parse, dir_listing_files,
+#    eia_petroleum_weekly_files, anp_prompt_texts, manifest_status,
+#    region_rank, abstract_reconstruct, dedup_winnowing,
+#    winnowing_incremental, quality_threshold_sweep, shard_curriculum,
+#    corpus_shard_plan, duplicate_spans, strip_duplicate_spans,
+#    cluster_size_histogram, token_zipf_fit, tokenizer_fertility,
+#    bm25_topk, bm25_route, hybrid_rrf_topk, bitext_mining,
+#    hard_negative_mining, embedding_outlier_report,
+#    embedding_drift_report, media_integrity_audit,
+#    multimodal_features, multimodal_frames, resize_media,
+#    top_biomes_month_comparison, monthly_seasonal_index,
+#    same_month_prev_year, ytd_comparison, highlights,
+#    report_fallback_blocks, ...);
 # 4) everything else keeps its newest green row and stays covered by
 #    the per-session oracle-parity sweep.
 QUERIES = {
     n: QUERIES[n]
-    for n in list(_R11_WINDOW) + [x for x in QUERIES if x not in set(_R11_WINDOW)]
+    for n in list(_R12_WINDOW) + [x for x in QUERIES if x not in set(_R12_WINDOW)]
 }
 
 # First name past the driver window; everything from here on is parked.
-PARKED_FROM = next(n for n in QUERIES if n not in set(_R11_WINDOW))
+PARKED_FROM = next(n for n in QUERIES if n not in set(_R12_WINDOW))
 
 
 def run_query(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

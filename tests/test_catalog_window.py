@@ -20,20 +20,22 @@ from forest_open_data_pipelines_spark.plans.catalog import (
 # driver row. The 40 refresh slots (oldest r4/r5/r6 evidence) are
 # discretionary and not pinned here.
 MUST_BE_IN_WINDOW = {
-    # round-11 additions awaiting their first driver row
-    # (all oracle MATCH at sf0.001/0.01/0.1 in the builder session;
-    # unigram_lm_step rows-only by design)
-    "media_decode_report",
-    "gopher_repetition_rules",
-    "unigram_lm_step",
-    "unigram_encode",
-    "part_triangles",
-    # entries whose catalog plan/schema changed in round 11 — their
-    # r10 driver rows no longer witness current code
-    "c4_line_filters",
-    "effective_overview_metrics",
+    # late round-11 additions awaiting their first driver row (judge
+    # verified sf0.01 + sf0.1 in the r11 session; spacesaving_hitters
+    # and distinct_rollup_sketch rows-only by design)
+    "spacesaving_hitters",
+    "session_concurrency",
+    "part_skyline",
+    "cusum_change_points",
+    "distinct_rollup_sketch",
+    "overlapping_session_pairs",
+    "cuped_ab_metrics",
+    "survival_churn_curve",
+    "part_bfs_hops",
+    # entries whose catalog plan/oracle changed in round 12 — their
+    # r11 driver rows no longer witness current code
     "curation_gate_matrix",
-    "dataset_card",
+    "bpe_encode",
 }
 
 
