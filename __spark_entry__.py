@@ -7363,9 +7363,15 @@ FROM c ORDER BY lang, predicted_lang"""
     out["part_triangles"] = _part_triangles_sql()
     # BFS hop distances: recursive CTE with SET semantics (UNION
     # dedups (part, hop) per level — no path blow-up) + min(hop);
-    # seed/hop-cap single-sourced with the Spark loop.
+    # seed/hop-cap/support single-sourced with the Spark loop
+    # (support-1 edges so the reach stays non-trivial at sf0.1 —
+    # r12 fix, see relational.BFS_MIN_SUPPORT).
+    from forest_open_data_pipelines_spark.operators.relational import (
+        BFS_MIN_SUPPORT,
+    )
+
     out["part_bfs_hops"] = f"""
-WITH RECURSIVE {_co_order_edges_ctes(2)},
+WITH RECURSIVE {_co_order_edges_ctes(BFS_MIN_SUPPORT)},
 seed AS (SELECT src AS s
          FROM (SELECT src, count(*) AS c FROM edges GROUP BY src)
          ORDER BY c DESC, src LIMIT 1),
