@@ -681,6 +681,88 @@ SELECT *,
 FROM m ORDER BY doc_id"""
 
 
+def _bpe_sqls(n_merges: int) -> tuple[str, str]:
+    """bpe_train + bpe_encode oracles (r12 — the r11 VERDICT item 5):
+    the full training loop unrolled as ``n_merges`` chained CTE rounds
+    (the part_pagerank unrolled-CTE precedent).
+
+    Each word's symbolization is ONE STRING of chr(2)…chr(3)-wrapped
+    symbols — symbols are substrings of whitespace-split words, so the
+    control delimiters cannot collide with symbol content — and one
+    greedy left-to-right non-overlapping merge pass (textops._bpe_apply)
+    is exactly one ``replace()`` of '<STX>l<ETX><STX>r<ETX>' with
+    '<STX>lr<ETX>': both engines scan left to right and resume AFTER
+    the replacement, which reproduces the fold's overlap resolution.
+    Per round: a pair-count aggregate over the re-split symbol lists,
+    the (freq DESC, l, r) 1-row argmax — binary string collation on
+    both engines — and a LEFT JOIN ON TRUE apply step that no-ops when
+    no pair remains (bpe_train's early break)."""
+    B, E = "chr(2)", "chr(3)"
+    ctes = [
+        f"""words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split({LCLEAN}, ' ')) AS w
+        FROM documents)
+  WHERE w != ''
+)""",
+        "wc AS (SELECT w, count(*) AS n FROM words GROUP BY w)",
+        f"""s0 AS (
+  SELECT w, n,
+         {B} || array_to_string(string_split(w, ''), {E} || {B}) || {E}
+           AS enc
+  FROM wc
+)""",
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        ctes.append(f"""p{r} AS (
+  SELECT ss[i] AS l, ss[i + 1] AS r2, sum(n)::BIGINT AS freq
+  FROM (SELECT n, ss, unnest(range(1, len(ss))) AS i
+        FROM (SELECT n, string_split(trim(enc, {B} || {E}), {E} || {B})
+                     AS ss
+              FROM {prev}))
+  GROUP BY 1, 2
+)""")
+        ctes.append(
+            f"t{r} AS (SELECT l, r2, l || r2 AS merged, freq FROM p{r} "
+            "ORDER BY freq DESC, l, r2 LIMIT 1)"
+        )
+        ctes.append(f"""s{r} AS (
+  SELECT s.w, s.n,
+         CASE WHEN t.l IS NULL THEN s.enc
+              ELSE replace(s.enc, {B} || t.l || {E} || {B} || t.r2 || {E},
+                           {B} || t.merged || {E}) END AS enc
+  FROM {prev} s LEFT JOIN t{r} t ON TRUE
+)""")
+    with_body = ",\n".join(ctes)
+    train = (
+        "WITH " + with_body + ",\nm AS (\n"
+        + "\n  UNION ALL\n".join(
+            f'  SELECT {r} AS merge_rank, l AS "left", r2 AS "right",'
+            f" merged, freq FROM t{r}"
+            for r in range(1, n_merges + 1)
+        )
+        + '\n)\nSELECT merge_rank::INT AS merge_rank, "left", "right",'
+        " merged, freq\nFROM m ORDER BY merge_rank"
+    )
+    encode = (
+        "WITH " + with_body + f""",
+v AS (
+  SELECT w, length(w) AS n_chars,
+         length(enc) - length(replace(enc, {B}, '')) AS ntok
+  FROM s{n_merges}
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_words,
+       sum(n_chars)::BIGINT AS n_chars,
+       sum(ntok)::BIGINT AS n_bpe_tokens,
+       round(sum(n_chars)::DOUBLE / sum(ntok), 6) AS chars_per_token
+FROM words JOIN v USING (w)
+GROUP BY doc_id ORDER BY doc_id"""
+    )
+    return train, encode
+
+
 def _reptext_sql() -> str:
     """repetition_textify twin (textops.py): the closed-form
     multi-line/multi-paragraph variant — 6-word lines, j%4==3 repeats
@@ -7358,6 +7440,11 @@ SELECT lang, predicted_lang, n_docs,
 FROM c ORDER BY lang, predicted_lang"""
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
+    from forest_open_data_pipelines_spark.operators.textops import (
+        BPE_N_MERGES,
+    )
+
+    out["bpe_train"], out["bpe_encode"] = _bpe_sqls(BPE_N_MERGES)
     out["part_pagerank"] = _part_pagerank_sql()
     out["part_communities"] = _part_communities_sql()
     out["part_triangles"] = _part_triangles_sql()

@@ -1903,7 +1903,13 @@ def perplexity_buckets(documents: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(documents: DataFrame, n_merges: int = 10) -> DataFrame:
+#: BPE merge-table depth — single-sourced with the DuckDB unrolled-CTE
+#: twins of bpe_train/bpe_encode in __spark_entry__.py (r12: the
+#: training loop and the greedy encode fold gained real SQL oracles).
+BPE_N_MERGES = 10
+
+
+def bpe_train(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
     """FULL iterative BPE training over the corpus (Sennrich et al.
     2016, public algorithm) — the tokenizer-training loop of which
     ``bpe_merge_candidates`` is one step: per round, count adjacent
@@ -1914,9 +1920,11 @@ def bpe_train(documents: DataFrame, n_merges: int = 10) -> DataFrame:
 
     Determinism: ties break (freq DESC, left ASC, right ASC); the
     corpus-exact semantics are asserted against an in-test pure-Python
-    reference implementation (no SQL oracle — the loop's per-round
-    argmax is data-dependent, the declared rows-only pattern;
-    tests/test_operators.py carries the stdlib twin).
+    reference implementation AND (since r12) a full DuckDB oracle that
+    unrolls the ``n_merges`` rounds as chained CTEs — per round a
+    pair-count aggregate, a 1-row argmax, and the greedy fold restated
+    as a control-char-delimited string ``replace`` (left-to-right
+    non-overlapping on both engines).
 
     Scale shape (the connected_components recipe applied to training):
     the symbol table is VOCABULARY-bounded (explode tokens → word
@@ -1990,7 +1998,7 @@ def _bpe_apply(s: Column, left: str, right: str, merged: str) -> Column:
     )
 
 
-def bpe_encode(documents: DataFrame, n_merges: int = 10) -> DataFrame:
+def bpe_encode(documents: DataFrame, n_merges: int = BPE_N_MERGES) -> DataFrame:
     """Encode every document with the merge table ``bpe_train`` learns
     from the same corpus — the standard BPE encoder (Sennrich et al.
     2016): split each word to characters, then apply the learned
@@ -2000,11 +2008,13 @@ def bpe_encode(documents: DataFrame, n_merges: int = 10) -> DataFrame:
     char, and BPE-token counts plus the 6-dp chars-per-token
     compression ratio.
 
-    Rows-only by the ``bpe_train`` precedent (the merge table is the
-    product of the data-dependent training loop); corpus-exact
-    encoding is asserted against the in-test pure-Python reference
-    twin, and Σ n_bpe_tokens is invariant-checked against the
-    vocabulary-level encoding.
+    Oracle-paired since r12 (the r11 VERDICT item 5): the DuckDB twin
+    re-derives the merge table with the same unrolled CTE chain as the
+    ``bpe_train`` oracle, applies the rank-ordered merges as greedy
+    string replaces over control-char-delimited symbol strings, and
+    reduces per doc_id — so the fold, the tie-breaks, and the counts
+    are value-checked end-to-end. The in-test pure-Python twin and the
+    Σ n_bpe_tokens invariant stay as independent checks.
 
     Scale: encoding happens ONCE PER DISTINCT WORD — the vocabulary
     table (explode → distinct) carries the n_merges-deep fold, then a

@@ -1002,12 +1002,12 @@ assert len(_R11_WINDOW) == DRIVER_CHECK_CAP, len(_R11_WINDOW)
 # round-11 additions lead (their only evidence so far is the judge's
 # own sf0.01+sf0.1 runs — this is their first driver row), followed by
 # the entries whose catalog PLAN or ORACLE changes this round
-# (curation_gate_matrix shares one staged token-array scan between its
-# two repetition gates; bpe_encode gains a recursive-CTE DuckDB
-# oracle — its r11 row was rows-only), then the first 39 of the 42
-# remaining r7-vintage rows (alphabetical).  Deferred to r13:
-# skew_two_phase_agg, text_cleanup, vocab_growth (r7-vintage) — plus
-# the oldest r8 rows thereafter.
+# (curation_gate_matrix's repetition gates became one zero-shuffle
+# staged-scan projection; bpe_encode AND bpe_train gained unrolled-CTE
+# DuckDB oracles — their r11 rows were rows-only), then the oldest
+# r7-vintage rows (alphabetical) to fill 50.  Deferred to r13:
+# skew_salted_join_agg, skew_two_phase_agg, text_cleanup, vocab_growth
+# (r7-vintage) — plus the oldest r8 rows thereafter.
 # ---------------------------------------------------------------------------
 _R12_WINDOW: tuple[str, ...] = (
     # late round-11 additions — first driver rows
@@ -1023,6 +1023,7 @@ _R12_WINDOW: tuple[str, ...] = (
     # plan/oracle changed in round 12 — r11 rows no longer witness
     "curation_gate_matrix",
     "bpe_encode",
+    "bpe_train",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
     "catalog_cards",
@@ -1062,7 +1063,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "research_trends_rollup",
     "route_nearest_query",
     "simhash_budget_sweep",
-    "skew_salted_join_agg",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1070,8 +1070,8 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 3 remaining r7-vintage rows (skew_two_phase_agg, text_cleanup,
-#    vocab_growth);
+# 2) the 4 remaining r7-vintage rows (skew_salted_join_agg,
+#    skew_two_phase_agg, text_cleanup, vocab_growth);
 # 3) then the oldest r8-vintage rows to fill 50 (top_customers,
 #    events_sessionize, event_transitions, daily_anomaly_report,
 #    schema_audit, type_inference, freshness_latest, lang_id,

@@ -58,10 +58,9 @@ def test_every_query_has_oracle_or_is_whitelisted():
         # sketch internals (HLL++, KLL) are engine-specific; accuracy is
         # bounded against the exact profile in test_operators.py instead.
         "profile_columns_approx",
-        # iterative BPE: per-round argmax is data-dependent (no SQL
-        # oracle); corpus-exact vs the in-test stdlib twin instead.
-        "bpe_train",
-        "bpe_encode",
+        # (bpe_train / bpe_encode left this set in r12: the training
+        # loop is now a DuckDB unrolled-CTE oracle and the greedy fold
+        # a delimiter-wrapped string replace — see _bpe_sqls.)
         # unigram-LM EM round + its encoder: data-dependent training
         # loop with a per-word Viterbi DP (no SQL twin); row-for-row
         # vs the in-test stdlib twin instead (bpe_train precedent).
