@@ -217,6 +217,8 @@ HEADLINE = [
     "overlapping_session_pairs",
     "cuped_ab_metrics",
     "survival_churn_curve",
+    # round-12 operators
+    "quantile_rollup_sketch",
     # part_bfs_hops is a bounded 4-round traversal (each round a
     # localCheckpoint job of mostly fixed overhead on the ~3.5k-edge
     # graph), the part_pagerank iterative category; driver

@@ -896,6 +896,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_rollup_sketch": lambda s, d: sketches.distinct_rollup_sketch(
         load_table(s, d, "events")
     ),
+    # ── Round-12 additions ────────────────────────────────────────────
+    # mergeable QUANTILE rollup (r11 VERDICT item 4): deterministic
+    # KLL/MRL daily sketches merged to monthly p50/p95 — rows-only,
+    # with an EXACT rank-error envelope + stdlib pipeline replay in
+    # tests (the second half of the sketch-rollup story)
+    "quantile_rollup_sketch": lambda s, d: sketches.quantile_rollup_sketch(
+        load_table(s, d, "events")
+    ),
     # interval×interval overlap join (co-presence): hour-grid equi
     # key + once-per-pair-at-overlap-start dedup, never a quadratic
     # inequality self-join
@@ -1024,6 +1032,8 @@ _R12_WINDOW: tuple[str, ...] = (
     "curation_gate_matrix",
     "bpe_encode",
     "bpe_train",
+    # round-12 addition — first driver row (rows-only by design)
+    "quantile_rollup_sketch",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
     "catalog_cards",
@@ -1062,7 +1072,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "referential_integrity_audit",
     "research_trends_rollup",
     "route_nearest_query",
-    "simhash_budget_sweep",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1070,8 +1079,9 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 4 remaining r7-vintage rows (skew_salted_join_agg,
-#    skew_two_phase_agg, text_cleanup, vocab_growth);
+# 2) the 5 remaining r7-vintage rows (simhash_budget_sweep,
+#    skew_salted_join_agg, skew_two_phase_agg, text_cleanup,
+#    vocab_growth);
 # 3) then the oldest r8-vintage rows to fill 50 (top_customers,
 #    events_sessionize, event_transitions, daily_anomaly_report,
 #    schema_audit, type_inference, freshness_latest, lang_id,

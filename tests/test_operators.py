@@ -7006,6 +7006,145 @@ def test_spacesaving_icdt_guarantees(spark):
             assert (shard, uid) in tracked, (shard, uid, t)
 
 
+def test_quantile_sketch_exact_below_capacity():
+    """n ≤ k means zero compactions: the sketch answers are the exact
+    order statistics (smallest value at rank ceil(q·n)) and the error
+    envelope is 0."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        QuantileSketch,
+    )
+
+    sk = QuantileSketch(k=16)
+    for v in [5.0, 1.0, 9.0, 3.0, 7.0, 2.0, 8.0, 4.0, 6.0, 10.0]:
+        sk.add(v)
+    assert sk.rank_err == 0
+    assert sk.query(1, 2) == 5.0  # rank ceil(10/2) = 5
+    assert sk.query(19, 20) == 10.0  # rank ceil(9.5) = 10
+    assert sk.query(1, 10) == 1.0
+
+
+def test_quantile_sketch_weight_conservation_and_merge():
+    """Σ |levels[h]|·2^h == n through compactions AND merges (the odd
+    leftover stays at its level), and merging two sketches equals the
+    rank-error sum plus any cascade compactions."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        QuantileSketch,
+    )
+
+    def weight(sk):
+        return sum(len(lvl) << h for h, lvl in enumerate(sk.levels))
+
+    a, b = QuantileSketch(k=8), QuantileSketch(k=8)
+    for i in range(501):
+        a.add(float((i * 37) % 101))
+        assert weight(a) == a.n
+    for i in range(333):
+        b.add(float((i * 17) % 89))
+    a.merge(b)
+    assert weight(a) == a.n == 501 + 333
+    assert a.query(1, 2) is not None
+
+
+def _quantile_rollup_stdlib_replay(pdf, k):
+    """Pure-Python replay of the distributed pipeline: per
+    (event_type, day) sketches built in (ts, event_id) order, merged
+    per month ascending by day — the determinism contract's reference
+    implementation."""
+    import pandas as pd
+
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        QUANTILE_PS,
+        QuantileSketch,
+    )
+
+    pdf = pdf[pdf["value"].notna()].copy()
+    pdf["day"] = pdf["ts"].dt.date
+    pdf["month"] = pdf["ts"].values.astype("datetime64[M]")
+    out = {}
+    for (etype, month), g in pdf.groupby(["event_type", "month"], dropna=False):
+        daily = []
+        for day, gd in g.groupby("day", sort=True):
+            sk = QuantileSketch(k)
+            for v in gd.sort_values(["ts", "event_id"], kind="mergesort")["value"]:
+                sk.add(float(v))
+            daily.append(sk)
+        merged = daily[0]
+        for sk in daily[1:]:
+            merged.merge(sk)
+        out[(etype, pd.Timestamp(month).date())] = (
+            merged.n,
+            merged.query(QUANTILE_PS[0][1], QUANTILE_PS[0][2]),
+            merged.query(QUANTILE_PS[1][1], QUANTILE_PS[1][2]),
+            merged.rank_err,
+        )
+    return out
+
+
+def test_quantile_rollup_matches_stdlib_replay(spark, sf_dir):
+    """Bit-for-bit equality of the distributed rollup (shuffle +
+    incremental Arrow kernel + per-month merge) with the pure-Python
+    pipeline replay on the catalog events table — pins the processing
+    order, the alternating-parity compaction, and the day-ascending
+    merge order."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        QUANTILE_K,
+        quantile_rollup_sketch,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = quantile_rollup_sketch(ev).collect()
+    twin = _quantile_rollup_stdlib_replay(
+        ev.select("event_type", "ts", "event_id", "value").toPandas(),
+        QUANTILE_K,
+    )
+    assert len(got) == len(twin)
+    for r in got:
+        n, p50, p95, err = twin[(r["event_type"], r["month"])]
+        assert (r["n_rows"], r["est_p50"], r["est_p95"], r["max_rank_error"]) == (
+            n, p50, p95, err,
+        ), r
+
+
+def test_quantile_rollup_rank_error_envelope(spark, sf_dir):
+    """The deterministic guarantee, asserted against TRUE ranks from
+    the raw rows: every estimate is an actual stream value whose rank
+    interval [#<est + 1, #≤est] lies within max_rank_error of the
+    target rank ceil(q·n) — and the envelope is non-vacuous (errors
+    fire, and stay well under n)."""
+    import pandas as pd
+
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        QUANTILE_PS,
+        quantile_rollup_sketch,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    got = quantile_rollup_sketch(ev).collect()
+    pdf = ev.select("event_type", "ts", "value").toPandas()
+    pdf = pdf[pdf["value"].notna()].copy()
+    pdf["month"] = pdf["ts"].values.astype("datetime64[M]")
+    assert any(r["max_rank_error"] > 0 for r in got)  # compactions fired
+    for r in got:
+        month = pd.Timestamp(r["month"]).to_datetime64().astype("datetime64[M]")
+        vals = pdf[
+            (pdf["event_type"] == r["event_type"]) & (pdf["month"] == month)
+        ]["value"].to_numpy()
+        n = len(vals)
+        assert n == r["n_rows"]
+        assert r["max_rank_error"] < n / 4  # a USEFUL envelope
+        for label, num, den in QUANTILE_PS:
+            est = r[f"est_{label}"]
+            assert (vals == est).any()  # an actual stream value
+            target = max(1, -(-num * n // den))  # integer-exact ceil
+            lo = int((vals < est).sum()) + 1
+            hi = int((vals <= est).sum())
+            assert lo - r["max_rank_error"] <= target <= hi + r["max_rank_error"], (
+                r, label, target, lo, hi,
+            )
+
+
 def test_session_concurrency_sweep_semantics(spark):
     """Hand-built intervals pin the sweep-line contract: touching
     sessions (one ends exactly when another starts) count as

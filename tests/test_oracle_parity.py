@@ -74,4 +74,8 @@ def test_every_query_has_oracle_or_is_whitelisted():
         # equality and the error envelope vs the exact column are
         # pinned in test_operators.py instead.
         "distinct_rollup_sketch",
+        # deterministic KLL/MRL quantile rollup (no SQL twin for the
+        # compaction state); exact stdlib pipeline replay + the hard
+        # rank-error envelope are pinned in test_operators.py.
+        "quantile_rollup_sketch",
     }, rows_only

@@ -1067,6 +1067,23 @@ def test_spacesaving_one_scan_one_wide_exchange(spark):
     }, schema
 
 
+def test_quantile_rollup_sketch_state_weight_shuffle(spark):
+    """Quantile rollup: the daily kernel streams Arrow batches
+    incrementally (MapInPandas, never a whole-shard pandas frame);
+    the ONLY grouped-pandas stage is the monthly merge over the daily
+    SKETCH frame (≤31 state rows per group); no row-at-a-time Python.
+    Two events scans total: the sketch branch plus the documented
+    exact-percentile observability branch (the distinct_rollup_sketch
+    adjudication — production drops it)."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "quantile_rollup_sketch")
+    assert "MapInPandas" in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert live_scans(plan) == {"events": 2}, live_scans(plan)
+
+
 def test_session_concurrency_bucket_carry_shape(spark):
     """Sweep-line concurrency: ONE events scan, exactly TWO data-weight
     hash exchanges (per-user sessionize, then the hour bucket), and the
