@@ -641,6 +641,16 @@ def session_concurrency(events: DataFrame) -> DataFrame:
     register.  Identical (ts, delta) duplicates permute freely —
     cumulative values over a run of equal deltas are
     permutation-invariant, so the peak is well-defined.
+
+    Row contract (r11 ADVICE, documented): output rows are DAYS WITH
+    DELTAS only.  A multi-day session's middle days — covered but with
+    no start/end event — emit no row (their peak equals the carried
+    open count, which the next delta-bearing day's
+    ``open_at_day_start`` reports).  Consumers wanting full-day
+    coverage should left-join a calendar spine against ``day`` and
+    coalesce peak to the carried open count; the catalog keeps the
+    delta-days contract because the oracle mirrors it and a spine adds
+    a second scan-width to every run.
     """
     sessions = events_sessionize(events).select("session_start", "session_end")
     deltas = sessions.select(

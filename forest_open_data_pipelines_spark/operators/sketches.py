@@ -137,7 +137,13 @@ def spacesaving_topk(
         "event_id",
     )
     return (
-        projected.repartition(n_shards, "shard")
+        # RANGE partition the shard ids: hash-partitioning n_shards ids
+        # into n_shards partitions can co-locate two shards (hash
+        # collision) and idle others — correct (the kernel handles
+        # multi-shard partitions) but loses parallelism (r11 ADVICE).
+        # Range boundaries over 0..n_shards-1 give each shard its own
+        # partition.
+        projected.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "ts", "event_id")
         .mapInPandas(_kernel, SKETCH_SCHEMA)
         .orderBy("shard", "rank")

@@ -16,6 +16,11 @@ and re-arms.  Events are consumed in (ts, event_id) order per
 micro-batch with the forward-only ordering contract of
 ``streaming/observations.py``: a day older than the open day would be
 data arriving after its day closed, impossible under in-order feeds.
+A row that VIOLATES the contract across micro-batches (its day
+precedes the open day) is NOT silently folded into the open day
+(r11 ADVICE): it is dropped and counted in the per-series ``n_late``
+state, surfaced on every emitted row — so contract violations are
+observable instead of corrupting n_events/cusum.
 
 Batch parity (tests/test_streaming.py): drained stream ==
 ``operators.sessionize.cusum_fixed_target`` minus each series' still
@@ -46,6 +51,7 @@ STATE_SCHEMA = StructType(
         StructField("s", LongType()),
         StructField("open_day_ord", LongType()),
         StructField("open_count", LongType()),
+        StructField("n_late", LongType()),
     ]
 )
 
@@ -56,6 +62,7 @@ OUTPUT_SCHEMA = StructType(
         StructField("n_events", LongType()),
         StructField("cusum", LongType()),
         StructField("alarm", BooleanType()),
+        StructField("n_late", LongType()),
     ]
 )
 
@@ -68,13 +75,14 @@ def _make_update(target_per_day: int, threshold: int):
     ) -> Iterator[pd.DataFrame]:
         (event_type,) = key
         if state.exists:
-            s, open_ord, open_count = state.get
+            s, open_ord, open_count, n_late = state.get
         else:
-            s, open_ord, open_count = 0, None, 0
+            s, open_ord, open_count, n_late = 0, None, 0, 0
 
         out_days: list[date] = []
         out_n: list[int] = []
         out_s: list[int] = []
+        out_late: list[int] = []
 
         def close_through(new_ord: int) -> None:
             # close the open day, then zero rows for skipped days
@@ -85,6 +93,7 @@ def _make_update(target_per_day: int, threshold: int):
                 out_days.append(date.fromordinal(ord_))
                 out_n.append(n)
                 out_s.append(s)
+                out_late.append(n_late)
             open_ord, open_count = new_ord, 0
 
         # CONCATENATE the Arrow chunks BEFORE sorting (the scd2.py
@@ -103,9 +112,15 @@ def _make_update(target_per_day: int, threshold: int):
                     open_ord = d_ord
                 elif d_ord > open_ord:
                     close_through(d_ord)
+                elif d_ord < open_ord:
+                    # forward-only contract violated across micro-
+                    # batches: drop + count instead of silently
+                    # misattributing to the open day (r11 ADVICE)
+                    n_late += 1
+                    continue
                 open_count += 1
 
-        state.update((s, open_ord, open_count))
+        state.update((s, open_ord, open_count, n_late))
         yield pd.DataFrame(
             {
                 "event_type": pd.array(
@@ -117,6 +132,7 @@ def _make_update(target_per_day: int, threshold: int):
                 "alarm": pd.array(
                     [v > threshold for v in out_s], dtype="bool"
                 ),
+                "n_late": pd.array(out_late, dtype="int64"),
             }
         )
 
@@ -129,7 +145,9 @@ def cusum_monitor_stream(
     """Per-event-type fixed-target CUSUM over the event stream.
 
     Output (append-style update mode): one row per CLOSED day per
-    series, carrying the stepped statistic and the alarm flag."""
+    series, carrying the stepped statistic, the alarm flag, and the
+    cumulative ``n_late`` contract-violation counter (rows whose day
+    preceded the already-open day — dropped, never misattributed)."""
     return (
         events_stream.select("event_type", "ts", "event_id")
         .groupBy("event_type")

@@ -19,6 +19,15 @@ so its deltas can never double — the accumulated aggregate converges
 to the batch operator's mensal feed. Cache and checkpoint must be
 retained or wiped TOGETHER (the anomaly_watch lifecycle contract).
 
+Cache lifecycle (r11 ADVICE): the batch_id partitioning grows one
+parquet partition per micro-batch and every batch re-reads the whole
+cache, so a long-running stream runs the periodic PAUSE-AND-FOLD
+maintenance job ``compact_effective_series_cache`` (the
+``compact_anomaly_cache`` protocol): all but the newest partitions
+fold into one per-period baseline partition, keeping the recent
+batch_ids replayable for the exactly-once overwrite; per-period
+totals are identical before and after by construction.
+
 Float note: the batch operator rounds ``money(sum(value))`` over raw
 events in one pass; the stream sums RAW per-batch partials and rounds
 once at the end, so the only cross-shape difference is double
@@ -112,3 +121,65 @@ def effective_series_stream(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+BASELINE_BATCH_ID = -1
+
+
+def compact_effective_series_cache(
+    spark,
+    src_cache: str,
+    dst_cache: str,
+    keep_last: int = 1,
+) -> dict[str, int]:
+    """Pause-and-fold compaction of the per-period deltas cache — the
+    maintenance job bounding a long-running stream's per-batch re-read
+    cost and small-file count (r11 ADVICE; the
+    ``compact_anomaly_cache`` protocol: run while the stream is
+    STOPPED, then resume pointed at ``dst_cache`` with the SAME
+    checkpoint).
+
+    Folds every batch_id partition except the newest ``keep_last``
+    into one baseline partition (batch_id = ``BASELINE_BATCH_ID``,
+    which real micro-batch ids can never collide with; a previous
+    baseline folds in again): per period the deltas SUM (n_orders,
+    value_sum) and MAX (max_ts), so the accumulated aggregate — and
+    therefore the truncated mensal feed and the merged series — is
+    identical before and after, asserted in the parity test.  The
+    newest partitions stay un-folded so an at-least-once replay of the
+    last committed batch still overwrites its own live partition.
+
+    Writes to a NEW path (crash-safe: a mid-job crash leaves
+    ``src_cache`` untouched and the job idempotently re-runnable).
+    Scale: the cache is (periods × batches) aggregate rows —
+    metadata-weight; the fold is one groupBy over it.
+    """
+    cache = spark.read.parquet(src_cache)
+    ids = sorted(r[0] for r in cache.select("batch_id").distinct().collect())
+    keep_last = max(0, keep_last)
+    cut = max(0, len(ids) - keep_last) if keep_last else len(ids)
+    fold_ids = ids[:cut]
+    kept_ids = ids[cut:]
+    folded = (
+        cache.where(F.col("batch_id").isin(fold_ids))
+        .groupBy("period")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("value_sum").alias("value_sum"),
+            F.max("max_ts").alias("max_ts"),
+        )
+        .withColumn("batch_id", F.lit(BASELINE_BATCH_ID))
+    )
+    kept = cache.where(F.col("batch_id").isin(kept_ids))
+    out = folded.unionByName(kept) if kept_ids else folded
+    (
+        out.select("period", "n_orders", "value_sum", "max_ts", "batch_id")
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(dst_cache)
+    )
+    return {
+        "partitions_before": len(ids),
+        "partitions_folded": len(fold_ids),
+        "partitions_after": (1 if fold_ids else 0) + len(kept_ids),
+    }

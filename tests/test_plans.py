@@ -1048,15 +1048,18 @@ def test_repetition_row_twin_zero_shuffle_projection(spark):
 
 def test_spacesaving_one_scan_one_wide_exchange(spark):
     """Sharded SpaceSaving: ONE pruned events scan (3 columns), ONE
-    hash exchange on the shard key (the only data-weight shuffle —
-    the trailing range partition moves k·n_shards summary rows), the
-    sketch kernel grouped, no join. At 100 TB this is scan → one
-    shuffle of 3 narrow columns → O(k) state per shard."""
+    data-weight exchange — a RANGE partition on the shard key so each
+    of the n_shards ids lands alone (hash co-location idled shards,
+    r11 ADVICE; the second range partition is the presentation orderBy
+    over k·n_shards summary rows), the sketch kernel grouped, no join.
+    At 100 TB this is scan → one shuffle of 3 narrow columns → O(k)
+    state per shard."""
     from tools.scan_audit import live_scans
 
     plan = _plan(spark, "spacesaving_hitters")
     assert "Join" not in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert plan.count("Exchange rangepartitioning") == 2
     assert live_scans(plan) == {"events": 1}, live_scans(plan)
     # mapInPandas streams Arrow batches incrementally (grouped
     # applyInPandas would materialize the whole shard — rejected)

@@ -1980,6 +1980,96 @@ def test_effective_series_stream_matches_batch(spark, tmp_path):
         )
 
 
+def test_effective_series_cache_compaction_restart_convergence(
+    spark, tmp_path
+):
+    """The r11-ADVICE maintenance job: drain two of three micro-
+    batches, pause, fold the cache into a baseline + newest partition
+    at a NEW path, resume against the compacted cache with the SAME
+    checkpoint, drain the third batch — the final series must still be
+    row-identical to the batch operator over all events."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.timeseries import (
+        effective_monthly_series,
+        orders_enriched,
+    )
+    from forest_open_data_pipelines_spark.streaming.effective_series import (
+        compact_effective_series_cache,
+        effective_series_stream,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    enriched = orders_enriched(
+        *(load_table(spark, SF_DIR, t)
+          for t in ("orders", "customer", "nation", "region"))
+    )
+    parts = events.repartition(3).toPandas()
+    thirds = [parts.iloc[i::3] for i in range(3)]
+    src = tmp_path / "esc_src"
+    src.mkdir()
+    for i, chunk in enumerate(thirds[:2]):
+        spark.createDataFrame(chunk, events.schema).coalesce(1).write.parquet(
+            str(src / f"part_{i}"), mode="overwrite"
+        )
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    cache1 = str(tmp_path / "esc_cache1")
+    cache2 = str(tmp_path / "esc_cache2")
+    ckpt = str(tmp_path / "ckpt_esc")
+    reports = {}
+    sink = lambda df, bid: reports.__setitem__(bid, df.collect())
+    query = effective_series_stream(
+        stream, enriched, cache_path=cache1, checkpoint=ckpt, sink=sink
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    stats = compact_effective_series_cache(spark, cache1, cache2, keep_last=1)
+    assert stats == {
+        "partitions_before": 2,
+        "partitions_folded": 1,
+        "partitions_after": 2,
+    }, stats
+    # per-period accumulated totals identical before and after
+    agg = lambda path: sorted(
+        tuple(r)
+        for r in spark.read.parquet(path)
+        .groupBy("period")
+        .agg(
+            F.sum("n_orders").cast("long"),
+            F.round(F.sum("value_sum"), 6),
+            F.max("max_ts"),
+        )
+        .collect()
+    )
+    assert agg(cache1) == agg(cache2)
+
+    spark.createDataFrame(thirds[2], events.schema).coalesce(1).write.parquet(
+        str(src / "part_2"), mode="overwrite"
+    )
+    query = effective_series_stream(
+        stream, enriched, cache_path=cache2, checkpoint=ckpt, sink=sink
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        release_persisted()
+    final = reports[max(reports)]
+    batch = effective_monthly_series(enriched, events).collect()
+    release_persisted()
+    assert sorted(map(tuple, final)) == sorted(map(tuple, batch))
+
+
 def test_heavy_hitters_stream_matches_batch(spark, tmp_path):
     """Bounded-sketch state: stream the events table in TWO forced
     micro-batches (ts-split files, drained in order so the concatenated
@@ -2127,6 +2217,70 @@ def test_cusum_monitor_stream_matches_batch(spark, tmp_path):
     assert any(v[2] for v in got.values()) or not any(
         v[2] for v in batch.values()
     )
+
+
+def test_cusum_monitor_stream_counts_late_rows(spark, tmp_path):
+    """A micro-batch carrying a row whose day PRECEDES the open day
+    (forward-only contract violation) must not corrupt any day's
+    n_events: the row is dropped and surfaced via the cumulative
+    n_late counter on subsequently emitted rows (r11 ADVICE)."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.streaming.cusum import (
+        cusum_monitor_stream,
+    )
+
+    schema = "event_id long, ts timestamp, event_type string"
+    batch_a = [
+        (1, datetime(2024, 1, 1, 10), "click"),
+        (2, datetime(2024, 1, 1, 11), "click"),
+        (3, datetime(2024, 1, 2, 9), "click"),  # opens day 2
+    ]
+    batch_b = [
+        (4, datetime(2024, 1, 1, 23), "click"),  # LATE: day 1 < open day 2
+        (5, datetime(2024, 1, 3, 8), "click"),  # closes day 2, opens day 3
+        (6, datetime(2024, 1, 4, 8), "click"),  # closes day 3
+    ]
+    src = tmp_path / "cusum_late_src"
+    src.mkdir()
+    spark.createDataFrame(batch_a, schema).coalesce(1).write.parquet(
+        str(src / "batch_a"), mode="overwrite"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    query = (
+        cusum_monitor_stream(stream, target_per_day=1, threshold=100)
+        .writeStream.format("memory")
+        .queryName("cusum_late_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cusum_late"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        spark.createDataFrame(batch_b, schema).coalesce(1).write.parquet(
+            str(src / "batch_b"), mode="overwrite"
+        )
+        query.processAllAvailable()
+        rows = {
+            str(r["day"]): (r["n_events"], r["n_late"])
+            for r in spark.sql("SELECT * FROM cusum_late_test").collect()
+        }
+    finally:
+        query.stop()
+
+    # day 1 closed before the late row existed (n_late snapshot 0);
+    # days 2 and 3 keep their true counts of 1 each (the late row did
+    # NOT inflate them) and carry the violation counter
+    assert rows == {
+        "2024-01-01": (2, 0),
+        "2024-01-02": (1, 1),
+        "2024-01-03": (1, 1),
+    }, rows
 
 
 def test_skyline_stream_order_independent_matches_batch(spark, tmp_path):
