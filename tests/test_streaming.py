@@ -2283,6 +2283,157 @@ def test_cusum_monitor_stream_counts_late_rows(spark, tmp_path):
     }, rows
 
 
+def test_quantile_monitor_stream_matches_batch(spark, tmp_path):
+    """Streaming quantile monitor (r12): drain the events table in two
+    ts-ordered micro-batches through the bounded-sketch state store —
+    each series' freshest provisional open-month row must equal the
+    batch quantile_rollup_sketch est columns BIT-FOR-BIT (same
+    processing order, same day-ascending merge, same first-day parity
+    base), through a state save/restore across the batch boundary."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        quantile_rollup_sketch,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+    from forest_open_data_pipelines_spark.streaming.quantiles import (
+        quantile_monitor_stream,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ordered = ev.orderBy("ts", "event_id")
+    n = ev.count()
+    head = ordered.limit(n // 2).toPandas()
+    tail = ordered.subtract(ordered.limit(n // 2)).toPandas()
+
+    src = tmp_path / "qm_src"
+    src.mkdir()
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    spark.createDataFrame(head, schema).coalesce(1).write.parquet(
+        str(src / "batch_a"), mode="overwrite"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    query = (
+        quantile_monitor_stream(stream)
+        .writeStream.format("memory")
+        .queryName("quantile_monitor_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qm"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        spark.createDataFrame(tail, schema).coalesce(1).write.parquet(
+            str(src / "batch_b"), mode="overwrite"
+        )
+        query.processAllAvailable()
+        rows = spark.sql("SELECT * FROM quantile_monitor_test").collect()
+    finally:
+        query.stop()
+
+    freshest = {}
+    for r in rows:
+        assert not r["is_final"]  # single-month corpus: no seals
+        assert r["n_late"] == 0  # in-order feed: no violations
+        cur = freshest.get(r["event_type"])
+        if cur is None or r["n_rows"] > cur["n_rows"]:
+            freshest[r["event_type"]] = r
+    batch = {
+        r["event_type"]: r for r in quantile_rollup_sketch(ev).collect()
+    }
+    assert set(freshest) == set(batch)
+    for etype, r in freshest.items():
+        b = batch[etype]
+        assert (
+            r["month"], r["n_rows"], r["est_p50"], r["est_p95"],
+            r["max_rank_error"],
+        ) == (
+            b["month"], b["n_rows"], b["est_p50"], b["est_p95"],
+            b["max_rank_error"],
+        ), etype
+
+
+def test_quantile_monitor_stream_month_close_and_late_rows(spark, tmp_path):
+    """Hand stream crossing a month boundary with one late row: the
+    sealed January row (is_final) matches the pure-Python pipeline
+    replay over January's rows, the late row is dropped into n_late,
+    and February's provisional row carries only February data."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.streaming.quantiles import (
+        quantile_monitor_stream,
+    )
+    from tests.test_operators import _quantile_rollup_stdlib_replay
+    import pandas as pd
+
+    schema = "event_id long, ts timestamp, event_type string, value double"
+    batch_a = [
+        (i, datetime(2024, 1, 1 + i // 3, 8 + i % 3), "click", float(7 * i % 50))
+        for i in range(9)  # Jan 1-3
+    ]
+    batch_b = [
+        (20, datetime(2024, 1, 2, 9), "click", 99.0),  # LATE (< open Jan 3)
+        (21, datetime(2024, 2, 1, 8), "click", 5.0),  # seals January
+        (22, datetime(2024, 2, 1, 9), "click", 6.0),
+    ]
+    src = tmp_path / "qmc_src"
+    src.mkdir()
+    spark.createDataFrame(batch_a, schema).coalesce(1).write.parquet(
+        str(src / "batch_a"), mode="overwrite"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    query = (
+        quantile_monitor_stream(stream)
+        .writeStream.format("memory")
+        .queryName("quantile_close_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_qmc"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        spark.createDataFrame(batch_b, schema).coalesce(1).write.parquet(
+            str(src / "batch_b"), mode="overwrite"
+        )
+        query.processAllAvailable()
+        rows = spark.sql("SELECT * FROM quantile_close_test").collect()
+    finally:
+        query.stop()
+
+    sealed = [r for r in rows if r["is_final"]]
+    assert len(sealed) == 1
+    jan = sealed[0]
+    # replay expectation over January's in-order rows only
+    replay_pdf = pd.DataFrame(
+        batch_a, columns=["event_id", "ts", "event_type", "value"]
+    )
+    replay_pdf["ts"] = pd.to_datetime(replay_pdf["ts"])
+    from forest_open_data_pipelines_spark.operators.sketches import QUANTILE_K
+
+    (exp_n, exp_p50, exp_p95, exp_err) = _quantile_rollup_stdlib_replay(
+        replay_pdf, QUANTILE_K
+    )[("click", jan["month"])]
+    assert (
+        jan["n_rows"], jan["est_p50"], jan["est_p95"], jan["max_rank_error"],
+    ) == (exp_n, exp_p50, exp_p95, exp_err)
+    assert jan["n_late"] == 1  # the violation surfaced on the seal
+    feb = max(
+        (r for r in rows if not r["is_final"]), key=lambda r: r["month"]
+    )
+    assert str(feb["month"]) == "2024-02-01"
+    assert feb["n_rows"] == 2  # late row never leaked into February
+
+
 def test_skyline_stream_order_independent_matches_batch(spark, tmp_path):
     """Streaming Pareto frontier: drain the part table in two
     micro-batches split on an ARBITRARY predicate (odd/even partkey —
