@@ -351,6 +351,66 @@ NOTES = {
 }
 
 
+def _streaming_bench(spark, sf_dir: str) -> dict[str, float]:
+    """§I wall-time rows (VERDICT r11 item 6): drain four
+    representative stateful streaming operators over the events feed —
+    one micro-batch each (the sf parquet is a single file) through a
+    memory sink with a throwaway checkpoint — timing source-to-drain.
+    The batch headline rows measure Catalyst plans; these make
+    state-store kernel cost drift visible round-over-round. Kept
+    OUTSIDE the headline total so cross-round batch ratios stay
+    comparable."""
+    import shutil
+    import tempfile
+
+    from forest_open_data_pipelines_spark.streaming.cusum import (
+        cusum_monitor_stream,
+    )
+    from forest_open_data_pipelines_spark.streaming.heavy_hitters import (
+        heavy_hitters_stream,
+    )
+    from forest_open_data_pipelines_spark.streaming.quantiles import (
+        quantile_monitor_stream,
+    )
+    from forest_open_data_pipelines_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+    from forest_open_data_pipelines_spark.streaming.windowed import (
+        stream_events_from_parquet,
+    )
+
+    drains = {
+        "streaming_sessionize": (sessionize_stream, "append"),
+        "streaming_heavy_hitters": (heavy_hitters_stream, "update"),
+        "streaming_cusum": (
+            lambda s: cusum_monitor_stream(s, target_per_day=7, threshold=20),
+            "update",
+        ),
+        "streaming_quantile_monitor": (quantile_monitor_stream, "update"),
+    }
+    out: dict[str, float] = {}
+    for name, (build, mode) in drains.items():
+        tmp = tempfile.mkdtemp(prefix=f"bench_{name}_")
+        start = time.perf_counter()
+        query = (
+            build(stream_events_from_parquet(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName(f"bench_{name}")
+            .outputMode(mode)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        out[name] = round(time.perf_counter() - start, 4)
+        spark.catalog.dropTempView(f"bench_{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        print(f"# {name}: {out[name]:.3f}s", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -397,6 +457,8 @@ def main() -> None:
         )
 
     total = round(sum(mins.values()), 4)
+    streaming = _streaming_bench(spark, sf_dir)
+    streaming_total = round(sum(streaming.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # Full per-query map + caveats go to an artifact FILE; stdout gets
     # ONE COMPACT line. The driver captures only a short stdout tail,
@@ -418,6 +480,8 @@ def main() -> None:
                 "queries": mins,
                 "queries_median": medians,
                 "q1_floor_sec": q1_floor,
+                "streaming": streaming,
+                "streaming_total_sec": streaming_total,
                 "notes": NOTES,
                 "reps": REPS,
                 "sf": sf_val,
@@ -437,6 +501,7 @@ def main() -> None:
                 "reps": REPS,
                 "n_queries": len(mins),
                 "q1_floor_sec": q1_floor,
+                "streaming_total_sec": streaming_total,
                 "slowest3": {k: v for k, v in worst},
                 "queries": {"_full_map_in": artifact},
                 "artifact": artifact,
