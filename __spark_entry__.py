@@ -3318,6 +3318,67 @@ SELECT method, n_results, n_truth, n_hit,
 FROM stats ORDER BY method"""
 
 
+def _retrieval_rank_eval_sql(bruteforce_sql: str) -> str:
+    """DuckDB twin of similarity.retrieval_rank_eval: the
+    ann_method_eval composition over the five ranked ANN oracles,
+    with every per-hit gain/precision/reciprocal micro-quantized
+    (round(1e6·x)::BIGINT, the tfidf idf_micro precedent) so all
+    aggregation is exact integer summation; the IDCG@k normalizer is
+    the SAME Python-computed constant the Spark plan embeds."""
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        RETRIEVAL_EVAL_K as K,
+        RETRIEVAL_EVAL_QUERIES as NQ,
+        retrieval_idcg_micro,
+    )
+
+    idcg = retrieval_idcg_micro(K)
+    methods = {
+        "ivf": _ann_ivf_sql(),
+        "ivfpq": _ann_topk_ivfpq_sql(),
+        "lsh": _ann_lsh_sql(),
+        "pq": _ann_topk_pq_sql(),
+        "sq8": _ann_topk_sq8_sql(),
+    }
+    ctes = []
+    for name, sql in methods.items():
+        ctes.append(
+            f"m_{name} AS (SELECT query_id, cand_id, rank FROM ({sql}))"
+        )
+        ctes.append(f"""h_{name} AS (
+  SELECT query_id, rank,
+         row_number() OVER (PARTITION BY query_id ORDER BY rank) AS i
+  FROM m_{name} JOIN truth USING (query_id, cand_id))""")
+        ctes.append(f"""q_{name} AS (
+  SELECT query_id, min(rank) AS first_rank,
+         sum(round(1000000.0 / log2(rank + 1))::BIGINT)::BIGINT AS dcg_micro,
+         sum(round(1000000.0 * i / rank)::BIGINT)::BIGINT AS ap_micro
+  FROM h_{name} GROUP BY query_id)""")
+        ctes.append(f"""s_{name} AS (
+  SELECT count(*)::BIGINT AS n_hit_queries,
+         coalesce(sum(round(1000000.0 / first_rank)::BIGINT), 0)::BIGINT
+           AS srr,
+         coalesce(sum(dcg_micro), 0)::BIGINT AS sdcg,
+         coalesce(sum(ap_micro), 0)::BIGINT AS sap
+  FROM q_{name})""")
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS method, n_hit_queries, srr, sdcg, sap"
+        f" FROM s_{name}"
+        for name in methods
+    )
+    cte_block = ",\n".join(ctes)
+    return f"""
+WITH truth AS (SELECT query_id, cand_id FROM ({bruteforce_sql})),
+{cte_block},
+stats AS (
+{unions}
+)
+SELECT method, n_hit_queries,
+       round(srr / {float(NQ * 10**6)!r}, 6) AS mrr,
+       round(sdcg / {float(NQ * idcg)!r}, 6) AS ndcg_at_k,
+       round(sap / {float(NQ * K * 10**6)!r}, 6) AS map_at_k
+FROM stats ORDER BY method"""
+
+
 def _ann_recall_vs_dim_sql(n_queries: int = 8, k: int = 10) -> str:
     """DuckDB twin of similarity.ann_recall_vs_dim: exact cosine top-k
     over emb[1:d] prefixes (dims single-sourced from the Spark module)
@@ -7439,6 +7500,9 @@ SELECT lang, predicted_lang, n_docs,
          AS share
 FROM c ORDER BY lang, predicted_lang"""
     out["ann_method_eval"] = _ann_method_eval_sql(out["ann_topk_bruteforce"])
+    out["retrieval_rank_eval"] = _retrieval_rank_eval_sql(
+        out["ann_topk_bruteforce"]
+    )
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     from forest_open_data_pipelines_spark.operators.textops import (
         BPE_N_MERGES,

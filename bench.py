@@ -219,6 +219,7 @@ HEADLINE = [
     "survival_churn_curve",
     # round-12 operators
     "quantile_rollup_sketch",
+    "retrieval_rank_eval",
     # part_bfs_hops is a bounded 4-round traversal (each round a
     # localCheckpoint job of mostly fixed overhead on the ~3.5k-edge
     # graph), the part_pagerank iterative category; driver

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from forest_open_data_pipelines_spark.functions.columns import micro_div, ratio
@@ -1285,6 +1285,114 @@ def ann_method_eval(
                     "precision"
                 ),
                 ratio(F.expr("n_hit / nullif(n_truth, 0)")).alias("recall"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method")
+
+
+#: Rank-aware retrieval eval: query/k defaults shared with
+#: ann_method_eval; the DCG gain table is micro-quantized (the tfidf
+#: idf_micro precedent) so cross-engine float identity holds.
+RETRIEVAL_EVAL_QUERIES = 8
+RETRIEVAL_EVAL_K = 10
+
+
+def retrieval_idcg_micro(k: int = RETRIEVAL_EVAL_K) -> int:
+    """Ideal DCG@k in half-up micro-units — ONE Python-computed
+    integer constant embedded verbatim in both the Spark plan and the
+    DuckDB oracle, so the normalizer cannot drift between engines."""
+    import math
+
+    return sum(
+        int(math.floor(1e6 / math.log2(i + 1) + 0.5)) for i in range(1, k + 1)
+    )
+
+
+def retrieval_rank_eval(
+    embeddings: DataFrame,
+    n_queries: int = RETRIEVAL_EVAL_QUERIES,
+    k: int = RETRIEVAL_EVAL_K,
+) -> DataFrame:
+    """Rank-AWARE IR metrics per ANN method against the exact
+    bruteforce top-k (binary relevance = membership in the exact
+    set) — the ranking-quality half ``ann_method_eval``'s set
+    recall/precision can't see (a method can score recall 1.0 while
+    burying every true neighbor at the bottom of its list):
+
+      - MRR        — mean reciprocal rank of the first relevant hit
+      - nDCG@k     — DCG with 1/log2(rank+1) gains over the shared
+                     IDCG@k normalizer (every query has exactly k
+                     relevant items by construction)
+      - MAP@k      — mean average precision, precision@r summed at
+                     each relevant hit / k
+
+    Cross-engine determinism (the tfidf ``idf_micro`` precedent):
+    every per-hit gain/precision/reciprocal is rounded to integer
+    MICRO-units first — ``round(1e6 / log2(rank+1))`` etc. — so all
+    aggregation is exact integer summation (order-independent) and
+    the only double operations are one final division per metric plus
+    the 6-dp ratio round. Queries a method misses entirely contribute
+    zero (the denominators are the fixed ``n_queries``/``k``).
+
+    Scale: reuses the five index frames the catalog already computes;
+    hits are (query_id, cand_id) equi-joins against the persisted
+    truth, per-query state is a bounded window over ≤k hit rows, and
+    the output is one row per method.
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    truth = _persist(
+        ann_topk_bruteforce(embeddings, n_queries, k).select(
+            "query_id", "cand_id"
+        )
+    )
+    methods = {
+        "ivf": ann_topk_ivf(embeddings, n_queries, k),
+        "ivfpq": ann_topk_ivfpq(embeddings, n_queries, k),
+        "lsh": ann_topk_lsh(embeddings, n_queries, k),
+        "pq": ann_topk_pq(embeddings, n_queries, k),
+        "sq8": ann_topk_sq8(embeddings, n_queries, k),
+    }
+    idcg = retrieval_idcg_micro(k)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    gain = F.round(F.lit(1e6) / F.log2(F.col("rank") + 1), 0).cast("long")
+    prec = F.round(F.lit(1e6) * F.col("i") / F.col("rank"), 0).cast("long")
+    rr = F.round(F.lit(1e6) / F.col("first_rank"), 0).cast("long")
+    outs = []
+    for name, m in methods.items():
+        hits = m.select("query_id", "cand_id", "rank").join(
+            truth, ["query_id", "cand_id"]
+        )
+        per_q = (
+            hits.withColumn("i", F.row_number().over(w))
+            .groupBy("query_id")
+            .agg(
+                F.min("rank").alias("first_rank"),
+                F.sum(gain).alias("dcg_micro"),
+                F.sum(prec).alias("ap_micro"),
+            )
+        )
+        outs.append(
+            per_q.agg(
+                F.count(F.lit(1)).cast("long").alias("n_hit_queries"),
+                F.coalesce(F.sum(rr), F.lit(0)).alias("srr"),
+                F.coalesce(F.sum("dcg_micro"), F.lit(0)).alias("sdcg"),
+                F.coalesce(F.sum("ap_micro"), F.lit(0)).alias("sap"),
+            ).select(
+                F.lit(name).alias("method"),
+                "n_hit_queries",
+                ratio(
+                    F.col("srr") / F.lit(float(n_queries * 10**6))
+                ).alias("mrr"),
+                ratio(F.col("sdcg") / F.lit(float(n_queries * idcg))).alias(
+                    "ndcg_at_k"
+                ),
+                ratio(
+                    F.col("sap") / F.lit(float(n_queries * k * 10**6))
+                ).alias("map_at_k"),
             )
         )
     out = outs[0]

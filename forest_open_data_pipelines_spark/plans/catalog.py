@@ -904,6 +904,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantile_rollup_sketch": lambda s, d: sketches.quantile_rollup_sketch(
         load_table(s, d, "events")
     ),
+    # rank-aware IR eval (MRR / nDCG@k / MAP@k) of the five ANN
+    # indexes vs the exact bruteforce ranked truth — micro-quantized
+    # gains keep every aggregation exact-integer cross-engine
+    "retrieval_rank_eval": lambda s, d: similarity.retrieval_rank_eval(
+        load_table(s, d, "embeddings")
+    ),
     # interval×interval overlap join (co-presence): hour-grid equi
     # key + once-per-pair-at-overlap-start dedup, never a quadratic
     # inequality self-join
@@ -1032,8 +1038,9 @@ _R12_WINDOW: tuple[str, ...] = (
     "curation_gate_matrix",
     "bpe_encode",
     "bpe_train",
-    # round-12 addition — first driver row (rows-only by design)
+    # round-12 additions — first driver rows
     "quantile_rollup_sketch",
+    "retrieval_rank_eval",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
     "catalog_cards",
@@ -1071,7 +1078,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "q9_product_type_profit",
     "referential_integrity_audit",
     "research_trends_rollup",
-    "route_nearest_query",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1079,9 +1085,9 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 5 remaining r7-vintage rows (simhash_budget_sweep,
-#    skew_salted_join_agg, skew_two_phase_agg, text_cleanup,
-#    vocab_growth);
+# 2) the 6 remaining r7-vintage rows (route_nearest_query,
+#    simhash_budget_sweep, skew_salted_join_agg, skew_two_phase_agg,
+#    text_cleanup, vocab_growth);
 # 3) then the oldest r8-vintage rows to fill 50 (top_customers,
 #    events_sessionize, event_transitions, daily_anomaly_report,
 #    schema_audit, type_inference, freshness_latest, lang_id,

@@ -1994,6 +1994,80 @@ def test_perplexity_buckets_tertile_invariants(spark):
         assert max(by_bucket["middle"]) < min(by_bucket["tail"])
 
 
+def test_retrieval_rank_eval_matches_direct_recomputation(spark):
+    """MRR / nDCG@k / MAP@k must equal a pure-Python recomputation of
+    the same micro-quantized definitions from each method's collected
+    ranked frame against the bruteforce truth set — and the exact
+    bruteforce evaluated against itself is a perfect 1.0 on all
+    three (definition sanity)."""
+    import math
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.similarity import (
+        RETRIEVAL_EVAL_K,
+        RETRIEVAL_EVAL_QUERIES,
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        ann_topk_ivfpq,
+        ann_topk_lsh,
+        ann_topk_pq,
+        ann_topk_sq8,
+        retrieval_idcg_micro,
+        retrieval_rank_eval,
+    )
+
+    def metrics(ranked, truth, nq, k):
+        idcg = retrieval_idcg_micro(k)
+        by_q: dict = {}
+        for r in ranked:
+            if (r["query_id"], r["cand_id"]) in truth:
+                by_q.setdefault(r["query_id"], []).append(r["rank"])
+        srr = sdcg = sap = 0
+        for ranks in by_q.values():
+            ranks.sort()
+            srr += int(math.floor(1e6 / ranks[0] + 0.5))
+            for i, rk in enumerate(ranks, start=1):
+                sdcg += int(math.floor(1e6 / math.log2(rk + 1) + 0.5))
+                sap += int(math.floor(1e6 * i / rk + 0.5))
+        rnd = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+        return (
+            len(by_q),
+            rnd(srr / (nq * 1e6)),
+            rnd(sdcg / (nq * idcg)),
+            rnd(sap / (nq * k * 1e6)),
+        )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    nq, k = RETRIEVAL_EVAL_QUERIES, RETRIEVAL_EVAL_K
+    try:
+        report = {r["method"]: r for r in retrieval_rank_eval(emb).collect()}
+        bf = ann_topk_bruteforce(emb).collect()
+        truth = {(r["query_id"], r["cand_id"]) for r in bf}
+        # definition sanity: truth scored against itself is perfect
+        assert metrics(bf, truth, nq, k) == (nq, 1.0, 1.0, 1.0)
+        variants = {
+            "ivf": ann_topk_ivf,
+            "ivfpq": ann_topk_ivfpq,
+            "lsh": ann_topk_lsh,
+            "pq": ann_topk_pq,
+            "sq8": ann_topk_sq8,
+        }
+        assert set(report) == set(variants)
+        for name, fn in variants.items():
+            got = metrics(fn(emb).collect(), truth, nq, k)
+            row = report[name]
+            assert (
+                row["n_hit_queries"], row["mrr"], row["ndcg_at_k"],
+                row["map_at_k"],
+            ) == got, name
+            for col in ("mrr", "ndcg_at_k", "map_at_k"):
+                assert 0.0 <= row[col] <= 1.0, (name, col)
+    finally:
+        release_persisted()
+
+
 def test_ann_method_eval_matches_direct_recomputation(spark):
     """The eval report's counts must equal a direct Python join of the
     variant result sets against bruteforce, for every method."""
