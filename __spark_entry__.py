@@ -3318,6 +3318,41 @@ SELECT method, n_results, n_truth, n_hit,
 FROM stats ORDER BY method"""
 
 
+def _priority_sample_sql() -> str:
+    """DuckDB twin of curation.priority_sample: identical md5
+    micro-draw, the same two exactly-rounded IEEE divisions for the
+    priority key, top-(n+1) with the (priority DESC, doc_id)
+    tie-break, τ as the (n+1)-th priority (0 when the corpus fits)."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        PRIORITY_SAMPLE_N as N,
+    )
+
+    draw = _MD5_INT.format(expr="'prio-' || doc_id")
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         n_chars::BIGINT AS weight,
+         n_chars::DOUBLE / ((({draw}) % 1000000 + 1) / 1000000.0)
+           AS priority
+  FROM documents
+),
+top AS (SELECT * FROM scored ORDER BY priority DESC, doc_id LIMIT {N + 1}),
+tau AS (
+  SELECT CASE WHEN count(*) > {N} THEN min(priority) ELSE 0.0 END AS tau
+  FROM top
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id)::INT AS rank
+  FROM top
+)
+SELECT doc_id, lang, source, weight,
+       round(priority, 6) AS priority, rank,
+       round(tau, 6) AS tau,
+       round(greatest(weight::DOUBLE, tau), 6) AS est_weight
+FROM ranked CROSS JOIN tau
+WHERE rank <= {N} ORDER BY rank"""
+
+
 def _retrieval_rank_eval_sql(bruteforce_sql: str) -> str:
     """DuckDB twin of similarity.retrieval_rank_eval: the
     ann_method_eval composition over the five ranked ANN oracles,
@@ -7503,6 +7538,7 @@ FROM c ORDER BY lang, predicted_lang"""
     out["retrieval_rank_eval"] = _retrieval_rank_eval_sql(
         out["ann_topk_bruteforce"]
     )
+    out["priority_sample"] = _priority_sample_sql()
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     from forest_open_data_pipelines_spark.operators.textops import (
         BPE_N_MERGES,

@@ -828,6 +828,80 @@ def stratified_topk_sample(
     )
 
 
+PRIORITY_SAMPLE_N = 200
+
+
+def priority_sample(
+    documents: DataFrame, n: int = PRIORITY_SAMPLE_N
+) -> DataFrame:
+    """Weighted without-replacement sample via SEQUENTIAL POISSON /
+    priority sampling (Ohlsson 1998; Duffield, Lund & Thorup 2007,
+    public methodology) — the weighted counterpart of the md5-ordered
+    uniform samplers: each document draws the deterministic uniform
+    ``u = (md5_micro + 1)/1e6 ∈ (0, 1]`` and receives priority
+    ``q = w/u`` with ``w = n_chars``; the ``n`` highest-priority
+    documents are the sample and τ — the (n+1)-th priority — yields
+    the Horvitz–Thompson-style estimator ``ŵ = max(w, τ)`` whose
+    subset sums are unbiased for the population weight (the
+    Duffield–Lund–Thorup result), so the sample is directly usable
+    for weighted-total estimation, not just inspection.
+
+    Cross-engine determinism: ``u`` is an exact integer micro-draw
+    scaled by ONE IEEE division and the priority is one more division
+    — both exactly rounded under IEEE 754 on any engine — so the
+    (priority DESC, doc_id) ranking cannot drift. This is why
+    sequential Poisson was chosen over A-Res exponential keys
+    (``u^(1/w)``): pow/log are not exactly-rounded and could flip
+    near-equal keys between engines.
+
+    Scale: the ranking is a global top-(n+1) — Catalyst plans
+    TakeOrderedAndProject (per-partition top-(n+1), merge of n+1 rows
+    at the driver), never a full sort; τ rides back as a broadcast
+    1-row frame; the only window runs over the n+1 surviving rows.
+    """
+    u = (
+        F.pmod(
+            _md5_int(
+                F.concat(F.lit("prio-"), F.col("doc_id").cast("string"))
+            ),
+            F.lit(1000000),
+        )
+        + 1
+    ) / F.lit(1000000.0)
+    scored = spread(documents).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("weight"),
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    top = scored.orderBy(F.desc("priority"), "doc_id").limit(n + 1)
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) > n, F.min("priority"))
+        .otherwise(F.lit(0.0))
+        .alias("tau")
+    )
+    w = Window.orderBy(F.desc("priority"), "doc_id")
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= n)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "weight",
+            ratio(F.col("priority")).alias("priority"),
+            "rank",
+            ratio(F.col("tau")).alias("tau"),
+            ratio(
+                F.greatest(F.col("weight").cast("double"), F.col("tau"))
+            ).alias("est_weight"),
+        )
+        .orderBy("rank")
+    )
+
+
 SPAN_WIDTH = 20
 SPAN_STRIDE = 5
 

@@ -910,6 +910,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retrieval_rank_eval": lambda s, d: similarity.retrieval_rank_eval(
         load_table(s, d, "embeddings")
     ),
+    # weighted without-replacement sampling (sequential Poisson /
+    # priority sampling): division-only keys — exactly IEEE-rounded on
+    # both engines — plus the unbiased max(w, tau) HT estimator
+    "priority_sample": lambda s, d: curation.priority_sample(
+        load_table(s, d, "documents")
+    ),
     # interval×interval overlap join (co-presence): hour-grid equi
     # key + once-per-pair-at-overlap-start dedup, never a quadratic
     # inequality self-join
@@ -1041,6 +1047,7 @@ _R12_WINDOW: tuple[str, ...] = (
     # round-12 additions — first driver rows
     "quantile_rollup_sketch",
     "retrieval_rank_eval",
+    "priority_sample",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
     "catalog_cards",
@@ -1077,7 +1084,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "q8_market_share",
     "q9_product_type_profit",
     "referential_integrity_audit",
-    "research_trends_rollup",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1085,9 +1091,9 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 6 remaining r7-vintage rows (route_nearest_query,
-#    simhash_budget_sweep, skew_salted_join_agg, skew_two_phase_agg,
-#    text_cleanup, vocab_growth);
+# 2) the 7 remaining r7-vintage rows (research_trends_rollup,
+#    route_nearest_query, simhash_budget_sweep, skew_salted_join_agg,
+#    skew_two_phase_agg, text_cleanup, vocab_growth);
 # 3) then the oldest r8-vintage rows to fill 50 (top_customers,
 #    events_sessionize, event_transitions, daily_anomaly_report,
 #    schema_audit, type_inference, freshness_latest, lang_id,

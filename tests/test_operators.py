@@ -1994,6 +1994,63 @@ def test_perplexity_buckets_tertile_invariants(spark):
         assert max(by_bucket["middle"]) < min(by_bucket["tail"])
 
 
+def test_priority_sample_matches_python_twin(spark, sf_dir):
+    """The sequential-Poisson sample must equal a pure-Python
+    recomputation (same md5 micro-draw, same division-only priority,
+    same tie-break): identical membership, ranks, τ semantics
+    (τ = the (n+1)-th priority), and the max(w, τ) estimator."""
+    import hashlib
+
+    from forest_open_data_pipelines_spark.operators.curation import (
+        priority_sample,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = 50
+    got = priority_sample(docs, n=n).collect()
+    rows = docs.select("doc_id", "n_chars").collect()
+
+    def pri(doc_id, n_chars):
+        h = int(hashlib.md5(f"prio-{doc_id}".encode()).hexdigest()[:15], 16)
+        u = (h % 1000000 + 1) / 1000000.0
+        return float(n_chars) / u
+
+    scored = sorted(
+        ((pri(r["doc_id"], r["n_chars"]), r["doc_id"], r["n_chars"])
+         for r in rows),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tau = scored[n][0] if len(scored) > n else 0.0
+    rnd = lambda x: __import__("math").floor(x * 1e6 + 0.5) / 1e6
+    assert len(got) == n
+    for rank, (p, doc_id, n_chars) in enumerate(scored[:n], start=1):
+        r = got[rank - 1]
+        assert (r["doc_id"], r["rank"]) == (doc_id, rank)
+        assert r["weight"] == n_chars
+        assert r["priority"] == rnd(p)
+        assert r["tau"] == rnd(tau)
+        assert r["est_weight"] == rnd(max(float(n_chars), tau))
+        assert p >= tau  # every sampled priority clears the threshold
+
+
+def test_priority_sample_small_corpus_tau_zero(spark):
+    """When the corpus fits inside n, everyone is sampled, τ = 0, and
+    the estimator degenerates to the true weight (exactly unbiased)."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        priority_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", "s", 100 * (i + 1)) for i in range(5)],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    got = priority_sample(docs, n=10).collect()
+    assert len(got) == 5
+    assert all(r["tau"] == 0.0 for r in got)
+    assert all(r["est_weight"] == float(r["weight"]) for r in got)
+
+
 def test_retrieval_rank_eval_matches_direct_recomputation(spark):
     """MRR / nDCG@k / MAP@k must equal a pure-Python recomputation of
     the same micro-quantized definitions from each method's collected

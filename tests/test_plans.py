@@ -1087,6 +1087,16 @@ def test_quantile_rollup_sketch_state_weight_shuffle(spark):
     assert live_scans(plan) == {"events": 2}, live_scans(plan)
 
 
+def test_priority_sample_take_ordered_no_full_sort(spark):
+    """Priority sampling ranks via a global top-(n+1) — the plan must
+    show TakeOrderedAndProject (per-partition top-k + driver merge of
+    n+1 rows), never a full range-partitioned sort of the corpus; no
+    Python anywhere."""
+    plan = _plan(spark, "priority_sample")
+    assert "TakeOrderedAndProject" in plan
+    assert "PythonUDF" not in plan
+
+
 def test_session_concurrency_bucket_carry_shape(spark):
     """Sweep-line concurrency: ONE events scan, exactly TWO data-weight
     hash exchanges (per-user sessionize, then the hour bucket), and the
