@@ -354,8 +354,9 @@ NOTES = {
 
 
 def _streaming_bench(spark, sf_dir: str) -> dict[str, float]:
-    """§I wall-time rows (VERDICT r11 item 6): drain four
-    representative stateful streaming operators over the events feed —
+    """§I wall-time rows (VERDICT r11 item 6): drain five
+    representative stateful streaming operators over the events/
+    documents feeds —
     one micro-batch each (the sf parquet is a single file) through a
     memory sink with a throwaway checkpoint — timing source-to-drain.
     The batch headline rows measure Catalyst plans; these make
@@ -370,6 +371,9 @@ def _streaming_bench(spark, sf_dir: str) -> dict[str, float]:
     )
     from forest_open_data_pipelines_spark.streaming.heavy_hitters import (
         heavy_hitters_stream,
+    )
+    from forest_open_data_pipelines_spark.streaming.priority_sample import (
+        priority_sample_stream,
     )
     from forest_open_data_pipelines_spark.streaming.quantiles import (
         quantile_monitor_stream,
@@ -389,13 +393,19 @@ def _streaming_bench(spark, sf_dir: str) -> dict[str, float]:
             "update",
         ),
         "streaming_quantile_monitor": (quantile_monitor_stream, "update"),
+        "streaming_priority_sample": (priority_sample_stream, "update"),
     }
     out: dict[str, float] = {}
     for name, (build, mode) in drains.items():
+        glob = (
+            "documents.parquet"
+            if name == "streaming_priority_sample"
+            else "events.parquet"
+        )
         tmp = tempfile.mkdtemp(prefix=f"bench_{name}_")
         start = time.perf_counter()
         query = (
-            build(stream_events_from_parquet(spark, sf_dir))
+            build(stream_events_from_parquet(spark, sf_dir, glob=glob))
             .writeStream.format("memory")
             .queryName(f"bench_{name}")
             .outputMode(mode)

@@ -859,6 +859,14 @@ def priority_sample(
     at the driver), never a full sort; τ rides back as a broadcast
     1-row frame; the only window runs over the n+1 surviving rows.
     """
+    return priority_sample_tail(priority_scored(documents), n)
+
+
+def priority_key_col() -> Column:
+    """The sequential-Poisson priority ``n_chars / u`` as one Column —
+    shared verbatim between the batch operator and the streaming
+    twin's pre-shuffle projection (determinism depends on both sides
+    computing the IDENTICAL two divisions)."""
     u = (
         F.pmod(
             _md5_int(
@@ -868,13 +876,27 @@ def priority_sample(
         )
         + 1
     ) / F.lit(1000000.0)
-    scored = spread(documents).select(
+    return F.col("n_chars").cast("double") / u
+
+
+def priority_scored(documents: DataFrame) -> DataFrame:
+    return spread(documents).select(
         "doc_id",
         "lang",
         "source",
         F.col("n_chars").cast("long").alias("weight"),
-        (F.col("n_chars").cast("double") / u).alias("priority"),
+        priority_key_col().alias("priority"),
     )
+
+
+def priority_sample_tail(
+    scored: DataFrame, n: int = PRIORITY_SAMPLE_N
+) -> DataFrame:
+    """Top-(n+1) → τ → rank → estimator tail over any (doc_id, lang,
+    source, weight, priority) frame — shared by the batch operator
+    and the streaming twin's drained-candidates fold (top-n of a set
+    is a pure set function, so folding per-shard candidate unions
+    through this tail reproduces the batch output exactly)."""
     top = scored.orderBy(F.desc("priority"), "doc_id").limit(n + 1)
     tau = top.agg(
         F.when(F.count(F.lit(1)) > n, F.min("priority"))

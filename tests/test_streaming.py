@@ -2283,6 +2283,70 @@ def test_cusum_monitor_stream_counts_late_rows(spark, tmp_path):
     }, rows
 
 
+def test_priority_sample_stream_matches_batch(spark, tmp_path):
+    """Streaming weighted sampler (r12): drain documents in two
+    micro-batches split on an ARBITRARY odd/even predicate (top-k of
+    a set is order-independent — no ordering contract needed); the
+    drained per-shard candidate sets folded through the batch
+    operator's own tail must equal batch priority_sample
+    ROW-FOR-ROW, through a state save/restore across the boundary."""
+    from forest_open_data_pipelines_spark.operators.curation import (
+        priority_sample,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+    from forest_open_data_pipelines_spark.streaming.priority_sample import (
+        fold_priority_candidates,
+        priority_sample_stream,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    src = tmp_path / "prio_src"
+    src.mkdir()
+    docs.where("doc_id % 2 = 1").toPandas().pipe(
+        lambda pdf: spark.createDataFrame(pdf)
+    ).coalesce(1).write.parquet(str(src / "batch_a"), mode="overwrite")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, lang string, source string, n_chars long"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    query = (
+        priority_sample_stream(stream, n=40)
+        .writeStream.format("memory")
+        .queryName("prio_sample_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_prio"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        docs.where("doc_id % 2 = 0").toPandas().pipe(
+            lambda pdf: spark.createDataFrame(pdf)
+        ).coalesce(1).write.parquet(str(src / "batch_b"), mode="overwrite")
+        query.processAllAvailable()
+        candidates = spark.sql("SELECT * FROM prio_sample_test")
+        # state is bounded: no emission ever exceeds n+1 rows per shard
+        sizes = (
+            candidates.groupBy("shard", "n_seen")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert sizes <= 41
+        folded = fold_priority_candidates(candidates, n=40).collect()
+    finally:
+        query.stop()
+
+    batch = priority_sample(docs, n=40).collect()
+    assert [tuple(r) for r in folded] == [tuple(r) for r in batch]
+
+
 def test_quantile_monitor_stream_matches_batch(spark, tmp_path):
     """Streaming quantile monitor (r12): drain the events table in two
     ts-ordered micro-batches through the bounded-sketch state store —
