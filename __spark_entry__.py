@@ -3353,6 +3353,61 @@ FROM ranked CROSS JOIN tau
 WHERE rank <= {N} ORDER BY rank"""
 
 
+def _kmv_distinct_rollup_sql() -> str:
+    """DuckDB twin of sketches.kmv_distinct_rollup: identical 60-bit
+    md5 hash, the same daily bottom-k → monthly bottom-k set rollup,
+    and the same (k−1)/u_(k) estimator with the Spark expression's
+    exact double-op order (h::DOUBLE + 1.0, then one division by 2^60,
+    then one more division) so the estimate is bit-identical."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        KMV_K as K,
+        KMV_UNIVERSE as U,
+    )
+
+    h = _MD5_INT.format(expr="user_id::VARCHAR")
+    return f"""
+WITH hashed AS (
+  SELECT DISTINCT event_type,
+         date_trunc('day', ts)::DATE AS day,
+         date_trunc('month', ts)::DATE AS month,
+         {h} AS h
+  FROM events
+),
+daily AS (
+  SELECT event_type, month, day, h,
+         row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+  FROM hashed
+),
+monthly AS (
+  SELECT event_type, month, h,
+         row_number() OVER (PARTITION BY event_type, month ORDER BY h) AS rn
+  FROM (SELECT DISTINCT event_type, month, h FROM daily WHERE rn <= {K})
+),
+sketch AS (
+  SELECT event_type, month, count(*)::BIGINT AS n_candidates,
+         max(h) AS kth_h
+  FROM monthly WHERE rn <= {K} GROUP BY 1, 2
+),
+exact AS (
+  SELECT event_type, month, count(DISTINCT h)::BIGINT AS exact_distinct
+  FROM hashed GROUP BY 1, 2
+),
+joined AS (
+  SELECT s.event_type, s.month, s.n_candidates, e.exact_distinct,
+         CASE WHEN s.n_candidates < {K} THEN s.n_candidates::DOUBLE
+              ELSE {float(K - 1)!r} / ((s.kth_h::DOUBLE + 1.0) / {U!r})
+         END AS est
+  FROM sketch s JOIN exact e
+    ON s.event_type IS NOT DISTINCT FROM e.event_type
+   AND s.month IS NOT DISTINCT FROM e.month
+)
+SELECT event_type, month, n_candidates::INT AS n_candidates,
+       round(est, 6) AS est_distinct, exact_distinct,
+       round(abs(est - exact_distinct::DOUBLE) / exact_distinct, 6)
+         AS rel_err
+FROM joined ORDER BY event_type, month"""
+
+
 def _retrieval_rank_eval_sql(bruteforce_sql: str) -> str:
     """DuckDB twin of similarity.retrieval_rank_eval: the
     ann_method_eval composition over the five ranked ANN oracles,
@@ -7539,6 +7594,7 @@ FROM c ORDER BY lang, predicted_lang"""
         out["ann_topk_bruteforce"]
     )
     out["priority_sample"] = _priority_sample_sql()
+    out["kmv_distinct_rollup"] = _kmv_distinct_rollup_sql()
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     from forest_open_data_pipelines_spark.operators.textops import (
         BPE_N_MERGES,

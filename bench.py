@@ -221,6 +221,7 @@ HEADLINE = [
     "quantile_rollup_sketch",
     "retrieval_rank_eval",
     "priority_sample",
+    "kmv_distinct_rollup",
     # part_bfs_hops is a bounded 4-round traversal (each round a
     # localCheckpoint job of mostly fixed overhead on the ~3.5k-edge
     # graph), the part_pagerank iterative category; driver

@@ -459,3 +459,120 @@ def distinct_rollup_sketch(events: DataFrame, lg_k: int = 12) -> DataFrame:
         )
         .orderBy("event_type", "month")
     )
+
+
+#: KMV candidate-set size.  Standard error ≈ 1/√(k−2) ≈ 18% at k=32 —
+#: deliberately small so the SKETCH branch (not just the exact branch)
+#: fires at sf0.01+ (150 distinct users per month > k) while sf0.001
+#: exercises the exact branch (fewer than k distinct); both branches
+#: are oracle-checked because the estimator is deterministic.
+KMV_K = 32
+
+#: The md5-int hash universe: ``_md5_int`` yields 60-bit integers in
+#: [0, 2^60); the normalized draw is ``(h+1)/2^60 ∈ (0, 1]``.
+KMV_UNIVERSE = float(1 << 60)
+
+
+def kmv_distinct_rollup(events: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Mergeable distinct-user rollup via a DETERMINISTIC KMV
+    (bottom-k / k-minimum-values) sketch — the fully oracle-paired
+    complement of ``distinct_rollup_sketch``.
+
+    Bar-Yossef et al. 2002 ("Counting distinct elements in a data
+    stream", RANDOM) / Beyer et al. 2007 (the unbiased (k−1)/u_(k)
+    KMV estimator, SIGMOD) — public methodology.  Each user hashes to
+    the repo's deterministic 60-bit md5 integer; a group's sketch is
+    the set of its k SMALLEST distinct normalized hashes.  With
+    ``u_(k)`` the k-th smallest draw,
+
+        D̂ = (k−1)/u_(k)          (when ≥ k distinct hashes exist)
+        D̂ = |sketch| exactly      (when fewer than k — no truncation
+                                    can have occurred anywhere below)
+
+    Unlike Datasketches HLL the whole estimate is reproducible in ANSI
+    SQL (md5 substring → bottom-k window → one IEEE division), so this
+    entry is hash-checked end to end, estimator branch included.
+
+    MERGEABILITY is the point: bottom-k(A ∪ B) == bottom-k(bottom-k(A)
+    ∪ bottom-k(B)) — a pure set function, order- and
+    partitioning-independent.  The plan stages daily bottom-k sets
+    (k rows per (event_type, day)) and rolls them up to monthly
+    WITHOUT re-touching fact rows: the monthly grain aggregates
+    k·days candidate rows, not the raw feed.  Tests assert the merge
+    identity against a direct monthly bottom-k and the realized error
+    vs exact counts.
+
+    Scale: ONE fact scan — the distinct (group, day, hash) frame is
+    persisted and feeds both the sketch staging and the
+    ``exact_distinct`` observability column (counted over distinct
+    HASHES, identical to distinct users up to an md5 collision and
+    mirrored verbatim in the oracle — production drops the column,
+    as ``distinct_rollup_sketch`` documents); then one rank window
+    per grain over k-bounded candidate sets.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import _md5_int, _persist
+    from ..functions.columns import ratio
+
+    hashed = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.date_trunc("month", F.to_date("ts")).cast("date").alias("month"),
+        _md5_int(F.col("user_id").cast("string")).alias("h"),
+    )
+    # one map-side-combinable distinct on (group, day, hash); persisted
+    # so the exact branch re-reads THIS frame, not the fact
+    grp = _persist(
+        hashed.groupBy("event_type", "month", "day", "h").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+    )
+    # daily sketches: the k smallest hashes per (event_type, day)
+    day_w = Window.partitionBy("event_type", "day").orderBy("h")
+    daily = grp.withColumn("rn", F.row_number().over(day_w)).where(
+        F.col("rn") <= k
+    )
+    # monthly rollup: union of daily sketches (≤ k·days rows), dedup a
+    # hash seen on several days, keep the k smallest again
+    month_w = Window.partitionBy("event_type", "month").orderBy("h")
+    candidates = (
+        daily.groupBy("event_type", "month", "h")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .withColumn("rn", F.row_number().over(month_w))
+        .where(F.col("rn") <= k)
+    )
+    sketch = candidates.groupBy("event_type", "month").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.max("h").alias("kth_h"),
+    )
+    est = F.when(
+        F.col("n_candidates") < k,
+        F.col("n_candidates").cast("double"),
+    ).otherwise(
+        F.lit(float(k - 1))
+        / ((F.col("kth_h").cast("double") + F.lit(1.0)) / F.lit(KMV_UNIVERSE))
+    )
+    exact = grp.groupBy(
+        F.col("event_type").alias("e_type"),
+        F.col("month").alias("e_month"),
+    ).agg(F.count_distinct("h").alias("exact_distinct"))
+    return (
+        sketch.join(
+            exact,
+            sketch["event_type"].eqNullSafe(exact["e_type"])
+            & sketch["month"].eqNullSafe(exact["e_month"]),
+        )
+        .select(
+            "event_type",
+            "month",
+            F.col("n_candidates").cast("int").alias("n_candidates"),
+            ratio(est).alias("est_distinct"),
+            "exact_distinct",
+            ratio(
+                F.abs(est - F.col("exact_distinct").cast("double"))
+                / F.col("exact_distinct")
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type", "month")
+    )

@@ -916,6 +916,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_sample": lambda s, d: curation.priority_sample(
         load_table(s, d, "documents")
     ),
+    # deterministic KMV bottom-k distinct rollup (Bar-Yossef 2002 /
+    # Beyer 2007): the ORACLE-PAIRED complement of the rows-only HLL
+    # entry — md5 bottom-k sets merge daily→monthly without
+    # re-touching fact rows, and the (k-1)/u_(k) estimate is
+    # hash-checked end to end (estimator branch included)
+    "kmv_distinct_rollup": lambda s, d: sketches.kmv_distinct_rollup(
+        load_table(s, d, "events")
+    ),
     # interval×interval overlap join (co-presence): hour-grid equi
     # key + once-per-pair-at-overlap-start dedup, never a quadratic
     # inequality self-join
@@ -1048,6 +1056,7 @@ _R12_WINDOW: tuple[str, ...] = (
     "quantile_rollup_sketch",
     "retrieval_rank_eval",
     "priority_sample",
+    "kmv_distinct_rollup",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
     "catalog_cards",
@@ -1083,7 +1092,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "q21_sole_latest_shipper",
     "q8_market_share",
     "q9_product_type_profit",
-    "referential_integrity_audit",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1091,9 +1099,11 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 7 remaining r7-vintage rows (research_trends_rollup,
-#    route_nearest_query, simhash_budget_sweep, skew_salted_join_agg,
-#    skew_two_phase_agg, text_cleanup, vocab_growth);
+# 2) the 8 remaining r7-vintage rows (referential_integrity_audit —
+#    displaced by the late-r12 kmv_distinct_rollup slot —
+#    research_trends_rollup, route_nearest_query, simhash_budget_sweep,
+#    skew_salted_join_agg, skew_two_phase_agg, text_cleanup,
+#    vocab_growth);
 # 3) then the oldest r8-vintage rows to fill 50 (top_customers,
 #    events_sessionize, event_transitions, daily_anomaly_report,
 #    schema_audit, type_inference, freshness_latest, lang_id,

@@ -36,6 +36,11 @@ MUST_BE_IN_WINDOW = {
     # r11 driver rows no longer witness current code
     "curation_gate_matrix",
     "bpe_encode",
+    # round-12 additions awaiting their first driver row
+    "quantile_rollup_sketch",
+    "retrieval_rank_eval",
+    "priority_sample",
+    "kmv_distinct_rollup",
 }
 
 

@@ -16,7 +16,7 @@ from forest_open_data_pipelines_spark.operators import (
     timeseries,
 )
 from forest_open_data_pipelines_spark.sources import load_table
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, SF_DIR_MID
 
 
 def _enriched(spark):
@@ -7439,6 +7439,77 @@ def test_distinct_rollup_sketch_merge_property_and_envelope(spark):
         .collect()
     }
     assert merged == direct
+
+
+def test_kmv_distinct_rollup_branches_and_merge(spark):
+    """KMV rollup invariants: (a) EXACT branch — at sf0.001 (15
+    distinct users < k=32) every month reports n_candidates < k,
+    est == exact, rel_err == 0; (b) ESTIMATOR branch — at sf0.01
+    (150 distinct > k) every month saturates n_candidates == k and
+    the realized (k-1)/u_(k) error stays inside a 4/√(k-2) envelope
+    (~4σ of the KMV standard error; deterministic hash → fixed
+    realized error, asserted as an honest bound not a tautology);
+    (c) MERGE identity — the daily→monthly staged rollup equals a
+    direct monthly bottom-k that never stages days (bottom-k of a
+    union == bottom-k of union of bottom-ks)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from forest_open_data_pipelines_spark.operators.dedup import _md5_int
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        KMV_K,
+        kmv_distinct_rollup,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    small = kmv_distinct_rollup(load_table(spark, SF_DIR, "events")).collect()
+    assert small
+    for r in small:
+        assert r["n_candidates"] < KMV_K, r
+        assert r["est_distinct"] == float(r["exact_distinct"]), r
+        assert r["rel_err"] == 0.0, r
+
+    ev = load_table(spark, SF_DIR_MID, "events")
+    mid = kmv_distinct_rollup(ev).collect()
+    assert mid
+    envelope = 4.0 / (KMV_K - 2) ** 0.5
+    for r in mid:
+        assert r["n_candidates"] == KMV_K, r
+        assert r["rel_err"] <= envelope, (r, envelope)
+
+    # merge identity: direct monthly bottom-k, no daily staging
+    month_w = Window.partitionBy("event_type", "month").orderBy("h")
+    direct = (
+        ev.select(
+            "event_type",
+            F.date_trunc("month", F.to_date("ts")).cast("date").alias("month"),
+            _md5_int(F.col("user_id").cast("string")).alias("h"),
+        )
+        .distinct()
+        .withColumn("rn", F.row_number().over(month_w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type", "month")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("kth"))
+        .collect()
+    )
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        KMV_UNIVERSE,
+    )
+
+    def est6(kth: int) -> float:
+        raw = float(KMV_K - 1) / ((float(kth) + 1.0) / KMV_UNIVERSE)
+        import math
+
+        return math.floor(raw * 1e6 + 0.5) / 1e6
+
+    got = {
+        (r["event_type"], str(r["month"])): (r["n_candidates"], r["est_distinct"])
+        for r in mid
+    }
+    assert {
+        (r["event_type"], str(r["month"])): (r["n"], est6(r["kth"]))
+        for r in direct
+    } == got
 
 
 def test_overlapping_session_pairs_semantics(spark):
