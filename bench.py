@@ -355,7 +355,7 @@ NOTES = {
 
 
 def _streaming_bench(spark, sf_dir: str) -> dict[str, float]:
-    """§I wall-time rows (VERDICT r11 item 6): drain five
+    """§I wall-time rows (VERDICT r11 item 6): drain six
     representative stateful streaming operators over the events/
     documents feeds —
     one micro-batch each (the sf parquet is a single file) through a
@@ -376,6 +376,9 @@ def _streaming_bench(spark, sf_dir: str) -> dict[str, float]:
     from forest_open_data_pipelines_spark.streaming.priority_sample import (
         priority_sample_stream,
     )
+    from forest_open_data_pipelines_spark.streaming.kmv_distinct import (
+        kmv_distinct_stream,
+    )
     from forest_open_data_pipelines_spark.streaming.quantiles import (
         quantile_monitor_stream,
     )
@@ -395,6 +398,7 @@ def _streaming_bench(spark, sf_dir: str) -> dict[str, float]:
         ),
         "streaming_quantile_monitor": (quantile_monitor_stream, "update"),
         "streaming_priority_sample": (priority_sample_stream, "update"),
+        "streaming_kmv_distinct": (kmv_distinct_stream, "update"),
     }
     out: dict[str, float] = {}
     for name, (build, mode) in drains.items():

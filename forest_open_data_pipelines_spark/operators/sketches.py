@@ -473,6 +473,60 @@ KMV_K = 32
 KMV_UNIVERSE = float(1 << 60)
 
 
+def kmv_hash_col() -> "F.Column":
+    """The 60-bit md5 user hash as one Column — shared verbatim
+    between the batch rollup and the streaming twin's pre-shuffle
+    projection (set equality depends on both sides hashing
+    identically)."""
+    from .dedup import _md5_int
+
+    return _md5_int(F.col("user_id").cast("string"))
+
+
+def _kmv_est_expr(k: int) -> "F.Column":
+    """The (k−1)/u_(k) estimate over (n_candidates, kth_h) columns —
+    ONE definition so the tail and the rollup's rel_err agree on the
+    exact double-op order the oracle mirrors."""
+    return F.when(
+        F.col("n_candidates") < k,
+        F.col("n_candidates").cast("double"),
+    ).otherwise(
+        F.lit(float(k - 1))
+        / ((F.col("kth_h").cast("double") + F.lit(1.0)) / F.lit(KMV_UNIVERSE))
+    )
+
+
+def kmv_sketch_tail(hashes: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Bottom-k → (k−1)/u_(k) estimate over any (event_type, month, h)
+    frame — shared by the batch rollup and the streaming twin's
+    drained-candidates fold (bottom-k of a set is a pure set
+    function, so folding per-key candidate unions through this tail
+    reproduces the batch sketch columns exactly)."""
+    from pyspark.sql import Window
+
+    from ..functions.columns import ratio
+
+    month_w = Window.partitionBy("event_type", "month").orderBy("h")
+    sketch = (
+        hashes.select("event_type", "month", "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(month_w))
+        .where(F.col("rn") <= k)
+        .groupBy("event_type", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("h").alias("kth_h"),
+        )
+    )
+    return sketch.select(
+        "event_type",
+        "month",
+        F.col("n_candidates").cast("int").alias("n_candidates"),
+        ratio(_kmv_est_expr(k)).alias("est_distinct"),
+        "kth_h",
+    )
+
+
 def kmv_distinct_rollup(events: DataFrame, k: int = KMV_K) -> DataFrame:
     """Mergeable distinct-user rollup via a DETERMINISTIC KMV
     (bottom-k / k-minimum-values) sketch — the fully oracle-paired
@@ -512,14 +566,14 @@ def kmv_distinct_rollup(events: DataFrame, k: int = KMV_K) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    from .dedup import _md5_int, _persist
+    from .dedup import _persist
     from ..functions.columns import ratio
 
     hashed = events.select(
         "event_type",
         F.to_date("ts").alias("day"),
         F.date_trunc("month", F.to_date("ts")).cast("date").alias("month"),
-        _md5_int(F.col("user_id").cast("string")).alias("h"),
+        kmv_hash_col().alias("h"),
     )
     # one map-side-combinable distinct on (group, day, hash); persisted
     # so the exact branch re-reads THIS frame, not the fact
@@ -533,26 +587,11 @@ def kmv_distinct_rollup(events: DataFrame, k: int = KMV_K) -> DataFrame:
     daily = grp.withColumn("rn", F.row_number().over(day_w)).where(
         F.col("rn") <= k
     )
-    # monthly rollup: union of daily sketches (≤ k·days rows), dedup a
-    # hash seen on several days, keep the k smallest again
-    month_w = Window.partitionBy("event_type", "month").orderBy("h")
-    candidates = (
-        daily.groupBy("event_type", "month", "h")
-        .agg(F.count(F.lit(1)).alias("_d"))
-        .withColumn("rn", F.row_number().over(month_w))
-        .where(F.col("rn") <= k)
-    )
-    sketch = candidates.groupBy("event_type", "month").agg(
-        F.count(F.lit(1)).alias("n_candidates"),
-        F.max("h").alias("kth_h"),
-    )
-    est = F.when(
-        F.col("n_candidates") < k,
-        F.col("n_candidates").cast("double"),
-    ).otherwise(
-        F.lit(float(k - 1))
-        / ((F.col("kth_h").cast("double") + F.lit(1.0)) / F.lit(KMV_UNIVERSE))
-    )
+    # monthly rollup: union of daily sketches (≤ k·days candidate rows,
+    # never fact rows) folded through the shared bottom-k → estimate
+    # tail (also the streaming twin's fold)
+    sketch = kmv_sketch_tail(daily.select("event_type", "month", "h"), k)
+    est = _kmv_est_expr(k)
     exact = grp.groupBy(
         F.col("event_type").alias("e_type"),
         F.col("month").alias("e_month"),
@@ -566,8 +605,8 @@ def kmv_distinct_rollup(events: DataFrame, k: int = KMV_K) -> DataFrame:
         .select(
             "event_type",
             "month",
-            F.col("n_candidates").cast("int").alias("n_candidates"),
-            ratio(est).alias("est_distinct"),
+            "n_candidates",
+            "est_distinct",
             "exact_distinct",
             ratio(
                 F.abs(est - F.col("exact_distinct").cast("double"))

@@ -2347,6 +2347,81 @@ def test_priority_sample_stream_matches_batch(spark, tmp_path):
     assert [tuple(r) for r in folded] == [tuple(r) for r in batch]
 
 
+def test_kmv_distinct_stream_matches_batch(spark, tmp_path):
+    """Streaming KMV distinct monitor (r12): drain events in two
+    micro-batches split on an ARBITRARY odd/even predicate (bottom-k
+    of a set is order-independent — no ordering contract needed); the
+    drained per-group candidate sets folded through the batch
+    operator's own tail must equal the batch rollup's sketch columns
+    ROW-FOR-ROW, through a state save/restore across the boundary.
+    State stays bounded: no emission ever exceeds k rows per group."""
+    from forest_open_data_pipelines_spark.operators.sketches import (
+        KMV_K,
+        kmv_distinct_rollup,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+    from forest_open_data_pipelines_spark.streaming.kmv_distinct import (
+        fold_kmv_candidates,
+        kmv_distinct_stream,
+    )
+    from tests.conftest import SF_DIR_MID
+
+    # sf0.01: 150 distinct users > k=32, so the stream's state
+    # actually TRUNCATES and the estimator branch is what must agree
+    ev = load_table(spark, SF_DIR_MID, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    ev.where("event_id % 2 = 1").coalesce(1).write.parquet(
+        str(src / "batch_a"), mode="overwrite"
+    )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    query = (
+        kmv_distinct_stream(stream)
+        .writeStream.format("memory")
+        .queryName("kmv_distinct_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_kmv"))
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        ev.where("event_id % 2 = 0").coalesce(1).write.parquet(
+            str(src / "batch_b"), mode="overwrite"
+        )
+        query.processAllAvailable()
+        candidates = spark.sql("SELECT * FROM kmv_distinct_test")
+        max_emission = (
+            candidates.groupBy("event_type", "month", "n_seen")
+            .count()
+            .agg(F.max("count"))
+            .collect()[0][0]
+        )
+        assert max_emission <= KMV_K
+        folded = (
+            fold_kmv_candidates(candidates)
+            .orderBy("event_type", "month")
+            .collect()
+        )
+    finally:
+        query.stop()
+
+    batch = (
+        kmv_distinct_rollup(ev)
+        .select("event_type", "month", "n_candidates", "est_distinct")
+        .orderBy("event_type", "month")
+        .collect()
+    )
+    assert [tuple(r) for r in folded] == [tuple(r) for r in batch]
+
+
 def test_quantile_monitor_stream_matches_batch(spark, tmp_path):
     """Streaming quantile monitor (r12): drain the events table in two
     ts-ordered micro-batches through the bounded-sketch state store —
