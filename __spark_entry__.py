@@ -3353,6 +3353,91 @@ FROM ranked CROSS JOIN tau
 WHERE rank <= {N} ORDER BY rank"""
 
 
+def _entity_resolution_sqls() -> tuple[str, str]:
+    """DuckDB twins of entities.entity_resolution(_eval): the
+    identical closed-form record feed (16×16 word lists + family
+    suffix + typo/case channels, single-sourced from the Python
+    constants), the same 3-char block key, the same lowercase
+    Levenshtein ≤ max_edit verify, and for the eval the same
+    full-outer kind-pair metric join with floor-1 denominators."""
+    from forest_open_data_pipelines_spark.operators.entities import (
+        ER_FIRST,
+        ER_LAST,
+        ER_MAX_EDIT,
+    )
+
+    firsts = ", ".join(f"'{w}'" for w in ER_FIRST)
+    lasts = ", ".join(f"'{w}'" for w in ER_LAST)
+    base = f"""
+named AS (
+  SELECT c_custkey AS ck,
+         ([{firsts}])[c_custkey % 16 + 1] AS f,
+         ([{lasts}])[(c_custkey // 16) % 16 + 1]
+           || ((c_custkey // 256)::VARCHAR) AS l
+  FROM customer
+),
+records AS (
+  SELECT ck*10 AS rec_id, ck AS entity_id, f || ' ' || l AS name,
+         'canonical' AS kind
+  FROM named
+  UNION ALL
+  SELECT ck*10+1, ck, f || ' ' || substr(l, 1, 1) || substr(l, 3),
+         'typo'
+  FROM named WHERE ck % 3 = 0
+  UNION ALL
+  SELECT ck*10+2, ck, upper(f || ' ' || l), 'case'
+  FROM named WHERE ck % 5 = 0
+),
+keyed AS (
+  SELECT *,
+         lower(substr(string_split(name, ' ')[1], 1, 1))
+           || lower(substr(string_split(name, ' ')[2], 1, 1))
+           || lower(right(string_split(name, ' ')[2], 1)) AS block_key
+  FROM records
+),
+pairs AS (
+  SELECT l.block_key,
+         l.rec_id AS left_rec_id, r.rec_id AS right_rec_id,
+         l.name AS left_name, r.name AS right_name,
+         l.kind AS left_kind, r.kind AS right_kind,
+         levenshtein(lower(l.name), lower(r.name))::INT AS edit_distance,
+         l.entity_id = r.entity_id AS is_true_match
+  FROM keyed l JOIN keyed r
+    ON l.block_key = r.block_key AND l.rec_id < r.rec_id
+  WHERE levenshtein(lower(l.name), lower(r.name)) <= {ER_MAX_EDIT}
+)"""
+    pairs_sql = f"""
+WITH {base}
+SELECT * FROM pairs ORDER BY left_rec_id, right_rec_id"""
+    eval_sql = f"""
+WITH {base},
+emitted AS (
+  SELECT left_kind, right_kind, count(*)::BIGINT AS n_pairs,
+         count(*) FILTER (is_true_match)::BIGINT AS n_true
+  FROM pairs GROUP BY 1, 2
+),
+truth AS (
+  SELECT a.kind AS left_kind, b.kind AS right_kind,
+         count(*)::BIGINT AS n_truth
+  FROM records a JOIN records b
+    ON a.entity_id = b.entity_id AND a.rec_id < b.rec_id
+  GROUP BY 1, 2
+)
+SELECT coalesce(e.left_kind, t.left_kind) AS left_kind,
+       coalesce(e.right_kind, t.right_kind) AS right_kind,
+       coalesce(e.n_pairs, 0)::BIGINT AS n_pairs,
+       coalesce(e.n_true, 0)::BIGINT AS n_true,
+       coalesce(t.n_truth, 0)::BIGINT AS n_truth,
+       round(coalesce(e.n_true, 0)
+             / greatest(coalesce(e.n_pairs, 0), 1), 6) AS precision,
+       round(coalesce(e.n_true, 0)
+             / greatest(coalesce(t.n_truth, 0), 1), 6) AS recall
+FROM emitted e FULL OUTER JOIN truth t
+  ON e.left_kind = t.left_kind AND e.right_kind = t.right_kind
+ORDER BY 1, 2"""
+    return pairs_sql, eval_sql
+
+
 def _kmv_distinct_rollup_sql() -> str:
     """DuckDB twin of sketches.kmv_distinct_rollup: identical 60-bit
     md5 hash, the same daily bottom-k → monthly bottom-k set rollup,
@@ -7595,6 +7680,9 @@ FROM c ORDER BY lang, predicted_lang"""
     )
     out["priority_sample"] = _priority_sample_sql()
     out["kmv_distinct_rollup"] = _kmv_distinct_rollup_sql()
+    out["entity_resolution"], out["entity_resolution_eval"] = (
+        _entity_resolution_sqls()
+    )
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     from forest_open_data_pipelines_spark.operators.textops import (
         BPE_N_MERGES,

@@ -222,6 +222,8 @@ HEADLINE = [
     "retrieval_rank_eval",
     "priority_sample",
     "kmv_distinct_rollup",
+    "entity_resolution",
+    "entity_resolution_eval",
     # part_bfs_hops is a bounded 4-round traversal (each round a
     # localCheckpoint job of mostly fixed overhead on the ~3.5k-edge
     # graph), the part_pagerank iterative category; driver

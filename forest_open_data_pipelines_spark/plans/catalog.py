@@ -14,6 +14,7 @@ from forest_open_data_pipelines_spark.operators import (
     caching,
     curation,
     dedup,
+    entities,
     freshness,
     html,
     manifests,
@@ -916,6 +917,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_sample": lambda s, d: curation.priority_sample(
         load_table(s, d, "documents")
     ),
+    # blocked entity resolution (Fellegi-Sunter blocking + bounded
+    # Levenshtein verify) over a closed-form record feed derived from
+    # c_custkey (typo/case corruption channels + the Silva/Silvas
+    # near-pair) — candidate pairs ONLY from block equi-joins
+    "entity_resolution": lambda s, d: entities.entity_resolution(
+        load_table(s, d, "customer")
+    ),
+    # precision/recall of the blocked matcher vs the closed-form truth
+    # per corruption channel (the acceptance harness)
+    "entity_resolution_eval": lambda s, d: entities.entity_resolution_eval(
+        load_table(s, d, "customer")
+    ),
     # deterministic KMV bottom-k distinct rollup (Bar-Yossef 2002 /
     # Beyer 2007): the ORACLE-PAIRED complement of the rows-only HLL
     # entry — md5 bottom-k sets merge daily→monthly without
@@ -1057,6 +1070,8 @@ _R12_WINDOW: tuple[str, ...] = (
     "retrieval_rank_eval",
     "priority_sample",
     "kmv_distinct_rollup",
+    "entity_resolution",
+    "entity_resolution_eval",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
     "catalog_cards",
@@ -1090,8 +1105,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "q17_small_quantity_revenue",
     "q20_dominant_suppliers",
     "q21_sole_latest_shipper",
-    "q8_market_share",
-    "q9_product_type_profit",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1099,8 +1112,9 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 8 remaining r7-vintage rows (referential_integrity_audit —
-#    displaced by the late-r12 kmv_distinct_rollup slot —
+# 2) the 10 remaining r7-vintage rows (q8_market_share,
+#    q9_product_type_profit, referential_integrity_audit — displaced
+#    by the late-r12 kmv/entity-resolution slots —
 #    research_trends_rollup, route_nearest_query, simhash_budget_sweep,
 #    skew_salted_join_agg, skew_two_phase_agg, text_cleanup,
 #    vocab_growth);

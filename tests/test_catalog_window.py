@@ -41,6 +41,8 @@ MUST_BE_IN_WINDOW = {
     "retrieval_rank_eval",
     "priority_sample",
     "kmv_distinct_rollup",
+    "entity_resolution",
+    "entity_resolution_eval",
 }
 
 

@@ -7512,6 +7512,52 @@ def test_kmv_distinct_rollup_branches_and_merge(spark):
     } == got
 
 
+def test_entity_resolution_semantics(spark):
+    """Hand-pinned ER contract on custkeys 0..299: every same-entity
+    (canonical, variant) pair is emitted (blocking never loses a true
+    match — the key survives all corruption channels by
+    construction), the typo channel verifies at distance exactly 1
+    and the case channel at 0, the deliberate Silva/Silvas near-pair
+    surfaces as a LABELLED false positive (ck 0 'Ana Silva0' vs ck
+    240 'Ana Silvas0'), and the eval reports recall 1.0 on both
+    corruption channels with precision < 1 on the FP-carrying one."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.entities import (
+        entity_resolution,
+        entity_resolution_eval,
+    )
+
+    cust = spark.range(300).selectExpr("id AS c_custkey")
+    try:
+        pairs = entity_resolution(cust).collect()
+        by_pair = {(r["left_rec_id"], r["right_rec_id"]): r for r in pairs}
+        for ck in range(300):
+            if ck % 3 == 0:
+                r = by_pair[(ck * 10, ck * 10 + 1)]
+                assert r["edit_distance"] == 1 and r["is_true_match"], r
+            if ck % 5 == 0:
+                r = by_pair[(ck * 10, ck * 10 + 2)]
+                assert r["edit_distance"] == 0 and r["is_true_match"], r
+        fp = by_pair[(0, 2400)]
+        assert fp["left_name"] == "Ana Silva0", fp
+        assert fp["right_name"] == "Ana Silvas0", fp
+        assert fp["edit_distance"] == 1 and not fp["is_true_match"], fp
+
+        ev = {
+            (r["left_kind"], r["right_kind"]): r
+            for r in entity_resolution_eval(cust).collect()
+        }
+        assert ev[("canonical", "typo")]["recall"] == 1.0
+        assert ev[("canonical", "case")]["recall"] == 1.0
+        assert ev[("typo", "case")]["recall"] == 1.0
+        assert ev[("canonical", "canonical")]["precision"] == 0.0
+        assert ev[("canonical", "canonical")]["n_pairs"] > 0
+    finally:
+        release_persisted()
+
+
 def test_overlapping_session_pairs_semantics(spark):
     """Hand-built intervals pin the overlap-join contract: a genuine
     overlap reports its duration, touching sessions pair with overlap

@@ -1204,6 +1204,30 @@ def test_overlapping_pairs_grid_equi_join_no_cartesian(spark):
         release_persisted()
 
 
+def test_entity_resolution_block_equi_join_no_cartesian(spark):
+    """Blocked ER: candidate pairs come ONLY from the block-key EQUI
+    self-join over the persisted records frame (both sides read the
+    cache — zero live scans pre-materialization); the Levenshtein
+    verify is a JVM-side residual, never a CartesianProduct /
+    BroadcastNestedLoopJoin / Python UDF."""
+    from tools.scan_audit import live_scans
+
+    plan = _plan(spark, "entity_resolution")
+    try:
+        assert live_scans(plan) == {}, live_scans(plan)
+        assert "InMemoryRelation" in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "PythonUDF" not in plan
+        assert "levenshtein" in plan
+    finally:
+        from forest_open_data_pipelines_spark.operators.dedup import (
+            release_persisted,
+        )
+
+        release_persisted()
+
+
 def test_cuped_one_scan_scalar_broadcast(spark):
     """CUPED: one events scan shuffled once to per-user cents; the
     pooled-moment frame is a ONE-ROW broadcast onto the 2-row arm
