@@ -3353,6 +3353,61 @@ FROM ranked CROSS JOIN tau
 WHERE rank <= {N} ORDER BY rank"""
 
 
+def _kn_bigram_perplexity_sql() -> str:
+    """DuckDB twin of textops.kn_bigram_perplexity: identical
+    whitespace tokens, the same three training aggregates over the
+    word-bigram stream, the interpolated KN formula in the Spark
+    expression's exact double-op order, the same integer micro-bit
+    quantization, the charlm left-join/NULL-pass tail."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        KN_DISCOUNT as D,
+        KN_MAX_ENTROPY_BITS as H,
+    )
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split({LCLEAN}, ' ') AS ts FROM documents
+),
+ex AS (
+  SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bg
+  FROM base, unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+),
+c12 AS (SELECT bg, count(*)::BIGINT AS n12 FROM ex GROUP BY bg),
+sp AS (
+  SELECT bg, n12, string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM c12
+),
+ctx AS (
+  SELECT w1, sum(n12)::BIGINT AS n1, count(*)::BIGINT AS r1
+  FROM sp GROUP BY w1
+),
+cont AS (SELECT w2, count(*)::BIGINT AS l2 FROM sp GROUP BY w2),
+types AS (SELECT count(*)::BIGINT AS t FROM c12),
+model AS (
+  SELECT bg,
+         round(log2(greatest(n12 - {D!r}, 0.0) / n1
+               + ({D!r} * r1 / n1) * (l2::DOUBLE / t))
+               * 1000000)::BIGINT AS lp_micro
+  FROM sp JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN types
+),
+scored AS (
+  SELECT doc_id, sum(lp_micro)::BIGINT AS lp_sum,
+         count(*)::BIGINT AS n_bigrams
+  FROM ex JOIN model USING (bg) GROUP BY doc_id
+),
+final AS (
+  SELECT b.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+         round(-lp_sum / (n_bigrams * 1000000.0), 6) AS entropy_bits
+  FROM base b LEFT JOIN scored USING (doc_id)
+)
+SELECT doc_id, n_bigrams, entropy_bits,
+       round(pow(2.0, entropy_bits), 6) AS perplexity,
+       coalesce(entropy_bits <= {H!r}, true) AS passes_kn
+FROM final ORDER BY doc_id"""
+
+
 def _entity_resolution_sqls() -> tuple[str, str]:
     """DuckDB twins of entities.entity_resolution(_eval): the
     identical closed-form record feed (16×16 word lists + family
@@ -7683,6 +7738,7 @@ FROM c ORDER BY lang, predicted_lang"""
     out["entity_resolution"], out["entity_resolution_eval"] = (
         _entity_resolution_sqls()
     )
+    out["kn_bigram_perplexity"] = _kn_bigram_perplexity_sql()
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     from forest_open_data_pipelines_spark.operators.textops import (
         BPE_N_MERGES,

@@ -2422,6 +2422,112 @@ def charlm_perplexity(
     )
 
 
+#: Interpolated Kneser-Ney absolute discount (the standard 0.75 —
+#: exactly representable in binary, so the discounted numerator is an
+#: exact double on every engine).
+KN_DISCOUNT = 0.75
+
+#: Word-bigram KN entropy gate (bits/bigram). Set INSIDE the
+#: synthetic corpus's measured spread (sf0.001/0.01/0.1 medians
+#: 4.885-4.907, maxima 5.25-5.56) so BOTH outcomes occur at every SF
+#: — a threshold no document crosses would make the gate vacuous
+#: (the c4 keep-path lesson).
+KN_MAX_ENTROPY_BITS = 4.91
+
+
+def kn_bigram_perplexity(
+    documents: DataFrame, max_entropy_bits: float = KN_MAX_ENTROPY_BITS
+) -> DataFrame:
+    """WORD-bigram interpolated Kneser-Ney LM perplexity — the real
+    KenLM/CCNet estimator shape (Kneser & Ney 1995; Chen & Goodman
+    1998, public methodology) that ``charlm_perplexity`` approximates
+    at char granularity with add-one smoothing:
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1)
+                   + (D·N1+(w1·)/c(w1)) · N1+(·w2)/T
+
+    with D = 0.75, N1+(w1·)/N1+(·w2) the distinct right/left
+    continuation counts and T the number of bigram TYPES — the
+    continuation distribution that makes KN the strongest fixed-order
+    smoother.  Trained on the corpus, scoring the corpus (the CCNet
+    in-domain quality-signal setup — no OOV channel by construction).
+
+    Per-bigram log2-probs are quantized to INTEGER MICRO-BITS once per
+    distinct bigram (the charlm idiom), so per-document scores are
+    exact integer sums — order/partition/engine-independent; only the
+    final /10⁶ division rounds.
+
+    Scale: training is three map-side-combinable aggregates over the
+    exploded bigram stream (types, per-w1 context totals + right
+    continuations, per-w2 left continuations) joined on WORD keys —
+    all shuffle-shaped equi-joins; unlike charlm the model is NOT
+    broadcast (word-bigram type count grows with the corpus — AQE may
+    still broadcast small models at test SFs); scoring is one model
+    equi-join + one exact-long groupBy(doc_id).  Docs with < 2 tokens
+    carry NULL entropy and pass (the charlm contract).
+    """
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    toks = F.split(F.lower(clean_text(F.col("text"))), " ")
+    bigrams = F.expr(
+        "CASE WHEN size(ts) >= 2 THEN transform(sequence(1, size(ts) - 1),"
+        " i -> concat(ts[i - 1], ' ', ts[i])) ELSE array() END"
+    )
+    base = _persist(spread(documents).select("doc_id", toks.alias("ts")))
+    ex = _persist(base.select("doc_id", F.explode(bigrams).alias("bg")))
+
+    c12 = ex.groupBy("bg").agg(F.count(F.lit(1)).alias("n12"))
+    sp = c12.select(
+        "bg",
+        "n12",
+        F.split("bg", " ").getItem(0).alias("w1"),
+        F.split("bg", " ").getItem(1).alias("w2"),
+    )
+    ctx = sp.groupBy("w1").agg(
+        F.sum("n12").alias("n1"), F.count(F.lit(1)).alias("r1")
+    )
+    cont = sp.groupBy("w2").agg(F.count(F.lit(1)).alias("l2"))
+    types = c12.agg(F.count(F.lit(1)).alias("t"))
+    d = F.lit(KN_DISCOUNT)
+    p = (
+        F.greatest(F.col("n12") - d, F.lit(0.0)) / F.col("n1")
+        + (d * F.col("r1") / F.col("n1"))
+        * (F.col("l2").cast("double") / F.col("t"))
+    )
+    model = (
+        sp.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "bg",
+            F.round(F.log2(p) * F.lit(1e6), 0).cast("long").alias("lp_micro"),
+        )
+    )
+    scored = (
+        ex.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lp_micro").alias("lp_sum"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
+    h = ratio(-F.col("lp_sum") / (F.col("n_bigrams") * F.lit(1e6)))
+    return (
+        base.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            h.alias("entropy_bits"),
+            ratio(F.pow(F.lit(2.0), h)).alias("perplexity"),
+            F.coalesce(h <= max_entropy_bits, F.lit(True)).alias(
+                "passes_kn"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def ngram_novelty(documents: DataFrame) -> DataFrame:
     """Per-document n-gram novelty: how many of a doc's distinct word
     trigrams appear in NO earlier document (doc_id order = ingest

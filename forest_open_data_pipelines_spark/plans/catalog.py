@@ -917,6 +917,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_sample": lambda s, d: curation.priority_sample(
         load_table(s, d, "documents")
     ),
+    # word-bigram interpolated Kneser-Ney perplexity (the real KenLM/
+    # CCNet estimator; charlm's continuation-count upgrade) — integer
+    # micro-bit sums, word-keyed equi-joins, no broadcast model
+    "kn_bigram_perplexity": lambda s, d: textops.kn_bigram_perplexity(
+        load_table(s, d, "documents")
+    ),
     # blocked entity resolution (Fellegi-Sunter blocking + bounded
     # Levenshtein verify) over a closed-form record feed derived from
     # c_custkey (typo/case corruption channels + the Silva/Silvas
@@ -1072,6 +1078,7 @@ _R12_WINDOW: tuple[str, ...] = (
     "kmv_distinct_rollup",
     "entity_resolution",
     "entity_resolution_eval",
+    "kn_bigram_perplexity",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
     "catalog_cards",
@@ -1104,7 +1111,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "q16_supplier_part_variety",
     "q17_small_quantity_revenue",
     "q20_dominant_suppliers",
-    "q21_sole_latest_shipper",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1112,9 +1118,10 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 10 remaining r7-vintage rows (q8_market_share,
-#    q9_product_type_profit, referential_integrity_audit — displaced
-#    by the late-r12 kmv/entity-resolution slots —
+# 2) the 11 remaining r7-vintage rows (q8_market_share,
+#    q9_product_type_profit, q21_sole_latest_shipper,
+#    referential_integrity_audit — displaced by the late-r12
+#    kmv/entity-resolution/kn-perplexity slots —
 #    research_trends_rollup, route_nearest_query, simhash_budget_sweep,
 #    skew_salted_join_agg, skew_two_phase_agg, text_cleanup,
 #    vocab_growth);

@@ -7512,6 +7512,96 @@ def test_kmv_distinct_rollup_branches_and_merge(spark):
     } == got
 
 
+def test_kn_bigram_perplexity_stdlib_twin_and_gate(spark):
+    """Interpolated-KN contract on a hand-built corpus: a pure-Python
+    replay of the estimator (bigram/context/continuation counts, the
+    max(c−D,0)/c1 + backoff·Pcont formula, micro-bit quantization)
+    must reproduce entropy_bits EXACTLY; a 1-token doc carries NULL
+    entropy and passes; and on the synthetic corpus the gate is
+    non-vacuous (both outcomes occur at sf0.001)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.textops import (
+        KN_DISCOUNT,
+        kn_bigram_perplexity,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "a cat and a dog",
+        4: "mat",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        got = {r["doc_id"]: r for r in kn_bigram_perplexity(docs).collect()}
+    finally:
+        release_persisted()
+
+    bgs = {
+        i: [
+            (ws[j], ws[j + 1])
+            for ws in [t.split(" ")]
+            for j in range(len(ws) - 1)
+        ]
+        for i, t in texts.items()
+    }
+    c12 = Counter(b for lst in bgs.values() for b in lst)
+    n1, r1, l2 = Counter(), Counter(), Counter()
+    for (w1, w2), n in c12.items():
+        n1[w1] += n
+        r1[w1] += 1
+        l2[w2] += 1
+    t = len(c12)
+
+    def half_away(x: float) -> int:
+        # Spark F.round / DuckDB round: half away from zero (lp is
+        # negative, so floor(x+0.5) would disagree at .5 boundaries)
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    lp = {
+        b: half_away(
+            math.log2(
+                max(n - KN_DISCOUNT, 0.0) / n1[b[0]]
+                + (KN_DISCOUNT * r1[b[0]] / n1[b[0]]) * (l2[b[1]] / t)
+            )
+            * 1e6
+        )
+        for b, n in c12.items()
+    }
+    for i, lst in bgs.items():
+        if not lst:
+            assert got[i]["entropy_bits"] is None
+            assert got[i]["n_bigrams"] == 0 and got[i]["passes_kn"]
+            continue
+        h = math.floor(
+            (-sum(lp[b] for b in lst) / (len(lst) * 1e6)) * 1e6 + 0.5
+        ) / 1e6
+        assert got[i]["n_bigrams"] == len(lst)
+        assert got[i]["entropy_bits"] == h, (i, got[i]["entropy_bits"], h)
+
+    try:
+        flags = {
+            r["passes_kn"]
+            for r in kn_bigram_perplexity(
+                load_table(spark, SF_DIR, "documents")
+            ).collect()
+        }
+    finally:
+        release_persisted()
+    assert flags == {True, False}
+
+
 def test_entity_resolution_semantics(spark):
     """Hand-pinned ER contract on custkeys 0..299: every same-entity
     (canonical, variant) pair is emitted (blocking never loses a true
