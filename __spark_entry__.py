@@ -3408,13 +3408,10 @@ SELECT doc_id, n_bigrams, entropy_bits,
 FROM final ORDER BY doc_id"""
 
 
-def _entity_resolution_sqls() -> tuple[str, str]:
-    """DuckDB twins of entities.entity_resolution(_eval): the
-    identical closed-form record feed (16×16 word lists + family
-    suffix + typo/case channels, single-sourced from the Python
-    constants), the same 3-char block key, the same lowercase
-    Levenshtein ≤ max_edit verify, and for the eval the same
-    full-outer kind-pair metric join with floor-1 denominators."""
+def _er_base_ctes() -> str:
+    """The shared record-feed + blocked-pairs CTE chain all three
+    entity-resolution oracles build on (single-sourced from the
+    Python constants)."""
     from forest_open_data_pipelines_spark.operators.entities import (
         ER_FIRST,
         ER_LAST,
@@ -3423,7 +3420,7 @@ def _entity_resolution_sqls() -> tuple[str, str]:
 
     firsts = ", ".join(f"'{w}'" for w in ER_FIRST)
     lasts = ", ".join(f"'{w}'" for w in ER_LAST)
-    base = f"""
+    return f"""
 named AS (
   SELECT c_custkey AS ck,
          ([{firsts}])[c_custkey % 16 + 1] AS f,
@@ -3461,6 +3458,16 @@ pairs AS (
     ON l.block_key = r.block_key AND l.rec_id < r.rec_id
   WHERE levenshtein(lower(l.name), lower(r.name)) <= {ER_MAX_EDIT}
 )"""
+
+
+def _entity_resolution_sqls() -> tuple[str, str]:
+    """DuckDB twins of entities.entity_resolution(_eval): the
+    identical closed-form record feed (16×16 word lists + family
+    suffix + typo/case channels, single-sourced from the Python
+    constants), the same 3-char block key, the same lowercase
+    Levenshtein ≤ max_edit verify, and for the eval the same
+    full-outer kind-pair metric join with floor-1 denominators."""
+    base = _er_base_ctes()
     pairs_sql = f"""
 WITH {base}
 SELECT * FROM pairs ORDER BY left_rec_id, right_rec_id"""
@@ -3491,6 +3498,40 @@ FROM emitted e FULL OUTER JOIN truth t
   ON e.left_kind = t.left_kind AND e.right_kind = t.right_kind
 ORDER BY 1, 2"""
     return pairs_sql, eval_sql
+
+
+def _entity_clusters_sql() -> str:
+    """DuckDB twin of entities.entity_clusters: transitive closure
+    (WITH RECURSIVE min-label reachability) over the ACCEPTED pair
+    graph — deliberately a different closure algorithm than the Spark
+    side's pointer jumping (the dedup_clusters adjudication), with
+    the same truth-purity columns."""
+    return f"""
+WITH RECURSIVE {_er_base_ctes()},
+edges AS (
+  SELECT left_rec_id AS u, right_rec_id AS v FROM pairs
+  UNION ALL
+  SELECT right_rec_id AS u, left_rec_id AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT rec_id, rec_id FROM records
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+),
+lab AS (SELECT u AS rec_id, min(v) AS cluster_id FROM reach GROUP BY u),
+withent AS (
+  SELECT l.rec_id, l.cluster_id, r.entity_id
+  FROM lab l JOIN records r USING (rec_id)
+),
+sz AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size,
+         count(DISTINCT entity_id)::BIGINT AS n_entities
+  FROM withent GROUP BY cluster_id
+)
+SELECT w.rec_id, w.cluster_id, s.cluster_size, s.n_entities,
+       w.rec_id = w.cluster_id AS is_canonical
+FROM withent w JOIN sz s USING (cluster_id)
+ORDER BY w.rec_id"""
 
 
 def _kmv_distinct_rollup_sql() -> str:
@@ -7739,6 +7780,7 @@ FROM c ORDER BY lang, predicted_lang"""
         _entity_resolution_sqls()
     )
     out["kn_bigram_perplexity"] = _kn_bigram_perplexity_sql()
+    out["entity_clusters"] = _entity_clusters_sql()
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     from forest_open_data_pipelines_spark.operators.textops import (
         BPE_N_MERGES,

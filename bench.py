@@ -224,6 +224,7 @@ HEADLINE = [
     "kmv_distinct_rollup",
     "entity_resolution",
     "entity_resolution_eval",
+    "entity_clusters",
     "kn_bigram_perplexity",
     # part_bfs_hops is a bounded 4-round traversal (each round a
     # localCheckpoint job of mostly fixed overhead on the ~3.5k-edge

@@ -181,6 +181,56 @@ def entity_resolution(
     return _resolve_pairs(_keyed_records(customer), max_edit)
 
 
+def entity_clusters(
+    customer: DataFrame, max_edit: int = ER_MAX_EDIT
+) -> DataFrame:
+    """Canonicalization step: connected components over the pairs the
+    matcher ACCEPTED (no truth access — exactly what production ER
+    does), then per-cluster PURITY against the closed-form truth:
+    ``n_entities`` > 1 marks an over-merged cluster (transitive
+    closure chaining through near-miss false positives — the classic
+    ER failure mode this report exists to surface), and the
+    component's min rec_id is the canonical survivor.
+
+    Reuses the corpus dedup closure verbatim (``connected_components``
+    — pointer jumping + hot-label broadcast split; see dedup_clusters
+    for the scale argument); the oracle is the deliberately different
+    recursive-CTE closure (the dedup_clusters adjudication: closure-
+    by-recursion cannot share a convergence bug with closure-by-
+    doubling)."""
+    from .dedup import _PERSISTED, connected_components
+
+    recs = _keyed_records(customer)
+    pairs = _persist(
+        _resolve_pairs(recs, max_edit).select(
+            F.col("left_rec_id").alias("doc_a"),
+            F.col("right_rec_id").alias("doc_b"),
+        )
+    )
+    nodes = recs.select(F.col("rec_id").alias("doc_id"))
+    labels = connected_components(nodes, pairs)
+    withent = labels.join(
+        recs.select(F.col("rec_id").alias("doc_id"), "entity_id"), "doc_id"
+    )
+    stats = withent.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.count_distinct("entity_id").alias("n_entities"),
+    )
+    out = (
+        withent.join(stats, "label")
+        .select(
+            F.col("doc_id").alias("rec_id"),
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            "n_entities",
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("rec_id")
+    )
+    _PERSISTED.append(labels)
+    return out
+
+
 def entity_resolution_eval(
     customer: DataFrame, max_edit: int = ER_MAX_EDIT
 ) -> DataFrame:

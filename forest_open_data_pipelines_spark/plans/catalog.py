@@ -935,6 +935,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_resolution_eval": lambda s, d: entities.entity_resolution_eval(
         load_table(s, d, "customer")
     ),
+    # entity canonicalization: connected components over ACCEPTED
+    # pairs (no truth access) + per-cluster purity vs the truth —
+    # over-merge chains surface as n_entities > 1
+    "entity_clusters": lambda s, d: entities.entity_clusters(
+        load_table(s, d, "customer")
+    ),
     # deterministic KMV bottom-k distinct rollup (Bar-Yossef 2002 /
     # Beyer 2007): the ORACLE-PAIRED complement of the rows-only HLL
     # entry — md5 bottom-k sets merge daily→monthly without
@@ -1078,6 +1084,7 @@ _R12_WINDOW: tuple[str, ...] = (
     "kmv_distinct_rollup",
     "entity_resolution",
     "entity_resolution_eval",
+    "entity_clusters",
     "kn_bigram_perplexity",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
@@ -1110,7 +1117,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "q12_shipping_delay",
     "q16_supplier_part_variety",
     "q17_small_quantity_revenue",
-    "q20_dominant_suppliers",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1118,10 +1124,10 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 11 remaining r7-vintage rows (q8_market_share,
-#    q9_product_type_profit, q21_sole_latest_shipper,
-#    referential_integrity_audit — displaced by the late-r12
-#    kmv/entity-resolution/kn-perplexity slots —
+# 2) the 12 remaining r7-vintage rows (q8_market_share,
+#    q9_product_type_profit, q20_dominant_suppliers,
+#    q21_sole_latest_shipper, referential_integrity_audit — displaced
+#    by the late-r12 kmv/entity-resolution/kn-perplexity slots —
 #    research_trends_rollup, route_nearest_query, simhash_budget_sweep,
 #    skew_salted_join_agg, skew_two_phase_agg, text_cleanup,
 #    vocab_growth);

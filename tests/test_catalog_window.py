@@ -43,6 +43,7 @@ MUST_BE_IN_WINDOW = {
     "kmv_distinct_rollup",
     "entity_resolution",
     "entity_resolution_eval",
+    "entity_clusters",
     "kn_bigram_perplexity",
 }
 

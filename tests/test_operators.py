@@ -7648,6 +7648,49 @@ def test_entity_resolution_semantics(spark):
         release_persisted()
 
 
+def test_entity_clusters_purity_and_canonical(spark):
+    """Cluster contract on custkeys 0..299: every record appears
+    exactly once; exactly one canonical (the min rec_id) per cluster;
+    same-entity records always share a cluster (recall holds through
+    the closure); the Silva/Silvas over-merge chain surfaces as
+    n_entities > 1 (ck 0 and ck 240 land in one cluster); and pure
+    single-entity clusters exist too."""
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.entities import (
+        entity_clusters,
+    )
+
+    cust = spark.range(300).selectExpr("id AS c_custkey")
+    try:
+        rows = entity_clusters(cust).collect()
+    finally:
+        release_persisted()
+
+    assert len(rows) == len({r["rec_id"] for r in rows})
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert [m["rec_id"] for m in members if m["is_canonical"]] == [
+            min(m["rec_id"] for m in members)
+        ]
+        assert cid == min(m["rec_id"] for m in members)
+        assert {m["cluster_size"] for m in members} == {len(members)}
+
+    cl = {r["rec_id"]: r["cluster_id"] for r in rows}
+    for ck in range(300):
+        if ck % 3 == 0:
+            assert cl[ck * 10] == cl[ck * 10 + 1]
+        if ck % 5 == 0:
+            assert cl[ck * 10] == cl[ck * 10 + 2]
+    # over-merge: ck 0 (Ana Silva0) chains to ck 240 (Ana Silvas0)
+    assert cl[0] == cl[2400]
+    purities = {r["n_entities"] for r in rows}
+    assert min(purities) == 1 and max(purities) > 1
+
+
 def test_overlapping_session_pairs_semantics(spark):
     """Hand-built intervals pin the overlap-join contract: a genuine
     overlap reports its duration, touching sessions pair with overlap
