@@ -3353,6 +3353,76 @@ FROM ranked CROSS JOIN tau
 WHERE rank <= {N} ORDER BY rank"""
 
 
+def _conformal_forecast_sql() -> str:
+    """DuckDB twin of sessionize.conformal_forecast_intervals: the
+    identical micro-quantized daily totals, lag-7 seasonal-naive
+    forecast, integer-exact calibration rank, order-statistic q̂, and
+    int64 interval/coverage arithmetic."""
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        CONF_ALPHA_DEN as DEN,
+        CONF_ALPHA_NUM as NUM,
+        CONF_SEASON_LAG as LAG,
+        CONF_TEST_DAYS as TEST,
+    )
+
+    keep = DEN - NUM
+    return f"""
+WITH daily AS (
+  SELECT event_type, ts::DATE AS day,
+         sum(round(value * 1000000.0, 0)::BIGINT)::BIGINT AS actual_micro
+  FROM events GROUP BY 1, 2
+),
+pred AS (
+  SELECT *,
+         lag(actual_micro, {LAG})
+           OVER (PARTITION BY event_type ORDER BY day) AS pred_micro,
+         max(day) OVER (PARTITION BY event_type) AS max_day
+  FROM daily
+),
+scored AS (
+  SELECT *, (max_day - day) < {TEST} AS is_test
+  FROM pred WHERE pred_micro IS NOT NULL
+),
+cal AS (
+  SELECT *, abs(actual_micro - pred_micro) AS r_micro
+  FROM scored WHERE NOT is_test
+),
+n AS (SELECT event_type, count(*)::BIGINT AS n_cal FROM cal GROUP BY 1),
+qh AS (
+  SELECT event_type, r_micro AS q_micro, n_cal
+  FROM (
+    SELECT c.*, n.n_cal,
+           row_number() OVER (PARTITION BY c.event_type
+                              ORDER BY r_micro, day) AS rn
+    FROM cal c JOIN n USING (event_type)
+  )
+  WHERE rn = ((n_cal + 1) * {keep} + {DEN} - 1) // {DEN}
+),
+test AS (
+  SELECT s.event_type, s.day, s.actual_micro, s.pred_micro,
+         q.q_micro, q.n_cal,
+         s.pred_micro - q.q_micro AS lo_micro,
+         s.pred_micro + q.q_micro AS hi_micro,
+         s.actual_micro >= s.pred_micro - q.q_micro
+           AND s.actual_micro <= s.pred_micro + q.q_micro AS covered
+  FROM scored s JOIN qh q USING (event_type) WHERE s.is_test
+),
+cov AS (
+  SELECT event_type,
+         round(count(*) FILTER (covered) / count(*), 6) AS coverage_rate
+  FROM test GROUP BY 1
+)
+SELECT t.event_type, t.day,
+       round(actual_micro / 1000000.0, 6) AS actual,
+       round(pred_micro / 1000000.0, 6) AS predicted,
+       round(q_micro / 1000000.0, 6) AS q_hat,
+       round(lo_micro / 1000000.0, 6) AS lo,
+       round(hi_micro / 1000000.0, 6) AS hi,
+       n_cal, covered, coverage_rate
+FROM test t JOIN cov USING (event_type)
+ORDER BY t.event_type, t.day"""
+
+
 def _kn_bigram_perplexity_sql() -> str:
     """DuckDB twin of textops.kn_bigram_perplexity: identical
     whitespace tokens, the same three training aggregates over the
@@ -7781,6 +7851,7 @@ FROM c ORDER BY lang, predicted_lang"""
     )
     out["kn_bigram_perplexity"] = _kn_bigram_perplexity_sql()
     out["entity_clusters"] = _entity_clusters_sql()
+    out["conformal_forecast_intervals"] = _conformal_forecast_sql()
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     from forest_open_data_pipelines_spark.operators.textops import (
         BPE_N_MERGES,

@@ -226,6 +226,7 @@ HEADLINE = [
     "entity_resolution_eval",
     "entity_clusters",
     "kn_bigram_perplexity",
+    "conformal_forecast_intervals",
     # part_bfs_hops is a bounded 4-round traversal (each round a
     # localCheckpoint job of mostly fixed overhead on the ~3.5k-edge
     # graph), the part_pagerank iterative category; driver

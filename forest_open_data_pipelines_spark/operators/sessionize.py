@@ -1121,3 +1121,106 @@ def km_lifetime_truncate(events: DataFrame) -> DataFrame:
             F.pmod(F.col("user_id"), F.lit(KM_TRUNC_MOD)).cast("int"),
         )
     )
+
+
+#: Split-conformal settings: seasonal-naive lag (weekly), last-week
+#: test window, and the miscoverage level α = 1/5 kept as an exact
+#: INTEGER fraction so the calibration rank k = ⌈(n+1)(1−α)⌉ is pure
+#: integer arithmetic on every engine (a float 0.8 multiply can land
+#: one ulp above an integer and shift ceil by one).
+CONF_SEASON_LAG = 7
+CONF_TEST_DAYS = 7
+CONF_ALPHA_NUM = 1
+CONF_ALPHA_DEN = 5
+
+
+def conformal_forecast_intervals(events: DataFrame) -> DataFrame:
+    """Split-conformal prediction intervals around a seasonal-naive
+    daily forecast — distribution-free uncertainty quantification
+    (Vovk et al. 2005; Lei et al. 2018, public methodology): per
+    event_type, predict each day's total as the value one season
+    (7 days) earlier, compute absolute residuals on a CALIBRATION
+    window (predicted days before the last-week test split), take
+    q̂ = the k-th smallest calibration residual with
+    k = ⌈(n_cal+1)(1−α)⌉, and report [pred−q̂, pred+q̂] for every
+    test day.  Finite-sample guarantee: P(covered) ≥ 1−α under
+    exchangeability — no distributional assumption, which is why the
+    interval is an ORDER STATISTIC and therefore exactly
+    oracle-pairable.
+
+    Exactness: daily totals are per-row MICRO-quantized longs summed
+    exactly (order/partition-independent — the cuped exact-cents
+    convention), so residuals, q̂, bounds, and the covered flag are
+    pure int64 comparisons on both engines; k is integer arithmetic
+    (α as an exact fraction); only the final presentation divides by
+    10⁶.
+
+    Scale: one map-side-combinable daily aggregate over the fact;
+    everything after runs on ≤ types·days rows (lag window, one rank
+    window over the ≤ n_cal calibration rows per type, broadcast-size
+    q̂/coverage joins).
+    """
+    micro = F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(micro).alias("actual_micro"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    pred = daily.withColumn(
+        "pred_micro", F.lag("actual_micro", CONF_SEASON_LAG).over(w)
+    ).withColumn(
+        "max_day", F.max("day").over(Window.partitionBy("event_type"))
+    )
+    scored = pred.where(F.col("pred_micro").isNotNull()).withColumn(
+        "is_test",
+        F.datediff(F.col("max_day"), F.col("day")) < CONF_TEST_DAYS,
+    )
+    cal = scored.where(~F.col("is_test")).withColumn(
+        "r_micro", F.abs(F.col("actual_micro") - F.col("pred_micro"))
+    )
+    n_cal = cal.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_cal"))
+    keep = CONF_ALPHA_DEN - CONF_ALPHA_NUM
+    k = F.expr(
+        f"((n_cal + 1) * {keep} + {CONF_ALPHA_DEN} - 1)"
+        f" div {CONF_ALPHA_DEN}"
+    )
+    rw = Window.partitionBy("event_type").orderBy("r_micro", "day")
+    qhat = (
+        cal.withColumn("rn", F.row_number().over(rw))
+        .join(n_cal, "event_type")
+        .where(F.col("rn") == k)
+        .select("event_type", F.col("r_micro").alias("q_micro"), "n_cal")
+    )
+    test = (
+        scored.where(F.col("is_test"))
+        .join(qhat, "event_type")
+        .withColumn("lo_micro", F.col("pred_micro") - F.col("q_micro"))
+        .withColumn("hi_micro", F.col("pred_micro") + F.col("q_micro"))
+        .withColumn(
+            "covered",
+            (F.col("actual_micro") >= F.col("lo_micro"))
+            & (F.col("actual_micro") <= F.col("hi_micro")),
+        )
+    )
+    cov = test.groupBy(F.col("event_type").alias("e2")).agg(
+        ratio(
+            F.sum(F.when(F.col("covered"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("coverage_rate")
+    )
+    m = F.lit(1e6)
+    return (
+        test.join(cov, test["event_type"] == cov["e2"])
+        .select(
+            "event_type",
+            "day",
+            ratio(F.col("actual_micro") / m).alias("actual"),
+            ratio(F.col("pred_micro") / m).alias("predicted"),
+            ratio(F.col("q_micro") / m).alias("q_hat"),
+            ratio(F.col("lo_micro") / m).alias("lo"),
+            ratio(F.col("hi_micro") / m).alias("hi"),
+            "n_cal",
+            "covered",
+            "coverage_rate",
+        )
+        .orderBy("event_type", "day")
+    )

@@ -917,6 +917,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_sample": lambda s, d: curation.priority_sample(
         load_table(s, d, "documents")
     ),
+    # split-conformal prediction intervals (Vovk/Lei) around a
+    # seasonal-naive daily forecast: order-statistic q-hat on exact
+    # micro-quantized residuals, integer-exact calibration rank —
+    # distribution-free coverage, fully oracle-paired
+    "conformal_forecast_intervals": lambda s, d: (
+        sessionize.conformal_forecast_intervals(load_table(s, d, "events"))
+    ),
     # word-bigram interpolated Kneser-Ney perplexity (the real KenLM/
     # CCNet estimator; charlm's continuation-count upgrade) — integer
     # micro-bit sums, word-keyed equi-joins, no broadcast model
@@ -1086,6 +1093,7 @@ _R12_WINDOW: tuple[str, ...] = (
     "entity_resolution_eval",
     "entity_clusters",
     "kn_bigram_perplexity",
+    "conformal_forecast_intervals",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
     "catalog_cards",
@@ -1116,7 +1124,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "pt_numeric_parse",
     "q12_shipping_delay",
     "q16_supplier_part_variety",
-    "q17_small_quantity_revenue",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1124,13 +1131,13 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 12 remaining r7-vintage rows (q8_market_share,
-#    q9_product_type_profit, q20_dominant_suppliers,
-#    q21_sole_latest_shipper, referential_integrity_audit — displaced
-#    by the late-r12 kmv/entity-resolution/kn-perplexity slots —
-#    research_trends_rollup, route_nearest_query, simhash_budget_sweep,
-#    skew_salted_join_agg, skew_two_phase_agg, text_cleanup,
-#    vocab_growth);
+# 2) the 13 remaining r7-vintage rows (q8_market_share,
+#    q9_product_type_profit, q17_small_quantity_revenue,
+#    q20_dominant_suppliers, q21_sole_latest_shipper,
+#    referential_integrity_audit — displaced by the late-r12
+#    kmv/ER/kn-perplexity/conformal slots — research_trends_rollup,
+#    route_nearest_query, simhash_budget_sweep, skew_salted_join_agg,
+#    skew_two_phase_agg, text_cleanup, vocab_growth);
 # 3) then the oldest r8-vintage rows to fill 50 (top_customers,
 #    events_sessionize, event_transitions, daily_anomaly_report,
 #    schema_audit, type_inference, freshness_latest, lang_id,

@@ -45,6 +45,7 @@ MUST_BE_IN_WINDOW = {
     "entity_resolution_eval",
     "entity_clusters",
     "kn_bigram_perplexity",
+    "conformal_forecast_intervals",
 }
 
 

@@ -7602,6 +7602,55 @@ def test_kn_bigram_perplexity_stdlib_twin_and_gate(spark):
     assert flags == {True, False}
 
 
+def test_conformal_forecast_intervals_hand_series(spark):
+    """Closed-form conformal contract: daily total d² gives
+    seasonal-naive residuals 14d−49 (strictly increasing), so with 16
+    calibration days (8..23) the rank k = ⌈17·4/5⌉ = 14 picks
+    q̂ = 14·21−49 = 245; every test-day residual (d = 24..30,
+    287..371) exceeds q̂, so all 7 intervals MISS and coverage is
+    exactly 0 — pinning the rank arithmetic, the order statistic, the
+    interval bounds, and the covered flag in one construction; a
+    second type with constant residuals covers the all-true branch."""
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        conformal_forecast_intervals,
+    )
+
+    rows = []
+    for d in range(1, 31):
+        rows.append(
+            (d, datetime(2024, 1, d, 12, 0), 1, "quad", float(d * d), "{}")
+        )
+        # linear series: residual is CONSTANT 7 -> q-hat = 7, every
+        # test interval covers exactly at the boundary
+        rows.append(
+            (100 + d, datetime(2024, 1, d, 12, 0), 1, "lin", float(d), "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["event_type"], str(r["day"])): r
+        for r in conformal_forecast_intervals(ev).collect()
+    }
+    assert len(out) == 14
+    for d in range(24, 31):
+        r = out[("quad", f"2024-01-{d:02d}")]
+        assert r["n_cal"] == 16
+        assert r["q_hat"] == 245.0
+        assert r["predicted"] == float((d - 7) ** 2)
+        assert r["lo"] == float((d - 7) ** 2 - 245)
+        assert r["hi"] == float((d - 7) ** 2 + 245)
+        assert not r["covered"]
+        assert r["coverage_rate"] == 0.0
+        lin = out[("lin", f"2024-01-{d:02d}")]
+        assert lin["q_hat"] == 7.0 and lin["covered"]
+        assert lin["coverage_rate"] == 1.0
+
+
 def test_entity_resolution_semantics(spark):
     """Hand-pinned ER contract on custkeys 0..299: every same-entity
     (canonical, variant) pair is emitted (blocking never loses a true
