@@ -3570,6 +3570,55 @@ ORDER BY 1, 2"""
     return pairs_sql, eval_sql
 
 
+def _er_incremental_sql() -> str:
+    """DuckDB twin of entities.er_incremental_classify: same record
+    feed, same canonical-index/holdout split, same block-join +
+    Levenshtein verify + (distance, base rec_id) best-match, same
+    matched/new/is_correct verdict columns."""
+    from forest_open_data_pipelines_spark.operators.entities import (
+        ER_HOLDOUT_MOD,
+        ER_HOLDOUT_RESIDUE,
+        ER_MAX_EDIT,
+    )
+
+    return f"""
+WITH {_er_base_ctes()},
+idx AS (
+  SELECT * FROM keyed
+  WHERE kind = 'canonical'
+    AND entity_id % {ER_HOLDOUT_MOD} <> {ER_HOLDOUT_RESIDUE}
+),
+inc AS (
+  SELECT * FROM keyed
+  WHERE kind <> 'canonical'
+     OR entity_id % {ER_HOLDOUT_MOD} = {ER_HOLDOUT_RESIDUE}
+),
+cand AS (
+  SELECT i.rec_id, i.entity_id, i.name, i.kind,
+         x.rec_id AS base_rec_id, x.entity_id AS base_entity,
+         levenshtein(lower(i.name), lower(x.name))::INT AS edit_distance
+  FROM inc i JOIN idx x ON i.block_key = x.block_key
+  WHERE levenshtein(lower(i.name), lower(x.name)) <= {ER_MAX_EDIT}
+),
+best AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY rec_id
+                                 ORDER BY edit_distance, base_rec_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT i.rec_id, i.name, i.kind,
+       b.base_rec_id AS matched_rec_id,
+       b.base_entity AS matched_entity,
+       b.edit_distance,
+       CASE WHEN b.base_rec_id IS NOT NULL THEN 'matched'
+            ELSE 'new' END AS status,
+       CASE WHEN b.base_rec_id IS NOT NULL
+            THEN b.base_entity = i.entity_id END AS is_correct
+FROM inc i LEFT JOIN best b USING (rec_id)
+ORDER BY i.rec_id"""
+
+
 def _entity_clusters_sql() -> str:
     """DuckDB twin of entities.entity_clusters: transitive closure
     (WITH RECURSIVE min-label reachability) over the ACCEPTED pair
@@ -7852,6 +7901,7 @@ FROM c ORDER BY lang, predicted_lang"""
     out["kn_bigram_perplexity"] = _kn_bigram_perplexity_sql()
     out["entity_clusters"] = _entity_clusters_sql()
     out["conformal_forecast_intervals"] = _conformal_forecast_sql()
+    out["er_incremental_classify"] = _er_incremental_sql()
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     from forest_open_data_pipelines_spark.operators.textops import (
         BPE_N_MERGES,

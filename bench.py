@@ -225,6 +225,7 @@ HEADLINE = [
     "entity_resolution",
     "entity_resolution_eval",
     "entity_clusters",
+    "er_incremental_classify",
     "kn_bigram_perplexity",
     "conformal_forecast_intervals",
     # part_bfs_hops is a bounded 4-round traversal (each round a

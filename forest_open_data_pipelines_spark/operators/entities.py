@@ -231,6 +231,99 @@ def entity_clusters(
     return out
 
 
+#: Holdout channel for the incremental classifier: entities with
+#: ``ck % ER_HOLDOUT_MOD == ER_HOLDOUT_RESIDUE`` are withheld from
+#: the canonical index, so their records arrive with NO true match —
+#: some land 'new', and some match a NEAR NEIGHBOR's canonical
+#: (suffix one edit away), firing the is_correct=false channel.
+ER_HOLDOUT_MOD = 7
+ER_HOLDOUT_RESIDUE = 3
+
+
+def er_classify_against_index(
+    incoming: DataFrame, index: DataFrame, max_edit: int = ER_MAX_EDIT
+) -> DataFrame:
+    """Classify incoming records against a static canonical index —
+    the record-linkage ingest gate (the ``dedup_incremental``
+    shape): block equi-join for candidates, Levenshtein verify,
+    best-match = (distance ASC, base rec_id ASC), 'new' when no
+    candidate survives.  ``is_correct`` labels matched rows against
+    the closed-form truth (NULL for 'new' — there is nothing to be
+    correct about).  Pure function of (record, index): the streaming
+    twin replays this per micro-batch, verdict-identical."""
+    idx = index.select(
+        "block_key",
+        F.col("rec_id").alias("base_rec_id"),
+        F.col("entity_id").alias("base_entity"),
+        F.col("name").alias("base_name"),
+    )
+    cand = (
+        incoming.select("block_key", "rec_id", "entity_id", "name", "kind")
+        .join(idx, "block_key")
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(
+                F.lower(F.col("name")), F.lower(F.col("base_name"))
+            ),
+        )
+        .where(F.col("edit_distance") <= max_edit)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rec_id").orderBy("edit_distance", "base_rec_id")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "rec_id",
+            F.col("base_rec_id").alias("matched_rec_id"),
+            F.col("base_entity").alias("matched_entity"),
+            F.col("edit_distance").cast("int").alias("edit_distance"),
+        )
+    )
+    matched = F.col("matched_rec_id").isNotNull()
+    return (
+        incoming.select("rec_id", "entity_id", "name", "kind")
+        .join(best, "rec_id", "left")
+        .select(
+            "rec_id",
+            "name",
+            "kind",
+            "matched_rec_id",
+            "matched_entity",
+            "edit_distance",
+            F.when(matched, F.lit("matched")).otherwise(F.lit("new")).alias(
+                "status"
+            ),
+            F.when(
+                matched, F.col("matched_entity") == F.col("entity_id")
+            ).alias("is_correct"),
+        )
+        .orderBy("rec_id")
+    )
+
+
+def er_incremental_classify(
+    customer: DataFrame, max_edit: int = ER_MAX_EDIT
+) -> DataFrame:
+    """The catalog composition: canonical records of non-held-out
+    entities form the index; every corruption variant PLUS the
+    held-out canonicals stream in.  Outcomes by construction:
+    matched-correct (variants finding their canonical),
+    matched-WRONG (held-out records one edit from a neighbor's
+    canonical — the silent-misattribution channel an ingest gate
+    must surface), and 'new' (held-out records with no neighbor in
+    range)."""
+    recs = _keyed_records(customer)
+    held_out = (
+        F.pmod(F.col("entity_id"), F.lit(ER_HOLDOUT_MOD))
+        == ER_HOLDOUT_RESIDUE
+    )
+    index = recs.where((F.col("kind") == "canonical") & ~held_out)
+    incoming = recs.where((F.col("kind") != "canonical") | held_out)
+    return er_classify_against_index(incoming, index, max_edit)
+
+
 def entity_resolution_eval(
     customer: DataFrame, max_edit: int = ER_MAX_EDIT
 ) -> DataFrame:

@@ -942,6 +942,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "entity_resolution_eval": lambda s, d: entities.entity_resolution_eval(
         load_table(s, d, "customer")
     ),
+    # record-linkage INGEST gate: classify incoming records against a
+    # static canonical index (holdout split fires matched-correct /
+    # matched-WRONG / new, all three non-vacuous); the streaming
+    # twin's foreachBatch bridge replays this exact classifier
+    "er_incremental_classify": lambda s, d: (
+        entities.er_incremental_classify(load_table(s, d, "customer"))
+    ),
     # entity canonicalization: connected components over ACCEPTED
     # pairs (no truth access) + per-cluster purity vs the truth —
     # over-merge chains surface as n_entities > 1
@@ -1092,6 +1099,7 @@ _R12_WINDOW: tuple[str, ...] = (
     "entity_resolution",
     "entity_resolution_eval",
     "entity_clusters",
+    "er_incremental_classify",
     "kn_bigram_perplexity",
     "conformal_forecast_intervals",
     # the 39 oldest r7-vintage rows (alphabetical)
@@ -1123,7 +1131,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "pt_date_parse",
     "pt_numeric_parse",
     "q12_shipping_delay",
-    "q16_supplier_part_variety",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1131,13 +1138,14 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 13 remaining r7-vintage rows (q8_market_share,
-#    q9_product_type_profit, q17_small_quantity_revenue,
-#    q20_dominant_suppliers, q21_sole_latest_shipper,
-#    referential_integrity_audit — displaced by the late-r12
-#    kmv/ER/kn-perplexity/conformal slots — research_trends_rollup,
-#    route_nearest_query, simhash_budget_sweep, skew_salted_join_agg,
-#    skew_two_phase_agg, text_cleanup, vocab_growth);
+# 2) the 14 remaining r7-vintage rows (q8_market_share,
+#    q9_product_type_profit, q16_supplier_part_variety,
+#    q17_small_quantity_revenue, q20_dominant_suppliers,
+#    q21_sole_latest_shipper, referential_integrity_audit — displaced
+#    by the late-r12 kmv/ER/kn-perplexity/conformal slots —
+#    research_trends_rollup, route_nearest_query, simhash_budget_sweep,
+#    skew_salted_join_agg, skew_two_phase_agg, text_cleanup,
+#    vocab_growth);
 # 3) then the oldest r8-vintage rows to fill 50 (top_customers,
 #    events_sessionize, event_transitions, daily_anomaly_report,
 #    schema_audit, type_inference, freshness_latest, lang_id,

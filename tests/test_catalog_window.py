@@ -44,6 +44,7 @@ MUST_BE_IN_WINDOW = {
     "entity_resolution",
     "entity_resolution_eval",
     "entity_clusters",
+    "er_incremental_classify",
     "kn_bigram_perplexity",
     "conformal_forecast_intervals",
 }

@@ -976,6 +976,76 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     assert any(r["status"] != "new" for r in collected)
 
 
+def test_er_gate_stream_matches_batch(spark, tmp_path):
+    """foreachBatch ER classification against the static canonical
+    index must emit verdicts row-identical to batch
+    er_incremental_classify over the same index/incoming split — in
+    TWO micro-batches (records never interact, so any batching gives
+    the same verdicts) — with all three outcome channels firing."""
+    from pyspark.sql import functions as F2
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.entities import (
+        ER_HOLDOUT_MOD,
+        ER_HOLDOUT_RESIDUE,
+        _keyed_records,
+        er_incremental_classify,
+    )
+    from forest_open_data_pipelines_spark.streaming.entity_gate import (
+        er_gate_stream,
+    )
+    from tests.conftest import SF_DIR_MID
+
+    cust = load_table(spark, SF_DIR_MID, "customer")
+    try:
+        recs = _keyed_records(cust)
+        held = (
+            F2.pmod(F2.col("entity_id"), F2.lit(ER_HOLDOUT_MOD))
+            == ER_HOLDOUT_RESIDUE
+        )
+        index = recs.where((F2.col("kind") == "canonical") & ~held).cache()
+        incoming = recs.where((F2.col("kind") != "canonical") | held)
+
+        src = tmp_path / "er_src"
+        src.mkdir()
+        incoming.where("rec_id % 2 = 0").coalesce(1).write.parquet(
+            str(src / "a.parquet")
+        )
+        incoming.where("rec_id % 2 = 1").coalesce(1).write.parquet(
+            str(src / "b.parquet")
+        )
+        stream = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("pathGlobFilter", "*.parquet")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        collected = []
+        query = er_gate_stream(
+            stream,
+            index,
+            sink=lambda df, bid: collected.extend(df.collect()),
+            checkpoint=str(tmp_path / "ckpt_er_gate"),
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+        batch = er_incremental_classify(cust).collect()
+    finally:
+        release_persisted()
+
+    key = lambda r: tuple(r)
+    assert sorted(map(key, collected)) == sorted(map(key, batch))
+    outcomes = {(r["status"], r["is_correct"]) for r in collected}
+    assert ("matched", True) in outcomes
+    assert ("matched", False) in outcomes
+    assert ("new", None) in outcomes
+
+
 def test_pii_scrub_is_stream_safe(spark, tmp_path):
     """pii_scrub is a pure projection, so it runs on an unbounded
     stream with no state store and emits exactly the batch rows."""
