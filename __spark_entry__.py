@@ -3353,6 +3353,77 @@ FROM ranked CROSS JOIN tau
 WHERE rank <= {N} ORDER BY rank"""
 
 
+def _markov_next_event_sql() -> str:
+    """DuckDB twin of sessionize.markov_next_event_eval: identical
+    (ts, event_id)-ordered per-user transition stream, temporal
+    split, add-one model with micro-bit log-probs, argmax prediction
+    with the (count DESC, type ASC) tie-break, and both unseen-pair /
+    unseen-cur backoff branches."""
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        MARKOV_TEST_DAYS as TEST,
+    )
+
+    return f"""
+WITH bigrams AS (
+  SELECT cur_type, next_type, day FROM (
+    SELECT event_type AS next_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS cur_type,
+           ts::DATE AS day
+    FROM events
+  ) WHERE cur_type IS NOT NULL
+),
+split AS (SELECT max(day) - {TEST} AS split_day FROM bigrams),
+train AS (SELECT b.* FROM bigrams b, split WHERE day <= split_day),
+test AS (SELECT b.* FROM bigrams b, split WHERE day > split_day),
+pairs AS (
+  SELECT cur_type, next_type, count(*)::BIGINT AS n_pair
+  FROM train GROUP BY 1, 2
+),
+cur_tot AS (
+  SELECT cur_type, sum(n_pair)::BIGINT AS n_cur FROM pairs GROUP BY 1
+),
+kk AS (SELECT count(DISTINCT next_type)::BIGINT AS k FROM train),
+model AS (
+  SELECT p.cur_type, p.next_type,
+         round(log2((n_pair + 1)::DOUBLE / (n_cur + k))
+               * 1000000)::BIGINT AS lp_micro
+  FROM pairs p JOIN cur_tot USING (cur_type) CROSS JOIN kk
+),
+pred AS (
+  SELECT cur_type, next_type AS predicted_next FROM (
+    SELECT *, row_number() OVER (PARTITION BY cur_type
+                                 ORDER BY n_pair DESC, next_type) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+scored AS (
+  SELECT t.cur_type, t.next_type,
+         coalesce(m.lp_micro,
+                  round(log2(1.0 / (c_k.n_cur + c_k.k)) * 1000000)::BIGINT,
+                  round(log2(1.0 / ka.k) * 1000000)::BIGINT) AS lp,
+         coalesce(p.predicted_next = t.next_type, false) AS correct
+  FROM test t
+  LEFT JOIN model m
+    ON m.cur_type = t.cur_type AND m.next_type = t.next_type
+  LEFT JOIN (SELECT c.*, kk.k FROM cur_tot c CROSS JOIN kk) AS c_k(cur_type, n_cur, k)
+    ON c_k.cur_type = t.cur_type
+  CROSS JOIN kk ka
+  LEFT JOIN pred p ON p.cur_type = t.cur_type
+),
+agg AS (
+  SELECT cur_type, count(*)::BIGINT AS n_test,
+         count(*) FILTER (correct)::BIGINT AS n_correct,
+         round(count(*) FILTER (correct) / count(*), 6) AS accuracy,
+         round(-sum(lp) / (count(*) * 1000000.0), 6) AS avg_bits
+  FROM scored GROUP BY 1
+)
+SELECT a.cur_type, p.predicted_next, a.n_test, a.n_correct,
+       a.accuracy, a.avg_bits
+FROM agg a LEFT JOIN pred p USING (cur_type)
+ORDER BY a.cur_type"""
+
+
 def _conformal_forecast_sql() -> str:
     """DuckDB twin of sessionize.conformal_forecast_intervals: the
     identical micro-quantized daily totals, lag-7 seasonal-naive
@@ -7902,6 +7973,7 @@ FROM c ORDER BY lang, predicted_lang"""
     out["entity_clusters"] = _entity_clusters_sql()
     out["conformal_forecast_intervals"] = _conformal_forecast_sql()
     out["er_incremental_classify"] = _er_incremental_sql()
+    out["markov_next_event_eval"] = _markov_next_event_sql()
     out["ann_recall_vs_dim"] = _ann_recall_vs_dim_sql()
     from forest_open_data_pipelines_spark.operators.textops import (
         BPE_N_MERGES,

@@ -228,6 +228,7 @@ HEADLINE = [
     "er_incremental_classify",
     "kn_bigram_perplexity",
     "conformal_forecast_intervals",
+    "markov_next_event_eval",
     # part_bfs_hops is a bounded 4-round traversal (each round a
     # localCheckpoint job of mostly fixed overhead on the ~3.5k-edge
     # graph), the part_pagerank iterative category; driver

@@ -1224,3 +1224,130 @@ def conformal_forecast_intervals(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+#: Markov next-event eval: train on all but the last week of per-user
+#: transitions, score the last week (the conformal split convention).
+MARKOV_TEST_DAYS = 7
+
+
+def markov_next_event_eval(events: DataFrame) -> DataFrame:
+    """First-order Markov next-event model with a temporal train/test
+    split — the sequence-model evaluation shape (next-token prediction
+    at event granularity): train add-one-smoothed transition
+    probabilities P(next|cur) = (n(cur,next)+1)/(n(cur)+K) on
+    transitions before the last-week split, predict argmax(count,
+    then type ASC) per cur, and score the held-out week's transitions
+    with top-1 ACCURACY and average LOG-LOSS (bits/transition).
+
+    The transition stream is ``event_transitions``' deterministic
+    per-user (ts, event_id)-ordered bigram convention; a transition
+    belongs to the day of its SECOND event.  Unseen test pairs back
+    off to the add-one floor 1/(n(cur)+K); an unseen cur scores 1/K
+    and cannot be predicted (counted incorrect) — both branches
+    mirrored in the oracle.  Log-probs are micro-bit integers per
+    distinct PAIR (≤ K² model rows — the charlm idiom), so sums are
+    exact longs.
+
+    Scale: one user-keyed exchange for the lag window, then every
+    aggregate lives on the bounded K² transition key space; the model
+    and split-day frames are broadcast one-row/tiny joins.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bigrams = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("cur_type"),
+            F.to_date("ts").alias("day"),
+        )
+        .where(F.col("cur_type").isNotNull())
+        .select("cur_type", "next_type", "day")
+    )
+    from forest_open_data_pipelines_spark.operators.dedup import _persist
+
+    bigrams = _persist(bigrams)
+    split = bigrams.agg(
+        F.date_sub(F.max("day"), MARKOV_TEST_DAYS).alias("split_day")
+    )
+    with_split = bigrams.crossJoin(F.broadcast(split))
+    train = with_split.where(F.col("day") <= F.col("split_day"))
+    test = with_split.where(F.col("day") > F.col("split_day"))
+
+    pairs = train.groupBy("cur_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    cur_tot = pairs.groupBy("cur_type").agg(F.sum("n_pair").alias("n_cur"))
+    kk = train.agg(F.count_distinct("next_type").alias("k"))
+    lp_pair = F.round(
+        F.log2(
+            (F.col("n_pair") + 1).cast("double")
+            / (F.col("n_cur") + F.col("k"))
+        )
+        * F.lit(1e6),
+        0,
+    ).cast("long")
+    model = (
+        pairs.join(cur_tot, "cur_type")
+        .crossJoin(F.broadcast(kk))
+        .select("cur_type", "next_type", lp_pair.alias("lp_micro"))
+    )
+    pw = Window.partitionBy("cur_type").orderBy(
+        F.desc("n_pair"), "next_type"
+    )
+    pred = (
+        pairs.withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select("cur_type", F.col("next_type").alias("predicted_next"))
+    )
+    lp_unseen_pair = F.round(
+        F.log2(F.lit(1.0) / (F.col("n_cur") + F.col("k"))) * F.lit(1e6), 0
+    ).cast("long")
+    scored = (
+        test.join(model, ["cur_type", "next_type"], "left")
+        .join(cur_tot.crossJoin(F.broadcast(kk)), "cur_type", "left")
+        .crossJoin(F.broadcast(kk.select(F.col("k").alias("k_all"))))
+        .join(pred, "cur_type", "left")
+        .select(
+            "cur_type",
+            "next_type",
+            F.coalesce(
+                "lp_micro",
+                lp_unseen_pair,
+                F.round(
+                    F.log2(F.lit(1.0) / F.col("k_all")) * F.lit(1e6), 0
+                ).cast("long"),
+            ).alias("lp"),
+            F.coalesce(
+                F.col("predicted_next") == F.col("next_type"), F.lit(False)
+            ).alias("correct"),
+        )
+    )
+    return (
+        scored.groupBy("cur_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(F.col("correct"), 1).otherwise(0)).alias(
+                "n_correct"
+            ),
+            ratio(
+                F.sum(F.when(F.col("correct"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("accuracy"),
+            ratio(-F.sum("lp") / (F.count(F.lit(1)) * F.lit(1e6))).alias(
+                "avg_bits"
+            ),
+        )
+        .join(pred, "cur_type", "left")
+        .select(
+            "cur_type",
+            "predicted_next",
+            "n_test",
+            "n_correct",
+            "accuracy",
+            "avg_bits",
+        )
+        .orderBy("cur_type")
+    )

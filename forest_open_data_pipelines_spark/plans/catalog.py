@@ -917,6 +917,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_sample": lambda s, d: curation.priority_sample(
         load_table(s, d, "documents")
     ),
+    # first-order Markov next-event model with a temporal train/test
+    # split: top-1 accuracy + micro-bit exact log-loss per cur type
+    # (the sequence-model evaluation shape)
+    "markov_next_event_eval": lambda s, d: (
+        sessionize.markov_next_event_eval(load_table(s, d, "events"))
+    ),
     # split-conformal prediction intervals (Vovk/Lei) around a
     # seasonal-naive daily forecast: order-statistic q-hat on exact
     # micro-quantized residuals, integer-exact calibration rank —
@@ -1102,6 +1108,7 @@ _R12_WINDOW: tuple[str, ...] = (
     "er_incremental_classify",
     "kn_bigram_perplexity",
     "conformal_forecast_intervals",
+    "markov_next_event_eval",
     # the 39 oldest r7-vintage rows (alphabetical)
     "audit_markdown_table",
     "catalog_cards",
@@ -1130,7 +1137,6 @@ _R12_WINDOW: tuple[str, ...] = (
     "profile_files",
     "pt_date_parse",
     "pt_numeric_parse",
-    "q12_shipping_delay",
 )
 assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 
@@ -1138,14 +1144,14 @@ assert len(_R12_WINDOW) == DRIVER_CHECK_CAP, len(_R12_WINDOW)
 # 0) any round-12 additions without a driver row yet, and any entry
 #    whose catalog plan changes in round 13;
 # 1) any round-12 window row the driver fails - fix first, re-window;
-# 2) the 14 remaining r7-vintage rows (q8_market_share,
-#    q9_product_type_profit, q16_supplier_part_variety,
-#    q17_small_quantity_revenue, q20_dominant_suppliers,
-#    q21_sole_latest_shipper, referential_integrity_audit — displaced
-#    by the late-r12 kmv/ER/kn-perplexity/conformal slots —
-#    research_trends_rollup, route_nearest_query, simhash_budget_sweep,
-#    skew_salted_join_agg, skew_two_phase_agg, text_cleanup,
-#    vocab_growth);
+# 2) the 15 remaining r7-vintage rows (q8_market_share,
+#    q9_product_type_profit, q12_shipping_delay,
+#    q16_supplier_part_variety, q17_small_quantity_revenue,
+#    q20_dominant_suppliers, q21_sole_latest_shipper,
+#    referential_integrity_audit — displaced by the ten late-r12
+#    addition slots — research_trends_rollup, route_nearest_query,
+#    simhash_budget_sweep, skew_salted_join_agg, skew_two_phase_agg,
+#    text_cleanup, vocab_growth);
 # 3) then the oldest r8-vintage rows to fill 50 (top_customers,
 #    events_sessionize, event_transitions, daily_anomaly_report,
 #    schema_audit, type_inference, freshness_latest, lang_id,

@@ -47,6 +47,7 @@ MUST_BE_IN_WINDOW = {
     "er_incremental_classify",
     "kn_bigram_perplexity",
     "conformal_forecast_intervals",
+    "markov_next_event_eval",
 }
 
 

@@ -7602,6 +7602,117 @@ def test_kn_bigram_perplexity_stdlib_twin_and_gate(spark):
     assert flags == {True, False}
 
 
+def test_markov_next_event_eval_stdlib_twin(spark):
+    """Pure-Python replay of the Markov eval on a constructed stream
+    that fires every branch: a skewed train pattern (so accuracy
+    beats chance and the argmax tie-break matters), an UNSEEN PAIR in
+    the test week (add-one floor backoff), and an UNSEEN CUR type
+    that exists only in the test week (1/K backoff, counted
+    incorrect)."""
+    import math
+    from collections import Counter
+    from datetime import datetime
+
+    from forest_open_data_pipelines_spark.operators.dedup import (
+        release_persisted,
+    )
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        MARKOV_TEST_DAYS,
+        markov_next_event_eval,
+    )
+
+    rows, eid = [], 0
+
+    def ev(user, day, hour, t):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, datetime(2024, 1, day, hour), user, t, 1.0, "{}"))
+
+    # train days 1..23: user 1 strongly a->b, b->a; user 2 mixes in c
+    for d in range(1, 24):
+        for h, t in [(1, "a"), (2, "b"), (3, "a"), (4, "b")]:
+            ev(1, d, h, t)
+        for h, t in [(1, "a"), (2, "c"), (3, "a")]:
+            ev(2, d, h, t)
+    # test days 24..30: a->b continues (correct), b->c appears
+    # (UNSEEN PAIR: b->c never trained), and x->a (x = UNSEEN CUR)
+    for d in range(24, 31):
+        for h, t in [(1, "a"), (2, "b"), (3, "c")]:
+            ev(1, d, h, t)
+        for h, t in [(1, "x"), (2, "a")]:
+            ev(2, d, h, t)
+    ev_df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    try:
+        got = {r["cur_type"]: r for r in markov_next_event_eval(ev_df).collect()}
+    finally:
+        release_persisted()
+
+    # stdlib replay
+    by_user: dict[int, list] = {}
+    for eid_, ts, uid, t, _v, _p in rows:
+        by_user.setdefault(uid, []).append((ts, eid_, t))
+    bigrams = []
+    for uid, lst in by_user.items():
+        lst.sort()
+        for a, b in zip(lst, lst[1:]):
+            bigrams.append((a[2], b[2], b[0].date()))
+    split_day = max(d for _c, _n, d in bigrams)
+    from datetime import timedelta
+
+    split_day = split_day - timedelta(days=MARKOV_TEST_DAYS)
+    train = [(c, n) for c, n, d in bigrams if d <= split_day]
+    test = [(c, n) for c, n, d in bigrams if d > split_day]
+    pairs = Counter(train)
+    n_cur = Counter()
+    for (c, _n), k in pairs.items():
+        n_cur[c] += k
+    K = len({n for _c, n in train})
+
+    def half_away(x):
+        return int(math.floor(x + 0.5)) if x >= 0 else -int(
+            math.floor(-x + 0.5)
+        )
+
+    def lp(c, n):
+        if (c, n) in pairs:
+            p = (pairs[(c, n)] + 1) / (n_cur[c] + K)
+        elif c in n_cur:
+            p = 1.0 / (n_cur[c] + K)
+        else:
+            p = 1.0 / K
+        return half_away(math.log2(p) * 1e6)
+
+    pred = {}
+    for c in n_cur:
+        pred[c] = min(
+            (n for (cc, n) in pairs if cc == c),
+            key=lambda n: (-pairs[(c, n)], n),
+        )
+    agg: dict[str, list] = {}
+    for c, n in test:
+        a = agg.setdefault(c, [0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if pred.get(c) == n else 0
+        a[2] += lp(c, n)
+    assert set(got) == set(agg)
+    for c, (nt, nc, lps) in agg.items():
+        r = got[c]
+        assert r["n_test"] == nt and r["n_correct"] == nc, (c, r)
+        assert r["predicted_next"] == pred.get(c), (c, r)
+        assert r["accuracy"] == math.floor(nc / nt * 1e6 + 0.5) / 1e6
+        assert r["avg_bits"] == math.floor(-lps / (nt * 1e6) * 1e6 + 0.5) / 1e6
+    # the constructed branches actually fired
+    assert ("b", "c") not in pairs and "b" in n_cur  # unseen pair
+    assert "x" not in n_cur  # unseen cur
+    # skew learned: a->b dominates, far above the 1/K=0.25 chance rate
+    # (exactly 0.5 because user 2's day boundary contributes a->x)
+    assert got["a"]["accuracy"] >= 0.5
+
+
 def test_conformal_forecast_intervals_hand_series(spark):
     """Closed-form conformal contract: daily total d² gives
     seasonal-naive residuals 14d−49 (strictly increasing), so with 16
