@@ -336,28 +336,45 @@ def winnowing_fingerprint_frame(cleaned: DataFrame, k: int, w: int) -> DataFrame
     """Distinct (doc_id, fp) winnowing fingerprints over a cleaned
     (doc_id, t) frame — ONE definition of the gram/selection geometry
     shared by ``dedup_winnowing`` and ``winnowing_incremental`` (the
-    SQL twins share their CTE builder the same way). Both per-doc
-    windows (gram count, rightmost-min selection) ride one doc_id
-    exchange and sort."""
+    SQL twins share their CTE builder the same way).
+
+    ZERO-SHUFFLE shape (optimization r12, guide §2.4): the selection is
+    a pure per-document function of the gram-hash sequence, so the
+    whole frame is per-row array expressions — gram array → hash array
+    → rightmost-min-of-window per position → per-doc distinct →
+    explode. The previous formulation posexploded every char k-gram
+    and ran two windows over the gram stream (doc_id Exchange + sort of
+    ~len(text) rows per doc) plus a global distinct Exchange; all three
+    exchanges are gone and the per-position work is identical
+    (min-of-w comparisons — Spark's sliding window frame recomputed
+    its min per row too). The rightmost-on-ties selection is the same
+    lexicographic struct min: min(struct(hash, -pos)).
+
+    The selected VALUE per window is simply the window's min hash —
+    the classic rightmost-on-ties rule only decides which POSITION is
+    credited, and this frame never emits positions — so the selection
+    is ``array_min(slice(h, p+1, w))`` on a plain long array (no
+    per-element struct allocation; ``slice`` clips at the array end
+    exactly like the old window frame did when n < w). Each array is
+    staged as a real projection column and referenced by attribute
+    from the next stage's lambdas, so nothing re-evaluates per element
+    (the staged_repetition_arrays discipline).
+    """
     gram_arr = F.expr(
         f"CASE WHEN length(t) >= {k} THEN transform(sequence(1, length(t) - {k - 1}),"
         f" i -> substring(t, i, {k})) ELSE array(t) END"
     )
-    ex = cleaned.select("doc_id", F.posexplode(gram_arr).alias("pos", "g")).select(
-        "doc_id", "pos", _md5_int(F.col("g")).alias("h")
+    hashed = cleaned.select("doc_id", gram_arr.alias("_g")).select(
+        "doc_id", F.transform("_g", lambda g: _md5_int(g)).alias("h")
     )
-    doc_w = Window.partitionBy("doc_id")
-    winnow_w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
-    n_grams = F.max("pos").over(doc_w) + 1
-    fp_col = F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).over(
-        winnow_w
-    )["h"]
-    return (
-        ex.withColumn("n_grams", n_grams)
-        .withColumn("fp", fp_col)
-        .where(F.col("pos") <= F.greatest(F.col("n_grams") - w, F.lit(0)))
-        .select("doc_id", "fp")
-        .distinct()
+    # positions p = 0 .. max(n_grams - w, 0): one window-min per kept
+    # position, then the per-doc distinct — the winnowing selection
+    fps = F.expr(
+        f"transform(sequence(0, greatest(size(h) - {w}, 0)),"
+        f" p -> array_min(slice(h, p + 1, {w})))"
+    )
+    return hashed.select(
+        "doc_id", F.explode(F.array_distinct(fps)).alias("fp")
     )
 
 

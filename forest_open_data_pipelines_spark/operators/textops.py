@@ -950,6 +950,69 @@ def gopher_repetition_rules(
     )
 
 
+def quality_repetition_projection(documents: DataFrame) -> DataFrame:
+    """``quality_repetition`` on the ZERO-SHUFFLE projection plan —
+    same rows, same columns, same 6-dp values as the aggregate twin
+    (pinned column-for-column by
+    ``test_repetition_gates_row_cols_match_aggregate_twins`` and by
+    matching oracle hashes at three SFs).
+
+    NOT the catalog plan: the r12 A/B measured 0.64 s (aggregate) vs
+    1.38 s (projection) at sf0.1 — this gate's gram stream is only ~3×
+    the token mass and its shuffle is map-side combinable, so the
+    per-row array sorts cost more than the exchange they remove at
+    bench scale. Kept for corpora where the scan→shuffle byte ratio
+    flips (the gopher twin, at ~9× mass, DOES win — see
+    ``gopher_repetition_rules_projection``) and for zero-state
+    streaming use."""
+    row = repetition_gates_row_cols(staged_repetition_arrays(documents))
+    return row.select(
+        "doc_id",
+        "n_tokens",
+        "distinct_ratio",
+        "top_unigram_frac",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "passes_repetition",
+    ).orderBy("doc_id")
+
+
+def gopher_repetition_rules_projection(documents: DataFrame) -> DataFrame:
+    """``gopher_repetition_rules`` on the ZERO-SHUFFLE projection plan
+    (optimization r12, guide §2.4): the aggregate formulation explodes
+    eleven tagged gram streams (~9× the corpus token mass — the single
+    biggest exchange in the curation pipeline at 100 TB) into two
+    shuffled aggregations; every metric keys by doc_id alone, so the
+    per-row sorted-run statistics compute the identical values with
+    zero Exchange. Column list and order match the aggregate twin
+    exactly; equality is pinned by
+    ``test_repetition_gates_row_cols_match_aggregate_twins`` (real
+    corpus + textified variant + degenerate docs) and by the unchanged
+    oracle hashes at three SFs."""
+    row = repetition_gates_row_cols(staged_repetition_arrays(documents))
+    cols = (
+        [
+            "doc_id",
+            "dup_line_frac",
+            "dup_line_char_frac",
+            "dup_para_frac",
+            "dup_para_char_frac",
+        ]
+        + [f"top_{ng}gram_char_frac" for ng in GOPHER_TOP_NGRAM_THRESHOLDS]
+        + [f"dup_{ng}gram_char_frac" for ng in GOPHER_DUP_NGRAM_THRESHOLDS]
+        + [
+            "rule_dup_line_frac",
+            "rule_dup_line_char_frac",
+            "rule_dup_para_frac",
+            "rule_dup_para_char_frac",
+        ]
+        + [f"rule_top_{ng}gram" for ng in GOPHER_TOP_NGRAM_THRESHOLDS]
+        + [f"rule_dup_{ng}gram" for ng in GOPHER_DUP_NGRAM_THRESHOLDS]
+        + ["passes_repetition_rules"]
+    )
+    return row.select(*cols).orderBy("doc_id")
+
+
 #: C4 cleaning thresholds (Raffel et al. 2020 §2.2, public
 #: methodology) — single-sourced with the DuckDB oracle.
 C4_MIN_WORDS_PER_LINE = 5
@@ -2878,12 +2941,18 @@ def bm25_topk(
     per-(query, doc) score is a sum of longs — partitioning cannot
     reorder it. Ranks tie-break on doc_id.
 
-    Scale: ONE token pass builds the (doc, term, tf) table; dl and df
-    both REDUCE it (no second corpus scan). The query set joins as a
-    broadcast literal (≤ queries·terms rows, df attached on the tiny
-    side first), so the corpus-side filter is a broadcast hash join —
-    no term-keyed corpus shuffle; the only wide exchanges are the tf
-    groupBy and the doc-keyed dl attach of the matched subset. The
+    Scale (optimization r12, guide §2.3 — filter before the exchange):
+    the scoring only ever needs tf/df for the FROZEN query terms, and
+    dl (doc length) and the corpus stats are per-row quantities — so
+    nothing vocabulary-sized is ever aggregated. One scan stages the
+    token array per row; dl = size(tokens) and the (n_docs, total_dl)
+    stats fold per-row with no explode; the explode is pre-filtered to
+    query-term hits only, so the (doc, term, tf) aggregate — the
+    previous formulation's full-vocabulary corpus shuffle (the token
+    mass over the wire) — shrinks to the matched rows, and dl rides
+    the same aggregate instead of a second doc-keyed join. df for the
+    query terms reduces the matched tf table; the query set joins as a
+    broadcast literal with df/idf attached on the tiny side. The
     final per-query top-k is a TWO-PHASE exact cut (shard-local top-k
     then a bounded merge), so a stopword-heavy query can never pull
     its whole match set into one sort task.
@@ -2891,20 +2960,27 @@ def bm25_topk(
     from forest_open_data_pipelines_spark.operators.dedup import _persist
 
     spark = documents.sparkSession
-    term = F.explode(F.split(F.lower(clean_text(F.col("text"))), " ")).alias(
-        "term"
+    wanted = sorted({t for _, terms in queries for t in terms})
+    toks = F.filter(
+        F.split(F.lower(clean_text(F.col("text"))), " "), lambda x: x != ""
     )
-    tf = _persist(
+    per = _persist(
         spread(documents)
-        .select("doc_id", term)
-        .where(F.col("term") != "")
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .select("doc_id", toks.alias("_t"))
+        .select(
+            "doc_id",
+            F.size("_t").alias("dl"),
+            F.filter("_t", lambda x: x.isin(*wanted)).alias("_qt"),
+        )
     )
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    tf = (
+        per.select("doc_id", "dl", F.explode("_qt").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    stats = per.where(F.col("dl") > 0).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("total_dl")
     )
     qdf = spark.createDataFrame(
         [(qid, t) for qid, terms in queries for t in terms],
@@ -2943,7 +3019,6 @@ def bm25_topk(
     contrib = F.round(F.col("idf_micro") * frac, 0).cast("long")
     scored = (
         tf.join(F.broadcast(qd), "term")
-        .join(dl, "doc_id")
         .select("query_id", "doc_id", contrib.alias("c"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("c").alias("score_micro"), F.count(F.lit(1)).alias("n_terms"))

@@ -375,6 +375,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": lambda s, d: packing.pack_sequences(
         load_table(s, d, "documents")
     ),
+    # stays on the aggregate plan: the r12 projection-twin A/B measured
+    # 0.64 -> 1.38 s at sf0.1 (the per-row array sorts cost more than
+    # this gate's 3x-token-mass map-side-combinable shuffle); see
+    # OPTIMIZATION_r12.md
     "quality_repetition": lambda s, d: textops.quality_repetition(
         load_table(s, d, "documents")
     ),
@@ -849,9 +853,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         load_table(s, d, "documents")
     ),
     # the full Gopher A1.1 repetition block over the textified variant
-    # (line/para duplicate mass fires at catalog scale)
-    "gopher_repetition_rules": lambda s, d: textops.gopher_repetition_rules(
-        textops.repetition_textify(load_table(s, d, "documents"))
+    # (line/para duplicate mass fires at catalog scale); zero-shuffle
+    # projection plan (optimization r12): identical rows to the
+    # aggregate twin (test-pinned + oracle-hash-pinned)
+    "gopher_repetition_rules": lambda s, d: (
+        textops.gopher_repetition_rules_projection(
+            textops.repetition_textify(load_table(s, d, "documents"))
+        )
     ),
     # one unigram-LM EM round (Kudo 2018) — rows-only by the bpe_train
     # precedent (data-dependent training loop, per-word Viterbi DP);
