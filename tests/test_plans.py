@@ -1010,14 +1010,36 @@ def test_media_decode_report_single_stage_no_join(spark):
     assert plan.count("MapInPandas") == 2  # synth + decode, same stage
 
 
-def test_gopher_repetition_rules_one_scan_combinable_aggs(spark):
-    """Round-11 repetition block: ONE documents scan feeds all 11
-    tagged streams (plus the degenerate-doc sentinel) through a single
-    explode; both aggregations are partial (map-side combinable) and
-    no Python runs anywhere."""
+def test_gopher_repetition_rules_zero_shuffle_projection(spark):
+    """Optimization r12 (guide §2.4): the catalog entry runs the
+    zero-shuffle projection twin — ONE documents scan, no gram-stream
+    explode, no hash exchange (the only exchange left is the
+    presentation orderBy's range partition), no Python anywhere.
+    Value equality with the aggregate twin is pinned by
+    test_repetition_gates_row_cols_match_aggregate_twins plus the
+    unchanged oracle hashes at three SFs."""
     from tools.scan_audit import live_scans
 
     plan = _plan(spark, "gopher_repetition_rules")
+    assert "PythonUDF" not in plan
+    assert live_scans(plan) == {"documents": 1}, live_scans(plan)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate explode" not in plan
+
+
+def test_gopher_repetition_rules_aggregate_twin_combinable(spark):
+    """The cross-checked AGGREGATE formulation (kept in the tree as
+    the reference implementation): ONE documents scan feeds the tagged
+    gram streams through a single explode, and both aggregations are
+    partial (map-side combinable); no Python anywhere."""
+    from forest_open_data_pipelines_spark.operators.textops import (
+        gopher_repetition_rules,
+    )
+    from forest_open_data_pipelines_spark.sources import load_table
+    from tools.scan_audit import live_scans
+
+    df = gopher_repetition_rules(load_table(spark, SF_DIR, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PythonUDF" not in plan
     assert live_scans(plan) == {"documents": 1}, live_scans(plan)
     assert "partial_" in plan  # map-side combine before the exchange
