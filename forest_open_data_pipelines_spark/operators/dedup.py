@@ -1535,17 +1535,31 @@ def connected_components(
     labels = nodes.select(
         "doc_id", F.col("doc_id").alias("label")
     ).localCheckpoint()
+    # Convergence via the monotone label-mass invariant (optimization
+    # r12, guide §2.4): every step can only DECREASE a label
+    # (stepped = least(label, nbr_min); the jump target is the
+    # parent's label ≤ parent id = label), so a pass changed nothing
+    # iff sum(label) is unchanged — one map-side-combinable aggregate
+    # over the just-checkpointed labels replaces the former
+    # new-vs-old equi-join + count per pass (one join/exchange fewer
+    # per pass, same break points). Decimal sum: exact at any node
+    # count, no long overflow.
+    label_mass = F.sum(F.col("label").cast("decimal(38,0)")).alias("mass")
+    prev_mass = labels.agg(label_mass).collect()[0]["mass"]
     for _ in range(max_iters):
-        nbr = (
+        # least(own, min-neighbor) as ONE union + min aggregate
+        # (optimization r12, guide §2.4): the former neighbor-min
+        # groupBy FOLLOWED BY a labels equi-join re-shuffled the
+        # labels table per pass; min over (own label row ∪ neighbor
+        # label rows) is the same value with one aggregation exchange
+        # and no join. Map-side combine bounds hub fan-in exactly as
+        # before.
+        stepped = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy(edges["doc_a"].alias("doc_id"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        stepped = labels.join(nbr, "doc_id", "left").select(
-            "doc_id",
-            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
-                "label"
-            ),
+            .select(edges["doc_a"].alias("doc_id"), "label")
+            .unionByName(labels)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
         )
         # one materialization per pass serves the hot-label count, the
         # jump join and the changed-count (checkpoint also truncates
@@ -1573,18 +1587,14 @@ def connected_components(
             .select("doc_id", F.col("p_label").alias("label"))
         )
         jumped = cold_rows.unionByName(hot_rows)
-        # lazy: the changed-count action below materializes the
+        # lazy: the label-mass action below materializes the
         # checkpoint — one job per pass instead of two
         new_labels = jumped.localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        mass = new_labels.agg(label_mass).collect()[0]["mass"]
         labels = new_labels
-        if changed == 0:
+        if mass == prev_mass:
             break
+        prev_mass = mass
     return labels
 
 
