@@ -1301,13 +1301,24 @@ def ann_method_eval(
             "query_id", "cand_id"
         )
     )
-    methods = {
-        "ivf": ann_topk_ivf(embeddings, n_queries, k),
-        "ivfpq": ann_topk_ivfpq(embeddings, n_queries, k),
-        "lsh": ann_topk_lsh(embeddings, n_queries, k),
-        "pq": ann_topk_pq(embeddings, n_queries, k),
-        "sq8": ann_topk_sq8(embeddings, n_queries, k),
+    # same construction shape as retrieval_rank_eval (optimization
+    # r12): one shared persisted PQ encode frame for the pq/ivfpq
+    # branches, method frames built concurrently (guide §2.6)
+    enc = _persist(
+        _pq_encoded(embeddings, _pq_codebook(embeddings), PQ_M, PQ_KS, 64)
+    )
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = {
+        "ivf": lambda: ann_topk_ivf(embeddings, n_queries, k),
+        "ivfpq": lambda: ann_topk_ivfpq(embeddings, n_queries, k, enc=enc),
+        "lsh": lambda: ann_topk_lsh(embeddings, n_queries, k),
+        "pq": lambda: ann_topk_pq(embeddings, n_queries, k, enc=enc),
+        "sq8": lambda: ann_topk_sq8(embeddings, n_queries, k),
     }
+    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
+        futures = {name: pool.submit(fn) for name, fn in builders.items()}
+        methods = {name: fut.result() for name, fut in futures.items()}
     outs = []
     for name, m in methods.items():
         m = _persist(m.select("query_id", "cand_id"))

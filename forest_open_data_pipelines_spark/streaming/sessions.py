@@ -99,23 +99,67 @@ def _update_sessions(
     else:
         closed, start_us, last_us, n, total = 0, None, None, 0, 0.0
 
+    import numpy as np
+
     out: list[dict[str, Any]] = []
+    # Vectorized per-batch segmentation (optimization r12, guide §4.2:
+    # no per-event Python) — boundaries are ts-diff > gap, session ids
+    # their cumsum, per-session totals np.add.reduceat (a strictly
+    # sequential left-to-right segment reduce, the same order as the
+    # former `total += value` loop); the carried open session merges
+    # with the first segment when the first event extends it.
+    # Per-chunk semantics are byte-identical to the former loop: each
+    # chunk is sorted and consumed independently, state carrying over.
     for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
         pdf = pdf.sort_values(["ts", "event_id"])
-        for ts, value in zip(pdf["ts"], pdf["value"]):
-            ts_us = ts.value // 1000
-            if start_us is None:
-                start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
-            elif ts_us - last_us > gap_us:
+        ts_us = pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        vals = pdf["value"].to_numpy(dtype="float64")
+        m = len(ts_us)
+        # boundary BEFORE event i (i>0): gap exceeded vs previous event
+        new_seg = np.empty(m, dtype=bool)
+        new_seg[0] = True
+        if m > 1:
+            new_seg[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        starts = np.flatnonzero(new_seg)
+        seg_sums = np.add.reduceat(vals, starts)
+        seg_ends = np.append(starts[1:], m) - 1
+        seg_first = 0
+        if start_us is not None:
+            if ts_us[0] - last_us > gap_us:
+                # carried session closes before this chunk's first event
                 closed += 1
                 out.append(
                     _session_row(user_id, closed - 1, start_us, last_us, n, total)
                 )
-                start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
             else:
-                last_us = ts_us
-                n += 1
-                total += float(value)
+                # first segment extends the carried session — fold its
+                # values SEQUENTIALLY onto the carried total (the
+                # former loop's exact (((total+v1)+v2)+...) order; a
+                # pre-summed segment would regroup the float adds).
+                # At most one such segment per chunk.
+                for v in vals[starts[0] : seg_ends[0] + 1]:
+                    total += float(v)
+                n += int(seg_ends[0] - starts[0] + 1)
+                last_us = int(ts_us[seg_ends[0]])
+                seg_first = 1
+        if seg_first == 0 and m > 0:
+            start_us = int(ts_us[starts[0]])
+            last_us = int(ts_us[seg_ends[0]])
+            n = int(seg_ends[0] - starts[0] + 1)
+            total = float(seg_sums[0])
+            seg_first = 1
+        # every further segment CLOSES the one before it
+        for si in range(seg_first, len(starts)):
+            closed += 1
+            out.append(
+                _session_row(user_id, closed - 1, start_us, last_us, n, total)
+            )
+            start_us = int(ts_us[starts[si]])
+            last_us = int(ts_us[seg_ends[si]])
+            n = int(seg_ends[si] - starts[si] + 1)
+            total = float(seg_sums[si])
 
     state.update((closed, start_us, last_us, n, total))
     yield pd.DataFrame(

@@ -104,6 +104,104 @@ def test_cadence_monitor_matches_batch(spark, tmp_path):
         assert g["last_observed_at"] == b["last_observed_at"], uid
 
 
+def test_sessionize_kernel_vectorized_matches_loop_reference():
+    """Optimization r12 pins the vectorized `_update_sessions` kernel
+    (np segmentation + reduceat sums) against a pure-Python replay of
+    the former per-event loop, across the carry cases the drain test
+    cannot isolate: carried session EXTENDED by a later chunk, carried
+    session CLOSED by the gap, several sessions inside one chunk, a
+    multi-chunk micro-batch, and float totals whose fold order the
+    kernel must reproduce exactly."""
+    import pandas as pd
+
+    from forest_open_data_pipelines_spark.operators.sessionize import (
+        SESSION_GAP_MINUTES,
+    )
+    from forest_open_data_pipelines_spark.streaming.sessions import (
+        _session_row,
+        _update_sessions,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def loop_reference(chunks_per_batch, gap_us=SESSION_GAP_MINUTES * 60_000_000):
+        closed, start_us, last_us, n, total = 0, None, None, 0, 0.0
+        out = []
+        for chunks in chunks_per_batch:
+            for pdf in chunks:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for ts, value in zip(pdf["ts"], pdf["value"]):
+                    ts_us = ts.value // 1000
+                    if start_us is None:
+                        start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
+                    elif ts_us - last_us > gap_us:
+                        closed += 1
+                        out.append(
+                            _session_row(7, closed - 1, start_us, last_us, n, total)
+                        )
+                        start_us, last_us, n, total = ts_us, ts_us, 1, float(value)
+                    else:
+                        last_us = ts_us
+                        n += 1
+                        total += float(value)
+        return out, (closed, start_us, last_us, n, total)
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [7] * len(rows),
+                "ts": pd.to_datetime([r[0] for r in rows]),
+                "event_id": [i for i in range(len(rows))],
+                "value": [r[1] for r in rows],
+            }
+        )
+
+    # batch 1, chunk A: two sessions (gap between 10:00 and 11:00);
+    # chunk B of the SAME batch extends the open one then opens another
+    batches = [
+        [
+            mk([("2024-01-01 09:00", 1.11), ("2024-01-01 09:10", 2.03),
+                ("2024-01-01 11:00", 0.07)]),
+            mk([("2024-01-01 11:20", 5.55), ("2024-01-01 14:00", 1.01)]),
+        ],
+        # batch 2: first event EXTENDS the carried session
+        [mk([("2024-01-01 14:25", 2.22), ("2024-01-01 18:00", 3.33)])],
+        # batch 3: first event past the gap — carried session CLOSES
+        [mk([("2024-01-02 08:00", 4.44)])],
+        # batch 4: empty chunk then a burst of three sessions
+        [mk([]), mk([("2024-01-03 08:00", 0.10), ("2024-01-03 10:00", 0.20),
+                     ("2024-01-03 12:00", 0.30), ("2024-01-03 12:10", 0.40)])],
+    ]
+    state = FakeState()
+    got = []
+    for chunks in batches:
+        got.extend(
+            rec
+            for pdf in _update_sessions((7,), iter(chunks), state)
+            for rec in pdf.to_dict("records")
+        )
+    want_rows, want_state = loop_reference(batches)
+    want = [dict(r) for r in want_rows]
+    got_cmp = [
+        {k: (v if k not in ("user_id", "session_seq", "n_events") else int(v))
+         for k, v in r.items()} for r in got
+    ]
+    assert got_cmp == want
+    assert state.get == want_state
+    assert len(want) >= 6  # the scenario really exercises closures
+
+
 def test_sessionize_stream_matches_batch_closed_sessions(spark, tmp_path):
     """Streaming sessions: once the stream drains, the emitted (closed)
     sessions must equal the batch result minus each user's final
