@@ -382,28 +382,46 @@ def freshness_watch_signals(
     )
     res_ts, res_prec = _govbr_signal(F.col("resource_updated_label"))
     page_ts, page_prec = _govbr_signal(F.col("page_modified_label"))
-    method = (
-        F.when(rfc_ts.isNotNull(), F.lit("http_last_modified"))
-        .when(iso_ts.isNotNull(), F.lit("manifest_profiled_at"))
-        .when(res_ts.isNotNull(), F.lit("anp_resource_updated_label"))
-        .when(page_ts.isNotNull(), F.lit("anp_page_modified_label"))
-    )
-    signal = F.coalesce(rfc_ts, iso_ts, res_ts, page_ts)
-    precision = (
-        F.when(rfc_ts.isNotNull() | iso_ts.isNotNull(), F.lit("datetime"))
-        .when(res_ts.isNotNull(), res_prec)
-        .when(page_ts.isNotNull(), page_prec)
-    )
     raw = F.coalesce(
         hdr, iso_raw, F.col("resource_updated_label"),
         F.col("page_modified_label"),
     )
-    out = obs.select(
+    # The four parse trees are each consumed 3-4× below (method, signal,
+    # precision, warning). Staging them as real columns keeps each codegen
+    # method under janino's 64 KB limit (the single-projection form fell
+    # back to interpreted evaluation) and evaluates each regex chain once;
+    # CollapseProject leaves the split alone because the staged expressions
+    # are non-cheap and multiply referenced.
+    staged = obs.select(
+        "doc_id",
+        rfc_ts.alias("_rfc_ts"),
+        iso_ts.alias("_iso_ts"),
+        res_ts.alias("_res_ts"),
+        res_prec.alias("_res_prec"),
+        page_ts.alias("_page_ts"),
+        page_prec.alias("_page_prec"),
+        raw.alias("raw_label"),
+    )
+    s_rfc, s_iso = F.col("_rfc_ts"), F.col("_iso_ts")
+    s_res, s_page = F.col("_res_ts"), F.col("_page_ts")
+    method = (
+        F.when(s_rfc.isNotNull(), F.lit("http_last_modified"))
+        .when(s_iso.isNotNull(), F.lit("manifest_profiled_at"))
+        .when(s_res.isNotNull(), F.lit("anp_resource_updated_label"))
+        .when(s_page.isNotNull(), F.lit("anp_page_modified_label"))
+    )
+    signal = F.coalesce(s_rfc, s_iso, s_res, s_page)
+    precision = (
+        F.when(s_rfc.isNotNull() | s_iso.isNotNull(), F.lit("datetime"))
+        .when(s_res.isNotNull(), F.col("_res_prec"))
+        .when(s_page.isNotNull(), F.col("_page_prec"))
+    )
+    out = staged.select(
         "doc_id",
         method.alias("method"),
         signal.alias("source_modified_at"),
         precision.alias("precision"),
-        raw.alias("raw_label"),
+        "raw_label",
         F.when(signal.isNull(), F.lit("no freshness signal"))
         .otherwise(F.lit(""))
         .alias("warning"),
