@@ -2070,22 +2070,34 @@ def bitext_mining(
     tgt = tagged.where(F.col("lang") == tgt_lang).select(
         F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("t_emb")
     )
-    sb = banded_signatures(
-        src, "src_id", "s_emb", n_planes, bands, dim, carry_embedding=True
-    ).withColumnRenamed("nrm", "s_norm")
-    tb = banded_signatures(
-        tgt, "tgt_id", "t_emb", n_planes, bands, dim, carry_embedding=True
-    ).withColumnRenamed("nrm", "t_norm")
+    sb = banded_signatures(src, "src_id", "s_emb", n_planes, bands, dim)
+    tb = banded_signatures(tgt, "tgt_id", "t_emb", n_planes, bands, dim)
     cos = ratio(
         _dot(F.col("s_emb"), F.col("t_emb"))
         / (F.col("s_norm") * F.col("t_norm"))
     )
+    # Distinct-then-verify (the dedup_embedding_lsh-adjudicated shape):
+    # at this recall-first geometry (2-bit band keys) a candidate pair
+    # collides in ~2.25 bands on average (measured at sf0.1: 490,858
+    # collisions -> 218,032 distinct pairs), so scoring inside the band
+    # join paid the 64-dim cosine fold once PER COLLISION and shuttled
+    # the 8x-replicated embeddings through the band shuffle. The band
+    # join now carries ids only; embeddings re-attach once per distinct
+    # pair with the identical fold expressions (norms bit-match the
+    # kernel's `nrm` by the shared sequential-accumulation contract).
+    cand = (
+        sb.join(tb, ["band", "key"]).select("src_id", "tgt_id").distinct()
+    )
+    se = src.select(
+        "src_id", "s_emb", _norm(F.col("s_emb")).alias("s_norm")
+    )
+    te = tgt.select(
+        "tgt_id", "t_emb", _norm(F.col("t_emb")).alias("t_norm")
+    )
     pairs = _persist(
-        sb.join(tb, ["band", "key"])
+        cand.join(se, "src_id")
+        .join(te, "tgt_id")
         .select("src_id", "tgt_id", cos.alias("cosine"))
-        # multi-band matches carry the same cosine; max() dedupes
-        .groupBy("src_id", "tgt_id")
-        .agg(F.max("cosine").alias("cosine"))
     )
     from pyspark.sql import Window
 
