@@ -40,6 +40,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Resolve-once memo of the ANALYZED (unevaluated) frame. Every
+    # `spark.read.parquet` pays ~80-120 ms of driver work (file listing,
+    # footer schema read, py4j chatter) and the bench/oracle harnesses
+    # rebuild each query from load_table on every rep — ~100 ms x
+    # hundreds of calls of pure fixed cost. The memo hands back the same
+    # immutable plan object; every action still scans the parquet files
+    # (no data or results are cached). Keyed on the session object (a
+    # dict stored ON the session, so lifetime tracks it — a newSession()
+    # twin resolves its own entry) plus the session time zone, because
+    # the events NTZ retag below bakes the zone into the plan. The
+    # source files are never rewritten mid-process (the
+    # _SPREAD_PROBE_CACHE contract).
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    cache = spark.__dict__.setdefault("_fodp_table_cache", {})
+    key = (sf_dir.rstrip("/"), name, tz)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which vanilla
     # Spark rejects (PARQUET_TYPE_ILLEGAL). The legacy conf is
     # runtime-settable, so set it here rather than relying on the
@@ -68,6 +86,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # from_utc_timestamp undoes that session-zone interpretation so
         # the result is the same instant on any caller session.
         df = df.withColumn("ts", ntz_as_utc_instant(spark, F.col("ts")))
+    cache[key] = df
     return df
 
 
