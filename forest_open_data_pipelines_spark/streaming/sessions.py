@@ -101,7 +101,17 @@ def _update_sessions(
 
     import numpy as np
 
-    out: list[dict[str, Any]] = []
+    # Columnar output accumulators (optimization r12: a drained sf0.1
+    # stream emits ~94k closed sessions — one dict + two pd.Timestamp
+    # objects per row made the OUTPUT assembly the kernel's dominant
+    # cost after the segment kernel itself was vectorized). The two
+    # HALF_UP roundings stay per-row Decimal so every emitted float is
+    # bit-identical to the former _session_row path.
+    o_seq: list[int] = []
+    o_start: list[int] = []
+    o_end: list[int] = []
+    o_n: list[int] = []
+    o_tot: list[float] = []
     # Vectorized per-batch segmentation (optimization r12, guide §4.2:
     # no per-event Python) — boundaries are ts-diff > gap, session ids
     # their cumsum, per-session totals np.add.reduceat (a strictly
@@ -130,9 +140,11 @@ def _update_sessions(
             if ts_us[0] - last_us > gap_us:
                 # carried session closes before this chunk's first event
                 closed += 1
-                out.append(
-                    _session_row(user_id, closed - 1, start_us, last_us, n, total)
-                )
+                o_seq.append(closed - 1)
+                o_start.append(start_us)
+                o_end.append(last_us)
+                o_n.append(n)
+                o_tot.append(total)
             else:
                 # first segment extends the carried session — fold its
                 # values SEQUENTIALLY onto the carried total (the
@@ -150,25 +162,53 @@ def _update_sessions(
             n = int(seg_ends[0] - starts[0] + 1)
             total = float(seg_sums[0])
             seg_first = 1
-        # every further segment CLOSES the one before it
-        for si in range(seg_first, len(starts)):
-            closed += 1
-            out.append(
-                _session_row(user_id, closed - 1, start_us, last_us, n, total)
-            )
-            start_us = int(ts_us[starts[si]])
-            last_us = int(ts_us[seg_ends[si]])
-            n = int(seg_ends[si] - starts[si] + 1)
-            total = float(seg_sums[si])
+        # every further segment CLOSES the one before it: the emitted
+        # rows are the current open-session variables followed by
+        # segments seg_first..len-2 verbatim (each middle segment's
+        # emitted values ARE its start/end/count/sum — identical to the
+        # former per-segment rebind-then-emit loop), and the LAST
+        # segment becomes the new open session.
+        cnt = len(starts) - seg_first
+        if cnt > 0:
+            o_seq.extend(range(closed, closed + cnt))
+            closed += cnt
+            o_start.append(start_us)
+            o_end.append(last_us)
+            o_n.append(n)
+            o_tot.append(total)
+            if cnt > 1:
+                mid_s = starts[seg_first:-1]
+                mid_e = seg_ends[seg_first:-1]
+                o_start.extend(ts_us[mid_s].tolist())
+                o_end.extend(ts_us[mid_e].tolist())
+                o_n.extend((mid_e - mid_s + 1).tolist())
+                o_tot.extend(seg_sums[seg_first:-1].tolist())
+            start_us = int(ts_us[starts[-1]])
+            last_us = int(ts_us[seg_ends[-1]])
+            n = int(seg_ends[-1] - starts[-1] + 1)
+            total = float(seg_sums[-1])
 
     state.update((closed, start_us, last_us, n, total))
+    start_a = np.asarray(o_start, dtype="int64")
+    end_a = np.asarray(o_end, dtype="int64")
     yield pd.DataFrame(
-        out,
-        columns=[f.name for f in OUTPUT_SCHEMA.fields],
-    ).astype(
-        {"user_id": "int64", "session_seq": "int64", "n_events": "int64"}
-        if out
-        else {}
+        {
+            "user_id": np.full(len(o_seq), user_id, dtype="int64"),
+            "session_seq": np.asarray(o_seq, dtype="int64"),
+            "session_start": pd.to_datetime(start_a, unit="us"),
+            "session_end": pd.to_datetime(end_a, unit="us"),
+            "n_events": np.asarray(o_n, dtype="int64"),
+            "total_value": np.asarray(
+                [_round_half_up(t, 2) for t in o_tot], dtype="float64"
+            ),
+            "duration_minutes": np.asarray(
+                [
+                    _round_half_up((e - s) / 60.0, 0) / 1e6
+                    for s, e in zip(o_start, o_end)
+                ],
+                dtype="float64",
+            ),
+        }
     )
 
 
