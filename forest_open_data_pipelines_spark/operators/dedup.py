@@ -2083,10 +2083,31 @@ def edit_distance_pairs(
                 f"{max_short_docs}; pre-filter tiny docs (length floor) "
                 "or dedup them exactly before the edit-distance join"
             )
-    a = prefix.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"), "s")
-    b = prefix.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b"), "s")
+    # Length-bucketed join key (optimization r12): the |Δlen| ≤ k
+    # filter kills 85 % of the raw prefix collisions on this corpus
+    # (measured at sf0.1: 42.4M gram matches → 6.2M pairs), but as a
+    # post-join predicate every collision is still GENERATED. Adding
+    # `len div (k+1)` to the equi-join key — probe side exploded to
+    # bucket±1 — bounds match generation to the ±1-bucket window while
+    # keeping perfect recall: any |Δlen| ≤ k pair differs by at most
+    # one bucket, and each qualifying pair meets on exactly ONE of the
+    # probe rows (b's own bucket ±1 covers a's bucket once), so the
+    # filtered pair stream is row-identical to the unbucketed join.
+    lb = (F.col("len") / (k + 1)).cast("long")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("len").alias("len_a"),
+        "s",
+        lb.alias("lb"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("len").alias("len_b"),
+        "s",
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("lb"),
+    )
     cand_long = (
-        a.join(b, "s")
+        a.join(b, ["s", "lb"])
         .where(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("len_a") - F.col("len_b")) <= k)
