@@ -1302,8 +1302,11 @@ def ann_method_eval(
         )
     )
     # same construction shape as retrieval_rank_eval (optimization
-    # r12): one shared persisted PQ encode frame for the pq/ivfpq
-    # branches, method frames built concurrently (guide §2.6)
+    # r12/r13): one shared persisted PQ encode frame for the pq/ivfpq
+    # branches; method frames built AND materialized concurrently
+    # (guide §2.6 — see retrieval_rank_eval for the r13 measurement
+    # showing construction-only threading left the arm subtrees
+    # evaluating sequentially in the final union action)
     enc = _persist(
         _pq_encoded(embeddings, _pq_codebook(embeddings), PQ_M, PQ_KS, 64)
     )
@@ -1316,12 +1319,21 @@ def ann_method_eval(
         "pq": lambda: ann_topk_pq(embeddings, n_queries, k, enc=enc),
         "sq8": lambda: ann_topk_sq8(embeddings, n_queries, k),
     }
-    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
-        futures = {name: pool.submit(fn) for name, fn in builders.items()}
+
+    def _arm(fn):
+        m = _persist(fn().select("query_id", "cand_id"))
+        m.count()
+        return m
+
+    with ThreadPoolExecutor(max_workers=len(builders) + 1) as pool:
+        tf = pool.submit(truth.count)
+        futures = {
+            name: pool.submit(_arm, fn) for name, fn in builders.items()
+        }
         methods = {name: fut.result() for name, fut in futures.items()}
+        tf.result()
     outs = []
     for name, m in methods.items():
-        m = _persist(m.select("query_id", "cand_id"))
         inter = m.join(truth, ["query_id", "cand_id"]).agg(
             F.count("*").alias("n_hit")
         )
@@ -1409,12 +1421,21 @@ def retrieval_rank_eval(
     enc = _persist(
         _pq_encoded(embeddings, _pq_codebook(embeddings), PQ_M, PQ_KS, 64)
     )
-    # Build the five method frames CONCURRENTLY (guide §2.6): frame
-    # construction is driver-side work — bounded index-metadata
-    # collects (seeds, codebooks, query LUTs) plus plan building —
-    # and the collects are independent Spark jobs that overlap
-    # cleanly from a small thread pool. The frames themselves are
-    # unchanged, so the evaluated result is bit-identical.
+    # Build AND MATERIALIZE the five method frames CONCURRENTLY
+    # (guide §2.6). r12 threaded only the construction (bounded
+    # index-metadata collects + plan building), but the arm SUBTREES
+    # still evaluated sequentially inside the one final union action —
+    # measured r13: full query 5.31 s ≈ Σ isolated arms 5.42 s, zero
+    # overlap. Each thread now persists its arm's bounded
+    # (≤ n_queries·k rows) rank frame and counts it, so the five arm
+    # jobs overlap on the cluster and the final action unions tiny
+    # cached frames; wall-clock ≈ max(arm), not Σ(arm). Everything is
+    # still computed from the parquet inputs inside this call — the
+    # persists are released by release_persisted() like every other
+    # signature table. The pq/ivfpq threads race to fill the shared
+    # ``enc`` cache; BlockManager's per-partition cache locking makes
+    # one compute and the other wait, so the encode pass still runs
+    # once.
     from concurrent.futures import ThreadPoolExecutor
 
     builders = {
@@ -1424,9 +1445,19 @@ def retrieval_rank_eval(
         "pq": lambda: ann_topk_pq(embeddings, n_queries, k, enc=enc),
         "sq8": lambda: ann_topk_sq8(embeddings, n_queries, k),
     }
-    with ThreadPoolExecutor(max_workers=len(builders)) as pool:
-        futures = {name: pool.submit(fn) for name, fn in builders.items()}
+
+    def _arm(fn):
+        m = _persist(fn().select("query_id", "cand_id", "rank"))
+        m.count()
+        return m
+
+    with ThreadPoolExecutor(max_workers=len(builders) + 1) as pool:
+        tf = pool.submit(truth.count)
+        futures = {
+            name: pool.submit(_arm, fn) for name, fn in builders.items()
+        }
         methods = {name: fut.result() for name, fut in futures.items()}
+        tf.result()
     idcg = retrieval_idcg_micro(k)
     w = Window.partitionBy("query_id").orderBy("rank")
     gain = F.round(F.lit(1e6) / F.log2(F.col("rank") + 1), 0).cast("long")
@@ -1434,9 +1465,7 @@ def retrieval_rank_eval(
     rr = F.round(F.lit(1e6) / F.col("first_rank"), 0).cast("long")
     outs = []
     for name, m in methods.items():
-        hits = m.select("query_id", "cand_id", "rank").join(
-            truth, ["query_id", "cand_id"]
-        )
+        hits = m.join(truth, ["query_id", "cand_id"])
         per_q = (
             hits.withColumn("i", F.row_number().over(w))
             .groupBy("query_id")
