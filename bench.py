@@ -285,6 +285,25 @@ HEADLINE = [
     # driver correctness window.
 ]
 
+# Headline entries whose min-of-reps reads train-once index metadata
+# (the _CENTROID_CACHE/_PQ_CB_CACHE/_PQ_SEED_CACHE memos): rep 1 pays
+# the training/seed scans, later reps measure the steady-state
+# encode/probe cost — the production contract where codebooks persist
+# as index metadata. Machine-readable per VERDICT r12 item 7; set
+# SPARK_GRAFT_COLD_INDEX=1 to clear the memos between reps and measure
+# cold train+encode instead.
+STEADY_STATE = [
+    "ann_topk_ivf",
+    "ann_topk_pq",
+    "ann_topk_ivfpq",
+    "ann_topk_ivfpq_residual",
+    "embedding_quantize_pq",
+    "embedding_quantize_pq_trained",
+    "embedding_cluster_report",
+    "retrieval_rank_eval",
+    "dedup_semantic",
+]
+
 # Measurement caveats that belong next to the numbers they qualify.
 NOTES = {
     "_machine_variance": (
@@ -407,7 +426,19 @@ def _streaming_bench(spark, sf_dir: str) -> dict[str, float]:
         "streaming_priority_sample": (priority_sample_stream, "update"),
         "streaming_kmv_distinct": (kmv_distinct_stream, "update"),
     }
+    # Stateful micro-batches shard their state store by
+    # spark.sql.shuffle.partitions; the batch default (32) means every
+    # micro-batch pays 32 state-store open/commit tasks regardless of
+    # key volume. Any cluster deployment sizes this PER STREAM to its
+    # steady-state key count/throughput — parameterised here the same
+    # way (VERDICT r12 item 6), applied only within the drain scope so
+    # the batch headline rows keep the session default. AQE cannot do
+    # this for streams (state-store partitioning is pinned by the
+    # checkpoint, so coalescing is disabled there).
+    stream_parts = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
     out: dict[str, float] = {}
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
     for name, (build, mode) in drains.items():
         glob = (
             "documents.parquet"
@@ -432,6 +463,7 @@ def _streaming_bench(spark, sf_dir: str) -> dict[str, float]:
         spark.catalog.dropTempView(f"bench_{name}")
         shutil.rmtree(tmp, ignore_errors=True)
         print(f"# {name}: {out[name]:.3f}s", file=sys.stderr)
+    spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
     return out
 
 
@@ -441,10 +473,14 @@ def main() -> None:
     spark = get_spark("forest-pipelines-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # Warm the JVM/codegen paths so per-query numbers measure the
     # engine, not first-call JIT (the driver compares steady-state
-    # throughput with the reference).
-    QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+    # throughput with the reference). Three warm passes, not one: the
+    # r13 round-start run showed a single pass leaves the floor
+    # samples still declining (3.9 → 2.4 → 1.6 s) on a cold VM, which
+    # poisons the cross-round deflator the floor row exists for.
+    for _ in range(3):
+        QUERIES["q1_pricing_summary"](spark, sf_dir).count()
 
     # q1 session-floor calibration row (VERDICT r9 item 3): the same
     # fixed query measured the same way as every headline entry, taken
@@ -460,12 +496,20 @@ def main() -> None:
     q1_floor = round(min(floor_samples), 4)
     print(f"# q1_floor: {q1_floor:.3f}s {floor_samples}", file=sys.stderr)
 
+    cold_index = os.environ.get("SPARK_GRAFT_COLD_INDEX", "") != ""
+    if cold_index:
+        from forest_open_data_pipelines_spark.operators.similarity import (
+            clear_centroid_cache,
+        )
+
     mins: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
         samples: list[float] = []
         rows = 0
         for _ in range(REPS):
+            if cold_index:
+                clear_centroid_cache()
             start = time.perf_counter()
             rows = QUERIES[name](spark, sf_dir).count()
             samples.append(time.perf_counter() - start)
@@ -506,6 +550,8 @@ def main() -> None:
                 "q1_floor_sec": q1_floor,
                 "streaming": streaming,
                 "streaming_total_sec": streaming_total,
+                "steady_state": STEADY_STATE if not cold_index else [],
+                "cold_index": cold_index,
                 "notes": NOTES,
                 "reps": REPS,
                 "sf": sf_val,
@@ -514,7 +560,14 @@ def main() -> None:
             indent=1,
         )
         fh.write("\n")
-    worst = sorted(mins.items(), key=lambda kv: -kv[1])[:3]
+    # The one stdout line carries the FULL per-query map again
+    # (VERDICT r12 item 4/r13 item 2: the driver's round-over-round
+    # PERF comparison reads parsed["queries"] and came back empty with
+    # the artifact-pointer form). Centisecond rounding + compact
+    # separators keep the 184-entry line ≈4 KB; medians/notes stay in
+    # the artifact file. Printed LAST, after all stderr progress, so
+    # tail capture gets one clean parseable line.
+    sys.stderr.flush()
     print(
         json.dumps(
             {
@@ -526,11 +579,12 @@ def main() -> None:
                 "n_queries": len(mins),
                 "q1_floor_sec": q1_floor,
                 "streaming_total_sec": streaming_total,
-                "slowest3": {k: v for k, v in worst},
-                "queries": {"_full_map_in": artifact},
+                "queries": {k: round(v, 2) for k, v in mins.items()},
                 "artifact": artifact,
-            }
-        )
+            },
+            separators=(",", ":"),
+        ),
+        flush=True,
     )
     spark.stop()
 
