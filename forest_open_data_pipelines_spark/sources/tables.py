@@ -38,6 +38,13 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Resolve a star-schema table as an analyzed, unevaluated frame.
+
+    CONTRACT: the parquet directory is never rewritten mid-process
+    (the memo below hands back the same plan object per (session,
+    abspath, table, zone) for the life of the session). Harnesses that
+    regenerate data in place must call ``clear_table_cache`` first.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Resolve-once memo of the ANALYZED (unevaluated) frame. Every
@@ -52,12 +59,6 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the events NTZ retag below bakes the zone into the plan. The
     # source files are never rewritten mid-process (the
     # _SPREAD_PROBE_CACHE contract).
-    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-    cache = spark.__dict__.setdefault("_fodp_table_cache", {})
-    key = (sf_dir.rstrip("/"), name, tz)
-    hit = cache.get(key)
-    if hit is not None:
-        return hit
     # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which vanilla
     # Spark rejects (PARQUET_TYPE_ILLEGAL). The legacy conf is
     # runtime-settable, so set it here rather than relying on the
@@ -65,10 +66,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # NOTE: this is a lasting session-level setting (scans are lazy, so
     # restoring it after read.parquet() would break later jobs on the
     # returned DataFrame); it only affects how nanos columns surface.
+    # Set BEFORE the memo lookup (ADVICE r12): a cached events plan
+    # built under the conf must not execute after a caller reset it —
+    # the set is ~free next to even a memo hit.
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except AnalysisException:
         pass  # conf marked non-modifiable on this deployment
+    tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+    cache = spark.__dict__.setdefault("_fodp_table_cache", {})
+    # abspath-normalized key (ADVICE r12): relative vs absolute
+    # spellings of one directory must share an entry.
+    key = (os.path.abspath(sf_dir), name, tz)
+    hit = cache.get(key)
+    if hit is not None:
+        return hit
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     # The events file stores ts as TIMESTAMP(NANOS); with
     # spark.sql.legacy.parquet.nanosAsLong it surfaces as a long of
@@ -88,6 +100,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", ntz_as_utc_instant(spark, F.col("ts")))
     cache[key] = df
     return df
+
+
+def clear_table_cache(spark: SparkSession) -> int:
+    """Drop the session's load_table memo (for harnesses that rewrite
+    the parquet directories mid-process); returns entries released."""
+    cache = spark.__dict__.get("_fodp_table_cache")
+    n = len(cache) if cache else 0
+    if cache:
+        cache.clear()
+    return n
 
 
 def spread(df: DataFrame, max_target: int | None = None) -> DataFrame:
