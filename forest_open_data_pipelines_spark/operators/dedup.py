@@ -478,7 +478,14 @@ def build_winnowing_index(
     cleaned = spread(base_docs).select(
         "doc_id", F.lower(clean_text(F.col("text"))).alias("t")
     )
-    fp_base = winnowing_fingerprint_frame(cleaned, k, w)
+    # persist (optimization r13): BOTH index tables derive from the
+    # fingerprint frame — hot is its df aggregate, base_k its anti-join
+    # against hot — so materializing them ran the full fingerprint
+    # projection (the per-char md5 transform, the expensive part since
+    # the r12 zero-shuffle rewrite) TWICE per index build. One pinned
+    # (doc_id, fp) pass serves both; released by release_persisted()
+    # like every other signature table.
+    fp_base = _persist(winnowing_fingerprint_frame(cleaned, k, w))
     n_base = F.broadcast(
         base_docs.select("doc_id").agg(F.count(F.lit(1)).alias("n_docs"))
     )
